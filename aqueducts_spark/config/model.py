@@ -1,0 +1,413 @@
+"""Pipeline configuration model (pydantic v2).
+
+Mirrors the reference's config surface — same YAML field names, tag
+discriminators, aliases and defaults — so that reference pipeline
+documents parse unchanged:
+
+* pipeline shape: reference aqueducts/schemas/src/lib.rs:86-102
+* sources:        reference aqueducts/schemas/src/sources.rs
+* stages:         reference aqueducts/schemas/src/stages.rs:35-61
+* destinations:   reference aqueducts/schemas/src/destinations.rs
+
+Differences from the reference (documented, Spark-motivated):
+
+* ``odbc`` sources/destinations are executed over JDBC (Spark has a
+  first-class JDBC reader/writer; there is no ODBC bridge on the JVM).
+  The config shape is accepted unchanged; ``connection_string`` must be
+  a JDBC URL.
+* ``stages`` may be a flat list (each stage its own sequential group)
+  or a list of lists (inner list = parallel group), as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal, Optional, Union
+
+from pydantic import BaseModel, ConfigDict, Field as PField, field_validator, model_validator
+
+from ..types import Field as TypedField, parse_fields
+
+_MODEL_CONFIG = ConfigDict(populate_by_name=True, extra="forbid")
+
+
+class _Base(BaseModel):
+    model_config = _MODEL_CONFIG
+
+
+def _coerce_schema(v: Any) -> list[TypedField]:
+    if v is None:
+        return []
+    return parse_fields(v)
+
+
+# ---------------------------------------------------------------------------
+# Source file formats (tag = "type", content = "options")
+# ---------------------------------------------------------------------------
+
+
+class CsvSourceOptions(_Base):
+    has_header: bool = True
+    delimiter: str = ","
+    schema_: list[Any] = PField(default_factory=list, alias="schema")
+
+    @field_validator("schema_")
+    @classmethod
+    def _parse_schema(cls, v: Any) -> list[TypedField]:
+        return _coerce_schema(v)
+
+    @field_validator("delimiter")
+    @classmethod
+    def _one_char(cls, v: str) -> str:
+        if len(v) != 1:
+            raise ValueError("delimiter must be a single character")
+        return v
+
+
+class ParquetSourceOptions(_Base):
+    schema_: list[Any] = PField(default_factory=list, alias="schema")
+
+    @field_validator("schema_")
+    @classmethod
+    def _parse_schema(cls, v: Any) -> list[TypedField]:
+        return _coerce_schema(v)
+
+
+class JsonSourceOptions(_Base):
+    schema_: list[Any] = PField(default_factory=list, alias="schema")
+
+    @field_validator("schema_")
+    @classmethod
+    def _parse_schema(cls, v: Any) -> list[TypedField]:
+        return _coerce_schema(v)
+
+
+class SourceFileType(_Base):
+    """Tagged union: {type: csv|json|parquet, options: {...}}."""
+
+    type: str
+    options: Optional[dict[str, Any]] = None
+    parsed: Union[CsvSourceOptions, ParquetSourceOptions, JsonSourceOptions, None] = PField(
+        default=None, exclude=True
+    )
+
+    @field_validator("type")
+    @classmethod
+    def _norm_type(cls, v: str) -> str:
+        t = v.strip().lower()
+        if t not in ("csv", "json", "parquet"):
+            raise ValueError(f"unsupported source file format: {v}")
+        return t
+
+    @model_validator(mode="after")
+    def _parse_options(self) -> "SourceFileType":
+        opts = self.options or {}
+        cls = {
+            "csv": CsvSourceOptions,
+            "json": JsonSourceOptions,
+            "parquet": ParquetSourceOptions,
+        }[self.type]
+        object.__setattr__(self, "parsed", cls.model_validate(opts))
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Sources (tag = "type")
+# ---------------------------------------------------------------------------
+
+
+class InMemorySource(_Base):
+    type: Literal["in_memory"] = "in_memory"
+    name: str
+
+
+class FileSource(_Base):
+    type: Literal["file"] = "file"
+    name: str
+    format: SourceFileType = PField(alias="file_type")
+    location: str
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+
+    model_config = ConfigDict(populate_by_name=True, extra="forbid")
+
+
+class DirSource(_Base):
+    type: Literal["directory"] = "directory"
+    name: str
+    format: SourceFileType = PField(alias="file_type")
+    partition_columns: list[Any] = PField(default_factory=list, alias="partition_cols")
+    location: str
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+
+    @field_validator("partition_columns")
+    @classmethod
+    def _norm_partitions(cls, v: list[Any]) -> list[tuple[str, str]]:
+        """Accept tuple form ``[name, dtype]`` or object form
+        ``{name: ..., data_type: ...}`` (reference serde_helpers.rs:45-82)."""
+        out: list[tuple[str, str]] = []
+        for item in v:
+            if isinstance(item, dict):
+                out.append((item["name"], str(item["data_type"])))
+            elif isinstance(item, (list, tuple)) and len(item) == 2:
+                out.append((str(item[0]), str(item[1])))
+            else:
+                raise ValueError(f"invalid partition column spec: {item!r}")
+        return out
+
+
+class OdbcSource(_Base):
+    """Database source; executed via Spark JDBC (connection_string = JDBC URL)."""
+
+    type: Literal["odbc"] = "odbc"
+    name: str
+    load_query: str = PField(alias="query")
+    connection_string: str
+
+
+class DeltaSource(_Base):
+    type: Literal["delta"] = "delta"
+    name: str
+    location: str
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+    version: Optional[int] = None
+    timestamp: Optional[str] = None
+
+
+Source = Union[InMemorySource, FileSource, DirSource, OdbcSource, DeltaSource]
+
+_SOURCE_TYPES = {
+    "in_memory": InMemorySource,
+    "inmemory": InMemorySource,
+    "file": FileSource,
+    "directory": DirSource,
+    "odbc": OdbcSource,
+    "database": OdbcSource,
+    "delta": DeltaSource,
+}
+
+
+def parse_source(raw: dict[str, Any]) -> Source:
+    t = str(raw.get("type", "")).strip().lower()
+    cls = _SOURCE_TYPES.get(t)
+    if cls is None:
+        raise ValueError(f"unknown source type: {raw.get('type')!r}")
+    return cls.model_validate(raw)
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+class Stage(_Base):
+    name: str
+    query: str
+    show: Optional[int] = None
+    explain: bool = False
+    explain_analyze: bool = False
+    print_schema: bool = False
+    # Spark-specific extension: eagerly materialize (cache+count) this
+    # stage's result. Default False — lazy is the right default at scale.
+    eager: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Destinations
+# ---------------------------------------------------------------------------
+
+
+class CsvDestinationOptions(_Base):
+    has_header: bool = True
+    delimiter: str = ","
+    compression: Optional[str] = None
+
+
+class DestinationFileType(_Base):
+    type: str
+    options: Optional[dict[str, Any]] = None
+    parsed: Union[CsvDestinationOptions, dict[str, str], None] = PField(
+        default=None, exclude=True
+    )
+
+    @field_validator("type")
+    @classmethod
+    def _norm_type(cls, v: str) -> str:
+        t = v.strip().lower()
+        if t not in ("csv", "json", "parquet"):
+            raise ValueError(f"unsupported destination file format: {v}")
+        return t
+
+    @model_validator(mode="after")
+    def _parse_options(self) -> "DestinationFileType":
+        opts = self.options or {}
+        if self.type == "csv":
+            object.__setattr__(self, "parsed", CsvDestinationOptions.model_validate(opts))
+        elif self.type == "parquet":
+            object.__setattr__(self, "parsed", {str(k): str(v) for k, v in opts.items()})
+        else:
+            object.__setattr__(self, "parsed", None)
+        return self
+
+
+class InMemoryDestination(_Base):
+    type: Literal["in_memory"] = "in_memory"
+    name: str
+
+
+class FileDestination(_Base):
+    type: Literal["file"] = "file"
+    name: str
+    location: str
+    format: DestinationFileType = PField(alias="file_type")
+    single_file: bool = True
+    partition_columns: list[str] = PField(default_factory=list, alias="partition_cols")
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+
+
+class CustomStatements(_Base):
+    pre_insert: Optional[str] = None
+    insert: str
+
+
+class OdbcWriteMode(_Base):
+    """{operation: append} or {operation: custom, transaction: {...}}."""
+
+    operation: str
+    transaction: Optional[CustomStatements] = None
+
+    @field_validator("operation")
+    @classmethod
+    def _norm(cls, v: str) -> str:
+        t = v.strip().lower()
+        if t not in ("append", "custom"):
+            raise ValueError(f"unknown odbc write operation: {v}")
+        return t
+
+    @model_validator(mode="after")
+    def _require_transaction(self) -> "OdbcWriteMode":
+        if self.operation == "custom" and self.transaction is None:
+            raise ValueError("custom write mode requires a transaction block")
+        return self
+
+
+class OdbcDestination(_Base):
+    type: Literal["odbc"] = "odbc"
+    name: str
+    connection_string: str
+    write_mode: OdbcWriteMode
+    batch_size: int = 1000
+
+
+class ReplaceCondition(_Base):
+    column: str
+    value: str
+
+
+class DeltaWriteMode(_Base):
+    """{operation: append | upsert | replace, params: ...}."""
+
+    operation: str
+    params: Optional[Any] = None
+    merge_keys: list[str] = PField(default_factory=list, exclude=True)
+    replace_conditions: list[ReplaceCondition] = PField(default_factory=list, exclude=True)
+
+    @field_validator("operation")
+    @classmethod
+    def _norm(cls, v: str) -> str:
+        t = v.strip().lower()
+        if t not in ("append", "upsert", "replace"):
+            raise ValueError(f"unknown delta write operation: {v}")
+        return t
+
+    @model_validator(mode="after")
+    def _parse_params(self) -> "DeltaWriteMode":
+        if self.operation == "upsert":
+            keys = [str(k) for k in (self.params or [])]
+            if not keys:
+                raise ValueError("upsert requires at least one merge key column")
+            object.__setattr__(self, "merge_keys", keys)
+        elif self.operation == "replace":
+            conds = [ReplaceCondition.model_validate(c) for c in (self.params or [])]
+            object.__setattr__(self, "replace_conditions", conds)
+        return self
+
+
+class DeltaDestination(_Base):
+    type: Literal["delta"] = "delta"
+    name: str
+    location: str
+    write_mode: DeltaWriteMode = PField(alias="mode")
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+    partition_columns: list[str] = PField(default_factory=list, alias="partition_cols")
+    table_properties: dict[str, Optional[str]] = PField(default_factory=dict)
+    metadata: dict[str, str] = PField(default_factory=dict, alias="custom_metadata")
+    schema_: list[Any] = PField(default_factory=list, alias="schema")
+
+    @field_validator("schema_")
+    @classmethod
+    def _parse_schema(cls, v: Any) -> list[TypedField]:
+        return _coerce_schema(v)
+
+
+Destination = Union[InMemoryDestination, FileDestination, OdbcDestination, DeltaDestination]
+
+_DEST_TYPES = {
+    "in_memory": InMemoryDestination,
+    "inmemory": InMemoryDestination,
+    "file": FileDestination,
+    "odbc": OdbcDestination,
+    "database": OdbcDestination,
+    "delta": DeltaDestination,
+}
+
+
+def parse_destination(raw: dict[str, Any]) -> Destination:
+    t = str(raw.get("type", "")).strip().lower()
+    cls = _DEST_TYPES.get(t)
+    if cls is None:
+        raise ValueError(f"unknown destination type: {raw.get('type')!r}")
+    return cls.model_validate(raw)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+class Pipeline(_Base):
+    """A full pipeline document: sources -> stage groups -> destination."""
+
+    version: Optional[str] = None
+    sources: list[Any]
+    stages: list[Any]
+    destination: Optional[Any] = None
+    # parsed views
+    parsed_sources: list[Any] = PField(default_factory=list, exclude=True)
+    stage_groups: list[list[Stage]] = PField(default_factory=list, exclude=True)
+    parsed_destination: Optional[Any] = PField(default=None, exclude=True)
+
+    @model_validator(mode="after")
+    def _parse_all(self) -> "Pipeline":
+        object.__setattr__(
+            self, "parsed_sources", [parse_source(s) if isinstance(s, dict) else s for s in self.sources]
+        )
+        groups: list[list[Stage]] = []
+        for entry in self.stages:
+            if isinstance(entry, list):
+                groups.append([Stage.model_validate(s) if isinstance(s, dict) else s for s in entry])
+            else:
+                groups.append([Stage.model_validate(entry) if isinstance(entry, dict) else entry])
+        object.__setattr__(self, "stage_groups", groups)
+        if self.destination is not None:
+            dest = (
+                parse_destination(self.destination)
+                if isinstance(self.destination, dict)
+                else self.destination
+            )
+            object.__setattr__(self, "parsed_destination", dest)
+        names = [s.name for s in self.parsed_sources] + [
+            st.name for g in groups for st in g
+        ]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate table names in pipeline: {sorted(dupes)}")
+        return self

@@ -1,0 +1,158 @@
+"""Pipeline runner: sources -> sequential groups of parallel stages ->
+destination.
+
+Reference: aqueducts/core/src/lib.rs:68-220 — fail-fast destination
+preparation (:82-91), concurrent source registration (:93-123),
+parallel stage groups with barriers (:125-175), stage TTL / temp-view
+reclamation by last textual use (:223-274), destination write from the
+last stage of the last group (:177-190).
+"""
+
+from __future__ import annotations
+
+import re
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config.model import Pipeline, Stage
+from .destinations import prepare_destination, write_to_destination
+from .functions import register_udfs
+from .progress import LoggingTracker, ProgressEvent, ProgressTracker, timer
+from .sources import register_sources
+from .stages import process_stage
+
+
+class PipelineResult:
+    def __init__(self, spark: SparkSession, result: Optional[DataFrame]):
+        self.spark = spark
+        self.result = result
+
+
+def _name_used_in(name: str, query: str) -> bool:
+    """Word-boundary scan, as in the reference's TTL calculation
+    (core/src/lib.rs:223-254)."""
+    return re.search(rf"\b{re.escape(name)}\b", query) is not None
+
+
+def compute_ttls(groups: list[list[Stage]]) -> dict[str, int]:
+    """stage name -> index of the last group whose queries reference it."""
+    ttl: dict[str, int] = {}
+    for gi, group in enumerate(groups):
+        for stage in group:
+            ttl[stage.name] = gi  # at minimum, alive in its own group
+    for gi, group in enumerate(groups):
+        for stage in group:
+            for earlier, last in list(ttl.items()):
+                if earlier != stage.name and _name_used_in(earlier, stage.query):
+                    ttl[earlier] = max(last, gi)
+    return ttl
+
+
+def count_consumers(groups: list[list[Stage]], name: str, after_group: int) -> int:
+    return sum(
+        1
+        for gi, group in enumerate(groups)
+        if gi > after_group
+        for stage in group
+        if _name_used_in(name, stage.query)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    tracker: Optional[ProgressTracker] = None,
+) -> PipelineResult:
+    """Execute a pipeline on an existing SparkSession.
+
+    The caller may pre-register temp views for ``in_memory`` sources and
+    read back ``in_memory`` destinations afterwards (reference
+    core/src/lib.rs:26-72, tests/integration.rs:36-52).
+    """
+    tracker = tracker or LoggingTracker()
+    register_udfs(spark)
+    tracker.on_progress(ProgressEvent("started"))
+
+    dest = pipeline.parsed_destination
+    if dest is not None:
+        prepare_destination(spark, dest)
+
+    with timer() as t_src:
+        register_sources(spark, pipeline.parsed_sources)
+    for s in pipeline.parsed_sources:
+        tracker.on_progress(
+            ProgressEvent("source_registered", name=s.name)
+        )
+
+    groups = pipeline.stage_groups
+    ttls = compute_ttls(groups)
+    stage_dfs: dict[str, DataFrame] = {}
+    cached: set[str] = set()
+
+    for gi, group in enumerate(groups):
+        def run_one(stage: Stage) -> tuple[str, DataFrame]:
+            tracker.on_progress(ProgressEvent("stage_started", name=stage.name))
+            with timer() as t:
+                # cache when >1 downstream consumer would otherwise
+                # recompute the whole lineage (SURVEY §7.3 policy)
+                consumers = count_consumers(groups, stage.name, gi)
+                df = process_stage(spark, stage, tracker, cache=consumers > 1)
+                if consumers > 1 or stage.eager or stage.explain_analyze:
+                    cached.add(stage.name)
+            tracker.on_progress(
+                ProgressEvent("stage_completed", name=stage.name, duration_ms=t.elapsed_ms)
+            )
+            return stage.name, df
+
+        if len(group) == 1:
+            name, df = run_one(group[0])
+            stage_dfs[name] = df
+        else:
+            # parallel group with barrier (reference core/src/lib.rs:125-175);
+            # Spark's scheduler is thread-safe and FAIR-schedules jobs
+            with ThreadPoolExecutor(max_workers=len(group)) as pool:
+                for name, df in pool.map(run_one, group):
+                    stage_dfs[name] = df
+
+        # TTL reclamation: drop cached intermediates whose last textual
+        # use has passed (reference core/src/lib.rs:223-274)
+        for name, last_group in ttls.items():
+            if last_group <= gi and name in cached:
+                stage_dfs[name].unpersist()
+                cached.discard(name)
+                # keep the temp view for the final-result lookup below,
+                # unless a later group exists (then it is truly dead)
+                if gi < len(groups) - 1 and name != groups[-1][-1].name:
+                    spark.catalog.dropTempView(name)
+
+    result: Optional[DataFrame] = None
+    if groups:
+        final_stage = groups[-1][-1]
+        result = stage_dfs[final_stage.name]
+
+    if dest is not None:
+        if result is None:
+            raise ValueError("pipeline has a destination but no stages")
+        with timer() as t_dst:
+            write_to_destination(spark, dest, result)
+        tracker.on_progress(
+            ProgressEvent(
+                "destination_completed", name=dest.name, duration_ms=t_dst.elapsed_ms
+            )
+        )
+
+    tracker.on_progress(ProgressEvent("completed"))
+    return PipelineResult(spark, result)
+
+
+def run_pipeline_file(
+    spark: SparkSession,
+    path: str,
+    params: Optional[dict[str, str]] = None,
+    tracker: Optional[ProgressTracker] = None,
+) -> PipelineResult:
+    from .config.loader import load_pipeline
+
+    return run_pipeline(spark, load_pipeline(path, params), tracker)

@@ -1,0 +1,46 @@
+"""SparkSession defaults tuned for this engine.
+
+The settings here are the scale-relevant ones:
+
+* AQE on (runtime re-planning, skew-join splitting, partition
+  coalescing) — the single biggest win for unpredictable data;
+* broadcast threshold raised to 64 MB — every dimension table in a
+  star-schema join should broadcast instead of shuffling the fact table;
+* shuffle partitions default to cluster parallelism (overridable) with
+  AQE coalescing them down when small;
+* Arrow enabled for every Python boundary (pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def session_builder(app_name: str = "aqueducts_spark", master: str | None = None):
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    shuffle_parts = cpus if cpus else str(os.cpu_count() or 8)
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(app_name: str = "aqueducts_spark", master: str | None = None) -> SparkSession:
+    return session_builder(app_name, master).getOrCreate()

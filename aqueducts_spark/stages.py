@@ -1,0 +1,75 @@
+"""Stage execution: one SQL query -> named temp view.
+
+Reference: aqueducts/core/src/stages/mod.rs:48-173 (SQL with DDL/DML
+denied :53-56, eager cache :59-71, show :101-141 capped at 500 for
+``show: 0``, explain :73-99, print_schema :143-148, registration :167).
+
+Spark-first deviation (SURVEY §7.3, deliberate): stages are **lazy by
+default**. The reference eagerly materializes every stage; at 100 TB
+that forces a full materialization barrier per stage and defeats
+Catalyst's cross-stage optimization (filter pushdown *through* stage
+boundaries, join reordering over the whole plan). We only materialize
+when the stage (a) sets ``eager: true``, (b) requests debug output
+(show/explain_analyze), or (c) is consumed by more than one downstream
+stage (decided by the pipeline runner, which then uses ``.cache()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config.model import Stage
+from .progress import ProgressTracker
+from .sql_guard import validate_stage_sql
+
+SHOW_UNLIMITED_CAP = 500  # reference stages/mod.rs:101-106
+
+
+class StageError(RuntimeError):
+    def __init__(self, stage_name: str, cause: Exception):
+        self.stage_name = stage_name
+        self.cause = cause
+        super().__init__(f"stage '{stage_name}' failed: {cause}")
+
+
+def process_stage(
+    spark: SparkSession,
+    stage: Stage,
+    tracker: ProgressTracker,
+    cache: bool = False,
+) -> DataFrame:
+    """Run a stage query and register the result as a temp view."""
+    validate_stage_sql(stage.query, stage_name=stage.name)
+    try:
+        df = spark.sql(stage.query)
+    except Exception as exc:
+        raise StageError(stage.name, exc) from exc
+
+    want_materialize = stage.eager or stage.explain_analyze
+    if cache or want_materialize:
+        df = df.cache()
+
+    if stage.explain:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # same as df.explain text
+            df._jdf.queryExecution(), "extended"
+        )
+        tracker.on_output(stage.name, "explain", plan)
+
+    if stage.explain_analyze:
+        # Spark has no in-band EXPLAIN ANALYZE: run the action, then read
+        # the executed plan with runtime metrics from queryExecution.
+        df.count()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        tracker.on_output(stage.name, "explain_analyze", executed)
+    elif want_materialize:
+        df.count()
+
+    if stage.show is not None:
+        n = stage.show if stage.show and stage.show > 0 else SHOW_UNLIMITED_CAP
+        tracker.on_output(stage.name, "show", df._show_string(n, 0, False))
+
+    if stage.print_schema:
+        tracker.on_output(stage.name, "schema", df._jdf.schema().treeString())
+
+    df.createOrReplaceTempView(stage.name)
+    return df

@@ -1,0 +1,142 @@
+"""Delta-layer tests mirroring the reference's delta integration tests
+(aqueducts/delta/tests/integration.rs: append :115-187, upsert :190-272,
+replace :275-349) on the versioned-parquet fallback."""
+
+import pytest
+
+from aqueducts_spark import load_pipeline_str, run_pipeline
+from aqueducts_spark.delta.table import VersionedParquetTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    t.create_if_absent(
+        fields=_fields(), partition_columns=[], table_properties={}, metadata={}
+    )
+    return t
+
+
+def _fields():
+    from aqueducts_spark.types import parse_fields
+
+    return parse_fields(
+        [
+            {"name": "col_1", "data_type": "string", "nullable": False},
+            {"name": "col_2", "data_type": "int32", "nullable": False},
+        ]
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["col_1", "col_2"])
+
+
+def _rows(t, **kw):
+    return sorted((r.col_1, r.col_2) for r in t.read(**kw).collect())
+
+
+def test_append_and_time_travel(spark, table):
+    table.append(_df(spark, [("a", 1), ("b", 2)]))
+    table.append(_df(spark, [("c", 3)]))
+    assert _rows(table) == [("a", 1), ("b", 2), ("c", 3)]
+    # version 1 was the first append (0 = create)
+    assert _rows(table, version=1) == [("a", 1), ("b", 2)]
+
+
+def test_upsert(spark, table):
+    table.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    table.upsert(_df(spark, [("a", 100), ("d", 4)]), keys=["col_1"])
+    assert _rows(table) == [("a", 100), ("b", 2), ("c", 3), ("d", 4)]
+
+
+def test_replace(spark, table):
+    table.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    table.replace(_df(spark, [("a", 10)]), conditions=[("col_1", "a")])
+    assert _rows(table) == [("a", 10), ("b", 2), ("c", 3)]
+
+
+def test_full_overwrite_on_empty_conditions(spark, table):
+    table.append(_df(spark, [("a", 1), ("b", 2)]))
+    table.replace(_df(spark, [("z", 9)]), conditions=[])
+    assert _rows(table) == [("z", 9)]
+
+
+def test_schema_cast_preamble(spark, table):
+    # int64 + strings get cast to declared (string, int32)
+    df = spark.createDataFrame([(1, "7")], ["col_1", "col_2"])
+    table.append(df)
+    assert _rows(table) == [("1", 7)]
+    dtypes = dict(table.read().dtypes)
+    assert dtypes == {"col_1": "string", "col_2": "int"}
+
+
+def test_missing_column_rejected(spark, table):
+    from aqueducts_spark.delta.table import DeltaTableError
+
+    with pytest.raises(DeltaTableError, match="missing columns"):
+        table.append(spark.createDataFrame([("a",)], ["col_1"]))
+
+
+def test_upsert_with_array_keys_set_equality(spark, tmp_path):
+    """List-typed merge keys compare as sets (reference delta/src/lib.rs:266-278)."""
+    t = VersionedParquetTable(spark, str(tmp_path / "arr_tbl"))
+    t.create_if_absent([], [], {}, {})
+    df1 = spark.createDataFrame([(["x", "y"], 1), (["q"], 2)], ["k", "v"])
+    t.append(df1)
+    # ["y","x"] must match ["x","y"] as a set -> update, not insert
+    df2 = spark.createDataFrame([(["y", "x"], 99), (["new"], 3)], ["k", "v"])
+    t.upsert(df2, keys=["k"])
+    got = sorted((tuple(r.k), r.v) for r in t.read().collect())
+    assert got == [(("new",), 3), (("q",), 2), (("y", "x"), 99)]
+
+
+def test_delta_pipeline_upsert_e2e(spark, tmp_path):
+    """YAML-driven delta upsert, like aqueduct_pipeline_delta_upsert.yml."""
+    csv1 = tmp_path / "example_1.csv"
+    csv1.write_text(
+        "date,country,a,b\n2023-05-07,AT,1,1.5\n2023-05-07,DE,2,2.5\n"
+    )
+    loc = tmp_path / "delta_out"
+    yml_template = f"""
+sources:
+  - type: file
+    name: example
+    format:
+      type: csv
+    location: {csv1}
+stages:
+  - name: agg
+    query: >
+      SELECT date, country, sum(a) AS sum_1, sum(b) AS sum_2
+      FROM example GROUP BY date, country
+destination:
+  type: delta
+  name: out
+  location: {loc}
+  write_mode:
+    operation: upsert
+    params: [date, country]
+  partition_cols: [date]
+  schema:
+    - name: date
+      data_type: date32
+    - name: country
+      data_type: string
+    - name: sum_1
+      data_type: int64
+    - name: sum_2
+      data_type: float64
+"""
+    run_pipeline(spark, load_pipeline_str(yml_template))
+    spark.catalog.dropTempView("agg")
+    spark.catalog.dropTempView("example")
+    # second run with updated values for AT upserts
+    csv1.write_text("date,country,a,b\n2023-05-07,AT,10,1.5\n")
+    run_pipeline(spark, load_pipeline_str(yml_template))
+    t = VersionedParquetTable(spark, str(loc))
+    rows = {(str(r.date), r.country): (r.sum_1, r.sum_2) for r in t.read().collect()}
+    assert rows[("2023-05-07", "AT")][0] == 10
+    assert rows[("2023-05-07", "DE")][0] == 2
+    spark.catalog.dropTempView("agg")
+    spark.catalog.dropTempView("example")

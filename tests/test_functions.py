@@ -1,0 +1,77 @@
+"""Function-pack tests mirroring the reference UDF golden tests
+(aqueducts/core/src/custom_udfs.rs:72-162)."""
+
+import pytest
+
+from aqueducts_spark.functions import register_udfs
+
+
+@pytest.fixture(autouse=True)
+def _udfs(spark):
+    register_udfs(spark)
+
+
+def _one(spark, expr, value):
+    return spark.sql(f"SELECT {expr} AS out FROM (VALUES ({value!r})) AS t(c)").collect()[
+        0
+    ].out
+
+
+def test_unnest_numbers(spark):
+    assert _one(spark, "unnest_json_array(c)", "[1, 2, 3]") == ["1", "2", "3"]
+
+
+def test_unnest_strings_keep_quotes(spark):
+    assert _one(spark, "unnest_json_array(c)", '["foo", "bar"]') == ['"foo"', '"bar"']
+
+
+def test_unnest_objects_compact(spark):
+    assert _one(spark, "unnest_json_array(c)", '[{"x":1}, {"y":"foo"}]') == [
+        '{"x":1}',
+        '{"y":"foo"}',
+    ]
+
+
+def test_unnest_null_passthrough(spark):
+    row = spark.sql(
+        "SELECT unnest_json_array(c) AS out FROM (SELECT cast(null AS string) AS c)"
+    ).collect()[0]
+    assert row.out is None
+
+
+def test_unnest_non_array_errors(spark):
+    with pytest.raises(Exception, match="expected JSON array"):
+        spark.sql(
+            "SELECT unnest_json_array(c) AS out FROM (VALUES ('{\"a\":1}')) AS t(c)"
+        ).collect()
+
+
+JSON_DOC = '{"name": "ann", "age": 3, "score": 1.5, "ok": true, "tags": ["a", "b"], "nested": {"k": null}}'
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("json_get_str(c, 'name')", "ann"),
+        ("json_get_str(c, 'tags')", '["a","b"]'),
+        ("json_get_int(c, 'age')", 3),
+        ("json_get_int(c, 'score')", None),
+        ("json_get_float(c, 'score')", 1.5),
+        ("json_get_float(c, 'age')", 3.0),
+        ("json_get_bool(c, 'ok')", True),
+        ("json_get_bool(c, 'age')", None),
+        ("json_as_text(c, 'nested')", '{"k":null}'),
+        ("json_get_str(c, 'tags.1')", "b"),
+        ("json_contains(c, 'name')", True),
+        ("json_contains(c, 'nested.k')", True),
+        ("json_contains(c, 'missing')", False),
+        ("json_length(c, 'tags')", 2),
+        ("json_length(c, 'name')", None),
+    ],
+)
+def test_json_shims(spark, expr, expected):
+    got = _one(spark, expr, JSON_DOC)
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected)
+    else:
+        assert got == expected

@@ -1,0 +1,266 @@
+"""End-to-end pipeline tests, mirroring the reference's integration
+tests (aqueducts/core/tests/integration.rs, delta/tests/integration.rs)."""
+
+import textwrap
+
+import pytest
+
+from aqueducts_spark import CollectingTracker, load_pipeline_str, run_pipeline
+
+
+@pytest.fixture()
+def test_csv(tmp_path):
+    """F1 fixture (FIXTURES.md): id,name,value,active."""
+    p = tmp_path / "test_data.csv"
+    p.write_text(
+        "id,name,value,active\n"
+        "1,Alice,100.5,true\n"
+        "2,Bob,200.0,false\n"
+        "3,Charlie,300.75,true\n"
+        "4,Diana,150.25,false\n"
+        "5,Eve,250.0,true\n"
+    )
+    return p
+
+
+def test_csv_to_memory(spark, test_csv):
+    yml = f"""
+sources:
+  - type: file
+    name: test_data
+    format:
+      type: csv
+    location: {test_csv}
+stages:
+  - name: transformed
+    query: SELECT id, name, value * 2 AS doubled_value, active FROM test_data
+destination:
+  type: in_memory
+  name: transformed_result
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    rows = spark.table("transformed_result").orderBy("id").collect()
+    assert len(rows) == 5
+    assert rows[0].doubled_value == pytest.approx(201.0)
+    assert result.result is not None
+    spark.catalog.dropTempView("transformed_result")
+    spark.catalog.dropTempView("transformed")
+    spark.catalog.dropTempView("test_data")
+
+
+def test_filter_to_single_csv(spark, test_csv, tmp_path):
+    out = tmp_path / "active.csv"
+    yml = f"""
+sources:
+  - type: file
+    name: test_data
+    format:
+      type: csv
+    location: {test_csv}
+stages:
+  - name: filtered
+    query: SELECT * FROM test_data WHERE active = true
+destination:
+  type: file
+  name: out
+  format:
+    type: csv
+  single_file: true
+  location: {out}
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    assert out.is_file()
+    text = out.read_text()
+    assert "Alice" in text and "Bob" not in text
+    assert len(text.strip().splitlines()) == 4  # header + 3 active rows
+    spark.catalog.dropTempView("filtered")
+    spark.catalog.dropTempView("test_data")
+
+
+def test_no_destination_leaves_last_stage_queryable(spark, test_csv):
+    yml = f"""
+sources:
+  - type: file
+    name: test_data
+    format:
+      type: csv
+    location: {test_csv}
+stages:
+  - name: ordered
+    query: SELECT * FROM test_data ORDER BY id
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    assert result.result.count() == 5
+    assert spark.table("ordered").count() == 5
+    spark.catalog.dropTempView("ordered")
+    spark.catalog.dropTempView("test_data")
+
+
+def test_parallel_groups_and_ttl(spark, test_csv):
+    yml = f"""
+sources:
+  - type: file
+    name: test_data
+    format:
+      type: csv
+    location: {test_csv}
+stages:
+  - - name: evens
+      query: SELECT * FROM test_data WHERE id % 2 = 0
+    - name: odds
+      query: SELECT * FROM test_data WHERE id % 2 = 1
+  - - name: unioned
+      query: SELECT * FROM evens UNION ALL SELECT * FROM odds
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    assert result.result.count() == 5
+    spark.catalog.dropTempView("unioned")
+    spark.catalog.dropTempView("test_data")
+
+
+def test_show_and_schema_outputs(spark, test_csv):
+    tracker = CollectingTracker()
+    yml = f"""
+sources:
+  - type: file
+    name: test_data
+    format:
+      type: csv
+    location: {test_csv}
+stages:
+  - name: shown
+    query: SELECT id, name FROM test_data
+    show: 2
+    print_schema: true
+    explain: true
+"""
+    run_pipeline(spark, load_pipeline_str(yml), tracker)
+    kinds = {o[1] for o in tracker.outputs}
+    assert {"show", "schema", "explain"} <= kinds
+    show_payload = next(o[2] for o in tracker.outputs if o[1] == "show")
+    assert "Alice" in show_payload
+    event_kinds = [e.kind for e in tracker.events]
+    assert event_kinds[0] == "started"
+    assert event_kinds[-1] == "completed"
+    assert "stage_completed" in event_kinds
+    spark.catalog.dropTempView("shown")
+    spark.catalog.dropTempView("test_data")
+
+
+def test_json_source_and_parquet_roundtrip(spark, tmp_path):
+    src = tmp_path / "data.jsonl"
+    src.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    out = tmp_path / "out_parquet"
+    yml = f"""
+sources:
+  - type: file
+    name: j
+    format:
+      type: json
+    location: {src}
+stages:
+  - name: doubled
+    query: SELECT a * 2 AS a2, upper(b) AS b_up FROM j
+destination:
+  type: file
+  name: out
+  format:
+    type: parquet
+    options:
+      compression: zstd
+  single_file: false
+  location: {out}
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    back = spark.read.parquet(str(out)).orderBy("a2").collect()
+    assert [r.a2 for r in back] == [2, 4]
+    assert [r.b_up for r in back] == ["X", "Y"]
+    spark.catalog.dropTempView("doubled")
+    spark.catalog.dropTempView("j")
+
+
+def test_partitioned_output(spark, test_csv, tmp_path):
+    out = tmp_path / "by_active"
+    yml = f"""
+sources:
+  - type: file
+    name: test_data
+    format:
+      type: csv
+    location: {test_csv}
+stages:
+  - name: all_rows
+    query: SELECT * FROM test_data
+destination:
+  type: file
+  name: out
+  format:
+    type: parquet
+  single_file: false
+  partition_columns: [active]
+  location: {out}
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    subdirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert "active=true" in subdirs and "active=false" in subdirs
+    spark.catalog.dropTempView("all_rows")
+    spark.catalog.dropTempView("test_data")
+
+
+def test_in_memory_source_roundtrip(spark):
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).createOrReplaceTempView(
+        "preexisting"
+    )
+    yml = """
+sources:
+  - type: in_memory
+    name: preexisting
+stages:
+  - name: mem_out
+    query: SELECT count(*) AS n FROM preexisting
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    assert result.result.collect()[0].n == 2
+    spark.catalog.dropTempView("mem_out")
+    spark.catalog.dropTempView("preexisting")
+
+
+def test_missing_in_memory_source_fails(spark):
+    yml = """
+sources:
+  - type: in_memory
+    name: does_not_exist_42
+stages:
+  - name: s
+    query: SELECT 1 AS a
+"""
+    from aqueducts_spark.sources.register import SourceError
+
+    with pytest.raises(SourceError):
+        run_pipeline(spark, load_pipeline_str(yml))
+
+
+def test_directory_source_with_partitions(spark, tmp_path):
+    base = tmp_path / "dir_src"
+    for year, rows in [("2023", [(1, "a")]), ("2024", [(2, "b")])]:
+        df = spark.createDataFrame(rows, ["id", "v"])
+        df.write.mode("overwrite").parquet(str(base / f"year={year}"))
+    yml = f"""
+sources:
+  - type: directory
+    name: dir_data
+    format:
+      type: parquet
+    partition_columns:
+      - [year, int32]
+    location: {base}
+stages:
+  - name: recent
+    query: SELECT id, v, year FROM dir_data WHERE year = 2024
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    rows = result.result.collect()
+    assert len(rows) == 1 and rows[0].id == 2
+    assert dict(result.result.dtypes)["year"] == "int"
+    spark.catalog.dropTempView("recent")
+    spark.catalog.dropTempView("dir_data")
