@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+the training-data operators); each takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+Determinism rules used throughout (so the value-hash comparison holds
+across engines):
+
+* money aggregates run in DECIMAL (exact in both engines), presented
+  as DOUBLE;
+* averages are exact-decimal sums divided by counts — identical double
+  division on both sides;
+* every hash is md5 (identical hex in Spark and DuckDB);
+* int-typed outputs are cast to BIGINT, truncated dates to DATE;
+* top-k queries always carry a deterministic tiebreak column.
 """
 
 from __future__ import annotations
@@ -13,26 +23,870 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
+_TP = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
+    # events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond type,
+    # so read it as nanos-since-epoch and truncate to microseconds (the
+    # DuckDB oracle views apply the same truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(t)
+    _REGISTERED.add(key)
+
+
+def _sql(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(query)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# SQL surface (SURVEY §2.B): one query per operator category
+# ---------------------------------------------------------------------------
+
+Q01_SPARK = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_REV} * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q02_SPARK = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10
+"""
+
+Q03_SPARK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rn AS BIGINT) AS rn,
+       prev_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+Q04_SPARK = f"""
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       CAST(SUM({_TP}) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+Q05_SPARK = """
+(
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders
+)
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+Q06_SPARK = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+Q07_SPARK = f"""
+WITH cust_orders AS (
+  SELECT o_custkey, COUNT(*) AS cnt, SUM({_TP}) AS total
+  FROM orders GROUP BY o_custkey
+),
+by_nation AS (
+  SELECT c_nationkey, COUNT(*) AS n_cust, CAST(SUM(total) AS DOUBLE) AS nation_total
+  FROM customer JOIN cust_orders ON c_custkey = o_custkey
+  GROUP BY c_nationkey
+)
+SELECT n_name, n_cust, nation_total
+FROM by_nation JOIN nation ON n_nationkey = c_nationkey
+"""
+
+Q08_SPARK = r"""
+SELECT token, COUNT(*) AS cnt
+FROM documents
+LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) x AS token
+WHERE token != ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+Q08_DUCK = r"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents) t
+WHERE token != ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+Q09_SPARK = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 10, 5) AS name_mid,
+       concat(c_mktsegment, '-', CAST(c_custkey AS STRING)) AS seg_key,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       replace(c_name, 'Customer', 'C') AS short_name,
+       lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer WHERE c_custkey <= 200
+"""
+
+Q09_DUCK = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 10, 5) AS name_mid,
+       concat(c_mktsegment, '-', CAST(c_custkey AS VARCHAR)) AS seg_key,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       replace(c_name, 'Customer', 'C') AS short_name,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer WHERE c_custkey <= 200
+"""
+
+Q10_SPARK = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_TP}) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+Q11_SPARK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+Q11_DUCK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+Q12_SPARK = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+Q13_SPARK = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 40
+"""
+
+Q14_SPARK = """
+SELECT l_partkey,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(DISTINCT l_suppkey) > 1
+"""
+
+Q15_DUCK = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+Q16_SPARK = """
+SELECT r.r_name, v.label, COUNT(*) AS n_nations
+FROM region r
+JOIN (VALUES (0, 'zero'), (1, 'one'), (2, 'two'), (3, 'three'), (4, 'four')) AS v(rk, label)
+  ON r.r_regionkey = v.rk
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, v.label
+"""
+
+Q17_SPARK = """
+SELECT p_partkey,
+       ROUND(sqrt(CAST(p_retailprice AS DOUBLE)), 6) AS sqrt_price,
+       ROUND(ln(CAST(p_retailprice AS DOUBLE) + 1), 6) AS ln_price,
+       ROUND(power(CAST(p_size AS DOUBLE), 2), 4) AS size_sq,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       ROUND(CAST(p_retailprice AS DOUBLE) % 100, 4) AS mod_price
+FROM part WHERE p_partkey <= 500
+"""
+
+Q17_DUCK = """
+SELECT p_partkey,
+       ROUND(sqrt(CAST(p_retailprice AS DOUBLE)), 6) AS sqrt_price,
+       ROUND(ln(CAST(p_retailprice AS DOUBLE) + 1), 6) AS ln_price,
+       ROUND(power(CAST(p_size AS DOUBLE), 2), 4) AS size_sq,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       ROUND(fmod(CAST(p_retailprice AS DOUBLE), 100), 4) AS mod_price
+FROM part WHERE p_partkey <= 500
+"""
+
+Q18_SPARK = """
+SELECT vec_id,
+       CAST(size(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_val,
+       ROUND(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 4) AS sq_norm,
+       CAST(label AS BIGINT) AS label
+FROM embeddings
+"""
+
+Q18_DUCK = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+       CAST(label AS BIGINT) AS label
+FROM embeddings
+"""
+
+Q19_DUCK = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+Q20_SPARK = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 50
+"""
+
+
+def _q15_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins via the DataFrame API (SQL-side it is EXISTS)."""
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    customer = spark.table("customer")
+    orders = spark.table("orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    big_orders = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .join(big_orders, F.col("c_custkey") == big_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT via the DataFrame API (Spark bonus; oracle uses CASE sums)."""
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("bigint").alias("F"),
+            F.col("O").cast("bigint").alias("O"),
+            F.col("P").cast("bigint").alias("P"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+_MINHASH_HASHES = 16
+_MINHASH_BANDS = 4
+_SHINGLE_N = 3
+
+_DUCK_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+  FROM toks
+)
+"""
+
+_DUCK_BANDS = f"""
+WITH {_DUCK_SHINGLES},
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, {_MINHASH_HASHES - 1})) AS seed FROM exploded),
+sigs AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id,
+         CAST(floor(seed / {_MINHASH_HASHES // _MINHASH_BANDS}) AS BIGINT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / {_MINHASH_HASHES // _MINHASH_BANDS}) AS BIGINT)
+)
+"""
+
+OP_MINHASH_BANDS_DUCK = _DUCK_BANDS + "SELECT doc_id, band, band_hash FROM bands"
+
+OP_MINHASH_PAIRS_DUCK = _DUCK_BANDS + """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+OP_JACCARD_DUCK = f"""
+WITH {_DUCK_SHINGLES},
+sh AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.set_size + sb.set_size - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+"""
+
+
+def _simhash_duck_sql(bits: int = 60) -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS tok
+  FROM documents
+),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+OP_EMBED_NEARDUP_DUCK = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} > 0.8
+"""
+
+SIM_TOPK_DUCK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_COS.format(a='q.qvec', b='c.embedding')} AS cosine
+  FROM q CROSS JOIN embeddings c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 10
+"""
+
+OP_EXACT_DEDUP_DUCK = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) t WHERE rn = 1
+"""
+
+OP_FINGERPRINT_DUCK = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+OP_TOKEN_COUNT_DUCK = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+_DUCK_FEATURES = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND((length(text) - length(regexp_replace(text, '\s', '', 'g'))) / length(text), 4) AS space_ratio,
+       ROUND(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) / length(text), 4) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 4) AS digit_ratio,
+       ROUND(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) / greatest(len(toks), 1), 4) AS stopword_ratio,
+       ROUND(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_ratio,
+       ROUND(list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS avg_token_len
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+) t
+"""
+
+OP_TEXT_FEATURES_DUCK = _DUCK_FEATURES
+
+OP_QUALITY_DUCK = f"""
+WITH feats AS ({_DUCK_FEATURES})
+SELECT doc_id, n_tokens,
+       0.35 * (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0
+                    ELSE least(n_tokens / 20.0, 1.0) * 0.5 END)
+       + 0.25 * least(stopword_ratio * 5.0, 1.0)
+       + 0.25 * distinct_ratio
+       + 0.15 * (1.0 - least(digit_ratio * 10.0, 1.0)) AS quality_score
+FROM feats
+"""
+
+
+def _langid_duck_sql() -> str:
+    from aqueducts_spark.operators.text import STOPWORDS
+
+    ratio_exprs = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        ratio_exprs.append(
+            f"ROUND(len(list_filter(toks, t -> list_contains([{words}], t))) / greatest(len(toks), 1), 4) AS ratio_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"ratio_{lang}" for lang in langs) + ")"
+    chain = " ".join(
+        f"WHEN {best} > 0 AND ratio_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, {', '.join(ratio_exprs)}
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+        FROM documents) t
+)
+SELECT doc_id, {', '.join(f'ratio_{lang}' for lang in langs)},
+       CASE {chain} ELSE 'und' END AS predicted_lang
+FROM base
+"""
+
+
+MM_BYTE_STATS_DUCK = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def _lsh_planes() -> list[list[float]]:
+    from aqueducts_spark.operators.similarity import random_hyperplanes
+
+    return random_hyperplanes(dim=64, num_planes=8, seed=42)
+
+
+def _lsh_buckets_duck_sql() -> str:
+    planes = _lsh_planes()
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = f"list_sum(list_transform(list_zip(embedding, {arr}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    return f"""
+SELECT bucket, COUNT(*) AS n_vectors
+FROM (SELECT {bucket} AS bucket FROM embeddings) t
+GROUP BY bucket
+"""
+
+
+def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import exact_dedup
+
+    _views(spark, sf_dir)
+    df = spark.table("documents")
+    return exact_dedup(df, "doc_id", ["text"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import fingerprint
+
+    _views(spark, sf_dir)
+    df = spark.table("documents")
+    return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import token_count
+
+    _views(spark, sf_dir)
+    df = spark.table("documents")
+    return df.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+def _op_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import text_features
+
+    _views(spark, sf_dir)
+    out = text_features(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "space_ratio", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "distinct_ratio", "avg_token_len",
+    )
+
+
+def _op_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import quality_score
+
+    _views(spark, sf_dir)
+    out = quality_score(spark.table("documents"))
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality_score"
+    )
+
+
+def _op_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import detect_language
+
+    _views(spark, sf_dir)
+    return detect_language(spark.table("documents"))
+
+
+def _op_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.dedup import minhash_bands
+
+    _views(spark, sf_dir)
+    out = minhash_bands(
+        spark.table("documents"),
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    )
+    return out.select("doc_id", F.col("band").cast("bigint").alias("band"), "band_hash")
+
+
+def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import minhash_candidate_pairs
+
+    _views(spark, sf_dir)
+    return minhash_candidate_pairs(
+        spark.table("documents"),
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    )
+
+
+def _op_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import jaccard_pairs
+
+    _views(spark, sf_dir)
+    return jaccard_pairs(
+        spark.table("documents"), threshold=0.5, shingle_n=_SHINGLE_N
+    )
+
+
+def _op_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import simhash
+
+    _views(spark, sf_dir)
+    return simhash(spark.table("documents"))
+
+
+def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates
+
+    _views(spark, sf_dir)
+    return embedding_near_duplicates(spark.table("embeddings"), threshold=0.8)
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import brute_force_topk
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import hyperplane_lsh
+
+    _views(spark, sf_dir)
+    bucketed = hyperplane_lsh(spark.table("embeddings"), _lsh_planes())
+    return bucketed.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+def _mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.multimodal import byte_stats
+
+    _views(spark, sf_dir)
+    df = spark.table("documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return byte_stats(df, "payload", "doc_id")
+
+
+def _mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.multimodal import byte_histogram_features
+
+    _views(spark, sf_dir)
+    df = spark.table("documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return byte_histogram_features(df, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level query (exercises the framework itself)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_YML = """
+version: "v2"
+sources:
+  - type: file
+    name: pl_orders
+    format: {type: parquet}
+    location: ${sf_dir}/orders.parquet
+  - type: file
+    name: pl_customer
+    format: {type: parquet}
+    location: ${sf_dir}/customer.parquet
+stages:
+  - - name: pl_cust_totals
+      query: >
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+        FROM pl_orders GROUP BY o_custkey
+  - - name: pl_result
+      query: >
+        SELECT c.c_mktsegment AS mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(t.n_orders) AS BIGINT) AS n_orders,
+               CAST(SUM(t.total) AS DOUBLE) AS total_price
+        FROM pl_cust_totals t JOIN pl_customer c ON t.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+"""
+
+PL_PIPELINE_DUCK = """
+WITH cust_totals AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(t.n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(t.total) AS DOUBLE) AS total_price
+FROM cust_totals t JOIN customer c ON t.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _pl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    pipeline = load_pipeline_str(_PIPELINE_YML, params={"sf_dir": sf_dir})
+    return run_pipeline(spark, pipeline).result
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the YAML pipeline run end-to-end at sf0.001."""
+    return _pl_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _sql(Q01_SPARK),
+        "q02_top_revenue_join": _sql(Q02_SPARK),
+        "q03_window_rank": _sql(Q03_SPARK),
+        "q04_rollup": _sql(Q04_SPARK),
+        "q05_set_ops": _sql(Q05_SPARK),
+        "q06_exists_subquery": _sql(Q06_SPARK),
+        "q07_cte": _sql(Q07_SPARK),
+        "q08_unnest_tokens": _sql(Q08_SPARK),
+        "q09_string_fns": _sql(Q09_SPARK),
+        "q10_date_fns": _sql(Q10_SPARK),
+        "q11_json_fns": _sql(Q11_SPARK),
+        "q12_case_buckets": _sql(Q12_SPARK),
+        "q13_having": _sql(Q13_SPARK),
+        "q14_distinct_agg": _sql(Q14_SPARK),
+        "q15_semi_anti_join": _q15_semi_anti,
+        "q16_values_derived": _sql(Q16_SPARK),
+        "q17_math_fns": _sql(Q17_SPARK),
+        "q18_array_fns": _sql(Q18_SPARK),
+        "q19_pivot": _q19_pivot,
+        "q20_topk": _sql(Q20_SPARK),
+        "op_exact_dedup": _op_exact_dedup,
+        "op_fingerprint": _op_fingerprint,
+        "op_token_count": _op_token_count,
+        "op_text_features": _op_text_features,
+        "op_quality_score": _op_quality,
+        "op_langid": _op_langid,
+        "op_minhash_bands": _op_minhash_bands,
+        "op_minhash_pairs": _op_minhash_pairs,
+        "op_jaccard_pairs": _op_jaccard,
+        "op_simhash": _op_simhash,
+        "op_embed_neardup": _op_embed_neardup,
+        "sim_topk_bruteforce": _sim_topk,
+        "sim_lsh_buckets": _sim_lsh_buckets,
+        "mm_byte_stats": _mm_byte_stats,
+        "mm_byte_histogram": _mm_byte_histogram,
+        "pl_pipeline_yaml": _pl_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": Q01_SPARK,
+        "q02_top_revenue_join": Q02_SPARK,
+        "q03_window_rank": Q03_SPARK,
+        "q04_rollup": Q04_SPARK,
+        "q05_set_ops": Q05_SPARK,
+        "q06_exists_subquery": Q06_SPARK,
+        "q07_cte": Q07_SPARK,
+        "q08_unnest_tokens": Q08_DUCK,
+        "q09_string_fns": Q09_DUCK,
+        "q10_date_fns": Q10_SPARK.replace("year(o_orderdate)", "year(o_orderdate)"),
+        "q11_json_fns": Q11_DUCK,
+        "q12_case_buckets": Q12_SPARK,
+        "q13_having": Q13_SPARK,
+        "q14_distinct_agg": Q14_SPARK,
+        "q15_semi_anti_join": Q15_DUCK,
+        "q16_values_derived": Q16_SPARK,
+        "q17_math_fns": Q17_DUCK,
+        "q18_array_fns": Q18_DUCK,
+        "q19_pivot": Q19_DUCK,
+        "q20_topk": Q20_SPARK,
+        "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
+        "op_fingerprint": OP_FINGERPRINT_DUCK,
+        "op_token_count": OP_TOKEN_COUNT_DUCK,
+        "op_text_features": OP_TEXT_FEATURES_DUCK,
+        "op_quality_score": OP_QUALITY_DUCK,
+        "op_langid": _langid_duck_sql(),
+        "op_minhash_bands": OP_MINHASH_BANDS_DUCK,
+        "op_minhash_pairs": OP_MINHASH_PAIRS_DUCK,
+        "op_jaccard_pairs": OP_JACCARD_DUCK,
+        "op_simhash": _simhash_duck_sql(),
+        "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,
+        "sim_topk_bruteforce": SIM_TOPK_DUCK,
+        "sim_lsh_buckets": _lsh_buckets_duck_sql(),
+        "mm_byte_stats": MM_BYTE_STATS_DUCK,
+        # mm_byte_histogram: mapInPandas featurizer, not SQL-expressible
+        "pl_pipeline_yaml": PL_PIPELINE_DUCK,
+    }

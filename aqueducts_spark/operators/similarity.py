@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+* :func:`brute_force_topk` — exact cosine top-k; the baseline. The
+  query side is broadcast (it is small by definition), so the corpus is
+  scanned exactly once with no shuffle of the corpus at all; top-k per
+  query is a ``row_number`` window over (query, cosine).
+* :func:`hyperplane_lsh` / :func:`lsh_topk` — random-hyperplane LSH:
+  sign-bit signatures bucket the corpus; candidates come from an
+  equi-join on the bucket key, so at 100 TB only same-bucket vectors
+  are compared. Recall is tunable with ``num_planes`` / multi-probe.
+
+All arithmetic is built-in ``aggregate``/``zip_with`` — JVM-side
+codegen, no Python in the hot path. Hyperplanes are generated from a
+fixed seed so results are deterministic and reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "brute_force_topk",
+    "random_hyperplanes",
+    "hyperplane_lsh",
+    "lsh_topk",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbours for every query vector.
+
+    ``broadcast(queries)`` keeps the corpus un-shuffled: each corpus
+    partition scores all queries locally, then one window computes
+    per-query top-k. Ties broken by neighbour id for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-Gaussian hyperplanes (fixed seed)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).round(6).tolist()
+
+
+def hyperplane_lsh(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append a sign-bit LSH bucket id (one bit per hyperplane).
+
+    The bucket id is a plain string of sign bits built with built-in
+    functions only, so bucketing stays in codegen and the result can be
+    used as a shuffle/bucket key.
+    """
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return df.withColumn(out_col, F.concat(*bits))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. Recall < 1 by design; raise ``num_planes`` for smaller
+    buckets (faster, lower recall) or lower it for higher recall.
+    """
+    from pyspark.sql.window import Window
+
+    sample = corpus.select(vec_col).first()
+    dim = len(sample[0])
+    planes = random_hyperplanes(dim, num_planes, seed)
+    c = hyperplane_lsh(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        planes,
+        "cvec",
+        "bucket",
+    )
+    q = hyperplane_lsh(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        planes,
+        "qvec",
+        "bucket",
+    )
+    scored = F.broadcast(q).join(c, on="bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+    )

@@ -1,0 +1,155 @@
+"""Text-analysis operators: token counting, quality scoring,
+language ID, fingerprinting.
+
+Everything here is built-in-function only (split/regexp/md5/array ops)
+— one narrow projection over the corpus, no shuffle, no Python — so a
+quality-scoring pass over 100 TB is a single map stage whose cost is
+dominated by the parquet scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_tokens
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "text_features",
+    "quality_score",
+    "detect_language",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Small, fixed stopword lists for the n-gram/stopword language heuristic.
+# Deliberately tiny: language ID here is a cheap pre-filter, not a model.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(normalized_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count without a tokenizer model: count
+    word-piece-ish units (runs of letters, digits, or single
+    punctuation) — the standard ~chars/4 style estimator done
+    symbol-aware. Useful for token budgeting at corpus scale."""
+    pieces = F.filter(
+        F.split(F.regexp_replace(F.lower(text), r"([a-z]+|[0-9]+|[^a-z0-9\s])", "$1\x1f"), "\x1f"),
+        lambda t: F.trim(t) != F.lit(""),
+    )
+    return F.size(pieces)
+
+
+def text_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality feature vector (all codegen-side):
+    char/token counts, average token length, punctuation/digit/space
+    ratios, stopword ratio (en), distinct-token ratio."""
+    text = F.col(text_col)
+    toks = normalized_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"\s", ""))) / n_chars, 4
+        ).alias("space_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")) / n_chars, 4
+        ).alias("punct_ratio"),
+        F.round(F.length(F.regexp_replace(text, r"[^0-9]", "")) / n_chars, 4).alias(
+            "digit_ratio"
+        ),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+            / F.greatest(n_tokens, F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("distinct_ratio"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(n_tokens, F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scalar quality score in [0,1]: a fixed linear blend of the
+    feature vector — the shape of heuristic quality filters used for
+    pretraining-data curation (length band + stopword presence +
+    lexical diversity, penalized for digit/punct noise)."""
+    feats = text_features(df, text_col, id_col)
+    length_band = F.when(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0
+    ).otherwise(
+        F.least(F.col("n_tokens") / 20.0, F.lit(1.0)) * 0.5
+    )
+    score = (
+        0.35 * length_band
+        + 0.25 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        + 0.25 * F.col("distinct_ratio")
+        + 0.15 * (1.0 - F.least(F.col("digit_ratio") * 10.0, F.lit(1.0)))
+    )
+    # deliberately NOT rounded: the blend of 4dp-rounded ratios lands on
+    # exact .00005 boundaries where engines' ROUND implementations
+    # disagree; the unrounded double is bit-identical across engines
+    return feats.select(id_col, "n_tokens", score.alias("quality_score"))
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-overlap language ID over the fixed :data:`STOPWORDS`
+    lists; emits the per-language hit ratios and the argmax (ties break
+    by language code, 'und' when nothing matches)."""
+    toks = normalized_tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    ratio_cols = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        ratio_cols[lang] = F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n, 4
+        )
+    base = df.select(
+        F.col(id_col), *[c.alias(f"ratio_{lang}") for lang, c in ratio_cols.items()]
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"ratio_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # iterate reversed so earlier languages win ties (first match kept)
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"ratio_{lang}") == best), lang
+        ).otherwise(pred)
+    return base.withColumn("predicted_lang", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: md5 of the lowercased,
+    whitespace-collapsed text. Identical fingerprints = exact dup after
+    normalization; cheap first pass before MinHash."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    )

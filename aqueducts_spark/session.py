@@ -27,6 +27,8 @@ DEFAULT_CONFS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # read parquet TIMESTAMP(NANOS) (no native Spark type) as nanos-since-epoch
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` write format (full
+computation of every column, no disk write, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: one per operator family, all linear-scaling plans
+# (the quadratic verification ops like op_embed_neardup are excluded by
+# design — their scale path is the LSH/banded variant)
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_revenue_join",
+    "q03_window_rank",
+    "q04_rollup",
+    "q07_cte",
+    "q08_unnest_tokens",
+    "q11_json_fns",
+    "q14_distinct_agg",
+    "q20_topk",
+    "op_fingerprint",
+    "op_quality_score",
+    "op_langid",
+    "op_minhash_pairs",
+    "op_simhash",
+    "sim_topk_bruteforce",
+    "mm_byte_stats",
+    "pl_pipeline_yaml",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from aqueducts_spark.session import session_builder
+
+    spark = (
+        session_builder("aqueducts-bench", master=f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    # untimed setup: register the table views and warm the JVM/codegen
+    # path with one trivial action, so per-query numbers measure queries
+    entrymod._views(spark, sf_dir)
+    spark.table("region").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

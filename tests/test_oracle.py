@@ -1,0 +1,111 @@
+"""Driver-style correctness gate: every ``queries()`` entry must match
+its ``oracle_sql()`` DuckDB result exactly (row count, column names,
+canonicalized values) on the same parquet tables.
+
+Run with SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 to mirror the
+driver's t2 scale (default sf0.001 for speed).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def _pandas_nan_to_none(v):
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return v.item()
+    except ImportError:
+        pass
+    return v
+
+
+QUERY_KEYS = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+
+    ores = duck.execute(oracle)
+    ocols = [d[0] for d in ores.description]
+    orows = [tuple(_pandas_nan_to_none(v) for v in r) for r in ores.fetchall()]
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} (spark) != {len(orows)} (duckdb)"
+    )
+    _, s_canon = _canon_rows(scols, srows)
+    _, o_canon = _canon_rows(ocols, orows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, o_canon)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
