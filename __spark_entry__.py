@@ -324,6 +324,62 @@ ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
 LIMIT 50
 """
 
+# sessionization in batch SQL: a new session starts after a >30 min gap
+# (the streaming twin is aqueducts_spark.streaming.sessionize_stream)
+Q21_SPARK = """
+WITH ordered AS (
+  SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+         LAG(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+Q21_DUCK = """
+WITH events_us AS (
+  -- mirror the Spark view's nanos -> micros truncation
+  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+),
+ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events_us
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+Q22_SPARK = """
+SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+Q22_DUCK = """
+SELECT strftime(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
 
 def _q15_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins via the DataFrame API (SQL-side it is EXISTS)."""
@@ -832,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_array_fns": _sql(Q18_SPARK),
         "q19_pivot": _q19_pivot,
         "q20_topk": _sql(Q20_SPARK),
+        "q21_sessionize": _sql(Q21_SPARK),
+        "q22_time_buckets": _sql(Q22_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -873,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_array_fns": Q18_DUCK,
         "q19_pivot": Q19_DUCK,
         "q20_topk": Q20_SPARK,
+        "q21_sessionize": Q21_DUCK,
+        "q22_time_buckets": Q22_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,

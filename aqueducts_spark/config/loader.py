@@ -54,7 +54,8 @@ def load_pipeline_str(
     if validate_sql:
         for group in pipeline.stage_groups:
             for stage in group:
-                validate_stage_sql(stage.query, stage_name=stage.name)
+                if stage.query is not None:
+                    validate_stage_sql(stage.query, stage_name=stage.name)
     return pipeline
 
 

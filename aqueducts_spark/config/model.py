@@ -200,7 +200,10 @@ def parse_source(raw: dict[str, Any]) -> Source:
 
 class Stage(_Base):
     name: str
-    query: str
+    # exactly one of `query` (SQL stage, reference parity) or `operator`
+    # (declarative training-data operator, Spark extension) must be set
+    query: Optional[str] = None
+    operator: Optional[dict[str, Any]] = None
     show: Optional[int] = None
     explain: bool = False
     explain_analyze: bool = False
@@ -208,6 +211,22 @@ class Stage(_Base):
     # Spark-specific extension: eagerly materialize (cache+count) this
     # stage's result. Default False — lazy is the right default at scale.
     eager: bool = False
+
+    @model_validator(mode="after")
+    def _one_of_query_operator(self) -> "Stage":
+        if (self.query is None) == (self.operator is None):
+            raise ValueError(
+                f"stage '{self.name}': exactly one of 'query' or 'operator' required"
+            )
+        return self
+
+    def search_text(self) -> str:
+        """Text scanned for upstream table references (TTL computation)."""
+        if self.query is not None:
+            return self.query
+        from ..operators.registry import referenced_tables
+
+        return " ".join(referenced_tables(self.operator or {}))
 
 
 # ---------------------------------------------------------------------------

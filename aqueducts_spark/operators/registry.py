@@ -1,0 +1,239 @@
+"""Declarative operator stages: YAML-usable wrappers over the
+operator library, so training-data pipelines don't need Python.
+
+A stage may declare ``operator:`` instead of ``query:``:
+
+    stages:
+      - name: near_dups
+        operator:
+          type: minhash_pairs
+          input: documents
+          options: {num_hashes: 16, bands: 4, shingle_n: 3}
+
+``input`` (and ``queries`` for top-k) name previously-registered tables
+(sources or earlier stages); the result registers under the stage name
+exactly like a SQL stage.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class OperatorError(ValueError):
+    pass
+
+
+def _docs_args(options: dict[str, Any]) -> dict[str, Any]:
+    out = {}
+    if "id_col" in options:
+        out["id_col"] = options["id_col"]
+    if "text_col" in options:
+        out["text_col"] = options["text_col"]
+    return out
+
+
+def _op_exact_dedup(spark, inp, options):
+    from .dedup import exact_dedup
+
+    return exact_dedup(
+        inp,
+        options.get("id_col", "doc_id"),
+        options.get("columns", ["text"]),
+    )
+
+
+def _op_minhash_bands(spark, inp, options):
+    from .dedup import minhash_bands
+
+    return minhash_bands(
+        inp,
+        num_hashes=int(options.get("num_hashes", 16)),
+        bands=int(options.get("bands", 4)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        **_docs_args(options),
+    )
+
+
+def _op_minhash_pairs(spark, inp, options):
+    from .dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        inp,
+        num_hashes=int(options.get("num_hashes", 16)),
+        bands=int(options.get("bands", 4)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        **_docs_args(options),
+    )
+
+
+def _op_jaccard_pairs(spark, inp, options):
+    from .dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        inp,
+        threshold=float(options.get("threshold", 0.5)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        **_docs_args(options),
+    )
+
+
+def _op_simhash(spark, inp, options):
+    from .dedup import simhash
+
+    return simhash(inp, **_docs_args(options))
+
+
+def _op_embed_neardup(spark, inp, options):
+    from .dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        inp,
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        threshold=float(options.get("threshold", 0.8)),
+    )
+
+
+def _op_quality_score(spark, inp, options):
+    from .text import quality_score
+
+    return quality_score(
+        inp, options.get("text_col", "text"), options.get("id_col", "doc_id")
+    )
+
+
+def _op_text_features(spark, inp, options):
+    from .text import text_features
+
+    return text_features(
+        inp, options.get("text_col", "text"), options.get("id_col", "doc_id")
+    )
+
+
+def _op_langid(spark, inp, options):
+    from .text import detect_language
+
+    return detect_language(
+        inp, options.get("text_col", "text"), options.get("id_col", "doc_id")
+    )
+
+
+def _op_fingerprint(spark, inp, options):
+    from .text import fingerprint
+
+    id_col = options.get("id_col", "doc_id")
+    text_col = options.get("text_col", "text")
+    return inp.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def _op_token_count(spark, inp, options):
+    from .text import token_count
+
+    id_col = options.get("id_col", "doc_id")
+    text_col = options.get("text_col", "text")
+    return inp.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
+
+
+def _op_topk(spark, inp, options):
+    from .similarity import brute_force_topk
+
+    queries_table = options.get("queries")
+    if not queries_table:
+        raise OperatorError("topk operator requires options.queries (a table name)")
+    return brute_force_topk(
+        inp,
+        spark.table(queries_table),
+        k=int(options.get("k", 10)),
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        query_id_col=options.get("query_id_col", "query_id"),
+    )
+
+
+def _op_lsh_topk(spark, inp, options):
+    from .similarity import lsh_topk
+
+    queries_table = options.get("queries")
+    if not queries_table:
+        raise OperatorError("lsh_topk operator requires options.queries (a table name)")
+    return lsh_topk(
+        inp,
+        spark.table(queries_table),
+        k=int(options.get("k", 10)),
+        num_planes=int(options.get("num_planes", 8)),
+        seed=int(options.get("seed", 42)),
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        query_id_col=options.get("query_id_col", "query_id"),
+    )
+
+
+def _op_byte_stats(spark, inp, options):
+    from .multimodal import byte_stats
+
+    return byte_stats(
+        inp, options.get("payload_col", "payload"), options.get("id_col", "doc_id")
+    )
+
+
+def _op_byte_histogram(spark, inp, options):
+    from .multimodal import byte_histogram_features
+
+    return byte_histogram_features(
+        inp, options.get("payload_col", "payload"), options.get("id_col", "doc_id")
+    )
+
+
+OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
+    "exact_dedup": _op_exact_dedup,
+    "minhash_bands": _op_minhash_bands,
+    "minhash_pairs": _op_minhash_pairs,
+    "jaccard_pairs": _op_jaccard_pairs,
+    "simhash": _op_simhash,
+    "embed_neardup": _op_embed_neardup,
+    "quality_score": _op_quality_score,
+    "text_features": _op_text_features,
+    "langid": _op_langid,
+    "fingerprint": _op_fingerprint,
+    "token_count": _op_token_count,
+    "topk": _op_topk,
+    "lsh_topk": _op_lsh_topk,
+    "byte_stats": _op_byte_stats,
+    "byte_histogram": _op_byte_histogram,
+}
+
+
+def run_operator(spark: SparkSession, config: dict[str, Any]) -> DataFrame:
+    op_type = config.get("type")
+    fn = OPERATORS.get(str(op_type))
+    if fn is None:
+        raise OperatorError(
+            f"unknown operator type: {op_type!r} (available: {sorted(OPERATORS)})"
+        )
+    input_table = config.get("input")
+    if not input_table:
+        raise OperatorError(f"operator '{op_type}' requires an 'input' table name")
+    try:
+        inp = spark.table(input_table)
+    except Exception:
+        raise OperatorError(
+            f"operator '{op_type}': input table '{input_table}' is not registered"
+        ) from None
+    return fn(spark, inp, config.get("options") or {})
+
+
+def referenced_tables(config: dict[str, Any]) -> list[str]:
+    """Table names an operator stage reads (for TTL bookkeeping)."""
+    out = []
+    if config.get("input"):
+        out.append(str(config["input"]))
+    options = config.get("options") or {}
+    if options.get("queries"):
+        out.append(str(options["queries"]))
+    return out

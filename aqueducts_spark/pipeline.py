@@ -45,7 +45,7 @@ def compute_ttls(groups: list[list[Stage]]) -> dict[str, int]:
     for gi, group in enumerate(groups):
         for stage in group:
             for earlier, last in list(ttl.items()):
-                if earlier != stage.name and _name_used_in(earlier, stage.query):
+                if earlier != stage.name and _name_used_in(earlier, stage.search_text()):
                     ttl[earlier] = max(last, gi)
     return ttl
 
@@ -56,7 +56,7 @@ def count_consumers(groups: list[list[Stage]], name: str, after_group: int) -> i
         for gi, group in enumerate(groups)
         if gi > after_group
         for stage in group
-        if _name_used_in(name, stage.query)
+        if _name_used_in(name, stage.search_text())
     )
 
 

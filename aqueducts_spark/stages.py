@@ -38,10 +38,16 @@ def process_stage(
     tracker: ProgressTracker,
     cache: bool = False,
 ) -> DataFrame:
-    """Run a stage query and register the result as a temp view."""
-    validate_stage_sql(stage.query, stage_name=stage.name)
+    """Run a stage (SQL query or declarative operator) and register the
+    result as a temp view."""
     try:
-        df = spark.sql(stage.query)
+        if stage.operator is not None:
+            from .operators.registry import run_operator
+
+            df = run_operator(spark, stage.operator)
+        else:
+            validate_stage_sql(stage.query, stage_name=stage.name)
+            df = spark.sql(stage.query)
     except Exception as exc:
         raise StageError(stage.name, exc) from exc
 

@@ -1,0 +1,127 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY §1.1: no watermarks, stream
+windows, or stateful operators anywhere in it), so nothing here is
+required for parity — this module is the beyond-reference streaming
+surface for event pipelines, built on Spark's native streaming engine:
+
+* file-stream sources (the streaming twin of the directory source A5);
+* watermarked tumbling/sliding window aggregation;
+* session windows (``session_window``) for sessionization;
+* an ``availableNow`` runner that drains everything currently in the
+  source and stops — which is also how a 100 TB backfill of a
+  streaming pipeline runs in production (incremental batches with
+  state, not one giant batch).
+
+Scale notes: watermarks bound state size (late data beyond the
+watermark is dropped); state lives in the state store keyed by group —
+partitioned by key, so stateful aggs scale horizontally like any
+shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..types import Field, fields_to_struct
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: list[Field],
+    options: Optional[dict[str, str]] = None,
+) -> DataFrame:
+    """Streaming twin of the directory source: new files appearing under
+    ``path`` become micro-batches. Schema is mandatory (streaming reads
+    cannot infer)."""
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(fields_to_struct(schema))
+        .options(**(options or {}))
+    )
+    return reader.load(path)
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, Column],
+    slide_duration: Optional[str] = None,
+    watermark: str = "10 minutes",
+    group_by: Optional[list[str]] = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregation.
+
+    ``aggs`` maps output column name -> aggregate Column. The window
+    struct is flattened to ``window_start``/``window_end`` columns.
+    """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    keys = [win] + [F.col(c) for c in (group_by or [])]
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in (group_by or [])],
+        *[F.col(name) for name in aggs],
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    aggs: Optional[dict[str, Column]] = None,
+) -> DataFrame:
+    """Session windows: events for a key within ``gap`` of each other
+    merge into one session (native ``session_window`` state — no custom
+    stateful operator needed)."""
+    aggs = aggs or {"n_events": F.count("*")}
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *[F.col(c) for c in key_cols])
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[F.col(c) for c in key_cols],
+        *[F.col(name) for name in aggs],
+    )
+
+
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, output_mode: str = "append"
+) -> list:
+    """Drain everything currently available through the streaming plan
+    into an in-memory sink and return the rows (for tests/backfills)."""
+    import uuid
+
+    name = f"aq_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = df.sparkSession
+    rows = spark.table(name).collect()
+    return rows

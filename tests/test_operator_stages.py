@@ -1,0 +1,101 @@
+"""Declarative operator stages in YAML pipelines."""
+
+import pytest
+
+from aqueducts_spark import load_pipeline_str, run_pipeline
+
+
+def test_operator_stage_pipeline(spark, tmp_path):
+    out = tmp_path / "quality.parquet"
+    yml = f"""
+sources:
+  - type: file
+    name: docs_in
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - name: doc_quality
+    operator:
+      type: quality_score
+      input: docs_in
+  - name: keepers
+    query: SELECT doc_id, quality_score FROM doc_quality WHERE quality_score > 0.5
+destination:
+  type: file
+  name: out
+  format: {{type: parquet}}
+  single_file: false
+  location: {out}
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    n = result.result.count()
+    assert n > 0
+    assert spark.read.parquet(str(out)).count() == n
+    for v in ("keepers", "doc_quality", "docs_in"):
+        spark.catalog.dropTempView(v)
+
+
+def test_operator_stage_minhash_and_topk(spark):
+    yml = """
+sources:
+  - type: file
+    name: docs_mh
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/documents.parquet
+  - type: file
+    name: vecs
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/embeddings.parquet
+stages:
+  - - name: mh_pairs
+      operator:
+        type: minhash_pairs
+        input: docs_mh
+        options: {num_hashes: 8, bands: 2}
+    - name: qvecs
+      query: SELECT vec_id AS query_id, embedding FROM vecs WHERE vec_id < 3
+  - - name: neighbors
+      operator:
+        type: topk
+        input: vecs
+        options: {queries: qvecs, k: 5}
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    rows = result.result.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(r.rank <= 5 for r in rows)
+    # self is always the top neighbour with cosine 1.0
+    tops = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert tops == {0: 0, 1: 1, 2: 2}
+    for v in ("neighbors", "mh_pairs", "qvecs", "docs_mh", "vecs"):
+        spark.catalog.dropTempView(v)
+
+
+def test_stage_requires_exactly_one_of_query_operator(spark):
+    with pytest.raises(Exception, match="exactly one"):
+        load_pipeline_str(
+            "sources: []\nstages:\n  - name: s\n"
+        )
+    with pytest.raises(Exception, match="exactly one"):
+        load_pipeline_str(
+            """
+sources: []
+stages:
+  - name: s
+    query: SELECT 1 AS a
+    operator: {type: simhash, input: x}
+"""
+        )
+
+
+def test_unknown_operator_rejected(spark):
+    yml = """
+sources: []
+stages:
+  - name: s
+    operator: {type: frobnicate, input: x}
+"""
+    from aqueducts_spark.stages import StageError
+
+    with pytest.raises(StageError, match="unknown operator"):
+        run_pipeline(spark, load_pipeline_str(yml))

@@ -1,0 +1,90 @@
+"""Plan-quality gates: the scale-critical properties of each headline
+plan are asserted, so a change that silently de-optimizes (loses a
+pushdown, turns a broadcast join into a shuffle, adds Python to a hot
+path) fails here rather than at 100 TB.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from aqueducts_spark.plans import inspect_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    entrymod._views(spark, SF)
+
+
+def test_q01_pushdown_and_pruning(spark):
+    info = inspect_plan(spark.sql(entrymod.Q01_SPARK))
+    # the shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in f for f in info.pushed_filters), info.pushed_filters
+    # column pruning: the scan reads only the 7 referenced columns
+    cols = info.scan_columns()[0]
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_q02_broadcasts_dimensions(spark):
+    info = inspect_plan(spark.sql(entrymod.Q02_SPARK))
+    # both joins against the fact table must be broadcast — the fact
+    # side (lineitem) is never shuffled for the join
+    assert info.broadcast_joins == 2, info.text[:2000]
+    assert info.sort_merge_joins == 0
+    # the o_orderstatus filter is pushed into the orders scan
+    assert any("o_orderstatus" in f and "F" in f for f in info.pushed_filters)
+
+
+def test_q20_topk_is_take_ordered(spark):
+    info = inspect_plan(spark.sql(entrymod.Q20_SPARK))
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    # partition top-k then merge), never a global sort
+    assert "TakeOrderedAndProject" in info.text
+    assert "(\n" not in info.text or info.exchanges <= 1
+
+
+def test_operators_stay_jvm_side(spark):
+    """Dedup/text/similarity hot paths must contain no Python eval."""
+    from aqueducts_spark.operators import dedup, similarity, text
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    for df in [
+        dedup.minhash_candidate_pairs(docs),
+        dedup.simhash(docs),
+        dedup.exact_dedup(docs, "doc_id", ["text"]),
+        text.quality_score(docs),
+        text.detect_language(docs),
+        similarity.brute_force_topk(
+            emb, emb.limit(3).selectExpr("vec_id AS query_id", "embedding"), k=5
+        ),
+    ]:
+        info = inspect_plan(df)
+        assert info.python_evals == 0, info.text[:1500]
+
+
+def test_minhash_shuffle_budget(spark):
+    """The banded-LSH pipeline should need few exchanges: signature
+    aggregation, pair join sides, and the final distinct."""
+    from aqueducts_spark.operators.dedup import minhash_candidate_pairs
+
+    info = inspect_plan(minhash_candidate_pairs(spark.table("documents")))
+    assert info.exchanges <= 6, f"{info.exchanges} exchanges\n{info.text[:2000]}"
+
+
+def test_brute_force_topk_no_corpus_shuffle(spark):
+    """Scoring must broadcast the query side; the corpus is scanned in
+    place (exchanges only for the final per-query window)."""
+    from aqueducts_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    q = emb.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    info = inspect_plan(brute_force_topk(emb, q, k=5))
+    assert info.broadcast_joins + info.nested_loop_joins >= 1
+    assert info.sort_merge_joins == 0

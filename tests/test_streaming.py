@@ -1,0 +1,71 @@
+"""Structured Streaming operators: file-stream source -> watermarked
+window agg / session windows, drained with availableNow."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.streaming import (
+    file_stream_source,
+    run_available_now,
+    sessionize_stream,
+    windowed_aggregate,
+)
+from aqueducts_spark.types import parse_fields
+
+SCHEMA = [
+    {"name": "user_id", "data_type": "int64"},
+    {"name": "ts", "data_type": "timestamp<us,UTC>"},
+    {"name": "value", "data_type": "float64"},
+]
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    rows = [
+        (1, "2024-01-01 00:01:00", 1.0),
+        (1, "2024-01-01 00:05:00", 2.0),
+        (1, "2024-01-01 02:00:00", 3.0),  # new session (gap > 30 min)
+        (2, "2024-01-01 00:59:00", 4.0),
+        (2, "2024-01-01 01:01:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+        "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    df.write.mode("overwrite").parquet(str(src))
+    return str(src)
+
+
+def test_windowed_aggregate(spark, stream_dir, tmp_path):
+    stream = file_stream_source(spark, stream_dir, "parquet", parse_fields(SCHEMA))
+    assert stream.isStreaming
+    agg = windowed_aggregate(
+        stream,
+        "ts",
+        "1 hour",
+        {"n": F.count("*"), "total": F.sum("value")},
+        group_by=["user_id"],
+    )
+    rows = run_available_now(agg, str(tmp_path / "ckpt1"), output_mode="complete")
+    got = {
+        (r.user_id, r.window_start.strftime("%H:%M")): (r.n, r.total) for r in rows
+    }
+    assert got[(1, "00:00")] == (2, 3.0)
+    assert got[(1, "02:00")] == (1, 3.0)
+    assert got[(2, "00:00")] == (1, 4.0)
+    assert got[(2, "01:00")] == (1, 5.0)
+
+
+def test_sessionize_stream(spark, stream_dir, tmp_path):
+    stream = file_stream_source(spark, stream_dir, "parquet", parse_fields(SCHEMA))
+    sessions = sessionize_stream(
+        stream, "ts", ["user_id"], gap="30 minutes",
+        aggs={"n_events": F.count("*"), "total": F.sum("value")},
+    )
+    rows = run_available_now(sessions, str(tmp_path / "ckpt2"), output_mode="complete")
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.n_events, r.total))
+    # user 1: two sessions (2 events, then 1); user 2: one merged session
+    assert sorted(per_user[1]) == [(1, 3.0), (2, 3.0)]
+    assert per_user[2] == [(2, 9.0)]
