@@ -381,6 +381,71 @@ GROUP BY 1, 2
 """
 
 
+Q23_SPARK = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       nvl(nullif(c_acctbal, 0.0), -1.0) AS bal_or_neg,
+       CAST(greatest(c_custkey, c_nationkey) AS BIGINT) AS g,
+       CAST(least(c_custkey, c_nationkey) AS BIGINT) AS l,
+       CASE WHEN c_acctbal > 5000 THEN 'hi' WHEN c_acctbal > 0 THEN 'mid' ELSE 'lo' END AS band,
+       (c_acctbal > 5000 AND c_nationkey < 10) AS flag
+FROM customer WHERE c_custkey <= 300
+"""
+
+Q23_DUCK = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       coalesce(nullif(c_acctbal, 0.0), -1.0) AS bal_or_neg,
+       CAST(greatest(c_custkey, c_nationkey) AS BIGINT) AS g,
+       CAST(least(c_custkey, c_nationkey) AS BIGINT) AS l,
+       CASE WHEN c_acctbal > 5000 THEN 'hi' WHEN c_acctbal > 0 THEN 'mid' ELSE 'lo' END AS band,
+       (c_acctbal > 5000 AND c_nationkey < 10) AS flag
+FROM customer WHERE c_custkey <= 300
+"""
+
+# exact interpolated percentiles (same definition in both engines);
+# the approx variants are covered rows-only in q25
+Q24_SPARK = """
+SELECT l_returnflag,
+       percentile(l_quantity, 0.5) AS median_qty,
+       percentile(l_quantity, 0.9) AS p90_qty,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+Q24_DUCK = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# sketch-based approximations: values are estimator-specific, so the
+# driver records the weaker rows-only check (no oracle entry)
+Q25_SPARK = """
+SELECT l_returnflag,
+       approx_count_distinct(l_partkey) AS approx_parts,
+       percentile_approx(l_extendedprice, 0.5) AS approx_median_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+Q26_SPARK = """
+SELECT n_name,
+       CAST(stddev_samp(c_acctbal) AS DOUBLE) AS bal_stddev,
+       CAST(var_samp(c_acctbal) AS DOUBLE) AS bal_var,
+       CAST(corr(c_acctbal, CAST(c_custkey AS DOUBLE)) AS DOUBLE) AS bal_key_corr
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) > 30
+"""
+
+
 def _q15_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins via the DataFrame API (SQL-side it is EXISTS)."""
     from pyspark.sql import functions as F
@@ -890,6 +955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_topk": _sql(Q20_SPARK),
         "q21_sessionize": _sql(Q21_SPARK),
         "q22_time_buckets": _sql(Q22_SPARK),
+        "q23_null_conditionals": _sql(Q23_SPARK),
+        "q24_percentiles": _sql(Q24_SPARK),
+        "q25_approx_aggs": _sql(Q25_SPARK),
+        "q26_stats_aggs": _sql(Q26_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -933,6 +1002,10 @@ def oracle_sql() -> dict[str, str]:
         "q20_topk": Q20_SPARK,
         "q21_sessionize": Q21_DUCK,
         "q22_time_buckets": Q22_DUCK,
+        "q23_null_conditionals": Q23_DUCK,
+        "q24_percentiles": Q24_DUCK,
+        # q25_approx_aggs: sketch estimates, rows-only by design
+        "q26_stats_aggs": Q26_SPARK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,

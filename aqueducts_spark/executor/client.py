@@ -1,0 +1,74 @@
+"""Client helpers for the remote executor (reference: remote CLI path,
+aqueducts-cli/src/remote_exec.rs — templating happens CLIENT-side, the
+executor receives the already-substituted pipeline)."""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Callable, Optional
+
+from ..config.templating import substitute_params
+from .protocol import decode, encode
+
+
+async def _submit(
+    host: str,
+    port: int,
+    pipeline_text: str,
+    fmt: str,
+    on_message: Optional[Callable[[dict[str, Any]], None]],
+    timeout: float,
+) -> dict[str, Any]:
+    reader, writer = await asyncio.open_connection(host, port)
+    writer.write(
+        encode({"type": "execution_request", "pipeline": pipeline_text, "format": fmt})
+    )
+    await writer.drain()
+    outputs: dict[str, list[str]] = {}
+    final: dict[str, Any] = {}
+    try:
+        while True:
+            line = await asyncio.wait_for(reader.readline(), timeout)
+            if not line:
+                final = {"type": "error", "message": "connection closed"}
+                break
+            msg = decode(line)
+            if on_message:
+                on_message(msg)
+            if msg.get("type") == "output_chunk":
+                outputs.setdefault(msg["stage"], []).append(msg["data"])
+            if msg.get("type") in ("succeeded", "error", "cancelled"):
+                final = msg
+                break
+    finally:
+        writer.close()
+    final["outputs"] = {k: "".join(v) for k, v in outputs.items()}
+    return final
+
+
+def submit_pipeline(
+    host: str,
+    port: int,
+    pipeline_text: str,
+    params: Optional[dict[str, str]] = None,
+    fmt: str = "yaml",
+    on_message: Optional[Callable[[dict[str, Any]], None]] = None,
+    timeout: float = 300.0,
+) -> dict[str, Any]:
+    """Template client-side, submit, stream messages until terminal.
+
+    Returns the terminal message with an ``outputs`` dict of
+    re-assembled chunked stage outputs.
+    """
+    substituted = substitute_params(pipeline_text, params)
+    return asyncio.run(_submit(host, port, substituted, fmt, on_message, timeout))
+
+
+def cancel_execution(host: str, port: int, execution_id: str) -> None:
+    async def go() -> None:
+        _, writer = await asyncio.open_connection(host, port)
+        writer.write(encode({"type": "cancel_request", "execution_id": execution_id}))
+        await writer.drain()
+        writer.close()
+
+    asyncio.run(go())

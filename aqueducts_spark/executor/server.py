@@ -1,0 +1,227 @@
+"""Remote pipeline executor: FIFO queue, one pipeline at a time,
+streamed progress, cancellation.
+
+Semantics ported from the reference executor
+(aqueducts-executor/src/executor/manager.rs:13-136 queue + semaphore(1)
++ cancellation tokens; api/mod.rs:78-179 message flow; queue position
+broadcast queue.rs:22-45). Transport is JSON-lines over TCP (stdlib
+asyncio) instead of websockets — the queueing/progress/cancel semantics
+are the parity surface.
+
+Cancellation maps to ``sparkContext.cancelJobGroup``: each execution
+runs its Spark actions under a job group named by its execution id, so
+an in-flight pipeline stops at the next job boundary
+(SURVEY §2.A A33).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import uuid
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from ..config.loader import load_pipeline_str
+from ..pipeline import run_pipeline
+from ..progress import ProgressEvent, ProgressTracker
+from .protocol import chunk_output, decode, encode
+
+
+class _StreamingTracker(ProgressTracker):
+    """Bridges pipeline callbacks (worker thread) to the client's
+    asyncio writer via a loop-safe queue."""
+
+    def __init__(self, loop: asyncio.AbstractEventLoop, queue: asyncio.Queue):
+        self.loop = loop
+        self.queue = queue
+
+    def _put(self, msg: dict[str, Any]) -> None:
+        self.loop.call_soon_threadsafe(self.queue.put_nowait, msg)
+
+    def on_progress(self, event: ProgressEvent) -> None:
+        self._put(
+            {
+                "type": "progress_update",
+                "event": event.kind,
+                "name": event.name,
+                "duration_ms": event.duration_ms,
+            }
+        )
+
+    def on_output(self, stage_name: str, output_type: str, payload: str) -> None:
+        for msg in chunk_output(stage_name, output_type, payload):
+            self._put(msg)
+
+
+class _Execution:
+    def __init__(self, request: dict[str, Any], queue: asyncio.Queue):
+        self.id = uuid.uuid4().hex[:12]
+        self.request = request
+        self.queue = queue  # messages back to the owning client
+        self.cancelled = threading.Event()
+
+
+class ExecutorServer:
+    def __init__(self, spark: SparkSession, host: str = "127.0.0.1", port: int = 0):
+        self.spark = spark
+        self.host = host
+        self.port = port
+        self._pending: list[_Execution] = []
+        self._wakeup: Optional[asyncio.Event] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._executions: dict[str, _Execution] = {}
+        self._worker_task: Optional[asyncio.Task] = None
+
+    # ----- lifecycle ----------------------------------------------------
+    async def start(self) -> int:
+        self._wakeup = asyncio.Event()
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._worker_task = asyncio.create_task(self._worker())
+        return self.port
+
+    async def stop(self) -> None:
+        if self._worker_task:
+            self._worker_task.cancel()
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    # ----- connection handler -------------------------------------------
+    async def _handle(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        out_queue: asyncio.Queue = asyncio.Queue()
+
+        async def pump() -> None:
+            while True:
+                msg = await out_queue.get()
+                if msg is None:
+                    break
+                writer.write(encode(msg))
+                await writer.drain()
+
+        pump_task = asyncio.create_task(pump())
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                try:
+                    msg = decode(line)
+                except ValueError:
+                    out_queue.put_nowait(
+                        {"type": "error", "message": "malformed message"}
+                    )
+                    continue
+                await self._dispatch(msg, out_queue)
+        finally:
+            out_queue.put_nowait(None)
+            await pump_task
+            writer.close()
+
+    async def _dispatch(self, msg: dict[str, Any], out_queue: asyncio.Queue) -> None:
+        mtype = msg.get("type")
+        if mtype == "execution_request":
+            ex = _Execution(msg, out_queue)
+            self._executions[ex.id] = ex
+            self._pending.append(ex)
+            out_queue.put_nowait(
+                {
+                    "type": "queued",
+                    "execution_id": ex.id,
+                    "position": len(self._pending),
+                }
+            )
+            self._broadcast_positions()
+            assert self._wakeup is not None
+            self._wakeup.set()
+        elif mtype == "cancel_request":
+            ex = self._executions.get(msg.get("execution_id", ""))
+            if ex is None:
+                out_queue.put_nowait(
+                    {"type": "error", "message": "unknown execution id"}
+                )
+                return
+            ex.cancelled.set()
+            if ex in self._pending:
+                self._pending.remove(ex)
+                ex.queue.put_nowait(
+                    {"type": "cancelled", "execution_id": ex.id}
+                )
+                self._broadcast_positions()
+            else:
+                # running: interrupt Spark jobs in this execution's group
+                self.spark.sparkContext._jsc.sc().cancelJobGroup(ex.id)
+        else:
+            out_queue.put_nowait(
+                {"type": "error", "message": f"unknown message type: {mtype}"}
+            )
+
+    def _broadcast_positions(self) -> None:
+        for pos, ex in enumerate(self._pending, start=1):
+            ex.queue.put_nowait(
+                {"type": "queue_position", "execution_id": ex.id, "position": pos}
+            )
+
+    # ----- single-concurrency worker ------------------------------------
+    async def _worker(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            while not self._pending:
+                assert self._wakeup is not None
+                self._wakeup.clear()
+                await self._wakeup.wait()
+            ex = self._pending.pop(0)
+            self._broadcast_positions()
+            if ex.cancelled.is_set():
+                continue
+            ex.queue.put_nowait({"type": "started", "execution_id": ex.id})
+            tracker = _StreamingTracker(loop, ex.queue)
+            try:
+                await loop.run_in_executor(None, self._run_one, ex, tracker)
+                if ex.cancelled.is_set():
+                    ex.queue.put_nowait(
+                        {"type": "cancelled", "execution_id": ex.id}
+                    )
+                else:
+                    ex.queue.put_nowait(
+                        {"type": "succeeded", "execution_id": ex.id}
+                    )
+            except Exception as exc:  # noqa: BLE001 - reported to client
+                ex.queue.put_nowait(
+                    {
+                        "type": "error",
+                        "execution_id": ex.id,
+                        "message": str(exc)[:2000],
+                    }
+                )
+            finally:
+                self._executions.pop(ex.id, None)
+
+    def _run_one(self, ex: _Execution, tracker: ProgressTracker) -> None:
+        req = ex.request
+        pipeline = load_pipeline_str(
+            req["pipeline"],
+            fmt=req.get("format", "yaml"),
+            params=req.get("params") or {},
+        )
+        sc = self.spark.sparkContext
+        sc.setJobGroup(ex.id, f"aqueducts execution {ex.id}", interruptOnCancel=True)
+        try:
+            run_pipeline(self.spark, pipeline, tracker)
+        finally:
+            sc.setJobGroup("", "")
+
+
+def run_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 8765) -> None:
+    """Blocking entry point: serve until interrupted."""
+
+    async def main() -> None:
+        server = ExecutorServer(spark, host, port)
+        await server.start()
+        await asyncio.Event().wait()  # serve forever
+
+    asyncio.run(main())

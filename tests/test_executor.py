@@ -1,0 +1,135 @@
+"""Remote executor: queueing, progress streaming, chunked output,
+cancellation semantics (reference executor/manager.rs + queue.rs)."""
+
+import asyncio
+import threading
+
+import pytest
+
+from aqueducts_spark.executor.protocol import chunk_output, decode, encode
+from aqueducts_spark.executor.server import ExecutorServer
+from aqueducts_spark.executor.client import submit_pipeline
+
+PIPELINE = """
+sources:
+  - type: file
+    name: exec_nation
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/nation.parquet
+stages:
+  - name: exec_counts
+    query: SELECT n_regionkey, count(*) AS n FROM exec_nation GROUP BY n_regionkey
+    show: ${n}
+"""
+
+
+@pytest.fixture()
+def server(spark):
+    """Run the asyncio server in a daemon thread with its own loop."""
+    holder = {}
+    started = threading.Event()
+
+    def run():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        srv = ExecutorServer(spark)
+        holder["loop"] = loop
+        holder["srv"] = srv
+        loop.run_until_complete(srv.start())
+        holder["port"] = srv.port
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(10)
+    yield holder
+    loop = holder["loop"]
+    asyncio.run_coroutine_threadsafe(holder["srv"].stop(), loop)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_submit_and_stream(server):
+    events = []
+    final = submit_pipeline(
+        "127.0.0.1",
+        server["port"],
+        PIPELINE,
+        params={"n": "2"},
+        on_message=events.append,
+    )
+    assert final["type"] == "succeeded"
+    kinds = [e["type"] for e in events]
+    assert kinds[0] == "queued"
+    assert "started" in kinds
+    assert "progress_update" in kinds
+    # chunked show output was re-assembled
+    assert "exec_counts" in final["outputs"]
+    assert "n_regionkey" in final["outputs"]["exec_counts"]
+    progress = [e["event"] for e in events if e["type"] == "progress_update"]
+    assert progress[0] == "started" and progress[-1] == "completed"
+
+
+def test_client_side_templating_missing_param(server):
+    from aqueducts_spark.config.templating import MissingParamsError
+
+    with pytest.raises(MissingParamsError):
+        submit_pipeline("127.0.0.1", server["port"], PIPELINE, params={})
+
+
+def test_error_reported_for_bad_pipeline(server):
+    final = submit_pipeline(
+        "127.0.0.1",
+        server["port"],
+        "sources: []\nstages:\n  - name: bad\n    query: SELECT * FROM nope_missing\n",
+    )
+    assert final["type"] == "error"
+    assert "bad" in final["message"] or "nope_missing" in final["message"]
+
+
+def test_queue_positions_and_cancel_of_queued(server, spark):
+    """A queued (not yet running) execution can be cancelled."""
+
+    async def scenario():
+        reader, writer = await asyncio.open_connection("127.0.0.1", server["port"])
+        # submit two quickly; the second starts queued
+        slow = PIPELINE.replace("${n}", "1")
+        writer.write(encode({"type": "execution_request", "pipeline": slow}))
+        writer.write(encode({"type": "execution_request", "pipeline": slow}))
+        await writer.drain()
+        ids, cancelled, succeeded = [], [], []
+        try:
+            while len(succeeded) + len(cancelled) < 2:
+                line = await asyncio.wait_for(reader.readline(), 120)
+                msg = decode(line)
+                if msg["type"] == "queued":
+                    ids.append(msg["execution_id"])
+                    if len(ids) == 2:
+                        writer.write(
+                            encode(
+                                {"type": "cancel_request", "execution_id": ids[1]}
+                            )
+                        )
+                        await writer.drain()
+                elif msg["type"] == "cancelled":
+                    cancelled.append(msg["execution_id"])
+                elif msg["type"] == "succeeded":
+                    succeeded.append(msg["execution_id"])
+        finally:
+            writer.close()
+        return ids, cancelled, succeeded
+
+    ids, cancelled, succeeded = asyncio.run(scenario())
+    assert len(ids) == 2
+    assert cancelled == [ids[1]]
+    assert succeeded == [ids[0]]
+
+
+def test_chunking_roundtrip():
+    payload = "x" * 70_000
+    msgs = list(chunk_output("s", "show", payload))
+    assert [m["type"] for m in msgs] == [
+        "output_start", "output_chunk", "output_chunk", "output_chunk", "output_end",
+    ]
+    assert "".join(m["data"] for m in msgs if m["type"] == "output_chunk") == payload
+    assert max(len(m.get("data", "")) for m in msgs) == 32_000
