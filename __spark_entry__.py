@@ -834,6 +834,22 @@ def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (iterative k-means index: rows-only check by design)."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import ivf_topk
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -972,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_embed_neardup": _op_embed_neardup,
         "sim_topk_bruteforce": _sim_topk,
         "sim_lsh_buckets": _sim_lsh_buckets,
+        "sim_ivf_topk": _sim_ivf_topk,
         "mm_byte_stats": _mm_byte_stats,
         "mm_byte_histogram": _mm_byte_histogram,
         "pl_pipeline_yaml": _pl_pipeline,

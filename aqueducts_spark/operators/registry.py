@@ -174,6 +174,25 @@ def _op_lsh_topk(spark, inp, options):
     )
 
 
+def _op_ivf_topk(spark, inp, options):
+    from .similarity import ivf_topk
+
+    queries_table = options.get("queries")
+    if not queries_table:
+        raise OperatorError("ivf_topk operator requires options.queries (a table name)")
+    return ivf_topk(
+        inp,
+        spark.table(queries_table),
+        k=int(options.get("k", 10)),
+        n_centroids=int(options.get("n_centroids", 16)),
+        nprobe=int(options.get("nprobe", 4)),
+        seed=int(options.get("seed", 42)),
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        query_id_col=options.get("query_id_col", "query_id"),
+    )
+
+
 def _op_byte_stats(spark, inp, options):
     from .multimodal import byte_stats
 
@@ -204,6 +223,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "token_count": _op_token_count,
     "topk": _op_topk,
     "lsh_topk": _op_lsh_topk,
+    "ivf_topk": _op_ivf_topk,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
 }

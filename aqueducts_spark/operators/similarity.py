@@ -30,6 +30,9 @@ __all__ = [
     "random_hyperplanes",
     "hyperplane_lsh",
     "lsh_topk",
+    "train_ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -115,6 +118,128 @@ def hyperplane_lsh(
         for plane in planes
     ]
     return df.withColumn(out_col, F.concat(*bits))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means centroids from a bounded corpus sample.
+
+    IVF index training: only ``sample_size`` vectors ever reach the
+    driver (standard practice — centroid quality needs a sample, not the
+    corpus), the rest of the pipeline stays distributed. Deterministic
+    for a fixed seed.
+    """
+    rows = corpus.select(vec_col).limit(sample_size).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C.round(6).tolist()
+
+
+def _centroid_dots(vec_col: str, centroids: list[list[float]]) -> list[Column]:
+    normed = F.transform(
+        F.col(vec_col), lambda x: x.cast("double")
+    )
+    return [
+        dot(normed, F.array(*[F.lit(v) for v in c])) / l2_norm(F.col(vec_col))
+        for c in centroids
+    ]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (max cosine) centroid.
+
+    Pure codegen: an array of centroid dots + array_position of the max.
+    At scale, persist the assigned corpus partitioned by ``centroid_id``
+    so probes read only their clusters (partition pruning).
+    """
+    dots = F.array(*_centroid_dots(vec_col, centroids))
+    cid = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return df.withColumn(out_col, cid)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in each query's
+    ``nprobe`` nearest clusters.
+
+    The corpus is scored against ~nprobe/n_centroids of its rows per
+    query — the scale path when LSH bucket sizes are too uneven. Recall
+    rises with ``nprobe`` (== n_centroids gives exact brute force).
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        centroids,
+        "cvec",
+        "centroid_id",
+    )
+    # queries probe their nprobe closest centroids: sort the centroid
+    # dots descending, take the first nprobe indices, explode
+    qdots = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("i"))
+            for i, d in enumerate(_centroid_dots("qvec", centroids))
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.sort_array(qdots, asc=False), 1, nprobe), lambda s: s["i"]
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("__probes", probes)
+        .select("query_id", "qvec", F.explode("__probes").alias("centroid_id"))
+        .withColumn("centroid_id", F.col("centroid_id").cast("int"))
+    )
+    scored = F.broadcast(q).join(c, on="centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+    )
 
 
 def lsh_topk(

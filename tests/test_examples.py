@@ -1,0 +1,50 @@
+"""Every file in examples/ must parse (mirrors the reference's
+schemas/tests/integration.rs:91-131), and the runnable ones run."""
+
+from pathlib import Path
+
+import pytest
+
+from aqueducts_spark import load_pipeline, run_pipeline
+from aqueducts_spark.config.templating import find_params
+
+EXAMPLES = sorted(Path(__file__).parent.parent.glob("examples/*.yml"))
+
+PARAMS = {
+    "data_dir": "/root/testdata/sf0.001",
+    "out_dir": "/tmp/aq_examples",
+    "min_quality": "0.5",
+}
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
+def test_example_parses(path):
+    params = {k: PARAMS.get(k, "x") for k in find_params(path.read_text())}
+    pipeline = load_pipeline(path, params)
+    assert pipeline.stage_groups
+
+
+def test_examples_exist():
+    assert len(EXAMPLES) >= 4
+
+
+@pytest.mark.parametrize(
+    "name", ["orders_summary.yml", "curation.yml", "delta_upsert.yml"]
+)
+def test_runnable_examples_run(spark, tmp_path, name):
+    path = Path(__file__).parent.parent / "examples" / name
+    params = dict(PARAMS, out_dir=str(tmp_path))
+    pipeline = load_pipeline(path, params)
+    result = run_pipeline(spark, pipeline)
+    assert result.result is not None and result.result.count() > 0
+    for group in pipeline.stage_groups:
+        for stage in group:
+            try:
+                spark.catalog.dropTempView(stage.name)
+            except Exception:
+                pass
+    for src in pipeline.parsed_sources:
+        try:
+            spark.catalog.dropTempView(src.name)
+        except Exception:
+            pass

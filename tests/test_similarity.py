@@ -1,0 +1,124 @@
+"""Similarity-search operators: exactness of brute force, recall of the
+approximate paths (LSH, IVF), multimodal feature extraction."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    rows = brute_force_topk(emb, queries, k=10).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_brute_force_self_is_top1(emb, queries):
+    rows = brute_force_topk(emb, queries, k=1).collect()
+    assert all(r.neighbor_id == r.query_id and r.cosine == 1.0 for r in rows)
+
+
+def _recall(approx_rows, exact):
+    hits = total = 0
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, truth in exact.items():
+        total += len(truth)
+        hits += len(truth & approx.get(qid, set()))
+    return hits / total
+
+
+def test_ivf_recall(emb, queries, exact):
+    rows = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).collect()
+    assert _recall(rows, exact) >= 0.6
+
+
+def test_ivf_full_probe_is_exact(emb, queries, exact):
+    rows = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8).collect()
+    assert _recall(rows, exact) == 1.0
+
+
+def test_ivf_assign_is_deterministic_and_total(emb):
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    cents2 = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    assert cents == cents2
+    assigned = ivf_assign(emb, cents)
+    dist = assigned.groupBy("centroid_id").count().collect()
+    assert sum(r["count"] for r in dist) == emb.count()
+    assert all(0 <= r.centroid_id < 8 for r in dist)
+
+
+def test_lsh_recall_reasonable(emb, queries, exact):
+    rows = lsh_topk(emb, queries, k=10, num_planes=4).collect()
+    # 4 planes -> 16 buckets; self bucket always matches
+    assert _recall(rows, exact) >= 0.2
+    tops = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert all(tops[q] == q for q in tops)
+
+
+def test_byte_histogram_matches_python(spark):
+    from aqueducts_spark.operators.multimodal import byte_histogram_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    got = {r.doc_id: r for r in byte_histogram_features(payloads, "payload", "doc_id").collect()}
+    for row in docs.select("doc_id", "text").collect():
+        data = row.text.encode()
+        counts = [0] * 16
+        for b in data:
+            counts[b >> 4] += 1
+        hist = [round(c / len(data), 6) for c in counts]
+        entropy = round(-sum(p * math.log2(p) for p in hist if p > 0), 4)
+        r = got[row.doc_id]
+        assert r.n_bytes == len(data)
+        assert r.histogram == pytest.approx(hist)
+        assert r.entropy == pytest.approx(entropy)
+
+
+def test_attach_binary_payload_schema(spark):
+    from aqueducts_spark.operators.multimodal import attach_binary_payload
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    with_payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    out = attach_binary_payload(with_payload, "payload", "text", "text/plain")
+    row = out.select("media_meta").first().media_meta
+    assert row.modality == "text" and row.mime == "text/plain"
+    assert row.n_bytes > 0 and row.width is None
+
+
+def test_decode_stubs_raise(spark):
+    from aqueducts_spark.operators.multimodal import decode_image, sample_video_frames
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(docs, "payload")
+    with pytest.raises(NotImplementedError, match="codec"):
+        sample_video_frames(docs, "payload")

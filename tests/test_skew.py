@@ -1,0 +1,59 @@
+"""Salted-join correctness: same results as a plain join, keys spread."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.skew import key_skew_profile, salted_join
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    rows = [(1, i) for i in range(900)] + [(k, k * 1000) for k in range(2, 102)]
+    big = spark.createDataFrame(rows, ["k", "payload"])
+    small = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(1, 102)], ["k", "label"]
+    )
+    return big, small
+
+
+def test_salted_inner_join_matches_plain(spark, skewed):
+    big, small = skewed
+    plain = big.join(small, "k").select("k", "payload", "label")
+    salted = salted_join(big, small, "k", salt_buckets=8).select(
+        "k", "payload", "label"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    big, small = skewed
+    big2 = big.union(spark.createDataFrame([(999, 0)], ["k", "payload"]))
+    out = salted_join(big2, small, "k", how="left")
+    unmatched = out.filter(F.col("k") == 999).collect()
+    assert len(unmatched) == 1 and unmatched[0].label is None
+    assert out.count() == big2.count()
+
+
+def test_skew_profile_identifies_hot_key(spark, skewed):
+    big, _ = skewed
+    prof = key_skew_profile(big, "k", top=3).collect()
+    assert prof[0].k == 1
+    assert prof[0].share == 0.9
+
+
+def test_salt_actually_spreads_hot_key(spark, skewed):
+    big, small = skewed
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(
+                F.concat_ws("#", F.col("k").cast("string"), F.monotonically_increasing_id())
+            ),
+            F.lit(8),
+        ).cast("int"),
+    )
+    n_buckets = (
+        salted.filter(F.col("k") == 1).select("__salt").distinct().count()
+    )
+    assert n_buckets == 8  # the hot key occupies every salt bucket
