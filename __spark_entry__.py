@@ -445,6 +445,73 @@ GROUP BY n_name
 HAVING COUNT(*) > 30
 """
 
+# recursive CTE (Spark 4 WITH RECURSIVE; SURVEY §2.B subqueries/CTE row):
+# a complete month spine over the orders date range, left-joined to
+# per-month order counts so gap months surface as zeros
+Q27_SPARK = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-08-01'
+),
+per_month AS (
+  SELECT date_format(o_orderdate, 'yyyy-MM') AS ym, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT date_format(m, 'yyyy-MM') AS ym,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN per_month ON date_format(m, 'yyyy-MM') = ym
+"""
+
+Q27_DUCK = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
+),
+per_month AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m, '%Y-%m') AS ym,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN per_month ON strftime(m, '%Y-%m') = ym
+"""
+
+# origin-aligned time bucketing via the DataFusion-parity date_bin SQL
+# UDF (functions/compat.py); DuckDB oracle is time_bucket with the same
+# origin. ts handling mirrors q22 (nanos -> micros in both engines).
+Q28_SPARK = """
+SELECT date_format(
+         date_bin(INTERVAL 15 MINUTE, ts, TIMESTAMP '2024-01-01 00:00:00'),
+         'yyyy-MM-dd HH:mm:ss') AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+Q28_DUCK = """
+SELECT strftime(
+         time_bucket(INTERVAL 15 MINUTE, make_timestamp(epoch_ns(ts) // 1000),
+                     TIMESTAMP '2024-01-01 00:00:00'),
+         '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.functions.compat import register_compat_functions
+
+    _views(spark, sf_dir)
+    register_compat_functions(spark)
+    return spark.sql(Q28_SPARK)
+
 
 def _q15_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins via the DataFrame API (SQL-side it is EXISTS)."""
@@ -975,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_percentiles": _sql(Q24_SPARK),
         "q25_approx_aggs": _sql(Q25_SPARK),
         "q26_stats_aggs": _sql(Q26_SPARK),
+        "q27_recursive_cte": _sql(Q27_SPARK),
+        "q28_date_bin": _q28_date_bin,
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1023,6 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         "q24_percentiles": Q24_DUCK,
         # q25_approx_aggs: sketch estimates, rows-only by design
         "q26_stats_aggs": Q26_SPARK,
+        "q27_recursive_cte": Q27_DUCK,
+        "q28_date_bin": Q28_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,

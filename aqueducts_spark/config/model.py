@@ -399,6 +399,10 @@ class Pipeline(_Base):
     sources: list[Any]
     stages: list[Any]
     destination: Optional[Any] = None
+    # "datafusion" translates every stage query through the dialect
+    # compat layer (functions/compat.py) so reference pipelines run
+    # unmodified; default is plain Spark SQL.
+    sql_dialect: Optional[str] = None
     # parsed views
     parsed_sources: list[Any] = PField(default_factory=list, exclude=True)
     stage_groups: list[list[Stage]] = PField(default_factory=list, exclude=True)

@@ -1,0 +1,270 @@
+"""DataFusion SQL dialect compatibility layer.
+
+The reference delegates every stage query to DataFusion SQL
+(aqueducts/core/src/stages/mod.rs:58), so pipelines written against it
+use DataFusion function names. Spark SQL is a near-superset but some
+names differ (SURVEY §2.B). This module closes the gap two ways, so
+reference pipelines run unmodified:
+
+1. :func:`register_compat_functions` — **SQL UDFs** (``CREATE OR
+   REPLACE TEMPORARY FUNCTION ... RETURN <expr>``) for functions whose
+   signature is fixed. These inline into the Catalyst plan at analysis
+   time (verified: the optimized plan shows the expanded expression
+   inside WholeStageCodegen — zero runtime overhead, unlike Python
+   UDFs).
+2. :func:`translate_sql` — a token-aware rename for functions that are
+   1:1 with a Spark builtin but generic/variadic (so a typed SQL UDF
+   cannot express them), plus the ``->``/``->>`` JSON operators from
+   ``datafusion-functions-json`` (custom_udfs.rs:60-70). String
+   literals, quoted identifiers, and comments are never touched.
+
+Opt-in: set ``sql_dialect: datafusion`` on the pipeline to translate
+every stage query; the SQL UDFs are always registered (additive names,
+no Spark builtin is shadowed).
+
+Known approximations (documented, not silent):
+
+* ``approx_median(x)`` -> exact ``median(x)`` (Spark's approx form
+  needs a second argument; exact is a superset of approx semantics).
+* ``regexp_match`` returns the full first match as a 1-element array
+  (DataFusion returns match-or-groups; group form differs).
+* ``date_bin`` stride resolution is whole seconds (Spark casts a
+  DAY-TO-SECOND interval to its seconds value).
+* ``a -> 'k'`` maps to ``json_as_text`` like ``->>`` (Spark has no
+  JSON union type; chained access still works because object results
+  serialize to compact JSON text).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import SparkSession
+
+# --- 1. fixed-signature functions as inlined SQL UDFs ---------------------
+
+_SQL_UDFS: dict[str, str] = {
+    # DataFusion strpos(string, substring) -> 1-based position, 0 if absent
+    "strpos": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+        "RETURNS INT RETURN instr(s, sub)"
+    ),
+    # DataFusion to_hex(int) -> lowercase hex string
+    "to_hex": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(n BIGINT) "
+        "RETURNS STRING RETURN lower(hex(n))"
+    ),
+    # DataFusion date_bin(stride, source, origin): origin-aligned bucket.
+    # CAST(interval AS BIGINT) yields whole seconds for DAY TO SECOND.
+    "date_bin": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_bin("
+        "stride INTERVAL DAY TO SECOND, src TIMESTAMP, origin TIMESTAMP) "
+        "RETURNS TIMESTAMP RETURN timestamp_micros("
+        "unix_micros(origin) + "
+        "((unix_micros(src) - unix_micros(origin)) div (CAST(stride AS BIGINT) * 1000000))"
+        " * (CAST(stride AS BIGINT) * 1000000))"
+    ),
+    "to_timestamp_seconds": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_seconds(n BIGINT) "
+        "RETURNS TIMESTAMP RETURN timestamp_seconds(n)"
+    ),
+    "to_timestamp_millis": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_millis(n BIGINT) "
+        "RETURNS TIMESTAMP RETURN timestamp_millis(n)"
+    ),
+    "to_timestamp_micros": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_micros(n BIGINT) "
+        "RETURNS TIMESTAMP RETURN timestamp_micros(n)"
+    ),
+    # DataFusion to_unixtime(ts) -> seconds since epoch
+    "to_unixtime": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(t TIMESTAMP) "
+        "RETURNS BIGINT RETURN unix_micros(t) div 1000000"
+    ),
+    "today": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION today() RETURNS DATE RETURN current_date()"
+    ),
+    # DataFusion to_char(ts, chrono-format): translate the common chrono
+    # specifiers to Java pattern letters inside the expression (stays in
+    # codegen; replace() chain constant-folds for literal formats).
+    # Spark 4 has a builtin `to_char` (numeric formatting) that SQL UDFs
+    # cannot shadow, so this registers as df_to_char; the dialect
+    # translator renames to_char -> df_to_char.
+    "df_to_char": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION df_to_char(t TIMESTAMP, fmt STRING) "
+        "RETURNS STRING RETURN date_format(t, "
+        "replace(replace(replace(replace(replace(replace(fmt,"
+        "'%Y','yyyy'),'%m','MM'),'%d','dd'),'%H','HH'),'%M','mm'),'%S','ss'))"
+    ),
+    # DataFusion regexp_match(s, p): first full match as array (approx)
+    "regexp_match": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION regexp_match(s STRING, p STRING) "
+        "RETURNS ARRAY<STRING> RETURN "
+        "CASE WHEN s RLIKE p THEN array(regexp_extract(s, p, 0)) END"
+    ),
+}
+
+
+def register_compat_functions(spark: SparkSession) -> None:
+    """Register the DataFusion-name SQL UDFs on this session.
+
+    Idempotent (CREATE OR REPLACE); every definition is a pure SQL
+    expression, so Catalyst inlines it — no Python round-trip.
+    """
+    for ddl in _SQL_UDFS.values():
+        spark.sql(ddl)
+
+
+# --- 2. token-aware renames for generic/variadic functions ----------------
+
+# DataFusion name -> Spark builtin with identical argument shape.
+FUNCTION_RENAMES: dict[str, str] = {
+    "arrow_typeof": "typeof",
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile_cont": "percentile_approx",
+    "approx_median": "median",  # exact superset (documented)
+    "make_array": "array",
+    "array_length": "array_size",
+    "array_has": "array_contains",
+    "array_element": "element_at",
+    "list_element": "element_at",
+    "array_cat": "concat",
+    "array_concat": "concat",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "array_push_back": "array_append",
+    "array_push_front": "array_prepend",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_contains": "array_contains",
+    "ends_with": "endswith",
+    "starts_with": "startswith",
+    "to_char": "df_to_char",  # timestamp formatting (see _SQL_UDFS)
+}
+
+_IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+def _scan_regions(sql: str):
+    """Yield (start, end, is_code) spans, separating string literals,
+    quoted identifiers, and comments from translatable code."""
+    i, n, start = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'" or ch == '"' or ch == "`":
+            if start < i:
+                yield (start, i, True)
+            quote, j = ch, i + 1
+            while j < n:
+                if sql[j] == quote:
+                    if j + 1 < n and sql[j + 1] == quote:  # doubled escape
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            yield (i, j, False)
+            i = start = j
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-" and (
+            i + 2 >= n or sql[i + 2] != ">"
+        ):
+            # line comment (but not the '->' / '->>' operator)
+            if start < i:
+                yield (start, i, True)
+            j = sql.find("\n", i)
+            j = n if j == -1 else j + 1
+            yield (i, j, False)
+            i = start = j
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            if start < i:
+                yield (start, i, True)
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            yield (i, j, False)
+            i = start = j
+        else:
+            i += 1
+    if start < n:
+        yield (start, n, True)
+
+
+def _rename_functions(code: str) -> str:
+    """Rename known function-call identifiers in a code (non-literal)
+    region. Only identifiers directly followed by '(' are touched."""
+    out = []
+    i, n = 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and code[j] in _IDENT_CHARS:
+                j += 1
+            ident = code[i:j]
+            k = j
+            while k < n and code[k] in " \t":
+                k += 1
+            lowered = ident.lower()
+            if k < n and code[k] == "(" and lowered in FUNCTION_RENAMES:
+                out.append(FUNCTION_RENAMES[lowered])
+            else:
+                out.append(ident)
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+# `expr ->> 'key'` / `expr -> 'key'` / `expr -> 0` where expr is an
+# identifier, dotted column, or an already-rewritten json_as_text(...)
+# call. Applied repeatedly so chains collapse left-to-right. The key is
+# a string literal, so this runs over the whole query with a
+# code-region check on the operator itself (a `->` inside a literal or
+# comment never rewrites).
+_JSON_OP = _re.compile(
+    r"(?P<lhs>json_as_text\((?:[^()]|\([^()]*\))*\)"
+    r"|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*(?P<op>->>?)\s*"
+    r"(?P<key>'(?:[^']|'')*'|\d+)"
+)
+
+
+def _code_mask(sql: str) -> list[bool]:
+    mask = [False] * len(sql)
+    for start, end, is_code in _scan_regions(sql):
+        if is_code:
+            for i in range(start, end):
+                mask[i] = True
+    return mask
+
+
+def _rewrite_json_ops(sql: str) -> str:
+    while True:
+        mask = _code_mask(sql)
+        for m in _JSON_OP.finditer(sql):
+            if mask[m.start("op")] and mask[m.start("lhs")]:
+                sql = (
+                    sql[: m.start()]
+                    + f"json_as_text({m.group('lhs')}, {m.group('key')})"
+                    + sql[m.end() :]
+                )
+                break
+        else:
+            return sql
+
+
+def translate_sql(sql: str) -> str:
+    """Translate a DataFusion-dialect query to Spark SQL.
+
+    Renames + JSON-operator rewrite on code regions only; string
+    literals, quoted identifiers, and comments pass through verbatim.
+    """
+    parts = []
+    for start, end, is_code in _scan_regions(sql):
+        chunk = sql[start:end]
+        if is_code:
+            chunk = _rename_functions(chunk)
+        parts.append(chunk)
+    return _rewrite_json_ops("".join(parts))

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config.model import Pipeline, Stage
 from .destinations import prepare_destination, write_to_destination
-from .functions import register_udfs
+from .functions import register_compat_functions, register_udfs
 from .progress import LoggingTracker, ProgressEvent, ProgressTracker, timer
 from .sources import register_sources
 from .stages import process_stage
@@ -73,6 +73,7 @@ def run_pipeline(
     """
     tracker = tracker or LoggingTracker()
     register_udfs(spark)
+    register_compat_functions(spark)
     tracker.on_progress(ProgressEvent("started"))
 
     dest = pipeline.parsed_destination
@@ -98,7 +99,13 @@ def run_pipeline(
                 # cache when >1 downstream consumer would otherwise
                 # recompute the whole lineage (SURVEY §7.3 policy)
                 consumers = count_consumers(groups, stage.name, gi)
-                df = process_stage(spark, stage, tracker, cache=consumers > 1)
+                df = process_stage(
+                    spark,
+                    stage,
+                    tracker,
+                    cache=consumers > 1,
+                    sql_dialect=pipeline.sql_dialect,
+                )
                 if consumers > 1 or stage.eager or stage.explain_analyze:
                     cached.add(stage.name)
             tracker.on_progress(

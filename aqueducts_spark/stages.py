@@ -37,6 +37,7 @@ def process_stage(
     stage: Stage,
     tracker: ProgressTracker,
     cache: bool = False,
+    sql_dialect: str | None = None,
 ) -> DataFrame:
     """Run a stage (SQL query or declarative operator) and register the
     result as a temp view."""
@@ -46,8 +47,13 @@ def process_stage(
 
             df = run_operator(spark, stage.operator)
         else:
-            validate_stage_sql(stage.query, stage_name=stage.name)
-            df = spark.sql(stage.query)
+            query = stage.query
+            if sql_dialect == "datafusion":
+                from .functions.compat import translate_sql
+
+                query = translate_sql(query)
+            validate_stage_sql(query, stage_name=stage.name)
+            df = spark.sql(query)
     except Exception as exc:
         raise StageError(stage.name, exc) from exc
 

@@ -1,0 +1,160 @@
+"""DataFusion dialect compatibility layer (functions/compat.py)."""
+
+import textwrap
+
+import pytest
+
+from aqueducts_spark.functions.compat import (
+    register_compat_functions,
+    translate_sql,
+)
+
+
+class TestTranslateSql:
+    def test_function_renames(self):
+        assert (
+            translate_sql("SELECT approx_distinct(x), make_array(1,2) FROM t")
+            == "SELECT approx_count_distinct(x), array(1,2) FROM t"
+        )
+
+    def test_case_insensitive_and_spacing(self):
+        assert (
+            translate_sql("SELECT ARRAY_LENGTH (a) FROM t")
+            == "SELECT array_size (a) FROM t"
+        )
+
+    def test_string_literals_untouched(self):
+        q = "SELECT 'make_array(1)' AS s, make_array(1) AS a FROM t"
+        assert translate_sql(q) == "SELECT 'make_array(1)' AS s, array(1) AS a FROM t"
+
+    def test_quoted_identifiers_untouched(self):
+        q = 'SELECT "array_length"(a), `array_has` FROM t'
+        assert translate_sql(q) == q
+
+    def test_comments_untouched(self):
+        q = "SELECT x -- make_array(1)\nFROM t /* array_has(a, 1) */"
+        assert translate_sql(q) == q
+
+    def test_identifier_not_a_call_untouched(self):
+        assert translate_sql("SELECT array_length FROM t") == "SELECT array_length FROM t"
+
+    def test_json_text_operator(self):
+        assert (
+            translate_sql("SELECT payload ->> 'name' FROM t")
+            == "SELECT json_as_text(payload, 'name') FROM t"
+        )
+
+    def test_json_operator_chain(self):
+        assert (
+            translate_sql("SELECT j -> 'a' ->> 'b' FROM t")
+            == "SELECT json_as_text(json_as_text(j, 'a'), 'b') FROM t"
+        )
+
+    def test_json_operator_in_string_untouched(self):
+        q = "SELECT 'a ->> b' FROM t"
+        assert translate_sql(q) == q
+
+    def test_arrow_in_comment_untouched(self):
+        q = "SELECT x FROM t -- see a ->> 'k'"
+        assert translate_sql(q) == q
+
+
+class TestCompatFunctions:
+    @pytest.fixture(autouse=True)
+    def _register(self, spark):
+        register_compat_functions(spark)
+
+    def one(self, spark, expr):
+        return spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+
+    def test_strpos(self, spark):
+        assert self.one(spark, "strpos('hello', 'll')") == 3
+        assert self.one(spark, "strpos('hello', 'zz')") == 0
+
+    def test_to_hex_lowercase(self, spark):
+        assert self.one(spark, "to_hex(255)") == "ff"
+
+    def test_date_bin(self, spark):
+        got = self.one(
+            spark,
+            "date_bin(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 10:17:23', "
+            "TIMESTAMP '2024-01-01 00:00:00')",
+        )
+        assert str(got) == "2024-01-01 10:15:00"
+
+    def test_date_bin_origin_alignment(self, spark):
+        got = self.one(
+            spark,
+            "date_bin(INTERVAL 1 HOUR, TIMESTAMP '2024-01-01 10:17:23', "
+            "TIMESTAMP '2024-01-01 00:30:00')",
+        )
+        assert str(got) == "2024-01-01 09:30:00"
+
+    def test_to_timestamp_millis(self, spark):
+        got = self.one(spark, "to_timestamp_millis(1704103200000)")
+        assert got.year == 2024
+
+    def test_to_unixtime(self, spark):
+        assert (
+            self.one(spark, "to_unixtime(to_timestamp_seconds(1704103200))")
+            == 1704103200
+        )
+
+    def test_to_char_chrono_format(self, spark):
+        # dialect-translated name: to_char -> df_to_char (builtin clash)
+        assert (
+            self.one(
+                spark,
+                translate_sql("to_char(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S')"),
+            )
+            == "2024-03-05 07:08:09"
+        )
+
+    def test_regexp_match(self, spark):
+        assert self.one(spark, "regexp_match('ab12cd', '[0-9]+')") == ["12"]
+        assert self.one(spark, "regexp_match('abcd', '[0-9]+')") is None
+
+    def test_sql_udf_inlines_into_codegen(self, spark):
+        """The compat UDFs must be JVM-side: the physical plan may not
+        contain any Python evaluation node."""
+        df = spark.sql("SELECT strpos(c, 'x') FROM (SELECT 'axb' AS c)")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDialectPipeline:
+    def test_pipeline_with_datafusion_dialect(self, spark, tmp_path):
+        from aqueducts_spark import CollectingTracker, load_pipeline_str, run_pipeline
+
+        src = tmp_path / "in.csv"
+        src.write_text(
+            'id;payload\n1;{"name": "ada"}\n2;{"name": "bob"}\n'
+        )
+        yml = textwrap.dedent(
+            f"""
+            sources:
+              - type: file
+                name: raw
+                format: {{ type: csv, options: {{ delimiter: ";" }} }}
+                location: {src}
+            stages:
+              - - name: shaped
+                  query: >
+                    SELECT approx_distinct(id) AS n_ids,
+                           make_array('a') AS arr,
+                           array_agg(payload ->> 'name') AS names
+                    FROM raw
+            sql_dialect: datafusion
+            destination:
+              type: in_memory
+              name: dialect_out
+            """
+        )
+        run_pipeline(spark, load_pipeline_str(yml, "yaml"), CollectingTracker())
+        row = spark.table("dialect_out").collect()[0]
+        assert row.n_ids == 2
+        assert row.arr == ["a"]
+        assert sorted(row.names) == ["ada", "bob"]
+        spark.catalog.dropTempView("dialect_out")
