@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -435,14 +436,29 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# stats from exact decimal sufficient statistics: engine-native
+# stddev/var/corr differ in the last ulp once parallel summation order
+# differs (seen at sf0.01+), but decimal sums are exact in both engines
+# and the identical double expression tree on them is bit-identical.
+# Same SQL runs on Spark and DuckDB.
 Q26_SPARK = """
+WITH s AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(c_custkey AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(c_custkey AS DECIMAL(18,0)) * CAST(c_custkey AS DECIMAL(18,0))) AS DOUBLE) AS sy2,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_custkey AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+  HAVING COUNT(*) > 30
+)
 SELECT n_name,
-       CAST(stddev_samp(c_acctbal) AS DOUBLE) AS bal_stddev,
-       CAST(var_samp(c_acctbal) AS DOUBLE) AS bal_var,
-       CAST(corr(c_acctbal, CAST(c_custkey AS DOUBLE)) AS DOUBLE) AS bal_key_corr
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
-HAVING COUNT(*) > 30
+       sqrt((sx2 - sx * sx / n) / (n - 1)) AS bal_stddev,
+       (sx2 - sx * sx / n) / (n - 1) AS bal_var,
+       (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS bal_key_corr
+FROM s
 """
 
 # recursive CTE (Spark 4 WITH RECURSIVE; SURVEY §2.B subqueries/CTE row):
@@ -595,6 +611,48 @@ OP_MINHASH_PAIRS_DUCK = _DUCK_BANDS + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
+"""
+
+# deterministic hash sampling: identical md5-bucket predicate in both
+# engines (operators/sampling.py)
+OP_HASH_SAMPLE_DUCK = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1000
+"""
+
+# deterministic_split thresholds: sorted split names (test, train,
+# valid), cumulative buckets 1000 / 9000 / rest (weights .1/.8/.1)
+OP_SPLIT_COUNTS_DUCK = """
+WITH b AS (
+  SELECT ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bkt
+  FROM documents
+)
+SELECT CASE WHEN bkt < 1000 THEN 'test'
+            WHEN bkt < 9000 THEN 'train'
+            ELSE 'valid' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+"""
+
+# connected components of the minhash near-dup graph, verified against
+# a full recursive-CTE transitive closure (exact, engine-independent)
+OP_CC_DUCK = _DUCK_BANDS.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS node, least(u, MIN(v)) AS component FROM reach GROUP BY u
 """
 
 OP_JACCARD_DUCK = f"""
@@ -863,6 +921,42 @@ def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sampling import hash_sample
+
+    _views(spark, sf_dir)
+    return hash_sample(spark.table("documents"), "doc_id", 0.1).select("doc_id")
+
+
+def _op_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sampling import deterministic_split
+
+    _views(spark, sf_dir)
+    return (
+        deterministic_split(
+            spark.table("documents"),
+            "doc_id",
+            {"train": 0.8, "valid": 0.1, "test": 0.1},
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _op_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.cluster import connected_components
+    from aqueducts_spark.operators.dedup import minhash_candidate_pairs
+
+    _views(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        spark.table("documents"),
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    )
+    return connected_components(pairs)
+
+
 def _op_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.dedup import jaccard_pairs
 
@@ -1053,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_minhash_bands": _op_minhash_bands,
         "op_minhash_pairs": _op_minhash_pairs,
         "op_jaccard_pairs": _op_jaccard,
+        "op_hash_sample": _op_hash_sample,
+        "op_split_counts": _op_split_counts,
+        "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
         "sim_topk_bruteforce": _sim_topk,
@@ -1103,6 +1200,9 @@ def oracle_sql() -> dict[str, str]:
         "op_minhash_bands": OP_MINHASH_BANDS_DUCK,
         "op_minhash_pairs": OP_MINHASH_PAIRS_DUCK,
         "op_jaccard_pairs": OP_JACCARD_DUCK,
+        "op_hash_sample": OP_HASH_SAMPLE_DUCK,
+        "op_split_counts": OP_SPLIT_COUNTS_DUCK,
+        "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,
         "sim_topk_bruteforce": SIM_TOPK_DUCK,

@@ -1,0 +1,101 @@
+"""Near-duplicate cluster resolution: connected components + canonical
+representative selection.
+
+The pairwise dedup operators (minhash_candidate_pairs, jaccard_pairs,
+embedding_near_duplicates) emit an edge list of near-duplicate *pairs*.
+A training pipeline must then keep ONE document per duplicate
+*cluster* — the transitive closure of those pairs. That closure is
+connected components over the similarity graph.
+
+Implementation: distributed min-label propagation. Every node starts
+labeled with its own id; each round, a node takes the minimum label
+among itself and its neighbors. Converges in O(graph diameter) rounds —
+near-dup graphs are overwhelmingly tiny cliques and chains, so a
+handful of rounds suffices. Each round is one join + one min-aggregate
+(2 shuffles), all on the node id; ``localCheckpoint`` truncates the
+lineage so plans do not grow with iterations. The only driver-side
+values are per-round change *counts* (convergence test), never data.
+
+At web scale (billions of edges, high-diameter components) swap the
+propagation loop for the large-star/small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond") — same external
+contract, fewer rounds; the simple loop is the right tool for near-dup
+graphs.
+
+The result is exact and engine-independent, so the correctness gate can
+verify it against a DuckDB recursive-CTE transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "cluster_dedup"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve components of an undirected edge list.
+
+    Returns ``(node, component)`` where ``component`` is the minimum
+    node id reachable from ``node`` (a stable, deterministic cluster
+    id). Isolated nodes (absent from ``edges``) are the caller's
+    concern: they are their own component and need no resolution.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels.withColumnRenamed("node", "v2"), sym.v == F.col("v2"))
+            .select(F.col("u").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except one canonical representative
+    (the minimum id) per connected cluster of ``pairs``.
+
+    Anti-join against the non-canonical members: rows not in any pair
+    pass through untouched.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    non_canonical = cc.filter(F.col("node") != F.col("component")).select("node")
+    return df.join(
+        non_canonical, df[id_col] == non_canonical.node, "left_anti"
+    )

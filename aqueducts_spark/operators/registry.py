@@ -193,6 +193,68 @@ def _op_ivf_topk(spark, inp, options):
     )
 
 
+def _op_hash_sample(spark, inp, options):
+    from .sampling import hash_sample
+
+    return hash_sample(
+        inp,
+        options.get("id_col", "doc_id"),
+        float(options["rate"]),
+        salt=options.get("salt", ""),
+    )
+
+
+def _op_stratified_sample(spark, inp, options):
+    from .sampling import stratified_sample
+
+    return stratified_sample(
+        inp,
+        options.get("id_col", "doc_id"),
+        options["stratum_col"],
+        {str(k): float(v) for k, v in options.get("rates", {}).items()},
+        default_rate=float(options.get("default_rate", 0.0)),
+        salt=options.get("salt", ""),
+    )
+
+
+def _op_split(spark, inp, options):
+    from .sampling import deterministic_split
+
+    return deterministic_split(
+        inp,
+        options.get("id_col", "doc_id"),
+        {str(k): float(v) for k, v in options["weights"].items()},
+        out_col=options.get("out_col", "split"),
+        salt=options.get("salt", "split"),
+    )
+
+
+def _op_connected_components(spark, inp, options):
+    from .cluster import connected_components
+
+    return connected_components(
+        inp,
+        src=options.get("src", "id_a"),
+        dst=options.get("dst", "id_b"),
+        max_iter=int(options.get("max_iter", 50)),
+    )
+
+
+def _op_cluster_dedup(spark, inp, options):
+    from .cluster import cluster_dedup
+
+    pairs_table = options.get("pairs")
+    if not pairs_table:
+        raise OperatorError("cluster_dedup operator requires options.pairs (a table name)")
+    return cluster_dedup(
+        inp,
+        spark.table(pairs_table),
+        id_col=options.get("id_col", "doc_id"),
+        src=options.get("src", "id_a"),
+        dst=options.get("dst", "id_b"),
+    )
+
+
 def _op_byte_stats(spark, inp, options):
     from .multimodal import byte_stats
 
@@ -224,6 +286,11 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "topk": _op_topk,
     "lsh_topk": _op_lsh_topk,
     "ivf_topk": _op_ivf_topk,
+    "hash_sample": _op_hash_sample,
+    "stratified_sample": _op_stratified_sample,
+    "split": _op_split,
+    "connected_components": _op_connected_components,
+    "cluster_dedup": _op_cluster_dedup,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
 }
@@ -256,4 +323,6 @@ def referenced_tables(config: dict[str, Any]) -> list[str]:
     options = config.get("options") or {}
     if options.get("queries"):
         out.append(str(options["queries"]))
+    if options.get("pairs"):
+        out.append(str(options["pairs"]))
     return out

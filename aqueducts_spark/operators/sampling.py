@@ -1,0 +1,121 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB has two hard requirements the naive
+``df.sample(fraction)`` does not meet:
+
+1. **Reproducibility across runs and engines** — a training-set cut must
+   be re-derivable. We hash the row's id with md5 and keep a row iff
+   ``hash mod N < rate*N`` — a pure function of the data, stable across
+   Spark versions, partitionings, and engines (the DuckDB oracle
+   computes the identical predicate).
+2. **No shuffle** — all samplers below are pure per-row filters (0
+   shuffles, whole-stage codegen); stratified sampling maps each
+   stratum to its own rate with a broadcast-size rate table expressed as
+   a CASE expression.
+
+``deterministic_split`` assigns disjoint train/validation/test buckets
+from one hash — membership is exclusive and exhaustive by construction,
+which per-split independent sampling cannot guarantee.
+
+Reference has no sampling operators (SURVEY §2.B "not present" list);
+these are beyond-reference training-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "deterministic_split",
+]
+
+# 10k buckets give 0.01% rate granularity while keeping the modulus
+# well inside the exact range of the 60-bit hash prefix
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = _BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): md5 of the value (plus an
+    optional salt for independent re-draws), top 60 bits, mod buckets.
+
+    Identical to the DuckDB expression
+    ``('0x' || substr(md5(salt || v), 1, 15))::BIGINT % buckets``.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows keyed by ``id_col``.
+
+    Re-running (any engine, any partitioning) selects the same rows;
+    different ``salt`` values draw independent samples.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(round(rate * _BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample common
+    languages, keep all rare ones).
+
+    ``rates`` maps stratum value -> keep fraction; strata not listed use
+    ``default_rate``. Rates compile to one CASE expression — the rate
+    table rides inside codegen, no join, no shuffle.
+    """
+    threshold = F.lit(int(round(default_rate * _BUCKETS)))
+    for value, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0, 1], got {rate}")
+        threshold = (
+            F.when(F.col(stratum_col) == value, int(round(rate * _BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt) < threshold)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Label every row with a split name ("train"/"valid"/"test", …)
+    using contiguous hash-bucket ranges proportional to ``weights``.
+
+    Splits are disjoint and cover every row (weights are normalized);
+    membership depends only on (id, salt).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    expr = None
+    upper = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        upper += w / total * _BUCKETS
+        cond = bucket < int(round(upper))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -75,3 +75,23 @@ def test_json_shims(spark, expr, expected):
         assert got == pytest.approx(expected)
     else:
         assert got == expected
+
+
+def test_native_stats_aggregates(spark):
+    """The native stddev/var/corr builtins (SURVEY §2.B stats row) agree
+    with the exact sufficient-statistics formulation used by the
+    q26_stats_aggs gate query (which avoids their last-ulp
+    parallel-summation nondeterminism)."""
+    df = spark.createDataFrame(
+        [(float(x), float(x * x % 7)) for x in range(1, 101)], ["x", "y"]
+    )
+    row = df.selectExpr(
+        "stddev_samp(x) AS sd", "var_samp(x) AS var", "corr(x, y) AS c"
+    ).collect()[0]
+    import statistics
+
+    xs = [float(x) for x in range(1, 101)]
+    ys = [float(x * x % 7) for x in range(1, 101)]
+    assert row.sd == pytest.approx(statistics.stdev(xs), rel=1e-9)
+    assert row.var == pytest.approx(statistics.variance(xs), rel=1e-9)
+    assert row.c == pytest.approx(statistics.correlation(xs, ys), rel=1e-9)

@@ -1,0 +1,93 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.sampling import (
+    deterministic_split,
+    hash_bucket,
+    hash_sample,
+    stratified_sample,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+class TestHashSample:
+    def test_deterministic_across_runs(self, docs):
+        a = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect())
+        b = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect())
+        assert a == b and len(a) > 0
+
+    def test_rate_bounds(self, docs):
+        total = docs.count()
+        assert hash_sample(docs, "doc_id", 0.0).count() == 0
+        assert hash_sample(docs, "doc_id", 1.0).count() == total
+        n = hash_sample(docs, "doc_id", 0.3).count()
+        assert 0.15 * total < n < 0.45 * total  # md5 is uniform
+
+    def test_salt_draws_independent_sample(self, docs):
+        a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+        b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="other").collect()}
+        assert a != b
+
+    def test_subset_property(self, docs):
+        """A smaller rate selects a subset of a larger rate (same salt):
+        nested training subsets stay consistent."""
+        small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+        large = {r.doc_id for r in hash_sample(docs, "doc_id", 0.4).collect()}
+        assert small <= large
+
+    def test_invalid_rate(self, docs):
+        with pytest.raises(ValueError):
+            hash_sample(docs, "doc_id", 1.5)
+
+    def test_no_shuffle(self, docs):
+        plan = hash_sample(docs, "doc_id", 0.5)._sc._jvm.PythonSQLUtils.explainString(
+            hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestStratifiedSample:
+    def test_rates_respected(self, docs):
+        langs = [r.lang for r in docs.select("lang").distinct().collect()]
+        keep_all, drop = langs[0], langs[1]
+        out = stratified_sample(docs, "doc_id", "lang", {keep_all: 1.0, drop: 0.0})
+        counts = dict(
+            out.groupBy("lang").count().collect()
+        )
+        assert counts.get(keep_all) == docs.filter(F.col("lang") == keep_all).count()
+        assert drop not in counts
+
+    def test_default_rate_applies_to_unlisted(self, docs):
+        out = stratified_sample(docs, "doc_id", "lang", {}, default_rate=1.0)
+        assert out.count() == docs.count()
+
+
+class TestDeterministicSplit:
+    def test_disjoint_exhaustive_and_stable(self, docs):
+        out = deterministic_split(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        assert out.count() == docs.count()  # every row labeled exactly once
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        total = docs.count()
+        assert set(counts) <= {"train", "valid", "test"}
+        assert counts["train"] > 0.6 * total
+        again = deterministic_split(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        diff = (
+            out.select("doc_id", "split")
+            .exceptAll(again.select("doc_id", "split"))
+            .count()
+        )
+        assert diff == 0
+
+    def test_bucket_range(self, docs):
+        vals = docs.select(hash_bucket(F.col("doc_id")).alias("b")).agg(
+            F.min("b"), F.max("b")
+        ).collect()[0]
+        assert vals[0] >= 0 and vals[1] < 10_000
