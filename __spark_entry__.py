@@ -1021,6 +1021,34 @@ def _sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
 
 
+def _mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing (rows-only: deterministic fake codec —
+    the mapInPandas schema/batch contract is the tested surface)."""
+    from aqueducts_spark.operators.multimodal import decode_image
+
+    _views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 200)
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    )
+    return decode_image(docs, "payload", "doc_id", resize_to=(4, 4))
+
+
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (rows-only: deterministic fake
+    demuxer; one-to-many mapInPandas)."""
+    from aqueducts_spark.operators.multimodal import sample_video_frames
+
+    _views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    )
+    return sample_video_frames(docs, "payload", "doc_id", every_ms=1000)
+
+
 def _mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1157,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _sim_ivf_topk,
         "mm_byte_stats": _mm_byte_stats,
         "mm_byte_histogram": _mm_byte_histogram,
+        "mm_decode_image": _mm_decode_image,
+        "mm_frame_sample": _mm_frame_sample,
         "pl_pipeline_yaml": _pl_pipeline,
     }
 

@@ -136,31 +136,132 @@ def byte_histogram_features(
     return out.withColumnRenamed("__id", id_col)
 
 
-def decode_image(
-    df: DataFrame, payload_col: str, resize_to: Optional[tuple[int, int]] = None
-) -> DataFrame:
-    """Decode an image payload column to pixel arrays (and optionally
-    resize).
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("__id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
 
-    STUB: this environment ships no image codec (no PIL/opencv). The
-    Spark-side contract is final — binary in, ``array<float>`` pixels +
-    width/height out, via ``mapInPandas`` exactly like
-    :func:`byte_histogram_features` — but calling it raises until a
-    codec library is installed."""
-    raise NotImplementedError(
-        "image decoding requires an image codec library (PIL/opencv), "
-        "not available in this environment; see byte_histogram_features "
-        "for the identical mapInPandas plumbing with a real body"
-    )
+
+def _fake_image_codec(data: bytes):
+    """Deterministic stand-in for a real image decoder (no PIL/opencv in
+    this environment — CODEC SWAP POINT, clearly marked).
+
+    Derives a small grayscale "image" purely from the payload bytes:
+    dimensions from the first bytes, pixels by tiling the payload.
+    Pure function of the input ⇒ tests can assert exact values."""
+    import numpy as np
+
+    if not data:
+        raise NotImplementedError("empty payload: nothing to decode")
+    w = 4 + (data[0] % 5)
+    h = 4 + (data[len(data) // 2] % 5)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    tiled = np.resize(buf, w * h).astype(np.float32) / 255.0
+    return w, h, tiled.reshape(h, w)
+
+
+def _resize_nearest(img, to_w: int, to_h: int):
+    """Nearest-neighbor resize (real logic, codec-independent)."""
+    import numpy as np
+
+    h, w = img.shape
+    rows = (np.arange(to_h) * h // to_h).clip(0, h - 1)
+    cols = (np.arange(to_w) * w // to_w).clip(0, w - 1)
+    return img[np.ix_(rows, cols)]
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    resize_to: Optional[tuple[int, int]] = None,
+    codec=None,
+) -> DataFrame:
+    """Decode an image payload column to pixel arrays, optionally
+    resized — full ``mapInPandas`` plumbing (schema, Arrow batching,
+    partition independence) with a pluggable codec.
+
+    ``codec(bytes) -> (width, height, ndarray[h, w])``. The default is
+    a deterministic fake (:func:`_fake_image_codec`) because no image
+    library ships in this environment; swap in
+    ``lambda b: PIL_decode(b)`` and nothing else changes. Output:
+    ``(id, width, height, pixels: array<float>)`` row-major."""
+    decode = codec or _fake_image_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                w, h, img = decode(bytes(payload))
+                if resize_to is not None:
+                    w, h = resize_to
+                    img = _resize_nearest(img, w, h)
+                rows.append((_id, w, h, [float(p) for p in img.ravel()]))
+            yield pd.DataFrame(rows, columns=["__id", "width", "height", "pixels"])
+            rows = []
+
+    out = df.select(
+        F.col(id_col).cast("long").alias(id_col), payload_col
+    ).mapInPandas(run, schema=_DECODE_SCHEMA)
+    return out.withColumnRenamed("__id", id_col)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("__id", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_video_codec(data: bytes):
+    """Deterministic stand-in for a video demuxer (CODEC SWAP POINT):
+    duration proportional to payload size, each frame a content-derived
+    digest. ``codec(bytes) -> (duration_ms, frame_at(ms) -> bytes)``."""
+    import hashlib
+
+    duration_ms = max(1, len(data)) * 10
+
+    def frame_at(ms: int) -> bytes:
+        return hashlib.md5(data + ms.to_bytes(8, "big")).digest()
+
+    return duration_ms, frame_at
 
 
 def sample_video_frames(
-    df: DataFrame, payload_col: str, every_ms: int = 1000
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_ms: int = 1000,
+    codec=None,
 ) -> DataFrame:
-    """Sample frames from video payloads every ``every_ms``.
+    """Sample one frame every ``every_ms`` from each video payload —
+    a one-to-many ``mapInPandas`` (each input row yields
+    duration/every_ms output rows), the shape a real ffmpeg-backed
+    sampler would keep unchanged.
 
-    STUB: no media codec in this environment (see :func:`decode_image`)."""
-    raise NotImplementedError(
-        "video frame sampling requires a media codec library, "
-        "not available in this environment"
-    )
+    Output: ``(id, frame_ms, frame: binary)``."""
+    demux = codec or _fake_video_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                duration_ms, frame_at = demux(bytes(payload))
+                for ms in range(0, duration_ms, every_ms):
+                    rows.append((_id, ms, frame_at(ms)))
+            yield pd.DataFrame(rows, columns=["__id", "frame_ms", "frame"])
+
+    out = df.select(
+        F.col(id_col).cast("long").alias(id_col), payload_col
+    ).mapInPandas(run, schema=_FRAME_SCHEMA)
+    return out.withColumnRenamed("__id", id_col)

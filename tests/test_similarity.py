@@ -114,11 +114,53 @@ def test_attach_binary_payload_schema(spark):
     assert row.n_bytes > 0 and row.width is None
 
 
-def test_decode_stubs_raise(spark):
-    from aqueducts_spark.operators.multimodal import decode_image, sample_video_frames
+def test_decode_image_plumbing(spark):
+    """Full mapInPandas plumbing with the deterministic fake codec:
+    schema, per-row determinism, resize."""
+    from aqueducts_spark.operators.multimodal import (
+        _fake_image_codec,
+        decode_image,
+    )
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(docs, "payload")
-    with pytest.raises(NotImplementedError, match="codec"):
-        sample_video_frames(docs, "payload")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(8)
+        .withColumn("payload", F.encode("text", "UTF-8"))
+    )
+    out = decode_image(docs, "payload", "doc_id").collect()
+    assert len(out) == 8
+    by_id = {r.doc_id: r for r in out}
+    probe = docs.select("doc_id", "payload").first()
+    w, h, img = _fake_image_codec(bytes(probe.payload))
+    got = by_id[probe.doc_id]
+    assert (got.width, got.height) == (w, h)
+    assert len(got.pixels) == w * h
+    assert got.pixels[0] == pytest.approx(float(img.ravel()[0]))
+
+    resized = decode_image(docs, "payload", "doc_id", resize_to=(3, 2)).collect()
+    assert all(r.width == 3 and r.height == 2 and len(r.pixels) == 6 for r in resized)
+
+
+def test_sample_video_frames_plumbing(spark):
+    """One-to-many frame sampling: row counts follow duration/every_ms,
+    frames are content-deterministic."""
+    from aqueducts_spark.operators.multimodal import (
+        _fake_video_codec,
+        sample_video_frames,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(3)
+        .withColumn("payload", F.encode("text", "UTF-8"))
+    )
+    out = sample_video_frames(docs, "payload", "doc_id", every_ms=500).collect()
+    probe = docs.select("doc_id", "payload").first()
+    duration_ms, frame_at = _fake_video_codec(bytes(probe.payload))
+    expected_frames = len(range(0, duration_ms, 500))
+    mine = sorted(
+        (r.frame_ms, bytes(r.frame)) for r in out if r.doc_id == probe.doc_id
+    )
+    assert len(mine) == expected_frames
+    assert mine[0] == (0, frame_at(0))
+    assert mine[1][0] == 500
