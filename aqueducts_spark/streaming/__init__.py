@@ -1,6 +1,8 @@
 from .ops import (
+    dedup_stream,
     file_stream_source,
     run_available_now,
+    running_counts_stream,
     sessionize_stream,
     windowed_aggregate,
 )
@@ -10,4 +12,6 @@ __all__ = [
     "windowed_aggregate",
     "sessionize_stream",
     "run_available_now",
+    "dedup_stream",
+    "running_counts_stream",
 ]

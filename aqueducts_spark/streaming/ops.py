@@ -125,3 +125,87 @@ def run_available_now(
     spark = df.sparkSession
     rows = spark.table(name).collect()
     return rows
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch exact dedup — only
+    the FIRST row ever seen for each key survives, no matter how many
+    micro-batches (or days) apart duplicates arrive.
+
+    Built on ``applyInPandasWithState``: state is one boolean per key in
+    the state store, so memory is O(distinct keys), partitioned by key
+    hash like any shuffle — the 100 TB contract. In production add a
+    TTL by fingerprint horizon if unbounded key cardinality is a
+    concern.
+
+    The batch twin is ``operators/dedup.py::exact_dedup``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+    columns = df.columns
+
+    def keep_first(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdf_iter:  # drain: all duplicates
+                pass
+            yield pd.DataFrame(columns=columns)
+            return
+        first = None
+        for pdf in pdf_iter:
+            if first is None and len(pdf):
+                first = pdf.head(1)
+        state.update((True,))
+        yield first if first is not None else pd.DataFrame(columns=columns)
+
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandasWithState(
+            keep_first,
+            outputStructType=out_schema,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_counts_stream(
+    df: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Custom stateful operator: a running total per key across the
+    whole stream (state = one long per key), emitted once per
+    micro-batch in which the key appears. Demonstrates accumulating
+    state with ``applyInPandasWithState`` where the built-in windowed
+    aggregates don't fit (no window: an all-time counter)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = list(key_cols) + ["running_count"]
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*key_cols).dtypes] + ["running_count bigint"]
+    )
+
+    def count_all(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame([tuple(key) + (total,)], columns=out_cols)
+
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandasWithState(
+            count_all,
+            outputStructType=out_schema,
+            stateStructType="total bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -69,3 +69,69 @@ def test_sessionize_stream(spark, stream_dir, tmp_path):
     # user 1: two sessions (2 events, then 1); user 2: one merged session
     assert sorted(per_user[1]) == [(1, 3.0), (2, 3.0)]
     assert per_user[2] == [(2, 9.0)]
+
+
+def _two_batch_dir(spark, tmp_path):
+    """Two separate parquet files -> maxFilesPerTrigger=1 forces two
+    micro-batches, so cross-batch state is actually exercised."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stateful_src"
+    b1 = [(1, "2024-01-01 00:01:00", 1.0), (2, "2024-01-01 00:02:00", 2.0)]
+    b2 = [(1, "2024-01-01 01:00:00", 9.0), (3, "2024-01-01 01:01:00", 3.0)]
+    for i, rows in enumerate([b1, b2]):
+        df = spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+        )
+        df.coalesce(1).write.parquet(str(src / f"batch{i}"))
+    # flatten: streaming source needs one dir of files
+    import glob, shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import os, time
+
+    now = time.time()
+    for j, f in enumerate(sorted(glob.glob(str(src / "batch*" / "*.parquet")))):
+        dst = flat / f"{j:02d}.parquet"
+        shutil.copy(f, dst)
+        # the file stream orders micro-batches by modification time:
+        # make it explicit so batch0 really arrives first
+        os.utime(dst, (now + j * 10, now + j * 10))
+    return str(flat)
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    from aqueducts_spark.streaming import dedup_stream, file_stream_source, run_available_now
+
+    path = _two_batch_dir(spark, tmp_path)
+    stream = file_stream_source(
+        spark, path, "parquet", parse_fields(SCHEMA),
+        options={"maxFilesPerTrigger": "1"},
+    )
+    out = dedup_stream(stream, ["user_id"])
+    rows = run_available_now(out, str(tmp_path / "ckpt_dedup"))
+    by_user = {r.user_id: r.value for r in rows}
+    # user 1 appears in both micro-batches; only the first survives
+    assert by_user == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_running_counts_stream(spark, tmp_path):
+    from aqueducts_spark.streaming import (
+        file_stream_source,
+        run_available_now,
+        running_counts_stream,
+    )
+
+    path = _two_batch_dir(spark, tmp_path)
+    stream = file_stream_source(
+        spark, path, "parquet", parse_fields(SCHEMA),
+        options={"maxFilesPerTrigger": "1"},
+    )
+    out = running_counts_stream(stream, ["user_id"])
+    rows = run_available_now(out, str(tmp_path / "ckpt_counts"), output_mode="update")
+    # final state: user 1 counted in both batches
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.running_count)
+    assert final == {1: 2, 2: 1, 3: 1}
