@@ -521,6 +521,39 @@ GROUP BY 1, 2
 """
 
 
+# ordered string aggregation (SURVEY §2.B aggregation row:
+# string_agg/array_agg): deterministic via explicit intra-group order
+Q29_SPARK = """
+SELECT n_regionkey,
+       string_agg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+       sort_array(array_agg(n_nationkey)) AS keys,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+Q29_DUCK = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS names,
+       array_agg(n_nationkey ORDER BY n_nationkey) AS keys,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+# GROUPING SETS + grouping() markers (SURVEY §2.B grouping-sets row;
+# q04 covers ROLLUP) — same SQL text runs on both engines
+Q30_SPARK = """
+SELECT c_mktsegment,
+       CAST(c_nationkey % 3 AS BIGINT) AS nk3,
+       CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+       CAST(grouping(c_nationkey % 3) AS BIGINT) AS g_nk,
+       COUNT(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 3), ())
+"""
+
+
 def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
 
@@ -1166,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_stats_aggs": _sql(Q26_SPARK),
         "q27_recursive_cte": _sql(Q27_SPARK),
         "q28_date_bin": _q28_date_bin,
+        "q29_string_agg": _sql(Q29_SPARK),
+        "q30_grouping_sets": _sql(Q30_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1221,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         "q26_stats_aggs": Q26_SPARK,
         "q27_recursive_cte": Q27_DUCK,
         "q28_date_bin": Q28_DUCK,
+        "q29_string_agg": Q29_DUCK,
+        "q30_grouping_sets": Q30_SPARK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
