@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "op_minhash_pairs",
     "op_simhash",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "op_hash_sample",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]
