@@ -184,16 +184,31 @@ def minhash_candidate_pairs(
     uniform md5 so there is no planner-visible skew.
     """
     banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
+    # Pairs via per-bucket combination instead of a self-join: a
+    # self-join recomputes the whole signature lineage for each side
+    # (no ReusedExchange — the sides differ by alias), doubling the
+    # md5-over-shingles work. One groupBy collects each bucket's
+    # (tiny, by LSH design) sorted member list and emits the i<j
+    # combinations with array expressions — half the compute, one
+    # fewer shuffle. A degenerate bucket (everything identical) is
+    # quadratic either way; LSH bucket sizes are the feasibility
+    # contract.
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
