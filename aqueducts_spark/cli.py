@@ -1,11 +1,12 @@
 """Command-line runner: ``python -m aqueducts_spark.cli run -f p.yml -p k=v``.
 
 Mirrors the reference CLI surface (aqueducts-cli/src/main.rs:120-144):
-``run`` executes a pipeline file with ``--param`` substitutions. Remote
-execution (the reference's websocket executor) is out of scope here —
-on Spark the equivalent deployment is ``spark-submit`` / Spark Connect
-against a cluster, which this entry point supports unchanged because it
-only asks for a ``SparkSession``.
+``run`` executes a pipeline file locally or — with ``--executor`` — on
+a remote executor (templating happens client-side, like the reference's
+remote_exec.rs:21-23); ``cancel`` aborts a queued/running remote
+execution; ``serve`` starts the executor itself. Local cluster
+deployment needs no dedicated mode: the entry point only asks for a
+``SparkSession``, so ``spark-submit`` / Spark Connect work unchanged.
 """
 
 from __future__ import annotations
@@ -24,10 +25,79 @@ def _parse_params(pairs: list[str]) -> dict[str, str]:
     return out
 
 
+def _parse_hostport(s: str) -> tuple[str, int]:
+    host, _, port = s.rpartition(":")
+    if not host or not port.isdigit():
+        raise SystemExit(f"--executor must be host:port, got: {s}")
+    return host, int(port)
+
+
+def _cmd_run(args) -> int:
+    params = _parse_params(args.param)
+    if args.executor:
+        from pathlib import Path
+
+        from .executor.client import submit_pipeline
+
+        host, port = _parse_hostport(args.executor)
+        path = Path(args.file)
+        fmt = path.suffix.lstrip(".").replace("yml", "yaml") or "yaml"
+        final = submit_pipeline(
+            host,
+            port,
+            path.read_text(),
+            params=params,
+            fmt=fmt,
+            on_message=lambda m: print(m, file=sys.stderr),
+        )
+        for stage, text in final.get("outputs", {}).items():
+            print(f"--- {stage} ---\n{text}")
+        return 0 if final.get("type") == "succeeded" else 1
+
+    from . import load_pipeline, run_pipeline
+    from .progress import LoggingTracker
+    from .session import get_spark
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    pipeline = load_pipeline(args.file, params)
+    spark = get_spark("aqueducts-spark-cli", master=args.master)
+    try:
+        result = run_pipeline(spark, pipeline, LoggingTracker())
+        if args.show_result and result.result is not None:
+            result.result.show(50, truncate=False)
+    finally:
+        spark.stop()
+    return 0
+
+
+def _cmd_cancel(args) -> int:
+    from .executor.client import cancel_execution
+
+    host, port = _parse_hostport(args.executor)
+    cancel_execution(host, port, args.id)
+    print(f"cancel requested for {args.id}")
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    from .executor.server import run_server
+    from .session import get_spark
+
+    spark = get_spark("aqueducts-spark-executor", master=args.master)
+    try:
+        run_server(spark, host=args.host, port=args.port)
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="aqueducts-spark")
     sub = parser.add_subparsers(dest="command", required=True)
-    run_p = sub.add_parser("run", help="execute a pipeline file")
+
+    run_p = sub.add_parser("run", help="execute a pipeline file (local or remote)")
     run_p.add_argument("--file", "-f", required=True, help="pipeline YAML/JSON/TOML")
     run_p.add_argument(
         "--param", "-p", action="append", default=[], help="template param key=value"
@@ -36,25 +106,28 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument(
         "--show-result", action="store_true", help="print the final stage result"
     )
+    run_p.add_argument(
+        "--executor",
+        default=None,
+        help="host:port of a running executor — submit remotely instead of running locally",
+    )
+
+    cancel_p = sub.add_parser("cancel", help="cancel a remote execution")
+    cancel_p.add_argument("--executor", required=True, help="host:port of the executor")
+    cancel_p.add_argument("--id", required=True, help="execution id to cancel")
+
+    serve_p = sub.add_parser("serve", help="start the remote executor")
+    serve_p.add_argument("--host", default="127.0.0.1")
+    serve_p.add_argument("--port", type=int, default=8765)
+    serve_p.add_argument("--master", default=None, help="Spark master (default local[*])")
+
     args = parser.parse_args(argv)
-
     if args.command == "run":
-        from . import load_pipeline, run_pipeline
-        from .progress import LoggingTracker
-        from .session import get_spark
-
-        import logging
-
-        logging.basicConfig(level=logging.INFO, format="%(message)s")
-        pipeline = load_pipeline(args.file, _parse_params(args.param))
-        spark = get_spark("aqueducts-spark-cli", master=args.master)
-        try:
-            result = run_pipeline(spark, pipeline, LoggingTracker())
-            if args.show_result and result.result is not None:
-                result.result.show(50, truncate=False)
-        finally:
-            spark.stop()
-        return 0
+        return _cmd_run(args)
+    if args.command == "cancel":
+        return _cmd_cancel(args)
+    if args.command == "serve":
+        return _cmd_serve(args)
     return 1
 
 

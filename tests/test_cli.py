@@ -1,0 +1,86 @@
+"""CLI surface: arg parsing + remote run/cancel against a live executor
+(reference CLI parity: aqueducts-cli/src/main.rs run/cancel)."""
+
+import asyncio
+import threading
+
+import pytest
+
+from aqueducts_spark.cli import _parse_hostport, _parse_params, main
+from aqueducts_spark.executor.server import ExecutorServer
+
+
+def test_parse_params():
+    assert _parse_params(["a=1", "b=x=y"]) == {"a": "1", "b": "x=y"}
+    with pytest.raises(SystemExit):
+        _parse_params(["novalue"])
+
+
+def test_parse_hostport():
+    assert _parse_hostport("localhost:8765") == ("localhost", 8765)
+    with pytest.raises(SystemExit):
+        _parse_hostport("nocolon")
+
+
+@pytest.fixture()
+def server(spark):
+    holder = {}
+    started = threading.Event()
+
+    def run():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        srv = ExecutorServer(spark)
+        holder["loop"] = loop
+        holder["srv"] = srv
+        loop.run_until_complete(srv.start())
+        holder["port"] = srv.port
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(10)
+    yield holder
+    loop = holder["loop"]
+    asyncio.run_coroutine_threadsafe(holder["srv"].stop(), loop)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_cli_remote_run(server, tmp_path, capsys):
+    yml = tmp_path / "p.yml"
+    yml.write_text(
+        """
+sources:
+  - type: file
+    name: cli_nation
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/nation.parquet
+stages:
+  - name: cli_counts
+    query: SELECT n_regionkey, count(*) AS n FROM cli_nation GROUP BY n_regionkey
+    show: ${n}
+"""
+    )
+    rc = main(
+        [
+            "run",
+            "-f",
+            str(yml),
+            "-p",
+            "n=2",
+            "--executor",
+            f"127.0.0.1:{server['port']}",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cli_counts" in out and "n_regionkey" in out
+
+
+def test_cli_cancel_unknown_id_is_noop(server, capsys):
+    rc = main(
+        ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", "nope"]
+    )
+    assert rc == 0
+    assert "cancel requested" in capsys.readouterr().out
