@@ -190,7 +190,9 @@ def parse_source(raw: dict[str, Any]) -> Source:
     cls = _SOURCE_TYPES.get(t)
     if cls is None:
         raise ValueError(f"unknown source type: {raw.get('type')!r}")
-    return cls.model_validate(raw)
+    # old-format configs tag variants in PascalCase ("File", "Csv") —
+    # the reference aliases them (schemas/tests/integration.rs:10-47)
+    return cls.model_validate({**raw, "type": t})
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +386,7 @@ def parse_destination(raw: dict[str, Any]) -> Destination:
     cls = _DEST_TYPES.get(t)
     if cls is None:
         raise ValueError(f"unknown destination type: {raw.get('type')!r}")
-    return cls.model_validate(raw)
+    return cls.model_validate({**raw, "type": t})
 
 
 # ---------------------------------------------------------------------------

@@ -287,10 +287,15 @@ def parse_fields(raw: list) -> list[Field]:
             continue
         if not isinstance(item, dict):
             raise TypeParseError(f"Field entry must be a mapping, got: {item!r}")
+        # old-format field dicts say "type" instead of "data_type" (and
+        # carry an ignored "metadata" map) — reference keeps the alias
+        dtype = item.get("data_type", item.get("type"))
+        if dtype is None:
+            raise TypeParseError(f"Field entry missing data_type: {item!r}")
         out.append(
             Field(
                 name=item["name"],
-                data_type=str(item["data_type"]),
+                data_type=str(dtype),
                 nullable=bool(item.get("nullable", True)),
                 description=item.get("description"),
             )
