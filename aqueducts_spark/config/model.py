@@ -322,6 +322,18 @@ class ReplaceCondition(_Base):
     column: str
     value: str
 
+    @field_validator("value", mode="before")
+    @classmethod
+    def _coerce_value(cls, v: Any) -> str:
+        """YAML parses unquoted dates/numbers as typed scalars; the
+        reference predicate compares them as strings
+        (delta/src/lib.rs:365-375 build_replace_predicate)."""
+        import datetime
+
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v if isinstance(v, str) else str(v)
+
 
 class DeltaWriteMode(_Base):
     """{operation: append | upsert | replace, params: ...}."""

@@ -224,7 +224,17 @@ class VersionedParquetTable:
                 schema = T.StructType.fromJson(meta["schema"])
                 return self.spark.createDataFrame([], schema)
             raise DeltaTableError(f"empty table with no declared schema at {self.root}")
-        return self.spark.read.parquet(*[str(self.root / d) for d in dirs])
+        paths = [str(self.root / d) for d in dirs]
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        # each data dir is its own hive-partition root: a multi-path
+        # read trips Spark's conflicting-directory detection, so read
+        # per-dir (partition discovery works per root) and union —
+        # exactly the add-file union a real Delta snapshot performs
+        out = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(self.spark.read.parquet(p), allowMissingColumns=True)
+        return out
 
     # ----- writes -------------------------------------------------------
     def _write_data_dir(self, df: DataFrame, partition_by: list[str]) -> str:

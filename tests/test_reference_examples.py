@@ -105,3 +105,97 @@ def test_reference_simple_example_runs(spark, tmp_path, monkeypatch):
     assert result.result is not None and result.result.count() > 0
     assert (root / "examples").glob("output_jan_2024.parquet")
     _cleanup(spark, pipeline)
+
+
+DELTA_FIXTURES = (
+    sorted((REF / "aqueducts" / "delta" / "tests" / "data").glob("*.yml"))
+    if REF.exists()
+    else []
+)
+
+
+def _staged_delta_copy(tmp_path) -> Path:
+    import shutil
+
+    data = tmp_path / "tests" / "data"
+    data.mkdir(parents=True)
+    for f in (REF / "aqueducts" / "delta" / "tests" / "data").iterdir():
+        shutil.copy(f, data / f.name)
+    return tmp_path
+
+
+def _run_delta_fixture(spark, root, name, date, run_id):
+    path = root / "tests" / "data" / name
+    pipeline = load_pipeline(
+        path, {"local_path": str(root), "date": date, "run_id": run_id}
+    )
+    run_pipeline(spark, pipeline)
+    _cleanup(spark, pipeline)
+    return pipeline.parsed_destination.location
+
+
+@pytest.mark.skipif(not DELTA_FIXTURES, reason="reference tree not available")
+def test_reference_delta_fixtures_parse(tmp_path):
+    root = _staged_delta_copy(tmp_path)
+    for f in DELTA_FIXTURES:
+        pipeline = load_pipeline(
+            root / "tests" / "data" / f.name,
+            {"local_path": str(root), "date": "2023-05-02", "run_id": "r1"},
+        )
+        assert pipeline.parsed_destination is not None
+
+
+@pytest.mark.skipif(not DELTA_FIXTURES, reason="reference tree not available")
+def test_reference_delta_upsert_fixture_runs_twice(spark, tmp_path):
+    """The reference's own delta-upsert pipeline: running it twice with
+    the same key columns must not duplicate rows (MERGE semantics)."""
+    root = _staged_delta_copy(tmp_path)
+    loc = _run_delta_fixture(
+        spark, root, "aqueduct_pipeline_delta_upsert.yml", "2023-05-02", "u1"
+    )
+    n1 = spark.read.parquet(str(Path(loc) / "data")).count() if (Path(loc) / "data").exists() else None
+    from aqueducts_spark.delta.table import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(loc))
+    n1 = t.read().count()
+    _run_delta_fixture(
+        spark, root, "aqueduct_pipeline_delta_upsert.yml", "2023-05-02", "u1"
+    )
+    n2 = t.read().count()
+    assert n1 == n2 and n1 > 0  # same keys upserted, not appended
+
+
+@pytest.mark.skipif(not DELTA_FIXTURES, reason="reference tree not available")
+def test_reference_delta_append_fixture_accumulates(spark, tmp_path):
+    root = _staged_delta_copy(tmp_path)
+    loc = _run_delta_fixture(
+        spark, root, "aqueduct_pipeline_delta_append.yml", "2023-05-02", "a1"
+    )
+    from aqueducts_spark.delta.table import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(loc))
+    n1 = t.read().count()
+    _run_delta_fixture(
+        spark, root, "aqueduct_pipeline_delta_append.yml", "2023-05-02", "a1"
+    )
+    n2 = t.read().count()
+    assert n2 == 2 * n1 and n1 > 0
+
+
+@pytest.mark.skipif(not DELTA_FIXTURES, reason="reference tree not available")
+def test_reference_delta_replace_fixture_is_idempotent(spark, tmp_path):
+    """replace overwrites only the predicate-matched rows: running the
+    same replace twice leaves the row count unchanged."""
+    root = _staged_delta_copy(tmp_path)
+    loc = _run_delta_fixture(
+        spark, root, "aqueduct_pipeline_delta_replace.yml", "2023-05-02", "r1"
+    )
+    from aqueducts_spark.delta.table import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(loc))
+    n1 = t.read().count()
+    _run_delta_fixture(
+        spark, root, "aqueduct_pipeline_delta_replace.yml", "2023-05-02", "r1"
+    )
+    n2 = t.read().count()
+    assert n1 == n2 and n1 > 0
