@@ -30,7 +30,13 @@ def test_examples_exist():
 
 @pytest.mark.parametrize(
     "name",
-    ["orders_summary.yml", "curation.yml", "delta_upsert.yml", "training_mix.yml"],
+    [
+        "orders_summary.yml",
+        "curation.yml",
+        "delta_upsert.yml",
+        "training_mix.yml",
+        "datafusion_dialect.yml",
+    ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
     path = Path(__file__).parent.parent / "examples" / name
