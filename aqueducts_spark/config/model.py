@@ -274,6 +274,28 @@ class InMemoryDestination(_Base):
     name: str
 
 
+class BucketSpec(_Base):
+    """Spark bucketing for co-located joins/aggregations: rows are
+    hash-bucketed (and optionally sorted) by the given columns at write
+    time, so equi-joins and groupBys on those columns need no shuffle.
+    Spark extension (the reference's DataFusion has no bucketed
+    tables); the table registers in the session catalog under the
+    destination name — point a Hive metastore at the warehouse for
+    cross-session reuse."""
+
+    columns: list[str]
+    buckets: int
+    sort_by: list[str] = PField(default_factory=list)
+
+    @model_validator(mode="after")
+    def _check(self) -> "BucketSpec":
+        if not self.columns:
+            raise ValueError("bucket_by.columns must be non-empty")
+        if self.buckets <= 0:
+            raise ValueError("bucket_by.buckets must be positive")
+        return self
+
+
 class FileDestination(_Base):
     type: Literal["file"] = "file"
     name: str
@@ -281,7 +303,14 @@ class FileDestination(_Base):
     format: DestinationFileType = PField(alias="file_type")
     single_file: bool = True
     partition_columns: list[str] = PField(default_factory=list, alias="partition_cols")
+    bucket_by: Optional[BucketSpec] = None
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+
+    @model_validator(mode="after")
+    def _bucket_rules(self) -> "FileDestination":
+        if self.bucket_by is not None and self.single_file:
+            raise ValueError("bucket_by requires single_file: false")
+        return self
 
 
 class CustomStatements(_Base):

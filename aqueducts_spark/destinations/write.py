@@ -105,6 +105,30 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
         _write_single_file(dest, df, location)
         return
 
+    if dest.bucket_by is not None:
+        # bucketed output must go through saveAsTable (bucket metadata
+        # lives in the catalog); the path option keeps it external
+        spec = dest.bucket_by
+        writer = (
+            df.write.mode("overwrite")
+            .format(fmt.type)
+            .option("path", str(to_local_path(location)) if is_local(location) else location)
+        )
+        if fmt.type == "csv":
+            opts = fmt.parsed
+            writer = writer.option("header", str(opts.has_header).lower()).option(
+                "sep", opts.delimiter
+            )
+        elif fmt.type == "parquet" and fmt.parsed:
+            writer = writer.options(**fmt.parsed)
+        if dest.partition_columns:
+            writer = writer.partitionBy(*dest.partition_columns)
+        writer = writer.bucketBy(spec.buckets, *spec.columns)
+        if spec.sort_by:
+            writer = writer.sortBy(*spec.sort_by)
+        writer.saveAsTable(dest.name)
+        return
+
     writer = df.write.mode("overwrite")
     if dest.partition_columns:
         writer = writer.partitionBy(*dest.partition_columns)
