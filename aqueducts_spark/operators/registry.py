@@ -255,6 +255,33 @@ def _op_cluster_dedup(spark, inp, options):
     )
 
 
+def _op_salted_join(spark, inp, options):
+    from .skew import salted_join
+
+    right_table = options.get("right")
+    if not right_table:
+        raise OperatorError("salted_join operator requires options.right (a table name)")
+    # YAML 1.1 parses a bare `on:` mapping key as boolean True — accept
+    # `key` (canonical), `on`, or that parsed-boolean form
+    join_key = options.get("key") or options.get("on") or options.get(True)
+    if not join_key:
+        raise OperatorError("salted_join operator requires options.key (join column)")
+    return salted_join(
+        inp,
+        spark.table(right_table),
+        on=join_key,
+        how=options.get("how", "inner"),
+        salt_buckets=int(options.get("salt_buckets", 16)),
+        seed_col=options.get("seed_col"),
+    )
+
+
+def _op_skew_profile(spark, inp, options):
+    from .skew import key_skew_profile
+
+    return key_skew_profile(inp, options["key"], top=int(options.get("top", 10)))
+
+
 def _op_byte_stats(spark, inp, options):
     from .multimodal import byte_stats
 
@@ -291,6 +318,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "split": _op_split,
     "connected_components": _op_connected_components,
     "cluster_dedup": _op_cluster_dedup,
+    "salted_join": _op_salted_join,
+    "skew_profile": _op_skew_profile,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
 }
@@ -325,4 +354,6 @@ def referenced_tables(config: dict[str, Any]) -> list[str]:
         out.append(str(options["queries"]))
     if options.get("pairs"):
         out.append(str(options["pairs"]))
+    if options.get("right"):
+        out.append(str(options["right"]))
     return out

@@ -57,3 +57,49 @@ def test_salt_actually_spreads_hot_key(spark, skewed):
         salted.filter(F.col("k") == 1).select("__salt").distinct().count()
     )
     assert n_buckets == 8  # the hot key occupies every salt bucket
+
+
+def test_salted_join_operator_stage(spark, tmp_path):
+    """Declarative salted_join via YAML operator stage."""
+    import textwrap
+
+    from aqueducts_spark import CollectingTracker, load_pipeline_str, run_pipeline
+
+    yml = textwrap.dedent(
+        """
+        sources:
+          - type: file
+            name: sj_orders
+            format: { type: parquet }
+            location: /root/testdata/sf0.001/orders.parquet
+          - type: file
+            name: sj_customer
+            format: { type: parquet }
+            location: /root/testdata/sf0.001/customer.parquet
+        stages:
+          - - name: sj_named
+              query: SELECT c_custkey AS o_custkey, c_name FROM sj_customer
+          - - name: sj_joined
+              operator:
+                type: salted_join
+                input: sj_orders
+                options: { right: sj_named, key: o_custkey, salt_buckets: 4 }
+        destination:
+          type: in_memory
+          name: sj_out
+        """
+    )
+    run_pipeline(spark, load_pipeline_str(yml, "yaml"), CollectingTracker())
+    out = spark.table("sj_out")
+    plain = spark.sql(
+        """
+        SELECT o.*, c.c_name FROM sj_orders o
+        JOIN (SELECT c_custkey AS k, c_name FROM sj_customer) c ON o.o_custkey = c.k
+        """
+    )
+    assert out.count() == plain.count() > 0
+    for v in ("sj_out", "sj_orders", "sj_customer", "sj_named", "sj_joined"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
