@@ -554,6 +554,43 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 3), ())
 """
 
 
+# string-function breadth beyond q09 (SURVEY §2.B string row):
+# split_part, translate, instr/strpos, rpad, trim-with-chars,
+# levenshtein, md5
+Q31_SPARK = """
+SELECT c_custkey,
+       split_part(c_name, '_', 2) AS name_num,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+       CAST(instr(c_name, 'r') AS BIGINT) AS r_pos,
+       rpad(c_mktsegment, 12, '.') AS seg_pad,
+       trim(BOTH 'C' FROM c_mktsegment) AS trimmed,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+       md5(c_name) AS name_md5
+FROM customer WHERE c_custkey <= 500
+"""
+
+Q31_DUCK = Q31_SPARK
+
+# date arithmetic beyond q10: interval add, datediff, last_day, quarter
+Q32_SPARK = """
+SELECT o_orderkey,
+       date_add(o_orderdate, 30) AS due_date,
+       CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS days_since,
+       last_day(o_orderdate) AS month_end,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+Q32_DUCK = """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
 def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
 
@@ -1201,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_date_bin": _q28_date_bin,
         "q29_string_agg": _sql(Q29_SPARK),
         "q30_grouping_sets": _sql(Q30_SPARK),
+        "q31_string_fns2": _sql(Q31_SPARK),
+        "q32_date_arith": _sql(Q32_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1258,6 +1297,8 @@ def oracle_sql() -> dict[str, str]:
         "q28_date_bin": Q28_DUCK,
         "q29_string_agg": Q29_DUCK,
         "q30_grouping_sets": Q30_SPARK,
+        "q31_string_fns2": Q31_DUCK,
+        "q32_date_arith": Q32_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
