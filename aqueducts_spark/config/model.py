@@ -304,12 +304,24 @@ class FileDestination(_Base):
     single_file: bool = True
     partition_columns: list[str] = PField(default_factory=list, alias="partition_cols")
     bucket_by: Optional[BucketSpec] = None
+    # data clustering (Spark extension): range-repartition + sort by
+    # these columns before writing, so each output file covers a tight
+    # min/max range and scans with predicates on them prune whole
+    # files/row-groups (the linear cousin of Delta Z-ORDER)
+    cluster_by: list[str] = PField(default_factory=list)
+    # optional explicit output-file count for cluster_by (default: let
+    # Spark/AQE size the range partitions)
+    cluster_files: Optional[int] = None
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
 
     @model_validator(mode="after")
     def _bucket_rules(self) -> "FileDestination":
         if self.bucket_by is not None and self.single_file:
             raise ValueError("bucket_by requires single_file: false")
+        if self.cluster_by and self.single_file:
+            raise ValueError("cluster_by requires single_file: false")
+        if self.cluster_by and self.bucket_by is not None:
+            raise ValueError("cluster_by and bucket_by are mutually exclusive")
         return self
 
 

@@ -129,6 +129,18 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
         writer.saveAsTable(dest.name)
         return
 
+    if dest.cluster_by:
+        # one range shuffle at write time buys file-level min/max
+        # pruning on every future scan with a cluster-key predicate
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in dest.cluster_by]
+        if dest.cluster_files:
+            df = df.repartitionByRange(dest.cluster_files, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
+
     writer = df.write.mode("overwrite")
     if dest.partition_columns:
         writer = writer.partitionBy(*dest.partition_columns)

@@ -99,3 +99,78 @@ def test_bucket_by_requires_multi_file():
                 "bucket_by": {"columns": ["a"], "buckets": 4},
             }
         )
+
+
+def test_cluster_by_writes_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts before writing: each parquet
+    file covers a tight, (mostly) disjoint min/max range of the cluster
+    key, so predicate scans prune whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aqueducts_spark import CollectingTracker, load_pipeline_str, run_pipeline
+
+    yml = f"""
+sources:
+  - type: file
+    name: cb_orders
+    format: {{ type: parquet }}
+    location: /root/testdata/sf0.001/orders.parquet
+stages:
+  - - name: cb_all
+      query: SELECT * FROM cb_orders
+destination:
+  type: file
+  name: cb_out
+  format: {{ type: parquet }}
+  single_file: false
+  cluster_by: [o_orderdate]
+  cluster_files: 4
+  location: {tmp_path}/clustered
+"""
+    run_pipeline(spark, load_pipeline_str(yml, "yaml"), CollectingTracker())
+    files = sorted(glob.glob(f"{tmp_path}/clustered/*.parquet"))
+    assert len(files) >= 2, "need multiple files to demonstrate clustering"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+    )
+    assert overlaps == 0, f"file date ranges overlap: {ranges}"
+    for v in ("cb_orders", "cb_all"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
+
+
+def test_cluster_by_exclusive_with_bucket_by():
+    import pydantic
+    import pytest as _pytest
+
+    from aqueducts_spark.config.model import FileDestination
+
+    with _pytest.raises(pydantic.ValidationError, match="mutually exclusive"):
+        FileDestination.model_validate(
+            {
+                "type": "file",
+                "name": "x",
+                "location": "/tmp/x",
+                "format": {"type": "parquet"},
+                "single_file": False,
+                "cluster_by": ["a"],
+                "bucket_by": {"columns": ["a"], "buckets": 4},
+            }
+        )
