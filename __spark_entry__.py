@@ -683,6 +683,20 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
 """
 
+# corpus vocabulary: top-N token counts with deterministic tiebreak
+OP_VOCAB_DUCK = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM counts
+ORDER BY n DESC, token ASC
+LIMIT 200
+"""
+
 # deterministic hash sampling: identical md5-bucket predicate in both
 # engines (operators/sampling.py)
 OP_HASH_SAMPLE_DUCK = """
@@ -991,6 +1005,13 @@ def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import vocabulary
+
+    _views(spark, sf_dir)
+    return vocabulary(spark.table("documents"), top_n=200)
+
+
 def _op_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.sampling import hash_sample
 
@@ -1251,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_jaccard_pairs": _op_jaccard,
         "op_hash_sample": _op_hash_sample,
         "op_split_counts": _op_split_counts,
+        "op_vocab_topk": _op_vocab,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1310,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "op_jaccard_pairs": OP_JACCARD_DUCK,
         "op_hash_sample": OP_HASH_SAMPLE_DUCK,
         "op_split_counts": OP_SPLIT_COUNTS_DUCK,
+        "op_vocab_topk": OP_VOCAB_DUCK,
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

@@ -255,6 +255,16 @@ def _op_cluster_dedup(spark, inp, options):
     )
 
 
+def _op_vocabulary(spark, inp, options):
+    from .text import vocabulary
+
+    return vocabulary(
+        inp,
+        text_col=options.get("text_col", "text"),
+        top_n=int(options.get("top_n", 1000)),
+    )
+
+
 def _op_salted_join(spark, inp, options):
     from .skew import salted_join
 
@@ -320,6 +330,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "cluster_dedup": _op_cluster_dedup,
     "salted_join": _op_salted_join,
     "skew_profile": _op_skew_profile,
+    "vocabulary": _op_vocabulary,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
 }

@@ -11,10 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import normalized_tokens
 
 __all__ = [
+    "vocabulary",
     "token_count",
     "bpe_ish_token_count",
     "text_features",
@@ -152,4 +154,36 @@ def fingerprint(text: Column) -> Column:
     normalization; cheap first pass before MinHash."""
     return F.md5(
         F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent normalized tokens
+    with counts and dense ranks (ties broken by token text, so the
+    output is fully deterministic).
+
+    The building block for tokenizer training / frequency-filtered
+    vocab cuts. Plan shape: explode -> partial-aggregated count (one
+    shuffle on uniform token keys) -> global top-n
+    (TakeOrderedAndProject, no full sort). At 100 TB the token-count
+    table is tiny relative to the corpus; the explode never
+    materializes (pipelined into the partial aggregation).
+    """
+    from .dedup import ensure_parallelism, normalized_tokens
+
+    counts = (
+        ensure_parallelism(df)
+        .select(F.explode(normalized_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
