@@ -193,22 +193,19 @@ def minhash_candidate_pairs(
     # fewer shuffle. A degenerate bucket (everything identical) is
     # quadratic either way; LSH bucket sizes are the feasibility
     # contract.
-    ids = F.col("ids")
-    combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # lambda-free pair expansion (nested transform() lambdas cost
+    # seconds of codegen per fresh session): position-explode the
+    # member list, then explode the tail slice after each position —
+    # exactly the i<j combinations
     return (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -72,10 +72,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        # best of 2: first run includes per-query codegen compilation;
-        # min reflects steady-state query time and damps machine noise
+        # best of 3: the first run pays whole-stage-codegen JIT (C2
+        # compilation of md5/agg-heavy queries measured at 5-10s, vs
+        # ~1.5s steady state) and the second can still carry JIT
+        # spillover; min reflects steady-state time and damps noise
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
