@@ -683,6 +683,27 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
 """
 
+# salted join == plain join (skew mitigation must not change results)
+OP_SALTED_JOIN_DUCK = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey <= 5000
+"""
+
+
+def _op_salted_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.skew import salted_join
+
+    _views(spark, sf_dir)
+    big = spark.table("orders").filter(F.col("o_orderkey") <= 5000)
+    small = spark.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(big, small, on="o_custkey", salt_buckets=8).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
 # corpus vocabulary: top-N token counts with deterministic tiebreak
 OP_VOCAB_DUCK = r"""
 WITH toks AS (
@@ -1273,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_hash_sample": _op_hash_sample,
         "op_split_counts": _op_split_counts,
         "op_vocab_topk": _op_vocab,
+        "op_salted_join": _op_salted_join_gate,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1333,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "op_hash_sample": OP_HASH_SAMPLE_DUCK,
         "op_split_counts": OP_SPLIT_COUNTS_DUCK,
         "op_vocab_topk": OP_VOCAB_DUCK,
+        "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

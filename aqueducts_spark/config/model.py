@@ -161,6 +161,10 @@ class OdbcSource(_Base):
     name: str
     load_query: str = PField(alias="query")
     connection_string: str
+    # Spark JDBC reader options passthrough (Spark extension): e.g.
+    # partitionColumn/lowerBound/upperBound/numPartitions for a
+    # parallel partitioned read, fetchsize, sessionInitStatement
+    options: dict[str, str] = PField(default_factory=dict)
 
 
 class DeltaSource(_Base):

@@ -122,14 +122,21 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
 
 def _register_odbc(spark: SparkSession, source: OdbcSource) -> DataFrame:
     """Database source over JDBC; the reference loads eagerly
-    (odbc/src/lib.rs:50-82) so we cache the result view."""
-    df = (
-        spark.read.format("jdbc")
-        .option("url", source.connection_string)
-        .option("query", source.load_query)
-        .load()
-    )
-    return df.cache()
+    (odbc/src/lib.rs:50-82) so we cache the result view.
+
+    Scale path: pass ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` in ``options`` for a parallel partitioned read —
+    Spark requires ``dbtable`` (not ``query``) for that, so the load
+    query is wrapped as a derived table automatically."""
+    opts = dict(source.options)
+    reader = spark.read.format("jdbc").option("url", source.connection_string)
+    if "partitionColumn" in opts:
+        reader = reader.option("dbtable", f"({source.load_query}) aq_subq")
+    else:
+        reader = reader.option("query", source.load_query)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load().cache()
 
 
 def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:

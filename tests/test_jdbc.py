@@ -128,3 +128,28 @@ def test_jdbc_custom_rollback_on_error(spark, derby):
         _write_jdbc_custom(dest, df)
     # the pre_insert DELETE must have rolled back with the failed insert
     assert _fetch_all(spark, "sink_custom2") == [(5, "keep")]
+
+
+def test_jdbc_partitioned_read(spark, derby):
+    """partitionColumn options trigger a parallel partitioned read
+    (query wrapped as dbtable); results identical to the plain read."""
+    yml = f"""
+sources:
+  - type: odbc
+    name: db_part
+    load_query: SELECT id, val FROM readings
+    connection_string: "{URL}"
+    options:
+      partitionColumn: id
+      lowerBound: "0"
+      upperBound: "10"
+      numPartitions: "3"
+stages:
+  - name: jdbc_part_out
+    query: SELECT CAST(count(*) AS BIGINT) AS n FROM db_part
+"""
+    result = run_pipeline(spark, load_pipeline_str(yml))
+    assert result.result.collect()[0].n == spark.table("db_part").count()
+    assert spark.table("db_part").rdd.getNumPartitions() == 3
+    spark.catalog.dropTempView("jdbc_part_out")
+    spark.catalog.dropTempView("db_part")
