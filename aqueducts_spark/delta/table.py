@@ -158,8 +158,12 @@ class VersionedParquetTable:
         table_properties: dict,
         metadata: dict,
     ) -> None:
-        """SaveMode::Ignore create (reference delta/src/lib.rs:141-163)."""
+        """SaveMode::Ignore create, with additive schema migration when
+        the declared schema diverges from the table's (reference
+        delta/src/lib.rs:138-163: merging supports only adding new
+        columns, never changing partitioning or existing types)."""
         if self.exists():
+            self._migrate_schema_if_needed(fields)
             return
         self.root.mkdir(parents=True, exist_ok=True)
         schema_json = json.loads(fields_to_struct(fields).json()) if fields else None
@@ -178,11 +182,45 @@ class VersionedParquetTable:
             },
         )
 
+    def _migrate_schema_if_needed(self, fields: list[Field]) -> None:
+        if not fields:
+            return
+        existing = {f.name: f for f in self.declared_fields()}
+        if not existing:
+            return
+        for f in fields:
+            cur = existing.get(f.name)
+            if cur is not None and cur.data_type != f.data_type:
+                raise DeltaTableError(
+                    f"schema migration cannot change column '{f.name}' from "
+                    f"{cur.data_type} to {f.data_type} (only additions supported)"
+                )
+        added = [f for f in fields if f.name not in existing]
+        if not added:
+            return
+        merged = self.declared_fields() + added
+        meta = self._table_meta()
+        self._commit(
+            "migrate",
+            self._latest()["active_dirs"],
+            {
+                "schema": json.loads(fields_to_struct(merged).json()),
+                "declared_fields": [
+                    {"name": f.name, "data_type": f.data_type, "nullable": f.nullable}
+                    for f in merged
+                ],
+                "partition_columns": meta.get("partition_columns", []),
+                "table_properties": meta.get("table_properties", {}),
+                "metadata": meta.get("metadata", {}),
+            },
+        )
+
     def _table_meta(self) -> dict:
+        meta = {}
         for entry in self._entries():
-            if entry["action"] == "create":
-                return entry
-        return {}
+            if entry["action"] in ("create", "migrate"):
+                meta = entry
+        return meta
 
     def declared_fields(self) -> list[Field]:
         meta = self._table_meta()
@@ -226,14 +264,36 @@ class VersionedParquetTable:
             raise DeltaTableError(f"empty table with no declared schema at {self.root}")
         paths = [str(self.root / d) for d in dirs]
         if len(paths) == 1:
-            return self.spark.read.parquet(paths[0])
-        # each data dir is its own hive-partition root: a multi-path
-        # read trips Spark's conflicting-directory detection, so read
-        # per-dir (partition discovery works per root) and union —
-        # exactly the add-file union a real Delta snapshot performs
-        out = self.spark.read.parquet(paths[0])
-        for p in paths[1:]:
-            out = out.unionByName(self.spark.read.parquet(p), allowMissingColumns=True)
+            out = self.spark.read.parquet(paths[0])
+        else:
+            # each data dir is its own hive-partition root: a multi-path
+            # read trips Spark's conflicting-directory detection, so read
+            # per-dir (partition discovery works per root) and union —
+            # exactly the add-file union a real Delta snapshot performs
+            out = self.spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                out = out.unionByName(
+                    self.spark.read.parquet(p), allowMissingColumns=True
+                )
+        # schema-on-read: columns added by migration after a file was
+        # written surface as nulls (the snapshot's schema, not the
+        # file's)
+        declared = [
+            Field(
+                name=f["name"],
+                data_type=f["data_type"],
+                nullable=f.get("nullable", True),
+            )
+            for e in entries
+            if e["action"] in ("create", "migrate") and e["version"] <= snapshot["version"]
+            for f in e.get("declared_fields", [])
+        ]
+        latest_meta: dict[str, Field] = {}
+        for f in declared:
+            latest_meta[f.name] = f
+        for name, f in latest_meta.items():
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast(f.spark_type))
         return out
 
     # ----- writes -------------------------------------------------------

@@ -140,3 +140,38 @@ destination:
     assert rows[("2023-05-07", "DE")][0] == 2
     spark.catalog.dropTempView("agg")
     spark.catalog.dropTempView("example")
+
+
+def test_schema_migration_adds_columns(spark, tmp_path):
+    """create_if_absent on an existing table merges NEW columns
+    (reference delta/src/lib.rs:138-140: additive migrations only);
+    rows written before the migration read back with nulls."""
+    from aqueducts_spark.delta.table import DeltaTableError, VersionedParquetTable
+    from aqueducts_spark.types import parse_fields
+
+    loc = str(tmp_path / "mig")
+    t = VersionedParquetTable(spark, loc)
+    v1 = parse_fields(
+        [{"name": "id", "data_type": "int64"}, {"name": "v", "data_type": "string"}]
+    )
+    t.create_if_absent(v1, [], {}, {})
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+
+    v2 = v1 + parse_fields([{"name": "extra", "data_type": "float64"}])
+    t.create_if_absent(v2, [], {}, {})  # migrate, not error
+    assert [f.name for f in t.declared_fields()] == ["id", "v", "extra"]
+
+    t.append(
+        spark.createDataFrame([(2, "b", 1.5)], ["id", "v", "extra"])
+    )
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[1].extra is None and rows[2].extra == 1.5
+
+    # type changes are rejected
+    bad = parse_fields(
+        [{"name": "id", "data_type": "string"}, {"name": "v", "data_type": "string"}]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaTableError, match="cannot change column"):
+        t.create_if_absent(bad, [], {}, {})
