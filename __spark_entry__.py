@@ -554,6 +554,20 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 3), ())
 """
 
 
+# multiset (ALL) set operations — q05 covers the DISTINCT forms; the
+# same SQL runs on both engines
+Q33_SPARK = """
+(
+  (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+   UNION ALL
+   SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier)
+  INTERSECT ALL
+  SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+)
+EXCEPT ALL
+SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+"""
+
 # string-function breadth beyond q09 (SURVEY §2.B string row):
 # split_part, translate, instr/strpos, rpad, trim-with-chars,
 # levenshtein, md5
@@ -1282,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_grouping_sets": _sql(Q30_SPARK),
         "q31_string_fns2": _sql(Q31_SPARK),
         "q32_date_arith": _sql(Q32_SPARK),
+        "q33_set_ops_all": _sql(Q33_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1343,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "q30_grouping_sets": Q30_SPARK,
         "q31_string_fns2": Q31_DUCK,
         "q32_date_arith": Q32_DUCK,
+        "q33_set_ops_all": Q33_SPARK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
