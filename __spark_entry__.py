@@ -672,19 +672,26 @@ shingled AS (
 )
 """
 
+# Carter-Wegman family mirroring operators/dedup.py::_minhash_signature:
+# one md5 per shingle (top 32 bits), k mixes (2s+1)*h + s^2+1 mod 2^61-1
+_MIX_P = (1 << 61) - 1
+
 _DUCK_BANDS = f"""
 WITH {_DUCK_SHINGLES},
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
-seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, {_MINHASH_HASHES - 1})) AS seed FROM exploded),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM exploded
+),
+seeded AS (SELECT doc_id, h, unnest(generate_series(0, {_MINHASH_HASHES - 1})) AS seed FROM hashed),
 sigs AS (
   SELECT doc_id, seed,
-         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+         MIN(((2 * seed + 1) * h + seed * seed + 1) % {_MIX_P}) AS minhash
   FROM seeded GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id,
          CAST(floor(seed / {_MINHASH_HASHES // _MINHASH_BANDS}) AS BIGINT) AS band,
-         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
   FROM sigs GROUP BY doc_id, CAST(floor(seed / {_MINHASH_HASHES // _MINHASH_BANDS}) AS BIGINT)
 )
 """

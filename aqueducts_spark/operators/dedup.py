@@ -108,6 +108,12 @@ def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
     )
 
 
+# Mersenne-prime modulus for the Carter-Wegman hash family; the
+# per-seed multipliers/offsets are (2*seed+1, seed^2+1) so any engine
+# can reproduce the family from the seed alone
+_MIX_P = (1 << 61) - 1
+
+
 def _minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
@@ -126,13 +132,22 @@ def _minhash_signature(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    # universal hashing: ONE md5 per shingle, then k cheap
+    # multiply-add-mod mixes (Carter-Wegman) instead of k md5s — 16x
+    # less hashing CPU and far smaller generated code. h is the md5's
+    # top 32 bits so a*h+b stays well inside int64 (ANSI-safe, and
+    # identical arithmetic in the DuckDB oracle).
+    hashed = exploded.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    )
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")))).alias(
-            f"mh{seed}"
-        )
+        F.min(
+            (F.lit(2 * seed + 1) * F.col("h") + F.lit(seed * seed + 1))
+            % F.lit(_MIX_P)
+        ).alias(f"mh{seed}")
         for seed in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(
