@@ -725,6 +725,81 @@ def _op_salted_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# as-of join: for each purchase, the latest click by the same user at
+# or before the purchase instant (DuckDB ASOF LEFT JOIN is the oracle;
+# the Spark side is the union+window encoding in operators/temporal.py)
+OP_ASOF_JOIN_DUCK = """
+WITH ev AS (
+  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+),
+p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       epoch_us(c.ts) AS matched_us,
+       c.value AS matched_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _op_asof_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.temporal import asof_join
+
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("matched_ts")).alias("matched_us"),
+        F.col("matched_value"),
+    )
+
+
+# range join: clicks in the 24h window before each purchase, encoded as
+# a bucketed equi-join (operators/temporal.py::range_join); the oracle
+# is the plain inequality join DuckDB's IEJoin handles at small SF
+OP_RANGE_JOIN_DUCK = """
+WITH ev AS (
+  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+),
+p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+SELECT p.event_id,
+       COUNT(c.ts) AS n_clicks,
+       CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(12,2))), 0) AS DOUBLE) AS click_value
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts <= p.ts
+GROUP BY p.event_id
+"""
+
+
+def _op_range_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.temporal import range_join
+
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts", "value")
+    joined = range_join(
+        purchases, clicks, left_ts="ts", right_ts="ts",
+        lower_seconds=-24 * 3600, upper_seconds=0, on=["user_id"],
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("r_ts").alias("n_clicks"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(12,2)")), F.lit(0)
+        ).cast("double").alias("click_value"),
+    )
+
+
 # corpus vocabulary: top-N token counts with deterministic tiebreak
 OP_VOCAB_DUCK = r"""
 WITH toks AS (
@@ -1317,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_split_counts": _op_split_counts,
         "op_vocab_topk": _op_vocab,
         "op_salted_join": _op_salted_join_gate,
+        "op_asof_join": _op_asof_join_gate,
+        "op_range_join": _op_range_join_gate,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1379,6 +1456,8 @@ def oracle_sql() -> dict[str, str]:
         "op_split_counts": OP_SPLIT_COUNTS_DUCK,
         "op_vocab_topk": OP_VOCAB_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,
+        "op_asof_join": OP_ASOF_JOIN_DUCK,
+        "op_range_join": OP_RANGE_JOIN_DUCK,
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

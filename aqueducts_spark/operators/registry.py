@@ -286,6 +286,56 @@ def _op_salted_join(spark, inp, options):
     )
 
 
+def _op_asof_join(spark, inp, options):
+    from .temporal import asof_join
+
+    right_table = options.get("right")
+    if not right_table:
+        raise OperatorError("asof_join operator requires options.right (a table name)")
+    keys = options.get("key") or options.get("on") or options.get(True)
+    if not keys:
+        raise OperatorError("asof_join operator requires options.key (join column(s))")
+    if isinstance(keys, str):
+        keys = [keys]
+    value_cols = options.get("value_cols")
+    if not value_cols:
+        raise OperatorError("asof_join operator requires options.value_cols")
+    tol = options.get("tolerance_seconds")
+    return asof_join(
+        inp,
+        spark.table(right_table),
+        on=keys,
+        left_ts=options.get("left_ts", "ts"),
+        right_ts=options.get("right_ts", "ts"),
+        value_cols=value_cols,
+        tolerance_seconds=float(tol) if tol is not None else None,
+    )
+
+
+def _op_range_join(spark, inp, options):
+    from .temporal import range_join
+
+    right_table = options.get("right")
+    if not right_table:
+        raise OperatorError("range_join operator requires options.right (a table name)")
+    if "lower_seconds" not in options or "upper_seconds" not in options:
+        raise OperatorError(
+            "range_join operator requires options.lower_seconds and options.upper_seconds"
+        )
+    keys = options.get("key") or options.get("on") or options.get(True) or []
+    if isinstance(keys, str):
+        keys = [keys]
+    return range_join(
+        inp,
+        spark.table(right_table),
+        left_ts=options.get("left_ts", "ts"),
+        right_ts=options.get("right_ts", "ts"),
+        lower_seconds=float(options["lower_seconds"]),
+        upper_seconds=float(options["upper_seconds"]),
+        on=keys,
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -329,6 +379,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "connected_components": _op_connected_components,
     "cluster_dedup": _op_cluster_dedup,
     "salted_join": _op_salted_join,
+    "asof_join": _op_asof_join,
+    "range_join": _op_range_join,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "byte_stats": _op_byte_stats,

@@ -1,0 +1,192 @@
+"""Temporal join operators: as-of join and time-range join.
+
+Neither exists as a built-in Spark join type, and the naive encodings
+(inequality joins) degenerate to BroadcastNestedLoopJoin — O(n*m) row
+comparisons that do not survive a 100 TB event stream. Both operators
+here re-express the semantics as equi-join / window plans that shuffle
+once on the join key and stay inside whole-stage codegen (no UDFs).
+
+Scale design (100 TB):
+
+* ``asof_join`` uses the union + last-value-window encoding: tag both
+  streams, union them, and run ``last(value, ignoreNulls)`` over a
+  window partitioned by the join key and ordered by time.  That is ONE
+  shuffle (by key) and ONE sort (by time within key) regardless of how
+  many left rows match how many right rows — the classic log-structured
+  formulation used by kdb+/QuestDB-style engines, expressed with Spark
+  window aggregates so Catalyst/Tungsten execute it natively.
+* ``range_join`` buckets both sides by a time grain equal to the window
+  span, explodes each probe row to the (at most two) buckets its window
+  overlaps, and equi-joins on ``(keys..., bucket)`` before re-applying
+  the exact range predicate.  Catalyst turns that into a plain shuffled
+  hash/sort-merge join; the interval refinement is a post-join filter.
+  At 100 TB the bucket key is appended to the shuffle key, so skew only
+  arises if a single (key, bucket) pair is hot — i.e. a genuine data
+  hotspot, mitigated by AQE skew-join splitting.
+
+Reference parity: the reference delegates SQL to DataFusion, which (like
+DuckDB) can express as-of semantics only through window subqueries or
+(DuckDB) a native ASOF JOIN; the oracle for the gate query uses DuckDB's
+``ASOF LEFT JOIN`` (semantics: greatest right ts <= left ts per key).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` and equal ``on`` keys (backward as-of).
+
+    Matched ``value_cols`` (and the matched right timestamp, as
+    ``matched_ts``) are appended to the left schema; unmatched left rows
+    keep nulls (left-outer semantics).  When several right rows share
+    the exact same (key, ts), the propagated value is the
+    last-in-window one — pre-aggregate the right side to one row per
+    (key, ts) if exact tie determinism matters.
+
+    ``tolerance_seconds`` additionally nulls out matches older than the
+    given horizon (pandas ``merge_asof(tolerance=...)`` semantics);
+    DuckDB ASOF has no tolerance, so gate oracles leave it unset.
+
+    Plan shape: Union -> Exchange(on) -> Sort(on, ts, is_left) ->
+    Window(last ignorenulls) -> Filter(is_left).  One shuffle total.
+    """
+    on = list(on)
+    lcols = left.columns
+    # Right rows sort BEFORE left rows at an equal timestamp
+    # (is_left ASC puts 0 first) so a same-instant right row is
+    # visible to the left row — matching ASOF's ts <= ts inclusive
+    # bound.
+    tagged_left = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__row"),
+    )
+    tagged_right = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+        ).alias("__row"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__m_ts"),
+    )
+    out = filled.where(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        horizon = F.col("__ts").cast("double") - F.lit(float(tolerance_seconds))
+        in_range = F.col("__m_ts").cast("double") >= horizon
+        out = out.select(
+            "*",
+            *[
+                F.when(in_range, F.col(f"__m_{c}")).alias(f"__t_{c}")
+                for c in value_cols
+            ],
+            F.when(in_range, F.col("__m_ts")).alias("__t_ts"),
+        )
+        matched = [F.col(f"__t_{c}").alias(f"matched_{c}") for c in value_cols]
+        matched_ts = F.col("__t_ts").alias("matched_ts")
+    else:
+        matched = [F.col(f"__m_{c}").alias(f"matched_{c}") for c in value_cols]
+        matched_ts = F.col("__m_ts").alias("matched_ts")
+    return out.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        matched_ts,
+        *matched,
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Inner-join right rows whose ``right_ts`` falls in
+    ``[left_ts + lower_seconds, left_ts + upper_seconds]`` (plus equal
+    ``on`` keys).  Columns from both sides are kept; right-side name
+    clashes get an ``r_`` prefix.
+
+    Encoded as an equi-join on (keys..., time bucket) with the exact
+    interval predicate re-applied after the join, so Catalyst picks a
+    shuffled hash / sort-merge join instead of the
+    BroadcastNestedLoopJoin a bare inequality condition produces.
+    Bucket width == window span, so each left row expands to at most
+    two bucket probes (a fixed 2x fan-out, not data-dependent).
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("range_join: upper_seconds must exceed lower_seconds")
+    on = list(on)
+    span = float(upper_seconds - lower_seconds)
+    lo, hi = float(lower_seconds), float(upper_seconds)
+
+    def bucket(ts_col: Column, offset: float) -> Column:
+        return F.floor((ts_col.cast("double") + F.lit(offset)) / F.lit(span))
+
+    rename = {
+        c: f"r_{c}" if c in left.columns else c for c in right.columns
+    }
+    r = right.select(
+        *[F.col(c).alias(rename[c]) for c in right.columns],
+        bucket(F.col(right_ts), 0.0).alias("__bucket"),
+    )
+    l = left.select(
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    bucket(F.col(left_ts), lo),
+                    bucket(F.col(left_ts), hi),
+                )
+            )
+        ).alias("__bucket"),
+    )
+    cond = l["__bucket"] == r["__bucket"]
+    for k in on:
+        cond = cond & (l[k] == r[rename[k]])
+    rts = F.col(rename[right_ts]).cast("double")
+    lts = F.col(left_ts).cast("double")
+    joined = (
+        l.join(r, cond, "inner")
+        .where((rts >= lts + F.lit(lo)) & (rts <= lts + F.lit(hi)))
+        .select(
+            *[l[c] for c in left.columns],
+            *[r[rename[c]] for c in right.columns],
+        )
+    )
+    return joined

@@ -1,0 +1,154 @@
+"""As-of join and range join: semantics, tolerance, and plan shape.
+
+The plan assertions are the point at scale: an as-of join must be ONE
+shuffle (union + window), and a range join must be an equi-join — a
+BroadcastNestedLoopJoin would be O(n*m) at 100 TB.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def streams(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:00"), 10.0),
+            ("A", _ts("2024-01-01 09:00:05"), 11.0),
+            ("A", _ts("2024-01-01 09:00:10"), 12.0),
+            ("B", _ts("2024-01-01 09:00:03"), 100.0),
+        ],
+        ["sym", "ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 08:59:59"), 1),  # before any quote
+            ("A", _ts("2024-01-01 09:00:05"), 2),  # ties a quote instant
+            ("A", _ts("2024-01-01 09:00:07"), 3),  # between quotes
+            ("B", _ts("2024-01-01 09:00:04"), 4),
+            ("C", _ts("2024-01-01 09:00:04"), 5),  # key with no quotes
+        ],
+        ["sym", "ts", "qty"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward_semantics(spark, streams):
+    trades, quotes = streams
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", value_cols=["px"]
+    )
+    got = {r.qty: r.matched_px for r in out.collect()}
+    assert got == {1: None, 2: 11.0, 3: 11.0, 4: 100.0, 5: None}
+    # left-outer: every trade survives
+    assert out.count() == trades.count()
+
+
+def test_asof_tolerance(spark, streams):
+    trades, quotes = streams
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        value_cols=["px"], tolerance_seconds=1.0,
+    )
+    got = {r.qty: r.matched_px for r in out.collect()}
+    # qty=3 is 2s after the 09:00:05 quote -> outside the 1s horizon
+    assert got == {1: None, 2: 11.0, 3: None, 4: 100.0, 5: None}
+
+
+def test_asof_single_shuffle_plan(spark, streams):
+    trades, quotes = streams
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", value_cols=["px"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange (the window's), nothing quadratic
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_semantics(spark, streams):
+    trades, quotes = streams
+    # quotes within 6 seconds BEFORE each trade, same symbol
+    out = range_join(
+        trades, quotes, left_ts="ts", right_ts="ts",
+        lower_seconds=-6.0, upper_seconds=0.0, on=["sym"],
+    )
+    got = sorted((r.qty, r.px) for r in out.collect())
+    assert got == [(2, 10.0), (2, 11.0), (3, 11.0), (4, 100.0)]
+
+
+def test_range_join_is_equi_join(spark, streams):
+    trades, quotes = streams
+    out = range_join(
+        trades, quotes, left_ts="ts", right_ts="ts",
+        lower_seconds=-6.0, upper_seconds=0.0, on=["sym"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_empty_window(spark, streams):
+    trades, quotes = streams
+    with pytest.raises(ValueError):
+        range_join(
+            trades, quotes, left_ts="ts", right_ts="ts",
+            lower_seconds=0.0, upper_seconds=0.0,
+        )
+
+
+def test_operator_stage_asof(spark, streams):
+    trades, quotes = streams
+    trades.createOrReplaceTempView("trades_t")
+    quotes.createOrReplaceTempView("quotes_t")
+    from aqueducts_spark.operators.registry import run_operator
+
+    out = run_operator(
+        spark,
+        {
+            "type": "asof_join",
+            "input": "trades_t",
+            "options": {
+                "right": "quotes_t",
+                "key": "sym",
+                "value_cols": ["px"],
+            },
+        },
+    )
+    got = {r.qty: r.matched_px for r in out.collect()}
+    assert got[3] == 11.0
+    spark.catalog.dropTempView("trades_t")
+    spark.catalog.dropTempView("quotes_t")
+
+
+def test_operator_stage_range(spark, streams):
+    trades, quotes = streams
+    trades.createOrReplaceTempView("trades_r")
+    quotes.createOrReplaceTempView("quotes_r")
+    from aqueducts_spark.operators.registry import run_operator
+
+    out = run_operator(
+        spark,
+        {
+            "type": "range_join",
+            "input": "trades_r",
+            "options": {
+                "right": "quotes_r",
+                "key": "sym",
+                "lower_seconds": -6,
+                "upper_seconds": 0,
+            },
+        },
+    )
+    assert out.count() == 4
+    spark.catalog.dropTempView("trades_r")
+    spark.catalog.dropTempView("quotes_r")
