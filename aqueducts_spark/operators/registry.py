@@ -309,6 +309,7 @@ def _op_asof_join(spark, inp, options):
         right_ts=options.get("right_ts", "ts"),
         value_cols=value_cols,
         tolerance_seconds=float(tol) if tol is not None else None,
+        direction=options.get("direction", "backward"),
     )
 
 

@@ -48,9 +48,16 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance_seconds: Optional[float] = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` and equal ``on`` keys (backward as-of).
+
+    ``direction`` follows pandas ``merge_asof``: ``"backward"``
+    (default) matches the latest right row at or before the left
+    timestamp; ``"forward"`` the earliest right row at or after it;
+    ``"nearest"`` whichever of the two is closer in absolute time
+    (ties prefer the backward match, as pandas does).
 
     Matched ``value_cols`` (and the matched right timestamp, as
     ``matched_ts``) are appended to the left schema; unmatched left rows
@@ -64,14 +71,15 @@ def asof_join(
     DuckDB ASOF has no tolerance, so gate oracles leave it unset.
 
     Plan shape: Union -> Exchange(on) -> Sort(on, ts, is_left) ->
-    Window(last ignorenulls) -> Filter(is_left).  One shuffle total.
+    Window(last/first ignorenulls) -> Filter(is_left).  One shuffle
+    total; ``nearest`` evaluates both window frames over the SAME sort
+    order (window ordering only differs in frame, not keys), so it is
+    still one shuffle and one sort.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     lcols = left.columns
-    # Right rows sort BEFORE left rows at an equal timestamp
-    # (is_left ASC puts 0 first) so a same-instant right row is
-    # visible to the left row — matching ASOF's ts <= ts inclusive
-    # bound.
     tagged_left = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("__ts"),
@@ -91,36 +99,87 @@ def asof_join(
         ).alias("__row"),
     )
     unioned = tagged_left.unionByName(tagged_right)
-    w = (
+    # Tie order makes the equal-timestamp bound inclusive in BOTH
+    # directions: the backward window sorts right rows (is_left=0)
+    # before left rows so a same-instant right row is inside the
+    # preceding frame; the forward window sorts left rows first so the
+    # same-instant right row is inside the following frame.  Both
+    # windows share the partition keys, so Catalyst plans ONE exchange
+    # (the second ordering only adds a Sort).
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__m_ts"),
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back).alias(f"__b_{c}")
+            for c in value_cols
+        ] + [F.last(F.col("__r_ts"), ignorenulls=True).over(w_back).alias("__b_ts")]
+    if direction in ("forward", "nearest"):
+        fills += [
+            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+            for c in value_cols
+        ] + [F.first(F.col("__r_ts"), ignorenulls=True).over(w_fwd).alias("__f_ts")]
+    filled = unioned.select("*", *fills)
     out = filled.where(F.col("__is_left") == 1)
-    if tolerance_seconds is not None:
-        horizon = F.col("__ts").cast("double") - F.lit(float(tolerance_seconds))
-        in_range = F.col("__m_ts").cast("double") >= horizon
-        out = out.select(
-            "*",
-            *[
-                F.when(in_range, F.col(f"__m_{c}")).alias(f"__t_{c}")
-                for c in value_cols
-            ],
-            F.when(in_range, F.col("__m_ts")).alias("__t_ts"),
+
+    ts_d = F.col("__ts").cast("double")
+
+    def within_tol(m_ts):
+        if tolerance_seconds is None:
+            return F.lit(True)
+        return (
+            F.abs(m_ts.cast("double") - ts_d) <= F.lit(float(tolerance_seconds))
+        ) & m_ts.isNotNull()
+
+    if direction == "backward":
+        pick_ts = F.col("__b_ts")
+        pick = {c: F.col(f"__b_{c}") for c in value_cols}
+    elif direction == "forward":
+        pick_ts = F.col("__f_ts")
+        pick = {c: F.col(f"__f_{c}") for c in value_cols}
+    else:  # nearest: closer of the two; ties prefer backward (pandas)
+        b_ok = within_tol(F.col("__b_ts"))
+        f_ok = within_tol(F.col("__f_ts"))
+        b_dist = F.abs(ts_d - F.col("__b_ts").cast("double"))
+        f_dist = F.abs(F.col("__f_ts").cast("double") - ts_d)
+        use_back = (
+            F.col("__b_ts").isNotNull() & b_ok
+            & (
+                F.col("__f_ts").isNull() | ~f_ok | (b_dist <= f_dist)
+            )
         )
-        matched = [F.col(f"__t_{c}").alias(f"matched_{c}") for c in value_cols]
-        matched_ts = F.col("__t_ts").alias("matched_ts")
-    else:
-        matched = [F.col(f"__m_{c}").alias(f"matched_{c}") for c in value_cols]
-        matched_ts = F.col("__m_ts").alias("matched_ts")
+        use_fwd = F.col("__f_ts").isNotNull() & f_ok & ~use_back
+        matched = [
+            F.when(use_back, F.col(f"__b_{c}"))
+            .when(use_fwd, F.col(f"__f_{c}"))
+            .alias(f"matched_{c}")
+            for c in value_cols
+        ]
+        matched_ts = (
+            F.when(use_back, F.col("__b_ts"))
+            .when(use_fwd, F.col("__f_ts"))
+            .alias("matched_ts")
+        )
+        return out.select(
+            *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+            matched_ts,
+            *matched,
+        )
+
+    ok = within_tol(pick_ts)
+    matched = [
+        F.when(ok, pick[c]).alias(f"matched_{c}") for c in value_cols
+    ]
+    matched_ts = F.when(ok, pick_ts).alias("matched_ts")
     return out.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         matched_ts,

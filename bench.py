@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "op_langid",
     "op_minhash_pairs",
     "op_simhash",
+    "op_asof_join",
+    "op_range_join",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "op_hash_sample",

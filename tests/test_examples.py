@@ -36,6 +36,7 @@ def test_examples_exist():
         "delta_upsert.yml",
         "training_mix.yml",
         "datafusion_dialect.yml",
+        "event_attribution.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):

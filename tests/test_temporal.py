@@ -63,6 +63,50 @@ def test_asof_tolerance(spark, streams):
     assert got == {1: None, 2: 11.0, 3: None, 4: 100.0, 5: None}
 
 
+def test_asof_forward_semantics(spark, streams):
+    trades, quotes = streams
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        value_cols=["px"], direction="forward",
+    )
+    got = {r.qty: r.matched_px for r in out.collect()}
+    # qty=2 ties the 09:00:05 quote instant -> inclusive forward match;
+    # qty=3 (09:00:07) -> next quote is 09:00:10 (px 12)
+    assert got == {1: 10.0, 2: 11.0, 3: 12.0, 4: None, 5: None}
+
+
+def test_asof_nearest_semantics(spark, streams):
+    trades, quotes = streams
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        value_cols=["px"], direction="nearest",
+    )
+    got = {r.qty: r.matched_px for r in out.collect()}
+    # qty=1 (08:59:59): only forward exists (09:00:00, px 10)
+    # qty=3 (09:00:07): backward 09:00:05 is 2s away, forward 09:00:10
+    #   is 3s away -> backward wins
+    assert got == {1: 10.0, 2: 11.0, 3: 11.0, 4: 100.0, 5: None}
+
+
+def test_asof_nearest_against_pandas(spark, streams):
+    pd = pytest.importorskip("pandas")
+    trades, quotes = streams
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+            value_cols=["px"], direction=direction,
+        )
+        got = {r.qty: r.matched_px for r in out.collect()}
+        tp = trades.toPandas().sort_values("ts")
+        qp = quotes.toPandas().sort_values("ts")
+        ref = pd.merge_asof(tp, qp, on="ts", by="sym", direction=direction)
+        want = {
+            int(r.qty): (None if pd.isna(r.px) else float(r.px))
+            for r in ref.itertuples()
+        }
+        assert got == want, direction
+
+
 def test_asof_single_shuffle_plan(spark, streams):
     trades, quotes = streams
     out = asof_join(
