@@ -800,6 +800,58 @@ def _op_range_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hypertable-style rollup: hour/day/month continuous aggregate built
+# hierarchically (day re-aggregates hour partials, month re-aggregates
+# day partials — operators/temporal.py::time_rollup); the oracle
+# mirrors the same three-level cascade so decimal sums stay exact
+OP_TIME_ROLLUP_DUCK = """
+WITH ev AS (
+  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+h AS (
+  SELECT date_trunc('hour', ts) AS b, event_type,
+         COUNT(v) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM ev GROUP BY 1, 2
+),
+d AS (
+  SELECT date_trunc('day', b) AS b, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s, MIN(mn) AS mn, MAX(mx) AS mx
+  FROM h GROUP BY 1, 2
+),
+m AS (
+  SELECT date_trunc('month', b) AS b, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s, MIN(mn) AS mn, MAX(mx) AS mx
+  FROM d GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, strftime(b, '%Y-%m-%d %H:00:00') AS bucket, event_type,
+       n, CAST(s AS DOUBLE) AS sum_value, CAST(s AS DOUBLE) / n AS avg_value,
+       CAST(mn AS DOUBLE) AS min_value, CAST(mx AS DOUBLE) AS max_value
+FROM h
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d'), event_type,
+       n, CAST(s AS DOUBLE), CAST(s AS DOUBLE) / n,
+       CAST(mn AS DOUBLE), CAST(mx AS DOUBLE)
+FROM d
+UNION ALL
+SELECT 'month', strftime(b, '%Y-%m'), event_type,
+       n, CAST(s AS DOUBLE), CAST(s AS DOUBLE) / n,
+       CAST(mn AS DOUBLE), CAST(mx AS DOUBLE)
+FROM m
+"""
+
+
+def _op_time_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.temporal import time_rollup
+
+    _views(spark, sf_dir)
+    return time_rollup(
+        spark.table("events"), "ts", "value",
+        granularities=["hour", "day", "month"], group_cols=["event_type"],
+    )
+
+
 # corpus vocabulary: top-N token counts with deterministic tiebreak
 OP_VOCAB_DUCK = r"""
 WITH toks AS (
@@ -1394,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_salted_join": _op_salted_join_gate,
         "op_asof_join": _op_asof_join_gate,
         "op_range_join": _op_range_join_gate,
+        "op_time_rollup": _op_time_rollup_gate,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1458,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_asof_join": OP_ASOF_JOIN_DUCK,
         "op_range_join": OP_RANGE_JOIN_DUCK,
+        "op_time_rollup": OP_TIME_ROLLUP_DUCK,
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

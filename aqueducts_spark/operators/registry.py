@@ -337,6 +337,20 @@ def _op_range_join(spark, inp, options):
     )
 
 
+def _op_time_rollup(spark, inp, options):
+    from .temporal import time_rollup
+
+    if "value_col" not in options:
+        raise OperatorError("time_rollup operator requires options.value_col")
+    return time_rollup(
+        inp,
+        ts_col=options.get("ts_col", "ts"),
+        value_col=options["value_col"],
+        granularities=options.get("granularities", ["hour", "day", "month"]),
+        group_cols=options.get("group_cols", []),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -382,6 +396,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "salted_join": _op_salted_join,
     "asof_join": _op_asof_join,
     "range_join": _op_range_join,
+    "time_rollup": _op_time_rollup,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "byte_stats": _op_byte_stats,

@@ -37,7 +37,83 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "time_rollup"]
+
+_GRAIN_FORMATS = {
+    "hour": "yyyy-MM-dd HH:00:00",
+    "day": "yyyy-MM-dd",
+    "month": "yyyy-MM",
+    "year": "yyyy",
+}
+_GRAIN_ORDER = ["hour", "day", "month", "year"]
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    granularities: Sequence[str] = ("hour", "day", "month"),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: sum/count/min/max of
+    ``value_col`` bucketed at several time granularities at once, with
+    a ``grain`` label column and the bucket rendered as a string
+    (``bucket``) so every granularity shares one schema.
+
+    Scale design: hierarchical re-aggregation.  Raw rows are aggregated
+    ONCE at the finest requested grain (the only full-volume shuffle);
+    each coarser grain re-aggregates the previous grain's partials
+    (sum-of-sums, min-of-mins, …), so the day rollup of 100 TB of
+    events shuffles hour-rows, not events.  This is how TimescaleDB
+    continuous aggregates / Druid rollup segments compose, expressed as
+    plain Spark aggregates.  avg is derived (sum/count) at output so it
+    composes across levels.
+    """
+    grains = [g for g in _GRAIN_ORDER if g in set(granularities)]
+    if list(granularities) and not grains:
+        raise ValueError(
+            f"time_rollup: no valid granularities in {list(granularities)!r} "
+            f"(valid: {_GRAIN_ORDER})"
+        )
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("decimal(12,2)")
+    finest = grains[0]
+    level = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("__bucket_ts"), *gcols
+        ).agg(
+            F.count(value_col).alias("n"),
+            F.sum(v).alias("__sum"),
+            F.min(v).alias("__min"),
+            F.max(v).alias("__max"),
+        )
+    )
+    out = None
+    for grain in grains:
+        if grain != finest:
+            level = (
+                level.groupBy(
+                    F.date_trunc(grain, F.col("__bucket_ts")).alias("__bucket_ts"),
+                    *gcols,
+                ).agg(
+                    F.sum("n").alias("n"),
+                    F.sum("__sum").alias("__sum"),
+                    F.min("__min").alias("__min"),
+                    F.max("__max").alias("__max"),
+                )
+            )
+        rendered = level.select(
+            F.lit(grain).alias("grain"),
+            F.date_format(F.col("__bucket_ts"), _GRAIN_FORMATS[grain]).alias("bucket"),
+            *gcols,
+            F.col("n"),
+            F.col("__sum").cast("double").alias("sum_value"),
+            (F.col("__sum").cast("double") / F.col("n")).alias("avg_value"),
+            F.col("__min").cast("double").alias("min_value"),
+            F.col("__max").cast("double").alias("max_value"),
+        )
+        out = rendered if out is None else out.unionByName(rendered)
+    return out
 
 
 def asof_join(

@@ -150,6 +150,99 @@ def test_range_join_rejects_empty_window(spark, streams):
         )
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_property_vs_pandas(spark, direction):
+    """Randomized equivalence with pandas merge_asof (the de-facto
+    as-of reference semantics), including tolerance."""
+    from hypothesis import given, settings, strategies as st
+    import pandas as pd
+
+    row = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=-99, max_value=99),
+    )
+
+    @given(
+        left=st.lists(row, min_size=1, max_size=12),
+        right=st.lists(row, min_size=0, max_size=12),
+        tol=st.sampled_from([None, 5.0]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(left, right, tol):
+        # unique (key, ts) on the right: tie order between equal
+        # timestamps is explicitly unspecified in both engines
+        seen = set()
+        right_u = []
+        for k, t, v in right:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                right_u.append((k, t, v))
+        ldf = spark.createDataFrame(
+            [(k, datetime.fromtimestamp(t * 60), i, float(v))
+             for i, (k, t, v) in enumerate(left)],
+            ["sym", "ts", "idx", "lv"],
+        )
+        rdf = spark.createDataFrame(
+            [(k, datetime.fromtimestamp(t * 60), float(v)) for k, t, v in right_u],
+            ["sym", "ts", "px"],
+        ) if right_u else spark.createDataFrame([], "sym string, ts timestamp, px double")
+        out = asof_join(
+            ldf, rdf, on=["sym"], left_ts="ts", right_ts="ts",
+            value_cols=["px"], direction=direction,
+            tolerance_seconds=tol * 60 if tol else None,
+        )
+        got = {r.idx: r.matched_px for r in out.collect()}
+        lp = ldf.toPandas().sort_values("ts", kind="stable")
+        rp = rdf.toPandas().sort_values("ts", kind="stable")
+        ref = pd.merge_asof(
+            lp, rp, on="ts", by="sym", direction=direction,
+            tolerance=pd.Timedelta(minutes=tol) if tol else None,
+        )
+        want = {
+            int(r.idx): (None if pd.isna(r.px) else float(r.px))
+            for r in ref.itertuples()
+        }
+        assert got == want
+
+    check()
+
+
+def test_time_rollup_hierarchy(spark):
+    from aqueducts_spark.operators.temporal import time_rollup
+
+    rows = [
+        ("x", _ts("2024-01-01 09:10:00"), 1.0),
+        ("x", _ts("2024-01-01 09:40:00"), 3.0),
+        ("x", _ts("2024-01-01 17:00:00"), 5.0),
+        ("x", _ts("2024-02-02 00:00:00"), 7.0),
+        ("y", _ts("2024-01-01 09:59:59"), 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = time_rollup(df, "ts", "v", ["hour", "day", "month"], group_cols=["k"])
+    got = {
+        (r.grain, r.bucket, r.k): (r.n, r.sum_value, r.min_value, r.max_value)
+        for r in out.collect()
+    }
+    assert got[("hour", "2024-01-01 09:00:00", "x")] == (2, 4.0, 1.0, 3.0)
+    assert got[("hour", "2024-01-01 09:00:00", "y")] == (1, 100.0, 100.0, 100.0)
+    assert got[("day", "2024-01-01", "x")] == (3, 9.0, 1.0, 5.0)
+    assert got[("month", "2024-01", "x")] == (3, 9.0, 1.0, 5.0)
+    assert got[("month", "2024-02", "x")] == (1, 7.0, 7.0, 7.0)
+    # avg composes across levels (sum/count, not avg-of-avgs)
+    month_x = [r for r in out.collect() if r.grain == "month" and r.k == "x"
+               and r.bucket == "2024-01"][0]
+    assert month_x.avg_value == 3.0
+
+
+def test_time_rollup_rejects_bad_grain(spark):
+    from aqueducts_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame([("x", _ts("2024-01-01 09:10:00"), 1.0)], ["k", "ts", "v"])
+    with pytest.raises(ValueError):
+        time_rollup(df, "ts", "v", ["fortnight"])
+
+
 def test_operator_stage_asof(spark, streams):
     trades, quotes = streams
     trades.createOrReplaceTempView("trades_t")
