@@ -852,6 +852,46 @@ def _op_time_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV distinct-count sketch (operators/sketch.py): deterministic
+# md5-based K-minimum-values — unlike HLL the sketch is a pure function
+# of the data, so the oracle reproduces estimate AND sketch exactly.
+# Estimate branch exercised by event_type groups (>> 64 distinct users);
+# exact branch covered in tests/test_sketch.py on small groups.
+OP_KMV_DUCK = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rank
+  FROM h
+),
+s AS (
+  SELECT event_type, COUNT(h) AS sketch_size, MAX(h) AS kth_h
+  FROM r WHERE rank <= 64
+  GROUP BY event_type
+)
+SELECT event_type, sketch_size,
+       CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE)
+                 / (CAST(kth_h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+       END AS distinct_est
+FROM s
+"""
+
+
+def _op_kmv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sketch import kmv_distinct
+
+    _views(spark, sf_dir)
+    return kmv_distinct(
+        spark.table("events"), group_cols=["event_type"], value_col="user_id", k=64
+    )
+
+
 # corpus vocabulary: top-N token counts with deterministic tiebreak
 OP_VOCAB_DUCK = r"""
 WITH toks AS (
@@ -1447,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_asof_join": _op_asof_join_gate,
         "op_range_join": _op_range_join_gate,
         "op_time_rollup": _op_time_rollup_gate,
+        "op_kmv_distinct": _op_kmv_gate,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1512,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "op_asof_join": OP_ASOF_JOIN_DUCK,
         "op_range_join": OP_RANGE_JOIN_DUCK,
         "op_time_rollup": OP_TIME_ROLLUP_DUCK,
+        "op_kmv_distinct": OP_KMV_DUCK,
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

@@ -351,6 +351,19 @@ def _op_time_rollup(spark, inp, options):
     )
 
 
+def _op_kmv_distinct(spark, inp, options):
+    from .sketch import kmv_distinct
+
+    if "value_col" not in options:
+        raise OperatorError("kmv_distinct operator requires options.value_col")
+    return kmv_distinct(
+        inp,
+        group_cols=options.get("group_cols", []),
+        value_col=options["value_col"],
+        k=int(options.get("k", 64)),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -397,6 +410,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "asof_join": _op_asof_join,
     "range_join": _op_range_join,
     "time_rollup": _op_time_rollup,
+    "kmv_distinct": _op_kmv_distinct,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "byte_stats": _op_byte_stats,

@@ -1,0 +1,109 @@
+"""KMV distinct-count sketch (operators/sketch.py).
+
+Covers: exact branch (group cardinality < k), estimate accuracy on a
+large group, merge law (KMV(A ∪ B) == merge(KMV(A), KMV(B))), and the
+declarative registry stage.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_sketch,
+    merge_kmv_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # group "small": 10 distinct values (< k) repeated; group "big": 5000
+    rows = [("small", v % 10) for v in range(100)] + [
+        ("big", v) for v in range(5000)
+    ]
+    return spark.createDataFrame(rows, "grp string, v long")
+
+
+def test_exact_below_k(spark, toy):
+    out = {
+        r["grp"]: r
+        for r in kmv_distinct(toy, ["grp"], "v", k=64).collect()
+    }
+    assert out["small"]["sketch_size"] == 10
+    assert out["small"]["distinct_est"] == 10.0
+
+
+def test_estimate_accuracy(spark, toy):
+    est = {
+        r["grp"]: r["distinct_est"]
+        for r in kmv_distinct(toy, ["grp"], "v", k=256).collect()
+    }
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 3 sigma
+    assert est["big"] == pytest.approx(5000, rel=0.20)
+
+
+def test_sketch_size_capped(spark, toy):
+    sk = kmv_sketch(toy, ["grp"], "v", k=64)
+    sizes = {
+        r["grp"]: r["n"]
+        for r in sk.groupBy("grp").agg(F.count("h").alias("n")).collect()
+    }
+    assert sizes["big"] == 64
+    assert sizes["small"] == 10
+
+
+def test_merge_equals_union(spark, toy):
+    a = toy.where("v % 2 = 0")
+    b = toy.where("v % 2 = 1")
+    merged = merge_kmv_sketches(
+        [kmv_sketch(a, ["grp"], "v", k=64), kmv_sketch(b, ["grp"], "v", k=64)],
+        ["grp"],
+        k=64,
+    )
+    direct = kmv_sketch(toy, ["grp"], "v", k=64)
+    m = sorted(map(tuple, merged.select("grp", "h", "rank").collect()))
+    d = sorted(map(tuple, direct.select("grp", "h", "rank").collect()))
+    assert m == d
+    # and the estimates from the merged sketch are identical too
+    em = sorted(map(tuple, kmv_estimate(merged, ["grp"], k=64).collect()))
+    ed = sorted(map(tuple, kmv_estimate(direct, ["grp"], k=64).collect()))
+    assert em == ed
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2)], "grp string, v long"
+    )
+    row = kmv_distinct(df, ["grp"], "v", k=8).collect()[0]
+    assert row["sketch_size"] == 2
+
+
+def test_k_validation(spark, toy):
+    with pytest.raises(ValueError):
+        kmv_sketch(toy, ["grp"], "v", k=1)
+
+
+def test_registry_stage(spark, sf_dir):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "kmv_orders"
+    )
+    out = run_operator(
+        spark,
+        {
+            "type": "kmv_distinct",
+            "input": "kmv_orders",
+            "options": {
+                "group_cols": ["o_orderpriority"],
+                "value_col": "o_custkey",
+                "k": 32,
+            },
+        },
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"o_orderpriority", "sketch_size", "distinct_est"}
+    assert all(r["sketch_size"] <= 32 for r in rows)
+    assert len(rows) == 5
+    spark.catalog.dropTempView("kmv_orders")
