@@ -361,6 +361,7 @@ def _op_kmv_distinct(spark, inp, options):
         group_cols=options.get("group_cols", []),
         value_col=options["value_col"],
         k=int(options.get("k", 64)),
+        buckets=int(options.get("buckets", 64)),
     )
 
 

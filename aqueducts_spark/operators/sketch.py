@@ -17,10 +17,15 @@ exact by construction (the sketch holds every distinct hash).
 
 Scale design (100 TB):
 
-* one shuffle for the distinct (group, hash) pairs (map-side partial
-  distinct combines first), one narrow re-shuffle of at most k rows per
-  group for the top-k window — the heavy reduction happens in the
-  distinct, which Spark executes as a partial aggregate;
+* ONE full-volume shuffle: hashes aggregate by ``(group, h mod B)``
+  with a map-side-combined ``collect_set``; each of the B bucket cells
+  keeps only its k smallest hashes (``slice(array_sort(...), 1, k)``),
+  all JVM-side.  Any of a group's k smallest hashes is by definition
+  among its own bucket's k smallest, so the union of bucket top-k's
+  contains the group top-k exactly — the final window ranks at most
+  k·B candidate rows per group, never the raw distinct set.  This
+  avoids the naive plan's single-task sort of ALL distinct hashes per
+  group (a windowed top-k over a 1B-distinct group is one task);
 * sketches MERGE: the KMV of a union is the k smallest of the unioned
   sketches, so per-partition / per-day sketches roll up without
   touching raw data (``merge_kmv_sketches``) — the same re-aggregation
@@ -46,24 +51,40 @@ def _h60(col):
 
 
 def kmv_sketch(
-    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = 64
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    buckets: int = 64,
 ) -> DataFrame:
     """The sketch itself: per group, the k smallest distinct 60-bit
     hashes of ``value_col`` with their rank (``grp..., h, rank``).
     Kept as rows (not an array) so sketches from different sources
     union/merge with plain relational ops.
+
+    ``buckets`` (B) bounds reduce-side state: each ``(group, h mod B)``
+    cell holds ~distinct/B hashes during the one full-volume
+    aggregation and emits at most k.  The result is independent of B.
     """
     if k < 2:
         raise ValueError("kmv_sketch: k must be >= 2")
+    if buckets < 1:
+        raise ValueError("kmv_sketch: buckets must be >= 1")
     grp = list(group_cols)
-    hashes = (
-        df.select(*grp, _h60(F.col(value_col)).alias("h"))
-        .where(F.col("h").isNotNull())
-        .distinct()
+    hashes = df.select(*grp, _h60(F.col(value_col)).alias("h")).where(
+        F.col("h").isNotNull()
     )
+    # one shuffle: collect_set partially aggregates map-side (dedup
+    # before the exchange); each bucket cell trims to its k smallest
+    candidates = (
+        hashes.groupBy(*grp, F.pmod(F.col("h"), F.lit(buckets)).alias("_b"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+        .select(*grp, F.explode("_hs").alias("h"))
+    )
+    # tiny window: <= k * buckets candidate rows per group
     w = Window.partitionBy(*grp).orderBy(F.col("h").asc())
     return (
-        hashes.select(*grp, "h", F.row_number().over(w).alias("rank"))
+        candidates.select(*grp, "h", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
 
@@ -103,7 +124,13 @@ def merge_kmv_sketches(
 
 
 def kmv_distinct(
-    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = 64
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    buckets: int = 64,
 ) -> DataFrame:
     """End-to-end: sketch + estimate in one call."""
-    return kmv_estimate(kmv_sketch(df, group_cols, value_col, k), group_cols, k)
+    return kmv_estimate(
+        kmv_sketch(df, group_cols, value_col, k, buckets), group_cols, k
+    )

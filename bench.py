@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "op_simhash",
     "op_asof_join",
     "op_range_join",
+    "op_time_rollup",
+    "op_kmv_distinct",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "op_hash_sample",

@@ -71,6 +71,19 @@ def test_merge_equals_union(spark, toy):
     assert em == ed
 
 
+def test_bucket_count_does_not_change_result(spark, toy):
+    # the bucketed top-k trim is an execution detail: any global top-k
+    # hash is its own bucket's top-k, so B must not affect the sketch
+    base = sorted(
+        map(tuple, kmv_sketch(toy, ["grp"], "v", k=64, buckets=64).collect())
+    )
+    for b in (1, 7, 256):
+        got = sorted(
+            map(tuple, kmv_sketch(toy, ["grp"], "v", k=64, buckets=b).collect())
+        )
+        assert got == base, f"buckets={b} changed the sketch"
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame(
         [("g", 1), ("g", None), ("g", 2)], "grp string, v long"
