@@ -605,6 +605,69 @@ FROM orders WHERE o_orderkey <= 2000
 """
 
 
+# UNPIVOT (wide -> long): reverse of q19's PIVOT. Both engines support
+# the SQL-standard UNPIVOT (val FOR measure IN (...)) clause; measures
+# are exact decimal sums presented as DOUBLE so the long-format value
+# column is type-stable
+Q34_SPARK = """
+SELECT l_returnflag, measure, val
+FROM (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+) wide
+UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+"""
+
+Q34_DUCK = Q34_SPARK
+
+# explicit window frames (SURVEY §2.B window row: ROWS | RANGE frames):
+# ROWS moving sum over a unique (date, key) order, integer RANGE frame,
+# and an unbounded-preceding running total — all decimal-exact, cast to
+# double at presentation
+Q35_SPARK = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(p) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3,
+       CAST(SUM(p) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+       CAST(SUM(p) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_later
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders WHERE o_custkey <= 300
+) t
+"""
+
+Q35_DUCK = Q35_SPARK
+
+# LATERAL correlated subquery (SURVEY §2.B subqueries row): per-nation
+# top-2 customers by balance — the classic dependent-join top-k that
+# both engines execute as a correlated lateral
+Q36_SPARK = """
+SELECT n.n_name, t.c_name, t.bal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC
+  LIMIT 2
+) t ON true
+"""
+
+Q36_DUCK = Q36_SPARK
+
+
 def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
 
@@ -1471,6 +1534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_string_fns2": _sql(Q31_SPARK),
         "q32_date_arith": _sql(Q32_SPARK),
         "q33_set_ops_all": _sql(Q33_SPARK),
+        "q34_unpivot": _sql(Q34_SPARK),
+        "q35_window_frames": _sql(Q35_SPARK),
+        "q36_lateral": _sql(Q36_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1537,6 +1603,9 @@ def oracle_sql() -> dict[str, str]:
         "q31_string_fns2": Q31_DUCK,
         "q32_date_arith": Q32_DUCK,
         "q33_set_ops_all": Q33_SPARK,
+        "q34_unpivot": Q34_DUCK,
+        "q35_window_frames": Q35_DUCK,
+        "q36_lateral": Q36_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
