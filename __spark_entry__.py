@@ -955,6 +955,99 @@ def _op_kmv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# weighted training-mix (operators/mixing.py::weighted_mix): per-lang
+# multipliers realized as floor(w) copies + one hash-gated extra; the
+# integer bucket thresholds (round(frac(w)*10000)) are precomputed so
+# neither engine does float arithmetic. Weights: en 2.0, zh 1.5,
+# de 0.5, fr 0.25, default (es) 1.0. Oracle counts multiplicities
+# arithmetically instead of expanding rows.
+OP_WEIGHTED_MIX_DUCK = """
+WITH d AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+),
+n AS (
+  SELECT lang, doc_id,
+         CASE lang
+           WHEN 'en' THEN 2 + CASE WHEN bucket < 0 THEN 1 ELSE 0 END
+           WHEN 'zh' THEN 1 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+           WHEN 'de' THEN 0 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+           WHEN 'fr' THEN 0 + CASE WHEN bucket < 2500 THEN 1 ELSE 0 END
+           ELSE 1
+         END AS copies
+  FROM d
+)
+SELECT lang,
+       CAST(SUM(copies) AS BIGINT) AS rows_out,
+       CAST(COUNT(*) FILTER (WHERE copies >= 1) AS BIGINT) AS docs_kept,
+       CAST(SUM((copies * (copies + 1)) // 2) AS BIGINT) AS copy_index_sum
+FROM n
+GROUP BY lang
+"""
+
+
+def _op_weighted_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.mixing import weighted_mix
+
+    _views(spark, sf_dir)
+    mixed = weighted_mix(
+        spark.table("documents"),
+        group_col="lang",
+        id_col="doc_id",
+        weights={"en": 2.0, "zh": 1.5, "de": 0.5, "fr": 0.25},
+        default_weight=1.0,
+    )
+    return mixed.groupBy("lang").agg(
+        F.count("*").alias("rows_out"),
+        F.count_distinct("doc_id").alias("docs_kept"),
+        F.sum("mix_copy").alias("copy_index_sum"),
+    )
+
+
+# token-budget shard packing (operators/mixing.py::pack_shards): rows
+# hash to 8 independent packers; within a packer, docs in doc_id order
+# fill shards of 20k chars (start-offset binning). The oracle mirrors
+# the identical window arithmetic.
+OP_PACK_SHARDS_DUCK = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 8 AS INTEGER) AS pack_part
+  FROM documents
+),
+c AS (
+  SELECT pack_part, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY pack_part ORDER BY doc_id ASC) AS cum
+  FROM p
+)
+SELECT pack_part,
+       CAST(floor(CAST(cum - n_chars AS DOUBLE) / 20000.0) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+FROM c
+GROUP BY 1, 2
+"""
+
+
+def _op_pack_shards_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.mixing import pack_shards
+
+    _views(spark, sf_dir)
+    packed = pack_shards(
+        spark.table("documents"),
+        token_col="n_chars",
+        order_col="doc_id",
+        budget=20000,
+        parts=8,
+    )
+    return packed.groupBy("pack_part", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
+
+
 # corpus vocabulary: top-N token counts with deterministic tiebreak
 OP_VOCAB_DUCK = r"""
 WITH toks AS (
@@ -1554,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_range_join": _op_range_join_gate,
         "op_time_rollup": _op_time_rollup_gate,
         "op_kmv_distinct": _op_kmv_gate,
+        "op_weighted_mix": _op_weighted_mix_gate,
+        "op_pack_shards": _op_pack_shards_gate,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1623,6 +1718,8 @@ def oracle_sql() -> dict[str, str]:
         "op_range_join": OP_RANGE_JOIN_DUCK,
         "op_time_rollup": OP_TIME_ROLLUP_DUCK,
         "op_kmv_distinct": OP_KMV_DUCK,
+        "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
+        "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

@@ -1,0 +1,119 @@
+"""Training-mix composition: deterministic weighted up/down-sampling
+and token-budget shard packing.
+
+The last mile of a training-data pipeline is composing the mix — "2x
+wikipedia, 0.3x common-crawl" — and laying the result out in shards of
+a fixed token budget.  Both steps here are pure functions of the data
+(md5-derived decisions, no RNG state), so a mix is re-derivable
+bit-for-bit on any engine: the DuckDB gate oracle reproduces row
+multiplicities and shard assignments exactly.
+
+``weighted_mix`` realizes a per-group multiplier w as
+``floor(w)`` guaranteed copies plus one extra copy iff the row's hash
+bucket (0..9999) falls under ``round(frac(w)*10000)`` — the bucket
+thresholds are computed in *Python* integers so no floating-point
+arithmetic appears in either engine's SQL.  Expected multiplicity is
+within 1/10000 of w; repeated runs select the same physical rows.
+
+``pack_shards`` assigns rows to fixed-budget shards by cumulative
+token count.  Greedy sequential packing is inherently serial, so it is
+done per *pack-partition* (deterministic hash of the id), matching how
+a distributed writer actually lays out shards: P independent packers,
+each filling shards in id order.  A shard may overflow the budget by at
+most one row's tokens (start-offset binning) — the standard contract
+when documents are much smaller than the shard budget.
+
+Scale design (100 TB):
+
+* ``weighted_mix`` — ZERO shuffles: the weight table is a small CASE
+  expression (map literal), the copy count is a per-row expression, and
+  duplication is ``explode(sequence(1, n))`` — all whole-stage codegen.
+  Output volume = sum of weights, controlled by the caller.
+* ``pack_shards`` — ONE shuffle (hash by pack-partition), then a
+  per-partition window; each packer sorts only its own slice.  P scales
+  with cluster width; shard ids are (partition, index) pairs so packers
+  never coordinate.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+__all__ = ["weighted_mix", "pack_shards"]
+
+_BUCKETS = 10_000
+
+
+def _copies_expr(weights: Mapping[str, float], default_weight: float, group_col, bucket):
+    """Integer copy count: floor(w) + (bucket < round(frac(w)*10000))."""
+
+    def n_for(w: float):
+        if w < 0:
+            raise ValueError(f"weighted_mix: negative weight {w}")
+        base = int(w)
+        thr = round((w - base) * _BUCKETS)
+        n = F.lit(base)
+        if thr > 0:
+            n = n + F.when(bucket < F.lit(thr), 1).otherwise(0)
+        return n
+
+    expr = n_for(default_weight)
+    for g, w in sorted(weights.items()):
+        expr = F.when(group_col == F.lit(g), n_for(w)).otherwise(expr)
+    return expr
+
+
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: Mapping[str, float],
+    default_weight: float = 1.0,
+    copy_col: str = "mix_copy",
+) -> DataFrame:
+    """Up/down-sample each group by its multiplier: weight 2.5 keeps
+    every row twice and a deterministic hash-chosen half a third time;
+    weight 0.3 keeps a deterministic ~30%.  Adds ``copy_col``
+    (1..copies) so duplicated rows stay distinguishable downstream.
+    """
+    bucket = hash_bucket(F.col(id_col), salt="mix:")
+    n = _copies_expr(weights, default_weight, F.col(group_col), bucket)
+    return (
+        df.withColumn("_mix_n", n)
+        .where(F.col("_mix_n") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_mix_n"))))
+        .drop("_mix_n")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    parts: int = 64,
+    part_col: str = "pack_part",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign each row a ``(pack_part, shard_id)``: rows hash to one of
+    ``parts`` independent packers; within a packer, rows in ``order_col``
+    order fill shard 0, 1, 2… switching shards when the cumulative
+    token count crosses a multiple of ``budget``.
+    """
+    if budget < 1:
+        raise ValueError("pack_shards: budget must be >= 1")
+    if parts < 1:
+        raise ValueError("pack_shards: parts must be >= 1")
+    part = hash_bucket(F.col(order_col), buckets=parts, salt="pack:")
+    w = Window.partitionBy(part_col).orderBy(F.col(order_col).asc())
+    with_part = df.withColumn(part_col, part)
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).cast("double")
+    return with_part.withColumn(
+        shard_col, F.floor(start / F.lit(float(budget))).cast("long")
+    )

@@ -365,6 +365,37 @@ def _op_kmv_distinct(spark, inp, options):
     )
 
 
+def _op_weighted_mix(spark, inp, options):
+    from .mixing import weighted_mix
+
+    for req in ("group_col", "id_col", "weights"):
+        if req not in options:
+            raise OperatorError(f"weighted_mix operator requires options.{req}")
+    return weighted_mix(
+        inp,
+        group_col=options["group_col"],
+        id_col=options["id_col"],
+        weights={str(k): float(v) for k, v in dict(options["weights"]).items()},
+        default_weight=float(options.get("default_weight", 1.0)),
+        copy_col=options.get("copy_col", "mix_copy"),
+    )
+
+
+def _op_pack_shards(spark, inp, options):
+    from .mixing import pack_shards
+
+    for req in ("token_col", "order_col", "budget"):
+        if req not in options:
+            raise OperatorError(f"pack_shards operator requires options.{req}")
+    return pack_shards(
+        inp,
+        token_col=options["token_col"],
+        order_col=options["order_col"],
+        budget=int(options["budget"]),
+        parts=int(options.get("parts", 64)),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -412,6 +443,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "range_join": _op_range_join,
     "time_rollup": _op_time_rollup,
     "kmv_distinct": _op_kmv_distinct,
+    "weighted_mix": _op_weighted_mix,
+    "pack_shards": _op_pack_shards,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "byte_stats": _op_byte_stats,

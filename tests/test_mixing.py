@@ -1,0 +1,117 @@
+"""Training-mix composition (operators/mixing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.mixing import pack_shards, weighted_mix
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["a", "b", "c"][i % 3], 100 + (i * 37) % 400) for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id long, grp string, toks long")
+
+
+def test_integer_weights_exact(spark, docs):
+    mixed = weighted_mix(docs, "grp", "doc_id", {"a": 2.0, "b": 0.0}, 1.0)
+    counts = {r["grp"]: r["n"] for r in mixed.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 400  # 200 rows x2
+    assert "b" not in counts  # weight 0 drops the group
+    assert counts["c"] == 200
+
+
+def test_fractional_weight_rate(spark, docs):
+    mixed = weighted_mix(docs, "grp", "doc_id", {"a": 2.5, "c": 0.5})
+    counts = {r["grp"]: r["n"] for r in mixed.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # hash-gated extras: expected 200*2.5=500 and 200*0.5=100, binomial spread
+    assert 440 <= counts["a"] <= 560
+    assert 70 <= counts["c"] <= 130
+    assert counts["b"] == 200  # default weight 1.0
+
+
+def test_copy_column_distinguishes_duplicates(spark, docs):
+    mixed = weighted_mix(docs, "grp", "doc_id", {"a": 3.0})
+    trip = mixed.where("grp = 'a'").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("mix_copy")).alias("copies")
+    )
+    assert all(r["copies"] == [1, 2, 3] for r in trip.collect())
+
+
+def test_mix_deterministic(spark, docs):
+    a = sorted(map(tuple, weighted_mix(docs, "grp", "doc_id", {"a": 1.3}).collect()))
+    b = sorted(map(tuple, weighted_mix(docs, "grp", "doc_id", {"a": 1.3}).collect()))
+    assert a == b
+
+
+def test_negative_weight_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        weighted_mix(docs, "grp", "doc_id", {"a": -1.0}).collect()
+
+
+def test_pack_shards_budget(spark, docs):
+    packed = pack_shards(docs, "toks", "doc_id", budget=1000, parts=4)
+    assert packed.count() == 600  # every row assigned
+    agg = packed.groupBy("pack_part", "shard_id").agg(
+        F.sum("toks").alias("t"), F.count("*").alias("n")
+    )
+    rows = agg.collect()
+    assert {r["pack_part"] for r in rows} == {0, 1, 2, 3}
+    # start-offset binning: a shard holds rows whose start offset is in
+    # [shard*budget, (shard+1)*budget) => chars < budget + max_row_toks
+    assert all(r["t"] < 1000 + 500 for r in rows)
+    # shards within a partition are contiguous 0..max
+    for p in (0, 1, 2, 3):
+        sids = sorted(r["shard_id"] for r in rows if r["pack_part"] == p)
+        assert sids == list(range(len(sids)))
+
+
+def test_pack_shards_order_respected(spark, docs):
+    packed = pack_shards(docs, "toks", "doc_id", budget=800, parts=2)
+    # within a partition, shard_id is monotone in doc_id order
+    for p in (0, 1):
+        part = (
+            packed.where(F.col("pack_part") == p)
+            .orderBy("doc_id")
+            .select("shard_id")
+            .collect()
+        )
+        sids = [r["shard_id"] for r in part]
+        assert sids == sorted(sids)
+
+
+def test_pack_validation(spark, docs):
+    with pytest.raises(ValueError):
+        pack_shards(docs, "toks", "doc_id", budget=0)
+    with pytest.raises(ValueError):
+        pack_shards(docs, "toks", "doc_id", budget=10, parts=0)
+
+
+def test_registry_stages(spark, sf_dir):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "mix_docs"
+    )
+    mixed = run_operator(
+        spark,
+        {
+            "type": "weighted_mix",
+            "input": "mix_docs",
+            "options": {
+                "group_col": "lang",
+                "id_col": "doc_id",
+                "weights": {"en": 2.0},
+            },
+        },
+    )
+    assert "mix_copy" in mixed.columns
+    packed = run_operator(
+        spark,
+        {
+            "type": "pack_shards",
+            "input": "mix_docs",
+            "options": {"token_col": "n_chars", "order_col": "doc_id", "budget": 5000},
+        },
+    )
+    assert {"pack_part", "shard_id"} <= set(packed.columns)
+    spark.catalog.dropTempView("mix_docs")
