@@ -88,3 +88,38 @@ def test_brute_force_topk_no_corpus_shuffle(spark):
     info = inspect_plan(brute_force_topk(emb, q, k=5))
     assert info.broadcast_joins + info.nested_loop_joins >= 1
     assert info.sort_merge_joins == 0
+
+
+def test_weighted_mix_zero_shuffles(spark):
+    """Mix composition is a per-row expression + explode: any Exchange
+    in this plan is a regression."""
+    from aqueducts_spark.operators.mixing import weighted_mix
+
+    df = weighted_mix(
+        spark.table("documents"), "lang", "doc_id", {"en": 2.0, "de": 0.5}
+    )
+    info = inspect_plan(df)
+    assert info.exchanges == 0, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert info.python_evals == 0
+
+
+def test_pack_shards_single_shuffle(spark):
+    """Shard packing hash-partitions once; packers never coordinate."""
+    from aqueducts_spark.operators.mixing import pack_shards
+
+    df = pack_shards(spark.table("documents"), "n_chars", "doc_id", 20000, parts=8)
+    info = inspect_plan(df)
+    assert info.exchanges == 1, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert info.python_evals == 0
+
+
+def test_kmv_two_exchanges_and_group_limit(spark):
+    """KMV: one full-volume aggregation exchange + the tiny candidate
+    window; Spark's WindowGroupLimit must pre-trim before the second."""
+    from aqueducts_spark.operators.sketch import kmv_sketch
+
+    df = kmv_sketch(spark.table("events"), ["event_type"], "user_id", 64)
+    info = inspect_plan(df)
+    assert info.exchanges == 2, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert "WindowGroupLimit" in info.text
+    assert info.python_evals == 0
