@@ -667,6 +667,40 @@ JOIN LATERAL (
 
 Q36_DUCK = Q36_SPARK
 
+# map construction + access (SURVEY §2.B struct/map row): per-status
+# priority->count maps built from sorted entries so key order is
+# deterministic in both engines; lookup via try_element_at (Spark runs
+# ANSI mode, where plain element_at throws on missing keys)
+Q37_SPARK = """
+WITH per AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS k, CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT st, map_from_entries(sort_array(collect_list(struct(k, v)))) AS mp
+  FROM per GROUP BY st
+)
+SELECT st, map_keys(mp) AS ks, map_values(mp) AS vs,
+       try_element_at(mp, '1-URGENT') AS urgent,
+       CAST(cardinality(mp) AS BIGINT) AS n_keys
+FROM m
+"""
+
+Q37_DUCK = """
+WITH per AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS k, COUNT(*)::BIGINT AS v
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT st, map_from_entries(list_sort(list({'key': k, 'value': v}))) AS mp
+  FROM per GROUP BY st
+)
+SELECT st, map_keys(mp) AS ks, map_values(mp) AS vs,
+       map_extract(mp, '1-URGENT')[1]::BIGINT AS urgent,
+       cardinality(mp)::BIGINT AS n_keys
+FROM m
+"""
+
 
 def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
@@ -1630,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_unpivot": _sql(Q34_SPARK),
         "q35_window_frames": _sql(Q35_SPARK),
         "q36_lateral": _sql(Q36_SPARK),
+        "q37_map_fns": _sql(Q37_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1701,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "q34_unpivot": Q34_DUCK,
         "q35_window_frames": Q35_DUCK,
         "q36_lateral": Q36_DUCK,
+        "q37_map_fns": Q37_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
