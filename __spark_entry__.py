@@ -702,6 +702,22 @@ FROM m
 """
 
 
+# correlated SCALAR subqueries (decorrelated to joins by both
+# optimizers — a different path than q06's EXISTS): per-customer order
+# count and latest order date inlined in the select list
+Q38_SPARK = """
+SELECT c_custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT MAX(o_orderdate) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS last_order
+FROM customer c
+WHERE c_custkey <= 400
+"""
+
+Q38_DUCK = Q38_SPARK
+
+
 def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
 
@@ -1079,6 +1095,46 @@ def _op_pack_shards_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("pack_part", "shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("shard_chars"),
+    )
+
+
+# z-order clustering key (operators/zorder.py): Morton interleave of
+# quantized (o_custkey, o_orderkey). Pure integer arithmetic, so the
+# oracle reproduces every key bit-for-bit; the write-time layout it
+# drives is tested in tests/test_zorder.py via parquet file stats.
+_ZORDER_BITS = 8
+_ZORDER_COLS = ["o_custkey", "o_orderkey"]
+
+
+def _zorder_duck_sql() -> str:
+    maxb = (1 << _ZORDER_BITS) - 1
+    n = len(_ZORDER_COLS)
+    terms = []
+    for i, c in enumerate(_ZORDER_COLS):
+        b = f"((({c} - mn_{c}) * {maxb}) // GREATEST(1, mx_{c} - mn_{c}))"
+        for j in range(_ZORDER_BITS):
+            terms.append(f"((({b} >> {j}) & 1) << {j * n + i})")
+    z = " | ".join(terms)
+    mm = ", ".join(
+        f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in _ZORDER_COLS
+    )
+    return f"""
+WITH mm AS (SELECT {mm} FROM orders)
+SELECT o_orderkey, CAST({z} AS BIGINT) AS zkey
+FROM orders, mm
+WHERE o_orderkey <= 2000
+"""
+
+
+def _op_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.zorder import with_zorder_key
+
+    _views(spark, sf_dir)
+    keyed = with_zorder_key(
+        spark.table("orders"), _ZORDER_COLS, bits=_ZORDER_BITS, key_col="zkey"
+    )
+    return keyed.where("o_orderkey <= 2000").select(
+        "o_orderkey", F.col("zkey").cast("long").alias("zkey")
     )
 
 
@@ -1665,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_window_frames": _sql(Q35_SPARK),
         "q36_lateral": _sql(Q36_SPARK),
         "q37_map_fns": _sql(Q37_SPARK),
+        "q38_scalar_subquery": _sql(Q38_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1684,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_kmv_distinct": _op_kmv_gate,
         "op_weighted_mix": _op_weighted_mix_gate,
         "op_pack_shards": _op_pack_shards_gate,
+        "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
@@ -1737,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_window_frames": Q35_DUCK,
         "q36_lateral": Q36_DUCK,
         "q37_map_fns": Q37_DUCK,
+        "q38_scalar_subquery": Q38_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
@@ -1756,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "op_kmv_distinct": OP_KMV_DUCK,
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
+        "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,

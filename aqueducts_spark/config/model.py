@@ -316,6 +316,12 @@ class FileDestination(_Base):
     # optional explicit output-file count for cluster_by (default: let
     # Spark/AQE size the range partitions)
     cluster_files: Optional[int] = None
+    # multi-dimensional clustering (Spark extension): interleave the
+    # bits of these columns into a Morton key and range-sort by it, so
+    # each file covers a small hyper-rectangle and predicates on ANY
+    # subset of the columns prune files (Delta OPTIMIZE ZORDER BY
+    # semantics, as a plain write-time expression)
+    zorder_by: list[str] = PField(default_factory=list)
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
 
     @model_validator(mode="after")
@@ -326,6 +332,15 @@ class FileDestination(_Base):
             raise ValueError("cluster_by requires single_file: false")
         if self.cluster_by and self.bucket_by is not None:
             raise ValueError("cluster_by and bucket_by are mutually exclusive")
+        if self.zorder_by:
+            if len(self.zorder_by) < 2:
+                raise ValueError("zorder_by needs >= 2 columns (use cluster_by for 1)")
+            if self.single_file:
+                raise ValueError("zorder_by requires single_file: false")
+            if self.cluster_by or self.bucket_by is not None:
+                raise ValueError(
+                    "zorder_by is mutually exclusive with cluster_by/bucket_by"
+                )
         return self
 
 

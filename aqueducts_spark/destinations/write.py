@@ -141,6 +141,22 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
             df = df.repartitionByRange(*cols)
         df = df.sortWithinPartitions(*cols)
 
+    if dest.zorder_by:
+        # Morton-interleave the columns into one key, range-sort by it:
+        # same single shuffle as cluster_by, but min/max file stats stay
+        # tight on EVERY z-column, not just a leading one
+        from pyspark.sql import functions as F
+
+        from aqueducts_spark.operators.zorder import with_zorder_key
+
+        zcol = "__aqueducts_zorder"
+        df = with_zorder_key(df, dest.zorder_by, key_col=zcol)
+        if dest.cluster_files:
+            df = df.repartitionByRange(dest.cluster_files, F.col(zcol))
+        else:
+            df = df.repartitionByRange(F.col(zcol))
+        df = df.sortWithinPartitions(zcol).drop(zcol)
+
     writer = df.write.mode("overwrite")
     if dest.partition_columns:
         writer = writer.partitionBy(*dest.partition_columns)
