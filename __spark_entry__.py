@@ -1138,6 +1138,48 @@ def _op_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-document characteristic terms by tf-idf (operators/text.py::
+# tfidf_top_terms): exact integer tf / document frequency; score
+# tf * ln(n_docs/df) rounded to 6dp for presentation (q17 precedent —
+# raw ln may differ in the last ulp across engines, ranking is immune
+# because equal (tf,df) pairs give identical within-engine scores and
+# ties break on term text)
+OP_TFIDF_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(doc_id)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE)
+           * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS s
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tf, df, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, ROUND(s, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 AND doc_id <= 150
+"""
+
+
+def _op_tfidf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import tfidf_top_terms
+
+    _views(spark, sf_dir)
+    out = tfidf_top_terms(spark.table("documents"), top_n=3)
+    return out.where("doc_id <= 150").select(
+        "doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank"
+    )
+
+
 # corpus vocabulary: top-N token counts with deterministic tiebreak
 OP_VOCAB_DUCK = r"""
 WITH toks AS (
@@ -1734,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_hash_sample": _op_hash_sample,
         "op_split_counts": _op_split_counts,
         "op_vocab_topk": _op_vocab,
+        "op_tfidf_terms": _op_tfidf_gate,
         "op_salted_join": _op_salted_join_gate,
         "op_asof_join": _op_asof_join_gate,
         "op_range_join": _op_range_join_gate,
@@ -1808,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "op_hash_sample": OP_HASH_SAMPLE_DUCK,
         "op_split_counts": OP_SPLIT_COUNTS_DUCK,
         "op_vocab_topk": OP_VOCAB_DUCK,
+        "op_tfidf_terms": OP_TFIDF_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_asof_join": OP_ASOF_JOIN_DUCK,
         "op_range_join": OP_RANGE_JOIN_DUCK,

@@ -265,6 +265,17 @@ def _op_vocabulary(spark, inp, options):
     )
 
 
+def _op_tfidf(spark, inp, options):
+    from .text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        top_n=int(options.get("top_n", 5)),
+    )
+
+
 def _op_salted_join(spark, inp, options):
     from .skew import salted_join
 
@@ -447,6 +458,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "pack_shards": _op_pack_shards,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
+    "tfidf_top_terms": _op_tfidf,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
 }

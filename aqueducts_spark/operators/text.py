@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from .dedup import normalized_tokens
 
 __all__ = [
+    "tfidf_top_terms",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -186,4 +187,51 @@ def vocabulary(
         counts.orderBy(F.desc("n"), F.asc("token"))
         .limit(top_n)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-document top-N terms by tf-idf over the whole corpus —
+    the standard keyword/characteristic-term extraction.
+
+    tf and document frequency are exact integers; the score is
+    ``tf * ln(n_docs / df)`` with ties broken by term text, so ranking
+    is deterministic.  Output: ``id, term, tf, df, tfidf, rank``.
+
+    Plan shape (scales linearly in corpus size): explode ->
+    (id, term) count [1 full shuffle, map-side combined]; document
+    frequency re-aggregates that table [smaller shuffle]; the corpus
+    size is a 1-row aggregate joined by broadcast; the final per-doc
+    top-n is a window over the (id, term) table.  The raw corpus is
+    read once; nothing wider than the tf table ever shuffles.
+    """
+    from .dedup import ensure_parallelism, normalized_tokens
+
+    tf = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )

@@ -99,3 +99,44 @@ stages:
 
     with pytest.raises(StageError, match="unknown operator"):
         run_pipeline(spark, load_pipeline_str(yml))
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple"),       # apple tf=2, only doc with banana... no: doc3 has banana
+        (2, "cherry cherry cherry date"),
+        (3, "banana date date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, top_n=2)
+    top = {
+        r["doc_id"]: (r["term"], r["tf"], r["df"])
+        for r in out.where("rank = 1").collect()
+    }
+    # cherry: tf=3 and appears only in doc 2 -> dominant term there
+    assert top[2] == ("cherry", 3, 1)
+    # apple: tf=2, df=1 beats banana (tf=1, df=2) in doc 1
+    assert top[1] == ("apple", 2, 1)
+    # every score is non-negative and ranks are dense per doc
+    assert out.where("tfidf < 0").count() == 0
+    ranks = [r["rank"] for r in out.where("doc_id = 3").orderBy("rank").collect()]
+    assert ranks == [1, 2]
+
+
+def test_tfidf_registry_stage(spark, sf_dir):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "tfidf_docs"
+    )
+    out = run_operator(
+        spark,
+        {"type": "tfidf_top_terms", "input": "tfidf_docs", "options": {"top_n": 3}},
+    )
+    assert out.columns == ["doc_id", "term", "tf", "df", "tfidf", "rank"]
+    assert out.groupBy("doc_id").count().where("count > 3").count() == 0
+    spark.catalog.dropTempView("tfidf_docs")
