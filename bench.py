@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "op_hash_sample",
+    "op_tfidf_terms",
+    "op_weighted_mix",
+    "op_pack_shards",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]
