@@ -717,6 +717,19 @@ WHERE c_custkey <= 400
 
 Q38_DUCK = Q38_SPARK
 
+# GROUP BY ALL / ORDER BY ALL (modern-SQL convenience both Spark 4 and
+# DuckDB implement): grouping keys inferred from the non-aggregate
+# select items
+Q39_SPARK = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+"""
+
+Q39_DUCK = Q39_SPARK
+
 
 def _q28_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_lateral": _sql(Q36_SPARK),
         "q37_map_fns": _sql(Q37_SPARK),
         "q38_scalar_subquery": _sql(Q38_SPARK),
+        "q39_group_by_all": _sql(Q39_SPARK),
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1839,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
         "q36_lateral": Q36_DUCK,
         "q37_map_fns": Q37_DUCK,
         "q38_scalar_subquery": Q38_DUCK,
+        "q39_group_by_all": Q39_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
