@@ -1727,6 +1727,94 @@ def _pl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, pipeline).result
 
 
+# Gopher-style repetition signals (operators/text.py::repetition_features):
+# total/distinct bigram counts, most-frequent-bigram count, derived
+# fractions. Spark computes top_count as the longest run in the sorted
+# per-row gram array (zero shuffle); the oracle counts via unnest+GROUP BY
+# — same semantics. Fractions are integer-derived double divisions
+# (bit-identical cross-engine, no rounding needed).
+OP_REPETITION_DUCK = r"""
+WITH g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, greatest(len(toks)-1, 1))] AS grams
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*)::BIGINT AS n_distinct, MAX(c) AS top_count
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_grams, n_distinct, top_count,
+       (n_grams - n_distinct) / CAST(n_grams AS DOUBLE) AS dup_frac,
+       top_count / CAST(n_grams AS DOUBLE) AS top_frac
+FROM stats
+"""
+
+
+def _op_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import repetition_features
+
+    _views(spark, sf_dir)
+    return repetition_features(spark.table("documents"), n=2)
+
+
+# n-gram benchmark decontamination (operators/decontam.py): documents
+# from source 'src0' play the benchmark set; every other document is
+# checked for 3-gram overlap. Spark broadcast-joins the benchmark
+# shingle set; the oracle is a plain join — same distinct-overlap
+# counts. Shingle construction is the proven cross-engine recipe
+# (slice/concat_ws vs list slicing/array_to_string).
+OP_DECONTAM_DUCK = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'),
+corp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE source <> 'src0')
+SELECT c.doc_id, COUNT(*)::BIGINT AS n_overlap
+FROM corp c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
+def _op_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.decontam import ngram_overlap
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return ngram_overlap(
+        docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=3
+    )
+
+
+# Spark 4 VARIANT (shredded binary JSON — the scale path for
+# semi-structured columns): parse once, extract typed fields. The
+# oracle uses DuckDB's JSON extraction; values are identical.
+Q40_SPARK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+       MAX(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k,
+       MIN(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k
+FROM events
+GROUP BY event_type
+"""
+
+Q40_DUCK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1778,6 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_map_fns": _sql(Q37_SPARK),
         "q38_scalar_subquery": _sql(Q38_SPARK),
         "q39_group_by_all": _sql(Q39_SPARK),
+        "q40_variant": _sql(Q40_SPARK),
+        "op_repetition": _op_repetition_gate,
+        "op_decontam": _op_decontam_gate,
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1866,6 +1957,9 @@ def oracle_sql() -> dict[str, str]:
         "op_hash_sample": OP_HASH_SAMPLE_DUCK,
         "op_split_counts": OP_SPLIT_COUNTS_DUCK,
         "op_vocab_topk": OP_VOCAB_DUCK,
+        "q40_variant": Q40_DUCK,
+        "op_repetition": OP_REPETITION_DUCK,
+        "op_decontam": OP_DECONTAM_DUCK,
         "op_tfidf_terms": OP_TFIDF_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_asof_join": OP_ASOF_JOIN_DUCK,

@@ -413,6 +413,48 @@ def _op_skew_profile(spark, inp, options):
     return key_skew_profile(inp, options["key"], top=int(options.get("top", 10)))
 
 
+def _op_repetition(spark, inp, options):
+    from .text import repetition_features
+
+    return repetition_features(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        n=int(options.get("n", 2)),
+    )
+
+
+def _op_ngram_overlap(spark, inp, options):
+    from .decontam import ngram_overlap
+
+    bench_table = options.get("benchmark")
+    if not bench_table:
+        raise OperatorError("ngram_overlap operator requires options.benchmark (a table name)")
+    return ngram_overlap(
+        inp,
+        spark.table(bench_table),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        n=int(options.get("n", 13)),
+    )
+
+
+def _op_decontaminate(spark, inp, options):
+    from .decontam import decontaminate
+
+    bench_table = options.get("benchmark")
+    if not bench_table:
+        raise OperatorError("decontaminate operator requires options.benchmark (a table name)")
+    return decontaminate(
+        inp,
+        spark.table(bench_table),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        n=int(options.get("n", 13)),
+        threshold=int(options.get("threshold", 1)),
+    )
+
+
 def _op_byte_stats(spark, inp, options):
     from .multimodal import byte_stats
 
@@ -459,6 +501,9 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,
+    "repetition_features": _op_repetition,
+    "ngram_overlap": _op_ngram_overlap,
+    "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
 }
@@ -495,4 +540,6 @@ def referenced_tables(config: dict[str, Any]) -> list[str]:
         out.append(str(options["pairs"]))
     if options.get("right"):
         out.append(str(options["right"]))
+    if options.get("benchmark"):
+        out.append(str(options["benchmark"]))
     return out

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from .dedup import normalized_tokens
 
 __all__ = [
+    "repetition_features",
     "tfidf_top_terms",
     "vocabulary",
     "token_count",
@@ -147,6 +148,66 @@ def detect_language(
             (best > 0) & (F.col(f"ratio_{lang}") == best), lang
         ).otherwise(pred)
     return base.withColumn("predicted_lang", pred)
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: total and
+    distinct word n-gram counts, the count of the single most frequent
+    n-gram, and the derived duplicate-n-gram and top-n-gram-coverage
+    fractions.
+
+    High ``dup_frac`` / ``top_frac`` flags boilerplate and degenerate
+    repetition — the standard repetition filters for pretraining-data
+    curation (Gopher §A.1.1 heuristics).
+
+    Zero shuffle: everything is per-row array codegen. The most
+    frequent n-gram count is computed as the longest run in the
+    *sorted* n-gram array via a single ``aggregate`` fold —
+    O(t log t) per document, not O(t²) — so a repetition pass over
+    100 TB is one map stage dominated by the scan.
+    """
+    toks = normalized_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    sorted_grams = F.array_sort(grams)
+    zero = F.lit(0).cast("bigint")
+    run_of = lambda acc, g: (  # noqa: E731 - local expression helper
+        F.when(g == acc.prev, acc.run + 1).otherwise(zero + 1)
+    )
+    top = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            run_of(acc, g).alias("run"),
+            F.greatest(acc.best, run_of(acc, g)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        top.alias("top_count"),
+    )
+    n_grams_d = F.col("n_grams").cast("double")
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        ((F.col("n_grams") - F.col("n_distinct")) / n_grams_d).alias("dup_frac"),
+        (F.col("top_count") / n_grams_d).alias("top_frac"),
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "op_hash_sample",
     "op_tfidf_terms",
+    "op_repetition",
+    "op_decontam",
     "op_weighted_mix",
     "op_pack_shards",
     "mm_byte_stats",

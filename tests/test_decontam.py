@@ -1,0 +1,113 @@
+"""Benchmark n-gram decontamination (operators/decontam.py) and
+Gopher-style repetition features (operators/text.py)."""
+
+import pytest
+
+from aqueducts_spark.operators.decontam import (
+    benchmark_ngrams,
+    decontaminate,
+    ngram_overlap,
+)
+from aqueducts_spark.operators.text import repetition_features
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated text with no shared phrases here"),
+        (3, "quick brown fox appears once more in this line"),
+        (4, "the capital of france is paris everyone knows"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def bench_set(spark):
+    rows = [
+        (100, "what does the quick brown fox do"),
+        (101, "the capital of france is which city"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_overlap_counts_distinct_shared_ngrams(spark, corpus, bench_set):
+    got = {
+        (r.doc_id, r.n_overlap)
+        for r in ngram_overlap(corpus, bench_set, n=3).collect()
+    }
+    # doc 1 shares "the quick brown"/"quick brown fox"; doc 3 shares
+    # "quick brown fox"; doc 4 shares "the capital of"/"capital of
+    # france"; doc 2 shares nothing (absent: output is sparse)
+    assert got == {(1, 2), (3, 1), (4, 3)}
+
+
+def test_decontaminate_drops_flagged_docs(spark, corpus, bench_set):
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, bench_set, n=3, threshold=2).collect()
+    )
+    assert kept == [2, 3]  # doc 3 has only 1 overlap, below threshold 2
+    kept_all = sorted(
+        r.doc_id for r in decontaminate(corpus, bench_set, n=3, threshold=1).collect()
+    )
+    assert kept_all == [2]
+
+
+def test_benchmark_ngrams_distinct(spark, bench_set):
+    grams = [r.shingle for r in benchmark_ngrams(bench_set, n=3).collect()]
+    assert len(grams) == len(set(grams))
+    assert "the quick brown" in grams
+
+
+def test_overlap_join_is_broadcast(spark, corpus, bench_set):
+    plan = ngram_overlap(corpus, bench_set, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_stage_yaml(spark, corpus, bench_set, tmp_path):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    corpus.createOrReplaceTempView("raw_corpus")
+    bench_set.createOrReplaceTempView("eval_set")
+    pipeline = load_pipeline_str(
+        """
+version: "v2"
+sources:
+  - type: in_memory
+    name: raw_corpus
+  - type: in_memory
+    name: eval_set
+stages:
+  - - name: clean
+      operator:
+        type: decontaminate
+        input: raw_corpus
+        options: {benchmark: eval_set, n: 3, threshold: 1}
+"""
+    )
+    result = run_pipeline(spark, pipeline).result
+    assert sorted(r.doc_id for r in result.collect()) == [2]
+
+
+def test_repetition_features_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: [a b, b a, a b, b a, a b]
+            (2, "x y z w"),            # all bigrams distinct
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_features(df, n=2).collect()}
+    r1 = rows[1]
+    assert (r1.n_grams, r1.n_distinct, r1.top_count) == (5, 2, 3)
+    assert r1.dup_frac == pytest.approx(3 / 5)
+    assert r1.top_frac == pytest.approx(3 / 5)
+    r2 = rows[2]
+    assert (r2.n_grams, r2.n_distinct, r2.top_count) == (3, 3, 1)
+    assert r2.dup_frac == 0.0
+
+
+def test_repetition_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
