@@ -1791,6 +1791,33 @@ def _op_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Context-window chunking (operators/text.py::chunk_documents):
+# fixed-token overlapping windows, chunk starts 1 + k*stride. All
+# arithmetic is non-negative integer ceil-div — exact in both engines.
+OP_CHUNKING_DUCK = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (greatest(len(toks) - 32, 0) + 23) // 24)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+FROM k
+"""
+
+
+def _op_chunking_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import chunk_documents
+
+    _views(spark, sf_dir)
+    return chunk_documents(spark.table("documents"), chunk_tokens=32, overlap=8)
+
+
 # Spark 4 VARIANT (shredded binary JSON — the scale path for
 # semi-structured columns): parse once, extract typed fields. The
 # oracle uses DuckDB's JSON extraction; values are identical.
@@ -1869,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_variant": _sql(Q40_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
+        "op_chunking": _op_chunking_gate,
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1960,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "q40_variant": Q40_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
+        "op_chunking": OP_CHUNKING_DUCK,
         "op_tfidf_terms": OP_TFIDF_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_asof_join": OP_ASOF_JOIN_DUCK,

@@ -424,6 +424,18 @@ def _op_repetition(spark, inp, options):
     )
 
 
+def _op_chunk_documents(spark, inp, options):
+    from .text import chunk_documents
+
+    return chunk_documents(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        chunk_tokens=int(options.get("chunk_tokens", 64)),
+        overlap=int(options.get("overlap", 8)),
+    )
+
+
 def _op_ngram_overlap(spark, inp, options):
     from .decontam import ngram_overlap
 
@@ -502,6 +514,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,
     "repetition_features": _op_repetition,
+    "chunk_documents": _op_chunk_documents,
     "ngram_overlap": _op_ngram_overlap,
     "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,

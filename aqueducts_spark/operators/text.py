@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from .dedup import normalized_tokens
 
 __all__ = [
+    "chunk_documents",
     "repetition_features",
     "tfidf_top_terms",
     "vocabulary",
@@ -171,11 +172,9 @@ def repetition_features(
     O(t log t) per document, not O(t²) — so a repetition pass over
     100 TB is one map stage dominated by the scan.
     """
-    toks = normalized_tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    from .dedup import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
     sorted_grams = F.array_sort(grams)
     zero = F.lit(0).cast("bigint")
     run_of = lambda acc, g: (  # noqa: E731 - local expression helper
@@ -207,6 +206,60 @@ def repetition_features(
         "top_count",
         ((F.col("n_grams") - F.col("n_distinct")) / n_grams_d).alias("dup_frac"),
         (F.col("top_count") / n_grams_d).alias("top_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    context-length chunking step of a training-data layout pipeline
+    (long doc -> N training examples with ``overlap`` tokens of
+    continuity between consecutive chunks).
+
+    Chunk starts are ``1 + k*stride`` (1-based, ``stride =
+    chunk_tokens - overlap``) for ``k = 0..ceil(max(n_tokens -
+    chunk_tokens, 0) / stride)`` — full coverage, last chunk may be
+    shorter, short docs yield exactly one chunk. All arithmetic is
+    non-negative integers so the same formula is exact in any engine.
+
+    Zero shuffle: tokenize, window-index explode, and re-join of the
+    slices are per-row codegen; output order/partitioning follows the
+    input, so a downstream ``pack_shards`` sees chunks co-located with
+    their documents.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokenized = df.select(
+        F.col(id_col),
+        normalized_tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn(
+        "_n_extra", F.greatest(F.size("_toks") - chunk_tokens, F.lit(0)).cast("bigint")
+    )
+    # integer ceil-div on non-negative ints: (a + b - 1) div b
+    exploded = tokenized.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(_n_extra + {stride - 1}) DIV {stride}"),
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
     )
 
 

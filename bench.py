@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "op_tfidf_terms",
     "op_repetition",
     "op_decontam",
+    "op_chunking",
     "op_weighted_mix",
     "op_pack_shards",
     "mm_byte_stats",

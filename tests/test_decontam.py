@@ -1,5 +1,6 @@
-"""Benchmark n-gram decontamination (operators/decontam.py) and
-Gopher-style repetition features (operators/text.py)."""
+"""Benchmark n-gram decontamination (operators/decontam.py),
+Gopher-style repetition features, and context-window chunking
+(operators/text.py)."""
 
 import pytest
 
@@ -8,7 +9,7 @@ from aqueducts_spark.operators.decontam import (
     decontaminate,
     ngram_overlap,
 )
-from aqueducts_spark.operators.text import repetition_features
+from aqueducts_spark.operators.text import chunk_documents, repetition_features
 
 
 @pytest.fixture()
@@ -110,4 +111,39 @@ def test_repetition_features_values(spark):
 def test_repetition_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunking_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # stride 3: ceil((10-4)/3) = 2 extra chunks; starts at tokens 1,4,7
+    # — full coverage, consecutive chunks share 1 token
+    assert rows == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in chunk_documents(df, chunk_tokens=8, overlap=2).collect()}
+    assert rows[1].chunk_text == "a b" and rows[1].chunk_id == 0
+    assert rows[2].n_chunk_tokens == 0
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunking_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
