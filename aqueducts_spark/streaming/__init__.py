@@ -1,5 +1,6 @@
 from .ops import (
     dedup_stream,
+    quota_stream,
     file_stream_source,
     run_available_now,
     running_counts_stream,
@@ -14,4 +15,5 @@ __all__ = [
     "run_available_now",
     "dedup_stream",
     "running_counts_stream",
+    "quota_stream",
 ]

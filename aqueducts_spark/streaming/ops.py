@@ -175,6 +175,52 @@ def dedup_stream(
     )
 
 
+def quota_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    limit: int,
+) -> DataFrame:
+    """Custom stateful operator: pass through at most ``limit`` rows
+    per key over the whole lifetime of the stream (a streaming
+    per-group LIMIT / quota enforcer — e.g. "at most N documents per
+    source domain" while ingesting a crawl).
+
+    State is a single counter per key, partitioned by key hash in the
+    state store — O(distinct keys) memory, the 100 TB contract.
+
+    Implemented on ``applyInPandasWithState``. Spark 4's successor
+    API, ``transformWithStateInPandas`` (typed ValueState, state TTL,
+    timers), is the production upgrade path, but its state-server
+    protocol needs the ``protobuf`` package, which this environment
+    does not ship — same operator shape either way.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+    columns = df.columns
+
+    def take_quota(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        taken = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdf_iter:  # always drain the iterator
+            if taken < limit and len(pdf):
+                take = pdf.head(limit - taken)
+                taken += len(take)
+                out.append(take)
+        state.update((taken,))
+        yield pd.concat(out) if out else pd.DataFrame(columns=columns)
+
+    return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        take_quota,
+        outputStructType=out_schema,
+        stateStructType="taken bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_counts_stream(
     df: DataFrame,
     key_cols: list[str],

@@ -135,3 +135,39 @@ def test_running_counts_stream(spark, tmp_path):
     for r in rows:
         final[r.user_id] = max(final.get(r.user_id, 0), r.running_count)
     assert final == {1: 2, 2: 1, 3: 1}
+
+
+def test_quota_stream_limits_rows_per_key(spark, tmp_path):
+    from aqueducts_spark.streaming import file_stream_source, quota_stream, run_available_now
+
+    path = _two_batch_dir(spark, tmp_path)
+    stream = file_stream_source(
+        spark, path, "parquet", parse_fields(SCHEMA),
+        options={"maxFilesPerTrigger": "1"},
+    )
+    out = quota_stream(stream, ["user_id"], limit=1)
+    rows = run_available_now(out, str(tmp_path / "ckpt_quota"))
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.value)
+    # user 1 appears in both micro-batches; the quota admits only the
+    # first row ever seen (cross-batch state on transformWithState)
+    assert by_user == {1: [1.0], 2: [2.0], 3: [3.0]}
+
+
+def test_quota_stream_partial_batch(spark, tmp_path):
+    from aqueducts_spark.streaming import file_stream_source, quota_stream, run_available_now
+
+    import os, time
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "q2"
+    rows = [(1, "2024-01-01 00:00:01", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+        "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    df.coalesce(1).write.parquet(str(src))
+    stream = file_stream_source(spark, str(src), "parquet", parse_fields(SCHEMA))
+    out = quota_stream(stream, ["user_id"], limit=3)
+    got = run_available_now(out, str(tmp_path / "ckpt_quota2"))
+    assert len(got) == 3 and all(r.user_id == 1 for r in got)
