@@ -1818,6 +1818,72 @@ def _op_chunking_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(spark.table("documents"), chunk_tokens=32, overlap=8)
 
 
+# PII redaction (operators/text.py::redact_pii): deterministic PII is
+# injected (the corpus has none), then scrubbed + counted. Patterns are
+# written in the Java-regex ∩ RE2 subset so both engines match the
+# same spans.
+OP_REDACT_DUCK = r"""
+WITH inj AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com at 555-123-4567 or 10.0.0.',
+                CAST(doc_id % 256 AS VARCHAR)) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+         '\b(\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4
+FROM inj
+"""
+
+
+def _op_redact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import redact_pii
+
+    _views(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 555-123-4567 or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
+# fixed-budget stratified sampling (operators/sampling.py::
+# stratified_fixed_n): exactly n per stratum by deterministic md5 rank.
+OP_FIXED_N_DUCK = """
+WITH rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM rk WHERE rk <= 20
+"""
+
+
+def _op_fixed_n_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sampling import stratified_fixed_n
+
+    _views(spark, sf_dir)
+    return stratified_fixed_n(
+        spark.table("documents"), "doc_id", "lang", 20
+    ).select("doc_id", "lang")
+
+
 # Spark 4 VARIANT (shredded binary JSON — the scale path for
 # semi-structured columns): parse once, extract typed fields. The
 # oracle uses DuckDB's JSON extraction; values are identical.
@@ -1897,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
+        "op_redact": _op_redact_gate,
+        "op_fixed_n_sample": _op_fixed_n_gate,
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -1989,6 +2057,8 @@ def oracle_sql() -> dict[str, str]:
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
+        "op_redact": OP_REDACT_DUCK,
+        "op_fixed_n_sample": OP_FIXED_N_DUCK,
         "op_tfidf_terms": OP_TFIDF_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_asof_join": OP_ASOF_JOIN_DUCK,

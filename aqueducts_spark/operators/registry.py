@@ -424,6 +424,33 @@ def _op_repetition(spark, inp, options):
     )
 
 
+def _op_redact_pii(spark, inp, options):
+    from .text import redact_pii
+
+    return redact_pii(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        patterns=options.get("patterns"),
+        keep_cols=options.get("keep_cols"),
+    )
+
+
+def _op_stratified_fixed_n(spark, inp, options):
+    from .sampling import stratified_fixed_n
+
+    for req in ("stratum_col", "n_per_stratum"):
+        if req not in options:
+            raise OperatorError(f"stratified_fixed_n operator requires options.{req}")
+    return stratified_fixed_n(
+        inp,
+        options.get("id_col", "doc_id"),
+        options["stratum_col"],
+        int(options["n_per_stratum"]),
+        salt=options.get("salt", ""),
+    )
+
+
 def _op_chunk_documents(spark, inp, options):
     from .text import chunk_documents
 
@@ -515,6 +542,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "tfidf_top_terms": _op_tfidf,
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
+    "redact_pii": _op_redact_pii,
+    "stratified_fixed_n": _op_stratified_fixed_n,
     "ngram_overlap": _op_ngram_overlap,
     "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,

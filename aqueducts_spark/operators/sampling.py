@@ -30,6 +30,7 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "stratified_sample",
+    "stratified_fixed_n",
     "deterministic_split",
 ]
 
@@ -119,3 +120,36 @@ def deterministic_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, chosen by
+    deterministic hash rank — the fixed-budget cousin of
+    :func:`stratified_sample` ("give me 10k docs per language", not a
+    fraction).
+
+    Ranking key is ``(md5(salt || id), id)`` so selection is a pure
+    function of the data: re-running on any engine or partitioning
+    draws the same rows, and changing ``salt`` is an independent
+    re-draw.
+
+    One shuffle (hash by stratum for the rank window). Spark 4 plans a
+    ``WindowGroupLimit`` before the full window — per-partition top-n
+    pre-filtering — so the exchange carries at most ``n`` rows per
+    stratum per map partition, not the whole stratum.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

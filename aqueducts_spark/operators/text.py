@@ -17,7 +17,9 @@ from .dedup import normalized_tokens
 
 __all__ = [
     "chunk_documents",
+    "redact_pii",
     "repetition_features",
+    "PII_PATTERNS",
     "tfidf_top_terms",
     "vocabulary",
     "token_count",
@@ -206,6 +208,53 @@ def repetition_features(
         "top_count",
         ((F.col("n_grams") - F.col("n_distinct")) / n_grams_d).alias("dup_frac"),
         (F.col("top_count") / n_grams_d).alias("top_frac"),
+    )
+
+
+# Patterns are written in the common subset of Java regex (Spark) and
+# RE2 (DuckDB/Go/C++ scanners): no lookbehind, ASCII \b only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scrub PII-shaped substrings before training: each pattern is
+    replaced by ``[NAME]`` and counted. Output: ``id, redacted``
+    plus one ``n_<name>`` count per pattern.
+
+    Counts are measured on the *original* text per pattern;
+    replacements apply sequentially in ``patterns`` order (so an
+    earlier pattern cannot hide a later one's count, but can consume
+    its text — order patterns most-specific first).
+
+    Zero shuffle: ``regexp_replace``/``regexp_extract_all`` are
+    whole-stage codegen, so a scrub of 100 TB is one map stage
+    pipelined into the scan.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    text = F.col(text_col)
+    redacted = text
+    for name, pat in patterns.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        redacted.alias("redacted"),
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+            for name, pat in patterns.items()
+        ],
     )
 
 

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "op_repetition",
     "op_decontam",
     "op_chunking",
+    "op_redact",
+    "op_fixed_n_sample",
     "op_weighted_mix",
     "op_pack_shards",
     "mm_byte_stats",

@@ -147,3 +147,30 @@ def test_chunking_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from aqueducts_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, call 555-123-4567, host 10.0.0.1"),
+            (2, "clean text with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = rows[1]
+    assert r1.redacted == "mail [EMAIL] and [EMAIL], call [PHONE], host [IPV4]"
+    assert (r1.n_email, r1.n_phone, r1.n_ipv4) == (2, 1, 1)
+    r2 = rows[2]
+    assert r2.redacted == "clean text with no identifiers at all"
+    assert (r2.n_email, r2.n_phone, r2.n_ipv4) == (0, 0, 0)
+
+
+def test_redact_pii_no_shuffle(spark):
+    from aqueducts_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -91,3 +91,28 @@ class TestDeterministicSplit:
             F.min("b"), F.max("b")
         ).collect()[0]
         assert vals[0] >= 0 and vals[1] < 10_000
+
+
+def test_stratified_fixed_n_exact_budget(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    from aqueducts_spark.operators.sampling import stratified_fixed_n
+
+    out = stratified_fixed_n(df, "doc_id", "lang", 7).collect()
+    per = {}
+    for r in out:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert per == {"a": 7, "b": 7}
+    # deterministic: same selection on re-run; different salt re-draws
+    again = {r.doc_id for r in stratified_fixed_n(df, "doc_id", "lang", 7).collect()}
+    assert again == {r.doc_id for r in out}
+    other = {r.doc_id for r in stratified_fixed_n(df, "doc_id", "lang", 7, salt="x").collect()}
+    assert other != again
+
+
+def test_stratified_fixed_n_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "rare")], ["doc_id", "lang"])
+    from aqueducts_spark.operators.sampling import stratified_fixed_n
+
+    out = stratified_fixed_n(df, "doc_id", "lang", 10).collect()
+    assert len(out) == 3
