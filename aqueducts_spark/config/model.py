@@ -94,7 +94,7 @@ class SourceFileType(_Base):
     @classmethod
     def _norm_type(cls, v: str) -> str:
         t = v.strip().lower()
-        if t not in ("csv", "json", "parquet"):
+        if t not in ("csv", "json", "parquet", "orc"):
             raise ValueError(f"unsupported source file format: {v}")
         return t
 
@@ -105,6 +105,9 @@ class SourceFileType(_Base):
             "csv": CsvSourceOptions,
             "json": JsonSourceOptions,
             "parquet": ParquetSourceOptions,
+            # ORC is a free Spark-native columnar format (the reference
+            # supports csv/json/parquet only); schema override like parquet
+            "orc": ParquetSourceOptions,
         }[self.type]
         object.__setattr__(self, "parsed", cls.model_validate(opts))
         return self
@@ -257,7 +260,7 @@ class DestinationFileType(_Base):
     @classmethod
     def _norm_type(cls, v: str) -> str:
         t = v.strip().lower()
-        if t not in ("csv", "json", "parquet"):
+        if t not in ("csv", "json", "parquet", "orc"):
             raise ValueError(f"unsupported destination file format: {v}")
         return t
 
@@ -266,7 +269,7 @@ class DestinationFileType(_Base):
         opts = self.options or {}
         if self.type == "csv":
             object.__setattr__(self, "parsed", CsvDestinationOptions.model_validate(opts))
-        elif self.type == "parquet":
+        elif self.type in ("parquet", "orc"):
             object.__setattr__(self, "parsed", {str(k): str(v) for k, v in opts.items()})
         else:
             object.__setattr__(self, "parsed", None)

@@ -170,6 +170,8 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
         writer.csv(location)
     elif fmt.type == "parquet":
         writer.options(**(fmt.parsed or {})).parquet(location)
+    elif fmt.type == "orc":
+        writer.options(**(fmt.parsed or {})).orc(location)
     elif fmt.type == "json":
         writer.json(location)
     else:
@@ -202,6 +204,9 @@ def _write_single_file(dest: FileDestination, df: DataFrame, location: str) -> N
     elif fmt.type == "parquet":
         one.options(**(fmt.parsed or {})).parquet(str(tmp_dir))
         pattern = "part-*.parquet"
+    elif fmt.type == "orc":
+        one.options(**(fmt.parsed or {})).orc(str(tmp_dir))
+        pattern = "part-*"
     elif fmt.type == "json":
         one.json(str(tmp_dir))
         pattern = "part-*"

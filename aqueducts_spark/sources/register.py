@@ -67,6 +67,11 @@ def _read_file_format(spark: SparkSession, fmt, location: str) -> DataFrame:
         if opts.schema_:
             reader = reader.schema(fields_to_struct(opts.schema_))
         return reader.parquet(location)
+    if fmt.type == "orc":
+        reader = spark.read
+        if opts.schema_:
+            reader = reader.schema(fields_to_struct(opts.schema_))
+        return reader.orc(location)
     raise SourceError(f"unsupported file format: {fmt.type}")
 
 
@@ -96,8 +101,8 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
         reader = reader.format("json")
         if opts.schema_:
             reader = reader.schema(fields_to_struct(opts.schema_))
-    elif fmt.type == "parquet":
-        reader = reader.format("parquet")
+    elif fmt.type in ("parquet", "orc"):
+        reader = reader.format(fmt.type)
         if opts.schema_:
             reader = reader.schema(fields_to_struct(opts.schema_))
     else:

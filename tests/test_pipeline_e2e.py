@@ -264,3 +264,58 @@ stages:
     assert dict(result.result.dtypes)["year"] == "int"
     spark.catalog.dropTempView("recent")
     spark.catalog.dropTempView("dir_data")
+
+
+def test_orc_roundtrip(spark, tmp_path, sf_dir):
+    """ORC source + destination (Spark-native bonus format)."""
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    out = tmp_path / "orc_out"
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: orc_orders
+    format: {{type: parquet}}
+    location: {sf_dir}/orders.parquet
+stages:
+  - - name: orc_summary
+      query: >
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orc_orders GROUP BY o_orderstatus
+destination:
+  type: file
+  name: out
+  format: {{type: orc, options: {{compression: zlib}}}}
+  location: {out}
+  single_file: false
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    back = spark.read.orc(str(out))
+    assert back.count() == 3
+    assert set(back.columns) == {"o_orderstatus", "n", "total"}
+
+    # read it back through an orc *source* with a schema override
+    yml2 = f"""
+version: "v2"
+sources:
+  - type: file
+    name: orc_back
+    format:
+      type: orc
+      options:
+        schema:
+          - name: o_orderstatus
+            data_type: string
+          - name: n
+            data_type: long
+          - name: total
+            data_type: double
+    location: {out}
+stages:
+  - - name: orc_back_count
+      query: SELECT COUNT(*) AS n FROM orc_back
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml2))
+    assert res.result.collect()[0].n == 3
