@@ -37,6 +37,7 @@ def test_examples_exist():
         "training_mix.yml",
         "datafusion_dialect.yml",
         "event_attribution.yml",
+        "pretrain_prep.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
