@@ -1908,6 +1908,39 @@ GROUP BY event_type
 """
 
 
+# TRY_CAST error-safe casting: malformed inputs yield NULL instead of
+# failing (ANSI mode is on by default in Spark 4, so this is the
+# documented safe-cast path). Spark spells string as STRING, DuckDB as
+# VARCHAR — same semantics.
+Q41_SPARK = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS DOUBLE) AS prio_as_num,
+       COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT), -1) AS prio_digit,
+       TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+       TRY_CAST(CAST(o_orderdate AS STRING) AS BIGINT) AS date_num,
+       TRY_CAST(CAST(o_totalprice AS STRING) AS DOUBLE) AS price_roundtrip
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+Q41_DUCK = Q41_SPARK.replace("AS STRING", "AS VARCHAR")
+
+# remaining rank-family window functions: ntile / percent_rank /
+# cume_dist / dense_rank (row_number, rank, lag/lead covered by
+# q03/q21/q35). percent_rank and cume_dist are integer-derived double
+# divisions — bit-identical cross-engine.
+Q42_SPARK = """
+SELECT o_custkey, o_orderkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1960,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_scalar_subquery": _sql(Q38_SPARK),
         "q39_group_by_all": _sql(Q39_SPARK),
         "q40_variant": _sql(Q40_SPARK),
+        "q41_try_cast": _sql(Q41_SPARK),
+        "q42_rank_fns": _sql(Q42_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2054,6 +2089,8 @@ def oracle_sql() -> dict[str, str]:
         "op_split_counts": OP_SPLIT_COUNTS_DUCK,
         "op_vocab_topk": OP_VOCAB_DUCK,
         "q40_variant": Q40_DUCK,
+        "q41_try_cast": Q41_DUCK,
+        "q42_rank_fns": Q42_SPARK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
