@@ -61,3 +61,56 @@ def inspect_plan(df: DataFrame) -> PlanInfo:
         re.findall(r"\(\d+\) (?:BatchEvalPython|ArrowEvalPython|MapInPandas)", text)
     )
     return info
+
+
+def lint_plan(df: DataFrame) -> list[str]:
+    """Scale anti-pattern warnings for a physical plan — the checks a
+    reviewer would run before pointing a query at 100 TB. Returns
+    human-readable warnings (empty list = clean).
+
+    Wired into the stage ``explain`` flag so every explained stage gets
+    its lint report for free; also usable standalone on any DataFrame.
+    """
+    text = explain_formatted(df)
+    info = inspect_plan(df)
+    warnings: list[str] = []
+    if re.search(r"\(\d+\) CartesianProduct", text):
+        warnings.append(
+            "CartesianProduct: O(n*m) cross join — add an equi-join key or "
+            "broadcast the small side explicitly"
+        )
+    if info.nested_loop_joins:
+        warnings.append(
+            f"BroadcastNestedLoopJoin x{info.nested_loop_joins}: non-equi join "
+            "predicate scans every (row, broadcast-row) pair — re-encode as an "
+            "equi-join (bucketed range_join / asof_join) if the input is large"
+        )
+    if re.search(r"\(\d+\) BatchEvalPython", text):
+        warnings.append(
+            "BatchEvalPython: row-at-a-time Python UDF in the plan — rewrite "
+            "with built-in functions or an Arrow-batched pandas UDF (10-100x)"
+        )
+    # a range-partitioned global sort that is not a top-k (formatted
+    # mode splits node names from their arguments, so match the
+    # partitioning argument itself)
+    if (
+        re.search(r"rangepartitioning\(", text)
+        and not re.search(r"TakeOrderedAndProject", text)
+        and not re.search(r"\(\d+\) Window", text)
+    ):
+        warnings.append(
+            "global sort (Exchange rangepartitioning): whole-dataset ordering "
+            "is rarely needed — use ORDER BY+LIMIT (top-k), sortWithinPartitions, "
+            "or drop the ordering"
+        )
+    if re.search(r"\(\d+\) Coalesce 1\b|coalesce\(1\)", text):
+        warnings.append(
+            "coalesce(1): single-task funnel — acceptable only for small "
+            "summary outputs (single_file destinations)"
+        )
+    if info.exchanges >= 6:
+        warnings.append(
+            f"{info.exchanges} exchanges: consider pre-partitioned/bucketed "
+            "inputs or reusing a partitioning across stages"
+        )
+    return warnings

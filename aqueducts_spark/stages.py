@@ -66,6 +66,13 @@ def process_stage(
             df._jdf.queryExecution(), "extended"
         )
         tracker.on_output(stage.name, "explain", plan)
+        from .plans import lint_plan
+
+        warnings = lint_plan(df)
+        if warnings:
+            tracker.on_output(
+                stage.name, "plan_lint", "\n".join(f"WARN: {w}" for w in warnings)
+            )
 
     if stage.explain_analyze:
         # Spark has no in-band EXPLAIN ANALYZE: run the action, then read

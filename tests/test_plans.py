@@ -123,3 +123,68 @@ def test_kmv_two_exchanges_and_group_limit(spark):
     assert info.exchanges == 2, f"{info.exchanges} exchanges\n{info.text[:1500]}"
     assert "WindowGroupLimit" in info.text
     assert info.python_evals == 0
+
+
+def test_lint_flags_cartesian_and_python_udf(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    from aqueducts_spark.plans import lint_plan
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    # small sides broadcast into a BNLJ; with broadcast disabled the
+    # same query degrades to CartesianProduct — lint flags both
+    warnings = lint_plan(a.crossJoin(b))
+    assert any("BroadcastNestedLoopJoin" in w or "CartesianProduct" in w for w in warnings)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        warnings = lint_plan(a.crossJoin(b))
+        assert any("CartesianProduct" in w for w in warnings)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    warnings = lint_plan(spark.range(10).select(slow("id")))
+    assert any("BatchEvalPython" in w for w in warnings)
+
+
+def test_lint_clean_plan_and_topk_exempt(spark, sf_dir):
+    from aqueducts_spark.plans import lint_plan
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    clean = orders.groupBy("o_orderstatus").count()
+    assert lint_plan(clean) == []
+    # ORDER BY + LIMIT plans as TakeOrderedAndProject — not a global sort
+    topk = orders.orderBy("o_totalprice").limit(5)
+    assert not any("global sort" in w for w in lint_plan(topk))
+    # an unbounded global sort IS flagged
+    full_sort = orders.orderBy("o_totalprice")
+    assert any("global sort" in w for w in lint_plan(full_sort))
+
+
+def test_lint_reported_through_stage_explain(spark, sf_dir):
+    from aqueducts_spark import CollectingTracker, load_pipeline_str, run_pipeline
+
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: lint_orders
+    format: {{type: parquet}}
+    location: {sf_dir}/orders.parquet
+  - type: file
+    name: lint_customer
+    format: {{type: parquet}}
+    location: {sf_dir}/customer.parquet
+stages:
+  - - name: lint_cross
+      explain: true
+      query: SELECT o.o_orderkey, c.c_custkey FROM lint_orders o CROSS JOIN lint_customer c LIMIT 5
+"""
+    tracker = CollectingTracker()
+    run_pipeline(spark, load_pipeline_str(yml), tracker)
+    lints = [o for o in tracker.outputs if o[1] == "plan_lint"]
+    assert lints and (
+        "CartesianProduct" in lints[0][2] or "BroadcastNestedLoopJoin" in lints[0][2]
+    )
