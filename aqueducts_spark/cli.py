@@ -93,6 +93,23 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_optimize(args) -> int:
+    from .delta.table import VersionedParquetTable
+    from .session import get_spark
+
+    spark = get_spark("aqueducts-optimize", master=args.master)
+    try:
+        table = VersionedParquetTable(spark, args.location)
+        version = table.compact(target_partitions=args.target_partitions)
+        print(f"compacted {args.location} -> version {version}")
+        if args.vacuum_keep is not None:
+            removed = table.vacuum(keep_versions=args.vacuum_keep)
+            print(f"vacuumed {len(removed)} data dir(s)")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="aqueducts-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -121,6 +138,21 @@ def main(argv: list[str] | None = None) -> int:
     serve_p.add_argument("--port", type=int, default=8765)
     serve_p.add_argument("--master", default=None, help="Spark master (default local[*])")
 
+    opt_p = sub.add_parser(
+        "optimize", help="compact a delta table (and optionally vacuum old versions)"
+    )
+    opt_p.add_argument("location", help="delta table path")
+    opt_p.add_argument(
+        "--target-partitions", type=int, default=None, help="coalesce to N files"
+    )
+    opt_p.add_argument(
+        "--vacuum-keep",
+        type=int,
+        default=None,
+        help="after compacting, delete files not referenced by the newest N versions",
+    )
+    opt_p.add_argument("--master", default=None, help="Spark master (default local[*])")
+
     args = parser.parse_args(argv)
     if args.command == "run":
         return _cmd_run(args)
@@ -128,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_cancel(args)
     if args.command == "serve":
         return _cmd_serve(args)
+    if args.command == "optimize":
+        return _cmd_optimize(args)
     return 1
 
 

@@ -27,6 +27,7 @@ driver-side.
 from __future__ import annotations
 
 import json
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -347,6 +348,56 @@ class VersionedParquetTable:
         out = _localCheckpointed(out)
         new_dir = self._write_data_dir(out, self.partition_columns())
         return self._commit("replace", [new_dir], {"conditions": conditions})
+
+
+    # ----- maintenance --------------------------------------------------
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (DESCRIBE HISTORY parity): version,
+        timestamp, action, plus action-specific fields."""
+        return self._entries()
+
+    def compact(self, target_partitions: Optional[int] = None) -> int:
+        """OPTIMIZE-style bin packing: rewrite the current snapshot as
+        one fresh data dir (optionally coalesced to
+        ``target_partitions`` files per partition tree) and commit a
+        new version with identical logical content.
+
+        Old versions keep their files until :meth:`vacuum`, so time
+        travel across the compaction boundary still works — the Delta
+        OPTIMIZE contract. An append-heavy table accumulates one dir
+        per append whose snapshot read unions N dirs; compaction
+        collapses that read back to a single parquet root.
+        """
+        current = self.read()
+        if target_partitions is not None:
+            current = current.coalesce(target_partitions)
+        new_dir = self._write_data_dir(current, self.partition_columns())
+        return self._commit("compact", [new_dir])
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data dirs unreferenced by the newest ``keep_versions``
+        snapshots and return their names. Time travel to a vacuumed
+        version subsequently fails (files are gone) — Delta VACUUM
+        semantics, with version count standing in for the retention
+        window."""
+        if keep_versions < 1:
+            raise DeltaTableError("vacuum: keep_versions must be >= 1")
+        entries = self._entries()
+        if not entries:
+            return []
+        keep: set[str] = set()
+        for entry in entries[-keep_versions:]:
+            keep.update(entry.get("active_dirs", []))
+        removed = []
+        for p in sorted(self.root.glob("data-*")):
+            if p.is_dir() and p.name not in keep:
+                shutil.rmtree(p)
+                removed.append(p.name)
+        if removed:
+            self._commit(
+                "vacuum", self._latest()["active_dirs"], {"removed": removed}
+            )
+        return removed
 
 
 def _localCheckpointed(df: DataFrame) -> DataFrame:

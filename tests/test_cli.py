@@ -84,3 +84,26 @@ def test_cli_cancel_unknown_id_is_noop(server, capsys):
     )
     assert rc == 0
     assert "cancel requested" in capsys.readouterr().out
+
+
+def test_cli_optimize_compacts_and_vacuums(spark, tmp_path, monkeypatch):
+    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.types import Field
+    from aqueducts_spark import cli
+
+    loc = str(tmp_path / "tbl_cli_opt")
+    t = VersionedParquetTable(spark, loc)
+    t.create_if_absent([Field(name="id", data_type="long")], [], {}, {})
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+
+    # reuse the test session instead of letting the CLI spin up (and
+    # stop) its own
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["optimize", loc, "--target-partitions", "1", "--vacuum-keep", "1"])
+    assert rc == 0
+    t2 = VersionedParquetTable(spark, loc)
+    assert len(t2._latest()["active_dirs"]) == 1
+    assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2]
+    assert [e["action"] for e in t2.history()][-2:] == ["compact", "vacuum"]

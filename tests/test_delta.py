@@ -175,3 +175,49 @@ def test_schema_migration_adds_columns(spark, tmp_path):
 
     with _pytest.raises(DeltaTableError, match="cannot change column"):
         t.create_if_absent(bad, [], {}, {})
+
+
+def test_compact_collapses_dirs_and_preserves_time_travel(spark, tmp_path):
+    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.types import Field
+
+    loc = str(tmp_path / "tbl_compact")
+    t = VersionedParquetTable(spark, loc)
+    t.create_if_absent(
+        [Field(name="id", data_type="long"), Field(name="v", data_type="string")],
+        [], {}, {},
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"v{i}")], ["id", "v"]))
+    assert len(t._latest()["active_dirs"]) == 4
+
+    v = t.compact(target_partitions=1)
+    assert len(t._latest()["active_dirs"]) == 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+    # time travel to before the compaction still reads the old layout
+    assert sorted(r.id for r in t.read(version=v - 1).collect()) == [0, 1, 2, 3]
+    assert [e["action"] for e in t.history()][-1] == "compact"
+
+
+def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
+    import pytest as _pytest
+    from aqueducts_spark.delta.table import DeltaTableError, VersionedParquetTable
+    from aqueducts_spark.types import Field
+
+    loc = str(tmp_path / "tbl_vacuum")
+    t = VersionedParquetTable(spark, loc)
+    t.create_if_absent([Field(name="id", data_type="long")], [], {}, {})
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+    pre_compact_version = t._latest()["version"]
+    t.compact(target_partitions=1)
+
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 3  # the three pre-compaction append dirs
+    # latest snapshot unaffected
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2]
+    # vacuumed versions are no longer readable (Delta VACUUM semantics)
+    with _pytest.raises(Exception):
+        t.read(version=pre_compact_version).collect()
+    # idempotent
+    assert t.vacuum(keep_versions=1) == []
