@@ -1,5 +1,6 @@
 from .ops import (
     dedup_stream,
+    interval_join_stream,
     quota_stream,
     file_stream_source,
     run_available_now,
@@ -16,4 +17,5 @@ __all__ = [
     "dedup_stream",
     "running_counts_stream",
     "quota_stream",
+    "interval_join_stream",
 ]

@@ -175,6 +175,47 @@ def dedup_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 3600.0,
+    watermark: str = "10 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each left
+    event matches right events with ``right_ts`` in ``[left_ts +
+    lower_seconds, left_ts + upper_seconds]`` on the same key — e.g.
+    impressions joined to clicks that follow within an hour.
+
+    Both sides carry watermarks, and the range condition bounds how
+    long either side's state must be buffered — Spark evicts state
+    beyond ``watermark + upper_seconds``, which is what makes a
+    stream-stream join runnable indefinitely at scale (an unbounded
+    join would buffer both streams forever).
+
+    Right-side columns are prefixed with ``right_prefix`` so the
+    joined schema is collision-free. The batch twin is
+    ``operators/temporal.py::range_join``.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    key_cond = [F.col(k) == F.col(f"{right_prefix}{k}") for k in on]
+    rts = f"{right_prefix}{right_ts}"
+    range_cond = F.expr(
+        f"{rts} >= {left_ts} + INTERVAL {lower_seconds} SECONDS AND "
+        f"{rts} <= {left_ts} + INTERVAL {upper_seconds} SECONDS"
+    )
+    cond = range_cond
+    for c in key_cond:
+        cond = c & cond
+    return lw.join(rw, cond, "inner")
+
+
 def quota_stream(
     df: DataFrame,
     key_cols: list[str],

@@ -171,3 +171,37 @@ def test_quota_stream_partial_batch(spark, tmp_path):
     out = quota_stream(stream, ["user_id"], limit=3)
     got = run_available_now(out, str(tmp_path / "ckpt_quota2"))
     assert len(got) == 3 and all(r.user_id == 1 for r in got)
+
+
+def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from aqueducts_spark.streaming import file_stream_source, interval_join_stream, run_available_now
+
+    imp_rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 02:00:00", 11.0),
+        (2, "2024-01-01 00:30:00", 20.0),
+    ]
+    clk_rows = [
+        (1, "2024-01-01 00:10:00", 1.0),   # within 1h of imp@00:00
+        (1, "2024-01-01 02:59:00", 2.0),   # within 1h of imp@02:00
+        (2, "2024-01-01 03:00:00", 3.0),   # too late for imp@00:30
+    ]
+    dirs = {}
+    for name, rows in [("imp", imp_rows), ("clk", clk_rows)]:
+        df = spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+        )
+        d = tmp_path / name
+        df.coalesce(1).write.parquet(str(d))
+        dirs[name] = str(d)
+
+    imp = file_stream_source(spark, dirs["imp"], "parquet", parse_fields(SCHEMA))
+    clk = file_stream_source(spark, dirs["clk"], "parquet", parse_fields(SCHEMA))
+    joined = interval_join_stream(
+        imp, clk, on=["user_id"], lower_seconds=0, upper_seconds=3600,
+        watermark="10 minutes",
+    )
+    rows = run_available_now(joined, str(tmp_path / "ckpt_ij"))
+    got = sorted((r.user_id, r.value, r.r_value) for r in rows)
+    assert got == [(1, 10.0, 1.0), (1, 11.0, 2.0)]
