@@ -1,0 +1,53 @@
+"""Python UDTFs (Spark 4 user-defined table functions) — the UDTF leg
+of the extension surface (SURVEY §2.B UDF/UDAF/UDTF row; the reference
+registers scalar UDFs only, `aqueducts/core/src/custom_udfs.rs:51-65`,
+so this is the beyond-parity extension point).
+
+UDTFs run row-at-a-time in Python — use them for genuinely tabular
+per-row expansions that built-in generators (`explode`, `inline`,
+`posexplode`, `variant_explode`) cannot express, never for hot-path
+scalar work (the plan linter flags row-Python in hot paths).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+__all__ = ["register_udtfs"]
+
+
+@udtf(returnType="sentence: string, idx: int, n_tokens: int")
+class _SplitSentences:
+    """`split_sentences(text)` -> one row per sentence with its index
+    and whitespace token count. SQL: LATERAL split_sentences(col)."""
+
+    def eval(self, text: str):  # noqa: D102 - UDTF contract method
+        if text is None:
+            return
+        for i, s in enumerate(re.split(r"(?<=[.!?])\s+", text.strip())):
+            if s:
+                yield (s, i, len(s.split()))
+
+
+@udtf(returnType="key: string, value: string")
+class _ParseKeyValues:
+    """`parse_key_values(text, pair_sep, kv_sep)` -> one row per
+    key=value pair; malformed fragments are skipped (no key/value)."""
+
+    def eval(self, text: str, pair_sep: str = ",", kv_sep: str = "="):
+        if text is None:
+            return
+        for frag in text.split(pair_sep):
+            if kv_sep in frag:
+                k, _, v = frag.partition(kv_sep)
+                if k.strip():
+                    yield (k.strip(), v.strip())
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Register the UDTF pack for SQL use (idempotent)."""
+    spark.udtf.register("split_sentences", _SplitSentences)
+    spark.udtf.register("parse_key_values", _ParseKeyValues)

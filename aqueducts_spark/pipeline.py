@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config.model import Pipeline, Stage
 from .destinations import prepare_destination, write_to_destination
-from .functions import register_compat_functions, register_udfs
+from .functions import register_compat_functions, register_udfs, register_udtfs
 from .progress import LoggingTracker, ProgressEvent, ProgressTracker, timer
 from .sources import register_sources
 from .stages import process_stage
@@ -74,6 +74,7 @@ def run_pipeline(
     tracker = tracker or LoggingTracker()
     register_udfs(spark)
     register_compat_functions(spark)
+    register_udtfs(spark)
     tracker.on_progress(ProgressEvent("started"))
 
     dest = pipeline.parsed_destination

@@ -95,3 +95,48 @@ def test_native_stats_aggregates(spark):
     assert row.sd == pytest.approx(statistics.stdev(xs), rel=1e-9)
     assert row.var == pytest.approx(statistics.variance(xs), rel=1e-9)
     assert row.c == pytest.approx(statistics.correlation(xs, ys), rel=1e-9)
+
+
+def test_udtf_split_sentences(spark):
+    from aqueducts_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT s.* FROM VALUES ('One two. Three! Four?') AS t(txt), "
+        "LATERAL split_sentences(txt) s"
+    ).collect()
+    assert [(r.sentence, r.idx, r.n_tokens) for r in rows] == [
+        ("One two.", 0, 2), ("Three!", 1, 1), ("Four?", 2, 1),
+    ]
+
+
+def test_udtf_parse_key_values(spark):
+    from aqueducts_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT kv.* FROM VALUES ('a=1, b = 2,malformed,c=x') AS t(txt), "
+        "LATERAL parse_key_values(txt) kv"
+    ).collect()
+    assert {(r.key, r.value) for r in rows} == {("a", "1"), ("b", "2"), ("c", "x")}
+
+
+def test_udtf_available_in_pipeline_sql(spark, sf_dir):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: udtf_docs
+    format: {{type: parquet}}
+    location: {sf_dir}/documents.parquet
+stages:
+  - - name: udtf_out
+      query: >
+        SELECT d.doc_id, s.sentence, s.n_tokens
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id < 3
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    assert res.result.count() >= 3
