@@ -1884,6 +1884,62 @@ def _op_fixed_n_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# Cross-document boilerplate line removal (operators/dedup.py::
+# drop_common_lines, the C4/RefinedWeb line-dedup step). The corpus
+# has no newlines, so both engines first rebuild documents as
+# 8-token "lines"; any line in >3 docs is boilerplate and dropped;
+# survivors reassemble in original order.
+OP_LINE_DEDUP_DUCK = r"""
+WITH lined AS (
+  SELECT doc_id,
+         array_to_string([array_to_string(toks[i*8+1:i*8+8], ' ')
+                          for i in generate_series(0, (len(toks)-1)//8)], chr(10)) AS text
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)
+),
+split_lines AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM lined
+),
+lines AS (SELECT * FROM split_lines WHERE trim(line) != ''),
+common AS (
+  SELECT line FROM (SELECT line, COUNT(*) AS df FROM (SELECT DISTINCT line, doc_id FROM lines) GROUP BY line)
+  WHERE df > 3
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, c.line IS NOT NULL AS dropped
+  FROM lines l LEFT JOIN common c USING (line)
+)
+SELECT doc_id,
+       array_to_string(list_transform(list_sort(list({'pos': pos, 'line': line}) FILTER (NOT dropped)), s -> s.line), chr(10)) AS cleaned,
+       CAST(COUNT(*) FILTER (NOT dropped) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (dropped) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
+def _op_line_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import drop_common_lines, normalized_tokens
+
+    _views(spark, sf_dir)
+    toks = normalized_tokens(F.col("text"))
+    lined = spark.table("documents").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.expr(
+                    "sequence(0, (size(filter(split(lower(trim(text)), '\\\\s+'),"
+                    " t -> t != '')) - 1) DIV 8)"
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, (i * 8 + 1).cast("int"), 8)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return drop_common_lines(lined, max_docs=3)
+
+
 # Spark 4 VARIANT (shredded binary JSON — the scale path for
 # semi-structured columns): parse once, extract typed fields. The
 # oracle uses DuckDB's JSON extraction; values are identical.
@@ -2000,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_chunking": _op_chunking_gate,
         "op_redact": _op_redact_gate,
         "op_fixed_n_sample": _op_fixed_n_gate,
+        "op_line_dedup": _op_line_dedup_gate,
         "op_exact_dedup": _op_exact_dedup,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -2096,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "op_chunking": OP_CHUNKING_DUCK,
         "op_redact": OP_REDACT_DUCK,
         "op_fixed_n_sample": OP_FIXED_N_DUCK,
+        "op_line_dedup": OP_LINE_DEDUP_DUCK,
         "op_tfidf_terms": OP_TFIDF_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,
         "op_asof_join": OP_ASOF_JOIN_DUCK,

@@ -32,6 +32,7 @@ __all__ = [
     "word_shingles",
     "exact_duplicates",
     "exact_dedup",
+    "drop_common_lines",
     "minhash_bands",
     "minhash_candidate_pairs",
     "jaccard_pairs",
@@ -110,7 +111,61 @@ def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+def drop_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb line-dedup
+    step): split each document on ``sep``, drop every line that occurs
+    in more than ``max_docs`` distinct documents (navigation chrome,
+    cookie banners, license footers), and reassemble the survivors in
+    their original order.
+
+    Output: ``id, cleaned, n_kept, n_dropped``.
+
+    Scale shape: line document-frequency is two aggregations over
+    distinct ``(line, doc)`` pairs (map-side combined). The
+    boilerplate set itself — lines above the threshold — is tiny by
+    construction, so the removal join **broadcasts** it; the corpus
+    pays one reassembly shuffle keyed by ``id``. Reassembly sorts a
+    ``(pos, line)`` struct array per doc, so output text is exactly
+    the original line order regardless of partitioning.
+    """
+    lines = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).where(F.trim(F.col("line")) != "")
+    common = (
+        lines.select(F.col("line"), F.col(id_col)).distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_docs)
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(common.withColumn("_drop", F.lit(True))), "line", "left"
+    )
+    # collect_list skips NULLs, so the when() without otherwise()
+    # filters dropped lines inside the aggregation itself
+    agg = flagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_drop").isNull(), F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("cleaned"),
+    )
+    return agg.select(id_col, "cleaned", "n_kept", "n_dropped")
     """Keep exactly one row (the min ``id_col``) per distinct ``cols``.
 
     Equivalent SQL: ``ROW_NUMBER() OVER (PARTITION BY cols ORDER BY id)

@@ -424,6 +424,18 @@ def _op_repetition(spark, inp, options):
     )
 
 
+def _op_drop_common_lines(spark, inp, options):
+    from .dedup import drop_common_lines
+
+    return drop_common_lines(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        max_docs=int(options.get("max_docs", 2)),
+        sep=options.get("sep", "\n"),
+    )
+
+
 def _op_redact_pii(spark, inp, options):
     from .text import redact_pii
 
@@ -543,6 +555,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
     "redact_pii": _op_redact_pii,
+    "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
     "ngram_overlap": _op_ngram_overlap,
     "decontaminate": _op_decontaminate,

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "op_chunking",
     "op_redact",
     "op_fixed_n_sample",
+    "op_line_dedup",
     "op_weighted_mix",
     "op_pack_shards",
     "mm_byte_stats",

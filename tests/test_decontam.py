@@ -174,3 +174,38 @@ def test_redact_pii_no_shuffle(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_drop_common_lines_removes_boilerplate(spark):
+    from aqueducts_spark.operators.dedup import drop_common_lines
+
+    rows = [
+        (1, "unique one\ncookie banner\nreal content here"),
+        (2, "cookie banner\nother real text"),
+        (3, "cookie banner\nmore words\n\n  \nfinal line"),
+        (4, "totally unique doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in drop_common_lines(df, max_docs=2).collect()}
+    assert out[1].cleaned == "unique one\nreal content here"
+    assert (out[1].n_kept, out[1].n_dropped) == (2, 1)
+    assert out[2].cleaned == "other real text"
+    assert out[3].cleaned == "more words\nfinal line"  # blank lines ignored
+    assert out[4].cleaned == "totally unique doc" and out[4].n_dropped == 0
+
+
+def test_drop_common_lines_within_doc_repeat_counts_once(spark):
+    from aqueducts_spark.operators.dedup import drop_common_lines
+
+    # "x" repeats within doc 1 but only occurs in 1 distinct doc: kept
+    df = spark.createDataFrame([(1, "x\nx\ny"), (2, "z")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in drop_common_lines(df, max_docs=1).collect()}
+    assert out[1].cleaned == "x\nx\ny"
+
+
+def test_drop_common_lines_broadcasts_boilerplate_set(spark):
+    from aqueducts_spark.operators.dedup import drop_common_lines
+
+    df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")], ["doc_id", "text"])
+    plan = drop_common_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
