@@ -100,3 +100,52 @@ def test_asof_join_invariant(spark, events):
         )
     )
     assert base == shuffled
+
+
+def test_repetition_invariant(spark, docs):
+    from aqueducts_spark.operators.text import repetition_features
+
+    outs = [_rows(repetition_features(v)) for v in _variants(docs)]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_chunking_invariant(spark, docs):
+    from aqueducts_spark.operators.text import chunk_documents
+
+    outs = [
+        _rows(chunk_documents(v, chunk_tokens=16, overlap=4)) for v in _variants(docs)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_line_dedup_invariant(spark, docs):
+    from aqueducts_spark.operators.dedup import drop_common_lines
+
+    lined = docs.select(
+        "doc_id", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+)\s", "$1\n").alias("text")
+    )
+    outs = [_rows(drop_common_lines(v, max_docs=3)) for v in _variants(lined)]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_fixed_n_sample_invariant(spark, docs):
+    from aqueducts_spark.operators.sampling import stratified_fixed_n
+
+    outs = [_rows(stratified_fixed_n(v, "doc_id", "lang", 15)) for v in _variants(docs)]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_ngram_overlap_invariant(spark, docs):
+    from aqueducts_spark.operators.decontam import ngram_overlap
+
+    bench = docs.where("source = 'src0'")
+    corpus = docs.where("source <> 'src0'")
+    outs = [
+        _rows(ngram_overlap(c, b, n=3))
+        for c, b in [
+            (corpus, bench),
+            (corpus.repartition(13), bench.repartition(5)),
+            (corpus.repartition(3, "doc_id"), bench),
+        ]
+    ]
+    assert outs[0] == outs[1] == outs[2]
