@@ -166,6 +166,9 @@ def drop_common_lines(
         ).alias("cleaned"),
     )
     return agg.select(id_col, "cleaned", "n_kept", "n_dropped")
+
+
+def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
     """Keep exactly one row (the min ``id_col``) per distinct ``cols``.
 
     Equivalent SQL: ``ROW_NUMBER() OVER (PARTITION BY cols ORDER BY id)
