@@ -1997,6 +1997,54 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+# Higher-order (lambda) array functions: transform / filter / aggregate
+# / exists / forall / zip_with — the Catalyst-native way to compute over
+# array columns without exploding (zero extra shuffle, stays in codegen).
+# DuckDB's list_* lambdas mirror transform/filter; exists/forall/zip_with
+# are emulated with filter-counts and an index-free len² rewrite — values
+# are identical (integer arithmetic throughout).
+Q43_SPARK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         filter(split(lower(trim(text)), '\\s+'), t -> t != '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(size(ts) AS BIGINT) AS n_tokens,
+       CAST(aggregate(transform(ts, t -> length(t)), 0L, (a, x) -> a + x)
+            AS BIGINT) AS total_chars,
+       CAST(size(filter(ts, t -> length(t) >= 8)) AS BIGINT) AS n_long,
+       exists(ts, t -> length(t) >= 12) AS has_verylong,
+       forall(ts, t -> length(t) <= 30) AS all_short,
+       CAST(aggregate(
+              zip_with(slice(ts, 1, 5),
+                       transform(slice(ts, 1, 5), t -> length(t)),
+                       (a, b) -> length(a) * b),
+              0L, (acc, x) -> acc + x) AS BIGINT) AS head_len_sq
+FROM toks
+"""
+
+Q43_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+            AS BIGINT) AS total_chars,
+       CAST(len(list_filter(ts, t -> length(t) >= 8)) AS BIGINT) AS n_long,
+       len(list_filter(ts, t -> length(t) >= 12)) > 0 AS has_verylong,
+       len(list_filter(ts, t -> length(t) > 30)) = 0 AS all_short,
+       CAST(coalesce(list_sum(list_transform(ts[1:5],
+                                             t -> length(t) * length(t))), 0)
+            AS BIGINT) AS head_len_sq
+FROM toks
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2051,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_variant": _sql(Q40_SPARK),
         "q41_try_cast": _sql(Q41_SPARK),
         "q42_rank_fns": _sql(Q42_SPARK),
+        "q43_higher_order_fns": _sql(Q43_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2148,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "q40_variant": Q40_DUCK,
         "q41_try_cast": Q41_DUCK,
         "q42_rank_fns": Q42_SPARK,
+        "q43_higher_order_fns": Q43_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
