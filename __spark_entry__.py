@@ -33,14 +33,16 @@ _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(
 _TP = "CAST(o_totalprice AS DECIMAL(12,2))"
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+# current sf_dir per session — a plain seen-set would serve stale views
+# when one session alternates between scale factors (the views are
+# createOrReplaceTempView'd, so only the latest registration is live)
+_REGISTERED: dict[int, str] = {}
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED:
+    if _REGISTERED.get(id(spark)) == sf_dir:
         return
     # events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond type,
     # so read it as nanos-since-epoch and truncate to microseconds (the
@@ -51,7 +53,7 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
         if t == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(t)
-    _REGISTERED.add(key)
+    _REGISTERED[id(spark)] = sf_dir
 
 
 def _sql(query: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -1431,6 +1433,83 @@ def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.embedding import quantize_embeddings
+
+    _views(spark, sf_dir)
+    q = quantize_embeddings(spark.table("embeddings"))
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("dim", "q")
+    ).select(
+        "vec_id",
+        "scale",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("q").cast("bigint").alias("q"),
+    )
+
+
+def _op_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.embedding import label_centroids
+
+    _views(spark, sf_dir)
+    out = label_centroids(spark.table("embeddings"))
+    return out.select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        "n_vectors",
+        "sum_micro",
+        "centroid",
+    )
+
+
+# int8 quantization / centroid oracles: both are pure IEEE-double
+# arithmetic (abs/max/divide, floor to fixed-point micro-units) so the
+# values are bit-identical across engines with no rounding step.
+OP_QUANTIZE_DUCK = r"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         coalesce(list_max(list_transform(embedding,
+                                          v -> abs(CAST(v AS DOUBLE)))), 0)
+           / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding, v ->
+                     GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+                       CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))))
+         END AS qs
+  FROM s
+)
+SELECT vec_id, scale,
+       UNNEST(range(len(qs))) AS dim,
+       UNNEST(qs) AS q
+FROM q
+"""
+
+OP_CENTROIDS_DUCK = r"""
+WITH parts AS (
+  SELECT label,
+         UNNEST(range(len(embedding))) AS dim,
+         UNNEST(list_transform(embedding,
+                v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))) AS micro
+  FROM embeddings
+)
+SELECT label, dim,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(micro) AS BIGINT) AS sum_micro,
+       CAST(SUM(micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS centroid
+FROM parts
+GROUP BY label, dim
+"""
+
+
 def _op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2107,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_fixed_n_sample": _op_fixed_n_gate,
         "op_line_dedup": _op_line_dedup_gate,
         "op_exact_dedup": _op_exact_dedup,
+        "op_quantize_embed": _op_quantize_embed,
+        "op_embed_centroids": _op_embed_centroids,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
         "op_text_features": _op_text_features,
@@ -2183,6 +2264,8 @@ def oracle_sql() -> dict[str, str]:
         "q38_scalar_subquery": Q38_DUCK,
         "q39_group_by_all": Q39_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
+        "op_quantize_embed": OP_QUANTIZE_DUCK,
+        "op_embed_centroids": OP_CENTROIDS_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,
         "op_text_features": OP_TEXT_FEATURES_DUCK,

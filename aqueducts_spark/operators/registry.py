@@ -506,6 +506,26 @@ def _op_decontaminate(spark, inp, options):
     )
 
 
+def _op_quantize_embeddings(spark, inp, options):
+    from .embedding import quantize_embeddings
+
+    return quantize_embeddings(
+        inp,
+        vec_col=options.get("vec_col", "embedding"),
+        id_col=options.get("id_col", "vec_id"),
+    )
+
+
+def _op_label_centroids(spark, inp, options):
+    from .embedding import label_centroids
+
+    return label_centroids(
+        inp,
+        vec_col=options.get("vec_col", "embedding"),
+        label_col=options.get("label_col", "label"),
+    )
+
+
 def _op_byte_stats(spark, inp, options):
     from .multimodal import byte_stats
 
@@ -558,6 +578,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
     "ngram_overlap": _op_ngram_overlap,
+    "quantize_embeddings": _op_quantize_embeddings,
+    "label_centroids": _op_label_centroids,
     "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,

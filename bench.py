@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "op_line_dedup",
     "op_weighted_mix",
     "op_pack_shards",
+    "op_quantize_embed",
+    "op_embed_centroids",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]
