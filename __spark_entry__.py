@@ -2124,6 +2124,37 @@ FROM toks
 """
 
 
+# Boolean aggregates (DataFusion exposes bool_and/bool_or — SURVEY §2.B
+# aggregation row) plus integer bitwise aggregates and scalar shifts.
+# All integer/boolean arithmetic: bit-exact across engines.
+Q44_SPARK = """
+SELECT l_returnflag, l_linestatus,
+       bool_and(l_quantity >= 1) AS all_q1,
+       bool_or(l_discount >= 0.1) AS any_disc10,
+       CAST(bit_and(l_orderkey) AS BIGINT) AS band,
+       CAST(bit_or(l_orderkey) AS BIGINT) AS bor,
+       CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor,
+       CAST(bit_count(MAX(l_orderkey)) AS BIGINT) AS popcnt,
+       CAST(MAX(shiftleft(l_linenumber, 3) | shiftright(l_orderkey, 2))
+            AS BIGINT) AS mixed
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q44_DUCK = """
+SELECT l_returnflag, l_linestatus,
+       bool_and(l_quantity >= 1) AS all_q1,
+       bool_or(l_discount >= 0.1) AS any_disc10,
+       CAST(bit_and(l_orderkey) AS BIGINT) AS band,
+       CAST(bit_or(l_orderkey) AS BIGINT) AS bor,
+       CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor,
+       CAST(bit_count(MAX(l_orderkey)) AS BIGINT) AS popcnt,
+       CAST(MAX((l_linenumber << 3) | (l_orderkey >> 2)) AS BIGINT) AS mixed
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2179,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_try_cast": _sql(Q41_SPARK),
         "q42_rank_fns": _sql(Q42_SPARK),
         "q43_higher_order_fns": _sql(Q43_SPARK),
+        "q44_bool_bitwise_aggs": _sql(Q44_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2281,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_try_cast": Q41_DUCK,
         "q42_rank_fns": Q42_SPARK,
         "q43_higher_order_fns": Q43_DUCK,
+        "q44_bool_bitwise_aggs": Q44_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
