@@ -126,21 +126,33 @@ def drop_common_lines(
 
     Output: ``id, cleaned, n_kept, n_dropped``.
 
-    Scale shape: line document-frequency is two aggregations over
-    distinct ``(line, doc)`` pairs (map-side combined). The
+    Scale shape: line document-frequency dedups within each document
+    map-side (``array_distinct`` per doc, so each doc contributes each
+    line once) and pays ONE count shuffle with partial aggregation —
+    not a ``distinct()``-then-``groupBy`` double shuffle. The
     boilerplate set itself — lines above the threshold — is tiny by
     construction, so the removal join **broadcasts** it; the corpus
     pays one reassembly shuffle keyed by ``id``. Reassembly sorts a
     ``(pos, line)`` struct array per doc, so output text is exactly
-    the original line order regardless of partitioning.
+    the original line order regardless of partitioning. Dropped lines
+    never travel: the ``when()`` NULL-skip runs inside the *partial*
+    (map-side) ``collect_list``/``sum``.
     """
     lines = ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).where(F.trim(F.col("line")) != "")
+    doc_lines = ensure_parallelism(df).select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col(text_col), sep), lambda l: F.trim(l) != ""
+                )
+            )
+        ).alias("line")
+    )
     common = (
-        lines.select(F.col("line"), F.col(id_col)).distinct()
-        .groupBy("line")
+        doc_lines.groupBy("line")
         .agg(F.count("*").alias("_df"))
         .where(F.col("_df") > max_docs)
         .select("line")
