@@ -2155,6 +2155,42 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Remaining DataFusion math surface: gcd/lcm (via the compat SQL-UDF
+# pack — Spark has no builtins; Euclid as a bounded codegen fold),
+# factorial, isnan, nanvl. All integer/IEEE arithmetic: exact.
+Q45_SPARK = """
+SELECT l_orderkey, l_linenumber,
+       gcd(l_orderkey, l_partkey) AS g,
+       lcm(CAST(l_linenumber AS BIGINT), 6) AS l,
+       CAST(factorial(l_linenumber) AS BIGINT) AS fact,
+       isnan(IF(l_linenumber = 3, CAST('NaN' AS DOUBLE), l_discount))
+         AS is_nan,
+       nanvl(IF(l_linenumber = 3, CAST('NaN' AS DOUBLE), l_discount),
+             CAST(-1.0 AS DOUBLE)) AS nan_fixed
+FROM lineitem WHERE l_orderkey <= 500
+"""
+
+Q45_DUCK = """
+SELECT l_orderkey, l_linenumber,
+       gcd(l_orderkey, l_partkey) AS g,
+       lcm(CAST(l_linenumber AS BIGINT), 6) AS l,
+       CAST(factorial(l_linenumber) AS BIGINT) AS fact,
+       isnan(IF(l_linenumber = 3, CAST('NaN' AS DOUBLE), l_discount))
+         AS is_nan,
+       CASE WHEN isnan(IF(l_linenumber = 3, CAST('NaN' AS DOUBLE), l_discount))
+            THEN -1.0 ELSE l_discount END AS nan_fixed
+FROM lineitem WHERE l_orderkey <= 500
+"""
+
+
+def _q45_math_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.functions.compat import register_compat_functions
+
+    _views(spark, sf_dir)
+    register_compat_functions(spark)
+    return spark.sql(Q45_SPARK)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2211,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_rank_fns": _sql(Q42_SPARK),
         "q43_higher_order_fns": _sql(Q43_SPARK),
         "q44_bool_bitwise_aggs": _sql(Q44_SPARK),
+        "q45_math_compat": _q45_math_compat,
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2314,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         "q42_rank_fns": Q42_SPARK,
         "q43_higher_order_fns": Q43_DUCK,
         "q44_bool_bitwise_aggs": Q44_DUCK,
+        "q45_math_compat": Q45_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,

@@ -102,6 +102,25 @@ _SQL_UDFS: dict[str, str] = {
         "RETURNS ARRAY<STRING> RETURN "
         "CASE WHEN s RLIKE p THEN array(regexp_extract(s, p, 0)) END"
     ),
+    # DataFusion gcd/lcm (Spark has no builtins). Euclid's algorithm as
+    # a bounded fold: 92 iterations covers the 64-bit worst case
+    # (consecutive Fibonacci numbers); each step is IF(y=0, fixpoint,
+    # (y, x mod y)). Inlines into codegen like every SQL UDF here.
+    "gcd": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION gcd(a BIGINT, b BIGINT) "
+        "RETURNS BIGINT RETURN aggregate(sequence(1, 92), "
+        "named_struct('x', abs(a), 'y', abs(b)), "
+        "(s, i) -> IF(s.y = 0, s, named_struct('x', s.y, 'y', s.x % s.y)), "
+        "s -> s.x)"
+    ),
+    "lcm": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION lcm(a BIGINT, b BIGINT) "
+        "RETURNS BIGINT RETURN CASE WHEN a = 0 OR b = 0 THEN 0 ELSE "
+        "abs((a div aggregate(sequence(1, 92), "
+        "named_struct('x', abs(a), 'y', abs(b)), "
+        "(s, i) -> IF(s.y = 0, s, named_struct('x', s.y, 'y', s.x % s.y)), "
+        "s -> s.x)) * b) END"
+    ),
 }
 
 

@@ -110,6 +110,21 @@ class TestCompatFunctions:
             == "2024-03-05 07:08:09"
         )
 
+    def test_gcd_lcm(self, spark):
+        import math
+
+        assert self.one(spark, "gcd(12, 18)") == 6
+        assert self.one(spark, "gcd(0, 0)") == 0
+        assert self.one(spark, "gcd(0, 7)") == 7
+        assert self.one(spark, "gcd(-12, 18)") == 6
+        # 64-bit worst case: consecutive Fibonacci numbers need the most
+        # Euclid iterations — the 92-step fold must still converge
+        assert self.one(spark, "gcd(7540113804746346429, 4660046610375530309)") == 1
+        assert self.one(spark, "lcm(4, 6)") == 12
+        assert self.one(spark, "lcm(0, 5)") == 0
+        assert self.one(spark, "lcm(-4, 6)") == 12
+        assert self.one(spark, "lcm(21, 6)") == math.lcm(21, 6)
+
     def test_regexp_match(self, spark):
         assert self.one(spark, "regexp_match('ab12cd', '[0-9]+')") == ["12"]
         assert self.one(spark, "regexp_match('abcd', '[0-9]+')") is None
