@@ -2183,6 +2183,48 @@ FROM lineitem WHERE l_orderkey <= 500
 """
 
 
+# min_by/max_by argument-selector aggregates. The ordering expression
+# folds the tiebreaker (orderkey) into one bigint so the selected row
+# is unique — engine tie-breaking for min_by/max_by is unspecified in
+# both Spark and DuckDB, so the gate makes ties impossible instead.
+Q46_SPARK = """
+SELECT o_custkey,
+       max_by(o_orderkey,
+              CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+         AS top_order,
+       min_by(o_orderkey,
+              CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+         AS bottom_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+Q46_DUCK = Q46_SPARK
+
+# regexp function family: extract with group index, replace-all,
+# match counting, and RLIKE. DuckDB regexp_replace is first-match by
+# default, hence the explicit 'g' flag; regexp_count is emulated with
+# len(regexp_extract_all).
+Q47_SPARK = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_') AS devowel,
+       CAST(regexp_count(c_name, '0') AS BIGINT) AS zeros,
+       c_name RLIKE '00' AS has_00
+FROM customer WHERE c_custkey <= 300
+"""
+
+Q47_DUCK = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devowel,
+       CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros,
+       regexp_matches(c_name, '00') AS has_00
+FROM customer WHERE c_custkey <= 300
+"""
+
+
 def _q45_math_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
 
@@ -2248,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_higher_order_fns": _sql(Q43_SPARK),
         "q44_bool_bitwise_aggs": _sql(Q44_SPARK),
         "q45_math_compat": _q45_math_compat,
+        "q46_arg_minmax": _sql(Q46_SPARK),
+        "q47_regexp_fns": _sql(Q47_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2352,6 +2396,8 @@ def oracle_sql() -> dict[str, str]:
         "q43_higher_order_fns": Q43_DUCK,
         "q44_bool_bitwise_aggs": Q44_DUCK,
         "q45_math_compat": Q45_DUCK,
+        "q46_arg_minmax": Q46_DUCK,
+        "q47_regexp_fns": Q47_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
