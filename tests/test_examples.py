@@ -38,6 +38,7 @@ def test_examples_exist():
         "datafusion_dialect.yml",
         "event_attribution.yml",
         "pretrain_prep.yml",
+        "embedding_index.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
