@@ -350,6 +350,53 @@ class VersionedParquetTable:
         return self._commit("replace", [new_dir], {"conditions": conditions})
 
 
+    def changes(self, v_from: int, v_to: Optional[int] = None) -> DataFrame:
+        """Change-data-feed-style row diff between two versions: every
+        row added between ``v_from`` and ``v_to`` (default: latest)
+        tagged ``_change_type='insert'``, every row removed tagged
+        ``'delete'`` (an update surfaces as delete+insert, exactly like
+        Delta CDC without per-commit granularity). Multiset semantics
+        via ``exceptAll`` — duplicate rows diff by count.
+
+        This is the fallback-layer twin of delta-spark's
+        ``readChangeFeed``; with native delta installed, prefer
+        ``spark.read.format("delta").option("readChangeFeed", ...)``.
+        Scale shape: two snapshot scans + two ``exceptAll`` hash
+        anti-diffs (one shuffle each) — no driver-side row handling.
+        """
+        entries = self._entries()
+        if not entries:
+            raise DeltaTableError(f"no table at {self.root}")
+        if v_to is None:
+            v_to = entries[-1]["version"]
+        before = self.read(version=v_from)
+        after = self.read(version=v_to)
+        # align schemas across migrations: missing columns become nulls
+        for c in after.columns:
+            if c not in before.columns:
+                before = before.withColumn(
+                    c, F.lit(None).cast(dict(after.dtypes)[c])
+                )
+        for c in before.columns:
+            if c not in after.columns:
+                after = after.withColumn(
+                    c, F.lit(None).cast(dict(before.dtypes)[c])
+                )
+        cols = after.columns
+        before = before.select(*cols)
+        after = after.select(*cols)
+        inserts = after.exceptAll(before).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = before.exceptAll(after).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return (
+            inserts.unionByName(deletes)
+            .withColumn("_from_version", F.lit(int(v_from)))
+            .withColumn("_to_version", F.lit(int(v_to)))
+        )
+
     # ----- maintenance --------------------------------------------------
     def history(self) -> list[dict]:
         """Commit log, oldest first (DESCRIBE HISTORY parity): version,

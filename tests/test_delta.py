@@ -221,3 +221,52 @@ def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
         t.read(version=pre_compact_version).collect()
     # idempotent
     assert t.vacuum(keep_versions=1) == []
+
+
+def test_changes_between_versions(spark, table):
+    table.append(_df(spark, [("a", 1), ("b", 2)]))            # v1
+    table.upsert(_df(spark, [("a", 100), ("c", 3)]), keys=["col_1"])  # v2
+    ch = table.changes(1, 2)
+    got = sorted(
+        (r.col_1, r.col_2, r._change_type) for r in ch.collect()
+    )
+    # update of "a" = delete old + insert new; "c" is a pure insert
+    assert got == [
+        ("a", 1, "delete"),
+        ("a", 100, "insert"),
+        ("c", 3, "insert"),
+    ]
+    assert ch.collect()[0]._from_version == 1
+    assert ch.collect()[0]._to_version == 2
+
+
+def test_changes_default_to_latest_and_duplicates(spark, table):
+    table.append(_df(spark, [("x", 1), ("x", 1)]))  # v1: duplicate rows
+    table.append(_df(spark, [("x", 1)]))            # v2: one more copy
+    ch = table.changes(1)
+    got = [(r.col_1, r.col_2, r._change_type) for r in ch.collect()]
+    # multiset diff: exactly ONE extra copy surfaces as the insert
+    assert got == [("x", 1, "insert")]
+
+
+def test_changes_across_schema_migration(spark, table):
+    table.append(_df(spark, [("a", 1)]))  # v1
+    from aqueducts_spark.types import parse_fields
+
+    table.create_if_absent(
+        fields=parse_fields(
+            [
+                {"name": "col_1", "data_type": "string", "nullable": False},
+                {"name": "col_2", "data_type": "int32", "nullable": False},
+                {"name": "col_3", "data_type": "string"},
+            ]
+        ),
+        partition_columns=[],
+        table_properties={},
+        metadata={},
+    )  # migrate
+    wide = spark.createDataFrame([("b", 2, "new")], ["col_1", "col_2", "col_3"])
+    table.append(wide)
+    ch = table.changes(1)
+    got = sorted((r.col_1, r.col_2, r.col_3, r._change_type) for r in ch.collect())
+    assert got == [("b", 2, "new", "insert")]
