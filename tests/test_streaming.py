@@ -205,3 +205,53 @@ def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
     rows = run_available_now(joined, str(tmp_path / "ckpt_ij"))
     got = sorted((r.user_id, r.value, r.r_value) for r in rows)
     assert got == [(1, 10.0, 1.0), (1, 11.0, 2.0)]
+
+
+def test_merge_stream_into_table(spark, tmp_path):
+    """foreachBatch CDC merge: a change stream lands in a merge-on-key
+    table; later files win, within-batch duplicates collapse to one
+    row per key before the upsert."""
+    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.streaming import file_stream_source, merge_stream_into_table
+
+    table = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    table.create_if_absent(
+        fields=parse_fields(
+            [
+                {"name": "user_id", "data_type": "int64", "nullable": False},
+                {"name": "value", "data_type": "float64"},
+            ]
+        ),
+        partition_columns=[], table_properties={}, metadata={},
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = [
+        {"name": "user_id", "data_type": "int64"},
+        {"name": "value", "data_type": "float64"},
+    ]
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = file_stream_source(spark, str(src), "parquet", parse_fields(schema))
+    merge_stream_into_table(
+        stream, table, ["user_id"], str(tmp_path / "ck1")
+    )
+    assert sorted((r.user_id, r.value) for r in table.read().collect()) == [
+        (1, 1.0), (2, 2.0),
+    ]
+
+    # second wave: update key 1, insert key 3 — new checkpoint dir not
+    # needed; availableNow resumes from the same checkpoint
+    spark.createDataFrame(
+        [(1, 10.0), (3, 3.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = file_stream_source(spark, str(src), "parquet", parse_fields(schema))
+    merge_stream_into_table(
+        stream, table, ["user_id"], str(tmp_path / "ck1")
+    )
+    assert sorted((r.user_id, r.value) for r in table.read().collect()) == [
+        (1, 10.0), (2, 2.0), (3, 3.0),
+    ]
