@@ -2225,6 +2225,20 @@ FROM customer WHERE c_custkey <= 300
 """
 
 
+# Sort-spec surface: explicit NULLS FIRST/LAST on a nullable key plus
+# LIMIT/OFFSET pagination. The unique orderkey tiebreak makes the
+# order total, so the OFFSET window is deterministic cross-engine.
+Q48_SPARK = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p
+FROM orders
+ORDER BY p DESC NULLS FIRST, o_orderkey
+LIMIT 50 OFFSET 10
+"""
+
+Q48_DUCK = Q48_SPARK
+
+
 def _q45_math_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.functions.compat import register_compat_functions
 
@@ -2292,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_math_compat": _q45_math_compat,
         "q46_arg_minmax": _sql(Q46_SPARK),
         "q47_regexp_fns": _sql(Q47_SPARK),
+        "q48_nulls_order_offset": _sql(Q48_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2398,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_math_compat": Q45_DUCK,
         "q46_arg_minmax": Q46_DUCK,
         "q47_regexp_fns": Q47_DUCK,
+        "q48_nulls_order_offset": Q48_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
