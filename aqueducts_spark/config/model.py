@@ -177,6 +177,10 @@ class DeltaSource(_Base):
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
     version: Optional[int] = None
     timestamp: Optional[str] = None
+    # CDF mode (beyond reference): rows changed between two versions
+    # (insert/delete tagged) instead of a snapshot
+    changes_from: Optional[int] = None
+    changes_to: Optional[int] = None
 
 
 Source = Union[InMemorySource, FileSource, DirSource, OdbcSource, DeltaSource]

@@ -147,6 +147,27 @@ def _register_odbc(spark: SparkSession, source: OdbcSource) -> DataFrame:
 def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:
     location = normalize_location(source.location)
     apply_storage_config(spark, location, source.storage_config)
+    if source.changes_from is not None:
+        if source.version is not None or source.timestamp is not None:
+            raise SourceError(
+                "delta source: changes_from is mutually exclusive with "
+                "version/timestamp (a diff is not a snapshot)"
+            )
+        layer = delta_layer(spark)
+        if layer.native:  # pragma: no cover - delta-spark not in test env
+            reader = (
+                spark.read.format("delta")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", source.changes_from)
+            )
+            if source.changes_to is not None:
+                reader = reader.option("endingVersion", source.changes_to)
+            return reader.load(location)
+        return layer.table(location).changes(
+            source.changes_from, source.changes_to
+        )
+    if source.changes_to is not None:
+        raise SourceError("delta source: changes_to requires changes_from")
     return delta_layer(spark).read(
         location, version=source.version, timestamp=source.timestamp
     )

@@ -270,3 +270,52 @@ def test_changes_across_schema_migration(spark, table):
     ch = table.changes(1)
     got = sorted((r.col_1, r.col_2, r.col_3, r._change_type) for r in ch.collect())
     assert got == [("b", 2, "new", "insert")]
+
+
+def test_changes_source_in_pipeline(spark, table, tmp_path):
+    """Declarative CDF: a delta source with changes_from feeds a SQL
+    stage that consumes only the diff."""
+    table.append(_df(spark, [("a", 1), ("b", 2)]))            # v1
+    table.upsert(_df(spark, [("a", 100), ("c", 3)]), keys=["col_1"])  # v2
+    yml = f"""
+version: "v2"
+sources:
+  - type: delta
+    name: tbl_changes
+    location: {table.root}
+    changes_from: 1
+stages:
+  - - name: change_counts
+      query: >
+        SELECT _change_type, COUNT(*) AS n
+        FROM tbl_changes GROUP BY _change_type
+destination:
+  type: file
+  name: out
+  format: {{type: parquet}}
+  location: {tmp_path}/changes_out
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    got = {
+        r._change_type: r.n
+        for r in spark.read.parquet(f"{tmp_path}/changes_out").collect()
+    }
+    assert got == {"insert": 2, "delete": 1}
+    spark.catalog.dropTempView("tbl_changes")
+    spark.catalog.dropTempView("change_counts")
+
+
+def test_changes_source_rejects_snapshot_pin(spark, table):
+    from aqueducts_spark.sources.register import SourceError, register_source
+    from aqueducts_spark.config.model import DeltaSource
+
+    src = DeltaSource(
+        name="x", location=str(table.root), changes_from=1, version=2
+    )
+    with pytest.raises(SourceError, match="mutually exclusive"):
+        register_source(spark, src)
+    with pytest.raises(SourceError, match="changes_to requires"):
+        register_source(
+            spark,
+            DeltaSource(name="x", location=str(table.root), changes_to=2),
+        )
