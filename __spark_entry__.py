@@ -2225,6 +2225,28 @@ FROM customer WHERE c_custkey <= 300
 """
 
 
+# JOIN ... USING and NATURAL JOIN (SURVEY §2.B joins row): USING
+# coalesces the key into one output column; NATURAL joins on all
+# same-named columns (here: seg).
+Q49_SPARK = """
+WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS seg
+           FROM customer WHERE c_custkey <= 500),
+     o AS (SELECT o_custkey AS custkey, o_totalprice FROM orders),
+     agg AS (SELECT custkey, seg,
+                    CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    CAST(SUM(o_totalprice) AS DOUBLE) AS total
+             FROM c JOIN o USING (custkey)
+             GROUP BY custkey, seg),
+     segs AS (SELECT DISTINCT c_mktsegment AS seg,
+                     upper(c_mktsegment) AS seg_u
+              FROM customer)
+SELECT custkey, seg, seg_u, n_orders, total
+FROM agg NATURAL JOIN segs
+"""
+
+Q49_DUCK = Q49_SPARK
+
+
 # Sort-spec surface: explicit NULLS FIRST/LAST on a nullable key plus
 # LIMIT/OFFSET pagination. The unique orderkey tiebreak makes the
 # order total, so the OFFSET window is deterministic cross-engine.
@@ -2307,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_arg_minmax": _sql(Q46_SPARK),
         "q47_regexp_fns": _sql(Q47_SPARK),
         "q48_nulls_order_offset": _sql(Q48_SPARK),
+        "q49_using_natural_join": _sql(Q49_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2414,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_arg_minmax": Q46_DUCK,
         "q47_regexp_fns": Q47_DUCK,
         "q48_nulls_order_offset": Q48_DUCK,
+        "q49_using_natural_join": Q49_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
