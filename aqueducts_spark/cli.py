@@ -93,6 +93,26 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_explain(args) -> int:
+    from . import load_pipeline
+    from .pipeline import explain_pipeline
+    from .session import get_spark
+
+    pipeline = load_pipeline(args.file, _parse_params(args.param))
+    spark = get_spark("aqueducts-explain", master=args.master)
+    try:
+        warned = False
+        for report in explain_pipeline(spark, pipeline):
+            print(f"=== stage: {report['stage']} ===")
+            print(report["plan"])
+            for w in report["warnings"]:
+                warned = True
+                print(f"WARN: {w}")
+        return 1 if (warned and args.strict) else 0
+    finally:
+        spark.stop()
+
+
 def _cmd_optimize(args) -> int:
     from .delta.table import VersionedParquetTable
     from .session import get_spark
@@ -138,6 +158,19 @@ def main(argv: list[str] | None = None) -> int:
     serve_p.add_argument("--port", type=int, default=8765)
     serve_p.add_argument("--master", default=None, help="Spark master (default local[*])")
 
+    exp_p = sub.add_parser(
+        "explain",
+        help="pre-flight: print every stage's physical plan + scale lint, execute nothing",
+    )
+    exp_p.add_argument("--file", "-f", required=True, help="pipeline YAML/JSON/TOML")
+    exp_p.add_argument(
+        "--param", "-p", action="append", default=[], help="template param key=value"
+    )
+    exp_p.add_argument("--master", default=None, help="Spark master (default local[*])")
+    exp_p.add_argument(
+        "--strict", action="store_true", help="exit 1 if any lint warning fires"
+    )
+
     opt_p = sub.add_parser(
         "optimize", help="compact a delta table (and optionally vacuum old versions)"
     )
@@ -160,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_cancel(args)
     if args.command == "serve":
         return _cmd_serve(args)
+    if args.command == "explain":
+        return _cmd_explain(args)
     if args.command == "optimize":
         return _cmd_optimize(args)
     return 1

@@ -155,6 +155,46 @@ def run_pipeline(
     return PipelineResult(spark, result)
 
 
+def explain_pipeline(
+    spark: SparkSession, pipeline: Pipeline
+) -> list[dict]:
+    """Pre-flight plan review: register sources, resolve every stage
+    lazily, and return per-stage formatted physical plans plus scale
+    lint warnings (``plans.lint_plan``) — **zero execution**: no
+    actions run and the destination is never written. The cheap way to
+    answer "would this pipeline's shuffles/joins survive 100 TB?"
+    before paying for a single byte of compute.
+
+    Stages still register as temp views (later stages reference
+    earlier ones by name), exactly as in a real run.
+    """
+    from .functions import register_compat_functions, register_udfs, register_udtfs
+    from .plans import lint_plan
+    from .stages import build_stage_df
+
+    register_udfs(spark)
+    register_compat_functions(spark)
+    register_udtfs(spark)
+    register_sources(spark, pipeline.parsed_sources)
+
+    reports: list[dict] = []
+    for group in pipeline.stage_groups:
+        for stage in group:
+            df = build_stage_df(spark, stage, pipeline.sql_dialect)
+            df.createOrReplaceTempView(stage.name)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            reports.append(
+                {
+                    "stage": stage.name,
+                    "plan": plan,
+                    "warnings": lint_plan(df),
+                }
+            )
+    return reports
+
+
 def run_pipeline_file(
     spark: SparkSession,
     path: str,

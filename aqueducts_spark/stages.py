@@ -32,6 +32,27 @@ class StageError(RuntimeError):
         super().__init__(f"stage '{stage_name}' failed: {cause}")
 
 
+def build_stage_df(
+    spark: SparkSession, stage: Stage, sql_dialect: str | None = None
+) -> DataFrame:
+    """Resolve a stage (SQL query or declarative operator) to its lazy
+    DataFrame — no action, no caching, no view registration."""
+    try:
+        if stage.operator is not None:
+            from .operators.registry import run_operator
+
+            return run_operator(spark, stage.operator)
+        query = stage.query
+        if sql_dialect == "datafusion":
+            from .functions.compat import translate_sql
+
+            query = translate_sql(query)
+        validate_stage_sql(query, stage_name=stage.name)
+        return spark.sql(query)
+    except Exception as exc:
+        raise StageError(stage.name, exc) from exc
+
+
 def process_stage(
     spark: SparkSession,
     stage: Stage,
@@ -41,21 +62,7 @@ def process_stage(
 ) -> DataFrame:
     """Run a stage (SQL query or declarative operator) and register the
     result as a temp view."""
-    try:
-        if stage.operator is not None:
-            from .operators.registry import run_operator
-
-            df = run_operator(spark, stage.operator)
-        else:
-            query = stage.query
-            if sql_dialect == "datafusion":
-                from .functions.compat import translate_sql
-
-                query = translate_sql(query)
-            validate_stage_sql(query, stage_name=stage.name)
-            df = spark.sql(query)
-    except Exception as exc:
-        raise StageError(stage.name, exc) from exc
+    df = build_stage_df(spark, stage, sql_dialect)
 
     want_materialize = stage.eager or stage.explain_analyze
     if cache or want_materialize:

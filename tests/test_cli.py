@@ -107,3 +107,56 @@ def test_cli_optimize_compacts_and_vacuums(spark, tmp_path, monkeypatch):
     assert len(t2._latest()["active_dirs"]) == 1
     assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2]
     assert [e["action"] for e in t2.history()][-2:] == ["compact", "vacuum"]
+
+
+def test_cli_explain(spark, tmp_path, capsys, monkeypatch):
+    yml = tmp_path / "p.yml"
+    yml.write_text(
+        """
+sources:
+  - type: file
+    name: exp_orders
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/orders.parquet
+stages:
+  - name: exp_summary
+    query: >
+      SELECT o_orderstatus, COUNT(*) AS n FROM exp_orders
+      GROUP BY o_orderstatus
+"""
+    )
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = main(["explain", "--file", str(yml)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "=== stage: exp_summary ===" in out
+    assert "HashAggregate" in out
+    # zero execution: formatted plan only, nothing collected
+    spark.catalog.dropTempView("exp_summary")
+    spark.catalog.dropTempView("exp_orders")
+
+
+def test_cli_explain_strict_flags_cartesian(spark, tmp_path, capsys, monkeypatch):
+    yml = tmp_path / "p.yml"
+    yml.write_text(
+        """
+sources:
+  - type: file
+    name: exp_nation
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/nation.parquet
+stages:
+  - name: exp_cross
+    query: >
+      SELECT a.n_name FROM exp_nation a CROSS JOIN exp_nation b
+"""
+    )
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = main(["explain", "--file", str(yml), "--strict"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "WARN:" in out
+    spark.catalog.dropTempView("exp_cross")
+    spark.catalog.dropTempView("exp_nation")
