@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config.model import Pipeline, Stage
 from .destinations import prepare_destination, write_to_destination
-from .functions import register_compat_functions, register_udfs, register_udtfs
+from .functions import (
+    register_compat_functions,
+    register_udafs,
+    register_udfs,
+    register_udtfs,
+)
 from .progress import LoggingTracker, ProgressEvent, ProgressTracker, timer
 from .sources import register_sources
 from .stages import process_stage
@@ -75,6 +80,7 @@ def run_pipeline(
     register_udfs(spark)
     register_compat_functions(spark)
     register_udtfs(spark)
+    register_udafs(spark)
     tracker.on_progress(ProgressEvent("started"))
 
     dest = pipeline.parsed_destination
@@ -168,13 +174,13 @@ def explain_pipeline(
     Stages still register as temp views (later stages reference
     earlier ones by name), exactly as in a real run.
     """
-    from .functions import register_compat_functions, register_udfs, register_udtfs
     from .plans import lint_plan
     from .stages import build_stage_df
 
     register_udfs(spark)
     register_compat_functions(spark)
     register_udtfs(spark)
+    register_udafs(spark)
     register_sources(spark, pipeline.parsed_sources)
 
     reports: list[dict] = []

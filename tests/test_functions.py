@@ -140,3 +140,61 @@ stages:
 """
     res = run_pipeline(spark, load_pipeline_str(yml))
     assert res.result.count() >= 3
+
+
+def test_udaf_geometric_harmonic_mean(spark):
+    """Pandas GROUPED_AGG UDAFs registered for stage SQL (the UDAF tier
+    of SURVEY §2.B's UDF/UDAF/UDTF row — beyond the reference's
+    scalar-only UDFs)."""
+    import statistics
+
+    from aqueducts_spark.functions import register_udafs
+
+    register_udafs(spark)
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("a", 4.0), ("b", 5.0), ("c", 0.0)],
+        "grp string, v double",
+    )
+    df.createOrReplaceTempView("udaf_t")
+    got = {
+        r.grp: (r.gm, r.hm)
+        for r in spark.sql(
+            "SELECT grp, geometric_mean(v) AS gm, harmonic_mean(v) AS hm "
+            "FROM udaf_t GROUP BY grp"
+        ).collect()
+    }
+    assert got["a"][0] == pytest.approx(statistics.geometric_mean([2.0, 8.0, 4.0]))
+    assert got["a"][1] == pytest.approx(statistics.harmonic_mean([2.0, 8.0, 4.0]))
+    assert got["b"] == (pytest.approx(5.0), pytest.approx(5.0))
+    # zero/negative-only groups have no valid inputs -> NULL
+    assert got["c"] == (None, None)
+    spark.catalog.dropTempView("udaf_t")
+
+
+def test_udaf_available_in_pipeline_sql(spark, tmp_path):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: udaf_orders
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/orders.parquet
+stages:
+  - - name: udaf_out
+      query: >
+        SELECT o_orderstatus,
+               geometric_mean(CAST(o_totalprice AS DOUBLE)) AS gm
+        FROM udaf_orders GROUP BY o_orderstatus
+destination:
+  type: file
+  name: out
+  format: {{type: parquet}}
+  location: {tmp_path}/udaf_out
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    rows = spark.read.parquet(f"{tmp_path}/udaf_out").collect()
+    assert len(rows) >= 1 and all(r.gm > 0 for r in rows)
+    spark.catalog.dropTempView("udaf_orders")
+    spark.catalog.dropTempView("udaf_out")
