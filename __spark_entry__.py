@@ -2225,6 +2225,33 @@ FROM customer WHERE c_custkey <= 300
 """
 
 
+# Unnest of struct arrays (SURVEY §2.B unnest row): Spark `inline`
+# explodes an array<struct> into columns in one generator; DuckDB
+# UNNESTs to a struct column and projects fields — same rows.
+Q50_SPARK = """
+WITH t AS (
+  SELECT o_orderkey,
+         array(named_struct('lvl', 1, 'amt', CAST(o_totalprice AS DOUBLE)),
+               named_struct('lvl', 2, 'amt', CAST(o_totalprice AS DOUBLE) / 2))
+           AS parts
+  FROM orders WHERE o_orderkey <= 200
+)
+SELECT o_orderkey, CAST(lvl AS BIGINT) AS lvl, amt
+FROM t LATERAL VIEW inline(parts) x AS lvl, amt
+"""
+
+Q50_DUCK = """
+WITH t AS (
+  SELECT o_orderkey,
+         [{'lvl': 1, 'amt': CAST(o_totalprice AS DOUBLE)},
+          {'lvl': 2, 'amt': CAST(o_totalprice AS DOUBLE) / 2}] AS parts
+  FROM orders WHERE o_orderkey <= 200
+),
+u AS (SELECT o_orderkey, UNNEST(parts) AS p FROM t)
+SELECT o_orderkey, CAST(p.lvl AS BIGINT) AS lvl, p.amt AS amt FROM u
+"""
+
+
 # JOIN ... USING and NATURAL JOIN (SURVEY §2.B joins row): USING
 # coalesces the key into one output column; NATURAL joins on all
 # same-named columns (here: seg).
@@ -2330,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_regexp_fns": _sql(Q47_SPARK),
         "q48_nulls_order_offset": _sql(Q48_SPARK),
         "q49_using_natural_join": _sql(Q49_SPARK),
+        "q50_inline_struct_unnest": _sql(Q50_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2438,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_regexp_fns": Q47_DUCK,
         "q48_nulls_order_offset": Q48_DUCK,
         "q49_using_natural_join": Q49_DUCK,
+        "q50_inline_struct_unnest": Q50_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
