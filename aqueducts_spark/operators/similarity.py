@@ -33,6 +33,8 @@ __all__ = [
     "train_ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_persist",
+    "ivf_topk_persisted",
 ]
 
 
@@ -289,6 +291,102 @@ def lsh_topk(
         "bucket",
     )
     scored = F.broadcast(q).join(c, on="bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+    )
+
+
+def ivf_persist(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index "at rest" (the layout SCALE.md
+    promises): the corpus assigned and written **partitioned by
+    centroid_id**, with the centroid matrix stored alongside as its
+    own tiny parquet. Probes against the persisted index read only
+    their clusters via partition pruning — at 100 TB a ``nprobe=4`` of
+    256 centroids scans ~1.6% of the files instead of all of them.
+
+    Returns the centroids (trained here if not supplied).
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "centroid_id"
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/corpus"
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_persist`) with
+    partition-pruned probes: the probe set (a few centroid ids per
+    query — tiny by definition) is collected and pushed into the scan
+    as a partition filter, so only the probed clusters' files are
+    read. Scoring then proceeds exactly like :func:`ivf_topk`
+    (broadcast queries, JVM-side cosine, per-query top-k window).
+    """
+    from pyspark.sql.window import Window
+
+    crows = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = [r["centroid"] for r in crows]
+    prober = _centroid_scorer(centroids, nprobe=min(nprobe, len(centroids)))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("__probes", prober(F.col("qvec")))
+        .select("query_id", "qvec", F.explode("__probes").alias("centroid_id"))
+    )
+    q = q.localCheckpoint(eager=True)  # probe once, reuse for filter + join
+    probe_ids = sorted({r["centroid_id"] for r in q.select("centroid_id").collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .where(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            "centroid_id",
+        )
+    )
+    scored = F.broadcast(q).join(corpus, on="centroid_id").select(
         "query_id",
         "neighbor_id",
         cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
