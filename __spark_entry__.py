@@ -1433,6 +1433,56 @@ def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import remove_duplicated_spans
+
+    _views(spark, sf_dir)
+    return remove_duplicated_spans(spark.table("documents"), n=8, max_docs=1)
+
+
+# Lee-et-al substring dedup oracle: identical tokenization, 8-gram
+# construction, doc-frequency threshold, and coverage mask — all
+# integer/string ops, exact.
+OP_SPAN_DEDUP_DUCK = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) = 0 THEN ['']
+              WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+7], ' ')
+                    for i in generate_series(1, len(toks)-7)] END AS grams
+  FROM t
+),
+c AS (
+  SELECT gram
+  FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g)
+  WHERE gram <> ''
+  GROUP BY gram HAVING COUNT(*) > 1
+),
+pg AS (SELECT doc_id, UNNEST(range(len(grams))) AS pos, UNNEST(grams) AS gram
+       FROM g),
+s AS (SELECT doc_id, list(DISTINCT pos) AS starts
+      FROM pg JOIN c USING (gram) GROUP BY doc_id),
+m AS (
+  SELECT g.doc_id, g.toks,
+         [g.toks[i+1] for i in generate_series(0, len(g.toks)-1)
+          if len(list_filter(coalesce(s.starts, CAST([] AS BIGINT[])),
+                             st -> st <= i AND i < st + 8)) = 0] AS kept
+  FROM g LEFT JOIN s USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+FROM m
+"""
+
+
 def _op_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2365,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_fixed_n_sample": _op_fixed_n_gate,
         "op_line_dedup": _op_line_dedup_gate,
         "op_exact_dedup": _op_exact_dedup,
+        "op_span_dedup": _op_span_dedup,
         "op_quantize_embed": _op_quantize_embed,
         "op_embed_centroids": _op_embed_centroids,
         "op_fingerprint": _op_fingerprint,
@@ -2443,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "q38_scalar_subquery": Q38_DUCK,
         "q39_group_by_all": Q39_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
+        "op_span_dedup": OP_SPAN_DEDUP_DUCK,
         "op_quantize_embed": OP_QUANTIZE_DUCK,
         "op_embed_centroids": OP_CENTROIDS_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,

@@ -33,6 +33,7 @@ __all__ = [
     "exact_duplicates",
     "exact_dedup",
     "drop_common_lines",
+    "remove_duplicated_spans",
     "minhash_bands",
     "minhash_candidate_pairs",
     "jaccard_pairs",
@@ -417,4 +418,69 @@ def embedding_near_duplicates(
         pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Exact duplicated-substring removal (the Lee et al. 2022
+    "Deduplicating Training Data" substring step, shingle-relational
+    form): any ``n``-token span that occurs in more than ``max_docs``
+    distinct documents is removed from *every* document — a token
+    survives iff no duplicated span covers it. Docs shorter than ``n``
+    tokens form one whole-doc span.
+
+    Output: ``id, cleaned, n_tokens, n_removed`` (cleaned text is
+    whitespace-normalized lowercase, the same normalization the
+    shingles use).
+
+    Scale shape (mirrors :func:`drop_common_lines`): span
+    document-frequency dedups within each doc map-side
+    (``array_distinct``) and pays one count shuffle; the duplicated
+    span set broadcasts into the hit join, so only *hit* positions —
+    duplication volume, not corpus volume — shuffle into the per-doc
+    start list; the final doc⋈starts join is the one corpus-keyed
+    shuffle. Mask/removal is per-row higher-order-function codegen.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        normalized_tokens(F.col(text_col)).alias("__toks"),
+        word_ngrams(F.col(text_col), n).alias("__grams"),
+    )
+    common = (
+        base.select(F.explode(F.array_distinct("__grams")).alias("gram"))
+        .where(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_docs)
+        .select("gram")
+    )
+    hits = (
+        base.select(F.col(id_col), F.posexplode("__grams").alias("pos", "gram"))
+        .join(F.broadcast(common), "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    joined = base.join(hits, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    pairs = F.transform(
+        F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        pairs,
+        lambda p: ~F.exists(
+            F.col("__starts"), lambda s: (s <= p.i) & (p.i < s + F.lit(n))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda p: p.t), " ").alias("cleaned"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_removed"),
     )

@@ -506,6 +506,17 @@ def _op_decontaminate(spark, inp, options):
     )
 
 
+def _op_remove_duplicated_spans(spark, inp, options):
+    from .dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        inp,
+        n=int(options.get("n", 8)),
+        max_docs=int(options.get("max_docs", 1)),
+        **_docs_args(options),
+    )
+
+
 def _op_quantize_embeddings(spark, inp, options):
     from .embedding import quantize_embeddings
 
@@ -578,6 +589,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
     "ngram_overlap": _op_ngram_overlap,
+    "remove_duplicated_spans": _op_remove_duplicated_spans,
     "quantize_embeddings": _op_quantize_embeddings,
     "label_centroids": _op_label_centroids,
     "decontaminate": _op_decontaminate,

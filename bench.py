@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "op_redact",
     "op_fixed_n_sample",
     "op_line_dedup",
+    "op_span_dedup",
     "op_weighted_mix",
     "op_pack_shards",
     "op_quantize_embed",

@@ -209,3 +209,106 @@ def test_drop_common_lines_broadcasts_boilerplate_set(spark):
     df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")], ["doc_id", "text"])
     plan = drop_common_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    from aqueducts_spark.operators.dedup import remove_duplicated_spans
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta something else"),
+        (3, "totally unique text here nothing shared"),
+        (4, "short doc"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.cleaned, r.n_tokens, r.n_removed)
+        for r in remove_duplicated_spans(df, n=4, max_docs=1).collect()
+    }
+    # the shared 4-token prefix is cut from BOTH docs; unique doc intact;
+    # identical sub-n docs are whole-doc spans and vanish entirely
+    assert out[1] == ("epsilon zeta", 6, 4)
+    assert out[2] == ("something else", 6, 4)
+    assert out[3] == ("totally unique text here nothing shared", 6, 0)
+    assert out[4] == ("", 2, 2)
+    assert out[5] == ("", 2, 2)
+
+
+def test_remove_duplicated_spans_python_reference(spark, sf_dir):
+    """Cross-check against a direct Python implementation on real docs."""
+    from aqueducts_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    n = 5
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    toks = {i: [t for t in txt.lower().strip().split() if t] for i, txt in rows}
+
+    def grams(ts):
+        if not ts:
+            return [""]
+        if len(ts) < n:
+            return [" ".join(ts)]
+        return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+
+    from collections import Counter
+
+    dfreq = Counter()
+    for ts in toks.values():
+        for gm in set(grams(ts)):
+            if gm:
+                dfreq[gm] += 1
+    common = {gm for gm, c in dfreq.items() if c > 1}
+    want = {}
+    for i, ts in toks.items():
+        starts = [j for j, gm in enumerate(grams(ts)) if gm in common]
+        kept = [
+            t for j, t in enumerate(ts)
+            if not any(s <= j < s + n for s in starts)
+        ]
+        want[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+
+    got = {
+        r.doc_id: (r.cleaned, r.n_tokens, r.n_removed)
+        for r in remove_duplicated_spans(df, n=n, max_docs=1).collect()
+    }
+    assert got == want
+
+
+def test_remove_duplicated_spans_parallelism_invariant(spark, sf_dir):
+    from aqueducts_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    one = sorted(map(tuple, remove_duplicated_spans(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, remove_duplicated_spans(df.repartition(7)).collect()))
+    assert one == many
+
+
+def test_remove_duplicated_spans_stage(spark, sf_dir, tmp_path):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: span_docs
+    format: {{type: parquet}}
+    location: {sf_dir}/documents.parquet
+stages:
+  - - name: span_clean
+      operator:
+        type: remove_duplicated_spans
+        input: span_docs
+        options: {{n: 8, max_docs: 1}}
+destination:
+  type: file
+  name: out
+  format: {{type: parquet}}
+  location: {tmp_path}/span_out
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    back = spark.read.parquet(f"{tmp_path}/span_out")
+    assert back.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert back.where("n_removed > 0").count() > 0
+    spark.catalog.dropTempView("span_docs")
+    spark.catalog.dropTempView("span_clean")
