@@ -2275,6 +2275,27 @@ FROM customer WHERE c_custkey <= 300
 """
 
 
+# Hash functions (SURVEY §2.B string-fns row: md5, sha-family, to_hex).
+# DuckDB has no sha1, so the gate covers md5 + sha2-256 + hex round-trip.
+Q51_SPARK = """
+SELECT c_custkey,
+       md5(c_name) AS h_md5,
+       sha2(c_name, 256) AS h_sha256,
+       lower(hex(encode(c_mktsegment, 'UTF-8'))) AS seg_hex,
+       substring(md5(concat(c_name, c_mktsegment)), 1, 8) AS short_fp
+FROM customer WHERE c_custkey <= 300
+"""
+
+Q51_DUCK = """
+SELECT c_custkey,
+       md5(c_name) AS h_md5,
+       sha256(c_name) AS h_sha256,
+       lower(hex(encode(c_mktsegment))) AS seg_hex,
+       substring(md5(concat(c_name, c_mktsegment)), 1, 8) AS short_fp
+FROM customer WHERE c_custkey <= 300
+"""
+
+
 # Unnest of struct arrays (SURVEY §2.B unnest row): Spark `inline`
 # explodes an array<struct> into columns in one generator; DuckDB
 # UNNESTs to a struct column and projects fields — same rows.
@@ -2408,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_nulls_order_offset": _sql(Q48_SPARK),
         "q49_using_natural_join": _sql(Q49_SPARK),
         "q50_inline_struct_unnest": _sql(Q50_SPARK),
+        "q51_hash_fns": _sql(Q51_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2519,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "q48_nulls_order_offset": Q48_DUCK,
         "q49_using_natural_join": Q49_DUCK,
         "q50_inline_struct_unnest": Q50_DUCK,
+        "q51_hash_fns": Q51_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
