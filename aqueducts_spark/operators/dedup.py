@@ -447,13 +447,14 @@ def remove_duplicated_spans(
     start list; the final doc⋈starts join is the one corpus-keyed
     shuffle. Mask/removal is per-row higher-order-function codegen.
     """
-    base = ensure_parallelism(df).select(
-        F.col(id_col),
-        normalized_tokens(F.col(text_col)).alias("__toks"),
-        word_ngrams(F.col(text_col), n).alias("__grams"),
-    )
+    src = ensure_parallelism(df)
+    # n-grams are rebuilt per consuming branch (recomputation beats
+    # caching a ~n× blowup of the corpus at scale) — but the final
+    # reassembly branch only needs tokens, so it never pays the
+    # n-gram construction at all
+    grams = word_ngrams(F.col(text_col), n)
     common = (
-        base.select(F.explode(F.array_distinct("__grams")).alias("gram"))
+        src.select(F.explode(F.array_distinct(grams)).alias("gram"))
         .where(F.col("gram") != "")
         .groupBy("gram")
         .agg(F.count("*").alias("_df"))
@@ -461,10 +462,13 @@ def remove_duplicated_spans(
         .select("gram")
     )
     hits = (
-        base.select(F.col(id_col), F.posexplode("__grams").alias("pos", "gram"))
+        src.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
         .join(F.broadcast(common), "gram")
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("__starts"))
+    )
+    base = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
     )
     joined = base.join(hits, on=id_col, how="left").withColumn(
         "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
