@@ -448,7 +448,29 @@ class DeltaDestination(_Base):
         return _coerce_schema(v)
 
 
-Destination = Union[InMemoryDestination, FileDestination, OdbcDestination, DeltaDestination]
+class IvfIndexDestination(_Base):
+    """Beyond-reference: persist the pipeline result as an IVF ANN
+    index — corpus written partitioned by centroid_id plus a centroid
+    parquet (operators/similarity.py::ivf_persist), queryable with
+    partition-pruned probes (ivf_topk_persisted)."""
+
+    type: Literal["ivf_index"] = "ivf_index"
+    name: str
+    location: str
+    n_centroids: int = 16
+    seed: int = 42
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+
+
+Destination = Union[
+    InMemoryDestination,
+    FileDestination,
+    OdbcDestination,
+    DeltaDestination,
+    IvfIndexDestination,
+]
 
 _DEST_TYPES = {
     "in_memory": InMemoryDestination,
@@ -457,6 +479,7 @@ _DEST_TYPES = {
     "odbc": OdbcDestination,
     "database": OdbcDestination,
     "delta": DeltaDestination,
+    "ivf_index": IvfIndexDestination,
 }
 
 

@@ -29,6 +29,7 @@ from ..config.model import (
     Destination,
     FileDestination,
     InMemoryDestination,
+    IvfIndexDestination,
     OdbcDestination,
 )
 from ..delta import delta_layer
@@ -72,6 +73,9 @@ def prepare_destination(spark: SparkSession, dest: Destination) -> None:
         # target-table existence is verified at write time over JDBC
         # (reference odbc/src/lib.rs:87-104); nothing to prepare here
         pass
+    elif isinstance(dest, IvfIndexDestination):
+        location = normalize_location(dest.location)
+        apply_storage_config(spark, location, dest.storage_config)
     else:
         raise DestinationError(f"unknown destination type: {type(dest).__name__}")
 
@@ -88,6 +92,17 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
         _write_delta(spark, dest, df)
     elif isinstance(dest, OdbcDestination):
         _write_jdbc(dest, df)
+    elif isinstance(dest, IvfIndexDestination):
+        from ..operators.similarity import ivf_persist
+
+        ivf_persist(
+            df,
+            normalize_location(dest.location).removeprefix("file://"),
+            n_centroids=dest.n_centroids,
+            seed=dest.seed,
+            id_col=dest.id_col,
+            vec_col=dest.vec_col,
+        )
     else:
         raise DestinationError(f"unknown destination type: {type(dest).__name__}")
 
