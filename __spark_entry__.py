@@ -2275,6 +2275,47 @@ FROM customer WHERE c_custkey <= 300
 """
 
 
+# Map higher-order functions: transform_values + map_filter over a
+# constructed map, exploded back to rows (map columns themselves have
+# engine-dependent entry order, so the gate compares exploded entries).
+# The DuckDB oracle computes the same entries relationally.
+Q52_SPARK = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         map_filter(
+           transform_values(
+             map_from_arrays(
+               array('qty', 'price', 'disc'),
+               array(CAST(l_quantity AS DOUBLE),
+                     CAST(l_extendedprice AS DOUBLE),
+                     CAST(l_discount AS DOUBLE))),
+             (k, v) -> v * 2),
+           (k, v) -> v > 1) AS m
+  FROM lineitem WHERE l_orderkey <= 100
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, k, v
+FROM t LATERAL VIEW explode(m) x AS k, v
+"""
+
+Q52_DUCK = """
+WITH base AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_quantity AS DOUBLE) * 2 AS qty,
+         CAST(l_extendedprice AS DOUBLE) * 2 AS price,
+         CAST(l_discount AS DOUBLE) * 2 AS disc
+  FROM lineitem WHERE l_orderkey <= 100
+),
+u AS (
+  SELECT l_orderkey, l_linenumber, 'qty' AS k, qty AS v FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', price FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'disc', disc FROM base
+)
+SELECT * FROM u WHERE v > 1
+"""
+
+
 # Hash functions (SURVEY §2.B string-fns row: md5, sha-family, to_hex).
 # DuckDB has no sha1, so the gate covers md5 + sha2-256 + hex round-trip.
 Q51_SPARK = """
@@ -2430,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_using_natural_join": _sql(Q49_SPARK),
         "q50_inline_struct_unnest": _sql(Q50_SPARK),
         "q51_hash_fns": _sql(Q51_SPARK),
+        "q52_map_hofs": _sql(Q52_SPARK),
         "op_repetition": _op_repetition_gate,
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
@@ -2542,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "q49_using_natural_join": Q49_DUCK,
         "q50_inline_struct_unnest": Q50_DUCK,
         "q51_hash_fns": Q51_DUCK,
+        "q52_map_hofs": Q52_DUCK,
         "op_repetition": OP_REPETITION_DUCK,
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
