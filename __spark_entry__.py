@@ -1433,6 +1433,43 @@ def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import unigram_logprob
+
+    _views(spark, sf_dir)
+    return unigram_logprob(spark.table("documents"))
+
+
+# Unigram-LM NLL oracle: identical tokenization, integer tf/ct counts,
+# and per-(doc,term) micro-nat quantization before the integer sum —
+# ln agrees bitwise on these inputs (same IEEE doubles; the tfidf gate
+# established the precedent), and the quantized sum is exact.
+OP_UNIGRAM_NLL_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    t -> t != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+totals AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY term),
+corpus AS (SELECT SUM(ct) AS n_corpus FROM totals),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(CAST(tf.tf AS DOUBLE)
+                    * -ln(CAST(t.ct AS DOUBLE) / CAST(c.n_corpus AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM tf JOIN totals t USING (term) CROSS JOIN corpus c
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+       CAST(SUM(nll_micro) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1e6)
+         AS avg_nll
+FROM contrib
+GROUP BY doc_id
+"""
+
+
 def _op_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.dedup import remove_duplicated_spans
 
@@ -2480,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_line_dedup": _op_line_dedup_gate,
         "op_exact_dedup": _op_exact_dedup,
         "op_span_dedup": _op_span_dedup,
+        "op_unigram_nll": _op_unigram_nll,
         "op_quantize_embed": _op_quantize_embed,
         "op_embed_centroids": _op_embed_centroids,
         "op_fingerprint": _op_fingerprint,
@@ -2559,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "q39_group_by_all": Q39_DUCK,
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_span_dedup": OP_SPAN_DEDUP_DUCK,
+        "op_unigram_nll": OP_UNIGRAM_NLL_DUCK,
         "op_quantize_embed": OP_QUANTIZE_DUCK,
         "op_embed_centroids": OP_CENTROIDS_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,

@@ -506,6 +506,12 @@ def _op_decontaminate(spark, inp, options):
     )
 
 
+def _op_unigram_logprob(spark, inp, options):
+    from .text import unigram_logprob
+
+    return unigram_logprob(inp, **_docs_args(options))
+
+
 def _op_remove_duplicated_spans(spark, inp, options):
     from .dedup import remove_duplicated_spans
 
@@ -590,6 +596,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "stratified_fixed_n": _op_stratified_fixed_n,
     "ngram_overlap": _op_ngram_overlap,
     "remove_duplicated_spans": _op_remove_duplicated_spans,
+    "unigram_logprob": _op_unigram_logprob,
     "quantize_embeddings": _op_quantize_embeddings,
     "label_centroids": _op_label_centroids,
     "decontaminate": _op_decontaminate,

@@ -21,6 +21,7 @@ __all__ = [
     "repetition_features",
     "PII_PATTERNS",
     "tfidf_top_terms",
+    "unigram_logprob",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -397,4 +398,69 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained unigram LM score per document — the relational core
+    of a CCNet/Gopher-style perplexity quality filter. ``p(t)`` is the
+    token's corpus frequency; a document's negative log-likelihood is
+    ``sum(tf * -ln p)``; ``avg_nll`` (per-token) separates repetitive
+    common-language text (low) from rare-token noise (high).
+
+    Reproducibility: each (doc, term) contribution is rounded to
+    integer **micro-nats** (``floor(x*1e6 + 0.5)`` BIGINT) before the
+    per-doc sum, so aggregation is integer-exact and independent of
+    partitioning — double sums would drift by ulps under parallel
+    reduction. Output: ``id, n_tokens, nll_micro, avg_nll``.
+
+    Plan shape (tfidf twin): explode -> (id, term) counts [1 full
+    shuffle, map-side combined]; term totals re-aggregate that table;
+    the corpus total is a 1-row broadcast; scoring joins tf with term
+    totals [shuffle of the tf table, not the corpus] and one final
+    groupBy(id) of already-reduced rows.
+    """
+    from .dedup import ensure_parallelism, normalized_tokens
+
+    tf = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    corpus = totals.agg(F.sum("ct").alias("n_corpus"))
+    contrib = (
+        tf.join(totals, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "nll_micro",
+            F.floor(
+                F.col("tf").cast("double")
+                * -F.log(
+                    F.col("ct").cast("double") / F.col("n_corpus").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
     )

@@ -312,3 +312,74 @@ destination:
     assert back.where("n_removed > 0").count() > 0
     spark.catalog.dropTempView("span_docs")
     spark.catalog.dropTempView("span_clean")
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from aqueducts_spark.operators.text import unigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    docs = {r.doc_id: [t for t in r.text.lower().strip().split() if t] for r in df.collect()}
+    totals = Counter()
+    for ts in docs.values():
+        totals.update(ts)
+    n_corpus = sum(totals.values())
+    want = {}
+    for i, ts in docs.items():
+        tf = Counter(ts)
+        micro = sum(
+            math.floor(c * -math.log(totals[t] / n_corpus) * 1e6 + 0.5)
+            for t, c in tf.items()
+        )
+        want[i] = (len(ts), micro)
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in unigram_logprob(df).collect()
+    }
+    assert got == want
+    # avg_nll is derived exactly from the integers
+    for r in unigram_logprob(df).collect():
+        assert r.avg_nll == r.nll_micro / (r.n_tokens * 1e6)
+
+
+def test_unigram_logprob_parallelism_invariant(spark, sf_dir):
+    from aqueducts_spark.operators.text import unigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    one = sorted(map(tuple, unigram_logprob(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, unigram_logprob(df.repartition(7)).collect()))
+    assert one == many
+
+
+def test_unigram_logprob_stage(spark, sf_dir, tmp_path):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: nll_docs
+    format: {{type: parquet}}
+    location: {sf_dir}/documents.parquet
+stages:
+  - - name: nll_scored
+      operator:
+        type: unigram_logprob
+        input: nll_docs
+  - - name: nll_flagged
+      query: >
+        SELECT COUNT(*) AS n_high FROM nll_scored
+        WHERE avg_nll > (SELECT AVG(avg_nll) FROM nll_scored)
+destination:
+  type: file
+  name: out
+  format: {{type: parquet}}
+  location: {tmp_path}/nll_out
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    row = spark.read.parquet(f"{tmp_path}/nll_out").collect()[0]
+    assert 0 < row.n_high < spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for v in ["nll_docs", "nll_scored", "nll_flagged"]:
+        spark.catalog.dropTempView(v)
