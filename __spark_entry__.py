@@ -1433,6 +1433,38 @@ def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _op_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.profile import profile_table
+
+    _views(spark, sf_dir)
+    return profile_table(spark.table("orders"), [c for c, _ in _PROFILE_COLS])
+
+
+# profiling oracle: per-column exact stats unioned; dtype literals are
+# the Spark dtype names so the frames compare directly. min/max string
+# renderings agree for bigint/string/double-below-1e7/timestamp.
+OP_PROFILE_DUCK = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, '{t}' AS dtype,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_repr,
+       CAST(MAX({c}) AS VARCHAR) AS max_repr
+FROM orders"""
+    for c, t in _PROFILE_COLS
+)
+
+
 def _op_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.text import unigram_logprob
 
@@ -2518,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_exact_dedup": _op_exact_dedup,
         "op_span_dedup": _op_span_dedup,
         "op_unigram_nll": _op_unigram_nll,
+        "op_profile": _op_profile,
         "op_quantize_embed": _op_quantize_embed,
         "op_embed_centroids": _op_embed_centroids,
         "op_fingerprint": _op_fingerprint,
@@ -2598,6 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "op_exact_dedup": OP_EXACT_DEDUP_DUCK,
         "op_span_dedup": OP_SPAN_DEDUP_DUCK,
         "op_unigram_nll": OP_UNIGRAM_NLL_DUCK,
+        "op_profile": OP_PROFILE_DUCK,
         "op_quantize_embed": OP_QUANTIZE_DUCK,
         "op_embed_centroids": OP_CENTROIDS_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,

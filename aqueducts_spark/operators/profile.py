@@ -1,0 +1,70 @@
+"""Table profiling: per-column data-quality statistics in one pass.
+
+The pre-flight twin of ``plans.lint_plan`` for *data* instead of plans
+— run it (or its declarative ``profile_table`` stage) before a 100 TB
+job to catch the usual poisons: null-riddled join keys, constant
+columns, unexpected cardinalities, truncated strings.
+
+Scale shape: ONE aggregation job over the table. All per-column
+statistics are expressions inside a single global ``agg`` (partial
+aggregation map-side, a few hundred scalars per task into the final
+reduce) — except exact distinct counts, which Spark plans as an
+EXPAND (one duplicated stream per counted column): cost is
+columns × rows map-side, still one shuffle of partial states. For
+quick looks at very wide tables set ``exact_distinct=False`` to use
+HLL sketches (``approx_count_distinct``) with no EXPAND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-form profile: one row per column with
+    ``(column, dtype, n_rows, n_nulls, n_distinct, min_repr, max_repr)``.
+
+    min/max are string representations (cast) so heterogeneous column
+    types fit one output schema; numeric order is preserved inside the
+    aggregation (min/max computed on the native type, cast after).
+    """
+    dtypes = dict(df.dtypes)
+    cols = columns or list(dtypes)
+    unknown = [c for c in cols if c not in dtypes]
+    if unknown:
+        raise ValueError(f"profile_table: unknown columns {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+
+    # pivot the single wide row to long form with a stack expression —
+    # still zero extra passes over the data
+    parts = ", ".join(
+        f"'{c}', '{dtypes[c]}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(column, dtype, n_nulls, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).select(
+        "column", "dtype", "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_repr", "max_repr",
+    )

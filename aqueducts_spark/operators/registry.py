@@ -506,6 +506,16 @@ def _op_decontaminate(spark, inp, options):
     )
 
 
+def _op_profile_table(spark, inp, options):
+    from .profile import profile_table
+
+    return profile_table(
+        inp,
+        columns=options.get("columns"),
+        exact_distinct=bool(options.get("exact_distinct", True)),
+    )
+
+
 def _op_unigram_logprob(spark, inp, options):
     from .text import unigram_logprob
 
@@ -597,6 +607,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "ngram_overlap": _op_ngram_overlap,
     "remove_duplicated_spans": _op_remove_duplicated_spans,
     "unigram_logprob": _op_unigram_logprob,
+    "profile_table": _op_profile_table,
     "quantize_embeddings": _op_quantize_embeddings,
     "label_centroids": _op_label_centroids,
     "decontaminate": _op_decontaminate,

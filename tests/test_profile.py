@@ -1,0 +1,82 @@
+"""Table profiler (operators/profile.py): per-column stats in one
+aggregation pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        (1, "a", 1.5),
+        (2, "a", None),
+        (3, None, 2.5),
+        (3, "b", 2.5),
+    ]
+    return spark.createDataFrame(rows, "id long, s string, v double")
+
+
+def test_profile_stats(spark, toy):
+    got = {r.column: r for r in profile_table(toy).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for r in got.values():
+        assert r.n_rows == 4
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 3)
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+    assert (got["id"].min_repr, got["id"].max_repr) == ("1", "3")
+    assert (got["s"].min_repr, got["s"].max_repr) == ("a", "b")
+    assert got["id"].dtype == "bigint" and got["v"].dtype == "double"
+
+
+def test_profile_column_subset_and_unknown(spark, toy):
+    assert {r.column for r in profile_table(toy, ["id"]).collect()} == {"id"}
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(toy, ["nope"])
+
+
+def test_profile_approx_mode_no_expand(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact_plan = (
+        profile_table(orders, ["o_orderkey", "o_custkey"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile_table(orders, ["o_orderkey", "o_custkey"], exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exact multi-column distinct needs EXPAND; the HLL mode must not
+    assert "Expand" in exact_plan and "Expand" not in approx_plan
+
+
+def test_profile_stage(spark, sf_dir, tmp_path):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    yml = f"""
+version: "v2"
+sources:
+  - type: file
+    name: prof_orders
+    format: {{type: parquet}}
+    location: {sf_dir}/orders.parquet
+stages:
+  - - name: prof
+      operator:
+        type: profile_table
+        input: prof_orders
+        options: {{columns: [o_orderkey, o_orderstatus]}}
+destination:
+  type: file
+  name: out
+  format: {{type: parquet}}
+  location: {tmp_path}/prof_out
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    back = {r.column: r for r in spark.read.parquet(f"{tmp_path}/prof_out").collect()}
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert back["o_orderkey"].n_distinct == n and back["o_orderkey"].n_nulls == 0
+    assert back["o_orderstatus"].n_distinct <= 3
+    spark.catalog.dropTempView("prof_orders")
+    spark.catalog.dropTempView("prof")
