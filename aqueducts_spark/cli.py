@@ -113,6 +113,27 @@ def _cmd_explain(args) -> int:
         spark.stop()
 
 
+def _cmd_profile(args) -> int:
+    from .operators.profile import profile_table
+    from .session import get_spark
+
+    spark = get_spark("aqueducts-profile", master=args.master)
+    try:
+        reader = getattr(spark.read, args.format)
+        df = reader(args.location)
+        cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+        prof = profile_table(df, cols, exact_distinct=not args.approx)
+        rows = prof.orderBy("column").collect()
+        header = ("column", "dtype", "n_rows", "n_nulls", "n_distinct", "min", "max")
+        widths = [max(len(str(h)), *(len(str(r[i])) for r in rows)) for i, h in enumerate(header)]
+        print("  ".join(h.ljust(w) for h, w in zip(header, widths)))
+        for r in rows:
+            print("  ".join(str(v).ljust(w) for v, w in zip(r, widths)))
+        return 0
+    finally:
+        spark.stop()
+
+
 def _cmd_optimize(args) -> int:
     from .delta.table import VersionedParquetTable
     from .session import get_spark
@@ -171,6 +192,19 @@ def main(argv: list[str] | None = None) -> int:
         "--strict", action="store_true", help="exit 1 if any lint warning fires"
     )
 
+    prof_p = sub.add_parser(
+        "profile", help="one-pass per-column data-quality profile of a table"
+    )
+    prof_p.add_argument("location", help="table path")
+    prof_p.add_argument(
+        "--format", default="parquet", choices=["parquet", "orc", "json", "csv"]
+    )
+    prof_p.add_argument("--columns", default=None, help="comma-separated subset")
+    prof_p.add_argument(
+        "--approx", action="store_true", help="HLL distinct counts (no EXPAND)"
+    )
+    prof_p.add_argument("--master", default=None, help="Spark master (default local[*])")
+
     opt_p = sub.add_parser(
         "optimize", help="compact a delta table (and optionally vacuum old versions)"
     )
@@ -195,6 +229,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_serve(args)
     if args.command == "explain":
         return _cmd_explain(args)
+    if args.command == "profile":
+        return _cmd_profile(args)
     if args.command == "optimize":
         return _cmd_optimize(args)
     return 1

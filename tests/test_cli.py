@@ -160,3 +160,21 @@ stages:
     assert "WARN:" in out
     spark.catalog.dropTempView("exp_cross")
     spark.catalog.dropTempView("exp_nation")
+
+
+def test_cli_profile(spark, capsys, monkeypatch):
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = main(
+        [
+            "profile",
+            "/root/testdata/sf0.001/nation.parquet",
+            "--columns",
+            "n_nationkey,n_name",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines[0].split()[:3] == ["column", "dtype", "n_rows"]
+    assert any(l.startswith("n_nationkey") and " 25 " in l for l in lines)
