@@ -1433,6 +1433,65 @@ def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import bigram_logprob
+
+    _views(spark, sf_dir)
+    return bigram_logprob(spark.table("documents"))
+
+
+# Bigram conditional-LM oracle: first token scored by unigram prob,
+# transitions by c(bigram)/c(prefix); same micro-nat quantization per
+# (doc, gram-type) before the integer sum.
+OP_BIGRAM_NLL_DUCK = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '') AS toks
+  FROM documents
+),
+uni AS (SELECT term, COUNT(*) AS ct
+        FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term),
+corpus AS (SELECT SUM(ct) AS n_corpus FROM uni),
+first_scored AS (
+  SELECT t.doc_id, CAST(1 AS BIGINT) AS events,
+         CAST(floor(-ln(CAST(u.ct AS DOUBLE) / CAST(c.n_corpus AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM t JOIN uni u ON u.term = t.toks[1] CROSS JOIN corpus c
+  WHERE len(t.toks) > 0
+),
+bi_tf AS (
+  SELECT doc_id, gram, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks)-1)]) AS gram
+        FROM t WHERE len(toks) >= 2)
+  GROUP BY doc_id, gram
+),
+bi_totals AS (SELECT gram, SUM(tf) AS ct_bi FROM bi_tf GROUP BY gram),
+prefix_totals AS (
+  SELECT string_split(gram, ' ')[1] AS prefix, SUM(ct_bi) AS ct_prefix
+  FROM bi_totals GROUP BY 1),
+bi_scored AS (
+  SELECT f.doc_id, CAST(f.tf AS BIGINT) AS events,
+         CAST(floor(CAST(f.tf AS DOUBLE)
+                    * -ln(CAST(b.ct_bi AS DOUBLE) / CAST(p.ct_prefix AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM bi_tf f
+  JOIN bi_totals b USING (gram)
+  JOIN prefix_totals p ON p.prefix = string_split(f.gram, ' ')[1]
+)
+SELECT doc_id,
+       CAST(SUM(events) AS BIGINT) AS n_tokens,
+       CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+       CASE WHEN SUM(events) > 0
+            THEN CAST(SUM(nll_micro) AS DOUBLE)
+                 / (CAST(SUM(events) AS DOUBLE) * 1e6)
+            ELSE 0.0 END AS avg_nll
+FROM (SELECT * FROM first_scored UNION ALL SELECT * FROM bi_scored)
+GROUP BY doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint"),
     ("o_custkey", "bigint"),
@@ -2551,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_span_dedup": _op_span_dedup,
         "op_unigram_nll": _op_unigram_nll,
         "op_profile": _op_profile,
+        "op_bigram_nll": _op_bigram_nll,
         "op_quantize_embed": _op_quantize_embed,
         "op_embed_centroids": _op_embed_centroids,
         "op_fingerprint": _op_fingerprint,
@@ -2632,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "op_span_dedup": OP_SPAN_DEDUP_DUCK,
         "op_unigram_nll": OP_UNIGRAM_NLL_DUCK,
         "op_profile": OP_PROFILE_DUCK,
+        "op_bigram_nll": OP_BIGRAM_NLL_DUCK,
         "op_quantize_embed": OP_QUANTIZE_DUCK,
         "op_embed_centroids": OP_CENTROIDS_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,

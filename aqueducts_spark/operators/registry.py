@@ -506,6 +506,12 @@ def _op_decontaminate(spark, inp, options):
     )
 
 
+def _op_bigram_logprob(spark, inp, options):
+    from .text import bigram_logprob
+
+    return bigram_logprob(inp, **_docs_args(options))
+
+
 def _op_profile_table(spark, inp, options):
     from .profile import profile_table
 
@@ -608,6 +614,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "remove_duplicated_spans": _op_remove_duplicated_spans,
     "unigram_logprob": _op_unigram_logprob,
     "profile_table": _op_profile_table,
+    "bigram_logprob": _op_bigram_logprob,
     "quantize_embeddings": _op_quantize_embeddings,
     "label_centroids": _op_label_centroids,
     "decontaminate": _op_decontaminate,

@@ -22,6 +22,7 @@ __all__ = [
     "PII_PATTERNS",
     "tfidf_top_terms",
     "unigram_logprob",
+    "bigram_logprob",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -463,4 +464,110 @@ def unigram_logprob(
             F.col("nll_micro").cast("double")
             / (F.col("n_tokens").cast("double") * F.lit(1e6))
         ).alias("avg_nll"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram LM score per document: the first token is
+    scored by its unigram probability, every later token by the
+    conditional ``p(t_i | t_{i-1}) = c(t_{i-1} t_i) / c(t_{i-1} ·)``
+    (prefix count = bigram occurrences starting with the token). A
+    sharper quality filter than :func:`unigram_logprob` — word-salad
+    text has plausible unigrams but improbable transitions.
+
+    Same reproducibility contract: per-(doc, event) contributions are
+    quantized to integer micro-nats before the per-doc sum.
+    Output: ``id, n_tokens, nll_micro, avg_nll`` (avg over the
+    n_tokens scored events; 0 for empty docs).
+
+    Plan shape: bigram (doc, gram) counts are the one corpus-volume
+    shuffle; bigram totals and prefix totals re-aggregate that reduced
+    table; first-token scoring joins the unigram total table the same
+    way. Nothing wider than the bigram tf table re-shuffles.
+    """
+    from .dedup import ensure_parallelism, normalized_tokens, word_ngrams
+
+    src = ensure_parallelism(df)
+    toks = normalized_tokens(F.col(text_col))
+
+    # unigram side (token totals + corpus size) for the first token
+    uni_tf = (
+        src.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    uni_totals = uni_tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    corpus = uni_totals.agg(F.sum("ct").alias("n_corpus"))
+
+    first = src.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("term"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    first_scored = (
+        first.join(uni_totals, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(
+                -F.log(
+                    F.col("ct").cast("double") / F.col("n_corpus").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint").alias("nll_micro"),
+        )
+    )
+
+    # bigram side: conditional transitions for tokens 2..n
+    bi_tf = (
+        src.where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    bi_totals = bi_tf.groupBy("gram").agg(F.sum("tf").alias("ct_bi"))
+    prefix_totals = (
+        bi_totals.groupBy(F.split(F.col("gram"), " ")[0].alias("prefix"))
+        .agg(F.sum("ct_bi").alias("ct_prefix"))
+    )
+    bi_scored = (
+        bi_tf.join(bi_totals, "gram")
+        .join(prefix_totals, F.split(F.col("gram"), " ")[0] == F.col("prefix"))
+        .select(
+            F.col(id_col),
+            F.col("tf").cast("bigint").alias("events"),
+            F.floor(
+                F.col("tf").cast("double")
+                * -F.log(
+                    F.col("ct_bi").cast("double") / F.col("ct_prefix").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint").alias("nll_micro"),
+        )
+    )
+
+    per_doc = (
+        first_scored.unionByName(bi_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("events").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        F.when(F.col("n_tokens") > 0,
+               F.col("nll_micro").cast("double")
+               / (F.col("n_tokens").cast("double") * F.lit(1e6)))
+        .otherwise(F.lit(0.0))
+        .alias("avg_nll"),
     )

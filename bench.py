@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "op_line_dedup",
     "op_span_dedup",
     "op_unigram_nll",
+    "op_bigram_nll",
     "op_weighted_mix",
     "op_pack_shards",
     "op_quantize_embed",

@@ -383,3 +383,65 @@ destination:
     assert 0 < row.n_high < spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for v in ["nll_docs", "nll_scored", "nll_flagged"]:
         spark.catalog.dropTempView(v)
+
+
+def test_bigram_logprob_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from aqueducts_spark.operators.text import bigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    docs = {r.doc_id: [t for t in r.text.lower().strip().split() if t] for r in df.collect()}
+    uni, bi = Counter(), Counter()
+    for ts in docs.values():
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    n_corpus = sum(uni.values())
+    prefix = Counter()
+    for (a, _), c in bi.items():
+        prefix[a] += c
+    want = {}
+    for i, ts in docs.items():
+        if not ts:
+            continue
+        micro = math.floor(-math.log(uni[ts[0]] / n_corpus) * 1e6 + 0.5)
+        doc_bi = Counter(zip(ts, ts[1:]))
+        for g, tfc in doc_bi.items():
+            micro += math.floor(tfc * -math.log(bi[g] / prefix[g[0]]) * 1e6 + 0.5)
+        want[i] = (len(ts), micro)
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in bigram_logprob(df).collect()
+    }
+    assert got == want
+
+
+def test_bigram_logprob_parallelism_invariant(spark, sf_dir):
+    from aqueducts_spark.operators.text import bigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    one = sorted(map(tuple, bigram_logprob(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, bigram_logprob(df.repartition(7)).collect()))
+    assert one == many
+
+
+def test_bigram_flags_word_salad(spark):
+    """Shuffled-token copies of real sentences must score worse than
+    the originals under the bigram (transition) model."""
+    from aqueducts_spark.operators.text import bigram_logprob
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox runs over the lazy cat",
+        "a quick brown dog jumps over the lazy fox",
+        "the lazy dog sleeps while the quick fox runs",
+    ]
+    salad = ["dog the over quick jumps lazy fox brown the",
+             "cat lazy the over runs fox brown quick the"]
+    rows = [(i, t) for i, t in enumerate(base + salad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_nll for r in bigram_logprob(df).collect()}
+    avg_real = sum(got[i] for i in range(len(base))) / len(base)
+    avg_salad = sum(got[i] for i in range(len(base), len(base) + len(salad))) / len(salad)
+    assert avg_salad > avg_real
