@@ -75,6 +75,14 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ~40 codegen-heavy queries x3 runs overflow the default 240MB
+        # JIT code cache -> method flushing -> recompilation churn that
+        # shows up as 3-4x noise on late queries; a bigger cache keeps
+        # every compiled stage hot
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
