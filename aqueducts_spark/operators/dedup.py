@@ -32,6 +32,7 @@ __all__ = [
     "word_shingles",
     "exact_duplicates",
     "exact_dedup",
+    "dedup_against",
     "drop_common_lines",
     "remove_duplicated_spans",
     "minhash_bands",
@@ -193,6 +194,35 @@ def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
     keepers = keyed.groupBy("__dedup_key").agg(F.min(id_col).alias(id_col))
     return (
         keyed.join(keepers, on=["__dedup_key", id_col], how="inner")
+        .drop("__dedup_key")
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    cols: list[str],
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Incremental dedup: rows of ``new_df`` whose ``cols`` payload does
+    NOT already appear in ``corpus_df`` (the standard new-crawl vs
+    existing-corpus step of a training-data pipeline).
+
+    Anti-join on the md5 of the payload, so the shuffle key is 32 bytes
+    and uniformly distributed regardless of how wide or skewed the
+    payload columns are. At 100 TB the corpus fingerprint side is a
+    one-column projection of the corpus — pushed down to a pure
+    column scan — and the join is a shuffle anti-join on uniform keys;
+    set ``broadcast_corpus`` when the corpus key set is small enough
+    (e.g. an eval benchmark) to skip the shuffle entirely.
+    """
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    corpus_keys = corpus_df.select(key.alias("__dedup_key")).distinct()
+    if broadcast_corpus:
+        corpus_keys = F.broadcast(corpus_keys)
+    return (
+        new_df.withColumn("__dedup_key", key)
+        .join(corpus_keys, on="__dedup_key", how="left_anti")
         .drop("__dedup_key")
     )
 

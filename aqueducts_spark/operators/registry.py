@@ -512,6 +512,90 @@ def _op_bigram_logprob(spark, inp, options):
     return bigram_logprob(inp, **_docs_args(options))
 
 
+def _op_dedup_against(spark, inp, options):
+    from .dedup import dedup_against
+
+    corpus_table = options.get("corpus")
+    if not corpus_table:
+        raise OperatorError(
+            "dedup_against operator requires options.corpus (a table name)"
+        )
+    return dedup_against(
+        inp,
+        spark.table(corpus_table),
+        cols=options.get("columns", ["text"]),
+        broadcast_corpus=bool(options.get("broadcast_corpus", False)),
+    )
+
+
+def _op_cms_sketch(spark, inp, options):
+    from .sketch import cms_sketch
+
+    if "value_col" not in options:
+        raise OperatorError("cms_sketch operator requires options.value_col")
+    return cms_sketch(
+        inp,
+        group_cols=options.get("group_cols", []),
+        value_col=options["value_col"],
+        width=int(options.get("width", 1024)),
+        depth=int(options.get("depth", 3)),
+    )
+
+
+def _op_cms_freq(spark, inp, options):
+    from .sketch import cms_estimate, cms_sketch
+
+    if "value_col" not in options:
+        raise OperatorError("cms_freq operator requires options.value_col")
+    items_table = options.get("items")
+    if not items_table:
+        raise OperatorError("cms_freq operator requires options.items (a table name)")
+    width = int(options.get("width", 1024))
+    depth = int(options.get("depth", 3))
+    grp = options.get("group_cols", [])
+    sketch = cms_sketch(inp, grp, options["value_col"], width, depth)
+    return cms_estimate(
+        sketch,
+        spark.table(items_table),
+        item_col=options.get("item_col", options["value_col"]),
+        width=width,
+        depth=depth,
+        group_cols=grp,
+    )
+
+
+def _op_bloom_prefilter(spark, inp, options):
+    from .sketch import bloom_filter, bloom_sketch
+
+    build_table = options.get("build")
+    if not build_table:
+        raise OperatorError(
+            "bloom_prefilter operator requires options.build (a table name)"
+        )
+    if "value_col" not in options:
+        raise OperatorError("bloom_prefilter operator requires options.value_col")
+    num_bits = int(options.get("num_bits", 8192))
+    num_hashes = int(options.get("num_hashes", 4))
+    bits = bloom_sketch(
+        spark.table(build_table),
+        options.get("build_col", options["value_col"]),
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
+    return bloom_filter(
+        inp, options["value_col"], bits, num_bits=num_bits, num_hashes=num_hashes
+    )
+
+
+def _op_validate(spark, inp, options):
+    from .validate import validate_rules
+
+    rules = options.get("rules")
+    if not rules:
+        raise OperatorError("validate operator requires options.rules (a list)")
+    return validate_rules(inp, rules)
+
+
 def _op_profile_table(spark, inp, options):
     from .profile import profile_table
 
@@ -620,6 +704,11 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
+    "dedup_against": _op_dedup_against,
+    "cms_sketch": _op_cms_sketch,
+    "cms_freq": _op_cms_freq,
+    "bloom_prefilter": _op_bloom_prefilter,
+    "validate": _op_validate,
 }
 
 
@@ -656,4 +745,10 @@ def referenced_tables(config: dict[str, Any]) -> list[str]:
         out.append(str(options["right"]))
     if options.get("benchmark"):
         out.append(str(options["benchmark"]))
+    if options.get("corpus"):
+        out.append(str(options["corpus"]))
+    if options.get("items"):
+        out.append(str(options["items"]))
+    if options.get("build"):
+        out.append(str(options["build"]))
     return out

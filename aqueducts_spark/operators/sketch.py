@@ -1,4 +1,7 @@
-"""Deterministic cardinality sketch: K-minimum-values (KMV).
+"""Deterministic mergeable sketches: KMV (cardinality), count-min
+(frequency), and Bloom filters (membership pre-filtering).
+
+KMV, the headline sketch:
 
 Spark's native ``approx_count_distinct`` (HyperLogLog++) is the right
 default at scale, but its estimates are engine-specific — they cannot
@@ -39,7 +42,17 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "kmv_sketch", "merge_kmv_sketches", "kmv_estimate"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_sketch",
+    "merge_kmv_sketches",
+    "kmv_estimate",
+    "cms_sketch",
+    "cms_estimate",
+    "merge_cms_sketches",
+    "bloom_sketch",
+    "bloom_filter",
+]
 
 # 60-bit hash space: conv() of 15 hex chars stays well inside int64 and
 # the identical arithmetic exists in DuckDB (('0x' || substr)::BIGINT)
@@ -134,3 +147,211 @@ def kmv_distinct(
     return kmv_estimate(
         kmv_sketch(df, group_cols, value_col, k, buckets), group_cols, k
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications").
+#
+# Like KMV above, the construction is DETERMINISTIC (salted md5 rows
+# instead of random pairwise hashes) so an independent SQL engine
+# reproduces the sketch cell-for-cell and the estimates exactly.
+#
+# Scale design (100 TB): the sketch is depth × width counters — the
+# explode multiplies rows by `depth` BEFORE the exchange, but hash
+# partial aggregation collapses every partition to at most
+# depth × width cells map-side, so the shuffle volume is
+# O(partitions × depth × width), independent of data volume.  Sketches
+# merge by cell-wise sum (`merge_cms_sketches`), the same
+# re-aggregation contract as KMV/time_rollup: per-day or per-shard
+# sketches roll up without touching raw data.
+# ---------------------------------------------------------------------------
+
+
+def _h60_salted(col, salt: str):
+    """Salted 60-bit md5 hash; same arithmetic exists in DuckDB as
+    ``('0x' || substr(md5('<salt>:' || v), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-min sketch as rows ``(group..., d, c, cnt)``: for each of
+    ``depth`` salted hash rows, ``c = h_d(v) mod width`` and ``cnt`` is
+    the number of input rows landing in that cell.
+
+    Row form (not a 2-D array) so sketches from different sources merge
+    with plain relational ops and the DuckDB oracle can rebuild the
+    identical relation.
+    """
+    if width < 2:
+        raise ValueError("cms_sketch: width must be >= 2")
+    if depth < 1:
+        raise ValueError("cms_sketch: depth must be >= 1")
+    grp = list(group_cols)
+    v = F.col(value_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(_h60_salted(v, f"cms{d}"), F.lit(width)).alias("c"),
+            )
+            for d in range(1, depth + 1)
+        ]
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(*grp, F.explode(cells).alias("p"))
+        .groupBy(*grp, F.col("p.d").alias("d"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 3,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Frequency estimate for each candidate in ``items``: the minimum
+    over the sketch's ``depth`` rows of the counter at ``h_d(item) mod
+    width`` — the classic CMS point query (never underestimates; over-
+    estimates only on hash collisions).
+
+    ``items`` must carry ``group_cols`` too when the sketch is grouped.
+    The join probes at most ``depth`` cells per item, so the candidate
+    side stays tiny relative to the data the sketch summarized.
+    """
+    grp = list(group_cols)
+    it = F.col(item_col)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(_h60_salted(it, f"cms{d}"), F.lit(width)).alias("c"),
+            )
+            for d in range(1, depth + 1)
+        ]
+    )
+    exploded = (
+        items.where(it.isNotNull())
+        .select(item_col, *grp, F.explode(probes).alias("p"))
+        .select(item_col, *grp, F.col("p.d").alias("d"), F.col("p.c").alias("c"))
+    )
+    joined = exploded.join(sketch, on=grp + ["d", "c"], how="left")
+    return (
+        joined.groupBy(item_col, *grp)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
+    )
+
+
+def merge_cms_sketches(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Cell-wise sum: CMS(A ⊎ B) == merge(CMS(A), CMS(B)) exactly
+    (counters are linear), so per-shard sketches roll up losslessly."""
+    grp = list(group_cols)
+    merged = sketches[0].select(*grp, "d", "c", "cnt")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select(*grp, "d", "c", "cnt"))
+    return merged.groupBy(*grp, "d", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970).  Deterministic salted-md5 bit positions,
+# so the filter and every membership verdict — including false
+# positives — is reproducible in the DuckDB oracle.
+#
+# Scale design: the build side is one distinct-aggregation over the
+# (small) key set, bounded by ``num_bits`` rows; the probe side tests
+# membership with pure codegen bit arithmetic against a broadcast
+# bitmap literal — ZERO shuffle on the (huge) probe side.  This is the
+# declarative twin of AQE's runtime bloom pruning: pre-filter a 100 TB
+# fact scan down to near-matches before an expensive join or UDF stage.
+# ---------------------------------------------------------------------------
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """The set bits: distinct ``pos`` rows, ``pos = h_i(v) mod
+    num_bits`` for i in 1..num_hashes.  At most ``num_bits`` rows, and
+    mergeable across sources by plain ``UNION``/``DISTINCT``."""
+    if num_bits < 8:
+        raise ValueError("bloom_sketch: num_bits must be >= 8")
+    if num_hashes < 1:
+        raise ValueError("bloom_sketch: num_hashes must be >= 1")
+    v = F.col(value_col)
+    positions = F.array(
+        *[
+            F.pmod(_h60_salted(v, f"bloom{i}"), F.lit(num_bits))
+            for i in range(1, num_hashes + 1)
+        ]
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_filter(
+    df: DataFrame,
+    value_col: str,
+    bits: DataFrame,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Keep rows of ``df`` whose ``value_col`` MAY be in the set the
+    ``bits`` sketch was built from (no false negatives; false-positive
+    rate ~ (1 - e^{-kn/m})^k).
+
+    The bitmap is collected to the driver (bounded: ``num_bits`` bits ≤
+    a few MB) and embedded as an int64-word array literal; each probe
+    row tests its ``num_hashes`` positions with shift/AND codegen —
+    no join, no shuffle, NULLs dropped (a bloom can't vouch for NULL).
+    For very large filters (num_bits ≫ 2^22) prefer a broadcast
+    semi-join on the key itself.
+    """
+    if num_bits > (1 << 24):
+        raise ValueError(
+            "bloom_filter: num_bits > 2^24 — use a broadcast semi-join instead"
+        )
+    words = [0] * ((num_bits + 63) // 64)
+    for row in bits.select("pos").collect():
+        pos = int(row["pos"])
+        words[pos >> 6] |= 1 << (pos & 63)
+    # int64 literals (Python ints are unbounded; wrap to signed 64-bit)
+    words = [(w & ((1 << 63) - 1)) - (w & (1 << 63)) for w in words]
+    words_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+
+    def _pos(i: int) -> str:
+        h = (
+            f"CAST(conv(substr(md5(concat('bloom{i}:', "
+            f"CAST({value_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        return f"pmod({h}, {num_bits})"
+
+    tests = [
+        f"((shiftright(element_at({words_sql}, CAST({_pos(i)} DIV 64 AS INT) + 1), "
+        f"CAST({_pos(i)} % 64 AS INT)) & 1) = 1)"
+        for i in range(1, num_hashes + 1)
+    ]
+    cond = F.col(value_col).isNotNull() & F.expr(" AND ".join(tests))
+    return df.where(cond)

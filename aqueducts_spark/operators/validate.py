@@ -1,0 +1,128 @@
+"""Declarative data-quality validation (expectations).
+
+A rule list is compiled into ONE aggregation pass over the table —
+every row-level check becomes a conditional-sum expression in the same
+``agg`` (so a 100 TB validation run costs one scan + one tiny
+all-to-one reduce of counter scalars, not one job per rule).
+``unique`` checks ride in the same aggregation as
+``count(col) - count(DISTINCT col)``.
+
+The output is one row per rule — ``(column, check, violations, total,
+pass)`` — the shape every expectations framework (dbt tests, Great
+Expectations, Deequ) converges on, and trivially exact against a SQL
+oracle.
+
+Checks:
+
+* ``not_null``                 — value IS NULL
+* ``unique``                   — duplicate non-null values (count - distinct)
+* ``min`` / ``max``            — value < / > the bound (NULLs don't violate)
+* ``in_set``                   — value not in the accepted list (non-null)
+* ``regex``                    — value does not fully match (non-null)
+* ``max_length``               — string longer than the bound
+
+There is deliberately no row-level "which rows failed" output here:
+that is a filter the caller can express directly, while the counter
+report is the scale-safe summary artifact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate_rules", "ValidationError"]
+
+_CHECKS = {"not_null", "unique", "min", "max", "in_set", "regex", "max_length"}
+
+
+class ValidationError(ValueError):
+    pass
+
+
+def _violation_expr(column: str, check: str, value: Any) -> Column:
+    """Boolean column: this row violates the rule."""
+    c = F.col(column)
+    if check == "not_null":
+        return c.isNull()
+    if check == "min":
+        return c.isNotNull() & (c < F.lit(value))
+    if check == "max":
+        return c.isNotNull() & (c > F.lit(value))
+    if check == "in_set":
+        vals = [F.lit(v) for v in value]
+        return c.isNotNull() & ~c.isin(*vals)
+    if check == "regex":
+        return c.isNotNull() & ~c.cast("string").rlike(str(value))
+    if check == "max_length":
+        return c.isNotNull() & (F.length(c.cast("string")) > int(value))
+    raise ValidationError(f"unknown check: {check!r}")
+
+
+def validate_rules(
+    df: DataFrame, rules: Sequence[Mapping[str, Any]]
+) -> DataFrame:
+    """Run every rule in one aggregation pass; returns
+    ``(column, check, violations, total, pass)`` with one row per rule
+    in the caller's rule order (``rule_no`` makes the order explicit
+    and the output deterministically sortable).
+    """
+    if not rules:
+        raise ValidationError("validate_rules: rules must be non-empty")
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, rule in enumerate(rules):
+        column = rule.get("column")
+        check = rule.get("check")
+        if not column or column not in cols:
+            raise ValidationError(
+                f"rule {i}: unknown column {column!r} (have {sorted(cols)})"
+            )
+        if check not in _CHECKS:
+            raise ValidationError(
+                f"rule {i}: unknown check {check!r} (have {sorted(_CHECKS)})"
+            )
+        if check in {"min", "max", "in_set", "regex", "max_length"} and (
+            "value" not in rule
+        ):
+            raise ValidationError(f"rule {i}: check {check!r} requires 'value'")
+        if check == "unique":
+            aggs.append(
+                (
+                    F.count(F.col(column))
+                    - F.count_distinct(F.col(column))
+                ).alias(f"_v{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        _violation_expr(column, check, rule.get("value")), 1
+                    ).otherwise(0)
+                ).alias(f"_v{i}")
+            )
+    summary = df.agg(*aggs)
+    # one summary row -> one output row per rule (stack is a no-shuffle
+    # projection over the single aggregated row)
+    parts = []
+    for i, rule in enumerate(rules):
+        parts.append(f"{i}L")
+        parts.append(f"'{rule['column']}'")
+        parts.append(f"'{rule['check']}'")
+        parts.append(f"CAST(coalesce(_v{i}, 0) AS BIGINT)")
+    stack = (
+        f"stack({len(rules)}, " + ", ".join(parts) + ") AS "
+        "(rule_no, column, check, violations)"
+    )
+    return summary.select(
+        F.expr(stack), F.col("_total").cast("bigint").alias("total")
+    ).select(
+        "rule_no",
+        "column",
+        "check",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("pass"),
+    )
