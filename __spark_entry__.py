@@ -44,14 +44,25 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
 
     if _REGISTERED.get(id(spark)) == sf_dir:
         return
-    # events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond type,
-    # so read it as nanos-since-epoch and truncate to microseconds (the
-    # DuckDB oracle views apply the same truncation).
+    # events.ts is parquet timestamp[us] with isAdjustedToUTC=false, which
+    # Spark reads as TIMESTAMP_NTZ while the DuckDB oracle reads a naive
+    # TIMESTAMP.  Epoch functions (``unix_micros`` & co) only accept
+    # TIMESTAMP (with local tz), so normalize events.ts -> TIMESTAMP under
+    # a UTC session zone: the wall-clock is reinterpreted as UTC, exactly
+    # matching DuckDB's naive-as-UTC epoch semantics.  Other tables' NTZ
+    # date columns stay NTZ (they collect as tz-naive values, which is
+    # what the driver's hash compare vs DuckDB expects).  The
+    # TIMESTAMP(NANOS)-as-bigint legacy branch covers a nanos generator.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if t == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            elif ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(t)
     _REGISTERED[id(spark)] = sf_dir
 
@@ -528,7 +539,7 @@ GROUP BY 1, 2
 Q29_SPARK = """
 SELECT n_regionkey,
        string_agg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
-       sort_array(array_agg(n_nationkey)) AS keys,
+       to_json(sort_array(array_agg(n_nationkey))) AS keys,
        COUNT(*) AS n
 FROM nation
 GROUP BY n_regionkey
@@ -537,7 +548,7 @@ GROUP BY n_regionkey
 Q29_DUCK = """
 SELECT n_regionkey,
        string_agg(n_name, ',' ORDER BY n_name) AS names,
-       array_agg(n_nationkey ORDER BY n_nationkey) AS keys,
+       CAST(to_json(array_agg(n_nationkey ORDER BY n_nationkey)) AS VARCHAR) AS keys,
        COUNT(*) AS n
 FROM nation
 GROUP BY n_regionkey
@@ -682,7 +693,7 @@ m AS (
   SELECT st, map_from_entries(sort_array(collect_list(struct(k, v)))) AS mp
   FROM per GROUP BY st
 )
-SELECT st, map_keys(mp) AS ks, map_values(mp) AS vs,
+SELECT st, to_json(map_keys(mp)) AS ks, to_json(map_values(mp)) AS vs,
        try_element_at(mp, '1-URGENT') AS urgent,
        CAST(cardinality(mp) AS BIGINT) AS n_keys
 FROM m
@@ -697,7 +708,8 @@ m AS (
   SELECT st, map_from_entries(list_sort(list({'key': k, 'value': v}))) AS mp
   FROM per GROUP BY st
 )
-SELECT st, map_keys(mp) AS ks, map_values(mp) AS vs,
+SELECT st, CAST(to_json(map_keys(mp)) AS VARCHAR) AS ks,
+       CAST(to_json(map_values(mp)) AS VARCHAR) AS vs,
        map_extract(mp, '1-URGENT')[1]::BIGINT AS urgent,
        cardinality(mp)::BIGINT AS n_keys
 FROM m
@@ -1890,7 +1902,11 @@ def _mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
     )
-    return decode_image(docs, "payload", "doc_id", resize_to=(4, 4))
+    decoded = decode_image(docs, "payload", "doc_id", resize_to=(4, 4))
+    # gate canonicalization: the driver hashes collected values via
+    # pandas, which cannot hash raw list cells — ship the pixel array
+    # as a JSON string (the array<float> form is tested in pytest)
+    return decoded.withColumn("pixels", F.to_json(F.col("pixels")))
 
 
 def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,7 +1944,9 @@ def _mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.table("documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
-    return byte_histogram_features(df, "payload", "doc_id")
+    hist = byte_histogram_features(df, "payload", "doc_id")
+    # gate canonicalization: JSON-string the array (see _mm_decode_image)
+    return hist.withColumn("histogram", F.to_json(F.col("histogram")))
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,20 @@ from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join", "time_rollup"]
 
+def _ts_col(df: DataFrame, name: str) -> Column:
+    """Timestamp column normalized for arithmetic: TIMESTAMP_NTZ has no
+    cast to DOUBLE / ``unix_micros`` in Spark, so reinterpret it as
+    TIMESTAMP (session tz) first; every other type passes through."""
+    if dict(df.dtypes).get(name) == "timestamp_ntz":
+        return F.col(name).cast("timestamp")
+    return F.col(name)
+
+
+def _ts_type(df: DataFrame, name: str) -> str:
+    t = dict(df.dtypes)[name]
+    return "timestamp" if t == "timestamp_ntz" else t
+
+
 _GRAIN_FORMATS = {
     "hour": "yyyy-MM-dd HH:00:00",
     "day": "yyyy-MM-dd",
@@ -80,7 +94,7 @@ def time_rollup(
     finest = grains[0]
     level = (
         df.groupBy(
-            F.date_trunc(finest, F.col(ts_col)).alias("__bucket_ts"), *gcols
+            F.date_trunc(finest, _ts_col(df, ts_col)).alias("__bucket_ts"), *gcols
         ).agg(
             F.count(value_col).alias("n"),
             F.sum(v).alias("__sum"),
@@ -158,18 +172,18 @@ def asof_join(
     lcols = left.columns
     tagged_left = left.select(
         *[F.col(c) for c in on],
-        F.col(left_ts).alias("__ts"),
+        _ts_col(left, left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+        F.lit(None).cast(_ts_type(right, right_ts)).alias("__r_ts"),
         F.struct(*[F.col(c) for c in lcols]).alias("__row"),
     )
     tagged_right = right.select(
         *[F.col(c) for c in on],
-        F.col(right_ts).alias("__ts"),
+        _ts_col(right, right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_ts).alias("__r_ts"),
+        _ts_col(right, right_ts).alias("__r_ts"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__row"),
@@ -298,15 +312,15 @@ def range_join(
     }
     r = right.select(
         *[F.col(c).alias(rename[c]) for c in right.columns],
-        bucket(F.col(right_ts), 0.0).alias("__bucket"),
+        bucket(_ts_col(right, right_ts), 0.0).alias("__bucket"),
     )
     l = left.select(
         "*",
         F.explode(
             F.array_distinct(
                 F.array(
-                    bucket(F.col(left_ts), lo),
-                    bucket(F.col(left_ts), hi),
+                    bucket(_ts_col(left, left_ts), lo),
+                    bucket(_ts_col(left, left_ts), hi),
                 )
             )
         ).alias("__bucket"),
@@ -314,8 +328,12 @@ def range_join(
     cond = l["__bucket"] == r["__bucket"]
     for k in on:
         cond = cond & (l[k] == r[rename[k]])
-    rts = F.col(rename[right_ts]).cast("double")
-    lts = F.col(left_ts).cast("double")
+    _r_ntz = dict(right.dtypes)[right_ts] == "timestamp_ntz"
+    _l_ntz = dict(left.dtypes)[left_ts] == "timestamp_ntz"
+    rts = F.col(rename[right_ts])
+    rts = (rts.cast("timestamp") if _r_ntz else rts).cast("double")
+    lts = F.col(left_ts)
+    lts = (lts.cast("timestamp") if _l_ntz else lts).cast("double")
     joined = (
         l.join(r, cond, "inner")
         .where((rts >= lts + F.lit(lo)) & (rts <= lts + F.lit(hi)))

@@ -91,38 +91,55 @@ def main() -> None:
 
     # untimed setup: register the table views and warm the JVM/codegen
     # path with one trivial action, so per-query numbers measure queries
-    entrymod._views(spark, sf_dir)
-    spark.table("region").count()
+    setup_err = None
+    try:
+        entrymod._views(spark, sf_dir)
+        spark.table("region").count()
+    except Exception as exc:  # noqa: BLE001
+        setup_err = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: setup failed: {setup_err[:200]}", file=sys.stderr)
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
-        # best of 3: the first run pays whole-stage-codegen JIT (C2
-        # compilation of md5/agg-heavy queries measured at 5-10s, vs
-        # ~1.5s steady state) and the second can still carry JIT
-        # spillover; min reflects steady-state time and damps noise
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        # per-query isolation: one failing query records an error entry
+        # instead of aborting the run — the JSON line ALWAYS prints
+        try:
+            fn = qs[name]
+            # best of 3: the first run pays whole-stage-codegen JIT (C2
+            # compilation of md5/agg-heavy queries measured at 5-10s, vs
+            # ~1.5s steady state) and the second can still carry JIT
+            # spillover; min reflects steady-state time and damps noise
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — harness must survive any query
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"bench: {name} failed: {msg[:200]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if setup_err:
+        errors["__setup__"] = setup_err
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
