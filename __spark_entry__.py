@@ -442,9 +442,32 @@ GROUP BY l_returnflag
 # sketch-based approximations: values are estimator-specific, so the
 # driver records the weaker rows-only check (no oracle entry)
 Q25_SPARK = """
+WITH a AS (
+  SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS exact_parts,
+         approx_count_distinct(l_partkey) AS approx_parts,
+         percentile_approx(l_extendedprice, 0.5) AS approx_median,
+         percentile(l_extendedprice, 0.4) AS p40,
+         percentile(l_extendedprice, 0.6) AS p60
+  FROM lineitem
+  GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       approx_count_distinct(l_partkey) AS approx_parts,
-       percentile_approx(l_extendedprice, 0.5) AS approx_median_price
+       CAST(exact_parts AS BIGINT) AS exact_parts,
+       approx_parts BETWEEN exact_parts * 0.9 AND exact_parts * 1.1
+         AS cd_within_10pct,
+       approx_median BETWEEN p40 AND p60 AS median_within_p40_p60
+FROM a
+"""
+
+# oracle: the sketches themselves are engine-specific, so the scored
+# contract is (exact value, bounds-check booleans) — the DuckDB side
+# computes the same exact values and asserts the bounds hold (TRUE)
+Q25_DUCK = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS cd_within_10pct,
+       TRUE AS median_within_p40_p60
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -1866,19 +1889,42 @@ def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (iterative k-means index: rows-only check by design)."""
+    """IVF ANN (iterative k-means index: rows-only check by design, but
+    the gate itself asserts recall vs the exact brute-force top-k — a
+    probe-limited index that silently returned garbage would pass a
+    rows-only row count, so the quality bar lives here)."""
     from pyspark.sql import functions as F
 
-    from aqueducts_spark.operators.similarity import ivf_topk
+    from aqueducts_spark.operators.similarity import brute_force_topk, ivf_topk
 
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).select(
+    approx = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("exact_id")
+    )
+    # recall@10 with nprobe=4/8 centroids: tiny driver-side scalar
+    hits, total = (
+        approx.join(
+            exact,
+            (approx["query_id"] == exact["query_id"])
+            & (approx["neighbor_id"] == exact["exact_id"]),
+            "left",
+        )
+        .agg(F.count("exact_id"), F.count("*"))
+        .first()
+    )
+    recall = hits / total if total else 0.0
+    if recall < 0.5:
+        raise AssertionError(
+            f"sim_ivf_topk: recall@10 {recall:.2f} < 0.5 vs brute force"
+        )
+    return approx
 
 
 def _sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2691,7 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_time_buckets": Q22_DUCK,
         "q23_null_conditionals": Q23_DUCK,
         "q24_percentiles": Q24_DUCK,
-        # q25_approx_aggs: sketch estimates, rows-only by design
+        "q25_approx_aggs": Q25_DUCK,
         "q26_stats_aggs": Q26_SPARK,
         "q27_recursive_cte": Q27_DUCK,
         "q28_date_bin": Q28_DUCK,

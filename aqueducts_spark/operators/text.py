@@ -494,13 +494,16 @@ def bigram_logprob(
     src = ensure_parallelism(df)
     toks = normalized_tokens(F.col(text_col))
 
-    # unigram side (token totals + corpus size) for the first token
-    uni_tf = (
-        src.select(F.col(id_col), F.explode(toks).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    # unigram side (token totals + corpus size) for the first token.
+    # Totals aggregate straight on the exploded tokens — one shuffle
+    # keyed by term with map-side partial counts; a (doc, term)
+    # pre-aggregation here would be a second full-width shuffle for a
+    # granularity this scorer never uses.
+    uni_totals = (
+        src.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
     )
-    uni_totals = uni_tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     corpus = uni_totals.agg(F.sum("ct").alias("n_corpus"))
 
     first = src.select(
