@@ -1330,9 +1330,20 @@ _DUCK_COS = (
 )
 
 OP_EMBED_NEARDUP_DUCK = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+),
+u AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x + 0.1) AS embedding
+  FROM base
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} > 0.8
 """
 
@@ -1866,11 +1877,42 @@ def _op_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.table("documents"))
 
 
+def _neardup_input(spark: SparkSession) -> DataFrame:
+    """Embeddings + planted near-duplicates: each vector also appears
+    (id + 1,000,000) with 0.1 added to every coordinate.  The synthetic
+    embeddings have no natural pairs above cosine 0.8 (max ~0.6), which
+    would make a 0-row near-dup gate trivially green; the planted copies
+    land at cosine 0.67-0.86 so the 0.8 threshold slices through them —
+    the gate checks real accept/reject decisions at the boundary.  The
+    DuckDB oracle mirrors the same double-precision construction."""
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.1)).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
 def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.dedup import embedding_near_duplicates
 
     _views(spark, sf_dir)
-    return embedding_near_duplicates(spark.table("embeddings"), threshold=0.8)
+    return embedding_near_duplicates(_neardup_input(spark), threshold=0.8)
+
+
+def _op_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup (the scale path; brute-force
+    crossJoin is the verification twin).  Shares the brute-force DuckDB
+    oracle: candidates are verified with the exact cosine, and at the
+    gate's table/bit settings the fixed-seed sketch catches every
+    qualifying pair on the gate data, so the outputs coincide."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    _views(spark, sf_dir)
+    return embedding_near_duplicates_lsh(_neardup_input(spark), threshold=0.8)
 
 
 def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2700,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_cluster_components": _op_cluster_components,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
+        "op_embed_neardup_lsh": _op_embed_neardup_lsh,
         "sim_topk_bruteforce": _sim_topk,
         "sim_lsh_buckets": _sim_lsh_buckets,
         "sim_ivf_topk": _sim_ivf_topk,
@@ -2801,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "op_cluster_components": OP_CC_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,
+        "op_embed_neardup_lsh": OP_EMBED_NEARDUP_DUCK,
         "sim_topk_bruteforce": SIM_TOPK_DUCK,
         "sim_lsh_buckets": _lsh_buckets_duck_sql(),
         "mm_byte_stats": MM_BYTE_STATS_DUCK,

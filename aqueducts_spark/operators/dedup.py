@@ -23,6 +23,10 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from typing import Optional
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +44,7 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "embedding_near_duplicates",
+    "embedding_near_duplicates_lsh",
 ]
 
 
@@ -446,6 +451,110 @@ def embedding_near_duplicates(
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") > threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    num_tables: int = 64,
+    bits_per_table: int = 10,
+    seed: int = 42,
+    max_bucket_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """Near-duplicate embedding pairs via banded hyperplane LSH — the
+    100 TB scale path for :func:`embedding_near_duplicates` (whose
+    all-pairs crossJoin is the small-data verification twin).
+
+    Candidate generation mirrors MinHash banding: ``num_tables``
+    independent sign-bit sketches of ``bits_per_table`` hyperplanes
+    each; two vectors collide if ANY table assigns them the same bucket.
+    For cosine similarity ``s``, a single table collides with
+    ``p = (1 - acos(s)/pi) ** bits_per_table`` and the miss probability
+    decays as ``(1 - p) ** num_tables`` — the defaults (64 tables x 10
+    bits) hold miss below ~0.1% for s=0.8 and were swept empirically to
+    zero misses on the gate data at every scale factor. Candidates are
+    then verified with the EXACT cosine, so precision is 1 by
+    construction; the only approximation is recall. Note: the candidate
+    prune rate depends on the corpus similarity profile — broadly
+    correlated corpora (e.g. uncentered embeddings sharing a dominant
+    direction) collide more; for true near-dup corpora (pairs at
+    s>0.95 against a s≈0 background) the prune is near-total.
+
+    Scale shape: the exploded (table, bucket, id) table is slim (no
+    vectors travel), shuffled once on (table, bucket); candidate pairs
+    are bucket-local equi-join output deduped with one distinct; exact
+    verification joins the embedding column back by id — two shuffles
+    of the candidate set, never corpus x corpus. Degenerate buckets
+    (e.g. zero-vector pileups) are dropped by ``max_bucket_size``
+    before pairing, bounding the worst bucket at a constant.
+
+    Same contract as the brute-force twin: ``id_a < id_b``, exact
+    ``cosine > threshold``, cosine rounded to 4 places.
+    """
+    from .similarity import cosine_similarity, random_hyperplanes
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return (
+            df.sparkSession.createDataFrame(
+                [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cosine double"
+            )
+        )
+    dim = dim_row["d"]
+    planes = random_hyperplanes(dim, num_tables * bits_per_table, seed)
+
+    # All num_tables*bits_per_table sign bits in ONE Arrow-batched
+    # matmul per batch.  The built-in alternative — one
+    # aggregate(zip_with(vec, 96-element literal array)) expression per
+    # bit — explodes the codegen expression tree ~100x (measured 20s on
+    # 2k vectors); this is the same engineering call as the IVF
+    # centroid scorer (similarity.py _centroid_scorer).  Bucket ids are
+    # BIGINTs (table_index * 2^bits + sign-bit integer): a fixed-width
+    # shuffle key, vectorized end-to-end in numpy.
+    from pyspark.sql.functions import pandas_udf
+
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # dim x (T*B)
+    pow2 = (1 << np.arange(bits_per_table - 1, -1, -1)).astype(np.int64)
+    offsets = (np.arange(num_tables, dtype=np.int64) << bits_per_table)
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        x = np.vstack(vs.to_numpy()).astype(np.float64)  # n x dim
+        bits = (x @ plane_mat) >= 0.0  # n x (T*B)
+        vals = bits.reshape(len(x), num_tables, bits_per_table) @ pow2
+        return pd.Series(list(vals + offsets))
+
+    slim = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_buckets(F.col(vec_col))).alias("__bucket"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            slim.groupBy("__bucket")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("__bucket")
+        )
+        slim = slim.join(ok, "__bucket")
+    a = slim.select(F.col("__bucket"), F.col("__id").alias("id_a"))
+    b = slim.select(F.col("__bucket"), F.col("__id").alias("id_b"))
+    cand = (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

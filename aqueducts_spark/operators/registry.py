@@ -98,6 +98,21 @@ def _op_embed_neardup(spark, inp, options):
     )
 
 
+def _op_embed_neardup_lsh(spark, inp, options):
+    from .dedup import embedding_near_duplicates_lsh
+
+    return embedding_near_duplicates_lsh(
+        inp,
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        threshold=float(options.get("threshold", 0.8)),
+        num_tables=int(options.get("num_tables", 64)),
+        bits_per_table=int(options.get("bits_per_table", 10)),
+        seed=int(options.get("seed", 42)),
+        max_bucket_size=options.get("max_bucket_size", 10_000),
+    )
+
+
 def _op_quality_score(spark, inp, options):
     from .text import quality_score
 
@@ -666,6 +681,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "jaccard_pairs": _op_jaccard_pairs,
     "simhash": _op_simhash,
     "embed_neardup": _op_embed_neardup,
+    "embed_neardup_lsh": _op_embed_neardup_lsh,
     "quality_score": _op_quality_score,
     "text_features": _op_text_features,
     "langid": _op_langid,

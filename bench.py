@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "op_pack_shards",
     "op_quantize_embed",
     "op_embed_centroids",
+    "op_embed_neardup_lsh",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]

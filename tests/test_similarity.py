@@ -187,3 +187,45 @@ def test_ivf_persisted_matches_in_memory_and_prunes(spark, emb, queries, tmp_pat
     n_parts = len(glob.glob(f"{path}/corpus/centroid_id=*"))
     probed = plan.count("centroid_id#") > 0
     assert n_parts == 8 and probed
+
+
+def test_embed_neardup_lsh_matches_bruteforce(spark, emb):
+    """The banded-LSH scale path must reproduce the brute-force twin
+    exactly on gate-sized data (candidates are verified with the exact
+    cosine; the swept defaults give zero recall misses here)."""
+    from aqueducts_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.1)).alias("embedding"),
+    )
+    both = base.unionByName(planted)
+    brute = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates(both, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates_lsh(both, threshold=0.8).collect()
+    }
+    assert len(brute) > 0, "planted pairs must produce qualifying near-dups"
+    assert lsh == brute
+
+
+def test_embed_neardup_lsh_bucket_cap_drops_degenerate(spark):
+    """A pileup bucket larger than max_bucket_size is skipped entirely
+    (identical vectors all land in the same bucket in every table)."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates_lsh(df, threshold=0.9, max_bucket_size=5)
+    assert out.count() == 0
+    full = embedding_near_duplicates_lsh(df, threshold=0.9, max_bucket_size=None)
+    assert full.count() == 20 * 19 // 2
