@@ -19,11 +19,18 @@ which these shims deliberately do not replace.
 from __future__ import annotations
 
 import json
+import sys
 
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from .._shipping import ship_module_by_value
+
+# the UDF bodies reference module-level helpers (_lookup & co) — ship
+# them by value so executors never need this package importable
+ship_module_by_value(sys.modules[__name__])
 
 _COMPACT = {"separators": (",", ":"), "ensure_ascii": False}
 

@@ -19,6 +19,7 @@ no shuffle.
 from __future__ import annotations
 
 import math
+import sys
 from collections.abc import Iterator
 from typing import Optional
 
@@ -26,6 +27,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# The mapInPandas closures below reference module-level helpers (the
+# codec swap points), which cloudpickle would ship by reference and so
+# require this package on every executor's PYTHONPATH — ship the module
+# by value instead (see _shipping.py).
+from .._shipping import ship_module_by_value
+
+ship_module_by_value(sys.modules[__name__])
 
 __all__ = [
     "MEDIA_METADATA_TYPE",

@@ -39,6 +39,7 @@ def test_examples_exist():
         "event_attribution.yml",
         "pretrain_prep.yml",
         "embedding_index.yml",
+        "embedding_dedup.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
