@@ -2275,7 +2275,10 @@ flagged AS (
   FROM lines l LEFT JOIN common c USING (line)
 )
 SELECT doc_id,
-       array_to_string(list_transform(list_sort(list({'pos': pos, 'line': line}) FILTER (NOT dropped)), s -> s.line), chr(10)) AS cleaned,
+       -- COALESCE: a doc whose every line was dropped aggregates an
+       -- empty list -> NULL in DuckDB, while Spark's array_join of an
+       -- empty collect_list is '' (first occurs at sf0.1)
+       COALESCE(array_to_string(list_transform(list_sort(list({'pos': pos, 'line': line}) FILTER (NOT dropped)), s -> s.line), chr(10)), '') AS cleaned,
        CAST(COUNT(*) FILTER (NOT dropped) AS BIGINT) AS n_kept,
        CAST(COUNT(*) FILTER (dropped) AS BIGINT) AS n_dropped
 FROM flagged GROUP BY doc_id
@@ -2607,7 +2610,7 @@ WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS seg
      o AS (SELECT o_custkey AS custkey, o_totalprice FROM orders),
      agg AS (SELECT custkey, seg,
                     CAST(COUNT(*) AS BIGINT) AS n_orders,
-                    CAST(SUM(o_totalprice) AS DOUBLE) AS total
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
              FROM c JOIN o USING (custkey)
              GROUP BY custkey, seg),
      segs AS (SELECT DISTINCT c_mktsegment AS seg,
