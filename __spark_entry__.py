@@ -2238,6 +2238,32 @@ SELECT doc_id, lang FROM rk WHERE rk <= 20
 """
 
 
+# Per-group quota cap (operators/sampling.py::group_cap): at most 30
+# docs per source, longest first — the domain-cap step of a web-scale
+# training pipeline. doc_id tiebreak makes the boundary deterministic.
+OP_GROUP_CAP_DUCK = """
+WITH rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM rk WHERE rk <= 30
+"""
+
+
+def _op_group_cap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sampling import group_cap
+
+    _views(spark, sf_dir)
+    return group_cap(
+        spark.table("documents"), ["source"], "n_chars", 30, tiebreak_col="doc_id"
+    ).select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
 def _op_fixed_n_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.sampling import stratified_fixed_n
 
@@ -2714,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_chunking": _op_chunking_gate,
         "op_redact": _op_redact_gate,
         "op_fixed_n_sample": _op_fixed_n_gate,
+        "op_group_cap": _op_group_cap_gate,
         "op_line_dedup": _op_line_dedup_gate,
         "op_exact_dedup": _op_exact_dedup,
         "op_span_dedup": _op_span_dedup,
@@ -2834,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "op_chunking": OP_CHUNKING_DUCK,
         "op_redact": OP_REDACT_DUCK,
         "op_fixed_n_sample": OP_FIXED_N_DUCK,
+        "op_group_cap": OP_GROUP_CAP_DUCK,
         "op_line_dedup": OP_LINE_DEDUP_DUCK,
         "op_tfidf_terms": OP_TFIDF_DUCK,
         "op_salted_join": OP_SALTED_JOIN_DUCK,

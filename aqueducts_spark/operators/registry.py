@@ -478,6 +478,23 @@ def _op_stratified_fixed_n(spark, inp, options):
     )
 
 
+def _op_group_cap(spark, inp, options):
+    from .sampling import group_cap
+
+    for req in ("group_cols", "order_col", "n"):
+        if req not in options:
+            raise OperatorError(f"group_cap operator requires options.{req}")
+    groups = options["group_cols"]
+    return group_cap(
+        inp,
+        [groups] if isinstance(groups, str) else list(groups),
+        options["order_col"],
+        int(options["n"]),
+        descending=bool(options.get("descending", True)),
+        tiebreak_col=options.get("tiebreak_col"),
+    )
+
+
 def _op_chunk_documents(spark, inp, options):
     from .text import chunk_documents
 
@@ -710,6 +727,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "redact_pii": _op_redact_pii,
     "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
+    "group_cap": _op_group_cap,
     "ngram_overlap": _op_ngram_overlap,
     "remove_duplicated_spans": _op_remove_duplicated_spans,
     "unigram_logprob": _op_unigram_logprob,

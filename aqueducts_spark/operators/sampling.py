@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "stratified_fixed_n",
     "deterministic_split",
+    "group_cap",
 ]
 
 # 10k buckets give 0.01% rate granularity while keeping the modulus
@@ -151,5 +152,43 @@ def stratified_fixed_n(
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-group quota capping: keep the best ``n`` rows of each group
+    ranked by ``order_col`` — the domain-cap step of a web-scale
+    pipeline ("at most 10k pages per domain, highest quality first"),
+    which bounds any single source's contribution to the training mix.
+
+    ``tiebreak_col`` (recommended: a unique id) makes the cut
+    deterministic when ``order_col`` ties; without it, ties at the
+    boundary are partition-order dependent.
+
+    Same plan shape as :func:`stratified_fixed_n`: one shuffle keyed by
+    the group columns, and Spark 4 inserts a ``WindowGroupLimit`` so
+    each map partition forwards at most ``n`` rows per group into the
+    exchange — the shuffle carries quota-sized output, not the corpus,
+    exactly what a hot domain with millions of pages needs.
+    """
+    from pyspark.sql.window import Window
+
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
         .drop("_rk")
     )

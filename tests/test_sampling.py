@@ -116,3 +116,59 @@ def test_stratified_fixed_n_small_stratum_keeps_all(spark):
 
     out = stratified_fixed_n(df, "doc_id", "lang", 10).collect()
     assert len(out) == 3
+
+
+def test_group_cap_keeps_top_n_per_group(spark):
+    from aqueducts_spark.operators.sampling import group_cap
+
+    rows = [(i, "s%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = group_cap(df, ["source"], "score", 2, tiebreak_col="doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.doc_id)
+    # highest scores per group are the largest ids of that residue class
+    assert sorted(per["s0"]) == [24, 27]
+    assert sorted(per["s1"]) == [25, 28]
+    assert sorted(per["s2"]) == [26, 29]
+    asc = group_cap(df, ["source"], "score", 1, descending=False,
+                    tiebreak_col="doc_id").collect()
+    assert sorted(r.doc_id for r in asc) == [0, 1, 2]
+
+
+def test_group_cap_plans_window_group_limit(spark):
+    """The per-group cap must pre-trim map-side (WindowGroupLimit), so
+    the shuffle carries quota-sized data — the property that makes a
+    hot-domain cap viable at 100 TB."""
+    from aqueducts_spark.operators.sampling import group_cap
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("source"),
+        F.col("id").cast("double").alias("score"),
+    )
+    plan = group_cap(df, ["source"], "score", 3, tiebreak_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_group_cap_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    rows = [(i, "s%d" % (i % 2), float(i)) for i in range(10)]
+    spark.createDataFrame(rows, ["doc_id", "source", "score"]).createOrReplaceTempView(
+        "gc_in"
+    )
+    out = run_operator(
+        spark,
+        {
+            "type": "group_cap",
+            "input": "gc_in",
+            "options": {
+                "group_cols": "source",
+                "order_col": "score",
+                "n": 1,
+                "tiebreak_col": "doc_id",
+            },
+        },
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [8, 9]
