@@ -1950,15 +1950,18 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=10).select(
         "query_id", F.col("neighbor_id").alias("exact_id")
     )
-    # recall@10 with nprobe=4/8 centroids: tiny driver-side scalar
+    # recall@10 with nprobe=4/8 centroids: tiny driver-side scalar.
+    # Denominator is the EXACT result count — dividing by the approx
+    # count would measure precision and let an index that returns too
+    # few (but correct) rows pass.
     hits, total = (
-        approx.join(
-            exact,
-            (approx["query_id"] == exact["query_id"])
-            & (approx["neighbor_id"] == exact["exact_id"]),
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["neighbor_id"]),
             "left",
         )
-        .agg(F.count("exact_id"), F.count("*"))
+        .agg(F.count("neighbor_id"), F.count("*"))
         .first()
     )
     recall = hits / total if total else 0.0

@@ -498,6 +498,11 @@ def embedding_near_duplicates_lsh(
     """
     from .similarity import cosine_similarity, random_hyperplanes
 
+    # NULL vectors can never exceed a cosine threshold (the brute-force
+    # twin propagates NULL cosine, which fails the filter) — drop them
+    # up front so the bucketing matmul sees only real arrays, and probe
+    # the dimensionality from the first non-null row
+    df = df.where(F.col(vec_col).isNotNull())
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         return (

@@ -109,7 +109,11 @@ def _op_embed_neardup_lsh(spark, inp, options):
         num_tables=int(options.get("num_tables", 64)),
         bits_per_table=int(options.get("bits_per_table", 10)),
         seed=int(options.get("seed", 42)),
-        max_bucket_size=options.get("max_bucket_size", 10_000),
+        max_bucket_size=(
+            int(options["max_bucket_size"])
+            if options.get("max_bucket_size") is not None
+            else 10_000
+        ),
     )
 
 

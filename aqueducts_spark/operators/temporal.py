@@ -41,16 +41,44 @@ __all__ = ["asof_join", "range_join", "time_rollup"]
 
 def _ts_col(df: DataFrame, name: str) -> Column:
     """Timestamp column normalized for arithmetic: TIMESTAMP_NTZ has no
-    cast to DOUBLE / ``unix_micros`` in Spark, so reinterpret it as
-    TIMESTAMP (session tz) first; every other type passes through."""
+    cast to DOUBLE / ``unix_micros`` in Spark, so reinterpret the wall
+    clock AS UTC — arithmetically, not via ``cast('timestamp')``, which
+    interprets in the SESSION timezone: under e.g. Europe/Berlin a cast
+    maps the spring-forward hour ambiguously (two NTZ values 62 wall
+    minutes apart can land 2 instant-minutes apart), corrupting as-of
+    tolerances and range bounds.  unix_date + wall-clock parts is exact,
+    DST-free, and identical under every session timezone."""
     if dict(df.dtypes).get(name) == "timestamp_ntz":
-        return F.col(name).cast("timestamp")
+        c = F.col(name)
+        ep_micros = (
+            F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+            + F.hour(c).cast("long") * F.lit(3_600_000_000)
+            + F.minute(c).cast("long") * F.lit(60_000_000)
+            + F.expr(
+                f"CAST(extract(SECOND FROM `{name}`) * 1000000 AS BIGINT)"
+            )
+        )
+        return F.timestamp_micros(ep_micros)
     return F.col(name)
 
 
 def _ts_type(df: DataFrame, name: str) -> str:
     t = dict(df.dtypes)[name]
     return "timestamp" if t == "timestamp_ntz" else t
+
+
+def _ntz_epoch_double(colname: str) -> Column:
+    """Epoch seconds of a TIMESTAMP_NTZ column with the wall clock read
+    as UTC — same DST-free arithmetic as :func:`_ts_col`, usable on a
+    joined frame where only the (possibly renamed) column name is
+    known."""
+    c = F.col(colname)
+    return (
+        F.unix_date(c.cast("date")).cast("double") * F.lit(86400.0)
+        + F.hour(c).cast("double") * F.lit(3600.0)
+        + F.minute(c).cast("double") * F.lit(60.0)
+        + F.expr(f"CAST(extract(SECOND FROM `{colname}`) AS DOUBLE)")
+    )
 
 
 _GRAIN_FORMATS = {
@@ -60,6 +88,22 @@ _GRAIN_FORMATS = {
     "year": "yyyy",
 }
 _GRAIN_ORDER = ["hour", "day", "month", "year"]
+
+# rendered-string prefix length per grain ("2026-03-29 02:00:00" -> 13
+# chars of wall clock + the zeroed suffix for hour; plain prefixes
+# otherwise) — matches _GRAIN_FORMATS exactly
+_GRAIN_PREFIX = {"hour": 13, "day": 10, "month": 7, "year": 4}
+
+
+def _wall_bucket(ts_str: Column, grain: str) -> Column:
+    """Truncate a wall-clock string ('yyyy-MM-dd HH:mm:ss...') to a
+    grain's rendered bucket.  Works identically on a raw NTZ cast and on
+    an already-truncated coarser re-aggregation input (every grain's
+    render is a prefix of every finer grain's render)."""
+    prefix = F.substring(ts_str, 1, _GRAIN_PREFIX[grain])
+    if grain == "hour":
+        return F.concat(prefix, F.lit(":00:00"))
+    return prefix
 
 
 def time_rollup(
@@ -92,33 +136,54 @@ def time_rollup(
     gcols = list(group_cols)
     v = F.col(value_col).cast("decimal(12,2)")
     finest = grains[0]
-    level = (
-        df.groupBy(
-            F.date_trunc(finest, _ts_col(df, ts_col)).alias("__bucket_ts"), *gcols
-        ).agg(
+    is_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+    if is_ntz:
+        # TIMESTAMP_NTZ: date_trunc/date_format implicitly cast through
+        # the SESSION timezone (DST holes/overlaps corrupt buckets under
+        # non-UTC sessions).  An NTZ wall clock renders tz-free as a
+        # string, and every grain is a prefix of it — so bucket keys ARE
+        # the rendered strings, truncation is substring, and coarser
+        # grains re-truncate the finer key.  Zero timezone involvement.
+        first_key = _wall_bucket(F.col(ts_col).cast("string"), finest)
+        level = df.groupBy(first_key.alias("__bucket"), *gcols).agg(
             F.count(value_col).alias("n"),
             F.sum(v).alias("__sum"),
             F.min(v).alias("__min"),
             F.max(v).alias("__max"),
         )
-    )
+    else:
+        level = (
+            df.groupBy(
+                F.date_trunc(finest, F.col(ts_col)).alias("__bucket_ts"), *gcols
+            ).agg(
+                F.count(value_col).alias("n"),
+                F.sum(v).alias("__sum"),
+                F.min(v).alias("__min"),
+                F.max(v).alias("__max"),
+            )
+        )
     out = None
     for grain in grains:
         if grain != finest:
-            level = (
-                level.groupBy(
-                    F.date_trunc(grain, F.col("__bucket_ts")).alias("__bucket_ts"),
-                    *gcols,
-                ).agg(
-                    F.sum("n").alias("n"),
-                    F.sum("__sum").alias("__sum"),
-                    F.min("__min").alias("__min"),
-                    F.max("__max").alias("__max"),
-                )
+            regroup = (
+                _wall_bucket(F.col("__bucket"), grain).alias("__bucket")
+                if is_ntz
+                else F.date_trunc(grain, F.col("__bucket_ts")).alias("__bucket_ts")
             )
+            level = level.groupBy(regroup, *gcols).agg(
+                F.sum("n").alias("n"),
+                F.sum("__sum").alias("__sum"),
+                F.min("__min").alias("__min"),
+                F.max("__max").alias("__max"),
+            )
+        bucket_render = (
+            F.col("__bucket")
+            if is_ntz
+            else F.date_format(F.col("__bucket_ts"), _GRAIN_FORMATS[grain])
+        )
         rendered = level.select(
             F.lit(grain).alias("grain"),
-            F.date_format(F.col("__bucket_ts"), _GRAIN_FORMATS[grain]).alias("bucket"),
+            bucket_render.alias("bucket"),
             *gcols,
             F.col("n"),
             F.col("__sum").cast("double").alias("sum_value"),
@@ -330,10 +395,14 @@ def range_join(
         cond = cond & (l[k] == r[rename[k]])
     _r_ntz = dict(right.dtypes)[right_ts] == "timestamp_ntz"
     _l_ntz = dict(left.dtypes)[left_ts] == "timestamp_ntz"
-    rts = F.col(rename[right_ts])
-    rts = (rts.cast("timestamp") if _r_ntz else rts).cast("double")
-    lts = F.col(left_ts)
-    lts = (lts.cast("timestamp") if _l_ntz else lts).cast("double")
+    rts = (
+        _ntz_epoch_double(rename[right_ts])
+        if _r_ntz
+        else F.col(rename[right_ts]).cast("double")
+    )
+    lts = (
+        _ntz_epoch_double(left_ts) if _l_ntz else F.col(left_ts).cast("double")
+    )
     joined = (
         l.join(r, cond, "inner")
         .where((rts >= lts + F.lit(lo)) & (rts <= lts + F.lit(hi)))

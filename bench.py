@@ -135,7 +135,11 @@ def main() -> None:
     if setup_err:
         errors["__setup__"] = setup_err
     if errors:
+        # the total only covers the queries that ran — flag it so a
+        # partially-failed run is never read as a faster full run
         out["errors"] = errors
+        out["partial"] = True
+        out["n_failed"] = len(errors)
     print(json.dumps(out))
     try:
         spark.stop()

@@ -229,3 +229,14 @@ def test_embed_neardup_lsh_bucket_cap_drops_degenerate(spark):
     assert out.count() == 0
     full = embedding_near_duplicates_lsh(df, threshold=0.9, max_bucket_size=None)
     assert full.count() == 20 * 19 // 2
+
+
+def test_embed_neardup_lsh_tolerates_null_vectors(spark):
+    """NULL embeddings are dropped (the brute-force twin's NULL cosine
+    never passes the threshold) instead of crashing the bucket matmul."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [(1, None), (2, [1.0, 0.0]), (3, [1.0, 0.01]), (4, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_duplicates_lsh(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(2, 3)]

@@ -289,3 +289,51 @@ def test_operator_stage_range(spark, streams):
     assert out.count() == 4
     spark.catalog.dropTempView("trades_r")
     spark.catalog.dropTempView("quotes_r")
+
+
+def test_ntz_temporal_ops_are_session_tz_independent(spark):
+    """NTZ wall clocks must map to the same epoch under ANY session tz —
+    a bare cast('timestamp') breaks around DST transitions (62 wall
+    minutes apart can become 2 instant-minutes under Europe/Berlin)."""
+    from aqueducts_spark.operators.temporal import range_join
+
+    rows_l = [(1, "2026-03-29 01:59:00")]
+    rows_r = [(1, "2026-03-29 03:01:00")]
+    mk = lambda rows: spark.createDataFrame(rows, "k long, s string").select(
+        "k", F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Europe/Berlin"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            # true wall gap is 3720s: a ±3600s window must NOT match,
+            # a ±4000s window must match — under every timezone
+            near = range_join(mk(rows_l), mk(rows_r), "ts", "ts", -3600.0, 3600.0, on=["k"])
+            wide = range_join(mk(rows_l), mk(rows_r), "ts", "ts", -4000.0, 4000.0, on=["k"])
+            assert near.count() == 0, f"tz={tz}: 3720s gap matched a 3600s window"
+            assert wide.count() == 1, f"tz={tz}: 3720s gap missed a 4000s window"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_time_rollup_ntz_buckets_are_wall_clock(spark):
+    """NTZ rollup buckets come from the wall clock, not a session-tz
+    cast — the 02:xx hour exists even where Berlin spring-forward
+    deletes it."""
+    from aqueducts_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2026-03-29 02:15:00", 1.0), (2, "2026-03-29 02:45:00", 3.0)],
+        "id long, s string, v double",
+    ).select("id", F.col("s").cast("timestamp_ntz").alias("ts"), "v")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+        rows = {
+            (r.grain, r.bucket): r.sum_value
+            for r in time_rollup(df, "ts", "v", ["hour", "day"]).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert rows[("hour", "2026-03-29 02:00:00")] == 4.0
+    assert rows[("day", "2026-03-29")] == 4.0
