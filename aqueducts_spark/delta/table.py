@@ -95,6 +95,21 @@ def build_replace_predicate(conditions: list[tuple[str, str]]) -> Column:
     return pred if pred is not None else F.lit(True)
 
 
+def build_replace_predicate_sql(conditions: list[tuple[str, str]]) -> str:
+    """SQL-text form of :func:`build_replace_predicate` for delta-spark's
+    ``replaceWhere`` option, which takes a predicate STRING.  Values are
+    quoted as SQL literals (Catalyst's ``Column.toString`` renders them
+    bare, which parses as column references)."""
+    if not conditions:
+        return "true"
+    parts = []
+    for column, value in conditions:
+        col = "`" + str(column).replace("`", "``") + "`"
+        lit = "'" + str(value).replace("'", "''") + "'"
+        parts.append(f"{col} = {lit}")
+    return " AND ".join(parts)
+
+
 def cast_to_schema(df: DataFrame, fields: list[Field]) -> DataFrame:
     """Cast/validate input to the declared table schema before writing
     (reference aqueducts/delta/src/lib.rs:331-362): every declared column
@@ -216,9 +231,11 @@ class VersionedParquetTable:
             },
         )
 
-    def _table_meta(self) -> dict:
+    def _table_meta(self, upto_version: Optional[int] = None) -> dict:
         meta = {}
         for entry in self._entries():
+            if upto_version is not None and entry["version"] > upto_version:
+                break
             if entry["action"] in ("create", "migrate"):
                 meta = entry
         return meta
@@ -242,6 +259,11 @@ class VersionedParquetTable:
             raise DeltaTableError(f"no table at {self.root}")
         snapshot = entries[-1]
         if version is not None:
+            if version > entries[-1]["version"]:
+                raise DeltaTableError(
+                    f"version {version} not found at {self.root} "
+                    f"(latest is {entries[-1]['version']})"
+                )
             matching = [e for e in entries if e["version"] <= version]
             if not matching:
                 raise DeltaTableError(f"version {version} not found at {self.root}")
@@ -258,7 +280,9 @@ class VersionedParquetTable:
             snapshot = matching[-1]
         dirs = snapshot["active_dirs"]
         if not dirs:
-            meta = self._table_meta()
+            # schema AS OF the requested snapshot — the latest meta may
+            # include columns from migrations that postdate it
+            meta = self._table_meta(upto_version=snapshot["version"])
             if meta.get("schema"):
                 schema = T.StructType.fromJson(meta["schema"])
                 return self.spark.createDataFrame([], schema)
@@ -318,7 +342,16 @@ class VersionedParquetTable:
 
     def upsert(self, df: DataFrame, keys: list[str]) -> int:
         """MERGE: matched rows updated with source values, unmatched
-        inserted (reference delta/src/lib.rs:240-328)."""
+        inserted (reference delta/src/lib.rs:240-328).
+
+        Duplicate-key sources follow the REFERENCE semantics (its own
+        examples rely on it): every target row matching a source key is
+        replaced by ALL of that key's source rows — delete-matching +
+        insert-all, deterministic and key-complete.  NOTE this is the
+        one place the fallback is more permissive than delta-spark,
+        whose MERGE raises on multiple matching source rows; pre-dedupe
+        (e.g. ``merge_stream_into_table(order_col=...)``) when the same
+        pipeline must also run against native Delta."""
         df = self._prepare(df)
         current = self.read()
         cond = merge_key_condition(df.schema, keys, "old", "new")
@@ -432,8 +465,12 @@ class VersionedParquetTable:
         entries = self._entries()
         if not entries:
             return []
+        # count only DATA snapshots toward the retention window: vacuum
+        # commits re-reference the latest dirs and would otherwise crowd
+        # real snapshots out of the protected set
+        data_entries = [e for e in entries if e["action"] != "vacuum"]
         keep: set[str] = set()
-        for entry in entries[-keep_versions:]:
+        for entry in data_entries[-keep_versions:]:
             keep.update(entry.get("active_dirs", []))
         removed = []
         for p in sorted(self.root.glob("data-*")):

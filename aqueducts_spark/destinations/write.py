@@ -134,7 +134,9 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
             writer = writer.option("header", str(opts.has_header).lower()).option(
                 "sep", opts.delimiter
             )
-        elif fmt.type == "parquet" and fmt.parsed:
+            if opts.compression:
+                writer = writer.option("compression", opts.compression)
+        elif fmt.type in ("parquet", "orc") and fmt.parsed:
             writer = writer.options(**fmt.parsed)
         if dest.partition_columns:
             writer = writer.partitionBy(*dest.partition_columns)
@@ -276,7 +278,7 @@ def _write_delta_native(
 ) -> None:  # pragma: no cover - requires delta-spark
     from delta.tables import DeltaTable  # type: ignore
 
-    from ..delta.table import build_replace_predicate, merge_key_condition
+    from ..delta.table import build_replace_predicate_sql, merge_key_condition
 
     mode = dest.write_mode
     if dest.schema_:
@@ -307,11 +309,10 @@ def _write_delta_native(
         )
     elif mode.operation == "replace":
         conds = [(c.column, c.value) for c in mode.replace_conditions]
-        pred = build_replace_predicate(conds)
         (
             df.write.format("delta")
             .mode("overwrite")
-            .option("replaceWhere", pred._jc.toString() if conds else "true")
+            .option("replaceWhere", build_replace_predicate_sql(conds))
             .save(location)
         )
 
@@ -363,11 +364,32 @@ def _write_jdbc_custom(dest: OdbcDestination, df: DataFrame) -> None:
             finally:
                 st.close()
         ps = conn.prepareStatement(stmts.insert)
+
+        # py4j auto-converts primitives/strings but NOT Python temporal
+        # or decimal values — map them to the java.sql / BigDecimal
+        # types JDBC setObject understands
+        import datetime as _dt
+        import decimal as _decimal
+
+        def _to_jdbc(value):
+            if isinstance(value, _dt.datetime):
+                return jvm.java.sql.Timestamp.valueOf(
+                    value.strftime("%Y-%m-%d %H:%M:%S")
+                    + (".%06d" % value.microsecond if value.microsecond else "")
+                )
+            if isinstance(value, _dt.date):
+                return jvm.java.sql.Date.valueOf(value.isoformat())
+            if isinstance(value, _decimal.Decimal):
+                return jvm.java.math.BigDecimal(str(value))
+            if isinstance(value, (bytes, bytearray)):
+                return bytearray(value)
+            return value
+
         try:
             pending = 0
             for row in df.toLocalIterator():
                 for i, value in enumerate(row):
-                    ps.setObject(i + 1, value)
+                    ps.setObject(i + 1, _to_jdbc(value))
                 ps.addBatch()
                 pending += 1
                 if pending >= dest.batch_size:

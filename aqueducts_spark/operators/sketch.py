@@ -292,7 +292,13 @@ def bloom_sketch(
 ) -> DataFrame:
     """The set bits: distinct ``pos`` rows, ``pos = h_i(v) mod
     num_bits`` for i in 1..num_hashes.  At most ``num_bits`` rows, and
-    mergeable across sources by plain ``UNION``/``DISTINCT``."""
+    mergeable across sources by plain ``UNION``/``DISTINCT``.
+
+    The consuming :func:`bloom_filter` MUST be called with the same
+    ``num_bits``/``num_hashes`` — the sketch is just positions, so a
+    mismatch is only partially detectable there (larger-than-filter
+    positions raise; a sketch built with smaller num_bits would
+    silently produce false negatives)."""
     if num_bits < 8:
         raise ValueError("bloom_sketch: num_bits must be >= 8")
     if num_hashes < 1:
@@ -336,6 +342,13 @@ def bloom_filter(
     words = [0] * ((num_bits + 63) // 64)
     for row in bits.select("pos").collect():
         pos = int(row["pos"])
+        if not (0 <= pos < num_bits):
+            raise ValueError(
+                f"bloom_filter: sketch position {pos} is outside num_bits="
+                f"{num_bits} — the sketch was built with different num_bits; "
+                "filter parameters must match the sketch's exactly (a smaller "
+                "mismatch is undetectable and silently yields false negatives)"
+            )
         words[pos >> 6] |= 1 << (pos & 63)
     # int64 literals (Python ints are unbounded; wrap to signed 64-bit)
     words = [(w & ((1 << 63) - 1)) - (w & (1 << 63)) for w in words]

@@ -304,6 +304,7 @@ def merge_stream_into_table(
     keys: list[str],
     checkpoint_dir: str,
     available_now: bool = True,
+    order_col: str | None = None,
 ):
     """Stream-to-lakehouse CDC merge: upsert every micro-batch into a
     delta-layer table (``VersionedParquetTable`` or any object with an
@@ -316,10 +317,13 @@ def merge_stream_into_table(
     merge keys, so re-delivery converges to the same table state.
 
     Within a micro-batch, several changes to one key may arrive; the
-    batch is pre-deduped to the **last** change per key (max of a
-    total ordering column if present, else arbitrary-but-deterministic
-    md5 order) so the merge sees one row per key — mirroring
-    delta-spark's requirement that a merge source be key-unique.
+    batch is pre-deduped to one row per key before the merge —
+    mirroring delta-spark's requirement that a merge source be
+    key-unique.  Pass ``order_col`` (an event-time / sequence column)
+    so the LAST change wins — for CDC streams this is essential: with
+    no ordering column the winner is only arbitrary-but-deterministic
+    (md5 order), which is fine for idempotent snapshots but will
+    resurrect overwritten states on genuine change streams.
 
     Returns the started StreamingQuery (already terminated when
     ``available_now``).
@@ -329,10 +333,15 @@ def merge_stream_into_table(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        w = Window.partitionBy(*keys).orderBy(
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                        for c in batch_df.columns]))
+        tiebreak = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in batch_df.columns])
         )
+        order = (
+            [F.col(order_col).desc(), tiebreak.asc()]
+            if order_col is not None
+            else [tiebreak.asc()]
+        )
+        w = Window.partitionBy(*keys).orderBy(*order)
         unique = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

@@ -319,3 +319,49 @@ def test_changes_source_rejects_snapshot_pin(spark, table):
             spark,
             DeltaSource(name="x", location=str(table.root), changes_to=2),
         )
+
+
+def test_read_version_beyond_latest_raises(spark, table):
+    from aqueducts_spark.delta.table import DeltaTableError
+
+    table.append(_df(spark, [("a", 1)]))
+    with pytest.raises(DeltaTableError, match="not found"):
+        table.read(version=99)
+
+
+def test_upsert_duplicate_source_keys_follow_reference_semantics(spark, table):
+    """Reference parity (its own examples rely on it): a duplicate-key
+    source replaces each matching target row with ALL of that key's
+    source rows — delete-matching + insert-all."""
+    table.append(_df(spark, [("a", 1), ("b", 9)]))
+    table.upsert(_df(spark, [("a", 2), ("a", 3)]), ["col_1"])
+    assert _rows(table) == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_empty_snapshot_time_travel_uses_schema_as_of_version(spark, table):
+    """create v (empty) -> schema migration adds a column: reading the
+    pre-migration empty snapshot must NOT show the migrated column."""
+    from aqueducts_spark.types import parse_fields
+
+    v_created = table._latest()["version"]
+    wider = _fields() + parse_fields(
+        [{"name": "extra", "data_type": "string", "nullable": True}]
+    )
+    table.create_if_absent(
+        fields=wider, partition_columns=[], table_properties={}, metadata={}
+    )
+    assert "extra" in table.read().columns
+    assert "extra" not in table.read(version=v_created).columns
+
+
+def test_vacuum_counts_only_data_snapshots(spark, table):
+    """A prior vacuum commit must not crowd real snapshots out of the
+    keep_versions retention window."""
+    table.append(_df(spark, [("a", 1)]))                    # dirA
+    v_b = table.upsert(_df(spark, [("b", 2)]), ["col_1"])   # dirB (rewrite)
+    assert table.vacuum(keep_versions=1)                    # drops dirA + vacuum commit
+    table.upsert(_df(spark, [("c", 3)]), ["col_1"])         # dirC
+    # keep_versions=2 must protect the last TWO DATA snapshots (dirB &
+    # dirC) even though a vacuum commit sits between them
+    assert table.vacuum(keep_versions=2) == []
+    assert table.read(version=v_b).count() == 2             # dirB still readable

@@ -153,3 +153,49 @@ stages:
     assert spark.table("db_part").rdd.getNumPartitions() == 3
     spark.catalog.dropTempView("jdbc_part_out")
     spark.catalog.dropTempView("db_part")
+
+
+def test_jdbc_custom_write_temporal_and_decimal_types(spark, derby):
+    """The transactional path converts datetime/date/Decimal values to
+    java.sql types for setObject (py4j cannot auto-convert them)."""
+    jvm = spark.sparkContext._gateway.jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    try:
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE sink_typed (id INT, ts TIMESTAMP, d DATE, amt DECIMAL(10,2))"
+        )
+        st.close()
+    finally:
+        conn.close()
+
+    from aqueducts_spark.config.model import OdbcDestination
+
+    dest = OdbcDestination(
+        name="sink_typed",
+        connection_string=URL,
+        write_mode={
+            "operation": "custom",
+            "transaction": {
+                "insert": "INSERT INTO sink_typed VALUES (?, ?, ?, ?)"
+            },
+        },
+    )
+    df = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP '2026-01-02 03:04:05.123456' AS ts, "
+        "DATE '2026-01-02' AS d, CAST(12.34 AS DECIMAL(10,2)) AS amt"
+    )
+    _write_jdbc_custom(dest, df)
+
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    try:
+        st = conn.createStatement()
+        rs = st.executeQuery("SELECT id, ts, d, amt FROM sink_typed")
+        assert rs.next()
+        assert rs.getInt(1) == 1
+        assert rs.getTimestamp(2).toString().startswith("2026-01-02 03:04:05")
+        assert rs.getDate(3).toString() == "2026-01-02"
+        assert str(rs.getBigDecimal(4)) == "12.34"
+        assert not rs.next()
+    finally:
+        conn.close()

@@ -319,3 +319,21 @@ stages:
 """
     res = run_pipeline(spark, load_pipeline_str(yml2))
     assert res.result.collect()[0].n == 3
+
+
+def test_cluster_by_and_zorder_by_together_rejected_at_load(spark):
+    """Conflicting physical orderings fail at config validation, before
+    any shuffle is paid."""
+    import pytest as _pytest
+
+    from aqueducts_spark.config.model import FileDestination
+
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        FileDestination(
+            name="out",
+            location="/tmp/x",
+            format={"type": "parquet"},
+            single_file=False,
+            cluster_by=["a"],
+            zorder_by=["a", "b"],
+        )

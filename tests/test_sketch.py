@@ -120,3 +120,12 @@ def test_registry_stage(spark, sf_dir):
     assert all(r["sketch_size"] <= 32 for r in rows)
     assert len(rows) == 5
     spark.catalog.dropTempView("kmv_orders")
+
+
+def test_bloom_filter_rejects_mismatched_num_bits(spark):
+    from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    sketch = bloom_sketch(df, "k", num_bits=8192)
+    with pytest.raises(ValueError, match="different num_bits"):
+        bloom_filter(df, "k", sketch, num_bits=64).count()

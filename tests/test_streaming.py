@@ -255,3 +255,39 @@ def test_merge_stream_into_table(spark, tmp_path):
     assert sorted((r.user_id, r.value) for r in table.read().collect()) == [
         (1, 10.0), (2, 2.0), (3, 3.0),
     ]
+
+
+def test_merge_stream_order_col_last_change_wins(spark, tmp_path):
+    """With order_col, within-batch CDC changes resolve to the row with
+    the max sequence — not an arbitrary md5 winner."""
+    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.streaming import file_stream_source, merge_stream_into_table
+
+    table = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    table.create_if_absent(
+        fields=parse_fields(
+            [
+                {"name": "user_id", "data_type": "int64", "nullable": False},
+                {"name": "seq", "data_type": "int64"},
+                {"name": "status", "data_type": "string"},
+            ]
+        ),
+        partition_columns=[], table_properties={}, metadata={},
+    )
+    src = tmp_path / "cdc_src2"
+    src.mkdir()
+    schema = [
+        {"name": "user_id", "data_type": "int64"},
+        {"name": "seq", "data_type": "int64"},
+        {"name": "status", "data_type": "string"},
+    ]
+    # one batch holds created(seq=1) then deleted(seq=2) for the same key
+    spark.createDataFrame(
+        [(1, 1, "created"), (1, 2, "deleted")],
+        "user_id long, seq long, status string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = file_stream_source(spark, str(src), "parquet", parse_fields(schema))
+    merge_stream_into_table(
+        stream, table, ["user_id"], str(tmp_path / "ck2"), order_col="seq"
+    )
+    assert [(r.user_id, r.status) for r in table.read().collect()] == [(1, "deleted")]
