@@ -1119,7 +1119,8 @@ WITH p AS (
 ),
 c AS (
   SELECT pack_part, doc_id, n_chars,
-         SUM(n_chars) OVER (PARTITION BY pack_part ORDER BY doc_id ASC) AS cum
+         SUM(n_chars) OVER (PARTITION BY pack_part ORDER BY doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM p
 )
 SELECT pack_part,
@@ -1387,9 +1388,9 @@ _DUCK_FEATURES = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       ROUND((length(text) - length(regexp_replace(text, '\s', '', 'g'))) / length(text), 4) AS space_ratio,
-       ROUND(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) / length(text), 4) AS punct_ratio,
-       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 4) AS digit_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '\s', '', 'g'))) / greatest(length(text), 1), 4) AS space_ratio,
+       ROUND(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) / greatest(length(text), 1), 4) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1), 4) AS digit_ratio,
        ROUND(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) / greatest(len(toks), 1), 4) AS stopword_ratio,
        ROUND(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_ratio,
        ROUND(list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS avg_token_len

@@ -46,6 +46,12 @@ def connected_components(
     node id reachable from ``node`` (a stable, deterministic cluster
     id). Isolated nodes (absent from ``edges``) are the caller's
     concern: they are their own component and need no resolution.
+
+    Raises if label propagation has not converged after ``max_iter``
+    rounds (a component with graph diameter > max_iter): silently
+    returning split components would make cluster_dedup keep several
+    "canonical" copies of one duplicate cluster.  Convergence needs
+    ~diameter rounds; raise ``max_iter`` for long chain-shaped graphs.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -78,6 +84,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still changing after max_iter="
+            f"{max_iter} rounds — a component's diameter exceeds max_iter; "
+            "raise max_iter to at least the longest chain length"
+        )
     return labels
 
 

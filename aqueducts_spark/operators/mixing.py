@@ -99,18 +99,32 @@ def pack_shards(
     parts: int = 64,
     part_col: str = "pack_part",
     shard_col: str = "shard_id",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Assign each row a ``(pack_part, shard_id)``: rows hash to one of
     ``parts`` independent packers; within a packer, rows in ``order_col``
     order fill shard 0, 1, 2… switching shards when the cumulative
     token count crosses a multiple of ``budget``.
+
+    The running sum uses an explicit ROWS frame: the default RANGE
+    frame includes ORDER-BY *peers*, so duplicate ``order_col`` values
+    (e.g. ``weighted_mix`` copies of one document) would all receive
+    the peer-group total and blow the budget.  With duplicates, also
+    pass ``tiebreak_cols`` (e.g. ``["mix_copy"]``) so the within-peer
+    row order — and therefore every shard assignment — is a pure
+    function of the data.
     """
     if budget < 1:
         raise ValueError("pack_shards: budget must be >= 1")
     if parts < 1:
         raise ValueError("pack_shards: parts must be >= 1")
     part = hash_bucket(F.col(order_col), buckets=parts, salt="pack:")
-    w = Window.partitionBy(part_col).orderBy(F.col(order_col).asc())
+    order = [F.col(order_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     with_part = df.withColumn(part_col, part)
     cum = F.sum(F.col(token_col)).over(w)
     start = (cum - F.col(token_col)).cast("double")

@@ -423,6 +423,7 @@ def _op_pack_shards(spark, inp, options):
         order_col=options["order_col"],
         budget=int(options["budget"]),
         parts=int(options.get("parts", 64)),
+        tiebreak_cols=options.get("tiebreak_cols", ()),
     )
 
 

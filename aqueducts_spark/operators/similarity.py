@@ -135,9 +135,26 @@ def train_ivf_centroids(
     IVF index training: only ``sample_size`` vectors ever reach the
     driver (standard practice — centroid quality needs a sample, not the
     corpus), the rest of the pipeline stays distributed. Deterministic
-    for a fixed seed.
+    for a fixed seed and input.
+
+    Sampling is hash-rank based, NOT ``limit()``: an unordered LIMIT is
+    satisfied from whichever partitions respond first — a partition
+    *prefix*, so on a multi-file corpus every training vector would come
+    from one file/domain slice and the centroids would model only that
+    slice.  Ranking by md5 of the vector bytes draws uniformly across
+    the whole corpus and is a pure function of the data (stable across
+    partitionings and runs).  Spark 4 plans the rank as
+    TakeOrderedAndProject — a per-partition top-k plus a driver merge of
+    ``sample_size`` rows, not a global sort.
     """
-    rows = corpus.select(vec_col).limit(sample_size).collect()
+    h = F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
+    rows = (
+        corpus.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(h.asc())
+        .limit(sample_size)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -196,9 +213,14 @@ def ivf_assign(
     """Assign each vector to its nearest (max cosine) centroid — one
     Arrow-batched matmul per batch, no shuffle. At scale, persist the
     assigned corpus partitioned by ``centroid_id`` so probes read only
-    their clusters (partition pruning)."""
+    their clusters (partition pruning).
+
+    NULL vectors are dropped (they have no nearest centroid; np.stack
+    inside the Arrow batch would otherwise kill the whole task)."""
     scorer = _centroid_scorer(centroids, nprobe=1)
-    return df.withColumn(out_col, scorer(F.col(vec_col))[0])
+    return df.where(F.col(vec_col).isNotNull()).withColumn(
+        out_col, scorer(F.col(vec_col))[0]
+    )
 
 
 def ivf_topk(
@@ -239,6 +261,7 @@ def ivf_topk(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
+        .where(F.col("qvec").isNotNull())
         .withColumn("__probes", prober(F.col("qvec")))
         .select("query_id", "qvec", F.explode("__probes").alias("centroid_id"))
     )
@@ -273,7 +296,12 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    sample = corpus.select(vec_col).first()
+    sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if sample is None:
+        # empty (or all-NULL) corpus: empty result, not a TypeError
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     dim = len(sample[0])
     planes = random_hyperplanes(dim, num_planes, seed)
     c = hyperplane_lsh(
@@ -372,6 +400,7 @@ def ivf_topk_persisted(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
+        .where(F.col("qvec").isNotNull())
         .withColumn("__probes", prober(F.col("qvec")))
         .select("query_id", "qvec", F.explode("__probes").alias("centroid_id"))
     )

@@ -70,18 +70,22 @@ def text_features(
     toks = normalized_tokens(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
+    # empty docs: ratio denominators clamp to 1 (ratios 0.0, never NULL
+    # or DIVIDE_BY_ZERO under ANSI) — NULL would silently drop the doc
+    # from BOTH sides of any quality_score threshold filter
+    safe_chars = F.greatest(n_chars, F.lit(1))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(
-            (n_chars - F.length(F.regexp_replace(text, r"\s", ""))) / n_chars, 4
+            (n_chars - F.length(F.regexp_replace(text, r"\s", ""))) / safe_chars, 4
         ).alias("space_ratio"),
         F.round(
-            F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")) / n_chars, 4
+            F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")) / safe_chars, 4
         ).alias("punct_ratio"),
-        F.round(F.length(F.regexp_replace(text, r"[^0-9]", "")) / n_chars, 4).alias(
+        F.round(F.length(F.regexp_replace(text, r"[^0-9]", "")) / safe_chars, 4).alias(
             "digit_ratio"
         ),
         F.round(
@@ -189,11 +193,16 @@ def repetition_features(
         F.struct(
             F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
         ),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            run_of(acc, g).alias("run"),
-            F.greatest(acc.best, run_of(acc, g)).alias("best"),
-        ),
+        # build the new-run expression ONCE per step and reference it
+        # from both fields — the lambda runs per n-gram per document, so
+        # a duplicated when() comparison doubles the hot-loop work
+        lambda acc, g: (
+            lambda new_run: F.struct(
+                g.alias("prev"),
+                new_run.alias("run"),
+                F.greatest(acc.best, new_run).alias("best"),
+            )
+        )(run_of(acc, g)),
         lambda acc: acc.best,
     )
     out = df.select(
@@ -482,7 +491,9 @@ def bigram_logprob(
     Same reproducibility contract: per-(doc, event) contributions are
     quantized to integer micro-nats before the per-doc sum.
     Output: ``id, n_tokens, nll_micro, avg_nll`` (avg over the
-    n_tokens scored events; 0 for empty docs).
+    n_tokens scored events).  Documents with no tokens produce NO
+    output row (there is nothing to score) — outer-join by id if the
+    downstream filter must keep them.
 
     Plan shape: bigram (doc, gram) counts are the one corpus-volume
     shuffle; bigram totals and prefix totals re-aggregate that reduced

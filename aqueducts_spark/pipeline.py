@@ -131,9 +131,16 @@ def run_pipeline(
                     stage_dfs[name] = df
 
         # TTL reclamation: drop cached intermediates whose last textual
-        # use has passed (reference core/src/lib.rs:223-274)
+        # use has passed (reference core/src/lib.rs:223-274).  Entries
+        # last used by the FINAL group stay cached until after the
+        # destination write — the write is the final group's true last
+        # consumer, and unpersisting first would force it to recompute
+        # the whole lineage (discarding exactly the materializations
+        # the >1-consumer/eager policies paid for).
         for name, last_group in ttls.items():
             if last_group <= gi and name in cached:
+                if last_group == len(groups) - 1:
+                    continue
                 stage_dfs[name].unpersist()
                 cached.discard(name)
                 # keep the temp view for the final-result lookup below,
@@ -156,6 +163,10 @@ def run_pipeline(
                 "destination_completed", name=dest.name, duration_ms=t_dst.elapsed_ms
             )
         )
+        # the write was the last consumer — release the deferred caches
+        for name in list(cached):
+            stage_dfs[name].unpersist()
+            cached.discard(name)
 
     tracker.on_progress(ProgressEvent("completed"))
     return PipelineResult(spark, result)
@@ -166,10 +177,17 @@ def explain_pipeline(
 ) -> list[dict]:
     """Pre-flight plan review: register sources, resolve every stage
     lazily, and return per-stage formatted physical plans plus scale
-    lint warnings (``plans.lint_plan``) — **zero execution**: no
-    actions run and the destination is never written. The cheap way to
+    lint warnings (``plans.lint_plan``) — SQL stages plan with zero
+    execution and the destination is never written. The cheap way to
     answer "would this pipeline's shuffles/joins survive 100 TB?"
-    before paying for a single byte of compute.
+    before paying for the full compute.
+
+    Caveat: OPERATOR stages whose plan depends on data (IVF centroid
+    training collects its bounded sample, connected-components runs its
+    propagation rounds, LSH probes the vector dimensionality) execute
+    that work during explain too — their physical plan cannot exist
+    without it.  Pure-expression operator stages and all SQL stages
+    stay unexecuted.
 
     Stages still register as temp views (later stages reference
     earlier ones by name), exactly as in a real run.

@@ -39,3 +39,15 @@ def test_cluster_dedup_keeps_canonical(spark, edges):
     kept = sorted(r.doc_id for r in cluster_dedup(docs, edges).collect())
     # one representative (min id) per cluster + untouched isolated doc 99
     assert kept == [1, 10, 20, 99]
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from aqueducts_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=30)
+    assert ok.select("component").distinct().count() == 1

@@ -445,3 +445,17 @@ def test_bigram_flags_word_salad(spark):
     avg_real = sum(got[i] for i in range(len(base))) / len(base)
     avg_salad = sum(got[i] for i in range(len(base), len(base) + len(salad))) / len(salad)
     assert avg_salad > avg_real
+
+
+def test_text_features_empty_doc_ratios_are_zero_not_null(spark):
+    """NULL ratios would silently drop empty docs from BOTH sides of any
+    quality threshold filter."""
+    from aqueducts_spark.operators.text import quality_score, text_features
+
+    d = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    for r in text_features(d).collect():
+        assert r.space_ratio is not None
+        assert r.punct_ratio == 0.0
+        assert r.digit_ratio == 0.0
+    for q in quality_score(d).collect():
+        assert q.quality_score is not None

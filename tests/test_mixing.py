@@ -115,3 +115,17 @@ def test_registry_stages(spark, sf_dir):
     )
     assert {"pack_part", "shard_id"} <= set(packed.columns)
     spark.catalog.dropTempView("mix_docs")
+
+
+def test_pack_shards_duplicate_order_keys_use_rows_frame(spark):
+    """weighted_mix emits duplicate ids; the running sum must advance
+    per ROW, not hand every peer the whole peer-group total."""
+    from aqueducts_spark.operators.mixing import pack_shards
+
+    df = spark.createDataFrame(
+        [(7, 60, 0), (7, 60, 1), (7, 60, 2)], ["doc_id", "toks", "mix_copy"]
+    )
+    out = pack_shards(
+        df, "toks", "doc_id", budget=100, parts=1, tiebreak_cols=["mix_copy"]
+    ).collect()
+    assert sorted(r.shard_id for r in out) == [0, 0, 1]
