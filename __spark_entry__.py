@@ -2303,15 +2303,25 @@ common AS (
 flagged AS (
   SELECT l.doc_id, l.pos, l.line, c.line IS NOT NULL AS dropped
   FROM lines l LEFT JOIN common c USING (line)
+),
+agg AS (
+  SELECT doc_id,
+         -- COALESCE: a doc whose every line was dropped aggregates an
+         -- empty list -> NULL in DuckDB, while Spark's array_join of an
+         -- empty collect_list is '' (first occurs at sf0.1)
+         COALESCE(array_to_string(list_transform(list_sort(list({'pos': pos, 'line': line}) FILTER (NOT dropped)), s -> s.line), chr(10)), '') AS cleaned,
+         CAST(COUNT(*) FILTER (NOT dropped) AS BIGINT) AS n_kept,
+         CAST(COUNT(*) FILTER (dropped) AS BIGINT) AS n_dropped
+  FROM flagged GROUP BY doc_id
 )
-SELECT doc_id,
-       -- COALESCE: a doc whose every line was dropped aggregates an
-       -- empty list -> NULL in DuckDB, while Spark's array_join of an
-       -- empty collect_list is '' (first occurs at sf0.1)
-       COALESCE(array_to_string(list_transform(list_sort(list({'pos': pos, 'line': line}) FILTER (NOT dropped)), s -> s.line), chr(10)), '') AS cleaned,
-       CAST(COUNT(*) FILTER (NOT dropped) AS BIGINT) AS n_kept,
-       CAST(COUNT(*) FILTER (dropped) AS BIGINT) AS n_dropped
-FROM flagged GROUP BY doc_id
+-- LEFT JOIN from every input doc: one with zero non-empty lines never
+-- reaches the aggregation but must still appear (cleaned='', counts 0)
+SELECT d.doc_id,
+       COALESCE(a.cleaned, '') AS cleaned,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM (SELECT DISTINCT doc_id FROM lined) d
+LEFT JOIN agg a USING (doc_id)
 """
 
 

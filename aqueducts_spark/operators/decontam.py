@@ -46,6 +46,9 @@ def benchmark_ngrams(
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
         )
+        # word_ngrams emits '' for empty/whitespace docs; one blank
+        # benchmark row must not flag every blank corpus doc
+        .where(F.col("shingle") != "")
         .distinct()
     )
 
@@ -67,7 +70,7 @@ def ngram_overlap(
     bench = benchmark_ngrams(benchmark, text_col, n)
     corp = ensure_parallelism(corpus).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    )
+    ).where(F.col("shingle") != "")
     return (
         corp.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)

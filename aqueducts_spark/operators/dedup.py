@@ -103,6 +103,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
+def _payload_key(cols: list[str]) -> Column:
+    """md5 fingerprint of the payload columns, NULL-distinct: each NULL
+    column renders as a sentinel instead of being SKIPPED by concat_ws —
+    otherwise ``('a', NULL)`` and ``(NULL, 'a')`` concatenate to the
+    same string and distinct rows silently collide into one dedup key."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
 def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
     """Groups of rows with identical values in ``cols`` (count > 1).
 
@@ -110,9 +121,8 @@ def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
     ``md5(concat(...))`` of wide text columns (done here) so the
     shuffle key is 32 bytes regardless of document size.
     """
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     return (
-        df.groupBy(key.alias("dup_key"))
+        df.groupBy(_payload_key(cols).alias("dup_key"))
         .agg(F.count("*").alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
@@ -184,22 +194,40 @@ def drop_common_lines(
             sep,
         ).alias("cleaned"),
     )
-    return agg.select(id_col, "cleaned", "n_kept", "n_dropped")
+    # docs with zero non-empty lines never reach the aggregation — keep
+    # them (cleaned='', counts 0) instead of silently losing them
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
-    """Keep exactly one row (the min ``id_col``) per distinct ``cols``.
+    """Keep exactly one row (the min ``id_col``, NULL ids last) per
+    distinct ``cols``.
 
-    Equivalent SQL: ``ROW_NUMBER() OVER (PARTITION BY cols ORDER BY id)
-    = 1`` — but expressed as min-id join so the shuffle key can be the
-    md5 of the payload, and the row payload only travels once.
+    ``ROW_NUMBER() OVER (PARTITION BY md5(payload) ORDER BY id) = 1``:
+    one shuffle keyed by the 32-byte payload fingerprint, the row
+    travels once, and Spark 4 plans a map-side WindowGroupLimit.  (The
+    previous min-id JOIN encoding lost every row whose id was NULL —
+    ``NULL = NULL`` never matches a join condition — and paid a second
+    join for the same shuffle.)
     """
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
-    keyed = df.withColumn("__dedup_key", key)
-    keepers = keyed.groupBy("__dedup_key").agg(F.min(id_col).alias(id_col))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(_payload_key(cols)).orderBy(
+        F.col(id_col).asc_nulls_last()
+    )
     return (
-        keyed.join(keepers, on=["__dedup_key", id_col], how="inner")
-        .drop("__dedup_key")
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
@@ -221,7 +249,7 @@ def dedup_against(
     set ``broadcast_corpus`` when the corpus key set is small enough
     (e.g. an eval benchmark) to skip the shuffle entirely.
     """
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    key = _payload_key(cols)
     corpus_keys = corpus_df.select(key.alias("__dedup_key")).distinct()
     if broadcast_corpus:
         corpus_keys = F.broadcast(corpus_keys)
@@ -288,6 +316,12 @@ def minhash_bands(
     of their signature bands agrees entirely; with r rows per band the
     bucket-collision probability is the classic ``1-(1-j^r)^b`` curve.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_bands: bands ({bands}) must divide num_hashes "
+            f"({num_hashes}) — a remainder would silently drop "
+            f"{num_hashes % bands} hashes and change the sensitivity curve"
+        )
     rows_per_band = num_hashes // bands
     sig = _minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     # band hash = md5 of the band's minhashes in seed order; derived from

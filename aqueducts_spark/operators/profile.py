@@ -41,22 +41,32 @@ def profile_table(
     if unknown:
         raise ValueError(f"profile_table: unknown columns {unknown}")
 
+    # index-based internal aliases + df[c] references: column NAMES
+    # never enter parsed SQL text, so names with dots, quotes, hyphens
+    # or spaces profile fine (F.col('a.b') would read a nested field,
+    # and a raw name inside stack() would be re-parsed as an expression)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+    for i, c in enumerate(cols):
+        # backtick-quote the reference: bare F.col('x.y')/df['x.y']
+        # would resolve a nested field, not the column named 'x.y'
+        col = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{i}"))
         if exact_distinct:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+            aggs.append(F.count_distinct(col).alias(f"__dist_{i}"))
         else:
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__dist_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+            aggs.append(F.approx_count_distinct(col).alias(f"__dist_{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
 
     # pivot the single wide row to long form with a stack expression —
     # still zero extra passes over the data
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     parts = ", ".join(
-        f"'{c}', '{dtypes[c]}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}"
-        for c in cols
+        f"{lit(c)}, {lit(dtypes[c])}, __nulls_{i}, __dist_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {parts}) AS "

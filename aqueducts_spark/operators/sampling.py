@@ -44,10 +44,17 @@ def hash_bucket(col: Column, buckets: int = _BUCKETS, salt: str = "") -> Column:
     """Deterministic bucket in [0, buckets): md5 of the value (plus an
     optional salt for independent re-draws), top 60 bits, mod buckets.
 
+    NULL values hash via a sentinel rather than propagating NULL — a
+    NULL bucket compares NULL to every threshold, so NULL-id rows would
+    silently vanish from a rate-1.0 sample and route inconsistently in
+    splits.
+
     Identical to the DuckDB expression
-    ``('0x' || substr(md5(salt || v), 1, 15))::BIGINT % buckets``.
+    ``('0x' || substr(md5(salt || coalesce(v, chr(0))), 1, 15))::BIGINT
+    % buckets``.
     """
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10)
+    v = F.coalesce(col.cast("string"), F.lit("\x00"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), v)), 1, 15), 16, 10)
     return (h.cast("long") % buckets).cast("int")
 
 

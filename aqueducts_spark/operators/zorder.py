@@ -68,8 +68,11 @@ def zorder_key(
     for i, c in enumerate(cols):
         mn, mx = minmax[c]
         rng = max(1, mx - mn)
+        # cast BEFORE subtracting: (int32 - int32) spanning > 2^31
+        # overflows in the column's native type (ANSI mode throws,
+        # legacy wraps to negative buckets)
         bucket = F.expr(
-            f"COALESCE(CAST(({c} - {mn}) AS BIGINT), 0) * {maxb} DIV {rng}"
+            f"COALESCE((CAST({c} AS BIGINT) - CAST({mn} AS BIGINT)), 0) * {maxb} DIV {rng}"
         )
         for j in range(bits):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))

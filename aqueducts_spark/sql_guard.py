@@ -28,8 +28,17 @@ _DENIED = (
     "vacuum", "optimize", "call", "declare", "begin", "commit", "rollback",
 )
 
-_LINE_COMMENT = re.compile(r"--[^\n]*")
-_BLOCK_COMMENT = re.compile(r"/\*.*?\*/", re.DOTALL)
+# write operations that have NO legitimate appearance as a bare word in
+# a read-only query (string literals and quoted identifiers are excluded
+# by the scanner) — scanned ANYWHERE in the statement, not just at the
+# head, because Spark SQL accepts DML behind CTE/FROM prefixes
+# (`WITH x AS (...) INSERT INTO ...`, `FROM t INSERT OVERWRITE ...`).
+# Deliberately excludes words with read-only uses: REPLACE (string fn),
+# SET (GROUPING SETS tokenizes as 'sets'; `set` is head-blocked).
+_DENIED_ANYWHERE = frozenset(
+    ("insert", "update", "delete", "merge", "drop", "truncate",
+     "alter", "grant", "revoke", "msck")
+)
 
 
 class StageSqlError(ValueError):
@@ -38,50 +47,74 @@ class StageSqlError(ValueError):
         super().__init__(f"stage '{stage_name}': {message}")
 
 
-def _strip_comments(sql: str) -> str:
-    return _LINE_COMMENT.sub(" ", _BLOCK_COMMENT.sub(" ", sql))
+def _scan_statements(sql: str) -> list[tuple[str, list[str]]]:
+    """One quote-aware pass: strip comments, split on top-level ``;``,
+    and collect each statement's bare (unquoted) lowercase words.
 
-
-def _split_statements(sql: str) -> list[str]:
-    """Split on top-level semicolons (outside quotes)."""
-    parts: list[str] = []
-    current: list[str] = []
+    Comments must be stripped INSIDE this scanner — a regex pre-pass
+    would treat comment markers inside string literals as real comments
+    and mangle the statement boundaries ("SELECT '/*' ...; DROP ...;
+    SELECT '*/'" must scan as three statements, not one)."""
+    statements: list[tuple[str, list[str]]] = []
+    cur: list[str] = []
+    cur_words: list[str] = []
     quote: str | None = None
-    i = 0
-    while i < len(sql):
+    i, n = 0, len(sql)
+    while i < n:
         ch = sql[i]
         if quote is not None:
-            current.append(ch)
+            cur.append(ch)
             if ch == quote:
-                if i + 1 < len(sql) and sql[i + 1] == quote:  # escaped ''
-                    current.append(sql[i + 1])
+                if i + 1 < n and sql[i + 1] == quote:  # escaped '' / "" / ``
+                    cur.append(sql[i + 1])
                     i += 1
                 else:
                     quote = None
+            i += 1
         elif ch in ("'", '"', "`"):
             quote = ch
-            current.append(ch)
+            cur.append(ch)
+            i += 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            cur.append(" ")
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            i += 2
+            while i + 1 < n and not (sql[i] == "*" and sql[i + 1] == "/"):
+                i += 1
+            i += 2
+            cur.append(" ")
         elif ch == ";":
-            parts.append("".join(current))
-            current = []
+            statements.append(("".join(cur), cur_words))
+            cur, cur_words = [], []
+            i += 1
+        elif ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j]
+            cur_words.append(word.lower())
+            cur.append(word)
+            i = j
         else:
-            current.append(ch)
-        i += 1
-    parts.append("".join(current))
-    return [p.strip() for p in parts if p.strip()]
+            cur.append(ch)
+            i += 1
+    statements.append(("".join(cur), cur_words))
+    return [(t.strip(), ws) for t, ws in statements if t.strip()]
 
 
 def validate_stage_sql(sql: str, stage_name: str = "<stage>") -> None:
     """Raise :class:`StageSqlError` unless ``sql`` is a single read-only query."""
-    stripped = _strip_comments(sql).strip()
-    if not stripped:
+    statements = _scan_statements(sql)
+    if not statements:
         raise StageSqlError(stage_name, "empty query")
-    statements = _split_statements(stripped)
     if len(statements) > 1:
         raise StageSqlError(
             stage_name, f"multiple statements not allowed ({len(statements)} found)"
         )
-    first_word_m = re.match(r"[A-Za-z_]+", statements[0].lstrip("( \t\r\n"))
+    text, words = statements[0]
+    first_word_m = re.match(r"[A-Za-z_]+", text.lstrip("( \t\r\n"))
     if not first_word_m:
         raise StageSqlError(stage_name, "cannot determine statement type")
     head = first_word_m.group(0).lower()
@@ -93,6 +126,14 @@ def validate_stage_sql(sql: str, stage_name: str = "<stage>") -> None:
         )
     if head not in _ALLOWED_LEADING:
         raise StageSqlError(stage_name, f"unsupported statement leading keyword: {head}")
+    hit = next((w for w in words if w in _DENIED_ANYWHERE), None)
+    if hit is not None:
+        raise StageSqlError(
+            stage_name,
+            f"write keyword '{hit.upper()}' found inside the statement "
+            "(DML behind CTE/FROM prefixes is blocked; quote it as an "
+            "identifier if it is genuinely a column name)",
+        )
 
 
 def spark_parse_check(spark, sql: str, stage_name: str = "<stage>") -> None:

@@ -155,3 +155,29 @@ stages:
 """
     with pytest.raises(StageSqlError):
         load_pipeline_str(yml)
+
+
+class TestSqlGuardHardening:
+    def test_cte_prefixed_dml_rejected(self):
+        from aqueducts_spark.sql_guard import StageSqlError, validate_stage_sql
+
+        with pytest.raises(StageSqlError, match="INSERT"):
+            validate_stage_sql(
+                "WITH x AS (SELECT 1) INSERT INTO prod.tbl SELECT * FROM x"
+            )
+        with pytest.raises(StageSqlError, match="INSERT"):
+            validate_stage_sql("FROM t INSERT OVERWRITE TABLE u SELECT *")
+
+    def test_comment_markers_inside_strings_do_not_hide_statements(self):
+        from aqueducts_spark.sql_guard import StageSqlError, validate_stage_sql
+
+        sql = "SELECT '/*' AS a; DROP TABLE t; SELECT '*/' AS b"
+        with pytest.raises(StageSqlError, match="multiple statements"):
+            validate_stage_sql(sql)
+
+    def test_keywords_inside_literals_and_quoted_identifiers_pass(self):
+        from aqueducts_spark.sql_guard import validate_stage_sql
+
+        validate_stage_sql("SELECT 'please insert coin' AS msg FROM t")
+        validate_stage_sql("SELECT `update` FROM t")
+        validate_stage_sql("-- insert note\nSELECT 1")

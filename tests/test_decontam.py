@@ -459,3 +459,36 @@ def test_text_features_empty_doc_ratios_are_zero_not_null(spark):
         assert r.digit_ratio == 0.0
     for q in quality_score(d).collect():
         assert q.quality_score is not None
+
+
+def test_blank_benchmark_doc_does_not_contaminate_blank_corpus_docs(spark):
+    from aqueducts_spark.operators.decontam import ngram_overlap
+
+    bench = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(10, ""), (11, "real text here")], ["doc_id", "text"])
+    assert ngram_overlap(corpus, bench, n=3).count() == 0
+
+
+def test_exact_dedup_null_handling(spark):
+    """NULL payloads in different positions stay distinct, and NULL-id
+    rows survive dedup instead of vanishing through the old min-id join."""
+    from aqueducts_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (None, "b", "b"), (9, "b", "b")],
+        "doc_id int, c1 string, c2 string",
+    )
+    out = exact_dedup(df, "doc_id", ["c1", "c2"]).collect()
+    kept = {(r.c1, r.c2) for r in out}
+    # three DISTINCT payloads survive: ('a',NULL) and (NULL,'a') must
+    # not collide, and the (b,b) group keeps one row
+    assert kept == {("a", None), (None, "a"), ("b", "b")}
+    assert len(out) == 3
+
+
+def test_minhash_bands_requires_divisibility(spark):
+    from aqueducts_spark.operators.dedup import minhash_bands
+
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_bands(df, num_hashes=16, bands=5)

@@ -80,3 +80,12 @@ destination:
     assert back["o_orderstatus"].n_distinct <= 3
     spark.catalog.dropTempView("prof_orders")
     spark.catalog.dropTempView("prof")
+
+
+def test_profile_handles_awkward_column_names(spark):
+    from aqueducts_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, 2.5)], ["a-b", "x.y"])
+    rows = {r["column"]: r for r in profile_table(df, ["a-b", "x.y"]).collect()}
+    assert rows["a-b"]["n_nulls"] == 0
+    assert rows["x.y"]["min_repr"] == "2.5"

@@ -172,3 +172,14 @@ def test_group_cap_registry_stage(spark):
         },
     )
     assert sorted(r.doc_id for r in out.collect()) == [8, 9]
+
+
+def test_hash_sample_keeps_null_ids(spark):
+    """A NULL id hashes via a sentinel: rate-1.0 keeps everything and
+    splits route NULL ids deterministically instead of NULL-dropping."""
+    from aqueducts_spark.operators.sampling import deterministic_split, hash_sample
+
+    df = spark.createDataFrame([(None,), ("a",), ("b",)], "doc_id string")
+    assert hash_sample(df, "doc_id", 1.0).count() == 3
+    split = deterministic_split(df, "doc_id", {"train": 0.5, "test": 0.5})
+    assert split.count() == 3 and split.where("split IS NULL").count() == 0
