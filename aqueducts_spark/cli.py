@@ -41,7 +41,12 @@ def _cmd_run(args) -> int:
 
         host, port = _parse_hostport(args.executor)
         path = Path(args.file)
-        fmt = path.suffix.lstrip(".").replace("yml", "yaml") or "yaml"
+        # same validated inference as local runs — lowercases and raises
+        # a clear client-side error for unknown suffixes instead of a
+        # late opaque server failure
+        from .config.loader import format_from_path
+
+        fmt = format_from_path(path)
         final = submit_pipeline(
             host,
             port,

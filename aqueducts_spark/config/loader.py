@@ -44,9 +44,13 @@ def format_from_path(path: str | Path) -> str:
 
 def load_pipeline_str(
     text: str, fmt: str = "yaml", params: dict[str, str] | None = None,
-    validate_sql: bool = True,
+    validate_sql: bool = True, substitute: bool = True,
 ) -> Pipeline:
-    substituted = substitute_params(text, params)
+    # substitute=False: the text was already templated (remote executor
+    # submissions — the CLIENT substitutes, reference remote CLI
+    # semantics); running substitution again would flag any literal
+    # ${...} that a param VALUE legitimately injected
+    substituted = substitute_params(text, params) if substitute else text
     raw = _parse_text(substituted, fmt)
     if not isinstance(raw, dict):
         raise ConfigError("pipeline document must be a mapping")

@@ -8,7 +8,7 @@ import asyncio
 from typing import Any, Callable, Optional
 
 from ..config.templating import substitute_params
-from .protocol import decode, encode
+from .protocol import STREAM_LIMIT, decode, encode
 
 
 async def _submit(
@@ -19,12 +19,21 @@ async def _submit(
     on_message: Optional[Callable[[dict[str, Any]], None]],
     timeout: float,
 ) -> dict[str, Any]:
-    reader, writer = await asyncio.open_connection(host, port)
+    reader, writer = await asyncio.open_connection(host, port, limit=STREAM_LIMIT)
     writer.write(
-        encode({"type": "execution_request", "pipeline": pipeline_text, "format": fmt})
+        encode(
+            {
+                "type": "execution_request",
+                "pipeline": pipeline_text,
+                "format": fmt,
+                "pre_substituted": True,
+            }
+        )
     )
     await writer.drain()
-    outputs: dict[str, list[str]] = {}
+    # reassemble per (stage, output_type): a stage can emit several
+    # output kinds (show + explain) and their chunks interleave
+    outputs: dict[tuple[str, str], list[str]] = {}
     final: dict[str, Any] = {}
     try:
         while True:
@@ -36,13 +45,22 @@ async def _submit(
             if on_message:
                 on_message(msg)
             if msg.get("type") == "output_chunk":
-                outputs.setdefault(msg["stage"], []).append(msg["data"])
+                key = (msg["stage"], msg.get("output_type", ""))
+                outputs.setdefault(key, []).append(msg["data"])
             if msg.get("type") in ("succeeded", "error", "cancelled"):
                 final = msg
                 break
     finally:
         writer.close()
-    final["outputs"] = {k: "".join(v) for k, v in outputs.items()}
+    # expose by stage name alone when unambiguous; 'stage::type' when a
+    # stage produced several output kinds
+    per_stage: dict[str, int] = {}
+    for stage, _ in outputs:
+        per_stage[stage] = per_stage.get(stage, 0) + 1
+    final["outputs"] = {
+        (stage if per_stage[stage] == 1 else f"{stage}::{otype}"): "".join(parts)
+        for (stage, otype), parts in outputs.items()
+    }
     return final
 
 

@@ -22,6 +22,13 @@ from typing import Any
 
 OUTPUT_CHUNK_CHARS = 32_000  # reference executor/progress_tracker.rs:9
 
+# asyncio StreamReader's default readline limit is 64 KiB; a pipeline
+# submission or an escaped output chunk (32k chars can JSON-encode to
+# ~192 KB with non-ASCII escapes) easily exceeds it, and overflow kills
+# the connection with a bare ValueError.  Both server and client create
+# their streams with this limit instead.
+STREAM_LIMIT = 8 * 1024 * 1024
+
 
 def encode(msg: dict[str, Any]) -> bytes:
     return (json.dumps(msg, separators=(",", ":")) + "\n").encode()
@@ -32,12 +39,15 @@ def decode(line: bytes) -> dict[str, Any]:
 
 
 def chunk_output(stage: str, output_type: str, payload: str):
-    """Yield output_start / output_chunk* / output_end messages."""
+    """Yield output_start / output_chunk* / output_end messages.
+    Chunks carry ``output_type`` too, so a stage emitting several
+    output kinds (show + explain) reassembles into separate streams."""
     yield {"type": "output_start", "stage": stage, "output_type": output_type}
     for i in range(0, len(payload), OUTPUT_CHUNK_CHARS):
         yield {
             "type": "output_chunk",
             "stage": stage,
+            "output_type": output_type,
             "data": payload[i : i + OUTPUT_CHUNK_CHARS],
         }
-    yield {"type": "output_end", "stage": stage}
+    yield {"type": "output_end", "stage": stage, "output_type": output_type}

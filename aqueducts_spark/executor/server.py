@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 from ..config.loader import load_pipeline_str
 from ..pipeline import run_pipeline
 from ..progress import ProgressEvent, ProgressTracker
-from .protocol import chunk_output, decode, encode
+from .protocol import STREAM_LIMIT, chunk_output, decode, encode
 
 
 class _StreamingTracker(ProgressTracker):
@@ -77,7 +77,9 @@ class ExecutorServer:
     # ----- lifecycle ----------------------------------------------------
     async def start(self) -> int:
         self._wakeup = asyncio.Event()
-        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port, limit=STREAM_LIMIT
+        )
         self.port = self._server.sockets[0].getsockname()[1]
         self._worker_task = asyncio.create_task(self._worker())
         return self.port
@@ -191,13 +193,21 @@ class ExecutorServer:
                         {"type": "succeeded", "execution_id": ex.id}
                     )
             except Exception as exc:  # noqa: BLE001 - reported to client
-                ex.queue.put_nowait(
-                    {
-                        "type": "error",
-                        "execution_id": ex.id,
-                        "message": str(exc)[:2000],
-                    }
-                )
+                if ex.cancelled.is_set():
+                    # cancelJobGroup interrupts the running Spark action,
+                    # which surfaces here as an exception — report the
+                    # clean protocol outcome, not a stack trace
+                    ex.queue.put_nowait(
+                        {"type": "cancelled", "execution_id": ex.id}
+                    )
+                else:
+                    ex.queue.put_nowait(
+                        {
+                            "type": "error",
+                            "execution_id": ex.id,
+                            "message": str(exc)[:2000],
+                        }
+                    )
             finally:
                 self._executions.pop(ex.id, None)
 
@@ -207,6 +217,10 @@ class ExecutorServer:
             req["pipeline"],
             fmt=req.get("format", "yaml"),
             params=req.get("params") or {},
+            # the client substitutes templates before submitting
+            # (reference remote CLI semantics); re-substituting here
+            # would reject any PARAM VALUE that itself contains ${...}
+            substitute=not req.get("pre_substituted", False),
         )
         sc = self.spark.sparkContext
         sc.setJobGroup(ex.id, f"aqueducts execution {ex.id}", interruptOnCancel=True)

@@ -56,12 +56,19 @@ _SQL_UDFS: dict[str, str] = {
     ),
     # DataFusion date_bin(stride, source, origin): origin-aligned bucket.
     # CAST(interval AS BIGINT) yields whole seconds for DAY TO SECOND.
+    # FLOOR division, not `div`: div truncates toward zero, so a src
+    # EARLIER than the origin would bin one stride too late (DataFusion
+    # floors).  floor(a/b) for b>0 == a div b - (1 if a % b != 0 and
+    # a < 0) in exact integer arithmetic.
     "date_bin": (
         "CREATE OR REPLACE TEMPORARY FUNCTION date_bin("
         "stride INTERVAL DAY TO SECOND, src TIMESTAMP, origin TIMESTAMP) "
         "RETURNS TIMESTAMP RETURN timestamp_micros("
         "unix_micros(origin) + "
-        "((unix_micros(src) - unix_micros(origin)) div (CAST(stride AS BIGINT) * 1000000))"
+        "(((unix_micros(src) - unix_micros(origin)) div (CAST(stride AS BIGINT) * 1000000))"
+        " - (CASE WHEN (unix_micros(src) - unix_micros(origin)) < 0"
+        " AND (unix_micros(src) - unix_micros(origin)) % (CAST(stride AS BIGINT) * 1000000) != 0"
+        " THEN 1 ELSE 0 END))"
         " * (CAST(stride AS BIGINT) * 1000000))"
     ),
     "to_timestamp_seconds": (
@@ -90,11 +97,21 @@ _SQL_UDFS: dict[str, str] = {
     # Spark 4 has a builtin `to_char` (numeric formatting) that SQL UDFs
     # cannot shadow, so this registers as df_to_char; the dialect
     # translator renames to_char -> df_to_char.
+    # Literal-safe translation: in chrono every non-% character is a
+    # LITERAL, but Java patterns treat bare letters as pattern letters
+    # ('%Y-%m-%dT%H' would die on the unquoted ISO 'T').  So: wrap the
+    # whole format in quotes (all literal), and each specifier
+    # replacement closes/reopens the quote around its pattern letters;
+    # collapsing the resulting '' pairs merges adjacent sections.
+    # (Known approximation: a literal ' in the format is unsupported.)
     "df_to_char": (
         "CREATE OR REPLACE TEMPORARY FUNCTION df_to_char(t TIMESTAMP, fmt STRING) "
         "RETURNS STRING RETURN date_format(t, "
+        "replace(concat('''', "
         "replace(replace(replace(replace(replace(replace(fmt,"
-        "'%Y','yyyy'),'%m','MM'),'%d','dd'),'%H','HH'),'%M','mm'),'%S','ss'))"
+        "'%Y','''yyyy'''),'%m','''MM'''),'%d','''dd'''),"
+        "'%H','''HH'''),'%M','''mm'''),'%S','''ss'''),"
+        " ''''), '''''', ''))"
     ),
     # DataFusion regexp_match(s, p): first full match as array (approx)
     "regexp_match": (

@@ -71,8 +71,8 @@ def lint_plan(df: DataFrame) -> list[str]:
     Wired into the stage ``explain`` flag so every explained stage gets
     its lint report for free; also usable standalone on any DataFrame.
     """
-    text = explain_formatted(df)
     info = inspect_plan(df)
+    text = info.text  # one explainString round-trip, not two
     warnings: list[str] = []
     if re.search(r"\(\d+\) CartesianProduct", text):
         warnings.append(
@@ -103,7 +103,11 @@ def lint_plan(df: DataFrame) -> list[str]:
             "is rarely needed — use ORDER BY+LIMIT (top-k), sortWithinPartitions, "
             "or drop the ordering"
         )
-    if re.search(r"\(\d+\) Coalesce 1\b|coalesce\(1\)", text):
+    # formatted mode splits the node name from its argument ("(N)
+    # Coalesce" + "Arguments: 1" in the detail block) — match the pair,
+    # not "Coalesce 1" (never printed) or "coalesce(1)" (matches the
+    # scalar COALESCE function)
+    if re.search(r"\(\d+\) Coalesce\b[\s\S]{0,200}?Arguments: 1\b", text):
         warnings.append(
             "coalesce(1): single-task funnel — acceptable only for small "
             "summary outputs (single_file destinations)"

@@ -72,6 +72,12 @@ def apply_storage_config(spark, location: str, storage_config: dict[str, str]) -
         for key, value in storage_config.items():
             if _AZURE_KEY_MAP.get(key.lower()) == "account_name":
                 account = value
+        if account is None and "@" in parsed.netloc:
+            # infer from abfss://container@ACCOUNT.dfs.core.windows.net/...
+            # (reference object_store does the same) — an account_key with
+            # no account_name was previously dropped silently
+            host = parsed.netloc.split("@", 1)[1]
+            account = host.split(".", 1)[0] or None
         for key, value in storage_config.items():
             mapped = _AZURE_KEY_MAP.get(key.lower())
             if mapped == "account_key" and account:

@@ -173,3 +173,25 @@ class TestDialectPipeline:
         assert row.arr == ["a"]
         assert sorted(row.names) == ["ada", "bob"]
         spark.catalog.dropTempView("dialect_out")
+
+
+class TestCompatHardening:
+    def test_to_char_iso_literal_t(self, spark):
+        """Chrono literals (the ISO 'T') must be quoted into the Java
+        pattern, not parsed as pattern letters."""
+        r = spark.sql(
+            "SELECT df_to_char(TIMESTAMP '2026-01-02 03:04:05', "
+            "'%Y-%m-%dT%H:%M:%S') AS iso, "
+            "df_to_char(TIMESTAMP '2026-01-02 03:04:05', 'at %H hours') AS words"
+        ).collect()[0]
+        assert r.iso == "2026-01-02T03:04:05"
+        assert r.words == "at 03 hours"
+
+    def test_date_bin_floors_before_origin(self, spark):
+        """DataFusion floors; Spark's div truncates toward zero — a src
+        before the origin must bin DOWN, not up."""
+        r = spark.sql(
+            "SELECT date_bin(INTERVAL 1 DAY, TIMESTAMP '1969-12-31 12:00:00', "
+            "TIMESTAMP '1970-01-01') AS b"
+        ).collect()[0]
+        assert str(r.b) == "1969-12-31 00:00:00"

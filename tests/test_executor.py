@@ -133,3 +133,59 @@ def test_chunking_roundtrip():
     ]
     assert "".join(m["data"] for m in msgs if m["type"] == "output_chunk") == payload
     assert max(len(m.get("data", "")) for m in msgs) == 32_000
+
+
+def test_large_pipeline_submission_exceeds_default_asyncio_limit(server, tmp_path):
+    """A pipeline document larger than asyncio's default 64 KiB readline
+    limit must round-trip (both sides raise the stream limit)."""
+    port = server["port"]
+    host = "127.0.0.1"
+    filler = "".join(f"# pad {i} {'x' * 200}\n" for i in range(400))  # ~80 KB
+    yml = filler + """
+version: "v2"
+sources:
+  - type: in_memory
+    name: big_src
+stages:
+  - - name: big_out
+      query: SELECT COUNT(*) AS n FROM big_src
+      show: 5
+"""
+    import pyspark.sql as _sql
+
+    spark = _sql.SparkSession.getActiveSession()
+    spark.createDataFrame([(1,), (2,)], ["v"]).createOrReplaceTempView("big_src")
+    final = submit_pipeline(host, port, yml, fmt="yaml", timeout=120)
+    assert final["type"] == "succeeded", final
+    assert "big_out" in final["outputs"]
+
+
+def test_param_value_containing_template_syntax(server):
+    """The server must not re-substitute a client-templated pipeline: a
+    param VALUE containing literal ${...} is data, not a template."""
+    port = server["port"]
+    host = "127.0.0.1"
+    yml = """
+version: "v2"
+sources:
+  - type: in_memory
+    name: tpl_src
+stages:
+  - - name: tpl_out
+      query: SELECT '${pattern}' AS pat, COUNT(*) AS n FROM tpl_src
+      show: 5
+"""
+    import pyspark.sql as _sql
+
+    spark = _sql.SparkSession.getActiveSession()
+    spark.createDataFrame([(1,)], ["v"]).createOrReplaceTempView("tpl_src")
+    final = submit_pipeline(
+        host, port, yml, params={"pattern": "${not_a_param}"}, fmt="yaml", timeout=120
+    )
+    # the regression: the server used to re-run template substitution on
+    # the already-client-substituted text and fail the execution with
+    # MissingParamsError for the injected ${not_a_param}.  (What the
+    # query PRINTS for it is Spark's own SQL variable substitution — a
+    # separate layer, not under test here.)
+    assert final["type"] == "succeeded", final
+    assert "|1  |" in final["outputs"]["tpl_out"]
