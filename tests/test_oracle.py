@@ -105,6 +105,28 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_gate_outputs_are_driver_canonicalizable(spark):
+    """The driver canonicalizes results via pandas ``sort_values`` +
+    value-hash, which raises ``TypeError: unhashable type`` on array /
+    map / struct cells (CORRECTNESS_r01 q29/q37).  Guard every gate
+    query's *schema*: complex-typed output columns must be serialized
+    (``to_json``) before leaving ``queries()``.
+    """
+    from pyspark.sql import types as T
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, SF_DIR)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed gate outputs (driver canon would fail): {bad}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
