@@ -478,13 +478,27 @@ def embedding_near_duplicates(
     first and run this within buckets. Dot/norm are ``aggregate`` +
     ``zip_with`` — JVM-side, no Python.
     """
-    from .similarity import cosine_similarity
+    from .similarity import dot, l2_norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-id norms are computed ONCE on each n-row side instead of per
+    # pair (n^2 evaluations of an interpreted higher-order aggregate);
+    # the pair expression dot/(na*nb) is IEEE-identical to the inline
+    # cosine_similarity form, so oracle hash parity is unaffected
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
@@ -530,7 +544,7 @@ def embedding_near_duplicates_lsh(
     Same contract as the brute-force twin: ``id_a < id_b``, exact
     ``cosine > threshold``, cosine rounded to 4 places.
     """
-    from .similarity import cosine_similarity, random_hyperplanes
+    from .similarity import dot, l2_norm, random_hyperplanes
 
     # NULL vectors can never exceed a cosine threshold (the brute-force
     # twin propagates NULL cosine, which fails the filter) — drop them
@@ -588,12 +602,28 @@ def embedding_near_duplicates_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # exact-verify with per-id norms precomputed on the n-row vector
+    # sides (not per candidate pair): the interpreted aggregate() HOF is
+    # the expensive part of verification, and dot/(na*nb) is
+    # IEEE-identical to the inline cosine_similarity expression, so the
+    # oracle hash is unchanged while 2/3 of the HOF work disappears
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

@@ -84,6 +84,11 @@ def main() -> None:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # the generated-class cache holds 100 entries by default; ~40
+        # multi-stage queries x3 repeats evict every class before its
+        # re-run, so even min-of-3 keeps paying janino compilation.
+        # sizing it to the suite makes repeats measure execution.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
