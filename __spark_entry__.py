@@ -1287,6 +1287,40 @@ reach(u, v) AS (
 SELECT u AS node, least(u, MIN(v)) AS component FROM reach GROUP BY u
 """
 
+# end-to-end fuzzy dedup: minhash-band pairs -> recursive-CTE closure
+# -> drop non-canonical members (NOT EXISTS mirrors the Spark left_anti,
+# which passes NULL ids through)
+OP_FUZZY_DEDUP_DUCK = _DUCK_BANDS.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(u, MIN(v)) AS component FROM reach GROUP BY u),
+noncanon AS (SELECT node FROM comp WHERE component <> node)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM noncanon nc WHERE nc.node = d.doc_id)
+"""
+
+# mirrors sampling.hash_bucket + the CASE threshold compiled by
+# stratified_sample (rates: en 0.2, zh 1.0, default 0.5 over 10k buckets)
+OP_STRATIFIED_SAMPLE_DUCK = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0))), 1, 15))::BIGINT % 10000
+      < CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'zh' THEN 10000 ELSE 5000 END
+"""
+
 OP_JACCARD_DUCK = f"""
 WITH {_DUCK_SHINGLES},
 sh AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
@@ -1860,6 +1894,42 @@ def _op_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=_SHINGLE_N,
     )
     return connected_components(pairs)
+
+
+def _op_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup — the composition a training pipeline
+    actually runs: MinHash-LSH candidate pairs -> connected components
+    over the similarity graph -> keep the minimum doc_id per duplicate
+    cluster (anti-join). Each piece is also gate-checked on its own
+    (op_minhash_pairs, op_cluster_components); this key checks the
+    composition. Scale shape: banded LSH (never all-pairs), label
+    propagation with one join+min-agg per round, and a final broadcast
+    anti-join of the non-canonical id set."""
+    from aqueducts_spark.operators.dedup import fuzzy_dedup
+
+    _views(spark, sf_dir)
+    return fuzzy_dedup(
+        spark.table("documents"),
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    ).select("doc_id", "lang", "source")
+
+
+def _op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (e.g. cap dominant
+    languages): the rate table compiles to one CASE over an md5 bucket
+    — no join, no shuffle, reproducible across engines."""
+    from aqueducts_spark.operators.sampling import stratified_sample
+
+    _views(spark, sf_dir)
+    return stratified_sample(
+        spark.table("documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.2, "zh": 1.0},
+        default_rate=0.5,
+    ).select("doc_id", "lang")
 
 
 def _op_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2784,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_pack_shards": _op_pack_shards_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
+        "op_fuzzy_dedup": _op_fuzzy_dedup,
+        "op_stratified_sample": _op_stratified_sample,
         "op_simhash": _op_simhash,
         "op_embed_neardup": _op_embed_neardup,
         "op_embed_neardup_lsh": _op_embed_neardup_lsh,
@@ -2887,6 +2959,8 @@ def oracle_sql() -> dict[str, str]:
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
+        "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,
+        "op_stratified_sample": OP_STRATIFIED_SAMPLE_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,
         "op_embed_neardup_lsh": OP_EMBED_NEARDUP_DUCK,

@@ -41,6 +41,7 @@ __all__ = [
     "remove_duplicated_spans",
     "minhash_bands",
     "minhash_candidate_pairs",
+    "fuzzy_dedup",
     "jaccard_pairs",
     "simhash",
     "embedding_near_duplicates",
@@ -381,6 +382,36 @@ def minhash_candidate_pairs(
         )
         .distinct()
     )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end fuzzy document dedup: MinHash-LSH candidate pairs →
+    connected components of the similarity graph → keep the minimum-id
+    representative per duplicate cluster.
+
+    This is the standard large-corpus training-data dedup recipe (the
+    GPT-3 / Gopher-style MinHash pipeline): every step is banded or
+    per-component — nothing quadratic in the corpus. Rows not in any
+    near-dup pair pass through untouched.
+    """
+    from .cluster import cluster_dedup
+
+    pairs = minhash_candidate_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    return cluster_dedup(df, pairs, id_col=id_col)
 
 
 def jaccard_pairs(

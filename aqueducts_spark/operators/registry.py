@@ -70,6 +70,18 @@ def _op_minhash_pairs(spark, inp, options):
     )
 
 
+def _op_fuzzy_dedup(spark, inp, options):
+    from .dedup import fuzzy_dedup
+
+    return fuzzy_dedup(
+        inp,
+        num_hashes=int(options.get("num_hashes", 16)),
+        bands=int(options.get("bands", 4)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        **_docs_args(options),
+    )
+
+
 def _op_jaccard_pairs(spark, inp, options):
     from .dedup import jaccard_pairs
 
@@ -700,6 +712,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "exact_dedup": _op_exact_dedup,
     "minhash_bands": _op_minhash_bands,
     "minhash_pairs": _op_minhash_pairs,
+    "fuzzy_dedup": _op_fuzzy_dedup,
     "jaccard_pairs": _op_jaccard_pairs,
     "simhash": _op_simhash,
     "embed_neardup": _op_embed_neardup,

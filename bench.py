@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "op_fixed_n_sample",
     "op_line_dedup",
     "op_span_dedup",
+    "op_fuzzy_dedup",
+    "op_stratified_sample",
     "op_unigram_nll",
     "op_bigram_nll",
     "op_weighted_mix",

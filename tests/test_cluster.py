@@ -41,6 +41,41 @@ def test_cluster_dedup_keeps_canonical(spark, edges):
     assert kept == [1, 10, 20, 99]
 
 
+def test_fuzzy_dedup_end_to_end(spark):
+    from aqueducts_spark.operators.dedup import fuzzy_dedup
+
+    # 40 shared tokens -> J(1,3) ~ 0.97: high enough that the fixed-seed
+    # 16-hash/4-band sketch catches the pair deterministically
+    base = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base + " tail"),  # near dup of 1/2 (shares most shingles)
+            (4, "completely different words about spark pipelines at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in fuzzy_dedup(docs).collect())
+    # cluster {1,2,3} keeps min id 1; isolated 4 passes through
+    assert kept == [1, 4]
+
+
+def test_fuzzy_dedup_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, base), (2, base), (7, "unrelated text entirely")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("fuzzy_docs")
+    out = run_operator(
+        spark, {"type": "fuzzy_dedup", "input": "fuzzy_docs", "options": {}}
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1, 7]
+    spark.catalog.dropTempView("fuzzy_docs")
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     from aqueducts_spark.operators.cluster import connected_components
 
