@@ -1055,6 +1055,119 @@ def _op_kmv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# count-min sketch point query (operators/sketch.py): the sketch is a
+# (d, cell, count) relation built with salted md5 hashes, so the oracle
+# rebuilds the identical relation and the classic min-over-rows
+# estimate matches exactly (including collision-driven overestimates)
+OP_CMS_FREQ_DUCK = """
+WITH ds AS (SELECT unnest(generate_series(1, 3)) AS d),
+cells AS (
+  SELECT d,
+         ('0x' || substr(md5('cms' || d || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c,
+         COUNT(*) AS cnt
+  FROM lineitem, ds
+  WHERE l_suppkey IS NOT NULL
+  GROUP BY 1, 2
+),
+items AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 50),
+probes AS (
+  SELECT l_suppkey, d,
+         ('0x' || substr(md5('cms' || d || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c
+  FROM items, ds
+)
+SELECT p.l_suppkey, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS freq_est
+FROM probes p LEFT JOIN cells ON cells.d = p.d AND cells.c = p.c
+GROUP BY 1
+"""
+
+
+def _op_cms_freq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS build over the full lineitem volume + point queries for a
+    small item set; deterministic salted-md5 hashing makes even the
+    hash-collision overestimates oracle-reproducible."""
+    from aqueducts_spark.operators.sketch import cms_estimate, cms_sketch
+
+    _views(spark, sf_dir)
+    li = spark.table("lineitem")
+    sk = cms_sketch(li, [], "l_suppkey", width=1024, depth=3)
+    items = li.where(F.col("l_suppkey") <= 50).select("l_suppkey").distinct()
+    return cms_estimate(sk, items, "l_suppkey", width=1024, depth=3).select(
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("freq_est").cast("bigint").alias("freq_est"),
+    )
+
+
+# bloom prefilter (operators/sketch.py): build side = BUILDING-segment
+# customer keys, probe side = every order; the bitmap is deterministic
+# salted md5, so the survivor set — including false positives — is
+# reproduced bit-for-bit by the oracle
+OP_BLOOM_PREFILTER_DUCK = """
+WITH hs AS (SELECT unnest(generate_series(1, 4)) AS i),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5('bloom' || i || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+  FROM customer, hs
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL
+),
+probes AS (
+  SELECT o_orderkey, o_custkey,
+         ('0x' || substr(md5('bloom' || i || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+  FROM orders, hs
+  WHERE o_custkey IS NOT NULL
+)
+SELECT o_orderkey, o_custkey
+FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+GROUP BY o_orderkey, o_custkey
+HAVING SUM(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0
+"""
+
+
+def _op_bloom_prefilter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter a fact scan: the bitmap rides as an int64-word
+    array literal and each probe row tests its positions with
+    shift/AND codegen — zero shuffle on the probe side."""
+    from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
+
+    _views(spark, sf_dir)
+    cust = spark.table("customer").where(F.col("c_mktsegment") == "BUILDING")
+    bits = bloom_sketch(cust, "c_custkey", num_bits=8192, num_hashes=4)
+    return bloom_filter(
+        spark.table("orders"), "o_custkey", bits, num_bits=8192, num_hashes=4
+    ).select("o_orderkey", "o_custkey")
+
+
+# incremental dedup (operators/dedup.py::dedup_against): new-crawl rows
+# whose text payload already exists in the reference corpus are dropped
+# via a broadcast anti-join on the 32-byte payload fingerprint
+OP_DEDUP_AGAINST_DUCK = """
+WITH newc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+corp AS (
+  SELECT DISTINCT md5(COALESCE(text, chr(0) || '<NULL>')) AS k
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT n.doc_id
+FROM newc n
+WHERE NOT EXISTS (
+  SELECT 1 FROM corp
+  WHERE corp.k = md5(COALESCE(n.text, chr(0) || '<NULL>'))
+)
+"""
+
+
+def _op_dedup_against_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-crawl vs existing-corpus dedup (the incremental ingestion
+    step): anti-join on the md5 payload fingerprint, corpus side
+    broadcast (an eval/benchmark-scale reference set)."""
+    from aqueducts_spark.operators.dedup import dedup_against
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup_against(new, corpus, ["text"], broadcast_corpus=True).select(
+        "doc_id"
+    )
+
+
 # weighted training-mix (operators/mixing.py::weighted_mix): per-lang
 # multipliers realized as floor(w) copies + one hash-gated extra; the
 # integer bucket thresholds (round(frac(w)*10000)) are precomputed so
@@ -2850,6 +2963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_range_join": _op_range_join_gate,
         "op_time_rollup": _op_time_rollup_gate,
         "op_kmv_distinct": _op_kmv_gate,
+        "op_cms_freq": _op_cms_freq_gate,
+        "op_bloom_prefilter": _op_bloom_prefilter_gate,
+        "op_dedup_against": _op_dedup_against_gate,
         "op_weighted_mix": _op_weighted_mix_gate,
         "op_pack_shards": _op_pack_shards_gate,
         "op_zorder_key": _op_zorder_gate,
@@ -2955,6 +3071,9 @@ def oracle_sql() -> dict[str, str]:
         "op_range_join": OP_RANGE_JOIN_DUCK,
         "op_time_rollup": OP_TIME_ROLLUP_DUCK,
         "op_kmv_distinct": OP_KMV_DUCK,
+        "op_cms_freq": OP_CMS_FREQ_DUCK,
+        "op_bloom_prefilter": OP_BLOOM_PREFILTER_DUCK,
+        "op_dedup_against": OP_DEDUP_AGAINST_DUCK,
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "op_range_join",
     "op_time_rollup",
     "op_kmv_distinct",
+    "op_cms_freq",
+    "op_bloom_prefilter",
+    "op_dedup_against",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "op_hash_sample",
