@@ -492,3 +492,57 @@ def test_minhash_bands_requires_divisibility(spark):
     df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="must divide"):
         minhash_bands(df, num_hashes=16, bands=5)
+
+
+def test_dedup_against_drops_known_payloads(spark):
+    from aqueducts_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "also seen"), (4, None)],
+        "doc_id int, text string",
+    )
+    for bc in (False, True):
+        kept = sorted(
+            r.doc_id for r in dedup_against(new, corpus, ["text"], broadcast_corpus=bc).collect()
+        )
+        # NULL payload is not in the corpus (corpus has no NULL row), so
+        # it survives; identical texts are dropped regardless of id
+        assert kept == [2, 4], f"broadcast_corpus={bc}"
+
+
+def test_dedup_against_null_payload_matches_null_corpus_row(spark):
+    from aqueducts_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame([(9, None)], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, "real")], "doc_id int, text string"
+    )
+    kept = [r.doc_id for r in dedup_against(new, corpus, ["text"]).collect()]
+    # the NULL sentinel makes NULL==NULL for dedup purposes (a corpus
+    # document with NULL text fingerprints identically)
+    assert kept == [2]
+
+
+def test_dedup_against_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["doc_id", "text"]
+    ).createOrReplaceTempView("da_new")
+    spark.createDataFrame([(5, "x")], ["doc_id", "text"]).createOrReplaceTempView(
+        "da_corpus"
+    )
+    out = run_operator(
+        spark,
+        {
+            "type": "dedup_against",
+            "input": "da_new",
+            "options": {"corpus": "da_corpus", "columns": ["text"]},
+        },
+    )
+    assert [r.doc_id for r in out.collect()] == [2]
+    spark.catalog.dropTempView("da_new")
+    spark.catalog.dropTempView("da_corpus")

@@ -129,3 +129,68 @@ def test_bloom_filter_rejects_mismatched_num_bits(spark):
     sketch = bloom_sketch(df, "k", num_bits=8192)
     with pytest.raises(ValueError, match="different num_bits"):
         bloom_filter(df, "k", sketch, num_bits=64).count()
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
+
+    members = spark.createDataFrame([(i,) for i in range(0, 500, 5)], ["k"])
+    probes = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    bits = bloom_sketch(members, "k", num_bits=4096, num_hashes=4)
+    kept = {r.k for r in bloom_filter(probes, "k", bits, num_bits=4096, num_hashes=4).collect()}
+    # every true member survives (the bloom contract); non-members may
+    # leak through as false positives but never the other way round
+    assert set(range(0, 500, 5)) <= kept
+
+
+def test_bloom_filter_drops_nulls_and_most_nonmembers(spark):
+    from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
+
+    members = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    probes = spark.createDataFrame(
+        [(i,) for i in range(1000, 2000)] + [(None,)], ["k"]
+    )
+    bits = bloom_sketch(members, "k", num_bits=8192, num_hashes=4)
+    out = bloom_filter(probes, "k", bits, num_bits=8192, num_hashes=4)
+    rows = out.collect()
+    assert all(r.k is not None for r in rows)  # a bloom can't vouch for NULL
+    # 50 keys in 8192 bits, 4 hashes -> fp rate well under 1%
+    assert len(rows) < 50
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(spark):
+    from aqueducts_spark.operators.sketch import cms_estimate, cms_sketch
+
+    # frequencies: value i appears i times, i in 1..20
+    rows = [(v,) for v in range(1, 21) for _ in range(v)]
+    df = spark.createDataFrame(rows, ["v"])
+    sk = cms_sketch(df, [], "v", width=1024, depth=3)
+    items = spark.createDataFrame([(v,) for v in range(1, 21)], ["v"])
+    est = {
+        r.v: r.freq_est
+        for r in cms_estimate(sk, items, "v", width=1024, depth=3).collect()
+    }
+    for v in range(1, 21):
+        assert est[v] >= v  # CMS point queries never underestimate
+    # 20 distinct values in 1024 cells x 3 rows: collisions essentially
+    # impossible, so the estimates are exact
+    assert est == {v: v for v in range(1, 21)}
+
+
+def test_cms_merge_equals_whole(spark):
+    from aqueducts_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+        merge_cms_sketches,
+    )
+
+    a = spark.createDataFrame([(v,) for v in [1, 1, 2, 3]], ["v"])
+    b = spark.createDataFrame([(v,) for v in [1, 3, 3, 4]], ["v"])
+    merged = merge_cms_sketches(
+        [cms_sketch(a, [], "v"), cms_sketch(b, [], "v")]
+    )
+    whole = cms_sketch(a.unionAll(b), [], "v")
+    items = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], ["v"])
+    em = {r.v: r.freq_est for r in cms_estimate(merged, items, "v").collect()}
+    ew = {r.v: r.freq_est for r in cms_estimate(whole, items, "v").collect()}
+    assert em == ew == {1: 3, 2: 1, 3: 3, 4: 1}  # counters are linear
