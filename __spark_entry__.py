@@ -1168,6 +1168,67 @@ def _op_dedup_against_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DDSketch-style quantile sketch (operators/sketch.py::dd_sketch):
+# log-bucket construction is pure arithmetic, so the oracle rebuilds
+# the identical bucket relation and estimates. ln(γ) and 2/(γ+1) are
+# computed ONCE in Python and inlined as repr() double literals on
+# both engines — neither engine's libm evaluates the shared constants.
+_DD_GAMMA = 1.02
+_DD_LN_G = __import__("math").log(_DD_GAMMA)
+_DD_COEF = 2.0 / (_DD_GAMMA + 1.0)
+_DD_QS = [0.5, 0.95, 0.99]
+
+OP_QUANTILE_SKETCH_DUCK = f"""
+WITH vals AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+),
+bucketed AS (
+  SELECT l_returnflag,
+         CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
+         CASE WHEN v = 0 THEN 0 ELSE CAST(ceil(ln(abs(v)) / {_DD_LN_G!r}) AS BIGINT) END AS bucket,
+         COUNT(*) AS cnt
+  FROM vals GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT l_returnflag, cnt,
+         CASE WHEN sgn = 0 THEN 0.0
+              ELSE sgn * {_DD_COEF!r} * power({_DD_GAMMA!r}, bucket) END AS rep,
+         SUM(cnt) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY (CASE WHEN sgn = 0 THEN 0.0
+                          ELSE sgn * {_DD_COEF!r} * power({_DD_GAMMA!r}, bucket) END) ASC
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM bucketed
+),
+qs AS (SELECT CAST(unnest({_DD_QS}) AS DOUBLE) AS q)
+SELECT l_returnflag, q, ROUND(rep, 6) AS est
+FROM (
+  SELECT w.l_returnflag, qs.q, w.rep,
+         ROW_NUMBER() OVER (PARTITION BY w.l_returnflag, qs.q ORDER BY w.rep ASC) AS rn
+  FROM w, qs
+  WHERE w.cum >= floor(q * (w.n - 1)) + 1
+) t WHERE rn = 1
+"""
+
+
+def _op_quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation over the full lineitem volume:
+    one count shuffle builds the log-bucket relation; quantile
+    extraction windows over bucket rows only. Estimates carry the
+    DDSketch (γ-1)/(γ+1) relative-error guarantee and reproduce
+    bit-for-bit in the oracle."""
+    from aqueducts_spark.operators.sketch import dd_quantile, dd_sketch
+
+    _views(spark, sf_dir)
+    sk = dd_sketch(
+        spark.table("lineitem"), ["l_returnflag"], "l_extendedprice", gamma=_DD_GAMMA
+    )
+    return dd_quantile(sk, ["l_returnflag"], _DD_QS, gamma=_DD_GAMMA)
+
+
 # weighted training-mix (operators/mixing.py::weighted_mix): per-lang
 # multipliers realized as floor(w) copies + one hash-gated extra; the
 # integer bucket thresholds (round(frac(w)*10000)) are precomputed so
@@ -2966,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_cms_freq": _op_cms_freq_gate,
         "op_bloom_prefilter": _op_bloom_prefilter_gate,
         "op_dedup_against": _op_dedup_against_gate,
+        "op_quantile_sketch": _op_quantile_sketch_gate,
         "op_weighted_mix": _op_weighted_mix_gate,
         "op_pack_shards": _op_pack_shards_gate,
         "op_zorder_key": _op_zorder_gate,
@@ -3074,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         "op_cms_freq": OP_CMS_FREQ_DUCK,
         "op_bloom_prefilter": OP_BLOOM_PREFILTER_DUCK,
         "op_dedup_against": OP_DEDUP_AGAINST_DUCK,
+        "op_quantile_sketch": OP_QUANTILE_SKETCH_DUCK,
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),

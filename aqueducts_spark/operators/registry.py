@@ -393,6 +393,35 @@ def _op_time_rollup(spark, inp, options):
     )
 
 
+def _op_dd_sketch(spark, inp, options):
+    from .sketch import dd_sketch
+
+    if "value_col" not in options:
+        raise OperatorError("dd_sketch operator requires options.value_col")
+    return dd_sketch(
+        inp,
+        group_cols=options.get("group_cols", []),
+        value_col=options["value_col"],
+        gamma=float(options.get("gamma", 1.02)),
+    )
+
+
+def _op_dd_quantiles(spark, inp, options):
+    from .sketch import dd_quantile, dd_sketch
+
+    if "value_col" not in options:
+        raise OperatorError("dd_quantiles operator requires options.value_col")
+    grp = options.get("group_cols", [])
+    gamma = float(options.get("gamma", 1.02))
+    sk = dd_sketch(inp, grp, options["value_col"], gamma=gamma)
+    return dd_quantile(
+        sk,
+        grp,
+        [float(q) for q in options.get("quantiles", [0.5, 0.95, 0.99])],
+        gamma=gamma,
+    )
+
+
 def _op_kmv_distinct(spark, inp, options):
     from .sketch import kmv_distinct
 
@@ -735,6 +764,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "range_join": _op_range_join,
     "time_rollup": _op_time_rollup,
     "kmv_distinct": _op_kmv_distinct,
+    "dd_sketch": _op_dd_sketch,
+    "dd_quantiles": _op_dd_quantiles,
     "weighted_mix": _op_weighted_mix,
     "pack_shards": _op_pack_shards,
     "skew_profile": _op_skew_profile,

@@ -52,6 +52,9 @@ __all__ = [
     "merge_cms_sketches",
     "bloom_sketch",
     "bloom_filter",
+    "dd_sketch",
+    "dd_quantile",
+    "merge_dd_sketches",
 ]
 
 # 60-bit hash space: conv() of 15 hex chars stays well inside int64 and
@@ -368,3 +371,134 @@ def bloom_filter(
     ]
     cond = F.col(value_col).isNotNull() & F.expr(" AND ".join(tests))
     return df.where(cond)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantile sketch (Masson, Lee & Rong, "DDSketch: a fast
+# and fully-mergeable quantile sketch with relative-error guarantees",
+# VLDB 2019).  Values map to logarithmic buckets ``ceil(ln(v)/ln(γ))``;
+# the per-bucket representative ``2γ^b/(γ+1)`` is within a relative
+# error of (γ-1)/(γ+1) of every value in the bucket, so any quantile
+# estimate carries the same guarantee.
+#
+# Why this sketch (vs percentile_approx): Spark's native
+# ``percentile_approx`` (KLL/GK-style) is the right default, but its
+# estimates are engine-internal.  DDSketch's construction is pure
+# arithmetic on the value, so it is DETERMINISTIC and cross-engine
+# reproducible — the DuckDB oracle rebuilds the identical bucket
+# relation and the identical estimates (the KMV-vs-HLL argument, for
+# quantiles).  ln(γ) and 2/(γ+1) are precomputed in PYTHON and inlined
+# as double literals on both engines so neither engine's libm computes
+# the shared constants.
+#
+# Scale design (100 TB): construction is ONE count shuffle keyed by
+# (group, sign, bucket) — map-side combined, reduce state bounded by
+# the bucket count (≈ ln(max/min)/ln γ per sign, e.g. ~2.3k buckets for
+# 12 decades at γ=1.02) — and sketches merge by summing bucket counts
+# (counters are linear), so per-shard/per-day sketches roll up without
+# re-reading data.  Quantile extraction windows over bucket rows (tiny),
+# never values.
+# ---------------------------------------------------------------------------
+
+
+def _dd_bucket(v, ln_gamma: float):
+    """(sign, bucket) for one value; 0 maps to (0, 0)."""
+    b_pos = F.ceil(F.log(F.abs(v)) / F.lit(ln_gamma)).cast("long")
+    sgn = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    return sgn.cast("int"), F.when(v == 0, F.lit(0).cast("long")).otherwise(b_pos)
+
+
+def dd_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Quantile sketch as rows ``(group..., sgn, bucket, cnt)``.
+
+    Row form (not an array blob) so sketches merge with plain
+    relational ops and a SQL oracle can rebuild the identical relation.
+    """
+    import math
+
+    if not gamma > 1.0:
+        raise ValueError(f"dd_sketch: gamma must be > 1, got {gamma}")
+    ln_gamma = math.log(gamma)
+    grp = list(group_cols)
+    v = F.col(value_col).cast("double")
+    sgn, bucket = _dd_bucket(v, ln_gamma)
+    return (
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .select(*grp, sgn.alias("sgn"), bucket.alias("bucket"))
+        .groupBy(*grp, "sgn", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_dd_sketches(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Bucket-wise sum: DD(A ⊎ B) == merge(DD(A), DD(B)) exactly."""
+    grp = list(group_cols)
+    merged = sketches[0].select(*grp, "sgn", "bucket", "cnt")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select(*grp, "sgn", "bucket", "cnt"))
+    return merged.groupBy(*grp, "sgn", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantile(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Per-group quantile estimates from a :func:`dd_sketch` relation.
+
+    Rank semantics are type-1 (lower-rank) over ROWS: quantile q picks
+    the value at rank ``floor(q*(n-1)) + 1`` in value order.  Each
+    returned estimate is the rank's bucket representative
+    ``sgn * 2γ^b/(γ+1)`` (0 for the zero bucket), rounded to 6 places —
+    within relative error (γ-1)/(γ+1) of the exact quantile.
+
+    Plan shape: one window over BUCKET rows (bounded, tiny) per group —
+    the raw value volume never reaches this stage.
+    """
+    import math
+
+    if not gamma > 1.0:
+        raise ValueError(f"dd_quantile: gamma must be > 1, got {gamma}")
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"dd_quantile: quantile {q} outside [0, 1]")
+    coef = 2.0 / (gamma + 1.0)
+    grp = list(group_cols)
+    # representative value orders buckets by the actual value order
+    # (negatives: larger bucket -> more negative)
+    rep = F.when(F.col("sgn") == 0, F.lit(0.0)).otherwise(
+        F.col("sgn") * F.lit(coef) * F.pow(F.lit(gamma), F.col("bucket"))
+    )
+    w_order = Window.partitionBy(*grp).orderBy(F.col("rep").asc())
+    cum = (
+        sketch.withColumn("rep", rep)
+        .withColumn("cum", F.sum("cnt").over(w_order))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*grp)))
+    )
+    out = None
+    for q in quantiles:
+        # rank in 1..n, type-1: floor(q*(n-1)) + 1
+        rank = F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
+        picked = (
+            cum.where(F.col("cum") >= rank)
+            .withColumn(
+                "__rn",
+                F.row_number().over(w_order),
+            )
+            .where(F.col("__rn") == 1)
+            .select(
+                *grp,
+                F.lit(float(q)).alias("q"),
+                F.round(F.col("rep"), 6).alias("est"),
+            )
+        )
+        out = picked if out is None else out.unionByName(picked)
+    return out

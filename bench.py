@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "op_time_rollup",
     "op_kmv_distinct",
     "op_cms_freq",
+    "op_quantile_sketch",
     "op_bloom_prefilter",
     "op_dedup_against",
     "sim_topk_bruteforce",

@@ -125,6 +125,49 @@ def test_kmv_two_exchanges_and_group_limit(spark):
     assert info.python_evals == 0
 
 
+def test_bloom_probe_side_zero_shuffle(spark):
+    """The probe side tests its bit positions against an embedded
+    bitmap literal — no join, no Exchange, no Python on the fact scan."""
+    from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
+
+    cust = spark.table("customer").where("c_mktsegment = 'BUILDING'")
+    bits = bloom_sketch(cust, "c_custkey", num_bits=8192, num_hashes=4)
+    out = bloom_filter(
+        spark.table("orders"), "o_custkey", bits, num_bits=8192, num_hashes=4
+    )
+    info = inspect_plan(out)
+    assert info.exchanges == 0, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert info.python_evals == 0
+
+
+def test_cms_single_shuffle_with_partial_agg(spark):
+    """CMS construction: explode the depth probes map-side, ONE count
+    exchange with partial aggregation before it."""
+    from aqueducts_spark.operators.sketch import cms_sketch
+
+    info = inspect_plan(spark.table("lineitem").transform(
+        lambda df: cms_sketch(df, [], "l_suppkey", width=1024, depth=3)
+    ))
+    assert info.exchanges == 1, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert info.text.count("HashAggregate") >= 2  # partial + final
+    assert info.python_evals == 0
+
+
+def test_dedup_against_broadcasts_corpus(spark):
+    """broadcast_corpus=True must plan a broadcast anti-join — the huge
+    new-crawl side is never shuffled."""
+    from aqueducts_spark.operators.dedup import dedup_against
+
+    docs = spark.table("documents")
+    out = dedup_against(
+        docs, docs.where("doc_id % 2 = 0"), ["text"], broadcast_corpus=True
+    )
+    info = inspect_plan(out)
+    assert info.broadcast_joins >= 1, info.text[:1500]
+    assert info.sort_merge_joins == 0
+    assert info.python_evals == 0
+
+
 def test_lint_flags_cartesian_and_python_udf(spark):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

@@ -194,3 +194,86 @@ def test_cms_merge_equals_whole(spark):
     em = {r.v: r.freq_est for r in cms_estimate(merged, items, "v").collect()}
     ew = {r.v: r.freq_est for r in cms_estimate(whole, items, "v").collect()}
     assert em == ew == {1: 3, 2: 1, 3: 3, 4: 1}  # counters are linear
+
+
+def test_dd_quantile_within_relative_error(spark):
+    from aqueducts_spark.operators.sketch import dd_quantile, dd_sketch
+
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.lognormvariate(5, 2) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    gamma = 1.02
+    sk = dd_sketch(df, [], "v", gamma=gamma)
+    est = {r.q: r.est for r in dd_quantile(sk, [], [0.1, 0.5, 0.9, 0.99], gamma=gamma).collect()}
+    svals = sorted(vals)
+    bound = (gamma - 1) / (gamma + 1)
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        exact = svals[int(q * (len(svals) - 1))]
+        rel = abs(est[q] - exact) / exact
+        assert rel <= bound + 1e-9, (q, est[q], exact, rel)
+
+
+def test_dd_sketch_handles_negatives_and_zero(spark):
+    from aqueducts_spark.operators.sketch import dd_quantile, dd_sketch
+
+    vals = [-100.0, -1.0, 0.0, 1.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = dd_sketch(df, [], "v")
+    est = {r.q: r.est for r in dd_quantile(sk, [], [0.0, 0.5, 1.0]).collect()}
+    bound = 0.02 / 2.02 + 1e-9
+    assert est[0.5] == 0.0  # median is the zero bucket, exact
+    assert abs(est[0.0] - (-100.0)) / 100.0 <= bound
+    assert abs(est[1.0] - 100.0) / 100.0 <= bound
+
+
+def test_dd_merge_equals_whole(spark):
+    from aqueducts_spark.operators.sketch import (
+        dd_quantile,
+        dd_sketch,
+        merge_dd_sketches,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in range(1, 101)], ["v"])
+    b = spark.createDataFrame([(float(v),) for v in range(101, 201)], ["v"])
+    merged = merge_dd_sketches([dd_sketch(a, [], "v"), dd_sketch(b, [], "v")])
+    whole = dd_sketch(a.unionAll(b), [], "v")
+    qm = {r.q: r.est for r in dd_quantile(merged, [], [0.5, 0.9]).collect()}
+    qw = {r.q: r.est for r in dd_quantile(whole, [], [0.5, 0.9]).collect()}
+    assert qm == qw  # bucket counters are linear
+
+
+def test_dd_sketch_single_shuffle(spark, sf_dir):
+    from aqueducts_spark.operators.sketch import dd_sketch
+    from aqueducts_spark.plans import inspect_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    info = inspect_plan(dd_sketch(li, ["l_returnflag"], "l_extendedprice"))
+    assert info.exchanges == 1, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert info.python_evals == 0
+
+
+def test_dd_registry_stage(spark, sf_dir):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "dd_lineitem"
+    )
+    out = run_operator(
+        spark,
+        {
+            "type": "dd_quantiles",
+            "input": "dd_lineitem",
+            "options": {
+                "group_cols": ["l_returnflag"],
+                "value_col": "l_extendedprice",
+                "quantiles": [0.5],
+            },
+        },
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"l_returnflag", "q", "est"}
+    assert len(rows) == 3  # one median per returnflag
+    assert all(r.est > 0 for r in rows)
+    spark.catalog.dropTempView("dd_lineitem")
