@@ -2433,6 +2433,51 @@ def _op_chunking_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # injected (the corpus has none), then scrubbed + counted. Patterns are
 # written in the Java-regex ∩ RE2 subset so both engines match the
 # same spans.
+# markup cleanup (operators/text.py::strip_markup): markup is injected
+# identically on both engines (documents text is plain), then stripped;
+# patterns live in the Java∩RE2 subset so every byte matches
+OP_STRIP_MARKUP_DUCK = r"""
+WITH inj AS (
+  SELECT doc_id,
+         '<p class="x">' || text ||
+         '</p><script>var x = 1 < 2;</script><!-- note -->&amp; &lt;tail&gt;' AS text
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]*>', ' ', 'g') AS c1
+  FROM inj
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(c1,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&'),
+         '\s+', ' ', 'g')) AS cleaned,
+       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags
+FROM stripped
+"""
+
+
+def _op_strip_markup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.text import strip_markup
+
+    _views(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit('</p><script>var x = 1 < 2;</script><!-- note -->&amp; &lt;tail&gt;'),
+        ).alias("text"),
+    )
+    return strip_markup(injected)
+
+
 OP_REDACT_DUCK = r"""
 WITH inj AS (
   SELECT doc_id,
@@ -2997,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_decontam": _op_decontam_gate,
         "op_chunking": _op_chunking_gate,
         "op_redact": _op_redact_gate,
+        "op_strip_markup": _op_strip_markup_gate,
         "op_fixed_n_sample": _op_fixed_n_gate,
         "op_group_cap": _op_group_cap_gate,
         "op_line_dedup": _op_line_dedup_gate,
@@ -3124,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "op_decontam": OP_DECONTAM_DUCK,
         "op_chunking": OP_CHUNKING_DUCK,
         "op_redact": OP_REDACT_DUCK,
+        "op_strip_markup": OP_STRIP_MARKUP_DUCK,
         "op_fixed_n_sample": OP_FIXED_N_DUCK,
         "op_group_cap": OP_GROUP_CAP_DUCK,
         "op_line_dedup": OP_LINE_DEDUP_DUCK,

@@ -497,6 +497,17 @@ def _op_drop_common_lines(spark, inp, options):
     )
 
 
+def _op_strip_markup(spark, inp, options):
+    from .text import strip_markup
+
+    return strip_markup(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        keep_cols=options.get("keep_cols"),
+    )
+
+
 def _op_redact_pii(spark, inp, options):
     from .text import redact_pii
 
@@ -774,6 +785,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
     "redact_pii": _op_redact_pii,
+    "strip_markup": _op_strip_markup,
     "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
     "group_cap": _op_group_cap,

@@ -18,6 +18,7 @@ from .dedup import normalized_tokens
 __all__ = [
     "chunk_documents",
     "redact_pii",
+    "strip_markup",
     "repetition_features",
     "PII_PATTERNS",
     "tfidf_top_terms",
@@ -266,6 +267,52 @@ def redact_pii(
             .alias(f"n_{name}")
             for name, pat in patterns.items()
         ],
+    )
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """C4-style markup cleanup before quality filtering: drop
+    script/style blocks and HTML comments, strip remaining tags,
+    unescape the common entities, and collapse whitespace runs.
+
+    Output: ``id[, keep_cols], cleaned, n_tags`` (tag count measured on
+    the original text).
+
+    Zero shuffle: the whole chain is ``regexp_replace``/``replace``
+    whole-stage codegen pipelined into the scan — cleaning 100 TB of
+    crawl HTML is one map stage. Patterns stay inside the Java∩RE2
+    dialect subset (inline ``(?is)`` flags, non-greedy ``.*?``,
+    character classes) so a SQL oracle reproduces every byte.
+    """
+    text = F.col(text_col)
+    cleaned = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    cleaned = F.regexp_replace(cleaned, r"(?is)<style[^>]*>.*?</style>", " ")
+    cleaned = F.regexp_replace(cleaned, r"(?s)<!--.*?-->", " ")
+    cleaned = F.regexp_replace(cleaned, r"<[^>]*>", " ")
+    # entity unescape: one textual pass; &amp; LAST so "&amp;lt;"
+    # unescapes to "&lt;" (not twice to "<")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        cleaned.alias("cleaned"),
+        F.size(F.regexp_extract_all(text, F.lit(r"<[^>]*>"), 0))
+        .cast("bigint")
+        .alias("n_tags"),
     )
 
 

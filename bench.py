@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "op_decontam",
     "op_chunking",
     "op_redact",
+    "op_strip_markup",
     "op_fixed_n_sample",
     "op_line_dedup",
     "op_span_dedup",

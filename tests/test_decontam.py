@@ -546,3 +546,47 @@ def test_dedup_against_registry_stage(spark):
     assert [r.doc_id for r in out.collect()] == [2]
     spark.catalog.dropTempView("da_new")
     spark.catalog.dropTempView("da_corpus")
+
+
+def test_strip_markup_semantics(spark):
+    from aqueducts_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><body><p>Hello <b>world</b></p><script type="x">if (a < b) alert(1);</script></body></html>'),
+            (2, "plain text, no markup"),
+            (3, "<style>.c { color: red; }</style>ent: &amp; &lt;x&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+            (4, "<!-- hidden\ncomment -->visible   text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_markup(df).collect()}
+    assert out[1].cleaned == "Hello world"
+    assert out[1].n_tags > 0
+    assert out[2].cleaned == "plain text, no markup"
+    assert out[2].n_tags == 0
+    assert out[3].cleaned == 'ent: & <x> "q" \'s\' end'
+    assert out[4].cleaned == "visible text"
+
+
+def test_strip_markup_zero_shuffle_plan(spark):
+    from aqueducts_spark.operators.text import strip_markup
+    from aqueducts_spark.plans import inspect_plan
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "text"])
+    info = inspect_plan(strip_markup(df))
+    assert info.exchanges == 0
+    assert info.python_evals == 0
+
+
+def test_strip_markup_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(
+        [(1, "<i>em</i> done")], ["doc_id", "text"]
+    ).createOrReplaceTempView("sm_docs")
+    out = run_operator(
+        spark, {"type": "strip_markup", "input": "sm_docs", "options": {}}
+    )
+    assert out.collect()[0].cleaned == "em done"
+    spark.catalog.dropTempView("sm_docs")
