@@ -460,11 +460,13 @@ def dd_quantile(
     ``sgn * 2γ^b/(γ+1)`` (0 for the zero bucket), rounded to 6 places —
     within relative error (γ-1)/(γ+1) of the exact quantile.
 
-    Plan shape: one window over BUCKET rows (bounded, tiny) per group —
-    the raw value volume never reaches this stage.
+    Plan shape: the sketch relation is computed ONCE and cross-joined
+    with a broadcast literal quantile table (a per-quantile union would
+    re-aggregate the sketch subtree per quantile — N full input scans);
+    one window over (group, q) picks each rank's bucket.  Everything
+    past the sketch touches bucket rows only — the raw value volume
+    never reaches this stage.
     """
-    import math
-
     if not gamma > 1.0:
         raise ValueError(f"dd_quantile: gamma must be > 1, got {gamma}")
     for q in quantiles:
@@ -483,22 +485,16 @@ def dd_quantile(
         .withColumn("cum", F.sum("cnt").over(w_order))
         .withColumn("n", F.sum("cnt").over(Window.partitionBy(*grp)))
     )
-    out = None
-    for q in quantiles:
-        # rank in 1..n, type-1: floor(q*(n-1)) + 1
-        rank = F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
-        picked = (
-            cum.where(F.col("cum") >= rank)
-            .withColumn(
-                "__rn",
-                F.row_number().over(w_order),
-            )
-            .where(F.col("__rn") == 1)
-            .select(
-                *grp,
-                F.lit(float(q)).alias("q"),
-                F.round(F.col("rep"), 6).alias("est"),
-            )
-        )
-        out = picked if out is None else out.unionByName(picked)
-    return out
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    # rank in 1..n, type-1: floor(q*(n-1)) + 1
+    rank = F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    w_pick = Window.partitionBy(*grp, "q").orderBy(F.col("rep").asc())
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= rank)
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(*grp, "q", F.round(F.col("rep"), 6).alias("est"))
+    )
