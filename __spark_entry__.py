@@ -1061,19 +1061,23 @@ def _op_kmv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimate matches exactly (including collision-driven overestimates)
 OP_CMS_FREQ_DUCK = """
 WITH ds AS (SELECT unnest(generate_series(1, 3)) AS d),
+hashed AS (
+  SELECT l_suppkey,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 16, 15))::BIGINT AS h2
+  FROM lineitem WHERE l_suppkey IS NOT NULL
+),
 cells AS (
-  SELECT d,
-         ('0x' || substr(md5('cms' || d || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c,
-         COUNT(*) AS cnt
-  FROM lineitem, ds
-  WHERE l_suppkey IS NOT NULL
+  SELECT d, (h1 + d * h2) % 1024 AS c, COUNT(*) AS cnt
+  FROM hashed, ds
   GROUP BY 1, 2
 ),
 items AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 50),
 probes AS (
-  SELECT l_suppkey, d,
-         ('0x' || substr(md5('cms' || d || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c
-  FROM items, ds
+  SELECT i.l_suppkey, d,
+         (('0x' || substr(md5(CAST(i.l_suppkey AS VARCHAR)), 1, 15))::BIGINT
+          + d * ('0x' || substr(md5(CAST(i.l_suppkey AS VARCHAR)), 16, 15))::BIGINT) % 1024 AS c
+  FROM items i, ds
 )
 SELECT p.l_suppkey, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS freq_est
 FROM probes p LEFT JOIN cells ON cells.d = p.d AND cells.c = p.c
@@ -1104,13 +1108,16 @@ def _op_cms_freq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 OP_BLOOM_PREFILTER_DUCK = """
 WITH hs AS (SELECT unnest(generate_series(1, 4)) AS i),
 bits AS (
-  SELECT DISTINCT ('0x' || substr(md5('bloom' || i || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+  SELECT DISTINCT
+         (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+          + i * ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 16, 15))::BIGINT) % 8192 AS pos
   FROM customer, hs
   WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL
 ),
 probes AS (
   SELECT o_orderkey, o_custkey,
-         ('0x' || substr(md5('bloom' || i || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+         (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+          + i * ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 16, 15))::BIGINT) % 8192 AS pos
   FROM orders, hs
   WHERE o_custkey IS NOT NULL
 )

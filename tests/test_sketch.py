@@ -277,3 +277,16 @@ def test_dd_registry_stage(spark, sf_dir):
     assert len(rows) == 3  # one median per returnflag
     assert all(r.est > 0 for r in rows)
     spark.catalog.dropTempView("dd_lineitem")
+
+
+def test_dd_sketch_excludes_nonfinite(spark):
+    from aqueducts_spark.operators.sketch import dd_quantile, dd_sketch
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "v double",
+    )
+    sk = dd_sketch(df, [], "v")
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 3  # finite rows only
+    est = {r.q: r.est for r in dd_quantile(sk, [], [0.5]).collect()}
+    assert abs(est[0.5] - 2.0) / 2.0 <= 0.02 / 2.02 + 1e-9
