@@ -172,24 +172,38 @@ def kmv_distinct(
 # ---------------------------------------------------------------------------
 
 
-def _h60_pair(col):
-    """TWO independent 60-bit hashes from ONE md5: the digest's first
-    and second 15-hex-char halves. Row/position families are then
-    derived as ``(h1 + i*h2) mod m`` — Kirsch & Mitzenmacher ("Less
-    hashing, same performance", ESA 2006) prove this double-hashing
-    scheme preserves the sketch guarantees, at one hash computation
-    per value instead of depth/num_hashes. At 100 TB the per-row md5
-    is the dominant map-side cost of sketch construction, so this is a
-    depth-fold CPU cut, not a micro-optimization.
+def _with_h60_pair(df: DataFrame, col) -> DataFrame:
+    """Append ``__h1``/``__h2``: TWO independent 60-bit hashes from ONE
+    md5 — the digest's first and second 15-hex-char halves.
+    Row/position families are then derived as ``(h1 + i*h2) mod m`` —
+    Kirsch & Mitzenmacher ("Less hashing, same performance", ESA 2006)
+    prove this double-hashing scheme preserves the sketch guarantees,
+    at one hash computation per value instead of depth/num_hashes. At
+    100 TB the per-row md5 is the dominant map-side cost of sketch
+    construction, so this is a depth-fold CPU cut.
+
+    The digest is MATERIALIZED as its own projection on purpose:
+    inlining ``md5`` into both halves re-computes it per reference
+    (codegen subexpression elimination does not reach into the
+    array-of-struct constructors the callers build — measured 2×
+    slower), while CollapseProject keeps a multi-referenced non-cheap
+    expression in its own project, so this shape hashes exactly once
+    per row.
 
     Same arithmetic in DuckDB:
     ``('0x' || substr(md5(v), 1, 15))::BIGINT`` and
     ``('0x' || substr(md5(v), 16, 15))::BIGINT``.
     """
-    digest = F.md5(col.cast("string"))
-    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 16, 15), 16, 10).cast("long")
-    return h1, h2
+    staged = df.withColumn("__dg", F.md5(col.cast("string")))
+    return (
+        staged.withColumn(
+            "__h1", F.conv(F.substring(F.col("__dg"), 1, 15), 16, 10).cast("long")
+        )
+        .withColumn(
+            "__h2", F.conv(F.substring(F.col("__dg"), 16, 15), 16, 10).cast("long")
+        )
+        .drop("__dg")
+    )
 
 
 def cms_sketch(
@@ -215,19 +229,20 @@ def cms_sketch(
         raise ValueError("cms_sketch: depth must be in 1..6")
     grp = list(group_cols)
     v = F.col(value_col)
-    h1, h2 = _h60_pair(v)
+    hashed = _with_h60_pair(df.where(v.isNotNull()), v)
     cells = F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
-                F.pmod(h1 + F.lit(d) * h2, F.lit(width)).alias("c"),
+                F.pmod(
+                    F.col("__h1") + F.lit(d) * F.col("__h2"), F.lit(width)
+                ).alias("c"),
             )
             for d in range(1, depth + 1)
         ]
     )
     return (
-        df.where(v.isNotNull())
-        .select(*grp, F.explode(cells).alias("p"))
+        hashed.select(*grp, F.explode(cells).alias("p"))
         .groupBy(*grp, F.col("p.d").alias("d"), F.col("p.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -252,19 +267,20 @@ def cms_estimate(
     """
     grp = list(group_cols)
     it = F.col(item_col)
-    h1, h2 = _h60_pair(it)
+    hashed = _with_h60_pair(items.where(it.isNotNull()), it)
     probes = F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
-                F.pmod(h1 + F.lit(d) * h2, F.lit(width)).alias("c"),
+                F.pmod(
+                    F.col("__h1") + F.lit(d) * F.col("__h2"), F.lit(width)
+                ).alias("c"),
             )
             for d in range(1, depth + 1)
         ]
     )
     exploded = (
-        items.where(it.isNotNull())
-        .select(item_col, *grp, F.explode(probes).alias("p"))
+        hashed.select(item_col, *grp, F.explode(probes).alias("p"))
         .select(item_col, *grp, F.col("p.d").alias("d"), F.col("p.c").alias("c"))
     )
     joined = exploded.join(sketch, on=grp + ["d", "c"], how="left")
@@ -322,18 +338,14 @@ def bloom_sketch(
         # h1 + num_hashes*h2 must stay inside int64: (1+6)*2^60 < 2^63
         raise ValueError("bloom_sketch: num_hashes must be in 1..6")
     v = F.col(value_col)
-    h1, h2 = _h60_pair(v)
+    hashed = _with_h60_pair(df.where(v.isNotNull()), v)
     positions = F.array(
         *[
-            F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
+            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(num_bits))
             for i in range(1, num_hashes + 1)
         ]
     )
-    return (
-        df.where(v.isNotNull())
-        .select(F.explode(positions).alias("pos"))
-        .distinct()
-    )
+    return hashed.select(F.explode(positions).alias("pos")).distinct()
 
 
 def bloom_filter(
@@ -375,24 +387,29 @@ def bloom_filter(
     words = [(w & ((1 << 63) - 1)) - (w & (1 << 63)) for w in words]
     words_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
 
-    def _pos(i: int) -> str:
-        h1 = (
-            f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15), "
-            f"16, 10) AS BIGINT)"
-        )
-        h2 = (
-            f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 16, 15), "
-            f"16, 10) AS BIGINT)"
-        )
-        return f"pmod({h1} + {i} * {h2}, {num_bits})"
+    # One md5 per probe row, enforced with a lambda binding: filter
+    # predicates get alias-inlined by predicate pushdown and FilterExec
+    # codegen performs no common-subexpression elimination, so a plain
+    # column/expression form re-hashes per position test (measured 16
+    # md5 evaluations per row). ``transform(array(md5(v)), dg -> ...)``
+    # evaluates the digest exactly once and binds it as the lambda
+    # variable; the body is integer shift/AND plus two conv()s.
+    h1_sql = "CAST(conv(substr(dg, 1, 15), 16, 10) AS BIGINT)"
+    h2_sql = "CAST(conv(substr(dg, 16, 15), 16, 10) AS BIGINT)"
 
-    tests = [
+    def _pos(i: int) -> str:
+        return f"pmod({h1_sql} + {i} * {h2_sql}, {num_bits})"
+
+    tests = " AND ".join(
         f"((shiftright(element_at({words_sql}, CAST({_pos(i)} DIV 64 AS INT) + 1), "
         f"CAST({_pos(i)} % 64 AS INT)) & 1) = 1)"
         for i in range(1, num_hashes + 1)
-    ]
-    cond = F.col(value_col).isNotNull() & F.expr(" AND ".join(tests))
-    return df.where(cond)
+    )
+    cond = (
+        f"exists(transform(array(md5(CAST({value_col} AS STRING))), "
+        f"dg -> ({tests})), x -> x)"
+    )
+    return df.where(F.col(value_col).isNotNull() & F.expr(cond))
 
 
 # ---------------------------------------------------------------------------

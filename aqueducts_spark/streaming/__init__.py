@@ -4,6 +4,7 @@ from .ops import (
     interval_join_stream,
     quota_stream,
     file_stream_source,
+    quantile_sketch_stream,
     run_available_now,
     running_counts_stream,
     sessionize_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "windowed_aggregate",
     "sessionize_stream",
     "run_available_now",
+    "quantile_sketch_stream",
     "dedup_stream",
     "running_counts_stream",
     "quota_stream",

@@ -80,6 +80,64 @@ def windowed_aggregate(
     )
 
 
+def quantile_sketch_stream(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str,
+    gamma: float = 1.02,
+    watermark: str = "10 minutes",
+    group_by: Optional[list[str]] = None,
+) -> DataFrame:
+    """Per-window DDSketch bucket counts over a stream — the streaming
+    twin of ``operators.sketch.dd_sketch``.
+
+    The output IS a dd_sketch relation per ``(window, group)``: run
+    ``operators.sketch.dd_quantile`` on any window slice for latency
+    percentiles, or ``merge_dd_sketches`` across windows for coarser
+    grains — bucket counters are linear, so hourly sketches roll up to
+    daily without reprocessing events (the ``time_rollup`` contract,
+    for quantiles).
+
+    State per window/group is bounded by the bucket count (~2.3k
+    buckets per 12 decades at γ=1.02), and the watermark bounds how
+    many windows stay open — fixed-size state on an unbounded stream.
+    """
+    import math
+
+    from ..operators.sketch import _dd_bucket
+
+    if not gamma > 1.0:
+        raise ValueError(f"quantile_sketch_stream: gamma must be > 1, got {gamma}")
+    ln_gamma = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    sgn, bucket = _dd_bucket(v, ln_gamma)
+    inf = F.lit(float("inf"))
+    base = (
+        df.where(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != inf))
+        .withColumn("sgn", sgn)
+        .withColumn("bucket", bucket)
+    )
+    keys = (
+        [F.window(F.col(ts_col), window_duration)]
+        + [F.col(c) for c in (group_by or [])]
+        + [F.col("sgn"), F.col("bucket")]
+    )
+    out = (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in (group_by or [])],
+        "sgn",
+        "bucket",
+        "cnt",
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     ts_col: str,

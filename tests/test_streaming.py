@@ -291,3 +291,55 @@ def test_merge_stream_order_col_last_change_wins(spark, tmp_path):
         stream, table, ["user_id"], str(tmp_path / "ck2"), order_col="seq"
     )
     assert [(r.user_id, r.status) for r in table.read().collect()] == [(1, "deleted")]
+
+
+def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
+    """Per-window streaming sketch == batch dd_sketch of the same
+    window slice, and the extracted quantiles agree."""
+    from aqueducts_spark.streaming import (
+        file_stream_source,
+        quantile_sketch_stream,
+        run_available_now,
+    )
+    from aqueducts_spark.operators.sketch import dd_quantile, dd_sketch
+
+    src = tmp_path / "q_src"
+    rows = [
+        (1, "2024-01-01 00:%02d:00" % (i % 60), float(10 + i)) for i in range(50)
+    ] + [
+        (1, "2024-01-01 01:%02d:00" % (i % 60), float(1000 + i)) for i in range(50)
+    ]
+    base = spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+        "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    base.write.mode("overwrite").parquet(str(src))
+
+    stream = file_stream_source(spark, str(src), "parquet", parse_fields(SCHEMA))
+    sk = quantile_sketch_stream(stream, "ts", "value", "1 hour")
+    out = run_available_now(sk, str(tmp_path / "q_ckpt"), output_mode="complete")
+
+    # streaming buckets for hour 0 == batch dd_sketch of hour-0 values
+    got_h0 = sorted(
+        (r.sgn, r.bucket, r.cnt)
+        for r in out
+        if r.window_start.strftime("%H") == "00"
+    )
+    want_h0 = sorted(
+        (r.sgn, r.bucket, r.cnt)
+        for r in dd_sketch(base.where("value < 1000"), [], "value").collect()
+    )
+    assert got_h0 == want_h0
+
+    # and quantiles extracted from the streamed sketch are batch-equal
+    stream_sk = spark.createDataFrame(
+        [(r.sgn, r.bucket, r.cnt) for r in out if r.window_start.strftime("%H") == "01"],
+        "sgn int, bucket long, cnt long",
+    )
+    est_stream = {r.q: r.est for r in dd_quantile(stream_sk, [], [0.5]).collect()}
+    est_batch = {
+        r.q: r.est
+        for r in dd_quantile(
+            dd_sketch(base.where("value >= 1000"), [], "value"), [], [0.5]
+        ).collect()
+    }
+    assert est_stream == est_batch
