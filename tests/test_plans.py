@@ -168,6 +168,29 @@ def test_dedup_against_broadcasts_corpus(spark):
     assert info.python_evals == 0
 
 
+def test_no_hard_antipatterns_in_any_gate_plan(spark):
+    """Sweep EVERY gate query's physical plan for the two hard scale
+    anti-patterns — CartesianProduct and row-at-a-time Python UDFs
+    (BatchEvalPython). The documented quadratic verification twins
+    (op_embed_neardup, op_jaccard_pairs) plan as bucketed/broadcast
+    joins, not cartesians, so no exemptions are needed: any hit is a
+    regression.
+    """
+    import re
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        text = inspect_plan(fn(spark, SF)).text
+        hard = []
+        if re.search(r"\(\d+\) CartesianProduct", text):
+            hard.append("CartesianProduct")
+        if re.search(r"\(\d+\) BatchEvalPython", text):
+            hard.append("BatchEvalPython")
+        if hard:
+            bad[name] = hard
+    assert not bad, f"hard anti-patterns in gate plans: {bad}"
+
+
 def test_lint_flags_cartesian_and_python_udf(spark):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
