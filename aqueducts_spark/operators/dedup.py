@@ -470,30 +470,34 @@ def simhash(
     """60-bit SimHash per document: bit b of the fingerprint is 1 iff
     more token hashes have bit b set than unset.
 
-    Pure relational form: explode tokens -> one ``sum(sign)`` per bit in
+    Pure relational form: explode tokens -> one bit-count sum per bit in
     a single aggregation (60 expressions, one shuffle). Near-duplicate
     lookup is then hamming distance on a single bigint —
     ``bit_count(a ^ b)`` — which at scale is a cheap integer compare,
     not a text comparison.
+
+    The per-token expression is the raw bit ``sum((h >> b) & 1)`` plus
+    one shared ``count(*)`` — integer-identical to the textbook
+    ``sum(bit ? +1 : -1) > 0`` form (``2*set > n`` ⇔ ``set - unset >
+    0``) while dropping a branch from the per-token-per-bit hot loop
+    (60 CASEs per exploded token was the dominant cost of the scan).
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
     )
     hashed = toks.withColumn("h", _token_hash60(F.col("tok")))
+    # expressions are SQL strings, not Column compositions: 60 sums
+    # built from ~5 py4j calls each cost ~1s of driver time per plan
+    # construction (measured), vs one JVM-side parse per F.expr
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
+        F.expr(f"sum(shiftright(h, {b}) & 1) AS b{b}") for b in range(bits)
     ]
-    agg = hashed.groupBy(id_col).agg(*bit_sums)
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+    agg = hashed.groupBy(id_col).agg(F.expr("count(*) AS __n"), *bit_sums)
+    fingerprint = " + ".join(
+        f"IF(b{b} * 2 > __n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
+        for b in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(f"({fingerprint}) AS simhash"))
 
 
 def embedding_near_duplicates(
@@ -618,17 +622,34 @@ def embedding_near_duplicates_lsh(
         F.explode(_buckets(F.col(vec_col))).alias("__bucket"),
     )
     if max_bucket_size is not None:
-        ok = (
-            slim.groupBy("__bucket")
-            .agg(F.count("*").alias("__n"))
-            .where(F.col("__n") <= max_bucket_size)
-            .select("__bucket")
+        # the cap is a count window, not a groupBy+semi-join: the window
+        # shuffles slim on __bucket exactly once and leaves it hash-
+        # partitioned on the join key, so (a) the bucketing UDF is not
+        # re-executed to build a separate bucket-size table, and (b) the
+        # self-join below needs no further exchange — both join inputs
+        # share the window's exchange via ReuseExchange, so the Python
+        # bucketing pass runs ONCE regardless of the DAG fan-out
+        from pyspark.sql.window import Window
+
+        slim = (
+            slim.withColumn(
+                "__bn", F.count("*").over(Window.partitionBy("__bucket"))
+            )
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
         )
-        slim = slim.join(ok, "__bucket")
     a = slim.select(F.col("__bucket"), F.col("__id").alias("id_a"))
     b = slim.select(F.col("__bucket"), F.col("__id").alias("id_b"))
+    # force sort-merge for the self-join: auto-broadcast would (a) pick
+    # the post-UDF side whose size Catalyst can't estimate — at corpus
+    # scale broadcasting slim is an OOM, and (b) execute the bucketing
+    # subtree twice, since broadcast and shuffle exchanges never reuse
+    # each other.  As SMJ both inputs canonicalize to the SAME shuffle
+    # (the window's), so ReuseExchange runs the Python pass once and the
+    # join adds no exchange at all.
     cand = (
-        a.join(b, "__bucket")
+        a.hint("merge")
+        .join(b.hint("merge"), "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -180,10 +180,21 @@ def repetition_features(
     *sorted* n-gram array via a single ``aggregate`` fold —
     O(t log t) per document, not O(t²) — so a repetition pass over
     100 TB is one map stage dominated by the scan.
-    """
-    from .dedup import word_ngrams
 
-    grams = word_ngrams(F.col(text_col), n)
+    The n-gram array is materialized in its own projection so the three
+    consumers (size, distinct-size, sorted fold) share ONE evaluation:
+    the fold is an interpreted higher-order function, and Catalyst's
+    codegen subexpression elimination cannot deduplicate across the
+    codegen/interpreted boundary, so the inline form rebuilds the
+    n-grams per consumer. CollapseProject keeps the split (it refuses
+    to duplicate non-cheap expressions referenced more than once).
+    """
+    from .dedup import ensure_parallelism, word_ngrams
+
+    df = ensure_parallelism(df).select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("__grams")
+    )
+    grams = F.col("__grams")
     sorted_grams = F.array_sort(grams)
     zero = F.lit(0).cast("bigint")
     run_of = lambda acc, g: (  # noqa: E731 - local expression helper
