@@ -53,10 +53,16 @@ def connected_components(
     "canonical" copies of one duplicate cluster.  Convergence needs
     ~diameter rounds; raise ``max_iter`` for long chain-shaped graphs.
     """
+    # the edge list is materialized ONCE: without the checkpoint every
+    # round's join would re-execute the edge list's full upstream
+    # lineage (for fuzzy_dedup that is the whole MinHash-LSH candidate
+    # pipeline, once per round).  Edges are near-dup volume, not corpus
+    # volume, so the materialization is small at any scale.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -64,24 +70,33 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    id_type = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
         neighbor = (
             sym.join(labels.withColumnRenamed("node", "v2"), sym.v == F.col("v2"))
-            .select(F.col("u").alias("node"), F.col("component"))
+            .select(
+                F.col("u").alias("node"),
+                F.col("component"),
+                F.lit(None).cast(id_type).alias("__old"),
+            )
         )
+        # carry each node's previous label through the aggregation so
+        # convergence is a filter over the checkpointed output — not a
+        # second join+shuffle of new vs old labels per round
         new_labels = (
-            labels.unionByName(neighbor)
+            labels.select(
+                "node", "component", F.col("component").alias("__old")
+            )
+            .unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") < F.col("__old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     else:
