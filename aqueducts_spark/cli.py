@@ -118,6 +118,23 @@ def _cmd_explain(args) -> int:
         spark.stop()
 
 
+def _cmd_schema(args) -> int:
+    """Emit the pipeline-document JSON schema (no Spark session): the
+    counterpart of the reference's json_schema/aqueducts.schema.json,
+    for yaml-language-server style editor validation."""
+    import json as _json
+
+    from .config.model import pipeline_json_schema
+
+    text = _json.dumps(pipeline_json_schema(), indent=2, sort_keys=True)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as fh:
+            fh.write(text + "\n")
+    else:
+        print(text)
+    return 0
+
+
 def _cmd_profile(args) -> int:
     from .operators.profile import profile_table
     from .session import get_spark
@@ -210,6 +227,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     prof_p.add_argument("--master", default=None, help="Spark master (default local[*])")
 
+    schema_p = sub.add_parser(
+        "schema",
+        help="emit the pipeline-document JSON schema (editor autocomplete/validation)",
+    )
+    schema_p.add_argument(
+        "--output", "-o", default=None, help="write to file instead of stdout"
+    )
+
     opt_p = sub.add_parser(
         "optimize", help="compact a delta table (and optionally vacuum old versions)"
     )
@@ -236,6 +261,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_explain(args)
     if args.command == "profile":
         return _cmd_profile(args)
+    if args.command == "schema":
+        return _cmd_schema(args)
     if args.command == "optimize":
         return _cmd_optimize(args)
     return 1

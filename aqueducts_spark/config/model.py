@@ -538,3 +538,73 @@ class Pipeline(_Base):
         if dupes:
             raise ValueError(f"duplicate table names in pipeline: {sorted(dupes)}")
         return self
+
+
+# ---------------------------------------------------------------------------
+# JSON-schema emission (editor autocomplete / validation)
+# ---------------------------------------------------------------------------
+
+
+class PipelineDocument(_Base):
+    """Typed mirror of :class:`Pipeline` used only to EMIT a JSON schema
+    for editors (``aqueducts-spark schema``), the Spark counterpart of
+    the reference's published ``json_schema/aqueducts.schema.json``
+    (generated by its ``tools/schema-generator``; wired into YAML
+    editing via the ``yaml-language-server: $schema=...`` header, see
+    reference docs/content/pipelines.md).
+
+    :class:`Pipeline` itself keeps ``list[Any]`` fields because load
+    paths feed it pre-parsed model instances as well as raw dicts; this
+    mirror declares the raw-document shape — discriminated source /
+    destination unions and flat-or-grouped stages — which is exactly
+    what an editor should validate against.
+    """
+
+    version: Optional[str] = None
+    sources: list[Source]
+    stages: list[Union[Stage, list[Stage]]]
+    destination: Optional[Destination] = None
+    sql_dialect: Optional[Literal["spark", "datafusion"]] = None
+
+
+def pipeline_json_schema() -> dict:
+    """JSON Schema (draft 2020-12, pydantic emission) for pipeline
+    documents in the v2 format. The v1 compatibility PascalCase tags
+    are load-time rewrites in ``config/loader.py`` and deliberately not
+    part of the published schema, matching the reference schema's
+    v2-only coverage.
+
+    Every aliased field is accepted under BOTH spellings (pydantic
+    emits only the alias, but ``populate_by_name=True`` means loaders
+    accept either — e.g. ``format:`` and ``file_type:`` — so the
+    editor schema must too)."""
+    import copy
+
+    schema = PipelineDocument.model_json_schema()
+    schema["title"] = "AqueductsSparkPipeline"
+    schema["$schema"] = "https://json-schema.org/draft/2020-12/schema"
+
+    models: dict[str, type] = {
+        cls.__name__: cls
+        for cls in globals().values()
+        if isinstance(cls, type) and issubclass(cls, BaseModel)
+    }
+    for def_name, def_schema in schema.get("$defs", {}).items():
+        model = models.get(def_name)
+        props = def_schema.get("properties")
+        if model is None or not isinstance(props, dict):
+            continue
+        required = def_schema.get("required", [])
+        for field_name, field in model.model_fields.items():
+            alias = field.alias
+            if not alias or alias == field_name or alias not in props:
+                continue
+            props[field_name] = copy.deepcopy(props[alias])
+            if alias in required:
+                required.remove(alias)
+                def_schema.setdefault("allOf", []).append(
+                    {"anyOf": [{"required": [alias]}, {"required": [field_name]}]}
+                )
+        if "required" in def_schema and not def_schema["required"]:
+            del def_schema["required"]
+    return schema
