@@ -1,0 +1,103 @@
+"""The driver scores a PREFIX of ``queries()`` (round 1: exactly the
+first 50 of 96 keys, in insertion order).  These tests pin the prefix
+ordering so a refactor can't silently push a coverage-critical gate out
+of the scored window.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+# Every SQL-surface category (SURVEY §2.B) must have at least one gate
+# inside the scored 50-key window.
+CATEGORY_GATES = {
+    "projection_filter_agg": "q01_pricing_summary",
+    "joins": "q02_top_revenue_join",
+    "window": "q03_window_rank",
+    "grouping_sets": "q04_rollup",
+    "set_ops": "q05_set_ops",
+    "subquery": "q06_exists_subquery",
+    "cte": "q07_cte",
+    "recursive_cte": "q27_recursive_cte",
+    "lateral": "q36_lateral",
+    "scalar_subquery": "q38_scalar_subquery",
+    "unnest": "q08_unnest_tokens",
+    "string_fns": "q09_string_fns",
+    "date_fns": "q10_date_fns",
+    "json_fns": "q11_json_fns",
+    "conditionals": "q12_case_buckets",
+    "having": "q13_having",
+    "distinct_agg": "q14_distinct_agg",
+    "ordered_agg": "q29_string_agg",
+    "semi_anti_join": "q15_semi_anti_join",
+    "using_natural_join": "q49_using_natural_join",
+    "math_fns": "q17_math_fns",
+    "array_fns": "q18_array_fns",
+    "higher_order_fns": "q43_higher_order_fns",
+    "map_fns": "q37_map_fns",
+    "map_hofs": "q52_map_hofs",
+    "topk": "q20_topk",
+    "sessionize": "q21_sessionize",
+    "try_cast": "q41_try_cast",
+    "nulls_order": "q48_nulls_order_offset",
+}
+
+# One gate per training-data operator family inside the scored window.
+FAMILY_GATES = {
+    "exact_dedup": "op_exact_dedup",
+    "minhash_lsh": "op_minhash_pairs",
+    "fuzzy_dedup": "op_fuzzy_dedup",
+    "simhash": "op_simhash",
+    "embed_neardup": "op_embed_neardup_lsh",
+    "span_dedup": "op_span_dedup",
+    "line_dedup": "op_line_dedup",
+    "decontam": "op_decontam",
+    "similarity": "sim_topk_bruteforce",
+    "asof_join": "op_asof_join",
+    "range_join": "op_range_join",
+    "time_rollup": "op_time_rollup",
+    "kmv": "op_kmv_distinct",
+    "cms": "op_cms_freq",
+    "mixing": "op_weighted_mix",
+    "packing": "op_pack_shards",
+    "quality": "op_quality_score",
+    "langid": "op_langid",
+    "sampling": "op_hash_sample",
+    "multimodal": "mm_byte_stats",
+    "pipeline": "pl_pipeline_yaml",
+}
+
+SCORED_WINDOW = 50
+
+
+def test_priority_list_is_exactly_the_key_set():
+    keys = set(entrymod._all_queries())
+    assert set(entrymod._GATE_PRIORITY) == keys
+    assert len(entrymod._GATE_PRIORITY) == len(keys)  # no duplicates
+
+
+def test_every_category_gate_is_inside_scored_window():
+    prefix = set(list(entrymod.queries())[:SCORED_WINDOW])
+    missing = {c: g for c, g in CATEGORY_GATES.items() if g not in prefix}
+    assert not missing, f"SQL categories outside scored window: {missing}"
+
+
+def test_every_family_gate_is_inside_scored_window():
+    prefix = set(list(entrymod.queries())[:SCORED_WINDOW])
+    missing = {f: g for f, g in FAMILY_GATES.items() if g not in prefix}
+    assert not missing, f"operator families outside scored window: {missing}"
+
+
+def test_oracle_order_matches_queries_order():
+    qkeys = [k for k in entrymod.queries() if k in entrymod.oracle_sql()]
+    okeys = list(entrymod.oracle_sql())
+    assert qkeys == okeys
+
+
+def test_scored_window_gates_all_have_oracles_except_known():
+    # keys with intentionally no SQL oracle (recall-asserted / binary ops)
+    no_oracle_ok = {"sim_ivf_topk", "mm_byte_histogram", "mm_decode_image", "mm_frame_sample"}
+    prefix = list(entrymod.queries())[:SCORED_WINDOW]
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in prefix if k not in oracles and k not in no_oracle_ok]
+    assert not missing, f"scored-window gates without oracle SQL: {missing}"
