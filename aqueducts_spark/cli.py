@@ -157,12 +157,12 @@ def _cmd_profile(args) -> int:
 
 
 def _cmd_optimize(args) -> int:
-    from .delta.table import VersionedParquetTable
+    from .delta.table import delta_layer
     from .session import get_spark
 
     spark = get_spark("aqueducts-optimize", master=args.master)
     try:
-        table = VersionedParquetTable(spark, args.location)
+        table = delta_layer(spark).table(args.location)
         version = table.compact(target_partitions=args.target_partitions)
         print(f"compacted {args.location} -> version {version}")
         if args.vacuum_keep is not None:

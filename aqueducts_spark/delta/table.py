@@ -490,7 +490,11 @@ def _localCheckpointed(df: DataFrame) -> DataFrame:
 
 
 class DeltaLayer:
-    """Dispatch between delta-spark (when installed) and the fallback."""
+    """Dispatch between delta-spark (when installed), the pure-Python
+    Delta-protocol implementation (the default — real ``_delta_log``
+    format, interoperable with delta-rs / delta-spark / DuckDB-delta),
+    and the legacy ``VersionedParquetTable`` fallback (kept only so
+    tables written by earlier versions stay readable)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -506,10 +510,19 @@ class DeltaLayer:
             elif timestamp is not None:
                 reader = reader.option("timestampAsOf", timestamp)
             return reader.load(location)
-        return VersionedParquetTable(self.spark, location).read(version, timestamp)
+        return self.table(location).read(version, timestamp)
 
-    def table(self, location: str) -> VersionedParquetTable:
-        return VersionedParquetTable(self.spark, location)
+    def table(self, location: str):
+        """Pick the log format for ``location``: an existing legacy
+        ``_aqueducts_delta_log`` keeps its private-format handler; all
+        other tables (including new ones) speak the real Delta
+        protocol."""
+        from .protocol import DeltaProtocolTable
+
+        legacy = to_local_path(location) / _LOG_DIR
+        if legacy.is_dir() and any(legacy.glob("*.json")):
+            return VersionedParquetTable(self.spark, location)
+        return DeltaProtocolTable(self.spark, location)
 
 
 def _native_enabled(spark: SparkSession) -> bool:  # pragma: no cover

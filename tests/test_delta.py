@@ -134,7 +134,9 @@ destination:
     # second run with updated values for AT upserts
     csv1.write_text("date,country,a,b\n2023-05-07,AT,10,1.5\n")
     run_pipeline(spark, load_pipeline_str(yml_template))
-    t = VersionedParquetTable(spark, str(loc))
+    from aqueducts_spark.delta.table import delta_layer
+
+    t = delta_layer(spark).table(str(loc))
     rows = {(str(r.date), r.country): (r.sum_1, r.sum_2) for r in t.read().collect()}
     assert rows[("2023-05-07", "AT")][0] == 10
     assert rows[("2023-05-07", "DE")][0] == 2

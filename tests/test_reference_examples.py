@@ -153,10 +153,9 @@ def test_reference_delta_upsert_fixture_runs_twice(spark, tmp_path):
     loc = _run_delta_fixture(
         spark, root, "aqueduct_pipeline_delta_upsert.yml", "2023-05-02", "u1"
     )
-    n1 = spark.read.parquet(str(Path(loc) / "data")).count() if (Path(loc) / "data").exists() else None
-    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.delta.table import delta_layer
 
-    t = VersionedParquetTable(spark, str(loc))
+    t = delta_layer(spark).table(str(loc))
     n1 = t.read().count()
     _run_delta_fixture(
         spark, root, "aqueduct_pipeline_delta_upsert.yml", "2023-05-02", "u1"
@@ -171,9 +170,9 @@ def test_reference_delta_append_fixture_accumulates(spark, tmp_path):
     loc = _run_delta_fixture(
         spark, root, "aqueduct_pipeline_delta_append.yml", "2023-05-02", "a1"
     )
-    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.delta.table import delta_layer
 
-    t = VersionedParquetTable(spark, str(loc))
+    t = delta_layer(spark).table(str(loc))
     n1 = t.read().count()
     _run_delta_fixture(
         spark, root, "aqueduct_pipeline_delta_append.yml", "2023-05-02", "a1"
@@ -190,9 +189,9 @@ def test_reference_delta_replace_fixture_is_idempotent(spark, tmp_path):
     loc = _run_delta_fixture(
         spark, root, "aqueduct_pipeline_delta_replace.yml", "2023-05-02", "r1"
     )
-    from aqueducts_spark.delta.table import VersionedParquetTable
+    from aqueducts_spark.delta.table import delta_layer
 
-    t = VersionedParquetTable(spark, str(loc))
+    t = delta_layer(spark).table(str(loc))
     n1 = t.read().count()
     _run_delta_fixture(
         spark, root, "aqueduct_pipeline_delta_replace.yml", "2023-05-02", "r1"
