@@ -268,7 +268,12 @@ _MIX_P = (1 << 61) - 1
 
 
 def _minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) — one MinHash per seed, single aggregation.
 
@@ -290,9 +295,15 @@ def _minhash_signature(
     # less hashing CPU and far smaller generated code. h is the md5's
     # top 32 bits so a*h+b stays well inside int64 (ANSI-safe, and
     # identical arithmetic in the DuckDB oracle).
-    hashed = exploded.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    )
+    if hash_fn == "xxhash64":
+        # fast path: one native codegen hash per shingle (top 32 bits so
+        # the Carter-Wegman mixes stay inside int64, same as md5 path)
+        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+    elif hash_fn == "md5":
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    hashed = exploded.withColumn("h", base)
     aggs = [
         F.min(
             (F.lit(2 * seed + 1) * F.col("h") + F.lit(seed * seed + 1))
@@ -310,6 +321,7 @@ def minhash_bands(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band, band_hash) — LSH banding of the MinHash signature.
 
@@ -324,18 +336,19 @@ def minhash_bands(
             f"{num_hashes % bands} hashes and change the sensitivity curve"
         )
     rows_per_band = num_hashes // bands
-    sig = _minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sig = _minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     # band hash = md5 of the band's minhashes in seed order; derived from
     # the wide signature row with no extra shuffle (posexplode is a map)
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)],
-            )
-        )
-        for b in range(bands)
-    ]
+    def _band_hash(b: int):
+        cols = [
+            F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        if hash_fn == "xxhash64":
+            # bigint band key: one native hash per band per doc
+            return F.xxhash64(*cols).cast("string")
+        return F.md5(F.concat_ws(",", *cols))
+
+    band_hashes = [_band_hash(b) for b in range(bands)]
     return sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
@@ -349,6 +362,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (id_a < id_b) from LSH.
 
@@ -357,7 +371,7 @@ def minhash_candidate_pairs(
     bucket sizes are tiny for non-duplicate data, and the join key is
     uniform md5 so there is no planner-visible skew.
     """
-    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
     # Pairs via per-bucket combination instead of a self-join: a
     # self-join recomputes the whole signature lineage for each side
     # (no ReusedExchange — the sides differ by alias), doubling the
@@ -391,6 +405,7 @@ def fuzzy_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """End-to-end fuzzy document dedup: MinHash-LSH candidate pairs →
     connected components of the similarity graph → keep the minimum-id
@@ -410,6 +425,7 @@ def fuzzy_dedup(
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
+        hash_fn=hash_fn,
     )
     return cluster_dedup(df, pairs, id_col=id_col)
 
@@ -455,9 +471,14 @@ def jaccard_pairs(
     )
 
 
-def _token_hash60(col: Column) -> Column:
+def _token_hash60(col: Column, hash_fn: str = "md5") -> Column:
     """First 60 bits of md5 as a non-negative bigint (15 hex chars keeps
-    the value inside a signed 64-bit int in every engine)."""
+    the value inside a signed 64-bit int in every engine); or the
+    xxhash64 fast path (native codegen, Spark-internal determinism)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 60))
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -466,6 +487,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 60,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """60-bit SimHash per document: bit b of the fingerprint is 1 iff
     more token hashes have bit b set than unset.
@@ -485,7 +507,7 @@ def simhash(
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
     )
-    hashed = toks.withColumn("h", _token_hash60(F.col("tok")))
+    hashed = toks.withColumn("h", _token_hash60(F.col("tok"), hash_fn))
     # expressions are SQL strings, not Column compositions: 60 sums
     # built from ~5 py4j calls each cost ~1s of driver time per plan
     # construction (measured), vs one JVM-side parse per F.expr

@@ -54,6 +54,7 @@ def _op_minhash_bands(spark, inp, options):
         num_hashes=int(options.get("num_hashes", 16)),
         bands=int(options.get("bands", 4)),
         shingle_n=int(options.get("shingle_n", 3)),
+        hash_fn=options.get("hash_fn", "md5"),
         **_docs_args(options),
     )
 
@@ -66,6 +67,7 @@ def _op_minhash_pairs(spark, inp, options):
         num_hashes=int(options.get("num_hashes", 16)),
         bands=int(options.get("bands", 4)),
         shingle_n=int(options.get("shingle_n", 3)),
+        hash_fn=options.get("hash_fn", "md5"),
         **_docs_args(options),
     )
 
@@ -78,6 +80,7 @@ def _op_fuzzy_dedup(spark, inp, options):
         num_hashes=int(options.get("num_hashes", 16)),
         bands=int(options.get("bands", 4)),
         shingle_n=int(options.get("shingle_n", 3)),
+        hash_fn=options.get("hash_fn", "md5"),
         **_docs_args(options),
     )
 
@@ -96,7 +99,9 @@ def _op_jaccard_pairs(spark, inp, options):
 def _op_simhash(spark, inp, options):
     from .dedup import simhash
 
-    return simhash(inp, **_docs_args(options))
+    return simhash(
+        inp, hash_fn=options.get("hash_fn", "md5"), **_docs_args(options)
+    )
 
 
 def _op_embed_neardup(spark, inp, options):
@@ -232,6 +237,7 @@ def _op_hash_sample(spark, inp, options):
         options.get("id_col", "doc_id"),
         float(options["rate"]),
         salt=options.get("salt", ""),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -245,6 +251,7 @@ def _op_stratified_sample(spark, inp, options):
         {str(k): float(v) for k, v in options.get("rates", {}).items()},
         default_rate=float(options.get("default_rate", 0.0)),
         salt=options.get("salt", ""),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -257,6 +264,7 @@ def _op_split(spark, inp, options):
         {str(k): float(v) for k, v in options["weights"].items()},
         out_col=options.get("out_col", "split"),
         salt=options.get("salt", "split"),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -433,6 +441,7 @@ def _op_kmv_distinct(spark, inp, options):
         value_col=options["value_col"],
         k=int(options.get("k", 64)),
         buckets=int(options.get("buckets", 64)),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -532,6 +541,7 @@ def _op_stratified_fixed_n(spark, inp, options):
         options["stratum_col"],
         int(options["n_per_stratum"]),
         salt=options.get("salt", ""),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -628,6 +638,7 @@ def _op_cms_sketch(spark, inp, options):
         value_col=options["value_col"],
         width=int(options.get("width", 1024)),
         depth=int(options.get("depth", 3)),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -642,7 +653,8 @@ def _op_cms_freq(spark, inp, options):
     width = int(options.get("width", 1024))
     depth = int(options.get("depth", 3))
     grp = options.get("group_cols", [])
-    sketch = cms_sketch(inp, grp, options["value_col"], width, depth)
+    hash_fn = options.get("hash_fn", "md5")
+    sketch = cms_sketch(inp, grp, options["value_col"], width, depth, hash_fn)
     return cms_estimate(
         sketch,
         spark.table(items_table),
@@ -650,6 +662,7 @@ def _op_cms_freq(spark, inp, options):
         width=width,
         depth=depth,
         group_cols=grp,
+        hash_fn=hash_fn,
     )
 
 
@@ -665,14 +678,21 @@ def _op_bloom_prefilter(spark, inp, options):
         raise OperatorError("bloom_prefilter operator requires options.value_col")
     num_bits = int(options.get("num_bits", 8192))
     num_hashes = int(options.get("num_hashes", 4))
+    hash_fn = options.get("hash_fn", "md5")
     bits = bloom_sketch(
         spark.table(build_table),
         options.get("build_col", options["value_col"]),
         num_bits=num_bits,
         num_hashes=num_hashes,
+        hash_fn=hash_fn,
     )
     return bloom_filter(
-        inp, options["value_col"], bits, num_bits=num_bits, num_hashes=num_hashes
+        inp,
+        options["value_col"],
+        bits,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        hash_fn=hash_fn,
     )
 
 

@@ -40,9 +40,16 @@ __all__ = [
 _BUCKETS = 10_000
 
 
-def hash_bucket(col: Column, buckets: int = _BUCKETS, salt: str = "") -> Column:
+def hash_bucket(
+    col: Column, buckets: int = _BUCKETS, salt: str = "", hash_fn: str = "md5"
+) -> Column:
     """Deterministic bucket in [0, buckets): md5 of the value (plus an
     optional salt for independent re-draws), top 60 bits, mod buckets.
+
+    ``hash_fn="xxhash64"`` swaps the digest for Spark's native codegen
+    hash — the 100 TB fast path (one JVM intrinsic vs string digest +
+    hex parse per row).  Same determinism within Spark, same uniformity;
+    NOT reproducible by an external SQL engine, so gates keep md5.
 
     NULL values hash via a sentinel rather than propagating NULL — a
     NULL bucket compares NULL to every threshold, so NULL-id rows would
@@ -53,7 +60,11 @@ def hash_bucket(col: Column, buckets: int = _BUCKETS, salt: str = "") -> Column:
     ``('0x' || substr(md5(salt || coalesce(v, chr(0))), 1, 15))::BIGINT
     % buckets``.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     v = F.coalesce(col.cast("string"), F.lit("\x00"))
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), v), F.lit(buckets)).cast("int")
     h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), v)), 1, 15), 16, 10)
     return (h.cast("long") % buckets).cast("int")
 
@@ -63,6 +74,7 @@ def hash_sample(
     id_col: str,
     rate: float,
     salt: str = "",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Keep a deterministic ``rate`` fraction of rows keyed by ``id_col``.
 
@@ -72,7 +84,7 @@ def hash_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     threshold = int(round(rate * _BUCKETS))
-    return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt) < threshold)
+    return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt, hash_fn) < threshold)
 
 
 def stratified_sample(
@@ -82,6 +94,7 @@ def stratified_sample(
     rates: dict[str, float],
     default_rate: float = 0.0,
     salt: str = "",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample common
     languages, keep all rare ones).
@@ -98,7 +111,7 @@ def stratified_sample(
             F.when(F.col(stratum_col) == value, int(round(rate * _BUCKETS)))
             .otherwise(threshold)
         )
-    return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt) < threshold)
+    return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt, hash_fn) < threshold)
 
 
 def deterministic_split(
@@ -107,6 +120,7 @@ def deterministic_split(
     weights: dict[str, float],
     out_col: str = "split",
     salt: str = "split",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Label every row with a split name ("train"/"valid"/"test", …)
     using contiguous hash-bucket ranges proportional to ``weights``.
@@ -117,7 +131,7 @@ def deterministic_split(
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt, hash_fn)
     expr = None
     upper = 0.0
     items = sorted(weights.items())
@@ -136,6 +150,7 @@ def stratified_fixed_n(
     stratum_col: str,
     n_per_stratum: int,
     salt: str = "",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exactly ``min(n, stratum size)`` rows per stratum, chosen by
     deterministic hash rank — the fixed-budget cousin of
@@ -154,7 +169,12 @@ def stratified_fixed_n(
     """
     from pyspark.sql.window import Window
 
-    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(salt), F.col(id_col).cast("string"))
+    elif hash_fn == "md5":
+        h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(w))

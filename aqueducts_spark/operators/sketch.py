@@ -61,8 +61,33 @@ __all__ = [
 # the identical arithmetic exists in DuckDB (('0x' || substr)::BIGINT)
 _HASH_SPACE = float(1 << 60)
 
+# Hash-function choice, everywhere a sketch hashes:
+#   * "md5" (default) — cross-engine deterministic; the DuckDB oracle
+#     reproduces every sketch cell exactly.  This is the verification
+#     contract and the default for all gates.
+#   * "xxhash64" — Spark's native codegen hash (one JVM intrinsic call
+#     vs string-cast + digest + hex + conv for md5).  Same uniformity,
+#     NOT reproducible outside Spark.  This is the 100 TB fast path:
+#     per-row hashing is the dominant map-side cost of sketch
+#     construction, so production pipelines that don't need an external
+#     oracle should pass hash_fn="xxhash64" (see SCALE.md for measured
+#     speedups).
+_HASH_FNS = ("md5", "xxhash64")
 
-def _h60(col):
+
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in _HASH_FNS:
+        raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
+
+
+def _h60(col, hash_fn: str = "md5"):
+    if hash_fn == "xxhash64":
+        s = col.cast("string")
+        # xxhash64(NULL) returns the seed hash, not NULL — guard so NULL
+        # values drop out exactly like the md5 path
+        return F.when(
+            s.isNotNull(), F.pmod(F.xxhash64(s), F.lit(1 << 60))
+        ).cast("long")
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
@@ -72,6 +97,7 @@ def kmv_sketch(
     value_col: str,
     k: int = 64,
     buckets: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The sketch itself: per group, the k smallest distinct 60-bit
     hashes of ``value_col`` with their rank (``grp..., h, rank``).
@@ -86,8 +112,9 @@ def kmv_sketch(
         raise ValueError("kmv_sketch: k must be >= 2")
     if buckets < 1:
         raise ValueError("kmv_sketch: buckets must be >= 1")
+    _check_hash_fn(hash_fn)
     grp = list(group_cols)
-    hashes = df.select(*grp, _h60(F.col(value_col)).alias("h")).where(
+    hashes = df.select(*grp, _h60(F.col(value_col), hash_fn).alias("h")).where(
         F.col("h").isNotNull()
     )
     # one shuffle: collect_set partially aggregates map-side (dedup
@@ -145,10 +172,11 @@ def kmv_distinct(
     value_col: str,
     k: int = 64,
     buckets: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """End-to-end: sketch + estimate in one call."""
     return kmv_estimate(
-        kmv_sketch(df, group_cols, value_col, k, buckets), group_cols, k
+        kmv_sketch(df, group_cols, value_col, k, buckets, hash_fn), group_cols, k
     )
 
 
@@ -172,7 +200,7 @@ def kmv_distinct(
 # ---------------------------------------------------------------------------
 
 
-def _with_h60_pair(df: DataFrame, col) -> DataFrame:
+def _with_h60_pair(df: DataFrame, col, hash_fn: str = "md5") -> DataFrame:
     """Append ``__h1``/``__h2``: TWO independent 60-bit hashes from ONE
     md5 — the digest's first and second 15-hex-char halves.
     Row/position families are then derived as ``(h1 + i*h2) mod m`` —
@@ -194,6 +222,13 @@ def _with_h60_pair(df: DataFrame, col) -> DataFrame:
     ``('0x' || substr(md5(v), 1, 15))::BIGINT`` and
     ``('0x' || substr(md5(v), 16, 15))::BIGINT``.
     """
+    if hash_fn == "xxhash64":
+        # two cheap native hashes (a second xxhash64 with a salt column
+        # beats splitting anything) — still one-ish intrinsic per value
+        s = col.cast("string")
+        return df.withColumn(
+            "__h1", F.pmod(F.xxhash64(s), F.lit(1 << 60))
+        ).withColumn("__h2", F.pmod(F.xxhash64(s, F.lit("#2")), F.lit(1 << 60)))
     staged = df.withColumn("__dg", F.md5(col.cast("string")))
     return (
         staged.withColumn(
@@ -212,6 +247,7 @@ def cms_sketch(
     value_col: str,
     width: int = 1024,
     depth: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Count-min sketch as rows ``(group..., d, c, cnt)``: row ``d``
     uses cell ``(h1 + d*h2) mod width`` (double hashing from ONE md5,
@@ -227,9 +263,10 @@ def cms_sketch(
     if not 1 <= depth <= 6:
         # h1 + depth*h2 must stay inside int64: (1+6)*2^60 < 2^63
         raise ValueError("cms_sketch: depth must be in 1..6")
+    _check_hash_fn(hash_fn)
     grp = list(group_cols)
     v = F.col(value_col)
-    hashed = _with_h60_pair(df.where(v.isNotNull()), v)
+    hashed = _with_h60_pair(df.where(v.isNotNull()), v, hash_fn)
     cells = F.array(
         *[
             F.struct(
@@ -255,6 +292,7 @@ def cms_estimate(
     width: int = 1024,
     depth: int = 3,
     group_cols: Sequence[str] = (),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Frequency estimate for each candidate in ``items``: the minimum
     over the sketch's ``depth`` rows of the counter at ``h_d(item) mod
@@ -265,9 +303,10 @@ def cms_estimate(
     The join probes at most ``depth`` cells per item, so the candidate
     side stays tiny relative to the data the sketch summarized.
     """
+    _check_hash_fn(hash_fn)
     grp = list(group_cols)
     it = F.col(item_col)
-    hashed = _with_h60_pair(items.where(it.isNotNull()), it)
+    hashed = _with_h60_pair(items.where(it.isNotNull()), it, hash_fn)
     probes = F.array(
         *[
             F.struct(
@@ -322,6 +361,7 @@ def bloom_sketch(
     value_col: str,
     num_bits: int = 8192,
     num_hashes: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The set bits: distinct ``pos`` rows, ``pos = h_i(v) mod
     num_bits`` for i in 1..num_hashes.  At most ``num_bits`` rows, and
@@ -337,8 +377,9 @@ def bloom_sketch(
     if not 1 <= num_hashes <= 6:
         # h1 + num_hashes*h2 must stay inside int64: (1+6)*2^60 < 2^63
         raise ValueError("bloom_sketch: num_hashes must be in 1..6")
+    _check_hash_fn(hash_fn)
     v = F.col(value_col)
-    hashed = _with_h60_pair(df.where(v.isNotNull()), v)
+    hashed = _with_h60_pair(df.where(v.isNotNull()), v, hash_fn)
     positions = F.array(
         *[
             F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(num_bits))
@@ -354,6 +395,7 @@ def bloom_filter(
     bits: DataFrame,
     num_bits: int = 8192,
     num_hashes: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Keep rows of ``df`` whose ``value_col`` MAY be in the set the
     ``bits`` sketch was built from (no false negatives; false-positive
@@ -372,6 +414,7 @@ def bloom_filter(
         )
     if not 1 <= num_hashes <= 6:
         raise ValueError("bloom_filter: num_hashes must be in 1..6")
+    _check_hash_fn(hash_fn)
     words = [0] * ((num_bits + 63) // 64)
     for row in bits.select("pos").collect():
         pos = int(row["pos"])
@@ -387,15 +430,26 @@ def bloom_filter(
     words = [(w & ((1 << 63) - 1)) - (w & (1 << 63)) for w in words]
     words_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
 
-    # One md5 per probe row, enforced with a lambda binding: filter
+    # One digest per probe row, enforced with a lambda binding: filter
     # predicates get alias-inlined by predicate pushdown and FilterExec
     # codegen performs no common-subexpression elimination, so a plain
     # column/expression form re-hashes per position test (measured 16
-    # md5 evaluations per row). ``transform(array(md5(v)), dg -> ...)``
-    # evaluates the digest exactly once and binds it as the lambda
-    # variable; the body is integer shift/AND plus two conv()s.
-    h1_sql = "CAST(conv(substr(dg, 1, 15), 16, 10) AS BIGINT)"
-    h2_sql = "CAST(conv(substr(dg, 16, 15), 16, 10) AS BIGINT)"
+    # md5 evaluations per row). ``transform(array(<hashes>), g -> ...)``
+    # evaluates the hash(es) exactly once and binds them as the lambda
+    # variable; the body is integer shift/AND (plus two conv()s on the
+    # md5 path).
+    if hash_fn == "xxhash64":
+        probe = (
+            f"array(named_struct("
+            f"'a', pmod(xxhash64(CAST({value_col} AS STRING)), {1 << 60}), "
+            f"'b', pmod(xxhash64(CAST({value_col} AS STRING), '#2'), {1 << 60})))"
+        )
+        h1_sql = "g.a"
+        h2_sql = "g.b"
+    else:
+        probe = f"array(md5(CAST({value_col} AS STRING)))"
+        h1_sql = "CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)"
+        h2_sql = "CAST(conv(substr(g, 16, 15), 16, 10) AS BIGINT)"
 
     def _pos(i: int) -> str:
         return f"pmod({h1_sql} + {i} * {h2_sql}, {num_bits})"
@@ -405,10 +459,7 @@ def bloom_filter(
         f"CAST({_pos(i)} % 64 AS INT)) & 1) = 1)"
         for i in range(1, num_hashes + 1)
     )
-    cond = (
-        f"exists(transform(array(md5(CAST({value_col} AS STRING))), "
-        f"dg -> ({tests})), x -> x)"
-    )
+    cond = f"exists(transform({probe}, g -> ({tests})), x -> x)"
     return df.where(F.col(value_col).isNotNull() & F.expr(cond))
 
 
