@@ -173,6 +173,43 @@ def _cmd_optimize(args) -> int:
         spark.stop()
 
 
+def _cmd_history(args) -> int:
+    """DESCRIBE HISTORY parity: one line per commit, oldest first
+    (works on protocol tables, legacy tables, and — via delta-spark —
+    native tables)."""
+    import datetime as _dt
+
+    from .delta.table import delta_layer
+    from .session import get_spark
+
+    spark = get_spark("aqueducts-history", master=args.master)
+    try:
+        table = delta_layer(spark).table(args.location)
+        entries = table.history()
+        if not entries:
+            print(f"no commits at {args.location}")
+            return 1
+        for e in entries:
+            ts = e.get("timestamp")
+            when = (
+                _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).isoformat()
+                if isinstance(ts, (int, float))
+                else str(ts)
+            )
+            op = e.get("operation") or e.get("action") or "?"
+            params = e.get("operationParameters") or {
+                k: v
+                for k, v in e.items()
+                if k not in ("version", "timestamp", "action", "active_dirs", "schema")
+                and not isinstance(v, (list, dict))
+            }
+            extra = f" {params}" if params else ""
+            print(f"v{e['version']:>4}  {when}  {op}{extra}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="aqueducts-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -235,6 +272,12 @@ def main(argv: list[str] | None = None) -> int:
         "--output", "-o", default=None, help="write to file instead of stdout"
     )
 
+    hist_p = sub.add_parser(
+        "history", help="print a delta table's commit history (DESCRIBE HISTORY)"
+    )
+    hist_p.add_argument("location", help="delta table path")
+    hist_p.add_argument("--master", default=None, help="Spark master (default local[*])")
+
     opt_p = sub.add_parser(
         "optimize", help="compact a delta table (and optionally vacuum old versions)"
     )
@@ -265,6 +308,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_schema(args)
     if args.command == "optimize":
         return _cmd_optimize(args)
+    if args.command == "history":
+        return _cmd_history(args)
     return 1
 
 

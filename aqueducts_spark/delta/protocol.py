@@ -193,7 +193,7 @@ class DeltaProtocolTable:
             for key in ("protocol", "metaData", "add", "remove", "txn"):
                 val = row.get(key)
                 if val is not None:
-                    actions.append({key: _strip_nones(val)})
+                    actions.append({key: _strip_nones(_mapify(key, val))})
         return actions
 
     def _snapshot(
@@ -889,6 +889,30 @@ def _conform(value: dict, typ: pa.DataType) -> dict:
             v = [(str(k), None if vv is None else str(vv)) for k, vv in v.items()]
         out[field.name] = v
     return out
+
+
+# parquet map columns deserialize as lists of (key, value) tuples; the
+# JSON-commit form (and everything downstream — partitionValues lookups,
+# configuration .get) expects dicts, so convert the known map fields
+_MAP_FIELDS = {
+    "metaData": (("configuration",), ("format", "options")),
+    "add": (("partitionValues",), ("tags",)),
+    "remove": (("partitionValues",),),
+}
+
+
+def _mapify(action_key: str, value: dict) -> dict:
+    for path in _MAP_FIELDS.get(action_key, ()):
+        node = value
+        for part in path[:-1]:
+            node = node.get(part) if isinstance(node, dict) else None
+            if node is None:
+                break
+        if isinstance(node, dict):
+            leaf = node.get(path[-1])
+            if isinstance(leaf, list):
+                node[path[-1]] = dict(leaf)
+    return value
 
 
 def _strip_nones(value: Any) -> Any:

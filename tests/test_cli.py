@@ -178,3 +178,36 @@ def test_cli_profile(spark, capsys, monkeypatch):
     lines = [l for l in out.splitlines() if l.strip()]
     assert lines[0].split()[:3] == ["column", "dtype", "n_rows"]
     assert any(l.startswith("n_nationkey") and " 25 " in l for l in lines)
+
+
+def test_cli_history_prints_protocol_commits(spark, tmp_path, capsys, monkeypatch):
+    from aqueducts_spark.delta.protocol import DeltaProtocolTable
+    from aqueducts_spark.types import Field
+    from aqueducts_spark import cli
+
+    loc = str(tmp_path / "tbl_cli_hist")
+    t = DeltaProtocolTable(spark, loc)
+    t.create_if_absent([Field(name="id", data_type="long")], [], {}, {})
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    t.upsert(spark.createDataFrame([(2,)], ["id"]), keys=["id"])
+
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["history", loc])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    assert "CREATE TABLE" in lines[0]
+    assert "WRITE" in lines[1]
+    assert "MERGE" in lines[2]
+
+
+def test_cli_history_missing_table(spark, tmp_path, capsys, monkeypatch):
+    from aqueducts_spark import cli
+
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["history", str(tmp_path / "nope")])
+    assert rc == 1
+    assert "no commits" in capsys.readouterr().out

@@ -522,3 +522,36 @@ def test_cdc_stream_merges_into_protocol_table(spark, tmp_path):
     ]
     ops = [h["operation"] for h in table.history()]
     assert ops[0] == "CREATE TABLE" and "MERGE" in ops
+
+
+def test_checkpoint_preserves_partition_values_and_configuration(spark, tmp_path):
+    """Map-typed action fields (partitionValues, configuration) must
+    survive the parquet checkpoint round trip — including a null
+    partition value — with the log truncated so the checkpoint is the
+    only source of state."""
+    t = DeltaProtocolTable(spark, str(tmp_path / "cp_part"))
+    t.create_if_absent(
+        FIELDS, ["name"], {"delta.appendOnly": "false"}, {}
+    )
+    for i in range(10):  # versions 1..10 -> checkpoint at 10
+        name = None if i == 3 else f"g{i % 2}"
+        t.append(
+            spark.createDataFrame([(i, name, float(i))], "id long, name string, score double")
+        )
+    log = tmp_path / "cp_part" / "_delta_log"
+    assert (log / f"{10:020d}.checkpoint.parquet").is_file()
+    expected = _rows(t.read())
+    for v in range(10):
+        (log / f"{v:020d}.json").unlink()
+
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "cp_part"))
+    snap = t2._snapshot()
+    assert snap.partition_columns() == ["name"]
+    assert (snap.metadata.get("configuration") or {}).get("delta.appendOnly") == "false"
+    for add in snap.files.values():
+        assert isinstance(add.get("partitionValues"), dict)
+    got = _rows(t2.read())
+    assert got == expected
+    assert len(got) == 10
+    # the null-partition row survived with name IS NULL
+    assert sum(1 for r in got if r[1] is None) == 1

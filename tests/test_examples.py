@@ -59,3 +59,37 @@ def test_runnable_examples_run(spark, tmp_path, name):
             spark.catalog.dropTempView(src.name)
         except Exception:
             pass
+
+
+def test_lakehouse_cdc_example_chains_after_upsert(spark, tmp_path):
+    """delta_upsert.yml twice (append then in-place update) followed by
+    lakehouse_cdc.yml reading the version-1→latest diff: the CDC source
+    works on the real-protocol table the first example wrote."""
+    base = Path(__file__).parent.parent / "examples"
+    params = dict(PARAMS, out_dir=str(tmp_path))
+
+    def _cleanup(pipeline):
+        for group in pipeline.stage_groups:
+            for stage in group:
+                try:
+                    spark.catalog.dropTempView(stage.name)
+                except Exception:
+                    pass
+        for src in pipeline.parsed_sources:
+            try:
+                spark.catalog.dropTempView(src.name)
+            except Exception:
+                pass
+
+    for _ in range(2):
+        p = load_pipeline(base / "delta_upsert.yml", params)
+        run_pipeline(spark, p)
+        _cleanup(p)
+
+    cdc_params = dict(params, table_dir=str(tmp_path))
+    p = load_pipeline(base / "lakehouse_cdc.yml", cdc_params)
+    result = run_pipeline(spark, p)
+    df = result.result
+    assert set(df.columns) == {"date", "priority", "n_orders", "total_price"}
+    assert df.count() > 0
+    _cleanup(p)
