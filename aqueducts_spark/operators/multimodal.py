@@ -183,6 +183,30 @@ def _resize_nearest(img, to_w: int, to_h: int):
     return img[np.ix_(rows, cols)]
 
 
+def _pil_image_codec(data: bytes):
+    """Real decoder used automatically when Pillow is importable:
+    grayscale-converts and returns ``(w, h, float32[h, w] in [0,1])``."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # noqa: PLC0415 — availability checked by caller
+
+    img = Image.open(io.BytesIO(data)).convert("L")
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return img.width, img.height, arr
+
+
+def _default_image_codec():
+    """Pillow when installed, else the deterministic fake — the swap
+    point resolves itself on capable clusters."""
+    try:
+        import PIL  # noqa: F401
+
+        return _pil_image_codec
+    except ImportError:
+        return _fake_image_codec
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str,
@@ -194,12 +218,12 @@ def decode_image(
     resized — full ``mapInPandas`` plumbing (schema, Arrow batching,
     partition independence) with a pluggable codec.
 
-    ``codec(bytes) -> (width, height, ndarray[h, w])``. The default is
-    a deterministic fake (:func:`_fake_image_codec`) because no image
-    library ships in this environment; swap in
-    ``lambda b: PIL_decode(b)`` and nothing else changes. Output:
-    ``(id, width, height, pixels: array<float>)`` row-major."""
-    decode = codec or _fake_image_codec
+    ``codec(bytes) -> (width, height, ndarray[h, w])``. The default
+    auto-selects: Pillow (grayscale decode) when importable on the
+    executors, else a deterministic fake (:func:`_fake_image_codec` —
+    no image library ships in this test environment; CODEC SWAP POINT).
+    Output: ``(id, width, height, pixels: array<float>)`` row-major."""
+    decode = codec or _default_image_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []

@@ -240,3 +240,22 @@ def test_embed_neardup_lsh_tolerates_null_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = embedding_near_duplicates_lsh(df, threshold=0.9).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(2, 3)]
+
+
+def test_default_image_codec_resolves_by_availability(monkeypatch):
+    """The codec swap point self-resolves: fake without Pillow, PIL
+    decoder when importable."""
+    import sys
+    import types
+
+    from aqueducts_spark.operators.multimodal import (
+        _default_image_codec,
+        _fake_image_codec,
+        _pil_image_codec,
+    )
+
+    monkeypatch.setitem(sys.modules, "PIL", None)  # import PIL -> ImportError
+    assert _default_image_codec() is _fake_image_codec
+
+    monkeypatch.setitem(sys.modules, "PIL", types.ModuleType("PIL"))
+    assert _default_image_codec() is _pil_image_codec
