@@ -174,9 +174,10 @@ def _cmd_optimize(args) -> int:
 
 
 def _cmd_history(args) -> int:
-    """DESCRIBE HISTORY parity: one line per commit, oldest first
-    (works on protocol tables, legacy tables, and — via delta-spark —
-    native tables)."""
+    """DESCRIBE HISTORY parity: one line per commit, oldest first.
+    Protocol and legacy tables are read directly; with delta-spark
+    installed the native connector serves the history (and with it,
+    object-store locations)."""
     import datetime as _dt
 
     from .delta.table import delta_layer
@@ -184,8 +185,30 @@ def _cmd_history(args) -> int:
 
     spark = get_spark("aqueducts-history", master=args.master)
     try:
-        table = delta_layer(spark).table(args.location)
-        entries = table.history()
+        layer = delta_layer(spark)
+        if layer.native:  # pragma: no cover - requires delta-spark
+            from delta.tables import DeltaTable  # type: ignore
+
+            rows = (
+                DeltaTable.forPath(spark, args.location)
+                .history()
+                .select("version", "timestamp", "operation", "operationParameters")
+                .collect()
+            )
+            entries = sorted(
+                (
+                    {
+                        "version": r.version,
+                        "timestamp": r.timestamp.timestamp() if r.timestamp else None,
+                        "operation": r.operation,
+                        "operationParameters": r.operationParameters,
+                    }
+                    for r in rows
+                ),
+                key=lambda e: e["version"],
+            )
+        else:
+            entries = layer.table(args.location).history()
         if not entries:
             print(f"no commits at {args.location}")
             return 1

@@ -75,6 +75,12 @@ class _Snapshot:
         self.protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
         self.metadata: Optional[dict] = None
         self.files: dict[str, dict] = {}  # decoded path -> add action
+        # remove tombstones and setTransaction watermarks are invisible
+        # to OUR reads but the spec requires checkpoints to carry them:
+        # external engines rely on tombstones for VACUUM and on txn for
+        # idempotent stream writes
+        self.tombstones: dict[str, dict] = {}  # decoded path -> remove action
+        self.txns: dict[str, dict] = {}  # appId -> txn action
 
     def apply(self, action: dict) -> None:
         if "protocol" in action:
@@ -83,10 +89,19 @@ class _Snapshot:
             self.metadata = action["metaData"]
         elif "add" in action:
             add = action["add"]
-            self.files[unquote(add["path"])] = add
+            path = unquote(add["path"])
+            self.files[path] = add
+            self.tombstones.pop(path, None)
         elif "remove" in action:
-            self.files.pop(unquote(action["remove"]["path"]), None)
-        # commitInfo / txn / cdc / domainMetadata carry no file state
+            remove = action["remove"]
+            path = unquote(remove["path"])
+            self.files.pop(path, None)
+            self.tombstones[path] = remove
+        elif "txn" in action:
+            txn = action["txn"]
+            if txn.get("appId") is not None:
+                self.txns[txn["appId"]] = txn
+        # commitInfo / cdc / domainMetadata carry no replay state
 
     def schema(self) -> T.StructType:
         if self.metadata is None or not self.metadata.get("schemaString"):
@@ -105,15 +120,16 @@ class _Snapshot:
             raise DeltaProtocolError(
                 f"unsupported table feature: columnMapping mode {mapping!r}"
             )
-        if reader >= 3:
+        if reader > 3:
+            # a future protocol revision this code does not know
+            raise DeltaProtocolError(f"unsupported minReaderVersion {reader}")
+        if reader == 3:
             feats = set(p.get("readerFeatures") or [])
             unsupported = feats - _SUPPORTED_READER_FEATURES
             if unsupported:
                 raise DeltaProtocolError(
                     f"unsupported Delta reader features: {sorted(unsupported)}"
                 )
-        elif reader > 3:
-            raise DeltaProtocolError(f"unsupported minReaderVersion {reader}")
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +183,9 @@ class DeltaProtocolTable:
             raise DeltaProtocolError(f"no Delta table at {self.root}")
         return max(commits + checkpoints)
 
-    def _commit_timestamp(self, version: int) -> float:
-        """Commit time in epoch seconds: commitInfo.timestamp when
-        present, else the commit file's mtime."""
+    def _commit_info_of(self, version: int) -> Optional[dict]:
+        """The commitInfo action of ``version`` (one file read), or
+        None when the commit file or action is absent."""
         path = self.log_dir / f"{version:020d}.json"
         try:
             for line in path.read_text().splitlines():
@@ -177,12 +193,21 @@ class DeltaProtocolTable:
                     continue
                 action = json.loads(line)
                 info = action.get("commitInfo")
-                if info and "timestamp" in info:
-                    return float(info["timestamp"]) / 1000.0
+                if info is not None:
+                    return info
         except FileNotFoundError:
             pass
+        return None
+
+    def _commit_timestamp(self, version: int, info: Optional[dict] = None) -> float:
+        """Commit time in epoch seconds: commitInfo.timestamp when
+        present, else the commit file's mtime."""
+        if info is None:
+            info = self._commit_info_of(version)
+        if info and "timestamp" in info:
+            return float(info["timestamp"]) / 1000.0
         try:
-            return path.stat().st_mtime
+            return (self.log_dir / f"{version:020d}.json").stat().st_mtime
         except FileNotFoundError:
             return float("inf")
 
@@ -246,17 +271,25 @@ class DeltaProtocolTable:
         return snap
 
     def _write_commit(self, version: int, actions: list[dict]) -> None:
-        """Atomic put-if-absent commit (O_EXCL); a concurrent writer that
-        claimed this version surfaces as FileExistsError for the caller
-        to retry/fail."""
+        """Atomic put-if-absent commit: the payload is fully written and
+        fsynced to a hidden temp file, then hard-linked to the commit
+        name — link(2) fails with EEXIST if a concurrent writer claimed
+        the version (surfaced as FileExistsError for the caller to
+        retry/fail), and readers can never observe a partial commit
+        (an in-place O_EXCL write would expose empty/truncated JSON to
+        a concurrent ``_snapshot()``)."""
         self.log_dir.mkdir(parents=True, exist_ok=True)
         payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
         path = self.log_dir / f"{version:020d}.json"
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        tmp = self.log_dir / f".{uuid.uuid4().hex}.json.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload.encode("utf-8"))
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            os.write(fd, payload.encode("utf-8"))
+            os.link(tmp, path)
         finally:
-            os.close(fd)
+            tmp.unlink(missing_ok=True)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             try:
                 self._write_checkpoint(version)
@@ -288,6 +321,13 @@ class DeltaProtocolTable:
             rows.append({"metaData": snap.metadata})
         for add in snap.files.values():
             rows.append({"add": add})
+        # the spec requires checkpoints to carry remove tombstones (other
+        # engines' VACUUM depends on them) and setTransaction watermarks
+        # (idempotent stream writers depend on them)
+        for remove in snap.tombstones.values():
+            rows.append({"remove": remove})
+        for txn in snap.txns.values():
+            rows.append({"txn": txn})
         schema = _checkpoint_schema()
         normalized = []
         for r in rows:
@@ -452,15 +492,10 @@ class DeltaProtocolTable:
 
     # ----- writes -------------------------------------------------------
 
-    def _declared_struct(self) -> Optional[T.StructType]:
-        if not self.exists():
-            return None
-        return self._snapshot().schema()
-
-    def _prepare(self, df: DataFrame) -> DataFrame:
-        struct = self._declared_struct()
-        if struct is None:
-            return df
+    def _prepare(self, df: DataFrame, snap: _Snapshot) -> DataFrame:
+        """Cast/validate input to the snapshot's declared schema
+        (reference delta/src/lib.rs:331-362)."""
+        struct = snap.schema()
         missing = [f.name for f in struct.fields if f.name not in df.columns]
         if missing:
             raise DeltaProtocolError(
@@ -516,8 +551,8 @@ class DeltaProtocolTable:
 
     def append(self, df: DataFrame) -> int:
         self._ensure_created_from(df)
-        df = self._prepare(df)
-        snap = self._snapshot()
+        snap = self._snapshot()  # ONE log replay per write
+        df = self._prepare(df, snap)
         adds = self._stage_files(df, snap.partition_columns())
         actions = [
             self._commit_info("WRITE", {"mode": "Append"}),
@@ -571,8 +606,8 @@ class DeltaProtocolTable:
         every target row matching a source key is replaced by ALL of
         that key's source rows (delete-matching + insert-all)."""
         self._ensure_created_from(df)
-        df = self._prepare(df)
         snap = self._snapshot()
+        df = self._prepare(df, snap)
         current = self._read_snapshot(snap)
         cond = merge_key_condition(df.schema, keys, "old", "new")
         untouched = (
@@ -585,8 +620,8 @@ class DeltaProtocolTable:
 
     def replace(self, df: DataFrame, conditions: list[tuple[str, str]]) -> int:
         self._ensure_created_from(df)
-        df = self._prepare(df)
         snap = self._snapshot()
+        df = self._prepare(df, snap)
         pred = build_replace_predicate(conditions)
         if snap.files:
             current = self._read_snapshot(snap)
@@ -601,23 +636,18 @@ class DeltaProtocolTable:
     # ----- maintenance / introspection ---------------------------------
 
     def history(self) -> list[dict]:
-        """Commit log oldest-first (DESCRIBE HISTORY parity)."""
+        """Commit log oldest-first (DESCRIBE HISTORY parity) — one file
+        read per commit."""
         out = []
         for v in self._commit_versions():
+            info = self._commit_info_of(v)
             entry: dict[str, Any] = {
                 "version": v,
-                "timestamp": self._commit_timestamp(v),
+                "timestamp": self._commit_timestamp(v, info),
             }
-            path = self.log_dir / f"{v:020d}.json"
-            for line in path.read_text().splitlines():
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                info = action.get("commitInfo")
-                if info:
-                    entry["operation"] = info.get("operation")
-                    entry["operationParameters"] = info.get("operationParameters")
-                    break
+            if info:
+                entry["operation"] = info.get("operation")
+                entry["operationParameters"] = info.get("operationParameters")
             out.append(entry)
         return out
 
@@ -668,6 +698,10 @@ class DeltaProtocolTable:
             rel = fpath.relative_to(self.root)
             if rel.parts and rel.parts[0] == LOG_DIR:
                 continue
+            if any(part.startswith(".") for part in rel.parts):
+                # a concurrent writer's .stage-* dir (or other hidden
+                # working files) is never vacuum's to delete
+                continue
             if str(rel) not in keep:
                 fpath.unlink()
                 removed.append(str(rel))
@@ -675,7 +709,11 @@ class DeltaProtocolTable:
         for d in sorted(
             (p for p in self.root.rglob("*") if p.is_dir()), reverse=True
         ):
-            if d.name != LOG_DIR and not any(d.iterdir()):
+            if (
+                d.name != LOG_DIR
+                and not d.name.startswith(".")
+                and not any(d.iterdir())
+            ):
                 d.rmdir()
         return removed
 
@@ -703,9 +741,6 @@ class DeltaProtocolTable:
             .withColumn("_to_version", F.lit(int(v_to)))
         )
 
-    # legacy-interface aliases used by callers of VersionedParquetTable
-    def declared_fields(self) -> list:  # pragma: no cover - shim
-        return []
 
 
 # ---------------------------------------------------------------------------
@@ -767,7 +802,11 @@ def _file_stats(path: Path) -> str:
     null_counts: dict[str, int] = {}
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
-    ok: dict[str, bool] = {}
+    ok_minmax: dict[str, bool] = {}
+    # a column's nullCount (or min/max) is published ONLY if EVERY row
+    # group contributed — a partial sum would understate nulls and let
+    # an external reader's data skipping silently drop rows
+    ok_null: dict[str, bool] = {}
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for ci in range(group.num_columns):
@@ -777,10 +816,12 @@ def _file_stats(path: Path) -> str:
                 continue
             stats = col.statistics
             if stats is None or not stats.has_null_count:
-                ok[name] = False
+                ok_null[name] = False
+                ok_minmax[name] = False
                 continue
-            null_counts[name] = null_counts.get(name, 0) + stats.null_count
-            if ok.get(name) is False:
+            if ok_null.setdefault(name, True):
+                null_counts[name] = null_counts.get(name, 0) + stats.null_count
+            if ok_minmax.get(name) is False:
                 continue
             if (
                 stats.has_min_max
@@ -790,12 +831,15 @@ def _file_stats(path: Path) -> str:
             ):
                 mins[name] = stats.min if name not in mins else min(mins[name], stats.min)
                 maxs[name] = stats.max if name not in maxs else max(maxs[name], stats.max)
-                ok[name] = True
+                ok_minmax[name] = True
             else:
-                ok[name] = False
-    out: dict[str, Any] = {"numRecords": num_records, "nullCount": null_counts}
-    min_out = {k: v for k, v in mins.items() if ok.get(k)}
-    max_out = {k: v for k, v in maxs.items() if ok.get(k)}
+                ok_minmax[name] = False
+    out: dict[str, Any] = {
+        "numRecords": num_records,
+        "nullCount": {k: v for k, v in null_counts.items() if ok_null.get(k)},
+    }
+    min_out = {k: v for k, v in mins.items() if ok_minmax.get(k)}
+    max_out = {k: v for k, v in maxs.items() if ok_minmax.get(k)}
     if min_out:
         out["minValues"] = min_out
         out["maxValues"] = max_out

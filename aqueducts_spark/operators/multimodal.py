@@ -207,6 +207,22 @@ def _default_image_codec():
         return _fake_image_codec
 
 
+def _resolve_image_codec(codec):
+    """Accept a callable, or the names "auto" (default: Pillow when the
+    EXECUTOR can import it, else the fake), "pil", "fake".  Resolution
+    is deferred to the worker side on purpose: the driver's environment
+    proves nothing about where the decode actually runs."""
+    if callable(codec):
+        return codec
+    if codec in (None, "auto"):
+        return _default_image_codec()
+    if codec == "pil":
+        return _pil_image_codec
+    if codec == "fake":
+        return _fake_image_codec
+    raise ValueError(f"codec must be callable or 'auto'/'pil'/'fake', got {codec!r}")
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str,
@@ -218,14 +234,18 @@ def decode_image(
     resized — full ``mapInPandas`` plumbing (schema, Arrow batching,
     partition independence) with a pluggable codec.
 
-    ``codec(bytes) -> (width, height, ndarray[h, w])``. The default
-    auto-selects: Pillow (grayscale decode) when importable on the
-    executors, else a deterministic fake (:func:`_fake_image_codec` —
-    no image library ships in this test environment; CODEC SWAP POINT).
-    Output: ``(id, width, height, pixels: array<float>)`` row-major."""
-    decode = codec or _default_image_codec()
+    ``codec`` is a callable ``bytes -> (width, height, ndarray[h, w])``
+    or one of ``"auto"`` (default: Pillow grayscale decode when the
+    EXECUTOR can import it, else the deterministic fake —
+    :func:`_fake_image_codec`; no image library ships in this test
+    environment; CODEC SWAP POINT), ``"pil"``, ``"fake"``.  Name
+    resolution happens inside the worker so a driver/executor
+    environment mismatch cannot pick the wrong decoder.  Output:
+    ``(id, width, height, pixels: array<float>)`` row-major."""
+    _resolve_image_codec(codec)  # validate names eagerly on the driver
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _resolve_image_codec(codec)
         rows = []
         for pdf in batches:
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):

@@ -555,3 +555,114 @@ def test_checkpoint_preserves_partition_values_and_configuration(spark, tmp_path
     assert len(got) == 10
     # the null-partition row survived with name IS NULL
     assert sum(1 for r in got if r[1] is None) == 1
+
+
+# ---------------------------------------------------------------------------
+# review-hardening regressions
+# ---------------------------------------------------------------------------
+
+
+def test_stray_tmp_commit_file_is_ignored(spark, tmp_path):
+    """A writer that died mid-commit leaves only a hidden .tmp file —
+    never a partial commit — and readers ignore it."""
+    t = _make(spark, tmp_path)
+    t.append(_df(spark, [(1, "a", 1.0)]))
+    log = tmp_path / "tbl" / "_delta_log"
+    (log / ".deadbeef.json.tmp").write_text('{"add": {"path": "half')
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "tbl"))
+    assert _rows(t2.read()) == [(1, "a", 1.0)]
+    assert t2.latest_version() == 1
+
+
+def test_future_reader_version_rejected(spark, tmp_path):
+    root = tmp_path / "future"
+    _write_external_table(root)
+    log = root / "_delta_log" / f"{0:020d}.json"
+    lines = []
+    for line in log.read_text().splitlines():
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 4, "minWriterVersion": 9}
+        lines.append(json.dumps(a))
+    log.write_text("\n".join(lines))
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion 4"):
+        delta_layer(spark).read(str(root))
+
+
+def test_checkpoint_carries_tombstones_and_txns(spark, tmp_path):
+    """Spec compliance: checkpoints must preserve remove tombstones
+    (external VACUUM) and txn watermarks (idempotent stream writers)."""
+    t = _make(spark, tmp_path, name="cptx")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+    t.compact()  # v2: removes v1's files
+    # an external streaming writer records its transaction watermark
+    log = tmp_path / "cptx" / "_delta_log"
+    (log / f"{3:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"commitInfo": {"timestamp": 1700000000000, "operation": "STREAMING UPDATE"}},
+                {"txn": {"appId": "stream-42", "version": 17, "lastUpdated": 1700000000000}},
+            ]
+        )
+    )
+    for v in range(4, 11):
+        t.append(_df(spark, [(v, "b", float(v))]))
+    cp = log / f"{10:020d}.checkpoint.parquet"
+    assert cp.is_file()
+    table = pq.read_table(cp).to_pylist()
+    removes = [r["remove"] for r in table if r.get("remove")]
+    txns = [r["txn"] for r in table if r.get("txn")]
+    assert removes, "checkpoint must carry remove tombstones"
+    assert any(x["appId"] == "stream-42" and x["version"] == 17 for x in txns)
+
+    # and the replayed snapshot preserves the txn watermark
+    for v in range(10):
+        p = log / f"{v:020d}.json"
+        if p.exists():
+            p.unlink()
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "cptx"))
+    snap = t2._snapshot()
+    assert snap.txns.get("stream-42", {}).get("version") == 17
+
+
+def test_vacuum_spares_staging_dirs(spark, tmp_path):
+    t = _make(spark, tmp_path, name="vs")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+    t.compact()
+    stage = tmp_path / "vs" / ".stage-inflight"
+    stage.mkdir()
+    staged_file = stage / "part-0000.parquet"
+    pa_table = pa.table({"id": pa.array([7], pa.int64())})
+    pq.write_table(pa_table, staged_file)
+    removed = t.vacuum(keep_versions=1)
+    assert removed  # the compacted-away file went
+    assert staged_file.is_file()  # the in-flight writer's file did not
+
+
+def test_stats_omit_nullcount_when_statistics_missing(spark, tmp_path):
+    from aqueducts_spark.delta.protocol import _file_stats
+
+    p = tmp_path / "nostats.parquet"
+    table = pa.table({"a": pa.array([1, None, 3], pa.int64())})
+    pq.write_table(table, p, write_statistics=False)
+    stats = json.loads(_file_stats(p))
+    assert stats["numRecords"] == 3
+    assert "a" not in stats.get("nullCount", {})
+    assert "minValues" not in stats
+
+    pq.write_table(table, p, write_statistics=True)
+    stats = json.loads(_file_stats(p))
+    assert stats["nullCount"]["a"] == 1
+    assert stats["minValues"]["a"] == 1 and stats["maxValues"]["a"] == 3
+
+
+def test_image_codec_name_validation(spark):
+    from aqueducts_spark.operators.multimodal import decode_image
+
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="codec"):
+        decode_image(df, "payload", "doc_id", codec="jpegturbo")
+    # name form works end to end
+    out = decode_image(df, "payload", "doc_id", codec="fake").collect()
+    assert len(out) == 1 and out[0].width > 0
