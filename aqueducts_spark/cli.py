@@ -165,7 +165,20 @@ def _cmd_optimize(args) -> int:
         table = delta_layer(spark).table(args.location)
         version = table.compact(target_partitions=args.target_partitions)
         print(f"compacted {args.location} -> version {version}")
-        if args.vacuum_keep is not None:
+        if getattr(args, "vacuum_retention_hours", None) is not None:
+            try:
+                removed = table.vacuum(
+                    retention_hours=args.vacuum_retention_hours
+                )
+            except TypeError:
+                print(
+                    "--vacuum-retention-hours requires a Delta-protocol table "
+                    "(legacy tables support --vacuum-keep only)",
+                    file=sys.stderr,
+                )
+                return 1
+            print(f"vacuumed {len(removed)} data file(s)")
+        elif args.vacuum_keep is not None:
             removed = table.vacuum(keep_versions=args.vacuum_keep)
             print(f"vacuumed {len(removed)} data dir(s)")
         return 0
@@ -313,6 +326,13 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=None,
         help="after compacting, delete files not referenced by the newest N versions",
+    )
+    opt_p.add_argument(
+        "--vacuum-retention-hours",
+        type=float,
+        default=None,
+        help="Delta VACUUM semantics: delete unreferenced files tombstoned "
+        "longer than N hours ago (protocol tables only)",
     )
     opt_p.add_argument("--master", default=None, help="Spark master (default local[*])")
 

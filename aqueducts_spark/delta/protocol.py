@@ -682,17 +682,39 @@ class DeltaProtocolTable:
         self._write_commit(version, actions)
         return version
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_hours: Optional[float] = None
+    ) -> list[str]:
         """Delete data files unreferenced by the newest ``keep_versions``
-        snapshots (version count stands in for the retention window)."""
-        if keep_versions < 1:
-            raise DeltaProtocolError("vacuum: keep_versions must be >= 1")
+        snapshots (version count stands in for the retention window).
+
+        ``retention_hours`` switches to real Delta VACUUM semantics:
+        delete files NOT referenced by the CURRENT snapshot whose
+        tombstone ``deletionTimestamp`` (falling back to file mtime) is
+        older than the retention window — recently-removed files stay
+        restorable, matching delta-spark's default-168h contract."""
         versions = self._commit_versions()
         if not versions:
             return []
         keep: set[str] = set()
-        for v in versions[-keep_versions:]:
-            keep.update(self._snapshot(v).files.keys())
+        if retention_hours is not None:
+            if retention_hours < 0:
+                raise DeltaProtocolError("vacuum: retention_hours must be >= 0")
+            snap = self._snapshot()
+            keep.update(snap.files.keys())
+            cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+            for path, remove in snap.tombstones.items():
+                deleted_at = remove.get("deletionTimestamp")
+                if deleted_at is None:
+                    f = self.root / path
+                    deleted_at = f.stat().st_mtime * 1000.0 if f.exists() else 0
+                if float(deleted_at) >= cutoff_ms:
+                    keep.add(path)  # inside the retention window
+        else:
+            if keep_versions < 1:
+                raise DeltaProtocolError("vacuum: keep_versions must be >= 1")
+            for v in versions[-keep_versions:]:
+                keep.update(self._snapshot(v).files.keys())
         removed: list[str] = []
         for fpath in sorted(self.root.rglob("*.parquet")):
             rel = fpath.relative_to(self.root)

@@ -666,3 +666,34 @@ def test_image_codec_name_validation(spark):
     # name form works end to end
     out = decode_image(df, "payload", "doc_id", codec="fake").collect()
     assert len(out) == 1 and out[0].width > 0
+
+
+def test_vacuum_retention_hours_semantics(spark, tmp_path):
+    """retention_hours mode: unreferenced files inside the window stay
+    (time travel still works); aging the tombstone past the window
+    deletes them."""
+    t = _make(spark, tmp_path, name="vr")
+    v1 = t.append(_df(spark, [(1, "a", 1.0)]))
+    t.compact()  # tombstones v1's files
+
+    # fresh tombstones: nothing is old enough to delete
+    assert t.vacuum(retention_hours=1.0) == []
+    assert _rows(t.read(version=v1)) == [(1, "a", 1.0)]
+
+    # age the tombstones by rewriting deletionTimestamp far in the past
+    log = tmp_path / "vr" / "_delta_log"
+    p = log / f"{2:020d}.json"
+    lines = []
+    for line in p.read_text().splitlines():
+        a = json.loads(line)
+        if "remove" in a:
+            a["remove"]["deletionTimestamp"] = 1000  # 1970
+        lines.append(json.dumps(a))
+    p.write_text("\n".join(lines))
+
+    removed = t.vacuum(retention_hours=1.0)
+    assert removed
+    # current snapshot still reads; the vacuumed version does not
+    assert len(t.read().collect()) == 1
+    with pytest.raises(Exception):
+        t.read(version=v1).collect()
