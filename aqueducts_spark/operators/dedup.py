@@ -2,9 +2,11 @@
 
 All of these are pure DataFrame compositions — no Python UDFs — so the
 whole plan stays inside whole-stage codegen and scales with the
-cluster. Determinism note: every hash is ``md5`` (not Spark's
-``hash()``/``xxhash64``) so results are reproducible across engines and
-verifiable against a SQL oracle.
+cluster. Determinism note: hashes default to ``md5`` so results are
+reproducible across engines and verifiable against a SQL oracle; every
+hash-keyed operator also takes ``hash_fn="xxhash64"`` for the
+native-codegen fast path (Spark-internal determinism only — see
+SCALE.md for the speed/collision trade-offs).
 
 Scale design (100 TB):
 
@@ -104,26 +106,42 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
-def _payload_key(cols: list[str]) -> Column:
-    """md5 fingerprint of the payload columns, NULL-distinct: each NULL
+def _payload_key(cols: list[str], hash_fn: str = "md5") -> Column:
+    """Fingerprint of the payload columns, NULL-distinct: each NULL
     column renders as a sentinel instead of being SKIPPED by concat_ws —
     otherwise ``('a', NULL)`` and ``(NULL, 'a')`` concatenate to the
-    same string and distinct rows silently collide into one dedup key."""
+    same string and distinct rows silently collide into one dedup key.
+
+    ``md5`` (default): 32-hex-char key, 128-bit space — effectively
+    collision-free at any corpus size, and reproducible by the DuckDB
+    oracle.  ``xxhash64``: 8-byte bigint key — native codegen AND a 4x
+    smaller shuffle payload, but a 64-bit space: the birthday bound
+    means ~1 accidental key collision per ~5 billion distinct payloads,
+    so EXACT dedup on trillion-row corpora should keep md5 (a collision
+    silently merges two distinct rows)."""
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in cols
     ]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    joined = F.concat_ws("\x1f", *parts)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(joined)
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    return F.md5(joined)
 
 
-def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, cols: list[str], hash_fn: str = "md5"
+) -> DataFrame:
     """Groups of rows with identical values in ``cols`` (count > 1).
 
-    One shuffle on the group key; at scale prefer grouping on
-    ``md5(concat(...))`` of wide text columns (done here) so the
-    shuffle key is 32 bytes regardless of document size.
+    One shuffle on the group key; grouping on a fingerprint of wide
+    text columns (done here) keeps the shuffle key fixed-size
+    regardless of document size — 32 bytes for md5, 8 for xxhash64
+    (see :func:`_payload_key` for the collision trade-off).
     """
     return (
-        df.groupBy(_payload_key(cols).alias("dup_key"))
+        df.groupBy(_payload_key(cols, hash_fn).alias("dup_key"))
         .agg(F.count("*").alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
@@ -209,7 +227,9 @@ def drop_common_lines(
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str, cols: list[str], hash_fn: str = "md5"
+) -> DataFrame:
     """Keep exactly one row (the min ``id_col``, NULL ids last) per
     distinct ``cols``.
 
@@ -222,7 +242,7 @@ def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(_payload_key(cols)).orderBy(
+    w = Window.partitionBy(_payload_key(cols, hash_fn)).orderBy(
         F.col(id_col).asc_nulls_last()
     )
     return (
@@ -237,6 +257,7 @@ def dedup_against(
     corpus_df: DataFrame,
     cols: list[str],
     broadcast_corpus: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Incremental dedup: rows of ``new_df`` whose ``cols`` payload does
     NOT already appear in ``corpus_df`` (the standard new-crawl vs
@@ -250,7 +271,7 @@ def dedup_against(
     set ``broadcast_corpus`` when the corpus key set is small enough
     (e.g. an eval benchmark) to skip the shuffle entirely.
     """
-    key = _payload_key(cols)
+    key = _payload_key(cols, hash_fn)
     corpus_keys = corpus_df.select(key.alias("__dedup_key")).distinct()
     if broadcast_corpus:
         corpus_keys = F.broadcast(corpus_keys)

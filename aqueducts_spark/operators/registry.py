@@ -43,6 +43,7 @@ def _op_exact_dedup(spark, inp, options):
         inp,
         options.get("id_col", "doc_id"),
         options.get("columns", ["text"]),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -624,6 +625,7 @@ def _op_dedup_against(spark, inp, options):
         spark.table(corpus_table),
         cols=options.get("columns", ["text"]),
         broadcast_corpus=bool(options.get("broadcast_corpus", False)),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 

@@ -200,3 +200,25 @@ def test_xxhash_plan_has_no_md5(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("doc_id"))
     plan = hash_sample(df, "doc_id", 0.5, hash_fn="xxhash64")._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan and "md5" not in plan
+
+
+def test_exact_dedup_xxhash_same_survivors_as_md5(spark):
+    from aqueducts_spark.operators.dedup import dedup_against, exact_dedup
+
+    rows = [(i, f"text {i % 50}") for i in range(200)]  # 4 copies each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md5_ids = sorted(r.doc_id for r in exact_dedup(df, "doc_id", ["text"]).collect())
+    xx_ids = sorted(
+        r.doc_id
+        for r in exact_dedup(df, "doc_id", ["text"], hash_fn="xxhash64").collect()
+    )
+    # both keep the min-id representative of each payload group
+    assert md5_ids == xx_ids == list(range(50))
+
+    corpus = spark.createDataFrame([(f"text {i}",) for i in range(25)], "text string")
+    survivors = dedup_against(df, corpus, ["text"], hash_fn="xxhash64")
+    kept_texts = {r.text for r in survivors.collect()}
+    assert kept_texts == {f"text {i}" for i in range(25, 50)}
+    # shuffle key on the fast path is a fixed 8-byte bigint
+    plan = exact_dedup(df, "doc_id", ["text"], hash_fn="xxhash64")._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan and "md5" not in plan
