@@ -1589,7 +1589,7 @@ FROM (
 """
 
 OP_FINGERPRINT_DUCK = r"""
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -2352,10 +2352,15 @@ def _pl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — same semantics. Fractions are integer-derived double divisions
 # (bit-identical cross-engine, no rounding needed).
 OP_REPETITION_DUCK = r"""
-WITH g AS (
+WITH t AS (
   SELECT doc_id,
-         [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, greatest(len(toks)-1, 1))] AS grams
-  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] AS grams
+  FROM t WHERE len(toks) >= 2
 ),
 counts AS (
   SELECT doc_id, gram, COUNT(*)::BIGINT AS c
@@ -2369,6 +2374,10 @@ SELECT doc_id, n_grams, n_distinct, top_count,
        (n_grams - n_distinct) / CAST(n_grams AS DOUBLE) AS dup_frac,
        top_count / CAST(n_grams AS DOUBLE) AS top_frac
 FROM stats
+UNION ALL
+-- docs with fewer than 2 tokens have no bigrams: every signal is the
+-- neutral zero (matching operators/text.py::repetition_features)
+SELECT doc_id, 0, 0, 0, 0.0, 0.0 FROM t WHERE len(toks) < 2
 """
 
 

@@ -67,13 +67,16 @@ def text_features(
     """Per-document quality feature vector (all codegen-side):
     char/token counts, average token length, punctuation/digit/space
     ratios, stopword ratio (en), distinct-token ratio."""
-    text = F.col(text_col)
+    # NULL text behaves exactly like empty text: length(NULL)/size(NULL)
+    # would NULL-poison every ratio AND the score, silently dropping the
+    # doc from BOTH sides of any threshold filter — the same hole the
+    # empty-doc clamp below closes
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = normalized_tokens(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     # empty docs: ratio denominators clamp to 1 (ratios 0.0, never NULL
-    # or DIVIDE_BY_ZERO under ANSI) — NULL would silently drop the doc
-    # from BOTH sides of any quality_score threshold filter
+    # or DIVIDE_BY_ZERO under ANSI)
     safe_chars = F.greatest(n_chars, F.lit(1))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     return df.select(
@@ -191,8 +194,16 @@ def repetition_features(
     """
     from .dedup import ensure_parallelism, word_ngrams
 
+    # NULL text counts as empty; docs with fewer than n tokens have NO
+    # n-grams, so every count is 0 and both fractions are 0.0 — the
+    # NEUTRAL signal (word_ngrams' sentinel/partial gram would otherwise
+    # report top_frac = 1.0 and a Gopher-style "top_frac > t" filter
+    # would drop every short doc as maximally repetitive)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     df = ensure_parallelism(df).select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("__grams")
+        F.col(id_col),
+        word_ngrams(text, n).alias("__grams"),
+        (F.size(normalized_tokens(text)) >= n).alias("__has_grams"),
     )
     grams = F.col("__grams")
     sorted_grams = F.array_sort(grams)
@@ -217,20 +228,32 @@ def repetition_features(
         )(run_of(acc, g)),
         lambda acc: acc.best,
     )
+    zero_b = F.lit(0).cast("bigint")
     out = df.select(
         F.col(id_col),
-        F.size(grams).cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
-        top.alias("top_count"),
+        F.when(F.col("__has_grams"), F.size(grams).cast("bigint"))
+        .otherwise(zero_b)
+        .alias("n_grams"),
+        F.when(
+            F.col("__has_grams"), F.size(F.array_distinct(grams)).cast("bigint")
+        )
+        .otherwise(zero_b)
+        .alias("n_distinct"),
+        F.when(F.col("__has_grams"), top).otherwise(zero_b).alias("top_count"),
     )
     n_grams_d = F.col("n_grams").cast("double")
+    nz = F.col("n_grams") > 0
     return out.select(
         id_col,
         "n_grams",
         "n_distinct",
         "top_count",
-        ((F.col("n_grams") - F.col("n_distinct")) / n_grams_d).alias("dup_frac"),
-        (F.col("top_count") / n_grams_d).alias("top_frac"),
+        F.when(nz, (F.col("n_grams") - F.col("n_distinct")) / n_grams_d)
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.when(nz, F.col("top_count") / n_grams_d)
+        .otherwise(F.lit(0.0))
+        .alias("top_frac"),
     )
 
 
@@ -267,7 +290,12 @@ def redact_pii(
     text = F.col(text_col)
     redacted = text
     for name, pat in patterns.items():
-        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+        # the replacement string is a Java Matcher template: '$' is a
+        # group reference and '\\' an escape, so a user-supplied name
+        # like 'price$' would throw (or substitute captured text)
+        # unless quoted
+        tag = "[" + name.upper().replace("\\", "\\\\").replace("$", "\\$") + "]"
+        redacted = F.regexp_replace(redacted, pat, tag)
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in (keep_cols or [])],
@@ -350,6 +378,13 @@ def chunk_documents(
     input, so a downstream ``pack_shards`` sees chunks co-located with
     their documents.
     """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if overlap < 0:
+        # a negative overlap makes stride > chunk_tokens and tokens
+        # BETWEEN chunks silently vanish from every chunk — breaking
+        # the full-coverage guarantee above
+        raise ValueError("overlap must be >= 0")
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
@@ -383,10 +418,12 @@ def chunk_documents(
 
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased,
-    whitespace-collapsed text. Identical fingerprints = exact dup after
-    normalization; cheap first pass before MinHash."""
+    whitespace-collapsed text (NULL fingerprints like the empty
+    string, so NULL-text rows still group together instead of
+    disappearing from fingerprint joins). Identical fingerprints =
+    exact dup after normalization; cheap first pass before MinHash."""
     return F.md5(
-        F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+        F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
     )
 
 
@@ -396,8 +433,10 @@ def vocabulary(
     top_n: int = 1000,
 ) -> DataFrame:
     """Corpus vocabulary: the ``top_n`` most frequent normalized tokens
-    with counts and dense ranks (ties broken by token text, so the
-    output is fully deterministic).
+    with counts and sequential ranks (``row_number`` semantics: tied
+    counts get DISTINCT consecutive ranks, ties broken by token text,
+    so the output is fully deterministic and ``rank <= k`` always
+    returns exactly k tokens).
 
     The building block for tokenizer training / frequency-filtered
     vocab cuts. Plan shape: explode -> partial-aggregated count (one
@@ -406,7 +445,7 @@ def vocabulary(
     table is tiny relative to the corpus; the explode never
     materializes (pipelined into the partial aggregation).
     """
-    from .dedup import ensure_parallelism, normalized_tokens
+    from .dedup import ensure_parallelism
 
     counts = (
         ensure_parallelism(df)
@@ -438,11 +477,13 @@ def tfidf_top_terms(
     Plan shape (scales linearly in corpus size): explode ->
     (id, term) count [1 full shuffle, map-side combined]; document
     frequency re-aggregates that table [smaller shuffle]; the corpus
-    size is a 1-row aggregate joined by broadcast; the final per-doc
-    top-n is a window over the (id, term) table.  The raw corpus is
-    read once; nothing wider than the tf table ever shuffles.
+    size is a 1-row count over a SECOND scan of the source — but
+    column-pruned to ``id_col`` alone, so it reads one narrow column
+    chunk, not the text — joined by broadcast; the final per-doc
+    top-n is a window over the (id, term) table.  Nothing wider than
+    the tf table ever shuffles.
     """
-    from .dedup import ensure_parallelism, normalized_tokens
+    from .dedup import ensure_parallelism
 
     tf = (
         ensure_parallelism(df)
@@ -492,7 +533,7 @@ def unigram_logprob(
     totals [shuffle of the tf table, not the corpus] and one final
     groupBy(id) of already-reduced rows.
     """
-    from .dedup import ensure_parallelism, normalized_tokens
+    from .dedup import ensure_parallelism
 
     tf = (
         ensure_parallelism(df)
@@ -558,7 +599,7 @@ def bigram_logprob(
     table; first-token scoring joins the unigram total table the same
     way. Nothing wider than the bigram tf table re-shuffles.
     """
-    from .dedup import ensure_parallelism, normalized_tokens, word_ngrams
+    from .dedup import ensure_parallelism, word_ngrams
 
     src = ensure_parallelism(df)
     toks = normalized_tokens(F.col(text_col))
@@ -633,13 +674,14 @@ def bigram_logprob(
             F.sum("nll_micro").cast("bigint").alias("nll_micro"),
         )
     )
+    # n_tokens >= 1 for every per_doc row by construction (first_scored
+    # only emits docs with at least one token), so plain division
     return per_doc.select(
         F.col(id_col),
         "n_tokens",
         "nll_micro",
-        F.when(F.col("n_tokens") > 0,
-               F.col("nll_micro").cast("double")
-               / (F.col("n_tokens").cast("double") * F.lit(1e6)))
-        .otherwise(F.lit(0.0))
-        .alias("avg_nll"),
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
     )

@@ -590,3 +590,67 @@ def test_strip_markup_registry_stage(spark):
     )
     assert out.collect()[0].cleaned == "em done"
     spark.catalog.dropTempView("sm_docs")
+
+
+def test_repetition_short_and_null_docs_are_neutral(spark):
+    """Docs with fewer than n tokens (or NULL text) have NO n-grams:
+    every count is 0 and both fractions are 0.0 — a Gopher-style
+    'top_frac > t' filter must not drop short docs as repetitive."""
+    from aqueducts_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "word"), (4, "a a a a"), (5, "x y")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(df, n=2).collect()}
+    for short_id in (1, 2, 3):
+        r = got[short_id]
+        assert (r.n_grams, r.n_distinct, r.top_count) == (0, 0, 0)
+        assert r.dup_frac == 0.0 and r.top_frac == 0.0
+    assert got[4].n_grams == 3 and got[4].top_frac == 1.0  # "a a" x3
+    assert got[5].n_grams == 1 and got[5].dup_frac == 0.0
+
+
+def test_text_features_null_text_like_empty(spark):
+    from aqueducts_spark.operators.text import quality_score, text_features
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in text_features(df).collect()}
+    assert rows[1].n_chars == 0 and rows[1].n_tokens == 0
+    assert rows[1].space_ratio == rows[2].space_ratio == 0.0
+    scores = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+    assert scores[1] is not None and scores[1] == scores[2]
+
+
+def test_fingerprint_null_groups_with_empty(spark):
+    from aqueducts_spark.operators.text import fingerprint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(None,), ("",), ("  ",)], "text string")
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert len(set(fps)) == 1 and fps[0] is not None
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from aqueducts_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap must be >= 0"):
+        chunk_documents(df, chunk_tokens=64, overlap=-8)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0, overlap=-1)
+
+
+def test_redact_pii_dollar_in_pattern_name(spark):
+    from aqueducts_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "price is $42 today")], "doc_id long, text string"
+    )
+    out = redact_pii(
+        df, patterns={"price$": r"\$\d+"}
+    ).collect()[0]
+    assert out.redacted == "price is [PRICE$] today"
+    assert out["n_price$"] == 1
