@@ -203,10 +203,12 @@ def _scan_regions(sql: str):
                 j = n
             yield (i, j, False)
             i = start = j
-        elif ch == "-" and i + 1 < n and sql[i + 1] == "-" and (
-            i + 2 >= n or sql[i + 2] != ">"
-        ):
-            # line comment (but not the '->' / '->>' operator)
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            # line comment: '--' always starts one (SQL/DataFusion
+            # lexing) — the JSON operators are '->'/'->>', never '-->',
+            # so no special case; treating '-->…' as code used to let a
+            # quote inside the comment desynchronize literal detection
+            # for the rest of the query
             if start < i:
                 yield (start, i, True)
             j = sql.find("\n", i)
@@ -228,7 +230,9 @@ def _scan_regions(sql: str):
 
 def _rename_functions(code: str) -> str:
     """Rename known function-call identifiers in a code (non-literal)
-    region. Only identifiers directly followed by '(' are touched."""
+    region. Only UNQUALIFIED identifiers followed by '(' are touched:
+    a leading '.' means a catalog/udf-qualified name that happens to
+    collide with a DataFusion builtin, which must pass through."""
     out = []
     i, n = 0, len(code)
     while i < n:
@@ -239,10 +243,16 @@ def _rename_functions(code: str) -> str:
                 j += 1
             ident = code[i:j]
             k = j
-            while k < n and code[k] in " \t":
+            while k < n and code[k] in " \t\r\n":
                 k += 1
             lowered = ident.lower()
-            if k < n and code[k] == "(" and lowered in FUNCTION_RENAMES:
+            qualified = i > 0 and code[i - 1] == "."
+            if (
+                k < n
+                and code[k] == "("
+                and lowered in FUNCTION_RENAMES
+                and not qualified
+            ):
                 out.append(FUNCTION_RENAMES[lowered])
             else:
                 out.append(ident)
@@ -253,18 +263,12 @@ def _rename_functions(code: str) -> str:
     return "".join(out)
 
 
-# `expr ->> 'key'` / `expr -> 'key'` / `expr -> 0` where expr is an
-# identifier, dotted column, or an already-rewritten json_as_text(...)
-# call. Applied repeatedly so chains collapse left-to-right. The key is
-# a string literal, so this runs over the whole query with a
-# code-region check on the operator itself (a `->` inside a literal or
-# comment never rewrites).
-_JSON_OP = _re.compile(
-    r"(?P<lhs>json_as_text\((?:[^()]|\([^()]*\))*\)"
-    r"|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
-    r"\s*(?P<op>->>?)\s*"
-    r"(?P<key>'(?:[^']|'')*'|\d+)"
-)
+# `expr ->> 'key'` / `expr -> 'key'` / `expr -> 0`.  NOTE: in the
+# DataFusion dialect `->` is ALWAYS the JSON operator — DataFusion SQL
+# has no `->` lambda syntax, so a datafusion-dialect query can never
+# contain Spark higher-order-function lambdas (write those stages in
+# the default Spark dialect instead).
+_JSON_KEY = _re.compile(r"'(?:[^']|'')*'|\d+")
 
 
 def _code_mask(sql: str) -> list[bool]:
@@ -276,19 +280,91 @@ def _code_mask(sql: str) -> list[bool]:
     return mask
 
 
+def _find_lhs_start(sql: str, mask: list[bool], op_idx: int) -> int | None:
+    """Start index of the operator's left operand: a dotted identifier
+    chain, or a balanced-paren call / parenthesized expression (with
+    its function-name prefix, if any).  Returns None when no usable
+    operand precedes the operator."""
+    k = op_idx - 1
+    while k >= 0 and sql[k] in " \t\r\n":
+        k -= 1
+    if k < 0:
+        return None
+    if sql[k] == ")":
+        depth, p = 0, k
+        while p >= 0:
+            if mask[p] and sql[p] == ")":
+                depth += 1
+            elif mask[p] and sql[p] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            p -= 1
+        if depth != 0:
+            return None
+        q = p - 1
+        while q >= 0 and (sql[q] in _IDENT_CHARS or sql[q] == "."):
+            q -= 1
+        return q + 1
+    q = k
+    while q >= 0 and (sql[q] in _IDENT_CHARS or sql[q] == "."):
+        q -= 1
+    if q >= k:
+        return None
+    if sql[q + 1] == "." and q >= 0 and sql[q] == ")":
+        # field access on a parenthesized expression: `(expr).b ->` —
+        # the operand includes the paren group (and any call prefix)
+        depth, p = 0, q
+        while p >= 0:
+            if mask[p] and sql[p] == ")":
+                depth += 1
+            elif mask[p] and sql[p] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            p -= 1
+        if depth != 0:
+            return None
+        r = p - 1
+        while r >= 0 and (sql[r] in _IDENT_CHARS or sql[r] == "."):
+            r -= 1
+        return r + 1
+    return q + 1
+
+
 def _rewrite_json_ops(sql: str) -> str:
+    """Collapse JSON-access chains of ANY depth left-to-right: the lhs
+    is matched by balanced-paren scanning, not a bounded-nesting regex
+    (a regex capped at one nesting level broke chains of depth >= 4)."""
+    pos = 0
     while True:
         mask = _code_mask(sql)
-        for m in _JSON_OP.finditer(sql):
-            if mask[m.start("op")] and mask[m.start("lhs")]:
-                sql = (
-                    sql[: m.start()]
-                    + f"json_as_text({m.group('lhs')}, {m.group('key')})"
-                    + sql[m.end() :]
-                )
+        n = len(sql)
+        idx = None
+        i = pos
+        while i < n - 1:
+            if mask[i] and sql[i] == "-" and sql[i + 1] == ">":
+                idx = i
                 break
-        else:
+            i += 1
+        if idx is None:
             return sql
+        op_len = 3 if sql[idx : idx + 3] == "->>" else 2
+        j = idx + op_len
+        while j < n and sql[j] in " \t\r\n":
+            j += 1
+        key_m = _JSON_KEY.match(sql, j)
+        lhs_start = _find_lhs_start(sql, mask, idx)
+        if key_m is None or lhs_start is None:
+            pos = idx + op_len  # not a JSON access — leave it and move on
+            continue
+        lhs = sql[lhs_start:idx].rstrip()
+        sql = (
+            sql[:lhs_start]
+            + f"json_as_text({lhs}, {key_m.group(0)})"
+            + sql[key_m.end():]
+        )
+        pos = lhs_start  # a chain's next '->' now follows the rewrite
 
 
 def translate_sql(sql: str) -> str:

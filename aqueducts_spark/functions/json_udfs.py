@@ -10,6 +10,18 @@
   ``json_get_str/int/float/bool``, ``json_as_text``, ``json_contains``,
   ``json_length``. These make reference stage queries run unmodified.
 
+Path semantics (matching datafusion-functions-json's variadic form):
+
+* ``f(json, 'a', 'b', 0)`` — each extra argument is ONE object key or
+  array index, exactly as DataFusion takes them;
+* ``f(json, 'a.b')`` — the single-argument form additionally splits on
+  dots as a convenience (documented divergence from DataFusion, which
+  treats a single key verbatim: a top-level key containing a literal
+  dot is not reachable through these shims — use Spark's native
+  ``get_json_object`` with a bracket path for that case);
+* ``json_length(json)`` — no path: the whole document's length;
+* any NULL argument (json or key) yields NULL.
+
 Implementation notes (scale): all are Arrow-batched pandas UDFs, not
 row-at-a-time Python UDFs. They are still the Python slow path — for
 hot paths prefer Spark natives (``get_json_object``, ``from_json``),
@@ -28,11 +40,13 @@ from pyspark.sql.functions import pandas_udf
 
 from .._shipping import ship_module_by_value
 
-# the UDF bodies reference module-level helpers (_lookup & co) — ship
+# the UDF bodies reference module-level helpers (_walk & co) — ship
 # them by value so executors never need this package importable
 ship_module_by_value(sys.modules[__name__])
 
 _COMPACT = {"separators": (",", ":"), "ensure_ascii": False}
+
+_ABSENT = object()  # distinguishes "key missing" from a stored JSON null
 
 
 class JsonUdfError(ValueError):
@@ -54,33 +68,61 @@ def _unnest_json_array_batch(col: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def _lookup(txt, path):
-    """Walk a dotted path of object keys / array indices; None when absent."""
-    if txt is None or path is None:
+def _parts_of(keys: tuple) -> list | None:
+    """Normalize path arguments to key parts; None when any key is NULL
+    (null-in/null-out). One argument splits on dots (back-compat
+    convenience); several arguments are taken verbatim (DataFusion's
+    variadic form)."""
+    if any(k is None for k in keys):
         return None
+    if len(keys) == 1:
+        return str(keys[0]).split(".")
+    return [str(k) for k in keys]
+
+
+def _walk(txt, parts):
+    """Walk object keys / array indices; _ABSENT when the path is
+    missing, the parsed value (possibly None for JSON null) otherwise."""
+    if txt is None:
+        return _ABSENT
     try:
         value = json.loads(txt)
     except (ValueError, TypeError):
-        return None
-    for part in str(path).split("."):
+        return _ABSENT
+    for part in parts:
         if isinstance(value, dict):
             if part not in value:
-                return None
+                return _ABSENT
             value = value[part]
         elif isinstance(value, list):
             try:
                 value = value[int(part)]
             except (ValueError, IndexError):
-                return None
+                return _ABSENT
         else:
-            return None
+            return _ABSENT
     return value
 
 
+def _lookup(txt, *keys):
+    """Path lookup; None for NULL inputs, absent paths, or JSON null."""
+    parts = _parts_of(keys) if keys else []
+    if txt is None or parts is None:
+        return None
+    v = _walk(txt, parts)
+    return None if v is _ABSENT else v
+
+
 def _series_map(f):
-    def inner(jsons: pd.Series, paths: pd.Series) -> pd.Series:
+    """Wrap a scalar function as a pandas batch function over one JSON
+    column plus ANY number of key columns (DataFusion's JSON functions
+    are variadic over keys)."""
+
+    def inner(*cols: pd.Series) -> pd.Series:
+        if not cols:
+            raise JsonUdfError("expected at least the JSON argument")
         return pd.Series(
-            [f(j, p) for j, p in zip(jsons, paths)], dtype=object
+            [f(*row) for row in zip(*cols)], dtype=object
         )
 
     return inner
@@ -93,14 +135,14 @@ def register_udfs(spark: SparkSession) -> None:
         pandas_udf(_unnest_json_array_batch, T.ArrayType(T.StringType())),
     )
 
-    def get_str(j, p):
-        v = _lookup(j, p)
+    def get_str(j, *keys):
+        v = _lookup(j, *keys)
         if v is None:
             return None
         return v if isinstance(v, str) else json.dumps(v, **_COMPACT)
 
-    def get_int(j, p):
-        v = _lookup(j, p)
+    def get_int(j, *keys):
+        v = _lookup(j, *keys)
         if isinstance(v, bool):
             return None
         if isinstance(v, int):
@@ -109,29 +151,33 @@ def register_udfs(spark: SparkSession) -> None:
             return int(v)
         return None
 
-    def get_float(j, p):
-        v = _lookup(j, p)
+    def get_float(j, *keys):
+        v = _lookup(j, *keys)
         if isinstance(v, bool):
             return None
         return float(v) if isinstance(v, (int, float)) else None
 
-    def get_bool(j, p):
-        v = _lookup(j, p)
+    def get_bool(j, *keys):
+        v = _lookup(j, *keys)
         return v if isinstance(v, bool) else None
 
-    def as_text(j, p):
-        v = _lookup(j, p)
+    def as_text(j, *keys):
+        v = _lookup(j, *keys)
         if v is None:
             return None
         return v if isinstance(v, str) else json.dumps(v, **_COMPACT)
 
-    def contains(j, p):
-        if j is None:
-            return None
-        return _lookup(j, p) is not None or _path_exists(j, p)
+    def contains(j, *keys):
+        parts = _parts_of(keys) if keys else []
+        if j is None or parts is None:
+            return None  # null-in/null-out on BOTH arguments
+        return _walk(j, parts) is not _ABSENT
 
-    def length(j, p=None):
-        v = _lookup(j, p) if p else _safe_load(j)
+    def length(j, *keys):
+        parts = _parts_of(keys) if keys else []
+        if j is None or parts is None:
+            return None
+        v = _walk(j, parts)
         if isinstance(v, (list, dict)):
             return len(v)
         return None
@@ -157,28 +203,3 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "json_length", pandas_udf(_series_map(length), T.LongType())
     )
-
-
-def _safe_load(j):
-    try:
-        return json.loads(j) if j is not None else None
-    except (ValueError, TypeError):
-        return None
-
-
-def _path_exists(j, p) -> bool:
-    """Distinguish a stored JSON null from an absent key."""
-    value = _safe_load(j)
-    if value is None:
-        return False
-    for part in str(p).split("."):
-        if isinstance(value, dict) and part in value:
-            value = value[part]
-        elif isinstance(value, list):
-            try:
-                value = value[int(part)]
-            except (ValueError, IndexError):
-                return False
-        else:
-            return False
-    return True

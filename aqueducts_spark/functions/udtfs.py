@@ -12,9 +12,16 @@ scalar work (the plan linter flags row-Python in hot paths).
 from __future__ import annotations
 
 import re
+import sys
 
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
+
+from .._shipping import ship_module_by_value
+
+# UDTF classes are cloudpickled; ship this module by value so executors
+# never need the package importable (same contract as json_udfs.py)
+ship_module_by_value(sys.modules[__name__])
 
 __all__ = ["register_udtfs"]
 

@@ -195,3 +195,85 @@ class TestCompatHardening:
             "TIMESTAMP '1970-01-01') AS b"
         ).collect()[0]
         assert str(r.b) == "1969-12-31 00:00:00"
+
+
+# --- review-hardening regressions -----------------------------------------
+
+
+def test_json_op_chain_arbitrary_depth():
+    from aqueducts_spark.functions.compat import translate_sql
+
+    got = translate_sql("SELECT c -> 'a' -> 'b' -> 'c' -> 'd' -> 'e' FROM t")
+    assert got == (
+        "SELECT json_as_text(json_as_text(json_as_text(json_as_text("
+        "json_as_text(c, 'a'), 'b'), 'c'), 'd'), 'e') FROM t"
+    )
+
+
+def test_json_op_paren_and_call_lhs():
+    from aqueducts_spark.functions.compat import translate_sql
+
+    assert translate_sql("SELECT (a).b -> 'k' FROM t") == (
+        "SELECT json_as_text((a).b, 'k') FROM t"
+    )
+    assert translate_sql("SELECT get_json(c, 1) -> 'k' FROM t") == (
+        "SELECT json_as_text(get_json(c, 1), 'k') FROM t"
+    )
+
+
+def test_line_comment_with_arrow_is_still_a_comment():
+    from aqueducts_spark.functions.compat import translate_sql
+
+    src = "SELECT a FROM t --> note: x -> 1"
+    assert translate_sql(src) == src
+    # a quote inside the comment must not desync literal detection
+    got = translate_sql("SELECT a FROM t --> don't\nWHERE approx_distinct(x) > 1")
+    assert "approx_count_distinct" in got
+
+
+def test_qualified_function_names_not_renamed():
+    from aqueducts_spark.functions.compat import translate_sql
+
+    assert translate_sql("SELECT db.array_length(x) FROM t") == (
+        "SELECT db.array_length(x) FROM t"
+    )
+    assert translate_sql("SELECT array_length(x) FROM t") == (
+        "SELECT array_size(x) FROM t"
+    )
+
+
+def test_rename_across_newline_before_parens():
+    from aqueducts_spark.functions.compat import translate_sql
+
+    assert translate_sql("SELECT approx_distinct\n(x) FROM t") == (
+        "SELECT approx_count_distinct\n(x) FROM t"
+    )
+
+
+def test_non_literal_rhs_arrow_left_alone():
+    from aqueducts_spark.functions.compat import translate_sql
+
+    src = "SELECT x -> y FROM t"
+    assert translate_sql(src) == src
+
+
+def test_json_shims_variadic_and_null_semantics(spark):
+    from aqueducts_spark.functions.json_udfs import register_udfs
+
+    register_udfs(spark)
+    row = spark.sql("""
+        SELECT
+          json_length('[1,2,3]') AS whole_doc,
+          json_length('[[1,2,3],[4]]', 0) AS index_zero,
+          json_length('{"a":{"b":[1,2]}}', 'a', 'b') AS variadic,
+          json_length('{"a":1}', CAST(NULL AS STRING)) AS null_path,
+          json_contains('{"a":1}', CAST(NULL AS STRING)) AS contains_null_path,
+          json_contains('{"a":null}', 'a') AS contains_json_null,
+          json_get_str('{"a":{"b":"x"}}', 'a', 'b') AS nested_variadic
+    """).collect()[0]
+    assert row.whole_doc == 3
+    assert row.index_zero == 3  # falsy path 0 must NOT mean whole-doc
+    assert row.variadic == 2
+    assert row.null_path is None and row.contains_null_path is None
+    assert row.contains_json_null is True
+    assert row.nested_variadic == "x"
