@@ -14,6 +14,14 @@ Two tiers:
 All arithmetic is built-in ``aggregate``/``zip_with`` — JVM-side
 codegen, no Python in the hot path. Hyperplanes are generated from a
 fixed seed so results are deterministic and reproducible.
+
+Hot-loop shape: every top-k path projects each side's L2 norm ONCE per
+row below the join (``__qn``/``__cn``) — the naive per-pair
+``cosine_similarity(q, c)`` recomputes two O(D) folds for every joined
+pair, tripling the arithmetic. Zero-norm vectors score 0 via an
+epsilon-guarded divisor instead of aborting the job (Spark 4 runs ANSI
+mode by default, where a plain ``/ 0.0`` raises DIVIDE_BY_ZERO);
+NULL embeddings are filtered on both sides (they have no geometry).
 """
 
 from __future__ import annotations
@@ -37,6 +45,10 @@ __all__ = [
     "ivf_topk_persisted",
 ]
 
+# divisor floor: zero-norm vectors score ~0 instead of raising
+# DIVIDE_BY_ZERO under ANSI mode; same guard _centroid_scorer uses
+_NORM_EPS = 1e-12
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -55,7 +67,72 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(_NORM_EPS))
+
+
+def _score_pairs(joined: DataFrame) -> DataFrame:
+    """(query_id, qvec, __qn) x (neighbor_id, cvec, __cn) -> cosine,
+    using the per-row norms projected below the join."""
+    return joined.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("qvec"), F.col("cvec"))
+            / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(_NORM_EPS))
+        ).alias("cosine"),
+    )
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query ranking: ties broken by neighbour id."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+    )
+
+
+def _query_side(queries: DataFrame, query_id_col: str, vec_col: str) -> DataFrame:
+    return (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("__qn", l2_norm(F.col("qvec")))
+    )
+
+
+def _corpus_side(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("__cn", l2_norm(F.col("cvec")))
+    )
+
+
+def _empty_topk(corpus: DataFrame, queries: DataFrame, id_col: str, query_id_col: str) -> DataFrame:
+    """Empty result with the SAME id types the non-empty path produces
+    (a hard-coded long schema broke string-id pipelines on empty data)."""
+    from pyspark.sql import types as T
+
+    qt = queries.schema[query_id_col].dataType
+    ct = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qt),
+            T.StructField("neighbor_id", ct),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
 
 
 def brute_force_topk(
@@ -72,29 +149,9 @@ def brute_force_topk(
     partition scores all queries locally, then one window computes
     per-query top-k. Ties broken by neighbour id for determinism.
     """
-    from pyspark.sql.window import Window
-
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = q.crossJoin(c).select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-        )
-    )
+    q = F.broadcast(_query_side(queries, query_id_col, vec_col))
+    c = _corpus_side(corpus, id_col, vec_col)
+    return _topk_per_query(_score_pairs(q.crossJoin(c)), k)
 
 
 def random_hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
@@ -113,13 +170,15 @@ def hyperplane_lsh(
 
     The bucket id is a plain string of sign bits built with built-in
     functions only, so bucketing stays in codegen and the result can be
-    used as a shuffle/bucket key.
-    """
+    used as a shuffle/bucket key. NULL vectors get a NULL bucket (they
+    must never all collide into the all-zero bucket)."""
     bits = [
         F.when(dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
         for plane in planes
     ]
-    return df.withColumn(out_col, F.concat(*bits))
+    return df.withColumn(
+        out_col, F.when(F.col(vec_col).isNotNull(), F.concat(*bits))
+    )
 
 
 def train_ivf_centroids(
@@ -155,6 +214,10 @@ def train_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: corpus has no non-NULL embeddings to train on"
+        )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -242,42 +305,22 @@ def ivf_topk(
     query — the scale path when LSH bucket sizes are too uneven. Recall
     rises with ``nprobe`` (== n_centroids gives exact brute force).
     """
-    from pyspark.sql.window import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, vec_col, n_centroids=n_centroids, seed=seed
         )
     c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        centroids,
-        "cvec",
-        "centroid_id",
+        _corpus_side(corpus, id_col, vec_col), centroids, "cvec", "centroid_id"
     )
     # queries probe their nprobe closest centroids (same Arrow-batched
     # scorer as assignment), then explode to one row per probe
     prober = _centroid_scorer(centroids, nprobe=min(nprobe, len(centroids)))
     q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
-        .where(F.col("qvec").isNotNull())
+        _query_side(queries, query_id_col, vec_col)
         .withColumn("__probes", prober(F.col("qvec")))
-        .select("query_id", "qvec", F.explode("__probes").alias("centroid_id"))
+        .select("query_id", "qvec", "__qn", F.explode("__probes").alias("centroid_id"))
     )
-    scored = F.broadcast(q).join(c, on="centroid_id").select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-        )
-    )
+    return _topk_per_query(_score_pairs(F.broadcast(q).join(c, on="centroid_id")), k)
 
 
 def lsh_topk(
@@ -294,43 +337,20 @@ def lsh_topk(
     are scored. Recall < 1 by design; raise ``num_planes`` for smaller
     buckets (faster, lower recall) or lower it for higher recall.
     """
-    from pyspark.sql.window import Window
-
     sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if sample is None:
-        # empty (or all-NULL) corpus: empty result, not a TypeError
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
+        # empty (or all-NULL) corpus: empty result, not a TypeError —
+        # with the id types the non-empty path would produce
+        return _empty_topk(corpus, queries, id_col, query_id_col)
     dim = len(sample[0])
     planes = random_hyperplanes(dim, num_planes, seed)
     c = hyperplane_lsh(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        planes,
-        "cvec",
-        "bucket",
+        _corpus_side(corpus, id_col, vec_col), planes, "cvec", "bucket"
     )
     q = hyperplane_lsh(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        ),
-        planes,
-        "qvec",
-        "bucket",
+        _query_side(queries, query_id_col, vec_col), planes, "qvec", "bucket"
     )
-    scored = F.broadcast(q).join(c, on="bucket").select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-        )
-    )
+    return _topk_per_query(_score_pairs(F.broadcast(q).join(c, on="bucket")), k)
 
 
 def ivf_persist(
@@ -387,8 +407,6 @@ def ivf_topk_persisted(
     read. Scoring then proceeds exactly like :func:`ivf_topk`
     (broadcast queries, JVM-side cosine, per-query top-k window).
     """
-    from pyspark.sql.window import Window
-
     crows = (
         spark.read.parquet(f"{path}/centroids")
         .orderBy("centroid_id")
@@ -397,12 +415,9 @@ def ivf_topk_persisted(
     centroids = [r["centroid"] for r in crows]
     prober = _centroid_scorer(centroids, nprobe=min(nprobe, len(centroids)))
     q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
-        .where(F.col("qvec").isNotNull())
+        _query_side(queries, query_id_col, vec_col)
         .withColumn("__probes", prober(F.col("qvec")))
-        .select("query_id", "qvec", F.explode("__probes").alias("centroid_id"))
+        .select("query_id", "qvec", "__qn", F.explode("__probes").alias("centroid_id"))
     )
     q = q.localCheckpoint(eager=True)  # probe once, reuse for filter + join
     probe_ids = sorted({r["centroid_id"] for r in q.select("centroid_id").collect()})
@@ -414,17 +429,6 @@ def ivf_topk_persisted(
             F.col(vec_col).alias("cvec"),
             "centroid_id",
         )
+        .withColumn("__cn", l2_norm(F.col("cvec")))
     )
-    scored = F.broadcast(q).join(corpus, on="centroid_id").select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-        )
-    )
+    return _topk_per_query(_score_pairs(F.broadcast(q).join(corpus, on="centroid_id")), k)

@@ -259,3 +259,70 @@ def test_default_image_codec_resolves_by_availability(monkeypatch):
 
     monkeypatch.setitem(sys.modules, "PIL", types.ModuleType("PIL"))
     assert _default_image_codec() is _pil_image_codec
+
+
+# --- review-hardening regressions -----------------------------------------
+
+
+def test_zero_norm_vectors_score_zero_not_crash(spark):
+    """A zero embedding (failed/padded encode) must not abort the job
+    under ANSI mode: it scores ~0 and ranks last."""
+    from aqueducts_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    rows = brute_force_topk(corpus, queries, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert [r.neighbor_id for r in by_q[10]][:1] == [1]
+    zero_scores = [r.cosine for r in by_q[10] if r.neighbor_id == 2]
+    assert zero_scores == [0.0]
+    # a zero-norm QUERY also survives, scoring 0 everywhere
+    assert len(by_q[11]) == 3 and all(r.cosine == 0.0 for r in by_q[11])
+
+
+def test_lsh_null_embeddings_excluded(spark):
+    from aqueducts_spark.operators.similarity import lsh_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)],
+        "query_id long, embedding array<float>",
+    )
+    rows = lsh_topk(corpus, queries, k=5, num_planes=2)
+    got = [(r.query_id, r.neighbor_id) for r in rows.collect()]
+    assert all(q == 10 for q, _ in got)  # NULL query excluded
+    assert all(n in (1, 3) for _, n in got)  # NULL corpus row never appears
+
+
+def test_lsh_empty_corpus_keeps_id_types(spark):
+    from aqueducts_spark.operators.similarity import lsh_topk
+
+    corpus = spark.createDataFrame([], "doc_id string, embedding array<float>")
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "qid string, embedding array<float>"
+    )
+    out = lsh_topk(corpus, queries, id_col="doc_id", query_id_col="qid")
+    assert out.count() == 0
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+
+
+def test_train_ivf_empty_corpus_clear_error(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.similarity import train_ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="no non-NULL embeddings"):
+        train_ivf_centroids(empty)
