@@ -130,8 +130,6 @@ class FileSource(_Base):
     location: str
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
 
-    model_config = ConfigDict(populate_by_name=True, extra="forbid")
-
 
 class DirSource(_Base):
     type: Literal["directory"] = "directory"
@@ -273,7 +271,10 @@ class DestinationFileType(_Base):
         opts = self.options or {}
         if self.type == "csv":
             object.__setattr__(self, "parsed", CsvDestinationOptions.model_validate(opts))
-        elif self.type in ("parquet", "orc"):
+        elif self.type in ("parquet", "orc", "json"):
+            # json options (compression, dateFormat, ...) pass through to
+            # the writer like parquet/orc — dropping them silently wrote
+            # uncompressed output no matter what the pipeline declared
             object.__setattr__(self, "parsed", {str(k): str(v) for k, v in opts.items()})
         else:
             object.__setattr__(self, "parsed", None)
@@ -421,7 +422,15 @@ class DeltaWriteMode(_Base):
     @model_validator(mode="after")
     def _parse_params(self) -> "DeltaWriteMode":
         if self.operation == "upsert":
-            keys = [str(k) for k in (self.params or [])]
+            raw = self.params or []
+            if isinstance(raw, (str, bytes)):
+                # iterating a scalar would silently use its CHARACTERS
+                # as merge keys ('id' -> ['i', 'd'])
+                raise ValueError(
+                    f"upsert params must be a LIST of key columns, got the "
+                    f"string {raw!r} — write params: [{raw!s}]"
+                )
+            keys = [str(k) for k in raw]
             if not keys:
                 raise ValueError("upsert requires at least one merge key column")
             object.__setattr__(self, "merge_keys", keys)
@@ -514,15 +523,36 @@ class Pipeline(_Base):
 
     @model_validator(mode="after")
     def _parse_all(self) -> "Pipeline":
+        def _one_source(s):
+            if isinstance(s, dict):
+                return parse_source(s)
+            if not hasattr(s, "name"):
+                raise ValueError(
+                    f"pipeline source entries must be mappings, got {s!r}"
+                )
+            return s
+
+        def _one_stage(s):
+            if isinstance(s, dict):
+                return Stage.model_validate(s)
+            if not hasattr(s, "name"):
+                # e.g. 'stages: ["SELECT 1"]' — a bare string would
+                # otherwise surface as a raw AttributeError downstream
+                raise ValueError(
+                    f"pipeline stage entries must be mappings with name/"
+                    f"query, got {s!r}"
+                )
+            return s
+
         object.__setattr__(
-            self, "parsed_sources", [parse_source(s) if isinstance(s, dict) else s for s in self.sources]
+            self, "parsed_sources", [_one_source(s) for s in self.sources]
         )
         groups: list[list[Stage]] = []
         for entry in self.stages:
             if isinstance(entry, list):
-                groups.append([Stage.model_validate(s) if isinstance(s, dict) else s for s in entry])
+                groups.append([_one_stage(s) for s in entry])
             else:
-                groups.append([Stage.model_validate(entry) if isinstance(entry, dict) else entry])
+                groups.append([_one_stage(entry)])
         object.__setattr__(self, "stage_groups", groups)
         if self.destination is not None:
             dest = (

@@ -52,14 +52,14 @@ def prepare_destination(spark: SparkSession, dest: Destination) -> None:
                 f"in_memory destination name already registered: '{dest.name}'"
             )
     elif isinstance(dest, FileDestination):
-        location = normalize_location(dest.location)
+        location = normalize_location(dest.location, dest.storage_config)
         apply_storage_config(spark, location, dest.storage_config)
         if dest.single_file and dest.partition_columns:
             raise DestinationError(
                 "single_file and partition_columns are mutually exclusive"
             )
     elif isinstance(dest, DeltaDestination):
-        location = normalize_location(dest.location)
+        location = normalize_location(dest.location, dest.storage_config)
         apply_storage_config(spark, location, dest.storage_config)
         layer = delta_layer(spark)
         if not layer.native:
@@ -74,7 +74,7 @@ def prepare_destination(spark: SparkSession, dest: Destination) -> None:
         # (reference odbc/src/lib.rs:87-104); nothing to prepare here
         pass
     elif isinstance(dest, IvfIndexDestination):
-        location = normalize_location(dest.location)
+        location = normalize_location(dest.location, dest.storage_config)
         apply_storage_config(spark, location, dest.storage_config)
     else:
         raise DestinationError(f"unknown destination type: {type(dest).__name__}")
@@ -97,7 +97,7 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
 
         ivf_persist(
             df,
-            normalize_location(dest.location).removeprefix("file://"),
+            normalize_location(dest.location, dest.storage_config).removeprefix("file://"),
             n_centroids=dest.n_centroids,
             seed=dest.seed,
             id_col=dest.id_col,
@@ -113,7 +113,7 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
 
 
 def _write_file(dest: FileDestination, df: DataFrame) -> None:
-    location = normalize_location(dest.location)
+    location = normalize_location(dest.location, dest.storage_config)
     fmt = dest.format
 
     if dest.single_file:
@@ -136,7 +136,7 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
             )
             if opts.compression:
                 writer = writer.option("compression", opts.compression)
-        elif fmt.type in ("parquet", "orc") and fmt.parsed:
+        elif fmt.type in ("parquet", "orc", "json") and fmt.parsed:
             writer = writer.options(**fmt.parsed)
         if dest.partition_columns:
             writer = writer.partitionBy(*dest.partition_columns)
@@ -190,7 +190,7 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
     elif fmt.type == "orc":
         writer.options(**(fmt.parsed or {})).orc(location)
     elif fmt.type == "json":
-        writer.json(location)
+        writer.options(**(fmt.parsed or {})).json(location)
     else:
         raise DestinationError(f"unsupported file format: {fmt.type}")
 
@@ -225,7 +225,7 @@ def _write_single_file(dest: FileDestination, df: DataFrame, location: str) -> N
         one.options(**(fmt.parsed or {})).orc(str(tmp_dir))
         pattern = "part-*"
     elif fmt.type == "json":
-        one.json(str(tmp_dir))
+        one.options(**(fmt.parsed or {})).json(str(tmp_dir))
         pattern = "part-*"
     else:
         raise DestinationError(f"unsupported file format: {fmt.type}")
@@ -250,7 +250,7 @@ def _write_single_file(dest: FileDestination, df: DataFrame, location: str) -> N
 
 
 def _write_delta(spark: SparkSession, dest: DeltaDestination, df: DataFrame) -> None:
-    location = normalize_location(dest.location)
+    location = normalize_location(dest.location, dest.storage_config)
     layer = delta_layer(spark)
     mode = dest.write_mode
 

@@ -5,15 +5,24 @@ Bare paths (absolute or relative) are coerced to ``file://`` URLs.
 Cloud schemes are normalized to the Hadoop connector each one maps to on
 Spark: ``s3``/``s3a`` -> ``s3a``, ``gs``/``gcs`` -> ``gs``,
 ``az``/``azure``/``abfs``/``abfss`` -> ``abfss``.
+
+Azure short form: ``az://container/path`` has no storage account in the
+authority, but the ABFS connector requires
+``abfss://container@account.dfs.core.windows.net/path`` — pass the
+``account_name`` from the source/destination ``storage_config`` to
+:func:`normalize_location` and the authority is rebuilt; without it the
+short form is refused with a clear error instead of producing an
+invalid URL.
 """
 
 from __future__ import annotations
 
 import re
 from pathlib import Path
-from urllib.parse import urlparse
+from typing import Optional
+from urllib.parse import unquote, urlparse
 
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:(//|/)")
 
 SUPPORTED_SCHEMES = {
     "file", "memory", "s3", "s3a", "gs", "gcs", "az", "azure", "abfs", "abfss",
@@ -34,12 +43,24 @@ _SPARK_SCHEME = {
     "memory": "memory",
 }
 
+_AZURE_DEFAULT_SUFFIX = "dfs.core.windows.net"
+
 
 class LocationError(ValueError):
     pass
 
 
-def normalize_location(location: str) -> str:
+def _account_name_of(storage_config: Optional[dict]) -> Optional[str]:
+    for key in ("account_name", "azure_storage_account_name"):
+        for k, v in (storage_config or {}).items():
+            if k.lower() == key:
+                return str(v)
+    return None
+
+
+def normalize_location(
+    location: str, storage_config: Optional[dict] = None
+) -> str:
     """Return a URL Spark's DataFrame reader/writer understands."""
     location = str(location).strip()
     if not location:
@@ -56,19 +77,45 @@ def normalize_location(location: str) -> str:
             f"unsupported location scheme '{scheme}' "
             f"(supported: {sorted(SUPPORTED_SCHEMES)})"
         )
+    if not location[len(scheme):].startswith("://"):
+        # single-slash form ('file:/tmp/x', the rendering Spark itself
+        # prints) — normalize to the canonical double-slash URL instead
+        # of silently treating 'file:' as a relative directory name
+        rest = location[len(scheme) + 1 :].lstrip("/")
+        location = f"{scheme}:///{rest}" if scheme == "file" else f"{scheme}://{rest}"
+        parsed = urlparse(location)
     spark_scheme = _SPARK_SCHEME[scheme]
+    if spark_scheme in ("abfss", "abfs") and "@" not in parsed.netloc:
+        # az://container/path short form: rebuild the required
+        # container@account authority from storage_config.account_name
+        account = _account_name_of(storage_config)
+        if not account:
+            raise LocationError(
+                f"azure location '{location}' has no storage account in its "
+                "authority — use abfss://container@account.dfs.core.windows.net/"
+                "path, or provide storage_config.account_name with the "
+                "az://container/path short form"
+            )
+        container = parsed.netloc
+        path = parsed.path
+        return f"abfss://{container}@{account}.{_AZURE_DEFAULT_SUFFIX}{path}"
     if spark_scheme == scheme:
         return location
     return spark_scheme + location[len(scheme):]
 
 
 def to_local_path(location: str) -> Path:
-    """Convert a file:// URL (or bare path) to a local Path."""
+    """Convert a file:// URL (or bare path) to a local Path.
+
+    Percent-escapes are decoded: ``Path.as_uri`` encodes spaces & co,
+    and returning the encoded form verbatim would point the Python side
+    (delta log, single-file renames) at a different directory than the
+    one Spark writes."""
     url = normalize_location(location)
     parsed = urlparse(url)
     if parsed.scheme != "file":
         raise LocationError(f"not a local file location: {location}")
-    return Path(parsed.path)
+    return Path(unquote(parsed.path))
 
 
 def is_local(location: str) -> bool:

@@ -76,13 +76,13 @@ def _read_file_format(spark: SparkSession, fmt, location: str) -> DataFrame:
 
 
 def _register_file(spark: SparkSession, source: FileSource) -> DataFrame:
-    location = normalize_location(source.location)
+    location = normalize_location(source.location, source.storage_config)
     apply_storage_config(spark, location, source.storage_config)
     return _read_file_format(spark, source.format, location)
 
 
 def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
-    location = normalize_location(source.location)
+    location = normalize_location(source.location, source.storage_config)
     apply_storage_config(spark, location, source.storage_config)
     fmt = source.format
     opts = fmt.parsed
@@ -145,7 +145,7 @@ def _register_odbc(spark: SparkSession, source: OdbcSource) -> DataFrame:
 
 
 def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:
-    location = normalize_location(source.location)
+    location = normalize_location(source.location, source.storage_config)
     apply_storage_config(spark, location, source.storage_config)
     if source.changes_from is not None:
         if source.version is not None or source.timestamp is not None:

@@ -181,3 +181,133 @@ class TestSqlGuardHardening:
         validate_stage_sql("SELECT 'please insert coin' AS msg FROM t")
         validate_stage_sql("SELECT `update` FROM t")
         validate_stage_sql("-- insert note\nSELECT 1")
+
+
+# --- review-hardening regressions -----------------------------------------
+
+
+def test_to_local_path_decodes_percent_escapes(tmp_path):
+    from aqueducts_spark.location import to_local_path
+
+    d = tmp_path / "my dir" / "table"
+    assert to_local_path(str(d)) == d  # not .../my%20dir/...
+
+
+def test_single_slash_file_uri_normalizes(tmp_path):
+    from aqueducts_spark.location import normalize_location, to_local_path
+
+    assert normalize_location("file:/tmp/x") == "file:///tmp/x"
+    assert to_local_path("file:/tmp/x") == __import__("pathlib").Path("/tmp/x")
+
+
+def test_az_short_form_requires_account_name():
+    import pytest as _pytest
+
+    from aqueducts_spark.location import LocationError, normalize_location
+
+    assert normalize_location(
+        "az://mycontainer/data", {"account_name": "acct"}
+    ) == "abfss://mycontainer@acct.dfs.core.windows.net/data"
+    with _pytest.raises(LocationError, match="account"):
+        normalize_location("az://mycontainer/data")
+    # full authority passes through untouched
+    full = "abfss://c@acct.dfs.core.windows.net/p"
+    assert normalize_location(full) == full
+
+
+def test_upsert_scalar_params_rejected():
+    import pytest as _pytest
+
+    from aqueducts_spark.config.model import DeltaWriteMode
+
+    with _pytest.raises(Exception, match="LIST"):
+        DeltaWriteMode.model_validate({"operation": "upsert", "params": "id"})
+    ok = DeltaWriteMode.model_validate({"operation": "upsert", "params": ["id"]})
+    assert ok.merge_keys == ["id"]
+
+
+def test_bare_string_stage_rejected_clearly():
+    import pytest as _pytest
+
+    from aqueducts_spark import load_pipeline_str
+
+    yml = """
+sources: []
+stages:
+  - "SELECT 1"
+"""
+    with _pytest.raises(Exception, match="stage entries must be mappings"):
+        load_pipeline_str(yml)
+
+
+def test_json_destination_options_reach_writer(spark, tmp_path):
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    out = tmp_path / "gz_json"
+    yml = f"""
+sources:
+  - type: file
+    name: nation
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/nation.parquet
+stages:
+  - name: sel_gz
+    query: SELECT n_nationkey, n_name FROM nation
+destination:
+  type: file
+  name: out
+  format: {{type: json, options: {{compression: gzip}}}}
+  location: {out}
+"""
+    run_pipeline(spark, load_pipeline_str(yml))
+    # default single_file output: the target itself is the (gzip) file
+    data = out.read_bytes() if out.is_file() else next(
+        p for p in out.iterdir() if p.suffix == ".gz"
+    ).read_bytes()
+    assert data[:2] == b"\x1f\x8b", "json output is not gzip-compressed"
+    spark.catalog.dropTempView("sel_gz")
+    spark.catalog.dropTempView("nation")
+
+
+def test_unknown_storage_config_key_raises(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.storage import StorageConfigError, apply_storage_config
+
+    with _pytest.raises(StorageConfigError, match="not understood"):
+        apply_storage_config(
+            spark, "s3a://bucket/path", {"aws_acess_key": "typo-key"}
+        )
+    # raw fs.* keys still pass through
+    apply_storage_config(
+        spark, "s3a://bucket/path", {"fs.s3a.connection.maximum": "50"}
+    )
+
+
+def test_azure_sas_and_service_principal_mapped(spark):
+    from aqueducts_spark.storage import apply_storage_config
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    loc = "abfss://c@acct.dfs.core.chinacloudapi.cn/p"
+    apply_storage_config(spark, loc, {"azure_storage_sas_key": "sv=..."})
+    host = "acct.dfs.core.chinacloudapi.cn"  # sovereign-cloud endpoint honored
+    assert hconf.get(f"fs.azure.sas.fixed.token.{host}") == "sv=..."
+    assert hconf.get(f"fs.azure.account.auth.type.{host}") == "SAS"
+
+    apply_storage_config(
+        spark, loc,
+        {"azure_client_id": "cid", "azure_client_secret": "cs", "azure_tenant_id": "tid"},
+    )
+    assert hconf.get(f"fs.azure.account.oauth2.client.id.{host}") == "cid"
+    assert "tid" in hconf.get(f"fs.azure.account.oauth2.client.endpoint.{host}")
+
+
+def test_gcs_keyfile_sets_auth_type(spark):
+    from aqueducts_spark.storage import apply_storage_config
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    apply_storage_config(
+        spark, "gs://bkt/p", {"service_account_path": "/keys/sa.json"}
+    )
+    assert hconf.get("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE"
+    assert hconf.get("fs.gs.auth.service.account.json.keyfile") == "/keys/sa.json"
