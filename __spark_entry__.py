@@ -1012,6 +1012,9 @@ def _op_time_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(
         spark.table("events"), "ts", "value",
         granularities=["hour", "day", "month"], group_cols=["event_type"],
+        # the DuckDB oracle reproduces the exact decimal rounding; the
+        # operator's own default is the wider decimal(38,9)
+        value_decimal="decimal(12,2)",
     )
 
 

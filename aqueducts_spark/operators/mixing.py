@@ -81,7 +81,7 @@ def weighted_mix(
     weight 0.3 keeps a deterministic ~30%.  Adds ``copy_col``
     (1..copies) so duplicated rows stay distinguishable downstream.
     """
-    bucket = hash_bucket(F.col(id_col), salt="mix:")
+    bucket = hash_bucket(F.col(id_col), buckets=_BUCKETS, salt="mix:")
     n = _copies_expr(weights, default_weight, F.col(group_col), bucket)
     return (
         df.withColumn("_mix_n", n)

@@ -45,12 +45,32 @@ def profile_table(
     # never enter parsed SQL text, so names with dots, quotes, hyphens
     # or spaces profile fine (F.col('a.b') would read a nested field,
     # and a raw name inside stack() would be re-parsed as an expression)
+    # map-typed columns are unorderable and non-hashable in Spark:
+    # min/max/count_distinct on them raise AnalysisException, so those
+    # stats emit NULL (null count still profiles)
+    from pyspark.sql import types as _T
+
+    def _unorderable(dt) -> bool:
+        if isinstance(dt, _T.MapType):
+            return True
+        if isinstance(dt, _T.ArrayType):
+            return _unorderable(dt.elementType)
+        if isinstance(dt, _T.StructType):
+            return any(_unorderable(f.dataType) for f in dt.fields)
+        return False
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):
         # backtick-quote the reference: bare F.col('x.y')/df['x.y']
         # would resolve a nested field, not the column named 'x.y'
         col = F.col("`" + c.replace("`", "``") + "`")
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{i}"))
+        if _unorderable(by_name[c]):
+            aggs.append(F.lit(None).cast("long").alias(f"__dist_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{i}"))
+            continue
         if exact_distinct:
             aggs.append(F.count_distinct(col).alias(f"__dist_{i}"))
         else:

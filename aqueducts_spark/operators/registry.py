@@ -399,6 +399,7 @@ def _op_time_rollup(spark, inp, options):
         value_col=options["value_col"],
         granularities=options.get("granularities", ["hour", "day", "month"]),
         group_cols=options.get("group_cols", []),
+        value_decimal=options.get("value_decimal", "decimal(38,9)"),
     )
 
 

@@ -36,6 +36,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "range_join", "time_rollup"]
 
@@ -112,6 +113,7 @@ def time_rollup(
     value_col: str,
     granularities: Sequence[str] = ("hour", "day", "month"),
     group_cols: Sequence[str] = (),
+    value_decimal: str = "decimal(38,9)",
 ) -> DataFrame:
     """Hypertable-style continuous aggregate: sum/count/min/max of
     ``value_col`` bucketed at several time granularities at once, with
@@ -128,13 +130,17 @@ def time_rollup(
     composes across levels.
     """
     grains = [g for g in _GRAIN_ORDER if g in set(granularities)]
-    if list(granularities) and not grains:
+    if not grains:
         raise ValueError(
             f"time_rollup: no valid granularities in {list(granularities)!r} "
             f"(valid: {_GRAIN_ORDER})"
         )
     gcols = list(group_cols)
-    v = F.col(value_col).cast("decimal(12,2)")
+    # exact cross-engine sums need a decimal; the default (38,9) keeps
+    # micro-scale values (latencies) and large magnitudes exact.  Pass
+    # a narrower type only when an external oracle must reproduce the
+    # exact same rounding (the gate uses decimal(12,2)).
+    v = F.col(value_col).cast(value_decimal)
     finest = grains[0]
     is_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
     if is_ntz:
@@ -187,7 +193,11 @@ def time_rollup(
             *gcols,
             F.col("n"),
             F.col("__sum").cast("double").alias("sum_value"),
-            (F.col("__sum").cast("double") / F.col("n")).alias("avg_value"),
+            # n = count(value_col) is 0 when every value in the bucket
+            # is NULL; a bare division would abort under ANSI mode
+            F.when(
+                F.col("n") > 0, F.col("__sum").cast("double") / F.col("n")
+            ).alias("avg_value"),
             F.col("__min").cast("double").alias("min_value"),
             F.col("__max").cast("double").alias("max_value"),
         )
@@ -235,23 +245,37 @@ def asof_join(
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     lcols = left.columns
+    right_ts_type = dict(right.dtypes)[right_ts]
     tagged_left = left.select(
         *[F.col(c) for c in on],
         _ts_col(left, left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
         F.lit(None).cast(_ts_type(right, right_ts)).alias("__r_ts"),
+        F.lit(None).cast(right_ts_type).alias("__r_orig"),
         F.struct(*[F.col(c) for c in lcols]).alias("__row"),
     )
-    tagged_right = right.select(
+    # right rows with a NULL timestamp or NULL join key can never match
+    # (DuckDB ASOF / pandas merge_asof semantics: a NULL ts has no
+    # position on the time axis, and NULL = NULL never joins) — kept in,
+    # a NULL ts sorts first and its values would leak into every
+    # backward frame
+    right_clean = right.where(F.col(right_ts).isNotNull())
+    for k in on:
+        right_clean = right_clean.where(F.col(k).isNotNull())
+    tagged_right = right_clean.select(
         *[F.col(c) for c in on],
-        _ts_col(right, right_ts).alias("__ts"),
+        _ts_col(right_clean, right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        _ts_col(right, right_ts).alias("__r_ts"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
-        ).alias("__row"),
+        _ts_col(right_clean, right_ts).alias("__r_ts"),
+        # the ORIGINAL right timestamp for output: __r_ts is normalized
+        # for comparison, and rendering it for an NTZ input would shift
+        # the wall clock by the session-timezone offset
+        F.col(right_ts).alias("__r_orig"),
+        # cast against the actual StructType (a DDL string built from
+        # raw names breaks on columns containing spaces/colons/commas)
+        F.lit(None).cast(T.StructType(left.schema.fields)).alias("__row"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Tie order makes the equal-timestamp bound inclusive in BOTH
@@ -277,16 +301,26 @@ def asof_join(
         fills += [
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back).alias(f"__b_{c}")
             for c in value_cols
-        ] + [F.last(F.col("__r_ts"), ignorenulls=True).over(w_back).alias("__b_ts")]
+        ] + [
+            F.last(F.col("__r_ts"), ignorenulls=True).over(w_back).alias("__b_ts"),
+            F.last(F.col("__r_orig"), ignorenulls=True).over(w_back).alias("__b_orig"),
+        ]
     if direction in ("forward", "nearest"):
         fills += [
             F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
             for c in value_cols
-        ] + [F.first(F.col("__r_ts"), ignorenulls=True).over(w_fwd).alias("__f_ts")]
+        ] + [
+            F.first(F.col("__r_ts"), ignorenulls=True).over(w_fwd).alias("__f_ts"),
+            F.first(F.col("__r_orig"), ignorenulls=True).over(w_fwd).alias("__f_orig"),
+        ]
     filled = unioned.select("*", *fills)
     out = filled.where(F.col("__is_left") == 1)
 
     ts_d = F.col("__ts").cast("double")
+    # a left row with a NULL timestamp has no position on the time axis
+    # and must never match (the forward frame would otherwise hand it
+    # the first right row, since NULLs sort first)
+    left_has_ts = F.col("__ts").isNotNull()
 
     def within_tol(m_ts):
         if tolerance_seconds is None:
@@ -295,11 +329,16 @@ def asof_join(
             F.abs(m_ts.cast("double") - ts_d) <= F.lit(float(tolerance_seconds))
         ) & m_ts.isNotNull()
 
+    def left_fields():
+        # getField keeps names with dots/spaces literal (F.col("__row.a.b")
+        # would resolve a doubly-nested field)
+        return [F.col("__row").getField(c).alias(c) for c in left.columns]
+
     if direction == "backward":
-        pick_ts = F.col("__b_ts")
+        pick_ts, pick_orig = F.col("__b_ts"), F.col("__b_orig")
         pick = {c: F.col(f"__b_{c}") for c in value_cols}
     elif direction == "forward":
-        pick_ts = F.col("__f_ts")
+        pick_ts, pick_orig = F.col("__f_ts"), F.col("__f_orig")
         pick = {c: F.col(f"__f_{c}") for c in value_cols}
     else:  # nearest: closer of the two; ties prefer backward (pandas)
         b_ok = within_tol(F.col("__b_ts"))
@@ -307,12 +346,12 @@ def asof_join(
         b_dist = F.abs(ts_d - F.col("__b_ts").cast("double"))
         f_dist = F.abs(F.col("__f_ts").cast("double") - ts_d)
         use_back = (
-            F.col("__b_ts").isNotNull() & b_ok
+            left_has_ts & F.col("__b_ts").isNotNull() & b_ok
             & (
                 F.col("__f_ts").isNull() | ~f_ok | (b_dist <= f_dist)
             )
         )
-        use_fwd = F.col("__f_ts").isNotNull() & f_ok & ~use_back
+        use_fwd = left_has_ts & F.col("__f_ts").isNotNull() & f_ok & ~use_back
         matched = [
             F.when(use_back, F.col(f"__b_{c}"))
             .when(use_fwd, F.col(f"__f_{c}"))
@@ -320,26 +359,18 @@ def asof_join(
             for c in value_cols
         ]
         matched_ts = (
-            F.when(use_back, F.col("__b_ts"))
-            .when(use_fwd, F.col("__f_ts"))
+            F.when(use_back, F.col("__b_orig"))
+            .when(use_fwd, F.col("__f_orig"))
             .alias("matched_ts")
         )
-        return out.select(
-            *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-            matched_ts,
-            *matched,
-        )
+        return out.select(*left_fields(), matched_ts, *matched)
 
-    ok = within_tol(pick_ts)
+    ok = left_has_ts & pick_ts.isNotNull() & within_tol(pick_ts)
     matched = [
         F.when(ok, pick[c]).alias(f"matched_{c}") for c in value_cols
     ]
-    matched_ts = F.when(ok, pick_ts).alias("matched_ts")
-    return out.select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        matched_ts,
-        *matched,
-    )
+    matched_ts = F.when(ok, pick_orig).alias("matched_ts")
+    return out.select(*left_fields(), matched_ts, *matched)
 
 
 def range_join(
@@ -363,10 +394,16 @@ def range_join(
     Bucket width == window span, so each left row expands to at most
     two bucket probes (a fixed 2x fan-out, not data-dependent).
     """
-    if upper_seconds <= lower_seconds:
-        raise ValueError("range_join: upper_seconds must exceed lower_seconds")
+    if upper_seconds < lower_seconds:
+        raise ValueError(
+            "range_join: upper_seconds must be >= lower_seconds"
+        )
     on = list(on)
-    span = float(upper_seconds - lower_seconds)
+    # bucket WIDTH only affects probe fan-out, never correctness (the
+    # exact interval predicate re-applies after the join) — a point
+    # interval (upper == lower) uses a 1s bucket instead of dividing
+    # by a zero span
+    span = float(upper_seconds - lower_seconds) or 1.0
     lo, hi = float(lower_seconds), float(upper_seconds)
 
     def bucket(ts_col: Column, offset: float) -> Column:

@@ -10,7 +10,7 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from aqueducts_spark.operators.temporal import asof_join, range_join
+from aqueducts_spark.operators.temporal import asof_join, range_join, time_rollup
 
 
 def _ts(s):
@@ -141,13 +141,23 @@ def test_range_join_is_equi_join(spark, streams):
     assert "CartesianProduct" not in plan
 
 
-def test_range_join_rejects_empty_window(spark, streams):
+def test_range_join_point_interval_and_reversed_bounds(spark, streams):
     trades, quotes = streams
-    with pytest.raises(ValueError):
+    # reversed bounds are invalid
+    with pytest.raises(ValueError, match=">= lower"):
         range_join(
             trades, quotes, left_ts="ts", right_ts="ts",
-            lower_seconds=0.0, upper_seconds=0.0,
+            lower_seconds=1.0, upper_seconds=0.0,
         )
+    # equal bounds are the valid POINT interval: exact-offset matches
+    point = range_join(
+        trades, quotes, left_ts="ts", right_ts="ts",
+        lower_seconds=0.0, upper_seconds=0.0,
+    )
+    got = point.collect()
+    # every match has exactly equal timestamps
+    for r in got:
+        assert r["ts"] == r["r_ts"]
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
@@ -337,3 +347,96 @@ def test_time_rollup_ntz_buckets_are_wall_clock(spark):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert rows[("hour", "2026-03-29 02:00:00")] == 4.0
     assert rows[("day", "2026-03-29")] == 4.0
+
+
+# --- review-hardening regressions -----------------------------------------
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with a NULL timestamp has no position on the time
+    axis: it must never leak into any backward frame (it used to sort
+    first and hand its value to every left row)."""
+    left = spark.createDataFrame(
+        [(1, 10.0)], "key long, ts double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 5.0)], "key long, ts double, v double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, ["key"], "ts", "ts", ["v"]).collect()
+    assert len(out) == 1
+    assert out[0].matched_v is None and out[0].matched_ts is None
+
+
+def test_asof_null_left_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, None)], "key long, ts double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 5.0, 7.0)], "key long, ts double, v double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            left, right, ["key"], "ts", "ts", ["v"], direction=direction
+        ).collect()
+        assert out[0].matched_v is None, direction
+
+
+def test_asof_null_keys_never_match_each_other(spark):
+    """NULL = NULL never joins (DuckDB ASOF / SQL equi-join parity)."""
+    left = spark.createDataFrame(
+        [(None, 10.0)], "key string, ts double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(None, 5.0, 1.0)], "key string, ts double, v double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, ["key"], "ts", "ts", ["v"]).collect()
+    assert out[0].matched_v is None
+
+
+def test_asof_handles_awkward_column_names(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "x")], "key long, ts double, `event date` string"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "`event date`")
+    right = spark.createDataFrame(
+        [(1, 5.0, 2.0)], "key long, ts double, v double"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, ["key"], "ts", "ts", ["v"]).collect()
+    assert out[0]["event date"] == "x" and out[0].matched_v == 2.0
+
+
+def test_time_rollup_small_values_not_rounded_away(spark):
+    """Default decimal keeps micro-scale values exact (the old
+    decimal(12,2) silently rounded sub-cent latencies to zero)."""
+    df = spark.createDataFrame(
+        [(i, 0.0004) for i in range(10)], "e long, value double"
+    ).select(F.col("e"), F.lit("2024-01-01 10:00:00").cast("timestamp").alias("ts"), "value")
+    out = {r.grain: r for r in time_rollup(df, "ts", "value", ["hour"]).collect()}
+    assert abs(out["hour"].sum_value - 0.004) < 1e-12
+
+
+def test_time_rollup_all_null_bucket_avg_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "e long, value double"
+    ).select("e", F.lit("2024-01-01 10:00:00").cast("timestamp").alias("ts"), "value")
+    out = time_rollup(df, "ts", "value", ["hour"]).collect()[0]
+    assert out.n == 0 and out.avg_value is None
+
+
+def test_time_rollup_empty_granularities_rejected(spark):
+    df = spark.createDataFrame([(1, 1.0)], "e long, value double").select(
+        "e", F.lit("2024-01-01 10:00:00").cast("timestamp").alias("ts"), "value"
+    )
+    with pytest.raises(ValueError, match="granularities"):
+        time_rollup(df, "ts", "value", [])
+
+
+def test_profile_table_handles_map_columns(spark):
+    from aqueducts_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, {"a": "1"}), (2, None)], "id long, meta map<string,string>"
+    )
+    rows = {r.column: r for r in profile_table(df).collect()}
+    assert rows["meta"].n_nulls == 1
+    assert rows["meta"].n_distinct is None  # unorderable: stat skipped
+    assert rows["id"].n_distinct == 2
