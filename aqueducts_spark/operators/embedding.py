@@ -53,13 +53,13 @@ def quantize_embeddings(
         )
         / F.lit(127.0)
     )
-    qvec = F.when(
-        F.col("scale") == 0.0,
-        F.transform(x, lambda v: F.lit(0).cast("int")),
-    ).otherwise(
-        F.transform(
-            x,
-            lambda v: F.greatest(
+    # NULL components stay NULL: Spark's least/greatest SKIP null
+    # arguments, so the bare clamp turned a missing component into the
+    # strongest positive signal (+127)
+    def _q(v):
+        return F.when(
+            v.isNotNull(),
+            F.greatest(
                 F.lit(-127),
                 F.least(
                     F.lit(127),
@@ -69,7 +69,11 @@ def quantize_embeddings(
                 ),
             ),
         )
-    )
+
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(x, lambda v: F.when(v.isNotNull(), F.lit(0).cast("int"))),
+    ).otherwise(F.transform(x, _q))
     return (
         df.withColumn("scale", scale)
         .select(
@@ -97,6 +101,9 @@ def label_centroids(
     Output: ``(label, dim, n_vectors, sum_micro, centroid)``, one row
     per (label, vector-component). One shuffle on (label, dim) with
     map-side partial aggregation; no Python in the hot path.
+    NULL components are excluded from BOTH the sum and the count, so a
+    partially-missing vector biases nothing (counting it in the
+    denominator but not the numerator used to pull centroids toward 0).
     """
     parts = df.select(
         F.col(label_col).alias("label"),
@@ -109,7 +116,7 @@ def label_centroids(
         ),
     )
     agg = parts.groupBy("label", "dim").agg(
-        F.count("*").alias("n_vectors"),
+        F.count("micro").alias("n_vectors"),
         F.sum("micro").alias("sum_micro"),
     )
     return agg.select(

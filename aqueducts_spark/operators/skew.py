@@ -25,12 +25,16 @@ __all__ = ["salted_join", "key_skew_profile"]
 
 def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Top-N heaviest keys with their share of rows — run this (sampled)
-    to decide whether salting is needed and to pick ``salt_buckets``."""
-    total = df.count()
+    to decide whether salting is needed and to pick ``salt_buckets``.
+
+    ONE scan: the total comes from a window sum over the (tiny)
+    aggregated key counts, not a second full count() pass."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count("*").alias("rows"))
+    total = F.sum("rows").over(Window.partitionBy())
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("rows"))
-        .withColumn("share", F.round(F.col("rows") / F.lit(total), 4))
+        counts.withColumn("share", F.round(F.col("rows") / total, 4))
         .orderBy(F.desc("rows"), F.asc(key))
         .limit(top)
     )

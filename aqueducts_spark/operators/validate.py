@@ -5,7 +5,10 @@ every row-level check becomes a conditional-sum expression in the same
 ``agg`` (so a 100 TB validation run costs one scan + one tiny
 all-to-one reduce of counter scalars, not one job per rule).
 ``unique`` checks ride in the same aggregation as
-``count(col) - count(DISTINCT col)``.
+``count(col) - count(DISTINCT col)`` — note Spark plans mixed
+distinct/non-distinct aggregates with an Expand (each scanned row is
+replicated once per distinct group), so on very large tables prefer a
+separate validation pass for many ``unique`` rules.
 
 The output is one row per rule — ``(column, check, violations, total,
 pass)`` — the shape every expectations framework (dbt tests, Great
@@ -55,7 +58,9 @@ def _violation_expr(column: str, check: str, value: Any) -> Column:
         vals = [F.lit(v) for v in value]
         return c.isNotNull() & ~c.isin(*vals)
     if check == "regex":
-        return c.isNotNull() & ~c.cast("string").rlike(str(value))
+        # rlike is a SUBSTRING match; the documented contract is
+        # full-match, so anchor the caller's pattern
+        return c.isNotNull() & ~c.cast("string").rlike(f"^(?:{value})$")
     if check == "max_length":
         return c.isNotNull() & (F.length(c.cast("string")) > int(value))
     raise ValidationError(f"unknown check: {check!r}")
@@ -85,8 +90,11 @@ def validate_rules(
                 f"rule {i}: unknown check {check!r} (have {sorted(_CHECKS)})"
             )
         if check in {"min", "max", "in_set", "regex", "max_length"} and (
-            "value" not in rule
+            rule.get("value") is None
         ):
+            # an explicit null value (YAML 'value:') would compile to a
+            # comparison against NULL that never fires — the rule would
+            # silently always pass
             raise ValidationError(f"rule {i}: check {check!r} requires 'value'")
         if check == "unique":
             aggs.append(
@@ -106,11 +114,16 @@ def validate_rules(
     summary = df.agg(*aggs)
     # one summary row -> one output row per rule (stack is a no-shuffle
     # projection over the single aggregated row)
+    def _sql_lit(v: str) -> str:
+        # column names are user data; a quote inside one must not break
+        # the stack() projection
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     parts = []
     for i, rule in enumerate(rules):
         parts.append(f"{i}L")
-        parts.append(f"'{rule['column']}'")
-        parts.append(f"'{rule['check']}'")
+        parts.append(_sql_lit(rule["column"]))
+        parts.append(_sql_lit(rule["check"]))
         parts.append(f"CAST(coalesce(_v{i}, 0) AS BIGINT)")
     stack = (
         f"stack({len(rules)}, " + ", ".join(parts) + ") AS "

@@ -68,11 +68,26 @@ def zorder_key(
     for i, c in enumerate(cols):
         mn, mx = minmax[c]
         rng = max(1, mx - mn)
+        if rng > (2**63 - 1) // maxb:
+            # (value - min) * maxb overflows int64 mid-job (ANSI aborts,
+            # legacy silently wraps to corrupt keys) — fail fast while
+            # the min/max are still on the driver.  Epoch-microsecond
+            # ranges hit this: quantize to a coarser unit first.
+            raise ValueError(
+                f"zorder: column {c} spans {rng} (> {(2**63 - 1) // maxb} "
+                f"at bits={bits}) — reduce bits or pre-quantize the column"
+            )
         # cast BEFORE subtracting: (int32 - int32) spanning > 2^31
         # overflows in the column's native type (ANSI mode throws,
-        # legacy wraps to negative buckets)
+        # legacy wraps to negative buckets).  The bucket CLAMPS into
+        # [0, maxb]: with a caller-supplied minmax (e.g. yesterday's
+        # stats applied to today's data) an out-of-range value would
+        # otherwise wrap its high bits and land the largest values on
+        # the smallest z-keys, silently breaking min/max file pruning.
         bucket = F.expr(
-            f"COALESCE((CAST({c} AS BIGINT) - CAST({mn} AS BIGINT)), 0) * {maxb} DIV {rng}"
+            f"GREATEST(0L, LEAST({maxb}L, "
+            f"COALESCE((CAST({c} AS BIGINT) - CAST({mn} AS BIGINT)), 0) "
+            f"* {maxb} DIV {rng}))"
         )
         for j in range(bits):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
