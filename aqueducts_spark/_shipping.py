@@ -31,6 +31,15 @@ def ship_module_by_value(module: ModuleType) -> None:
         from pyspark import cloudpickle
 
         cloudpickle.register_pickle_by_value(module)
-    except Exception:  # pragma: no cover - by-reference still works when
-        # the package IS importable on executors; this is best-effort
-        pass
+    except Exception as exc:  # pragma: no cover - best-effort fallback
+        # by-reference pickling still works when the package IS
+        # importable on executors — but leave a trace: a silent fallback
+        # re-creates the exact undiagnosable worker ImportError this
+        # module exists to prevent
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ship_module_by_value(%s) failed (%s: %s) — UDFs will pickle "
+            "by reference; executors must have the package installed",
+            module.__name__, type(exc).__name__, exc,
+        )

@@ -50,12 +50,17 @@ def make_udafs() -> dict:
 
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def harmonic_mean(v):
-        """n / sum(1/x) over nonzero values; NULL if none."""
+        """n / sum(1/x) over nonzero values; NULL if none — or when the
+        reciprocals cancel (mixed-sign input), where the textbook
+        formula degenerates to n/0 and numpy would emit Infinity."""
         x = v.dropna().astype("float64")
         x = x[x != 0]
         if x.empty:
             return None
-        return float(len(x) / (1.0 / x).sum())
+        s = (1.0 / x).sum()
+        if s == 0.0:
+            return None
+        return float(len(x) / s)
 
     _CACHE.update(
         {"geometric_mean": geometric_mean, "harmonic_mean": harmonic_mean}

@@ -91,7 +91,13 @@ def run_pipeline(
         register_sources(spark, pipeline.parsed_sources)
     for s in pipeline.parsed_sources:
         tracker.on_progress(
-            ProgressEvent("source_registered", name=s.name)
+            ProgressEvent(
+                "source_registered",
+                name=s.name,
+                # registration is one batch; the total is attached to
+                # each event rather than measured and discarded
+                duration_ms=t_src.elapsed_ms,
+            )
         )
 
     groups = pipeline.stage_groups
@@ -202,18 +208,20 @@ def explain_pipeline(
     register_sources(spark, pipeline.parsed_sources)
 
     reports: list[dict] = []
+    from .plans.inspect import inspect_plan, lint_info
+
     for group in pipeline.stage_groups:
         for stage in group:
             df = build_stage_df(spark, stage, pipeline.sql_dialect)
             df.createOrReplaceTempView(stage.name)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # ONE explainString JVM round-trip per stage: the lint is
+            # derived from the same PlanInfo as the printed plan
+            info = inspect_plan(df)
             reports.append(
                 {
                     "stage": stage.name,
-                    "plan": plan,
-                    "warnings": lint_plan(df),
+                    "plan": info.text,
+                    "warnings": lint_info(info),
                 }
             )
     return reports

@@ -36,10 +36,34 @@ class PlanInfo:
     python_evals: int = 0
 
     def scan_columns(self) -> list[set[str]]:
-        """Column sets actually read by each parquet scan."""
+        """TOP-LEVEL column sets actually read by each parquet scan
+        (nested struct field names are not scan columns: matching every
+        ``name:`` would count ``meta:struct<ts:bigint>`` as {meta, ts})."""
         out = []
         for schema in self.read_schemas:
-            out.append(set(re.findall(r"(\w+):", schema)))
+            cols: set[str] = set()
+            depth = 0
+            token = ""
+            # schema text: struct<a:bigint,meta:struct<ts:bigint>,...>
+            body = schema.strip()
+            if body.startswith("struct<") and body.endswith(">"):
+                body = body[len("struct<"):-1]
+            for ch in body:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif depth == 0 and ch == ":":
+                    if token.strip():
+                        cols.add(token.strip())
+                    token = ""
+                    continue
+                elif depth == 0 and ch == ",":
+                    token = ""
+                    continue
+                if depth == 0 and ch not in "<>,:":
+                    token += ch
+            out.append(cols)
         return out
 
 
@@ -57,8 +81,19 @@ def inspect_plan(df: DataFrame) -> PlanInfo:
     info.shuffle_hash_joins = len(re.findall(r"\(\d+\) ShuffledHashJoin", text))
     info.nested_loop_joins = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", text))
     info.exchanges = len(re.findall(r"\(\d+\) Exchange", text))
+    # every node that ships rows through a Python worker: scalar UDFs
+    # (Batch/ArrowEvalPython), mapInPandas/mapInArrow, grouped-map and
+    # grouped-agg pandas UDFs, window pandas UDFs, and stateful
+    # applyInPandas — missing any of these lets a Python boundary pass
+    # the operators' "python_evals == 0" plan gates unnoticed
     info.python_evals = len(
-        re.findall(r"\(\d+\) (?:BatchEvalPython|ArrowEvalPython|MapInPandas)", text)
+        re.findall(
+            r"\(\d+\) (?:BatchEvalPython|ArrowEvalPython|MapInPandas"
+            r"|MapInArrow|FlatMapGroupsInPandas|FlatMapGroupsInArrow"
+            r"|AggregateInPandas|ArrowAggregatePython|WindowInPandas"
+            r"|ArrowWindowPython|FlatMapGroupsInPandasWithState)",
+            text,
+        )
     )
     return info
 
@@ -71,8 +106,13 @@ def lint_plan(df: DataFrame) -> list[str]:
     Wired into the stage ``explain`` flag so every explained stage gets
     its lint report for free; also usable standalone on any DataFrame.
     """
-    info = inspect_plan(df)
-    text = info.text  # one explainString round-trip, not two
+    return lint_info(inspect_plan(df))
+
+
+def lint_info(info: PlanInfo) -> list[str]:
+    """Lint an already-inspected plan (callers holding a PlanInfo avoid
+    a second explainString round-trip)."""
+    text = info.text
     warnings: list[str] = []
     if re.search(r"\(\d+\) CartesianProduct", text):
         warnings.append(
@@ -107,7 +147,16 @@ def lint_plan(df: DataFrame) -> list[str]:
     # Coalesce" + "Arguments: 1" in the detail block) — match the pair,
     # not "Coalesce 1" (never printed) or "coalesce(1)" (matches the
     # scalar COALESCE function)
-    if re.search(r"\(\d+\) Coalesce\b[\s\S]{0,200}?Arguments: 1\b", text):
+    # the node's detail block (between "(N) Coalesce" and the next
+    # "(N) <Node>") contains an Input [...] line that exceeds any fixed
+    # char window on wide schemas — bound the search by the next node
+    # header instead
+    coalesce_one = any(
+        re.search(r"^Arguments: 1\b", block, flags=re.M)
+        for block in re.split(r"(?=\(\d+\) )", text)
+        if block.startswith("(") and re.match(r"\(\d+\) Coalesce\b", block)
+    )
+    if coalesce_one:
         warnings.append(
             "coalesce(1): single-task funnel — acceptable only for small "
             "summary outputs (single_file destinations)"

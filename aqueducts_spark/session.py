@@ -44,8 +44,18 @@ def session_builder(app_name: str = "aqueducts_spark", master: str | None = None
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    shuffle_parts = cpus if cpus else str(os.cpu_count() or 8)
-    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+    # size shuffle partitions from the DRIVER's cores only for LOCAL
+    # masters — on a real cluster the driver's cpu_count says nothing
+    # about cluster parallelism, and AQE only coalesces partitions down,
+    # never splits them up, so a small fixed value would cap every
+    # shuffle cluster-wide (Spark's own default / the cluster config
+    # applies instead).  SPARK_GRAFT_CPUS='*' means all local cores:
+    # a valid master but not a partition count.
+    if master.startswith("local"):
+        shuffle_parts = (
+            cpus if cpus and cpus.isdigit() else str(os.cpu_count() or 8)
+        )
+        builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     return builder

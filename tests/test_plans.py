@@ -254,3 +254,59 @@ stages:
     assert lints and (
         "CartesianProduct" in lints[0][2] or "BroadcastNestedLoopJoin" in lints[0][2]
     )
+
+
+def test_python_evals_counts_grouped_agg_pandas(spark):
+    """UDAF/grouped-map pandas nodes are Python boundaries and must be
+    visible to the plan gates (ArrowAggregatePython et al. were missed,
+    so a UDAF-bearing plan reported python_evals == 0)."""
+    from aqueducts_spark.functions.udafs import register_udafs
+    from aqueducts_spark.plans import inspect_plan
+
+    register_udafs(spark)
+    df = spark.createDataFrame([("a", 2.0), ("a", 8.0)], "g string, v double")
+    df.createOrReplaceTempView("pe_t")
+    agg = spark.sql("SELECT g, geometric_mean(v) AS gm FROM pe_t GROUP BY g")
+    assert inspect_plan(agg).python_evals >= 1
+    spark.catalog.dropTempView("pe_t")
+
+
+def test_coalesce_lint_fires_on_wide_schemas(spark):
+    """The single-task-funnel warning must fire even when the node's
+    Input [...] line exceeds any fixed char window."""
+    from aqueducts_spark.plans import lint_plan
+
+    wide = spark.range(10).selectExpr(
+        *[f"id AS very_long_column_name_number_{i:02d}" for i in range(30)]
+    )
+    warnings = lint_plan(wide.coalesce(1))
+    assert any("single-task funnel" in w for w in warnings), warnings
+
+
+def test_scan_columns_ignores_nested_fields():
+    from aqueducts_spark.plans.inspect import PlanInfo
+
+    pi = PlanInfo(
+        text="",
+        read_schemas=["struct<a:bigint,meta:struct<ts:bigint,u:string>,id:bigint>"],
+    )
+    assert pi.scan_columns() == [{"a", "meta", "id"}]
+
+
+def test_harmonic_mean_mixed_sign_is_null(spark):
+    from aqueducts_spark.functions.udafs import register_udafs
+
+    register_udafs(spark)
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", -2.0), ("b", 4.0)], "g string, v double"
+    )
+    df.createOrReplaceTempView("hm_t")
+    rows = {
+        r.g: r.hm
+        for r in spark.sql(
+            "SELECT g, harmonic_mean(v) AS hm FROM hm_t GROUP BY g"
+        ).collect()
+    }
+    assert rows["a"] is None  # reciprocals cancel: NULL, not Infinity
+    assert abs(rows["b"] - 4.0) < 1e-9
+    spark.catalog.dropTempView("hm_t")
