@@ -64,6 +64,15 @@ def _scan_statements(sql: str) -> list[tuple[str, list[str]]]:
         ch = sql[i]
         if quote is not None:
             cur.append(ch)
+            if ch == "\\" and quote in ("'", '"') and i + 1 < n:
+                # Spark's default lexer (escapedStringLiterals=false)
+                # honors backslash escapes in ' and " strings; skipping
+                # them kept this scanner in sync — without this, 'a\'b'
+                # desynced the tracker and write keywords slipped
+                # through inside what Spark parses as CODE
+                cur.append(sql[i + 1])
+                i += 2
+                continue
             if ch == quote:
                 if i + 1 < n and sql[i + 1] == quote:  # escaped '' / "" / ``
                     cur.append(sql[i + 1])

@@ -25,6 +25,18 @@ from .sql_guard import validate_stage_sql
 SHOW_UNLIMITED_CAP = 500  # reference stages/mod.rs:101-106
 
 
+def _with_stage_errors(stage_name: str, action):
+    """Attribute EXECUTION-time failures (count/show/analyze) to their
+    stage — analysis errors get wrapped in build_stage_df, but a runtime
+    error (UDF raise, ANSI overflow) inside an action would otherwise
+    surface as a bare Py4J error with no stage name, which in a parallel
+    group is unattributable."""
+    try:
+        return action()
+    except Exception as exc:
+        raise StageError(f"stage '{stage_name}' failed during execution: {exc}") from exc
+
+
 class StageError(RuntimeError):
     def __init__(self, stage_name: str, cause: Exception):
         self.stage_name = stage_name
@@ -82,17 +94,27 @@ def process_stage(
             )
 
     if stage.explain_analyze:
-        # Spark has no in-band EXPLAIN ANALYZE: run the action, then read
-        # the executed plan with runtime metrics from queryExecution.
-        df.count()
-        executed = df._jdf.queryExecution().executedPlan().toString()
+        # Spark has no in-band EXPLAIN ANALYZE.  df.count() would run a
+        # SEPARATE QueryExecution and df's own executedPlan() would stay
+        # unexecuted (printed as isFinalPlan=false with no metrics) —
+        # so execute the count's OWN plan and print that execution's
+        # final adaptive plan: it contains the stage's full plan with
+        # isFinalPlan=true after AQE re-planning.
+        _with_stage_errors(stage.name, lambda: df.count())
+        jqe = df.groupBy().count()._jdf.queryExecution()
+        _with_stage_errors(stage.name, lambda: jqe.executedPlan().executeCollect())
+        executed = df._sc._jvm.PythonSQLUtils.explainString(jqe, "formatted")
         tracker.on_output(stage.name, "explain_analyze", executed)
     elif want_materialize:
-        df.count()
+        _with_stage_errors(stage.name, lambda: df.count())
 
     if stage.show is not None:
         n = stage.show if stage.show and stage.show > 0 else SHOW_UNLIMITED_CAP
-        tracker.on_output(stage.name, "show", df._show_string(n, 0, False))
+        tracker.on_output(
+            stage.name,
+            "show",
+            _with_stage_errors(stage.name, lambda: df._show_string(n, 0, False)),
+        )
 
     if stage.print_schema:
         tracker.on_output(stage.name, "schema", df._jdf.schema().treeString())

@@ -182,6 +182,10 @@ def run_available_now(
     query.awaitTermination()
     spark = df.sparkSession
     rows = spark.table(name).collect()
+    # drop the memory sink: each call registers a fresh random name, so
+    # a backfill loop would otherwise pin every drained result set on
+    # the driver for the session's lifetime
+    spark.catalog.dropTempView(name)
     return rows
 
 
@@ -259,18 +263,35 @@ def interval_join_stream(
     joined schema is collision-free. The batch twin is
     ``operators/temporal.py::range_join``.
     """
+    clashes = [
+        c for c in left.columns
+        if c.startswith(right_prefix)
+        and c[len(right_prefix):] in right.columns
+    ]
+    if clashes:
+        raise ValueError(
+            f"interval_join_stream: left side already has columns {clashes} "
+            f"that collide with the {right_prefix!r}-prefixed right side — "
+            "pass a different right_prefix"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     rw = rw.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
-    key_cond = [F.col(k) == F.col(f"{right_prefix}{k}") for k in on]
     rts = f"{right_prefix}{right_ts}"
-    range_cond = F.expr(
-        f"{rts} >= {left_ts} + INTERVAL {lower_seconds} SECONDS AND "
-        f"{rts} <= {left_ts} + INTERVAL {upper_seconds} SECONDS"
+
+    def _interval(seconds: float):
+        # fixed-point rendering: f-string float formatting emits
+        # scientific notation below 1e-4 (INTERVAL 1e-05 SECONDS is a
+        # ParseException); quoted single-unit form takes decimals
+        return F.expr(f"INTERVAL '{seconds:.6f}' SECOND")
+
+    range_cond = (
+        (F.col(rts) >= F.col(left_ts) + _interval(float(lower_seconds)))
+        & (F.col(rts) <= F.col(left_ts) + _interval(float(upper_seconds)))
     )
     cond = range_cond
-    for c in key_cond:
-        cond = c & cond
+    for k in on:
+        cond = (F.col(k) == F.col(f"{right_prefix}{k}")) & cond
     return lw.join(rw, cond, "inner")
 
 
@@ -391,8 +412,18 @@ def merge_stream_into_table(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # NULL-distinct encoding: concat_ws SKIPS null columns, so two
+        # rows differing only in null placement would hash identically
+        # and the "deterministic" winner would vary across foreachBatch
+        # replays (breaking upsert idempotency)
         tiebreak = F.md5(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in batch_df.columns])
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+                    for c in batch_df.columns
+                ],
+            )
         )
         order = (
             [F.col(order_col).desc(), tiebreak.asc()]

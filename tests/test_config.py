@@ -311,3 +311,21 @@ def test_gcs_keyfile_sets_auth_type(spark):
     )
     assert hconf.get("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE"
     assert hconf.get("fs.gs.auth.service.account.json.keyfile") == "/keys/sa.json"
+
+
+def test_sql_guard_backslash_escape_not_bypassable():
+    """Spark's default lexer honors backslash escapes in strings; the
+    guard's scanner must stay in sync or write keywords slip through
+    inside what Spark parses as code."""
+    import pytest as _pytest
+
+    from aqueducts_spark.sql_guard import StageSqlError, validate_stage_sql
+
+    # Spark parses this as an InsertIntoStatement — must be rejected
+    with _pytest.raises(StageSqlError):
+        validate_stage_sql(
+            r"FROM (SELECT 'a\'b' AS x) tt INSERT INTO tgt SELECT x"
+        )
+    # and legitimate escaped quotes must NOT be falsely rejected
+    validate_stage_sql(r"SELECT 'it\'s an update' AS msg FROM t")
+    validate_stage_sql(r"SELECT 'a\'b; c' AS s FROM t")
