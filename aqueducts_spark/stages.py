@@ -9,9 +9,13 @@ default**. The reference eagerly materializes every stage; at 100 TB
 that forces a full materialization barrier per stage and defeats
 Catalyst's cross-stage optimization (filter pushdown *through* stage
 boundaries, join reordering over the whole plan). We only materialize
-when the stage (a) sets ``eager: true``, (b) requests debug output
-(show/explain_analyze), or (c) is consumed by more than one downstream
-stage (decided by the pipeline runner, which then uses ``.cache()``).
+when the stage (a) sets ``eager: true``, (b) requests
+``explain_analyze`` (which must execute to have metrics), or (c) is
+consumed by more than one downstream stage (decided by the pipeline
+runner, which then uses ``.cache()``).  A plain ``show`` does NOT
+materialize: it executes only the displayed prefix, and a
+single-consumer downstream recomputes the lineage — set ``eager: true``
+alongside ``show`` when the stage is expensive and also consumed.
 """
 
 from __future__ import annotations
