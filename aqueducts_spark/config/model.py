@@ -564,6 +564,13 @@ class Pipeline(_Base):
         names = [s.name for s in self.parsed_sources] + [
             st.name for g in groups for st in g
         ]
+        dest = self.parsed_destination
+        if dest is not None and getattr(dest, "type", None) == "in_memory":
+            # the in_memory destination registers a temp view by name —
+            # a collision with a stage/source would pass the fail-fast
+            # check (the view doesn't exist yet) and crash only AFTER
+            # the whole pipeline computed
+            names.append(dest.name)
         dupes = {n for n in names if names.count(n) > 1}
         if dupes:
             raise ValueError(f"duplicate table names in pipeline: {sorted(dupes)}")

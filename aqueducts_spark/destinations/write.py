@@ -58,6 +58,13 @@ def prepare_destination(spark: SparkSession, dest: Destination) -> None:
             raise DestinationError(
                 "single_file and partition_columns are mutually exclusive"
             )
+        if dest.single_file and not is_local(location):
+            # fail BEFORE the pipeline computes, not after hours of work
+            # when the writer finally runs
+            raise DestinationError(
+                "single_file output currently requires a local path; "
+                "set single_file: false for object stores"
+            )
     elif isinstance(dest, DeltaDestination):
         location = normalize_location(dest.location, dest.storage_config)
         apply_storage_config(spark, location, dest.storage_config)
@@ -95,9 +102,10 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
     elif isinstance(dest, IvfIndexDestination):
         from ..operators.similarity import ivf_persist
 
+        loc = normalize_location(dest.location, dest.storage_config)
         ivf_persist(
             df,
-            normalize_location(dest.location, dest.storage_config).removeprefix("file://"),
+            str(to_local_path(loc)) if is_local(loc) else loc,
             n_centroids=dest.n_centroids,
             seed=dest.seed,
             id_col=dest.id_col,

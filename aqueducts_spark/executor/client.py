@@ -35,13 +35,40 @@ async def _submit(
     # output kinds (show + explain) and their chunks interleave
     outputs: dict[tuple[str, str], list[str]] = {}
     final: dict[str, Any] = {}
+    execution_id: Optional[str] = None
     try:
         while True:
-            line = await asyncio.wait_for(reader.readline(), timeout)
+            try:
+                line = await asyncio.wait_for(reader.readline(), timeout)
+            except asyncio.TimeoutError:
+                # inactivity horizon exceeded: cancel the remote
+                # execution instead of orphaning it, and surface a
+                # clean protocol error rather than a raw TimeoutError
+                if execution_id is not None:
+                    writer.write(
+                        encode(
+                            {
+                                "type": "cancel_request",
+                                "execution_id": execution_id,
+                            }
+                        )
+                    )
+                    await writer.drain()
+                final = {
+                    "type": "error",
+                    "message": (
+                        f"no message from executor for {timeout}s — "
+                        "cancel requested; raise timeout for long-running "
+                        "stages"
+                    ),
+                }
+                break
             if not line:
                 final = {"type": "error", "message": "connection closed"}
                 break
             msg = decode(line)
+            if msg.get("execution_id"):
+                execution_id = msg["execution_id"]
             if on_message:
                 on_message(msg)
             if msg.get("type") == "output_chunk":

@@ -120,6 +120,19 @@ class ExecutorServer:
                     continue
                 await self._dispatch(msg, out_queue)
         finally:
+            # the connection owns its executions (reference ties
+            # cancellation to the connection): a disconnect cancels its
+            # queued work and interrupts its running jobs instead of
+            # orphaning compute that nobody will ever observe
+            for ex in list(self._executions.values()):
+                if ex.queue is out_queue and not ex.cancelled.is_set():
+                    ex.cancelled.set()
+                    if ex in self._pending:
+                        self._pending.remove(ex)
+                        self._executions.pop(ex.id, None)
+                    else:
+                        self.spark.sparkContext._jsc.sc().cancelJobGroup(ex.id)
+            self._broadcast_positions()
             out_queue.put_nowait(None)
             await pump_task
             writer.close()
@@ -184,14 +197,14 @@ class ExecutorServer:
             tracker = _StreamingTracker(loop, ex.queue)
             try:
                 await loop.run_in_executor(None, self._run_one, ex, tracker)
+                # a clean completion is SUCCEEDED even when a cancel
+                # raced it: the destination write committed, and
+                # reporting "cancelled" would tell the client nothing
+                # was written when everything was
+                done_msg = {"type": "succeeded", "execution_id": ex.id}
                 if ex.cancelled.is_set():
-                    ex.queue.put_nowait(
-                        {"type": "cancelled", "execution_id": ex.id}
-                    )
-                else:
-                    ex.queue.put_nowait(
-                        {"type": "succeeded", "execution_id": ex.id}
-                    )
+                    done_msg["note"] = "cancel arrived after completion"
+                ex.queue.put_nowait(done_msg)
             except Exception as exc:  # noqa: BLE001 - reported to client
                 if ex.cancelled.is_set():
                     # cancelJobGroup interrupts the running Spark action,

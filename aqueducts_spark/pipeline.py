@@ -12,6 +12,30 @@ from __future__ import annotations
 
 import re
 from concurrent.futures import ThreadPoolExecutor
+
+_JOB_GROUP_PROPS = (
+    "spark.jobGroup.id",
+    "spark.job.description",
+    "spark.job.interruptOnCancel",
+    "spark.scheduler.pool",
+)
+
+
+def _propagate_job_group(spark, fn):
+    """Carry the SUBMITTING thread's Spark job-group local properties
+    into pool worker threads, so jobs they launch stay cancellable via
+    cancelJobGroup (plain ThreadPoolExecutor threads do not inherit
+    local properties under PySpark's pinned-thread mode)."""
+    sc = spark.sparkContext
+    props = {k: sc.getLocalProperty(k) for k in _JOB_GROUP_PROPS}
+
+    def wrapped(*args, **kwargs):
+        for k, v in props.items():
+            if v is not None:
+                sc.setLocalProperty(k, v)
+        return fn(*args, **kwargs)
+
+    return wrapped
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,9 +155,15 @@ def run_pipeline(
             stage_dfs[name] = df
         else:
             # parallel group with barrier (reference core/src/lib.rs:125-175);
-            # Spark's scheduler is thread-safe and FAIR-schedules jobs
+            # Spark's scheduler is thread-safe and FAIR-schedules jobs.
+            # Job-group/local properties are propagated into the pool
+            # threads: plain threads don't inherit them (pinned-thread
+            # mode), so jobs launched here would otherwise escape the
+            # remote executor's cancelJobGroup.
             with ThreadPoolExecutor(max_workers=len(group)) as pool:
-                for name, df in pool.map(run_one, group):
+                for name, df in pool.map(
+                    _propagate_job_group(spark, run_one), group
+                ):
                     stage_dfs[name] = df
 
         # TTL reclamation: drop cached intermediates whose last textual

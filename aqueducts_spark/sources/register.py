@@ -141,7 +141,13 @@ def _register_odbc(spark: SparkSession, source: OdbcSource) -> DataFrame:
         reader = reader.option("query", source.load_query)
     for k, v in opts.items():
         reader = reader.option(k, v)
-    return reader.load().cache()
+    df = reader.load().cache()
+    # actually EAGER, like the reference (odbc/src/lib.rs:50-82): a bare
+    # .cache() is lazy, so an invalid query / unreachable database would
+    # surface only at the first downstream stage; the count materializes
+    # the cache and fails registration fast
+    df.count()
+    return df
 
 
 def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:
@@ -209,8 +215,11 @@ def register_sources(
         for s in sources:
             out[s.name] = register_source(spark, s)
         return out
+    from ..pipeline import _propagate_job_group
+
+    reg = _propagate_job_group(spark, register_source)
     with ThreadPoolExecutor(max_workers=min(max_workers, len(sources))) as pool:
-        futures = {s.name: pool.submit(register_source, spark, s) for s in sources}
+        futures = {s.name: pool.submit(reg, spark, s) for s in sources}
         for name, fut in futures.items():
             out[name] = fut.result()
     return out

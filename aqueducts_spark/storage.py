@@ -93,6 +93,17 @@ def apply_storage_config(spark, location: str, storage_config: dict[str, str]) -
         for key, value in storage_config.items():
             mapped = _GCS_KEY_MAP.get(key.lower())
             if mapped:
+                # the GCS connector has no per-bucket credential scoping
+                # (unlike fs.s3a.bucket.<name>.*): a SECOND source with a
+                # DIFFERENT keyfile would silently re-point the first
+                # source's lazy reads at the wrong identity
+                existing = hconf.get(mapped, None)
+                if existing and existing != value:
+                    raise StorageConfigError(
+                        f"conflicting GCS credential for {mapped}: the "
+                        f"connector configuration is session-global, so all "
+                        f"gs:// sources in one pipeline must share it"
+                    )
                 hconf.set(mapped, value)
                 # the keyfile property is consulted only under this auth
                 # type (the connector default is COMPUTE_ENGINE /

@@ -329,3 +329,85 @@ def test_sql_guard_backslash_escape_not_bypassable():
     # and legitimate escaped quotes must NOT be falsely rejected
     validate_stage_sql(r"SELECT 'it\'s an update' AS msg FROM t")
     validate_stage_sql(r"SELECT 'a\'b; c' AS s FROM t")
+
+
+def test_single_file_object_store_fails_fast(spark):
+    from aqueducts_spark.config.model import parse_destination
+    from aqueducts_spark.destinations.write import DestinationError, prepare_destination
+
+    dest = parse_destination(
+        {
+            "type": "file",
+            "name": "out",
+            "format": {"type": "parquet"},
+            "location": "s3://bucket/out.parquet",
+            "single_file": True,
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(DestinationError, match="local path"):
+        prepare_destination(spark, dest)
+
+
+def test_in_memory_destination_name_collision_rejected():
+    import pytest as _pytest
+
+    from aqueducts_spark import load_pipeline_str
+
+    yml = """
+sources: []
+stages:
+  - name: result
+    query: SELECT 1 AS a
+destination:
+  type: in_memory
+  name: result
+"""
+    with _pytest.raises(Exception, match="duplicate"):
+        load_pipeline_str(yml)
+
+
+def test_conflicting_gcs_credentials_rejected(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.storage import StorageConfigError, apply_storage_config
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prop = "fs.gs.auth.service.account.json.keyfile"
+    old = hconf.get(prop, None)
+    hconf.unset(prop)  # other tests may have set the session-global key
+    try:
+        apply_storage_config(spark, "gs://b1/p", {"service_account_path": "/k1.json"})
+        # same value again: fine
+        apply_storage_config(spark, "gs://b2/p", {"service_account_path": "/k1.json"})
+        with _pytest.raises(StorageConfigError, match="session-global"):
+            apply_storage_config(
+                spark, "gs://b3/p", {"service_account_path": "/k2.json"}
+            )
+    finally:
+        if old is not None:
+            hconf.set(prop, old)
+        else:
+            hconf.unset(prop)
+
+
+def test_jdbc_source_fails_fast_on_bad_query(spark):
+    """Eager load (reference parity): a broken load_query fails at
+    registration, not at the first downstream stage."""
+    import pytest as _pytest
+
+    from aqueducts_spark.config.model import parse_source
+    from aqueducts_spark.sources.register import register_source
+
+    src = parse_source(
+        {
+            "type": "odbc",
+            "name": "bad",
+            "query": "SELECT * FROM definitely_missing_table",
+            "connection_string": "jdbc:derby:memory:aq_ff;create=true",
+            "options": {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        }
+    )
+    with _pytest.raises(Exception):
+        register_source(spark, src)
