@@ -40,7 +40,11 @@ def _random_ops(seed: int, n_ops: int = 6):
     ops = []
     next_id = 0
     for _ in range(n_ops):
-        kind = rng.choice(["append", "append", "upsert", "replace"])
+        kind = rng.choice(["append", "append", "upsert", "replace", "compact"])
+        if kind == "compact":
+            # OPTIMIZE must be content-neutral at every point in history
+            ops.append(("compact", [], None))
+            continue
         rows = []
         for _ in range(rng.randint(1, 5)):
             if kind != "append" and next_id > 2 and rng.random() < 0.5:
@@ -70,14 +74,19 @@ def test_same_op_sequence_same_state_at_every_version(spark, tmp_path, seed):
 
     versions = []  # (proto_version, legacy_version)
     for kind, rows, cond in _random_ops(seed):
-        df_p = _mkdf(spark, rows)
-        df_l = _mkdf(spark, rows)
-        if kind == "append":
-            vp, vl = proto.append(df_p), legacy.append(df_l)
-        elif kind == "upsert":
-            vp, vl = proto.upsert(df_p, ["id"]), legacy.upsert(df_l, ["id"])
+        if kind == "compact":
+            if not proto.exists() or proto.latest_version() == 0:
+                continue
+            vp, vl = proto.compact(), legacy.compact()
         else:
-            vp, vl = proto.replace(df_p, cond), legacy.replace(df_l, cond)
+            df_p = _mkdf(spark, rows)
+            df_l = _mkdf(spark, rows)
+            if kind == "append":
+                vp, vl = proto.append(df_p), legacy.append(df_l)
+            elif kind == "upsert":
+                vp, vl = proto.upsert(df_p, ["id"]), legacy.upsert(df_l, ["id"])
+            else:
+                vp, vl = proto.replace(df_p, cond), legacy.replace(df_l, cond)
         versions.append((vp, vl))
         assert _rows(proto.read()) == _rows(legacy.read()), (kind, rows, cond)
 
