@@ -59,6 +59,13 @@ CHECKPOINT_INTERVAL = 10
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
 # v2Checkpoint is accepted only when classic-named checkpoints exist too
 
+# writer features this implementation can honor when committing to a
+# feature-table (minWriterVersion 7).  "appendOnly" and "invariants" are
+# honored by ENFORCEMENT in check_writable (appendOnly forbids
+# remove-producing ops; invariants are accepted only when no column
+# actually declares one), not by silently ignoring them.
+_SUPPORTED_WRITER_FEATURES = {"timestampNtz", "appendOnly", "invariants"}
+
 
 class DeltaProtocolError(DeltaTableError):
     pass
@@ -129,6 +136,84 @@ class _Snapshot:
             if unsupported:
                 raise DeltaProtocolError(
                     f"unsupported Delta reader features: {sorted(unsupported)}"
+                )
+
+    def check_writable(self, operation: str) -> None:
+        """Refuse commits the Delta spec says this writer must not make
+        (PROTOCOL.md "Writer Requirements") — without this, writing to an
+        external table with unimplemented writer features would commit
+        spec-violating changes other engines depend on.
+
+        ``operation`` is one of append/upsert/replace/compact/vacuum.
+        Enforced:
+
+        * ``minWriterVersion`` 3-6 imply checkConstraints /
+          changeDataFeed+generatedColumns / columnMapping /
+          identityColumns enforcement this engine does not provide —
+          refused outright; version 7 is accepted iff ``writerFeatures``
+          is a subset of :data:`_SUPPORTED_WRITER_FEATURES`.
+        * column invariants (``delta.invariants`` in the schema) and
+          CHECK constraints (``delta.constraints.*``) — required even at
+          writer version 2 — are refused for ALL writes because we do
+          not validate rows against them.
+        * ``delta.appendOnly=true`` forbids upsert/replace (the
+          remove-producing, data-changing ops).  compact (dataChange
+          false rewrite) and vacuum (physical cleanup of unreferenced
+          files) do not modify table content and stay allowed, matching
+          delta-spark's behavior on append-only tables.
+        * ``delta.enableChangeDataFeed=true`` forbids upsert/replace:
+          the spec requires MERGE/DELETE commits on CDF tables to carry
+          ``cdc`` actions, which this writer does not produce.  Plain
+          appends are fine (CDF readers derive change rows from
+          dataChange=true add actions).
+        """
+        if self.metadata is None:
+            return  # brand-new table: we author protocol + metadata
+        p = self.protocol
+        writer = int(p.get("minWriterVersion", 2))
+        if writer == 7:
+            feats = set(p.get("writerFeatures") or [])
+            unsupported = feats - _SUPPORTED_WRITER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"unsupported Delta writer features: {sorted(unsupported)}"
+                )
+        elif writer > 2:
+            raise DeltaProtocolError(
+                f"unsupported minWriterVersion {writer}: this writer "
+                "implements writer protocol 2 (and feature tables at 7 "
+                f"with {sorted(_SUPPORTED_WRITER_FEATURES)}); versions 3-6 "
+                "imply enforcement duties this engine does not provide"
+            )
+        conf = (self.metadata or {}).get("configuration") or {}
+        if "delta.invariants" in (self.metadata.get("schemaString") or ""):
+            raise DeltaProtocolError(
+                "table declares column invariants (delta.invariants); "
+                "this writer does not enforce them and must not commit"
+            )
+        constraint_keys = sorted(
+            k for k in conf if k.startswith("delta.constraints.")
+        )
+        if constraint_keys:
+            raise DeltaProtocolError(
+                f"table declares CHECK constraints {constraint_keys}; "
+                "this writer does not enforce them and must not commit"
+            )
+
+        def _on(key: str) -> bool:
+            return str(conf.get(key, "false")).strip().lower() == "true"
+
+        if operation in ("upsert", "replace"):
+            if _on("delta.appendOnly"):
+                raise DeltaProtocolError(
+                    f"delta.appendOnly=true forbids {operation}: only "
+                    "appends are allowed on this table"
+                )
+            if _on("delta.enableChangeDataFeed"):
+                raise DeltaProtocolError(
+                    f"delta.enableChangeDataFeed=true requires cdc "
+                    f"actions on {operation}, which this writer does not "
+                    "produce; disable CDF or use an engine that writes it"
                 )
 
 
@@ -552,6 +637,7 @@ class DeltaProtocolTable:
     def append(self, df: DataFrame) -> int:
         self._ensure_created_from(df)
         snap = self._snapshot()  # ONE log replay per write
+        snap.check_writable("append")
         df = self._prepare(df, snap)
         adds = self._stage_files(df, snap.partition_columns())
         actions = [
@@ -607,6 +693,7 @@ class DeltaProtocolTable:
         that key's source rows (delete-matching + insert-all)."""
         self._ensure_created_from(df)
         snap = self._snapshot()
+        snap.check_writable("upsert")
         df = self._prepare(df, snap)
         current = self._read_snapshot(snap)
         cond = merge_key_condition(df.schema, keys, "old", "new")
@@ -621,6 +708,7 @@ class DeltaProtocolTable:
     def replace(self, df: DataFrame, conditions: list[tuple[str, str]]) -> int:
         self._ensure_created_from(df)
         snap = self._snapshot()
+        snap.check_writable("replace")
         df = self._prepare(df, snap)
         pred = build_replace_predicate(conditions)
         if snap.files:
@@ -655,6 +743,7 @@ class DeltaProtocolTable:
         """OPTIMIZE-style bin packing: rewrite the snapshot as fresh
         files with ``dataChange: false`` so streaming readers skip it."""
         snap = self._snapshot()
+        snap.check_writable("compact")
         current = self._read_snapshot(snap)
         if target_partitions is not None:
             current = current.coalesce(target_partitions)
@@ -696,6 +785,7 @@ class DeltaProtocolTable:
         versions = self._commit_versions()
         if not versions:
             return []
+        self._snapshot().check_writable("vacuum")
         keep: set[str] = set()
         if retention_hours is not None:
             if retention_hours < 0:

@@ -11,6 +11,26 @@ from ..config.templating import substitute_params
 from .protocol import STREAM_LIMIT, decode, encode
 
 
+async def _drain_for_terminal(reader, grace: float) -> Optional[dict[str, Any]]:
+    """After an inactivity cancel, read for up to ``grace`` seconds
+    hoping for the server's terminal succeeded/cancelled/error message;
+    returns it, or None if the server stays silent / disconnects."""
+    deadline = asyncio.get_event_loop().time() + grace
+    while True:
+        remaining = deadline - asyncio.get_event_loop().time()
+        if remaining <= 0:
+            return None
+        try:
+            line = await asyncio.wait_for(reader.readline(), remaining)
+        except asyncio.TimeoutError:
+            return None
+        if not line:
+            return None
+        msg = decode(line)
+        if msg.get("type") in ("succeeded", "error", "cancelled"):
+            return msg
+
+
 async def _submit(
     host: str,
     port: int,
@@ -43,7 +63,7 @@ async def _submit(
             except asyncio.TimeoutError:
                 # inactivity horizon exceeded: cancel the remote
                 # execution instead of orphaning it, and surface a
-                # clean protocol error rather than a raw TimeoutError
+                # clean protocol error rather than a raw TimeoutError.
                 if execution_id is not None:
                     writer.write(
                         encode(
@@ -54,12 +74,28 @@ async def _submit(
                         )
                     )
                     await writer.drain()
+                    # Cancellation can race completion: the server then
+                    # reports 'succeeded' (write committed!) rather than
+                    # 'cancelled'.  Briefly drain for that terminal
+                    # message so the user is not told the run failed
+                    # after its destination write landed.
+                    final = await _drain_for_terminal(
+                        reader, grace=min(10.0, timeout)
+                    )
+                    if final:
+                        final["after_inactivity_cancel"] = True
+                        if on_message:
+                            on_message(final)
+                        break
                 final = {
                     "type": "error",
                     "message": (
                         f"no message from executor for {timeout}s — "
                         "cancel requested; raise timeout for long-running "
-                        "stages"
+                        "stages. NOTE: if the execution was already past "
+                        "the point of cancellation its destination write "
+                        "may still have committed — check the sink before "
+                        "re-running"
                     ),
                 }
                 break

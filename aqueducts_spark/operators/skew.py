@@ -27,14 +27,18 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Top-N heaviest keys with their share of rows — run this (sampled)
     to decide whether salting is needed and to pick ``salt_buckets``.
 
-    ONE scan: the total comes from a window sum over the (tiny)
-    aggregated key counts, not a second full count() pass."""
-    from pyspark.sql import Window
-
+    The total is a scalar aggregate over the key counts broadcast back
+    as a 1-row cross join — NOT an unpartitioned window, which would
+    funnel every distinct key's count row into a single window task and
+    OOM/stall exactly in the high-cardinality case this profiler is for.
+    Both branches share the same groupBy shuffle, so AQE's
+    ReusedExchange keeps this at ONE scan of ``df``."""
     counts = df.groupBy(key).agg(F.count("*").alias("rows"))
-    total = F.sum("rows").over(Window.partitionBy())
+    total = counts.agg(F.sum("rows").alias("__total"))
     return (
-        counts.withColumn("share", F.round(F.col("rows") / total, 4))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("rows") / F.col("__total"), 4))
+        .drop("__total")
         .orderBy(F.desc("rows"), F.asc(key))
         .limit(top)
     )

@@ -21,7 +21,11 @@ Checks:
 * ``unique``                   — duplicate non-null values (count - distinct)
 * ``min`` / ``max``            — value < / > the bound (NULLs don't violate)
 * ``in_set``                   — value not in the accepted list (non-null)
-* ``regex``                    — value does not fully match (non-null)
+* ``regex``                    — value does not fully match (non-null);
+  ``mode: contains`` switches to substring (bare ``rlike``) semantics.
+  NOTE (release v0.3): before v0.2 ``regex`` was a bare ``rlike``
+  substring match; the contract is now anchored full-match by default —
+  pipelines that relied on containment should set ``mode: contains``.
 * ``max_length``               — string longer than the bound
 
 There is deliberately no row-level "which rows failed" output here:
@@ -45,7 +49,9 @@ class ValidationError(ValueError):
     pass
 
 
-def _violation_expr(column: str, check: str, value: Any) -> Column:
+def _violation_expr(
+    column: str, check: str, value: Any, mode: str | None = None
+) -> Column:
     """Boolean column: this row violates the rule."""
     c = F.col(column)
     if check == "not_null":
@@ -59,7 +65,11 @@ def _violation_expr(column: str, check: str, value: Any) -> Column:
         return c.isNotNull() & ~c.isin(*vals)
     if check == "regex":
         # rlike is a SUBSTRING match; the documented contract is
-        # full-match, so anchor the caller's pattern
+        # full-match by default, so anchor the caller's pattern.
+        # mode=contains keeps bare-rlike containment (the pre-v0.2
+        # behavior) for pipelines that relied on it.
+        if mode == "contains":
+            return c.isNotNull() & ~c.cast("string").rlike(str(value))
         return c.isNotNull() & ~c.cast("string").rlike(f"^(?:{value})$")
     if check == "max_length":
         return c.isNotNull() & (F.length(c.cast("string")) > int(value))
@@ -96,6 +106,12 @@ def validate_rules(
             # comparison against NULL that never fires — the rule would
             # silently always pass
             raise ValidationError(f"rule {i}: check {check!r} requires 'value'")
+        mode = rule.get("mode")
+        if mode is not None and (check != "regex" or mode not in ("full", "contains")):
+            raise ValidationError(
+                f"rule {i}: 'mode' is only valid for regex checks with "
+                f"values 'full'|'contains', got {mode!r} for {check!r}"
+            )
         if check == "unique":
             aggs.append(
                 (
@@ -107,7 +123,8 @@ def validate_rules(
             aggs.append(
                 F.sum(
                     F.when(
-                        _violation_expr(column, check, rule.get("value")), 1
+                        _violation_expr(column, check, rule.get("value"), mode),
+                        1,
                     ).otherwise(0)
                 ).alias(f"_v{i}")
             )

@@ -38,7 +38,7 @@ def _with_stage_errors(stage_name: str, action):
     try:
         return action()
     except Exception as exc:
-        raise StageError(f"stage '{stage_name}' failed during execution: {exc}") from exc
+        raise StageError(stage_name, exc) from exc
 
 
 class StageError(RuntimeError):
@@ -103,8 +103,9 @@ def process_stage(
         # unexecuted (printed as isFinalPlan=false with no metrics) —
         # so execute the count's OWN plan and print that execution's
         # final adaptive plan: it contains the stage's full plan with
-        # isFinalPlan=true after AQE re-planning.
-        _with_stage_errors(stage.name, lambda: df.count())
+        # isFinalPlan=true after AQE re-planning.  One execution is
+        # enough: executeCollect() on this plan also populates the
+        # stage's cache when want_materialize set .cache() above.
         jqe = df.groupBy().count()._jdf.queryExecution()
         _with_stage_errors(stage.name, lambda: jqe.executedPlan().executeCollect())
         executed = df._sc._jvm.PythonSQLUtils.explainString(jqe, "formatted")

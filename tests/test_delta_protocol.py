@@ -697,3 +697,118 @@ def test_vacuum_retention_hours_semantics(spark, tmp_path):
     assert len(t.read().collect()) == 1
     with pytest.raises(Exception):
         t.read(version=v1).collect()
+
+
+# ---------------------------------------------------------------------------
+# writer-protocol enforcement (check_writable)
+# ---------------------------------------------------------------------------
+
+
+def test_append_only_table_refuses_upsert_and_replace(spark, tmp_path):
+    t = DeltaProtocolTable(spark, str(tmp_path / "ao"))
+    t.create_if_absent(FIELDS, [], {"delta.appendOnly": "true"}, {})
+    t.append(_df(spark, [(1, "a", 1.0)]))  # appends stay allowed
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        t.upsert(_df(spark, [(1, "A", 9.0)]), keys=["id"])
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        t.replace(_df(spark, [(2, "b", 2.0)]), conditions=[("name", "a")])
+    # compact (dataChange=false) and vacuum don't change table content
+    t.compact(target_partitions=1)
+    t.vacuum(keep_versions=1)
+    assert _rows(t.read()) == [(1, "a", 1.0)]
+
+
+def test_cdf_table_refuses_merge_like_ops(spark, tmp_path):
+    t = DeltaProtocolTable(spark, str(tmp_path / "cdf"))
+    t.create_if_absent(FIELDS, [], {"delta.enableChangeDataFeed": "true"}, {})
+    t.append(_df(spark, [(1, "a", 1.0)]))  # CDF derives appends from add actions
+    with pytest.raises(DeltaProtocolError, match="ChangeDataFeed"):
+        t.upsert(_df(spark, [(1, "A", 9.0)]), keys=["id"])
+    with pytest.raises(DeltaProtocolError, match="ChangeDataFeed"):
+        t.replace(_df(spark, [(2, "b", 2.0)]), conditions=[("name", "a")])
+
+
+def _edit_version0(root: Path, mutate) -> None:
+    """Rewrite the table's 000...0.json through ``mutate(action_dict)``."""
+    commit = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in commit.read_text().splitlines() if l.strip()]
+    for a in actions:
+        mutate(a)
+    commit.write_text("\n".join(json.dumps(a) for a in actions))
+
+
+def test_external_writer_version_5_refused_for_writes(spark, tmp_path):
+    t = _make(spark, tmp_path, name="wv5")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+
+    def bump(a):
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 5  # implies columnMapping duty
+
+    _edit_version0(tmp_path / "wv5", bump)
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "wv5"))
+    assert _rows(t2.read()) == [(1, "a", 1.0)]  # reads stay fine
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion 5"):
+        t2.append(_df(spark, [(2, "b", 2.0)]))
+
+
+def test_unsupported_writer_feature_refused(spark, tmp_path):
+    t = _make(spark, tmp_path, name="wf")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+
+    def feat(a):
+        if "protocol" in a:
+            a["protocol"].update(
+                {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["deletionVectors"],
+                }
+            )
+
+    _edit_version0(tmp_path / "wf", feat)
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "wf"))
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        t2.append(_df(spark, [(2, "b", 2.0)]))
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        t2.vacuum(keep_versions=1)
+
+
+def test_check_constraints_refuse_all_writes(spark, tmp_path):
+    t = DeltaProtocolTable(spark, str(tmp_path / "ck"))
+    t.create_if_absent(FIELDS, [], {"delta.constraints.posscore": "score >= 0"}, {})
+    with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
+        t.append(_df(spark, [(1, "a", 1.0)]))
+
+
+def test_column_invariants_refuse_writes(spark, tmp_path):
+    t = _make(spark, tmp_path, name="inv")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+
+    def add_invariant(a):
+        if "metaData" in a:
+            schema = json.loads(a["metaData"]["schemaString"])
+            schema["fields"][0]["metadata"] = {
+                "delta.invariants": '{"expression":{"expression":"id > 0"}}'
+            }
+            a["metaData"]["schemaString"] = json.dumps(schema)
+
+    _edit_version0(tmp_path / "inv", add_invariant)
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "inv"))
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        t2.append(_df(spark, [(2, "b", 2.0)]))
+
+
+def test_own_ntz_feature_table_still_writable(spark, tmp_path):
+    # regression: our own timestampNtz tables use minWriterVersion 7 +
+    # writerFeatures [timestampNtz] and must keep passing check_writable
+    fields = [
+        Field(name="id", data_type="int64", nullable=False),
+        Field(name="ts", data_type="timestamp<microsecond>", nullable=True),
+    ]
+    t = DeltaProtocolTable(spark, str(tmp_path / "ntzw"))
+    t.create_if_absent(fields, [], {}, {})
+    df = spark.sql("SELECT 1L AS id, TIMESTAMP_NTZ'2024-01-02 03:04:05' AS ts")
+    t.append(df)
+    t.upsert(spark.sql("SELECT 1L AS id, TIMESTAMP_NTZ'2024-06-01 00:00:00' AS ts"), keys=["id"])
+    assert t.read().count() == 1

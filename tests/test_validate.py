@@ -55,6 +55,36 @@ def test_regex_is_full_match(table):
     assert out.violations == 1
 
 
+def test_regex_contains_mode_restores_substring_semantics(table):
+    """mode: contains keeps the pre-v0.2 bare-rlike containment for
+    pipelines that relied on it (ADVICE r2: semantics change must have
+    an explicit opt-out)."""
+    out = validate_rules(
+        table,
+        [
+            {"column": "name", "check": "regex", "value": "li", "mode": "contains"},
+            {"column": "name", "check": "regex", "value": "li"},
+        ],
+    ).collect()
+    # names: alice, bob, carol, dave -> contains 'li': only alice matches
+    assert out[0].violations == 3
+    # full-match 'li': nobody matches -> all 4 non-null names violate
+    assert out[1].violations == 4
+
+
+def test_regex_mode_validation(table):
+    with pytest.raises(ValidationError, match="mode"):
+        validate_rules(
+            table,
+            [{"column": "name", "check": "regex", "value": "x", "mode": "sub"}],
+        )
+    with pytest.raises(ValidationError, match="mode"):
+        validate_rules(
+            table,
+            [{"column": "score", "check": "max", "value": 1, "mode": "full"}],
+        )
+
+
 def test_explicit_null_value_rejected(table):
     with pytest.raises(ValidationError, match="requires 'value'"):
         validate_rules(table, [{"column": "score", "check": "max", "value": None}])
