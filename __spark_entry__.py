@@ -1666,6 +1666,28 @@ SELECT doc_id,
 FROM documents
 """
 
+# Exact oracle for the 16-bucket byte histogram: bucket b counts bytes
+# with high nibble b, which is precisely the count of hex digit b at
+# the ODD positions of hex(payload) — regexp keeps the first char of
+# every pair, replace-diff counts each digit.  Integer counts, so the
+# comparison is exact (no float rounding semantics involved).
+MM_BYTE_HISTOGRAM_DUCK = (
+    """
+WITH b AS (
+  SELECT doc_id,
+         CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+         regexp_replace(upper(hex(encode(text))), '(.).', '\\1', 'g') AS nib
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+  """
+    + ",\n  ".join(
+        f"CAST(length(nib) - length(replace(nib, '{d}', '')) AS BIGINT) AS c{i}"
+        for i, d in enumerate("0123456789ABCDEF")
+    )
+    + "\nFROM b"
+)
+
 
 def _lsh_planes() -> list[list[float]]:
     from aqueducts_spark.operators.similarity import random_hyperplanes
@@ -2291,8 +2313,21 @@ def _mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     hist = byte_histogram_features(df, "payload", "doc_id")
-    # gate canonicalization: JSON-string the array (see _mm_decode_image)
-    return hist.withColumn("histogram", F.to_json(F.col("histogram")))
+    # Gate canonicalization for an EXACT cross-engine oracle: recover the
+    # integer bucket counts from the operator's 6dp-rounded ratios —
+    # round(p*n) is exact because the rounding error is < n*5e-7 << 0.5
+    # for any real document — and compare integers, not float JSON
+    # (float-array JSON and half-even-vs-half-away rounding differ
+    # between engines; integers cannot).  Entropy is a pure function of
+    # the histogram and is pinned by tests/test_oracle-adjacent unit
+    # tests instead.
+    cols = [
+        F.round(F.element_at("histogram", b + 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias(f"c{b}")
+        for b in range(16)
+    ]
+    return hist.select("doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), *cols)
 
 
 # ---------------------------------------------------------------------------
@@ -3354,6 +3389,6 @@ def _oracle_sql_all() -> dict[str, str]:
         "sim_topk_bruteforce": SIM_TOPK_DUCK,
         "sim_lsh_buckets": _lsh_buckets_duck_sql(),
         "mm_byte_stats": MM_BYTE_STATS_DUCK,
-        # mm_byte_histogram: mapInPandas featurizer, not SQL-expressible
+        "mm_byte_histogram": MM_BYTE_HISTOGRAM_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
     }
