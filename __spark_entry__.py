@@ -2331,6 +2331,103 @@ def _mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Web/URL operators (operators/web.py)
+# ---------------------------------------------------------------------------
+
+# URL construction shared VERBATIM between the Spark gate and the DuckDB
+# oracle (both engines parse this exact SQL): deterministic crawl-style
+# URLs where even/odd doc_ids get case/port/www/tracking-param/fragment
+# variants that must canonicalize to the same page URL for every
+# (source, doc_id % 97) group.
+_URL_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/page/' "
+    "|| (doc_id % 97) || '/?b=2&a=1&utm_source=x' "
+    "ELSE "
+    "'https://' || source || '.example.com/page/' "
+    "|| (doc_id % 97) || '?a=1&b=2&gclid=q#top' END"
+)
+
+
+def _op_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.web import url_parts
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").selectExpr("doc_id", f"{_URL_EXPR} AS url")
+    return url_parts(docs).select(
+        "doc_id", "canonical_url", "scheme", "host", "domain", "path", "query"
+    )
+
+
+# the oracle is the CLOSED FORM of what canonicalization must produce —
+# ground truth, not a DuckDB re-implementation of the operator
+OP_URL_CANONICALIZE_DUCK = """
+SELECT doc_id,
+       'https://' || source || '.example.com/page/' || (doc_id % 97)
+           || '?a=1&b=2' AS canonical_url,
+       'https' AS scheme,
+       source || '.example.com' AS host,
+       'example.com' AS domain,
+       '/page/' || (doc_id % 97) AS path,
+       'a=1&b=2' AS "query"
+FROM documents
+"""
+
+
+def _op_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.web import url_dedup
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").selectExpr("doc_id", f"{_URL_EXPR} AS url")
+    return url_dedup(docs, "url", "doc_id").select("doc_id", "url")
+
+
+OP_URL_DEDUP_DUCK = f"""
+WITH u AS (
+  SELECT doc_id, source, {_URL_EXPR} AS url FROM documents
+)
+SELECT doc_id, url FROM (
+  SELECT doc_id, url,
+         row_number() OVER (
+           PARTITION BY source, doc_id % 97 ORDER BY doc_id
+         ) AS rn
+  FROM u
+) t WHERE rn = 1
+"""
+
+# distinct registered domain per source for the cap gate (the shared
+# _URL_EXPR maps every source under example.com, which would collapse
+# the cap to one global group)
+_URL_DOMAIN_EXPR = "'https://' || source || '.org/item/' || doc_id"
+
+
+def _op_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.web import domain_cap
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").selectExpr(
+        "doc_id", f"{_URL_DOMAIN_EXPR} AS url"
+    )
+    return domain_cap(docs, n=3, url_col="url", id_col="doc_id")
+
+
+OP_DOMAIN_CAP_DUCK = f"""
+WITH u AS (
+  SELECT doc_id, source || '.org' AS dom, {_URL_DOMAIN_EXPR} AS url
+  FROM documents
+)
+SELECT doc_id, url FROM (
+  SELECT doc_id, url,
+         row_number() OVER (
+           PARTITION BY dom
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM u
+) t WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pipeline-level query (exercises the framework itself)
 # ---------------------------------------------------------------------------
 
@@ -3144,6 +3241,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_histogram": _mm_byte_histogram,
         "mm_decode_image": _mm_decode_image,
         "mm_frame_sample": _mm_frame_sample,
+        "op_url_canonicalize": _op_url_canonicalize,
+        "op_url_dedup": _op_url_dedup,
+        "op_domain_cap": _op_domain_cap,
         "pl_pipeline_yaml": _pl_pipeline,
     }
 
@@ -3267,6 +3367,9 @@ _GATE_PRIORITY = [
     "op_jaccard_pairs",
     "op_embed_neardup",
     "sim_lsh_buckets",
+    "op_url_canonicalize",
+    "op_url_dedup",
+    "op_domain_cap",
     "mm_byte_histogram",
     "mm_decode_image",
     "mm_frame_sample",
@@ -3390,5 +3493,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "sim_lsh_buckets": _lsh_buckets_duck_sql(),
         "mm_byte_stats": MM_BYTE_STATS_DUCK,
         "mm_byte_histogram": MM_BYTE_HISTOGRAM_DUCK,
+        "op_url_canonicalize": OP_URL_CANONICALIZE_DUCK,
+        "op_url_dedup": OP_URL_DEDUP_DUCK,
+        "op_domain_cap": OP_DOMAIN_CAP_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
     }

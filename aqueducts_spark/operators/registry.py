@@ -771,6 +771,34 @@ def _op_byte_histogram(spark, inp, options):
     )
 
 
+def _op_url_parts(spark, inp, options):
+    from .web import url_parts
+
+    return url_parts(inp, options.get("url_col", "url"))
+
+
+def _op_url_dedup(spark, inp, options):
+    from .web import url_dedup
+
+    return url_dedup(
+        inp, options.get("url_col", "url"), options.get("id_col", "doc_id")
+    )
+
+
+def _op_domain_cap(spark, inp, options):
+    from .web import domain_cap
+
+    if "n" not in options:
+        raise OperatorError("domain_cap requires options.n (max docs per domain)")
+    return domain_cap(
+        inp,
+        int(options["n"]),
+        options.get("url_col", "url"),
+        options.get("id_col", "doc_id"),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "exact_dedup": _op_exact_dedup,
     "minhash_bands": _op_minhash_bands,
@@ -822,6 +850,9 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,
+    "url_parts": _op_url_parts,
+    "url_dedup": _op_url_dedup,
+    "domain_cap": _op_domain_cap,
     "dedup_against": _op_dedup_against,
     "cms_sketch": _op_cms_sketch,
     "cms_freq": _op_cms_freq,

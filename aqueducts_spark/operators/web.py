@@ -1,0 +1,208 @@
+"""Web-crawl URL operators: canonicalization, host/domain extraction,
+URL-level dedup, per-domain caps.
+
+Every web-scale curation pipeline (C4, CCNet, RefinedWeb, FineWeb)
+starts by canonicalizing and deduplicating URLs before touching
+document text — the same page is crawled under scheme/case/port
+variants, with volatile tracking parameters (``utm_*``, ``gclid``,
+``fbclid``) and reordered query strings. Beyond the reference's
+operator set (no counterpart in the reference repo): this is part of
+the training-data surface this engine adds (SURVEY §6).
+
+Scale shape: :func:`canonical_url` and :func:`url_parts` are pure
+Catalyst expressions (split / lower / regexp_replace / higher-order
+array ops) — zero shuffles, whole-stage codegen, no Python.
+:func:`url_dedup` pays the ONE hash shuffle of
+:func:`~.dedup.exact_dedup` keyed on the canonical form;
+:func:`domain_cap` pays the one shuffle of
+:func:`~.sampling.group_cap` keyed on the registered domain (classic
+power-law key ⇒ AQE skew split applies; profile with
+``key_skew_profile`` and salt if one domain dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAMS",
+    "canonical_url",
+    "registered_domain",
+    "url_parts",
+    "url_dedup",
+    "domain_cap",
+]
+
+# Exact-match tracking parameter names (checked on the lowercased key);
+# any key starting with ``utm_`` is also dropped.
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "dclid", "msclkid", "mc_cid", "mc_eid",
+    "igshid", "ref", "ref_src", "spm", "_ga",
+)
+
+# Country-code second-level registries where the registered domain is
+# three labels (example.co.uk), not two. A deliberate, documented
+# heuristic — the full public-suffix list is data, not code; load it as
+# a broadcast table and join if exactness matters for your TLD mix.
+_SECOND_LEVEL = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def _split1(col: Column, sep: str, index: int) -> Column:
+    """element ``index`` (0-based) of a limit-2 split, '' if absent.
+    try_element_at: under ANSI mode (Spark 4 default) plain element_at
+    raises on a missing second element instead of returning NULL."""
+    parts = F.split(col, sep, 2)
+    return F.coalesce(F.try_element_at(parts, F.lit(index + 1)), F.lit(""))
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL as one codegen expression tree:
+
+    * fragment dropped;
+    * scheme + host lowercased, leading ``www.`` stripped;
+    * default ports removed (``:80`` for http, ``:443`` for https);
+    * trailing slashes stripped from the path;
+    * query parameters with tracking keys (``utm_*`` +
+      :data:`TRACKING_PARAMS`) dropped, the rest sorted and rejoined;
+    * URLs without a scheme keep their text but get the same
+      host/path/query normalization under an assumed ``http``.
+
+    NULL in ⇒ NULL out.
+    """
+    no_frag = _split1(url, "#", 0)
+    has_scheme = F.instr(no_frag, "://") > 0
+    scheme = F.when(has_scheme, F.lower(_split1(no_frag, "://", 0))).otherwise(
+        F.lit("http")
+    )
+    rest = F.when(has_scheme, _split1(no_frag, "://", 1)).otherwise(no_frag)
+
+    hostport = _split1(rest, "/", 0)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
+
+    host = F.regexp_replace(F.lower(_split1(hostport, ":", 0)), r"^www\.", "")
+    port = _split1(hostport, ":", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+
+    path = F.regexp_replace(_split1(pathq, r"\?", 0), "/+$", "")
+    query = _split1(pathq, r"\?", 1)
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(_split1(p, "=", 0)).startswith("utm_")
+        & ~F.lower(_split1(p, "=", 0)).isin(*TRACKING_PARAMS),
+    )
+    canon_query = F.array_join(F.array_sort(params), "&")
+    query_part = F.when(
+        canon_query != "", F.concat(F.lit("?"), canon_query)
+    ).otherwise(F.lit(""))
+
+    return F.when(
+        url.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Heuristic registered domain of a lowercased host: the last two
+    labels, or three when the second-to-last label is a known
+    country-code second-level registry under a 2-letter ccTLD
+    (``example.co.uk``). See :data:`_SECOND_LEVEL` for the limits."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # try_element_at: ANSI mode errors on out-of-range negative indexes
+    # (single-label hosts) even inside an unchosen CASE branch
+    second = F.coalesce(F.try_element_at(labels, F.lit(-2)), F.lit(""))
+    tld = F.coalesce(F.try_element_at(labels, F.lit(-1)), F.lit(""))
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*_SECOND_LEVEL)
+    )
+    tail = F.when(take3, F.slice(labels, n - 2, 3)).otherwise(
+        F.when(n >= 2, F.slice(labels, n - 1, 2)).otherwise(labels)
+    )
+    return F.array_join(tail, ".")
+
+
+def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``canonical_url, scheme, host, domain, path, query`` —
+    zero-shuffle projection for downstream grouping/filtering."""
+    url = F.col(url_col)
+    canon = canonical_url(url)
+    rest = _split1(canon, "://", 1)
+    hostport = _split1(rest, "/", 0)
+    host = _split1(hostport, ":", 0)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
+    return df.select(
+        "*",
+        canon.alias("canonical_url"),
+        _split1(canon, "://", 0).alias("scheme"),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+        _split1(pathq, r"\?", 0).alias("path"),
+        _split1(pathq, r"\?", 1).alias("query"),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min ``id_col``) per canonical URL — the
+    crawl-frontier dedup step. One hash shuffle keyed on the canonical
+    string (uniform after canonicalization; md5 not needed because the
+    key is already a single short column)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(canonical_url(F.col(url_col))).orderBy(
+        F.col(id_col).asc_nulls_last()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    n: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Keep at most ``n`` documents per registered domain, chosen by
+    deterministic hash rank of ``id_col`` (unbiased within domain) —
+    the anti-SEO-farm volume cap of web curation pipelines. One
+    shuffle; Spark 4 plans a map-side WindowGroupLimit so only ~n rows
+    per domain per task travel."""
+    from .sampling import group_cap
+
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    v = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00"))
+    # md5 hex string ranks are DuckDB-reproducible (same digest, same
+    # lexicographic order); xxhash64 is the in-Spark codegen fast path
+    rank = F.md5(v) if hash_fn == "md5" else F.xxhash64(v)
+    url = F.col(url_col)
+    rest = _split1(canonical_url(url), "://", 1)
+    host = _split1(_split1(rest, "/", 0), ":", 0)
+    with_domain = df.withColumn(
+        "__domain", registered_domain(host)
+    ).withColumn("__rank", rank)
+    capped = group_cap(
+        with_domain,
+        group_cols=["__domain"],
+        order_col="__rank",
+        n=n,
+        descending=False,
+        tiebreak_col=id_col,
+    )
+    return capped.drop("__domain", "__rank")

@@ -1,0 +1,166 @@
+"""Web/URL operator tests (operators/web.py): canonicalization edges,
+domain heuristic, dedup semantics, per-domain caps, registry stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.web import (
+    canonical_url,
+    domain_cap,
+    registered_domain,
+    url_dedup,
+    url_parts,
+)
+
+
+def _canon(spark, url: str):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonical_url(F.col("url")).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # case, www, default https port, tracking params, unsorted query, fragment
+        (
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1&gclid=z#frag",
+            "https://example.com/a/b?a=1&b=2",
+        ),
+        # already canonical stays fixed-point
+        ("https://example.com/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+        # non-default port survives
+        ("http://example.com:8080/path", "http://example.com:8080/path"),
+        # default http port dropped; root path trailing slash dropped
+        ("http://WWW.site.ORG:80/", "http://site.org"),
+        # scheme-less input normalized under assumed http
+        ("Example.com/x?b=1&utm_id=9", "http://example.com/x?b=1"),
+        # empty query after '?' disappears
+        ("https://example.com/p?", "https://example.com/p"),
+        # all params tracking -> no query part
+        ("https://example.com/p?utm_a=1&fbclid=2&ref=3", "https://example.com/p"),
+        # multiple trailing slashes collapse
+        ("https://example.com/p///", "https://example.com/p"),
+        # query values with '=' keep everything after the first '='
+        ("https://example.com/p?q=a=b&k=1", "https://example.com/p?k=1&q=a=b"),
+        # UTM case-insensitive
+        ("https://example.com/p?UTM_CAMPAIGN=q&z=9", "https://example.com/p?z=9"),
+    ],
+)
+def test_canonical_url_cases(spark, raw, expected):
+    assert _canon(spark, raw) == expected
+
+
+def test_canonical_url_null_passthrough(spark):
+    out = (
+        spark.createDataFrame([(None,)], "url string")
+        .select(canonical_url(F.col("url")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert out is None
+
+
+@pytest.mark.parametrize(
+    "host,domain",
+    [
+        ("news.example.co.uk", "example.co.uk"),
+        ("sub.deep.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("a.b.gov.br", "b.gov.br"),  # gov under 2-letter cc -> 3 labels
+        ("x.co.com", "co.com"),  # 'co' under 3-letter TLD -> 2 labels
+    ],
+)
+def test_registered_domain_heuristic(spark, host, domain):
+    got = (
+        spark.createDataFrame([(host,)], "h string")
+        .select(registered_domain(F.col("h")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == domain
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://example.com/a?x=1&y=2"),
+            (1, "HTTPS://WWW.example.com/a/?y=2&x=1&utm_s=9"),
+            (2, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [1, 2]
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    rows = [(i, f"https://site{i % 4}.org/item/{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out1 = sorted(r.doc_id for r in domain_cap(df, 3).collect())
+    out2 = sorted(r.doc_id for r in domain_cap(df, 3).collect())
+    assert out1 == out2  # deterministic hash rank
+    assert len(out1) == 12  # 4 domains x cap 3
+    per = (
+        domain_cap(df, 3)
+        .withColumn("d", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 3 for r in per)
+    # xxhash64 fast path: same cap bounds, different (but valid) picks
+    outx = domain_cap(df, 3, hash_fn="xxhash64").count()
+    assert outx == 12
+    with pytest.raises(ValueError, match="hash_fn"):
+        domain_cap(df, 3, hash_fn="sha1")
+
+
+def test_url_parts_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.example.co.uk:8443/p/q?b=2&a=1#z")],
+        "doc_id long, url string",
+    )
+    r = url_parts(df).collect()[0]
+    assert r.canonical_url == "https://a.example.co.uk:8443/p/q?a=1&b=2"
+    assert r.scheme == "https"
+    assert r.host == "a.example.co.uk:8443".split(":")[0] + ""
+    assert r.host == "a.example.co.uk"
+    assert r.domain == "example.co.uk"
+    assert r.path == "/p/q"
+    assert r.query == "a=1&b=2"
+
+
+def test_web_registry_stages(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(
+        [(1, "HTTPS://WWW.X.com/a/?b=1"), (2, "https://x.com/a?b=1")],
+        "doc_id long, url string",
+    ).createOrReplaceTempView("web_docs")
+    parts = run_operator(spark, {"type": "url_parts", "input": "web_docs"})
+    assert "canonical_url" in parts.columns and "domain" in parts.columns
+    dedup = run_operator(spark, {"type": "url_dedup", "input": "web_docs"})
+    assert [r.doc_id for r in dedup.collect()] == [1]
+    capped = run_operator(
+        spark, {"type": "domain_cap", "input": "web_docs", "options": {"n": 1}}
+    )
+    assert capped.count() == 1
+    from aqueducts_spark.operators.registry import OperatorError
+
+    with pytest.raises(OperatorError, match="domain_cap requires"):
+        run_operator(spark, {"type": "domain_cap", "input": "web_docs"})
+    spark.catalog.dropTempView("web_docs")
+
+
+def test_canonicalization_plan_is_pure_codegen(spark):
+    """Zero shuffles, zero Python in the canonicalization projection."""
+    from aqueducts_spark.plans.inspect import inspect_plan
+
+    df = spark.createDataFrame([(1, "https://x.com/a")], "doc_id long, url string")
+    info = inspect_plan(url_parts(df))
+    assert info.exchanges == 0
+    assert info.python_evals == 0
