@@ -189,3 +189,71 @@ stages:
     # separate layer, not under test here.)
     assert final["type"] == "succeeded", final
     assert "|1  |" in final["outputs"]["tpl_out"]
+
+
+class TestInactivityCancelDrain:
+    """ADVICE r2: after an inactivity cancel the client must not report
+    failure if the server's terminal message says the execution already
+    succeeded (the destination write committed)."""
+
+    def _fake_server(self, behavior):
+        """Minimal line-protocol server; returns (port, thread, stop)."""
+        holder = {}
+        started = threading.Event()
+
+        async def handle(reader, writer):
+            line = await reader.readline()
+            req = decode(line)
+            assert req["type"] == "execution_request"
+            writer.write(encode({"type": "queued", "execution_id": "e1", "position": 0}))
+            await writer.drain()
+            if behavior == "succeed_after_cancel":
+                line = await reader.readline()  # wait for cancel_request
+                req = decode(line)
+                assert req["type"] == "cancel_request"
+                writer.write(
+                    encode({"type": "succeeded", "execution_id": "e1",
+                            "note": "completed before cancellation took effect"})
+                )
+                await writer.drain()
+            elif behavior == "silent":
+                await asyncio.sleep(30)
+            writer.close()
+
+        def run():
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+
+            async def start():
+                srv = await asyncio.start_server(handle, "127.0.0.1", 0)
+                holder["port"] = srv.sockets[0].getsockname()[1]
+                holder["loop"] = loop
+                started.set()
+
+            loop.run_until_complete(start())
+            loop.run_forever()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(5)
+        return holder
+
+    def test_succeeded_after_cancel_is_reported_as_success(self):
+        holder = self._fake_server("succeed_after_cancel")
+        result = submit_pipeline(
+            "127.0.0.1", holder["port"], "sources: []\nstages: []\n",
+            timeout=1.0,
+        )
+        assert result["type"] == "succeeded"
+        assert result.get("after_inactivity_cancel") is True
+        holder["loop"].call_soon_threadsafe(holder["loop"].stop)
+
+    def test_silent_server_error_warns_write_may_have_committed(self):
+        holder = self._fake_server("silent")
+        result = submit_pipeline(
+            "127.0.0.1", holder["port"], "sources: []\nstages: []\n",
+            timeout=1.0,
+        )
+        assert result["type"] == "error"
+        assert "may still have committed" in result["message"]
+        holder["loop"].call_soon_threadsafe(holder["loop"].stop)
