@@ -2224,6 +2224,14 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
+    # Materialize ONCE per call: both the recall assert below and the
+    # returned DataFrame read this 50-row checkpoint instead of
+    # re-executing the full assign+score DAG.  localCheckpoint (not
+    # .cache()) deliberately: a cache would be keyed on the logical
+    # plan and silently reused across bench repeats, turning best-of-3
+    # into a cache-read measurement — checkpoints are per-call, so
+    # every repeat honestly pays the index compute exactly once.
+    approx = approx.localCheckpoint(eager=True)
     exact = brute_force_topk(emb, queries, k=10).select(
         "query_id", F.col("neighbor_id").alias("exact_id")
     )

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "op_quantize_embed",
     "op_embed_centroids",
     "op_embed_neardup_lsh",
+    "op_url_dedup",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]
