@@ -2321,18 +2321,14 @@ def _mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     hist = byte_histogram_features(df, "payload", "doc_id")
-    # Gate canonicalization for an EXACT cross-engine oracle: recover the
-    # integer bucket counts from the operator's 6dp-rounded ratios —
-    # round(p*n) is exact because the rounding error is < n*5e-7 << 0.5
-    # for any real document — and compare integers, not float JSON
+    # Gate canonicalization for an EXACT cross-engine oracle: compare
+    # the operator's raw integer bucket counts, not float JSON
     # (float-array JSON and half-even-vs-half-away rounding differ
-    # between engines; integers cannot).  Entropy is a pure function of
-    # the histogram and is pinned by tests/test_oracle-adjacent unit
-    # tests instead.
+    # between engines; integers cannot, at any payload size).  Entropy
+    # is a pure function of the histogram and is pinned by the
+    # python-reference unit test instead.
     cols = [
-        F.round(F.element_at("histogram", b + 1) * F.col("n_bytes"))
-        .cast("bigint")
-        .alias(f"c{b}")
+        F.element_at("counts", b + 1).cast("bigint").alias(f"c{b}")
         for b in range(16)
     ]
     return hist.select("doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), *cols)

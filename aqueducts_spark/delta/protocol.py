@@ -482,6 +482,11 @@ class DeltaProtocolTable:
 
     def _migrate_schema_if_needed(self, fields: list[Field]) -> None:
         snap = self._snapshot()
+        # a schema migration is a metaData commit: the writer-protocol
+        # gate applies here too — without it an ADD COLUMNS commit
+        # would land on tables (columnMapping, constraints, ...) this
+        # engine must not write, before the data write gets refused
+        snap.check_writable("metadata")
         current = snap.schema()
         by_name = {f.name: f for f in current.fields}
         declared = fields_to_struct(fields)
@@ -785,12 +790,12 @@ class DeltaProtocolTable:
         versions = self._commit_versions()
         if not versions:
             return []
-        self._snapshot().check_writable("vacuum")
+        snap = self._snapshot()  # ONE replay: writable gate + retention keep-set
+        snap.check_writable("vacuum")
         keep: set[str] = set()
         if retention_hours is not None:
             if retention_hours < 0:
                 raise DeltaProtocolError("vacuum: retention_hours must be >= 0")
-            snap = self._snapshot()
             keep.update(snap.files.keys())
             cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
             for path, remove in snap.tombstones.items():

@@ -11,10 +11,20 @@ from ..config.templating import substitute_params
 from .protocol import STREAM_LIMIT, decode, encode
 
 
-async def _drain_for_terminal(reader, grace: float) -> Optional[dict[str, Any]]:
+async def _drain_for_terminal(
+    reader,
+    grace: float,
+    on_msg: Optional[Callable[[dict[str, Any]], None]] = None,
+) -> Optional[dict[str, Any]]:
     """After an inactivity cancel, read for up to ``grace`` seconds
     hoping for the server's terminal succeeded/cancelled/error message;
-    returns it, or None if the server stays silent / disconnects."""
+    returns it, or None if the server stays silent / disconnects.
+
+    Non-terminal messages received during the drain (the server may
+    flush buffered output chunks before its terminal) are forwarded to
+    ``on_msg`` so progress callbacks fire and chunk reassembly stays
+    complete — dropping them would silently truncate ``outputs`` on a
+    run that ultimately reports success."""
     deadline = asyncio.get_event_loop().time() + grace
     while True:
         remaining = deadline - asyncio.get_event_loop().time()
@@ -29,6 +39,8 @@ async def _drain_for_terminal(reader, grace: float) -> Optional[dict[str, Any]]:
         msg = decode(line)
         if msg.get("type") in ("succeeded", "error", "cancelled"):
             return msg
+        if on_msg:
+            on_msg(msg)
 
 
 async def _submit(
@@ -79,8 +91,15 @@ async def _submit(
                     # 'cancelled'.  Briefly drain for that terminal
                     # message so the user is not told the run failed
                     # after its destination write landed.
+                    def _drain_msg(msg: dict[str, Any]) -> None:
+                        if on_message:
+                            on_message(msg)
+                        if msg.get("type") == "output_chunk":
+                            key = (msg["stage"], msg.get("output_type", ""))
+                            outputs.setdefault(key, []).append(msg["data"])
+
                     final = await _drain_for_terminal(
-                        reader, grace=min(10.0, timeout)
+                        reader, grace=min(10.0, timeout), on_msg=_drain_msg
                     )
                     if final:
                         final["after_inactivity_cancel"] = True

@@ -99,6 +99,11 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("entropy", T.DoubleType()),
         T.StructField("histogram", T.ArrayType(T.DoubleType())),
+        # raw integer bucket counts alongside the normalized ratios:
+        # exact at ANY payload size (reconstructing counts from 6dp
+        # ratios via round(p*n) breaks past ~1 MB payloads), and the
+        # mergeable form downstream corpus-level aggregation needs
+        T.StructField("counts", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -119,7 +124,9 @@ def byte_histogram_features(
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
-                    rows.append((_id, 0, 0.0, [0.0] * _HIST_BUCKETS))
+                    rows.append(
+                        (_id, 0, 0.0, [0.0] * _HIST_BUCKETS, [0] * _HIST_BUCKETS)
+                    )
                     continue
                 data = bytes(payload)
                 n = len(data)
@@ -134,9 +141,9 @@ def byte_histogram_features(
                 else:
                     hist = [0.0] * _HIST_BUCKETS
                     entropy = 0.0
-                rows.append((_id, n, entropy, hist))
+                rows.append((_id, n, entropy, hist, counts))
             yield pd.DataFrame(
-                rows, columns=["__id", "n_bytes", "entropy", "histogram"]
+                rows, columns=["__id", "n_bytes", "entropy", "histogram", "counts"]
             )
 
     out = df.select(

@@ -56,6 +56,14 @@ def _split1(col: Column, sep: str, index: int) -> Column:
     return F.coalesce(F.try_element_at(parts, F.lit(index + 1)), F.lit(""))
 
 
+def _hostport(rest: Column) -> Column:
+    """host[:port] prefix of the post-scheme text: everything before the
+    first ``/`` OR ``?`` — a URL can carry a query with no path
+    (``example.com?a=1``), and splitting on ``/`` alone would absorb
+    that query into the host."""
+    return F.regexp_extract(rest, r"^[^/?]*", 0)
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of a URL as one codegen expression tree:
 
@@ -77,7 +85,7 @@ def canonical_url(url: Column) -> Column:
     )
     rest = F.when(has_scheme, _split1(no_frag, "://", 1)).otherwise(no_frag)
 
-    hostport = _split1(rest, "/", 0)
+    hostport = _hostport(rest)
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
 
     host = F.regexp_replace(F.lower(_split1(hostport, ":", 0)), r"^www\.", "")
@@ -138,7 +146,7 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     url = F.col(url_col)
     canon = canonical_url(url)
     rest = _split1(canon, "://", 1)
-    hostport = _split1(rest, "/", 0)
+    hostport = _hostport(rest)
     host = _split1(hostport, ":", 0)
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
     return df.select(
@@ -158,16 +166,21 @@ def url_dedup(
     """Keep one row (min ``id_col``) per canonical URL — the
     crawl-frontier dedup step. One hash shuffle keyed on the canonical
     string (uniform after canonicalization; md5 not needed because the
-    key is already a single short column)."""
+    key is already a single short column).
+
+    Same plan shape as :func:`~.dedup.exact_dedup` but with different
+    NULL semantics, deliberately: a NULL url means "no URL", so NULL
+    rows all pass through unchanged — exact_dedup's NULL-sentinel
+    payload key would collapse every NULL-url document into one."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(canonical_url(F.col(url_col))).orderBy(
-        F.col(id_col).asc_nulls_last()
-    )
+    canon = canonical_url(F.col(url_col))
+    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc_nulls_last())
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__canon", canon)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__canon").isNull() | (F.col("__rn") == 1))
+        .drop("__rn", "__canon")
     )
 
 
@@ -193,7 +206,7 @@ def domain_cap(
     rank = F.md5(v) if hash_fn == "md5" else F.xxhash64(v)
     url = F.col(url_col)
     rest = _split1(canonical_url(url), "://", 1)
-    host = _split1(_split1(rest, "/", 0), ":", 0)
+    host = _split1(_hostport(rest), ":", 0)
     with_domain = df.withColumn(
         "__domain", registered_domain(host)
     ).withColumn("__rank", rank)

@@ -812,3 +812,23 @@ def test_own_ntz_feature_table_still_writable(spark, tmp_path):
     t.append(df)
     t.upsert(spark.sql("SELECT 1L AS id, TIMESTAMP_NTZ'2024-06-01 00:00:00' AS ts"), keys=["id"])
     assert t.read().count() == 1
+
+
+def test_schema_migration_respects_writer_protocol(spark, tmp_path):
+    """ADD COLUMNS is a metaData commit — the writer-protocol gate must
+    refuse it on external tables this engine cannot write, BEFORE any
+    commit lands."""
+    t = _make(spark, tmp_path, name="mig")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+
+    def bump(a):
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 5
+
+    _edit_version0(tmp_path / "mig", bump)
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "mig"))
+    extra = FIELDS + [Field(name="extra", data_type="string", nullable=True)]
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion 5"):
+        t2.create_if_absent(extra, [], {}, {})
+    names = sorted(p.name for p in (tmp_path / "mig" / "_delta_log").glob("*.json"))
+    assert names == [f"{v:020d}.json" for v in range(2)]  # no new commit

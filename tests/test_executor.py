@@ -211,6 +211,13 @@ class TestInactivityCancelDrain:
                 line = await reader.readline()  # wait for cancel_request
                 req = decode(line)
                 assert req["type"] == "cancel_request"
+                # flush a buffered output chunk BEFORE the terminal —
+                # the client's drain must not drop it
+                writer.write(
+                    encode({"type": "output_chunk", "execution_id": "e1",
+                            "stage": "late_stage", "output_type": "show",
+                            "data": "late-data"})
+                )
                 writer.write(
                     encode({"type": "succeeded", "execution_id": "e1",
                             "note": "completed before cancellation took effect"})
@@ -246,6 +253,7 @@ class TestInactivityCancelDrain:
         )
         assert result["type"] == "succeeded"
         assert result.get("after_inactivity_cancel") is True
+        assert result["outputs"].get("late_stage") == "late-data"
         holder["loop"].call_soon_threadsafe(holder["loop"].stop)
 
     def test_silent_server_error_warns_write_may_have_committed(self):

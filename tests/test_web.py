@@ -49,6 +49,10 @@ def _canon(spark, url: str):
         ("https://example.com/p?q=a=b&k=1", "https://example.com/p?k=1&q=a=b"),
         # UTM case-insensitive
         ("https://example.com/p?UTM_CAMPAIGN=q&z=9", "https://example.com/p?z=9"),
+        # query with NO path: '?' must not be absorbed into the host
+        ("https://example.com?b=2&a=1&gclid=x", "https://example.com?a=1&b=2"),
+        # ...and it must collide with the explicit-root-path variant
+        ("https://WWW.example.com/?a=1&b=2", "https://example.com?a=1&b=2"),
     ],
 )
 def test_canonical_url_cases(spark, raw, expected):
@@ -82,6 +86,19 @@ def test_registered_domain_heuristic(spark, host, domain):
         .collect()[0]["d"]
     )
     assert got == domain
+
+
+def test_url_dedup_null_urls_all_pass_through(spark):
+    """NULL url means 'no URL' — NULL rows are never duplicates of each
+    other and must all survive (a plain NULL window partition would
+    collapse them to one)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "https://a.com/x"),
+         (5, "https://a.com/x/")],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [1, 2, 3, 4]
 
 
 def test_url_dedup_keeps_min_id_per_canonical(spark):
