@@ -60,11 +60,13 @@ _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
 # v2Checkpoint is accepted only when classic-named checkpoints exist too
 
 # writer features this implementation can honor when committing to a
-# feature-table (minWriterVersion 7).  "appendOnly" and "invariants" are
-# honored by ENFORCEMENT in check_writable (appendOnly forbids
-# remove-producing ops; invariants are accepted only when no column
-# actually declares one), not by silently ignoring them.
-_SUPPORTED_WRITER_FEATURES = {"timestampNtz", "appendOnly", "invariants"}
+# feature-table (minWriterVersion 7) — each by ENFORCEMENT, never by
+# silently ignoring it: "appendOnly" forbids remove-producing ops
+# (check_writable), "invariants" and "checkConstraints" are validated
+# per-row during the staging write (enforced_predicates + _prepare).
+_SUPPORTED_WRITER_FEATURES = {
+    "timestampNtz", "appendOnly", "invariants", "checkConstraints",
+}
 
 
 class DeltaProtocolError(DeltaTableError):
@@ -144,18 +146,22 @@ class _Snapshot:
         external table with unimplemented writer features would commit
         spec-violating changes other engines depend on.
 
-        ``operation`` is one of append/upsert/replace/compact/vacuum.
-        Enforced:
+        ``operation`` is one of append/upsert/replace/compact/vacuum
+        (plus ``metadata`` for schema-migration commits).  Enforced:
 
-        * ``minWriterVersion`` 3-6 imply checkConstraints /
-          changeDataFeed+generatedColumns / columnMapping /
-          identityColumns enforcement this engine does not provide —
-          refused outright; version 7 is accepted iff ``writerFeatures``
-          is a subset of :data:`_SUPPORTED_WRITER_FEATURES`.
+        * ``minWriterVersion`` 4-6 imply changeDataFeed+generatedColumns
+          / columnMapping / identityColumns enforcement this engine does
+          not provide — refused outright; version 3 (checkConstraints)
+          is accepted because constraints ARE enforced per-row (see
+          :meth:`enforced_predicates`); version 7 is accepted iff
+          ``writerFeatures`` is a subset of
+          :data:`_SUPPORTED_WRITER_FEATURES`.
         * column invariants (``delta.invariants`` in the schema) and
           CHECK constraints (``delta.constraints.*``) — required even at
-          writer version 2 — are refused for ALL writes because we do
-          not validate rows against them.
+          writer version 2 — are ENFORCED: every incoming row is
+          validated during the staging write and a violation aborts the
+          job before any commit (the write paths apply
+          :meth:`enforced_predicates` in their cast preamble).
         * ``delta.appendOnly=true`` forbids upsert/replace (the
           remove-producing, data-changing ops).  compact (dataChange
           false rewrite) and vacuum (physical cleanup of unreferenced
@@ -178,27 +184,14 @@ class _Snapshot:
                 raise DeltaProtocolError(
                     f"unsupported Delta writer features: {sorted(unsupported)}"
                 )
-        elif writer > 2:
+        elif writer > 3:
             raise DeltaProtocolError(
                 f"unsupported minWriterVersion {writer}: this writer "
-                "implements writer protocol 2 (and feature tables at 7 "
-                f"with {sorted(_SUPPORTED_WRITER_FEATURES)}); versions 3-6 "
+                "implements writer protocol 3 (and feature tables at 7 "
+                f"with {sorted(_SUPPORTED_WRITER_FEATURES)}); versions 4-6 "
                 "imply enforcement duties this engine does not provide"
             )
         conf = (self.metadata or {}).get("configuration") or {}
-        if "delta.invariants" in (self.metadata.get("schemaString") or ""):
-            raise DeltaProtocolError(
-                "table declares column invariants (delta.invariants); "
-                "this writer does not enforce them and must not commit"
-            )
-        constraint_keys = sorted(
-            k for k in conf if k.startswith("delta.constraints.")
-        )
-        if constraint_keys:
-            raise DeltaProtocolError(
-                f"table declares CHECK constraints {constraint_keys}; "
-                "this writer does not enforce them and must not commit"
-            )
 
         def _on(key: str) -> bool:
             return str(conf.get(key, "false")).strip().lower() == "true"
@@ -215,6 +208,38 @@ class _Snapshot:
                     f"actions on {operation}, which this writer does not "
                     "produce; disable CDF or use an engine that writes it"
                 )
+
+    def enforced_predicates(self) -> list[tuple[str, str]]:
+        """``(name, sql_predicate)`` for every CHECK constraint
+        (``delta.constraints.<name>`` in the table configuration) and
+        column invariant (``delta.invariants`` in a field's metadata,
+        the ``{"expression": {"expression": "<sql>"}}`` JSON of the
+        spec).  Writer requirement at protocol v2/v3: every committed
+        row must satisfy these — the write paths chain them into the
+        cast preamble as per-row assertions, so a violation aborts the
+        staging write before any commit exists."""
+        out: list[tuple[str, str]] = []
+        if self.metadata is None:
+            return out
+        conf = self.metadata.get("configuration") or {}
+        for key in sorted(conf):
+            if key.startswith("delta.constraints.") and str(conf[key]).strip():
+                out.append((key[len("delta.constraints."):], str(conf[key])))
+        schema_str = self.metadata.get("schemaString") or ""
+        if "delta.invariants" in schema_str:
+            for field in json.loads(schema_str).get("fields", []):
+                inv = (field.get("metadata") or {}).get("delta.invariants")
+                if not inv:
+                    continue
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                except (ValueError, KeyError, TypeError):
+                    raise DeltaProtocolError(
+                        f"unparseable delta.invariants on column "
+                        f"{field.get('name')!r}: {inv!r}"
+                    ) from None
+                out.append((f"invariant:{field.get('name')}", str(expr)))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -584,16 +609,40 @@ class DeltaProtocolTable:
 
     def _prepare(self, df: DataFrame, snap: _Snapshot) -> DataFrame:
         """Cast/validate input to the snapshot's declared schema
-        (reference delta/src/lib.rs:331-362)."""
+        (reference delta/src/lib.rs:331-362), then chain every CHECK
+        constraint / column invariant as a per-row assertion: the
+        ``assert_true`` rides in the staging write's projection, so a
+        violating row fails the task mid-write — ONE pass, no separate
+        validation scan — and the commit never happens (the staging dir
+        is cleaned up by ``_stage_files``'s finally)."""
         struct = snap.schema()
         missing = [f.name for f in struct.fields if f.name not in df.columns]
         if missing:
             raise DeltaProtocolError(
                 f"input is missing columns declared in destination schema: {missing}"
             )
-        return df.select(
+        out = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
         )
+        for name, predicate in snap.enforced_predicates():
+            try:
+                pred = F.expr(predicate)
+            except Exception as exc:
+                raise DeltaProtocolError(
+                    f"cannot parse constraint {name!r}: {predicate!r} ({exc})"
+                ) from None
+            # SQL CHECK semantics: NULL passes, only FALSE violates
+            ok = F.coalesce(pred.cast("boolean"), F.lit(True))
+            out = out.where(
+                F.assert_true(
+                    ok,
+                    F.lit(
+                        f"DELTA-CONSTRAINT-VIOLATION {name}: row violates "
+                        f"({predicate})"
+                    ),
+                ).isNull()
+            )
+        return out
 
     def _ensure_created_from(self, df: DataFrame) -> None:
         if self.exists():
@@ -609,7 +658,16 @@ class DeltaProtocolTable:
         writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(str(stage))
+        try:
+            writer.parquet(str(stage))
+        except Exception as exc:
+            if "DELTA-CONSTRAINT-VIOLATION" in str(exc):
+                marker = str(exc)
+                detail = marker[marker.index("DELTA-CONSTRAINT-VIOLATION"):]
+                shutil.rmtree(stage, ignore_errors=True)
+                raise DeltaProtocolError(detail.splitlines()[0]) from exc
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         adds: list[dict] = []
         try:
             for fpath in sorted(stage.rglob("*.parquet")):

@@ -774,14 +774,22 @@ def test_unsupported_writer_feature_refused(spark, tmp_path):
         t2.vacuum(keep_versions=1)
 
 
-def test_check_constraints_refuse_all_writes(spark, tmp_path):
+def test_check_constraints_enforced_per_row(spark, tmp_path):
+    """Writer protocol v2/v3: CHECK constraints are ENFORCED, not
+    refused — valid rows commit, a violating row aborts the write
+    before any commit, and NULL passes (SQL CHECK semantics)."""
     t = DeltaProtocolTable(spark, str(tmp_path / "ck"))
     t.create_if_absent(FIELDS, [], {"delta.constraints.posscore": "score >= 0"}, {})
-    with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
-        t.append(_df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", None)]))  # NULL passes
+    assert t.read().count() == 2
+    with pytest.raises(DeltaProtocolError, match="posscore"):
+        t.append(_df(spark, [(3, "c", -5.0)]))
+    assert t.read().count() == 2  # nothing committed, no orphan visible
+    names = sorted(p.name for p in (tmp_path / "ck" / "_delta_log").glob("*.json"))
+    assert names == [f"{v:020d}.json" for v in range(2)]
 
 
-def test_column_invariants_refuse_writes(spark, tmp_path):
+def test_column_invariants_enforced_per_row(spark, tmp_path):
     t = _make(spark, tmp_path, name="inv")
     t.append(_df(spark, [(1, "a", 1.0)]))
 
@@ -795,8 +803,33 @@ def test_column_invariants_refuse_writes(spark, tmp_path):
 
     _edit_version0(tmp_path / "inv", add_invariant)
     t2 = DeltaProtocolTable(spark, str(tmp_path / "inv"))
-    with pytest.raises(DeltaProtocolError, match="invariants"):
-        t2.append(_df(spark, [(2, "b", 2.0)]))
+    t2.append(_df(spark, [(2, "b", 2.0)]))  # satisfies id > 0
+    assert t2.read().count() == 2
+    with pytest.raises(DeltaProtocolError, match="invariant:id"):
+        t2.append(_df(spark, [(-7, "bad", 0.0)]))
+    assert t2.read().count() == 2
+
+
+def test_writer_version_3_accepted_with_enforced_constraints(spark, tmp_path):
+    """minWriterVersion 3 == checkConstraints support, which this
+    writer provides by enforcement — such external tables are writable."""
+    t = _make(spark, tmp_path, name="wv3")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+
+    def bump(a):
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 3
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.constraints.named": "name IS NOT NULL"
+            }
+
+    _edit_version0(tmp_path / "wv3", bump)
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "wv3"))
+    t2.append(_df(spark, [(2, "b", 2.0)]))
+    assert t2.read().count() == 2
+    with pytest.raises(DeltaProtocolError, match="named"):
+        t2.append(_df(spark, [(3, None, 3.0)]))
 
 
 def test_own_ntz_feature_table_still_writable(spark, tmp_path):
