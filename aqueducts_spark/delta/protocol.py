@@ -51,6 +51,7 @@ from ..types import Field, fields_to_struct
 from .table import DeltaTableError, merge_key_condition, build_replace_predicate
 
 LOG_DIR = "_delta_log"
+CDC_DIR = "_change_data"
 LAST_CHECKPOINT = "_last_checkpoint"
 CHECKPOINT_INTERVAL = 10
 
@@ -66,6 +67,7 @@ _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
 # per-row during the staging write (enforced_predicates + _prepare).
 _SUPPORTED_WRITER_FEATURES = {
     "timestampNtz", "appendOnly", "invariants", "checkConstraints",
+    "changeDataFeed",
 }
 
 
@@ -167,11 +169,11 @@ class _Snapshot:
           false rewrite) and vacuum (physical cleanup of unreferenced
           files) do not modify table content and stay allowed, matching
           delta-spark's behavior on append-only tables.
-        * ``delta.enableChangeDataFeed=true`` forbids upsert/replace:
-          the spec requires MERGE/DELETE commits on CDF tables to carry
-          ``cdc`` actions, which this writer does not produce.  Plain
-          appends are fine (CDF readers derive change rows from
-          dataChange=true add actions).
+        * ``delta.enableChangeDataFeed=true`` is SUPPORTED: upsert and
+          replace stage ``_change_data/`` files and commit ``cdc``
+          actions (spec "Change Data Files"); plain appends need no cdc
+          actions (CDF readers derive change rows from dataChange=true
+          add actions).
         """
         if self.metadata is None:
             return  # brand-new table: we author protocol + metadata
@@ -196,18 +198,15 @@ class _Snapshot:
         def _on(key: str) -> bool:
             return str(conf.get(key, "false")).strip().lower() == "true"
 
-        if operation in ("upsert", "replace"):
-            if _on("delta.appendOnly"):
-                raise DeltaProtocolError(
-                    f"delta.appendOnly=true forbids {operation}: only "
-                    "appends are allowed on this table"
-                )
-            if _on("delta.enableChangeDataFeed"):
-                raise DeltaProtocolError(
-                    f"delta.enableChangeDataFeed=true requires cdc "
-                    f"actions on {operation}, which this writer does not "
-                    "produce; disable CDF or use an engine that writes it"
-                )
+        if operation in ("upsert", "replace") and _on("delta.appendOnly"):
+            raise DeltaProtocolError(
+                f"delta.appendOnly=true forbids {operation}: only "
+                "appends are allowed on this table"
+            )
+
+    def cdf_enabled(self) -> bool:
+        conf = (self.metadata or {}).get("configuration") or {}
+        return str(conf.get("delta.enableChangeDataFeed", "false")).strip().lower() == "true"
 
     def enforced_predicates(self) -> list[tuple[str, str]]:
         """``(name, sql_predicate)`` for every CHECK constraint
@@ -650,10 +649,22 @@ class DeltaProtocolTable:
         part_cols, props, meta = self._pending_create or ([], {}, {})
         self._create(df.schema, part_cols, props, meta)
 
-    def _stage_files(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+    def _stage_files(
+        self,
+        df: DataFrame,
+        part_cols: list[str],
+        subdir: Optional[str] = None,
+        with_stats: bool = True,
+        data_change: bool = True,
+    ) -> list[dict]:
         """Distributed write into a staging dir, then rename data files
         into the table root (cheap same-filesystem moves) and return
-        their ``add`` actions."""
+        their ``add``-shaped action dicts.
+
+        ``subdir`` prefixes every target path (``_change_data/`` for
+        cdc files); ``with_stats=False`` / ``data_change=False`` match
+        the ``cdc`` action shape, which carries no stats and never
+        counts as table-data change."""
         stage = self.root / f".stage-{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
         if part_cols:
@@ -676,23 +687,27 @@ class DeltaProtocolTable:
                 if pq.ParquetFile(fpath).metadata.num_rows == 0:
                     continue  # empty task outputs never become add actions
                 rel = fpath.relative_to(stage)
+                if subdir:
+                    rel = Path(subdir) / rel
                 target = self.root / rel
                 target.parent.mkdir(parents=True, exist_ok=True)
                 fpath.rename(target)
                 stat = target.stat()
-                pv = _partition_values_from_path(rel, part_cols)
-                adds.append(
-                    {
-                        # percent-encode per spec, but keep the hive
-                        # "col=value" '=' literal as every engine does
-                        "path": quote(str(rel), safe="/="),
-                        "partitionValues": pv,
-                        "size": stat.st_size,
-                        "modificationTime": int(stat.st_mtime * 1000),
-                        "dataChange": True,
-                        "stats": _file_stats(target),
-                    }
+                pv = _partition_values_from_path(
+                    fpath.relative_to(stage), part_cols
                 )
+                action = {
+                    # percent-encode per spec, but keep the hive
+                    # "col=value" '=' literal as every engine does
+                    "path": quote(str(rel), safe="/="),
+                    "partitionValues": pv,
+                    "size": stat.st_size,
+                    "modificationTime": int(stat.st_mtime * 1000),
+                    "dataChange": data_change,
+                }
+                if with_stats:
+                    action["stats"] = _file_stats(target)
+                adds.append(action)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return adds
@@ -719,12 +734,30 @@ class DeltaProtocolTable:
         )
 
     def _rewrite(
-        self, merged: DataFrame, snap: _Snapshot, operation: str, params: dict
+        self,
+        merged: DataFrame,
+        snap: _Snapshot,
+        operation: str,
+        params: dict,
+        change_df: Optional[DataFrame] = None,
     ) -> int:
         """Copy-on-write: stage the merged relation, remove every
-        current file, add the new ones — one commit."""
+        current file, add the new ones — one commit.  On CDF tables the
+        caller passes ``change_df`` (table columns + ``_change_type``):
+        it is staged under ``_change_data/`` and committed as ``cdc``
+        actions per the spec — CDF readers then use those exclusively
+        for this commit instead of deriving from add/remove."""
         merged = merged.localCheckpoint(eager=True)
         adds = self._stage_files(merged, snap.partition_columns())
+        cdc_actions: list[dict] = []
+        if change_df is not None:
+            cdc_actions = self._stage_files(
+                change_df,
+                snap.partition_columns(),
+                subdir="_change_data",
+                with_stats=False,
+                data_change=False,
+            )
         now = int(time.time() * 1000)
         removes = [
             {
@@ -738,6 +771,7 @@ class DeltaProtocolTable:
         ]
         actions = [
             self._commit_info(operation, params),
+            *({"cdc": c} for c in cdc_actions),
             *({"remove": r} for r in removes),
             *({"add": a} for a in adds),
         ]
@@ -766,7 +800,26 @@ class DeltaProtocolTable:
             .select(*[F.col(f"old.{c}").alias(c) for c in current.columns])
         )
         merged = untouched.unionByName(df.select(*current.columns))
-        return self._rewrite(merged, snap, "MERGE", {"predicate": keys})
+        change_df = None
+        if snap.cdf_enabled():
+            # our MERGE is delete-matching + insert-all, and the change
+            # feed records exactly that: matched target rows as deletes,
+            # every source row as an insert
+            matched = (
+                current.alias("old")
+                .join(df.alias("new"), on=cond, how="left_semi")
+                .select(*[F.col(f"old.{c}").alias(c) for c in current.columns])
+            )
+            change_df = matched.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                df.select(*current.columns).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        return self._rewrite(
+            merged, snap, "MERGE", {"predicate": keys}, change_df=change_df
+        )
 
     def replace(self, df: DataFrame, conditions: list[tuple[str, str]]) -> int:
         self._ensure_created_from(df)
@@ -774,14 +827,30 @@ class DeltaProtocolTable:
         snap.check_writable("replace")
         df = self._prepare(df, snap)
         pred = build_replace_predicate(conditions)
+        change_df = None
         if snap.files:
             current = self._read_snapshot(snap)
             kept = current.filter(~pred | pred.isNull())
             out = kept.unionByName(df.select(*current.columns))
+            if snap.cdf_enabled():
+                removed = current.filter(pred)  # only pred=TRUE rows go
+                change_df = removed.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    df.select(*current.columns).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
         else:
             out = df
+            if snap.cdf_enabled():
+                change_df = df.withColumn("_change_type", F.lit("insert"))
         return self._rewrite(
-            out, snap, "WRITE", {"mode": "Overwrite", "predicate": conditions}
+            out,
+            snap,
+            "WRITE",
+            {"mode": "Overwrite", "predicate": conditions},
+            change_df=change_df,
         )
 
     # ----- maintenance / introspection ---------------------------------
@@ -873,6 +942,12 @@ class DeltaProtocolTable:
             rel = fpath.relative_to(self.root)
             if rel.parts and rel.parts[0] == LOG_DIR:
                 continue
+            if rel.parts and rel.parts[0] == CDC_DIR:
+                # cdc files are referenced by cdc actions, which this
+                # keep-set (built from add actions) does not model —
+                # change-feed retention is a separate policy, so vacuum
+                # never touches _change_data
+                continue
             if any(part.startswith(".") for part in rel.parts):
                 # a concurrent writer's .stage-* dir (or other hidden
                 # working files) is never vacuum's to delete
@@ -915,6 +990,120 @@ class DeltaProtocolTable:
             .withColumn("_from_version", F.lit(int(v_from)))
             .withColumn("_to_version", F.lit(int(v_to)))
         )
+
+    def _read_action_files(
+        self,
+        file_actions: list[dict],
+        struct: T.StructType,
+        part_cols: list[str],
+        extra: Optional[list[tuple[str, T.DataType]]] = None,
+    ) -> Optional[DataFrame]:
+        """Read the parquet files named by add/remove/cdc actions,
+        reattaching partition columns from ``partitionValues`` as typed
+        literals; ``extra`` declares file-resident columns beyond the
+        table schema (``_change_type`` in cdc files)."""
+        extra = extra or []
+        data_struct = T.StructType(
+            [f for f in struct.fields if f.name not in part_cols]
+            + [T.StructField(n, t) for n, t in extra]
+        )
+        by_name = {f.name: f for f in struct.fields}
+        out_cols = [f.name for f in struct.fields] + [n for n, _ in extra]
+        groups: dict[tuple, list[str]] = {}
+        for a in file_actions:
+            p = unquote(a["path"])
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(p)
+        out: Optional[DataFrame] = None
+        for key, paths in sorted(
+            groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+        ):
+            missing = [p for p in paths if not (self.root / p).is_file()]
+            if missing:
+                raise DeltaProtocolError(
+                    f"change-feed file(s) missing (vacuumed?): {missing[:3]}"
+                )
+            part = self.spark.read.schema(data_struct).parquet(
+                *[str(self.root / p) for p in paths]
+            )
+            for col, raw in zip(part_cols, key):
+                typ = by_name[col].dataType
+                lit = F.lit(None) if raw is None else F.lit(raw)
+                part = part.withColumn(col, lit.cast(typ))
+            part = part.select(*out_cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def change_feed(self, v_from: int, v_to: Optional[int] = None) -> DataFrame:
+        """Spec-faithful Change Data Feed read, per-commit granularity:
+        for every commit in ``(v_from, v_to]``, use its ``cdc`` actions
+        EXCLUSIVELY when present (PROTOCOL.md "Change Data Files"),
+        otherwise derive insert/delete rows from its dataChange
+        add/remove actions.  Output: table columns + ``_change_type`` +
+        ``_commit_version``.  Unlike :meth:`changes` (an endpoint
+        multiset diff), this surfaces intra-range churn — a row inserted
+        then deleted within the range appears twice."""
+        if v_to is None:
+            v_to = self.latest_version()
+        snap_to = self._snapshot(v_to)
+        struct = snap_to.schema()
+        part_cols = snap_to.partition_columns()
+        out: Optional[DataFrame] = None
+        for v in range(v_from + 1, v_to + 1):
+            path = self.log_dir / f"{v:020d}.json"
+            if not path.is_file():
+                raise DeltaProtocolError(
+                    f"change_feed: commit {v} not in the log (checkpoint-"
+                    "truncated) — CDF replay needs the JSON commits"
+                )
+            actions = [
+                json.loads(l) for l in path.read_text().splitlines() if l.strip()
+            ]
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            if cdcs:
+                part = self._read_action_files(
+                    cdcs, struct, part_cols,
+                    extra=[("_change_type", T.StringType())],
+                )
+            else:
+                adds = [
+                    a["add"] for a in actions
+                    if "add" in a and a["add"].get("dataChange", True)
+                ]
+                removes = [
+                    a["remove"] for a in actions
+                    if "remove" in a and a["remove"].get("dataChange", True)
+                ]
+                pieces = []
+                if adds:
+                    pieces.append(
+                        self._read_action_files(adds, struct, part_cols)
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+                if removes:
+                    pieces.append(
+                        self._read_action_files(removes, struct, part_cols)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                if not pieces:
+                    continue
+                part = pieces[0]
+                for extra_piece in pieces[1:]:
+                    part = part.unionByName(extra_piece)
+            if part is None:
+                continue
+            part = part.withColumn("_commit_version", F.lit(int(v)))
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            empty = T.StructType(
+                list(struct.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        return out
 
 
 

@@ -718,14 +718,46 @@ def test_append_only_table_refuses_upsert_and_replace(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a", 1.0)]
 
 
-def test_cdf_table_refuses_merge_like_ops(spark, tmp_path):
+def test_cdf_upsert_writes_cdc_actions_and_change_feed(spark, tmp_path):
+    """CDF tables are fully writable: upsert stages _change_data/ files
+    and commits cdc actions; change_feed uses them exclusively for that
+    commit and derives add/remove-based rows for plain appends."""
     t = DeltaProtocolTable(spark, str(tmp_path / "cdf"))
     t.create_if_absent(FIELDS, [], {"delta.enableChangeDataFeed": "true"}, {})
-    t.append(_df(spark, [(1, "a", 1.0)]))  # CDF derives appends from add actions
-    with pytest.raises(DeltaProtocolError, match="ChangeDataFeed"):
-        t.upsert(_df(spark, [(1, "A", 9.0)]), keys=["id"])
-    with pytest.raises(DeltaProtocolError, match="ChangeDataFeed"):
-        t.replace(_df(spark, [(2, "b", 2.0)]), conditions=[("name", "a")])
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))  # v1
+    t.upsert(_df(spark, [(2, "B", 20.0), (3, "c", 3.0)]), keys=["id"])  # v2
+
+    log = tmp_path / "cdf" / "_delta_log"
+    acts = [json.loads(l) for l in (log / f"{2:020d}.json").read_text().splitlines()]
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(c["path"].startswith("_change_data/") for c in cdcs)
+    assert all(c.get("dataChange") is False for c in cdcs)
+    assert all("stats" not in c for c in cdcs)
+
+    feed = t.change_feed(0)
+    rows = {(r.id, r.name, r._change_type, r._commit_version) for r in feed.collect()}
+    assert (1, "a", "insert", 1) in rows and (2, "b", "insert", 1) in rows
+    assert (2, "b", "delete", 2) in rows  # matched target row deleted
+    assert (2, "B", "insert", 2) in rows and (3, "c", "insert", 2) in rows
+    assert (1, "a", "insert", 2) not in rows  # untouched rows absent from v2
+    assert _rows(t.read()) == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)]
+
+
+def test_cdf_replace_partitioned_cdc_files_survive_vacuum(spark, tmp_path):
+    t = DeltaProtocolTable(spark, str(tmp_path / "cdf3"))
+    t.create_if_absent(
+        FIELDS, ["name"], {"delta.enableChangeDataFeed": "true"}, {}
+    )
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.replace(_df(spark, [(9, "a", 9.0)]), conditions=[("name", "a")])
+    feed = t.change_feed(1)
+    rows = {(r.id, r.name, r._change_type) for r in feed.collect()}
+    assert rows == {(1, "a", "delete"), (9, "a", "insert")}
+    cdc_files = list((tmp_path / "cdf3" / "_change_data").rglob("*.parquet"))
+    assert cdc_files and all("name=" in str(p) for p in cdc_files)
+    t.vacuum(keep_versions=1)
+    assert all(p.is_file() for p in cdc_files)  # vacuum spares cdc files
+    assert _rows(t.read()) == [(2, "b", 2.0), (9, "a", 9.0)]
 
 
 def _edit_version0(root: Path, mutate) -> None:
