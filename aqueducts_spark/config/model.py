@@ -179,6 +179,10 @@ class DeltaSource(_Base):
     # (insert/delete tagged) instead of a snapshot
     changes_from: Optional[int] = None
     changes_to: Optional[int] = None
+    # change_feed: true switches changes_from/changes_to from the
+    # endpoint multiset diff to spec CDF semantics — per-commit
+    # granularity with _commit_version, cdc actions used when present
+    change_feed: bool = False
 
 
 Source = Union[InMemorySource, FileSource, DirSource, OdbcSource, DeltaSource]

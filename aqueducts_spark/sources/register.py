@@ -169,11 +169,20 @@ def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:
             if source.changes_to is not None:
                 reader = reader.option("endingVersion", source.changes_to)
             return reader.load(location)
-        return layer.table(location).changes(
-            source.changes_from, source.changes_to
-        )
+        table = layer.table(location)
+        if source.change_feed:
+            if not hasattr(table, "change_feed"):
+                raise SourceError(
+                    "delta source: change_feed requires a Delta-protocol "
+                    "table (legacy _aqueducts_delta_log tables only "
+                    "support the endpoint diff)"
+                )
+            return table.change_feed(source.changes_from, source.changes_to)
+        return table.changes(source.changes_from, source.changes_to)
     if source.changes_to is not None:
         raise SourceError("delta source: changes_to requires changes_from")
+    if source.change_feed:
+        raise SourceError("delta source: change_feed requires changes_from")
     return delta_layer(spark).read(
         location, version=source.version, timestamp=source.timestamp
     )
