@@ -1931,6 +1931,50 @@ def _op_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic 64-dim probe weights (stand-in for an offline-trained
+# linear head); both the gate and the DuckDB oracle derive from these
+_PROBE_WEIGHTS = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+_PROBE_BIAS = 0.05
+_PROBE_THRESHOLD = 0.0
+
+
+def _op_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.embedding import linear_probe_score
+
+    _views(spark, sf_dir)
+    return linear_probe_score(
+        spark.table("embeddings"),
+        weights=_PROBE_WEIGHTS,
+        bias=_PROBE_BIAS,
+        threshold=_PROBE_THRESHOLD,
+    )
+
+
+def _linear_probe_duck_sql() -> str:
+    import math
+
+    w_milli = [int(math.floor(w * 1e3)) for w in _PROBE_WEIGHTS]
+    bias_micro = int(math.floor(_PROBE_BIAS * 1e6))
+    thr_micro = int(math.floor(_PROBE_THRESHOLD * 1e6))
+    warr = "[" + ", ".join(str(w) for w in w_milli) + "]"
+    term = (
+        "coalesce(CAST(floor(CAST(p[1] AS DOUBLE) * 1000) AS BIGINT) "
+        "* CAST(p[2] AS BIGINT), 0)"
+    )
+    return f"""
+WITH scored AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(list_zip(embedding, {warr}),
+              p -> {term})) + {bias_micro} AS BIGINT) AS score_micro
+  FROM embeddings
+)
+SELECT vec_id, score_micro,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+       score_micro >= {thr_micro} AS keep
+FROM scored
+"""
+
+
 # int8 quantization / centroid oracles: both are pure IEEE-double
 # arithmetic (abs/max/divide, floor to fixed-point micro-units) so the
 # values are bit-identical across engines with no rounding step.
@@ -3207,6 +3251,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_profile": _op_profile,
         "op_bigram_nll": _op_bigram_nll,
         "op_quantize_embed": _op_quantize_embed,
+        "op_linear_probe": _op_linear_probe,
         "op_embed_centroids": _op_embed_centroids,
         "op_fingerprint": _op_fingerprint,
         "op_token_count": _op_token_count,
@@ -3366,6 +3411,7 @@ _GATE_PRIORITY = [
     "op_salted_join",
     "op_zorder_key",
     "op_quantize_embed",
+    "op_linear_probe",
     "op_embed_centroids",
     "op_minhash_bands",
     "op_jaccard_pairs",
@@ -3441,6 +3487,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_profile": OP_PROFILE_DUCK,
         "op_bigram_nll": OP_BIGRAM_NLL_DUCK,
         "op_quantize_embed": OP_QUANTIZE_DUCK,
+        "op_linear_probe": _linear_probe_duck_sql(),
         "op_embed_centroids": OP_CENTROIDS_DUCK,
         "op_fingerprint": OP_FINGERPRINT_DUCK,
         "op_token_count": OP_TOKEN_COUNT_DUCK,

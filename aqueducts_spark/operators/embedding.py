@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_embeddings", "label_centroids"]
+__all__ = ["quantize_embeddings", "label_centroids", "linear_probe_score"]
 
 
 def quantize_embeddings(
@@ -129,3 +129,65 @@ def label_centroids(
             / (F.col("n_vectors").cast("double") * F.lit(1e6))
         ).alias("centroid"),
     )
+
+
+def linear_probe_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Linear classifier head over an embedding column — the
+    model-based quality-filter step of modern curation pipelines
+    (FineWeb-Edu-style educational-value scoring: embed every document
+    once, then filter with a cheap linear probe trained offline).
+
+    Exactly reproducible fixed-point scoring: components quantize to
+    milli-units (``floor(x * 1e3)``), weights quantize once driver-side
+    the same way, and the dot product is an integer fold — so
+    ``score_micro`` (bigint, micro-units) is bit-identical under any
+    partitioning and across engines, the same discipline as
+    :func:`label_centroids`. ``score`` is derived from the exact
+    integer. NULL components contribute 0 (a missing dimension is no
+    evidence, not a poison pill). Probability-style consumers can apply
+    their own sigmoid; it is deliberately not emitted because
+    ``exp()`` is not bit-identical across engines.
+
+    Zero shuffles: the weight vector rides as a literal array in the
+    plan (fine for embedding-sized D; for D beyond ~10k switch to a
+    broadcast join on ``posexplode`` output). With ``threshold``, a
+    boolean ``keep`` column marks rows at or above it (compared in
+    exact micro-units).
+
+    Output: ``(id, score_micro bigint, score double[, keep boolean])``.
+    """
+    if not weights:
+        raise ValueError("linear_probe_score: weights must be non-empty")
+    import math as _math
+
+    w_milli = [int(_math.floor(float(w) * 1e3)) for w in weights]
+    bias_micro = int(_math.floor(float(bias) * 1e6))
+    warr = F.array(*[F.lit(w).cast("bigint") for w in w_milli])
+    x = F.col(vec_col)
+    terms = F.zip_with(
+        x,
+        warr,
+        lambda xi, wi: F.coalesce(
+            F.floor(xi.cast("double") * F.lit(1e3)).cast("bigint") * wi,
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    score_micro = (
+        F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+        + F.lit(bias_micro).cast("bigint")
+    )
+    out = df.select(
+        F.col(id_col),
+        score_micro.alias("score_micro"),
+    ).withColumn("score", F.col("score_micro").cast("double") / F.lit(1e6))
+    if threshold is not None:
+        thr_micro = int(_math.floor(float(threshold) * 1e6))
+        out = out.withColumn("keep", F.col("score_micro") >= F.lit(thr_micro))
+    return out

@@ -755,6 +755,26 @@ def _op_label_centroids(spark, inp, options):
     )
 
 
+def _op_linear_probe(spark, inp, options):
+    from .embedding import linear_probe_score
+
+    weights = options.get("weights")
+    if not isinstance(weights, (list, tuple)) or not weights:
+        raise OperatorError(
+            "linear_probe requires options.weights (non-empty list of floats)"
+        )
+    return linear_probe_score(
+        inp,
+        weights=[float(w) for w in weights],
+        bias=float(options.get("bias", 0.0)),
+        vec_col=options.get("vec_col", "embedding"),
+        id_col=options.get("id_col", "vec_id"),
+        threshold=(
+            float(options["threshold"]) if "threshold" in options else None
+        ),
+    )
+
+
 def _op_byte_stats(spark, inp, options):
     from .multimodal import byte_stats
 
@@ -847,6 +867,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "bigram_logprob": _op_bigram_logprob,
     "quantize_embeddings": _op_quantize_embeddings,
     "label_centroids": _op_label_centroids,
+    "linear_probe": _op_linear_probe,
     "decontaminate": _op_decontaminate,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,

@@ -114,3 +114,71 @@ destination:
     row = spark.read.parquet(f"{tmp_path}/out").collect()[0]
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert row["n_q"] == n_emb and row["n_labels"] >= 1
+
+
+class TestLinearProbe:
+    def test_exact_fixed_point_scoring(self, spark):
+        from aqueducts_spark.operators.embedding import linear_probe_score
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [0.5, -0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.vec_id: r for r in linear_probe_score(
+            df, weights=[0.5, 1.0], bias=0.25, threshold=1.0
+        ).collect()}
+        # row 1: 1000*500 + 2000*1000 + 250000 = 2_750_000 micro = 2.75
+        assert out[1].score_micro == 2_750_000 and out[1].score == 2.75
+        assert out[1].keep is True
+        # row 2: 500*500 + (-500)*1000 + 250000 = 0.0
+        assert out[2].score_micro == 0 and out[2].keep is False
+
+    def test_null_components_contribute_zero(self, spark):
+        from aqueducts_spark.operators.embedding import linear_probe_score
+
+        df = spark.createDataFrame(
+            [(1, [1.0, None, 3.0])], "vec_id long, embedding array<double>"
+        )
+        out = linear_probe_score(df, weights=[1.0, 100.0, 1.0]).collect()[0]
+        assert out.score_micro == 1000 * 1000 + 3000 * 1000
+
+    def test_short_vector_pads_zero(self, spark):
+        from aqueducts_spark.operators.embedding import linear_probe_score
+
+        df = spark.createDataFrame(
+            [(1, [2.0])], "vec_id long, embedding array<double>"
+        )
+        out = linear_probe_score(df, weights=[1.0, 50.0]).collect()[0]
+        assert out.score_micro == 2_000_000  # missing dim -> 0, not NULL
+
+    def test_empty_weights_rejected(self, spark):
+        from aqueducts_spark.operators.embedding import linear_probe_score
+
+        with pytest.raises(ValueError, match="non-empty"):
+            linear_probe_score(spark.range(1), weights=[])
+
+    def test_registry_stage(self, spark):
+        from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+        spark.createDataFrame(
+            [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        ).createOrReplaceTempView("probe_in")
+        out = run_operator(
+            spark,
+            {"type": "linear_probe", "input": "probe_in",
+             "options": {"weights": [1.0, 2.0], "threshold": 2.9}},
+        ).collect()[0]
+        assert out.score == 3.0 and out.keep is True
+        with pytest.raises(OperatorError, match="weights"):
+            run_operator(spark, {"type": "linear_probe", "input": "probe_in"})
+        spark.catalog.dropTempView("probe_in")
+
+    def test_zero_shuffle_plan(self, spark):
+        from aqueducts_spark.operators.embedding import linear_probe_score
+        from aqueducts_spark.plans.inspect import inspect_plan
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        info = inspect_plan(linear_probe_score(df, weights=[1.0, 2.0]))
+        assert info.exchanges == 0 and info.python_evals == 0
