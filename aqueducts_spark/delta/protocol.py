@@ -35,6 +35,7 @@ import os
 import shutil
 import time
 import uuid
+from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any, Optional
 from urllib.parse import quote, unquote
@@ -226,18 +227,37 @@ class _Snapshot:
                 out.append((key[len("delta.constraints."):], str(conf[key])))
         schema_str = self.metadata.get("schemaString") or ""
         if "delta.invariants" in schema_str:
-            for field in json.loads(schema_str).get("fields", []):
-                inv = (field.get("metadata") or {}).get("delta.invariants")
-                if not inv:
-                    continue
-                try:
-                    expr = json.loads(inv)["expression"]["expression"]
-                except (ValueError, KeyError, TypeError):
-                    raise DeltaProtocolError(
-                        f"unparseable delta.invariants on column "
-                        f"{field.get('name')!r}: {inv!r}"
-                    ) from None
-                out.append((f"invariant:{field.get('name')}", str(expr)))
+            # Walk the FULL schema tree: an invariant on a nested struct
+            # field is still a writer obligation (its expression carries
+            # the qualified path, so F.expr enforces it unchanged).
+            # Invariants under array/map elements cannot be expressed as
+            # a row predicate — refuse instead of silently skipping.
+            def walk(fields, prefix):
+                for field in fields:
+                    name = f"{prefix}{field.get('name')}"
+                    inv = (field.get("metadata") or {}).get("delta.invariants")
+                    if inv:
+                        try:
+                            expr = json.loads(inv)["expression"]["expression"]
+                        except (ValueError, KeyError, TypeError):
+                            raise DeltaProtocolError(
+                                f"unparseable delta.invariants on column "
+                                f"{name!r}: {inv!r}"
+                            ) from None
+                        out.append((f"invariant:{name}", str(expr)))
+                    ftype = field.get("type")
+                    if isinstance(ftype, dict):
+                        if ftype.get("type") == "struct":
+                            walk(ftype.get("fields", []), f"{name}.")
+                        elif "delta.invariants" in json.dumps(ftype):
+                            raise DeltaProtocolError(
+                                f"column {name!r} carries delta.invariants "
+                                "inside an array/map element — not "
+                                "expressible as a row predicate; this "
+                                "writer must not commit"
+                            )
+
+            walk(json.loads(schema_str).get("fields", []), "")
         return out
 
 
@@ -498,7 +518,7 @@ class DeltaProtocolTable:
             self._commit_info(
                 "CREATE TABLE", {"partitionBy": list(partition_columns or [])}
             ),
-            {"protocol": _protocol_for(struct)},
+            {"protocol": _protocol_for(struct, config)},
             {"metaData": meta_action},
         ]
         self._write_commit(0, actions)
@@ -566,25 +586,13 @@ class DeltaProtocolTable:
                 .parquet(*[str(self.root / p) for p in paths])
             )
             return df.select(*[F.col(f.name) for f in struct.fields])
-        # authoritative fallback: group files by partitionValues and
-        # attach the partition columns as typed literals
-        groups: dict[tuple, list[str]] = {}
-        for p in paths:
-            pv = snap.files[p].get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(p)
-        by_name = {f.name: f for f in struct.fields}
-        out: Optional[DataFrame] = None
-        for key, group_paths in sorted(groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])):
-            part = self.spark.read.schema(data_struct).parquet(
-                *[str(self.root / p) for p in group_paths]
-            )
-            for col, raw in zip(part_cols, key):
-                typ = by_name[col].dataType
-                lit = F.lit(None) if raw is None else F.lit(raw)
-                part = part.withColumn(col, lit.cast(typ))
-            part = part.select(*[F.col(f.name) for f in struct.fields])
-            out = part if out is None else out.unionByName(part)
+        # authoritative fallback: the shared action-file reader groups
+        # by partitionValues and reattaches partition columns as typed
+        # literals (same code path as change_feed — one implementation
+        # of partition reconstruction to keep correct)
+        out = self._read_action_files(
+            list(snap.files.values()), struct, part_cols
+        )
         assert out is not None
         return out
 
@@ -630,8 +638,11 @@ class DeltaProtocolTable:
                 raise DeltaProtocolError(
                     f"cannot parse constraint {name!r}: {predicate!r} ({exc})"
                 ) from None
-            # SQL CHECK semantics: NULL passes, only FALSE violates
-            ok = F.coalesce(pred.cast("boolean"), F.lit(True))
+            # delta-spark's CheckDeltaInvariant treats a NULL evaluation
+            # as a VIOLATION (unlike SQL-standard CHECK, where NULL
+            # passes) — match the owning engine's semantics so rows we
+            # commit are exactly the rows it would have accepted
+            ok = F.coalesce(pred.cast("boolean"), F.lit(False))
             out = out.where(
                 F.assert_true(
                     ok,
@@ -747,7 +758,7 @@ class DeltaProtocolTable:
         it is staged under ``_change_data/`` and committed as ``cdc``
         actions per the spec — CDF readers then use those exclusively
         for this commit instead of deriving from add/remove."""
-        merged = merged.localCheckpoint(eager=True)
+        merged = self._checkpoint_enforced(merged)
         adds = self._stage_files(merged, snap.partition_columns())
         cdc_actions: list[dict] = []
         if change_df is not None:
@@ -779,10 +790,29 @@ class DeltaProtocolTable:
         try:
             self._write_commit(version, actions)
         except FileExistsError:
+            # orphaned data files are reclaimed by vacuum, but vacuum
+            # deliberately never enters _change_data — reclaim the
+            # loser's cdc files here or they leak forever
+            for c in cdc_actions:
+                (self.root / unquote(c["path"])).unlink(missing_ok=True)
             raise DeltaProtocolError(
                 f"concurrent commit raced {operation} at {self.root}; retry the write"
             )
         return version
+
+    def _checkpoint_enforced(self, df: DataFrame) -> DataFrame:
+        """localCheckpoint that surfaces constraint assertions embedded
+        by :meth:`_prepare` as :class:`DeltaProtocolError` — eager
+        checkpointing executes the plan, so a violating row raises HERE
+        rather than inside ``_stage_files``'s marker handler."""
+        try:
+            return df.localCheckpoint(eager=True)
+        except Exception as exc:
+            msg = str(exc)
+            if "DELTA-CONSTRAINT-VIOLATION" in msg:
+                detail = msg[msg.index("DELTA-CONSTRAINT-VIOLATION"):]
+                raise DeltaProtocolError(detail.splitlines()[0]) from exc
+            raise
 
     def upsert(self, df: DataFrame, keys: list[str]) -> int:
         """MERGE semantics of the reference (delta/src/lib.rs:240-328):
@@ -792,6 +822,12 @@ class DeltaProtocolTable:
         snap = self._snapshot()
         snap.check_writable("upsert")
         df = self._prepare(df, snap)
+        if snap.cdf_enabled():
+            # merged AND the change rows both consume df: materialize it
+            # once so a non-deterministic source cannot make the cdc
+            # feed disagree with the committed data (and the source is
+            # not computed twice)
+            df = self._checkpoint_enforced(df)
         current = self._read_snapshot(snap)
         cond = merge_key_condition(df.schema, keys, "old", "new")
         untouched = (
@@ -826,6 +862,8 @@ class DeltaProtocolTable:
         snap = self._snapshot()
         snap.check_writable("replace")
         df = self._prepare(df, snap)
+        if snap.cdf_enabled():
+            df = self._checkpoint_enforced(df)  # see upsert rationale
         pred = build_replace_predicate(conditions)
         change_df = None
         if snap.files:
@@ -880,10 +918,10 @@ class DeltaProtocolTable:
         if target_partitions is not None:
             current = current.coalesce(target_partitions)
         current = current.localCheckpoint(eager=True)
-        adds = self._stage_files(current, snap.partition_columns())
+        adds = self._stage_files(
+            current, snap.partition_columns(), data_change=False
+        )
         now = int(time.time() * 1000)
-        for a in adds:
-            a["dataChange"] = False
         removes = [
             {
                 "path": add["path"],
@@ -1021,7 +1059,7 @@ class DeltaProtocolTable:
             missing = [p for p in paths if not (self.root / p).is_file()]
             if missing:
                 raise DeltaProtocolError(
-                    f"change-feed file(s) missing (vacuumed?): {missing[:3]}"
+                    f"action references missing file(s) (vacuumed?): {missing[:3]}"
                 )
             part = self.spark.read.schema(data_struct).parquet(
                 *[str(self.root / p) for p in paths]
@@ -1040,9 +1078,13 @@ class DeltaProtocolTable:
         EXCLUSIVELY when present (PROTOCOL.md "Change Data Files"),
         otherwise derive insert/delete rows from its dataChange
         add/remove actions.  Output: table columns + ``_change_type`` +
-        ``_commit_version``.  Unlike :meth:`changes` (an endpoint
-        multiset diff), this surfaces intra-range churn — a row inserted
-        then deleted within the range appears twice."""
+        ``_commit_version`` + ``_commit_timestamp`` (delta-spark CDF
+        column parity).  Unlike :meth:`changes` (an endpoint multiset
+        diff), this surfaces intra-range churn — a row inserted then
+        deleted within the range appears twice.  ``v_from`` is
+        EXCLUSIVE (commits ``v_from+1 .. v_to``); the YAML source maps
+        its inclusive ``changes_from`` by passing ``changes_from - 1``,
+        matching native ``readChangeFeed``'s ``startingVersion``."""
         if v_to is None:
             v_to = self.latest_version()
         snap_to = self._snapshot(v_to)
@@ -1092,7 +1134,16 @@ class DeltaProtocolTable:
                     part = part.unionByName(extra_piece)
             if part is None:
                 continue
-            part = part.withColumn("_commit_version", F.lit(int(v)))
+            info = self._commit_info_of(v)
+            ts = datetime.fromtimestamp(
+                self._commit_timestamp(v, info), tz=timezone.utc
+            ).replace(tzinfo=None)
+            part = part.withColumn(
+                "_commit_version", F.lit(int(v)).cast("bigint")
+            ).withColumn(
+                # naive-UTC literal matches delta-spark's CDF column
+                "_commit_timestamp", F.lit(ts).cast("timestamp")
+            )
             out = part if out is None else out.unionByName(part)
         if out is None:
             empty = T.StructType(
@@ -1100,6 +1151,7 @@ class DeltaProtocolTable:
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_commit_version", T.LongType()),
+                    T.StructField("_commit_timestamp", T.TimestampType()),
                 ]
             )
             return self.spark.createDataFrame([], empty)
@@ -1112,17 +1164,31 @@ class DeltaProtocolTable:
 # ---------------------------------------------------------------------------
 
 
-def _protocol_for(struct: T.StructType) -> dict:
-    """Minimum protocol able to describe ``struct``: TIMESTAMP_NTZ
-    columns require the ``timestampNtz`` table feature (protocol 3/7)."""
+def _protocol_for(struct: T.StructType, config: Optional[dict] = None) -> dict:
+    """Minimum protocol able to describe the table: TIMESTAMP_NTZ
+    columns need the ``timestampNtz`` feature, CDF tables must be
+    protocol-bound to ``changeDataFeed`` (so a spec-conforming external
+    writer cannot legally skip cdc actions on MERGE), and declared
+    CHECK constraints must be bound to ``checkConstraints`` — all via a
+    feature table (writer 7), since the legacy versions that imply them
+    (4 / 3) drag in duties like generatedColumns we do not provide."""
+    config = config or {}
+    writer_features: list[str] = []
     if _uses_ntz(struct):
-        return {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": ["timestampNtz"],
-            "writerFeatures": ["timestampNtz"],
-        }
-    return {"minReaderVersion": 1, "minWriterVersion": 2}
+        writer_features.append("timestampNtz")
+    if str(config.get("delta.enableChangeDataFeed", "")).strip().lower() == "true":
+        writer_features.append("changeDataFeed")
+    if any(k.startswith("delta.constraints.") for k in config):
+        writer_features.append("checkConstraints")
+    if not writer_features:
+        return {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto: dict = {"minWriterVersion": 7, "writerFeatures": writer_features}
+    if "timestampNtz" in writer_features:
+        proto["minReaderVersion"] = 3
+        proto["readerFeatures"] = ["timestampNtz"]
+    else:
+        proto["minReaderVersion"] = 1
+    return proto
 
 
 def _uses_ntz(dt: T.DataType) -> bool:

@@ -177,7 +177,12 @@ def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:
                     "table (legacy _aqueducts_delta_log tables only "
                     "support the endpoint diff)"
                 )
-            return table.change_feed(source.changes_from, source.changes_to)
+            # changes_from is INCLUSIVE (native readChangeFeed
+            # startingVersion semantics); change_feed's v_from is
+            # exclusive, hence the -1
+            return table.change_feed(
+                source.changes_from - 1, source.changes_to
+            )
         return table.changes(source.changes_from, source.changes_to)
     if source.changes_to is not None:
         raise SourceError("delta source: changes_to requires changes_from")
