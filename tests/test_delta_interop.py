@@ -244,3 +244,66 @@ class TestRealDeltaRsRoundTrip:
         assert _product_rows(t.read(version=1).select("id", "name", "score"))[:2] == [
             (1, "a", 1.0), (2, "b", 2.0),
         ]
+
+
+# ---------------------------------------------------------------------------
+# feature-table golden fixture (protocol v7: CDF + checkConstraints)
+# ---------------------------------------------------------------------------
+
+GOLDEN_FEATURES = Path(__file__).parent / "data" / "delta_golden_features"
+
+GOLDEN_FEATURES_EXPECTED = [
+    (1, "alpha", 1.5),
+    (2, "BETA", 20.0),
+    (3, "gamma", 3.0),
+]
+
+
+def test_golden_features_product_reader_and_feed(spark):
+    from aqueducts_spark.delta.protocol import DeltaProtocolError
+
+    t = DeltaProtocolTable(spark, str(GOLDEN_FEATURES))
+    got = sorted(
+        tuple(r) for r in t.read().select("id", "name", "score").collect()
+    )
+    assert got == GOLDEN_FEATURES_EXPECTED
+    feed = {
+        (r.id, r.name, r._change_type, r._commit_version)
+        for r in t.change_feed(0).collect()
+    }
+    assert (1, "alpha", "insert", 1) in feed and (2, "beta", "insert", 1) in feed
+    assert (2, "beta", "delete", 2) in feed
+    assert (2, "BETA", "insert", 2) in feed and (3, "gamma", "insert", 2) in feed
+    # the frozen constraint still rejects violating writes
+    with pytest.raises(DeltaProtocolError, match="nonneg"):
+        t.append(_df(spark, [(9, "bad", -1.0)]))
+
+
+def test_golden_features_independent_reader():
+    # the clean-room reader ignores cdc actions for table state,
+    # exactly like the spec's snapshot reconciliation
+    assert _independent_rows(GOLDEN_FEATURES) == GOLDEN_FEATURES_EXPECTED
+
+
+def test_golden_features_log_format_stability():
+    log = GOLDEN_FEATURES / "_delta_log"
+    v0 = [json.loads(l) for l in (log / f"{0:020d}.json").read_text().splitlines()]
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) == {"changeDataFeed", "checkConstraints"}
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert meta["configuration"] == {
+        "delta.enableChangeDataFeed": "true",
+        "delta.constraints.nonneg": "score >= 0",
+    }
+    v2 = [json.loads(l) for l in (log / f"{2:020d}.json").read_text().splitlines()]
+    cdcs = [a["cdc"] for a in v2 if "cdc" in a]
+    assert cdcs, "the MERGE commit must carry cdc actions"
+    for c in cdcs:
+        assert c["path"].startswith("_change_data/")
+        assert c["dataChange"] is False and "stats" not in c
+        assert (GOLDEN_FEATURES / c["path"]).is_file()
+    kinds = [next(iter(a)) for a in v2]
+    assert kinds[0] == "commitInfo"
+    assert set(kinds) == {"commitInfo", "cdc", "remove", "add"}
