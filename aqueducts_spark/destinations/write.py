@@ -19,8 +19,6 @@ Scale notes:
 from __future__ import annotations
 
 import shutil
-from pathlib import Path
-from typing import Union
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,6 +33,7 @@ from ..config.model import (
 from ..delta import delta_layer
 from ..delta.table import cast_to_schema
 from ..location import is_local, normalize_location, to_local_path
+from ..sources.register import _view_exists
 from ..storage import apply_storage_config
 
 
@@ -65,9 +64,27 @@ def prepare_destination(spark: SparkSession, dest: Destination) -> None:
                 "single_file output currently requires a local path; "
                 "set single_file: false for object stores"
             )
+        if dest.cluster_files is not None and dest.cluster_files < 1:
+            # a falsy 0 would silently fall through to the default
+            # partition count instead of honoring (or rejecting) the
+            # user's explicit file-count request
+            raise DestinationError(
+                f"cluster_files must be >= 1, got {dest.cluster_files}"
+            )
     elif isinstance(dest, DeltaDestination):
         location = normalize_location(dest.location, dest.storage_config)
         apply_storage_config(spark, location, dest.storage_config)
+        if dest.schema_ and dest.partition_columns:
+            declared = {f.name for f in dest.schema_}
+            missing = [c for c in dest.partition_columns if c not in declared]
+            if missing:
+                # cheap config validation that otherwise only surfaces
+                # after the whole pipeline has computed (the native
+                # delta-spark path has no create-at-prepare step)
+                raise DestinationError(
+                    f"delta destination partition column(s) {missing} not "
+                    "in the declared schema"
+                )
         layer = delta_layer(spark)
         if not layer.native:
             layer.table(location).create_if_absent(
@@ -120,6 +137,17 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
 # ---------------------------------------------------------------------------
 
 
+def _apply_csv_options(writer, opts):
+    """CSV writer options shared by the plain/bucketed/single-file
+    paths — one place to add quote/escape/nullValue handling later."""
+    writer = writer.option("header", str(opts.has_header).lower()).option(
+        "sep", opts.delimiter
+    )
+    if opts.compression:
+        writer = writer.option("compression", opts.compression)
+    return writer
+
+
 def _write_file(dest: FileDestination, df: DataFrame) -> None:
     location = normalize_location(dest.location, dest.storage_config)
     fmt = dest.format
@@ -138,12 +166,7 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
             .option("path", str(to_local_path(location)) if is_local(location) else location)
         )
         if fmt.type == "csv":
-            opts = fmt.parsed
-            writer = writer.option("header", str(opts.has_header).lower()).option(
-                "sep", opts.delimiter
-            )
-            if opts.compression:
-                writer = writer.option("compression", opts.compression)
+            writer = _apply_csv_options(writer, fmt.parsed)
         elif fmt.type in ("parquet", "orc", "json") and fmt.parsed:
             writer = writer.options(**fmt.parsed)
         if dest.partition_columns:
@@ -186,13 +209,7 @@ def _write_file(dest: FileDestination, df: DataFrame) -> None:
     if dest.partition_columns:
         writer = writer.partitionBy(*dest.partition_columns)
     if fmt.type == "csv":
-        opts = fmt.parsed
-        writer = writer.option("header", str(opts.has_header).lower()).option(
-            "sep", opts.delimiter
-        )
-        if opts.compression:
-            writer = writer.option("compression", opts.compression)
-        writer.csv(location)
+        _apply_csv_options(writer, fmt.parsed).csv(location)
     elif fmt.type == "parquet":
         writer.options(**(fmt.parsed or {})).parquet(location)
     elif fmt.type == "orc":
@@ -218,13 +235,7 @@ def _write_single_file(dest: FileDestination, df: DataFrame, location: str) -> N
     fmt = dest.format
     one = df.coalesce(1).write.mode("overwrite")
     if fmt.type == "csv":
-        opts = fmt.parsed
-        one = one.option("header", str(opts.has_header).lower()).option(
-            "sep", opts.delimiter
-        )
-        if opts.compression:
-            one = one.option("compression", opts.compression)
-        one.csv(str(tmp_dir))
+        _apply_csv_options(one, fmt.parsed).csv(str(tmp_dir))
         pattern = "part-*"
     elif fmt.type == "parquet":
         one.options(**(fmt.parsed or {})).parquet(str(tmp_dir))
@@ -323,6 +334,10 @@ def _write_delta_native(
             .option("replaceWhere", build_replace_predicate_sql(conds))
             .save(location)
         )
+    else:
+        # defensive mirror of the fallback path: a future widening of
+        # DeltaWriteMode must not become a silent no-op on native
+        raise DestinationError(f"unknown delta write operation: {mode.operation}")
 
 
 # ---------------------------------------------------------------------------
@@ -330,9 +345,38 @@ def _write_delta_native(
 # ---------------------------------------------------------------------------
 
 
+def _require_jdbc_table(df: DataFrame, dest: OdbcDestination) -> None:
+    """Reference parity (odbc/src/lib.rs:87-104): the append target must
+    already exist.  Spark's SaveMode.Append silently CREATES a missing
+    table with driver-default types — a typo'd table name would then
+    'succeed' into a brand-new empty-schema table while the real target
+    gets nothing.  One zero-row probe over a single JDBC connection."""
+    jvm = df.sparkSession.sparkContext._gateway.jvm
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(dest.connection_string)
+    except Exception as exc:
+        raise DestinationError(
+            f"jdbc destination: cannot connect to {dest.name!r}: {exc}"
+        ) from exc
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeQuery(f"SELECT * FROM {dest.name} WHERE 1=0").close()
+        except Exception as exc:
+            raise DestinationError(
+                f"jdbc destination: target table {dest.name!r} does not "
+                f"exist (create it first; append never auto-creates): {exc}"
+            ) from exc
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def _write_jdbc(dest: OdbcDestination, df: DataFrame) -> None:
     mode = dest.write_mode
     if mode.operation == "append":
+        _require_jdbc_table(df, dest)
         (
             df.write.format("jdbc")
             .option("url", dest.connection_string)
@@ -413,11 +457,3 @@ def _write_jdbc_custom(dest: OdbcDestination, df: DataFrame) -> None:
         raise
     finally:
         conn.close()
-
-
-def _view_exists(spark: SparkSession, name: str) -> bool:
-    try:
-        spark.table(name)
-        return True
-    except Exception:
-        return False

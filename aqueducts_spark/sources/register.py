@@ -22,7 +22,6 @@ Spark-first notes (scale):
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,7 +134,9 @@ def _register_odbc(spark: SparkSession, source: OdbcSource) -> DataFrame:
     query is wrapped as a derived table automatically."""
     opts = dict(source.options)
     reader = spark.read.format("jdbc").option("url", source.connection_string)
-    if "partitionColumn" in opts:
+    # Spark's JDBC option map is case-insensitive — honor any spelling
+    # of partitionColumn, else 'query' + the user's option collide
+    if any(k.lower() == "partitioncolumn" for k in opts):
         reader = reader.option("dbtable", f"({source.load_query}) aq_subq")
     else:
         reader = reader.option("query", source.load_query)
@@ -160,7 +161,13 @@ def _register_delta(spark: SparkSession, source: DeltaSource) -> DataFrame:
                 "version/timestamp (a diff is not a snapshot)"
             )
         layer = delta_layer(spark)
-        if layer.native:  # pragma: no cover - delta-spark not in test env
+        if layer.native and source.change_feed:  # pragma: no cover - needs delta-spark
+            # native readChangeFeed matches change_feed semantics
+            # (per-commit rows, inclusive startingVersion); the
+            # endpoint-diff default must NOT silently become CDF rows
+            # on clusters that happen to have delta-spark — different
+            # columns, change types, and inclusivity would make the
+            # same YAML return different results per environment
             reader = (
                 spark.read.format("delta")
                 .option("readChangeFeed", "true")
@@ -224,6 +231,13 @@ def register_sources(
     Reads are lazy, so concurrency parallelizes schema inference and
     eager JDBC loads; the Spark scheduler is thread-safe.
     """
+    names = [s.name for s in sources]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # Pipeline validation normally catches this; direct callers
+        # must not have a duplicate silently overwrite a registration
+        # (and swallow its exception with it)
+        raise SourceError(f"duplicate source name(s): {dupes}")
     out: dict[str, DataFrame] = {}
     if len(sources) <= 1:
         for s in sources:
@@ -233,8 +247,8 @@ def register_sources(
 
     reg = _propagate_job_group(spark, register_source)
     with ThreadPoolExecutor(max_workers=min(max_workers, len(sources))) as pool:
-        futures = {s.name: pool.submit(reg, spark, s) for s in sources}
-        for name, fut in futures.items():
+        futures = [(s.name, pool.submit(reg, spark, s)) for s in sources]
+        for name, fut in futures:
             out[name] = fut.result()
     return out
 

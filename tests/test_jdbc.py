@@ -199,3 +199,49 @@ def test_jdbc_custom_write_temporal_and_decimal_types(spark, derby):
         assert not rs.next()
     finally:
         conn.close()
+
+
+def test_jdbc_append_to_missing_table_fails_fast(spark, derby):
+    """Spark's SaveMode.Append silently auto-creates a missing target;
+    reference parity (odbc/src/lib.rs:87-104) requires the append
+    target to EXIST — a typo'd name must error, not 'succeed' into a
+    brand-new table."""
+    from aqueducts_spark.destinations.write import (
+        DestinationError,
+        _write_jdbc,
+    )
+
+    dest = OdbcDestination(
+        type="odbc",
+        name="sink_appendzz",  # typo'd; does not exist
+        connection_string=URL,
+        write_mode=OdbcWriteMode(operation="append"),
+    )
+    df = spark.createDataFrame([(1, "x")], "id int, val string")
+    with pytest.raises(DestinationError, match="does not exist"):
+        _write_jdbc(dest, df)
+    # and the existing-table path still works
+    dest_ok = OdbcDestination(
+        type="odbc",
+        name="sink_append",
+        connection_string=URL,
+        write_mode=OdbcWriteMode(operation="append"),
+    )
+    _write_jdbc(dest_ok, df)
+    assert (1, "x") in _fetch_all(spark, "sink_append")
+
+
+def test_duplicate_source_names_rejected(spark):
+    from aqueducts_spark.config.model import parse_source
+    from aqueducts_spark.sources.register import SourceError, register_sources
+
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "dup",
+            "format": {"type": "parquet"},
+            "location": "/root/testdata/sf0.001/nation.parquet",
+        }
+    )
+    with pytest.raises(SourceError, match="duplicate source name"):
+        register_sources(spark, [src, src])

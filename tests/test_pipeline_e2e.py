@@ -337,3 +337,43 @@ def test_cluster_by_and_zorder_by_together_rejected_at_load(spark):
             cluster_by=["a"],
             zorder_by=["a", "b"],
         )
+
+
+def test_delta_partition_column_not_in_schema_fails_at_prepare(spark, tmp_path):
+    from aqueducts_spark.config.model import parse_destination
+    from aqueducts_spark.destinations.write import DestinationError, prepare_destination
+
+    dest = parse_destination(
+        {
+            "type": "delta",
+            "name": "bad_part",
+            "location": str(tmp_path / "bad_part"),
+            "write_mode": {"operation": "append"},
+            "partition_columns": ["nope"],
+            "schema": [
+                {"name": "id", "data_type": "int64"},
+                {"name": "v", "data_type": "string"},
+            ],
+        }
+    )
+    with pytest.raises(DestinationError, match="partition column"):
+        prepare_destination(spark, dest)
+
+
+def test_cluster_files_zero_rejected(spark, tmp_path):
+    from aqueducts_spark.config.model import parse_destination
+    from aqueducts_spark.destinations.write import DestinationError, prepare_destination
+
+    dest = parse_destination(
+        {
+            "type": "file",
+            "name": "cf0",
+            "location": str(tmp_path / "cf0"),
+            "format": {"type": "parquet"},
+            "single_file": False,
+            "cluster_by": ["id"],
+            "cluster_files": 0,
+        }
+    )
+    with pytest.raises(DestinationError, match="cluster_files"):
+        prepare_destination(spark, dest)
