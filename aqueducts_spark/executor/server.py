@@ -73,6 +73,7 @@ class ExecutorServer:
         self._server: Optional[asyncio.AbstractServer] = None
         self._executions: dict[str, _Execution] = {}
         self._worker_task: Optional[asyncio.Task] = None
+        self._writers: set[asyncio.StreamWriter] = set()
 
     # ----- lifecycle ----------------------------------------------------
     async def start(self) -> int:
@@ -87,9 +88,21 @@ class ExecutorServer:
     async def stop(self) -> None:
         if self._worker_task:
             self._worker_task.cancel()
+            try:
+                await self._worker_task  # reap it; unawaited cancel fires
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass  # at teardown the cancel itself is the outcome
         if self._server:
             self._server.close()
             await self._server.wait_closed()
+        # closing the listening socket does NOT drop established
+        # connections — clients would hang on readline until process
+        # exit; close them so they observe EOF promptly
+        for w in list(self._writers):
+            try:
+                w.close()
+            except Exception:  # noqa: BLE001
+                pass
 
     # ----- connection handler -------------------------------------------
     async def _handle(
@@ -106,6 +119,7 @@ class ExecutorServer:
                 await writer.drain()
 
         pump_task = asyncio.create_task(pump())
+        self._writers.add(writer)
         try:
             while True:
                 line = await reader.readline()
@@ -114,6 +128,15 @@ class ExecutorServer:
                 try:
                     msg = decode(line)
                 except ValueError:
+                    out_queue.put_nowait(
+                        {"type": "error", "message": "malformed message"}
+                    )
+                    continue
+                if not isinstance(msg, dict):
+                    # valid JSON but not an object ('[1]', '123'):
+                    # without this, msg.get raises AttributeError out of
+                    # the loop and the finally block cancels ALL of the
+                    # client's executions over one stray line
                     out_queue.put_nowait(
                         {"type": "error", "message": "malformed message"}
                     )
@@ -134,7 +157,14 @@ class ExecutorServer:
                         self.spark.sparkContext._jsc.sc().cancelJobGroup(ex.id)
             self._broadcast_positions()
             out_queue.put_nowait(None)
-            await pump_task
+            try:
+                await pump_task
+            except Exception:  # noqa: BLE001
+                # pump died with the connection (ConnectionResetError on
+                # drain): re-raising would skip writer.close and log an
+                # unhandled exception per abrupt disconnect
+                pass
+            self._writers.discard(writer)
             writer.close()
 
     async def _dispatch(self, msg: dict[str, Any], out_queue: asyncio.Queue) -> None:
@@ -154,6 +184,10 @@ class ExecutorServer:
             assert self._wakeup is not None
             self._wakeup.set()
         elif mtype == "cancel_request":
+            # deliberately NOT scoped to the submitting connection: the
+            # CLI 'cancel' command opens a fresh connection to cancel by
+            # id (client.cancel_execution), and ids are 96-bit random
+            # uuid4 prefixes — unguessable, capability-style
             ex = self._executions.get(msg.get("execution_id", ""))
             if ex is None:
                 out_queue.put_nowait(
@@ -163,6 +197,10 @@ class ExecutorServer:
             ex.cancelled.set()
             if ex in self._pending:
                 self._pending.remove(ex)
+                # a cancelled-while-queued execution never reaches the
+                # worker (whose finally would pop it) — pop here or the
+                # entry leaks for the server's lifetime
+                self._executions.pop(ex.id, None)
                 ex.queue.put_nowait(
                     {"type": "cancelled", "execution_id": ex.id}
                 )
@@ -203,7 +241,17 @@ class ExecutorServer:
                 # was written when everything was
                 done_msg = {"type": "succeeded", "execution_id": ex.id}
                 if ex.cancelled.is_set():
-                    done_msg["note"] = "cancel arrived after completion"
+                    # cancelJobGroup only interrupts ACTIVE Spark jobs;
+                    # a cancel landing between jobs (driver-side work,
+                    # planning) lets the pipeline run to completion —
+                    # say so honestly instead of claiming the cancel
+                    # came after the run finished
+                    done_msg["note"] = (
+                        "cancellation requested but the execution "
+                        "completed anyway (cancel takes effect only at "
+                        "Spark job boundaries); the destination write "
+                        "committed"
+                    )
                 ex.queue.put_nowait(done_msg)
             except Exception as exc:  # noqa: BLE001 - reported to client
                 if ex.cancelled.is_set():

@@ -245,14 +245,31 @@ def asof_join(
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     lcols = left.columns
-    right_ts_type = dict(right.dtypes)[right_ts]
+    rfields = {f.name: f for f in right.schema.fields}
+    # The matched right row travels as ONE struct (NULL for left rows,
+    # non-NULL — possibly with NULL fields — for right rows), and the
+    # window fill picks that struct atomically.  Per-column
+    # last(ignorenulls) fills were WRONG: a genuine NULL in a right
+    # value column was skipped, pairing the matched timestamp with a
+    # value from an OLDER right row (even outside tolerance) — a
+    # (ts, value) combination that exists in no right row.
+    norm_ts_dt = (
+        T.TimestampType()
+        if isinstance(rfields[right_ts].dataType, T.TimestampNTZType)
+        else rfields[right_ts].dataType
+    )
+    pack_type = T.StructType(
+        [
+            T.StructField("__pts", norm_ts_dt),
+            T.StructField("__porig", rfields[right_ts].dataType),
+            *[T.StructField(c, rfields[c].dataType) for c in value_cols],
+        ]
+    )
     tagged_left = left.select(
         *[F.col(c) for c in on],
         _ts_col(left, left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(_ts_type(right, right_ts)).alias("__r_ts"),
-        F.lit(None).cast(right_ts_type).alias("__r_orig"),
+        F.lit(None).cast(pack_type).alias("__r_pack"),
         F.struct(*[F.col(c) for c in lcols]).alias("__row"),
     )
     # right rows with a NULL timestamp or NULL join key can never match
@@ -267,12 +284,15 @@ def asof_join(
         *[F.col(c) for c in on],
         _ts_col(right_clean, right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        _ts_col(right_clean, right_ts).alias("__r_ts"),
-        # the ORIGINAL right timestamp for output: __r_ts is normalized
-        # for comparison, and rendering it for an NTZ input would shift
-        # the wall clock by the session-timezone offset
-        F.col(right_ts).alias("__r_orig"),
+        F.struct(
+            # __pts normalized for comparison; __porig is the ORIGINAL
+            # right timestamp for output (rendering the normalized one
+            # for an NTZ input would shift the wall clock by the
+            # session-timezone offset)
+            _ts_col(right_clean, right_ts).alias("__pts"),
+            F.col(right_ts).alias("__porig"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__r_pack"),
         # cast against the actual StructType (a DDL string built from
         # raw names breaks on columns containing spaces/colons/commas)
         F.lit(None).cast(T.StructType(left.schema.fields)).alias("__row"),
@@ -298,21 +318,17 @@ def asof_join(
 
     fills = []
     if direction in ("backward", "nearest"):
-        fills += [
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back).alias(f"__b_{c}")
-            for c in value_cols
-        ] + [
-            F.last(F.col("__r_ts"), ignorenulls=True).over(w_back).alias("__b_ts"),
-            F.last(F.col("__r_orig"), ignorenulls=True).over(w_back).alias("__b_orig"),
-        ]
+        fills.append(
+            F.last(F.col("__r_pack"), ignorenulls=True)
+            .over(w_back)
+            .alias("__b_pack")
+        )
     if direction in ("forward", "nearest"):
-        fills += [
-            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
-            for c in value_cols
-        ] + [
-            F.first(F.col("__r_ts"), ignorenulls=True).over(w_fwd).alias("__f_ts"),
-            F.first(F.col("__r_orig"), ignorenulls=True).over(w_fwd).alias("__f_orig"),
-        ]
+        fills.append(
+            F.first(F.col("__r_pack"), ignorenulls=True)
+            .over(w_fwd)
+            .alias("__f_pack")
+        )
     filled = unioned.select("*", *fills)
     out = filled.where(F.col("__is_left") == 1)
 
@@ -334,33 +350,39 @@ def asof_join(
         # would resolve a doubly-nested field)
         return [F.col("__row").getField(c).alias(c) for c in left.columns]
 
+    def b(field):
+        return F.col("__b_pack").getField(field)
+
+    def fwd(field):
+        return F.col("__f_pack").getField(field)
+
     if direction == "backward":
-        pick_ts, pick_orig = F.col("__b_ts"), F.col("__b_orig")
-        pick = {c: F.col(f"__b_{c}") for c in value_cols}
+        pick_ts, pick_orig = b("__pts"), b("__porig")
+        pick = {c: b(c) for c in value_cols}
     elif direction == "forward":
-        pick_ts, pick_orig = F.col("__f_ts"), F.col("__f_orig")
-        pick = {c: F.col(f"__f_{c}") for c in value_cols}
+        pick_ts, pick_orig = fwd("__pts"), fwd("__porig")
+        pick = {c: fwd(c) for c in value_cols}
     else:  # nearest: closer of the two; ties prefer backward (pandas)
-        b_ok = within_tol(F.col("__b_ts"))
-        f_ok = within_tol(F.col("__f_ts"))
-        b_dist = F.abs(ts_d - F.col("__b_ts").cast("double"))
-        f_dist = F.abs(F.col("__f_ts").cast("double") - ts_d)
+        b_ok = within_tol(b("__pts"))
+        f_ok = within_tol(fwd("__pts"))
+        b_dist = F.abs(ts_d - b("__pts").cast("double"))
+        f_dist = F.abs(fwd("__pts").cast("double") - ts_d)
         use_back = (
-            left_has_ts & F.col("__b_ts").isNotNull() & b_ok
+            left_has_ts & b("__pts").isNotNull() & b_ok
             & (
-                F.col("__f_ts").isNull() | ~f_ok | (b_dist <= f_dist)
+                fwd("__pts").isNull() | ~f_ok | (b_dist <= f_dist)
             )
         )
-        use_fwd = left_has_ts & F.col("__f_ts").isNotNull() & f_ok & ~use_back
+        use_fwd = left_has_ts & fwd("__pts").isNotNull() & f_ok & ~use_back
         matched = [
-            F.when(use_back, F.col(f"__b_{c}"))
-            .when(use_fwd, F.col(f"__f_{c}"))
+            F.when(use_back, b(c))
+            .when(use_fwd, fwd(c))
             .alias(f"matched_{c}")
             for c in value_cols
         ]
         matched_ts = (
-            F.when(use_back, F.col("__b_orig"))
-            .when(use_fwd, F.col("__f_orig"))
+            F.when(use_back, b("__porig"))
+            .when(use_fwd, fwd("__porig"))
             .alias("matched_ts")
         )
         return out.select(*left_fields(), matched_ts, *matched)
@@ -412,6 +434,19 @@ def range_join(
     rename = {
         c: f"r_{c}" if c in left.columns else c for c in right.columns
     }
+    renamed = list(rename.values())
+    clashes = sorted(
+        {n for n in renamed if renamed.count(n) > 1}
+        | ({"__bucket"} & (set(renamed) | set(left.columns)))
+    )
+    if clashes:
+        # mirror the streaming twin's explicit error: without it the
+        # duplicate r_-prefixed name surfaces as an opaque ambiguous-
+        # reference AnalysisException deep in the final select
+        raise ValueError(
+            f"range_join: column name collision(s) after r_ prefixing: "
+            f"{clashes} — rename the clashing columns first"
+        )
     r = right.select(
         *[F.col(c).alias(rename[c]) for c in right.columns],
         bucket(_ts_col(right, right_ts), 0.0).alias("__bucket"),

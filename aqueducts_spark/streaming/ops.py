@@ -25,6 +25,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..types import Field, fields_to_struct
 
@@ -353,8 +354,12 @@ def running_counts_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_cols = list(key_cols) + ["running_count"]
-    out_schema = ", ".join(
-        [f"{c} {t}" for c, t in df.select(*key_cols).dtypes] + ["running_count bigint"]
+    # real StructType, not a DDL string: names containing spaces/
+    # colons/commas would fail DDL parsing (same defect class
+    # temporal.py's __row cast documents)
+    out_schema = T.StructType(
+        [*df.select(*key_cols).schema.fields,
+         T.StructField("running_count", T.LongType())]
     )
 
     def count_all(key, pdf_iter, state: GroupState):
@@ -431,10 +436,16 @@ def merge_stream_into_table(
             else [tiebreak.asc()]
         )
         w = Window.partitionBy(*keys).orderBy(*order)
+        # helper column name must not collide with a legitimate stream
+        # column (a CDC schema containing '_rn' would be silently
+        # overwritten and then dropped before the merge)
+        rn = "_rn"
+        while rn in batch_df.columns:
+            rn = "_" + rn
         unique = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            batch_df.withColumn(rn, F.row_number().over(w))
+            .where(F.col(rn) == 1)
+            .drop(rn)
         )
         table.upsert(unique, keys)
 

@@ -45,7 +45,9 @@ def server(spark):
     assert started.wait(10)
     yield holder
     loop = holder["loop"]
-    asyncio.run_coroutine_threadsafe(holder["srv"].stop(), loop)
+    # stop() now awaits the worker task — wait for it to finish before
+    # killing the loop, or the pending coroutine is destroyed mid-await
+    asyncio.run_coroutine_threadsafe(holder["srv"].stop(), loop).result(timeout=15)
     loop.call_soon_threadsafe(loop.stop)
 
 

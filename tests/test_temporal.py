@@ -440,3 +440,25 @@ def test_profile_table_handles_map_columns(spark):
     assert rows["meta"].n_nulls == 1
     assert rows["meta"].n_distinct is None  # unorderable: stat skipped
     assert rows["id"].n_distinct == 2
+
+
+def test_asof_matched_row_is_atomic_with_genuine_null_values(spark):
+    """A genuine NULL in a right value column must NOT be skipped in
+    favor of an older row's value: the matched (ts, value) pair must
+    come from ONE right row (pandas merge_asof returns NULL here)."""
+    from aqueducts_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 101.0)], "key string, ts double"
+    ).selectExpr("key", "timestamp_seconds(ts) AS ts")
+    right = spark.createDataFrame(
+        [("k", 1.0, 5.0), ("k", 100.0, None)], "key string, ts double, v double"
+    ).selectExpr("key", "timestamp_seconds(ts) AS ts", "v")
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance_seconds=10.0,
+    ).collect()[0]
+    # the backward match IS the ts=100 row: its NULL value must ride
+    # along, not v=5 from the out-of-tolerance ts=1 row
+    assert out.matched_ts is not None
+    assert out.matched_v is None
