@@ -47,17 +47,51 @@ def _cmd_run(args) -> int:
         from .config.loader import format_from_path
 
         fmt = format_from_path(path)
+        if args.master != "local[*]" or args.show_result:
+            # silently-meaningless flags confuse more than they help:
+            # the server owns the session, and results only surface via
+            # stage `show:` output streamed back
+            print(
+                "note: --master/--show-result are ignored with "
+                "--executor (the server owns the session; add `show:` "
+                "to stages for output)",
+                file=sys.stderr,
+            )
+
+        def _progress(m):
+            # compact progress line; chunk payloads are assembled and
+            # printed once at the end — raw dict spam doubled large
+            # show outputs and buried real progress
+            if m.get("type") == "output_chunk":
+                return
+            kind = m.get("type", "?")
+            detail = m.get("stage") or m.get("execution_id") or ""
+            extra = m.get("position")
+            line = f"[{kind}] {detail}" + (f" position={extra}" if extra is not None else "")
+            if m.get("message"):
+                line += f": {m['message']}"
+            print(line, file=sys.stderr)
+
         final = submit_pipeline(
             host,
             port,
             path.read_text(),
             params=params,
             fmt=fmt,
-            on_message=lambda m: print(m, file=sys.stderr),
+            on_message=_progress,
         )
         for stage, text in final.get("outputs", {}).items():
             print(f"--- {stage} ---\n{text}")
-        return 0 if final.get("type") == "succeeded" else 1
+        if final.get("type") != "succeeded":
+            # client-synthesized terminal errors (connection closed,
+            # inactivity timeout) never pass through on_message — print
+            # them or the CLI exits 1 with zero diagnostics
+            print(
+                f"error: {final.get('message', final.get('type'))}",
+                file=sys.stderr,
+            )
+            return 1
+        return 0
 
     from . import load_pipeline, run_pipeline
     from .progress import LoggingTracker
@@ -162,21 +196,33 @@ def _cmd_optimize(args) -> int:
 
     spark = get_spark("aqueducts-optimize", master=args.master)
     try:
+        retention = getattr(args, "vacuum_retention_hours", None)
+        if retention is not None and args.vacuum_keep is not None:
+            # refusing beats silently ignoring one of two contradictory
+            # retention requests
+            print(
+                "--vacuum-retention-hours and --vacuum-keep are mutually "
+                "exclusive",
+                file=sys.stderr,
+            )
+            return 1
         table = delta_layer(spark).table(args.location)
         version = table.compact(target_partitions=args.target_partitions)
         print(f"compacted {args.location} -> version {version}")
-        if getattr(args, "vacuum_retention_hours", None) is not None:
-            try:
-                removed = table.vacuum(
-                    retention_hours=args.vacuum_retention_hours
-                )
-            except TypeError:
+        if retention is not None:
+            import inspect as _inspect
+
+            if "retention_hours" not in _inspect.signature(table.vacuum).parameters:
+                # capability check by signature — a broad `except
+                # TypeError` around the call misattributed ANY internal
+                # TypeError to "legacy table"
                 print(
                     "--vacuum-retention-hours requires a Delta-protocol table "
                     "(legacy tables support --vacuum-keep only)",
                     file=sys.stderr,
                 )
                 return 1
+            removed = table.vacuum(retention_hours=retention)
             print(f"vacuumed {len(removed)} data file(s)")
         elif args.vacuum_keep is not None:
             removed = table.vacuum(keep_versions=args.vacuum_keep)

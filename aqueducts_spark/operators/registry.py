@@ -898,7 +898,14 @@ def run_operator(spark: SparkSession, config: dict[str, Any]) -> DataFrame:
         raise OperatorError(
             f"operator '{op_type}': input table '{input_table}' is not registered"
         ) from None
-    return fn(spark, inp, config.get("options") or {})
+    try:
+        return fn(spark, inp, config.get("options") or {})
+    except KeyError as exc:
+        # the wrappers index required options directly; surface a
+        # descriptive error instead of a bare quoted key name
+        raise OperatorError(
+            f"operator '{op_type}' is missing required option {exc}"
+        ) from exc
 
 
 def referenced_tables(config: dict[str, Any]) -> list[str]:

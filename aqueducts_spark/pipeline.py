@@ -61,8 +61,11 @@ class PipelineResult:
 
 def _name_used_in(name: str, query: str) -> bool:
     """Word-boundary scan, as in the reference's TTL calculation
-    (core/src/lib.rs:223-254)."""
-    return re.search(rf"\b{re.escape(name)}\b", query) is not None
+    (core/src/lib.rs:223-254).  Case-insensitive: Spark resolves view
+    identifiers case-insensitively (spark.sql.caseSensitive=false
+    default), so 'SELECT * FROM docs' IS a use of stage 'Docs' — a
+    case-sensitive scan dropped views later stages still needed."""
+    return re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE) is not None
 
 
 def compute_ttls(groups: list[list[Stage]]) -> dict[str, int]:
@@ -128,6 +131,7 @@ def run_pipeline(
     ttls = compute_ttls(groups)
     stage_dfs: dict[str, DataFrame] = {}
     cached: set[str] = set()
+    _views_dropped: set[str] = set()
 
     for gi, group in enumerate(groups):
         def run_one(stage: Stage) -> tuple[str, DataFrame]:
@@ -166,23 +170,29 @@ def run_pipeline(
                 ):
                     stage_dfs[name] = df
 
-        # TTL reclamation: drop cached intermediates whose last textual
-        # use has passed (reference core/src/lib.rs:223-274).  Entries
-        # last used by the FINAL group stay cached until after the
-        # destination write — the write is the final group's true last
-        # consumer, and unpersisting first would force it to recompute
-        # the whole lineage (discarding exactly the materializations
-        # the >1-consumer/eager policies paid for).
+        # TTL reclamation (reference core/src/lib.rs:223-274), adapted
+        # to LAZY stages: only the temp VIEW is dropped at last textual
+        # use — views matter solely for resolving later stages' SQL,
+        # which happens group by group, so a textually-dead view is
+        # truly dead.  CACHES are NOT released here: downstream
+        # consumers are lazy and execute nothing until the destination
+        # write, so unpersisting at last *textual* use would destroy a
+        # cache (including an eager stage's already-paid count())
+        # before anything ever read it, forcing the write to recompute
+        # the whole lineage per branch.  Caches release after the write
+        # — the first and only point where consumption is complete.
+        # (view-drop scope stays what it always was — cached stages
+        # only: callers legitimately read UNCACHED intermediate stage
+        # views after run_pipeline returns)
         for name, last_group in ttls.items():
-            if last_group <= gi and name in cached:
-                if last_group == len(groups) - 1:
-                    continue
-                stage_dfs[name].unpersist()
-                cached.discard(name)
-                # keep the temp view for the final-result lookup below,
-                # unless a later group exists (then it is truly dead)
-                if gi < len(groups) - 1 and name != groups[-1][-1].name:
-                    spark.catalog.dropTempView(name)
+            if (
+                last_group <= gi
+                and gi < len(groups) - 1
+                and name in cached
+                and name not in _views_dropped
+            ):
+                spark.catalog.dropTempView(name)
+                _views_dropped.add(name)
 
     result: Optional[DataFrame] = None
     if groups:
@@ -199,10 +209,18 @@ def run_pipeline(
                 "destination_completed", name=dest.name, duration_ms=t_dst.elapsed_ms
             )
         )
-        # the write was the last consumer — release the deferred caches
-        for name in list(cached):
-            stage_dfs[name].unpersist()
-            cached.discard(name)
+        # the write was the last consumer — release the deferred caches.
+        # NOT for in_memory destinations: their "write" is cache+view
+        # registration with no action (the caller reads the view later),
+        # and the result DataFrame here IS the object the destination
+        # just cached — unpersisting it would make every later read
+        # recompute the pipeline the cache exists to avoid.
+        from .config.model import InMemoryDestination
+
+        if not isinstance(dest, InMemoryDestination):
+            for name in list(cached):
+                stage_dfs[name].unpersist()
+                cached.discard(name)
 
     tracker.on_progress(ProgressEvent("completed"))
     return PipelineResult(spark, result)

@@ -377,3 +377,90 @@ def test_cluster_files_zero_rejected(spark, tmp_path):
     )
     with pytest.raises(DestinationError, match="cluster_files"):
         prepare_destination(spark, dest)
+
+
+def test_ttl_name_matching_is_case_insensitive(spark, sf_dir):
+    """Spark resolves view identifiers case-insensitively; the TTL scan
+    must too, or a cached stage's view is dropped while a later stage
+    still references it in different case."""
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+    from aqueducts_spark.progress import CollectingTracker
+
+    yml = f"""
+sources:
+  - type: file
+    name: ttl_nat
+    format: {{type: parquet}}
+    location: {sf_dir}/nation.parquet
+stages:
+  - - name: TtlDocs
+      query: SELECT n_nationkey AS id FROM ttl_nat
+      eager: true
+  - - name: ttl_mid
+      query: SELECT count(*) AS n FROM ttldocs
+  - - name: ttl_final
+      query: SELECT n FROM ttl_mid
+"""
+    run_pipeline(spark, load_pipeline_str(yml), CollectingTracker())
+    assert spark.table("ttl_final").collect()[0].n == 25
+    for v in ("ttl_mid", "ttl_final"):
+        spark.catalog.dropTempView(v)
+
+
+def test_in_memory_destination_cache_survives_pipeline_end(spark, sf_dir):
+    """The in_memory destination caches the result so later reads don't
+    recompute; the post-write cache release must not undo that."""
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+    from aqueducts_spark.progress import CollectingTracker
+
+    yml = f"""
+sources:
+  - type: file
+    name: memcache_nat
+    format: {{type: parquet}}
+    location: {sf_dir}/nation.parquet
+stages:
+  - name: memcache_stage
+    query: SELECT count(*) AS n FROM memcache_nat
+    eager: true
+destination: {{type: in_memory, name: memcache_out}}
+"""
+    run_pipeline(spark, load_pipeline_str(yml), CollectingTracker())
+    df = spark.table("memcache_out")
+    assert df.storageLevel.useMemory
+    assert df.collect()[0].n == 25
+    df.unpersist()
+    spark.catalog.dropTempView("memcache_out")
+
+
+def test_eager_cache_survives_until_destination_write(spark, sf_dir, tmp_path):
+    """An eager stage textually last-used mid-pipeline must stay cached
+    through the (lazy) destination write that actually consumes it."""
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+    from aqueducts_spark.progress import CollectingTracker
+
+    yml = f"""
+sources:
+  - type: file
+    name: keep_nat
+    format: {{type: parquet}}
+    location: {sf_dir}/nation.parquet
+stages:
+  - - name: keep_base
+      query: SELECT n_nationkey AS id, n_regionkey AS r FROM keep_nat
+      eager: true
+  - - name: keep_a
+      query: SELECT r, count(*) AS n FROM keep_base GROUP BY r
+    - name: keep_b
+      query: SELECT count(DISTINCT id) AS d FROM keep_base
+  - - name: keep_join
+      query: SELECT a.r, a.n, b.d FROM keep_a a CROSS JOIN keep_b b
+destination:
+  type: file
+  name: keep_out
+  format: {{type: parquet}}
+  location: {tmp_path}/keep_out
+"""
+    run_pipeline(spark, load_pipeline_str(yml), CollectingTracker())
+    back = spark.read.parquet(f"{tmp_path}/keep_out")
+    assert back.count() == 5 and set(back.columns) == {"r", "n", "d"}
