@@ -96,9 +96,15 @@ def _walk(txt, parts):
             value = value[part]
         elif isinstance(value, list):
             try:
-                value = value[int(part)]
-            except (ValueError, IndexError):
+                idx = int(part)
+            except ValueError:
                 return _ABSENT
+            # negative indices are NOT valid JSON paths: Python tail
+            # indexing would resolve 'tags.-1' where the DataFusion
+            # semantics this pack shims treat it as absent
+            if idx < 0 or idx >= len(value):
+                return _ABSENT
+            value = value[idx]
         else:
             return _ABSENT
     return value
@@ -136,19 +142,23 @@ def register_udfs(spark: SparkSession) -> None:
     )
 
     def get_str(j, *keys):
+        # STRING values only (DataFusion json_get_str semantics) —
+        # non-strings are NULL; serializing them made this an exact
+        # duplicate of json_as_text and changed WHERE-clause row sets
         v = _lookup(j, *keys)
-        if v is None:
-            return None
-        return v if isinstance(v, str) else json.dumps(v, **_COMPACT)
+        return v if isinstance(v, str) else None
 
     def get_int(j, *keys):
         v = _lookup(j, *keys)
         if isinstance(v, bool):
             return None
-        if isinstance(v, int):
-            return v
         if isinstance(v, float) and v.is_integer():
-            return int(v)
+            v = int(v)
+        if isinstance(v, int):
+            # JSON ints are unbounded; outside int64 the Arrow LongType
+            # conversion raises in the worker, failing the whole task
+            # over one pathological row — a type miss yields NULL
+            return v if -(2**63) <= v < 2**63 else None
         return None
 
     def get_float(j, *keys):

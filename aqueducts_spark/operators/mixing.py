@@ -83,11 +83,16 @@ def weighted_mix(
     """
     bucket = hash_bucket(F.col(id_col), buckets=_BUCKETS, salt="mix:")
     n = _copies_expr(weights, default_weight, F.col(group_col), bucket)
+    # helper name must not collide with (and silently destroy) a
+    # legitimate user column
+    mix_n = "_mix_n"
+    while mix_n in df.columns:
+        mix_n = "_" + mix_n
     return (
-        df.withColumn("_mix_n", n)
-        .where(F.col("_mix_n") >= 1)
-        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_mix_n"))))
-        .drop("_mix_n")
+        df.withColumn(mix_n, n)
+        .where(F.col(mix_n) >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col(mix_n))))
+        .drop(mix_n)
     )
 
 
@@ -118,7 +123,21 @@ def pack_shards(
         raise ValueError("pack_shards: budget must be >= 1")
     if parts < 1:
         raise ValueError("pack_shards: parts must be >= 1")
-    part = hash_bucket(F.col(order_col), buckets=parts, salt="pack:")
+    # the packer hash includes the tiebreak columns: hashing the order
+    # key alone funnels EVERY row sharing an order value (weighted_mix
+    # duplicates, tied quality scores) into one packer — the exact
+    # skew/one-task pileup independent packers exist to avoid.  Without
+    # tiebreaks the input reduces to the order key, so existing
+    # assignments (and the gate oracle) are unchanged.
+    if tiebreak_cols:
+        part_src = F.concat_ws(
+            "\x1f",
+            F.col(order_col).cast("string"),
+            *[F.col(c).cast("string") for c in tiebreak_cols],
+        )
+    else:
+        part_src = F.col(order_col)
+    part = hash_bucket(part_src, buckets=parts, salt="pack:")
     order = [F.col(order_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = (
         Window.partitionBy(part_col)

@@ -93,9 +93,10 @@ def byte_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
 
 _HIST_BUCKETS = 16
 
-_FEATURE_SCHEMA = T.StructType(
+def _feature_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
     [
-        T.StructField("__id", T.LongType()),
+        T.StructField("__id", id_type),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("entropy", T.DoubleType()),
         T.StructField("histogram", T.ArrayType(T.DoubleType())),
@@ -105,7 +106,7 @@ _FEATURE_SCHEMA = T.StructType(
         # mergeable form downstream corpus-level aggregation needs
         T.StructField("counts", T.ArrayType(T.LongType())),
     ]
-)
+    )
 
 
 def byte_histogram_features(
@@ -130,9 +131,19 @@ def byte_histogram_features(
                     continue
                 data = bytes(payload)
                 n = len(data)
-                counts = [0] * _HIST_BUCKETS
-                for byte in data:
-                    counts[byte >> 4] += 1
+                if n:
+                    import numpy as np
+
+                    counts = (
+                        np.bincount(
+                            np.frombuffer(data, np.uint8) >> 4,
+                            minlength=_HIST_BUCKETS,
+                        )
+                        .astype(int)
+                        .tolist()
+                    )
+                else:
+                    counts = [0] * _HIST_BUCKETS
                 if n:
                     hist = [round(c / n, 6) for c in counts]
                     entropy = round(
@@ -147,14 +158,17 @@ def byte_histogram_features(
             )
 
     out = df.select(
-        F.col(id_col).cast("long").alias(id_col), payload_col
-    ).mapInPandas(extract, schema=_FEATURE_SCHEMA)
+        # the id keeps ITS OWN type: cast('long') silently nulled every
+        # string id (crawl corpora routinely key by string doc ids)
+        F.col(id_col), payload_col
+    ).mapInPandas(extract, schema=_feature_schema(df.schema[id_col].dataType))
     return out.withColumnRenamed("__id", id_col)
 
 
-_DECODE_SCHEMA = T.StructType(
+def _decode_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
     [
-        T.StructField("__id", T.LongType()),
+        T.StructField("__id", id_type),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("pixels", T.ArrayType(T.FloatType())),
@@ -267,14 +281,15 @@ def decode_image(
             rows = []
 
     out = df.select(
-        F.col(id_col).cast("long").alias(id_col), payload_col
-    ).mapInPandas(run, schema=_DECODE_SCHEMA)
+        F.col(id_col), payload_col
+    ).mapInPandas(run, schema=_decode_schema(df.schema[id_col].dataType))
     return out.withColumnRenamed("__id", id_col)
 
 
-_FRAME_SCHEMA = T.StructType(
+def _frame_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
     [
-        T.StructField("__id", T.LongType()),
+        T.StructField("__id", id_type),
         T.StructField("frame_ms", T.LongType()),
         T.StructField("frame", T.BinaryType()),
     ]
@@ -322,6 +337,6 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=["__id", "frame_ms", "frame"])
 
     out = df.select(
-        F.col(id_col).cast("long").alias(id_col), payload_col
-    ).mapInPandas(run, schema=_FRAME_SCHEMA)
+        F.col(id_col), payload_col
+    ).mapInPandas(run, schema=_frame_schema(df.schema[id_col].dataType))
     return out.withColumnRenamed("__id", id_col)

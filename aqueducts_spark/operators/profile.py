@@ -36,7 +36,15 @@ def profile_table(
     aggregation (min/max computed on the native type, cast after).
     """
     dtypes = dict(df.dtypes)
-    cols = columns or list(dtypes)
+    # explicit [] must NOT mean "everything": a dynamically-filtered
+    # empty selection would silently become the most expensive
+    # all-columns pass (with exact_distinct, an EXPAND over the table)
+    cols = list(dtypes) if columns is None else list(columns)
+    if not cols:
+        raise ValueError(
+            "profile_table: columns is empty — pass None to profile "
+            "every column"
+        )
     unknown = [c for c in cols if c not in dtypes]
     if unknown:
         raise ValueError(f"profile_table: unknown columns {unknown}")

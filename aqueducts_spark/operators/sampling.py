@@ -40,6 +40,15 @@ __all__ = [
 _BUCKETS = 10_000
 
 
+def _fresh_name(base: str, taken) -> str:
+    """Helper-column name that cannot collide with (and so silently
+    destroy) a legitimate user column of the same name."""
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name
+
+
 def hash_bucket(
     col: Column, buckets: int = _BUCKETS, salt: str = "", hash_fn: str = "md5"
 ) -> Column:
@@ -103,6 +112,8 @@ def stratified_sample(
     ``default_rate``. Rates compile to one CASE expression — the rate
     table rides inside codegen, no join, no shuffle.
     """
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
     threshold = F.lit(int(round(default_rate * _BUCKETS)))
     for value, rate in sorted(rates.items()):
         if not 0.0 <= rate <= 1.0:
@@ -131,6 +142,11 @@ def deterministic_split(
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
+    negative = {k: w for k, w in weights.items() if w < 0}
+    if negative:
+        # a negative weight passes the sum check but yields an
+        # impossible bucket range — that split is silently empty
+        raise ValueError(f"split weights must be >= 0, got {negative}")
     bucket = hash_bucket(F.col(id_col), _BUCKETS, salt, hash_fn)
     expr = None
     upper = 0.0
@@ -169,17 +185,23 @@ def stratified_fixed_n(
     """
     from pyspark.sql.window import Window
 
+    v = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00"))
+    # NULL ids hash via the same sentinel as hash_bucket: a NULL rank
+    # key made selection among NULL-id rows partition-order dependent
     if hash_fn == "xxhash64":
-        h = F.xxhash64(F.lit(salt), F.col(id_col).cast("string"))
+        h = F.xxhash64(F.lit(salt), v)
     elif hash_fn == "md5":
-        h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        h = F.md5(F.concat(F.lit(salt), v))
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc_nulls_last()
+    )
+    rk = _fresh_name("_rk", df.columns)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= n_per_stratum)
+        .drop(rk)
     )
 
 
@@ -214,8 +236,9 @@ def group_cap(
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(*group_cols).orderBy(*order)
+    rk = _fresh_name("_rk", df.columns)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= n)
+        .drop(rk)
     )

@@ -53,7 +53,9 @@ JSON_DOC = '{"name": "ann", "age": 3, "score": 1.5, "ok": true, "tags": ["a", "b
     "expr,expected",
     [
         ("json_get_str(c, 'name')", "ann"),
-        ("json_get_str(c, 'tags')", '["a","b"]'),
+        ("json_get_str(c, 'tags')", None),  # strict: non-strings are NULL
+        ("json_as_text(c, 'tags')", '["a","b"]'),
+        ("json_get_str(c, 'tags.-1')", None),  # negative path = absent
         ("json_get_int(c, 'age')", 3),
         ("json_get_int(c, 'score')", None),
         ("json_get_float(c, 'score')", 1.5),
