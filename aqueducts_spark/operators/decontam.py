@@ -96,4 +96,9 @@ def decontaminate(
         .where(F.col("n_overlap") >= threshold)
         .select(id_col)
     )
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    # null-safe anti-join: a plain equi-anti-join never matches NULL
+    # keys, so a contaminated NULL-id document silently survived into
+    # training data.  ngram_overlap groups all NULL ids as one document,
+    # and this removal follows that same granularity.
+    cond = corpus[id_col].eqNullSafe(flagged[id_col])
+    return corpus.join(F.broadcast(flagged), cond, "left_anti")

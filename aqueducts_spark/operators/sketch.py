@@ -37,7 +37,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -129,23 +129,59 @@ def kmv_sketch(
     return (
         candidates.select(*grp, "h", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
+        # the sketch carries its build k: estimation MUST know it, and
+        # an independently-defaulted parameter silently took the
+        # "exact" branch for any saturated sketch built with smaller k
+        .withColumn("k", F.lit(int(k)))
     )
 
 
-def kmv_estimate(sketch: DataFrame, group_cols: Sequence[str], k: int = 64) -> DataFrame:
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], k: Optional[int] = 64
+) -> DataFrame:
     """Distinct-count estimate from a sketch: exact when the group has
-    fewer than k distinct values, ``(k-1)/h_(k)`` otherwise."""
+    fewer than k distinct values, ``(k-1)/h_(k)`` otherwise.
+
+    ``k`` is read from the sketch's own ``k`` column when present
+    (sketches built here carry it); a ``k`` argument that contradicts
+    the sketch raises at execution instead of silently mis-branching
+    (a saturated k=8 sketch estimated with the k=64 default used to
+    report "exactly 8" for a 100-distinct group).  For external
+    sketches without the column, the argument is trusted as given.
+    """
     grp = list(group_cols)
-    agg = sketch.groupBy(*grp).agg(
-        F.count("h").alias("sketch_size"),
-        F.max("h").alias("kth_h"),
-    )
+    aggs = [F.count("h").alias("sketch_size"), F.max("h").alias("kth_h")]
+    if "k" in sketch.columns:
+        aggs.append(F.min("k").alias("_k_min"))
+        aggs.append(F.max("k").alias("_k_max"))
+    agg = sketch.groupBy(*grp).agg(*aggs)
+    if "k" in sketch.columns:
+        guard = F.assert_true(
+            (F.col("_k_min") == F.col("_k_max"))
+            & (F.lit(True) if k is None else (F.col("_k_max") == F.lit(int(k)))),
+            F.lit(
+                "kmv_estimate: the k argument contradicts the sketch's "
+                "build k (or sketches with different k were mixed)"
+            ),
+        )
+        k_col = F.col("_k_max").cast("double")
+        agg = agg.where(guard.isNull())
+    else:
+        if k is None:
+            raise ValueError(
+                "kmv_estimate: sketch has no 'k' column; pass k explicitly"
+            )
+        k_col = F.lit(float(k))
     exact = F.col("sketch_size").cast("double")
-    est = F.lit(float(k - 1)) / (F.col("kth_h").cast("double") / F.lit(_HASH_SPACE))
+    est = (k_col - F.lit(1.0)) / (
+        F.col("kth_h").cast("double") / F.lit(_HASH_SPACE)
+    )
     return agg.select(
         *grp,
         F.col("sketch_size"),
-        F.when(F.col("sketch_size") < k, exact).otherwise(est).alias("distinct_est"),
+        F.when(F.col("sketch_size") < k_col, exact)
+        .otherwise(est)
+        .alias("distinct_est"),
     )
 
 
@@ -163,6 +199,7 @@ def merge_kmv_sketches(
     return (
         merged.select(*grp, "h", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
+        .withColumn("k", F.lit(int(k)))
     )
 
 
@@ -438,28 +475,36 @@ def bloom_filter(
     # evaluates the hash(es) exactly once and binds them as the lambda
     # variable; the body is integer shift/AND (plus two conv()s on the
     # md5 path).
+    # backtick-quote the identifier: raw interpolation crashed on any
+    # non-bare column name and was an expression-injection surface
+    qcol = "`" + value_col.replace("`", "``") + "`"
     if hash_fn == "xxhash64":
         probe = (
             f"array(named_struct("
-            f"'a', pmod(xxhash64(CAST({value_col} AS STRING)), {1 << 60}), "
-            f"'b', pmod(xxhash64(CAST({value_col} AS STRING), '#2'), {1 << 60})))"
+            f"'a', pmod(xxhash64(CAST({qcol} AS STRING)), {1 << 60}), "
+            f"'b', pmod(xxhash64(CAST({qcol} AS STRING), '#2'), {1 << 60})))"
         )
         h1_sql = "g.a"
         h2_sql = "g.b"
     else:
-        probe = f"array(md5(CAST({value_col} AS STRING)))"
+        probe = f"array(md5(CAST({qcol} AS STRING)))"
         h1_sql = "CAST(conv(substr(g, 1, 15), 16, 10) AS BIGINT)"
         h2_sql = "CAST(conv(substr(g, 16, 15), 16, 10) AS BIGINT)"
 
-    def _pos(i: int) -> str:
-        return f"pmod({h1_sql} + {i} * {h2_sql}, {num_bits})"
-
-    tests = " AND ".join(
-        f"((shiftright(element_at({words_sql}, CAST({_pos(i)} DIV 64 AS INT) + 1), "
-        f"CAST({_pos(i)} % 64 AS INT)) & 1) = 1)"
-        for i in range(1, num_hashes + 1)
+    # positions bound via a sequence-transform and the bitmap literal
+    # referenced exactly ONCE: repeating a ~262k-word array literal per
+    # hash test (and each position twice for DIV/%) made the SQL text
+    # num_hashes*2 times larger than the bitmap — a driver-side
+    # parse/analysis stall at large num_bits
+    positions = (
+        f"transform(sequence(1, {num_hashes}), "
+        f"i -> pmod({h1_sql} + i * {h2_sql}, {num_bits}))"
     )
-    cond = f"exists(transform({probe}, g -> ({tests})), x -> x)"
+    test = (
+        f"p -> ((shiftright(element_at({words_sql}, "
+        f"CAST(p DIV 64 AS INT) + 1), CAST(p % 64 AS INT)) & 1) = 1)"
+    )
+    cond = f"exists(transform({probe}, g -> forall({positions}, {test})), x -> x)"
     return df.where(F.col(value_col).isNotNull() & F.expr(cond))
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import normalized_tokens
+from .dedup import ensure_parallelism, normalized_tokens, word_ngrams
 
 __all__ = [
     "chunk_documents",
@@ -45,8 +45,10 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(normalized_tokens(text))
+    """Whitespace token count.  NULL text counts as 0 (module policy:
+    NULL behaves like empty — a NULL count silently drops the row from
+    BOTH sides of any token-threshold filter)."""
+    return F.size(normalized_tokens(F.coalesce(text, F.lit(""))))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -55,7 +57,14 @@ def bpe_ish_token_count(text: Column) -> Column:
     punctuation) — the standard ~chars/4 style estimator done
     symbol-aware. Useful for token budgeting at corpus scale."""
     pieces = F.filter(
-        F.split(F.regexp_replace(F.lower(text), r"([a-z]+|[0-9]+|[^a-z0-9\s])", "$1\x1f"), "\x1f"),
+        F.split(
+            F.regexp_replace(
+                F.lower(F.coalesce(text, F.lit(""))),
+                r"([a-z]+|[0-9]+|[^a-z0-9\s])",
+                "$1\x1f",
+            ),
+            "\x1f",
+        ),
         lambda t: F.trim(t) != F.lit(""),
     )
     return F.size(pieces)
@@ -141,7 +150,9 @@ def detect_language(
     """Stopword-overlap language ID over the fixed :data:`STOPWORDS`
     lists; emits the per-language hit ratios and the argmax (ties break
     by language code, 'und' when nothing matches)."""
-    toks = normalized_tokens(F.col(text_col))
+    # NULL text behaves like empty (ratios 0.0, lang 'und'), per the
+    # module's NULL policy
+    toks = normalized_tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.greatest(F.size(toks), F.lit(1))
     ratio_cols = {}
     for lang, words in STOPWORDS.items():
@@ -192,8 +203,6 @@ def repetition_features(
     n-grams per consumer. CollapseProject keeps the split (it refuses
     to duplicate non-cheap expressions referenced more than once).
     """
-    from .dedup import ensure_parallelism, word_ngrams
-
     # NULL text counts as empty; docs with fewer than n tokens have NO
     # n-grams, so every count is 0 and both fractions are 0.0 — the
     # NEUTRAL signal (word_ngrams' sentinel/partial gram would otherwise
@@ -287,7 +296,9 @@ def redact_pii(
     pipelined into the scan.
     """
     patterns = PII_PATTERNS if patterns is None else patterns
-    text = F.col(text_col)
+    # NULL text behaves like empty: NULL counts would mis-report every
+    # "n_email == 0" PII-clean assertion
+    text = F.coalesce(F.col(text_col), F.lit(""))
     redacted = text
     for name, pat in patterns.items():
         # the replacement string is a Java Matcher template: '$' is a
@@ -328,7 +339,7 @@ def strip_markup(
     dialect subset (inline ``(?is)`` flags, non-greedy ``.*?``,
     character classes) so a SQL oracle reproduces every byte.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL behaves like empty
     cleaned = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
     cleaned = F.regexp_replace(cleaned, r"(?is)<style[^>]*>.*?</style>", " ")
     cleaned = F.regexp_replace(cleaned, r"(?s)<!--.*?-->", " ")
@@ -390,7 +401,7 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     tokenized = df.select(
         F.col(id_col),
-        normalized_tokens(F.col(text_col)).alias("_toks"),
+        normalized_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     ).withColumn(
         "_n_extra", F.greatest(F.size("_toks") - chunk_tokens, F.lit(0)).cast("bigint")
     )
@@ -445,8 +456,6 @@ def vocabulary(
     table is tiny relative to the corpus; the explode never
     materializes (pipelined into the partial aggregation).
     """
-    from .dedup import ensure_parallelism
-
     counts = (
         ensure_parallelism(df)
         .select(F.explode(normalized_tokens(F.col(text_col))).alias("token"))
@@ -483,8 +492,6 @@ def tfidf_top_terms(
     top-n is a window over the (id, term) table.  Nothing wider than
     the tf table ever shuffles.
     """
-    from .dedup import ensure_parallelism
-
     tf = (
         ensure_parallelism(df)
         .select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("term"))
@@ -492,7 +499,15 @@ def tfidf_top_terms(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.agg(F.count(id_col).alias("n_docs"))
+    # n_docs must count the same DOCUMENT GRANULARITY df counts: rows
+    # with NULL or duplicate ids made df > n_docs, turning tf-idf
+    # negative for corpus-wide terms (ranking stopwords FIRST)
+    n_docs = df.agg(
+        (
+            F.count_distinct(F.col(id_col))
+            + F.coalesce(F.max(F.col(id_col).isNull().cast("int")), F.lit(0))
+        ).alias("n_docs")
+    )
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -533,8 +548,6 @@ def unigram_logprob(
     totals [shuffle of the tf table, not the corpus] and one final
     groupBy(id) of already-reduced rows.
     """
-    from .dedup import ensure_parallelism
-
     tf = (
         ensure_parallelism(df)
         .select(
@@ -599,8 +612,6 @@ def bigram_logprob(
     table; first-token scoring joins the unigram total table the same
     way. Nothing wider than the bigram tf table re-shuffles.
     """
-    from .dedup import ensure_parallelism, word_ngrams
-
     src = ensure_parallelism(df)
     toks = normalized_tokens(F.col(text_col))
 

@@ -654,3 +654,59 @@ def test_redact_pii_dollar_in_pattern_name(spark):
     ).collect()[0]
     assert out.redacted == "price is [PRICE$] today"
     assert out["n_price$"] == 1
+
+
+def test_decontaminate_null_id_rows_are_removable(spark):
+    """A contaminated document with a NULL id must NOT survive the
+    anti-join (plain equi-anti-joins never match NULL keys)."""
+    from aqueducts_spark.operators.decontam import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    corpus = spark.createDataFrame(
+        [(None, bench_text + " extra words here"), (2, "totally unrelated clean text")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    kept = decontaminate(corpus, bench, n=13).collect()
+    assert [r.doc_id for r in kept] == [2]
+
+
+def test_text_null_behaves_like_empty(spark):
+    """Module NULL policy: every text operator treats NULL text as
+    empty instead of NULL-poisoning counts/ratios."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import (
+        bpe_ish_token_count,
+        chunk_documents,
+        detect_language,
+        redact_pii,
+        strip_markup,
+        token_count,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = df.select(
+        token_count(F.col("text")).alias("t"),
+        bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()[0]
+    assert r.t == 0 and r.b == 0
+    lang = detect_language(df).collect()[0]
+    assert lang.predicted_lang == "und" and lang.ratio_en == 0.0
+    pii = redact_pii(df).collect()[0]
+    assert pii.n_email == 0 and pii.redacted == ""
+    markup = strip_markup(df).collect()[0]
+    assert markup.n_tags == 0 and markup.cleaned == ""
+    chunk = chunk_documents(df).collect()[0]
+    assert chunk.n_chunk_tokens == 0
+
+
+def test_tfidf_null_and_duplicate_ids_never_negative(spark):
+    from aqueducts_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(None, "shared term alpha"), (1, "shared term beta"), (2, "shared term gamma")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, top_n=5)
+    assert out.where("tfidf < 0").count() == 0

@@ -290,3 +290,37 @@ def test_dd_sketch_excludes_nonfinite(spark):
     assert sk.agg(F.sum("cnt")).collect()[0][0] == 3  # finite rows only
     est = {r.q: r.est for r in dd_quantile(sk, [], [0.5]).collect()}
     assert abs(est[0.5] - 2.0) / 2.0 <= 0.02 / 2.02 + 1e-9
+
+
+def test_kmv_estimate_detects_build_k_mismatch(spark):
+    """A saturated k=8 sketch estimated with the old k=64 default
+    silently reported 'exactly 8' for a ~300-distinct group; the sketch
+    now carries its build k and a contradicting argument raises."""
+    import pytest as _pytest
+
+    toy = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(300)], "grp string, v string"
+    )
+    sk = kmv_sketch(toy, ["grp"], "v", k=8)
+    est = kmv_estimate(sk, ["grp"], k=None).collect()[0]
+    assert est.sketch_size == 8
+    assert 100 <= est.distinct_est <= 900  # estimated, never "exact 8"
+    with _pytest.raises(Exception, match="contradicts"):
+        kmv_estimate(sk, ["grp"], k=64).collect()
+    # matching k still fine
+    ok = kmv_estimate(sk, ["grp"], k=8).collect()[0]
+    assert ok.distinct_est == est.distinct_est
+
+
+def test_bloom_filter_quoted_column_names(spark):
+    """Non-bare column names must work (and not be an injection
+    surface) — the probe SQL quotes the identifier."""
+    from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz")], ["id", "user id"]
+    )
+    bits = bloom_sketch(df.where("id < 3"), "user id", num_bits=1024)
+    kept = bloom_filter(df, "user id", bits, num_bits=1024)
+    ids = sorted(r.id for r in kept.collect())
+    assert 1 in ids and 2 in ids  # no false negatives
