@@ -1537,8 +1537,12 @@ WITH toks AS (
   FROM documents
 ),
 hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
-SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bitsums
+bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bitsums)
+-- empty/NULL-text docs produce no tokens: reinstate them with
+-- fingerprint 0, matching the operator's keep-the-row contract
+SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
 
 

@@ -119,10 +119,19 @@ def _payload_key(cols: list[str], hash_fn: str = "md5") -> Column:
     means ~1 accidental key collision per ~5 billion distinct payloads,
     so EXACT dedup on trillion-row corpora should keep md5 (a collision
     silently merges two distinct rows)."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in cols
-    ]
-    joined = F.concat_ws("\x1f", *parts)
+    # null-marked + length-prefixed encoding: a bare separator join was
+    # injectable — ('a\x1fb','c') and ('a','b\x1fc') concatenated to
+    # the same string, silently merging distinct rows; and a value
+    # literally equal to the NULL sentinel collided with a real NULL.
+    # "V<len>:<value>" / "N" parts are prefix-free, so the joined form
+    # is unambiguous for ANY byte content.
+    def _part(c):
+        v = F.col(c).cast("string")
+        return F.when(v.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(v).cast("string"), F.lit(":"), v)
+        )
+
+    joined = F.concat_ws("", *[_part(c) for c in cols])
     if hash_fn == "xxhash64":
         return F.xxhash64(joined)
     if hash_fn != "md5":
@@ -174,15 +183,20 @@ def drop_common_lines(
     never travel: the ``when()`` NULL-skip runs inside the *partial*
     (map-side) ``collect_list``/``sum``.
     """
-    lines = ensure_parallelism(df).select(
+    # F.split takes a REGEX: quote the separator (\Q..\E) so split and
+    # the literal array_join reassembly agree — sep='|' or '.' otherwise
+    # splits on alternation-of-empties / any-char and mangles the text
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    src = ensure_parallelism(df)
+    lines = src.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
     ).where(F.trim(F.col("line")) != "")
-    doc_lines = ensure_parallelism(df).select(
+    doc_lines = src.select(
         F.explode(
             F.array_distinct(
                 F.filter(
-                    F.split(F.col(text_col), sep), lambda l: F.trim(l) != ""
+                    F.split(F.col(text_col), sep_re), lambda l: F.trim(l) != ""
                 )
             )
         ).alias("line")
@@ -214,12 +228,17 @@ def drop_common_lines(
         ).alias("cleaned"),
     )
     # docs with zero non-empty lines never reach the aggregation — keep
-    # them (cleaned='', counts 0) instead of silently losing them
+    # them (cleaned='', counts 0) instead of silently losing them.
+    # Null-safe join: a plain equi-join never matches a NULL id, which
+    # ERASED such documents' text to '' (NULL-id docs are additionally
+    # merged into one aggregate by the NULL group key — give them
+    # unique ids if that matters).
+    base = df.select(id_col)
+    cond = base[id_col].eqNullSafe(agg[id_col])
     return (
-        df.select(id_col)
-        .join(agg, on=id_col, how="left")
+        base.join(agg, cond, "left")
         .select(
-            id_col,
+            base[id_col].alias(id_col),
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
             F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
@@ -310,7 +329,12 @@ def _minhash_signature(
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    ).where(F.col("shingle") != "")
+    # the '' sentinel word_ngrams emits for empty/NULL docs is dropped:
+    # otherwise EVERY contentless document gets the identical signature
+    # and they all pile into one quadratic candidate bucket in every
+    # band.  Empty docs share no content — they simply produce no
+    # signature/pairs here; dedup them with exact_dedup if desired.
     # universal hashing: ONE md5 per shingle, then k cheap
     # multiply-add-mod mixes (Carter-Wegman) instead of k md5s — 16x
     # less hashing CPU and far smaller generated code. h is the md5's
@@ -525,7 +549,12 @@ def simhash(
     0``) while dropping a branch from the per-token-per-bit hot loop
     (60 CASEs per exploded token was the dominant cost of the scan).
     """
-    toks = ensure_parallelism(df).select(
+    if not 1 <= bits <= 60:
+        # the token hash is 60 bits: bits 61-63 would silently always be
+        # zero and 1<<63 overflows the BIGINT literal under ANSI
+        raise ValueError(f"simhash: bits must be in 1..60, got {bits}")
+    src = ensure_parallelism(df)
+    toks = src.select(
         F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
     )
     hashed = toks.withColumn("h", _token_hash60(F.col("tok"), hash_fn))
@@ -540,7 +569,19 @@ def simhash(
         f"IF(b{b} * 2 > __n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
         for b in range(bits)
     )
-    return agg.select(F.col(id_col), F.expr(f"({fingerprint}) AS simhash"))
+    fingerprints = agg.select(F.col(id_col), F.expr(f"({fingerprint}) AS simhash"))
+    # explode emits no rows for empty/whitespace/NULL text, which
+    # silently LOST those documents from the output; reinstate them
+    # with fingerprint 0 (no tokens -> every bit majority is 0), the
+    # same keep-the-row contract drop_common_lines documents
+    return (
+        src.select(id_col)
+        .join(fingerprints, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
+        )
+    )
 
 
 def embedding_near_duplicates(
@@ -556,7 +597,7 @@ def embedding_near_duplicates(
     first and run this within buckets. Dot/norm are ``aggregate`` +
     ``zip_with`` — JVM-side, no Python.
     """
-    from .similarity import dot, l2_norm
+    from .similarity import _NORM_EPS, dot, l2_norm
 
     # per-id norms are computed ONCE on each n-row side instead of per
     # pair (n^2 evaluations of an interpreted higher-order aggregate);
@@ -575,7 +616,12 @@ def embedding_near_duplicates(
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
-            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "cosine",
+            # epsilon-guarded like cosine_similarity: an unguarded
+            # divide crashes with DIVIDE_BY_ZERO on any zero-norm
+            # vector under Spark 4's default ANSI mode
+            dot(F.col("va"), F.col("vb"))
+            / F.greatest(F.col("na") * F.col("nb"), F.lit(_NORM_EPS)),
         )
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
@@ -622,7 +668,7 @@ def embedding_near_duplicates_lsh(
     Same contract as the brute-force twin: ``id_a < id_b``, exact
     ``cosine > threshold``, cosine rounded to 4 places.
     """
-    from .similarity import dot, l2_norm, random_hyperplanes
+    from .similarity import _NORM_EPS, dot, l2_norm, random_hyperplanes
 
     # NULL vectors can never exceed a cosine threshold (the brute-force
     # twin propagates NULL cosine, which fails the filter) — drop them
@@ -717,7 +763,8 @@ def embedding_near_duplicates_lsh(
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            dot(F.col("__va"), F.col("__vb"))
+            / F.greatest(F.col("__na") * F.col("__nb"), F.lit(_NORM_EPS)),
         )
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

@@ -222,3 +222,78 @@ def test_exact_dedup_xxhash_same_survivors_as_md5(spark):
     # shuffle key on the fast path is a fixed 8-byte bigint
     plan = exact_dedup(df, "doc_id", ["text"], hash_fn="xxhash64")._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan and "md5" not in plan
+
+
+class TestDedupReviewRegressions:
+    def test_payload_key_separator_injection_proof(self, spark):
+        """('a\\x1fb','c') vs ('a','b\\x1fc') must be DIFFERENT dedup
+        keys (the bare separator join merged them), and a value equal to
+        the old NULL sentinel must differ from a real NULL."""
+        from aqueducts_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a\x1fb", "c"), (2, "a", "b\x1fc"),
+             (3, None, "z"), (4, "\x00<NULL>", "z")],
+            "id long, c1 string, c2 string",
+        )
+        kept = sorted(r.id for r in exact_dedup(df, "id", ["c1", "c2"]).collect())
+        assert kept == [1, 2, 3, 4]  # all four are distinct payloads
+
+    def test_simhash_keeps_empty_and_null_docs(self, spark):
+        from aqueducts_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[2] == 0 and out[3] == 0 and out[1] != 0
+
+    def test_simhash_bits_validated(self, spark):
+        import pytest as _pytest
+
+        from aqueducts_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="bits"):
+            simhash(df, bits=64)
+
+    def test_embedding_neardup_zero_vectors_dont_crash(self, spark):
+        from aqueducts_spark.operators.dedup import (
+            embedding_near_duplicates,
+            embedding_near_duplicates_lsh,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]), (4, [0.99, 0.1])],
+            "vec_id long, embedding array<float>",
+        )
+        exact = embedding_near_duplicates(df, threshold=0.8).collect()
+        assert {(r.id_a, r.id_b) for r in exact} == {(3, 4)}  # zeros match nothing
+        lsh = embedding_near_duplicates_lsh(
+            df, threshold=0.8, num_tables=8, bits_per_table=4
+        ).collect()
+        assert all({r.id_a, r.id_b} != {1, 2} for r in lsh)
+
+    def test_drop_common_lines_regex_separator_and_null_ids(self, spark):
+        from aqueducts_spark.operators.dedup import drop_common_lines
+
+        df = spark.createDataFrame(
+            [(1, "a|b|c"), (None, "x|y")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in drop_common_lines(df, sep="|", max_docs=5).collect()}
+        assert out[1].cleaned == "a|b|c" and out[1].n_kept == 3
+        # NULL-id doc keeps its content (plain equi-join erased it)
+        assert out[None].cleaned == "x|y" and out[None].n_kept == 2
+
+    def test_minhash_empty_docs_form_no_mega_bucket(self, spark):
+        from aqueducts_spark.operators.dedup import minhash_candidate_pairs
+
+        rows = [(i, "") for i in range(20)] + [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy dog today"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_candidate_pairs(df).collect()
+        ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+        assert ids == {100, 101}  # no pairs among the 20 empty docs
