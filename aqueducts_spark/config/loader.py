@@ -68,5 +68,5 @@ def load_pipeline(
 ) -> Pipeline:
     path = Path(path)
     return load_pipeline_str(
-        path.read_text(), format_from_path(path), params, validate_sql
+        path.read_text(encoding="utf-8"), format_from_path(path), params, validate_sql
     )

@@ -434,6 +434,13 @@ class DeltaWriteMode(_Base):
                     f"upsert params must be a LIST of key columns, got the "
                     f"string {raw!r} — write params: [{raw!s}]"
                 )
+            if not isinstance(raw, (list, tuple)):
+                # a mapping would silently use its KEYS as merge keys;
+                # any other scalar raises a raw TypeError mid-iteration
+                raise ValueError(
+                    f"upsert params must be a LIST of key columns, got "
+                    f"{type(raw).__name__}: {raw!r}"
+                )
             keys = [str(k) for k in raw]
             if not keys:
                 raise ValueError("upsert requires at least one merge key column")
@@ -559,11 +566,19 @@ class Pipeline(_Base):
                 groups.append([_one_stage(entry)])
         object.__setattr__(self, "stage_groups", groups)
         if self.destination is not None:
-            dest = (
-                parse_destination(self.destination)
-                if isinstance(self.destination, dict)
-                else self.destination
-            )
+            if isinstance(self.destination, dict):
+                dest = parse_destination(self.destination)
+            elif hasattr(self.destination, "name"):
+                dest = self.destination  # already-parsed model object
+            else:
+                # a bare string would pass load-time validation and
+                # only crash in the write path after the whole pipeline
+                # computed — the fail-fast gap _one_stage closes for
+                # stages applies here too
+                raise ValueError(
+                    f"pipeline destination must be a mapping, got "
+                    f"{self.destination!r}"
+                )
             object.__setattr__(self, "parsed_destination", dest)
         names = [s.name for s in self.parsed_sources] + [
             st.name for g in groups for st in g

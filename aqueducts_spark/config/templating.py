@@ -37,6 +37,21 @@ def substitute_params(text: str, params: dict[str, str] | None) -> str:
         return m.group(0)
 
     out = _PARAM_RE.sub(repl, text)
+    # any ${...} in the DOCUMENT whose name the strict pattern did not
+    # match ('${ y }', '${data dir}') is a typo'd placeholder, not
+    # literal text — the documented contract is that every unresolved
+    # ${...} is a hard error, not a string that flows into a
+    # location/query verbatim.  Scanned on the ORIGINAL text: PARAM
+    # VALUES may legitimately contain template-looking syntax
+    # (reference semantics; the executor client pre-substitutes for
+    # exactly this reason).
+    stray = [
+        m.group(0)
+        for m in re.finditer(r"\$\{[^}]*\}", text)
+        if not _PARAM_RE.fullmatch(m.group(0))
+    ]
+    if stray:
+        missing.extend(sorted(set(stray)))
     if missing:
         raise MissingParamsError(missing)
     return out

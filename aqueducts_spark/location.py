@@ -67,9 +67,10 @@ def normalize_location(
         raise LocationError("empty location")
     if not _SCHEME_RE.match(location):
         # bare path -> absolute file:// URL (reference location.rs:34-58)
-        return Path(location).absolute().as_uri().rstrip("/") + (
-            "/" if location.endswith("/") else ""
-        )
+        uri = Path(location).absolute().as_uri()
+        if uri == "file:///":
+            return uri  # rstrip would eat the filesystem root to 'file:/'
+        return uri.rstrip("/") + ("/" if location.endswith("/") else "")
     parsed = urlparse(location)
     scheme = parsed.scheme.lower()
     if scheme not in SUPPORTED_SCHEMES:
@@ -79,10 +80,16 @@ def normalize_location(
         )
     if not location[len(scheme):].startswith("://"):
         # single-slash form ('file:/tmp/x', the rendering Spark itself
-        # prints) — normalize to the canonical double-slash URL instead
-        # of silently treating 'file:' as a relative directory name
+        # prints) — normalize to the canonical form.  Only object-store
+        # schemes hoist the first segment into the authority (it IS the
+        # bucket/container); for file/hdfs the whole remainder is a
+        # PATH — 'hdfs:/user/x' must not turn 'user' into a namenode
+        # hostname
         rest = location[len(scheme) + 1 :].lstrip("/")
-        location = f"{scheme}:///{rest}" if scheme == "file" else f"{scheme}://{rest}"
+        if scheme in ("file", "hdfs", "memory"):
+            location = f"{scheme}:///{rest}"
+        else:
+            location = f"{scheme}://{rest}"
         parsed = urlparse(location)
     spark_scheme = _SPARK_SCHEME[scheme]
     if spark_scheme in ("abfss", "abfs") and "@" not in parsed.netloc:

@@ -116,19 +116,29 @@ def apply_storage_config(spark, location: str, storage_config: dict[str, str]) -
         _unknown("gcs", unknown)
     elif scheme in ("az", "azure", "abfs", "abfss"):
         _apply_azure(hconf, parsed, storage_config)
+    else:
+        # file/hdfs/memory locations have no storage_config mapping —
+        # silently ignoring the keys is exactly the "dropped credential
+        # surfaces hours later as an opaque failure" this module's
+        # fail-fast contract prevents
+        raise StorageConfigError(
+            f"storage_config is not supported for {scheme}:// locations "
+            f"(got keys {sorted(storage_config)})"
+        )
 
 
 def _apply_azure(hconf, parsed, storage_config: dict[str, str]) -> None:
     # host = account.dfs.core.windows.net (or a sovereign-cloud /
     # custom endpoint) from the abfss authority; credentials register
     # under the ACTUAL host so non-default endpoints work
+    from .location import _account_name_of
+
     host = None
     if "@" in parsed.netloc:
         host = parsed.netloc.split("@", 1)[1]
-    account = None
-    for key, value in storage_config.items():
-        if key.lower() in _AZURE_ACCOUNT_KEYS:
-            account = str(value)
+    # ONE implementation of account-name extraction (location.py's):
+    # a second inline copy could drift on accepted keys
+    account = _account_name_of(storage_config)
     if host is None and account is not None:
         host = f"{account}.dfs.core.windows.net"
     sp: dict[str, str] = {}

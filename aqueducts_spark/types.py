@@ -168,14 +168,24 @@ def parse_data_type(s: str) -> T.DataType:
         sc = _int_param(params[1], "scale for decimal")
         if not (1 <= p <= 38):
             raise TypeParseError(f"decimal precision out of Spark range 1..38: {p}")
+        if not (0 <= sc <= p):
+            # Spark/Arrow reject these deep inside schema-apply with an
+            # opaque JVM error; name the bad type string instead
+            raise TypeParseError(
+                f"decimal scale must be in 0..precision ({p}), got {sc}"
+            )
         return T.DecimalType(p, sc)
     if name == "decimal256":
         need(2)
         p = _int_param(params[0], "precision for decimal256")
         sc = _int_param(params[1], "scale for decimal256")
-        if p > 38:
+        if not (1 <= p <= 38):
             raise TypeParseError(
-                f"decimal256 precision {p} exceeds Spark's max precision of 38"
+                f"decimal256 precision out of Spark's supported range 1..38: {p}"
+            )
+        if not (0 <= sc <= p):
+            raise TypeParseError(
+                f"decimal256 scale must be in 0..precision ({p}), got {sc}"
             )
         return T.DecimalType(p, sc)
     if name == "timestamp":
@@ -278,6 +288,14 @@ class Field:
         return T.StructField(self.name, self.spark_type, self.nullable, metadata)
 
 
+def _require_name(item: dict) -> str:
+    if "name" not in item:
+        raise TypeParseError(
+            f"schema field entry is missing 'name': {item!r}"
+        )
+    return item["name"]
+
+
 def parse_fields(raw: list) -> list[Field]:
     """Parse a YAML-shaped list of field dicts into Field objects."""
     out: list[Field] = []
@@ -294,7 +312,7 @@ def parse_fields(raw: list) -> list[Field]:
             raise TypeParseError(f"Field entry missing data_type: {item!r}")
         out.append(
             Field(
-                name=item["name"],
+                name=_require_name(item),
                 data_type=str(dtype),
                 nullable=bool(item.get("nullable", True)),
                 description=item.get("description"),

@@ -446,3 +446,86 @@ def test_jdbc_source_fails_fast_on_bad_query(spark):
     )
     with _pytest.raises(Exception):
         register_source(spark, src)
+
+
+class TestConfigReviewRegressions:
+    def test_hdfs_single_slash_keeps_path(self):
+        from aqueducts_spark.location import normalize_location
+
+        assert normalize_location("hdfs:/user/x") == "hdfs:///user/x"
+        # object-store single-slash forms still hoist the bucket
+        assert normalize_location("s3:/bucket/key") == "s3a://bucket/key"
+
+    def test_root_path_normalizes_to_valid_uri(self):
+        from aqueducts_spark.location import normalize_location
+
+        assert normalize_location("/") == "file:///"
+
+    def test_upsert_dict_params_rejected(self):
+        import pytest as _pytest
+        from pydantic import ValidationError
+
+        from aqueducts_spark.config.model import DeltaWriteMode
+
+        with _pytest.raises(ValidationError, match="LIST of key columns"):
+            DeltaWriteMode.model_validate(
+                {"operation": "upsert", "params": {"keys": ["id"]}}
+            )
+        with _pytest.raises(ValidationError, match="LIST of key columns"):
+            DeltaWriteMode.model_validate({"operation": "upsert", "params": 5})
+
+    def test_bare_string_destination_rejected_at_load(self):
+        import pytest as _pytest
+        from pydantic import ValidationError
+
+        from aqueducts_spark.config.model import Pipeline
+
+        with _pytest.raises(ValidationError, match="destination must be a mapping"):
+            Pipeline.model_validate(
+                {"sources": [], "stages": [], "destination": "out"}
+            )
+
+    def test_storage_config_on_plain_scheme_rejected(self, spark):
+        import pytest as _pytest
+
+        from aqueducts_spark.storage import StorageConfigError, apply_storage_config
+
+        with _pytest.raises(StorageConfigError, match="not supported"):
+            apply_storage_config(
+                spark, "hdfs://nn/x", {"aws_access_key_id": "k"}
+            )
+
+    def test_malformed_placeholders_are_hard_errors(self):
+        import pytest as _pytest
+
+        from aqueducts_spark.config.templating import (
+            MissingParamsError,
+            substitute_params,
+        )
+
+        with _pytest.raises(MissingParamsError, match=r"\$\{ y \}"):
+            substitute_params("a ${x} ${ y } b", {"x": "1"})
+        # param VALUES may contain template-looking text (reference
+        # semantics; the executor client pre-substitutes for this)
+        out = substitute_params("v=${x}", {"x": "${ literal }"})
+        assert out == "v=${ literal }"
+
+    def test_decimal_scale_validated(self):
+        import pytest as _pytest
+
+        from aqueducts_spark.types import TypeParseError, parse_data_type
+
+        with _pytest.raises(TypeParseError, match="scale"):
+            parse_data_type("decimal<5,10>")
+        with _pytest.raises(TypeParseError, match="scale"):
+            parse_data_type("decimal<10,-2>")
+        with _pytest.raises(TypeParseError, match="precision"):
+            parse_data_type("decimal256<0,0>")
+
+    def test_schema_field_missing_name_is_descriptive(self):
+        import pytest as _pytest
+
+        from aqueducts_spark.types import TypeParseError, parse_fields
+
+        with _pytest.raises(TypeParseError, match="missing 'name'"):
+            parse_fields([{"data_type": "string"}])
