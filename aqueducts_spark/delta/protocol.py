@@ -355,11 +355,9 @@ class DeltaProtocolTable:
     ) -> _Snapshot:
         latest = self.latest_version()
         if version is None and timestamp is not None:
-            import datetime as _dt
+            from .table import parse_travel_timestamp
 
-            ts = _dt.datetime.fromisoformat(
-                timestamp.replace("Z", "+00:00")
-            ).timestamp()
+            ts = parse_travel_timestamp(timestamp)
             candidates = [
                 v for v in self._commit_versions() if self._commit_timestamp(v) <= ts
             ]

@@ -269,9 +269,7 @@ class VersionedParquetTable:
                 raise DeltaTableError(f"version {version} not found at {self.root}")
             snapshot = matching[-1]
         elif timestamp is not None:
-            import datetime as _dt
-
-            ts = _dt.datetime.fromisoformat(timestamp.replace("Z", "+00:00")).timestamp()
+            ts = parse_travel_timestamp(timestamp)
             matching = [e for e in entries if e["timestamp"] <= ts]
             if not matching:
                 raise DeltaTableError(
@@ -363,7 +361,9 @@ class VersionedParquetTable:
         )
         # ... and the full source acts as upserted rows (update + insert)
         merged = untouched.unionByName(df.select(*current.columns))
-        merged = _localCheckpointed(merged)
+        # no checkpoint: the write goes to a FRESH data-<uuid> dir, so
+        # reading the current snapshot while writing never overlaps —
+        # materializing the merged set first just doubled the I/O
         new_dir = self._write_data_dir(merged, self.partition_columns())
         return self._commit("upsert", [new_dir], {"merge_keys": keys})
 
@@ -378,7 +378,6 @@ class VersionedParquetTable:
             out = kept.unionByName(df.select(*current.columns))
         else:
             out = df
-        out = _localCheckpointed(out)
         new_dir = self._write_data_dir(out, self.partition_columns())
         return self._commit("replace", [new_dir], {"conditions": conditions})
 
@@ -484,9 +483,19 @@ class VersionedParquetTable:
         return removed
 
 
-def _localCheckpointed(df: DataFrame) -> DataFrame:
-    """Break lineage before rewriting files we are also reading from."""
-    return df.localCheckpoint(eager=True)
+def parse_travel_timestamp(timestamp: str) -> float:
+    """Epoch seconds of a time-travel timestamp.  ZONE-LESS inputs are
+    UTC: commit timestamps are UTC epochs, and the native delta-spark
+    path resolves timestampAsOf in the session timezone (UTC in our
+    sessions) — interpreting naive strings in the OS-local zone made
+    the same YAML select snapshots hours apart depending on whether
+    delta-spark was installed."""
+    import datetime as _dt
+
+    parsed = _dt.datetime.fromisoformat(timestamp.replace("Z", "+00:00"))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+    return parsed.timestamp()
 
 
 class DeltaLayer:
@@ -519,9 +528,9 @@ class DeltaLayer:
         protocol."""
         from .protocol import DeltaProtocolTable
 
-        legacy = to_local_path(location) / _LOG_DIR
-        if legacy.is_dir() and any(legacy.glob("*.json")):
-            return VersionedParquetTable(self.spark, location)
+        legacy = VersionedParquetTable(self.spark, location)
+        if legacy.exists():
+            return legacy
         return DeltaProtocolTable(self.spark, location)
 
 

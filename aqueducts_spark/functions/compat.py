@@ -106,12 +106,20 @@ _SQL_UDFS: dict[str, str] = {
     # (Known approximation: a literal ' in the format is unsupported.)
     "df_to_char": (
         "CREATE OR REPLACE TEMPORARY FUNCTION df_to_char(t TIMESTAMP, fmt STRING) "
-        "RETURNS STRING RETURN date_format(t, "
+        "RETURNS STRING RETURN IF("
+        # any % left after removing the supported specifiers is an
+        # unsupported chrono directive (%b, %%, ...): raise instead of
+        # silently rendering it as literal text
+        "contains(replace(replace(replace(replace(replace(replace(fmt,"
+        "'%Y',''),'%m',''),'%d',''),'%H',''),'%M',''),'%S',''), '%'), "
+        "raise_error(concat('df_to_char: unsupported chrono specifier in "
+        "format ', fmt, ' (supported: %Y %m %d %H %M %S)')), "
+        "date_format(t, "
         "replace(concat('''', "
         "replace(replace(replace(replace(replace(replace(fmt,"
         "'%Y','''yyyy'''),'%m','''MM'''),'%d','''dd'''),"
         "'%H','''HH'''),'%M','''mm'''),'%S','''ss'''),"
-        " ''''), '''''', ''))"
+        " ''''), '''''', '')))"
     ),
     # DataFusion regexp_match(s, p): first full match as array (approx)
     "regexp_match": (
@@ -270,6 +278,13 @@ def _rename_functions(code: str) -> str:
 # the default Spark dialect instead).
 _JSON_KEY = _re.compile(r"'(?:[^']|'')*'|\d+")
 
+# bare keywords that can END an expression but are useless as a
+# backward-scanned operand (the scan would mis-capture just the word)
+_LHS_KEYWORDS = frozenset(
+    ("end", "else", "then", "when", "case", "and", "or", "not", "in",
+     "is", "null", "true", "false", "between", "like")
+)
+
 
 def _code_mask(sql: str) -> list[bool]:
     mask = [False] * len(sql)
@@ -289,6 +304,13 @@ def _find_lhs_start(sql: str, mask: list[bool], op_idx: int) -> int | None:
     while k >= 0 and sql[k] in " \t\r\n":
         k -= 1
     if k < 0:
+        return None
+    if sql[k] in ("'", '"'):
+        # string-literal or (DataFusion-style) double-quoted-identifier
+        # operand: the operand is the whole quoted region
+        for start, end, is_code in _scan_regions(sql):
+            if not is_code and start <= k < end:
+                return start
         return None
     if sql[k] == ")":
         depth, p = 0, k
@@ -359,6 +381,21 @@ def _rewrite_json_ops(sql: str) -> str:
             pos = idx + op_len  # not a JSON access — leave it and move on
             continue
         lhs = sql[lhs_start:idx].rstrip()
+        if lhs.lower() in _LHS_KEYWORDS:
+            # 'CASE ... END -> key': the backward identifier scan can
+            # only capture the trailing keyword — emitting
+            # json_as_text(END, ...) would be garbage SQL with a
+            # misleading parse error
+            raise ValueError(
+                f"cannot translate JSON operator after bare keyword "
+                f"{lhs!r}: parenthesize the operand, e.g. "
+                f"(CASE ... END) -> 'key'"
+            )
+        if lhs.startswith('"') and lhs.endswith('"') and len(lhs) >= 2:
+            # DataFusion double-quoted identifier -> Spark backticks
+            # (Spark reads double quotes as a string literal by default)
+            inner = lhs[1:-1].replace('""', '"')
+            lhs = "`" + inner.replace("`", "``") + "`"
         sql = (
             sql[:lhs_start]
             + f"json_as_text({lhs}, {key_m.group(0)})"
@@ -367,12 +404,29 @@ def _rewrite_json_ops(sql: str) -> str:
         pos = lhs_start  # a chain's next '->' now follows the rewrite
 
 
+def _strip_comments(sql: str) -> str:
+    """Replace comments with whitespace (strings untouched): a comment
+    between a function name and its '(' — or between an operand and
+    '->' — otherwise splits the scan regions and silently defeats
+    translation."""
+    parts = []
+    for start, end, _is_code in _scan_regions(sql):
+        chunk = sql[start:end]
+        if chunk.startswith("--") or chunk.startswith("/*"):
+            chunk = "\n" if chunk.endswith("\n") else " "
+        parts.append(chunk)
+    return "".join(parts)
+
+
 def translate_sql(sql: str) -> str:
     """Translate a DataFusion-dialect query to Spark SQL.
 
     Renames + JSON-operator rewrite on code regions only; string
-    literals, quoted identifiers, and comments pass through verbatim.
+    literals and quoted identifiers pass through verbatim (comments are
+    replaced with whitespace — they are semantically inert, and keeping
+    them defeated translation across comment boundaries).
     """
+    sql = _strip_comments(sql)
     parts = []
     for start, end, is_code in _scan_regions(sql):
         chunk = sql[start:end]

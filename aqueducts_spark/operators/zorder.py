@@ -79,15 +79,18 @@ def zorder_key(
             )
         # cast BEFORE subtracting: (int32 - int32) spanning > 2^31
         # overflows in the column's native type (ANSI mode throws,
-        # legacy wraps to negative buckets).  The bucket CLAMPS into
-        # [0, maxb]: with a caller-supplied minmax (e.g. yesterday's
-        # stats applied to today's data) an out-of-range value would
-        # otherwise wrap its high bits and land the largest values on
-        # the smallest z-keys, silently breaking min/max file pruning.
+        # legacy wraps to negative buckets).  The DELTA clamps into
+        # [0, rng] BEFORE the multiply: with a caller-supplied minmax
+        # (e.g. yesterday's stats applied to today's data) an
+        # out-of-range value's delta*maxb would overflow int64 itself —
+        # ANSI aborts the write, legacy wraps to an arbitrary bucket no
+        # post-multiply clamp can fix.  delta<=rng plus the rng guard
+        # above makes the product overflow-free, and the bucket lands
+        # in [0, maxb] by construction.
         bucket = F.expr(
-            f"GREATEST(0L, LEAST({maxb}L, "
-            f"COALESCE((CAST({c} AS BIGINT) - CAST({mn} AS BIGINT)), 0) "
-            f"* {maxb} DIV {rng}))"
+            f"LEAST({rng}L, GREATEST(0L, "
+            f"COALESCE((CAST({c} AS BIGINT) - CAST({mn} AS BIGINT)), 0)"
+            f")) * {maxb} DIV {rng}"
         )
         for j in range(bits):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))

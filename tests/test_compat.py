@@ -31,9 +31,18 @@ class TestTranslateSql:
         q = 'SELECT "array_length"(a), `array_has` FROM t'
         assert translate_sql(q) == q
 
-    def test_comments_untouched(self):
+    def test_comments_stripped_not_translated(self):
+        # comments are replaced with whitespace (semantically inert):
+        # keeping them defeated renames across comment boundaries, and
+        # their CONTENT must never be translated
         q = "SELECT x -- make_array(1)\nFROM t /* array_has(a, 1) */"
-        assert translate_sql(q) == q
+        got = translate_sql(q)
+        assert "array(" not in got and "array_contains" not in got
+        assert got.startswith("SELECT x ") and "FROM t" in got
+
+    def test_comment_between_name_and_call_does_not_defeat_rename(self):
+        got = translate_sql("SELECT array_length /*n*/ (a) FROM t")
+        assert "size" in got and "array_length" not in got
 
     def test_identifier_not_a_call_untouched(self):
         assert translate_sql("SELECT array_length FROM t") == "SELECT array_length FROM t"
@@ -54,9 +63,11 @@ class TestTranslateSql:
         q = "SELECT 'a ->> b' FROM t"
         assert translate_sql(q) == q
 
-    def test_arrow_in_comment_untouched(self):
+    def test_arrow_in_comment_not_translated(self):
         q = "SELECT x FROM t -- see a ->> 'k'"
-        assert translate_sql(q) == q
+        got = translate_sql(q)
+        assert "json_as_text" not in got
+        assert got.startswith("SELECT x FROM t")
 
 
 class TestCompatFunctions:
@@ -225,7 +236,8 @@ def test_line_comment_with_arrow_is_still_a_comment():
     from aqueducts_spark.functions.compat import translate_sql
 
     src = "SELECT a FROM t --> note: x -> 1"
-    assert translate_sql(src) == src
+    got = translate_sql(src)
+    assert "json_as_text" not in got and got.startswith("SELECT a FROM t")
     # a quote inside the comment must not desync literal detection
     got = translate_sql("SELECT a FROM t --> don't\nWHERE approx_distinct(x) > 1")
     assert "approx_count_distinct" in got
@@ -277,3 +289,45 @@ def test_json_shims_variadic_and_null_semantics(spark):
     assert row.null_path is None and row.contains_null_path is None
     assert row.contains_json_null is True
     assert row.nested_variadic == "x"
+
+
+class TestCompatReviewRegressions:
+    def test_string_literal_lhs_translates(self):
+        from aqueducts_spark.functions.compat import translate_sql
+
+        got = translate_sql("""SELECT '{"a":1}' ->> 'a'""")
+        assert got == """SELECT json_as_text('{"a":1}', 'a')"""
+
+    def test_double_quoted_identifier_lhs_becomes_backticks(self):
+        from aqueducts_spark.functions.compat import translate_sql
+
+        got = translate_sql('''SELECT "my col" -> 'k' FROM t''')
+        assert got == "SELECT json_as_text(`my col`, 'k') FROM t"
+
+    def test_bare_keyword_lhs_raises_clearly(self):
+        import pytest as _pytest
+
+        from aqueducts_spark.functions.compat import translate_sql
+
+        with _pytest.raises(ValueError, match="parenthesize"):
+            translate_sql("SELECT CASE WHEN x THEN y ELSE z END -> 'k' FROM t")
+        # the documented workaround translates fine
+        got = translate_sql("SELECT (CASE WHEN x THEN y ELSE z END) -> 'k' FROM t")
+        assert "json_as_text((CASE WHEN x THEN y ELSE z END), 'k')" in got
+
+    def test_to_char_unsupported_specifier_raises(self, spark):
+        import pytest as _pytest
+
+        from aqueducts_spark.functions.compat import register_compat_functions
+
+        register_compat_functions(spark)
+        assert (
+            spark.sql(
+                "SELECT df_to_char(TIMESTAMP'2026-08-14 10:00:00', '%Y-%m-%d') AS s"
+            ).collect()[0].s
+            == "2026-08-14"
+        )
+        with _pytest.raises(Exception, match="unsupported chrono specifier"):
+            spark.sql(
+                "SELECT df_to_char(TIMESTAMP'2026-08-14 10:00:00', '%Y %b') AS s"
+            ).collect()

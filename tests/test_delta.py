@@ -367,3 +367,17 @@ def test_vacuum_counts_only_data_snapshots(spark, table):
     # dirC) even though a vacuum commit sits between them
     assert table.vacuum(keep_versions=2) == []
     assert table.read(version=v_b).count() == 2             # dirB still readable
+
+
+def test_time_travel_naive_timestamp_is_utc(spark, tmp_path):
+    """Zone-less time-travel timestamps resolve as UTC (matching the
+    native timestampAsOf path), not the OS-local timezone."""
+    from aqueducts_spark.delta.table import parse_travel_timestamp
+
+    assert parse_travel_timestamp("2024-01-01T00:00:00") == parse_travel_timestamp(
+        "2024-01-01T00:00:00Z"
+    )
+    assert (
+        parse_travel_timestamp("2024-01-01T02:00:00+02:00")
+        == parse_travel_timestamp("2024-01-01T00:00:00")
+    )

@@ -129,3 +129,21 @@ def test_zorder_config_validation():
             name="d", location="/tmp/x", format={"type": "parquet"},
             zorder_by=["a", "b"], cluster_by=["a"], single_file=False,
         )
+
+
+def test_zorder_stale_minmax_out_of_range_values_clamp(spark):
+    """With caller-supplied (stale) min/max, out-of-range values must
+    clamp to the edge buckets — the old post-multiply clamp overflowed
+    int64 first (ANSI abort / legacy wrap)."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1000, 0), (10**15, 0), (-(10**15), 0)], "a long, b long"
+    )
+    mm = {"a": (0, 1000), "b": (0, 1000)}
+    keyed = df.select("a", zorder_key(mm, ["a", "b"], bits=16)).collect()
+    by_a = {r.a: r.zorder_key for r in keyed}
+    assert by_a[10**15] == by_a[1000]  # clamped to the top bucket
+    assert by_a[-(10**15)] == by_a[0]  # clamped to the bottom bucket
