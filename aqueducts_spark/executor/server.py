@@ -41,14 +41,17 @@ class _StreamingTracker(ProgressTracker):
         self.loop.call_soon_threadsafe(self.queue.put_nowait, msg)
 
     def on_progress(self, event: ProgressEvent) -> None:
-        self._put(
-            {
-                "type": "progress_update",
-                "event": event.kind,
-                "name": event.name,
-                "duration_ms": event.duration_ms,
-            }
-        )
+        msg = {
+            "type": "progress_update",
+            "event": event.kind,
+            "name": event.name,
+            "duration_ms": event.duration_ms,
+        }
+        if event.extra:
+            # forward so the remote tracker contract matches the local
+            # one — otherwise any future use silently vanishes here
+            msg["extra"] = event.extra
+        self._put(msg)
 
     def on_output(self, stage_name: str, output_type: str, payload: str) -> None:
         for msg in chunk_output(stage_name, output_type, payload):

@@ -26,7 +26,6 @@ ship_module_by_value(sys.modules[__name__])
 __all__ = ["register_udtfs"]
 
 
-@udtf(returnType="sentence: string, idx: int, n_tokens: int")
 class _SplitSentences:
     """`split_sentences(text)` -> one row per sentence with its index
     and whitespace token count. SQL: LATERAL split_sentences(col)."""
@@ -39,13 +38,17 @@ class _SplitSentences:
                 yield (s, i, len(s.split()))
 
 
-@udtf(returnType="key: string, value: string")
 class _ParseKeyValues:
     """`parse_key_values(text, pair_sep, kv_sep)` -> one row per
     key=value pair; malformed fragments are skipped (no key/value)."""
 
     def eval(self, text: str, pair_sep: str = ",", kv_sep: str = "="):
         if text is None:
+            return
+        if not pair_sep or not kv_sep:
+            # malformed SEPARATORS follow the same documented
+            # skip-malformed contract — ''.split('') would otherwise
+            # raise in the worker and kill the whole job
             return
         for frag in text.split(pair_sep):
             if kv_sep in frag:
@@ -54,7 +57,24 @@ class _ParseKeyValues:
                     yield (k.strip(), v.strip())
 
 
+_CACHE: dict = {}
+
+
 def register_udtfs(spark: SparkSession) -> None:
-    """Register the UDTF pack for SQL use (idempotent)."""
-    spark.udtf.register("split_sentences", _SplitSentences)
-    spark.udtf.register("parse_key_values", _ParseKeyValues)
+    """Register the UDTF pack for SQL use (idempotent).
+
+    The ``@udtf`` wrapping happens HERE, lazily, not at import time:
+    the decorator freezes the Arrow-optimization decision from the
+    active session when it runs, so module-level decoration (no session
+    yet) silently pinned these UDTFs to the non-Arrow path regardless
+    of ``spark.sql.execution.pythonUDTF.arrow.enabled`` — and made the
+    behavior depend on import order."""
+    if not _CACHE:
+        _CACHE["split_sentences"] = udtf(
+            _SplitSentences, returnType="sentence: string, idx: int, n_tokens: int"
+        )
+        _CACHE["parse_key_values"] = udtf(
+            _ParseKeyValues, returnType="key: string, value: string"
+        )
+    spark.udtf.register("split_sentences", _CACHE["split_sentences"])
+    spark.udtf.register("parse_key_values", _CACHE["parse_key_values"])

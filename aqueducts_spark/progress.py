@@ -33,7 +33,8 @@ class ProgressTracker:
     def on_output(
         self, stage_name: str, output_type: str, payload: str
     ) -> None:  # pragma: no cover
-        """output_type: show | explain | explain_analyze | schema."""
+        """output_type: show | explain | explain_analyze | schema |
+        plan_lint (scale-hazard warnings emitted alongside explain)."""
         pass
 
 

@@ -14,6 +14,7 @@ The settings here are the scale-relevant ones:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -51,7 +52,10 @@ def session_builder(app_name: str = "aqueducts_spark", master: str | None = None
     # shuffle cluster-wide (Spark's own default / the cluster config
     # applies instead).  SPARK_GRAFT_CPUS='*' means all local cores:
     # a valid master but not a partition count.
-    if master.startswith("local"):
+    # 'local' / 'local[N]' / 'local[*]' only — NOT 'local-cluster[...]',
+    # a simulated cluster whose executor cores the driver's cpu_count
+    # says nothing about (the exact case this branch must avoid)
+    if master == "local" or re.fullmatch(r"local\[[^\]]*\]", master):
         shuffle_parts = (
             cpus if cpus and cpus.isdigit() else str(os.cpu_count() or 8)
         )

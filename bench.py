@@ -73,7 +73,10 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)).strip()
+    # same guard as session.py: '*' is a valid local-master core count
+    # but NOT a shuffle-partition number
+    shuffle_parts = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -81,7 +84,7 @@ def main() -> None:
 
     spark = (
         session_builder("aqueducts-bench", master=f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # ~40 codegen-heavy queries x3 runs overflow the default 240MB

@@ -200,3 +200,27 @@ destination:
     assert len(rows) >= 1 and all(r.gm > 0 for r in rows)
     spark.catalog.dropTempView("udaf_orders")
     spark.catalog.dropTempView("udaf_out")
+
+
+def test_parse_key_values_malformed_separators_skip_not_crash(spark):
+    """Malformed separators follow the documented skip contract —
+    ''.split('') raised in the worker and killed the whole job."""
+    from aqueducts_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    assert (
+        spark.sql(
+            "SELECT * FROM parse_key_values('a=1,b=2', '', '=')"
+        ).count()
+        == 0
+    )
+    assert (
+        spark.sql(
+            "SELECT * FROM parse_key_values('a=1,b=2', ',', CAST(NULL AS STRING))"
+        ).count()
+        == 0
+    )
+    rows = spark.sql(
+        "SELECT * FROM parse_key_values('a=1,b=2', ',', '=') ORDER BY key"
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [("a", "1"), ("b", "2")]
