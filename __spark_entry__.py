@@ -42,7 +42,12 @@ _REGISTERED: dict[int, str] = {}
 def _views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
-    if _REGISTERED.get(id(spark)) == sf_dir:
+    if _REGISTERED.get(id(spark)) == sf_dir and spark.catalog.tableExists(
+        TABLES[0]
+    ):
+        # the tableExists probe guards against id() recycling: a NEW
+        # session allocated at a freed session's address would
+        # otherwise be treated as already-registered and get no views
         return
     # events.ts is parquet timestamp[us] with isAdjustedToUTC=false, which
     # Spark reads as TIMESTAMP_NTZ while the DuckDB oracle reads a naive
@@ -1707,9 +1712,15 @@ def _lsh_buckets_duck_sql() -> str:
         dot = f"list_sum(list_transform(list_zip(embedding, {arr}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
         bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
     bucket = " || ".join(bits)
+    # NULL embeddings get a NULL bucket, matching hyperplane_lsh's
+    # documented behavior — the bare CASE chain would have filed them
+    # under the all-zero bucket
     return f"""
 SELECT bucket, COUNT(*) AS n_vectors
-FROM (SELECT {bucket} AS bucket FROM embeddings) t
+FROM (
+  SELECT CASE WHEN embedding IS NULL THEN NULL ELSE {bucket} END AS bucket
+  FROM embeddings
+) t
 GROUP BY bucket
 """
 
@@ -3008,11 +3019,18 @@ FROM lineitem WHERE l_orderkey <= 500
 # both Spark and DuckDB, so the gate makes ties impossible instead.
 Q46_SPARK = """
 SELECT o_custkey,
+       -- decimal-derived cents key: CAST(double AS BIGINT) truncates in
+       -- Spark but rounds in DuckDB, so a float-noise price like
+       -- x.999999999998 keyed differently per engine; the 1e11 tiebreak
+       -- multiplier keeps price_cents(<=6e7)*1e11 inside int64 while
+       -- covering order keys to 1e11 (the old 1e7 overflowed at sf>=10)
        max_by(o_orderkey,
-              CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                * 100000000000 + o_orderkey)
          AS top_order,
        min_by(o_orderkey,
-              CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                * 100000000000 + o_orderkey)
          AS bottom_order,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
@@ -3455,7 +3473,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "q07_cte": Q07_SPARK,
         "q08_unnest_tokens": Q08_DUCK,
         "q09_string_fns": Q09_DUCK,
-        "q10_date_fns": Q10_SPARK.replace("year(o_orderdate)", "year(o_orderdate)"),
+        "q10_date_fns": Q10_SPARK,
         "q11_json_fns": Q11_DUCK,
         "q12_case_buckets": Q12_SPARK,
         "q13_having": Q13_SPARK,
