@@ -40,6 +40,7 @@ def test_examples_exist():
         "pretrain_prep.yml",
         "embedding_index.yml",
         "embedding_dedup.yml",
+        "web_curation.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
