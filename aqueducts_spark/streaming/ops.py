@@ -458,3 +458,34 @@ def merge_stream_into_table(
     else:
         query = writer.start()
     return query
+
+
+def url_dedup_stream(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Streaming crawl-frontier dedup: only the FIRST document ever
+    seen for each CANONICAL URL survives, across micro-batches — the
+    streaming twin of ``operators/web.py::url_dedup`` built by
+    composing the pure-codegen canonicalization with the stateful
+    keep-first dedup (state is one boolean per canonical URL, hash
+    partitioned — the 100 TB contract).
+
+    Rows whose url is NULL pass through untouched, matching the batch
+    twin: a NULL url means "no URL", not a duplicate of every other
+    NULL.  (Structured Streaming cannot union a stateful branch with a
+    passthrough of the same source in one query, so NULL-url rows ride
+    a canonical-key sentinel unique per row instead.)
+    """
+    from ..operators.web import canonical_url
+
+    canon_col = "__canonical_url"
+    while canon_col in df.columns:
+        canon_col = "_" + canon_col
+    with_canon = df.withColumn(
+        canon_col,
+        F.coalesce(
+            canonical_url(F.col(url_col)),
+            # unique sentinel per NULL-url row -> its "key" never
+            # repeats, so keep-first always keeps it
+            F.concat(F.lit("\x00null:"), F.expr("uuid()")),
+        ),
+    )
+    return dedup_stream(with_canon, [canon_col]).drop(canon_col)

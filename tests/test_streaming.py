@@ -343,3 +343,50 @@ def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert est_stream == est_batch
+
+
+def test_url_dedup_stream_across_batches(spark, tmp_path):
+    """Streaming twin of url_dedup: case/port/tracking variants of one
+    page dedup across micro-batches; NULL urls all pass through."""
+    import json
+
+    from aqueducts_spark.streaming.ops import run_available_now, url_dedup_stream
+    from aqueducts_spark.types import Field
+    from aqueducts_spark.streaming.ops import file_stream_source
+
+    src = tmp_path / "urls_in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "url": "HTTPS://WWW.A.com/x/?b=1&utm_s=9"},
+                {"doc_id": 2, "url": None},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 3, "url": "https://a.com/x?b=1"},  # dup of 1
+                {"doc_id": 4, "url": None},
+                {"doc_id": 5, "url": "https://b.org/y"},
+            ]
+        )
+    )
+    stream = file_stream_source(
+        spark,
+        str(src),
+        "json",
+        [Field(name="doc_id", data_type="int64", nullable=False),
+         Field(name="url", data_type="string", nullable=True)],
+        options={"maxFilesPerTrigger": "1"},
+    )
+    rows = run_available_now(
+        url_dedup_stream(stream), str(tmp_path / "ckpt"), output_mode="append"
+    )
+    kept = sorted(r.doc_id for r in rows)
+    assert 1 in kept and 3 not in kept  # canonical dup dropped
+    assert 2 in kept and 4 in kept      # NULL urls all survive
+    assert 5 in kept
