@@ -115,7 +115,12 @@ def _cmd_cancel(args) -> int:
     from .executor.client import cancel_execution
 
     host, port = _parse_hostport(args.executor)
-    cancel_execution(host, port, args.id)
+    reply = cancel_execution(host, port, args.id)
+    if reply.get("type") == "error":
+        # e.g. a typo'd id — claiming success here left a running
+        # pipeline alive while the user believed it was cancelled
+        print(f"cancel failed: {reply.get('message')}", file=sys.stderr)
+        return 1
     print(f"cancel requested for {args.id}")
     return 0
 

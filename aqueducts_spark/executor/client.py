@@ -68,44 +68,84 @@ async def _submit(
     outputs: dict[tuple[str, str], list[str]] = {}
     final: dict[str, Any] = {}
     execution_id: Optional[str] = None
+    started = False
+    queued_waits = 0
+
+    def handle(msg: dict[str, Any]) -> None:
+        """ONE handler for both the main loop and the post-cancel drain
+        — two copies drifted before (the drain path missed output_start
+        seeding)."""
+        if on_message:
+            on_message(msg)
+        mtype = msg.get("type")
+        if mtype in ("output_start", "output_chunk"):
+            # output_start seeds the key so an EMPTY payload (zero
+            # chunks) still appears in outputs and keeps the
+            # stage-vs-stage::type naming stable
+            key = (msg["stage"], msg.get("output_type", ""))
+            parts = outputs.setdefault(key, [])
+            if mtype == "output_chunk":
+                parts.append(msg["data"])
+
     try:
         while True:
             try:
                 line = await asyncio.wait_for(reader.readline(), timeout)
             except asyncio.TimeoutError:
-                # inactivity horizon exceeded: cancel the remote
+                if not started and queued_waits < 3:
+                    # still QUEUED behind another execution: the server
+                    # is silent by design (positions broadcast only on
+                    # queue changes), so an immediate inactivity cancel
+                    # would kill a perfectly healthy queued run — extend
+                    # the patience (bounded: a wedged server must still
+                    # surface as an error, not an infinite wait).
+                    queued_waits += 1
+                    if on_message:
+                        on_message(
+                            {
+                                "type": "client_note",
+                                "message": (
+                                    f"no server traffic for {timeout}s but "
+                                    "the execution has not started (queued) "
+                                    f"— waiting ({queued_waits}/3 extensions)"
+                                ),
+                            }
+                        )
+                    continue
+                # inactivity horizon exceeded MID-RUN: cancel the remote
                 # execution instead of orphaning it, and surface a
                 # clean protocol error rather than a raw TimeoutError.
                 if execution_id is not None:
-                    writer.write(
-                        encode(
-                            {
-                                "type": "cancel_request",
-                                "execution_id": execution_id,
-                            }
+                    try:
+                        writer.write(
+                            encode(
+                                {
+                                    "type": "cancel_request",
+                                    "execution_id": execution_id,
+                                }
+                            )
                         )
-                    )
-                    await writer.drain()
-                    # Cancellation can race completion: the server then
-                    # reports 'succeeded' (write committed!) rather than
-                    # 'cancelled'.  Briefly drain for that terminal
-                    # message so the user is not told the run failed
-                    # after its destination write landed.
-                    def _drain_msg(msg: dict[str, Any]) -> None:
-                        if on_message:
-                            on_message(msg)
-                        if msg.get("type") == "output_chunk":
-                            key = (msg["stage"], msg.get("output_type", ""))
-                            outputs.setdefault(key, []).append(msg["data"])
-
-                    final = await _drain_for_terminal(
-                        reader, grace=min(10.0, timeout), on_msg=_drain_msg
-                    )
-                    if final:
-                        final["after_inactivity_cancel"] = True
-                        if on_message:
-                            on_message(final)
-                        break
+                        await writer.drain()
+                    except Exception:
+                        # half-dead connection: the cancel cannot be
+                        # delivered — fall through to the clean error
+                        # dict instead of leaking ConnectionResetError
+                        # (and losing the reassembled outputs)
+                        pass
+                    else:
+                        # Cancellation can race completion: the server
+                        # then reports 'succeeded' (write committed!)
+                        # rather than 'cancelled'.  Briefly drain for
+                        # that terminal message so the user is not told
+                        # the run failed after its write landed.
+                        final = await _drain_for_terminal(
+                            reader, grace=min(10.0, timeout), on_msg=handle
+                        )
+                        if final:
+                            final["after_inactivity_cancel"] = True
+                            if on_message:
+                                on_message(final)
+                            break
                 final = {
                     "type": "error",
                     "message": (
@@ -124,11 +164,9 @@ async def _submit(
             msg = decode(line)
             if msg.get("execution_id"):
                 execution_id = msg["execution_id"]
-            if on_message:
-                on_message(msg)
-            if msg.get("type") == "output_chunk":
-                key = (msg["stage"], msg.get("output_type", ""))
-                outputs.setdefault(key, []).append(msg["data"])
+            if msg.get("type") == "started":
+                started = True
+            handle(msg)
             if msg.get("type") in ("succeeded", "error", "cancelled"):
                 final = msg
                 break
@@ -158,17 +196,47 @@ def submit_pipeline(
     """Template client-side, submit, stream messages until terminal.
 
     Returns the terminal message with an ``outputs`` dict of
-    re-assembled chunked stage outputs.
+    re-assembled chunked stage outputs.  ``timeout`` is an INACTIVITY
+    horizon on a RUNNING execution; while the execution is still queued
+    behind others the client keeps waiting (the server is silent by
+    design there, and a dead server surfaces as connection-closed).
     """
     substituted = substitute_params(pipeline_text, params)
     return asyncio.run(_submit(host, port, substituted, fmt, on_message, timeout))
 
 
-def cancel_execution(host: str, port: int, execution_id: str) -> None:
-    async def go() -> None:
-        _, writer = await asyncio.open_connection(host, port)
-        writer.write(encode({"type": "cancel_request", "execution_id": execution_id}))
-        await writer.drain()
-        writer.close()
+def cancel_execution(
+    host: str, port: int, execution_id: str, timeout: float = 2.0
+) -> dict[str, Any]:
+    """Cancel by id over a fresh connection.  Returns the server's
+    reply — an unknown id comes back as ``{type: error, ...}``, which
+    the old fire-and-forget version silently swallowed (the CLI then
+    claimed a cancel happened when nothing did)."""
 
-    asyncio.run(go())
+    async def go() -> dict[str, Any]:
+        reader, writer = await asyncio.open_connection(host, port)
+        try:
+            writer.write(
+                encode({"type": "cancel_request", "execution_id": execution_id})
+            )
+            await writer.drain()
+            try:
+                line = await asyncio.wait_for(reader.readline(), timeout)
+            except asyncio.TimeoutError:
+                # a SUCCESSFUL cancel produces no reply on this
+                # connection (the cancelled/succeeded notification goes
+                # to the owning client); only errors reply here, and
+                # they reply immediately — silence after the short wait
+                # means accepted
+                return {"type": "accepted"}
+            if not line:
+                # a running execution's cancel produces no reply on THIS
+                # connection (the cancelled/succeeded goes to the owning
+                # client); connection close after a successful write is
+                # the expected quiet outcome
+                return {"type": "accepted"}
+            return decode(line)
+        finally:
+            writer.close()
+
+    return asyncio.run(go())

@@ -55,24 +55,38 @@ def salted_join(
     """Join with the big side's keys salted across ``salt_buckets``.
 
     The big side gets a deterministic pseudo-random salt derived from a
-    row-identifying column (``seed_col``; defaults to the join key +
-    ``monotonically_increasing_id``), the small side is exploded to all
+    row's CONTENT (``seed_col``, or by default a hash over every big-
+    side column — deterministic under task retry, which a positional id
+    is not), the small side is exploded to all
     salts (size × R — only acceptable because it is the SMALL side).
     Join key becomes (key, salt): hot keys now spread across R shuffle
     partitions.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
+    if salt_buckets < 1:
+        # 0 buckets would make the big side's salt NULL and the small
+        # side's explode empty — a silently EMPTY join result
+        raise ValueError(f"salted_join: salt_buckets must be >= 1, got {salt_buckets}")
+    # the salt must be DETERMINISTIC under task retry: it is a shuffle/
+    # join key, and a monotonically_increasing_id-derived salt could
+    # re-assign rows to different buckets on recomputation (rows lost or
+    # duplicated mid-join, the classic nondeterministic-shuffle-key
+    # hazard).  Default: content hash over ALL big-side columns — pure
+    # function of the row, so retries reproduce the same bucket.
     salt_src = (
-        F.col(seed_col)
+        F.xxhash64(F.col(seed_col))
         if seed_col
-        else F.concat_ws("#", F.col(on).cast("string"), F.monotonically_increasing_id())
+        else F.xxhash64(*[F.col(c) for c in big.columns])
     )
+    salt = "__salt"
+    while salt in big.columns or salt in small.columns:
+        salt = "_" + salt  # never clobber a user column of the same name
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).cast("int")
+        salt, F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
     )
     small_salted = small.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        salt, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    out = big_salted.join(small_salted, on=[on, "__salt"], how=how)
-    return out.drop("__salt")
+    out = big_salted.join(small_salted, on=[on, salt], how=how)
+    return out.drop(salt)

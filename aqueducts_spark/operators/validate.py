@@ -50,10 +50,11 @@ class ValidationError(ValueError):
 
 
 def _violation_expr(
-    column: str, check: str, value: Any, mode: str | None = None
+    c: Column, check: str, value: Any, mode: str | None = None
 ) -> Column:
-    """Boolean column: this row violates the rule."""
-    c = F.col(column)
+    """Boolean column: this row violates the rule (``c`` is the actual
+    dataframe column — resolving by NAME via F.col would misroute a
+    column literally named 'a.b' to a struct field)."""
     if check == "not_null":
         return c.isNull()
     if check == "min":
@@ -86,6 +87,13 @@ def validate_rules(
     """
     if not rules:
         raise ValidationError("validate_rules: rules must be non-empty")
+
+    def _col(name):
+        # backtick-quoted reference: both F.col(name) AND df[name]
+        # resolve dots as struct access, so a column literally named
+        # 'a.b' would silently validate the struct field instead
+        return df["`" + name.replace("`", "``") + "`"]
+
     cols = set(df.columns)
     aggs = [F.count(F.lit(1)).alias("_total")]
     for i, rule in enumerate(rules):
@@ -112,18 +120,25 @@ def validate_rules(
                 f"rule {i}: 'mode' is only valid for regex checks with "
                 f"values 'full'|'contains', got {mode!r} for {check!r}"
             )
+        if check == "in_set" and isinstance(rule.get("value"), (str, bytes)):
+            # iterating a string would silently check CHARACTERS
+            # ('US' -> isin('U','S')) — wrong counts with no error
+            raise ValidationError(
+                f"rule {i}: in_set value must be a list of accepted "
+                f"values, got the string {rule['value']!r}"
+            )
         if check == "unique":
             aggs.append(
                 (
-                    F.count(F.col(column))
-                    - F.count_distinct(F.col(column))
+                    F.count(_col(column))
+                    - F.count_distinct(_col(column))
                 ).alias(f"_v{i}")
             )
         else:
             aggs.append(
                 F.sum(
                     F.when(
-                        _violation_expr(column, check, rule.get("value"), mode),
+                        _violation_expr(_col(column), check, rule.get("value"), mode),
                         1,
                     ).otherwise(0)
                 ).alias(f"_v{i}")

@@ -103,3 +103,14 @@ def test_salted_join_operator_stage(spark, tmp_path):
             spark.catalog.dropTempView(v)
         except Exception:
             pass
+
+
+def test_salted_join_validates_buckets_and_preserves_user_salt_column(spark):
+    from aqueducts_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "k", 5)], "id long, k string, __salt int")
+    small = spark.createDataFrame([("k", "v")], "k string, val string")
+    out = salted_join(big, small, "k").collect()
+    assert len(out) == 1 and out[0]["__salt"] == 5  # user column survives
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_join(big, small, "k", salt_buckets=0)

@@ -156,3 +156,23 @@ def test_zorder_range_guard_and_clamp(spark):
     ).collect()
     by_a = {r.a: r.zorder_key for r in keyed}
     assert by_a[1000] >= by_a[0]  # clamped to the TOP bucket, not wrapped
+
+
+def test_in_set_string_value_rejected(spark):
+    from aqueducts_spark.operators.validate import ValidationError, validate_rules
+
+    df = spark.createDataFrame([("US",)], "country string")
+    with pytest.raises(ValidationError, match="list of accepted"):
+        validate_rules(df, [{"column": "country", "check": "in_set", "value": "US"}])
+
+
+def test_dotted_column_name_validates_the_column_not_a_struct_field(spark):
+    from aqueducts_spark.operators.validate import validate_rules
+
+    df = spark.sql(
+        "SELECT named_struct('b', 1) AS a, CAST(NULL AS INT) AS `a.b`"
+    )
+    out = validate_rules(df, [{"column": "a.b", "check": "not_null"}]).collect()[0]
+    # the literal 'a.b' column is NULL -> 1 violation; the struct field
+    # a.b (non-null) must NOT be what gets validated
+    assert out.violations == 1
