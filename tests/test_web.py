@@ -181,3 +181,39 @@ def test_canonicalization_plan_is_pure_codegen(spark):
     info = inspect_plan(url_parts(df))
     assert info.exchanges == 0
     assert info.python_evals == 0
+
+
+class TestCanonicalUrlProperties:
+    """Idempotence is THE correctness property for dedup keys: the
+    canonical form must be a fixpoint, or re-canonicalizing an already
+    clean corpus would split previously-merged duplicates."""
+
+    def _canon_many(self, spark, urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r.c
+            for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+        ]
+
+    def test_canonicalization_is_idempotent(self, spark):
+        raw = [
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#f",
+            "http://site.org:80/",
+            "example.com/x?z=1&UTM_ID=9",
+            "https://example.com?b=2&a=1",
+            "https://a.co.uk:8443/p?q=a=b&k=1",
+            "http://h/p1/p2///",
+            "https://x.io/p?&&a=1",
+        ]
+        once = self._canon_many(spark, raw)
+        twice = self._canon_many(spark, once)
+        assert once == twice
+
+    def test_variants_collapse_to_one_canonical(self, spark):
+        variants = [
+            "https://example.com/page?a=1&b=2",
+            "HTTPS://EXAMPLE.COM/page?b=2&a=1",
+            "https://www.example.com/page/?a=1&b=2&utm_c=z",
+            "https://example.com:443/page?fbclid=q&b=2&a=1",
+        ]
+        assert len(set(self._canon_many(spark, variants))) == 1
