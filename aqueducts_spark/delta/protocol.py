@@ -756,10 +756,15 @@ class DeltaProtocolTable:
         it is staged under ``_change_data/`` and committed as ``cdc``
         actions per the spec — CDF readers then use those exclusively
         for this commit instead of deriving from add/remove."""
-        merged = self._checkpoint_enforced(merged)
-        adds = self._stage_files(merged, snap.partition_columns())
         cdc_actions: list[dict] = []
         if change_df is not None:
+            # stage the change feed FIRST: an empty change_df (empty
+            # upsert source / replace whose predicate matched nothing
+            # with empty input) means the table content is unchanged —
+            # committing the remove+add rewrite anyway, with no cdc
+            # actions (zero-row files are skipped), would make CDF
+            # readers derive a spurious delete+insert of EVERY row.
+            # Short-circuit to a no-op instead of rewriting.
             cdc_actions = self._stage_files(
                 change_df,
                 snap.partition_columns(),
@@ -767,6 +772,19 @@ class DeltaProtocolTable:
                 with_stats=False,
                 data_change=False,
             )
+            if not cdc_actions:
+                return snap.version
+        try:
+            merged = self._checkpoint_enforced(merged)
+            adds = self._stage_files(merged, snap.partition_columns())
+        except Exception:
+            # cdc files are already inside _change_data/, which vacuum
+            # deliberately never enters — reclaim them on failure here
+            # or they leak forever (same rationale as the commit-race
+            # cleanup below)
+            for c in cdc_actions:
+                (self.root / unquote(c["path"])).unlink(missing_ok=True)
+            raise
         now = int(time.time() * 1000)
         removes = [
             {

@@ -573,12 +573,16 @@ def simhash(
     # explode emits no rows for empty/whitespace/NULL text, which
     # silently LOST those documents from the output; reinstate them
     # with fingerprint 0 (no tokens -> every bit majority is 0), the
-    # same keep-the-row contract drop_common_lines documents
+    # same keep-the-row contract drop_common_lines documents.
+    # eqNullSafe like drop_common_lines: a plain equi-join never
+    # matches a NULL-id document to its computed fingerprint row, so a
+    # NULL-id doc WITH tokens would be coalesced to 0.
+    base = src.select(id_col)
+    cond = base[id_col].eqNullSafe(fingerprints[id_col])
     return (
-        src.select(id_col)
-        .join(fingerprints, on=id_col, how="left")
+        base.join(fingerprints, cond, "left")
         .select(
-            F.col(id_col),
+            base[id_col].alias(id_col),
             F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
         )
     )

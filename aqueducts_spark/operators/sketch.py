@@ -137,17 +137,19 @@ def kmv_sketch(
 
 
 def kmv_estimate(
-    sketch: DataFrame, group_cols: Sequence[str], k: Optional[int] = 64
+    sketch: DataFrame, group_cols: Sequence[str], k: Optional[int] = None
 ) -> DataFrame:
     """Distinct-count estimate from a sketch: exact when the group has
     fewer than k distinct values, ``(k-1)/h_(k)`` otherwise.
 
-    ``k`` is read from the sketch's own ``k`` column when present
-    (sketches built here carry it); a ``k`` argument that contradicts
-    the sketch raises at execution instead of silently mis-branching
-    (a saturated k=8 sketch estimated with the k=64 default used to
-    report "exactly 8" for a 100-distinct group).  For external
-    sketches without the column, the argument is trusted as given.
+    ``k`` defaults to None — read from the sketch's own ``k`` column
+    (sketches built here carry it).  An EXPLICIT ``k`` argument that
+    contradicts the sketch raises at execution instead of silently
+    mis-branching (a saturated k=8 sketch estimated as k=64 used to
+    report "exactly 8" for a 100-distinct group); with the old k=64
+    default, that guard also fired spuriously on any sketch built with
+    a non-default k.  For external sketches without the column, an
+    explicit ``k`` is required and trusted as given.
     """
     grp = list(group_cols)
     aggs = [F.count("h").alias("sketch_size"), F.max("h").alias("kth_h")]

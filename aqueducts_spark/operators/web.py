@@ -171,16 +171,47 @@ def url_dedup(
     Same plan shape as :func:`~.dedup.exact_dedup` but with different
     NULL semantics, deliberately: a NULL url means "no URL", so NULL
     rows all pass through unchanged — exact_dedup's NULL-sentinel
-    payload key would collapse every NULL-url document into one."""
+    payload key would collapse every NULL-url document into one.
+
+    NULL urls ride a PER-ROW-UNIQUE sentinel window key
+    (``'\\x00' + id``) instead of an OR'd ``IS NULL`` escape in the
+    filter, for two scale reasons verified in the physical plan:
+
+    * a bare ``rn == 1`` predicate is what lets Spark plan the
+      map-side ``WindowGroupLimit`` (≤1 row per key leaves each map
+      task); an OR'd NULL branch defeats the pushdown and ships every
+      duplicate full-width through the shuffle;
+    * NULL keys all hash to ONE window partition — a single task would
+      process the entire no-URL slice of a crawl (easily 1-10%).
+      Unique sentinels spread those rows uniformly.
+
+    ``id_col`` is assumed unique (it is the dedup tiebreak id); for
+    NULL ids the sentinel falls back to a full-row content hash, so
+    byte-identical id-less NULL-url rows collapse — deterministic
+    under task retry, which a uuid/monotonic id would not be."""
     from pyspark.sql.window import Window
 
+    from .sampling import _fresh_name
+
     canon = canonical_url(F.col(url_col))
-    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc_nulls_last())
+    # '\x00' cannot prefix a canonical URL (schemes are alphabetic)
+    null_sentinel = F.concat(
+        F.lit("\x00"),
+        F.coalesce(
+            F.col(id_col).cast("string"),
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("string"),
+        ),
+    )
+    key_col = _fresh_name("__canon", df.columns)
+    rn_col = _fresh_name("__rn", df.columns)
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(id_col).asc_nulls_last()
+    )
     return (
-        df.withColumn("__canon", canon)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__canon").isNull() | (F.col("__rn") == 1))
-        .drop("__rn", "__canon")
+        df.withColumn(key_col, F.coalesce(canon, null_sentinel))
+        .withColumn(rn_col, F.row_number().over(w))
+        .where(F.col(rn_col) == 1)
+        .drop(rn_col, key_col)
     )
 
 

@@ -43,7 +43,10 @@ def server(spark):
     assert started.wait(10)
     yield holder
     loop = holder["loop"]
-    asyncio.run_coroutine_threadsafe(holder["srv"].stop(), loop)
+    # wait for stop() to finish before killing the loop — otherwise the
+    # pending coroutine is destroyed mid-await ("Task was destroyed but
+    # it is pending" / "coroutine never awaited" RuntimeWarnings)
+    asyncio.run_coroutine_threadsafe(holder["srv"].stop(), loop).result(timeout=15)
     loop.call_soon_threadsafe(loop.stop)
 
 
@@ -78,12 +81,91 @@ stages:
     assert "cli_counts" in out and "n_regionkey" in out
 
 
-def test_cli_cancel_unknown_id_is_noop(server, capsys):
+def test_cli_cancel_unknown_id_fails_loudly(server, capsys):
+    """A typo'd execution id must NOT report success — the pipeline it
+    failed to cancel would keep running while the user believes it is
+    dead (cli.py::_cmd_cancel reads the server's error reply)."""
     rc = main(
         ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", "nope"]
     )
+    assert rc == 1
+    captured = capsys.readouterr()
+    assert "cancel failed" in captured.err
+    assert "cancel requested" not in captured.out
+
+
+def test_cli_cancel_of_queued_execution_succeeds(server, capsys):
+    """Positive twin: cancelling a REAL queued execution via the CLI
+    (fresh connection, capability-style id) returns 0 and the server
+    reports the execution cancelled to its owning connection."""
+    import queue as queue_mod
+
+    from aqueducts_spark.executor.protocol import decode, encode
+
+    pipeline = """
+sources:
+  - type: file
+    name: cq_nation
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/nation.parquet
+stages:
+  - name: cq_counts
+    query: SELECT count(*) AS n FROM cq_nation
+    show: 1
+"""
+    # the first submission is deliberately heavy (self-join blowup) so
+    # the second stays QUEUED long enough for the cross-connection CLI
+    # cancel to land before it starts
+    slow_pipeline = pipeline.replace(
+        "SELECT count(*) AS n FROM cq_nation",
+        "SELECT count(*) AS n FROM cq_nation a, cq_nation b, cq_nation c, "
+        "cq_nation d, cq_nation e",
+    )
+    queued_id: queue_mod.Queue = queue_mod.Queue()
+    outcome = {}
+
+    def drive():
+        async def scenario():
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", server["port"]
+            )
+            # two quick submissions: the second sits queued behind the
+            # first, long enough for a cross-connection CLI cancel
+            writer.write(
+                encode({"type": "execution_request", "pipeline": slow_pipeline})
+            )
+            writer.write(encode({"type": "execution_request", "pipeline": pipeline}))
+            await writer.drain()
+            ids, cancelled, finished = [], [], []
+            try:
+                while len(cancelled) + len(finished) < 2:
+                    msg = decode(await asyncio.wait_for(reader.readline(), 120))
+                    if msg["type"] == "queued":
+                        ids.append(msg["execution_id"])
+                        if len(ids) == 2:
+                            queued_id.put(ids[1])
+                    elif msg["type"] == "cancelled":
+                        cancelled.append(msg["execution_id"])
+                    elif msg["type"] in ("succeeded", "error"):
+                        finished.append(msg["execution_id"])
+            finally:
+                writer.close()
+            outcome["ids"] = ids
+            outcome["cancelled"] = cancelled
+
+        asyncio.run(scenario())
+
+    t = threading.Thread(target=drive, daemon=True)
+    t.start()
+    target = queued_id.get(timeout=60)
+    rc = main(
+        ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", target]
+    )
+    t.join(timeout=120)
+    assert not t.is_alive()
     assert rc == 0
-    assert "cancel requested" in capsys.readouterr().out
+    assert f"cancel requested for {target}" in capsys.readouterr().out
+    assert outcome["cancelled"] == [target]
 
 
 def test_cli_optimize_compacts_and_vacuums(spark, tmp_path, monkeypatch):

@@ -743,6 +743,31 @@ def test_cdf_upsert_writes_cdc_actions_and_change_feed(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)]
 
 
+def test_cdf_noop_upsert_and_replace_commit_nothing(spark, tmp_path):
+    """An empty-source upsert (and a replace whose predicate matches
+    nothing, with empty input) changes no row — committing the full
+    remove+add rewrite anyway, with zero cdc files, would make CDF
+    readers derive a spurious delete+insert of EVERY row.  The rewrite
+    short-circuits: no new version, no phantom change-feed rows."""
+    t = DeltaProtocolTable(spark, str(tmp_path / "cdf_noop"))
+    t.create_if_absent(FIELDS, [], {"delta.enableChangeDataFeed": "true"}, {})
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))  # v1
+
+    empty = _df(spark, [(9, "x", 9.0)]).limit(0)
+    v_up = t.upsert(empty, keys=["id"])
+    v_rep = t.replace(empty, conditions=[("name", "zzz-no-such")])
+    assert v_up == 1 and v_rep == 1  # no new commits
+    assert t.latest_version() == 1
+
+    feed = t.change_feed(0)
+    rows = {(r.id, r.name, r._change_type, r._commit_version) for r in feed.collect()}
+    assert rows == {(1, "a", "insert", 1), (2, "b", "insert", 1)}
+    assert _rows(t.read()) == [(1, "a", 1.0), (2, "b", 2.0)]
+    # and no orphaned cdc files were left behind by the short-circuit
+    cd = tmp_path / "cdf_noop" / "_change_data"
+    assert not cd.exists() or not list(cd.rglob("*.parquet"))
+
+
 def test_cdf_replace_partitioned_cdc_files_survive_vacuum(spark, tmp_path):
     t = DeltaProtocolTable(spark, str(tmp_path / "cdf3"))
     t.create_if_absent(

@@ -249,6 +249,19 @@ class TestDedupReviewRegressions:
         assert set(out) == {1, 2, 3}
         assert out[2] == 0 and out[3] == 0 and out[1] != 0
 
+    def test_simhash_null_id_doc_with_tokens_keeps_fingerprint(self, spark):
+        """eqNullSafe reinstatement join: a NULL-id document that HAS
+        tokens must carry its computed fingerprint, not be coalesced to
+        0 (a plain equi-join never matches NULL to NULL)."""
+        from aqueducts_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [(None, "hello world"), (2, "hello world")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+        assert out[None] == out[2] != 0
+
     def test_simhash_bits_validated(self, spark):
         import pytest as _pytest
 

@@ -25,17 +25,17 @@ CATEGORY_GATES = {
     "string_fns": "q09_string_fns",
     "date_fns": "q10_date_fns",
     "json_fns": "q11_json_fns",
-    "conditionals": "q12_case_buckets",
-    "having": "q13_having",
-    "distinct_agg": "q14_distinct_agg",
     "ordered_agg": "q29_string_agg",
     "semi_anti_join": "q15_semi_anti_join",
     "using_natural_join": "q49_using_natural_join",
-    "math_fns": "q17_math_fns",
     "array_fns": "q18_array_fns",
     "higher_order_fns": "q43_higher_order_fns",
-    "map_fns": "q37_map_fns",
     "map_hofs": "q52_map_hofs",
+    # Rotated out of the scored window in round 4 to make room for the
+    # web/probe/quantize operator families: q12 (CASE), q13 (HAVING),
+    # q14 (DISTINCT agg), q17 (math), q37 (map fns).  Those expression
+    # features also appear inside remaining scored gates, and the
+    # rotated gates stay oracle-verified in tests/test_oracle.py.
     "topk": "q20_topk",
     "sessionize": "q21_sessionize",
     "try_cast": "q41_try_cast",
@@ -65,6 +65,11 @@ FAMILY_GATES = {
     "sampling": "op_hash_sample",
     "multimodal": "mm_byte_stats",
     "pipeline": "pl_pipeline_yaml",
+    "web_canonicalize": "op_url_canonicalize",
+    "web_url_dedup": "op_url_dedup",
+    "web_domain_cap": "op_domain_cap",
+    "quality_probe": "op_linear_probe",
+    "embed_quantize": "op_quantize_embed",
 }
 
 SCORED_WINDOW = 50

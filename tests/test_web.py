@@ -114,6 +114,43 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
     assert kept == [1, 2]
 
 
+def test_url_dedup_plans_window_group_limit(spark):
+    """The scale contract: a bare rn==1 predicate so Spark plans the
+    map-side WindowGroupLimit (≤1 row per key leaves each map task) —
+    the round-3 OR'd IS NULL filter defeated the pushdown and funneled
+    every NULL-url row into one window partition."""
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, None)], "doc_id long, url string"
+    )
+    plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_url_dedup_null_url_null_id_collapses_identical_rows_only(spark):
+    """With no url AND no id, the sentinel falls back to a full-row
+    content hash: byte-identical rows collapse (deterministically),
+    distinct rows all survive."""
+    df = spark.createDataFrame(
+        [(None, None, "a"), (None, None, "a"), (None, None, "b"),
+         (7, None, "c")],
+        "doc_id long, url string, body string",
+    )
+    kept = sorted(((r.doc_id, r.body) for r in url_dedup(df).collect()),
+                  key=lambda t: (t[0] is None, t[0] or 0, t[1]))
+    assert kept == [(7, "c"), (None, "a"), (None, "b")]
+
+
+def test_url_dedup_survives_user_columns_named_canon_rn(spark):
+    """Helper column names must not clobber user columns."""
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", 9, 8), (2, "https://a.com/x", 7, 6)],
+        "doc_id long, url string, __canon long, __rn long",
+    )
+    out = url_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0]["__canon"] == 9 and out[0]["__rn"] == 8
+
+
 def test_domain_cap_deterministic_and_bounded(spark):
     rows = [(i, f"https://site{i % 4}.org/item/{i}") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, url string")
