@@ -797,6 +797,24 @@ def _op_url_parts(spark, inp, options):
     return url_parts(inp, options.get("url_col", "url"))
 
 
+def _op_registered_domain_psl(spark, inp, options):
+    from .web import registered_domain_psl
+
+    psl_table = options.get("psl")
+    if not psl_table:
+        raise OperatorError(
+            "registered_domain_psl requires options.psl (a table of "
+            "public-suffix-list rules)"
+        )
+    return registered_domain_psl(
+        inp,
+        spark.table(psl_table),
+        host_col=options.get("host_col", "host"),
+        out_col=options.get("out_col", "domain"),
+        max_labels=int(options.get("max_labels", 5)),
+    )
+
+
 def _op_url_dedup(spark, inp, options):
     from .web import url_dedup
 
@@ -873,6 +891,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "byte_histogram": _op_byte_histogram,
     "url_parts": _op_url_parts,
     "url_dedup": _op_url_dedup,
+    "registered_domain_psl": _op_registered_domain_psl,
     "domain_cap": _op_domain_cap,
     "dedup_against": _op_dedup_against,
     "cms_sketch": _op_cms_sketch,
@@ -888,6 +907,15 @@ def run_operator(spark: SparkSession, config: dict[str, Any]) -> DataFrame:
     if fn is None:
         raise OperatorError(
             f"unknown operator type: {op_type!r} (available: {sorted(OPERATORS)})"
+        )
+    unknown = set(config) - {"type", "input", "options"}
+    if unknown:
+        # a misplaced option (url_col at top level instead of under
+        # options:) would otherwise be silently ignored and the
+        # operator would run with defaults
+        raise OperatorError(
+            f"operator '{op_type}': unknown keys {sorted(unknown)} — "
+            "operator parameters go under 'options'"
         )
     input_table = config.get("input")
     if not input_table:

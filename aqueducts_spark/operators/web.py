@@ -29,6 +29,7 @@ __all__ = [
     "TRACKING_PARAMS",
     "canonical_url",
     "registered_domain",
+    "registered_domain_psl",
     "url_parts",
     "url_dedup",
     "domain_cap",
@@ -43,8 +44,9 @@ TRACKING_PARAMS = (
 
 # Country-code second-level registries where the registered domain is
 # three labels (example.co.uk), not two. A deliberate, documented
-# heuristic — the full public-suffix list is data, not code; load it as
-# a broadcast table and join if exactness matters for your TLD mix.
+# heuristic — the full public-suffix list is data, not code; load it
+# and use :func:`registered_domain_psl` if exactness matters for your
+# TLD mix.
 _SECOND_LEVEL = ("co", "com", "net", "org", "gov", "ac", "edu")
 
 
@@ -138,6 +140,95 @@ def registered_domain(host: Column) -> Column:
         F.when(n >= 2, F.slice(labels, n - 1, 2)).otherwise(labels)
     )
     return F.array_join(tail, ".")
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    max_labels: int = 5,
+) -> DataFrame:
+    """Exact registered domain from a public-suffix-list table — the
+    precision upgrade over the :func:`registered_domain` heuristic.
+
+    ``psl``'s first column holds rules in publicsuffix.org format
+    (lowercase, one per row): plain suffixes (``co.uk``), wildcards
+    (``*.kobe.jp``), exceptions (``!city.kobe.jp``).  The full
+    algorithm: the prevailing rule is the matching exception if any,
+    else the longest match, else the implicit ``*`` default; the
+    registered domain is the public suffix plus one label, or NULL when
+    the host IS a public suffix.
+
+    Scale shape: the PSL (~10k rows) is grouped by label count and
+    broadcast — ``max_labels`` map-side hash joins on the host's
+    k-label suffixes, zero shuffles, no Python.  Real-PSL rules top out
+    at 5 labels (the default).
+    """
+    from .sampling import _fresh_name
+
+    rule_col = psl.columns[0]
+    rule = F.lower(F.trim(F.col(rule_col)))
+    base = (
+        F.when(rule.startswith("!"), F.substring(rule, 2, 2147483647))
+        .when(rule.startswith("*."), F.substring(rule, 3, 2147483647))
+        .otherwise(rule)
+    )
+    parsed = psl.select(
+        base.alias("__base"),
+        rule.startswith("!").alias("__e"),
+        rule.startswith("*.").alias("__w"),
+    ).withColumn("__k", F.size(F.split(F.col("__base"), r"\.")))
+
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(labels)
+    out = df
+    helper: list[str] = []
+    hit_cols: dict[int, tuple[str, str, str]] = {}
+    for k in range(1, max_labels + 1):
+        taken = list(out.columns) + helper
+        sfx = _fresh_name(f"__sfx{k}", taken)
+        exc = _fresh_name(f"__exc{k}", taken)
+        wild = _fresh_name(f"__wild{k}", taken)
+        plain = _fresh_name(f"__plain{k}", taken)
+        pk = (
+            parsed.where(F.col("__k") == k)
+            .groupBy("__base")
+            .agg(
+                F.max("__e").alias(exc),
+                F.max("__w").alias(wild),
+                F.max(~F.col("__e") & ~F.col("__w")).alias(plain),
+            )
+            .withColumnRenamed("__base", sfx)
+        )
+        out = out.withColumn(
+            sfx,
+            F.when(n >= k, F.array_join(F.slice(labels, n - k + 1, k), ".")),
+        ).join(F.broadcast(pk), on=sfx, how="left")
+        hit_cols[k] = (exc, wild, plain)
+        helper += [sfx, exc, wild, plain]
+
+    # exception prevails (public suffix = the exception minus its
+    # leftmost label); else the longest match (a wildcard base of k
+    # labels makes a k+1-label suffix); else the implicit '*' default
+    # rule (1 label)
+    exc_len = F.coalesce(
+        *[
+            F.when(F.col(hit_cols[k][0]), F.lit(k - 1))
+            for k in range(max_labels, 0, -1)
+        ],
+        F.lit(None).cast("int"),
+    )
+    match_lens = [F.lit(1)]
+    for k in range(1, max_labels + 1):
+        match_lens.append(F.when(F.col(hit_cols[k][1]), F.lit(k + 1)))
+        match_lens.append(F.when(F.col(hit_cols[k][2]), F.lit(k)))
+    suffix_len = F.coalesce(exc_len, F.greatest(*match_lens))
+    domain = F.when(
+        n > suffix_len,
+        F.array_join(F.slice(labels, n - suffix_len, suffix_len + 1), "."),
+    )
+    return out.withColumn(out_col, domain).drop(*helper)
 
 
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:

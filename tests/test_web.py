@@ -210,6 +210,89 @@ def test_web_registry_stages(spark):
     spark.catalog.dropTempView("web_docs")
 
 
+# A committed mini public-suffix-list fixture, in publicsuffix.org rule
+# format: plain suffixes, a wildcard, and an exception (the spec's own
+# kobe.jp example), plus the spec's *.ck / !www.ck pair.
+PSL_FIXTURE = [
+    "com", "uk", "co.uk", "github.io", "jp", "kobe.jp",
+    "*.kobe.jp", "!city.kobe.jp", "*.ck", "!www.ck", "org",
+]
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("example.com", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("example.co.uk", "example.co.uk"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("myblog.github.io", "myblog.github.io"),  # longest: github.io not io
+        ("pages.myblog.github.io", "myblog.github.io"),
+        ("x.y.kobe.jp", "x.y.kobe.jp"),            # wildcard *.kobe.jp
+        ("w.x.y.kobe.jp", "x.y.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),          # exception beats wildcard
+        ("a.city.kobe.jp", "city.kobe.jp"),
+        ("foo.bar.ck", "foo.bar.ck"),              # *.ck
+        ("www.ck", "www.ck"),                      # !www.ck
+        ("example.nosuchtld", "example.nosuchtld"),  # implicit '*' default
+        ("com", None),                             # host IS a public suffix
+        ("kobe.jp", None),
+        ("bar.ck", None),                          # *.ck makes bar.ck a suffix
+    ],
+)
+def test_registered_domain_psl_spec_cases(spark, host, expected):
+    from aqueducts_spark.operators.web import registered_domain_psl
+
+    psl = spark.createDataFrame([(r,) for r in PSL_FIXTURE], "rule string")
+    df = spark.createDataFrame([(host,)], "host string")
+    got = registered_domain_psl(df, psl).collect()[0]["domain"]
+    assert got == expected, (host, got, expected)
+
+
+def test_registered_domain_psl_plan_broadcast_only(spark):
+    """The PSL joins must all be broadcast hash joins — zero shuffles
+    of the corpus (the 100 TB contract for an enrichment column)."""
+    from aqueducts_spark.operators.web import registered_domain_psl
+    from aqueducts_spark.plans.inspect import inspect_plan
+
+    psl = spark.createDataFrame([(r,) for r in PSL_FIXTURE], "rule string")
+    df = spark.createDataFrame([("a.example.co.uk",)], "host string")
+    info = inspect_plan(registered_domain_psl(df, psl))
+    # every join is broadcast (one per label depth); the only exchanges
+    # are the per-k rule-table aggregations INSIDE broadcast subtrees —
+    # constant ~10k-row cost independent of corpus size
+    assert info.broadcast_joins == 5
+    assert info.sort_merge_joins == 0 and info.shuffle_hash_joins == 0
+    assert info.nested_loop_joins == 0
+    assert info.exchanges <= 5
+    assert info.python_evals == 0
+
+
+def test_registered_domain_psl_registry_stage(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    spark.createDataFrame(
+        [(r,) for r in PSL_FIXTURE], "rule string"
+    ).createOrReplaceTempView("psl_rules")
+    spark.createDataFrame(
+        [(1, "a.example.co.uk"), (2, "city.kobe.jp")], "doc_id long, host string"
+    ).createOrReplaceTempView("psl_hosts")
+    out = run_operator(
+        spark,
+        {
+            "type": "registered_domain_psl",
+            "input": "psl_hosts",
+            "options": {"psl": "psl_rules"},
+        },
+    )
+    got = {r.doc_id: r.domain for r in out.collect()}
+    assert got == {1: "example.co.uk", 2: "city.kobe.jp"}
+    with pytest.raises(OperatorError, match="registered_domain_psl requires"):
+        run_operator(spark, {"type": "registered_domain_psl", "input": "psl_hosts"})
+    spark.catalog.dropTempView("psl_rules")
+    spark.catalog.dropTempView("psl_hosts")
+
+
 def test_canonicalization_plan_is_pure_codegen(spark):
     """Zero shuffles, zero Python in the canonicalization projection."""
     from aqueducts_spark.plans.inspect import inspect_plan
