@@ -2458,6 +2458,106 @@ SELECT doc_id, url FROM (
 ) t WHERE rn = 1
 """
 
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = "source IN ('src0', 'src1')"
+
+
+def _op_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.py::dsir_weights,
+    Xie et al. 2023): hashed unigram+bigram log-likelihood-ratio score
+    of every document against a target slice of the corpus."""
+    from aqueducts_spark.operators.selection import dsir_weights
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.where(_DSIR_TARGET)
+    return dsir_weights(docs, target, buckets=_DSIR_BUCKETS).select(
+        "doc_id", "n_feats", "logw_micro"
+    )
+
+
+# shared feature pipeline: tokens (lower, \s+ split, empties dropped),
+# unigrams + word_ngrams(2) semantics (len-1 true bigrams; the bare
+# token for 1-token docs; '' for empty docs), md5-top-60-bit buckets
+_DSIR_FEATS_DUCK = rf"""
+base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(
+    list_concat(
+      toks,
+      CASE WHEN len(toks) = 0 THEN ['']
+           WHEN len(toks) = 1 THEN [toks[1]]
+           ELSE list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])
+      END)
+  ) AS g
+  FROM base
+),
+feats AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM grams
+),
+doc_counts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM feats GROUP BY 1, 2),
+t_counts AS (SELECT bucket, COUNT(*) AS tc FROM feats
+             WHERE {_DSIR_TARGET} GROUP BY 1),
+r_counts AS (SELECT bucket, COUNT(*) AS rc FROM feats GROUP BY 1),
+totals AS (SELECT (SELECT COALESCE(SUM(tc), 0) FROM t_counts) AS t_total,
+                  (SELECT COALESCE(SUM(rc), 0) FROM r_counts) AS r_total),
+lam AS (
+  SELECT r.bucket,
+         CAST(floor((ln((COALESCE(t.tc, 0) + 1.0)
+                        / (tt.t_total + 1.0 * {_DSIR_BUCKETS}))
+                   - ln((r.rc + 1.0)
+                        / (tt.r_total + 1.0 * {_DSIR_BUCKETS}))) * 1e6 + 0.5)
+              AS BIGINT) AS lam_micro
+  FROM r_counts r LEFT JOIN t_counts t USING (bucket) CROSS JOIN totals tt
+),
+weights AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c) AS BIGINT) AS n_feats,
+         CAST(SUM(d.c * l.lam_micro) AS BIGINT) AS logw_micro
+  FROM doc_counts d JOIN lam l USING (bucket)
+  GROUP BY d.doc_id
+)"""
+
+OP_DSIR_WEIGHTS_DUCK = f"""
+WITH {_DSIR_FEATS_DUCK}
+SELECT doc_id, n_feats, logw_micro FROM weights
+"""
+
+_DSIR_K, _DSIR_TEMP = 100, 0.5
+
+
+def _op_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized Gumbel top-k resampling over the DSIR weights —
+    the paper's selection step, reproducible across engines."""
+    from aqueducts_spark.operators.selection import dsir_select, dsir_weights
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.where(_DSIR_TARGET)
+    w = dsir_weights(docs, target, buckets=_DSIR_BUCKETS)
+    return dsir_select(w, _DSIR_K, temperature=_DSIR_TEMP).select("doc_id")
+
+
+OP_DSIR_SELECT_DUCK = f"""
+WITH {_DSIR_FEATS_DUCK}
+SELECT doc_id FROM (
+  SELECT doc_id,
+         CAST(logw_micro AS DOUBLE) / 1e6 / {_DSIR_TEMP}
+         - ln(-ln((('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   + 0.5) / 1152921504606846976.0)) AS key
+  FROM weights
+) ORDER BY key DESC, doc_id ASC LIMIT {_DSIR_K}
+"""
+
+
 # distinct registered domain per source for the cap gate (the shared
 # _URL_EXPR maps every source under example.com, which would collapse
 # the cap to one global group)
@@ -3315,6 +3415,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_url_canonicalize": _op_url_canonicalize,
         "op_url_dedup": _op_url_dedup,
         "op_domain_cap": _op_domain_cap,
+        "op_dsir_weights": _op_dsir_weights,
+        "op_dsir_select": _op_dsir_select,
         "pl_pipeline_yaml": _pl_pipeline,
     }
 
@@ -3418,6 +3520,8 @@ _GATE_PRIORITY = [
     "q16_values_derived",
     "q45_math_compat",
     # -- remaining operator gates ---------------------------------------
+    "op_dsir_weights",
+    "op_dsir_select",
     "sim_ivf_topk",
     "op_cluster_components",
     "op_dedup_against",
@@ -3573,5 +3677,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_url_canonicalize": OP_URL_CANONICALIZE_DUCK,
         "op_url_dedup": OP_URL_DEDUP_DUCK,
         "op_domain_cap": OP_DOMAIN_CAP_DUCK,
+        "op_dsir_weights": OP_DSIR_WEIGHTS_DUCK,
+        "op_dsir_select": OP_DSIR_SELECT_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
     }

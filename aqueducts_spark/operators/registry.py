@@ -797,6 +797,43 @@ def _op_url_parts(spark, inp, options):
     return url_parts(inp, options.get("url_col", "url"))
 
 
+def _op_dsir_weights(spark, inp, options):
+    from .selection import dsir_weights
+
+    target_table = options.get("target")
+    if not target_table:
+        raise OperatorError(
+            "dsir_weights requires options.target (a table name for the "
+            "target-distribution corpus)"
+        )
+    raw_table = options.get("raw")
+    return dsir_weights(
+        inp,
+        spark.table(target_table),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        buckets=int(options.get("buckets", 10_000)),
+        smoothing=float(options.get("smoothing", 1.0)),
+        raw=spark.table(raw_table) if raw_table else None,
+        target_text_col=options.get("target_text_col"),
+    )
+
+
+def _op_dsir_select(spark, inp, options):
+    from .selection import dsir_select
+
+    if "k" not in options:
+        raise OperatorError("dsir_select requires options.k (rows to keep)")
+    return dsir_select(
+        inp,
+        int(options["k"]),
+        id_col=options.get("id_col", "doc_id"),
+        logw_col=options.get("logw_col", "logw"),
+        temperature=float(options.get("temperature", 1.0)),
+        salt=options.get("salt", "dsir"),
+    )
+
+
 def _op_registered_domain_psl(spark, inp, options):
     from .web import registered_domain_psl
 
@@ -892,6 +929,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "url_parts": _op_url_parts,
     "url_dedup": _op_url_dedup,
     "registered_domain_psl": _op_registered_domain_psl,
+    "dsir_weights": _op_dsir_weights,
+    "dsir_select": _op_dsir_select,
     "domain_cap": _op_domain_cap,
     "dedup_against": _op_dedup_against,
     "cms_sketch": _op_cms_sketch,
@@ -956,4 +995,10 @@ def referenced_tables(config: dict[str, Any]) -> list[str]:
         out.append(str(options["items"]))
     if options.get("build"):
         out.append(str(options["build"]))
+    if options.get("target"):
+        out.append(str(options["target"]))
+    if options.get("raw"):
+        out.append(str(options["raw"]))
+    if options.get("psl"):
+        out.append(str(options["psl"]))
     return out

@@ -1,0 +1,162 @@
+"""DSIR importance-resampling selection (operators/selection.py):
+log-ratio weights, determinism/partition-independence, Gumbel top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.selection import (
+    dsir_bucket_counts,
+    dsir_select,
+    dsir_weights,
+)
+
+TARGET = [
+    (100, "the encyclopedia article describes the ancient city"),
+    (101, "the article cites the primary historical sources"),
+    (102, "the city grew around the river crossing"),
+]
+RAW = [
+    (1, "the article describes the ancient city sources"),  # target-like
+    (2, "buy cheap pills online best price click here"),     # spam-like
+    (3, "the river crossing article cites historical sources"),
+    (4, "click here now free offer limited time click"),
+]
+
+
+def _weights(spark, **kw):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    return dsir_weights(raw, target, **kw)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    w = {r.doc_id: r.logw for r in _weights(spark).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    # both target-like docs outscore both spam-like docs
+    assert min(w[1], w[3]) > max(w[2], w[4])
+
+
+def test_dsir_weights_integer_micro_nats_and_feature_counts(spark):
+    rows = {r.doc_id: r for r in _weights(spark).collect()}
+    for r in rows.values():
+        assert isinstance(r.logw_micro, int)
+        assert abs(r.logw - r.logw_micro / 1e6) < 1e-12
+    # unigrams + bigrams: a 7-token doc has 7 + 6 = 13 features
+    assert rows[1].n_feats == 7 + 6
+
+
+def test_dsir_weights_partition_independent(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.logw_micro)
+        for r in dsir_weights(raw.repartition(7), target.repartition(3)).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.logw_micro)
+        for r in dsir_weights(raw.coalesce(1), target.coalesce(1)).collect()
+    )
+    assert a == b
+
+
+def test_dsir_weights_empty_and_null_text_docs_survive(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "the ancient city"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in dsir_weights(raw, target).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_dsir_weights_separate_raw_corpus(spark):
+    """Scoring df against a raw distribution fitted elsewhere: buckets
+    unseen by either corpus take the smoothed-zero ratio instead of
+    dropping the feature."""
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    other = spark.createDataFrame(
+        [(9, "completely novel unseen vocabulary zzzqqq")],
+        "doc_id long, text string",
+    )
+    out = dsir_weights(other, target, raw=raw).collect()
+    assert len(out) == 1 and out[0].n_feats == 5 + 4
+
+
+def test_dsir_weights_validation(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(raw, target, smoothing=0.0)
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_weights(raw, target, buckets=0)
+
+
+def test_dsir_bucket_counts_bounded_by_buckets(spark):
+    df = spark.createDataFrame(RAW, "doc_id long, text string")
+    corpus = dsir_bucket_counts(df, buckets=16)
+    assert corpus.count() <= 16
+    assert corpus.agg(F.min("bucket")).collect()[0][0] >= 0
+    assert corpus.agg(F.max("bucket")).collect()[0][0] < 16
+
+
+def test_dsir_select_deterministic_topk(spark):
+    w = _weights(spark)
+    s1 = sorted(r.doc_id for r in dsir_select(w, 2).collect())
+    s2 = sorted(r.doc_id for r in dsir_select(w, 2).collect())
+    assert s1 == s2 and len(s1) == 2
+    # near-zero temperature -> selection is argmax over logw
+    cold = sorted(r.doc_id for r in dsir_select(w, 2, temperature=1e-3).collect())
+    assert cold == sorted([1, 3])
+    # helper key column is dropped
+    assert dsir_select(w, 2).columns == w.columns
+
+
+def test_dsir_select_plans_global_topk_not_full_sort(spark):
+    w = _weights(spark)
+    plan = dsir_select(w, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_select_validation(spark):
+    w = _weights(spark)
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select(w, 0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_select(w, 1, temperature=0)
+
+
+def test_dsir_registry_stages(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    spark.createDataFrame(TARGET, "doc_id long, text string").createOrReplaceTempView(
+        "dsir_target"
+    )
+    spark.createDataFrame(RAW, "doc_id long, text string").createOrReplaceTempView(
+        "dsir_raw"
+    )
+    w = run_operator(
+        spark,
+        {
+            "type": "dsir_weights",
+            "input": "dsir_raw",
+            "options": {"target": "dsir_target"},
+        },
+    )
+    assert set(w.columns) == {"doc_id", "n_feats", "logw_micro", "logw"}
+    w.createOrReplaceTempView("dsir_w")
+    sel = run_operator(
+        spark,
+        {
+            "type": "dsir_select",
+            "input": "dsir_w",
+            "options": {"k": 2, "temperature": 0.001},
+        },
+    )
+    assert sorted(r.doc_id for r in sel.collect()) == [1, 3]
+    with pytest.raises(OperatorError, match="dsir_weights requires"):
+        run_operator(spark, {"type": "dsir_weights", "input": "dsir_raw"})
+    with pytest.raises(OperatorError, match="dsir_select requires"):
+        run_operator(spark, {"type": "dsir_select", "input": "dsir_w"})
+    spark.catalog.dropTempView("dsir_target")
+    spark.catalog.dropTempView("dsir_raw")
+    spark.catalog.dropTempView("dsir_w")
