@@ -81,20 +81,41 @@ class JsonSourceOptions(_Base):
         return _coerce_schema(v)
 
 
+class BinarySourceOptions(_Base):
+    """Options for Spark's ``binaryFile`` source: whole files as rows
+    (``path, modificationTime, length, content``) — the multimodal
+    ingestion path for images/audio/video payloads."""
+
+    path_glob_filter: Optional[str] = None
+    recursive: bool = False
+    max_bytes: Optional[int] = None
+
+    @field_validator("max_bytes")
+    @classmethod
+    def _positive(cls, v: Optional[int]) -> Optional[int]:
+        if v is not None and v < 1:
+            raise ValueError("max_bytes must be >= 1")
+        return v
+
+
 class SourceFileType(_Base):
-    """Tagged union: {type: csv|json|parquet, options: {...}}."""
+    """Tagged union: {type: csv|json|parquet|orc|binary, options: {...}}."""
 
     type: str
     options: Optional[dict[str, Any]] = None
-    parsed: Union[CsvSourceOptions, ParquetSourceOptions, JsonSourceOptions, None] = PField(
-        default=None, exclude=True
-    )
+    parsed: Union[
+        CsvSourceOptions,
+        ParquetSourceOptions,
+        JsonSourceOptions,
+        BinarySourceOptions,
+        None,
+    ] = PField(default=None, exclude=True)
 
     @field_validator("type")
     @classmethod
     def _norm_type(cls, v: str) -> str:
         t = v.strip().lower()
-        if t not in ("csv", "json", "parquet", "orc"):
+        if t not in ("csv", "json", "parquet", "orc", "binary"):
             raise ValueError(f"unsupported source file format: {v}")
         return t
 
@@ -108,6 +129,8 @@ class SourceFileType(_Base):
             # ORC is a free Spark-native columnar format (the reference
             # supports csv/json/parquet only); schema override like parquet
             "orc": ParquetSourceOptions,
+            # binaryFile: opaque media payloads as binary columns
+            "binary": BinarySourceOptions,
         }[self.type]
         object.__setattr__(self, "parsed", cls.model_validate(opts))
         return self

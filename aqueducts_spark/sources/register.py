@@ -71,7 +71,31 @@ def _read_file_format(spark: SparkSession, fmt, location: str) -> DataFrame:
         if opts.schema_:
             reader = reader.schema(fields_to_struct(opts.schema_))
         return reader.orc(location)
+    if fmt.type == "binary":
+        return _read_binary(spark, opts, location)
     raise SourceError(f"unsupported file format: {fmt.type}")
+
+
+def _read_binary(spark: SparkSession, opts, location: str) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source: one row per file with
+    ``path, modificationTime, length, content`` — the multimodal
+    ingestion path (images/audio/video land as opaque binary columns
+    for operators/multimodal.py).  The scan is distributed (files are
+    split across tasks, content read executor-side); ``max_bytes``
+    guards a 100 TB media crawl against a pathological giant file
+    landing in one task's memory — filtering on ``length`` happens on
+    file METADATA, before content is read."""
+    reader = spark.read.format("binaryFile")
+    if opts.path_glob_filter:
+        reader = reader.option("pathGlobFilter", opts.path_glob_filter)
+    if opts.recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(location)
+    if opts.max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.where(F.col("length") <= opts.max_bytes)
+    return df
 
 
 def _register_file(spark: SparkSession, source: FileSource) -> DataFrame:
@@ -104,6 +128,14 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
         reader = reader.format(fmt.type)
         if opts.schema_:
             reader = reader.schema(fields_to_struct(opts.schema_))
+    elif fmt.type == "binary":
+        # binaryFile discovers hive partitions like any file source;
+        # basePath is already set above
+        reader = reader.format("binaryFile")
+        if opts.path_glob_filter:
+            reader = reader.option("pathGlobFilter", opts.path_glob_filter)
+        if opts.recursive:
+            reader = reader.option("recursiveFileLookup", "true")
     else:
         raise SourceError(f"unsupported directory format: {fmt.type}")
 
@@ -112,6 +144,8 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
     # columns get cast to their declared types afterwards
     # (reference sources/mod.rs:311-318 declares them typed up front).
     df = reader.load(location)
+    if fmt.type == "binary" and opts.max_bytes is not None:
+        df = df.where(F.col("length") <= opts.max_bytes)
     from ..types import parse_data_type
 
     for col_name, dtype_str in source.partition_columns:

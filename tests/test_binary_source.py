@@ -1,0 +1,145 @@
+"""binaryFile ingestion: whole media files as binary rows — the
+multimodal entry point (Spark's built-in binaryFile source wired as the
+'binary' file format)."""
+
+import pytest
+
+from aqueducts_spark.config.model import parse_source
+from aqueducts_spark.sources.register import register_source
+
+
+def _write_media(root):
+    (root / "a.img").write_bytes(b"\x89IMG" + bytes(range(64)))
+    (root / "b.img").write_bytes(b"\x89IMG" + bytes(200 for _ in range(2048)))
+    (root / "notes.txt").write_text("not media")
+    return root
+
+
+def test_binary_file_source_reads_whole_files(spark, tmp_path):
+    _write_media(tmp_path)
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "media",
+            "format": {"type": "binary", "options": {"path_glob_filter": "*.img"}},
+            "location": str(tmp_path),
+        }
+    )
+    df = register_source(spark, src)
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # glob excluded notes.txt
+    assert bytes(rows["a.img"].content) == b"\x89IMG" + bytes(range(64))
+    assert rows["b.img"].length == 4 + 2048
+
+
+def test_binary_source_max_bytes_filters_on_metadata(spark, tmp_path):
+    _write_media(tmp_path)
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "media_small",
+            "format": {
+                "type": "binary",
+                "options": {"path_glob_filter": "*.img", "max_bytes": 100},
+            },
+            "location": str(tmp_path),
+        }
+    )
+    df = register_source(spark, src)
+    names = [r.path.rsplit("/", 1)[-1] for r in df.collect()]
+    assert names == ["a.img"]
+
+
+def test_binary_directory_source_hive_partitions(spark, tmp_path):
+    for part in ("cam=front", "cam=rear"):
+        d = tmp_path / part
+        d.mkdir()
+        (d / "x.img").write_bytes(b"DATA" + part.encode())
+    src = parse_source(
+        {
+            "type": "directory",
+            "name": "media_dir",
+            "format": {"type": "binary"},
+            "location": str(tmp_path),
+            "partition_columns": [["cam", "string"]],
+        }
+    )
+    df = register_source(spark, src)
+    got = {(r.cam, bytes(r.content)) for r in df.collect()}
+    assert got == {
+        ("front", b"DATAcam=front"),
+        ("rear", b"DATAcam=rear"),
+    }
+
+
+def test_binary_source_feeds_multimodal_byte_stats(spark, tmp_path):
+    """The ingestion handshake: binaryFile rows flow straight into the
+    multimodal byte-stats operator on the content column."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.multimodal import byte_stats
+
+    _write_media(tmp_path)
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "media_bs",
+            "format": {"type": "binary", "options": {"path_glob_filter": "*.img"}},
+            "location": str(tmp_path),
+        }
+    )
+    df = register_source(spark, src).withColumn(
+        "media_id", F.regexp_extract("path", r"([^/]+)\.img$", 1)
+    )
+    stats = {r.media_id: r for r in byte_stats(df, "content", "media_id").collect()}
+    assert stats["a"].n_bytes == 68
+    assert stats["b"].n_bytes == 2052
+
+
+def test_binary_options_validation():
+    with pytest.raises(Exception, match="max_bytes"):
+        parse_source(
+            {
+                "type": "file",
+                "name": "bad",
+                "format": {"type": "binary", "options": {"max_bytes": 0}},
+                "location": "/tmp/x",
+            }
+        )
+
+
+def test_binary_pipeline_end_to_end(spark, tmp_path):
+    """Declarative: binary source -> SQL stage over length/content ->
+    parquet destination."""
+    from aqueducts_spark import CollectingTracker, load_pipeline_str, run_pipeline
+
+    media = tmp_path / "media"
+    media.mkdir()
+    _write_media(media)
+    out = tmp_path / "out"
+    yml = f"""
+sources:
+  - type: file
+    name: raw_media
+    format:
+      type: binary
+      options: {{path_glob_filter: "*.img"}}
+    location: {media}
+stages:
+  - name: media_summary
+    query: >
+      SELECT regexp_extract(path, '([^/]+)$', 1) AS file_name,
+             length AS n_bytes,
+             substring(content, 1, 4) AS magic
+      FROM raw_media
+destination:
+  type: file
+  name: media_out
+  format: {{type: parquet}}
+  location: {out}
+"""
+    run_pipeline(spark, load_pipeline_str(yml, params={}), CollectingTracker())
+    back = {r.file_name: r for r in spark.read.parquet(str(out)).collect()}
+    assert set(back) == {"a.img", "b.img"}
+    assert bytes(back["a.img"].magic) == b"\x89IMG"
