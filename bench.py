@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "op_embed_centroids",
     "op_embed_neardup_lsh",
     "op_url_dedup",
+    "op_dsir_weights",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]
