@@ -98,8 +98,20 @@ class BinarySourceOptions(_Base):
         return v
 
 
+class TextSourceOptions(_Base):
+    """Options for Spark's ``text`` source: raw text as one ``value``
+    row per line (default) or per file (``wholetext`` — one document
+    per file, the raw-corpus ingestion path)."""
+
+    wholetext: bool = False
+    line_sep: Optional[str] = None
+    path_glob_filter: Optional[str] = None
+    recursive: bool = False
+
+
 class SourceFileType(_Base):
-    """Tagged union: {type: csv|json|parquet|orc|binary, options: {...}}."""
+    """Tagged union: {type: csv|json|parquet|orc|binary|text,
+    options: {...}}."""
 
     type: str
     options: Optional[dict[str, Any]] = None
@@ -108,6 +120,7 @@ class SourceFileType(_Base):
         ParquetSourceOptions,
         JsonSourceOptions,
         BinarySourceOptions,
+        TextSourceOptions,
         None,
     ] = PField(default=None, exclude=True)
 
@@ -115,7 +128,7 @@ class SourceFileType(_Base):
     @classmethod
     def _norm_type(cls, v: str) -> str:
         t = v.strip().lower()
-        if t not in ("csv", "json", "parquet", "orc", "binary"):
+        if t not in ("csv", "json", "parquet", "orc", "binary", "text"):
             raise ValueError(f"unsupported source file format: {v}")
         return t
 
@@ -131,6 +144,8 @@ class SourceFileType(_Base):
             "orc": ParquetSourceOptions,
             # binaryFile: opaque media payloads as binary columns
             "binary": BinarySourceOptions,
+            # raw text: one value row per line or per file (wholetext)
+            "text": TextSourceOptions,
         }[self.type]
         object.__setattr__(self, "parsed", cls.model_validate(opts))
         return self

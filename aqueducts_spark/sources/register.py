@@ -73,7 +73,27 @@ def _read_file_format(spark: SparkSession, fmt, location: str) -> DataFrame:
         return reader.orc(location)
     if fmt.type == "binary":
         return _read_binary(spark, opts, location)
+    if fmt.type == "text":
+        return _read_text(spark, opts, location)
     raise SourceError(f"unsupported file format: {fmt.type}")
+
+
+def _read_text(spark: SparkSession, opts, location: str) -> DataFrame:
+    """Spark's built-in ``text`` source: raw corpora as one ``value``
+    row per line, or per FILE with ``wholetext: true`` (one document
+    per file — beware: a whole file must fit in one task's row, so
+    pair wholetext with upstream size limits).  Line mode splits large
+    files across tasks like any text scan."""
+    reader = spark.read.format("text")
+    if opts.wholetext:
+        reader = reader.option("wholetext", "true")
+    if opts.line_sep:
+        reader = reader.option("lineSep", opts.line_sep)
+    if opts.path_glob_filter:
+        reader = reader.option("pathGlobFilter", opts.path_glob_filter)
+    if opts.recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(location)
 
 
 def _read_binary(spark: SparkSession, opts, location: str) -> DataFrame:
@@ -132,6 +152,16 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
         # binaryFile discovers hive partitions like any file source;
         # basePath is already set above
         reader = reader.format("binaryFile")
+        if opts.path_glob_filter:
+            reader = reader.option("pathGlobFilter", opts.path_glob_filter)
+        if opts.recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+    elif fmt.type == "text":
+        reader = reader.format("text")
+        if opts.wholetext:
+            reader = reader.option("wholetext", "true")
+        if opts.line_sep:
+            reader = reader.option("lineSep", opts.line_sep)
         if opts.path_glob_filter:
             reader = reader.option("pathGlobFilter", opts.path_glob_filter)
         if opts.recursive:

@@ -143,3 +143,80 @@ destination:
     back = {r.file_name: r for r in spark.read.parquet(str(out)).collect()}
     assert set(back) == {"a.img", "b.img"}
     assert bytes(back["a.img"].magic) == b"\x89IMG"
+
+
+# ---------------------------------------------------------------------------
+# text format (raw corpora: one row per line, or per file with wholetext)
+# ---------------------------------------------------------------------------
+
+
+def test_text_source_line_mode(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "b.txt").write_text("gamma\n")
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "lines",
+            "format": {"type": "text"},
+            "location": str(tmp_path),
+        }
+    )
+    df = register_source(spark, src)
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_text_source_wholetext_one_doc_per_file(spark, tmp_path):
+    (tmp_path / "doc1.txt").write_text("first doc\nsecond line")
+    (tmp_path / "doc2.txt").write_text("other doc")
+    (tmp_path / "skip.log").write_text("excluded")
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "docs",
+            "format": {
+                "type": "text",
+                "options": {"wholetext": True, "path_glob_filter": "*.txt"},
+            },
+            "location": str(tmp_path),
+        }
+    )
+    df = register_source(spark, src)
+    got = sorted(r.value for r in df.collect())
+    assert got == ["first doc\nsecond line", "other doc"]
+
+
+def test_text_source_custom_line_sep(spark, tmp_path):
+    (tmp_path / "recs.txt").write_text("one\x1etwo\x1ethree")
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "recs",
+            "format": {"type": "text", "options": {"line_sep": "\x1e"}},
+            "location": str(tmp_path / "recs.txt"),
+        }
+    )
+    df = register_source(spark, src)
+    assert sorted(r.value for r in df.collect()) == ["one", "three", "two"]
+
+
+def test_text_directory_source_hive_partitions(spark, tmp_path):
+    for part in ("lang=en", "lang=de"):
+        d = tmp_path / part
+        d.mkdir()
+        (d / "f.txt").write_text(f"hello from {part}\n")
+    src = parse_source(
+        {
+            "type": "directory",
+            "name": "text_dir",
+            "format": {"type": "text"},
+            "location": str(tmp_path),
+            "partition_columns": [["lang", "string"]],
+        }
+    )
+    df = register_source(spark, src)
+    got = {(r.lang, r.value) for r in df.collect()}
+    assert got == {
+        ("en", "hello from lang=en"),
+        ("de", "hello from lang=de"),
+    }

@@ -41,6 +41,7 @@ def test_examples_exist():
         "embedding_index.yml",
         "embedding_dedup.yml",
         "web_curation.yml",
+        "dsir_selection.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
@@ -94,3 +95,35 @@ def test_lakehouse_cdc_example_chains_after_upsert(spark, tmp_path):
     assert set(df.columns) == {"date", "priority", "n_orders", "total_price"}
     assert df.count() > 0
     _cleanup(p)
+
+
+def test_raw_text_ingest_example_runs(spark, tmp_path):
+    """raw_text_ingest.yml over a synthesized directory of .txt files:
+    wholetext ingestion -> hash ids -> quality scores -> parquet."""
+    base = Path(__file__).parent.parent / "examples"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(3):
+        (corpus / f"doc{i}.txt").write_text(
+            f"document {i} with enough plain words to look like real "
+            f"prose and not pure noise for the quality scorer"
+        )
+    (corpus / "ignore.bin").write_bytes(b"\x00\x01")
+    params = dict(PARAMS, out_dir=str(tmp_path), corpus_dir=str(corpus))
+    pipeline = load_pipeline(base / "raw_text_ingest.yml", params)
+    result = run_pipeline(spark, pipeline)
+    assert result.result is not None and result.result.count() == 3
+    back = spark.read.parquet(str(tmp_path / "ingested"))
+    assert back.count() == 3
+    assert {"doc_id", "quality_score"} <= set(back.columns)
+    for group in pipeline.stage_groups:
+        for stage in group:
+            try:
+                spark.catalog.dropTempView(stage.name)
+            except Exception:
+                pass
+    for src in pipeline.parsed_sources:
+        try:
+            spark.catalog.dropTempView(src.name)
+        except Exception:
+            pass
