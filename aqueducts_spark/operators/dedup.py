@@ -67,6 +67,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def hashable_columns(df: DataFrame) -> list[str]:
+    """Columns whose types Spark's hash functions accept: xxhash64/hash
+    reject MAP (no canonical entry order) and VARIANT anywhere in the
+    type — a content-hash fallback built over ``df.columns`` blindly
+    would fail at analysis for any frame carrying crawl-metadata maps."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, getattr(T, "VariantType", ())):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in df.schema.fields if ok(f.dataType)]
+
+
 def normalized_tokens(text: Column) -> Column:
     """Lowercased whitespace tokens with empties removed."""
     return F.filter(
@@ -554,8 +575,27 @@ def simhash(
         # zero and 1<<63 overflows the BIGINT literal under ANSI
         raise ValueError(f"simhash: bits must be in 1..60, got {bits}")
     src = ensure_parallelism(df)
-    toks = src.select(
-        F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
+    # NULL-id documents ride a per-text working key ('\x00' + md5 of
+    # the text — cannot collide with a cast id unless an id string
+    # starts with '\x00'): a NULL group key would merge EVERY NULL-id
+    # document into one aggregate and fingerprint each over the union
+    # of all their tokens.  Identical NULL-id texts share a key, which
+    # is exact (same text ⇒ same fingerprint).
+    wk = "__sh_key"
+    while wk in src.columns:
+        wk = "_" + wk
+    keyed = src.withColumn(
+        wk,
+        F.when(
+            F.col(id_col).isNull(),
+            F.concat(
+                F.lit("\x00"),
+                F.md5(F.coalesce(F.col(text_col), F.lit("\x00NULL"))),
+            ),
+        ).otherwise(F.col(id_col).cast("string")),
+    )
+    toks = keyed.select(
+        F.col(wk), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
     )
     hashed = toks.withColumn("h", _token_hash60(F.col("tok"), hash_fn))
     # expressions are SQL strings, not Column compositions: 60 sums
@@ -564,25 +604,23 @@ def simhash(
     bit_sums = [
         F.expr(f"sum(shiftright(h, {b}) & 1) AS b{b}") for b in range(bits)
     ]
-    agg = hashed.groupBy(id_col).agg(F.expr("count(*) AS __n"), *bit_sums)
+    agg = hashed.groupBy(wk).agg(F.expr("count(*) AS __n"), *bit_sums)
     fingerprint = " + ".join(
         f"IF(b{b} * 2 > __n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
         for b in range(bits)
     )
-    fingerprints = agg.select(F.col(id_col), F.expr(f"({fingerprint}) AS simhash"))
+    fingerprints = agg.select(F.col(wk), F.expr(f"({fingerprint}) AS simhash"))
     # explode emits no rows for empty/whitespace/NULL text, which
     # silently LOST those documents from the output; reinstate them
     # with fingerprint 0 (no tokens -> every bit majority is 0), the
-    # same keep-the-row contract drop_common_lines documents.
-    # eqNullSafe like drop_common_lines: a plain equi-join never
-    # matches a NULL-id document to its computed fingerprint row, so a
-    # NULL-id doc WITH tokens would be coalesced to 0.
-    base = src.select(id_col)
-    cond = base[id_col].eqNullSafe(fingerprints[id_col])
+    # same keep-the-row contract drop_common_lines documents.  The
+    # working key is never NULL, so a plain equi-join reinstates
+    # NULL-id documents with their own computed fingerprint too.
+    base = keyed.select(id_col, wk)
     return (
-        base.join(fingerprints, cond, "left")
+        base.join(fingerprints, wk, "left")
         .select(
-            base[id_col].alias(id_col),
+            F.col(id_col),
             F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
         )
     )

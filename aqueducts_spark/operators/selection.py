@@ -189,7 +189,10 @@ def dsir_select(
 
     The Gumbel key is ``logw/τ − ln(−ln u)`` with ``u`` derived from
     an md5 hash of the id (uniform in (0,1), deterministic across
-    runs and engines — replayable selection, no RNG state).  The plan
+    runs and engines — replayable selection, no RNG state).  NULL ids
+    fall back to a content hash over the row's hashable columns, so
+    distinct NULL-id rows still draw distinct keys (byte-identical
+    rows tie, which is harmless — they are interchangeable).  The plan
     is a global top-k (``TakeOrderedAndProject``), not a full sort;
     ``k`` rows land on the driver side of the limit, so keep ``k``
     bounded (selection subsets are, by definition).
@@ -198,13 +201,22 @@ def dsir_select(
         raise ValueError("dsir_select: k must be >= 1")
     if temperature <= 0:
         raise ValueError("dsir_select: temperature must be > 0")
+    from .dedup import hashable_columns
+
+    hash_cols = hashable_columns(weights)
+    content = (
+        F.xxhash64(*[F.col(c) for c in hash_cols]) if hash_cols else F.lit(0)
+    )
     h = F.conv(
         F.substring(
             F.md5(
                 F.concat(
                     F.lit(salt),
                     F.lit(":"),
-                    F.coalesce(F.col(id_col).cast("string"), F.lit("\x00")),
+                    F.coalesce(
+                        F.col(id_col).cast("string"),
+                        F.concat(F.lit("\x00"), content.cast("string")),
+                    ),
                 )
             ),
             1,

@@ -221,7 +221,12 @@ def registered_domain_psl(
     )
     match_lens = [F.lit(1)]
     for k in range(1, max_labels + 1):
-        match_lens.append(F.when(F.col(hit_cols[k][1]), F.lit(k + 1)))
+        # a wildcard matches exactly ONE label: '*.sch.uk' does not
+        # match the host 'sch.uk' itself (real-PSL wildcards often have
+        # no plain base rule), so require a label in the '*' position
+        match_lens.append(
+            F.when(F.col(hit_cols[k][1]) & (n > k), F.lit(k + 1))
+        )
         match_lens.append(F.when(F.col(hit_cols[k][2]), F.lit(k)))
     suffix_len = F.coalesce(exc_len, F.greatest(*match_lens))
     domain = F.when(
@@ -277,21 +282,25 @@ def url_dedup(
       Unique sentinels spread those rows uniformly.
 
     ``id_col`` is assumed unique (it is the dedup tiebreak id); for
-    NULL ids the sentinel falls back to a full-row content hash, so
-    byte-identical id-less NULL-url rows collapse — deterministic
-    under task retry, which a uuid/monotonic id would not be."""
+    NULL ids the sentinel falls back to a content hash over the
+    hashable columns (MAP/VARIANT columns are excluded — Spark's hash
+    functions reject them), so byte-identical id-less NULL-url rows
+    collapse — deterministic under task retry, which a uuid/monotonic
+    id would not be."""
     from pyspark.sql.window import Window
 
+    from .dedup import hashable_columns
     from .sampling import _fresh_name
 
     canon = canonical_url(F.col(url_col))
+    hash_cols = hashable_columns(df)
+    content = (
+        F.xxhash64(*[F.col(c) for c in hash_cols]) if hash_cols else F.lit(0)
+    )
     # '\x00' cannot prefix a canonical URL (schemes are alphabetic)
     null_sentinel = F.concat(
         F.lit("\x00"),
-        F.coalesce(
-            F.col(id_col).cast("string"),
-            F.xxhash64(*[F.col(c) for c in df.columns]).cast("string"),
-        ),
+        F.coalesce(F.col(id_col).cast("string"), content.cast("string")),
     )
     key_col = _fresh_name("__canon", df.columns)
     rn_col = _fresh_name("__rn", df.columns)

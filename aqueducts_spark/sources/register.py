@@ -72,48 +72,41 @@ def _read_file_format(spark: SparkSession, fmt, location: str) -> DataFrame:
             reader = reader.schema(fields_to_struct(opts.schema_))
         return reader.orc(location)
     if fmt.type == "binary":
-        return _read_binary(spark, opts, location)
+        return _binary_postfilter(
+            _apply_raw_file_options(
+                spark.read.format("binaryFile"), opts
+            ).load(location),
+            opts,
+        )
     if fmt.type == "text":
-        return _read_text(spark, opts, location)
+        return _apply_raw_file_options(
+            spark.read.format("text"), opts
+        ).load(location)
     raise SourceError(f"unsupported file format: {fmt.type}")
 
 
-def _read_text(spark: SparkSession, opts, location: str) -> DataFrame:
-    """Spark's built-in ``text`` source: raw corpora as one ``value``
-    row per line, or per FILE with ``wholetext: true`` (one document
-    per file — beware: a whole file must fit in one task's row, so
-    pair wholetext with upstream size limits).  Line mode splits large
-    files across tasks like any text scan."""
-    reader = spark.read.format("text")
-    if opts.wholetext:
+def _apply_raw_file_options(reader, opts):
+    """Shared option wiring for the raw-file sources (``binaryFile``
+    and ``text``) — ONE place, so a new option cannot silently apply to
+    the file path but not the directory path (or vice versa)."""
+    if getattr(opts, "wholetext", False):
+        # one document per FILE: the whole file must fit in one task's
+        # row, so pair wholetext with upstream size limits
         reader = reader.option("wholetext", "true")
-    if opts.line_sep:
+    if getattr(opts, "line_sep", None):
         reader = reader.option("lineSep", opts.line_sep)
     if opts.path_glob_filter:
         reader = reader.option("pathGlobFilter", opts.path_glob_filter)
     if opts.recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    return reader.load(location)
+    return reader
 
 
-def _read_binary(spark: SparkSession, opts, location: str) -> DataFrame:
-    """Spark's built-in ``binaryFile`` source: one row per file with
-    ``path, modificationTime, length, content`` — the multimodal
-    ingestion path (images/audio/video land as opaque binary columns
-    for operators/multimodal.py).  The scan is distributed (files are
-    split across tasks, content read executor-side); ``max_bytes``
-    guards a 100 TB media crawl against a pathological giant file
-    landing in one task's memory — filtering on ``length`` happens on
-    file METADATA, before content is read."""
-    reader = spark.read.format("binaryFile")
-    if opts.path_glob_filter:
-        reader = reader.option("pathGlobFilter", opts.path_glob_filter)
-    if opts.recursive:
-        reader = reader.option("recursiveFileLookup", "true")
-    df = reader.load(location)
+def _binary_postfilter(df: DataFrame, opts) -> DataFrame:
+    """``max_bytes`` guards a 100 TB media crawl against a pathological
+    giant file landing in one task's memory — the filter runs on file
+    METADATA (``length``), before content is read."""
     if opts.max_bytes is not None:
-        from pyspark.sql import functions as F
-
         df = df.where(F.col("length") <= opts.max_bytes)
     return df
 
@@ -148,24 +141,24 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
         reader = reader.format(fmt.type)
         if opts.schema_:
             reader = reader.schema(fields_to_struct(opts.schema_))
-    elif fmt.type == "binary":
-        # binaryFile discovers hive partitions like any file source;
-        # basePath is already set above
-        reader = reader.format("binaryFile")
-        if opts.path_glob_filter:
-            reader = reader.option("pathGlobFilter", opts.path_glob_filter)
-        if opts.recursive:
-            reader = reader.option("recursiveFileLookup", "true")
-    elif fmt.type == "text":
-        reader = reader.format("text")
-        if opts.wholetext:
-            reader = reader.option("wholetext", "true")
-        if opts.line_sep:
-            reader = reader.option("lineSep", opts.line_sep)
-        if opts.path_glob_filter:
-            reader = reader.option("pathGlobFilter", opts.path_glob_filter)
-        if opts.recursive:
-            reader = reader.option("recursiveFileLookup", "true")
+    elif fmt.type in ("binary", "text"):
+        # binaryFile/text discover hive partitions like any file
+        # source (basePath is already set above) — but Spark's
+        # recursiveFileLookup DISABLES partition inference, so the two
+        # knobs together can never work; fail fast instead of letting
+        # the partition-column check below produce a confusing error
+        if opts.recursive and source.partition_columns:
+            raise SourceError(
+                f"directory source '{source.name}': options.recursive "
+                "disables Spark's hive-partition discovery and cannot "
+                "be combined with partition_columns — drop one of the "
+                "two (hive 'col=value/' layouts are discovered without "
+                "recursive)"
+            )
+        reader = _apply_raw_file_options(
+            reader.format("binaryFile" if fmt.type == "binary" else "text"),
+            opts,
+        )
     else:
         raise SourceError(f"unsupported directory format: {fmt.type}")
 
@@ -174,8 +167,8 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
     # columns get cast to their declared types afterwards
     # (reference sources/mod.rs:311-318 declares them typed up front).
     df = reader.load(location)
-    if fmt.type == "binary" and opts.max_bytes is not None:
-        df = df.where(F.col("length") <= opts.max_bytes)
+    if fmt.type == "binary":
+        df = _binary_postfilter(df, opts)
     from ..types import parse_data_type
 
     for col_name, dtype_str in source.partition_columns:

@@ -220,3 +220,25 @@ def test_text_directory_source_hive_partitions(spark, tmp_path):
         ("en", "hello from lang=en"),
         ("de", "hello from lang=de"),
     }
+
+
+def test_recursive_with_partition_columns_fails_fast(spark, tmp_path):
+    """Spark's recursiveFileLookup disables hive-partition inference;
+    the two knobs together must be rejected with a clear error instead
+    of a confusing 'partition column not found'."""
+    from aqueducts_spark.sources.register import SourceError
+
+    d = tmp_path / "lang=en"
+    d.mkdir()
+    (d / "f.txt").write_text("hi\n")
+    src = parse_source(
+        {
+            "type": "directory",
+            "name": "bad_combo",
+            "format": {"type": "text", "options": {"recursive": True}},
+            "location": str(tmp_path),
+            "partition_columns": [["lang", "string"]],
+        }
+    )
+    with pytest.raises(SourceError, match="recursive.*partition_columns"):
+        register_source(spark, src)

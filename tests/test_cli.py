@@ -113,13 +113,15 @@ stages:
     query: SELECT count(*) AS n FROM cq_nation
     show: 1
 """
-    # the first submission is deliberately heavy (self-join blowup) so
-    # the second stays QUEUED long enough for the cross-connection CLI
-    # cancel to land before it starts
+    # the first submission is deliberately heavy (25^6-row cross-join
+    # count, a several-second window even on a warm host) so the second
+    # stays QUEUED until the cross-connection CLI cancel lands — the
+    # queued ids arrive immediately at submit time, well before the
+    # first execution can finish
     slow_pipeline = pipeline.replace(
         "SELECT count(*) AS n FROM cq_nation",
         "SELECT count(*) AS n FROM cq_nation a, cq_nation b, cq_nation c, "
-        "cq_nation d, cq_nation e",
+        "cq_nation d, cq_nation e, cq_nation f",
     )
     queued_id: queue_mod.Queue = queue_mod.Queue()
     outcome = {}

@@ -262,6 +262,23 @@ class TestDedupReviewRegressions:
         out = {r.doc_id: r.simhash for r in simhash(df).collect()}
         assert out[None] == out[2] != 0
 
+    def test_simhash_distinct_null_id_docs_keep_distinct_fingerprints(self, spark):
+        """Two NULL-id docs with different texts must NOT merge into one
+        aggregate (a NULL group key would fingerprint each over the
+        union of both token sets)."""
+        from aqueducts_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [(None, "hello world"), (None, "totally different words"),
+             (3, "hello world"), (4, "totally different words")],
+            "doc_id long, text string",
+        )
+        rows = simhash(df).collect()
+        by_text_twin = {r.doc_id: r.simhash for r in rows if r.doc_id is not None}
+        null_hashes = sorted(r.simhash for r in rows if r.doc_id is None)
+        assert null_hashes == sorted(by_text_twin.values())
+        assert by_text_twin[3] != by_text_twin[4]
+
     def test_simhash_bits_validated(self, spark):
         import pytest as _pytest
 

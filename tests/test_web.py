@@ -140,6 +140,19 @@ def test_url_dedup_null_url_null_id_collapses_identical_rows_only(spark):
     assert kept == [(7, "c"), (None, "a"), (None, "b")]
 
 
+def test_url_dedup_tolerates_map_columns(spark):
+    """Spark's hash functions reject MAP columns; the NULL-id content
+    fallback must skip them instead of failing analysis for every
+    frame carrying crawl-metadata maps."""
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", {"k": "v"}), (2, "https://a.com/x/", {"k": "w"}),
+         (None, None, {"k": "z"})],
+        "doc_id long, url string, meta map<string,string>",
+    )
+    out = url_dedup(df).collect()
+    assert sorted(str(r.doc_id) for r in out) == ["1", "None"]
+
+
 def test_url_dedup_survives_user_columns_named_canon_rn(spark):
     """Helper column names must not clobber user columns."""
     df = spark.createDataFrame(
@@ -247,6 +260,25 @@ def test_registered_domain_psl_spec_cases(spark, host, expected):
     df = spark.createDataFrame([(host,)], "host string")
     got = registered_domain_psl(df, psl).collect()[0]["domain"]
     assert got == expected, (host, got, expected)
+
+
+def test_registered_domain_psl_wildcard_needs_a_label(spark):
+    """'*.sch.uk' (a real-PSL wildcard with NO plain 'sch.uk' rule)
+    must not match the host 'sch.uk' itself — a wildcard consumes
+    exactly one label, so 'uk' prevails and sch.uk IS a registered
+    domain, while under the wildcard x.sch.uk is a public suffix."""
+    from aqueducts_spark.operators.web import registered_domain_psl
+
+    psl = spark.createDataFrame([("uk",), ("*.sch.uk",)], "rule string")
+    df = spark.createDataFrame(
+        [("sch.uk",), ("x.sch.uk",), ("school.x.sch.uk",)], "host string"
+    )
+    got = {r.host: r.domain for r in registered_domain_psl(df, psl).collect()}
+    assert got == {
+        "sch.uk": "sch.uk",
+        "x.sch.uk": None,
+        "school.x.sch.uk": "school.x.sch.uk",
+    }
 
 
 def test_registered_domain_psl_plan_broadcast_only(spark):
