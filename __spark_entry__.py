@@ -2458,6 +2458,62 @@ SELECT doc_id, url FROM (
 ) t WHERE rn = 1
 """
 
+def _op_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py::semantic_dedup, Abbas et al.
+    2023).  Rows-only by design (iterative k-means centroids are not
+    SQL-expressible) — so the quality bar lives IN the gate: every
+    surviving pair within a cluster must be below the cosine threshold,
+    asserted against an exact recomputation."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.dedup import semantic_dedup
+    from aqueducts_spark.operators.similarity import (
+        _NORM_EPS,
+        dot,
+        ivf_assign,
+        l2_norm,
+        train_ivf_centroids,
+    )
+
+    _views(spark, sf_dir)
+    # planted near-duplicates (same construction as the neardup gates):
+    # the raw synthetic embeddings top out at cosine ~0.6, which would
+    # make a dedup gate trivially green — the planted copies straddle
+    # the 0.8 threshold so real drop decisions are exercised
+    emb = _neardup_input(spark)
+    threshold = 0.8
+    kept = semantic_dedup(
+        emb, n_clusters=8, threshold=threshold
+    ).localCheckpoint(eager=True)
+    # invariant: no two survivors in the SAME cluster remain above the
+    # threshold (cross-cluster pairs are out of scope by construction)
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8)
+    assigned = ivf_assign(kept, cents, "embedding", out_col="cid")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cid").alias("ca"),
+        F.col("embedding").alias("va"), l2_norm("embedding").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cid").alias("cb"),
+        F.col("embedding").alias("vb"), l2_norm("embedding").alias("nb"),
+    )
+    same_cluster = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .where(
+            dot(F.col("va"), F.col("vb"))
+            / F.greatest(F.col("na") * F.col("nb"), F.lit(_NORM_EPS))
+            > threshold
+        )
+        .count()
+    )
+    assert same_cluster == 0, (
+        f"semantic_dedup left {same_cluster} above-threshold pairs inside clusters"
+    )
+    n_in, n_out = emb.count(), kept.count()
+    assert n_out < n_in, "planted near-duplicates were not deduplicated at all"
+    return kept.select("vec_id")
+
+
 _DSIR_BUCKETS = 4096
 _DSIR_TARGET = "source IN ('src0', 'src1')"
 
@@ -3417,6 +3473,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_domain_cap": _op_domain_cap,
         "op_dsir_weights": _op_dsir_weights,
         "op_dsir_select": _op_dsir_select,
+        "op_semdedup": _op_semdedup,
         "pl_pipeline_yaml": _pl_pipeline,
     }
 
@@ -3522,6 +3579,7 @@ _GATE_PRIORITY = [
     # -- remaining operator gates ---------------------------------------
     "op_dsir_weights",
     "op_dsir_select",
+    "op_semdedup",
     "sim_ivf_topk",
     "op_cluster_components",
     "op_dedup_against",

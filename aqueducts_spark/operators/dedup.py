@@ -48,6 +48,7 @@ __all__ = [
     "simhash",
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
+    "semantic_dedup",
 ]
 
 
@@ -668,6 +669,104 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication through embedding clusters.
+
+    1. spherical k-means centroids from a bounded hash-ranked sample
+       (:func:`~.similarity.train_ivf_centroids` — only ``sample_size``
+       vectors reach the driver);
+    2. assign every vector to its nearest centroid (Arrow-batched
+       matmul, no shuffle);
+    3. WITHIN each cluster, connect pairs with cosine > ``threshold``
+       (one shuffle keyed on centroid id — never a global all-pairs;
+       the per-cluster join is quadratic in CLUSTER size, so scale
+       ``n_clusters`` with the corpus: the paper uses ~√N clusters);
+    4. resolve duplicate groups with connected components and keep, per
+       group, the member with the LOWEST cosine to its centroid (the
+       paper's diversity-preserving choice; ties break to min id).
+
+    Rows with NULL embeddings pass through untouched (no semantics to
+    compare).  Deterministic for a fixed seed and input.
+    """
+    from .cluster import connected_components
+    from .similarity import _NORM_EPS, dot, ivf_assign, l2_norm, train_ivf_centroids
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"semantic_dedup: threshold must be in (0, 1), got {threshold}"
+        )
+    centroids = train_ivf_centroids(
+        df, vec_col, n_centroids=n_clusters, sample_size=sample_size,
+        iters=iters, seed=seed,
+    )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        f"__cid int, __centroid array<double>",
+    )
+    assigned = ivf_assign(df, centroids, vec_col, out_col="__cid").join(
+        F.broadcast(cdf), "__cid"
+    )
+    # one cheap projection carries everything each stage needs:
+    # (id, cluster, norm, similarity-to-centroid); vectors are dropped
+    # before the pair join so the shuffle is slim
+    slim = assigned.select(
+        F.col(id_col).alias("__sid"),
+        F.col("__cid"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        (
+            dot(F.col(vec_col), F.col("__centroid"))
+            / F.greatest(l2_norm(F.col(vec_col)), F.lit(_NORM_EPS))
+        ).alias("__ccos"),  # centroid rows are unit-norm already
+    )
+    a = slim.select(
+        F.col("__sid").alias("id_a"), "__cid",
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    )
+    b = slim.select(
+        F.col("__sid").alias("id_b"), F.col("__cid").alias("__cid_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    edges = (
+        a.join(b, (F.col("__cid") == F.col("__cid_b")) & (F.col("id_a") < F.col("id_b")))
+        .where(
+            dot(F.col("va"), F.col("vb"))
+            / F.greatest(F.col("na") * F.col("nb"), F.lit(_NORM_EPS))
+            > threshold
+        )
+        .select("id_a", "id_b")
+    )
+    from pyspark.sql.window import Window
+
+    comps = connected_components(edges)  # (node, component)
+    ranked = (
+        comps.join(
+            slim.select(F.col("__sid").alias("node"), "__ccos"), "node"
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("__ccos").asc(), F.col("node").asc()
+                )
+            ),
+        )
+    )
+    drop_ids = ranked.where(F.col("__rk") > 1).select(F.col("node").alias(id_col))
+    return df.join(drop_ids, [id_col], "left_anti")
 
 
 def embedding_near_duplicates_lsh(

@@ -797,6 +797,21 @@ def _op_url_parts(spark, inp, options):
     return url_parts(inp, options.get("url_col", "url"))
 
 
+def _op_semantic_dedup(spark, inp, options):
+    from .dedup import semantic_dedup
+
+    return semantic_dedup(
+        inp,
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        n_clusters=int(options.get("n_clusters", 16)),
+        threshold=float(options.get("threshold", 0.95)),
+        sample_size=int(options.get("sample_size", 4096)),
+        iters=int(options.get("iters", 8)),
+        seed=int(options.get("seed", 42)),
+    )
+
+
 def _op_dsir_weights(spark, inp, options):
     from .selection import dsir_weights
 
@@ -931,6 +946,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "registered_domain_psl": _op_registered_domain_psl,
     "dsir_weights": _op_dsir_weights,
     "dsir_select": _op_dsir_select,
+    "semantic_dedup": _op_semantic_dedup,
     "domain_cap": _op_domain_cap,
     "dedup_against": _op_dedup_against,
     "cms_sketch": _op_cms_sketch,

@@ -1,0 +1,110 @@
+"""SemDeDup (Abbas et al. 2023): semantic dedup via embedding clusters
+(operators/dedup.py::semantic_dedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.dedup import semantic_dedup
+
+# two well-separated directions with near-duplicate groups around each,
+# plus singletons: the clusterer must separate the directions and the
+# within-cluster threshold must merge only the near-identical vectors
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 1
+    (3, [0.998, 0.02, 0.0, 0.0]),     # near-dup of 1/2
+    (4, [0.0, 0.0, 1.0, 0.0]),
+    (5, [0.0, 0.01, 0.999, 0.0]),     # near-dup of 4
+    (6, [0.7, 0.7, 0.0, 0.0]),        # same half-space as 1, not a dup
+    (7, [0.0, 0.0, 0.7, 0.7]),        # same half-space as 4, not a dup
+]
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _dedup(spark, rows=VECS, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    kw.setdefault("n_clusters", 2)
+    kw.setdefault("threshold", 0.99)
+    return semantic_dedup(df, **kw)
+
+
+def test_semantic_dedup_collapses_near_dup_groups(spark):
+    kept = sorted(r.vec_id for r in _dedup(spark).collect())
+    # one survivor per near-dup group; singletons untouched
+    assert len(kept) == 4
+    assert 6 in kept and 7 in kept
+    assert len({1, 2, 3} & set(kept)) == 1
+    assert len({4, 5} & set(kept)) == 1
+
+
+def test_semantic_dedup_keeps_lowest_centroid_similarity(spark):
+    """The paper keeps the group member FARTHEST from its centroid
+    (lowest cosine) — the diversity-preserving representative."""
+    import numpy as np
+
+    from aqueducts_spark.operators.similarity import train_ivf_centroids
+
+    spark_df = spark.createDataFrame(VECS, SCHEMA)
+    cents = np.array(
+        train_ivf_centroids(spark_df, "embedding", n_centroids=2, seed=42)
+    )
+    kept = {r.vec_id for r in _dedup(spark).collect()}
+    by_id = {i: np.array(v) for i, v in VECS}
+    for group in ({1, 2, 3}, {4, 5}):
+        def ccos(i):
+            v = by_id[i] / np.linalg.norm(by_id[i])
+            return max(float(v @ c) for c in cents)
+        farthest = min(sorted(group), key=lambda i: (ccos(i), i))
+        assert group & kept == {farthest}
+
+
+def test_semantic_dedup_deterministic(spark):
+    a = sorted(r.vec_id for r in _dedup(spark).collect())
+    b = sorted(r.vec_id for r in _dedup(spark).collect())
+    assert a == b
+
+
+def test_semantic_dedup_null_embeddings_pass_through(spark):
+    rows = VECS + [(99, None)]
+    kept = sorted(
+        r.vec_id for r in _dedup(spark, rows=rows).collect()
+    )
+    assert 99 in kept
+
+
+def test_semantic_dedup_no_dups_returns_everything(spark):
+    rows = [(i, v) for i, v in VECS if i in (1, 4, 6, 7)]
+    kept = sorted(r.vec_id for r in _dedup(spark, rows=rows).collect())
+    assert kept == [1, 4, 6, 7]
+
+
+def test_semantic_dedup_threshold_validated(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        _dedup(spark, threshold=1.5)
+
+
+def test_semantic_dedup_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(VECS, SCHEMA).createOrReplaceTempView("sem_vecs")
+    out = run_operator(
+        spark,
+        {
+            "type": "semantic_dedup",
+            "input": "sem_vecs",
+            "options": {"n_clusters": 2, "threshold": 0.99},
+        },
+    )
+    assert out.count() == 4
+    assert set(out.columns) == {"vec_id", "embedding"}
+    spark.catalog.dropTempView("sem_vecs")
+
+
+def test_semantic_dedup_on_real_embeddings_table(spark):
+    """Smoke at testdata scale: output is a subset, deduped count is
+    sane, and re-running is stable."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(df, n_clusters=8, threshold=0.999)
+    n_in, n_out = df.count(), out.count()
+    assert 0 < n_out <= n_in
+    assert out.count() == n_out  # deterministic re-execution
