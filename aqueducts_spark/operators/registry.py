@@ -816,20 +816,42 @@ def _op_dsir_weights(spark, inp, options):
     from .selection import dsir_weights
 
     target_table = options.get("target")
-    if not target_table:
+    ratios_table = options.get("ratios")
+    if bool(target_table) == bool(ratios_table):
         raise OperatorError(
-            "dsir_weights requires options.target (a table name for the "
-            "target-distribution corpus)"
+            "dsir_weights requires exactly one of options.target (fit "
+            "inline) or options.ratios (a pre-fitted dsir_log_ratios "
+            "table)"
         )
     raw_table = options.get("raw")
     return dsir_weights(
         inp,
-        spark.table(target_table),
+        spark.table(target_table) if target_table else None,
         text_col=options.get("text_col", "text"),
         id_col=options.get("id_col", "doc_id"),
         buckets=int(options.get("buckets", 10_000)),
         smoothing=float(options.get("smoothing", 1.0)),
         raw=spark.table(raw_table) if raw_table else None,
+        target_text_col=options.get("target_text_col"),
+        ratios=spark.table(ratios_table) if ratios_table else None,
+    )
+
+
+def _op_dsir_log_ratios(spark, inp, options):
+    from .selection import dsir_log_ratios
+
+    target_table = options.get("target")
+    if not target_table:
+        raise OperatorError(
+            "dsir_log_ratios requires options.target (the "
+            "target-distribution corpus); the stage input is the raw corpus"
+        )
+    return dsir_log_ratios(
+        spark.table(target_table),
+        inp,
+        text_col=options.get("text_col", "text"),
+        buckets=int(options.get("buckets", 10_000)),
+        smoothing=float(options.get("smoothing", 1.0)),
         target_text_col=options.get("target_text_col"),
     )
 
@@ -945,6 +967,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "url_dedup": _op_url_dedup,
     "registered_domain_psl": _op_registered_domain_psl,
     "dsir_weights": _op_dsir_weights,
+    "dsir_log_ratios": _op_dsir_log_ratios,
     "dsir_select": _op_dsir_select,
     "semantic_dedup": _op_semantic_dedup,
     "domain_cap": _op_domain_cap,
@@ -1017,4 +1040,6 @@ def referenced_tables(config: dict[str, Any]) -> list[str]:
         out.append(str(options["raw"]))
     if options.get("psl"):
         out.append(str(options["psl"]))
+    if options.get("ratios"):
+        out.append(str(options["ratios"]))
     return out

@@ -41,9 +41,15 @@ from .dedup import ensure_parallelism, normalized_tokens, word_ngrams
 
 __all__ = [
     "dsir_bucket_counts",
+    "dsir_log_ratios",
     "dsir_weights",
     "dsir_select",
 ]
+
+# ratio-table sentinel: the smoothed-zero log-ratio for buckets seen in
+# neither fitted corpus rides as bucket -1 (real buckets are >= 0), so
+# a PERSISTED ratio table stays self-contained
+DEFAULT_BUCKET = -1
 
 _MICRO = 1e6
 _HASH_SPACE = float(1 << 60)
@@ -83,41 +89,34 @@ def dsir_bucket_counts(
     return exploded.groupBy(*keys).agg(F.count("*").alias("c"))
 
 
-def dsir_weights(
-    df: DataFrame,
+def dsir_log_ratios(
     target: DataFrame,
+    raw: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     buckets: int = 10_000,
     smoothing: float = 1.0,
-    raw: Optional[DataFrame] = None,
     target_text_col: Optional[str] = None,
 ) -> DataFrame:
-    """Per-document DSIR importance log-weight over ``df``.
-
-    ``target`` is the corpus whose distribution you want more of;
-    ``raw`` is the corpus the multinomial denominator is fitted on
-    (default: ``df`` itself, the paper's setting).  Laplace smoothing
-    ``smoothing`` keeps unseen buckets finite.
-
-    Output: ``id_col, n_feats, logw_micro, logw`` where ``logw =
-    Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b])``, summed in integer
-    micro-nats (``logw_micro``) for partition-independent, cross-engine
-    exact aggregation; ``logw = logw_micro / 1e6``.
-    """
+    """The fitted DSIR model as a self-contained λ table:
+    ``(bucket, lam_micro)`` with at most ``buckets + 1`` rows — the
+    per-bucket micro-nat log-ratio ``ln p_target[b] − ln p_raw[b]``
+    under Laplace smoothing, plus one :data:`DEFAULT_BUCKET` (-1) row
+    carrying the smoothed-zero ratio for buckets seen in neither
+    corpus.  Persist it once and score many corpora / a stream against
+    it (:func:`dsir_weights` with ``ratios=``, or
+    :func:`~aqueducts_spark.streaming.ops.dsir_score_stream`)."""
     if buckets < 1:
-        raise ValueError("dsir_weights: buckets must be >= 1")
+        raise ValueError("dsir_log_ratios: buckets must be >= 1")
     if smoothing <= 0:
         raise ValueError(
-            "dsir_weights: smoothing must be > 0 (an unsmoothed bucket "
-            "absent from one corpus has an infinite log-ratio)"
+            "dsir_log_ratios: smoothing must be > 0 (an unsmoothed "
+            "bucket absent from one corpus has an infinite log-ratio)"
         )
     tcol = target_text_col or text_col
     t_counts = dsir_bucket_counts(target, tcol, None, buckets).withColumnRenamed(
         "c", "tc"
     )
-    raw_src = raw if raw is not None else df
-    r_counts = dsir_bucket_counts(raw_src, text_col, None, buckets).withColumnRenamed(
+    r_counts = dsir_bucket_counts(raw, text_col, None, buckets).withColumnRenamed(
         "c", "rc"
     )
     totals = (
@@ -138,27 +137,85 @@ def dsir_weights(
         lp_r = F.log((rc.cast("double") + a) / denom_r)
         return F.floor((lp_t - lp_r) * F.lit(_MICRO) + F.lit(0.5)).cast("bigint")
 
-    ratio = (
+    fitted = (
         t_counts.join(r_counts, "bucket", "full_outer")
         .crossJoin(F.broadcast(totals))
         .select(
-            "bucket",
+            F.col("bucket").cast("bigint").alias("bucket"),
             lam(
                 F.coalesce("tc", F.lit(0)), F.coalesce("rc", F.lit(0))
             ).alias("lam_micro"),
         )
     )
+    default_row = totals.select(
+        F.lit(DEFAULT_BUCKET).cast("bigint").alias("bucket"),
+        lam(F.lit(0), F.lit(0)).alias("lam_micro"),
+    )
+    return fitted.unionByName(default_row)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    raw: Optional[DataFrame] = None,
+    target_text_col: Optional[str] = None,
+    ratios: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight over ``df``.
+
+    ``target`` is the corpus whose distribution you want more of;
+    ``raw`` is the corpus the multinomial denominator is fitted on
+    (default: ``df`` itself, the paper's setting).  Laplace smoothing
+    ``smoothing`` keeps unseen buckets finite.  Alternatively pass a
+    pre-fitted ``ratios`` table (:func:`dsir_log_ratios`, possibly
+    persisted) instead of ``target``/``raw`` — ``buckets`` must then
+    match the fit.
+
+    Output: ``id_col, n_feats, logw_micro, logw`` where ``logw =
+    Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b])``, summed in integer
+    micro-nats (``logw_micro``) for partition-independent, cross-engine
+    exact aggregation; ``logw = logw_micro / 1e6``.
+    """
+    if buckets < 1:
+        raise ValueError("dsir_weights: buckets must be >= 1")
+    if (target is None) == (ratios is None):
+        raise ValueError(
+            "dsir_weights: pass exactly one of target (fit inline) or "
+            "ratios (pre-fitted table from dsir_log_ratios)"
+        )
+    if ratios is None:
+        ratios = dsir_log_ratios(
+            target,
+            raw if raw is not None else df,
+            text_col=text_col,
+            buckets=buckets,
+            smoothing=smoothing,
+            target_text_col=target_text_col,
+        )
+    ratio = ratios.where(F.col("bucket") != DEFAULT_BUCKET)
+    # left join on a constant key, NOT a crossJoin: a user-built ratios
+    # table without the -1 sentinel row would turn a crossJoin-with-
+    # empty into a silently EMPTY result; here it degrades to a neutral
+    # (0) ratio for unknown buckets instead
+    default = ratios.where(F.col("bucket") == DEFAULT_BUCKET).select(
+        F.lit(1).alias("__k"), F.col("lam_micro").alias("__lam0")
+    )
     doc = dsir_bucket_counts(df, text_col, id_col, buckets)
     scored = (
         doc.join(F.broadcast(ratio), "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(default), "__k", "left")
         .select(
             F.col(id_col),
             F.col("c"),
             # a doc bucket absent from BOTH fitted corpora (df ⊄ raw)
             # gets the smoothed-zero ratio
             F.coalesce(
-                F.col("lam_micro"), lam(F.lit(0), F.lit(0))
+                F.col("lam_micro"), F.col("__lam0"), F.lit(0)
             ).alias("lam_micro"),
         )
         .groupBy(id_col)

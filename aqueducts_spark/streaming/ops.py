@@ -489,3 +489,64 @@ def url_dedup_stream(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
     )
     return dedup_stream(with_canon, [canon_col]).drop(canon_col)
+
+
+def dsir_score_stream(
+    df: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    buckets: int = 10_000,
+    out_col: str = "logw_micro",
+) -> DataFrame:
+    """Streaming twin of ``operators/selection.py::dsir_weights``:
+    score each streaming document against a PRE-FITTED λ table
+    (``dsir_log_ratios``, possibly persisted) — "filter the live crawl
+    against yesterday's model".
+
+    Scale shape: the λ table is bounded (≤ ``buckets``+1 rows), so it
+    collects ONCE at plan-build time and rides in the ``mapInPandas``
+    closure — scoring is per-row, stateless, zero-shuffle, and the
+    stream never waits on a join.  ``buckets`` must match the fit.
+
+    Parity: tokenization (ASCII ``\\s+`` split of the lowercased text),
+    unigram+bigram grams incl. the short-doc partials, md5-top-60-bit
+    bucketing, and the integer micro-nat sum all replicate the batch
+    operator bit-for-bit — pinned by a batch-vs-stream equality test.
+    """
+    import hashlib
+    import re
+
+    from ..operators.selection import DEFAULT_BUCKET
+
+    lam_rows = ratios.collect()  # bounded by construction
+    lam = {int(r["bucket"]): int(r["lam_micro"]) for r in lam_rows}
+    lam0 = lam.pop(DEFAULT_BUCKET, 0)
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+
+    def score_text(text) -> int:
+        toks = [t for t in ws.split((text or "").lower().strip()) if t]
+        if len(toks) == 0:
+            grams = [""]
+        elif len(toks) == 1:
+            grams = toks + [toks[0]]
+        else:
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+        total = 0
+        for g in grams:
+            b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % buckets
+            total += lam.get(b, lam0)
+        return total
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [score_text(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(score_batches, schema)

@@ -160,3 +160,93 @@ def test_dsir_registry_stages(spark):
     spark.catalog.dropTempView("dsir_target")
     spark.catalog.dropTempView("dsir_raw")
     spark.catalog.dropTempView("dsir_w")
+
+
+def test_dsir_prefitted_ratios_match_inline_fit(spark):
+    """dsir_log_ratios -> dsir_weights(ratios=) is bit-identical to the
+    inline fit, including after a persist round-trip (the λ table is
+    self-contained: the -1 sentinel row carries the smoothed-zero
+    ratio)."""
+    import tempfile
+
+    from aqueducts_spark.operators.selection import dsir_log_ratios
+
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    inline = sorted(
+        (r.doc_id, r.logw_micro)
+        for r in dsir_weights(raw, target, buckets=512).collect()
+    )
+    ratios = dsir_log_ratios(target, raw, buckets=512)
+    loc = tempfile.mkdtemp() + "/ratios"
+    ratios.write.parquet(loc)
+    reloaded = spark.read.parquet(loc)
+    prefit = sorted(
+        (r.doc_id, r.logw_micro)
+        for r in dsir_weights(raw, ratios=reloaded, buckets=512).collect()
+    )
+    assert inline == prefit
+    # scoring a corpus DISJOINT from the fit uses the sentinel ratio
+    other = spark.createDataFrame(
+        [(9, "zzzq unseen vocabulary entirely")], "doc_id long, text string"
+    )
+    out = dsir_weights(other, ratios=reloaded, buckets=512).collect()
+    assert len(out) == 1 and out[0].n_feats == 4 + 3
+
+
+def test_dsir_weights_requires_exactly_one_of_target_ratios(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw)
+    from aqueducts_spark.operators.selection import dsir_log_ratios
+
+    ratios = dsir_log_ratios(target, raw, buckets=64)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw, target, ratios=ratios)
+
+
+def test_dsir_log_ratios_registry_stage(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    spark.createDataFrame(TARGET, "doc_id long, text string").createOrReplaceTempView(
+        "dsirr_target"
+    )
+    spark.createDataFrame(RAW, "doc_id long, text string").createOrReplaceTempView(
+        "dsirr_raw"
+    )
+    ratios = run_operator(
+        spark,
+        {
+            "type": "dsir_log_ratios",
+            "input": "dsirr_raw",
+            "options": {"target": "dsirr_target", "buckets": 64},
+        },
+    )
+    assert set(ratios.columns) == {"bucket", "lam_micro"}
+    assert ratios.where("bucket = -1").count() == 1
+    ratios.createOrReplaceTempView("dsirr_ratios")
+    w = run_operator(
+        spark,
+        {
+            "type": "dsir_weights",
+            "input": "dsirr_raw",
+            "options": {"ratios": "dsirr_ratios", "buckets": 64},
+        },
+    )
+    assert w.count() == 4
+    with pytest.raises(OperatorError, match="exactly one"):
+        run_operator(
+            spark,
+            {
+                "type": "dsir_weights",
+                "input": "dsirr_raw",
+                "options": {
+                    "target": "dsirr_target", "ratios": "dsirr_ratios",
+                },
+            },
+        )
+    with pytest.raises(OperatorError, match="dsir_log_ratios requires"):
+        run_operator(spark, {"type": "dsir_log_ratios", "input": "dsirr_raw"})
+    for v in ("dsirr_target", "dsirr_raw", "dsirr_ratios"):
+        spark.catalog.dropTempView(v)

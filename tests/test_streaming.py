@@ -390,3 +390,61 @@ def test_url_dedup_stream_across_batches(spark, tmp_path):
     assert 1 in kept and 3 not in kept  # canonical dup dropped
     assert 2 in kept and 4 in kept      # NULL urls all survive
     assert 5 in kept
+
+
+def test_dsir_score_stream_matches_batch_weights(spark, tmp_path):
+    """Streaming scorer parity: per-doc logw_micro from the stream
+    (pre-fitted λ in the mapInPandas closure) is bit-identical to the
+    batch dsir_weights over the same documents and fit."""
+    import json
+
+    from aqueducts_spark.operators.selection import dsir_log_ratios, dsir_weights
+    from aqueducts_spark.streaming.ops import (
+        dsir_score_stream,
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    target = spark.createDataFrame(
+        [(100, "the encyclopedia article describes the ancient city"),
+         (101, "the article cites the primary historical sources")],
+        "doc_id long, text string",
+    )
+    docs = [
+        {"doc_id": 1, "text": "the article describes the ancient city"},
+        {"doc_id": 2, "text": "buy cheap pills online now"},
+        {"doc_id": 3, "text": "one"},      # 1-token partial-gram edge
+        {"doc_id": 4, "text": ""},          # empty-doc edge
+        {"doc_id": 5, "text": None},        # NULL text edge
+    ]
+    raw = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    ratios = dsir_log_ratios(target, raw, buckets=512).localCheckpoint(eager=True)
+    batch = {
+        r.doc_id: r.logw_micro
+        for r in dsir_weights(raw, ratios=ratios, buckets=512).collect()
+    }
+
+    src = tmp_path / "dsir_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in docs[2:]))
+    stream = file_stream_source(
+        spark,
+        str(src),
+        "json",
+        [Field(name="doc_id", data_type="int64", nullable=False),
+         Field(name="text", data_type="string", nullable=True)],
+        options={"maxFilesPerTrigger": "1"},
+    )
+    rows = run_available_now(
+        dsir_score_stream(stream, ratios, buckets=512),
+        str(tmp_path / "ckpt_dsir"),
+        output_mode="append",
+    )
+    streamed = {r.doc_id: r.logw_micro for r in rows}
+    assert streamed == batch
+    # and the target-like doc outranks the spam-like one on the stream
+    assert streamed[1] > streamed[2]
