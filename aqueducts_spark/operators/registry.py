@@ -824,16 +824,36 @@ def _op_dsir_weights(spark, inp, options):
             "table)"
         )
     raw_table = options.get("raw")
+    # fit-only knobs (smoothing/raw/target_text_col) are forwarded only
+    # on the fit path — dsir_weights rejects them alongside a pre-fitted
+    # ratios table rather than silently ignoring them
+    fit_kw = {}
+    if ratios_table:
+        bad = [
+            o for o in ("smoothing", "raw", "target_text_col") if o in options
+        ]
+        if bad:
+            raise OperatorError(
+                f"dsir_weights: options {bad} are fit-time parameters — "
+                "they are baked into the pre-fitted options.ratios table; "
+                "refit with dsir_log_ratios instead"
+            )
+    if target_table:
+        fit_kw = dict(
+            smoothing=(
+                float(options["smoothing"]) if "smoothing" in options else None
+            ),
+            raw=spark.table(raw_table) if raw_table else None,
+            target_text_col=options.get("target_text_col"),
+        )
     return dsir_weights(
         inp,
         spark.table(target_table) if target_table else None,
         text_col=options.get("text_col", "text"),
         id_col=options.get("id_col", "doc_id"),
         buckets=int(options.get("buckets", 10_000)),
-        smoothing=float(options.get("smoothing", 1.0)),
-        raw=spark.table(raw_table) if raw_table else None,
-        target_text_col=options.get("target_text_col"),
         ratios=spark.table(ratios_table) if ratios_table else None,
+        **fit_kw,
     )
 
 

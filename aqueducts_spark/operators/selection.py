@@ -25,9 +25,17 @@ Scale shape (the 100 TB contract):
   sum (the :func:`~.text.unigram_logprob` discipline), so scores are
   integer-exact, independent of partitioning, and bit-reproducible in
   an external SQL engine;
+* in the default ``raw=df`` setting the fit's corpus counts are
+  derived by re-aggregating the per-document counts, sharing one
+  tokenize/explode/shuffle with the score path (``ReusedExchange``)
+  instead of scanning the corpus twice;
 * :func:`dsir_select`'s Gumbel keys are derived from an md5 hash of
-  the id — deterministic across runs/engines, no RNG state — and the
-  global top-k plans as ``TakeOrderedAndProject`` (no full sort).
+  the id — deterministic across runs/engines, no RNG state.  Small
+  ``k`` plans as ``TakeOrderedAndProject`` (no full sort); large
+  ``k`` (the paper's regime — a sizeable fraction of the corpus)
+  takes the distributed threshold path: approx-quantile cutoff,
+  executor-side filter, exact window trim over only the narrow
+  boundary slice.
 """
 
 from __future__ import annotations
@@ -89,6 +97,52 @@ def dsir_bucket_counts(
     return exploded.groupBy(*keys).agg(F.count("*").alias("c"))
 
 
+def _log_ratios_from_counts(
+    t_counts: DataFrame,
+    r_counts: DataFrame,
+    buckets: int,
+    smoothing: float,
+) -> DataFrame:
+    """λ table from pre-aggregated corpus bucket counts ``(bucket,
+    tc)`` / ``(bucket, rc)``.
+
+    The corpus totals are derived from the *joined, bounded* counts
+    table (≤ ``buckets`` rows) rather than from separate whole-corpus
+    aggregations: every gram occurrence lands in exactly one bucket, so
+    ``Σ tc`` / ``Σ rc`` over the join equal the corpus gram totals —
+    and because the totals aggregation sits ABOVE the counts shuffles,
+    Catalyst reuses those exchanges (``ReusedExchange``) instead of
+    re-tokenizing a corpus to count its grams.  Everything here after
+    the count shuffles touches only bounded, model-sized data."""
+    joined = t_counts.join(r_counts, "bucket", "full_outer").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.coalesce("tc", F.lit(0)).cast("bigint").alias("tc"),
+        F.coalesce("rc", F.lit(0)).cast("bigint").alias("rc"),
+    )
+    totals = joined.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"),
+        F.coalesce(F.sum("rc"), F.lit(0)).alias("r_total"),
+    )
+    a = F.lit(float(smoothing))
+    denom_t = F.col("t_total").cast("double") + a * F.lit(float(buckets))
+    denom_r = F.col("r_total").cast("double") + a * F.lit(float(buckets))
+
+    def lam(tc: Column, rc: Column) -> Column:
+        """micro-nat log-ratio of one bucket under Laplace smoothing"""
+        lp_t = F.log((tc.cast("double") + a) / denom_t)
+        lp_r = F.log((rc.cast("double") + a) / denom_r)
+        return F.floor((lp_t - lp_r) * F.lit(_MICRO) + F.lit(0.5)).cast("bigint")
+
+    fitted = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket", lam(F.col("tc"), F.col("rc")).alias("lam_micro")
+    )
+    default_row = totals.select(
+        F.lit(DEFAULT_BUCKET).cast("bigint").alias("bucket"),
+        lam(F.lit(0), F.lit(0)).alias("lam_micro"),
+    )
+    return fitted.unionByName(default_row)
+
+
 def dsir_log_ratios(
     target: DataFrame,
     raw: DataFrame,
@@ -119,39 +173,7 @@ def dsir_log_ratios(
     r_counts = dsir_bucket_counts(raw, text_col, None, buckets).withColumnRenamed(
         "c", "rc"
     )
-    totals = (
-        t_counts.agg(F.sum("tc").alias("t_total"))
-        .crossJoin(r_counts.agg(F.sum("rc").alias("r_total")))
-        .select(
-            F.coalesce("t_total", F.lit(0)).alias("t_total"),
-            F.coalesce("r_total", F.lit(0)).alias("r_total"),
-        )
-    )
-    a = F.lit(float(smoothing))
-    denom_t = F.col("t_total").cast("double") + a * F.lit(float(buckets))
-    denom_r = F.col("r_total").cast("double") + a * F.lit(float(buckets))
-
-    def lam(tc: Column, rc: Column) -> Column:
-        """micro-nat log-ratio of one bucket under Laplace smoothing"""
-        lp_t = F.log((tc.cast("double") + a) / denom_t)
-        lp_r = F.log((rc.cast("double") + a) / denom_r)
-        return F.floor((lp_t - lp_r) * F.lit(_MICRO) + F.lit(0.5)).cast("bigint")
-
-    fitted = (
-        t_counts.join(r_counts, "bucket", "full_outer")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            F.col("bucket").cast("bigint").alias("bucket"),
-            lam(
-                F.coalesce("tc", F.lit(0)), F.coalesce("rc", F.lit(0))
-            ).alias("lam_micro"),
-        )
-    )
-    default_row = totals.select(
-        F.lit(DEFAULT_BUCKET).cast("bigint").alias("bucket"),
-        lam(F.lit(0), F.lit(0)).alias("lam_micro"),
-    )
-    return fitted.unionByName(default_row)
+    return _log_ratios_from_counts(t_counts, r_counts, buckets, smoothing)
 
 
 def dsir_weights(
@@ -160,7 +182,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 10_000,
-    smoothing: float = 1.0,
+    smoothing: Optional[float] = None,
     raw: Optional[DataFrame] = None,
     target_text_col: Optional[str] = None,
     ratios: Optional[DataFrame] = None,
@@ -170,15 +192,25 @@ def dsir_weights(
     ``target`` is the corpus whose distribution you want more of;
     ``raw`` is the corpus the multinomial denominator is fitted on
     (default: ``df`` itself, the paper's setting).  Laplace smoothing
-    ``smoothing`` keeps unseen buckets finite.  Alternatively pass a
-    pre-fitted ``ratios`` table (:func:`dsir_log_ratios`, possibly
-    persisted) instead of ``target``/``raw`` — ``buckets`` must then
-    match the fit.
+    ``smoothing`` (default 1.0) keeps unseen buckets finite.
+    Alternatively pass a pre-fitted ``ratios`` table
+    (:func:`dsir_log_ratios`, possibly persisted) instead of
+    ``target``/``raw`` — ``buckets`` must then match the fit, and the
+    fit-only knobs (``smoothing``, ``raw``, ``target_text_col``) are
+    rejected rather than silently ignored.
 
     Output: ``id_col, n_feats, logw_micro, logw`` where ``logw =
     Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b])``, summed in integer
     micro-nats (``logw_micro``) for partition-independent, cross-engine
     exact aggregation; ``logw = logw_micro / 1e6``.
+
+    Scale shape: in the default ``raw=df`` setting the corpus is
+    tokenized ONCE — the per-document bucket counts are computed first
+    and the corpus-level fit counts are derived by re-aggregating them,
+    so the probe side and the fit side share the same shuffle
+    (``ReusedExchange`` in the executed plan, plan-asserted in
+    tests/test_selection.py).  Only an explicitly distinct ``raw``
+    corpus pays a second tokenize pass, because it has to.
     """
     if buckets < 1:
         raise ValueError("dsir_weights: buckets must be >= 1")
@@ -187,14 +219,35 @@ def dsir_weights(
             "dsir_weights: pass exactly one of target (fit inline) or "
             "ratios (pre-fitted table from dsir_log_ratios)"
         )
+    if ratios is not None and (
+        smoothing is not None or raw is not None or target_text_col is not None
+    ):
+        raise ValueError(
+            "dsir_weights: smoothing/raw/target_text_col are fit-time "
+            "parameters — they are baked into a pre-fitted ratios table "
+            "and have no effect here; refit with dsir_log_ratios instead"
+        )
+    doc = dsir_bucket_counts(df, text_col, id_col, buckets)
     if ratios is None:
-        ratios = dsir_log_ratios(
-            target,
-            raw if raw is not None else df,
-            text_col=text_col,
-            buckets=buckets,
-            smoothing=smoothing,
-            target_text_col=target_text_col,
+        eff_smoothing = 1.0 if smoothing is None else smoothing
+        if eff_smoothing <= 0:
+            raise ValueError("dsir_weights: smoothing must be > 0")
+        tcol = target_text_col or text_col
+        t_counts = dsir_bucket_counts(
+            target, tcol, None, buckets
+        ).withColumnRenamed("c", "tc")
+        if raw is None:
+            # the paper's setting: the denominator corpus IS df, so the
+            # corpus-level counts are the per-doc counts re-aggregated —
+            # one tokenize/explode/shuffle over the corpus, shared with
+            # the probe side below via exchange reuse
+            r_counts = doc.groupBy("bucket").agg(F.sum("c").alias("rc"))
+        else:
+            r_counts = dsir_bucket_counts(
+                raw, text_col, None, buckets
+            ).withColumnRenamed("c", "rc")
+        ratios = _log_ratios_from_counts(
+            t_counts, r_counts, buckets, eff_smoothing
         )
     ratio = ratios.where(F.col("bucket") != DEFAULT_BUCKET)
     # left join on a constant key, NOT a crossJoin: a user-built ratios
@@ -204,7 +257,6 @@ def dsir_weights(
     default = ratios.where(F.col("bucket") == DEFAULT_BUCKET).select(
         F.lit(1).alias("__k"), F.col("lam_micro").alias("__lam0")
     )
-    doc = dsir_bucket_counts(df, text_col, id_col, buckets)
     scored = (
         doc.join(F.broadcast(ratio), "bucket", "left")
         .withColumn("__k", F.lit(1))
@@ -232,32 +284,20 @@ def dsir_weights(
     return scored
 
 
-def dsir_select(
+def _gumbel_key(
     weights: DataFrame,
-    k: int,
-    id_col: str = "doc_id",
-    logw_col: str = "logw",
-    temperature: float = 1.0,
-    salt: str = "dsir",
-) -> DataFrame:
-    """Gumbel top-k resampling: keep ``k`` rows sampled without
-    replacement with probability ∝ ``exp(logw / temperature)`` — the
-    paper's resampling step, derandomized.
-
-    The Gumbel key is ``logw/τ − ln(−ln u)`` with ``u`` derived from
-    an md5 hash of the id (uniform in (0,1), deterministic across
-    runs and engines — replayable selection, no RNG state).  NULL ids
-    fall back to a content hash over the row's hashable columns, so
-    distinct NULL-id rows still draw distinct keys (byte-identical
-    rows tie, which is harmless — they are interchangeable).  The plan
-    is a global top-k (``TakeOrderedAndProject``), not a full sort;
-    ``k`` rows land on the driver side of the limit, so keep ``k``
-    bounded (selection subsets are, by definition).
-    """
-    if k < 1:
-        raise ValueError("dsir_select: k must be >= 1")
-    if temperature <= 0:
-        raise ValueError("dsir_select: temperature must be > 0")
+    id_col: str,
+    logw_col: str,
+    temperature: float,
+    salt: str,
+) -> Column:
+    """The derandomized Gumbel top-k sort key ``logw/τ − ln(−ln u)``
+    with ``u`` derived from an md5 hash of the id (uniform in (0,1),
+    deterministic across runs and engines — replayable selection, no
+    RNG state).  NULL ids fall back to a content hash over the row's
+    hashable columns, so distinct NULL-id rows still draw distinct
+    keys (byte-identical rows tie, which is harmless — they are
+    interchangeable)."""
     from .dedup import hashable_columns
 
     hash_cols = hashable_columns(weights)
@@ -284,13 +324,101 @@ def dsir_select(
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(_HASH_SPACE)  # (0,1), never 0 or 1
     gumbel = -F.log(-F.log(u))
-    key = F.col(logw_col).cast("double") / F.lit(float(temperature)) + gumbel
+    return F.col(logw_col).cast("double") / F.lit(float(temperature)) + gumbel
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    temperature: float = 1.0,
+    salt: str = "dsir",
+    max_driver_k: int = 100_000,
+    quantile_error: float = 1e-4,
+) -> DataFrame:
+    """Gumbel top-k resampling: keep ``k`` rows sampled without
+    replacement with probability ∝ ``exp(logw / temperature)`` — the
+    paper's resampling step, derandomized (see :func:`_gumbel_key`).
+
+    Two physical strategies, same exact result:
+
+    * ``k <= max_driver_k`` — global top-k, which plans as
+      ``TakeOrderedAndProject`` (no full sort); the k rows funnel
+      through the driver, fine for bounded k.
+    * ``k > max_driver_k`` — the distributed threshold path for
+      corpus-scale selection (the paper resamples tens of millions of
+      documents, which would OOM a driver-side limit): approx-quantile
+      the Gumbel key at ``1 − k/n`` with a conservative error margin,
+      split rows into a sure-keep slice (``key`` above the high
+      threshold, kept with NO sort, limit, or driver transfer) and a
+      narrow boundary slice (between the thresholds, ~``2·ε·n`` rows),
+      then exact-rank ONLY the boundary slice with one window to top
+      up the remaining ``k − |sure|`` rows.  The selection itself
+      never leaves the executors.
+
+    The threshold path runs three bounded driver actions (count,
+    approxQuantile, count) over ``weights``; pass a persisted
+    ``weights`` frame if recomputing its lineage is expensive.
+    """
+    if k < 1:
+        raise ValueError("dsir_select: k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("dsir_select: temperature must be > 0")
+    if not 0 < quantile_error < 0.5:
+        raise ValueError("dsir_select: quantile_error must be in (0, 0.5)")
+    key = _gumbel_key(weights, id_col, logw_col, temperature, salt)
     sel_col = "__dsir_key"
     while sel_col in weights.columns:
         sel_col = "_" + sel_col
-    return (
-        weights.withColumn(sel_col, key)
-        .orderBy(F.col(sel_col).desc(), F.col(id_col).asc_nulls_last())
-        .limit(k)
-        .drop(sel_col)
+    keyed = weights.withColumn(sel_col, key)
+    if k <= max_driver_k:
+        return (
+            keyed.orderBy(F.col(sel_col).desc(), F.col(id_col).asc_nulls_last())
+            .limit(k)
+            .drop(sel_col)
+        )
+
+    n = keyed.count()
+    if k >= n:
+        return weights
+    from pyspark.sql.window import Window
+
+    rn_col = "__dsir_rn"
+    while rn_col in weights.columns:
+        rn_col = "_" + rn_col
+    rn = F.row_number().over(
+        Window.orderBy(F.col(sel_col).desc(), F.col(id_col).asc_nulls_last())
     )
+    frac = 1.0 - k / n
+    eps = quantile_error
+    # relativeError=eps bounds each returned value within ±eps·n ranks
+    # of its requested quantile, so querying at frac±2·eps guarantees
+    # count(key > t_hi) <= k and every row with key <= t_lo is outside
+    # the top k; the boundary slice between the thresholds holds
+    # O(eps·n) rows (<= ~6·eps·n)
+    t_lo, t_hi = keyed.approxQuantile(
+        sel_col, [max(frac - 2 * eps, 0.0), min(frac + 2 * eps, 1.0)], eps
+    )
+    sure = keyed.where(F.col(sel_col) > t_hi)
+    boundary = keyed.where(
+        (F.col(sel_col) > t_lo) & (F.col(sel_col) <= t_hi)
+    )
+    need = k - sure.count()
+    if need <= 0:
+        # eps·n rank slack exceeded on a pathological key distribution
+        # (mass ties at the cut); fall back to the exact global rank —
+        # one full sort, still executor-side
+        return (
+            keyed.withColumn(rn_col, rn)
+            .where(F.col(rn_col) <= k)
+            .drop(rn_col, sel_col)
+        )
+    # exact-rank only the O(eps·n) boundary rows (single-partition
+    # window over the slice, executor-side)
+    topped = (
+        boundary.withColumn(rn_col, rn)
+        .where(F.col(rn_col) <= need)
+        .drop(rn_col)
+    )
+    return sure.unionByName(topped).drop(sel_col)

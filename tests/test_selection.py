@@ -250,3 +250,83 @@ def test_dsir_log_ratios_registry_stage(spark):
         run_operator(spark, {"type": "dsir_log_ratios", "input": "dsirr_raw"})
     for v in ("dsirr_target", "dsirr_raw", "dsirr_ratios"):
         spark.catalog.dropTempView(v)
+
+
+def test_dsir_weights_default_raw_tokenizes_corpus_once(spark):
+    """In the paper's default setting (raw=df) the fit's corpus counts
+    are derived by re-aggregating the per-document counts: the executed
+    plan carries ONE tokenize/explode subtree over the corpus (reused
+    via ReusedExchange by the fit side) plus one over the target —
+    never a second full-corpus gram pass."""
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    def final_plan(df):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString carries the initial plan after the final one;
+        # only the final plan is what executed
+        return plan.split("== Initial Plan ==")[0]
+
+    w = dsir_weights(raw, target, buckets=256)
+    plan = final_plan(w)
+    # one explode for the corpus per-doc counts + one for the target fit
+    assert plan.count("Generate explode") == 2
+    assert "ReusedExchange" in plan
+    # an explicitly distinct raw corpus legitimately pays its own pass
+    other_raw = spark.createDataFrame(RAW[:2], "doc_id long, text string")
+    plan2 = final_plan(dsir_weights(raw, target, raw=other_raw, buckets=256))
+    assert plan2.count("Generate explode") == 3
+
+
+def test_dsir_weights_rejects_fit_params_with_prefitted_ratios(spark):
+    from aqueducts_spark.operators.selection import dsir_log_ratios
+
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    ratios = dsir_log_ratios(target, raw, buckets=64)
+    for kw in (
+        {"smoothing": 0.5},
+        {"raw": raw},
+        {"target_text_col": "text"},
+    ):
+        with pytest.raises(ValueError, match="fit-time"):
+            dsir_weights(raw, ratios=ratios, buckets=64, **kw)
+
+
+def test_dsir_select_large_k_threshold_path_exact(spark):
+    """k = 25% of a 2000-row corpus through the distributed threshold
+    path is row-identical to the driver top-k path, and its plan has no
+    global limit (no TakeOrderedAndProject / CollectLimit of the
+    selection)."""
+    rows = [(i, float((i * 37) % 101) / 10.0) for i in range(2000)]
+    w = spark.createDataFrame(rows, "doc_id long, logw double")
+    k = 500
+    exact = sorted(
+        r.doc_id for r in dsir_select(w, k, max_driver_k=10**9).collect()
+    )
+    dist = dsir_select(w, k, max_driver_k=100)
+    got = sorted(r.doc_id for r in dist.collect())
+    assert got == exact and len(got) == k
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    # the k selected rows never funnel through a driver-side limit: the
+    # only limits allowed are the boundary-slice trim (O(eps*n) rows,
+    # Catalyst may plan the rank filter as a small top-k), never k
+    import re
+
+    limits = [
+        int(m)
+        for m in re.findall(
+            r"(?:TakeOrderedAndProject|CollectLimit|GlobalLimit)\D*?(\d+)", plan
+        )
+    ]
+    assert all(lim < k for lim in limits), limits
+    assert dist.columns == w.columns
+
+
+def test_dsir_select_large_k_covers_whole_corpus(spark):
+    w = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(300)], "doc_id long, logw double"
+    )
+    out = dsir_select(w, 300, max_driver_k=10)
+    assert out.count() == 300
+    assert dsir_select(w, 1000, max_driver_k=10).count() == 300
