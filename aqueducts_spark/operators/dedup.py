@@ -675,11 +675,12 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: Optional[int] = None,
     threshold: float = 0.95,
     sample_size: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    max_cluster_size: Optional[int] = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication through embedding clusters.
@@ -690,58 +691,99 @@ def semantic_dedup(
     2. assign every vector to its nearest centroid (Arrow-batched
        matmul, no shuffle);
     3. WITHIN each cluster, connect pairs with cosine > ``threshold``
-       (one shuffle keyed on centroid id — never a global all-pairs;
-       the per-cluster join is quadratic in CLUSTER size, so scale
-       ``n_clusters`` with the corpus: the paper uses ~√N clusters);
+       (one shuffle keyed on centroid id — never a global all-pairs);
     4. resolve duplicate groups with connected components and keep, per
        group, the member with the LOWEST cosine to its centroid (the
        paper's diversity-preserving choice; ties break to min id).
 
+    The per-cluster pair join is quadratic in CLUSTER size — the two
+    scale guards:
+
+    * ``n_clusters`` defaults to ~√N (the paper's setting), derived
+      from one count of the non-null vectors, so the expected cluster
+      size grows as √N instead of N/16; pass an explicit value to
+      skip the count.
+    * ``max_cluster_size`` mirrors the LSH bucket cap
+      (:func:`embedding_near_duplicates_lsh`): clusters bigger than
+      the cap (embedding-space pileups, e.g. zero-vector collapse)
+      contribute NO pairs — their members are all kept.  Recall
+      trade-off only; precision stays exact.  ``None`` disables.
+
     Rows with NULL embeddings pass through untouched (no semantics to
     compare).  Deterministic for a fixed seed and input.
     """
+    from pyspark.sql.window import Window
+
     from .cluster import connected_components
+    from .sampling import _fresh_name
     from .similarity import _NORM_EPS, dot, ivf_assign, l2_norm, train_ivf_centroids
 
     if not 0.0 < threshold < 1.0:
         raise ValueError(
             f"semantic_dedup: threshold must be in (0, 1), got {threshold}"
         )
+    if n_clusters is None:
+        n_vec = df.where(F.col(vec_col).isNotNull()).count()
+        n_clusters = max(1, min(int(n_vec**0.5) + 1, sample_size))
+    if n_clusters < 1:
+        raise ValueError(
+            f"semantic_dedup: n_clusters must be >= 1, got {n_clusters}"
+        )
     centroids = train_ivf_centroids(
         df, vec_col, n_centroids=n_clusters, sample_size=sample_size,
         iters=iters, seed=seed,
     )
     spark = df.sparkSession
+    # helper names are collision-guarded against the input frame — a
+    # crawl frame already carrying e.g. __centroid must not fail the
+    # join analysis or get silently clobbered
+    cid = _fresh_name("__cid", df.columns)
+    cent = _fresh_name("__centroid", df.columns)
+    sid, vcol, ccos = "__sid", "__v", "__ccos"
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
-        f"__cid int, __centroid array<double>",
+        f"{cid} int, {cent} array<double>",
     )
-    assigned = ivf_assign(df, centroids, vec_col, out_col="__cid").join(
-        F.broadcast(cdf), "__cid"
+    assigned = ivf_assign(df, centroids, vec_col, out_col=cid).join(
+        F.broadcast(cdf), cid
     )
-    # one cheap projection carries everything each stage needs:
-    # (id, cluster, norm, similarity-to-centroid); vectors are dropped
-    # before the pair join so the shuffle is slim
+    # one projection carries exactly what the pair stage needs: (id,
+    # cluster, vector, norm, similarity-to-centroid).  The vector (and
+    # its norm) must ride into the pair join — the exact pairwise
+    # cosine is computed from it — so the per-cluster shuffle carries D
+    # doubles per candidate row on BOTH sides; the real shuffle-weight
+    # mitigations are int8-quantized vectors upstream
+    # (embedding.quantize_embeddings) and the cluster-size cap below
     slim = assigned.select(
-        F.col(id_col).alias("__sid"),
-        F.col("__cid"),
-        F.col(vec_col).alias("__v"),
+        F.col(id_col).alias(sid),
+        F.col(cid),
+        F.col(vec_col).alias(vcol),
         l2_norm(F.col(vec_col)).alias("__n"),
         (
-            dot(F.col(vec_col), F.col("__centroid"))
+            dot(F.col(vec_col), F.col(cent))
             / F.greatest(l2_norm(F.col(vec_col)), F.lit(_NORM_EPS))
-        ).alias("__ccos"),  # centroid rows are unit-norm already
+        ).alias(ccos),  # centroid rows are unit-norm already
     )
+    if max_cluster_size is not None:
+        # count window, not groupBy+semi-join: one slim shuffle on the
+        # cluster id that the pair join below reuses (ReuseExchange)
+        slim = (
+            slim.withColumn(
+                "__cn", F.count("*").over(Window.partitionBy(cid))
+            )
+            .where(F.col("__cn") <= max_cluster_size)
+            .drop("__cn")
+        )
     a = slim.select(
-        F.col("__sid").alias("id_a"), "__cid",
-        F.col("__v").alias("va"), F.col("__n").alias("na"),
+        F.col(sid).alias("id_a"), cid,
+        F.col(vcol).alias("va"), F.col("__n").alias("na"),
     )
     b = slim.select(
-        F.col("__sid").alias("id_b"), F.col("__cid").alias("__cid_b"),
-        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+        F.col(sid).alias("id_b"), F.col(cid).alias("__cid_b"),
+        F.col(vcol).alias("vb"), F.col("__n").alias("nb"),
     )
     edges = (
-        a.join(b, (F.col("__cid") == F.col("__cid_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col(cid) == F.col("__cid_b")) & (F.col("id_a") < F.col("id_b")))
         .where(
             dot(F.col("va"), F.col("vb"))
             / F.greatest(F.col("na") * F.col("nb"), F.lit(_NORM_EPS))
@@ -749,18 +791,16 @@ def semantic_dedup(
         )
         .select("id_a", "id_b")
     )
-    from pyspark.sql.window import Window
-
     comps = connected_components(edges)  # (node, component)
     ranked = (
         comps.join(
-            slim.select(F.col("__sid").alias("node"), "__ccos"), "node"
+            slim.select(F.col(sid).alias("node"), ccos), "node"
         )
         .withColumn(
             "__rk",
             F.row_number().over(
                 Window.partitionBy("component").orderBy(
-                    F.col("__ccos").asc(), F.col("node").asc()
+                    F.col(ccos).asc(), F.col("node").asc()
                 )
             ),
         )

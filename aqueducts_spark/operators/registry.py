@@ -804,11 +804,22 @@ def _op_semantic_dedup(spark, inp, options):
         inp,
         id_col=options.get("id_col", "vec_id"),
         vec_col=options.get("vec_col", "embedding"),
-        n_clusters=int(options.get("n_clusters", 16)),
+        # default None derives ~sqrt(N) clusters — a fixed small count
+        # is a quadratic-join footgun on a real corpus
+        n_clusters=(
+            int(options["n_clusters"]) if "n_clusters" in options else None
+        ),
         threshold=float(options.get("threshold", 0.95)),
         sample_size=int(options.get("sample_size", 4096)),
         iters=int(options.get("iters", 8)),
         seed=int(options.get("seed", 42)),
+        max_cluster_size=(
+            int(options["max_cluster_size"])
+            if options.get("max_cluster_size") is not None
+            else None
+        )
+        if "max_cluster_size" in options
+        else 100_000,
     )
 
 

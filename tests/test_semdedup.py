@@ -108,3 +108,76 @@ def test_semantic_dedup_on_real_embeddings_table(spark):
     n_in, n_out = df.count(), out.count()
     assert 0 < n_out <= n_in
     assert out.count() == n_out  # deterministic re-execution
+
+def test_semantic_dedup_default_n_clusters_scales_sqrt_n(spark):
+    """Leaving n_clusters unset derives ~sqrt(N) clusters instead of a
+    fixed small count (the quadratic-join footgun at corpus scale) and
+    still dedups correctly on a small frame."""
+    df = spark.createDataFrame(VECS, SCHEMA)
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=0.99).collect()
+    )
+    # with ~sqrt(7)+1=3 clusters the near-dup groups still collapse
+    assert len({1, 2, 3} & set(kept)) == 1
+    assert len({4, 5} & set(kept)) == 1
+
+
+def test_semantic_dedup_max_cluster_size_caps_pairing(spark):
+    """Clusters above the cap contribute no pairs: their members all
+    survive (recall-only trade-off, mirroring the LSH bucket cap)."""
+    df = spark.createDataFrame(VECS, SCHEMA)
+    # cap of 1 disables every within-cluster pair -> nothing dropped
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, n_clusters=2, threshold=0.99, max_cluster_size=1
+        ).collect()
+    )
+    assert kept == [1, 2, 3, 4, 5, 6, 7]
+    # explicit None disables the cap -> normal dedup
+    kept2 = semantic_dedup(
+        df, n_clusters=2, threshold=0.99, max_cluster_size=None
+    ).count()
+    assert kept2 == 4
+
+
+def test_semantic_dedup_helper_names_collision_guarded(spark):
+    """A frame already carrying __cid / __centroid columns must not
+    fail analysis or lose its columns."""
+    df = spark.createDataFrame(
+        [(i, v, f"m{i}", i) for i, v in VECS],
+        "vec_id long, embedding array<double>, __cid string, __centroid long",
+    )
+    out = semantic_dedup(df, n_clusters=2, threshold=0.99)
+    assert set(out.columns) == {"vec_id", "embedding", "__cid", "__centroid"}
+    kept = sorted(r.vec_id for r in out.collect())
+    assert len(kept) == 4
+
+
+def test_semantic_dedup_registry_cluster_options(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(VECS, SCHEMA).createOrReplaceTempView("sem_vecs2")
+    # max_cluster_size: 1 -> pairing disabled, everything kept
+    out = run_operator(
+        spark,
+        {
+            "type": "semantic_dedup",
+            "input": "sem_vecs2",
+            "options": {
+                "n_clusters": 2, "threshold": 0.99, "max_cluster_size": 1,
+            },
+        },
+    )
+    assert out.count() == len(VECS)
+    # omitted n_clusters -> derived default still works through the stage
+    out2 = run_operator(
+        spark,
+        {
+            "type": "semantic_dedup",
+            "input": "sem_vecs2",
+            "options": {"threshold": 0.99},
+        },
+    )
+    assert 0 < out2.count() <= len(VECS)
+    spark.catalog.dropTempView("sem_vecs2")
