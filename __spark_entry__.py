@@ -3521,7 +3521,11 @@ _GATE_PRIORITY = [
     "op_fuzzy_dedup",           # end-to-end transitive fuzzy dedup
     "op_simhash",               # SimHash fingerprints
     "op_embed_neardup_lsh",     # embedding near-dup (banded LSH scale path)
-    "op_span_dedup",            # substring/span dedup
+    # ROTATION r5 (requested by VERDICT r4 next-steps #5): op_dsir_weights
+    # replaces op_span_dedup in the scored window so the selection family
+    # has a driver-scored representative; the dedup family keeps 7 scored
+    # gates and op_span_dedup stays oracle-verified in tests/test_oracle.py.
+    "op_dsir_weights",          # DSIR importance weights (selection family)
     "op_line_dedup",            # C4-style boilerplate line dedup
     "op_decontam",              # benchmark decontamination
     "sim_topk_bruteforce",      # cosine top-k baseline
@@ -3577,7 +3581,7 @@ _GATE_PRIORITY = [
     "q16_values_derived",
     "q45_math_compat",
     # -- remaining operator gates ---------------------------------------
-    "op_dsir_weights",
+    "op_span_dedup",            # rotated out of the scored window in r5
     "op_dsir_select",
     "op_semdedup",
     "sim_ivf_topk",

@@ -508,10 +508,20 @@ def dsir_score_stream(
     closure — scoring is per-row, stateless, zero-shuffle, and the
     stream never waits on a join.  ``buckets`` must match the fit.
 
-    Parity: tokenization (ASCII ``\\s+`` split of the lowercased text),
-    unigram+bigram grams incl. the short-doc partials, md5-top-60-bit
-    bucketing, and the integer micro-nat sum all replicate the batch
-    operator bit-for-bit — pinned by a batch-vs-stream equality test.
+    Parity: tokenization (ASCII ``\\s+`` split of the lowercased text —
+    no Python ``str.strip()``, whose Unicode-whitespace stripping the
+    batch path's space-only ``trim`` does not do; the split + empty
+    filter already absorbs ASCII edge whitespace), unigram+bigram grams
+    incl. the short-doc partials, md5-top-60-bit bucketing, and the
+    integer micro-nat sum all replicate the batch operator bit-for-bit
+    — pinned by a batch-vs-stream equality test that includes
+    non-ASCII-whitespace inputs.
+
+    Throughput: the md5 digest — the hot cost — runs once per DISTINCT
+    gram, memoized in a bounded per-task dict that natural language
+    hits at roughly its type-token ratio (measured 3.4× on the
+    documents corpus, SCALE.md); tokenization and the gram walk stay
+    plain Python list work.
     """
     import hashlib
     import re
@@ -522,31 +532,40 @@ def dsir_score_stream(
     lam = {int(r["bucket"]): int(r["lam_micro"]) for r in lam_rows}
     lam0 = lam.pop(DEFAULT_BUCKET, 0)
     ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
-
-    def score_text(text) -> int:
-        toks = [t for t in ws.split((text or "").lower().strip()) if t]
-        if len(toks) == 0:
-            grams = [""]
-        elif len(toks) == 1:
-            grams = toks + [toks[0]]
-        else:
-            grams = toks + [
-                f"{a} {b}" for a, b in zip(toks, toks[1:])
-            ]
-        total = 0
-        for g in grams:
-            b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % buckets
-            total += lam.get(b, lam0)
-        return total
-
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
-    )
+    _CACHE_MAX = 1_000_000  # reset guard: a stream task lives long
 
     def score_batches(batches):
+        memo: dict = {}
+
+        def lam_of(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                if len(memo) >= _CACHE_MAX:
+                    memo.clear()
+                b = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % buckets
+                )
+                v = lam.get(b, lam0)
+                memo[g] = v
+            return v
+
+        def score_text(text) -> int:
+            toks = [t for t in ws.split((text or "").lower()) if t]
+            if len(toks) == 0:
+                grams = [""]
+            elif len(toks) == 1:
+                grams = toks + [toks[0]]  # the short-doc partial bigram
+            else:
+                grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            return sum(lam_of(g) for g in grams)
+
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [score_text(t) for t in pdf[text_col]]
             yield pdf
 
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
     return df.mapInPandas(score_batches, schema)

@@ -49,7 +49,11 @@ FAMILY_GATES = {
     "fuzzy_dedup": "op_fuzzy_dedup",
     "simhash": "op_simhash",
     "embed_neardup": "op_embed_neardup_lsh",
-    "span_dedup": "op_span_dedup",
+    # ROTATION r5 (VERDICT r4 next-steps #5): op_dsir_weights replaced
+    # op_span_dedup in the scored window — selection was the only family
+    # with no driver-scored representative, while the dedup family held 7
+    # slots.  op_span_dedup stays oracle-verified in tests/test_oracle.py.
+    "selection": "op_dsir_weights",
     "line_dedup": "op_line_dedup",
     "decontam": "op_decontam",
     "similarity": "sim_topk_bruteforce",
@@ -106,3 +110,27 @@ def test_scored_window_gates_all_have_oracles_except_known():
     oracles = entrymod.oracle_sql()
     missing = [k for k in prefix if k not in oracles and k not in no_oracle_ok]
     assert not missing, f"scored-window gates without oracle SQL: {missing}"
+
+
+def test_coverage_md_totals_match_live_gates():
+    """COVERAGE.md's 'Current totals' paragraph states the gate and
+    exact-oracle counts and the rows-only keys; pin them to the live
+    dicts so the document cannot go stale (VERDICT r4 missing #3)."""
+    import re
+    from pathlib import Path
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    rows_only = sorted(set(q) - set(o))
+    text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(
+        r"Current totals: \*\*(\d+) gate queries, (\d+) with exact DuckDB value\noracles\*\*",
+        text,
+    )
+    assert m, "COVERAGE.md 'Current totals' paragraph not found"
+    assert int(m.group(1)) == len(q), (m.group(1), len(q))
+    assert int(m.group(2)) == len(o), (m.group(2), len(o))
+    m2 = re.search(r"The (\d+) rows-only keys", text)
+    assert m2 and int(m2.group(1)) == len(rows_only), (m2, rows_only)
+    for key in rows_only:
+        assert f"`{key}`" in text, f"rows-only key {key} not named in COVERAGE.md"

@@ -417,6 +417,13 @@ def test_dsir_score_stream_matches_batch_weights(spark, tmp_path):
         {"doc_id": 3, "text": "one"},      # 1-token partial-gram edge
         {"doc_id": 4, "text": ""},          # empty-doc edge
         {"doc_id": 5, "text": None},        # NULL text edge
+        # non-ASCII whitespace: NBSP/thin-space are NOT token breaks in
+        # either path (Java \s and trim are ASCII/space-only; the
+        # stream must not strip() them away)
+        {"doc_id": 6, "text": "  ancient city  "},
+        # full Unicode case mapping edge (Turkish dotted capital I)
+        {"doc_id": 7, "text": "İstanbul ARTICLE"},
+        {"doc_id": 8, "text": "  padded   ancient  city  "},
     ]
     raw = spark.createDataFrame(
         [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
