@@ -2091,6 +2091,117 @@ def _op_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_language(spark.table("documents"))
 
 
+# Gopher rules (Rae et al. 2021 §A.1.1) — per-rule booleans + the
+# conjunction.  Gate parameters are tuned so outcomes VARY on the
+# synthetic corpus (its vocabulary carries only 'the'/'a' of the
+# paper's stop list, so the paper's min_stop_hits=2 would reject
+# everything and prove nothing): min_words=40 splits the word-count
+# rule, min_stop_hits=1 splits the stop-word rule.
+OP_GOPHER_DUCK = r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS text,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> t != '') AS toks,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     l -> trim(l) != '') AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_sum(list_transform(toks, t -> length(t)))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          + (length(text) - length(replace(text, '…', ''))))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[•\-\*]')))
+           / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+           / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_frac,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       n_words >= 40 AND n_words <= 100000 AS word_count_ok,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_word_len_ok,
+       symbol_ratio <= 0.1 AS symbol_ratio_ok,
+       bullet_frac <= 0.9 AS bullet_ok,
+       ellipsis_frac <= 0.3 AS ellipsis_ok,
+       alpha_frac >= 0.8 AS alpha_word_ok,
+       stop_hits >= 1 AS stopword_ok,
+       (n_words >= 40 AND n_words <= 100000)
+         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         AND stop_hits >= 1 AS passes_gopher
+FROM feat
+"""
+
+
+def _op_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (operators/text.py::gopher_rules,
+    arXiv:2112.11446 §A.1.1) — exact boolean-per-rule oracle."""
+    from aqueducts_spark.operators.text import gopher_rules
+
+    _views(spark, sf_dir)
+    return gopher_rules(
+        spark.table("documents"), min_words=40, min_stop_hits=1
+    )
+
+
+# Okapi BM25 with the Lucene non-negative idf; score rounded to 6dp
+# like the tf-idf gate (ln on both engines agrees at that precision).
+_BM25_TERMS = ["the", "data", "merge", "window"]
+OP_BM25_DUCK = rf"""
+WITH lengths AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                         t -> t != '')) AS dl,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> list_contains([{", ".join(repr(t) for t in sorted(set(_BM25_TERMS)))}], t)) AS hits
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM lengths)
+  GROUP BY 1, 2, 3
+),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+avgdl AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(greatest(COUNT(*), 1) AS DOUBLE) AS avgdl
+  FROM lengths
+),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / a.avgdl)) AS s
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN corpus c CROSS JOIN avgdl a
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_matched, ROUND(SUM(s), 6) AS bm25
+FROM contrib GROUP BY doc_id
+"""
+
+
+def _op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores (operators/text.py::bm25_scores;
+    Robertson & Zaragoza 2009) for a fixed query over documents."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import bm25_scores
+
+    _views(spark, sf_dir)
+    out = bm25_scores(spark.table("documents"), _BM25_TERMS)
+    return out.select(
+        "doc_id", "n_matched", F.round("bm25", 6).alias("bm25")
+    )
+
+
 def _op_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3436,6 +3547,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_text_features": _op_text_features,
         "op_quality_score": _op_quality,
         "op_langid": _op_langid,
+        "op_gopher_rules": _op_gopher_rules,
+        "op_bm25": _op_bm25,
         "op_minhash_bands": _op_minhash_bands,
         "op_minhash_pairs": _op_minhash_pairs,
         "op_jaccard_pairs": _op_jaccard,
@@ -3593,6 +3706,8 @@ _GATE_PRIORITY = [
     "op_fixed_n_sample",
     "op_group_cap",
     "op_tfidf_terms",
+    "op_gopher_rules",
+    "op_bm25",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -3686,6 +3801,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_text_features": OP_TEXT_FEATURES_DUCK,
         "op_quality_score": OP_QUALITY_DUCK,
         "op_langid": _langid_duck_sql(),
+        "op_gopher_rules": OP_GOPHER_DUCK,
+        "op_bm25": OP_BM25_DUCK,
         "op_minhash_bands": OP_MINHASH_BANDS_DUCK,
         "op_minhash_pairs": OP_MINHASH_PAIRS_DUCK,
         "op_jaccard_pairs": OP_JACCARD_DUCK,

@@ -316,6 +316,47 @@ def _op_tfidf(spark, inp, options):
     )
 
 
+def _op_gopher_rules(spark, inp, options):
+    from .text import gopher_rules
+
+    kw = {}
+    for opt, conv in (
+        ("min_words", int), ("max_words", int),
+        ("min_mean_word_len", float), ("max_mean_word_len", float),
+        ("max_symbol_word_ratio", float),
+        ("max_bullet_line_frac", float), ("max_ellipsis_line_frac", float),
+        ("min_alpha_word_frac", float), ("min_stop_hits", int),
+    ):
+        if opt in options:
+            kw[opt] = conv(options[opt])
+    return gopher_rules(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        **kw,
+    )
+
+
+def _op_bm25(spark, inp, options):
+    from .text import bm25_scores
+
+    terms = options.get("query_terms")
+    if not terms:
+        raise OperatorError(
+            "bm25 operator requires options.query_terms (a list of terms)"
+        )
+    if isinstance(terms, str):
+        terms = terms.split()
+    return bm25_scores(
+        inp,
+        list(terms),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        k1=float(options.get("k1", 1.2)),
+        b=float(options.get("b", 0.75)),
+    )
+
+
 def _op_salted_join(spark, inp, options):
     from .skew import salted_join
 
@@ -976,6 +1017,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,
+    "gopher_rules": _op_gopher_rules,
+    "bm25": _op_bm25,
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
     "redact_pii": _op_redact_pii,

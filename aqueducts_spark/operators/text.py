@@ -21,6 +21,9 @@ __all__ = [
     "strip_markup",
     "repetition_features",
     "PII_PATTERNS",
+    "gopher_rules",
+    "GOPHER_STOPWORDS",
+    "bm25_scores",
     "tfidf_top_terms",
     "unigram_logprob",
     "bigram_logprob",
@@ -467,6 +470,187 @@ def vocabulary(
         counts.orderBy(F.desc("n"), F.asc("token"))
         .limit(top_n)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+# the paper's "must contain 2 of" stop-word list (Gopher §A.1.1)
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A.1.1):
+    the classic heuristic pre-filter for web-scale pretraining corpora,
+    emitted as one boolean column per rule plus the conjunctive
+    ``passes_gopher`` — keep the per-rule flags so curation can measure
+    WHICH rule rejects how much of a crawl before committing to it.
+
+    Rules (paper defaults): word count in [50, 100k]; mean word length
+    in [3, 10]; symbol-to-word ratio (``#`` or ellipsis) <= 0.1; <= 90%
+    of lines start with a bullet; <= 30% of lines end with an ellipsis;
+    >= 80% of words contain an alphabetic character; >= 2 of the eight
+    required English stop words present (English-centric by design —
+    gate on :func:`detect_language` first for multilingual corpora).
+
+    All rules are built-in-expression only — one narrow map over the
+    corpus, no shuffle, no Python (the module's 100 TB discipline).
+    NULL text behaves like empty text: every count is 0, the word-count
+    rule fails, the row survives with ``passes_gopher = false``.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = normalized_tokens(text)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / safe_words
+    )
+    hash_count = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    # non-overlapping '...' occurrences + unicode ellipsis
+    dots = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    uni_ellipsis = F.length(text) - F.length(F.replace(text, F.lit("…")))
+    symbol_ratio = (hash_count + dots + uni_ellipsis) / safe_words
+    lines = F.filter(
+        F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]")))
+        / safe_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / safe_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]"))) / safe_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_word_ratio,
+        "bullet_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_word_ok": alpha_frac >= min_alpha_word_frac,
+        "stopword_ok": stop_hits >= min_stop_hits,
+    }
+    passes = None
+    for rule in rules.values():
+        passes = rule if passes is None else (passes & rule)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a bag of query terms (Robertson &
+    Zaragoza 2009), with the Lucene-style non-negative idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` — completes the module's
+    retrieval surface next to :func:`tfidf_top_terms`.
+
+    Output: ``id_col, n_matched, bm25`` for every document containing
+    at least one query term (retrieval semantics — the score of a
+    no-hit document is identically 0).
+
+    Plan shape at 100 TB: the exploded tokens are filtered to the query
+    terms BEFORE the tf shuffle, so the only corpus-wide work is the
+    tokenize map and a shuffle of the query-term hits alone; document
+    lengths are a narrow no-shuffle projection aggregated into one
+    broadcast (N, avgdl) row; document frequencies re-aggregate the
+    tiny tf table.  Nothing corpus-sized shuffles.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError("bm25_scores: need k1 >= 0 and 0 <= b <= 1")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = normalized_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    term_arr = F.array(*[F.lit(x) for x in terms])
+    lengths = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.filter(
+            F.col("__toks"), lambda t: F.array_contains(term_arr, t)
+        ).alias("__hits"),
+    )
+    tf = (
+        lengths.select(id_col, "dl", F.explode("__hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    corpus = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    avgdl = lengths.agg(
+        (
+            F.sum("dl").cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+        ).alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("__contrib"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum("__contrib").alias("bm25"),
     )
 
 

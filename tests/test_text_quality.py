@@ -1,0 +1,179 @@
+"""Gopher rules (Rae et al. 2021 §A.1.1) and BM25 retrieval scores
+(operators/text.py::gopher_rules / ::bm25_scores)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.text import bm25_scores, gopher_rules
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back home "
+    "with all of the other animals that have been waiting in the field "
+    "while every one of them watches the sun set slowly behind the hills "
+    "before they finally walk together toward the quiet village nearby"
+)  # 50 words, clean prose
+
+
+def test_gopher_rules_clean_prose_passes(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    row = gopher_rules(df).collect()[0]
+    assert row.n_words == 50
+    assert all(
+        getattr(row, r)
+        for r in (
+            "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+            "bullet_ok", "ellipsis_ok", "alpha_word_ok", "stopword_ok",
+            "passes_gopher",
+        )
+    ), row
+
+
+@pytest.mark.parametrize(
+    "text,failed_rule",
+    [
+        ("too short", "word_count_ok"),
+        # 50 one-char words -> mean word length 1 < 3
+        (" ".join(["a"] * 50), "mean_word_len_ok"),
+        # heavy # noise on clean prose
+        (GOOD + " " + "#" * 30, "symbol_ratio_ok"),
+        # every line a bullet
+        ("\n".join(f"- {GOOD}" for _ in range(4)), "bullet_ok"),
+        # every line ends with an ellipsis (ASCII and unicode)
+        (GOOD + "...\n" + GOOD + "…\n" + GOOD + "... ", "ellipsis_ok"),
+        # numeric tokens only
+        (" ".join(str(i) for i in range(60)), "alpha_word_ok"),
+        # long but stop-word free
+        (" ".join(f"w{i}" for i in range(60)), "stopword_ok"),
+    ],
+)
+def test_gopher_rules_each_rule_fires(spark, text, failed_rule):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = gopher_rules(df).collect()[0]
+    assert not getattr(row, failed_rule), (failed_rule, row)
+    assert not row.passes_gopher
+
+
+def test_gopher_rules_null_and_empty_text_survive_as_failures(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.n_words == 0 and not r.passes_gopher
+
+
+def test_gopher_rules_thresholds_configurable(spark):
+    df = spark.createDataFrame([(1, "the tiny doc")], "doc_id long, text string")
+    row = gopher_rules(df, min_words=3, min_stop_hits=1).collect()[0]
+    assert row.word_count_ok and row.stopword_ok
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 for the exactness check."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / max(n, 1)
+    out = {}
+    for term in sorted(set(t.lower() for t in terms)):
+        df_t = sum(1 for v in toks.values() if term in v)
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                got = out.setdefault(i, [0, 0.0])
+                got[0] += 1
+                got[1] += s
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat"),
+        (3, "birds fly high above"),
+        (4, "cat cat cat everywhere"),
+    ]
+    terms = ["cat", "the"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_matched, r.bm25)
+        for r in bm25_scores(df, terms).collect()
+    }
+    ref = _bm25_reference(docs, terms)
+    assert set(got) == set(ref)
+    for i, (nm, score) in got.items():
+        assert nm == ref[i][0]
+        assert abs(score - ref[i][1]) < 1e-12, (i, score, ref[i][1])
+
+
+def test_bm25_no_hit_docs_absent_and_ranking_sane(spark):
+    docs = [
+        (1, "spark query engine"),
+        (2, "spark spark spark spark spark"),
+        (3, "completely unrelated text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["spark"]).collect()}
+    assert set(got) == {1, 2}
+    # term saturation: 5 occurrences score higher than 1, but not 5x
+    assert got[2] > got[1]
+    assert got[2] < 5 * got[1]
+
+
+def test_bm25_query_terms_case_folded_and_validated(spark):
+    df = spark.createDataFrame([(1, "Spark SQL")], "doc_id long, text string")
+    assert bm25_scores(df, ["SPARK"]).count() == 1
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(df, [])
+    with pytest.raises(ValueError, match="k1"):
+        bm25_scores(df, ["x"], k1=-1)
+
+
+def test_bm25_corpus_scan_shuffles_only_query_hits(spark):
+    """The tf shuffle input is the filtered hits explode, not the full
+    token explode: assert the filter sits under the exchange."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bm25_scores(docs, ["the", "data"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # explode feeds from the filtered __hits array (array_contains
+    # filter applied inside the projection, before any Exchange)
+    assert "array_contains" in plan
+
+
+def test_gopher_and_bm25_registry_stages(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    spark.createDataFrame(
+        [(1, GOOD), (2, "tiny")], "doc_id long, text string"
+    ).createOrReplaceTempView("tq_docs")
+    g = run_operator(
+        spark,
+        {"type": "gopher_rules", "input": "tq_docs",
+         "options": {"min_words": 10}},
+    )
+    assert {r.doc_id: r.passes_gopher for r in g.collect()} == {1: True, 2: False}
+    b = run_operator(
+        spark,
+        {"type": "bm25", "input": "tq_docs",
+         "options": {"query_terms": ["fox", "dog"]}},
+    )
+    assert b.count() == 1
+    with pytest.raises(OperatorError, match="query_terms"):
+        run_operator(spark, {"type": "bm25", "input": "tq_docs"})
+    spark.catalog.dropTempView("tq_docs")
