@@ -2202,6 +2202,99 @@ def _op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reciprocal rank fusion of two deterministic top-100 rankings over
+# documents (a BM25 text ranking and a doc-length ranking — the classic
+# hybrid-retrieval shape); integer 1e-12-unit contributions make the
+# fused score engine-exact.
+OP_RRF_DUCK = rf"""
+WITH lengths AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                         t -> t != '')) AS dl,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> list_contains([{", ".join(repr(t) for t in sorted(set(_BM25_TERMS)))}], t)) AS hits
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM lengths)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(greatest(COUNT(*), 1) AS DOUBLE) AS avgdl
+  FROM lengths
+),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT t.doc_id, SUM(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+list_a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25 QUALIFY rank <= 100
+),
+list_b AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dl DESC, doc_id ASC) AS rank
+  FROM lengths QUALIFY rank <= 100
+),
+contribs AS (
+  SELECT doc_id, CAST(floor(1000000000000 / (60 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+  FROM (SELECT * FROM list_a UNION ALL SELECT * FROM list_b)
+),
+fused AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_lists, SUM(c)::BIGINT AS rrf_micro
+  FROM contribs GROUP BY doc_id
+)
+SELECT doc_id, n_lists, rrf_micro,
+       CAST(rrf_micro AS DOUBLE) / 1000000000000.0 AS rrf,
+       row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+FROM fused
+"""
+
+
+def _op_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (operators/similarity.py::rrf_fuse,
+    Cormack et al. 2009) of a BM25 top-100 and a doc-length top-100."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aqueducts_spark.operators.similarity import rrf_fuse
+    from aqueducts_spark.operators.text import bm25_scores, token_count
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    scores = bm25_scores(docs, _BM25_TERMS)
+    list_a = (
+        scores.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("rank") <= 100)
+        .select("doc_id", "rank")
+    )
+    list_b = (
+        docs.select(
+            "doc_id",
+            token_count(F.coalesce(F.col("text"), F.lit(""))).alias("dl"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("dl"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("rank") <= 100)
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([list_a, list_b], id_col="doc_id")
+
+
 def _op_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3549,6 +3642,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_langid": _op_langid,
         "op_gopher_rules": _op_gopher_rules,
         "op_bm25": _op_bm25,
+        "op_rrf_fuse": _op_rrf_fuse,
         "op_minhash_bands": _op_minhash_bands,
         "op_minhash_pairs": _op_minhash_pairs,
         "op_jaccard_pairs": _op_jaccard,
@@ -3708,6 +3802,7 @@ _GATE_PRIORITY = [
     "op_tfidf_terms",
     "op_gopher_rules",
     "op_bm25",
+    "op_rrf_fuse",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -3803,6 +3898,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_langid": _langid_duck_sql(),
         "op_gopher_rules": OP_GOPHER_DUCK,
         "op_bm25": OP_BM25_DUCK,
+        "op_rrf_fuse": OP_RRF_DUCK,
         "op_minhash_bands": OP_MINHASH_BANDS_DUCK,
         "op_minhash_pairs": OP_MINHASH_PAIRS_DUCK,
         "op_jaccard_pairs": OP_JACCARD_DUCK,

@@ -316,6 +316,26 @@ def _op_tfidf(spark, inp, options):
     )
 
 
+def _op_rrf_fuse(spark, inp, options):
+    from .similarity import rrf_fuse
+
+    others = options.get("others")
+    if not others:
+        raise OperatorError(
+            "rrf_fuse operator requires options.others (table names of the "
+            "additional ranked lists to fuse with the stage input)"
+        )
+    if isinstance(others, str):
+        others = [others]
+    return rrf_fuse(
+        [inp] + [spark.table(t) for t in others],
+        id_col=options.get("id_col", "vec_id"),
+        rank_col=options.get("rank_col", "rank"),
+        k=int(options.get("k", 60)),
+        query_col=options.get("query_col"),
+    )
+
+
 def _op_gopher_rules(spark, inp, options):
     from .text import gopher_rules
 
@@ -1019,6 +1039,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "tfidf_top_terms": _op_tfidf,
     "gopher_rules": _op_gopher_rules,
     "bm25": _op_bm25,
+    "rrf_fuse": _op_rrf_fuse,
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
     "redact_pii": _op_redact_pii,

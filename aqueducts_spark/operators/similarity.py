@@ -26,9 +26,12 @@ NULL embeddings are filtered on both sides (they have no geometry).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "dot",
@@ -43,6 +46,7 @@ __all__ = [
     "ivf_topk",
     "ivf_persist",
     "ivf_topk_persisted",
+    "rrf_fuse",
 ]
 
 # divisor floor: zero-norm vectors score ~0 instead of raising
@@ -432,3 +436,78 @@ def ivf_topk_persisted(
         .withColumn("__cn", l2_norm(F.col("cvec")))
     )
     return _topk_per_query(_score_pairs(F.broadcast(q).join(corpus, on="centroid_id")), k)
+
+
+# resolution of the integer RRF contribution 1/(k + rank): bigint sums
+# are partition-order independent (the module's micro-unit discipline),
+# and at rank 1e6 the quantized term still carries ~6 significant digits
+_RRF_SCALE = 1_000_000_000_000  # 1e12
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    query_col: Optional[str] = None,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009): merge
+    ranked result lists — e.g. a BM25 text ranking and an embedding
+    top-k — into one ranking by ``Σ_lists 1/(k + rank)``, the standard
+    hybrid-retrieval combiner (k=60, the paper's constant).
+
+    Each input frame carries ``id_col``, a 1-based ``rank_col``, and
+    optionally ``query_col`` for per-query fusion.  Contributions are
+    quantized to integer 1e-12 units before summing (``rrf_micro``) so
+    the score is partition-order independent and exactly reproducible
+    in an external SQL engine; ``rrf = rrf_micro / 1e12``.  Output
+    adds ``n_lists`` (how many inputs ranked the id) and the fused
+    1-based ``fused_rank`` (ties break by id).
+
+    Scale shape: a union of the (already small) result lists, one
+    groupBy on (query, id), one rank window partitioned by query —
+    nothing corpus-sized; fusion cost is bounded by the lists, not the
+    corpus.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: ranked must be a non-empty list")
+    if k < 0:
+        raise ValueError(f"rrf_fuse: k must be >= 0, got {k}")
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = []
+    for i, df in enumerate(ranked):
+        missing = [c for c in keys + [rank_col] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"rrf_fuse: input {i} is missing columns {missing}"
+            )
+        parts.append(
+            df.select(
+                *keys,
+                F.floor(
+                    F.lit(_RRF_SCALE)
+                    / (F.lit(k) + F.col(rank_col).cast("double"))
+                )
+                .cast("bigint")
+                .alias("__rrf_c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("__rrf_c").cast("bigint").alias("rrf_micro"),
+    )
+    w = Window.partitionBy(
+        *([query_col] if query_col else [])
+    ).orderBy(F.desc("rrf_micro"), F.asc(id_col))
+    return fused.select(
+        *keys,
+        "n_lists",
+        "rrf_micro",
+        (F.col("rrf_micro").cast("double") / F.lit(float(_RRF_SCALE))).alias(
+            "rrf"
+        ),
+        F.row_number().over(w).cast("bigint").alias("fused_rank"),
+    )

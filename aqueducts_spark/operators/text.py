@@ -613,20 +613,19 @@ def bm25_scores(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    corpus = df.agg(
+    # N and avgdl in ONE single-row aggregation over the same narrow
+    # lengths projection (not a second scan of the source)
+    stats = lengths.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-    )
-    avgdl = lengths.agg(
         (
-            F.sum("dl").cast("double")
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
             / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
-        ).alias("avgdl")
+        ).alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
             F.col("term"),

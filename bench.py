@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "op_embed_neardup_lsh",
     "op_url_dedup",
     "op_dsir_weights",
+    "op_gopher_rules",
+    "op_bm25",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]

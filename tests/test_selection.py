@@ -330,3 +330,38 @@ def test_dsir_select_large_k_covers_whole_corpus(spark):
     out = dsir_select(w, 300, max_driver_k=10)
     assert out.count() == 300
     assert dsir_select(w, 1000, max_driver_k=10).count() == 300
+
+
+def test_dsir_registry_rejects_fit_params_with_ratios(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+    from aqueducts_spark.operators.selection import dsir_log_ratios
+
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    dsir_log_ratios(target, raw, buckets=64).createOrReplaceTempView(
+        "dsirg_ratios"
+    )
+    raw.createOrReplaceTempView("dsirg_raw")
+    import pytest as _pytest
+
+    with _pytest.raises(OperatorError, match="fit-time"):
+        run_operator(
+            spark,
+            {
+                "type": "dsir_weights",
+                "input": "dsirg_raw",
+                "options": {"ratios": "dsirg_ratios", "smoothing": 2.0},
+            },
+        )
+    # without fit params the ratios path works
+    out = run_operator(
+        spark,
+        {
+            "type": "dsir_weights",
+            "input": "dsirg_raw",
+            "options": {"ratios": "dsirg_ratios", "buckets": 64},
+        },
+    )
+    assert out.count() == 4
+    spark.catalog.dropTempView("dsirg_ratios")
+    spark.catalog.dropTempView("dsirg_raw")

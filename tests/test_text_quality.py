@@ -177,3 +177,75 @@ def test_gopher_and_bm25_registry_stages(spark):
     with pytest.raises(OperatorError, match="query_terms"):
         run_operator(spark, {"type": "bm25", "input": "tq_docs"})
     spark.catalog.dropTempView("tq_docs")
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from aqueducts_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "vec_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "vec_id long, rank long"
+    )
+    got = {r.vec_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    S = 1_000_000_000_000
+    exp = {
+        10: S // 61 + S // 62,
+        20: S // 62 + S // 61,
+        30: S // 63,
+        40: S // 63,
+    }
+    assert {i: r.rrf_micro for i, r in got.items()} == exp
+    assert got[10].n_lists == 2 and got[30].n_lists == 1
+    # 10 and 20 tie exactly; tie breaks to the lower id
+    ranks = {i: r.fused_rank for i, r in got.items()}
+    assert ranks == {10: 1, 20: 2, 30: 3, 40: 4}
+    for r in got.values():
+        assert abs(r.rrf - r.rrf_micro / S) < 1e-15
+
+
+def test_rrf_fuse_per_query_and_validation(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q2", 10, 1)], "qid string, vec_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [("q1", 10, 3)], "qid string, vec_id long, rank long"
+    )
+    got = {
+        (r.qid, r.vec_id): (r.n_lists, r.fused_rank)
+        for r in rrf_fuse([a, b], query_col="qid").collect()
+    }
+    assert got[("q1", 10)] == (2, 1)
+    assert got[("q2", 10)] == (1, 1)  # ranked per query, not globally
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="missing columns"):
+        rrf_fuse([a.drop("rank")])
+
+
+def test_rrf_fuse_registry_stage(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "vec_id long, rank long"
+    ).createOrReplaceTempView("rrf_a")
+    spark.createDataFrame(
+        [(2, 1), (3, 2)], "vec_id long, rank long"
+    ).createOrReplaceTempView("rrf_b")
+    out = run_operator(
+        spark,
+        {"type": "rrf_fuse", "input": "rrf_a", "options": {"others": "rrf_b"}},
+    )
+    rows = {r.vec_id: r.n_lists for r in out.collect()}
+    assert rows == {1: 1, 2: 2, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(OperatorError, match="others"):
+        run_operator(spark, {"type": "rrf_fuse", "input": "rrf_a"})
+    spark.catalog.dropTempView("rrf_a")
+    spark.catalog.dropTempView("rrf_b")
