@@ -42,6 +42,7 @@ def test_examples_exist():
         "embedding_dedup.yml",
         "web_curation.yml",
         "dsir_selection.yml",
+        "hybrid_retrieval.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
