@@ -2112,10 +2112,11 @@ feat AS (
          CAST(len(toks) AS BIGINT) AS n_words,
          list_sum(list_transform(toks, t -> length(t)))
            / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
-         ((length(text) - length(replace(text, '#', '')))
-          + (length(text) - length(replace(text, '...', ''))) / 3
+         (length(text) - length(replace(text, '#', '')))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS hash_ratio,
+         ((length(text) - length(replace(text, '...', ''))) / 3
           + (length(text) - length(replace(text, '…', ''))))
-           / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS ellipsis_sym_ratio,
          len(list_filter(lines, l -> regexp_matches(l, '^\s*[•\-\*]')))
            / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
          len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
@@ -2129,14 +2130,14 @@ feat AS (
 SELECT doc_id, n_words,
        n_words >= 40 AND n_words <= 100000 AS word_count_ok,
        mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_word_len_ok,
-       symbol_ratio <= 0.1 AS symbol_ratio_ok,
+       hash_ratio <= 0.1 AND ellipsis_sym_ratio <= 0.1 AS symbol_ratio_ok,
        bullet_frac <= 0.9 AS bullet_ok,
        ellipsis_frac <= 0.3 AS ellipsis_ok,
        alpha_frac >= 0.8 AS alpha_word_ok,
        stop_hits >= 1 AS stopword_ok,
        (n_words >= 40 AND n_words <= 100000)
          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         AND hash_ratio <= 0.1 AND ellipsis_sym_ratio <= 0.1 AND bullet_frac <= 0.9
          AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
          AND stop_hits >= 1 AS passes_gopher
 FROM feat
@@ -2234,7 +2235,10 @@ bm25 AS (
   GROUP BY t.doc_id
 ),
 list_a AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  -- rank by the 6dp-rounded score (the op_bm25 gate's own precision
+  -- contract): past ~6dp the two engines' ln/sum orders can diverge
+  -- by an ulp and flip near-tied ranks
+  SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rank
   FROM bm25 QUALIFY rank <= 100
 ),
 list_b AS (
@@ -2271,8 +2275,11 @@ def _op_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_a = (
         scores.withColumn(
             "rank",
+            # rank by the 6dp-rounded score — the op_bm25 precision
+            # contract; unrounded floats could flip near-tied ranks
+            # between engines and break the integer-exact fusion
             F.row_number().over(
-                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+                Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id"))
             ),
         )
         .where(F.col("rank") <= 100)

@@ -702,7 +702,10 @@ def semantic_dedup(
     * ``n_clusters`` defaults to ~√N (the paper's setting), derived
       from one count of the non-null vectors, so the expected cluster
       size grows as √N instead of N/16; pass an explicit value to
-      skip the count.
+      skip the count.  The derived value is capped at ``sample_size``
+      (a k-means fit cannot have more centroids than training points),
+      so past ``sample_size²`` vectors raise ``sample_size`` along
+      with the corpus — the clamp warns when it engages.
     * ``max_cluster_size`` mirrors the LSH bucket cap
       (:func:`embedding_near_duplicates_lsh`): clusters bigger than
       the cap (embedding-space pileups, e.g. zero-vector collapse)
@@ -724,7 +727,24 @@ def semantic_dedup(
         )
     if n_clusters is None:
         n_vec = df.where(F.col(vec_col).isNotNull()).count()
-        n_clusters = max(1, min(int(n_vec**0.5) + 1, sample_size))
+        derived = int(n_vec**0.5) + 1
+        # the centroid count cannot exceed the k-means training sample:
+        # past sample_size**2 vectors the sqrt(N) scaling stops unless
+        # sample_size is raised with it — make that clamp loud, because
+        # a silently linear cluster size combined with max_cluster_size
+        # would quietly stop deduplicating anything
+        n_clusters = max(1, min(derived, sample_size))
+        if derived > sample_size:
+            import warnings
+
+            warnings.warn(
+                f"semantic_dedup: derived n_clusters sqrt(N)={derived} is "
+                f"clamped to sample_size={sample_size}; expected cluster "
+                f"size grows linearly beyond this corpus size — raise "
+                f"sample_size (and iters budget) to keep the sqrt(N) "
+                f"scaling",
+                stacklevel=2,
+            )
     if n_clusters < 1:
         raise ValueError(
             f"semantic_dedup: n_clusters must be >= 1, got {n_clusters}"

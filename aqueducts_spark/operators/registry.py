@@ -960,6 +960,8 @@ def _op_dsir_select(spark, inp, options):
         logw_col=options.get("logw_col", "logw"),
         temperature=float(options.get("temperature", 1.0)),
         salt=options.get("salt", "dsir"),
+        max_driver_k=int(options.get("max_driver_k", 100_000)),
+        quantile_error=float(options.get("quantile_error", 1e-4)),
     )
 
 

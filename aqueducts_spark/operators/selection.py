@@ -360,6 +360,9 @@ def dsir_select(
     The threshold path runs three bounded driver actions (count,
     approxQuantile, count) over ``weights``; pass a persisted
     ``weights`` frame if recomputing its lineage is expensive.
+    Degenerate inputs (NULL keys from NULL ``logw_col``, or mass-tied
+    keys straddling the cut) fall back to one exact global rank window
+    — a full sort, still executor-side, never a driver limit.
     """
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
@@ -379,9 +382,6 @@ def dsir_select(
             .drop(sel_col)
         )
 
-    n = keyed.count()
-    if k >= n:
-        return weights
     from pyspark.sql.window import Window
 
     rn_col = "__dsir_rn"
@@ -390,32 +390,48 @@ def dsir_select(
     rn = F.row_number().over(
         Window.orderBy(F.col(sel_col).desc(), F.col(id_col).asc_nulls_last())
     )
+
+    def exact_global_rank() -> DataFrame:
+        return (
+            keyed.withColumn(rn_col, rn)
+            .where(F.col(rn_col) <= k)
+            .drop(rn_col, sel_col)
+        )
+
+    # NULL keys (a NULL logw) sort last in the top-k path; the quantile
+    # thresholds below only see non-null keys, so run the threshold
+    # logic over the non-null count and fall back to the exact rank
+    # when NULL-key rows could be part of the selection
+    n = keyed.where(F.col(sel_col).isNotNull()).count()
+    if k >= n:
+        # every non-null-key row is selected; NULL-key rows may top up
+        # the tail — the exact window (NULLS LAST) handles both
+        total = keyed.count()
+        return weights if k >= total else exact_global_rank()
     frac = 1.0 - k / n
     eps = quantile_error
     # relativeError=eps bounds each returned value within ±eps·n ranks
     # of its requested quantile, so querying at frac±2·eps guarantees
-    # count(key > t_hi) <= k and every row with key <= t_lo is outside
+    # count(key > t_hi) <= k and every row with key < t_lo is outside
     # the top k; the boundary slice between the thresholds holds
-    # O(eps·n) rows (<= ~6·eps·n)
+    # O(eps·n) rows (~6·eps·n), plus any key run tied exactly at t_lo
+    # (the inclusive lower bound keeps mass ties from silently
+    # shrinking the selection)
     t_lo, t_hi = keyed.approxQuantile(
         sel_col, [max(frac - 2 * eps, 0.0), min(frac + 2 * eps, 1.0)], eps
     )
     sure = keyed.where(F.col(sel_col) > t_hi)
     boundary = keyed.where(
-        (F.col(sel_col) > t_lo) & (F.col(sel_col) <= t_hi)
+        (F.col(sel_col) >= t_lo) & (F.col(sel_col) <= t_hi)
     )
     need = k - sure.count()
     if need <= 0:
         # eps·n rank slack exceeded on a pathological key distribution
         # (mass ties at the cut); fall back to the exact global rank —
         # one full sort, still executor-side
-        return (
-            keyed.withColumn(rn_col, rn)
-            .where(F.col(rn_col) <= k)
-            .drop(rn_col, sel_col)
-        )
-    # exact-rank only the O(eps·n) boundary rows (single-partition
-    # window over the slice, executor-side)
+        return exact_global_rank()
+    # exact-rank only the boundary rows (single-partition window over
+    # the slice, executor-side)
     topped = (
         boundary.withColumn(rn_col, rn)
         .where(F.col(rn_col) <= need)

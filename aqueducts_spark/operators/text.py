@@ -525,7 +525,10 @@ def gopher_rules(
         F.length(text) - F.length(F.replace(text, F.lit("...")))
     ) / F.lit(3)
     uni_ellipsis = F.length(text) - F.length(F.replace(text, F.lit("…")))
-    symbol_ratio = (hash_count + dots + uni_ellipsis) / safe_words
+    # the paper applies the ratio threshold PER symbol ('#' or '...'),
+    # not to their sum — a doc with both at 0.06 passes
+    hash_ratio = hash_count / safe_words
+    ellipsis_sym_ratio = (dots + uni_ellipsis) / safe_words
     lines = F.filter(
         F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
     )
@@ -551,7 +554,8 @@ def gopher_rules(
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
         "mean_word_len_ok": (mean_word_len >= min_mean_word_len)
         & (mean_word_len <= max_mean_word_len),
-        "symbol_ratio_ok": symbol_ratio <= max_symbol_word_ratio,
+        "symbol_ratio_ok": (hash_ratio <= max_symbol_word_ratio)
+        & (ellipsis_sym_ratio <= max_symbol_word_ratio),
         "bullet_ok": bullet_frac <= max_bullet_line_frac,
         "ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
         "alpha_word_ok": alpha_frac >= min_alpha_word_frac,
@@ -588,9 +592,13 @@ def bm25_scores(
     Plan shape at 100 TB: the exploded tokens are filtered to the query
     terms BEFORE the tf shuffle, so the only corpus-wide work is the
     tokenize map and a shuffle of the query-term hits alone; document
-    lengths are a narrow no-shuffle projection aggregated into one
-    broadcast (N, avgdl) row; document frequencies re-aggregate the
-    tiny tf table.  Nothing corpus-sized shuffles.
+    frequencies re-aggregate the tiny tf table.  The slim ``(id, dl,
+    hits)`` projection — token count and query-term hits, NO text — is
+    persisted (memory-and-disk, ~tens of bytes per document) so the
+    broadcast (N, avgdl) aggregation and the tf shuffle share ONE
+    tokenize pass instead of scanning the corpus twice; drop it with
+    ``spark.catalog.clearCache()`` when done.  Nothing corpus-sized
+    shuffles.
     """
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
@@ -599,14 +607,17 @@ def bm25_scores(
     terms = sorted({t.lower() for t in query_terms})
     toks = normalized_tokens(F.coalesce(F.col(text_col), F.lit("")))
     term_arr = F.array(*[F.lit(x) for x in terms])
-    lengths = ensure_parallelism(df).select(
-        F.col(id_col), toks.alias("__toks")
-    ).select(
-        F.col(id_col),
-        F.size("__toks").alias("dl"),
-        F.filter(
-            F.col("__toks"), lambda t: F.array_contains(term_arr, t)
-        ).alias("__hits"),
+    lengths = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("dl"),
+            F.filter(
+                F.col("__toks"), lambda t: F.array_contains(term_arr, t)
+            ).alias("__hits"),
+        )
+        .persist()
     )
     tf = (
         lengths.select(id_col, "dl", F.explode("__hits").alias("term"))

@@ -365,3 +365,41 @@ def test_dsir_registry_rejects_fit_params_with_ratios(spark):
     assert out.count() == 4
     spark.catalog.dropTempView("dsirg_ratios")
     spark.catalog.dropTempView("dsirg_raw")
+
+
+def test_dsir_select_large_k_mass_ties_at_cut(spark):
+    """Keys that mass-tie across the quantile cut (duplicate ids draw
+    identical Gumbel keys) must not shrink the selection: the boundary
+    slice is inclusive at t_lo and the exact-rank fallback covers the
+    rest."""
+    # 40 distinct high rows + 400 byte-identical rows (same id, same
+    # logw -> identical keys) straddling the cut
+    rows = [(i, 100.0 + i) for i in range(40)] + [(999, 1.0)] * 400
+    w = spark.createDataFrame(rows, "doc_id long, logw double")
+    k = 200
+    exact = dsir_select(w, k, max_driver_k=10**9)
+    dist = dsir_select(w, k, max_driver_k=10)
+    assert exact.count() == k
+    assert dist.count() == k
+    got = {r.doc_id for r in dist.collect()}
+    assert set(range(40)) <= got and 999 in got
+
+
+def test_dsir_select_large_k_null_logw_matches_topk_semantics(spark):
+    """NULL logw rows sort last; the threshold path must return the
+    same row multiset as the driver top-k path, not silently fewer."""
+    rows = [(i, float(i)) for i in range(100)] + [
+        (1000 + i, None) for i in range(50)
+    ]
+    w = spark.createDataFrame(rows, "doc_id long, logw double")
+    # k smaller than the non-null count: NULLs can never be selected
+    a = sorted(r.doc_id for r in dsir_select(w, 80, max_driver_k=10).collect())
+    b = sorted(
+        r.doc_id for r in dsir_select(w, 80, max_driver_k=10**9).collect()
+    )
+    assert a == b and len(a) == 80
+    # k larger than the non-null count: NULL-key rows top up the tail
+    big = dsir_select(w, 120, max_driver_k=10)
+    assert big.count() == 120
+    got = {r.doc_id for r in big.collect()}
+    assert set(range(100)) <= got  # every real-key row selected

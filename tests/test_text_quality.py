@@ -249,3 +249,19 @@ def test_rrf_fuse_registry_stage(spark):
         run_operator(spark, {"type": "rrf_fuse", "input": "rrf_a"})
     spark.catalog.dropTempView("rrf_a")
     spark.catalog.dropTempView("rrf_b")
+
+
+def test_gopher_symbol_rule_is_per_symbol_not_summed(spark):
+    """Rae et al. 2021 applies the 0.1 symbol-to-word threshold to '#'
+    and '...' SEPARATELY: a doc with both at 0.06 passes; either one
+    alone at 0.12 fails."""
+    base = GOOD  # 50 words, no symbols
+    both_low = base + " " + "#" * 3 + " " + "..." * 3      # 0.06 + ~0.06
+    hash_high = base + " " + "#" * 7                        # ~0.13 hash
+    dots_high = base + " " + "..." * 7                      # ~0.13 ellipsis
+    df = spark.createDataFrame(
+        [(1, both_low), (2, hash_high), (3, dots_high)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.symbol_ratio_ok for r in gopher_rules(df).collect()}
+    assert rows == {1: True, 2: False, 3: False}, rows
