@@ -28,6 +28,8 @@ verify it against a DuckDB recursive-CTE transitive closure.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,15 +116,52 @@ def cluster_dedup(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    keep_by: Optional[str] = None,
+    descending: bool = True,
 ) -> DataFrame:
-    """Drop every near-duplicate except one canonical representative
-    (the minimum id) per connected cluster of ``pairs``.
+    """Drop every near-duplicate except one representative per
+    connected cluster of ``pairs``.
 
-    Anti-join against the non-canonical members: rows not in any pair
-    pass through untouched.
+    The default representative is the minimum id (the classic
+    deterministic choice — free, since each component is already
+    labeled by its minimum member).  Pass ``keep_by=<column of df>``
+    to instead keep the member with the best score — e.g. a
+    ``quality_score`` column, the real curation policy when duplicates
+    differ in cleanliness; ``descending=False`` keeps the lowest.
+    Ties (and NULL scores, which sort last) break to the minimum id,
+    so the choice stays deterministic.  One extra slim join + one
+    per-component window over cluster MEMBERS only (never the corpus).
+
+    Anti-join against the non-kept members: rows not in any pair pass
+    through untouched.
     """
     cc = connected_components(pairs, src=src, dst=dst)
-    non_canonical = cc.filter(F.col("node") != F.col("component")).select("node")
-    return df.join(
-        non_canonical, df[id_col] == non_canonical.node, "left_anti"
+    if keep_by is None:
+        non_canonical = cc.filter(F.col("node") != F.col("component")).select(
+            "node"
+        )
+        return df.join(
+            non_canonical, df[id_col] == non_canonical.node, "left_anti"
+        )
+    if keep_by not in df.columns:
+        raise ValueError(
+            f"cluster_dedup: keep_by column {keep_by!r} not in df"
+        )
+    from pyspark.sql.window import Window
+
+    member = cc.join(
+        df.select(
+            F.col(id_col).alias("node"), F.col(keep_by).alias("__kb")
+        ),
+        "node",
     )
+    order = (
+        F.col("__kb").desc_nulls_last()
+        if descending
+        else F.col("__kb").asc_nulls_last()
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("component").orderBy(order, F.col("node").asc())
+    )
+    drop = member.withColumn("__rk", rk).where(F.col("__rk") > 1).select("node")
+    return df.join(drop, df[id_col] == drop.node, "left_anti")

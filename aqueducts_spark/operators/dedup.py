@@ -473,10 +473,15 @@ def fuzzy_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    keep_by: Optional[str] = None,
+    descending: bool = True,
 ) -> DataFrame:
     """End-to-end fuzzy document dedup: MinHash-LSH candidate pairs →
-    connected components of the similarity graph → keep the minimum-id
-    representative per duplicate cluster.
+    connected components of the similarity graph → keep one
+    representative per duplicate cluster (minimum id by default, or the
+    best-``keep_by`` member — e.g. a quality score — the real curation
+    policy when duplicates differ in cleanliness; see
+    :func:`~.cluster.cluster_dedup`).
 
     This is the standard large-corpus training-data dedup recipe (the
     GPT-3 / Gopher-style MinHash pipeline): every step is banded or
@@ -494,7 +499,9 @@ def fuzzy_dedup(
         shingle_n=shingle_n,
         hash_fn=hash_fn,
     )
-    return cluster_dedup(df, pairs, id_col=id_col)
+    return cluster_dedup(
+        df, pairs, id_col=id_col, keep_by=keep_by, descending=descending
+    )
 
 
 def jaccard_pairs(

@@ -82,6 +82,8 @@ def _op_fuzzy_dedup(spark, inp, options):
         bands=int(options.get("bands", 4)),
         shingle_n=int(options.get("shingle_n", 3)),
         hash_fn=options.get("hash_fn", "md5"),
+        keep_by=options.get("keep_by"),
+        descending=bool(options.get("descending", True)),
         **_docs_args(options),
     )
 
@@ -292,6 +294,8 @@ def _op_cluster_dedup(spark, inp, options):
         id_col=options.get("id_col", "doc_id"),
         src=options.get("src", "id_a"),
         dst=options.get("dst", "id_b"),
+        keep_by=options.get("keep_by"),
+        descending=bool(options.get("descending", True)),
     )
 
 

@@ -86,3 +86,58 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=30)
     assert ok.select("component").distinct().count() == 1
+
+
+def test_cluster_dedup_keep_by_quality(spark):
+    """keep_by keeps the best-scored member per duplicate cluster
+    instead of the minimum id; NULL scores lose to scored members;
+    exact ties break to the minimum id."""
+    from aqueducts_spark.operators.cluster import cluster_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),      # cluster {1,2,3}: 2 wins (tie 2/3 -> min id)
+            (4, None), (5, 0.1),               # cluster {4,5}: 5 wins (NULL last)
+            (6, 0.5),                          # singleton passes through
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in cluster_dedup(df, pairs, keep_by="quality").collect()
+    )
+    assert kept == [2, 5, 6]
+    # ascending keeps the LOWEST score
+    low = sorted(
+        r.doc_id
+        for r in cluster_dedup(
+            df, pairs, keep_by="quality", descending=False
+        ).collect()
+    )
+    assert low == [1, 5, 6]  # NULL still sorts last even ascending
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_by"):
+        cluster_dedup(df, pairs, keep_by="nope")
+
+
+def test_fuzzy_dedup_keep_by_passthrough(spark):
+    from aqueducts_spark.operators.dedup import fuzzy_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 0.1),
+            (2, "the quick brown fox jumps over the lazy dog today", 0.9),
+            (3, "completely different text about engines and pipelines", 0.5),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kept = sorted(
+        r.doc_id for r in fuzzy_dedup(df, keep_by="quality").collect()
+    )
+    assert kept == [2, 3]
+    default = sorted(r.doc_id for r in fuzzy_dedup(df).collect())
+    assert default == [1, 3]
