@@ -1277,6 +1277,70 @@ GROUP BY lang
 """
 
 
+# Temperature-sampled mix (XLM/mT5 exponential smoothing): the oracle
+# recomputes the alpha-smoothed per-source weights, their integer
+# bucket thresholds, and the md5 copy decisions entirely in SQL — the
+# same Python-float -> integer-threshold discipline as weighted_mix
+# (pow/div agree across engines on this fixed data; thresholds are
+# integers thereafter).
+OP_TEMP_MIX_DUCK = """
+WITH sizes AS (
+  SELECT source AS g, COUNT(*)::BIGINT AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM sizes),
+probs AS (SELECT g, n, pow(n / t.total, 0.3) AS p FROM sizes, tot t),
+z AS (SELECT SUM(p) AS z FROM probs),
+w AS (
+  SELECT probs.g, probs.n,
+         (probs.p / z.z) * (SELECT total FROM tot) / probs.n AS w
+  FROM probs, z
+),
+thr AS (
+  SELECT g, CAST(floor(w) AS BIGINT) AS base,
+         CAST(round((w - floor(w)) * 10000) AS BIGINT) AS t
+  FROM w
+),
+d AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+),
+n AS (
+  SELECT d.source, d.doc_id,
+         coalesce(thr.base + CASE WHEN d.bucket < thr.t THEN 1 ELSE 0 END, 1)
+           AS copies
+  FROM d LEFT JOIN thr ON d.source = thr.g
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS rows_out,
+       CAST(COUNT(*) FILTER (WHERE copies >= 1) AS BIGINT) AS docs_kept,
+       CAST(SUM((copies * (copies + 1)) // 2) AS BIGINT) AS copy_index_sum
+FROM n
+GROUP BY source
+"""
+
+
+def _op_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled corpus re-balance
+    (operators/mixing.py::temperature_mix, alpha=0.3 — the XLM/mT5
+    exponential-smoothing rule), summarized per source like the
+    weighted_mix gate (rows_out / docs_kept / copy-index checksum)."""
+    from aqueducts_spark.operators.mixing import temperature_mix
+
+    _views(spark, sf_dir)
+    mixed = temperature_mix(
+        spark.table("documents"), group_col="source", id_col="doc_id",
+        alpha=0.3,
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("rows_out"),
+        F.count_distinct("doc_id").cast("bigint").alias("docs_kept"),
+        F.sum("mix_copy").cast("bigint").alias("copy_index_sum"),
+    )
+
+
 def _op_weighted_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.mixing import weighted_mix
 
@@ -3667,6 +3731,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_dedup_against": _op_dedup_against_gate,
         "op_quantile_sketch": _op_quantile_sketch_gate,
         "op_weighted_mix": _op_weighted_mix_gate,
+        "op_temperature_mix": _op_temperature_mix,
         "op_pack_shards": _op_pack_shards_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
@@ -3810,6 +3875,7 @@ _GATE_PRIORITY = [
     "op_gopher_rules",
     "op_bm25",
     "op_rrf_fuse",
+    "op_temperature_mix",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -3944,6 +4010,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_dedup_against": OP_DEDUP_AGAINST_DUCK,
         "op_quantile_sketch": OP_QUANTILE_SKETCH_DUCK,
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
+        "op_temperature_mix": OP_TEMP_MIX_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,

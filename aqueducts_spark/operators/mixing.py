@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .sampling import hash_bucket
 
-__all__ = ["weighted_mix", "pack_shards"]
+__all__ = ["weighted_mix", "pack_shards", "temperature_weights", "temperature_mix"]
 
 _BUCKETS = 10_000
 
@@ -93,6 +93,67 @@ def weighted_mix(
         .where(F.col(mix_n) >= 1)
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col(mix_n))))
         .drop(mix_n)
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    target_total: float | None = None,
+) -> dict[str, float]:
+    """Per-group mix multipliers from temperature sampling over the
+    observed group sizes — the multilingual-corpus re-balancing rule
+    (exponential smoothing, as in XLM / mT5): sampling probability
+    ``q_s ∝ (n_s/N)^alpha``, so ``alpha=1`` keeps natural proportions,
+    ``alpha=0`` equalizes all groups, and the usual 0.2-0.7 range
+    up-weights small sources without drowning large ones.
+
+    The returned dict maps each group to the :func:`weighted_mix`
+    multiplier ``w_s = q_s * T / n_s`` where ``T`` is ``target_total``
+    (default: the corpus size, i.e. the mix is size-preserving in
+    expectation).  One bounded ``groupBy(group).count()`` action runs
+    here; the weights are plain Python floats, so the mix thresholds
+    stay engine-exact integers (the module's discipline).  Groups with
+    NULL ``group_col`` are keyed as ``None`` — pass the dict straight
+    to :func:`weighted_mix`, whose ``default_weight`` covers them.
+    """
+    if alpha < 0:
+        raise ValueError(f"temperature_weights: alpha must be >= 0, got {alpha}")
+    sizes = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sizes = {g: n for g, n in sizes.items() if g is not None and n > 0}
+    if not sizes:
+        return {}
+    total = float(sum(sizes.values()))
+    t = float(target_total) if target_total is not None else total
+    if t <= 0:
+        raise ValueError("temperature_weights: target_total must be > 0")
+    probs = {g: (n / total) ** alpha for g, n in sizes.items()}
+    z = sum(probs.values())
+    return {g: (p / z) * t / sizes[g] for g, p in probs.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    target_total: float | None = None,
+    copy_col: str = "mix_copy",
+) -> DataFrame:
+    """:func:`temperature_weights` composed with :func:`weighted_mix`:
+    re-balance the corpus across ``group_col`` sources by temperature
+    ``alpha`` in one call.  Rows whose group was empty/NULL keep
+    weight 1.  Deterministic (md5-derived copy decisions), ZERO
+    shuffles beyond the bounded size count."""
+    weights = temperature_weights(df, group_col, alpha, target_total)
+    return weighted_mix(
+        df, group_col, id_col, weights, default_weight=1.0, copy_col=copy_col
     )
 
 

@@ -528,6 +528,23 @@ def _op_weighted_mix(spark, inp, options):
     )
 
 
+def _op_temperature_mix(spark, inp, options):
+    from .mixing import temperature_mix
+
+    return temperature_mix(
+        inp,
+        group_col=options.get("group_col", "source"),
+        id_col=options.get("id_col", "doc_id"),
+        alpha=float(options.get("alpha", 0.3)),
+        target_total=(
+            float(options["target_total"])
+            if options.get("target_total") is not None
+            else None
+        ),
+        copy_col=options.get("copy_col", "mix_copy"),
+    )
+
+
 def _op_pack_shards(spark, inp, options):
     from .mixing import pack_shards
 
@@ -1039,6 +1056,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "dd_sketch": _op_dd_sketch,
     "dd_quantiles": _op_dd_quantiles,
     "weighted_mix": _op_weighted_mix,
+    "temperature_mix": _op_temperature_mix,
     "pack_shards": _op_pack_shards,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,

@@ -129,3 +129,69 @@ def test_pack_shards_duplicate_order_keys_use_rows_frame(spark):
         df, "toks", "doc_id", budget=100, parts=1, tiebreak_cols=["mix_copy"]
     ).collect()
     assert sorted(r.shard_id for r in out) == [0, 0, 1]
+
+
+def test_temperature_weights_math_and_properties(spark):
+    from aqueducts_spark.operators.mixing import temperature_weights
+
+    rows = (
+        [("big", i) for i in range(90)]
+        + [("small", 100 + i) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    # alpha=1 -> natural proportions: every weight 1.0
+    w1 = temperature_weights(df, "source", alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w1.values()), w1
+    # alpha=0 -> equalized: each group targets total/2 rows
+    w0 = temperature_weights(df, "source", alpha=0.0)
+    assert abs(w0["big"] * 90 - 50) < 1e-9
+    assert abs(w0["small"] * 10 - 50) < 1e-9
+    # intermediate alpha up-weights the small source, down-weights big
+    w = temperature_weights(df, "source", alpha=0.3)
+    assert w["small"] > 1.0 > w["big"]
+    # expected output size is preserved
+    assert abs(w["big"] * 90 + w["small"] * 10 - 100) < 1e-9
+    # target_total scales everything
+    w2 = temperature_weights(df, "source", alpha=0.3, target_total=200)
+    assert abs(w2["big"] / w["big"] - 2.0) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "source", alpha=-1)
+
+
+def test_temperature_mix_rebalances_and_is_deterministic(spark):
+    from aqueducts_spark.operators.mixing import temperature_mix
+
+    rows = (
+        [("big", i) for i in range(400)]
+        + [("small", 1000 + i) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = temperature_mix(df, "source", "doc_id", alpha=0.2)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # small source up-weighted, big down-weighted, total ~preserved
+    assert counts["small"] > 40 and counts["big"] < 400
+    assert abs(sum(counts.values()) - 440) < 44  # within 10%
+    again = temperature_mix(df, "source", "doc_id", alpha=0.2)
+    assert sorted((r.source, r.doc_id, r.mix_copy) for r in out.collect()) == \
+           sorted((r.source, r.doc_id, r.mix_copy) for r in again.collect())
+
+
+def test_temperature_mix_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4)], "source string, doc_id long"
+    ).createOrReplaceTempView("tm_docs")
+    out = run_operator(
+        spark,
+        {"type": "temperature_mix", "input": "tm_docs",
+         "options": {"alpha": 0.0}},
+    )
+    assert "mix_copy" in out.columns
+    assert out.count() > 0
+    spark.catalog.dropTempView("tm_docs")
