@@ -1280,9 +1280,10 @@ GROUP BY lang
 # Temperature-sampled mix (XLM/mT5 exponential smoothing): the oracle
 # recomputes the alpha-smoothed per-source weights, their integer
 # bucket thresholds, and the md5 copy decisions entirely in SQL — the
-# same Python-float -> integer-threshold discipline as weighted_mix
-# (pow/div agree across engines on this fixed data; thresholds are
-# integers thereafter).
+# same Python-float -> integer-threshold discipline as weighted_mix;
+# BOTH engines round thresholds half-up (floor(x+0.5) — _copies_expr
+# matches), so only a pow/div ULP on the exact fixed data could ever
+# shift a threshold, and the sweep pins that.
 OP_TEMP_MIX_DUCK = """
 WITH sizes AS (
   SELECT source AS g, COUNT(*)::BIGINT AS n FROM documents
@@ -1298,7 +1299,7 @@ w AS (
 ),
 thr AS (
   SELECT g, CAST(floor(w) AS BIGINT) AS base,
-         CAST(round((w - floor(w)) * 10000) AS BIGINT) AS t
+         CAST(floor((w - floor(w)) * 10000 + 0.5) AS BIGINT) AS t
   FROM w
 ),
 d AS (

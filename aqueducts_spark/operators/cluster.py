@@ -135,6 +135,12 @@ def cluster_dedup(
     Anti-join against the non-kept members: rows not in any pair pass
     through untouched.
     """
+    if keep_by is not None and keep_by not in df.columns:
+        # validate BEFORE connected_components runs its eager per-round
+        # jobs — a typo must not cost a full component computation
+        raise ValueError(
+            f"cluster_dedup: keep_by column {keep_by!r} not in df"
+        )
     cc = connected_components(pairs, src=src, dst=dst)
     if keep_by is None:
         non_canonical = cc.filter(F.col("node") != F.col("component")).select(
@@ -143,17 +149,23 @@ def cluster_dedup(
         return df.join(
             non_canonical, df[id_col] == non_canonical.node, "left_anti"
         )
-    if keep_by not in df.columns:
-        raise ValueError(
-            f"cluster_dedup: keep_by column {keep_by!r} not in df"
-        )
     from pyspark.sql.window import Window
 
-    member = cc.join(
-        df.select(
-            F.col(id_col).alias("node"), F.col(keep_by).alias("__kb")
-        ),
-        "node",
+    # aggregate the score to ONE row per id before ranking: the
+    # anti-join keeps or drops all rows of an id together, so an id
+    # with duplicate rows must rank once (by its best/worst score),
+    # not once per row — otherwise the winner id's second row lands in
+    # the drop set and deletes the whole cluster
+    score = (F.max if descending else F.min)(F.col("__kb")).alias("__kb")
+    member = (
+        cc.join(
+            df.select(
+                F.col(id_col).alias("node"), F.col(keep_by).alias("__kb")
+            ),
+            "node",
+        )
+        .groupBy("component", "node")
+        .agg(score)
     )
     order = (
         F.col("__kb").desc_nulls_last()

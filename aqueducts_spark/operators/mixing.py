@@ -10,7 +10,7 @@ multiplicities and shard assignments exactly.
 
 ``weighted_mix`` realizes a per-group multiplier w as
 ``floor(w)`` guaranteed copies plus one extra copy iff the row's hash
-bucket (0..9999) falls under ``round(frac(w)*10000)`` — the bucket
+bucket (0..9999) falls under ``floor(frac(w)*10000 + 0.5)`` — the bucket
 thresholds are computed in *Python* integers so no floating-point
 arithmetic appears in either engine's SQL.  Expected multiplicity is
 within 1/10000 of w; repeated runs select the same physical rows.
@@ -50,13 +50,18 @@ _BUCKETS = 10_000
 
 
 def _copies_expr(weights: Mapping[str, float], default_weight: float, group_col, bucket):
-    """Integer copy count: floor(w) + (bucket < round(frac(w)*10000))."""
+    """Integer copy count: ``floor(w) + (bucket < floor(frac(w)*10000
+    + 0.5))``.  Half-UP rounding (``floor(x+0.5)``), not Python's
+    half-to-even ``round()``: an external SQL engine reproducing the
+    threshold from a float weight (the temperature_mix oracle) has
+    ``floor(x+0.5)`` but not banker's rounding, and the two differ
+    exactly on the .5 boundaries."""
 
     def n_for(w: float):
         if w < 0:
             raise ValueError(f"weighted_mix: negative weight {w}")
         base = int(w)
-        thr = round((w - base) * _BUCKETS)
+        thr = int((w - base) * _BUCKETS + 0.5)
         n = F.lit(base)
         if thr > 0:
             n = n + F.when(bucket < F.lit(thr), 1).otherwise(0)
@@ -101,6 +106,7 @@ def temperature_weights(
     group_col: str,
     alpha: float = 0.3,
     target_total: float | None = None,
+    max_groups: int = 1000,
 ) -> dict[str, float]:
     """Per-group mix multipliers from temperature sampling over the
     observed group sizes — the multilingual-corpus re-balancing rule
@@ -112,20 +118,35 @@ def temperature_weights(
     The returned dict maps each group to the :func:`weighted_mix`
     multiplier ``w_s = q_s * T / n_s`` where ``T`` is ``target_total``
     (default: the corpus size, i.e. the mix is size-preserving in
-    expectation).  One bounded ``groupBy(group).count()`` action runs
-    here; the weights are plain Python floats, so the mix thresholds
-    stay engine-exact integers (the module's discipline).  Groups with
-    NULL ``group_col`` are keyed as ``None`` — pass the dict straight
-    to :func:`weighted_mix`, whose ``default_weight`` covers them.
+    expectation).  One ``groupBy(group).count()`` action runs here —
+    NOTE it executes ``df``'s full upstream lineage; persist ``df``
+    first if that lineage is expensive, since the mix itself executes
+    it again.  The weights are plain Python floats, so the mix
+    thresholds stay engine-exact integers (the module's discipline).
+    Rows with NULL ``group_col`` are excluded from the fit (the
+    returned dict never has a ``None`` key) and keep
+    ``weighted_mix``'s ``default_weight``.  ``group_col`` must be a
+    bounded category (source/language/domain-class, not raw domains):
+    the weights ride the driver and compile into one CASE expression
+    per group, so more than ``max_groups`` distinct values is rejected
+    rather than melting the driver and Catalyst.
     """
     if alpha < 0:
         raise ValueError(f"temperature_weights: alpha must be >= 0, got {alpha}")
-    sizes = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
+    rows = (
+        df.groupBy(F.col(group_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_groups + 1)
         .collect()
-    }
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_weights: more than {max_groups} distinct "
+            f"{group_col!r} values — temperature sampling is a per-SOURCE "
+            "re-balance (bounded categories); bucket the column first or "
+            "raise max_groups if the cardinality is genuinely bounded"
+        )
+    sizes = {r["g"]: r["n"] for r in rows}
     sizes = {g: n for g, n in sizes.items() if g is not None and n > 0}
     if not sizes:
         return {}
@@ -145,13 +166,18 @@ def temperature_mix(
     alpha: float = 0.3,
     target_total: float | None = None,
     copy_col: str = "mix_copy",
+    max_groups: int = 1000,
 ) -> DataFrame:
     """:func:`temperature_weights` composed with :func:`weighted_mix`:
     re-balance the corpus across ``group_col`` sources by temperature
     ``alpha`` in one call.  Rows whose group was empty/NULL keep
     weight 1.  Deterministic (md5-derived copy decisions), ZERO
-    shuffles beyond the bounded size count."""
-    weights = temperature_weights(df, group_col, alpha, target_total)
+    shuffles beyond the size count — which, note, executes ``df``'s
+    lineage eagerly before the mix executes it again: persist ``df``
+    first when its lineage is expensive."""
+    weights = temperature_weights(
+        df, group_col, alpha, target_total, max_groups=max_groups
+    )
     return weighted_mix(
         df, group_col, id_col, weights, default_weight=1.0, copy_col=copy_col
     )

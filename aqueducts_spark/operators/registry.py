@@ -27,6 +27,25 @@ class OperatorError(ValueError):
     pass
 
 
+def _bool_opt(options: dict[str, Any], key: str, default: bool) -> bool:
+    """Boolean option tolerant of string forms: YAML-templated or
+    string-typed specs send 'false'/'no'/'0', and bool('false') is
+    True — the silently-opposite-policy trap."""
+    v = options.get(key, default)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        low = v.strip().lower()
+        if low in ("true", "yes", "on", "1"):
+            return True
+        if low in ("false", "no", "off", "0"):
+            return False
+        raise OperatorError(
+            f"option {key!r}: cannot parse {v!r} as a boolean"
+        )
+    return bool(v)
+
+
 def _docs_args(options: dict[str, Any]) -> dict[str, Any]:
     out = {}
     if "id_col" in options:
@@ -83,7 +102,7 @@ def _op_fuzzy_dedup(spark, inp, options):
         shingle_n=int(options.get("shingle_n", 3)),
         hash_fn=options.get("hash_fn", "md5"),
         keep_by=options.get("keep_by"),
-        descending=bool(options.get("descending", True)),
+        descending=_bool_opt(options, "descending", True),
         **_docs_args(options),
     )
 
@@ -295,7 +314,7 @@ def _op_cluster_dedup(spark, inp, options):
         src=options.get("src", "id_a"),
         dst=options.get("dst", "id_b"),
         keep_by=options.get("keep_by"),
-        descending=bool(options.get("descending", True)),
+        descending=_bool_opt(options, "descending", True),
     )
 
 
@@ -641,7 +660,7 @@ def _op_group_cap(spark, inp, options):
         [groups] if isinstance(groups, str) else list(groups),
         options["order_col"],
         int(options["n"]),
-        descending=bool(options.get("descending", True)),
+        descending=_bool_opt(options, "descending", True),
         tiebreak_col=options.get("tiebreak_col"),
     )
 
@@ -707,7 +726,7 @@ def _op_dedup_against(spark, inp, options):
         inp,
         spark.table(corpus_table),
         cols=options.get("columns", ["text"]),
-        broadcast_corpus=bool(options.get("broadcast_corpus", False)),
+        broadcast_corpus=_bool_opt(options, "broadcast_corpus", False),
         hash_fn=options.get("hash_fn", "md5"),
     )
 
@@ -796,7 +815,7 @@ def _op_profile_table(spark, inp, options):
     return profile_table(
         inp,
         columns=options.get("columns"),
-        exact_distinct=bool(options.get("exact_distinct", True)),
+        exact_distinct=_bool_opt(options, "exact_distinct", True),
     )
 
 

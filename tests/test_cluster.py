@@ -141,3 +141,37 @@ def test_fuzzy_dedup_keep_by_passthrough(spark):
     assert kept == [2, 3]
     default = sorted(r.doc_id for r in fuzzy_dedup(df).collect())
     assert default == [1, 3]
+
+
+def test_cluster_dedup_keep_by_tolerates_duplicate_ids(spark):
+    """An id with duplicate rows must rank once per cluster (by its
+    best score) — not once per row, which would push the winner's own
+    second row into the drop set and delete the whole cluster."""
+    from aqueducts_spark.operators.cluster import cluster_dedup
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.9), (2, 0.1)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id for r in cluster_dedup(df, pairs, keep_by="quality").collect()
+    )
+    assert kept == [1, 1]  # both rows of the winning id survive
+    # validation raises BEFORE any component computation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_by"):
+        cluster_dedup(df, pairs, keep_by="qualty")
+
+
+def test_temperature_weights_cardinality_guard(spark):
+    from aqueducts_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame(
+        [(f"g{i}", i) for i in range(30)], "source string, doc_id long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        temperature_weights(df, "source", max_groups=10)
+    assert len(temperature_weights(df, "source", max_groups=30)) == 30
