@@ -80,13 +80,18 @@ def weighted_mix(
     weights: Mapping[str, float],
     default_weight: float = 1.0,
     copy_col: str = "mix_copy",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Up/down-sample each group by its multiplier: weight 2.5 keeps
     every row twice and a deterministic hash-chosen half a third time;
     weight 0.3 keeps a deterministic ~30%.  Adds ``copy_col``
     (1..copies) so duplicated rows stay distinguishable downstream.
+    ``hash_fn="xxhash64"`` takes the native-codegen fast path (module
+    discipline: Spark-internal determinism only; gates keep md5).
     """
-    bucket = hash_bucket(F.col(id_col), buckets=_BUCKETS, salt="mix:")
+    bucket = hash_bucket(
+        F.col(id_col), buckets=_BUCKETS, salt="mix:", hash_fn=hash_fn
+    )
     n = _copies_expr(weights, default_weight, F.col(group_col), bucket)
     # helper name must not collide with (and silently destroy) a
     # legitimate user column
@@ -167,6 +172,7 @@ def temperature_mix(
     target_total: float | None = None,
     copy_col: str = "mix_copy",
     max_groups: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """:func:`temperature_weights` composed with :func:`weighted_mix`:
     re-balance the corpus across ``group_col`` sources by temperature
@@ -179,7 +185,8 @@ def temperature_mix(
         df, group_col, alpha, target_total, max_groups=max_groups
     )
     return weighted_mix(
-        df, group_col, id_col, weights, default_weight=1.0, copy_col=copy_col
+        df, group_col, id_col, weights, default_weight=1.0,
+        copy_col=copy_col, hash_fn=hash_fn,
     )
 
 

@@ -544,6 +544,7 @@ def _op_weighted_mix(spark, inp, options):
         weights={str(k): float(v) for k, v in dict(options["weights"]).items()},
         default_weight=float(options.get("default_weight", 1.0)),
         copy_col=options.get("copy_col", "mix_copy"),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 
@@ -561,6 +562,7 @@ def _op_temperature_mix(spark, inp, options):
             else None
         ),
         copy_col=options.get("copy_col", "mix_copy"),
+        hash_fn=options.get("hash_fn", "md5"),
     )
 
 

@@ -195,3 +195,19 @@ def test_temperature_mix_registry_stage(spark):
     assert "mix_copy" in out.columns
     assert out.count() > 0
     spark.catalog.dropTempView("tm_docs")
+
+
+def test_weighted_mix_xxhash64_fast_path(spark):
+    """hash_fn='xxhash64' keeps multiplicity expectations and
+    determinism (Spark-internal), like every other hash-keyed op."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1000)], "source string, doc_id long"
+    )
+    out = weighted_mix(
+        df, "source", "doc_id", {"a": 0.5}, hash_fn="xxhash64"
+    )
+    n1 = out.count()
+    assert 400 < n1 < 600  # ~50% kept
+    assert out.count() == n1  # deterministic
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "md5" not in plan
