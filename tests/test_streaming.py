@@ -455,3 +455,70 @@ def test_dsir_score_stream_matches_batch_weights(spark, tmp_path):
     assert streamed == batch
     # and the target-like doc outranks the spam-like one on the stream
     assert streamed[1] > streamed[2]
+
+
+def test_stateless_operators_apply_directly_to_streams(spark, tmp_path):
+    """gopher_rules and weighted_mix are row-local expressions, so the
+    SAME operator works unchanged on a streaming frame — no dedicated
+    streaming twin needed; results match the batch run bit-for-bit."""
+    import json
+
+    from aqueducts_spark.operators.mixing import weighted_mix
+    from aqueducts_spark.operators.text import gopher_rules
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    docs = [
+        {"doc_id": 1, "lang": "en",
+         "text": "the quick brown fox jumps over the lazy dog and then "
+                 "runs back home with all of the other animals that have "
+                 "been waiting in the field while every one of them watches "
+                 "the sun set slowly behind the hills before they finally "
+                 "walk together toward the quiet village nearby"},
+        {"doc_id": 2, "lang": "en", "text": "too short"},
+        {"doc_id": 3, "lang": "de", "text": None},
+    ]
+    src = tmp_path / "stateless_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b2.json").write_text(json.dumps(docs[2]))
+    schema = [
+        Field(name="doc_id", data_type="int64", nullable=False),
+        Field(name="lang", data_type="string", nullable=True),
+        Field(name="text", data_type="string", nullable=True),
+    ]
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["lang"], d["text"]) for d in docs],
+        "doc_id long, lang string, text string",
+    )
+
+    stream = file_stream_source(
+        spark, str(src), "json", schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    streamed_rules = run_available_now(
+        gopher_rules(stream), str(tmp_path / "ckpt_gopher")
+    )
+    batch_rules = gopher_rules(batch_df).collect()
+    key = lambda r: r.doc_id
+    assert sorted(map(tuple, streamed_rules), key=lambda t: t[0]) == sorted(
+        map(tuple, batch_rules), key=lambda t: t[0]
+    )
+
+    stream2 = file_stream_source(
+        spark, str(src), "json", schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    streamed_mix = run_available_now(
+        weighted_mix(stream2, "lang", "doc_id", {"en": 2.0, "de": 0.5}),
+        str(tmp_path / "ckpt_mix"),
+    )
+    batch_mix = weighted_mix(
+        batch_df, "lang", "doc_id", {"en": 2.0, "de": 0.5}
+    ).collect()
+    assert sorted(
+        (r.doc_id, r.mix_copy) for r in streamed_mix
+    ) == sorted((r.doc_id, r.mix_copy) for r in batch_mix)
