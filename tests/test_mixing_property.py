@@ -77,8 +77,10 @@ def test_weighted_mix_copy_counts_follow_hash_rule(spark, ids, weight):
     whole = int(weight)
     frac = weight - whole
     for i in ids:
+        # half-UP threshold (floor(x+0.5)), the documented rule — NOT
+        # Python round(), whose half-to-even differs on .5 boundaries
         expected = whole + (
-            1 if _md5_bucket(str(i), "mix:") < round(frac * 10_000) else 0
+            1 if _md5_bucket(str(i), "mix:") < int(frac * 10_000 + 0.5) else 0
         )
         assert by_id.get(i, 0) == expected, (i, weight)
     # copy column is 1..n for every duplicated row
