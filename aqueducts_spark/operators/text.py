@@ -589,16 +589,23 @@ def bm25_scores(
     at least one query term (retrieval semantics — the score of a
     no-hit document is identically 0).
 
-    Plan shape at 100 TB: the exploded tokens are filtered to the query
-    terms BEFORE the tf shuffle, so the only corpus-wide work is the
-    tokenize map and a shuffle of the query-term hits alone; document
-    frequencies re-aggregate the tiny tf table.  The slim ``(id, dl,
-    hits)`` projection — token count and query-term hits, NO text — is
-    persisted (memory-and-disk, ~tens of bytes per document) so the
-    broadcast (N, avgdl) aggregation and the tf shuffle share ONE
-    tokenize pass instead of scanning the corpus twice; drop it with
-    ``spark.catalog.clearCache()`` when done.  Nothing corpus-sized
-    shuffles.
+    Plan shape at 100 TB: the corpus is tokenized ONCE.  The slim
+    ``(id, dl, hits)`` projection — token count and query-term hits, NO
+    text, ~tens of bytes per document — is shuffled once through a
+    grouping-key aggregate, and that single exchange feeds both
+    consumers: the (N, avgdl) stats aggregation and the tf path sit
+    ABOVE it, so Catalyst plans ``ReusedExchange`` instead of
+    re-scanning the corpus (the :func:`~.selection.dsir_weights`
+    discipline, plan-asserted in tests).  All three columns are
+    *grouping keys* deliberately: grouping keys are prune-proof, so
+    column pruning cannot specialise one branch's subplan and break the
+    exchange reuse; likewise the tf path uses ``explode_outer`` +
+    ``isNotNull`` rather than ``explode`` so Catalyst cannot infer a
+    ``size(hits) > 0`` filter into only one branch.  The remaining
+    exchanges carry query-term hits, the bounded per-term document
+    frequencies, and the one-row stats.  Nothing is persisted, so
+    nothing outlives the query.  Assumes ``id_col`` identifies the
+    document (exact duplicate (id, text) rows collapse to one doc).
     """
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
@@ -617,15 +624,24 @@ def bm25_scores(
                 F.col("__toks"), lambda t: F.array_contains(term_arr, t)
             ).alias("__hits"),
         )
-        .persist()
+        # grouping-key aggregate = the shared, prune-proof exchange
+        # (id is the doc identity; dl and __hits are functionally
+        # dependent on it, so this per-doc distinct is a no-op on the
+        # data and exists purely to anchor the reused shuffle)
+        .distinct()
     )
     tf = (
-        lengths.select(id_col, "dl", F.explode("__hits").alias("term"))
+        lengths.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.explode_outer("__hits").alias("term"),
+        )
+        .where(F.col("term").isNotNull())
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    # N and avgdl in ONE single-row aggregation over the same narrow
-    # lengths projection (not a second scan of the source)
+    # N and avgdl in ONE single-row aggregation over the same exchange
+    # (ReusedExchange — not a second scan of the source)
     stats = lengths.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (

@@ -142,9 +142,11 @@ def test_bm25_query_terms_case_folded_and_validated(spark):
         bm25_scores(df, ["x"], k1=-1)
 
 
-def test_bm25_corpus_scan_shuffles_only_query_hits(spark):
-    """The tf shuffle input is the filtered hits explode, not the full
-    token explode: assert the filter sits under the exchange."""
+def test_bm25_one_tokenize_pass_no_cache(spark):
+    """Scale shape: ONE corpus tokenize pass — the slim (id, dl, hits)
+    exchange is reused by the stats aggregation (ReusedExchange), the
+    query-term filter sits under that exchange, and nothing is
+    persisted (no cache to leak past the query)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = bm25_scores(docs, ["the", "data"])
     out.collect()
@@ -154,6 +156,11 @@ def test_bm25_corpus_scan_shuffles_only_query_hits(spark):
     # explode feeds from the filtered __hits array (array_contains
     # filter applied inside the projection, before any Exchange)
     assert "array_contains" in plan
+    # the stats side reuses the slim exchange instead of re-tokenizing
+    assert "ReusedExchange" in plan or "StageReuse" in plan
+    assert "InMemoryRelation" not in plan
+    # exactly one scan of the documents source in the executed plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_gopher_and_bm25_registry_stages(spark):
