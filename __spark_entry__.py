@@ -2220,6 +2220,71 @@ def _op_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4 heuristics (Raffel et al. 2020 §2.2) — line filter + page rules.
+# Gate parameters are tuned so outcomes VARY on the synthetic corpus
+# (single-line, punctuation-free documents): the terminal-punct test is
+# off and the sentence bar is 0 (both would reject every row and prove
+# nothing), min_line_words=40 splits the line filter on the corpus's
+# 20-80-word documents, and the bad-word list holds two corpus tokens.
+_C4_BAD = ["dup", "vector"]
+OP_C4_DUCK = r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS text,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     l -> trim(l) != '') AS lines
+  FROM documents
+),
+keptt AS (
+  SELECT doc_id, text,
+         CAST(len(lines) AS INT) AS n_lines,
+         list_filter(lines, l ->
+             len(list_filter(string_split_regex(trim(l), '\s+'),
+                             w -> w != '')) >= 40
+             AND NOT contains(lower(l), 'javascript')) AS keptl
+  FROM base
+),
+feat AS (
+  SELECT doc_id, text, n_lines,
+         CAST(len(keptl) AS INT) AS n_lines_kept,
+         coalesce(array_to_string(keptl, chr(10)), '') AS clean_text,
+         CAST(len(regexp_extract_all(
+             coalesce(array_to_string(keptl, chr(10)), ''),
+             '[.!?]')) AS BIGINT) AS n_sentences,
+         len(list_intersect(
+             list_distinct(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t != '')),
+             ['dup', 'vector'])) = 0 AS no_bad_words
+  FROM keptt
+)
+SELECT doc_id, n_lines, n_lines_kept, n_sentences, clean_text,
+       n_sentences >= 0 AS sentences_ok,
+       NOT contains(lower(text), 'lorem ipsum') AS no_lorem_ipsum,
+       NOT contains(text, '{') AS no_curly_brace,
+       no_bad_words,
+       (n_sentences >= 0)
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{') AND no_bad_words AS passes_c4
+FROM feat
+"""
+
+
+def _op_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (operators/text.py::c4_rules,
+    arXiv:1910.10683 §2.2) — exact per-rule + cleaned-text oracle."""
+    from aqueducts_spark.operators.text import c4_rules
+
+    _views(spark, sf_dir)
+    return c4_rules(
+        spark.table("documents"),
+        min_line_words=40,
+        min_sentences=0,
+        bad_words=_C4_BAD,
+        require_line_terminal_punct=False,
+    )
+
+
 # Okapi BM25 with the Lucene non-negative idf; score rounded to 6dp
 # like the tf-idf gate (ln on both engines agrees at that precision).
 _BM25_TERMS = ["the", "data", "merge", "window"]
@@ -3713,6 +3778,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_quality_score": _op_quality,
         "op_langid": _op_langid,
         "op_gopher_rules": _op_gopher_rules,
+        "op_c4_rules": _op_c4_rules,
         "op_bm25": _op_bm25,
         "op_rrf_fuse": _op_rrf_fuse,
         "op_minhash_bands": _op_minhash_bands,
@@ -3874,6 +3940,7 @@ _GATE_PRIORITY = [
     "op_group_cap",
     "op_tfidf_terms",
     "op_gopher_rules",
+    "op_c4_rules",
     "op_bm25",
     "op_rrf_fuse",
     "op_temperature_mix",
@@ -3971,6 +4038,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_quality_score": OP_QUALITY_DUCK,
         "op_langid": _langid_duck_sql(),
         "op_gopher_rules": OP_GOPHER_DUCK,
+        "op_c4_rules": OP_C4_DUCK,
         "op_bm25": OP_BM25_DUCK,
         "op_rrf_fuse": OP_RRF_DUCK,
         "op_minhash_bands": OP_MINHASH_BANDS_DUCK,

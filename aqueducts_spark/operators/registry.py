@@ -380,6 +380,28 @@ def _op_gopher_rules(spark, inp, options):
     )
 
 
+def _op_c4_rules(spark, inp, options):
+    from .text import c4_rules
+
+    kw = {}
+    for opt, conv in (
+        ("min_line_words", int), ("min_sentences", int),
+    ):
+        if opt in options:
+            kw[opt] = conv(options[opt])
+    if "bad_words" in options:
+        kw["bad_words"] = [str(w) for w in options["bad_words"]]
+    return c4_rules(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        require_line_terminal_punct=_bool_opt(
+            options, "require_line_terminal_punct", True
+        ),
+        **kw,
+    )
+
+
 def _op_bm25(spark, inp, options):
     from .text import bm25_scores
 
@@ -1083,6 +1105,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,
     "gopher_rules": _op_gopher_rules,
+    "c4_rules": _op_c4_rules,
     "bm25": _op_bm25,
     "rrf_fuse": _op_rrf_fuse,
     "repetition_features": _op_repetition,

@@ -23,6 +23,7 @@ __all__ = [
     "PII_PATTERNS",
     "gopher_rules",
     "GOPHER_STOPWORDS",
+    "c4_rules",
     "bm25_scores",
     "tfidf_top_terms",
     "unigram_logprob",
@@ -569,6 +570,116 @@ def gopher_rules(
         n_words.cast("bigint").alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],
         passes.alias("passes_gopher"),
+    )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    bad_words: list[str] | None = None,
+    require_line_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2): the line-level cleanup plus page-level drop rules used to
+    build C4 from Common Crawl — the companion of :func:`gopher_rules`
+    (reference surface: the same per-rule-boolean contract).
+
+    Line filter (the paper's retained-line tests, applied together):
+    keep a line iff it has >= ``min_line_words`` words, does not
+    contain the word "javascript", and (when
+    ``require_line_terminal_punct``) ends in a terminal punctuation
+    mark (``.``/``!``/``?``, optionally followed by a closing quote).
+    ``clean_text`` joins the kept lines with newlines.
+
+    Page rules, one boolean column each, evaluated like the paper:
+    ``sentences_ok`` — >= ``min_sentences`` sentences in the CLEANED
+    text (sentences approximated as terminal-punctuation occurrences,
+    documented and cross-engine deterministic); ``no_lorem_ipsum`` —
+    the page does not contain "lorem ipsum" (case-insensitive);
+    ``no_curly_brace`` — the page does not contain ``{`` (the paper's
+    code proxy); ``no_bad_words`` — no normalized token of the
+    ORIGINAL page is in ``bad_words`` (the paper uses an external
+    blocklist; pass yours — an empty/None list makes the rule
+    vacuously true).  ``passes_c4`` is the conjunction.  The paper's
+    langdetect gate composes via :func:`detect_language`, and its
+    three-sentence span dedup is the cross-document ``span_dedup`` /
+    ``line_dedup`` operators — both out of scope for this row-local
+    rule pass.
+
+    All rules are built-in-expression only — one narrow map over the
+    corpus, no shuffle, no Python (the module's 100 TB discipline).
+    NULL text behaves like empty text: no lines survive,
+    ``clean_text`` is ``''``, and the row reports ``passes_c4`` by the
+    same rules (false unless ``min_sentences <= 0``).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    bad = sorted({w.lower() for w in (bad_words or [])})
+
+    def _line_words(l: Column) -> Column:
+        return F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit("")))
+
+    def _keep_line(l: Column) -> Column:
+        keep = (_line_words(l) >= F.lit(min_line_words)) & ~F.lower(l).contains(
+            "javascript"
+        )
+        if require_line_terminal_punct:
+            keep = keep & F.trim(l).rlike(r"[.!?][\"'”’]?$")
+        return keep
+
+    # the lines array is materialized in its own projection so its
+    # consumers share one evaluation (the repetition_features split:
+    # CollapseProject keeps non-cheap expressions referenced twice)
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        text.alias("__text"),
+        F.filter(
+            F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
+        ).alias("__lines"),
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.col("__text"),
+        F.size("__lines").alias("n_lines"),
+        F.filter(F.col("__lines"), _keep_line).alias("__kept"),
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.col("__text"),
+        F.col("n_lines"),
+        F.size("__kept").alias("n_lines_kept"),
+        F.array_join("__kept", "\n").alias("clean_text"),
+    )
+    n_sentences = F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]"))
+    rules: dict[str, Column] = {
+        "sentences_ok": n_sentences >= F.lit(min_sentences),
+        "no_lorem_ipsum": ~F.lower(F.col("__text")).contains("lorem ipsum"),
+        "no_curly_brace": ~F.col("__text").contains("{"),
+        "no_bad_words": (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(normalized_tokens(F.col("__text"))),
+                    F.array(*[F.lit(w) for w in bad]),
+                )
+            )
+            == 0
+            if bad
+            else F.lit(True)
+        ),
+    }
+    passes = None
+    for rule in rules.values():
+        passes = rule if passes is None else (passes & rule)
+    return staged.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("n_lines_kept"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        F.col("clean_text"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes_c4"),
     )
 
 
