@@ -2220,6 +2220,101 @@ def _op_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FineWeb custom filters (Penedo et al. 2024 §3.6).  The synthetic
+# corpus is single-line, so the gate derives a multi-line input by
+# turning every " the " into a newline — the SAME textual transform on
+# both engines — which makes the short-line / duplicate-line / newline
+# ratio rules vary; the punctuation floor is 0.0 (no punctuation exists
+# to find, a positive floor would reject every row and prove nothing).
+OP_FINEWEB_DUCK = r"""
+WITH base AS (
+  SELECT doc_id,
+         replace(coalesce(text, ''), ' the ', chr(10)) AS text
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t != '')) AS BIGINT) AS n_words,
+         CAST(length(text) - length(replace(text, chr(10), ''))
+              AS BIGINT) AS n_newlines
+  FROM base
+),
+feat AS (
+  SELECT doc_id, n_words, n_newlines,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+             l -> regexp_matches(trim(l), '[.!?''"]$'))) AS BIGINT)
+           AS punct_lines,
+         CAST(len(list_filter(lines, l -> length(l) < 30)) AS BIGINT)
+           AS short_lines,
+         CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+              AS BIGINT) AS line_chars
+  FROM staged
+),
+dup AS (
+  SELECT doc_id, CAST(SUM((c - 1) * len) AS BIGINT) AS dup_line_chars
+  FROM (
+    SELECT doc_id, l, COUNT(*) AS c, length(l) AS len
+    FROM (SELECT doc_id, unnest(lines) AS l FROM staged)
+    GROUP BY doc_id, l
+  )
+  GROUP BY doc_id
+),
+j AS (
+  SELECT f.*, coalesce(d.dup_line_chars, 0) AS dup_line_chars,
+         f.punct_lines / CAST(greatest(f.n_lines, 1) AS DOUBLE)
+           AS line_punct_frac,
+         f.short_lines / CAST(greatest(f.n_lines, 1) AS DOUBLE)
+           AS short_line_frac,
+         coalesce(d.dup_line_chars, 0)
+           / CAST(greatest(f.line_chars, 1) AS DOUBLE)
+           AS dup_line_char_frac,
+         f.n_newlines / CAST(greatest(f.n_words, 1) AS DOUBLE)
+           AS newline_word_ratio
+  FROM feat f LEFT JOIN dup d USING (doc_id)
+)
+SELECT doc_id, n_lines, line_chars, dup_line_chars,
+       line_punct_frac, short_line_frac, dup_line_char_frac,
+       newline_word_ratio,
+       line_punct_frac >= 0.0 AS line_punct_ok,
+       short_line_frac <= 0.5 AS short_line_ok,
+       dup_line_char_frac <= 0.01 AS dup_line_char_ok,
+       newline_word_ratio <= 0.04 AS newline_ratio_ok,
+       line_punct_frac >= 0.0 AND short_line_frac <= 0.5
+         AND dup_line_char_frac <= 0.01
+         AND newline_word_ratio <= 0.04 AS passes_fineweb
+FROM j
+"""
+
+
+def _op_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb custom quality filters (operators/text.py::fineweb_rules,
+    arXiv:2406.17557 §3.6) — exact per-rule + integer-count oracle over
+    a derived multi-line corpus."""
+    from pyspark.sql import functions as F
+    from aqueducts_spark.operators.text import fineweb_rules
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" the "),
+            F.lit("\n"),
+        ),
+    )
+    return fineweb_rules(
+        docs,
+        min_line_punct_frac=0.0,
+        max_short_line_frac=0.5,
+        short_line_chars=30,
+        max_dup_line_char_frac=0.01,
+        max_newline_word_ratio=0.04,
+    )
+
+
 # C4 heuristics (Raffel et al. 2020 §2.2) — line filter + page rules.
 # Gate parameters are tuned so outcomes VARY on the synthetic corpus
 # (single-line, punctuation-free documents): the terminal-punct test is
@@ -3779,6 +3874,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_langid": _op_langid,
         "op_gopher_rules": _op_gopher_rules,
         "op_c4_rules": _op_c4_rules,
+        "op_fineweb_rules": _op_fineweb_rules,
         "op_bm25": _op_bm25,
         "op_rrf_fuse": _op_rrf_fuse,
         "op_minhash_bands": _op_minhash_bands,
@@ -3941,6 +4037,7 @@ _GATE_PRIORITY = [
     "op_tfidf_terms",
     "op_gopher_rules",
     "op_c4_rules",
+    "op_fineweb_rules",
     "op_bm25",
     "op_rrf_fuse",
     "op_temperature_mix",
@@ -4039,6 +4136,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_langid": _langid_duck_sql(),
         "op_gopher_rules": OP_GOPHER_DUCK,
         "op_c4_rules": OP_C4_DUCK,
+        "op_fineweb_rules": OP_FINEWEB_DUCK,
         "op_bm25": OP_BM25_DUCK,
         "op_rrf_fuse": OP_RRF_DUCK,
         "op_minhash_bands": OP_MINHASH_BANDS_DUCK,

@@ -380,6 +380,25 @@ def _op_gopher_rules(spark, inp, options):
     )
 
 
+def _op_fineweb_rules(spark, inp, options):
+    from .text import fineweb_rules
+
+    kw = {}
+    for opt, conv in (
+        ("min_line_punct_frac", float), ("max_short_line_frac", float),
+        ("short_line_chars", int), ("max_dup_line_char_frac", float),
+        ("max_newline_word_ratio", float),
+    ):
+        if opt in options:
+            kw[opt] = conv(options[opt])
+    return fineweb_rules(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        **kw,
+    )
+
+
 def _op_c4_rules(spark, inp, options):
     from .text import c4_rules
 
@@ -1106,6 +1125,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "tfidf_top_terms": _op_tfidf,
     "gopher_rules": _op_gopher_rules,
     "c4_rules": _op_c4_rules,
+    "fineweb_rules": _op_fineweb_rules,
     "bm25": _op_bm25,
     "rrf_fuse": _op_rrf_fuse,
     "repetition_features": _op_repetition,

@@ -24,6 +24,7 @@ __all__ = [
     "gopher_rules",
     "GOPHER_STOPWORDS",
     "c4_rules",
+    "fineweb_rules",
     "bm25_scores",
     "tfidf_top_terms",
     "unigram_logprob",
@@ -570,6 +571,125 @@ def gopher_rules(
         n_words.cast("bigint").alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],
         passes.alias("passes_gopher"),
+    )
+
+
+def fineweb_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_punct_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    max_dup_line_char_frac: float = 0.01,
+    max_newline_word_ratio: float = 0.3,
+) -> DataFrame:
+    """FineWeb custom quality filters (Penedo et al. 2024,
+    arXiv:2406.17557 §3.6) — the four line-shape heuristics the paper
+    adds ON TOP of its Gopher/C4 subset, with the paper's production
+    thresholds as defaults.  Completes the module's quality-rule trio
+    (:func:`gopher_rules`, :func:`c4_rules`, this) under the same
+    per-rule-boolean contract.
+
+    Rules: ``line_punct_ok`` — >= ``min_line_punct_frac`` of lines end
+    in one of ``. ! ? ' "``; ``short_line_ok`` — <=
+    ``max_short_line_frac`` of lines are shorter than
+    ``short_line_chars`` characters; ``dup_line_char_ok`` — the
+    fraction of characters sitting in repeat occurrences of a duplicate
+    line is <= ``max_dup_line_char_frac``; ``newline_ratio_ok`` — the
+    newline-to-word ratio of the raw text is <=
+    ``max_newline_word_ratio`` (list/menu-page proxy).
+    ``passes_fineweb`` is the conjunction.  Lines are the non-empty
+    (after trim) ``\\n`` splits, compared verbatim for duplication and
+    measured verbatim for length — the punctuation test alone looks at
+    the trimmed tail.
+
+    The duplicate-character count folds over the SORTED line array —
+    each repeat occurrence past the first adds its length — so the rule
+    is O(L log L) per document with NO shuffle and no n² pairing (the
+    :func:`repetition_features` discipline); everything here is one
+    codegen map stage over the corpus, plan-asserted Python-free.
+    Integer character counts (``dup_line_chars``, ``line_chars``) ride
+    along so downstream checks can re-derive the fraction exactly.
+    NULL text behaves like empty: zero lines, every fraction 0.0, and
+    the punctuation rule (a >=-floor over zero lines) fails.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    zero = F.lit(0).cast("bigint")
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.filter(
+            F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
+        ).alias("__lines"),
+        F.size(normalized_tokens(text)).cast("bigint").alias("n_words"),
+        (F.length(text) - F.length(F.replace(text, F.lit("\n"))))
+        .cast("bigint")
+        .alias("n_newlines"),
+    )
+    lines = F.col("__lines")
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        F.struct(F.lit("").alias("prev"), zero.alias("dup")),
+        lambda acc, l: F.struct(
+            l.alias("prev"),
+            (
+                acc.dup
+                + F.when(l == acc.prev, F.length(l)).otherwise(zero)
+            ).alias("dup"),
+        ),
+        lambda acc: acc.dup,
+    )
+    feat = staged.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("n_newlines"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"""[.!?'"]$"""))
+        )
+        .cast("bigint")
+        .alias("punct_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.length(l) < F.lit(short_line_chars))
+        )
+        .cast("bigint")
+        .alias("short_lines"),
+        F.aggregate(lines, zero, lambda acc, l: acc + F.length(l)).alias(
+            "line_chars"
+        ),
+        dup_chars.alias("dup_line_chars"),
+    )
+    safe_lines = F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+    safe_chars = F.greatest(F.col("line_chars"), F.lit(1)).cast("double")
+    safe_words = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    fracs = {
+        "line_punct_frac": F.col("punct_lines") / safe_lines,
+        "short_line_frac": F.col("short_lines") / safe_lines,
+        "dup_line_char_frac": F.col("dup_line_chars") / safe_chars,
+        "newline_word_ratio": F.col("n_newlines") / safe_words,
+    }
+    rules = {
+        "line_punct_ok": fracs["line_punct_frac"]
+        # a zero-line doc has punct_frac 0.0 and fails any positive floor
+        >= F.lit(min_line_punct_frac),
+        "short_line_ok": fracs["short_line_frac"]
+        <= F.lit(max_short_line_frac),
+        "dup_line_char_ok": fracs["dup_line_char_frac"]
+        <= F.lit(max_dup_line_char_frac),
+        "newline_ratio_ok": fracs["newline_word_ratio"]
+        <= F.lit(max_newline_word_ratio),
+    }
+    passes = None
+    for rule in rules.values():
+        passes = rule if passes is None else (passes & rule)
+    return feat.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("line_chars"),
+        F.col("dup_line_chars"),
+        *[c.alias(name) for name, c in fracs.items()],
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes_fineweb"),
     )
 
 
