@@ -43,6 +43,7 @@ def test_examples_exist():
         "web_curation.yml",
         "dsir_selection.yml",
         "hybrid_retrieval.yml",
+        "quality_funnel.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):

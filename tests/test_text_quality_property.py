@@ -154,3 +154,117 @@ def test_rrf_fuse_matches_python_reference(spark, lists, k):
     assert [
         i for i, _ in sorted(got.items(), key=lambda kv: kv[1].fused_rank)
     ] == order
+
+
+# multi-line pages from a small pool so hypothesis finds duplicate
+# lines, short stubs, tab edges, and the special markers
+_LINES = st.sampled_from(
+    [
+        "This is a long clean line of body prose for the filter.",
+        "This is a long clean line of body prose for the filter.",  # dup bait
+        "short stub",
+        "no terminal punctuation on this long line of words here",
+        "Enable javascript to see this page now.",
+        "Lorem ipsum dolor sit amet something.",
+        "function f() { return 1; }",
+        "Ends with a question mark?",
+        'Ends with a quote."',
+        "...",
+        "   ",  # blank after trim
+        "x.\t",  # tab tail: Spark trim is space-only
+        "the quick brown dog runs home.",
+    ]
+)
+pages = st.lists(_LINES, min_size=0, max_size=10).map("\n".join)
+
+
+def _space_strip(s: str) -> str:
+    """Spark's trim(): spaces only, NOT general whitespace."""
+    return s.strip(" ")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(pages, min_size=1, max_size=6))
+def test_c4_rules_match_python_reference(spark, data):
+    from aqueducts_spark.operators.text import c4_rules
+
+    bad = ["quick", "amet"]
+    rows = [(i, t) for i, t in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in c4_rules(
+            df, min_line_words=5, min_sentences=1, bad_words=bad
+        ).collect()
+    }
+    for i, text in rows:
+        lines = [l for l in text.split("\n") if _space_strip(l)]
+        kept = [
+            l
+            for l in lines
+            if len(_toks(l)) >= 5
+            and "javascript" not in l.lower()
+            and re.search(r"[.!?][\"'”’]?$", _space_strip(l))
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", clean))
+        toks = set(_toks(text))
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.n_lines_kept == len(kept)
+        assert r.clean_text == clean
+        assert r.n_sentences == n_sent
+        assert r.sentences_ok == (n_sent >= 1)
+        assert r.no_lorem_ipsum == ("lorem ipsum" not in text.lower())
+        assert r.no_curly_brace == ("{" not in text)
+        assert r.no_bad_words == (not (toks & set(bad)))
+        assert r.passes_c4 == (
+            r.sentences_ok and r.no_lorem_ipsum
+            and r.no_curly_brace and r.no_bad_words
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(pages, min_size=1, max_size=6))
+def test_fineweb_rules_match_python_reference(spark, data):
+    from aqueducts_spark.operators.text import fineweb_rules
+
+    rows = [(i, t) for i, t in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in fineweb_rules(df).collect()}
+    for i, text in rows:
+        lines = [l for l in text.split("\n") if _space_strip(l)]
+        nl = max(len(lines), 1)
+        punct = sum(
+            1 for l in lines if _space_strip(l)[-1:] in ".!?'\""
+        ) / nl
+        short = sum(1 for l in lines if len(l) < 30) / nl
+        chars = sum(len(l) for l in lines)
+        seen: set = set()
+        dup = 0
+        for l in lines:
+            if l in seen:
+                dup += len(l)
+            seen.add(l)
+        dupf = dup / max(chars, 1)
+        ratio = text.count("\n") / max(len(_toks(text)), 1)
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.line_chars == chars
+        assert r.dup_line_chars == dup
+        assert abs(r.line_punct_frac - punct) < 1e-12
+        assert abs(r.short_line_frac - short) < 1e-12
+        assert abs(r.dup_line_char_frac - dupf) < 1e-12
+        assert abs(r.newline_word_ratio - ratio) < 1e-12
+        assert r.passes_fineweb == (
+            punct >= 0.12 and short <= 0.67
+            and dupf <= 0.01 and ratio <= 0.3
+        )
