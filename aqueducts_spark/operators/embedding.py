@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_embeddings", "label_centroids", "linear_probe_score"]
+__all__ = [
+    "quantize_embeddings",
+    "label_centroids",
+    "linear_probe_score",
+    "projection_matrix",
+    "random_projection",
+]
 
 
 def quantize_embeddings(
@@ -191,3 +197,85 @@ def linear_probe_score(
         thr_micro = int(_math.floor(float(threshold) * 1e6))
         out = out.withColumn("keep", F.col("score_micro") >= F.lit(thr_micro))
     return out
+
+
+def projection_matrix(k: int, in_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 sign matrix (k rows × in_dim columns) for
+    :func:`random_projection`: entry ``(j, d)`` is +1 iff the first
+    md5 hex digit of ``"{seed}:{j}:{d}"`` is even.  A pure function of
+    ``seed`` — no RNG state, replayable on any engine (the gate's
+    DuckDB oracle rebuilds the identical matrix)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[0], 16)
+            % 2
+            == 0
+            else -1
+            for d in range(in_dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    k: int,
+    in_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``k`` dimensions with
+    a dense ±1 sign matrix (Achlioptas 2003's database-friendly
+    variant) — the standard cheap dimensionality reduction before
+    LSH/ANN indexing or clustering: pairwise distances are preserved
+    within ``(1±ε)`` for ``k = O(log n / ε²)``, and the matrix is a
+    pure hash function (:func:`projection_matrix`), so the projection
+    is reproducible anywhere with no stored model.
+
+    ``out[j] = (Σ_d vec[d] · sign[j][d]) / √k`` — the √k scaling makes
+    the projection approximately norm-preserving.  Vectors shorter
+    than ``in_dim`` (or with NULL components) produce NULL in every
+    output dimension rather than a silently truncated dot product;
+    longer vectors use their first ``in_dim`` components.
+
+    Output: ``(id_col, out_col array<double>)``.
+
+    Scale shape: the matrix rides the PLAN as ``k·in_dim`` integer
+    literals (bounded: k·in_dim ≤ 65536 enforced) — zero shuffles, no
+    Python, no broadcast; each row costs ``k·in_dim`` fused
+    multiply-adds in whole-stage codegen, IO-bound at 100 TB.  For
+    models too large to inline (k·in_dim beyond ~10⁵), switch to a
+    pandas-UDF matmul over a broadcast numpy matrix — this literal
+    form doubles as its correctness oracle.
+    """
+    if k < 1 or in_dim < 1:
+        raise ValueError("random_projection: k and in_dim must be >= 1")
+    if k * in_dim > 65536:
+        raise ValueError(
+            f"random_projection: k*in_dim = {k * in_dim} > 65536 — the "
+            "sign matrix is inlined into the plan as literals; use a "
+            "pandas-UDF matmul with a broadcast matrix at this size"
+        )
+    signs = projection_matrix(k, in_dim, seed)
+    x = F.col(vec_col)
+    inv_sqrt_k = 1.0 / (k ** 0.5)
+    dims = []
+    for j in range(k):
+        row = F.array(*[F.lit(float(s)) for s in signs[j]])
+        acc = F.aggregate(
+            F.zip_with(
+                F.slice(x, 1, in_dim).cast("array<double>"),
+                row,
+                lambda v, s: v * s,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        # a short vector zip_withs against NULL pads -> NULL sum, kept
+        dims.append(acc * F.lit(inv_sqrt_k))
+    return df.select(F.col(id_col), F.array(*dims).alias(out_col))

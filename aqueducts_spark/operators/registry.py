@@ -1048,6 +1048,67 @@ def _op_dsir_select(spark, inp, options):
     )
 
 
+def _op_perplexity_buckets(spark, inp, options):
+    from .selection import perplexity_buckets
+
+    if "score_col" not in options:
+        raise OperatorError(
+            "perplexity_buckets requires options.score_col (the "
+            "smaller-is-better score to bucket by)"
+        )
+    return perplexity_buckets(
+        inp,
+        score_col=options["score_col"],
+        id_col=options.get("id_col", "doc_id"),
+        group_col=options.get("group_col"),
+        head=float(options.get("head", 1.0 / 3.0)),
+        middle=float(options.get("middle", 1.0 / 3.0)),
+        bucket_col=options.get("bucket_col", "ppl_bucket"),
+    )
+
+
+def _op_url_blocklist(spark, inp, options):
+    from .web import url_blocklist
+
+    blocked_table = options.get("blocked")
+    return url_blocklist(
+        inp,
+        blocked=spark.table(blocked_table) if blocked_table else None,
+        keywords=[str(k) for k in options.get("keywords", [])],
+        url_col=options.get("url_col", "url"),
+        domain_col=options.get("domain_col", "domain"),
+    )
+
+
+def _op_script_profile(spark, inp, options):
+    from .text import script_profile
+
+    return script_profile(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+    )
+
+
+def _op_random_projection(spark, inp, options):
+    from .embedding import random_projection
+
+    for req in ("k", "in_dim"):
+        if req not in options:
+            raise OperatorError(
+                f"random_projection requires options.{req}"
+            )
+    return random_projection(
+        inp,
+        k=int(options["k"]),
+        in_dim=int(options["in_dim"]),
+        vec_col=options.get("vec_col", "embedding"),
+        id_col=options.get("id_col", "vec_id"),
+        out_col=options.get("out_col", "proj"),
+        seed=str(options.get("seed", "jl")),
+    )
+
+
 def _op_registered_domain_psl(spark, inp, options):
     from .web import registered_domain_psl
 
@@ -1148,7 +1209,11 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "byte_histogram": _op_byte_histogram,
     "url_parts": _op_url_parts,
     "url_dedup": _op_url_dedup,
+    "url_blocklist": _op_url_blocklist,
     "registered_domain_psl": _op_registered_domain_psl,
+    "perplexity_buckets": _op_perplexity_buckets,
+    "script_profile": _op_script_profile,
+    "random_projection": _op_random_projection,
     "dsir_weights": _op_dsir_weights,
     "dsir_log_ratios": _op_dsir_log_ratios,
     "dsir_select": _op_dsir_select,

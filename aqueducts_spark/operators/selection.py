@@ -52,6 +52,7 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_weights",
     "dsir_select",
+    "perplexity_buckets",
 ]
 
 # ratio-table sentinel: the smoothed-zero log-ratio for buckets seen in
@@ -438,3 +439,74 @@ def dsir_select(
         .drop(rn_col)
     )
     return sure.unionByName(topped).drop(sel_col)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    group_col: Optional[str] = None,
+    head: float = 1.0 / 3.0,
+    middle: float = 1.0 / 3.0,
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3): split each ``group_col`` partition (per
+    language, in the paper) into ``head`` / ``middle`` / ``tail``
+    buckets by ascending ``score_col`` — lower perplexity means closer
+    to the target LM, so the head is the highest-quality slice.  Feed
+    it :func:`~.text.unigram_logprob` / :func:`~.text.bigram_logprob`
+    ``avg_nll`` scores (this engine's LM stand-ins) or any
+    smaller-is-better score.
+
+    Bucket rule, exact and engine-portable: rows are ranked 1..n within
+    their group by ``(score_col ASC, id_col ASC)`` — the id tiebreak
+    makes ranks, and therefore buckets, a pure function of the data —
+    and a row's bucket follows its fractional position ``(rank−1)/n``:
+    ``head`` when ``rank−1 < head·n``, ``middle`` when ``rank−1 <
+    (head+middle)·n``, else ``tail`` (so a 1-row group is ``head``, and
+    a group of 3 under terciles splits 1/1/1).  The comparison is plain
+    IEEE-double arithmetic — identical in any engine, so the DuckDB
+    oracle reproduces every boundary bit-for-bit.  NULL scores sort
+    last, landing in the tail first.  Output adds ``bucket_col`` plus
+    ``{bucket_col}_rank`` (the 1-based within-group rank) so downstream
+    filters can re-derive the cut.
+
+    Scale shape: ONE hash shuffle on ``group_col`` and a per-group
+    sort — the exact path, correct at any size but sort-bound on a
+    100 TB monolingual corpus (one language = one giant sort).  At that
+    scale fit thresholds on a sample instead (approxQuantile of
+    ``score_col`` at ``head`` / ``head+middle`` per group, broadcast,
+    then one codegen comparison per row — no global sort); this exact
+    variant doubles as that path's correctness oracle.  With
+    ``group_col=None`` the window is global — a single-partition sort,
+    rejected nowhere but sensible only for bounded inputs.
+    """
+    if not 0 <= head <= 1 or not 0 <= middle <= 1 or head + middle > 1:
+        raise ValueError(
+            "perplexity_buckets: head and middle must be fractions in "
+            f"[0, 1] with head + middle <= 1, got {head}, {middle}"
+        )
+    from pyspark.sql.window import Window
+
+    part = Window.partitionBy(*([group_col] if group_col else []))
+    w = part.orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    rank_col = f"{bucket_col}_rank"
+    n_col = "__ppl_n"
+    while n_col in df.columns:
+        n_col = "_" + n_col
+    n = F.col(n_col).cast("double")
+    pos = (F.col(rank_col) - F.lit(1)).cast("double")
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .withColumn(n_col, F.count(F.lit(1)).over(part))
+        .withColumn(
+            bucket_col,
+            F.when(pos < n * F.lit(float(head)), F.lit("head"))
+            .when(pos < n * F.lit(float(head + middle)), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop(n_col)
+    )

@@ -37,6 +37,8 @@ __all__ = [
     "detect_language",
     "fingerprint",
     "STOPWORDS",
+    "SCRIPT_RANGES",
+    "script_profile",
 ]
 
 # Small, fixed stopword lists for the n-gram/stopword language heuristic.
@@ -1136,4 +1138,98 @@ def bigram_logprob(
             F.col("nll_micro").cast("double")
             / (F.col("n_tokens").cast("double") * F.lit(1e6))
         ).alias("avg_nll"),
+    )
+
+
+# Unicode script blocks for script_profile, in PRECEDENCE order (the
+# dominant-script tie-break).  BMP-only ranges on purpose: Java regex
+# walks UTF-16 code units, so astral-plane classes would need surrogate
+# handling; every major writing system's core block is in the BMP.
+SCRIPT_RANGES: tuple[tuple[str, tuple[tuple[int, int], ...]], ...] = (
+    ("latin", ((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F))),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("greek", ((0x0370, 0x03FF),)),
+    ("arabic", ((0x0600, 0x06FF), (0x0750, 0x077F))),
+    ("hebrew", ((0x0590, 0x05FF),)),
+    ("devanagari", ((0x0900, 0x097F),)),
+    ("thai", ((0x0E00, 0x0E7F),)),
+    ("cjk", ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF))),
+    ("kana", ((0x3040, 0x30FF), (0x31F0, 0x31FF))),
+    ("hangul", ((0x1100, 0x11FF), (0xAC00, 0xD7AF))),
+)
+
+
+def script_char_class(ranges: tuple[tuple[int, int], ...]) -> str:
+    """``[\\x{lo}-\\x{hi}…]`` regex class for a range list — the
+    ``\\x{hhhh}`` escape parses identically in Java regex (Spark) and
+    RE2 (DuckDB, the gate oracle), so one literal serves both
+    engines."""
+    body = "".join(f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges)
+    return f"[{body}]"
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document writing-system profile: the character count of each
+    major Unicode script block (:data:`SCRIPT_RANGES`), the dominant
+    script, and its share of the text — the standard companion signal
+    to n-gram language ID (:func:`detect_language` covers Latin-script
+    languages; a CJK/Cyrillic/Arabic page is identified by script long
+    before any stopword fires) and the cheapest mojibake/binary-noise
+    detector (a page whose characters sit in NO major script is
+    garbage with high probability).
+
+    Output: ``id_col, n_chars`` plus one ``{script}_chars`` count per
+    script, ``script_chars`` (total across scripts),
+    ``dominant_script`` (the max-count script, ties broken by
+    :data:`SCRIPT_RANGES` order; ``'none'`` when no script character
+    occurs), and ``dominant_frac`` (dominant count / ``n_chars``, 0.0
+    for empty text).  NULL text behaves as empty.  Counts are code
+    points, exact and engine-portable.
+
+    Scale shape: one codegen map stage — ``regexp_count`` per script
+    over a narrow projection, no shuffle, no Python, no UDF; the cost
+    at 100 TB is the parquet scan.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(text, F.lit(script_char_class(ranges)))
+        .cast("bigint")
+        .alias(f"{name}_chars")
+        for name, ranges in SCRIPT_RANGES
+    }
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.length(text).cast("bigint").alias("n_chars"),
+        *counts.values(),
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    mx = F.greatest(*[F.col(f"{n}_chars") for n in names])
+    total = None
+    for n in names:
+        c = F.col(f"{n}_chars")
+        total = c if total is None else total + c
+    dominant = None
+    for n in names:  # first max in precedence order wins
+        cond = (mx > 0) & (F.col(f"{n}_chars") == mx)
+        dominant = (
+            F.when(cond, F.lit(n))
+            if dominant is None
+            else dominant.when(cond, F.lit(n))
+        )
+    dominant = dominant.otherwise(F.lit("none"))
+    return staged.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        *[F.col(f"{n}_chars") for n in names],
+        total.alias("script_chars"),
+        dominant.alias("dominant_script"),
+        F.when(
+            F.col("n_chars") > 0, mx.cast("double") / F.col("n_chars")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dominant_frac"),
     )
