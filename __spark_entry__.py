@@ -3788,6 +3788,243 @@ def _q45_math_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: CCNet buckets, URL blocklist, script profile, JL
+# projection (operators/selection.py, web.py, text.py, embedding.py)
+# ---------------------------------------------------------------------------
+
+
+def _op_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (operators/selection.py::
+    perplexity_buckets, Wenzek et al. 2019 §4.3) over the unigram-LM
+    NLL, per language — exact rank/bucket oracle."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.selection import perplexity_buckets
+    from aqueducts_spark.operators.text import unigram_logprob
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    nll = unigram_logprob(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    out = perplexity_buckets(nll, "avg_nll", group_col="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("nll_micro").cast("bigint").alias("nll_micro"),
+        F.col("ppl_bucket_rank").cast("bigint").alias("ppl_rank"),
+        "ppl_bucket",
+    )
+
+
+# buckets follow the operator's fractional-position rule: (rank-1) <
+# n·frac in plain IEEE doubles — 1.0/3.0 and 2.0/3.0 parse to the same
+# doubles the Spark side uses (1/3 and 1/3+1/3), so every boundary
+# matches bit-for-bit; the NLL CTEs are the op_unigram_nll oracle
+OP_PPL_BUCKETS_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    t -> t != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+totals AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY term),
+corpus AS (SELECT SUM(ct) AS n_corpus FROM totals),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(CAST(tf.tf AS DOUBLE)
+                    * -ln(CAST(t.ct AS DOUBLE) / CAST(c.n_corpus AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM tf JOIN totals t USING (term) CROSS JOIN corpus c
+),
+nll AS (
+  SELECT doc_id,
+         CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+         CAST(SUM(nll_micro) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1e6)
+           AS avg_nll
+  FROM contrib GROUP BY doc_id
+),
+j AS (
+  SELECT n.doc_id, d.lang, n.nll_micro, n.avg_nll
+  FROM nll n JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, nll_micro,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT doc_id, lang, nll_micro, CAST(rn AS BIGINT) AS ppl_rank,
+       CASE
+         WHEN CAST(rn - 1 AS DOUBLE) < CAST(n AS DOUBLE) * (1.0/3.0)
+           THEN 'head'
+         WHEN CAST(rn - 1 AS DOUBLE) < CAST(n AS DOUBLE) * (2.0/3.0)
+           THEN 'middle'
+         ELSE 'tail'
+       END AS ppl_bucket
+FROM r
+"""
+
+
+# per-source registered domains so the blocklist decision VARIES:
+# src1-site.com is blocked at the registered-domain level,
+# sub.src3-site.com at the exact-host level; src12/src13 prove equality
+# (not prefix) matching; /page/13 exercises the keyword filter
+_URLBL_EXPR = "'https://sub.' || source || '-site.com/page/' || (doc_id % 97)"
+_URLBL_BLOCKED = ["src1-site.com", "sub.src3-site.com"]
+
+
+def _op_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/keyword URL blocklist (operators/web.py::url_blocklist) —
+    closed-form oracle: the blocklist hits reduce to source equality."""
+    from aqueducts_spark.operators.web import url_blocklist
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").selectExpr(
+        "doc_id", f"{_URLBL_EXPR} AS url"
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in _URLBL_BLOCKED], "domain string"
+    )
+    return url_blocklist(docs, blocked=bl, keywords=["/page/13"])
+
+
+OP_URL_BLOCKLIST_DUCK = f"""
+SELECT doc_id,
+       {_URLBL_EXPR} AS url,
+       source IN ('src1', 'src3') AS blocked_domain,
+       (doc_id % 97) = 13 AS blocked_keyword,
+       'sub.' || source || '-site.com' AS host,
+       source || '-site.com' AS domain,
+       NOT (source IN ('src1', 'src3')) AND NOT ((doc_id % 97) = 13)
+         AS url_ok
+FROM documents
+"""
+
+
+# deterministic multilingual derivation shared VERBATIM between engines
+# (the corpus is ASCII — the CASE plants real Cyrillic/CJK/Arabic/kana
+# spans so every script branch and the dominant tie-break are exercised)
+_SCRIPT_TEXT_EXPR = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN text "
+    "WHEN 1 THEN 'Привет мир это кириллица' "
+    "WHEN 2 THEN text || ' 这是一段中文文本' "
+    "WHEN 3 THEN 'مرحبا بالعالم النص' "
+    "ELSE 'こんにちは世界 ' || text END"
+)
+
+
+def _op_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (operators/text.py::script_profile) —
+    exact per-script code-point counts + dominant script."""
+    from aqueducts_spark.operators.text import script_profile
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").selectExpr(
+        "doc_id", f"{_SCRIPT_TEXT_EXPR} AS text"
+    )
+    return script_profile(docs)
+
+
+def _script_profile_duck_sql() -> str:
+    from aqueducts_spark.operators.text import (
+        SCRIPT_RANGES,
+        script_char_class,
+    )
+
+    names = [n for n, _ in SCRIPT_RANGES]
+    count_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(t, '{script_char_class(r)}')) "
+        f"AS BIGINT) AS {n}_chars"
+        for n, r in SCRIPT_RANGES
+    )
+    mx = "greatest(" + ", ".join(f"{n}_chars" for n in names) + ")"
+    total = " + ".join(f"{n}_chars" for n in names)
+    dom_chain = " ".join(
+        f"WHEN {n}_chars = __mx THEN '{n}'" for n in names
+    )
+    name_list = ", ".join(f"{n}_chars" for n in names)
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce({_SCRIPT_TEXT_EXPR}, '') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_chars,
+         {count_cols}
+  FROM base
+),
+m AS (
+  SELECT *, {mx} AS __mx, {total} AS script_chars FROM feat
+)
+SELECT doc_id, n_chars, {name_list}, script_chars,
+       CASE WHEN __mx > 0 THEN CASE {dom_chain} END
+            ELSE 'none' END AS dominant_script,
+       CASE WHEN n_chars > 0
+            THEN CAST(__mx AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS dominant_frac
+FROM m
+"""
+
+
+_RP_K, _RP_DIM = 8, 64
+
+
+def _op_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection (operators/embedding.py::
+    random_projection) — the oracle rebuilds the identical md5 sign
+    matrix and replays the identical left-fold double arithmetic
+    (list_reduce), so the micro-quantized values match bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.embedding import random_projection
+
+    _views(spark, sf_dir)
+    proj = random_projection(spark.table("embeddings"), _RP_K, _RP_DIM)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("val_micro"),
+    )
+
+
+def _random_projection_duck_sql() -> str:
+    from aqueducts_spark.operators.embedding import projection_matrix
+
+    m = projection_matrix(_RP_K, _RP_DIM, "jl")
+    rows = ",\n  ".join(
+        f"({j}, [{', '.join(str(float(s)) for s in m[j])}]::DOUBLE[])"
+        for j in range(_RP_K)
+    )
+    inv_sqrt_k = repr(1.0 / (_RP_K ** 0.5))
+    return f"""
+WITH signs(dim, s) AS (VALUES
+  {rows}
+),
+dots AS (
+  SELECT e.vec_id, s.dim,
+         CASE WHEN e.embedding IS NULL THEN NULL ELSE
+           list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list_transform(
+                 list_zip(CAST(e.embedding AS DOUBLE[]), s.s),
+                 x -> x[1] * x[2])),
+             (a, b) -> a + b)
+         END AS dot
+  FROM embeddings e CROSS JOIN signs s
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(floor(dot * {inv_sqrt_k} * 1e6 + 0.5) AS BIGINT) AS val_micro
+FROM dots
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -3915,6 +4152,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_domain_cap": _op_domain_cap,
         "op_dsir_weights": _op_dsir_weights,
         "op_dsir_select": _op_dsir_select,
+        "op_ppl_buckets": _op_ppl_buckets,
+        "op_url_blocklist": _op_url_blocklist,
+        "op_script_profile": _op_script_profile,
+        "op_random_projection": _op_random_projection,
         "op_semdedup": _op_semdedup,
         "pl_pipeline_yaml": _pl_pipeline,
     }
@@ -4063,6 +4304,10 @@ _GATE_PRIORITY = [
     "mm_byte_histogram",
     "mm_decode_image",
     "mm_frame_sample",
+    "op_ppl_buckets",
+    "op_url_blocklist",
+    "op_script_profile",
+    "op_random_projection",
 ]
 
 
@@ -4195,5 +4440,9 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_domain_cap": OP_DOMAIN_CAP_DUCK,
         "op_dsir_weights": OP_DSIR_WEIGHTS_DUCK,
         "op_dsir_select": OP_DSIR_SELECT_DUCK,
+        "op_ppl_buckets": OP_PPL_BUCKETS_DUCK,
+        "op_url_blocklist": OP_URL_BLOCKLIST_DUCK,
+        "op_script_profile": _script_profile_duck_sql(),
+        "op_random_projection": _random_projection_duck_sql(),
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
     }
