@@ -1064,6 +1064,8 @@ def _op_perplexity_buckets(spark, inp, options):
         head=float(options.get("head", 1.0 / 3.0)),
         middle=float(options.get("middle", 1.0 / 3.0)),
         bucket_col=options.get("bucket_col", "ppl_bucket"),
+        method=options.get("method", "exact"),
+        accuracy=int(options.get("accuracy", 10_000)),
     )
 
 

@@ -449,6 +449,8 @@ def perplexity_buckets(
     head: float = 1.0 / 3.0,
     middle: float = 1.0 / 3.0,
     bucket_col: str = "ppl_bucket",
+    method: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2019,
     arXiv:1911.00359 §4.3): split each ``group_col`` partition (per
@@ -472,20 +474,77 @@ def perplexity_buckets(
     ``{bucket_col}_rank`` (the 1-based within-group rank) so downstream
     filters can re-derive the cut.
 
-    Scale shape: ONE hash shuffle on ``group_col`` and a per-group
-    sort — the exact path, correct at any size but sort-bound on a
-    100 TB monolingual corpus (one language = one giant sort).  At that
-    scale fit thresholds on a sample instead (approxQuantile of
-    ``score_col`` at ``head`` / ``head+middle`` per group, broadcast,
-    then one codegen comparison per row — no global sort); this exact
-    variant doubles as that path's correctness oracle.  With
-    ``group_col=None`` the window is global — a single-partition sort,
-    rejected nowhere but sensible only for bounded inputs.
+    Scale shape — two physical strategies:
+
+    * ``method="exact"`` (default): ONE hash shuffle on ``group_col``
+      and a per-group sort — correct at any size but sort-bound on a
+      100 TB monolingual corpus (one language = one giant sort).
+    * ``method="approx"``: the 100 TB path, mirroring how CCNet itself
+      fits fixed thresholds once and streams the corpus past them —
+      per-group ``percentile_approx`` sketches (one map-side-combined
+      aggregation, ~``accuracy`` centroids per group, NO sort), the
+      tiny threshold table broadcast back, and one codegen comparison
+      per row (``score <= t`` with ties-into-head semantics).  Rank
+      cannot be produced without the sort, so ``{bucket_col}_rank`` is
+      omitted; bucket sizes are within the sketch's rank error
+      (~n/accuracy per group).  The exact variant doubles as its
+      correctness oracle (tests assert agreement on distinct scores).
+
+    With ``group_col=None`` the exact window is a single-partition
+    sort, sensible only for bounded inputs — ``method="approx"``
+    handles the unbounded global case too (one scalar threshold row).
     """
     if not 0 <= head <= 1 or not 0 <= middle <= 1 or head + middle > 1:
         raise ValueError(
             "perplexity_buckets: head and middle must be fractions in "
             f"[0, 1] with head + middle <= 1, got {head}, {middle}"
+        )
+    if method not in ("exact", "approx"):
+        raise ValueError(
+            f"perplexity_buckets: method must be 'exact' or 'approx', "
+            f"got {method!r}"
+        )
+    if method == "approx":
+        cut_lo = "__ppl_t_lo"
+        cut_hi = "__ppl_t_hi"
+        while cut_lo in df.columns or cut_hi in df.columns:
+            cut_lo, cut_hi = "_" + cut_lo, "_" + cut_hi
+        score = F.col(score_col)
+        cuts = (
+            df.groupBy(*([group_col] if group_col else []))
+            .agg(
+                F.percentile_approx(
+                    score, [float(head), float(head + middle)], accuracy
+                ).alias("__ppl_cuts")
+            )
+            .select(
+                *([group_col] if group_col else []),
+                F.element_at("__ppl_cuts", 1).alias(cut_lo),
+                F.element_at("__ppl_cuts", 2).alias(cut_hi),
+            )
+        )
+        if group_col:
+            joined = df.join(F.broadcast(cuts), group_col, "left")
+        else:
+            joined = df.crossJoin(F.broadcast(cuts))
+        # NULL scores fail both <= comparisons -> tail (matches the
+        # exact path's NULLS LAST); a 0-fraction head makes its
+        # threshold the group minimum, which still admits ties — the
+        # documented ties-into-head trade of threshold bucketing
+        return (
+            joined.withColumn(
+                bucket_col,
+                F.when(
+                    (F.lit(float(head)) > 0) & (score <= F.col(cut_lo)),
+                    F.lit("head"),
+                )
+                .when(
+                    (F.lit(float(middle)) > 0) & (score <= F.col(cut_hi)),
+                    F.lit("middle"),
+                )
+                .otherwise(F.lit("tail")),
+            )
+            .drop(cut_lo, cut_hi)
         )
     from pyspark.sql.window import Window
 

@@ -396,12 +396,27 @@ def url_blocklist(
     from .sampling import _fresh_name
 
     url = F.col(url_col)
-    rest = _split1(canonical_url(url), "://", 1)
-    host = F.when(url.isNotNull(), _split1(_hostport(rest), ":", 0))
+    # canonicalization is a large expression tree — stage it ONCE in a
+    # named column so the host derivation and the keyword match reuse
+    # one evaluation instead of inlining the tree twice per row
+    canon_col = _fresh_name("__canon", df.columns)
     host_col = _fresh_name("__host", df.columns)
     dom_col = _fresh_name("__rdomain", df.columns)
-    with_host = df.withColumn(host_col, host).withColumn(
-        dom_col, F.when(url.isNotNull(), registered_domain(F.col(host_col)))
+    with_host = (
+        df.withColumn(canon_col, canonical_url(url))
+        .withColumn(
+            host_col,
+            F.when(
+                url.isNotNull(),
+                _split1(
+                    _hostport(_split1(F.col(canon_col), "://", 1)), ":", 0
+                ),
+            ),
+        )
+        .withColumn(
+            dom_col,
+            F.when(url.isNotNull(), registered_domain(F.col(host_col))),
+        )
     )
     out = with_host
     if blocked is not None:
@@ -432,7 +447,7 @@ def url_blocklist(
         )
     else:
         out = out.withColumn("blocked_domain", F.lit(False))
-    low_url = F.lower(canonical_url(url))
+    low_url = F.lower(F.col(canon_col))
     if keywords:
         kw = F.array(*[F.lit(k.lower()) for k in keywords])
         out = out.withColumn(
@@ -446,7 +461,7 @@ def url_blocklist(
     return (
         out.withColumn("host", F.col(host_col))
         .withColumn("domain", F.col(dom_col))
-        .drop(host_col, dom_col)
+        .drop(canon_col, host_col, dom_col)
         .withColumn(
             "url_ok", ~F.col("blocked_domain") & ~F.col("blocked_keyword")
         )

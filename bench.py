@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "op_url_dedup",
     "op_dsir_weights",
     "op_gopher_rules",
+    "op_c4_rules",
+    "op_fineweb_rules",
+    "op_ppl_buckets",
+    "op_url_blocklist",
+    "op_script_profile",
+    "op_random_projection",
     "op_bm25",
     "mm_byte_stats",
     "pl_pipeline_yaml",

@@ -117,6 +117,58 @@ def test_one_exchange_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_approx_matches_exact_on_distinct_scores(spark):
+    rows = [
+        (i, float((i * 7) % 101) + i / 1000.0, "en" if i % 2 == 0 else "de")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s double, g string")
+    exact = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(df, "s", group_col="g").collect()
+    }
+    approx = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(
+            df, "s", group_col="g", method="approx"
+        ).collect()
+    }
+    # default accuracy (10k) is exact at this size; ties absent, so the
+    # threshold rule and the rank rule pick identical buckets
+    assert approx == exact
+
+
+def test_approx_has_no_rank_no_sort_and_broadcasts(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), "g") for i in range(30)],
+        "doc_id long, s double, g string",
+    )
+    out = perplexity_buckets(df, "s", group_col="g", method="approx")
+    assert "ppl_bucket_rank" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_approx_global_and_null_scores(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)],
+        "doc_id long, s double",
+    )
+    res = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(df, "s", method="approx").collect()
+    }
+    assert res[1] == "head" and res[2] == "middle" and res[3] == "tail"
+    assert res[4] == "tail"  # NULL score -> tail, like the exact path
+
+
+def test_bad_method_rejected(spark):
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, s double")
+    with pytest.raises(ValueError, match="method"):
+        perplexity_buckets(df, "s", method="sampled")
+
+
 def test_registry_stage(spark):
     from aqueducts_spark.operators.registry import run_operator
 
