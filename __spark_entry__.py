@@ -4024,6 +4024,114 @@ FROM dots
 """
 
 
+# deterministic diacritic/case/whitespace corruption shared VERBATIM
+# between engines (the corpus is clean ASCII; the CASE plants the
+# variants every normalization step must handle)
+_NORM_TEXT_EXPR = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN 'Héllo,  WÖRLD!  Çafé ' || text "
+    "WHEN 1 THEN upper(text) "
+    "ELSE text || '  żółć  naïve ' END"
+)
+
+
+def _op_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-grade normalization (operators/text.py::normalize_text) —
+    exact string oracle: DuckDB replays lower/translate/regexp with
+    the same fold tables and ASCII-range punctuation class."""
+    from aqueducts_spark.operators.text import normalize_text
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").selectExpr(
+        "doc_id", f"{_NORM_TEXT_EXPR} AS text"
+    )
+    return normalize_text(docs, strip_punct=True).select("doc_id", "norm_text")
+
+
+def _normalize_text_duck_sql() -> str:
+    from aqueducts_spark.operators.text import FOLD_FROM, FOLD_TO
+
+    return f"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           translate(lower({_NORM_TEXT_EXPR}), '{FOLD_FROM}', '{FOLD_TO}'),
+           '[!-/:-@\\[-`{{-~]', '', 'g'),
+         '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def _op_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k (operators/similarity.py::
+    quantized_topk) — the oracle replays quantization and the pure
+    integer scoring end to end; integer dots are order-independent, so
+    the match is exact."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import quantized_topk
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, k=10).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+OP_QUANTIZED_TOPK_DUCK = """
+WITH src AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM src
+),
+quant AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                v, x -> greatest(CAST(-127 AS BIGINT),
+                                 least(CAST(127 AS BIGINT),
+                                       CAST(floor(x / s + 0.5) AS BIGINT))))
+         END AS q
+  FROM scaled
+),
+normed AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x)) AS nsq
+  FROM quant
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CASE WHEN a.nsq > 0 AND b.nsq > 0 THEN
+           CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                        p -> p[1] * p[2])) AS DOUBLE)
+             / sqrt(CAST(a.nsq * b.nsq AS DOUBLE))
+         ELSE 0.0 END AS cos_raw
+  FROM normed a CROSS JOIN normed b
+  WHERE a.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4156,6 +4264,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_url_blocklist": _op_url_blocklist,
         "op_script_profile": _op_script_profile,
         "op_random_projection": _op_random_projection,
+        "op_normalize_text": _op_normalize_text,
+        "op_quantized_topk": _op_quantized_topk,
         "op_semdedup": _op_semdedup,
         "pl_pipeline_yaml": _pl_pipeline,
     }
@@ -4308,6 +4418,8 @@ _GATE_PRIORITY = [
     "op_url_blocklist",
     "op_script_profile",
     "op_random_projection",
+    "op_normalize_text",
+    "op_quantized_topk",
 ]
 
 
@@ -4444,5 +4556,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_url_blocklist": OP_URL_BLOCKLIST_DUCK,
         "op_script_profile": _script_profile_duck_sql(),
         "op_random_projection": _random_projection_duck_sql(),
+        "op_normalize_text": _normalize_text_duck_sql(),
+        "op_quantized_topk": OP_QUANTIZED_TOPK_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
     }

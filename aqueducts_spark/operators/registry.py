@@ -214,6 +214,38 @@ def _op_topk(spark, inp, options):
     )
 
 
+def _op_quantized_topk(spark, inp, options):
+    from .similarity import quantized_topk
+
+    queries_table = options.get("queries")
+    if not queries_table:
+        raise OperatorError(
+            "quantized_topk operator requires options.queries (a table name)"
+        )
+    return quantized_topk(
+        inp,
+        spark.table(queries_table),
+        k=int(options.get("k", 10)),
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        query_id_col=options.get("query_id_col", "query_id"),
+    )
+
+
+def _op_normalize_text(spark, inp, options):
+    from .text import normalize_text
+
+    return normalize_text(
+        inp,
+        text_col=options.get("text_col", "text"),
+        out_col=options.get("out_col", "norm_text"),
+        lower=_bool_opt(options, "lower", True),
+        fold_diacritics=_bool_opt(options, "fold_diacritics", True),
+        strip_punct=_bool_opt(options, "strip_punct", False),
+        collapse_whitespace=_bool_opt(options, "collapse_whitespace", True),
+    )
+
+
 def _op_lsh_topk(spark, inp, options):
     from .similarity import lsh_topk
 
@@ -1166,6 +1198,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "fingerprint": _op_fingerprint,
     "token_count": _op_token_count,
     "topk": _op_topk,
+    "quantized_topk": _op_quantized_topk,
     "lsh_topk": _op_lsh_topk,
     "ivf_topk": _op_ivf_topk,
     "hash_sample": _op_hash_sample,
@@ -1195,6 +1228,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "chunk_documents": _op_chunk_documents,
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,
+    "normalize_text": _op_normalize_text,
     "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
     "group_cap": _op_group_cap,

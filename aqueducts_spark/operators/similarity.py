@@ -38,6 +38,7 @@ __all__ = [
     "l2_norm",
     "cosine_similarity",
     "brute_force_topk",
+    "quantized_topk",
     "random_hyperplanes",
     "hyperplane_lsh",
     "lsh_topk",
@@ -511,3 +512,77 @@ def rrf_fuse(
         ),
         F.row_number().over(w).cast("bigint").alias("fused_rank"),
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Cosine top-k over int8-QUANTIZED vectors — the search-side
+    payoff of :func:`~.embedding.quantize_embeddings`: scoring reads
+    8-bit codes (4× less memory traffic and SIMD-friendly integer
+    dot products on a real ANN serving path) at a bounded accuracy
+    cost (per-component error ≤ scale/2).
+
+    Symmetric per-vector quantization cancels out of the cosine:
+    ``cos(q·s_q, c·s_c) = (q·c) / (|q|·|c|)`` — so the score is the
+    pure INTEGER dot product over integer norms: partition-order
+    independent, bit-exact in any engine (the gate's DuckDB oracle
+    replays quantization and scoring end to end), no float drift.
+    Same output contract as :func:`brute_force_topk` (``query_id,
+    neighbor_id, cosine, rank``, ties by neighbour id); NULL and
+    all-zero vectors score 0.  Accuracy vs the exact float top-k is
+    asserted in tests (recall@10 ≥ 0.9 on the test corpus).
+
+    Scale shape: identical to :func:`brute_force_topk` — broadcast
+    quantized queries, corpus never shuffles, one per-query top-k
+    window.  For corpus-scale query sets compose quantization with
+    :func:`ivf_topk` / :func:`lsh_topk` instead; this exact-scan
+    variant is the scoring-accuracy baseline.
+    """
+    from .embedding import quantize_embeddings
+
+    def _int_dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _int_sq(a: Column) -> Column:
+        return F.aggregate(
+            a,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        )
+
+    qq = (
+        quantize_embeddings(
+            queries.where(F.col(vec_col).isNotNull()), vec_col, query_id_col
+        )
+        .select(F.col(query_id_col).alias("query_id"), F.col("qvec").alias("q"))
+        .withColumn("__qs", _int_sq(F.col("q")))
+    )
+    qc = (
+        quantize_embeddings(
+            corpus.where(F.col(vec_col).isNotNull()), vec_col, id_col
+        )
+        .select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c"))
+        .withColumn("__cs", _int_sq(F.col("c")))
+    )
+    scored = F.broadcast(qq).crossJoin(qc).select(
+        "query_id",
+        "neighbor_id",
+        F.when(
+            (F.col("__qs") > 0) & (F.col("__cs") > 0),
+            _int_dot(F.col("q"), F.col("c")).cast("double")
+            / F.sqrt((F.col("__qs") * F.col("__cs")).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
+    return _topk_per_query(scored, k)

@@ -39,6 +39,9 @@ __all__ = [
     "STOPWORDS",
     "SCRIPT_RANGES",
     "script_profile",
+    "FOLD_FROM",
+    "FOLD_TO",
+    "normalize_text",
 ]
 
 # Small, fixed stopword lists for the n-gram/stopword language heuristic.
@@ -1233,3 +1236,75 @@ def script_profile(
         .otherwise(F.lit(0.0))
         .alias("dominant_frac"),
     )
+
+
+# 1:1 Latin diacritic folding table for normalize_text, applied AFTER
+# lowercasing (so only lowercase forms appear).  translate() is 1:1 by
+# construction — multi-char folds (æ→ae, œ→oe, ß→ss) are out of scope
+# and documented; the table covers Latin-1 Supplement + Latin
+# Extended-A, the ranges that dominate European-language crawls.
+_FOLD_PAIRS: tuple[tuple[str, str], ...] = (
+    ("a", "àáâãäåāăą"),
+    ("c", "çćĉċč"),
+    ("d", "ďđ"),
+    ("e", "èéêëēĕėęě"),
+    ("g", "ĝğġģ"),
+    ("h", "ĥħ"),
+    ("i", "ìíîïĩīĭįı"),
+    ("j", "ĵ"),
+    ("k", "ķ"),
+    ("l", "ĺļľŀł"),
+    ("n", "ñńņňŋ"),
+    ("o", "òóôõöøōŏő"),
+    ("r", "ŕŗř"),
+    ("s", "śŝşš"),
+    ("t", "ţťŧ"),
+    ("u", "ùúûüũūŭůűų"),
+    ("w", "ŵ"),
+    ("y", "ýÿŷ"),
+    ("z", "źżž"),
+)
+FOLD_FROM = "".join(src for _, srcs in _FOLD_PAIRS for src in srcs)
+FOLD_TO = "".join(dst * len(srcs) for dst, srcs in _FOLD_PAIRS)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lower: bool = True,
+    fold_diacritics: bool = True,
+    strip_punct: bool = False,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Deduplication-grade text normalization — the canonical pre-pass
+    every published dedup recipe applies before hashing (FineWeb/Dolma
+    MinHash normalization: lowercase, strip accents, drop punctuation,
+    collapse whitespace).  Composes with :func:`~.dedup.exact_dedup`,
+    MinHash/SimHash, and :func:`~.dedup.remove_duplicated_spans` by
+    feeding them ``out_col`` instead of the raw text.
+
+    Steps, in order, each toggleable: lowercase; 1:1 Latin diacritic
+    folding (:data:`FOLD_FROM` → :data:`FOLD_TO` via ``translate`` —
+    multi-char folds like æ→ae are documented out of scope); ASCII
+    punctuation removal (the ``!-/ :-@ [-` {-~`` ranges — explicit
+    byte ranges rather than ``\\p{Punct}`` so the regex means the same
+    thing in any engine); whitespace collapse to single spaces plus
+    trim.  NULL text stays NULL (the row keeps its "no text" meaning;
+    downstream dedup keys already handle NULL).
+
+    Scale shape: one codegen map stage — ``lower``/``translate`` and
+    two ``regexp_replace`` over a narrow projection; no shuffle, no
+    Python.  At 100 TB this is priced at the parquet scan, which is
+    why the published pipelines run it fused into the first read.
+    """
+    text: Column = F.col(text_col)
+    if lower:
+        text = F.lower(text)
+    if fold_diacritics:
+        text = F.translate(text, FOLD_FROM, FOLD_TO)
+    if strip_punct:
+        text = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    if collapse_whitespace:
+        text = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return df.withColumn(out_col, text)
