@@ -242,3 +242,53 @@ def test_recursive_with_partition_columns_fails_fast(spark, tmp_path):
     )
     with pytest.raises(SourceError, match="recursive.*partition_columns"):
         register_source(spark, src)
+
+
+def test_text_source_reads_gzip_transparently(spark, tmp_path):
+    """Real crawls arrive compressed (WET/WARC-derived .gz shards);
+    Spark's codec layer must decompress .gz text/JSONL transparently
+    through the source surface — pinned here so a codec regression
+    can't silently truncate an ingest."""
+    import gzip
+
+    d = tmp_path / "gz_text"
+    d.mkdir()
+    with gzip.open(d / "shard-00.txt.gz", "wt") as f:
+        f.write("line one\nline two\n")
+    with gzip.open(d / "shard-01.txt.gz", "wt") as f:
+        f.write("line three\n")
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "gz_lines",
+            "format": {"type": "text"},
+            "location": str(d),
+        }
+    )
+    df = register_source(spark, src)
+    assert sorted(r.value for r in df.collect()) == [
+        "line one", "line three", "line two",
+    ]
+
+
+def test_json_source_reads_gzip_ndjson(spark, tmp_path):
+    import gzip
+    import json as jsonlib
+
+    d = tmp_path / "gz_json"
+    d.mkdir()
+    docs = [{"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "b"}]
+    with gzip.open(d / "part-0.json.gz", "wt") as f:
+        for doc in docs:
+            f.write(jsonlib.dumps(doc) + "\n")
+    src = parse_source(
+        {
+            "type": "file",
+            "name": "gz_docs",
+            "format": {"type": "json"},
+            "location": str(d),
+        }
+    )
+    df = register_source(spark, src)
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert rows == {1: "a", 2: "b"}
