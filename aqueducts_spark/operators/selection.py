@@ -489,6 +489,10 @@ def perplexity_buckets(
       omitted; bucket sizes are within the sketch's rank error
       (~n/accuracy per group).  The exact variant doubles as its
       correctness oracle (tests assert agreement on distinct scores).
+      One asymmetry: rows with a NULL ``group_col`` form their own
+      group in the exact path but match no threshold row in the
+      approx path's join and land in the tail — pre-bucket NULL
+      groups (``coalesce(lang, 'und')``) if they matter.
 
     With ``group_col=None`` the exact window is a single-partition
     sort, sensible only for bounded inputs — ``method="approx"``

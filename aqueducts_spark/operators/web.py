@@ -395,6 +395,12 @@ def url_blocklist(
     """
     from .sampling import _fresh_name
 
+    for k in keywords:
+        if not k:
+            raise ValueError(
+                "url_blocklist: empty keyword matches every URL — remove "
+                "it or pass a real substring"
+            )
     url = F.col(url_col)
     # canonicalization is a large expression tree — stage it ONCE in a
     # named column so the host derivation and the keyword match reuse

@@ -134,3 +134,9 @@ def test_helper_names_do_not_collide_with_user_columns(spark):
     row = out.collect()[0]
     assert row["__host"] == "keepme"
     assert row.blocked_domain
+
+
+def test_empty_keyword_rejected(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    with pytest.raises(ValueError, match="empty keyword"):
+        url_blocklist(df, keywords=[""])
