@@ -4132,6 +4132,45 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _op_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV rate vs the corpus top-200 vocabulary (operators/text.py::
+    oov_rate) — exact integer counts + deterministic vocab cut."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import oov_rate, vocabulary
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return oov_rate(docs, vocabulary(docs, top_n=200))
+
+
+OP_OOV_RATE_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    t -> t != '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+vocab AS (SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 200),
+perdoc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_in_vocab
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_in_vocab, 0) AS n_in_vocab,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN 1.0 - CAST(p.n_in_vocab AS DOUBLE)
+                         / CAST(p.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS oov_rate
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4266,6 +4305,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_random_projection": _op_random_projection,
         "op_normalize_text": _op_normalize_text,
         "op_quantized_topk": _op_quantized_topk,
+        "op_oov_rate": _op_oov_rate,
         "op_semdedup": _op_semdedup,
         "pl_pipeline_yaml": _pl_pipeline,
     }
@@ -4420,6 +4460,7 @@ _GATE_PRIORITY = [
     "op_random_projection",
     "op_normalize_text",
     "op_quantized_topk",
+    "op_oov_rate",
 ]
 
 
@@ -4558,5 +4599,6 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_random_projection": _random_projection_duck_sql(),
         "op_normalize_text": _normalize_text_duck_sql(),
         "op_quantized_topk": OP_QUANTIZED_TOPK_DUCK,
+        "op_oov_rate": OP_OOV_RATE_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
     }

@@ -232,6 +232,23 @@ def _op_quantized_topk(spark, inp, options):
     )
 
 
+def _op_oov_rate(spark, inp, options):
+    from .text import oov_rate
+
+    vocab_table = options.get("vocab")
+    if not vocab_table:
+        raise OperatorError(
+            "oov_rate operator requires options.vocab (a table name)"
+        )
+    return oov_rate(
+        inp,
+        spark.table(vocab_table),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        vocab_col=options.get("vocab_col", "token"),
+    )
+
+
 def _op_normalize_text(spark, inp, options):
     from .text import normalize_text
 
@@ -1229,6 +1246,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,
     "normalize_text": _op_normalize_text,
+    "oov_rate": _op_oov_rate,
     "drop_common_lines": _op_drop_common_lines,
     "stratified_fixed_n": _op_stratified_fixed_n,
     "group_cap": _op_group_cap,

@@ -42,6 +42,7 @@ __all__ = [
     "FOLD_FROM",
     "FOLD_TO",
     "normalize_text",
+    "oov_rate",
 ]
 
 # Small, fixed stopword lists for the n-gram/stopword language heuristic.
@@ -1308,3 +1309,64 @@ def normalize_text(
     if collapse_whitespace:
         text = F.trim(F.regexp_replace(text, r"\s+", " "))
     return df.withColumn(out_col, text)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table —
+    the tokenizer-fit metric: how much of each document a fixed vocab
+    (:func:`vocabulary` output, or your tokenizer's token list) fails
+    to cover.  High OOV flags domain mismatch, mojibake, or the wrong
+    tokenizer for the corpus slice.
+
+    Tokens are the engine's normalized whitespace tokens; ``vocab``'s
+    ``vocab_col`` is matched exactly (normalize it the same way).
+    Output: ``id_col, n_tokens, n_in_vocab, oov_rate`` with
+    ``oov_rate = 1 − n_in_vocab/n_tokens`` (0.0 for empty/NULL text —
+    nothing is out of vocabulary in an empty document; integer counts
+    ride along so the rate re-derives exactly).
+
+    Scale shape: explode → broadcast LEFT join on the token string
+    (the vocab is model-sized — 32k-256k rows — always broadcastable)
+    → per-doc count aggregation: ONE corpus shuffle of slim
+    ``(id, partial counts)`` rows, map-side combined.  The corpus text
+    never shuffles.  ``explode_outer`` keeps zero-token documents in
+    the output.
+    """
+    from .sampling import _fresh_name
+
+    tok_col = _fresh_name("__tok", df.columns)
+    hit_col = _fresh_name("__in_vocab", df.columns)
+    toks = normalized_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(toks).alias(tok_col)
+    )
+    v = (
+        vocab.select(F.col(vocab_col).cast("string").alias(tok_col))
+        .where(F.col(tok_col).isNotNull())
+        .distinct()
+        .withColumn(hit_col, F.lit(True))
+    )
+    joined = exploded.join(F.broadcast(v), tok_col, "left")
+    counted = joined.groupBy(id_col).agg(
+        F.count(F.col(tok_col)).alias("n_tokens"),
+        F.count(F.col(hit_col)).alias("n_in_vocab"),
+    )
+    return counted.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_in_vocab"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.lit(1.0)
+            - F.col("n_in_vocab").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
