@@ -60,7 +60,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     no-op — it never introduces a shuffle on a well-partitioned 100 TB
     input; it only rescues the degenerate small-file case where one task
     would otherwise do all the work of an explosive operator.
+
+    Streaming frames pass through untouched: the partition probe
+    (``df.rdd``) is a batch-only API, and a micro-batch's parallelism
+    is the source's trigger sizing anyway — so every row-local operator
+    built on this helper stays applicable to streams unchanged.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):

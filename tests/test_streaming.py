@@ -522,3 +522,50 @@ def test_stateless_operators_apply_directly_to_streams(spark, tmp_path):
     assert sorted(
         (r.doc_id, r.mix_copy) for r in streamed_mix
     ) == sorted((r.doc_id, r.mix_copy) for r in batch_mix)
+
+
+def test_round5_stateless_operators_stream_unchanged(spark, tmp_path):
+    """normalize_text and script_profile are row-local expressions —
+    the SAME operators run unchanged on a streaming frame, matching the
+    batch results bit-for-bit (the gopher_rules/weighted_mix principle
+    extended to the round-5 additions)."""
+    import json
+
+    from aqueducts_spark.operators.text import normalize_text, script_profile
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    docs = [
+        {"doc_id": 1, "text": "Héllo,  WÖRLD  Çafé"},
+        {"doc_id": 2, "text": "Привет мир кириллица"},
+        {"doc_id": 3, "text": None},
+    ]
+    src = tmp_path / "r5_stateless_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b2.json").write_text(json.dumps(docs[2]))
+    schema = [
+        Field(name="doc_id", data_type="int64", nullable=False),
+        Field(name="text", data_type="string", nullable=True),
+    ]
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    for name, op in (
+        ("norm", lambda df: normalize_text(df, strip_punct=True)),
+        ("script", script_profile),
+    ):
+        stream = file_stream_source(
+            spark, str(src), "json", schema,
+            options={"maxFilesPerTrigger": "1"},
+        )
+        streamed = run_available_now(
+            op(stream), str(tmp_path / f"ckpt_r5_{name}")
+        )
+        batch = op(batch_df).collect()
+        assert sorted(map(tuple, streamed), key=lambda t: t[0]) == sorted(
+            map(tuple, batch), key=lambda t: t[0]
+        ), name
