@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "op_url_blocklist",
     "op_script_profile",
     "op_random_projection",
+    "op_normalize_text",
+    "op_oov_rate",
+    "op_quantized_topk",
     "op_bm25",
     "mm_byte_stats",
     "pl_pipeline_yaml",

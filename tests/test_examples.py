@@ -44,6 +44,7 @@ def test_examples_exist():
         "dsir_selection.yml",
         "hybrid_retrieval.yml",
         "quality_funnel.yml",
+        "tokenizer_fit.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
