@@ -2168,7 +2168,7 @@ WITH base AS (
          coalesce(text, '') AS text,
          list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
                      t -> t != '') AS toks,
-         list_filter(string_split(coalesce(text, ''), chr(10)),
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\r?\n'),
                      l -> trim(l) != '') AS lines
   FROM documents
 ),
@@ -2184,7 +2184,7 @@ feat AS (
            / CAST(greatest(len(toks), 1) AS DOUBLE) AS ellipsis_sym_ratio,
          len(list_filter(lines, l -> regexp_matches(l, '^\s*[•\-\*]')))
            / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
-         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*\z')))
            / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
          len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
            / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_frac,
@@ -2234,7 +2234,8 @@ WITH base AS (
 ),
 staged AS (
   SELECT doc_id, text,
-         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+         list_filter(regexp_split_to_array(text, '\r?\n'),
+                     l -> trim(l) != '') AS lines,
          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                               t -> t != '')) AS BIGINT) AS n_words,
          CAST(length(text) - length(replace(text, chr(10), ''))
@@ -2245,7 +2246,7 @@ feat AS (
   SELECT doc_id, n_words, n_newlines,
          CAST(len(lines) AS BIGINT) AS n_lines,
          CAST(len(list_filter(lines,
-             l -> regexp_matches(trim(l), '[.!?''"]$'))) AS BIGINT)
+             l -> regexp_matches(trim(l), '[.!?''"]\z'))) AS BIGINT)
            AS punct_lines,
          CAST(len(list_filter(lines, l -> length(l) < 30)) AS BIGINT)
            AS short_lines,
@@ -2326,7 +2327,7 @@ OP_C4_DUCK = r"""
 WITH base AS (
   SELECT doc_id,
          coalesce(text, '') AS text,
-         list_filter(string_split(coalesce(text, ''), chr(10)),
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\r?\n'),
                      l -> trim(l) != '') AS lines
   FROM documents
 ),

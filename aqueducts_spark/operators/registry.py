@@ -1128,6 +1128,8 @@ def _op_url_blocklist(spark, inp, options):
         keywords=[str(k) for k in options.get("keywords", [])],
         url_col=options.get("url_col", "url"),
         domain_col=options.get("domain_col", "domain"),
+        host_out=options.get("host_out", "host"),
+        domain_out=options.get("domain_out", "domain"),
     )
 
 

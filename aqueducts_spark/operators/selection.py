@@ -469,10 +469,12 @@ def perplexity_buckets(
     (head+middle)·n``, else ``tail`` (so a 1-row group is ``head``, and
     a group of 3 under terciles splits 1/1/1).  The comparison is plain
     IEEE-double arithmetic — identical in any engine, so the DuckDB
-    oracle reproduces every boundary bit-for-bit.  NULL scores sort
-    last, landing in the tail first.  Output adds ``bucket_col`` plus
-    ``{bucket_col}_rank`` (the 1-based within-group rank) so downstream
-    filters can re-derive the cut.
+    oracle reproduces every boundary bit-for-bit.  NULL scores are
+    ALWAYS ``tail`` in both methods — an unscoreable document is never
+    high-quality, even in a group that is mostly NULL (they still rank
+    last, so ``{bucket_col}_rank`` stays a permutation).  Output adds
+    ``bucket_col`` plus ``{bucket_col}_rank`` (the 1-based within-group
+    rank) so downstream filters can re-derive the cut.
 
     Scale shape — two physical strategies:
 
@@ -532,7 +534,7 @@ def perplexity_buckets(
         else:
             joined = df.crossJoin(F.broadcast(cuts))
         # NULL scores fail both <= comparisons -> tail (matches the
-        # exact path's NULLS LAST); a 0-fraction head makes its
+        # exact path's explicit NULL->tail rule); a 0-fraction head makes its
         # threshold the group minimum, which still admits ties — the
         # documented ties-into-head trade of threshold bucketing
         return (
@@ -567,7 +569,13 @@ def perplexity_buckets(
         .withColumn(n_col, F.count(F.lit(1)).over(part))
         .withColumn(
             bucket_col,
-            F.when(pos < n * F.lit(float(head)), F.lit("head"))
+            # NULL scores are tail UNCONDITIONALLY: NULLS-LAST ranking
+            # alone would promote them into head/middle once NULLs
+            # outnumber the tail's capacity (e.g. an all-NULL group),
+            # and the approx path — which buckets NULL by failed <=
+            # comparisons — would then disagree
+            F.when(F.col(score_col).isNull(), F.lit("tail"))
+            .when(pos < n * F.lit(float(head)), F.lit("head"))
             .when(pos < n * F.lit(float(head + middle)), F.lit("middle"))
             .otherwise(F.lit("tail")),
         )

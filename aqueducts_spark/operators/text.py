@@ -55,6 +55,18 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def _nonempty_lines(text: Column) -> Column:
+    """The rule operators' shared line definition: split on ``\\r?\\n``
+    (CRLF-safe — a trailing ``\\r`` would otherwise ride into every
+    line's length, char count, and end-anchored regex) and drop lines
+    that trim to empty.  One helper so :func:`gopher_rules`,
+    :func:`fineweb_rules`, and :func:`c4_rules` provably agree on what
+    a line is."""
+    return F.filter(
+        F.split(text, r"\r?\n"), lambda l: F.trim(l) != F.lit("")
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count.  NULL text counts as 0 (module policy:
     NULL behaves like empty — a NULL count silently drops the row from
@@ -537,16 +549,17 @@ def gopher_rules(
     # not to their sum — a doc with both at 0.06 passes
     hash_ratio = hash_count / safe_words
     ellipsis_sym_ratio = (dots + uni_ellipsis) / safe_words
-    lines = F.filter(
-        F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
-    )
+    lines = _nonempty_lines(text)
     safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]")))
         / safe_lines
     )
     ellipsis_frac = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        # \z (end of INPUT) not $: Java's $ also matches before a final
+        # \r / U+2028-style line terminator, RE2's does not — \z means
+        # the same thing in both engines (the oracle contract)
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*\z")))
         / safe_lines
     )
     alpha_frac = (
@@ -606,9 +619,10 @@ def fineweb_rules(
     newline-to-word ratio of the raw text is <=
     ``max_newline_word_ratio`` (list/menu-page proxy).
     ``passes_fineweb`` is the conjunction.  Lines are the non-empty
-    (after trim) ``\\n`` splits, compared verbatim for duplication and
-    measured verbatim for length — the punctuation test alone looks at
-    the trimmed tail.
+    (after trim) ``\\r?\\n`` splits (:func:`_nonempty_lines` — CRLF
+    text measures the same as LF text), compared verbatim for
+    duplication and measured verbatim for length — the punctuation
+    test alone looks at the trimmed tail.
 
     The duplicate-character count folds over the SORTED line array —
     each repeat occurrence past the first adds its length — so the rule
@@ -624,9 +638,7 @@ def fineweb_rules(
     zero = F.lit(0).cast("bigint")
     staged = ensure_parallelism(df).select(
         F.col(id_col),
-        F.filter(
-            F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
-        ).alias("__lines"),
+        _nonempty_lines(text).alias("__lines"),
         F.size(normalized_tokens(text)).cast("bigint").alias("n_words"),
         (F.length(text) - F.length(F.replace(text, F.lit("\n"))))
         .cast("bigint")
@@ -651,7 +663,8 @@ def fineweb_rules(
         F.col("n_newlines"),
         F.size(lines).cast("bigint").alias("n_lines"),
         F.size(
-            F.filter(lines, lambda l: F.trim(l).rlike(r"""[.!?'"]$"""))
+            # \z not $: engine-exact end anchor (see gopher_rules)
+            F.filter(lines, lambda l: F.trim(l).rlike(r"""[.!?'"]\z"""))
         )
         .cast("bigint")
         .alias("punct_lines"),
@@ -752,7 +765,8 @@ def c4_rules(
             "javascript"
         )
         if require_line_terminal_punct:
-            keep = keep & F.trim(l).rlike(r"[.!?][\"'”’]?$")
+            # \z not $: engine-exact end anchor (see gopher_rules)
+            keep = keep & F.trim(l).rlike(r"[.!?][\"'”’]?\z")
         return keep
 
     # the lines array is materialized in its own projection so its
@@ -761,9 +775,7 @@ def c4_rules(
     staged = ensure_parallelism(df).select(
         F.col(id_col),
         text.alias("__text"),
-        F.filter(
-            F.split(text, r"\n"), lambda l: F.trim(l) != F.lit("")
-        ).alias("__lines"),
+        _nonempty_lines(text).alias("__lines"),
     )
     staged = staged.select(
         F.col(id_col),
@@ -1150,7 +1162,19 @@ def bigram_logprob(
 # walks UTF-16 code units, so astral-plane classes would need surrogate
 # handling; every major writing system's core block is in the BMP.
 SCRIPT_RANGES: tuple[tuple[str, tuple[tuple[int, int], ...]], ...] = (
-    ("latin", ((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F))),
+    # the Latin-1 block skips U+00D7 (×) and U+00F7 (÷): they are math
+    # symbols, and counting them as Latin letters would dilute exactly
+    # the mojibake/no-script signal this profile exists to provide
+    (
+        "latin",
+        (
+            (0x0041, 0x005A),
+            (0x0061, 0x007A),
+            (0x00C0, 0x00D6),
+            (0x00D8, 0x00F6),
+            (0x00F8, 0x024F),
+        ),
+    ),
     ("cyrillic", ((0x0400, 0x04FF),)),
     ("greek", ((0x0370, 0x03FF),)),
     ("arabic", ((0x0600, 0x06FF), (0x0750, 0x077F))),
@@ -1239,11 +1263,14 @@ def script_profile(
     )
 
 
-# 1:1 Latin diacritic folding table for normalize_text, applied AFTER
-# lowercasing (so only lowercase forms appear).  translate() is 1:1 by
-# construction — multi-char folds (æ→ae, œ→oe, ß→ss) are out of scope
-# and documented; the table covers Latin-1 Supplement + Latin
-# Extended-A, the ranges that dominate European-language crawls.
+# 1:1 Latin diacritic folding table for normalize_text.  translate()
+# is 1:1 by construction — multi-char folds (æ→ae, œ→oe, ß→ss) are out
+# of scope and documented; the table covers Latin-1 Supplement + Latin
+# Extended-A, the ranges that dominate European-language crawls.  The
+# published table holds lowercase pairs; the UPPERCASE counterparts
+# (À→A, …) are derived below so `lower=False` still folds
+# case-preservingly — without them 'Éclair' and 'éclair' would
+# normalize to different diacritic states under a case-sensitive key.
 _FOLD_PAIRS: tuple[tuple[str, str], ...] = (
     ("a", "àáâãäåāăą"),
     ("c", "çćĉċč"),
@@ -1265,8 +1292,21 @@ _FOLD_PAIRS: tuple[tuple[str, str], ...] = (
     ("y", "ýÿŷ"),
     ("z", "źżž"),
 )
-FOLD_FROM = "".join(src for _, srcs in _FOLD_PAIRS for src in srcs)
-FOLD_TO = "".join(dst * len(srcs) for dst, srcs in _FOLD_PAIRS)
+# uppercase twins: every source uppercases to a single BMP char not
+# already in the lowercase table (ı→I, ÿ→Ÿ), so the derived table
+# stays 1:1 and duplicate-free (both pinned by tests)
+_FOLD_PAIRS_UPPER: tuple[tuple[str, str], ...] = tuple(
+    (dst.upper(), "".join(c.upper() for c in srcs))
+    for dst, srcs in _FOLD_PAIRS
+)
+FOLD_FROM = "".join(
+    src
+    for _, srcs in (*_FOLD_PAIRS, *_FOLD_PAIRS_UPPER)
+    for src in srcs
+)
+FOLD_TO = "".join(
+    dst * len(srcs) for dst, srcs in (*_FOLD_PAIRS, *_FOLD_PAIRS_UPPER)
+)
 
 
 def normalize_text(
@@ -1287,7 +1327,9 @@ def normalize_text(
 
     Steps, in order, each toggleable: lowercase; 1:1 Latin diacritic
     folding (:data:`FOLD_FROM` → :data:`FOLD_TO` via ``translate`` —
-    multi-char folds like æ→ae are documented out of scope); ASCII
+    both cases fold, case-preservingly (É→E), so ``lower=False`` still
+    normalizes consistently; multi-char folds like æ→ae are documented
+    out of scope); ASCII
     punctuation removal (the ``!-/ :-@ [-` {-~`` ranges — explicit
     byte ranges rather than ``\\p{Punct}`` so the regex means the same
     thing in any engine); whitespace collapse to single spaces plus

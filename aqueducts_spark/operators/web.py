@@ -359,6 +359,8 @@ def url_blocklist(
     keywords: tuple[str, ...] | list[str] = (),
     url_col: str = "url",
     domain_col: str = "domain",
+    host_out: str = "host",
+    domain_out: str = "domain",
 ) -> DataFrame:
     """Mark each row against a domain blocklist and a URL-substring
     keyword list — the adult/spam/fraud domain filter every web
@@ -385,13 +387,25 @@ def url_blocklist(
     conjunction of neither firing; NULL urls have NULL host/domain,
     match nothing, and come out ``url_ok``.
 
+    Output columns: ``host_out`` / ``domain_out`` (rename them when
+    composing after an operator that already emitted ``host`` or
+    ``domain`` — e.g. :func:`registered_domain_psl`'s exact PSL
+    ``domain``, which this operator's heuristic must not silently
+    overwrite) plus ``blocked_domain``, ``blocked_keyword``,
+    ``url_ok``.  Any output name already present on ``df`` raises
+    rather than clobbering user data.
+
     Scale shape (100 TB): host + registered domain are codegen
     expressions; the blocklist probe is TWO broadcast LEFT joins on a
     single string key each — no explode, no re-aggregation, ZERO
-    shuffles of the corpus (plan-asserted in tests).  A blocklist too
-    large to broadcast (>~8 GB) would switch to a shuffle semi-join by
-    dropping the hint — at UT1's ~4M rows the broadcast is ~tens of
-    MB, the right call.
+    shuffles of the corpus (plan-asserted in tests).  The blocklist is
+    scanned, lowercased, and dedup-aggregated ONCE — the second join's
+    build is a pure rename of the first's, so its distinct shuffle
+    plans as a ReusedExchange (plan-asserted; only the broadcast of
+    the already-deduped rows repeats), which matters when the build is
+    a UT1-scale table.  A blocklist too large to broadcast (>~8 GB) would switch
+    to a shuffle semi-join by dropping the hint — at UT1's ~4M rows
+    the broadcast is ~tens of MB, the right call.
     """
     from .sampling import _fresh_name
 
@@ -401,6 +415,22 @@ def url_blocklist(
                 "url_blocklist: empty keyword matches every URL — remove "
                 "it or pass a real substring"
             )
+    out_names = [
+        host_out, domain_out, "blocked_domain", "blocked_keyword", "url_ok"
+    ]
+    if host_out == domain_out:
+        raise ValueError(
+            f"url_blocklist: host_out and domain_out are both "
+            f"{host_out!r} — they must differ"
+        )
+    clashes = [c for c in out_names if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"url_blocklist: output column(s) {clashes} already exist on "
+            "the input — rename them upstream or pass host_out/domain_out "
+            "(silently overwriting them would corrupt user data, e.g. a "
+            "registered_domain_psl 'domain')"
+        )
     url = F.col(url_col)
     # canonicalization is a large expression tree — stage it ONCE in a
     # named column so the host derivation and the keyword match reuse
@@ -430,15 +460,18 @@ def url_blocklist(
         domm = _fresh_name("__dom_hit", df.columns)
         hkey = _fresh_name("__bl_host_key", df.columns)
         dkey = _fresh_name("__bl_dom_key", df.columns)
-        bl_host = blocked.select(
+        # ONE blocklist scan + distinct, probed by both joins; the
+        # second join's projection is a pure rename of the first's, so
+        # the broadcast exchange canonicalizes equal and is reused
+        bl = blocked.select(
             F.lower(F.col(domain_col)).alias(hkey)
         ).distinct().withColumn(hostm, F.lit(True))
-        bl_dom = blocked.select(
-            F.lower(F.col(domain_col)).alias(dkey)
-        ).distinct().withColumn(domm, F.lit(True))
+        bl_dom = bl.select(
+            F.col(hkey).alias(dkey), F.col(hostm).alias(domm)
+        )
         out = (
             out.join(
-                F.broadcast(bl_host), F.col(host_col) == F.col(hkey), "left"
+                F.broadcast(bl), F.col(host_col) == F.col(hkey), "left"
             )
             .drop(hkey)
             .join(
@@ -465,8 +498,8 @@ def url_blocklist(
     else:
         out = out.withColumn("blocked_keyword", F.lit(False))
     return (
-        out.withColumn("host", F.col(host_col))
-        .withColumn("domain", F.col(dom_col))
+        out.withColumn(host_out, F.col(host_col))
+        .withColumn(domain_out, F.col(dom_col))
         .drop(canon_col, host_col, dom_col)
         .withColumn(
             "url_ok", ~F.col("blocked_domain") & ~F.col("blocked_keyword")

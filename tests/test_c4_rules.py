@@ -135,3 +135,14 @@ def test_c4_registry_stage(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].passes_c4 and not rows[2].passes_c4
     spark.catalog.dropTempView("c4_docs")
+
+
+def test_crlf_lines_keep_like_lf_lines(spark):
+    # the terminal-punct keep test must not be defeated by a trailing
+    # \r (CRLF crawl text): \r?\n split + \z anchor keep both variants
+    lf = "This line has six good words.\nshort\n"
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame([(1, lf), (2, crlf)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in c4_rules(df, min_line_words=5).collect()}
+    assert rows[1].n_lines_kept == rows[2].n_lines_kept == 1
+    assert rows[1].clean_text == rows[2].clean_text

@@ -141,3 +141,19 @@ def test_fineweb_registry_stage(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].passes_fineweb and not rows[2].passes_fineweb
     spark.catalog.dropTempView("fw_docs")
+
+
+def test_crlf_text_measures_like_lf_text(spark):
+    # CRLF corpora must not smuggle \r into line lengths or defeat the
+    # end-anchored punctuation test (Java $ matches before a trailing
+    # \r, RE2 $ does not — the operator uses \r?\n split + \z anchor)
+    lf = "Good sentence.\nNext sentence.\n"
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame(
+        [(1, lf), (2, crlf)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in fineweb_rules(df).collect()}
+    for field in ("n_lines", "line_chars", "dup_line_chars",
+                  "line_punct_frac", "short_line_frac"):
+        assert rows[1][field] == rows[2][field], field
+    assert rows[1].line_punct_frac == 1.0

@@ -8,7 +8,11 @@ from aqueducts_spark.operators.text import FOLD_FROM, FOLD_TO, normalize_text
 def test_fold_tables_align():
     assert len(FOLD_FROM) == len(FOLD_TO)
     assert len(set(FOLD_FROM)) == len(FOLD_FROM)  # no duplicate sources
-    assert all(c.islower() for c in FOLD_TO)
+    # case-preserving: each source folds to an ASCII base letter of
+    # ITS OWN case (à→a, À→A) so lower=False keys stay consistent
+    for src, dst in zip(FOLD_FROM, FOLD_TO):
+        assert dst.isascii() and dst.isalpha(), (src, dst)
+        assert dst.isupper() == src.isupper(), (src, dst)
 
 
 def _run(spark, text, **kw):
@@ -92,3 +96,19 @@ def test_registry_stage(spark):
         },
     )
     assert out.collect()[0].norm_text == "ca va"
+
+
+def test_case_preserving_fold_when_lower_false(spark):
+    # uppercase accents fold to uppercase base letters, so lower=False
+    # still normalizes both case-variants to one diacritic state
+    df = spark.createDataFrame(
+        [(1, "Éclair éclair ÀÇÕ")], "doc_id long, text string"
+    )
+    out = normalize_text(df, lower=False).collect()[0].norm_text
+    assert out == "Eclair eclair ACO"
+
+
+def test_fold_table_covers_both_cases():
+    assert "À" in FOLD_FROM and "à" in FOLD_FROM
+    assert FOLD_TO[FOLD_FROM.index("À")] == "A"
+    assert FOLD_TO[FOLD_FROM.index("à")] == "a"

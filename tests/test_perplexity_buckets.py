@@ -10,7 +10,8 @@ from aqueducts_spark.operators.selection import perplexity_buckets
 
 def _ref_buckets(rows, head=1 / 3, middle=1 / 3, group=None):
     """Python reference: rank by (score, id) within group; bucket by
-    fractional position (rank-1)/n with plain IEEE comparisons."""
+    fractional position (rank-1)/n with plain IEEE comparisons; NULL
+    scores are unconditionally tail (both engine paths agree)."""
     out = {}
     groups = {}
     for rid, score, g in rows:
@@ -21,10 +22,11 @@ def _ref_buckets(rows, head=1 / 3, middle=1 / 3, group=None):
             key=lambda t: (t[1] is None, t[1] if t[1] is not None else 0, t[0]),
         )
         n = len(ordered)
-        for rank, (rid, _) in enumerate(ordered, start=1):
+        for rank, (rid, score) in enumerate(ordered, start=1):
             pos = float(rank - 1)
             out[rid] = (
-                "head" if pos < head * n
+                "tail" if score is None
+                else "head" if pos < head * n
                 else "middle" if pos < (head + middle) * n
                 else "tail",
                 rank,
@@ -85,6 +87,22 @@ def test_null_scores_fall_to_tail_and_ties_break_by_id(spark):
     assert res[1] == ("head", 2)
     assert res[3] == ("middle", 3)
     assert res[2] == ("tail", 4)
+
+
+def test_all_null_group_is_all_tail_in_both_methods(spark):
+    # NULLs must never be promoted into head/middle by NULLS-LAST
+    # ranking alone — exact and approx agree that unscoreable == tail
+    rows = [(1, None, "g"), (2, None, "g"), (3, None, "g"), (4, 1.0, "h")]
+    df = spark.createDataFrame(rows, "doc_id long, s double, g string")
+    for method in ("exact", "approx"):
+        res = {
+            r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(
+                df, "s", group_col="g", method=method
+            ).collect()
+        }
+        assert res[1] == res[2] == res[3] == "tail", (method, res)
+        assert res[4] == "head", (method, res)
 
 
 def test_single_row_group_is_head(spark):

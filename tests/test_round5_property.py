@@ -115,10 +115,11 @@ def test_perplexity_buckets_match_python_reference(spark, scores, head, middle):
         rows, key=lambda t: (t[1] is None, t[1] if t[1] is not None else 0, t[0])
     )
     n = len(ordered)
-    for rank, (rid, _) in enumerate(ordered, start=1):
+    for rank, (rid, score) in enumerate(ordered, start=1):
         pos = float(rank - 1)
         expect = (
-            "head" if pos < head * n
+            "tail" if score is None  # NULL scores are always tail
+            else "head" if pos < head * n
             else "middle" if pos < (head + middle) * n
             else "tail"
         )
@@ -176,10 +177,12 @@ def test_quantized_topk_scores_match_python_reference(spark, vecs):
     from aqueducts_spark.operators.similarity import quantized_topk
 
     def quant(v):
-        mx = max(abs(x) for x in v)
-        if mx == 0:
+        # mirror the operator exactly: the guard is on the SCALE, not
+        # the max — a subnormal max (5e-324) underflows mx/127 to 0.0
+        # and must quantize to zeros, not divide by zero
+        s = max(abs(x) for x in v) / 127.0
+        if s == 0:
             return [0] * len(v)
-        s = mx / 127.0
         return [
             max(-127, min(127, math.floor(x / s + 0.5))) for x in v
         ]

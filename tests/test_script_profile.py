@@ -99,3 +99,16 @@ def test_registry_stage(spark):
     )
     assert out.count() == 5
     assert "dominant_script" in out.columns
+
+
+def test_math_signs_are_not_latin_script(spark):
+    # U+00D7 (×) and U+00F7 (÷) are math symbols inside the Latin-1
+    # block — counting them as Latin would dilute the no-script noise
+    # signal on table/formula-heavy pages
+    df = spark.createDataFrame(
+        [(1, "2×3÷4 ×÷×÷"), (2, "ab×cd")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in script_profile(df).collect()}
+    assert rows[1].latin_chars == 0
+    assert rows[1].dominant_script == "none"
+    assert rows[2].latin_chars == 4

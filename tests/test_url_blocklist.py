@@ -96,13 +96,40 @@ def test_plan_broadcast_only_no_shuffle(spark):
     )
     assert plan.count("BroadcastHashJoin") == 2
     # the corpus side never shuffles: no shuffle-requiring join; the
-    # only hash exchanges are blocklist-sized (the dedup under each
-    # BroadcastExchange)
+    # only hash exchanges are blocklist-sized (the dedup under the
+    # BroadcastExchanges)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") == plan.count(
+    assert plan.count("Exchange hashpartitioning") <= plan.count(
         "BroadcastExchange"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocklist_dedup_computed_once(spark):
+    # the two probes (host + registered domain) share ONE blocklist
+    # scan + distinct: after execution the second build's aggregation
+    # shuffle is a ReusedExchange, so a UT1-scale blocklist is deduped
+    # once, not twice
+    df = spark.createDataFrame(URLS, "doc_id long, url string")
+    out = url_blocklist(df, blocked=_bl(spark))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_output_columns_never_clobber_user_data(spark):
+    df = spark.createDataFrame(
+        [(1, "https://example.com/x", "psl-exact.example.com")],
+        "doc_id long, url string, domain string",
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        url_blocklist(df, blocked=_bl(spark))
+    out = url_blocklist(df, blocked=_bl(spark), domain_out="rdomain")
+    row = out.collect()[0]
+    assert row["domain"] == "psl-exact.example.com"  # untouched
+    assert row["rdomain"] == "example.com"
+    with pytest.raises(ValueError, match="must differ"):
+        url_blocklist(df.drop("domain"), host_out="h", domain_out="h")
 
 
 def test_registry_stage(spark):
