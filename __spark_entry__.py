@@ -1403,6 +1403,34 @@ def _op_pack_shards_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic corpus reshuffle (operators/mixing.py::shuffle_corpus):
+# md5(seed \x1f id) sort key + salted hash-bucket shard.  Both columns
+# are pure functions of (id, seed), so the oracle reproduces every key
+# and shard assignment exactly; the ordering itself is physical layout
+# (sortWithinPartitions) and is plan/order-asserted in
+# tests/test_shuffle_corpus.py, not value-compared (the driver compare
+# sorts rows anyway).
+OP_SHUFFLE_CORPUS_DUCK = """
+SELECT doc_id,
+       md5('r5' || chr(31) || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(('0x' || substr(md5('shard:r5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 8 AS INTEGER) AS shard_id
+FROM documents
+"""
+
+
+def _op_shuffle_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order reshuffle
+    (operators/mixing.py::shuffle_corpus) — exact key + shard oracle."""
+    from aqueducts_spark.operators.mixing import shuffle_corpus
+
+    _views(spark, sf_dir)
+    out = shuffle_corpus(
+        spark.table("documents"), seed="r5", n_shards=8
+    )
+    return out.select("doc_id", "shuffle_key", "shard_id")
+
+
 # z-order clustering key (operators/zorder.py): Morton interleave of
 # quantized (o_custkey, o_orderkey). Pure integer arithmetic, so the
 # oracle reproduces every key bit-for-bit; the write-time layout it
@@ -4281,6 +4309,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_weighted_mix": _op_weighted_mix_gate,
         "op_temperature_mix": _op_temperature_mix,
         "op_pack_shards": _op_pack_shards_gate,
+        "op_shuffle_corpus": _op_shuffle_corpus_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
         "op_fuzzy_dedup": _op_fuzzy_dedup,
@@ -4433,6 +4462,9 @@ _GATE_PRIORITY = [
     "op_bm25",
     "op_rrf_fuse",
     "op_temperature_mix",
+    # tail on purpose: inserting mid-list would shift the driver's
+    # scored first-50 window (ADVICE r4: keep its composition fixed)
+    "op_shuffle_corpus",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -4578,6 +4610,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
         "op_temperature_mix": OP_TEMP_MIX_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
+        "op_shuffle_corpus": OP_SHUFFLE_CORPUS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,

@@ -33,6 +33,10 @@ Scale design (100 TB):
   per-partition window; each packer sorts only its own slice.  P scales
   with cluster width; shard ids are (partition, index) pairs so packers
   never coordinate.
+* ``shuffle_corpus`` — deterministic training-order reshuffle: global
+  total order is ONE range-partitioned sort; the sharded path is a
+  hash repartition + within-shard sort (no range sampling, no global
+  coordination), which is how training shards are actually laid out.
 """
 
 from __future__ import annotations
@@ -44,7 +48,13 @@ from pyspark.sql import functions as F
 
 from .sampling import hash_bucket
 
-__all__ = ["weighted_mix", "pack_shards", "temperature_weights", "temperature_mix"]
+__all__ = [
+    "weighted_mix",
+    "pack_shards",
+    "temperature_weights",
+    "temperature_mix",
+    "shuffle_corpus",
+]
 
 _BUCKETS = 10_000
 
@@ -243,4 +253,80 @@ def pack_shards(
     start = (cum - F.col(token_col)).cast("double")
     return with_part.withColumn(
         shard_col, F.floor(start / F.lit(float(budget))).cast("long")
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "",
+    n_shards: int | None = None,
+    key_col: str = "shuffle_key",
+    shard_col: str = "shard_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic corpus reshuffle — the training-order
+    randomization every pretraining run applies before sharding (a
+    corpus read in crawl/source order trains badly; the shuffle must
+    still be a pure function of the data so a re-run, a resume, or an
+    external audit reproduces the exact same order).
+
+    Every row gets ``key_col = md5(seed \\x1f id)`` — a uniform
+    pseudo-random sort key derived only from the id and the seed (a
+    different ``seed`` is an independent reshuffle).  Then:
+
+    * ``n_shards=None`` — GLOBAL order: the result is sorted by
+      ``(key, id)``.  Plans as one range-partitioned sort (Spark
+      samples range boundaries), the canonical total-order shuffle;
+      right up to the size where a total order is genuinely needed.
+    * ``n_shards=k`` — SHARDED order, the 100 TB path: each row also
+      gets ``shard_col`` (deterministic hash bucket of the id, salted
+      with the seed) and the result is hash-repartitioned by shard and
+      sorted ``(shard, key, id)`` WITHIN shards — no global
+      coordination, no range sampling; each shard is an independently
+      ordered file a data loader can stream.  This is exactly how
+      training shards are produced: shard assignment and intra-shard
+      order both reproducible on any engine.
+
+    ``hash_fn="xxhash64"`` swaps both the key and the shard hash for
+    Spark's native codegen hash (``key_col`` becomes BIGINT) — faster,
+    same determinism, but not reproducible by an external SQL engine;
+    gates keep md5 (:func:`~.sampling.hash_bucket`'s contract).  NULL
+    ids ride a ``\\x00`` sentinel instead of a NULL key, so they land
+    at a stable position instead of wherever NULL ordering puts them.
+    Output columns raise on collision rather than clobbering.
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"shuffle_corpus: hash_fn must be 'md5' or 'xxhash64', "
+            f"got {hash_fn!r}"
+        )
+    if n_shards is not None and n_shards < 1:
+        raise ValueError(
+            f"shuffle_corpus: n_shards must be >= 1, got {n_shards}"
+        )
+    out_names = [key_col] + ([shard_col] if n_shards is not None else [])
+    clashes = [c for c in out_names if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"shuffle_corpus: output column(s) {clashes} already exist "
+            "on the input — pass key_col/shard_col to rename"
+        )
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00"))
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(F.lit(seed), sid)
+    else:
+        key = F.md5(F.concat(F.lit(seed), F.lit("\x1f"), sid))
+    keyed = df.withColumn(key_col, key)
+    if n_shards is None:
+        return keyed.orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+    shard = hash_bucket(
+        F.col(id_col), n_shards, salt="shard:" + seed, hash_fn=hash_fn
+    )
+    return (
+        keyed.withColumn(shard_col, shard)
+        .repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(
+            F.col(shard_col).asc(), F.col(key_col).asc(), F.col(id_col).asc()
+        )
     )

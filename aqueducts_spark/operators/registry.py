@@ -672,6 +672,21 @@ def _op_pack_shards(spark, inp, options):
     )
 
 
+def _op_shuffle_corpus(spark, inp, options):
+    from .mixing import shuffle_corpus
+
+    n_shards = options.get("n_shards")
+    return shuffle_corpus(
+        inp,
+        id_col=options.get("id_col", "doc_id"),
+        seed=str(options.get("seed", "")),
+        n_shards=int(n_shards) if n_shards is not None else None,
+        key_col=options.get("key_col", "shuffle_key"),
+        shard_col=options.get("shard_col", "shard_id"),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1235,6 +1250,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "weighted_mix": _op_weighted_mix,
     "temperature_mix": _op_temperature_mix,
     "pack_shards": _op_pack_shards,
+    "shuffle_corpus": _op_shuffle_corpus,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,
