@@ -1431,6 +1431,74 @@ def _op_shuffle_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_key", "shard_id")
 
 
+# corpus index (operators/mixing.py::corpus_offsets): two-pass
+# distributed prefix sum over the sharded shuffle_corpus layout.  The
+# oracle reproduces the global position and exclusive token offset as
+# one window over the same (shard, key, id) total order — exact BIGINT
+# equality, no floats anywhere.
+OP_CORPUS_OFFSETS_DUCK = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('r5' || chr(31) || CAST(doc_id AS VARCHAR)) AS k,
+         CAST(('0x' || substr(md5('shard:r5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 8 AS INTEGER) AS s,
+         length(text) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY s, k, doc_id) - 1 AS BIGINT) AS global_pos,
+       CAST(COALESCE(SUM(b) OVER (ORDER BY s, k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS token_start
+FROM keyed
+"""
+
+
+def _op_corpus_offsets_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global corpus index (operators/mixing.py::corpus_offsets) over
+    the shuffle_corpus shard layout — exact position + offset oracle."""
+    from aqueducts_spark.operators.mixing import corpus_offsets, shuffle_corpus
+
+    _views(spark, sf_dir)
+    sharded = shuffle_corpus(
+        spark.table("documents"), seed="r5", n_shards=8
+    ).withColumn("n_tok", F.length("text"))
+    out = corpus_offsets(
+        sharded,
+        ["shuffle_key", "doc_id"],
+        shard_col="shard_id",
+        token_col="n_tok",
+    )
+    return out.select("doc_id", "global_pos", "token_start")
+
+
+# soft dedup (operators/dedup.py::dup_weights): keep duplicates,
+# down-weight by group size.  Grouped on (lang, source) here so the
+# gate exercises real multi-row groups (the testdata's text column is
+# duplicate-free); the weight is POW(n, -alpha), reproduced exactly in
+# SQL and rounded to 6dp on both engines like the tf-idf gate.
+OP_DUP_WEIGHTS_DUCK = """
+SELECT doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS dup_count,
+       ROUND(POW(COUNT(*) OVER (PARTITION BY lang, source), -0.5), 6) AS dup_weight
+FROM documents
+"""
+
+
+def _op_dup_weights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup weights (operators/dedup.py::dup_weights) — exact
+    group sizes, 6dp weights."""
+    from aqueducts_spark.operators.dedup import dup_weights
+
+    _views(spark, sf_dir)
+    out = dup_weights(
+        spark.table("documents"), ["lang", "source"], alpha=0.5
+    )
+    return out.select(
+        "doc_id", "dup_count", F.round("dup_weight", 6).alias("dup_weight")
+    )
+
+
 # z-order clustering key (operators/zorder.py): Morton interleave of
 # quantized (o_custkey, o_orderkey). Pure integer arithmetic, so the
 # oracle reproduces every key bit-for-bit; the write-time layout it
@@ -4310,6 +4378,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_temperature_mix": _op_temperature_mix,
         "op_pack_shards": _op_pack_shards_gate,
         "op_shuffle_corpus": _op_shuffle_corpus_gate,
+        "op_corpus_offsets": _op_corpus_offsets_gate,
+        "op_dup_weights": _op_dup_weights_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
         "op_fuzzy_dedup": _op_fuzzy_dedup,
@@ -4465,6 +4535,8 @@ _GATE_PRIORITY = [
     # tail on purpose: inserting mid-list would shift the driver's
     # scored first-50 window (ADVICE r4: keep its composition fixed)
     "op_shuffle_corpus",
+    "op_corpus_offsets",
+    "op_dup_weights",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -4611,6 +4683,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_temperature_mix": OP_TEMP_MIX_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_shuffle_corpus": OP_SHUFFLE_CORPUS_DUCK,
+        "op_corpus_offsets": OP_CORPUS_OFFSETS_DUCK,
+        "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,

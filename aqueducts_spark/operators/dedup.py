@@ -38,6 +38,7 @@ __all__ = [
     "word_shingles",
     "exact_duplicates",
     "exact_dedup",
+    "dup_weights",
     "dedup_against",
     "drop_common_lines",
     "remove_duplicated_spans",
@@ -298,6 +299,52 @@ def exact_dedup(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dup_weights(
+    df: DataFrame,
+    cols: list[str],
+    alpha: float = 1.0,
+    weight_col: str = "dup_weight",
+    count_col: str | None = "dup_count",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, keep every
+    row and attach a loss/sampling weight ``n**(-alpha)`` where ``n``
+    is the size of the row's duplicate group over ``cols`` — the
+    reweighting alternative to hard dedup (down-weight commonness,
+    don't discard it; a duplicate group contributes total weight
+    ``n**(1-alpha)``, so ``alpha=1`` makes each group count once like
+    :func:`exact_dedup` would, ``alpha=0`` is a no-op, and values
+    in between interpolate).
+
+    One shuffle keyed by the fixed-size payload fingerprint (the row
+    travels once — a window ``count`` over the key partition, same
+    shuffle shape as :func:`exact_dedup`), no join, no second corpus
+    pass.  Adds ``weight_col`` (DOUBLE) and, unless ``count_col=None``,
+    the exact group size (BIGINT) for filtering/audit.  Weights are a
+    pure function of the data — an external SQL engine reproduces them
+    as ``POW(COUNT(*) OVER (PARTITION BY key), -alpha)``.
+    """
+    from pyspark.sql.window import Window
+
+    if alpha < 0:
+        raise ValueError(f"dup_weights: alpha must be >= 0, got {alpha}")
+    out_names = [weight_col] + ([count_col] if count_col is not None else [])
+    clashes = [c for c in out_names if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"dup_weights: output column(s) {clashes} already exist on "
+            "the input — pass weight_col/count_col to rename"
+        )
+    w = Window.partitionBy(_payload_key(cols, hash_fn))
+    n = F.count(F.lit(1)).over(w)
+    out = df.withColumn(
+        weight_col, F.pow(n.cast("double"), F.lit(-float(alpha)))
+    )
+    if count_col is not None:
+        out = out.withColumn(count_col, n.cast("long"))
+    return out
 
 
 def dedup_against(

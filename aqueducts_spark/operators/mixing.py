@@ -37,6 +37,10 @@ Scale design (100 TB):
   total order is ONE range-partitioned sort; the sharded path is a
   hash repartition + within-shard sort (no range sampling, no global
   coordination), which is how training shards are actually laid out.
+* ``corpus_offsets`` — global row positions / token offsets via the
+  classic two-pass distributed prefix sum: a tiny per-shard totals
+  aggregate (rows = number of shards, broadcast back) plus per-shard
+  windows — never a single global window or sort.
 """
 
 from __future__ import annotations
@@ -54,6 +58,7 @@ __all__ = [
     "temperature_weights",
     "temperature_mix",
     "shuffle_corpus",
+    "corpus_offsets",
 ]
 
 _BUCKETS = 10_000
@@ -330,3 +335,139 @@ def shuffle_corpus(
             F.col(shard_col).asc(), F.col(key_col).asc(), F.col(id_col).asc()
         )
     )
+
+
+def corpus_offsets(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    shard_col: str | None = None,
+    token_col: str | None = None,
+    pos_col: str = "global_pos",
+    offset_col: str = "token_start",
+    max_shards: int = 1_000_000,
+) -> DataFrame:
+    """Contiguous global row positions — and, with ``token_col``, global
+    token offsets — for a laid-out training corpus: the index a data
+    loader uses to seek "token 3.1T" without scanning, and the missing
+    half of :func:`shuffle_corpus` + :func:`pack_shards` (those decide
+    WHERE a row lives; this says at which position/offset).
+
+    The total order is ``(shard, *order_cols)``; ``order_cols`` must be
+    a total order within a shard (end with a unique id).  NULL shards
+    sort first (Spark's ASC default); NULL token counts count as 0.
+
+    * ``shard_col=None`` — one global window: a deliberate single-task
+      convenience for bounded inputs (an index of shard manifests, a
+      sampled audit).  Never the corpus path.
+    * ``shard_col=...`` — the 100 TB path, a two-pass distributed
+      prefix sum: (1) per-shard row/token totals — an aggregate whose
+      OUTPUT is one row per shard, collected and prefix-summed on the
+      driver (bounded by ``max_shards``, enforced), then broadcast
+      back; (2) per-shard windows add ``row_number`` / an exclusive
+      ROWS-frame running sum on top of the shard's base.  Both passes
+      shuffle on the shard key only, so the plan reuses one exchange;
+      no global sort, no single-task window, no driver row traffic
+      beyond the shard-totals table.
+
+    Output: input columns + ``pos_col`` (0-based BIGINT over the whole
+    corpus) and, iff ``token_col`` is given, ``offset_col`` (exclusive
+    cumulative token sum — row i spans ``[token_start, token_start +
+    tokens)``).  Both are pure functions of the data, reproducible by a
+    SQL engine as ``ROW_NUMBER() OVER (ORDER BY shard, ...) - 1`` and
+    the matching exclusive window sum.
+    """
+    from .sampling import _fresh_name
+
+    if not order_cols:
+        raise ValueError("corpus_offsets: order_cols must be non-empty")
+    out_names = [pos_col] + ([offset_col] if token_col is not None else [])
+    clashes = [c for c in out_names if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"corpus_offsets: output column(s) {clashes} already exist "
+            "on the input — pass pos_col/offset_col to rename"
+        )
+    order = [F.col(c).asc() for c in order_cols]
+    tok0 = (
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+        if token_col is not None
+        else None
+    )
+
+    if shard_col is None:
+        w = Window.orderBy(*order)
+        out = df.withColumn(
+            pos_col, (F.row_number().over(w) - 1).cast("long")
+        )
+        if tok0 is not None:
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(
+                offset_col, (F.sum(tok0).over(wf) - tok0).cast("long")
+            )
+        return out
+
+    # pass 1: shard totals -> exclusive prefix bases on the driver.
+    # The aggregate's OUTPUT is one row per shard; the collect is
+    # guarded so a mistaken high-cardinality shard column fails fast
+    # instead of OOMing the driver.
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if tok0 is not None:
+        aggs.append(F.sum(tok0).alias("__t"))
+    totals = (
+        df.groupBy(F.col(shard_col).alias("__s"))
+        .agg(*aggs)
+        .limit(max_shards + 1)
+        .collect()
+    )
+    if len(totals) > max_shards:
+        raise ValueError(
+            f"corpus_offsets: more than {max_shards} distinct "
+            f"{shard_col!r} values — shard ids are a bounded layout "
+            "key; raise max_shards only if the cardinality is "
+            "genuinely bounded"
+        )
+    # NULL shard first, matching the ASC NULLS FIRST window order below
+    totals.sort(key=lambda r: (r["__s"] is not None, r["__s"]))
+    base_pos_col = _fresh_name("__base_pos", df.columns)
+    base_tok_col = _fresh_name("__base_tok", df.columns)
+    shard_key = _fresh_name("__shard_key", df.columns)
+    bases, cpos, ctok = [], 0, 0
+    for r in totals:
+        row = {shard_key: r["__s"], base_pos_col: cpos}
+        cpos += r["__n"]
+        if tok0 is not None:
+            row[base_tok_col] = ctok
+            ctok += int(r["__t"] or 0)
+        bases.append(row)
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [
+        StructField(shard_key, df.schema[shard_col].dataType, True),
+        StructField(base_pos_col, LongType(), False),
+    ]
+    if tok0 is not None:
+        fields.append(StructField(base_tok_col, LongType(), False))
+    base_df = spark.createDataFrame(
+        [tuple(b[f.name] for f in fields) for b in bases],
+        StructType(fields),
+    )
+
+    # pass 2: per-shard windows on top of the broadcast bases
+    w = Window.partitionBy(F.col(shard_col)).orderBy(*order)
+    joined = df.join(
+        F.broadcast(base_df),
+        F.col(shard_col).eqNullSafe(F.col(shard_key)),
+        "left",
+    ).drop(shard_key)
+    out = joined.withColumn(
+        pos_col,
+        (F.col(base_pos_col) + F.row_number().over(w) - 1).cast("long"),
+    )
+    if tok0 is not None:
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            offset_col,
+            (F.col(base_tok_col) + F.sum(tok0).over(wf) - tok0).cast("long"),
+        )
+    return out.drop(base_pos_col, base_tok_col)

@@ -66,6 +66,20 @@ def _op_exact_dedup(spark, inp, options):
     )
 
 
+def _op_dup_weights(spark, inp, options):
+    from .dedup import dup_weights
+
+    count_col = options.get("count_col", "dup_count")
+    return dup_weights(
+        inp,
+        options.get("columns", ["text"]),
+        alpha=float(options.get("alpha", 1.0)),
+        weight_col=options.get("weight_col", "dup_weight"),
+        count_col=count_col if count_col not in (None, "") else None,
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_minhash_bands(spark, inp, options):
     from .dedup import minhash_bands
 
@@ -687,6 +701,26 @@ def _op_shuffle_corpus(spark, inp, options):
     )
 
 
+def _op_corpus_offsets(spark, inp, options):
+    from .mixing import corpus_offsets
+
+    order_cols = options.get("order_cols", ["shuffle_key", "doc_id"])
+    if isinstance(order_cols, str):
+        order_cols = [c.strip() for c in order_cols.split(",") if c.strip()]
+    kwargs = {}
+    if "max_shards" in options:
+        kwargs["max_shards"] = int(options["max_shards"])
+    return corpus_offsets(
+        inp,
+        order_cols,
+        shard_col=options.get("shard_col"),
+        token_col=options.get("token_col"),
+        pos_col=options.get("pos_col", "global_pos"),
+        offset_col=options.get("offset_col", "token_start"),
+        **kwargs,
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1219,6 +1253,7 @@ def _op_domain_cap(spark, inp, options):
 
 OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "exact_dedup": _op_exact_dedup,
+    "dup_weights": _op_dup_weights,
     "minhash_bands": _op_minhash_bands,
     "minhash_pairs": _op_minhash_pairs,
     "fuzzy_dedup": _op_fuzzy_dedup,
@@ -1251,6 +1286,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "temperature_mix": _op_temperature_mix,
     "pack_shards": _op_pack_shards,
     "shuffle_corpus": _op_shuffle_corpus,
+    "corpus_offsets": _op_corpus_offsets,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "op_oov_rate",
     "op_quantized_topk",
     "op_bm25",
+    "op_shuffle_corpus",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]
