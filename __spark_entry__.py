@@ -3419,6 +3419,68 @@ def _op_redact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(injected)
 
 
+# Luhn-validated card redaction (operators/text.py::luhn_cards): the
+# gate plants (by doc_id % 4) a bare valid card, a space-separated
+# valid card, a checksum-broken candidate, or nothing, so detection,
+# validation AND the false-positive counter all carry signal.  The
+# oracle reimplements the full pipeline — candidate regex, per-digit
+# Luhn fold, literal-replace redaction — in DuckDB lambdas.
+OP_LUHN_CARDS_DUCK = r"""
+WITH planted AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' pay 4111111111111111 now'
+           WHEN 1 THEN ' card 5500 0055 5555 5559 ok'
+           WHEN 2 THEN ' ref 4111111111111112 x'
+           ELSE '' END) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b') AS cands
+  FROM planted
+), v AS (
+  SELECT doc_id, t, cands,
+         list_filter(cands, cc ->
+           length(replace(replace(cc, ' ', ''), '-', '')) BETWEEN 13 AND 19
+           AND list_sum(list_transform(
+                 range(1, length(replace(replace(cc, ' ', ''), '-', '')) + 1),
+                 i -> CASE WHEN (length(replace(replace(cc, ' ', ''), '-', '')) - i) % 2 = 1
+                      THEN CASE WHEN 2 * (ascii(substr(replace(replace(cc, ' ', ''), '-', ''), i, 1)) - 48) > 9
+                           THEN 2 * (ascii(substr(replace(replace(cc, ' ', ''), '-', ''), i, 1)) - 48) - 9
+                           ELSE 2 * (ascii(substr(replace(replace(cc, ' ', ''), '-', ''), i, 1)) - 48) END
+                      ELSE ascii(substr(replace(replace(cc, ' ', ''), '-', ''), i, 1)) - 48 END
+               )) % 10 = 0
+         ) AS valid
+  FROM c
+)
+SELECT doc_id,
+       list_reduce(list_concat([t], valid),
+                   (acc, x) -> replace(acc, x, '[CARD]')) AS redacted,
+       CAST(len(valid) AS BIGINT) AS n_cards,
+       CAST(len(cands) AS BIGINT) AS n_candidates
+FROM v
+"""
+
+
+def _op_luhn_cards_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card redaction (operators/text.py::luhn_cards) —
+    exact redacted text + valid/candidate counts."""
+    from aqueducts_spark.operators.text import luhn_cards
+
+    _views(spark, sf_dir)
+    planted = spark.table("documents").select(
+        "doc_id",
+        F.expr(
+            "concat(coalesce(text, ''), CASE CAST(doc_id % 4 AS INT)"
+            " WHEN 0 THEN ' pay 4111111111111111 now'"
+            " WHEN 1 THEN ' card 5500 0055 5555 5559 ok'"
+            " WHEN 2 THEN ' ref 4111111111111112 x'"
+            " ELSE '' END)"
+        ).alias("text"),
+    )
+    return luhn_cards(planted)
+
+
 # fixed-budget stratified sampling (operators/sampling.py::
 # stratified_fixed_n): exactly n per stratum by deterministic md5 rank.
 OP_FIXED_N_DUCK = """
@@ -4380,6 +4442,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_shuffle_corpus": _op_shuffle_corpus_gate,
         "op_corpus_offsets": _op_corpus_offsets_gate,
         "op_dup_weights": _op_dup_weights_gate,
+        "op_luhn_cards": _op_luhn_cards_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
         "op_fuzzy_dedup": _op_fuzzy_dedup,
@@ -4537,6 +4600,7 @@ _GATE_PRIORITY = [
     "op_shuffle_corpus",
     "op_corpus_offsets",
     "op_dup_weights",
+    "op_luhn_cards",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -4685,6 +4749,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_shuffle_corpus": OP_SHUFFLE_CORPUS_DUCK,
         "op_corpus_offsets": OP_CORPUS_OFFSETS_DUCK,
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
+        "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,

@@ -721,6 +721,21 @@ def _op_corpus_offsets(spark, inp, options):
     )
 
 
+def _op_luhn_cards(spark, inp, options):
+    from .text import luhn_cards
+
+    keep = options.get("keep_cols")
+    if isinstance(keep, str):
+        keep = [c.strip() for c in keep.split(",") if c.strip()]
+    return luhn_cards(
+        inp,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        tag=options.get("tag", "[CARD]"),
+        keep_cols=keep,
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1297,6 +1312,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "rrf_fuse": _op_rrf_fuse,
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
+    "luhn_cards": _op_luhn_cards,
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,
     "normalize_text": _op_normalize_text,
