@@ -45,6 +45,7 @@ def test_examples_exist():
         "hybrid_retrieval.yml",
         "quality_funnel.yml",
         "tokenizer_fit.yml",
+        "corpus_layout.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
