@@ -331,6 +331,12 @@ def dup_weights(
     if alpha < 0:
         raise ValueError(f"dup_weights: alpha must be >= 0, got {alpha}")
     out_names = [weight_col] + ([count_col] if count_col is not None else [])
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            "dup_weights: weight_col and count_col must differ "
+            f"(both {weight_col!r}) — identical names would silently "
+            "overwrite the weight with the count"
+        )
     clashes = [c for c in out_names if c in df.columns]
     if clashes:
         raise ValueError(

@@ -311,6 +311,12 @@ def shuffle_corpus(
             f"shuffle_corpus: n_shards must be >= 1, got {n_shards}"
         )
     out_names = [key_col] + ([shard_col] if n_shards is not None else [])
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            "shuffle_corpus: key_col and shard_col must differ "
+            f"(both {key_col!r}) — identical names would silently "
+            "overwrite the shuffle key and produce an UNshuffled corpus"
+        )
     clashes = [c for c in out_names if c in df.columns]
     if clashes:
         raise ValueError(
@@ -364,10 +370,17 @@ def corpus_offsets(
       OUTPUT is one row per shard, collected and prefix-summed on the
       driver (bounded by ``max_shards``, enforced), then broadcast
       back; (2) per-shard windows add ``row_number`` / an exclusive
-      ROWS-frame running sum on top of the shard's base.  Both passes
-      shuffle on the shard key only, so the plan reuses one exchange;
-      no global sort, no single-task window, no driver row traffic
-      beyond the shard-totals table.
+      ROWS-frame running sum on top of the shard's base.  A prefix sum
+      is inherently two passes over the input — pass 1 executes
+      ``df``'s lineage eagerly (the collect), pass 2 executes it again
+      under the window.  Pass 1 is column-pruned to ``(shard_col,
+      token_col)`` and map-side combined, so on the intended input — a
+      materialized sharded corpus — it is a slim columnar scan; but if
+      ``df`` carries an expensive unmaterialized lineage (regex scrubs,
+      joins), persist or write it first, exactly as
+      :func:`temperature_weights` advises.  No global sort, no
+      single-task window, no driver row traffic beyond the
+      shard-totals table.
 
     Output: input columns + ``pos_col`` (0-based BIGINT over the whole
     corpus) and, iff ``token_col`` is given, ``offset_col`` (exclusive
@@ -381,6 +394,11 @@ def corpus_offsets(
     if not order_cols:
         raise ValueError("corpus_offsets: order_cols must be non-empty")
     out_names = [pos_col] + ([offset_col] if token_col is not None else [])
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            "corpus_offsets: pos_col and offset_col must differ "
+            f"(both {pos_col!r})"
+        )
     clashes = [c for c in out_names if c in df.columns]
     if clashes:
         raise ValueError(

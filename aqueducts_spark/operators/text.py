@@ -351,12 +351,13 @@ def redact_pii(
 CARD_CANDIDATE_RE = r"\b\d(?:[ -]?\d){12,18}\b"
 
 
-def _luhn_valid_sql(cand: str) -> str:
-    """Spark-SQL boolean: ``cand`` (a digit string with optional
-    space/dash separators) passes the Luhn mod-10 check.  Pure
+def _luhn_valid_sql(digits: str) -> str:
+    """Spark-SQL boolean: ``digits`` (a separator-free digit string,
+    already stripped — bind it ONCE via a struct field so the strip is
+    not re-evaluated per digit) passes the Luhn mod-10 check.  Pure
     expression - sequence/transform/aggregate higher-order functions,
     digit doubling by position-from-right parity."""
-    d = f"replace(replace({cand}, ' ', ''), '-', '')"
+    d = digits
     digit = f"(ascii(substr({d}, i, 1)) - 48)"
     contrib = (
         f"CASE WHEN (length({d}) - i) % 2 = 1 "
@@ -399,33 +400,56 @@ def luhn_cards(
 
     Zero shuffle: one map stage of whole-stage-codegen expressions
     pipelined into the scan, like :func:`redact_pii`; the Luhn
-    aggregate is over <= 19 elements per candidate.  All constructs sit
-    in the Java-and-RE2 / shared-SQL subset, so a DuckDB oracle
-    reproduces every byte and count exactly.
+    aggregate is over <= 19 elements per candidate.  The candidate
+    scan and the Luhn filter are STAGED into named intermediate
+    columns so each is evaluated once per row, not re-inlined into
+    every output column (the op_url_blocklist lesson, SCALE.md r09);
+    the separator strip is bound once per candidate via a struct
+    field, not re-evaluated per digit.  All constructs sit in the
+    Java-and-RE2 / shared-SQL subset, so a DuckDB oracle reproduces
+    every byte and count exactly.
     """
     if not tag:
         raise ValueError("luhn_cards: tag must be non-empty")
-    taken = set(df.columns)
-    for out_name in ("redacted", "n_cards", "n_candidates"):
-        if out_name in taken and out_name not in (keep_cols or []):
-            raise ValueError(
-                f"luhn_cards: output column {out_name!r} already exists "
-                "on the input"
-            )
+    clashes = [
+        c for c in ("redacted", "n_cards", "n_candidates") if c in df.columns
+    ]
+    if clashes:
+        # no keep_cols exemption: keeping a column under an output name
+        # would emit duplicate column names, which poisons every
+        # downstream by-name reference
+        raise ValueError(
+            f"luhn_cards: output column(s) {clashes} already exist on "
+            "the input"
+        )
+    from .sampling import _fresh_name
+
     pat_sql = CARD_CANDIDATE_RE.replace("\\", "\\\\").replace("'", "''")
-    tag_sql = tag.replace("'", "''")
+    tag_sql = tag.replace("\\", "\\\\").replace("'", "''")
     t = f"coalesce({text_col}, '')"
+    cands_col = _fresh_name("__cands", df.columns)
+    valid_col = _fresh_name("__valid", df.columns)
     cands = f"regexp_extract_all({t}, '{pat_sql}', 0)"
-    valid = f"filter({cands}, c -> {_luhn_valid_sql('c')})"
-    redacted = (
-        f"aggregate({valid}, {t}, (acc, c) -> replace(acc, c, '{tag_sql}'))"
+    # bind the stripped digit string once per candidate (struct field),
+    # then filter on it — the Luhn lambda references s.d up to ~19
+    # times and must not re-strip each time
+    valid = (
+        f"transform(filter(transform({cands_col}, "
+        f"c -> named_struct('c', c, 'd', replace(replace(c, ' ', ''), '-', ''))), "
+        f"s -> {_luhn_valid_sql('s.d')}), s -> s.c)"
     )
-    return df.select(
+    redacted = (
+        f"aggregate({valid_col}, {t}, (acc, c) -> replace(acc, c, '{tag_sql}'))"
+    )
+    staged = df.withColumn(cands_col, F.expr(cands)).withColumn(
+        valid_col, F.expr(valid)
+    )
+    return staged.select(
         F.col(id_col),
         *[F.col(c) for c in (keep_cols or [])],
         F.expr(redacted).alias("redacted"),
-        F.expr(f"CAST(size({valid}) AS BIGINT)").alias("n_cards"),
-        F.expr(f"CAST(size({cands}) AS BIGINT)").alias("n_candidates"),
+        F.expr(f"CAST(size({valid_col}) AS BIGINT)").alias("n_cards"),
+        F.expr(f"CAST(size({cands_col}) AS BIGINT)").alias("n_candidates"),
     )
 
 

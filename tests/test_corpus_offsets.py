@@ -82,6 +82,10 @@ def test_offsets_validation(spark):
         corpus_offsets(
             sharded, ["doc_id"], shard_col="shard_id", max_shards=2
         )
+    # self-collision: identical output names would silently clobber
+    with pytest.raises(ValueError, match="must differ"):
+        corpus_offsets(df, ["doc_id"], token_col="n_tok",
+                       pos_col="p", offset_col="p")
 
 
 def test_sharded_plan_has_no_global_sort_or_python(spark):
@@ -132,6 +136,8 @@ def test_dup_weights_alpha_and_options(spark):
         dup_weights(df, ["text"], alpha=-1)
     with pytest.raises(ValueError, match="already exist"):
         dup_weights(df.withColumnRenamed("id", "dup_weight"), ["text"])
+    with pytest.raises(ValueError, match="must differ"):
+        dup_weights(df, ["text"], weight_col="w", count_col="w")
 
 
 def test_dup_weights_null_sentinel_distinct_from_literal_N(spark):

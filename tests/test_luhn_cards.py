@@ -104,6 +104,13 @@ def test_options_and_validation(spark):
         luhn_cards(df, tag="")
     with pytest.raises(ValueError, match="already exist"):
         luhn_cards(df.withColumnRenamed("lang", "n_cards"))
+    # no keep_cols exemption: keeping an input column under an output
+    # name would emit duplicate column names
+    with pytest.raises(ValueError, match="already exist"):
+        luhn_cards(df.withColumnRenamed("lang", "n_cards"), keep_cols=["n_cards"])
+    # backslashes in the tag survive the SQL-literal round trip
+    out = luhn_cards(df, tag=r"\PAN\8").collect()[0]
+    assert out.redacted == r"pay \PAN\8"
 
 
 def test_zero_shuffle_plan(spark):

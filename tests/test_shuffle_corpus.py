@@ -74,6 +74,10 @@ def test_output_collision_and_bad_args_rejected(spark):
         shuffle_corpus(_docs(spark, 5), n_shards=0)
     with pytest.raises(ValueError, match="hash_fn"):
         shuffle_corpus(_docs(spark, 5), hash_fn="sha1")
+    # key_col == shard_col would overwrite the shuffle key and emit an
+    # UNshuffled corpus — rejected
+    with pytest.raises(ValueError, match="must differ"):
+        shuffle_corpus(_docs(spark, 5), n_shards=2, key_col="k", shard_col="k")
 
 
 def test_xxhash64_fast_path_is_deterministic(spark):
