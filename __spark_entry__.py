@@ -3481,6 +3481,53 @@ def _op_luhn_cards_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luhn_cards(planted)
 
 
+# BPE trainer iteration (operators/text.py::bpe_pair_counts): pair
+# frequencies over the word table after two learned merges.  The
+# oracle replays the same greedy whole-symbol fold via DuckDB
+# list_reduce (its implicit first-element init IS the fold's init) —
+# exact BIGINT counts, and the (th,e) merge only fires on whole
+# symbols, never inside a previously-merged one.
+OP_BPE_PAIRS_DUCK = r"""
+WITH toks AS (
+  SELECT w.word FROM documents,
+    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS w(word)
+), words AS (
+  SELECT replace(word, chr(31), '') AS word, COUNT(*) AS n FROM toks GROUP BY 1
+), init AS (
+  SELECT list_append(list_transform(range(1, length(word)+1), i -> substr(word, i, 1)), '</w>') AS p, n
+  FROM words WHERE length(word) > 0
+), m1 AS (
+  SELECT string_split(list_reduce(p, (acc, x) -> CASE
+    WHEN x = 'h' AND (acc = 't' OR substr(acc, length(acc) - length('t'), length('t') + 1) = chr(31) || 't')
+    THEN substr(acc, 1, length(acc) - length('t')) || 'th'
+    ELSE acc || chr(31) || x END), chr(31)) AS p, n
+  FROM init
+), m2 AS (
+  SELECT string_split(list_reduce(p, (acc, x) -> CASE
+    WHEN x = 'e' AND (acc = 'th' OR substr(acc, length(acc) - length('th'), length('th') + 1) = chr(31) || 'th')
+    THEN substr(acc, 1, length(acc) - length('th')) || 'the'
+    ELSE acc || chr(31) || x END), chr(31)) AS p, n
+  FROM m1
+), pairs AS (
+  SELECT p[i] AS sym_left, p[i+1] AS sym_right, n
+  FROM m2, unnest(range(1, len(p))) AS u(i)
+)
+SELECT sym_left, sym_right, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def _op_bpe_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair counts after two merges (operators/text.py::
+    bpe_pair_counts) — exact pair-frequency oracle."""
+    from aqueducts_spark.operators.text import bpe_pair_counts
+
+    _views(spark, sf_dir)
+    return bpe_pair_counts(
+        spark.table("documents"), merges=[("t", "h"), ("th", "e")]
+    )
+
+
 # fixed-budget stratified sampling (operators/sampling.py::
 # stratified_fixed_n): exactly n per stratum by deterministic md5 rank.
 OP_FIXED_N_DUCK = """
@@ -4443,6 +4490,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_corpus_offsets": _op_corpus_offsets_gate,
         "op_dup_weights": _op_dup_weights_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
+        "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
         "op_fuzzy_dedup": _op_fuzzy_dedup,
@@ -4601,6 +4649,7 @@ _GATE_PRIORITY = [
     "op_corpus_offsets",
     "op_dup_weights",
     "op_luhn_cards",
+    "op_bpe_pairs",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -4750,6 +4799,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_corpus_offsets": OP_CORPUS_OFFSETS_DUCK,
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
+        "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,

@@ -736,6 +736,22 @@ def _op_luhn_cards(spark, inp, options):
     )
 
 
+def _op_bpe_pairs(spark, inp, options):
+    from .text import bpe_pair_counts
+
+    merges = options.get("merges") or []
+    end_marker = options.get("end_marker", "</w>")
+    if end_marker in ("", None, "none", "null"):
+        end_marker = None
+    return bpe_pair_counts(
+        inp,
+        text_col=options.get("text_col", "text"),
+        merges=[tuple(m) for m in merges],
+        end_marker=end_marker,
+        min_count=int(options.get("min_count", 1)),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1313,6 +1329,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
     "luhn_cards": _op_luhn_cards,
+    "bpe_pairs": _op_bpe_pairs,
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,
     "normalize_text": _op_normalize_text,

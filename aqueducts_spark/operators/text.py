@@ -22,6 +22,8 @@ __all__ = [
     "repetition_features",
     "PII_PATTERNS",
     "luhn_cards",
+    "bpe_pair_counts",
+    "train_bpe",
     "gopher_rules",
     "GOPHER_STOPWORDS",
     "c4_rules",
@@ -451,6 +453,230 @@ def luhn_cards(
         F.expr(f"CAST(size({valid_col}) AS BIGINT)").alias("n_cards"),
         F.expr(f"CAST(size({cands_col}) AS BIGINT)").alias("n_candidates"),
     )
+
+
+_BPE_SEP = "\x1f"
+
+
+def _bpe_word_counts(df: DataFrame, text_col: str, min_count: int):
+    """Distributed corpus -> bounded word-count table: the ONE pass
+    over the full corpus in BPE training (everything after operates on
+    distinct words).  Words are normalized tokens with the ``\\x1f``
+    symbol separator stripped (it is this module's reserved symbol
+    delimiter) and empties dropped."""
+    words = (
+        ensure_parallelism(df)
+        .select(F.explode(normalized_tokens(F.col(text_col))).alias("word"))
+        .select(F.translate(F.col("word"), _BPE_SEP, "").alias("word"))
+        .where(F.length("word") > 0)
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("__n"))
+    if min_count > 1:
+        wc = wc.where(F.col("__n") >= min_count)
+    return wc
+
+
+def _bpe_validate(merges, end_marker, min_count):
+    merges = [tuple(m) for m in (merges or [])]
+    for m in merges:
+        if len(m) != 2 or not m[0] or not m[1] or _BPE_SEP in m[0] + m[1]:
+            raise ValueError(
+                f"bpe: each merge must be a (left, right) pair of "
+                f"non-empty symbols without \\x1f, got {m!r}"
+            )
+    if end_marker is not None and (not end_marker or _BPE_SEP in end_marker):
+        raise ValueError("bpe: end_marker must be non-empty without \\x1f")
+    if min_count < 1:
+        raise ValueError(f"bpe: min_count must be >= 1, got {min_count}")
+    return merges
+
+
+def _bpe_merge_fold(parts, a: str, b: str):
+    """Apply ONE merge rule (a, b) to a symbol array via the greedy
+    left-to-right fold, returning the merged ``\\x1f``-joined string.
+
+    The fold's acc is the joined-so-far string; a step merges iff the
+    incoming symbol equals ``b`` AND acc's LAST WHOLE symbol equals
+    ``a`` — checked as ``acc == a`` (first symbol) or a
+    separator-anchored suffix match (symbols never contain the
+    separator, so ``…␟a`` at the end identifies the full last symbol;
+    out-of-range substr starts can never produce a ␟-prefixed string,
+    so no false positives).  DuckDB's ``list_reduce`` reproduces this
+    exactly: its implicit first-element init IS this fold's init."""
+    la = F.length(F.lit(a))
+    sep_a = F.lit(_BPE_SEP + a)
+
+    def step(acc, x):
+        last_is_a = (acc == F.lit(a)) | (
+            acc.substr(F.length(acc) - la, la + F.lit(1)) == sep_a
+        )
+        merged = F.concat(
+            acc.substr(F.lit(1), F.length(acc) - la), F.lit(a + b)
+        )
+        return F.when((x == F.lit(b)) & last_is_a, merged).otherwise(
+            F.concat(acc, F.lit(_BPE_SEP), x)
+        )
+
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.aggregate(rest, F.element_at(parts, 1), step)
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list | None = None,
+    end_marker: str | None = "</w>",
+    min_count: int = 1,
+) -> DataFrame:
+    """One iteration of BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): adjacent-symbol pair frequencies over the corpus
+    word table, AFTER applying the ``merges`` learned so far.  The
+    argmax pair of each call is the next merge rule; iterating this is
+    the whole trainer (:func:`train_bpe` wraps the loop).
+
+    Each word starts as its characters plus ``end_marker`` as a final
+    symbol (the paper's word-boundary marker — merges then cannot cross
+    words; pass ``None`` to disable).  Merges apply in order, each as a
+    left-to-right greedy fold over WHOLE symbols (``aggregate`` /
+    DuckDB ``list_reduce`` — the implicit first-element init of
+    list_reduce is exactly this fold's init).  A flat string
+    ``replace`` would be wrong here: it can match the SUFFIX of a
+    multi-char symbol (after merge (a,b) creates "ab", rule (b,c)
+    must NOT fire inside "ab␟c"), so the fold compares full symbols
+    via the separator-anchored suffix check.  Identical greedy
+    semantics in Spark, DuckDB and :func:`train_bpe`'s Python loop —
+    the whole iteration is engine-exact.
+
+    Output: ``sym_left, sym_right, pair_count`` (BIGINT; a pair
+    repeated inside one word counts once per occurrence, weighted by
+    the word's corpus frequency).
+
+    Scale shape: ONE pass over the corpus (explode -> map-side-combined
+    word count, one shuffle on uniform word keys); everything after —
+    symbol split, merge replays, pair explode, pair count — runs on the
+    BOUNDED distinct-word table (tiny vs the corpus), so 100 iterations
+    cost 100 passes over the word table, not the corpus.  Re-invoke on
+    a persisted/written word table upstream if ``df``'s lineage is
+    expensive (the module's :func:`temperature_weights` discipline).
+    Expression depth grows linearly with ``len(merges)`` (one fold
+    layer per rule) — fine for auditing tens of merges; a full trainer
+    should use :func:`train_bpe`'s driver loop, which collects the
+    word table once and never builds these expressions.
+    """
+    merges = _bpe_validate(merges, end_marker, min_count)
+    wc = _bpe_word_counts(df, text_col, min_count)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    init = chars
+    if end_marker is not None:
+        init = F.concat(init, F.array(F.lit(end_marker)))
+    # STAGE each merge layer into a named column: the fold references
+    # its input array ~3x (slice/element_at/size), so inlining would
+    # duplicate the previous layer's tree 3x per rule — exponential in
+    # len(merges) (measured: 8 inlined layers cost minutes of
+    # analysis/codegen; staged, milliseconds).  Same lesson as
+    # luhn_cards / op_url_blocklist.
+    syms_col = "__syms"
+    while syms_col in wc.columns:
+        syms_col = "_" + syms_col
+    staged = wc.withColumn(syms_col, init)
+    for a, b in merges:
+        staged = staged.withColumn(
+            syms_col,
+            F.split(_bpe_merge_fold(F.col(syms_col), a, b), _BPE_SEP),
+        )
+    wc = staged
+    parts = F.col(syms_col)
+    # guard: Spark sequence(1, 0) is a DESCENDING [1, 0], not empty —
+    # a single-symbol word (end_marker=None, fully-merged word) must
+    # yield zero pairs, not an element_at(0) error
+    idxs = F.when(
+        F.size(parts) >= 2, F.sequence(F.lit(1), F.size(parts) - 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    pair = F.explode(
+        F.transform(
+            idxs,
+            lambda i: F.struct(
+                F.element_at(parts, i).alias("l"),
+                F.element_at(parts, i + 1).alias("r"),
+            ),
+        )
+    )
+    return (
+        wc.select(F.col("__n"), pair.alias("p"))
+        .groupBy(
+            F.col("p.l").alias("sym_left"), F.col("p.r").alias("sym_right")
+        )
+        .agg(F.sum("__n").cast("long").alias("pair_count"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    end_marker: str | None = "</w>",
+    min_count: int = 1,
+    max_words: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Full BPE merge-table training: the distributed part is the ONE
+    corpus pass that reduces 100 TB of text to the bounded distinct
+    word-count table; the merge loop then runs driver-side over that
+    table (the paper's algorithm is inherently sequential in the merge
+    ordering — each rule depends on the previous — and the word table
+    is the classic driver-bounded artifact, like
+    :func:`temperature_weights`' size table).  ``max_words`` fails fast
+    if the vocabulary is unexpectedly unbounded (raise it only when the
+    driver genuinely has the memory; use ``min_count`` to cut the
+    long tail first — frequency-1 words rarely influence merges).
+
+    Deterministic: ties on pair count break by lexicographic
+    ``(left, right)``, so the merge table is a pure function of the
+    corpus.  Each iteration's pair counts are bit-identical to
+    ``bpe_pair_counts(df, merges=<learned so far>)`` (pinned by test).
+
+    Returns the ordered merge list — feed it back to
+    :func:`bpe_pair_counts` (or an external tokenizer) as ``merges``.
+    """
+    merges = _bpe_validate(None, end_marker, min_count)
+    if n_merges < 0:
+        raise ValueError(f"train_bpe: n_merges must be >= 0, got {n_merges}")
+    rows = (
+        _bpe_word_counts(df, text_col, min_count)
+        .limit(max_words + 1)
+        .collect()
+    )
+    if len(rows) > max_words:
+        raise ValueError(
+            f"train_bpe: more than {max_words} distinct words — raise "
+            "max_words or min_count"
+        )
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]) + ([end_marker] if end_marker is not None else []), r["__n"])
+        for r in rows
+    ]
+    out: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append(best)
+        a, b = best
+        for syms, _n in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+    return out
 
 
 def strip_markup(
