@@ -872,6 +872,55 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
 """
 
+# fuzzy decontamination (operators/decontam.py::minhash_overlap):
+# LSH-banded candidates between the corpus and a planted benchmark
+# slice (doc_id % 17 = 0), each verified by exact distinct-shingle
+# Jaccard.  The oracle reuses the op_minhash band CTE for both sides
+# and replays the verification relationally — exact ids + 4dp jaccard.
+OP_FUZZY_DECONTAM_DUCK = _DUCK_BANDS + """,
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE b.doc_id % 17 = 0
+),
+ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+),
+exf AS (SELECT doc_id, s FROM ex WHERE s != ''),
+sizes AS (
+  SELECT doc_id, len(list_filter(sh, x -> x != '')) AS sz FROM shingled
+),
+inter AS (
+  SELECT c.doc_id, c.bench_id, COUNT(*) AS i
+  FROM cand c
+  JOIN exf a ON a.doc_id = c.doc_id
+  JOIN exf b ON b.doc_id = c.bench_id AND b.s = a.s
+  GROUP BY c.doc_id, c.bench_id
+)
+SELECT i.doc_id, i.bench_id,
+       ROUND(i.i / (sa.sz + sb.sz - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id
+JOIN sizes sb ON sb.doc_id = i.bench_id
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+"""
+
+
+def _op_fuzzy_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination candidates + exact-Jaccard verification
+    (operators/decontam.py::minhash_overlap) against a planted
+    benchmark slice."""
+    from aqueducts_spark.operators.decontam import minhash_overlap
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    return minhash_overlap(docs, bench, threshold=0.5).select(
+        "doc_id", "bench_id", "jaccard"
+    )
+
+
 # salted join == plain join (skew mitigation must not change results)
 OP_SALTED_JOIN_DUCK = """
 SELECT o.o_orderkey, o.o_custkey, c.c_name
@@ -4491,6 +4540,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_dup_weights": _op_dup_weights_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
+        "op_fuzzy_decontam": _op_fuzzy_decontam_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
         "op_fuzzy_dedup": _op_fuzzy_dedup,
@@ -4650,6 +4700,7 @@ _GATE_PRIORITY = [
     "op_dup_weights",
     "op_luhn_cards",
     "op_bpe_pairs",
+    "op_fuzzy_decontam",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -4800,6 +4851,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
+        "op_fuzzy_decontam": OP_FUZZY_DECONTAM_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from .dedup import ensure_parallelism, word_shingles
 
-__all__ = ["benchmark_ngrams", "ngram_overlap", "decontaminate"]
+__all__ = [
+    "benchmark_ngrams",
+    "ngram_overlap",
+    "decontaminate",
+    "minhash_overlap",
+    "fuzzy_decontaminate",
+]
 
 
 def benchmark_ngrams(
@@ -102,3 +108,135 @@ def decontaminate(
     # and this removal follows that same granularity.
     cond = corpus[id_col].eqNullSafe(flagged[id_col])
     return corpus.join(F.broadcast(flagged), cond, "left_anti")
+
+
+def minhash_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """FUZZY train-vs-benchmark overlap (the GPT-3-style companion to
+    exact :func:`ngram_overlap`): near-duplicate flags survive
+    paraphrase-level edits that break exact 13-gram matching.  MinHash
+    LSH banding proposes candidate (corpus doc, benchmark doc) pairs;
+    each candidate is then verified by EXACT shingle-set Jaccard, and
+    pairs at or above ``threshold`` are returned as
+    ``(id, bench_id, jaccard)`` (4dp, set semantics matching what the
+    MinHash estimates).
+
+    Scale shape (100 TB corpus, MB-GB benchmark): every benchmark-side
+    relation — its band table, its shingle set, the candidate-pair
+    list — is small by construction, so every join the corpus touches
+    is a BROADCAST join and the corpus never shuffles for them; the
+    only shuffles are the corpus's own minhash signature aggregation
+    and the candidate-bounded intersection count (volume = the
+    contamination, near-zero on a clean corpus).  Corpus docs with
+    NULL ids never match a band join and are never flagged — give
+    rows unique ids upstream.
+    """
+    from .dedup import minhash_bands, word_shingles
+
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"minhash_overlap: threshold must be in (0, 1], got {threshold}"
+        )
+    bench_text_col = bench_text_col if bench_text_col is not None else text_col
+    bid = "__bench_id"
+    while bid in corpus.columns or bid == id_col:
+        bid = "_" + bid
+    bench = benchmark.select(
+        F.col(bench_id_col).alias(bid), F.col(bench_text_col).alias("__btext")
+    )
+    cb = minhash_bands(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    )
+    bb = minhash_bands(
+        bench, bid, "__btext", num_hashes, bands, shingle_n, hash_fn
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "band_hash"])
+        .select(id_col, bid)
+        .distinct()
+    )
+    # exact verification of the candidates only: restrict the corpus to
+    # candidate docs (broadcast semi join — the candidate id list is
+    # bounded by banding collisions), then count shared DISTINCT
+    # shingles against the broadcast benchmark shingle table
+    cand_ids = cand.select(id_col).distinct()
+    cs = (
+        corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+        )
+        .where(F.col("__s") != "")
+    )
+    bs = bench.select(
+        F.col(bid),
+        F.explode(word_shingles(F.col("__btext"), shingle_n)).alias("__s"),
+    ).where(F.col("__s") != "")
+    size_a = cs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size_a"))
+    size_b = bs.groupBy(bid).agg(F.count(F.lit(1)).alias("__size_b"))
+    inter = (
+        cs.join(F.broadcast(bs), "__s")
+        .groupBy(id_col, bid)
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .join(F.broadcast(cand), [id_col, bid], "left_semi")
+    )
+    jacc = F.col("__inter") / (
+        F.col("__size_a") + F.col("__size_b") - F.col("__inter")
+    )
+    return (
+        inter.join(size_a, id_col)
+        .join(F.broadcast(size_b), bid)
+        .withColumn("__j", jacc)
+        .where(F.col("__j") >= threshold)
+        .select(
+            F.col(id_col),
+            F.col(bid).alias("bench_id"),
+            F.round("__j", 4).alias("jaccard"),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Drop every corpus row :func:`minhash_overlap` flags at or above
+    ``threshold`` — the fuzzy sibling of :func:`decontaminate`.  The
+    flagged id set is contamination-sized, so the removal is a
+    broadcast anti-join (corpus side never shuffles); corpus rows with
+    NULL ids are never flagged and are kept."""
+    flagged = minhash_overlap(
+        corpus,
+        benchmark,
+        id_col=id_col,
+        bench_id_col=bench_id_col,
+        text_col=text_col,
+        bench_text_col=bench_text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    ).select(id_col).distinct()
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+

@@ -1,0 +1,137 @@
+"""Fuzzy benchmark decontamination (operators/decontam.py::
+minhash_overlap, fuzzy_decontaminate)."""
+
+import pytest
+
+from aqueducts_spark.operators.decontam import (
+    fuzzy_decontaminate,
+    minhash_overlap,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again in the "
+    "park before noon while the children watch from the old wooden bench"
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),                                   # exact benchmark copy
+            (2, BASE.replace("lazy", "sleepy")),          # near-dup (1 token)
+            (3, "completely different text about spark distributed compute"),
+            (4, None),                                    # NULL text
+            (5, ""),                                      # empty text
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, BASE)], "bench_key long, body string"
+    )
+
+
+def test_flags_exact_and_near_duplicates_with_exact_jaccard(spark):
+    flags = {
+        r.doc_id: (r.bench_id, r.jaccard)
+        for r in minhash_overlap(
+            _corpus(spark), _bench(spark),
+            bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+        ).collect()
+    }
+    assert flags[1] == (100, 1.0)
+    bench_id, j = flags[2]
+    assert bench_id == 100 and 0.5 <= j < 1.0
+    assert 3 not in flags and 4 not in flags and 5 not in flags
+
+
+def test_threshold_gates_verified_pairs(spark):
+    # at threshold just above doc 2's true jaccard only the exact copy
+    # survives verification, even though LSH proposed both
+    low = minhash_overlap(
+        _corpus(spark), _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+    )
+    j2 = [r.jaccard for r in low.collect() if r.doc_id == 2][0]
+    high = minhash_overlap(
+        _corpus(spark), _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body",
+        threshold=min(j2 + 0.01, 1.0),
+    ).collect()
+    assert {r.doc_id for r in high} == {1}
+
+
+def test_fuzzy_decontaminate_drops_flagged_keeps_rest(spark):
+    kept = fuzzy_decontaminate(
+        _corpus(spark), _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == [3, 4, 5]
+
+
+def test_null_id_rows_are_kept(spark):
+    corpus = spark.createDataFrame(
+        [(None, BASE), (3, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    kept = fuzzy_decontaminate(
+        corpus, _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+    ).collect()
+    # the NULL-id row is a benchmark copy but can never be flagged
+    # (documented contract: ids must be unique and non-NULL upstream)
+    assert {r.doc_id for r in kept} == {None, 3}
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_overlap(_corpus(spark), _bench(spark),
+                        bench_id_col="bench_key", bench_text_col="body",
+                        threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_overlap(_corpus(spark), _bench(spark),
+                        bench_id_col="bench_key", bench_text_col="body",
+                        threshold=1.5)
+
+
+def test_benchmark_side_joins_are_broadcast(spark):
+    plan = (
+        minhash_overlap(
+            _corpus(spark), _bench(spark),
+            bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the CORPUS-sized joins — band-bucket candidates and the shingle
+    # intersection — must be broadcast, never shuffle joins (a
+    # sort-merge between contamination-bounded relations downstream,
+    # e.g. inter x size_a on doc_id, is fine: its volume is the
+    # contamination, not the corpus)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "band" not in line and "__s#" not in line, line
+
+
+def test_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    _corpus(spark).createOrReplaceTempView("fd_corpus")
+    _bench(spark).selectExpr(
+        "bench_key AS doc_id", "body AS text"
+    ).createOrReplaceTempView("fd_bench")
+    out = run_operator(
+        spark,
+        {
+            "type": "fuzzy_decontaminate",
+            "input": "fd_corpus",
+            "options": {"benchmark": "fd_bench", "threshold": 0.5},
+        },
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
+    spark.catalog.dropTempView("fd_corpus")
+    spark.catalog.dropTempView("fd_bench")
