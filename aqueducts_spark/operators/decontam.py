@@ -37,6 +37,7 @@ __all__ = [
     "decontaminate",
     "minhash_overlap",
     "fuzzy_decontaminate",
+    "fuzzy_decontaminate_rowwise",
 ]
 
 
@@ -239,4 +240,81 @@ def fuzzy_decontaminate(
         hash_fn=hash_fn,
     ).select(id_col).distinct()
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+def fuzzy_decontaminate_rowwise(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """STREAMING twin of :func:`fuzzy_decontaminate` — stateless, so it
+    runs UNCHANGED on a streaming frame (the live-crawl ingestion
+    filter: drop incoming documents that near-duplicate a benchmark
+    before they ever land).  Kept rows are row-identical to the batch
+    operator on the same data (pinned by test), and no id column is
+    needed: the row itself is the unit.
+
+    How it stays stateless: band keys and the distinct shingle set are
+    computed PER ROW (:func:`~.dedup.with_minhash_band_keys`, zero
+    shuffle), and the drop is ONE stream-static broadcast ANTI-join
+    whose condition does both LSH candidacy (``arrays_overlap`` on
+    band keys) and the exact-Jaccard verification
+    (``array_intersect`` against the benchmark row's shingle set) —
+    no stream-side aggregation or state store at all.
+
+    Cost model: the anti-join is a broadcast nested-loop over the
+    benchmark (condition join), so each row pays ``n_bench`` cheap
+    band-key overlap checks and the expensive intersect only on band
+    collisions — fine for rate-limited streams and small batches;
+    corpus-scale BATCH jobs should use :func:`fuzzy_decontaminate`,
+    whose candidate generation is an equi-join.  Empty/NULL text rows
+    have no shingles, never collide, and are kept.
+    """
+    from .dedup import with_minhash_band_keys
+
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            "fuzzy_decontaminate_rowwise: threshold must be in (0, 1], "
+            f"got {threshold}"
+        )
+    bench_text_col = bench_text_col if bench_text_col is not None else text_col
+
+    def _fresh(base, taken):
+        name = base
+        while name in taken:
+            name = "_" + name
+        return name
+
+    taken = set(df.columns) | set(benchmark.columns)
+    keys_c = _fresh("__fz_keys", taken)
+    sh_c = _fresh("__fz_sh", taken)
+    bkeys_c = _fresh("__fz_bkeys", taken)
+    bsh_c = _fresh("__fz_bsh", taken)
+
+    staged = with_minhash_band_keys(
+        df, text_col, keys_col=keys_c, shingles_col=sh_c,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_fn=hash_fn,
+    )
+    bench_p = with_minhash_band_keys(
+        benchmark.select(F.col(bench_text_col).alias("__fz_btext")),
+        "__fz_btext", keys_col=bkeys_c, shingles_col=bsh_c,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_fn=hash_fn,
+    ).select(bkeys_c, bsh_c)
+
+    inter = F.size(F.array_intersect(F.col(sh_c), F.col(bsh_c)))
+    jacc_ok = (
+        inter
+        / (F.size(F.col(sh_c)) + F.size(F.col(bsh_c)) - inter)
+    ) >= F.lit(float(threshold))
+    cond = F.arrays_overlap(F.col(keys_c), F.col(bkeys_c)) & jacc_ok
+    return staged.join(F.broadcast(bench_p), cond, "left_anti").drop(
+        keys_c, sh_c
+    )
 

@@ -43,6 +43,7 @@ __all__ = [
     "drop_common_lines",
     "remove_duplicated_spans",
     "minhash_bands",
+    "with_minhash_band_keys",
     "minhash_candidate_pairs",
     "fuzzy_dedup",
     "jaccard_pairs",
@@ -480,6 +481,100 @@ def minhash_bands(
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
     )
+
+
+def with_minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    keys_col: str = "band_keys",
+    shingles_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ZERO-SHUFFLE row-local twin of :func:`minhash_bands`: adds
+    ``keys_col`` — an ``array<string>`` of ``"band:band_hash"`` keys
+    computed entirely with per-row higher-order functions (no
+    explode/groupBy) — and, if ``shingles_col`` is given, the distinct
+    non-empty shingle array used.  ``explode(keys_col)`` reproduces the
+    batch band table bit-for-bit (pinned by test), so the two are
+    interchangeable; being stateless, THIS one also runs unchanged on
+    a STREAMING frame (the live-crawl decontamination path,
+    :func:`~.decontam.fuzzy_decontaminate_rowwise`).
+
+    Cost per row: one md5 (or xxhash64) per shingle — same hashing
+    volume as the batch aggregation — plus k interpreted Carter-Wegman
+    min-folds over the staged hash array.  The batch ``groupBy`` form
+    stays preferable for corpus-scale batch jobs (whole-stage codegen,
+    map-side combine); this form exists for streams and for pipelines
+    that must avoid a shuffle.  Empty/NULL docs get an EMPTY key array
+    (the batch form emits no row for them — same "no signature"
+    contract; '' sentinel shingles are dropped for the same
+    pile-up-bucket reason)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"with_minhash_band_keys: bands ({bands}) must divide "
+            f"num_hashes ({num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    from .sampling import _fresh_name
+
+    taken = list(df.columns) + [keys_col] + ([shingles_col] if shingles_col else [])
+    sh_name = shingles_col or _fresh_name("__mh_sh", taken)
+    hs_name = _fresh_name("__mh_hs", taken + [sh_name])
+    if keys_col in df.columns or (shingles_col and shingles_col in df.columns):
+        raise ValueError(
+            "with_minhash_band_keys: output column already exists on "
+            "the input — pass keys_col/shingles_col to rename"
+        )
+    sh = F.filter(
+        word_shingles(F.col(text_col), shingle_n), lambda s: s != F.lit("")
+    )
+    if hash_fn == "xxhash64":
+        base = lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))  # noqa: E731
+    elif hash_fn == "md5":
+        base = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    # stage shingles and their base hashes: the k min-folds below each
+    # reference the hash array once, so without staging the per-shingle
+    # md5 tree would be duplicated k times (the bpe_pair_counts lesson)
+    staged = df.withColumn(sh_name, sh).withColumn(
+        hs_name, F.transform(F.col(sh_name), base)
+    )
+    # NOTE: the mix lambda must take exactly ONE parameter — F.transform
+    # dispatches on arity, and a two-arg lambda (e.g. the `seed=seed`
+    # default-arg idiom) would silently receive the ARRAY INDEX as its
+    # second argument instead of the captured seed
+    def _mix(seed: int):
+        return lambda h: (
+            F.lit(2 * seed + 1) * h + F.lit(seed * seed + 1)
+        ) % F.lit(_MIX_P)
+
+    mins = [
+        F.array_min(F.transform(F.col(hs_name), _mix(seed)))
+        for seed in range(num_hashes)
+    ]
+
+    def _band_key(b: int):
+        cols = mins[b * rows_per_band : (b + 1) * rows_per_band]
+        if hash_fn == "xxhash64":
+            bh = F.xxhash64(*cols).cast("string")
+        else:
+            bh = F.md5(F.concat_ws(",", *cols))
+        return F.concat(F.lit(f"{b}:"), bh)
+
+    keys = F.when(
+        F.size(F.col(sh_name)) > 0,
+        F.array(*[_band_key(b) for b in range(bands)]),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    out = staged.withColumn(keys_col, keys).drop(hs_name)
+    if shingles_col is None:
+        out = out.drop(sh_name)
+    return out
 
 
 def minhash_candidate_pairs(

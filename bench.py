@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "op_quantized_topk",
     "op_bm25",
     "op_shuffle_corpus",
+    "op_bpe_pairs",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]

@@ -135,3 +135,132 @@ def test_registry_stage(spark):
     assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
     spark.catalog.dropTempView("fd_corpus")
     spark.catalog.dropTempView("fd_bench")
+
+
+# ----------------------- rowwise / streaming twin -----------------------
+
+
+def test_rowwise_band_keys_match_batch_band_table(spark):
+    """explode(with_minhash_band_keys) must reproduce minhash_bands
+    bit-for-bit on both hash paths (regression: a two-arg transform
+    lambda silently received the ARRAY INDEX as the seed, collapsing
+    every band to one value)."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.dedup import (
+        minhash_bands,
+        with_minhash_band_keys,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in ("md5", "xxhash64"):
+        batch = {
+            (r.doc_id, f"{r.band}:{r.band_hash}")
+            for r in minhash_bands(docs, hash_fn=fn).collect()
+        }
+        roww = {
+            (r.doc_id, r.k)
+            for r in with_minhash_band_keys(docs, hash_fn=fn)
+            .select("doc_id", F.explode("band_keys").alias("k"))
+            .collect()
+        }
+        assert batch == roww, fn
+    # seeds must actually differ: a multi-shingle doc's bands are not
+    # all identical
+    keys = (
+        with_minhash_band_keys(docs)
+        .where(F.col("doc_id") == 0)
+        .select("band_keys")
+        .collect()[0][0]
+    )
+    assert len({k.split(":")[1] for k in keys}) > 1, keys
+
+
+def test_rowwise_kept_set_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.decontam import (
+        fuzzy_decontaminate_rowwise,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    a = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate(docs, bench, threshold=0.5).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate_rowwise(
+            docs, bench, threshold=0.5
+        ).collect()
+    )
+    assert a == b
+    # output schema is the input schema — helpers dropped
+    out_cols = fuzzy_decontaminate_rowwise(docs, bench, threshold=0.5).columns
+    assert out_cols == docs.columns
+
+
+def test_rowwise_runs_on_a_real_stream(spark, tmp_path):
+    """The whole decontamination filter runs as ONE stateless
+    stream-static anti-join — live-crawl ingestion shape."""
+    import json
+
+    from aqueducts_spark.operators.decontam import (
+        fuzzy_decontaminate_rowwise,
+    )
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    docs = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE.replace("lazy", "sleepy")},
+        {"doc_id": 3, "text": "completely unrelated text about streaming"},
+        {"doc_id": 4, "text": None},
+    ]
+    src = tmp_path / "fz_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in docs[2:]))
+    schema = [
+        Field(name="doc_id", data_type="int64", nullable=False),
+        Field(name="text", data_type="string", nullable=True),
+    ]
+    stream = file_stream_source(
+        spark, str(src), "json", schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    bench = _bench(spark).selectExpr("body AS text")
+    streamed = run_available_now(
+        fuzzy_decontaminate_rowwise(stream, bench, threshold=0.5),
+        str(tmp_path / "fz_ckpt"),
+    )
+    batch = fuzzy_decontaminate_rowwise(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs],
+            "doc_id long, text string",
+        ),
+        bench,
+        threshold=0.5,
+    ).collect()
+    assert sorted(r.doc_id for r in streamed) == sorted(
+        r.doc_id for r in batch
+    ) == [3, 4]
+
+
+def test_rowwise_validation_and_empty_inputs(spark):
+    from aqueducts_spark.operators.decontam import (
+        fuzzy_decontaminate_rowwise,
+    )
+
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_decontaminate_rowwise(_corpus(spark), _bench(spark).selectExpr("body AS text"), threshold=0)
+    # empty benchmark: everything kept
+    bench = spark.createDataFrame([], "text string")
+    kept = fuzzy_decontaminate_rowwise(
+        _corpus(spark), bench, threshold=0.5
+    ).collect()
+    assert len(kept) == 5
