@@ -141,18 +141,52 @@ def minhash_overlap(
     and the candidate-bounded intersection count (volume = the
     contamination, near-zero on a clean corpus).  Corpus docs with
     NULL ids never match a band join and are never flagged — give
-    rows unique ids upstream.
+    rows unique ids upstream.  Benchmark ids must be UNIQUE and
+    NON-NULL: NULL/duplicate ids would silently pool distinct bench
+    docs into one union signature (deflating every Jaccard) — the
+    benchmark is small, so this is validated eagerly and rejected.
     """
-    from .dedup import minhash_bands, word_shingles
+    from .dedup import minhash_bands
 
     if not 0 < threshold <= 1:
         raise ValueError(
             f"minhash_overlap: threshold must be in (0, 1], got {threshold}"
         )
+    if id_col in ("bench_id", "jaccard"):
+        raise ValueError(
+            f"minhash_overlap: id_col {id_col!r} collides with an output "
+            "column name — rename the corpus id column first"
+        )
     bench_text_col = bench_text_col if bench_text_col is not None else text_col
-    bid = "__bench_id"
-    while bid in corpus.columns or bid == id_col:
-        bid = "_" + bid
+
+    def _fresh(base: str) -> str:
+        name = base
+        while name in corpus.columns or name == id_col:
+            name = "_" + name
+        return name
+
+    bid = _fresh("__bench_id")
+    sc = _fresh("__s")
+    sza, szb, itc = _fresh("__size_a"), _fresh("__size_b"), _fresh("__inter")
+    # eager benchmark-id validation: one tiny aggregate over the small
+    # side (the corpus is never touched)
+    chk = benchmark.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(bench_id_col)).alias("nn"),
+        F.countDistinct(F.col(bench_id_col)).alias("nd"),
+    ).collect()[0]
+    if chk["nn"] != chk["n"]:
+        raise ValueError(
+            f"minhash_overlap: benchmark has {chk['n'] - chk['nn']} NULL "
+            f"{bench_id_col!r} ids — NULL ids silently pool documents "
+            "into one signature; assign unique ids first"
+        )
+    if chk["nd"] != chk["nn"]:
+        raise ValueError(
+            f"minhash_overlap: benchmark {bench_id_col!r} ids are not "
+            "unique — duplicate ids pool documents into one signature; "
+            "deduplicate or re-key the benchmark first"
+        )
     bench = benchmark.select(
         F.col(bench_id_col).alias(bid), F.col(bench_text_col).alias("__btext")
     )
@@ -176,34 +210,37 @@ def minhash_overlap(
         corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
         .select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(sc),
         )
-        .where(F.col("__s") != "")
+        .where(F.col(sc) != "")
     )
     bs = bench.select(
         F.col(bid),
-        F.explode(word_shingles(F.col("__btext"), shingle_n)).alias("__s"),
-    ).where(F.col("__s") != "")
-    size_a = cs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size_a"))
-    size_b = bs.groupBy(bid).agg(F.count(F.lit(1)).alias("__size_b"))
+        F.explode(word_shingles(F.col("__btext"), shingle_n)).alias(sc),
+    ).where(F.col(sc) != "")
+    size_a = cs.groupBy(id_col).agg(F.count(F.lit(1)).alias(sza))
+    size_b = bs.groupBy(bid).agg(F.count(F.lit(1)).alias(szb))
+    # the candidate-pair semi filter sits BEFORE the aggregation: a
+    # candidate doc sharing common shingles with NON-candidate bench
+    # docs would otherwise push all those (id, bid) groups through the
+    # shuffle only to be discarded after
     inter = (
-        cs.join(F.broadcast(bs), "__s")
-        .groupBy(id_col, bid)
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        cs.join(F.broadcast(bs), sc)
         .join(F.broadcast(cand), [id_col, bid], "left_semi")
+        .groupBy(id_col, bid)
+        .agg(F.count(F.lit(1)).alias(itc))
     )
-    jacc = F.col("__inter") / (
-        F.col("__size_a") + F.col("__size_b") - F.col("__inter")
-    )
+    jacc = F.col(itc) / (F.col(sza) + F.col(szb) - F.col(itc))
+    jc = _fresh("__j")
     return (
         inter.join(size_a, id_col)
         .join(F.broadcast(size_b), bid)
-        .withColumn("__j", jacc)
-        .where(F.col("__j") >= threshold)
+        .withColumn(jc, jacc)
+        .where(F.col(jc) >= threshold)
         .select(
             F.col(id_col),
             F.col(bid).alias("bench_id"),
-            F.round("__j", 4).alias("jaccard"),
+            F.round(jc, 4).alias("jaccard"),
         )
     )
 

@@ -657,25 +657,53 @@ def train_bpe(
         (list(r["word"]) + ([end_marker] if end_marker is not None else []), r["__n"])
         for r in rows
     ]
+    # incremental trainer (the textbook structure): global pair counts
+    # plus a pair -> word-index inverted index, built once; each merge
+    # touches ONLY the words that contain the merged pair, subtracting
+    # their old adjacent pairs and adding the new ones.  A from-scratch
+    # recount per iteration is O(total symbols) per merge — days for a
+    # real vocab run; this is O(affected words) per merge.
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            counts[k] = counts.get(k, 0) + n
+            where.setdefault(k, set()).add(idx)
     out: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, n in words:
-            for i in range(len(syms) - 1):
-                k = (syms[i], syms[i + 1])
-                counts[k] = counts.get(k, 0) + n
         if not counts:
             break
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         out.append(best)
         a, b = best
-        for syms, _n in words:
+        for idx in sorted(where.get(best, ())):
+            syms, n = words[idx]
+            old = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
             i = 0
             while i < len(syms) - 1:
                 if syms[i] == a and syms[i + 1] == b:
                     syms[i : i + 2] = [a + b]
                 else:
                     i += 1
+            new = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+            for k in old:
+                c = counts[k] - n
+                if c:
+                    counts[k] = c
+                else:
+                    del counts[k]
+                    where.pop(k, None)
+            dropped = set(old) - set(new)
+            for k in new:
+                counts[k] = counts.get(k, 0) + n
+                where.setdefault(k, set()).add(idx)
+            for k in dropped:
+                s = where.get(k)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        del where[k]
     return out
 
 

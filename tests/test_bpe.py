@@ -94,8 +94,16 @@ def test_property_matches_python_reference(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     merges = train_bpe(df, n_merges=8)
-    # the trained sequence must equal the reference argmax walk
-    ref_syms = None  # recompute reference merges independently
+    # independent reference argmax walk over the same corpus
+    ref_merges = []
+    for _ in range(8):
+        counts = _ref_pairs(texts, ref_merges)
+        if not counts:
+            break
+        ref_merges.append(
+            min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        )
+    assert merges == ref_merges
     got = _collect(bpe_pair_counts(df, merges=merges))
     assert got == _ref_pairs(texts, merges)
     # a couple of prefixes too

@@ -94,6 +94,30 @@ def test_validation(spark):
         minhash_overlap(_corpus(spark), _bench(spark),
                         bench_id_col="bench_key", bench_text_col="body",
                         threshold=1.5)
+    # benchmark NULL / duplicate ids would silently pool documents into
+    # one union signature — rejected eagerly
+    null_bench = spark.createDataFrame(
+        [(None, BASE), (7, "x")], "bench_key long, body string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        minhash_overlap(_corpus(spark), null_bench,
+                        bench_id_col="bench_key", bench_text_col="body",
+                        threshold=0.5)
+    dup_bench = spark.createDataFrame(
+        [(7, BASE), (7, "x")], "bench_key long, body string"
+    )
+    with pytest.raises(ValueError, match="not\nunique|not unique"):
+        minhash_overlap(_corpus(spark), dup_bench,
+                        bench_id_col="bench_key", bench_text_col="body",
+                        threshold=0.5)
+    # an id_col colliding with an output name is rejected instead of
+    # emitting duplicate columns
+    with pytest.raises(ValueError, match="collides"):
+        minhash_overlap(
+            _corpus(spark).withColumnRenamed("doc_id", "bench_id"),
+            _bench(spark), id_col="bench_id",
+            bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+        )
 
 
 def test_benchmark_side_joins_are_broadcast(spark):
