@@ -288,3 +288,24 @@ def test_rowwise_validation_and_empty_inputs(spark):
         _corpus(spark), bench, threshold=0.5
     ).collect()
     assert len(kept) == 5
+
+
+def test_minhash_overlap_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    _corpus(spark).createOrReplaceTempView("fo_corpus")
+    _bench(spark).selectExpr(
+        "bench_key AS doc_id", "body AS text"
+    ).createOrReplaceTempView("fo_bench")
+    out = run_operator(
+        spark,
+        {
+            "type": "minhash_overlap",
+            "input": "fo_corpus",
+            "options": {"benchmark": "fo_bench", "threshold": 0.5},
+        },
+    )
+    got = {(r.doc_id, r.bench_id) for r in out.collect()}
+    assert got == {(1, 100), (2, 100)}
+    spark.catalog.dropTempView("fo_corpus")
+    spark.catalog.dropTempView("fo_bench")
