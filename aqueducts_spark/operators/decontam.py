@@ -141,7 +141,14 @@ def minhash_overlap(
     and the candidate-bounded intersection count (volume = the
     contamination, near-zero on a clean corpus).  Corpus docs with
     NULL ids never match a band join and are never flagged — give
-    rows unique ids upstream.  Benchmark ids must be UNIQUE and
+    rows unique ids upstream (:func:`fuzzy_decontaminate` enforces
+    this).  Corpus ids must also be UNIQUE — like
+    :func:`~.text.bm25_scores`' doc_id contract: duplicate-id rows
+    pool into ONE union minhash signature while the exact-Jaccard
+    verification SUMS shingle counts across the id's rows, skewing
+    jaccard in both directions; an eager distinct-count check would
+    cost a full corpus pass, so this is a documented contract, not a
+    runtime check.  Benchmark ids must be UNIQUE and
     NON-NULL: NULL/duplicate ids would silently pool distinct bench
     docs into one union signature (deflating every Jaccard) — the
     benchmark is small, so this is validated eagerly and rejected.
@@ -261,8 +268,32 @@ def fuzzy_decontaminate(
     """Drop every corpus row :func:`minhash_overlap` flags at or above
     ``threshold`` — the fuzzy sibling of :func:`decontaminate`.  The
     flagged id set is contamination-sized, so the removal is a
-    broadcast anti-join (corpus side never shuffles); corpus rows with
-    NULL ids are never flagged and are kept."""
+    broadcast anti-join (corpus side never shuffles).
+
+    NULL corpus ids are REJECTED, inline: a NULL-id row can never be
+    flagged by the band join nor matched by the equi anti-join, so a
+    benchmark-leaked NULL-id document would survive silently — the
+    exact twin :func:`decontaminate` closes the same hole with
+    ``eqNullSafe``.  The guard is a ``raise_error`` branch inside the
+    id projection (whole-stage codegen, zero extra pass — an eager
+    NULL count would cost a full corpus scan): the job fails loudly at
+    the first NULL id.  Assign ids upstream
+    (``monotonically_increasing_id``) or use the id-free
+    :func:`fuzzy_decontaminate_rowwise`."""
+    corpus = corpus.withColumn(
+        id_col,
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"fuzzy_decontaminate: corpus has NULL {id_col!r} ids — "
+                    "NULL-id rows can never be flagged or anti-joined, so a "
+                    "contaminated row would silently survive; assign unique "
+                    "ids upstream or use fuzzy_decontaminate_rowwise"
+                )
+            ),
+        ).otherwise(F.col(id_col)),
+    )
     flagged = minhash_overlap(
         corpus,
         benchmark,

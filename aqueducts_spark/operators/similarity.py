@@ -458,7 +458,12 @@ def rrf_fuse(
     hybrid-retrieval combiner (k=60, the paper's constant).
 
     Each input frame carries ``id_col``, a 1-based ``rank_col``, and
-    optionally ``query_col`` for per-query fusion.  Contributions are
+    optionally ``query_col`` for per-query fusion.  The 1-based
+    contract is ENFORCED inline (``raise_error`` on NULL or < 1 ranks,
+    a codegen branch — no extra validation pass): a 0-based ranking is
+    the classic off-by-one and would silently inflate every
+    contribution, and with ``k=0`` a rank of 0 would divide by zero
+    and vanish from the sum.  Contributions are
     quantized to integer 1e-12 units before summing (``rrf_micro``) so
     the score is partition-order independent and exactly reproducible
     in an external SQL engine; ``rrf = rrf_micro / 1e12``.  Output
@@ -482,13 +487,24 @@ def rrf_fuse(
             raise ValueError(
                 f"rrf_fuse: input {i} is missing columns {missing}"
             )
+        # inline 1-based-rank guard: evaluated per row inside codegen,
+        # fails the job loudly at the first out-of-contract rank
+        rank = F.when(
+            F.col(rank_col).isNull() | (F.col(rank_col) < 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"rrf_fuse: {rank_col!r} must be a 1-based rank "
+                        "(>= 1, non-NULL), got "
+                    ),
+                    F.coalesce(F.col(rank_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("double"),
+        ).otherwise(F.col(rank_col).cast("double"))
         parts.append(
             df.select(
                 *keys,
-                F.floor(
-                    F.lit(_RRF_SCALE)
-                    / (F.lit(k) + F.col(rank_col).cast("double"))
-                )
+                F.floor(F.lit(_RRF_SCALE) / (F.lit(k) + rank))
                 .cast("bigint")
                 .alias("__rrf_c"),
             )

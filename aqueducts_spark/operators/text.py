@@ -428,7 +428,11 @@ def luhn_cards(
 
     pat_sql = CARD_CANDIDATE_RE.replace("\\", "\\\\").replace("'", "''")
     tag_sql = tag.replace("\\", "\\\\").replace("'", "''")
-    t = f"coalesce({text_col}, '')"
+    # stage the (possibly non-bare: spaces, dashes, quotes) input column
+    # through F.col into a fresh bare identifier ONCE, so the f-string
+    # SQL below never interpolates a user-controlled column name
+    t = _fresh_name("__ltext", df.columns)
+    df = df.withColumn(t, F.coalesce(F.col(text_col), F.lit("")))
     cands_col = _fresh_name("__cands", df.columns)
     valid_col = _fresh_name("__valid", df.columns)
     cands = f"regexp_extract_all({t}, '{pat_sql}', 0)"

@@ -71,18 +71,34 @@ def test_fuzzy_decontaminate_drops_flagged_keeps_rest(spark):
     assert sorted(r.doc_id for r in kept) == [3, 4, 5]
 
 
-def test_null_id_rows_are_kept(spark):
+def test_null_corpus_ids_are_rejected(spark):
+    # ADVICE r5: a NULL-id benchmark copy can neither be flagged by the
+    # band join nor matched by the equi anti-join — instead of letting
+    # it silently survive into training data, the inline raise_error
+    # guard fails the job at the first NULL id
     corpus = spark.createDataFrame(
         [(None, BASE), (3, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL 'doc_id' ids"):
+        fuzzy_decontaminate(
+            corpus, _bench(spark),
+            bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
+        ).collect()
+
+
+def test_non_null_corpus_ids_pass_the_guard(spark):
+    # the guard is a per-row codegen branch: a NULL-free corpus runs
+    # through it untouched
+    corpus = spark.createDataFrame(
+        [(1, BASE), (3, "unrelated text entirely")],
         "doc_id long, text string",
     )
     kept = fuzzy_decontaminate(
         corpus, _bench(spark),
         bench_id_col="bench_key", bench_text_col="body", threshold=0.5,
     ).collect()
-    # the NULL-id row is a benchmark copy but can never be flagged
-    # (documented contract: ids must be unique and non-NULL upstream)
-    assert {r.doc_id for r in kept} == {None, 3}
+    assert {r.doc_id for r in kept} == {3}
 
 
 def test_validation(spark):

@@ -113,6 +113,19 @@ def test_options_and_validation(spark):
     assert out.redacted == r"pay \PAN\8"
 
 
+def test_non_bare_text_column_name(spark):
+    # ADVICE r5: the text column used to be spliced raw into f-string
+    # SQL, so a name with spaces/dashes broke parsing; it is now staged
+    # through F.col into a fresh bare identifier first
+    df = spark.createDataFrame(
+        [(1, "pay 4111111111111111 now")],
+        ["doc_id", "the text-body col"],
+    )
+    out = luhn_cards(df, text_col="the text-body col").collect()[0]
+    assert out.redacted == "pay [CARD] now"
+    assert out.n_cards == 1 and out.n_candidates == 1
+
+
 def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "t 4111111111111111")], "doc_id long, text string")
     plan = luhn_cards(df)._jdf.queryExecution().executedPlan().toString()

@@ -235,6 +235,31 @@ def test_rrf_fuse_per_query_and_validation(spark):
         rrf_fuse([a.drop("rank")])
 
 
+def test_rrf_fuse_rejects_out_of_contract_ranks(spark):
+    # ADVICE r5: a 0-based ranking (the classic off-by-one) previously
+    # inflated every contribution silently, and with k=0 a rank of 0
+    # divided by zero; the inline raise_error guard fails loudly
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.similarity import rrf_fuse
+
+    zero_based = spark.createDataFrame(
+        [(10, 0), (20, 1)], "vec_id long, rank long"
+    )
+    with _pytest.raises(Exception, match="1-based rank"):
+        rrf_fuse([zero_based]).collect()
+    null_rank = spark.createDataFrame(
+        [(10, None), (20, 1)], "vec_id long, rank long"
+    )
+    with _pytest.raises(Exception, match="1-based rank"):
+        rrf_fuse([null_rank]).collect()
+    # k=0 stays legal: with ranks >= 1 enforced, 1/rank fusion is fine
+    ok = spark.createDataFrame([(10, 1), (20, 2)], "vec_id long, rank long")
+    got = {r.vec_id: r.rrf_micro for r in rrf_fuse([ok], k=0).collect()}
+    S = 1_000_000_000_000
+    assert got == {10: S // 1, 20: S // 2}
+
+
 def test_rrf_fuse_registry_stage(spark):
     from aqueducts_spark.operators.registry import OperatorError, run_operator
 
