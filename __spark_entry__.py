@@ -3577,6 +3577,91 @@ def _op_bpe_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE inference: apply a trained merge table to every document
+# (operators/text.py::bpe_encode, pure-expression path).  The oracle
+# replays the per-word greedy fold via nested list_transform +
+# list_reduce, one chained CTE per merge rule — the same engine-exact
+# fold contract as OP_BPE_PAIRS_DUCK, lifted from the word table to
+# whole documents.
+_BPE_ENC_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "</w>"),
+    ("a", "n"),
+    ("i", "n"),
+]
+
+
+def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    chars = "list_transform(range(1, length(w)+1), i -> substr(w, i, 1))"
+    if end_marker is not None:
+        chars = f"list_append({chars}, '{q(end_marker)}')"
+    ctes = [
+        r"""docs AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t != ''),
+        w -> replace(w, chr(31), '')),
+      w -> length(w) > 0) AS ws
+  FROM documents
+)""",
+        f"""init AS (
+  SELECT doc_id, list_transform(ws, w -> array_to_string({chars}, chr(31))) AS ws
+  FROM docs
+)""",
+    ]
+    prev = "init"
+    for k, (a, b) in enumerate(merges, 1):
+        a_, b_, ab_ = q(a), q(b), q(a + b)
+        case = (
+            f"CASE WHEN x = '{b_}' AND (acc = '{a_}' OR "
+            f"substr(acc, length(acc) - length('{a_}'), length('{a_}') + 1) = chr(31) || '{a_}') "
+            f"THEN substr(acc, 1, length(acc) - length('{a_}')) || '{ab_}' "
+            f"ELSE acc || chr(31) || x END"
+        )
+        ctes.append(
+            f"""m{k} AS (
+  SELECT doc_id,
+    list_transform(ws, w -> list_reduce(string_split(w, chr(31)), (acc, x) -> {case})) AS ws
+  FROM {prev}
+)"""
+        )
+        prev = f"m{k}"
+    ctes.append(
+        f"""fin AS (
+  SELECT doc_id, flatten(list_transform(ws, w -> string_split(w, chr(31)))) AS toks
+  FROM {prev}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,\n"
+        "       array_to_string(toks, ' ') AS tokens_str\n"
+        "FROM fin"
+    )
+
+
+def _op_bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with a fixed trained merge table
+    (operators/text.py::bpe_encode) — exact token-sequence oracle
+    (tokens joined by space; symbols never contain whitespace)."""
+    from aqueducts_spark.operators.text import bpe_encode
+
+    _views(spark, sf_dir)
+    enc = bpe_encode(
+        spark.table("documents"), _BPE_ENC_MERGES, method="expr"
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_str"),
+    )
+
+
 # fixed-budget stratified sampling (operators/sampling.py::
 # stratified_fixed_n): exactly n per stratum by deterministic md5 rank.
 OP_FIXED_N_DUCK = """
@@ -4540,6 +4625,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_dup_weights": _op_dup_weights_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
+        "op_bpe_encode": _op_bpe_encode_gate,
         "op_fuzzy_decontam": _op_fuzzy_decontam_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
@@ -4613,7 +4699,12 @@ _GATE_PRIORITY = [
     "op_exact_dedup",           # exact hash dedup
     "op_minhash_pairs",         # MinHash + LSH banding
     "op_fuzzy_dedup",           # end-to-end transitive fuzzy dedup
-    "op_simhash",               # SimHash fingerprints
+    # ROTATION r6 (requested by VERDICT r5 next-steps #3): op_bpe_pairs
+    # replaces op_simhash in the scored window — the tokenizer/BPE family
+    # added in r5 (now train + pair-counts + encode) had zero scored
+    # representatives while the dedup family held 7 of 50 slots.
+    # op_simhash stays oracle-verified in tests/test_oracle.py.
+    "op_bpe_pairs",             # BPE trainer iteration (tokenizer family)
     "op_embed_neardup_lsh",     # embedding near-dup (banded LSH scale path)
     # ROTATION r5 (requested by VERDICT r4 next-steps #5): op_dsir_weights
     # replaces op_span_dedup in the scored window so the selection family
@@ -4699,7 +4790,8 @@ _GATE_PRIORITY = [
     "op_corpus_offsets",
     "op_dup_weights",
     "op_luhn_cards",
-    "op_bpe_pairs",
+    "op_simhash",               # rotated out of the scored window in r6
+    "op_bpe_encode",
     "op_fuzzy_decontam",
     "op_fingerprint",
     "op_token_count",
@@ -4851,6 +4943,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
+        "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),
         "op_fuzzy_decontam": OP_FUZZY_DECONTAM_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,

@@ -752,6 +752,24 @@ def _op_bpe_pairs(spark, inp, options):
     )
 
 
+def _op_bpe_encode(spark, inp, options):
+    from .text import bpe_encode
+
+    keep = options.get("keep_cols")
+    end_marker = options.get("end_marker", "</w>")
+    if end_marker in ("", None, "none", "null"):
+        end_marker = None
+    return bpe_encode(
+        inp,
+        merges=[tuple(m) for m in (options.get("merges") or [])],
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        keep_cols=list(keep) if keep else None,
+        end_marker=end_marker,
+        method=options.get("method", "auto"),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1378,6 +1396,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "chunk_documents": _op_chunk_documents,
     "luhn_cards": _op_luhn_cards,
     "bpe_pairs": _op_bpe_pairs,
+    "bpe_encode": _op_bpe_encode,
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,
     "normalize_text": _op_normalize_text,

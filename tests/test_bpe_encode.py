@@ -1,0 +1,198 @@
+"""BPE tokenizer inference (operators/text.py::bpe_encode): apply a
+trained merge table to the corpus, emitting token arrays + exact
+counts.  Both engine paths (pure-expression and memoized mapInPandas)
+must agree bit-for-bit with each other and with the pure-Python
+reference that mirrors train_bpe's apply loop."""
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aqueducts_spark.operators.text import bpe_encode, train_bpe
+
+
+def _ref_encode(text, merges, end_marker="</w>"):
+    """Pure-Python reference: the same word normalization and greedy
+    whole-symbol merge application as train_bpe's inner loop."""
+    out = []
+    for w in (text or "").lower().split():
+        w = w.replace("\x1f", "")
+        if not w:
+            continue
+        syms = list(w) + ([end_marker] if end_marker is not None else [])
+        for a, b in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        out.extend(syms)
+    return out
+
+
+MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "s")]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("method", ["expr", "python"])
+def test_known_vectors(spark, method):
+    df = _df(
+        spark,
+        [
+            (1, "the theme of the thesis"),
+            (2, "  THE the "),   # case-folded, edge whitespace
+            (3, None),           # NULL text behaves like empty
+            (4, ""),
+            (5, "a\x1f b"),      # reserved separator stripped from words
+        ],
+    )
+    got = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in bpe_encode(df, MERGES, method=method).collect()
+    }
+    exp1 = ["the</w>", "the", "m", "e", "</w>", "o", "f", "</w>",
+            "the</w>", "the", "s", "i", "s", "</w>"]
+    assert got[1] == (exp1, 14)
+    assert got[2] == (["the</w>", "the</w>"], 2)
+    assert got[3] == ([], 0)
+    assert got[4] == ([], 0)
+    assert got[5] == (["a", "</w>", "b", "</w>"], 4)
+
+
+@pytest.mark.parametrize("method", ["expr", "python"])
+def test_matches_python_reference_and_trainer_roundtrip(spark, method):
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6)
+    df = _df(spark, [(1, corpus), (2, "lowest newcomer"), (3, "wide")])
+    merges = train_bpe(df, n_merges=6)
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(df, merges, method=method).collect()
+    }
+    texts = {1: corpus, 2: "lowest newcomer", 3: "wide"}
+    for i, t in texts.items():
+        assert got[i] == _ref_encode(t, merges), i
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_property_paths_agree(spark, data):
+    # random corpora over a small alphabet (so merges actually fire) and
+    # random merge tables, including rules referencing symbols that
+    # other rules create — sequential application is the pinned semantic
+    alpha = "abc"
+    texts = data.draw(
+        st.lists(
+            st.text(alphabet=alpha + "  ", max_size=24),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    sym = st.text(alphabet=alpha, min_size=1, max_size=2)
+    merges = data.draw(
+        st.lists(st.tuples(sym, sym), max_size=5)
+    )
+    end_marker = data.draw(st.sampled_from(["</w>", None]))
+    df = _df(spark, list(enumerate(texts)))
+    exp = {
+        i: _ref_encode(t, merges, end_marker) for i, t in enumerate(texts)
+    }
+    for method in ("expr", "python"):
+        got = {
+            r.doc_id: (list(r.tokens), r.n_tokens)
+            for r in bpe_encode(
+                df, merges, method=method, end_marker=end_marker
+            ).collect()
+        }
+        assert got == {i: (t, len(t)) for i, t in exp.items()}, method
+
+
+@pytest.mark.parametrize("method", ["expr", "python"])
+def test_reconstruction_invariant(spark, method):
+    # concatenating a word's tokens (marker stripped) rebuilds the word:
+    # merges re-segment, they never change bytes
+    df = _df(spark, [(1, "the quick brown fox the end")])
+    r = bpe_encode(df, MERGES, method=method).collect()[0]
+    joined = "".join(r.tokens).replace("</w>", " ").strip()
+    assert joined == "the quick brown fox the end"
+
+
+def test_keep_cols_and_options(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "the cat")], "doc_id long, lang string, text string"
+    )
+    r = bpe_encode(df, MERGES, keep_cols=["lang"]).collect()[0]
+    assert r.lang == "en" and r.n_tokens == len(r.tokens)
+    # end_marker=None: plain character segmentation, no boundary symbol
+    r = bpe_encode(df, [("c", "a")], end_marker=None).collect()[0]
+    assert list(r.tokens) == ["t", "h", "e", "ca", "t"]
+
+
+def test_validation(spark):
+    df = _df(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="method"):
+        bpe_encode(df, MERGES, method="rust")
+    with pytest.raises(ValueError, match="pair"):
+        bpe_encode(df, [("a",)])
+    with pytest.raises(ValueError, match="already exist"):
+        bpe_encode(df.withColumnRenamed("text", "n_tokens"), MERGES)
+    with pytest.raises(ValueError, match="max_expr_merges"):
+        bpe_encode(
+            df, [("a", "b")] * 5, method="expr", max_expr_merges=3
+        )
+    # auto switches to the python path beyond 32 rules instead of erroring
+    many = [(f"x{i}", "y") for i in range(40)]
+    plan = (
+        bpe_encode(df, many, method="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+
+
+def test_zero_shuffle_plans(spark):
+    df = _df(spark, [(1, "the cat sat")])
+    expr_plan = (
+        bpe_encode(df, MERGES, method="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in expr_plan, expr_plan
+    assert "EvalPython" not in expr_plan and "MapInPandas" not in expr_plan
+    py_plan = (
+        bpe_encode(df, MERGES, method="python")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in py_plan, py_plan
+
+
+def test_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(
+        [(1, "the thesis")], "doc_id long, text string"
+    ).createOrReplaceTempView("bpe_docs")
+    out = run_operator(
+        spark,
+        {
+            "type": "bpe_encode",
+            "input": "bpe_docs",
+            "options": {"merges": [["t", "h"], ["th", "e"]]},
+        },
+    ).collect()[0]
+    assert list(out.tokens) == ["the", "</w>", "the", "s", "i", "s", "</w>"]
+    assert out.n_tokens == 7
+    spark.catalog.dropTempView("bpe_docs")

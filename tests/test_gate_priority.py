@@ -47,7 +47,12 @@ FAMILY_GATES = {
     "exact_dedup": "op_exact_dedup",
     "minhash_lsh": "op_minhash_pairs",
     "fuzzy_dedup": "op_fuzzy_dedup",
-    "simhash": "op_simhash",
+    # ROTATION r6 (VERDICT r5 next-steps #3): op_bpe_pairs replaced
+    # op_simhash in the scored window — the tokenizer/BPE family (train +
+    # pair-counts + encode) had zero driver-scored representatives while
+    # the dedup family held 7 of the 50 slots.  op_simhash stays
+    # oracle-verified in tests/test_oracle.py.
+    "bpe_tokenizer": "op_bpe_pairs",
     "embed_neardup": "op_embed_neardup_lsh",
     # ROTATION r5 (VERDICT r4 next-steps #5): op_dsir_weights replaced
     # op_span_dedup in the scored window — selection was the only family
