@@ -517,27 +517,39 @@ def dsir_score_stream(
     — pinned by a batch-vs-stream equality test that includes
     non-ASCII-whitespace inputs.
 
-    Throughput: the md5 digest — the hot cost — runs once per DISTINCT
-    gram, memoized in a bounded per-task dict that natural language
-    hits at roughly its type-token ratio (measured 3.4× on the
-    documents corpus, SCALE.md); tokenization and the gram walk stay
-    plain Python list work.
+    Throughput: VECTORIZED (VERDICT r5 next-steps #2 — this was the
+    last row-at-a-time Python hot path; measured 2x on the documents
+    corpus, SCALE.md r10).  Tokenization is one pandas pass
+    (``str.lower`` + ``str.findall``); gram construction is numpy
+    index arithmetic over the concatenated token array — unigrams are
+    factorized once (``pd.factorize``) and BIGRAM STRINGS ARE NEVER
+    MATERIALIZED per occurrence: a bigram is the int64 code pair
+    ``left*U + right``, itself factorized, and the ``"a b"`` string is
+    built only once per DISTINCT pair to feed the md5 memo.  The md5
+    digest — the hot cost — thus runs once per distinct NEW gram per
+    task (natural language hits the memo at roughly its type-token
+    ratio); per-document sums are exact-int64 ``np.add.at`` scatters
+    (partition-order independent, no float drift).
     """
     import hashlib
+    import itertools
     import re
+
+    import numpy as np
+    import pandas as pd
 
     from ..operators.selection import DEFAULT_BUCKET
 
     lam_rows = ratios.collect()  # bounded by construction
     lam = {int(r["bucket"]): int(r["lam_micro"]) for r in lam_rows}
     lam0 = lam.pop(DEFAULT_BUCKET, 0)
-    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+    nonws = re.compile(r"\S+", re.ASCII)  # Java \s is ASCII-only
     _CACHE_MAX = 1_000_000  # reset guard: a stream task lives long
 
     def score_batches(batches):
         memo: dict = {}
 
-        def lam_of(g: str) -> int:
+        def lam_str(g: str) -> int:
             v = memo.get(g)
             if v is None:
                 if len(memo) >= _CACHE_MAX:
@@ -550,19 +562,65 @@ def dsir_score_stream(
                 memo[g] = v
             return v
 
-        def score_text(text) -> int:
-            toks = [t for t in ws.split((text or "").lower()) if t]
-            if len(toks) == 0:
-                grams = [""]
-            elif len(toks) == 1:
-                grams = toks + [toks[0]]  # the short-doc partial bigram
-            else:
-                grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-            return sum(lam_of(g) for g in grams)
-
         for pdf in batches:
+            n = len(pdf)
+            tok_lists = pdf[text_col].fillna("").str.lower().str.findall(nonws)
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=n
+            )
+            total = int(lens.sum())
+            flat = np.fromiter(
+                itertools.chain.from_iterable(tok_lists),
+                dtype=object,
+                count=total,
+            )
+            rowid = np.repeat(np.arange(n), lens)
+            out = np.zeros(n, dtype=np.int64)
+            if total:
+                ucodes, uuniq = pd.factorize(flat)
+                lut_u = np.fromiter(
+                    (lam_str(g) for g in uuniq),
+                    dtype=np.int64,
+                    count=len(uuniq),
+                )
+                np.add.at(out, rowid, lut_u[ucodes])
+                if total > 1:
+                    same = rowid[:-1] == rowid[1:]
+                    u_count = len(uuniq)
+                    pair = (
+                        ucodes[:-1][same].astype(np.int64) * u_count
+                        + ucodes[1:][same]
+                    )
+                    pcodes, puniq = pd.factorize(pair)
+                    lut_b = np.fromiter(
+                        (
+                            lam_str(
+                                uuniq[p // u_count] + " " + uuniq[p % u_count]
+                            )
+                            for p in puniq
+                        ),
+                        dtype=np.int64,
+                        count=len(puniq),
+                    )
+                    np.add.at(out, rowid[:-1][same], lut_b[pcodes])
+            single = lens == 1  # the short-doc partial bigram: the token
+            if single.any():
+                offsets = np.concatenate([[0], np.cumsum(lens)])
+                stoks = flat[offsets[:-1][single]]
+                np.add.at(
+                    out,
+                    np.arange(n)[single],
+                    np.fromiter(
+                        (lam_str(g) for g in stoks),
+                        dtype=np.int64,
+                        count=len(stoks),
+                    ),
+                )
+            empty = lens == 0  # empty doc scores the "" gram once
+            if empty.any():
+                out[empty] += lam_str("")
             pdf = pdf.copy()
-            pdf[out_col] = [score_text(t) for t in pdf[text_col]]
+            pdf[out_col] = out
             yield pdf
 
     schema = T.StructType(
