@@ -342,13 +342,35 @@ def fuzzy_decontaminate_rowwise(
     corpus-scale BATCH jobs should use :func:`fuzzy_decontaminate`,
     whose candidate generation is an equi-join.  Empty/NULL text rows
     have no shingles, never collide, and are kept.
+
+    Batch-misuse guard (VERDICT r5 next-steps #4): nothing in the API
+    STOPS a caller pointing this at a batch corpus, where the per-row
+    BNLJ cost model above is the wrong trade — so a non-streaming
+    input emits a loud ``UserWarning`` naming
+    :func:`fuzzy_decontaminate` (and ``plans/inspect.py``'s
+    BroadcastNestedLoopJoin lint flags the executed plan
+    independently).  Semantics are unchanged either way: small batch
+    verification runs — how the parity tests pin this twin — stay
+    legal, just noisy.
     """
+    import warnings as _warnings
+
     from .dedup import with_minhash_band_keys
 
     if not 0 < threshold <= 1:
         raise ValueError(
             "fuzzy_decontaminate_rowwise: threshold must be in (0, 1], "
             f"got {threshold}"
+        )
+    if not df.isStreaming:
+        _warnings.warn(
+            "fuzzy_decontaminate_rowwise on a BATCH frame: every row pays "
+            "a broadcast nested-loop pass over the benchmark — corpus-scale "
+            "batch jobs should use fuzzy_decontaminate (equi-join candidate "
+            "generation); this twin exists for streams and small "
+            "verification runs",
+            UserWarning,
+            stacklevel=2,
         )
     bench_text_col = bench_text_col if bench_text_col is not None else text_col
 

@@ -843,6 +843,7 @@ def semantic_dedup(
     iters: int = 8,
     seed: int = 42,
     max_cluster_size: Optional[int] = 100_000,
+    quantize: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication through embedding clusters.
@@ -873,6 +874,19 @@ def semantic_dedup(
       the cap (embedding-space pileups, e.g. zero-vector collapse)
       contribute NO pairs — their members are all kept.  Recall
       trade-off only; precision stays exact.  ``None`` disables.
+    * ``quantize=True`` (VERDICT r5 next-steps #5) runs the
+      within-cluster pair join on symmetric int8 vectors
+      (``array<tinyint>`` — the :func:`~.embedding.quantize_embeddings`
+      scheme inlined), shrinking the D-dim shuffle payload ~8x vs
+      ``array<double>``.  Per-vector symmetric scales CANCEL from the
+      cosine (the :func:`~.similarity.quantized_topk` identity), so
+      the pairwise score is the int dot over int norms with
+      per-component error <= scale/2 — ``threshold`` then applies to
+      the QUANTIZED cosine (documented semantics change; agreement
+      with the float pairing is pinned by test, like quantized_topk's
+      recall bar).  The keep-choice ranking (lowest
+      cosine-to-centroid) stays float either way — it is computed
+      BEFORE the join and ships as one scalar per row.
 
     Rows with NULL embeddings pass through untouched (no semantics to
     compare).  Deterministic for a fixed seed and input.
@@ -931,20 +945,58 @@ def semantic_dedup(
     )
     # one projection carries exactly what the pair stage needs: (id,
     # cluster, vector, norm, similarity-to-centroid).  The vector (and
-    # its norm) must ride into the pair join — the exact pairwise
-    # cosine is computed from it — so the per-cluster shuffle carries D
-    # doubles per candidate row on BOTH sides; the real shuffle-weight
-    # mitigations are int8-quantized vectors upstream
-    # (embedding.quantize_embeddings) and the cluster-size cap below
-    slim = assigned.select(
+    # its norm) must ride into the pair join — the pairwise cosine is
+    # computed from it — so the per-cluster shuffle carries D values
+    # per candidate row on BOTH sides; quantize=True shrinks those to
+    # int8 (~8x), and the cluster-size cap below bounds the row count
+    if quantize:
+        qs = _fresh_name("__qs", df.columns)
+        src = assigned.withColumn(
+            qs,
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+            )
+            / F.lit(127.0),
+        )
+        # quantize_embeddings' scheme inline (staged scale column so the
+        # max-aggregate is not re-evaluated per component): round-half-up
+        # clamp to [-127, 127]; all-zero vectors (scale 0) -> zeros
+        payload = F.when(
+            F.col(qs) > 0,
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.floor(
+                            v.cast("double") / F.col(qs) + F.lit(0.5)
+                        ).cast("int"),
+                    ),
+                ).cast("tinyint"),
+            ),
+        ).otherwise(
+            F.transform(F.col(vec_col), lambda v: F.lit(0).cast("tinyint"))
+        )
+    else:
+        src = assigned
+        payload = F.col(vec_col)
+    slim = src.select(
         F.col(id_col).alias(sid),
         F.col(cid),
-        F.col(vec_col).alias(vcol),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        payload.alias(vcol),
         (
             dot(F.col(vec_col), F.col(cent))
             / F.greatest(l2_norm(F.col(vec_col)), F.lit(_NORM_EPS))
-        ).alias(ccos),  # centroid rows are unit-norm already
+        ).alias(ccos),  # centroid rows are unit-norm already; ranking
+        # stays on the FLOAT cosine-to-centroid in both modes
+    ).withColumn(
+        # staged on the (possibly quantized) payload column so the
+        # quantize tree is evaluated once, not re-inlined by the norm
+        "__n",
+        l2_norm(F.col(vcol)),
     )
     if max_cluster_size is not None:
         # count window, not groupBy+semi-join: one slim shuffle on the

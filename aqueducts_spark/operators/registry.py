@@ -1159,6 +1159,7 @@ def _op_semantic_dedup(spark, inp, options):
         )
         if "max_cluster_size" in options
         else 100_000,
+        quantize=bool(options.get("quantize", False)),
     )
 
 
