@@ -1521,6 +1521,59 @@ def _op_corpus_offsets_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "global_pos", "token_start")
 
 
+# fixed-length training-sequence packing (operators/mixing.py::
+# sequence_spans): the token stream in shuffle_corpus layout order is
+# cut into 1000-token sequences; every (document x spanned sequence)
+# slice is an exact integer function of the layout — the oracle
+# rebuilds the same offsets and explodes the same spans.
+OP_SEQUENCE_SPANS_DUCK = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('r5' || chr(31) || CAST(doc_id AS VARCHAR)) AS k,
+         CAST(('0x' || substr(md5('shard:r5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 8 AS INTEGER) AS s,
+         length(text) AS b
+  FROM documents
+), idx AS (
+  SELECT doc_id, CAST(COALESCE(b, 0) AS BIGINT) AS b,
+         CAST(COALESCE(SUM(b) OVER (ORDER BY s, k, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(g.seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(off, g.seq_id * 1000) - g.seq_id * 1000 AS BIGINT) AS seq_tok_start,
+       CAST(GREATEST(off, g.seq_id * 1000) - off AS BIGINT) AS doc_tok_start,
+       CAST(LEAST(off + b, (g.seq_id + 1) * 1000)
+            - GREATEST(off, g.seq_id * 1000) AS BIGINT) AS span_len
+FROM idx, LATERAL unnest(generate_series(off // 1000, (off + b - 1) // 1000)) AS g(seq_id)
+WHERE b > 0
+"""
+
+
+def _op_sequence_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing index (operators/mixing.py::
+    sequence_spans) over the shuffle_corpus shard layout — exact
+    integer span oracle."""
+    from aqueducts_spark.operators.mixing import sequence_spans, shuffle_corpus
+
+    _views(spark, sf_dir)
+    sharded = shuffle_corpus(
+        spark.table("documents"), seed="r5", n_shards=8
+    ).withColumn("n_tok", F.length("text"))
+    out = sequence_spans(
+        sharded,
+        1000,
+        ["shuffle_key", "doc_id"],
+        token_col="n_tok",
+        shard_col="shard_id",
+    )
+    return out.select(
+        "doc_id", "seq_id", "seq_tok_start", "doc_tok_start", "span_len"
+    )
+
+
 # soft dedup (operators/dedup.py::dup_weights): keep duplicates,
 # down-weight by group size.  Grouped on (lang, source) here so the
 # gate exercises real multi-row groups (the testdata's text column is
@@ -3592,25 +3645,32 @@ _BPE_ENC_MERGES = [
 ]
 
 
-def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
-    def q(s: str) -> str:
-        return s.replace("'", "''")
+def _duck_q(s: str) -> str:
+    return s.replace("'", "''")
 
+
+def _bpe_encode_duck_ctes(merges, end_marker="</w>", carry="") -> str:
+    """Shared CTE chain for the BPE-inference oracles: documents ->
+    clean word lists -> per-word symbol strings -> one list_reduce
+    fold CTE per merge -> ``fin(doc_id[, carry], toks)``.  ``carry``
+    is extra SELECT columns (e.g. ``", lang"``) threaded through every
+    CTE."""
+    q = _duck_q
     chars = "list_transform(range(1, length(w)+1), i -> substr(w, i, 1))"
     if end_marker is not None:
         chars = f"list_append({chars}, '{q(end_marker)}')"
     ctes = [
-        r"""docs AS (
-  SELECT doc_id,
+        f"""docs AS (
+  SELECT doc_id{carry},
     list_filter(
       list_transform(
-        list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t != ''),
+        list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), t -> t != ''),
         w -> replace(w, chr(31), '')),
       w -> length(w) > 0) AS ws
   FROM documents
 )""",
         f"""init AS (
-  SELECT doc_id, list_transform(ws, w -> array_to_string({chars}, chr(31))) AS ws
+  SELECT doc_id{carry}, list_transform(ws, w -> array_to_string({chars}, chr(31))) AS ws
   FROM docs
 )""",
     ]
@@ -3625,7 +3685,7 @@ def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
         )
         ctes.append(
             f"""m{k} AS (
-  SELECT doc_id,
+  SELECT doc_id{carry},
     list_transform(ws, w -> list_reduce(string_split(w, chr(31)), (acc, x) -> {case})) AS ws
   FROM {prev}
 )"""
@@ -3633,15 +3693,58 @@ def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
         prev = f"m{k}"
     ctes.append(
         f"""fin AS (
-  SELECT doc_id, flatten(list_transform(ws, w -> string_split(w, chr(31)))) AS toks
+  SELECT doc_id{carry}, flatten(list_transform(ws, w -> string_split(w, chr(31)))) AS toks
   FROM {prev}
 )"""
     )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        _bpe_encode_duck_ctes(merges, end_marker) + "\n"
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,\n"
         "       array_to_string(toks, ' ') AS tokens_str\n"
         "FROM fin"
+    )
+
+
+def _tok_fertility_duck_sql(merges, end_marker="</w>") -> str:
+    """Tokenizer-fertility oracle: the encode CTE chain aggregated per
+    language — exact integer sums, ratios as single 6dp-rounded
+    divisions (the dup-weight/tf-idf float discipline)."""
+    return (
+        _bpe_encode_duck_ctes(merges, end_marker, carry=", lang")
+        + """,
+perdoc AS (
+  SELECT f.lang,
+         len(f.toks) AS nt,
+         len(d.ws) AS nw,
+         COALESCE(list_sum(list_transform(d.ws, w -> length(w))), 0) AS nc
+  FROM fin f JOIN docs d USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+       CAST(SUM(nt) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CASE WHEN SUM(nw) > 0
+            THEN ROUND(CAST(SUM(nt) AS DOUBLE) / SUM(nw), 6) END AS fertility,
+       CASE WHEN SUM(nt) > 0
+            THEN ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nt), 6) END AS chars_per_token
+FROM perdoc GROUP BY lang"""
+    )
+
+
+def _op_tok_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the fixed merge table
+    (operators/text.py::tokenizer_fertility) — exact sums + 6dp
+    ratios."""
+    from aqueducts_spark.operators.text import tokenizer_fertility
+
+    _views(spark, sf_dir)
+    return tokenizer_fertility(
+        spark.table("documents"), _BPE_ENC_MERGES, group_col="lang"
     )
 
 
@@ -4622,10 +4725,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_pack_shards": _op_pack_shards_gate,
         "op_shuffle_corpus": _op_shuffle_corpus_gate,
         "op_corpus_offsets": _op_corpus_offsets_gate,
+        "op_sequence_spans": _op_sequence_spans_gate,
         "op_dup_weights": _op_dup_weights_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
+        "op_tok_fertility": _op_tok_fertility_gate,
         "op_fuzzy_decontam": _op_fuzzy_decontam_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
@@ -4788,10 +4893,12 @@ _GATE_PRIORITY = [
     # scored first-50 window (ADVICE r4: keep its composition fixed)
     "op_shuffle_corpus",
     "op_corpus_offsets",
+    "op_sequence_spans",
     "op_dup_weights",
     "op_luhn_cards",
     "op_simhash",               # rotated out of the scored window in r6
     "op_bpe_encode",
+    "op_tok_fertility",
     "op_fuzzy_decontam",
     "op_fingerprint",
     "op_token_count",
@@ -4940,10 +5047,12 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_shuffle_corpus": OP_SHUFFLE_CORPUS_DUCK,
         "op_corpus_offsets": OP_CORPUS_OFFSETS_DUCK,
+        "op_sequence_spans": OP_SEQUENCE_SPANS_DUCK,
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),
+        "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
         "op_fuzzy_decontam": OP_FUZZY_DECONTAM_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,

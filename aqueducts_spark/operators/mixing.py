@@ -59,6 +59,7 @@ __all__ = [
     "temperature_mix",
     "shuffle_corpus",
     "corpus_offsets",
+    "sequence_spans",
 ]
 
 _BUCKETS = 10_000
@@ -489,3 +490,85 @@ def corpus_offsets(
             (F.col(base_tok_col) + F.sum(tok0).over(wf) - tok0).cast("long"),
         )
     return out.drop(base_pos_col, base_tok_col)
+
+
+def sequence_spans(
+    df: DataFrame,
+    seq_len: int,
+    order_cols: Sequence[str],
+    token_col: str = "n_tokens",
+    shard_col: str | None = None,
+    max_shards: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-length training-sequence packing index: lay the corpus
+    token stream out contiguously in ``(shard, *order_cols)`` order
+    (:func:`corpus_offsets` is the substrate) and cut it into
+    sequences of exactly ``seq_len`` tokens — the standard LLM
+    pre-training input shape (concat-and-split packing, GPT-style).
+    The output is the loader's exact GATHER PLAN: one row per
+    (document x spanned sequence) saying which token slice of which
+    document lands where in which sequence.
+
+    Output: input columns plus
+
+    * ``seq_id``        — 0-based sequence number (BIGINT),
+    * ``seq_tok_start`` — where this document slice starts INSIDE the
+      sequence (``0..seq_len-1``),
+    * ``doc_tok_start`` — where the slice starts INSIDE the document,
+    * ``span_len``      — slice length in tokens (>= 1).
+
+    Invariants (pinned by tests): each sequence's spans tile
+    ``[0, seq_len)`` exactly (the final sequence may be partial — a
+    trainer usually drops it loader-side); each document's spans tile
+    ``[0, n_tokens)`` in order; everything is a pure integer function
+    of the layout, reproducible by any SQL engine.  Zero-token and
+    NULL-count documents contribute no spans (nothing to pack).
+
+    Scale shape: inherits :func:`corpus_offsets`' two-pass distributed
+    prefix sum (one bounded shard-totals collect, per-shard windows —
+    pass ``shard_col`` for the 100 TB path); the span explode is pure
+    codegen adding ``ceil(n_tokens/seq_len) (+1)`` rows per document —
+    output volume ~ ``corpus_tokens / seq_len``, never quadratic.
+    Feed ``token_col`` from :func:`~.text.bpe_encode` so sequences
+    are cut on REAL tokenizer tokens.
+    """
+    from .sampling import _fresh_name
+
+    if seq_len < 1:
+        raise ValueError(
+            f"sequence_spans: seq_len must be >= 1, got {seq_len}"
+        )
+    out_names = ["seq_id", "seq_tok_start", "doc_tok_start", "span_len"]
+    clashes = [c for c in out_names if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"sequence_spans: output column(s) {clashes} already exist "
+            "on the input"
+        )
+    pos = _fresh_name("__sq_pos", list(df.columns) + out_names)
+    off = _fresh_name("__sq_off", list(df.columns) + out_names)
+    indexed = corpus_offsets(
+        df,
+        order_cols,
+        shard_col=shard_col,
+        token_col=token_col,
+        pos_col=pos,
+        offset_col=off,
+        max_shards=max_shards,
+    )
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    L = F.lit(int(seq_len)).cast("long")
+    first = F.floor(F.col(off) / L).cast("long")
+    last = F.floor((F.col(off) + tok - F.lit(1)) / L).cast("long")
+    spanned = indexed.where(tok > 0).select(
+        "*", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    start = F.greatest(F.col(off), F.col("seq_id") * L)
+    end = F.least(F.col(off) + tok, (F.col("seq_id") + 1) * L)
+    return spanned.select(
+        *[F.col(c) for c in df.columns],
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (start - F.col("seq_id") * L).cast("long").alias("seq_tok_start"),
+        (start - F.col(off)).cast("long").alias("doc_tok_start"),
+        (end - start).cast("long").alias("span_len"),
+    )

@@ -770,6 +770,42 @@ def _op_bpe_encode(spark, inp, options):
     )
 
 
+def _op_sequence_spans(spark, inp, options):
+    from .mixing import sequence_spans
+
+    order_cols = options.get("order_cols", ["shuffle_key", "doc_id"])
+    if isinstance(order_cols, str):
+        order_cols = [c.strip() for c in order_cols.split(",") if c.strip()]
+    kwargs = {}
+    if "max_shards" in options:
+        kwargs["max_shards"] = int(options["max_shards"])
+    return sequence_spans(
+        inp,
+        int(options["seq_len"]),
+        order_cols,
+        token_col=options.get("token_col", "n_tokens"),
+        shard_col=options.get("shard_col"),
+        **kwargs,
+    )
+
+
+def _op_tokenizer_fertility(spark, inp, options):
+    from .text import tokenizer_fertility
+
+    end_marker = options.get("end_marker", "</w>")
+    if end_marker in ("", None, "none", "null"):
+        end_marker = None
+    return tokenizer_fertility(
+        inp,
+        merges=[tuple(m) for m in (options.get("merges") or [])],
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        group_col=options.get("group_col"),
+        end_marker=end_marker,
+        method=options.get("method", "auto"),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1385,6 +1421,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "pack_shards": _op_pack_shards,
     "shuffle_corpus": _op_shuffle_corpus,
     "corpus_offsets": _op_corpus_offsets,
+    "sequence_spans": _op_sequence_spans,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,
@@ -1398,6 +1435,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "luhn_cards": _op_luhn_cards,
     "bpe_pairs": _op_bpe_pairs,
     "bpe_encode": _op_bpe_encode,
+    "tokenizer_fertility": _op_tokenizer_fertility,
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,
     "normalize_text": _op_normalize_text,

@@ -25,6 +25,7 @@ __all__ = [
     "bpe_pair_counts",
     "train_bpe",
     "bpe_encode",
+    "tokenizer_fertility",
     "gopher_rules",
     "GOPHER_STOPWORDS",
     "c4_rules",
@@ -721,6 +722,7 @@ def bpe_encode(
     end_marker: str | None = "</w>",
     method: str = "auto",
     max_expr_merges: int = 64,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Apply a TRAINED merge table to the corpus — the inference half
     of the BPE tokenizer (:func:`train_bpe` learns the merges; this
@@ -742,7 +744,14 @@ def bpe_encode(
     by serving tokenizers assumes each rule's symbols were created by
     EARLIER rules, which user-supplied tables need not satisfy.
 
-    Output: ``id[, keep_cols], tokens array<string>, n_tokens bigint``.
+    Output: ``id[, keep_cols], tokens array<string>, n_tokens bigint``
+    — plus, with ``with_counts=True``, ``n_words bigint, n_chars
+    bigint`` (post-normalization, pre-``end_marker`` word and
+    character counts): free byproducts that make tokenizer-fertility
+    reporting (:func:`tokenizer_fertility`) a single aggregate over
+    this output.  They are opt-in because corpus schemas commonly
+    carry their own ``n_chars`` (the testdata ``documents`` table
+    does) and the clash check below would otherwise reject them.
 
     Two engine paths, bit-identical (pinned by test):
 
@@ -779,7 +788,10 @@ def bpe_encode(
         raise ValueError(
             f"bpe_encode: method must be auto|expr|python, got {method!r}"
         )
-    clashes = [c for c in ("tokens", "n_tokens") if c in df.columns]
+    out_cols = ("tokens", "n_tokens") + (
+        ("n_words", "n_chars") if with_counts else ()
+    )
+    clashes = [c for c in out_cols if c in df.columns]
     if clashes:
         raise ValueError(
             f"bpe_encode: output column(s) {clashes} already exist on "
@@ -796,11 +808,17 @@ def bpe_encode(
             "cost follows)"
         )
     if method == "expr":
-        return _bpe_encode_expr(df, merges, text_col, id_col, keep, end_marker)
-    return _bpe_encode_python(df, merges, text_col, id_col, keep, end_marker)
+        return _bpe_encode_expr(
+            df, merges, text_col, id_col, keep, end_marker, with_counts
+        )
+    return _bpe_encode_python(
+        df, merges, text_col, id_col, keep, end_marker, with_counts
+    )
 
 
-def _bpe_encode_expr(df, merges, text_col, id_col, keep, end_marker):
+def _bpe_encode_expr(
+    df, merges, text_col, id_col, keep, end_marker, with_counts
+):
     from .dedup import normalized_tokens
     from .sampling import _fresh_name
 
@@ -825,8 +843,13 @@ def _bpe_encode_expr(df, merges, text_col, id_col, keep, end_marker):
         # inspects lambda arity and rejects extra parameters
         return lambda w: _bpe_merge_fold(F.split(w, _BPE_SEP), a, b)
 
+    # stage the clean word array ONCE: the merge chain, the word count
+    # and the char count all read it without re-running the tokenize
+    warr = _fresh_name("__bpe_warr", df.columns)
     wcol = _fresh_name("__bpe_ws", df.columns)
-    staged = df.withColumn(wcol, F.transform(words, to_syms))
+    staged = df.withColumn(warr, words).withColumn(
+        wcol, F.transform(F.col(warr), to_syms)
+    )
     for a, b in merges:
         staged = staged.withColumn(
             wcol, F.transform(F.col(wcol), merge_layer(a, b))
@@ -834,15 +857,30 @@ def _bpe_encode_expr(df, merges, text_col, id_col, keep, end_marker):
     tokens = F.flatten(
         F.transform(F.col(wcol), lambda w: F.split(w, _BPE_SEP))
     )
+    counts = (
+        [
+            F.size(F.col(warr)).cast("bigint").alias("n_words"),
+            F.aggregate(
+                F.col(warr),
+                F.lit(0).cast("bigint"),
+                lambda acc, w: acc + F.length(w).cast("bigint"),
+            ).alias("n_chars"),
+        ]
+        if with_counts
+        else []
+    )
     return staged.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         tokens.alias("tokens"),
         F.size(tokens).cast("bigint").alias("n_tokens"),
+        *counts,
     )
 
 
-def _bpe_encode_python(df, merges, text_col, id_col, keep, end_marker):
+def _bpe_encode_python(
+    df, merges, text_col, id_col, keep, end_marker, with_counts
+):
     import re
 
     from pyspark.sql import types as T
@@ -876,18 +914,26 @@ def _bpe_encode_python(df, merges, text_col, id_col, keep, end_marker):
         for pdf in batches:
             # vectorized tokenization: one pandas pass for lower+findall
             wordlists = pdf[text_col].fillna("").str.lower().str.findall(ws)
-            toks_out, counts = [], []
+            toks_out, counts, wcounts, ccounts = [], [], [], []
             for wl in wordlists:
                 out: list = []
+                nw = nc = 0
                 for w in wl:
                     w = w.replace(_BPE_SEP, "")
                     if w:
                         out.extend(enc(w))
+                        nw += 1
+                        nc += len(w)
                 toks_out.append(out)
                 counts.append(len(out))
+                wcounts.append(nw)
+                ccounts.append(nc)
             res = pdf[[id_col, *keep]].copy()
             res["tokens"] = toks_out
             res["n_tokens"] = counts
+            if with_counts:
+                res["n_words"] = wcounts
+                res["n_chars"] = ccounts
             yield res
 
     in_fields = {f.name: f for f in df.schema.fields}
@@ -897,9 +943,81 @@ def _bpe_encode_python(df, merges, text_col, id_col, keep, end_marker):
             T.StructField("tokens", T.ArrayType(T.StringType())),
             T.StructField("n_tokens", T.LongType()),
         ]
+        + (
+            [
+                T.StructField("n_words", T.LongType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+            if with_counts
+            else []
+        )
     )
     sel = df.select(*dict.fromkeys([id_col, *keep, text_col]))
     return sel.mapInPandas(encode_batches, schema)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    end_marker: str | None = "</w>",
+    method: str = "auto",
+) -> DataFrame:
+    """Tokenizer fertility report: how many BPE tokens the merge table
+    spends per word and how many characters each token carries —
+    the standard metric for judging whether a tokenizer fits a corpus
+    (fertility near 1 = most words are single tokens; high fertility
+    on a language means the vocabulary underserves it).  Group by
+    language (``group_col``) to see exactly that skew.
+
+    Output: ``[group_col,] n_docs, ws_tokens, bpe_tokens, n_chars``
+    (all BIGINT; ``ws_tokens`` is the normalized word count — BPE's
+    word segmentation — and ``n_chars`` counts post-normalization word
+    characters) plus ``fertility = bpe_tokens/ws_tokens`` and
+    ``chars_per_token = n_chars/bpe_tokens`` (DOUBLE, 6dp, NULL when
+    the denominator is 0).  The ratios are single divisions of exact
+    integer sums — engine-exact like the tf-idf/dup-weight gates.
+
+    Scale shape: :func:`bpe_encode`'s zero-shuffle map stage plus ONE
+    map-side-combined aggregate on the (bounded) group key.
+    """
+    # project to exactly what the report needs BEFORE encoding: column
+    # pruning for the scan, and the corpus's own n_words/n_chars-style
+    # columns can never clash with the count outputs
+    enc = bpe_encode(
+        df.select(*dict.fromkeys([id_col, group_col, text_col] if group_col else [id_col, text_col])),
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        keep_cols=[group_col] if group_col else None,
+        end_marker=end_marker,
+        method=method,
+        with_counts=True,
+    )
+    keys = [group_col] if group_col else []
+    agg = enc.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("ws_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        *[F.col(k) for k in keys],
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.round(F.col("n_chars") / F.col("bpe_tokens"), 6),
+        ).alias("chars_per_token"),
+    )
 
 
 def strip_markup(

@@ -179,6 +179,65 @@ def test_zero_shuffle_plans(spark):
     assert "Exchange" not in py_plan, py_plan
 
 
+@pytest.mark.parametrize("method", ["expr", "python"])
+def test_with_counts_columns(spark, method):
+    df = _df(spark, [(1, "the cat"), (2, ""), (3, None)])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_words, r.n_chars)
+        for r in bpe_encode(
+            df, MERGES, method=method, with_counts=True
+        ).collect()
+    }
+    # "the" -> [the</w>] (1); "cat" -> [c,a,t,</w>] (4)
+    assert got == {1: (5, 2, 6), 2: (0, 0, 0), 3: (0, 0, 0)}
+    # opt-in: default output has no count columns (corpus schemas often
+    # carry their own n_chars — the testdata documents table does)
+    cols = bpe_encode(df, MERGES, method=method).columns
+    assert "n_words" not in cols and "n_chars" not in cols
+    with pytest.raises(ValueError, match="n_chars"):
+        bpe_encode(
+            df.withColumnRenamed("text", "n_chars"),
+            MERGES,
+            text_col="n_chars",
+            with_counts=True,
+        )
+
+
+def test_tokenizer_fertility(spark):
+    from aqueducts_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the thesis"),       # 2 words, 10 chars
+            (2, "en", "the"),              # 1 word, 3 chars
+            (3, "de", "das das das"),      # 3 words, 9 chars
+            (4, "de", None),               # no words
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.lang: (
+            r.n_docs, r.ws_tokens, r.bpe_tokens, r.n_chars,
+            r.fertility, r.chars_per_token,
+        )
+        for r in tokenizer_fertility(df, MERGES, group_col="lang").collect()
+    }
+    # en: "the"->[the</w>] (1); "thesis"->[the,s,i,s,</w>] (5)
+    assert got["en"] == (2, 3, 7, 12, round(7 / 3, 6), round(12 / 7, 6))
+    # de: "das" -> [d,a,s,</w>] (4 tokens) x3
+    assert got["de"] == (2, 3, 12, 9, 4.0, 0.75)
+    # ungrouped: one global row with the same sums
+    g = tokenizer_fertility(df, MERGES).collect()[0]
+    assert (g.n_docs, g.ws_tokens, g.bpe_tokens) == (4, 6, 19)
+    # zero-word corpus: ratios are NULL, not a division error
+    z = tokenizer_fertility(
+        spark.createDataFrame([(1, "x", None)], "doc_id long, lang string, text string"),
+        MERGES,
+        group_col="lang",
+    ).collect()[0]
+    assert z.fertility is None and z.chars_per_token is None
+
+
 def test_registry_stage(spark):
     from aqueducts_spark.operators.registry import run_operator
 
