@@ -3407,6 +3407,92 @@ def _op_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-benchmark-item contamination report (operators/decontam.py::
+# contamination_report, the GPT-3 clean/dirty-split methodology): the
+# src0 documents play the benchmark, everything else the corpus, 3-gram
+# shingles as in op_decontam.  Exact integer counts; dirty_frac is one
+# 6dp-rounded division of exact sums.
+OP_CONTAM_REPORT_DUCK = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shingles
+  FROM (SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)
+),
+benchf AS (
+  SELECT * FROM (
+    SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+  ) WHERE shingle != ''
+),
+sizes AS (SELECT bench_id, COUNT(*) AS n_grams FROM benchf GROUP BY 1),
+corpf AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE source <> 'src0'
+  ) WHERE shingle != ''
+),
+per AS (
+  SELECT b.bench_id,
+         COUNT(DISTINCT b.shingle) AS nd,
+         COUNT(DISTINCT c.doc_id) AS nc
+  FROM corpf c JOIN benchf b USING (shingle)
+  GROUP BY 1
+),
+base AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0')
+SELECT base.bench_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(nd, 0) AS BIGINT) AS n_dirty_grams,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN ROUND(CAST(COALESCE(nd, 0) AS DOUBLE) / n_grams, 6) END AS dirty_frac,
+       CAST(COALESCE(nc, 0) AS BIGINT) AS n_corpus_docs,
+       COALESCE(nd, 0) >= 1 AS is_dirty
+FROM base LEFT JOIN sizes USING (bench_id) LEFT JOIN per USING (bench_id)
+"""
+
+
+def _op_contam_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.decontam import contamination_report
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return contamination_report(
+        docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=3
+    )
+
+
+# Per-shard integrity manifest (operators/mixing.py::shard_manifest)
+# over the shuffle_corpus layout: row counts, token totals, id range,
+# and the order-independent 28-bit-md5-sum content hash — every value
+# an exact integer in both engines.
+OP_SHARD_MANIFEST_DUCK = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard:r5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 8 AS INTEGER) AS shard_id,
+         length(text) AS b
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(b, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(('0x' || substr(md5('manifest:' || coalesce(CAST(doc_id AS VARCHAR), chr(0))), 1, 15))::BIGINT
+                % 268435456) AS BIGINT) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM keyed GROUP BY shard_id
+"""
+
+
+def _op_shard_manifest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.mixing import shard_manifest, shuffle_corpus
+
+    _views(spark, sf_dir)
+    sharded = shuffle_corpus(
+        spark.table("documents"), seed="r5", n_shards=8
+    ).withColumn("n_tok", F.length("text"))
+    return shard_manifest(
+        sharded, shard_col="shard_id", id_col="doc_id", token_col="n_tok"
+    )
+
+
 # Context-window chunking (operators/text.py::chunk_documents):
 # fixed-token overlapping windows, chunk starts 1 + k*stride. All
 # arithmetic is non-negative integer ceil-div — exact in both engines.
@@ -3744,19 +3830,26 @@ def _op_tok_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     return tokenizer_fertility(
-        spark.table("documents"), _BPE_ENC_MERGES, group_col="lang"
+        spark.table("documents"),
+        _BPE_ENC_MERGES,
+        group_col="lang",
+        method="python",  # the memoized scale path, like op_bpe_encode
     )
 
 
 def _op_bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize every document with a fixed trained merge table
     (operators/text.py::bpe_encode) — exact token-sequence oracle
-    (tokens joined by space; symbols never contain whitespace)."""
+    (tokens joined by space; symbols never contain whitespace).  The
+    gate runs the memoized method='python' SCALE path (bench-measured
+    ~10x over the expression fold at sf0.1 — the merge loop runs once
+    per DISTINCT word, not per occurrence); the pure-expression twin
+    is bit-parity-pinned against it in tests/test_bpe_encode.py."""
     from aqueducts_spark.operators.text import bpe_encode
 
     _views(spark, sf_dir)
     enc = bpe_encode(
-        spark.table("documents"), _BPE_ENC_MERGES, method="expr"
+        spark.table("documents"), _BPE_ENC_MERGES, method="python"
     )
     return enc.select(
         "doc_id",
@@ -4731,6 +4824,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
         "op_tok_fertility": _op_tok_fertility_gate,
+        "op_contam_report": _op_contam_report_gate,
+        "op_shard_manifest": _op_shard_manifest_gate,
         "op_fuzzy_decontam": _op_fuzzy_decontam_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
@@ -4899,6 +4994,8 @@ _GATE_PRIORITY = [
     "op_simhash",               # rotated out of the scored window in r6
     "op_bpe_encode",
     "op_tok_fertility",
+    "op_contam_report",
+    "op_shard_manifest",
     "op_fuzzy_decontam",
     "op_fingerprint",
     "op_token_count",
@@ -5053,6 +5150,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),
         "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
+        "op_contam_report": OP_CONTAM_REPORT_DUCK,
+        "op_shard_manifest": OP_SHARD_MANIFEST_DUCK,
         "op_fuzzy_decontam": OP_FUZZY_DECONTAM_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_overlap",
     "fuzzy_decontaminate",
     "fuzzy_decontaminate_rowwise",
+    "contamination_report",
 ]
 
 
@@ -408,3 +409,104 @@ def fuzzy_decontaminate_rowwise(
         keys_c, sh_c
     )
 
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_dirty_grams: int = 1,
+) -> DataFrame:
+    """Per-benchmark-ITEM contamination report — the other direction of
+    :func:`decontaminate`: instead of cleaning the corpus, measure how
+    compromised each EVAL example is (the GPT-3 appendix-C /
+    clean-vs-dirty-split methodology: after training-set leakage, you
+    report metrics on the clean subset).
+
+    For every benchmark row: ``n_grams`` (its distinct word n-grams),
+    ``n_dirty_grams`` (how many of those appear in >= 1 corpus
+    document), ``dirty_frac = n_dirty_grams / n_grams`` (6dp; NULL for
+    gram-less items), ``n_corpus_docs`` (distinct corpus documents
+    sharing >= 1 gram), and ``is_dirty`` (``n_dirty_grams >=
+    min_dirty_grams`` — the paper's flag at the default 1).  Items
+    with no overlap report zeros, not absence: the report is the
+    benchmark's integrity card, every row present.
+
+    Benchmark ids must be unique and non-NULL (validated eagerly on
+    the small side, like :func:`minhash_overlap`).
+
+    Scale shape (100 TB corpus, MB-GB benchmark): the per-item gram
+    table is benchmark-sized and BROADCASTS into the corpus's single
+    explode pass; everything after the join — the per-item distinct
+    counts — aggregates hit pairs, whose volume is the contamination
+    itself (near zero on a clean corpus).  The corpus never shuffles.
+    """
+    if min_dirty_grams < 1:
+        raise ValueError(
+            "contamination_report: min_dirty_grams must be >= 1, got "
+            f"{min_dirty_grams}"
+        )
+    bench_text_col = bench_text_col if bench_text_col is not None else text_col
+    chk = benchmark.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(bench_id_col)).alias("nn"),
+        F.countDistinct(F.col(bench_id_col)).alias("nd"),
+    ).collect()[0]
+    if chk["nn"] != chk["n"] or chk["nd"] != chk["nn"]:
+        raise ValueError(
+            "contamination_report: benchmark ids must be unique and "
+            "non-NULL — a per-item report is meaningless under pooled ids"
+        )
+    base = benchmark.select(F.col(bench_id_col).alias("bench_id"))
+    bg = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    sizes = bg.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    corp = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+    )
+    hits = corp.join(F.broadcast(bg), "shingle")
+    per_item = hits.groupBy("bench_id").agg(
+        F.countDistinct("shingle").cast("bigint").alias("n_dirty_grams"),
+        F.countDistinct(F.col(id_col)).cast("bigint").alias("n_corpus_docs"),
+    )
+    joined = (
+        base.join(F.broadcast(sizes), "bench_id", "left")
+        .join(F.broadcast(per_item), "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias(
+                "n_grams"
+            ),
+            F.coalesce(
+                F.col("n_dirty_grams"), F.lit(0).cast("bigint")
+            ).alias("n_dirty_grams"),
+            F.coalesce(
+                F.col("n_corpus_docs"), F.lit(0).cast("bigint")
+            ).alias("n_corpus_docs"),
+        )
+    )
+    return joined.select(
+        "bench_id",
+        "n_grams",
+        "n_dirty_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_dirty_grams") / F.col("n_grams"), 6),
+        ).alias("dirty_frac"),
+        "n_corpus_docs",
+        (F.col("n_dirty_grams") >= F.lit(int(min_dirty_grams))).alias(
+            "is_dirty"
+        ),
+    )

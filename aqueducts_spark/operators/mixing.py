@@ -60,6 +60,7 @@ __all__ = [
     "shuffle_corpus",
     "corpus_offsets",
     "sequence_spans",
+    "shard_manifest",
 ]
 
 _BUCKETS = 10_000
@@ -572,3 +573,51 @@ def sequence_spans(
         (start - F.col(off)).cast("long").alias("doc_tok_start"),
         (end - start).cast("long").alias("span_len"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-shard integrity manifest for a laid-out corpus — the sidecar
+    a 100 TB writer emits next to its shards so a resume, a mirror, or
+    an auditor can verify each shard WITHOUT re-reading the others:
+    row count, token total, id range, and an ORDER-INDEPENDENT content
+    hash (the sum over rows of a 28-bit md5 bucket of the id — addition
+    commutes, so the hash is a pure function of the shard's row SET,
+    stable under any partitioning or read order, and reproducible by
+    any SQL engine from the same rows).
+
+    Output: ``shard_col, n_docs, content_hash`` (+ ``n_tokens`` iff
+    ``token_col``), ``min_id, max_id``.  NULL ids hash via the
+    :func:`~.sampling.hash_bucket` sentinel (they count, they don't
+    vanish); NULL token counts add 0.  ``hash_fn="xxhash64"`` is the
+    codegen fast path (Spark-internal determinism only — gates keep
+    md5).  The 28-bit per-row value keeps the int64 sum exact past
+    3e10 rows per shard — far beyond any real shard.
+
+    Scale shape: ONE map-side-combined aggregate keyed on the bounded
+    shard id — the cheapest possible full-corpus pass.
+    """
+    per_row = hash_bucket(
+        F.col(id_col), buckets=1 << 28, salt="manifest:", hash_fn=hash_fn
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(per_row).cast("bigint").alias("content_hash"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1,
+            F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    aggs += [
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id"),
+    ]
+    return df.groupBy(F.col(shard_col)).agg(*aggs)

@@ -806,6 +806,34 @@ def _op_tokenizer_fertility(spark, inp, options):
     )
 
 
+def _op_contamination_report(spark, inp, options):
+    from .decontam import contamination_report
+
+    bench = spark.table(options["benchmark"])
+    return contamination_report(
+        inp,
+        bench,
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        bench_id_col=options.get("bench_id_col", "doc_id"),
+        bench_text_col=options.get("bench_text_col"),
+        n=int(options.get("n", 13)),
+        min_dirty_grams=int(options.get("min_dirty_grams", 1)),
+    )
+
+
+def _op_shard_manifest(spark, inp, options):
+    from .mixing import shard_manifest
+
+    return shard_manifest(
+        inp,
+        shard_col=options.get("shard_col", "shard_id"),
+        id_col=options.get("id_col", "doc_id"),
+        token_col=options.get("token_col"),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1422,6 +1450,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "shuffle_corpus": _op_shuffle_corpus,
     "corpus_offsets": _op_corpus_offsets,
     "sequence_spans": _op_sequence_spans,
+    "shard_manifest": _op_shard_manifest,
+    "contamination_report": _op_contamination_report,
     "skew_profile": _op_skew_profile,
     "vocabulary": _op_vocabulary,
     "tfidf_top_terms": _op_tfidf,

@@ -772,10 +772,14 @@ def bpe_encode(
       shuffle, Arrow-batched, and stateless — it runs UNCHANGED on a
       streaming frame (the live-ingest tokenizer).
 
-    ``method="auto"`` picks ``expr`` up to 32 rules (auditable,
-    oracle-friendly), ``python`` beyond (a real merge table is
-    thousands of rules — expression depth and analysis time rule the
-    expr path out there).
+    ``method="auto"`` picks ``python`` — MEASURED, not assumed: at
+    sf0.1 with 5 rules the memoized path runs ~10x faster than the
+    expression fold (0.5s vs 5.1s, SCALE.md r11), because higher-order
+    functions evaluate interpreted per word OCCURRENCE while the memo
+    pays the merge loop once per DISTINCT word; the gap only widens
+    with more rules.  Choose ``expr`` explicitly when the Python
+    worker boundary itself is the constraint (pure-JVM deployments,
+    or fusing into a surrounding codegen-only pipeline).
 
     Scale shape: both paths are single map stages over the corpus —
     no shuffle, no driver data path; 100 TB tokenizes embarrassingly
@@ -799,7 +803,7 @@ def bpe_encode(
         )
     keep = list(keep_cols or [])
     if method == "auto":
-        method = "expr" if len(merges) <= 32 else "python"
+        method = "python"
     if method == "expr" and len(merges) > max_expr_merges:
         raise ValueError(
             f"bpe_encode: {len(merges)} merges exceeds max_expr_merges="
@@ -819,8 +823,10 @@ def bpe_encode(
 def _bpe_encode_expr(
     df, merges, text_col, id_col, keep, end_marker, with_counts
 ):
-    from .dedup import normalized_tokens
+    from .dedup import ensure_parallelism, normalized_tokens
     from .sampling import _fresh_name
+
+    df = ensure_parallelism(df)
 
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(
@@ -952,7 +958,11 @@ def _bpe_encode_python(
             else []
         )
     )
-    sel = df.select(*dict.fromkeys([id_col, *keep, text_col]))
+    from .dedup import ensure_parallelism
+
+    sel = ensure_parallelism(
+        df.select(*dict.fromkeys([id_col, *keep, text_col]))
+    )
     return sel.mapInPandas(encode_batches, schema)
 
 

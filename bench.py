@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "op_bm25",
     "op_shuffle_corpus",
     "op_bpe_pairs",
+    "op_bpe_encode",
+    "op_tok_fertility",
+    "op_sequence_spans",
+    "op_shard_manifest",
+    "op_contam_report",
+    "op_fuzzy_decontam",
     "mm_byte_stats",
     "pl_pipeline_yaml",
 ]

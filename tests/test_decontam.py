@@ -710,3 +710,105 @@ def test_tfidf_null_and_duplicate_ids_never_negative(spark):
     )
     out = tfidf_top_terms(df, top_n=5)
     assert out.where("tfidf < 0").count() == 0
+
+
+def _ref_report(corpus_rows, bench_rows, n):
+    """Pure-Python reference for contamination_report."""
+    def grams(t):
+        toks = [w for w in (t or "").lower().split() if w]
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    corp = {i: grams(t) for i, t in corpus_rows}
+    out = {}
+    for bid, t in bench_rows:
+        g = grams(t)
+        dirty = {s for s in g if any(s in cg for cg in corp.values())}
+        docs = {i for i, cg in corp.items() if cg & g}
+        out[bid] = (
+            len(g),
+            len(dirty),
+            round(len(dirty) / len(g), 6) if g else None,
+            len(docs),
+            len(dirty) >= 1,
+        )
+    return out
+
+
+def test_contamination_report_values(spark, corpus, bench_set):
+    from aqueducts_spark.operators.decontam import contamination_report
+
+    got = {
+        r.bench_id: (
+            r.n_grams, r.n_dirty_grams, r.dirty_frac, r.n_corpus_docs,
+            r.is_dirty,
+        )
+        for r in contamination_report(corpus, bench_set, n=3).collect()
+    }
+    exp = _ref_report(
+        [(r.doc_id, r.text) for r in corpus.collect()],
+        [(r.doc_id, r.text) for r in bench_set.collect()],
+        3,
+    )
+    assert got == exp
+    # both items share 3-grams with the corpus here
+    assert got[100][4] and got[101][4]
+
+
+def test_contamination_report_clean_and_empty_items(spark, corpus):
+    from aqueducts_spark.operators.decontam import contamination_report
+
+    bench = spark.createDataFrame(
+        [(1, "zero overlap phrases entirely absent here"), (2, ""), (3, None)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.bench_id: (r.n_grams, r.n_dirty_grams, r.dirty_frac, r.n_corpus_docs, r.is_dirty)
+        for r in contamination_report(corpus, bench, n=3).collect()
+    }
+    # every benchmark row is PRESENT, clean items report zeros
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] == 0 and got[1][3] == 0 and not got[1][4]
+    assert got[2] == (0, 0, None, 0, False)
+    assert got[3] == (0, 0, None, 0, False)
+
+
+def test_contamination_report_validation(spark, corpus):
+    from aqueducts_spark.operators.decontam import contamination_report
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unique"):
+        contamination_report(corpus, dup)
+    with pytest.raises(ValueError, match="min_dirty_grams"):
+        contamination_report(corpus, corpus.limit(1), min_dirty_grams=0)
+
+
+def test_contamination_report_registry_stage(spark, corpus, bench_set):
+    from aqueducts_spark.operators.registry import run_operator
+
+    corpus.createOrReplaceTempView("cr_corpus")
+    bench_set.createOrReplaceTempView("cr_bench")
+    out = run_operator(
+        spark,
+        {
+            "type": "contamination_report",
+            "input": "cr_corpus",
+            "options": {"benchmark": "cr_bench", "n": 3},
+        },
+    )
+    assert {r.bench_id for r in out.collect()} == {100, 101}
+    spark.catalog.dropTempView("cr_corpus")
+    spark.catalog.dropTempView("cr_bench")
+
+
+def test_contamination_report_corpus_side_is_broadcast_join(spark, corpus, bench_set):
+    from aqueducts_spark.operators.decontam import contamination_report
+    from aqueducts_spark.plans.inspect import inspect_plan
+
+    info = inspect_plan(contamination_report(corpus, bench_set, n=3))
+    # the bench gram table broadcasts into the corpus explode; no
+    # sort-merge join anywhere on the corpus path
+    assert info.broadcast_joins >= 2 and info.sort_merge_joins == 0

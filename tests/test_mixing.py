@@ -211,3 +211,93 @@ def test_weighted_mix_xxhash64_fast_path(spark):
     assert out.count() == n1  # deterministic
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "md5" not in plan
+
+
+def test_shard_manifest_values_and_order_independence(spark):
+    import hashlib
+
+    from aqueducts_spark.operators.mixing import shard_manifest
+
+    rows = [(i, i % 3, (i * 11) % 7 + 1) for i in range(20)] + [(None, 1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n long")
+    got = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_hash, r.min_id, r.max_id)
+        for r in shard_manifest(
+            df, shard_col="shard", id_col="doc_id", token_col="n"
+        ).collect()
+    }
+
+    def h(v):
+        s = "manifest:" + ("\x00" if v is None else str(v))
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (1 << 28)
+
+    exp = {}
+    for i, s, n in rows:
+        d = exp.setdefault(s, [0, 0, 0, None, None])
+        d[0] += 1
+        d[1] += n or 0
+        d[2] += h(i)
+        ids = [x for x in (d[3], i) if x is not None]
+        d[3] = min(ids) if ids else None
+        ids = [x for x in (d[4], i) if x is not None]
+        d[4] = max(ids) if ids else None
+    assert got == {s: tuple(v) for s, v in exp.items()}
+    # order independence: a different physical layout, same manifest
+    reordered = shard_manifest(
+        df.orderBy("n", "doc_id").repartition(7),
+        shard_col="shard", id_col="doc_id", token_col="n",
+    )
+    assert {
+        r.shard: (r.n_docs, r.n_tokens, r.content_hash, r.min_id, r.max_id)
+        for r in reordered.collect()
+    } == got
+    # without token_col, no n_tokens column
+    cols = shard_manifest(df, shard_col="shard", id_col="doc_id").columns
+    assert "n_tokens" not in cols
+
+
+def test_shard_manifest_detects_any_row_change(spark):
+    from aqueducts_spark.operators.mixing import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "doc_id long, shard long"
+    )
+    base = shard_manifest(df, shard_col="shard").collect()[0]
+    # drop one row: count AND content hash both move
+    drop = shard_manifest(
+        df.where("doc_id <> 7"), shard_col="shard"
+    ).collect()[0]
+    assert drop.n_docs == base.n_docs - 1
+    assert drop.content_hash != base.content_hash
+    # swap one row for another with the same count: hash still moves
+    swap = shard_manifest(
+        df.where("doc_id <> 7").union(
+            spark.createDataFrame([(99, 0)], "doc_id long, shard long")
+        ),
+        shard_col="shard",
+    ).collect()[0]
+    assert swap.n_docs == base.n_docs and swap.content_hash != base.content_hash
+
+
+def test_shard_manifest_registry_stage_and_xxhash(spark):
+    from aqueducts_spark.operators.mixing import shard_manifest
+    from aqueducts_spark.operators.registry import run_operator
+
+    df = spark.createDataFrame(
+        [(i, i % 2, 3) for i in range(8)], "doc_id long, shard_id long, n_tok long"
+    )
+    df.createOrReplaceTempView("sm_docs")
+    out = run_operator(
+        spark,
+        {
+            "type": "shard_manifest",
+            "input": "sm_docs",
+            "options": {"token_col": "n_tok"},
+        },
+    ).collect()
+    assert {r.shard_id: r.n_tokens for r in out} == {0: 12, 1: 12}
+    # xxhash64 fast path: deterministic within Spark
+    a = shard_manifest(df, hash_fn="xxhash64").collect()
+    b = shard_manifest(df, hash_fn="xxhash64").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    spark.catalog.dropTempView("sm_docs")
