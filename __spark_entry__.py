@@ -3493,6 +3493,68 @@ def _op_shard_manifest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source corpus datacard (operators/profile.py::corpus_datacard):
+# volume/emptiness/token-char mass/length quantiles/language mix/exact
+# dup pressure, one row per source.  percentile() and quantile_cont()
+# share the linear-interpolation definition, so even the quantiles are
+# engine-exact at 6dp.
+OP_DATACARD_DUCK = r"""
+WITH base AS (
+  SELECT source AS g, text AS t, lang,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) END AS tok,
+         COALESCE(length(text), 0) AS ch
+  FROM documents
+),
+stats AS (
+  SELECT g,
+    COUNT(*) AS n_docs,
+    COUNT(CASE WHEN t IS NULL THEN 1 END) AS n_null_text,
+    COUNT(CASE WHEN t IS NOT NULL AND trim(t) = '' THEN 1 END) AS n_empty_text,
+    SUM(tok) AS n_tokens, SUM(ch) AS n_chars,
+    ROUND(AVG(tok), 6) AS avg_doc_tokens,
+    ROUND(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+    ROUND(quantile_cont(tok, 0.9), 6) AS p90_tokens
+  FROM base GROUP BY g
+),
+lc AS (SELECT g, lang, COUNT(*) AS n FROM base WHERE lang IS NOT NULL GROUP BY g, lang),
+top AS (
+  SELECT g, lang AS top_lang, n FROM (
+    SELECT g, lang, n,
+           row_number() OVER (PARTITION BY g ORDER BY n DESC, lang ASC) AS rk
+    FROM lc
+  ) WHERE rk = 1
+),
+nl AS (SELECT g, COUNT(DISTINCT lang) AS n_langs FROM lc GROUP BY g),
+dups AS (
+  SELECT g, SUM(n) AS n_dup_docs FROM (
+    SELECT g, t, COUNT(*) AS n FROM base WHERE t IS NOT NULL GROUP BY g, t
+  ) WHERE n > 1 GROUP BY g
+)
+SELECT s.g AS source,
+  CAST(s.n_docs AS BIGINT) AS n_docs,
+  CAST(n_null_text AS BIGINT) AS n_null_text,
+  CAST(n_empty_text AS BIGINT) AS n_empty_text,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  avg_doc_tokens, p50_tokens, p90_tokens,
+  CAST(COALESCE(nl.n_langs, 0) AS BIGINT) AS n_langs,
+  top.top_lang,
+  ROUND(CAST(top.n AS DOUBLE) / s.n_docs, 6) AS top_lang_share,
+  CAST(COALESCE(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+  ROUND(CAST(COALESCE(d.n_dup_docs, 0) AS DOUBLE) / s.n_docs, 6) AS dup_frac
+FROM stats s
+LEFT JOIN nl USING (g) LEFT JOIN top USING (g) LEFT JOIN dups d USING (g)
+"""
+
+
+def _op_datacard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.profile import corpus_datacard
+
+    _views(spark, sf_dir)
+    return corpus_datacard(spark.table("documents"))
+
+
 # Context-window chunking (operators/text.py::chunk_documents):
 # fixed-token overlapping windows, chunk starts 1 + k*stride. All
 # arithmetic is non-negative integer ceil-div — exact in both engines.
@@ -4826,6 +4888,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_tok_fertility": _op_tok_fertility_gate,
         "op_contam_report": _op_contam_report_gate,
         "op_shard_manifest": _op_shard_manifest_gate,
+        "op_datacard": _op_datacard_gate,
         "op_fuzzy_decontam": _op_fuzzy_decontam_gate,
         "op_zorder_key": _op_zorder_gate,
         "op_cluster_components": _op_cluster_components,
@@ -4996,6 +5059,7 @@ _GATE_PRIORITY = [
     "op_tok_fertility",
     "op_contam_report",
     "op_shard_manifest",
+    "op_datacard",
     "op_fuzzy_decontam",
     "op_fingerprint",
     "op_token_count",
@@ -5152,6 +5216,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
         "op_contam_report": OP_CONTAM_REPORT_DUCK,
         "op_shard_manifest": OP_SHARD_MANIFEST_DUCK,
+        "op_datacard": OP_DATACARD_DUCK,
         "op_fuzzy_decontam": OP_FUZZY_DECONTAM_DUCK,
         "op_zorder_key": _zorder_duck_sql(),
         "op_cluster_components": OP_CC_DUCK,

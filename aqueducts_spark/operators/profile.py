@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "corpus_datacard"]
 
 
 def profile_table(
@@ -106,3 +106,115 @@ def profile_table(
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         "min_repr", "max_repr",
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-source corpus DATACARD — the summary table a training-data
+    release publishes (and the first thing to look at before mixing):
+    volume, emptiness, token/char mass, length distribution, language
+    composition, and exact-duplicate pressure, one row per source.
+
+    Output per ``group_col`` value:
+
+    * ``n_docs, n_null_text, n_empty_text`` — volume and emptiness
+      (empty = non-NULL text that trims to ``''``),
+    * ``n_tokens, n_chars, avg_doc_tokens`` — whitespace-token and
+      character mass (6dp average; NULL text counts 0),
+    * ``p50_tokens, p90_tokens`` — linearly interpolated token-length
+      quantiles (6dp — identical `percentile`/`quantile_cont`
+      semantics in Spark and DuckDB),
+    * ``n_langs, top_lang, top_lang_share`` — language composition
+      (NULL langs are excluded from both the distinct count and the
+      ranking; ties break to the lexicographically smallest lang),
+    * ``n_dup_docs, dup_frac`` — documents whose exact text (md5 of
+      the raw bytes) appears on >= 1 OTHER document of the same
+      source; NULL texts never count as duplicates.
+
+    Scale shape: three aggregates, all keyed on bounded-cardinality
+    columns and map-side combined — (1) the main stats on
+    ``group_col``, (2) the language ranking on ``(group, lang)``,
+    (3) the duplicate count on ``(group, text-md5)`` reduced to a
+    per-group sum before joining.  The three per-group results are
+    source-cardinality-sized and broadcast-joined; the corpus itself
+    is scanned once per aggregate and never wide-shuffled.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import normalized_tokens
+
+    text = F.col(text_col)
+    toks = F.when(
+        text.isNotNull(), F.size(normalized_tokens(text)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        text.alias("__t"),
+        toks.alias("__tok"),
+        F.coalesce(F.length(text).cast("long"), F.lit(0)).alias("__ch"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+    )
+    stats = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("__t").isNull(), 1)).cast("bigint").alias("n_null_text"),
+        F.count(
+            F.when(F.col("__t").isNotNull() & (F.trim("__t") == ""), 1)
+        ).cast("bigint").alias("n_empty_text"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.sum("__ch").cast("bigint").alias("n_chars"),
+        F.round(F.avg("__tok"), 6).alias("avg_doc_tokens"),
+        F.round(F.expr("percentile(__tok, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(__tok, 0.9)"), 6).alias("p90_tokens"),
+    )
+    out = stats
+    if lang_col:
+        lc = base.where(F.col("__lang").isNotNull()).groupBy(
+            "__g", "__lang"
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy("__g").orderBy(
+            F.desc("__n"), F.asc("__lang")
+        )
+        top = (
+            lc.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("__g", F.col("__lang").alias("top_lang"), F.col("__n"))
+        )
+        nlang = lc.groupBy("__g").agg(
+            F.countDistinct("__lang").cast("bigint").alias("n_langs")
+        )
+        out = (
+            out.join(F.broadcast(nlang), "__g", "left")
+            .join(F.broadcast(top), "__g", "left")
+            .withColumn(
+                "top_lang_share",
+                F.round(F.col("__n") / F.col("n_docs"), 6),
+            )
+            .drop("__n")
+            .withColumn(
+                "n_langs",
+                F.coalesce(F.col("n_langs"), F.lit(0).cast("bigint")),
+            )
+        )
+    dups = (
+        base.where(F.col("__t").isNotNull())
+        .groupBy("__g", F.md5(F.col("__t")).alias("__fp"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .groupBy("__g")
+        .agg(F.sum("__n").cast("bigint").alias("n_dup_docs"))
+    )
+    out = (
+        out.join(F.broadcast(dups), "__g", "left")
+        .withColumn(
+            "n_dup_docs",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+        )
+    )
+    return out.withColumnRenamed("__g", group_col)

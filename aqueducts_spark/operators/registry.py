@@ -834,6 +834,20 @@ def _op_shard_manifest(spark, inp, options):
     )
 
 
+def _op_corpus_datacard(spark, inp, options):
+    from .profile import corpus_datacard
+
+    lang = options.get("lang_col", "lang")
+    if lang in ("", None, "none", "null"):
+        lang = None
+    return corpus_datacard(
+        inp,
+        group_col=options.get("group_col", "source"),
+        text_col=options.get("text_col", "text"),
+        lang_col=lang,
+    )
+
+
 def _op_skew_profile(spark, inp, options):
     from .skew import key_skew_profile
 
@@ -1477,6 +1491,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "remove_duplicated_spans": _op_remove_duplicated_spans,
     "unigram_logprob": _op_unigram_logprob,
     "profile_table": _op_profile_table,
+    "corpus_datacard": _op_corpus_datacard,
     "bigram_logprob": _op_bigram_logprob,
     "quantize_embeddings": _op_quantize_embeddings,
     "label_centroids": _op_label_centroids,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "op_sequence_spans",
     "op_shard_manifest",
     "op_contam_report",
+    "op_datacard",
     "op_fuzzy_decontam",
     "mm_byte_stats",
     "pl_pipeline_yaml",

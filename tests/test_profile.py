@@ -89,3 +89,62 @@ def test_profile_handles_awkward_column_names(spark):
     rows = {r["column"]: r for r in profile_table(df, ["a-b", "x.y"]).collect()}
     assert rows["a-b"]["n_nulls"] == 0
     assert rows["x.y"]["min_repr"] == "2.5"
+
+
+def test_corpus_datacard_values(spark):
+    from aqueducts_spark.operators.profile import corpus_datacard
+
+    rows = [
+        # src a: 4 docs — one dup pair, one NULL text, langs en/en/de
+        (1, "a", "en", "the cat sat"),
+        (2, "a", "en", "the cat sat"),
+        (3, "a", "de", "ein hund"),
+        (4, "a", None, None),
+        # src b: empty-text and whitespace-only edges, single lang
+        (5, "b", "fr", ""),
+        (6, "b", "fr", "   "),
+        (7, "b", "fr", "un deux trois"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    got = {r.source: r.asDict() for r in corpus_datacard(df).collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["n_null_text"], a["n_empty_text"]) == (4, 1, 0)
+    assert (a["n_tokens"], a["n_chars"]) == (3 + 3 + 2 + 0, 11 + 11 + 8 + 0)
+    assert (a["n_langs"], a["top_lang"]) == (2, "en")
+    assert a["top_lang_share"] == 0.5
+    # both copies of the dup pair count
+    assert (a["n_dup_docs"], a["dup_frac"]) == (2, 0.5)
+    b = got["b"]
+    assert (b["n_docs"], b["n_null_text"], b["n_empty_text"]) == (3, 0, 2)
+    assert (b["n_tokens"], b["n_langs"], b["top_lang"]) == (3, 1, "fr")
+    assert b["n_dup_docs"] == 0 and b["dup_frac"] == 0.0
+    # quantiles: src b token counts are [0, 0, 3]
+    assert b["p50_tokens"] == 0.0 and abs(b["p90_tokens"] - 2.4) < 1e-9
+
+
+def test_corpus_datacard_no_lang_col_and_all_null_langs(spark):
+    from aqueducts_spark.operators.profile import corpus_datacard
+
+    df = spark.createDataFrame(
+        [(1, "a", None, "x y")], "doc_id long, source string, lang string, text string"
+    )
+    # lang_col=None: no language columns at all
+    cols = corpus_datacard(df, lang_col=None).columns
+    assert "top_lang" not in cols and "n_langs" not in cols
+    # all-NULL langs: zero n_langs, NULL top_lang
+    r = corpus_datacard(df).collect()[0]
+    assert r.n_langs == 0 and r.top_lang is None and r.top_lang_share is None
+
+
+def test_corpus_datacard_registry_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(
+        [(1, "s", "en", "hello world")],
+        "doc_id long, source string, lang string, text string",
+    ).createOrReplaceTempView("dc_docs")
+    out = run_operator(
+        spark, {"type": "corpus_datacard", "input": "dc_docs", "options": {}}
+    ).collect()[0]
+    assert out.n_docs == 1 and out.n_tokens == 2 and out.top_lang == "en"
+    spark.catalog.dropTempView("dc_docs")

@@ -524,6 +524,53 @@ def test_stateless_operators_apply_directly_to_streams(spark, tmp_path):
     ) == sorted((r.doc_id, r.mix_copy) for r in batch_mix)
 
 
+def test_bpe_encode_streams_unchanged(spark, tmp_path):
+    """bpe_encode's python path is a stateless mapInPandas — the SAME
+    operator tokenizes a live stream unchanged, bit-identical to the
+    batch run (the live-ingest tokenizer the docstring promises)."""
+    import json
+
+    from aqueducts_spark.operators.text import bpe_encode
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    docs = [
+        {"doc_id": 1, "text": "the theme of the thesis"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+    ]
+    src = tmp_path / "bpe_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b2.json").write_text(json.dumps(docs[2]))
+    schema = [
+        Field(name="doc_id", data_type="int64", nullable=False),
+        Field(name="text", data_type="string", nullable=True),
+    ]
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+    stream = file_stream_source(
+        spark, str(src), "json", schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    streamed = run_available_now(
+        bpe_encode(stream, merges, method="python"),
+        str(tmp_path / "ckpt_bpe"),
+    )
+    batch = bpe_encode(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs],
+            "doc_id long, text string",
+        ),
+        merges,
+        method="python",
+    ).collect()
+    assert sorted((r.doc_id, tuple(r.tokens), r.n_tokens) for r in streamed) \
+        == sorted((r.doc_id, tuple(r.tokens), r.n_tokens) for r in batch)
+
+
 def test_round5_stateless_operators_stream_unchanged(spark, tmp_path):
     """normalize_text and script_profile are row-local expressions —
     the SAME operators run unchanged on a streaming frame, matching the
