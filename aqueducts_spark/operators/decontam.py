@@ -449,6 +449,11 @@ def contamination_report(
             "contamination_report: min_dirty_grams must be >= 1, got "
             f"{min_dirty_grams}"
         )
+    if id_col == "bench_id":
+        raise ValueError(
+            "contamination_report: id_col 'bench_id' collides with the "
+            "output column name — rename the corpus id column first"
+        )
     bench_text_col = bench_text_col if bench_text_col is not None else text_col
     chk = benchmark.agg(
         F.count(F.lit(1)).alias("n"),

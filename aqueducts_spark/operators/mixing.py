@@ -559,13 +559,19 @@ def sequence_spans(
     )
     tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     L = F.lit(int(seq_len)).cast("long")
-    first = F.floor(F.col(off) / L).cast("long")
-    last = F.floor((F.col(off) + tok - F.lit(1)) / L).cast("long")
-    spanned = indexed.where(tok > 0).select(
+    # stage the token count under a fresh bare name so the sequence-id
+    # math can use integer DIV — floor(double division) would go
+    # inexact past 2^53 total tokens, and this operator's whole claim
+    # is exact integer layout arithmetic at corpus scale
+    tokc = _fresh_name("__sq_tok", list(df.columns) + [pos, off])
+    indexed = indexed.withColumn(tokc, tok)
+    first = F.expr(f"{off} DIV {int(seq_len)}")
+    last = F.expr(f"({off} + {tokc} - 1) DIV {int(seq_len)}")
+    spanned = indexed.where(F.col(tokc) > 0).select(
         "*", F.explode(F.sequence(first, last)).alias("seq_id")
     )
     start = F.greatest(F.col(off), F.col("seq_id") * L)
-    end = F.least(F.col(off) + tok, (F.col("seq_id") + 1) * L)
+    end = F.least(F.col(off) + F.col(tokc), (F.col("seq_id") + 1) * L)
     return spanned.select(
         *[F.col(c) for c in df.columns],
         F.col("seq_id").cast("long").alias("seq_id"),
