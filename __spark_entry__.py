@@ -1112,6 +1112,57 @@ def _op_kmv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog distinct-count sketch (operators/sketch.py): the
+# cross-engine-deterministic construction — md5-hex register index,
+# rho from the no-leading-zeros binary string (Spark conv(w,10,2),
+# DuckDB bin(w)), register sum in exact DECIMAL 2^(61-rho) units —
+# so the oracle rebuilds the identical registers and the identical
+# estimate, raw branch and linear-counting branch alike.  The
+# numerator 6.696315672709157e+21 is the Python-precomputed literal
+# alpha_64 * 64^2 * 2^61 (one IEEE division, no cross-engine
+# arithmetic); lineitem orderkeys saturate all 64 registers so this
+# gate exercises the RAW estimator, not just linear counting.
+OP_HLL_DUCK = """
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))::BIGINT % 64 AS reg,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 5, 15))::BIGINT AS w
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+), s AS (
+  SELECT l_returnflag, reg,
+         MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS mx
+  FROM h GROUP BY l_returnflag, reg
+), agg AS (
+  SELECT l_returnflag, COUNT(*) AS n_registers,
+         SUM(CAST((1::BIGINT << (61 - mx)) AS DECIMAL(38,0))) AS s_present
+  FROM s GROUP BY l_returnflag
+), est AS (
+  SELECT l_returnflag, n_registers,
+         6.696315672709157e+21 /
+         CAST(s_present + CAST(64 - n_registers AS DECIMAL(38,0))
+              * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT l_returnflag, CAST(n_registers AS BIGINT) AS n_registers,
+       ROUND(CASE WHEN raw <= 160.0 AND n_registers < 64
+             THEN 64.0 * ln(64.0 / CAST(64 - n_registers AS DOUBLE))
+             ELSE raw END, 4) AS distinct_est
+FROM est
+"""
+
+
+def _op_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sketch import hll_distinct
+
+    _views(spark, sf_dir)
+    return hll_distinct(
+        spark.table("lineitem"),
+        group_cols=["l_returnflag"],
+        value_col="l_orderkey",
+        m=64,
+    )
+
+
 # count-min sketch point query (operators/sketch.py): the sketch is a
 # (d, cell, count) relation built with salted md5 hashes, so the oracle
 # rebuilds the identical relation and the classic min-over-rows
@@ -4871,6 +4922,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_range_join": _op_range_join_gate,
         "op_time_rollup": _op_time_rollup_gate,
         "op_kmv_distinct": _op_kmv_gate,
+        "op_hll_distinct": _op_hll_gate,
         "op_cms_freq": _op_cms_freq_gate,
         "op_bloom_prefilter": _op_bloom_prefilter_gate,
         "op_dedup_against": _op_dedup_against_gate,
@@ -5061,6 +5113,7 @@ _GATE_PRIORITY = [
     "op_shard_manifest",
     "op_datacard",
     "op_fuzzy_decontam",
+    "op_hll_distinct",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",
@@ -5199,6 +5252,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_range_join": OP_RANGE_JOIN_DUCK,
         "op_time_rollup": OP_TIME_ROLLUP_DUCK,
         "op_kmv_distinct": OP_KMV_DUCK,
+        "op_hll_distinct": OP_HLL_DUCK,
         "op_cms_freq": OP_CMS_FREQ_DUCK,
         "op_bloom_prefilter": OP_BLOOM_PREFILTER_DUCK,
         "op_dedup_against": OP_DEDUP_AGAINST_DUCK,

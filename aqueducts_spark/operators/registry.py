@@ -635,6 +635,20 @@ def _op_kmv_distinct(spark, inp, options):
     )
 
 
+def _op_hll_distinct(spark, inp, options):
+    from .sketch import hll_distinct
+
+    if "value_col" not in options:
+        raise OperatorError("hll_distinct operator requires options.value_col")
+    return hll_distinct(
+        inp,
+        group_cols=options.get("group_cols", []),
+        value_col=options["value_col"],
+        m=int(options.get("m", 64)),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_weighted_mix(spark, inp, options):
     from .mixing import weighted_mix
 
@@ -1456,6 +1470,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "range_join": _op_range_join,
     "time_rollup": _op_time_rollup,
     "kmv_distinct": _op_kmv_distinct,
+    "hll_distinct": _op_hll_distinct,
     "dd_sketch": _op_dd_sketch,
     "dd_quantiles": _op_dd_quantiles,
     "weighted_mix": _op_weighted_mix,

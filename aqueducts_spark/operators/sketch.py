@@ -47,6 +47,10 @@ __all__ = [
     "kmv_sketch",
     "merge_kmv_sketches",
     "kmv_estimate",
+    "hll_sketch",
+    "hll_estimate",
+    "merge_hll_sketches",
+    "hll_distinct",
     "cms_sketch",
     "cms_estimate",
     "merge_cms_sketches",
@@ -216,6 +220,235 @@ def kmv_distinct(
     """End-to-end: sketch + estimate in one call."""
     return kmv_estimate(
         kmv_sketch(df, group_cols, value_col, k, buckets, hash_fn), group_cols, k
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm"), in the module's
+# cross-engine-deterministic style.
+#
+# Spark's native approx_count_distinct IS HyperLogLog++ and remains the
+# production default — but its register layout is engine-internal, so
+# its estimates cannot be verified by an independent SQL oracle.  This
+# construction makes every piece portable arithmetic:
+#
+# * register index  = first 4 md5 hex chars (16 bits) mod m;
+# * rank source w   = next 15 hex chars (a 60-bit integer);
+# * rho(w)          = leading zeros of the 60-bit w, plus 1
+#                     = 61 - length(bin(w))   (w = 0 -> 61),
+#   where bin() is the no-leading-zeros binary string both engines
+#   produce (Spark ``conv(w, 10, 2)``, DuckDB ``bin(w)``);
+# * register value  = max rho — a plain map-side-combined MAX.
+#
+# The estimator's register sum Σ 2^-M_j is the classic float-drift
+# trap: summed as doubles it is partition-order dependent.  Scaled by
+# 2^61 every term 2^(61-rho) is an EXACT int64, summed as
+# DECIMAL(38,0) the total is exact and order-independent, and the
+# final ``alpha_m * m^2 * 2^61 / total`` is ONE IEEE division of a
+# Python-precomputed numerator literal — bit-identical on any engine.
+# Small-range (linear counting) correction per the paper: when
+# E <= 2.5m and empty registers exist, E = m * ln(m / V).
+#
+# Scale design (100 TB): ONE full-volume shuffle keyed by
+# (group, register) with a map-side-combined MAX — reduce state is m
+# rows per group (the whole point of HLL), and sketches merge by
+# register-wise MAX (``merge_hll_sketches``), the same re-aggregation
+# contract as KMV/CMS/DDSketch: per-day or per-shard sketches roll up
+# without touching raw data.  Standard error ~= 1.04 / sqrt(m).
+# ---------------------------------------------------------------------------
+
+# the rho source is 60 bits, so exponents 61 - rho lie in 0..60 and
+# 2^(61-rho) always fits int64; 2^61 (an empty register's term) is the
+# one constant that rides as a literal
+_HLL_EMPTY_TERM = 1 << 61
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from the HLL paper (§4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_hll_m(m: int) -> None:
+    if m < 16 or m > 65536 or (m & (m - 1)) != 0:
+        raise ValueError(
+            f"hll: m must be a power of two in 16..65536, got {m}"
+        )
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    m: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The sketch: per group, one row per NON-EMPTY register
+    ``(group..., reg, mx, m)`` where ``mx`` is the register's max rho.
+    Row form (not an array blob) so sketches merge with plain
+    relational ops and a SQL oracle rebuilds the identical relation;
+    registers that saw no value are implicit (the estimator counts
+    them as ``m - n_registers``).
+
+    Like KMV's ``k`` column, the sketch carries its build ``m``:
+    estimation MUST know it, and a mismatched ``m`` silently corrupts
+    both the register sum and the linear-counting branch.
+    """
+    _check_hll_m(m)
+    _check_hash_fn(hash_fn)
+    grp = list(group_cols)
+    v = F.col(value_col)
+    if hash_fn == "xxhash64":
+        s = v.cast("string")
+        hashed = df.where(v.isNotNull()).select(
+            *grp,
+            F.pmod(F.xxhash64(s), F.lit(m)).cast("int").alias("reg"),
+            F.pmod(F.xxhash64(s, F.lit("#2")), F.lit(1 << 60)).alias("__w"),
+        )
+    else:
+        staged = df.where(v.isNotNull()).withColumn(
+            "__dg", F.md5(v.cast("string"))
+        )
+        hashed = staged.select(
+            *grp,
+            F.pmod(
+                F.conv(F.substring(F.col("__dg"), 1, 4), 16, 10).cast("long"),
+                F.lit(m),
+            )
+            .cast("int")
+            .alias("reg"),
+            F.conv(F.substring(F.col("__dg"), 5, 15), 16, 10)
+            .cast("long")
+            .alias("__w"),
+        )
+    # rho = leading zeros of the 60-bit w, + 1; conv(w, 10, 2) is the
+    # no-leading-zeros binary string (DuckDB twin: bin(w))
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(61))
+        .otherwise(
+            F.lit(61) - F.length(F.conv(F.col("__w").cast("string"), 10, 2))
+        )
+        .cast("int")
+    )
+    return (
+        hashed.select(*grp, "reg", rho.alias("__rho"))
+        .groupBy(*grp, "reg")
+        .agg(F.max("__rho").alias("mx"))
+        .withColumn("m", F.lit(int(m)))
+    )
+
+
+def merge_hll_sketches(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Register-wise MAX: HLL(A ⊎ B) == merge(HLL(A), HLL(B)) exactly
+    (registers are maxima), so per-shard sketches roll up losslessly.
+    All inputs must share the same build ``m`` — enforced downstream by
+    :func:`hll_estimate`'s m-consistency guard, which a mixed merge
+    would trip."""
+    grp = list(group_cols)
+    merged = sketches[0].select(*grp, "reg", "mx", "m")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select(*grp, "reg", "mx", "m"))
+    return merged.groupBy(*grp, "reg").agg(
+        F.max("mx").alias("mx"), F.min("m").alias("m")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], m: Optional[int] = None
+) -> DataFrame:
+    """Cardinality estimate from a :func:`hll_sketch` relation:
+    ``(group..., n_registers, distinct_est)``.
+
+    ``m`` defaults to None — read from the sketch's own ``m`` column
+    (sketches built here carry it); an EXPLICIT ``m`` that contradicts
+    the sketch raises at execution instead of silently mis-estimating
+    (kmv_estimate's k-guard discipline).  The raw estimate is
+    ``alpha_m * m^2 / Σ_j 2^-M_j`` with the paper's linear-counting
+    correction for the small range; the register sum runs in exact
+    DECIMAL arithmetic (see the section comment), the result is
+    rounded to 4 places.
+    """
+    grp = list(group_cols)
+    # 2^(61 - mx) is an exact int64 for mx in 1..61; summed as decimal
+    # the total is exact and partition-order independent
+    term = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 61 - mx) AS DECIMAL(38,0))"
+    )
+    aggs = [
+        F.count("reg").cast("bigint").alias("n_registers"),
+        F.sum(term).alias("_s"),
+    ]
+    if "m" in sketch.columns:
+        aggs.append(F.min("m").alias("_m_min"))
+        aggs.append(F.max("m").alias("_m_max"))
+    agg = sketch.groupBy(*grp).agg(*aggs)
+    if "m" in sketch.columns:
+        guard = F.assert_true(
+            (F.col("_m_min") == F.col("_m_max"))
+            & (
+                F.lit(True)
+                if m is None
+                else (F.col("_m_max") == F.lit(int(m)))
+            ),
+            F.lit(
+                "hll_estimate: the m argument contradicts the sketch's "
+                "build m (or sketches with different m were mixed)"
+            ),
+        )
+        agg = agg.where(guard.isNull())
+        if m is None:
+            # m must be a plan-time constant (alpha/numerator literals
+            # depend on it), so a carried m still needs one tiny read
+            vals = [r["m"] for r in sketch.select("m").distinct().collect()]
+            if len(vals) != 1:
+                raise ValueError(
+                    f"hll_estimate: sketch carries mixed m values {sorted(vals)}"
+                )
+            m = int(vals[0])
+        _check_hll_m(m)
+    else:
+        if m is None:
+            raise ValueError(
+                "hll_estimate: sketch has no 'm' column; pass m explicitly"
+            )
+        _check_hll_m(m)
+    # every cross-engine-sensitive constant precomputed in Python and
+    # inlined as ONE literal: numerator alpha*m^2*2^61, the 2.5m
+    # small-range threshold, and an empty register's decimal term
+    numer = _hll_alpha(m) * float(m) * float(m) * float(_HLL_EMPTY_TERM)
+    thr = 2.5 * m
+    v_cnt = (F.lit(int(m)) - F.col("n_registers")).cast("bigint")
+    total = F.col("_s") + v_cnt.cast("decimal(38,0)") * F.lit(
+        _HLL_EMPTY_TERM
+    ).cast("decimal(38,0)")
+    raw = F.lit(numer) / total.cast("double")
+    est = F.when(
+        (raw <= F.lit(thr)) & (v_cnt > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_cnt.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *grp, "n_registers", F.round(est, 4).alias("distinct_est")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    m: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """End-to-end: sketch + estimate in one call."""
+    return hll_estimate(
+        hll_sketch(df, group_cols, value_col, m, hash_fn), group_cols, m
     )
 
 

@@ -1,0 +1,167 @@
+"""HyperLogLog sketch (operators/sketch.py).
+
+Covers: bit-exact construction vs a pure-Python reference (the same
+contract the DuckDB gate oracle verifies cross-engine), estimate
+accuracy on a large group, the linear-counting small-range branch,
+merge law (HLL(A ∪ B) == merge(HLL(A), HLL(B))), the m-consistency
+guard, the xxhash64 fast path, plan shape (ONE shuffle, no Python),
+and the declarative registry stage.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.sketch import (
+    hll_distinct,
+    hll_estimate,
+    hll_sketch,
+    merge_hll_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # group "small": 20 distinct values repeated; group "big": 5000
+    rows = [("small", v % 20) for v in range(100)] + [
+        ("big", v) for v in range(5000)
+    ]
+    return spark.createDataFrame(rows, "grp string, v long")
+
+
+def _py_registers(values, m):
+    """Pure-Python reference for the md5 construction."""
+    regs = {}
+    for v in values:
+        dg = hashlib.md5(str(v).encode()).hexdigest()
+        reg = int(dg[:4], 16) % m
+        w = int(dg[4:19], 16)
+        rho = 61 if w == 0 else 61 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _py_estimate(regs, m):
+    total = sum(1 << (61 - mx) for mx in regs.values())
+    total += (m - len(regs)) * (1 << 61)
+    raw = (0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)) * m * m * float(
+        1 << 61
+    ) / float(total)
+    v = m - len(regs)
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+def test_sketch_matches_python_reference(spark, toy):
+    sk = hll_sketch(toy, ["grp"], "v", m=64)
+    got = {
+        (r["grp"], r["reg"]): r["mx"] for r in sk.collect()
+    }
+    for grp, values in (("small", range(20)), ("big", range(5000))):
+        expect = _py_registers(values, 64)
+        for reg, mx in expect.items():
+            assert got[(grp, reg)] == mx, (grp, reg)
+
+
+def test_estimate_matches_python_reference(spark, toy):
+    est = {
+        r["grp"]: r["distinct_est"]
+        for r in hll_distinct(toy, ["grp"], "v", m=64).collect()
+    }
+    for grp, values in (("small", range(20)), ("big", range(5000))):
+        expect = round(_py_estimate(_py_registers(values, 64), 64), 4)
+        assert est[grp] == pytest.approx(expect, abs=1e-4), grp
+
+
+def test_estimate_accuracy(spark, toy):
+    est = {
+        r["grp"]: r["distinct_est"]
+        for r in hll_distinct(toy, ["grp"], "v", m=256).collect()
+    }
+    # HLL standard error ~ 1.04/sqrt(m) ≈ 6.5% at m=256; allow 3 sigma
+    assert est["big"] == pytest.approx(5000, rel=0.20)
+    # small group stays in the linear-counting regime: near-exact
+    assert est["small"] == pytest.approx(20, rel=0.10)
+
+
+def test_merge_equals_whole(spark, toy):
+    a = toy.where("v % 2 = 0")
+    b = toy.where("v % 2 = 1")
+    merged = hll_estimate(
+        merge_hll_sketches(
+            [hll_sketch(a, ["grp"], "v", m=64), hll_sketch(b, ["grp"], "v", m=64)],
+            ["grp"],
+        ),
+        ["grp"],
+    )
+    whole = hll_distinct(toy, ["grp"], "v", m=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_m_validation(spark, toy):
+    for bad in (8, 48, 131072):
+        with pytest.raises(ValueError, match="power of two"):
+            hll_sketch(toy, ["grp"], "v", m=bad)
+
+
+def test_m_mismatch_guard(spark, toy):
+    sk = hll_sketch(toy, ["grp"], "v", m=64)
+    with pytest.raises(Exception) as exc:
+        hll_estimate(sk, ["grp"], m=128).collect()
+    assert "contradicts" in str(exc.value)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None)], "grp string, v long"
+    )
+    rows = hll_distinct(df, ["grp"], "v", m=64).collect()
+    assert rows[0]["n_registers"] == 2
+
+
+def test_xxhash64_path(spark, toy):
+    est = {
+        r["grp"]: r["distinct_est"]
+        for r in hll_distinct(toy, ["grp"], "v", m=256, hash_fn="xxhash64").collect()
+    }
+    assert est["big"] == pytest.approx(5000, rel=0.20)
+    assert est["small"] == pytest.approx(20, rel=0.10)
+
+
+def test_single_shuffle_no_python(spark, sf_dir):
+    from aqueducts_spark.plans import inspect_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    info = inspect_plan(hll_sketch(li, ["l_returnflag"], "l_orderkey", m=64))
+    assert info.exchanges == 1, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+    assert info.python_evals == 0
+
+
+def test_registry_stage(spark, sf_dir):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "hll_orders"
+    )
+    out = run_operator(
+        spark,
+        {
+            "type": "hll_distinct",
+            "input": "hll_orders",
+            "options": {
+                "group_cols": ["o_orderpriority"],
+                "value_col": "o_custkey",
+                "m": 64,
+            },
+        },
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"o_orderpriority", "n_registers", "distinct_est"}
+    assert all(r["n_registers"] <= 64 for r in rows)
+    assert len(rows) == 5
+    spark.catalog.dropTempView("hll_orders")
