@@ -3002,6 +3002,51 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx
 
 
+def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (iterative
+    per-subspace k-means: rows-only check by design, but like
+    sim_ivf_topk the gate itself asserts recall vs the exact
+    brute-force top-k — the quality bar lives here)."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+        train_pq,
+    )
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq(emb, n_subspaces=16, n_centroids=16)
+    approx = pq_topk(emb, queries, books, k=10, rerank=100).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+    # one checkpoint per call (see _sim_ivf_topk for why not .cache())
+    approx = approx.localCheckpoint(eager=True)
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("exact_id")
+    )
+    hits, total = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["neighbor_id"]),
+            "left",
+        )
+        .agg(F.count("neighbor_id"), F.count("*"))
+        .first()
+    )
+    recall = hits / total if total else 0.0
+    if recall < 0.7:
+        raise AssertionError(
+            f"sim_pq_topk: recall@10 {recall:.2f} < 0.7 vs brute force"
+        )
+    return approx
+
+
 def _sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -4952,6 +4997,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "sim_lsh_buckets": _sim_lsh_buckets,
         "sim_ivf_topk": _sim_ivf_topk,
+        "sim_pq_topk": _sim_pq_topk,
         "mm_byte_stats": _mm_byte_stats,
         "mm_byte_histogram": _mm_byte_histogram,
         "mm_decode_image": _mm_decode_image,
@@ -5114,6 +5160,7 @@ _GATE_PRIORITY = [
     "op_datacard",
     "op_fuzzy_decontam",
     "op_hll_distinct",
+    "sim_pq_topk",
     "op_fingerprint",
     "op_token_count",
     "op_text_features",

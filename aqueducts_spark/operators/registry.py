@@ -246,6 +246,58 @@ def _op_quantized_topk(spark, inp, options):
     )
 
 
+def _op_pq_topk(spark, inp, options):
+    from .similarity import pq_topk, train_pq
+
+    queries_table = options.get("queries")
+    if not queries_table:
+        raise OperatorError(
+            "pq_topk operator requires options.queries (a table name)"
+        )
+    vec_col = options.get("vec_col", "embedding")
+    codebooks = options.get("codebooks")
+    if codebooks is None:
+        codebooks = train_pq(
+            inp,
+            vec_col=vec_col,
+            n_subspaces=int(options.get("n_subspaces", 8)),
+            n_centroids=int(options.get("n_centroids", 16)),
+            sample_size=int(options.get("sample_size", 4096)),
+            seed=int(options.get("seed", 42)),
+        )
+    rerank = options.get("rerank")
+    return pq_topk(
+        inp,
+        spark.table(queries_table),
+        codebooks,
+        k=int(options.get("k", 10)),
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=vec_col,
+        query_id_col=options.get("query_id_col", "query_id"),
+        code_col=options.get("code_col"),
+        rerank=None if rerank is None else int(rerank),
+    )
+
+
+def _op_pq_encode(spark, inp, options):
+    from .similarity import pq_encode, train_pq
+
+    vec_col = options.get("vec_col", "embedding")
+    codebooks = options.get("codebooks")
+    if codebooks is None:
+        codebooks = train_pq(
+            inp,
+            vec_col=vec_col,
+            n_subspaces=int(options.get("n_subspaces", 8)),
+            n_centroids=int(options.get("n_centroids", 16)),
+            sample_size=int(options.get("sample_size", 4096)),
+            seed=int(options.get("seed", 42)),
+        )
+    return pq_encode(
+        inp, codebooks, vec_col=vec_col, out_col=options.get("out_col", "pq_code")
+    )
+
+
 def _op_oov_rate(spark, inp, options):
     from .text import oov_rate
 
@@ -1458,6 +1510,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "token_count": _op_token_count,
     "topk": _op_topk,
     "quantized_topk": _op_quantized_topk,
+    "pq_encode": _op_pq_encode,
+    "pq_topk": _op_pq_topk,
     "lsh_topk": _op_lsh_topk,
     "ivf_topk": _op_ivf_topk,
     "hash_sample": _op_hash_sample,

@@ -47,6 +47,9 @@ __all__ = [
     "ivf_topk",
     "ivf_persist",
     "ivf_topk_persisted",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
     "rrf_fuse",
 ]
 
@@ -439,7 +442,299 @@ def ivf_topk_persisted(
     return _topk_per_query(_score_pairs(F.broadcast(q).join(corpus, on="centroid_id")), k)
 
 
-# resolution of the integer RRF contribution 1/(k + rank): bigint sums
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product quantization
+# for nearest neighbor search", TPAMI 2011) — the ANN family's MEMORY
+# story.  A D-dim float vector becomes M small codes (one per
+# subspace, each the id of the nearest of K sub-centroids): at
+# D=64 float32 / M=8 / K=16 that is 256 bytes -> 8 bytes, a 32x
+# shrink.  At 100 TB this is the difference between "the index fits in
+# the cluster's page cache" and "every probe is cold IO": a persisted
+# code table reads M bytes per row instead of 4D, and ADC scoring
+# (asymmetric distance computation: the query stays float, per-query
+# lookup tables give each code's contribution) does O(M) table adds
+# per corpus vector instead of an O(D) dot product.
+#
+# Division of labor, matching the IVF trio above:
+# * train_pq     — bounded driver-side k-means per subspace (sample,
+#                  never the corpus; the train_ivf_centroids contract);
+# * pq_encode    — Arrow-batched argmin per subspace, no shuffle;
+# * pq_topk      — ADC: per-query LUTs ride the closure, each corpus
+#                  partition emits only its own exact top-k candidates
+#                  under a total order, one tiny global window finishes.
+# Compose with IVF for the full FAISS-style IVFPQ layout: ivf_persist
+# the codes partitioned by centroid_id, then pq_topk the pruned scan.
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks ``[M][K][D/M]`` from a bounded
+    corpus sample (hash-rank drawn, exactly like
+    :func:`train_ivf_centroids` — see there for why LIMIT would bias
+    the sample).  Plain L2 k-means per subspace (PQ quantizes raw
+    subvectors, not directions); deterministic for a fixed seed and
+    input; empty clusters keep their previous centroid.
+
+    The vector dimension must divide evenly by ``n_subspaces`` —
+    validated against the sampled data, loudly.
+    """
+    if n_subspaces < 1:
+        raise ValueError("train_pq: n_subspaces must be >= 1")
+    if n_centroids < 2:
+        raise ValueError("train_pq: n_centroids must be >= 2")
+    h = F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
+    rows = (
+        corpus.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(h.asc())
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq: corpus has no non-NULL embeddings to train on")
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"train_pq: vector dim {dim} is not divisible by "
+            f"n_subspaces={n_subspaces}"
+        )
+    dsub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = []
+    for m_i in range(n_subspaces):
+        S = X[:, m_i * dsub : (m_i + 1) * dsub]
+        k_eff = min(n_centroids, len(S))
+        C = S[rng.choice(len(S), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_eff):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C.round(6).tolist())
+    return books
+
+
+def _pq_dim(codebooks: list[list[list[float]]]) -> int:
+    return len(codebooks) * len(codebooks[0][0])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the PQ code (``array<int>`` of length M, code m = id of
+    the nearest sub-centroid by L2) — one Arrow-batched argmin per
+    batch, no shuffle; the codebooks ride the UDF closure exactly like
+    :func:`_centroid_scorer`'s matrix (expression form would inline
+    M*K*dsub literals into the plan; see that docstring).  Ties break
+    toward the lowest code id (argmin is first-min), deterministically.
+    NULL vectors are dropped (no geometry, and np.stack would kill the
+    task).  Persist the coded corpus instead of the float vectors for
+    search at rest — that is where the 4D/M IO shrink comes from.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+    M, _, dsub = C.shape
+    dim = M * dsub
+    # per-centroid squared norms precomputed once per executor
+    cn2 = (C**2).sum(axis=2)  # (M, K)
+
+    def encode(vs):
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if X.shape[1] != dim:
+            raise ValueError(
+                f"pq_encode: vector dim {X.shape[1]} != codebook dim {dim}"
+            )
+        S = X.reshape(len(X), M, dsub)  # (B, M, dsub)
+        # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 is constant
+        # per (row, subspace) so argmin only needs the last two terms
+        dots = np.einsum("bmd,mkd->bmk", S, C)  # (B, M, K)
+        codes = (cn2[None, :, :] - 2.0 * dots).argmin(axis=2)  # (B, M)
+        return pd.Series([row.tolist() for row in codes.astype("int32")])
+
+    udf = pandas_udf(encode, "array<int>")
+    return df.where(F.col(vec_col).isNotNull()).withColumn(
+        out_col, udf(F.col(vec_col))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    code_col: Optional[str] = None,
+    rerank: Optional[int] = None,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Approximate cosine top-k by ADC over PQ codes: each query
+    precomputes a ``(M, K)`` lookup table of sub-dot-products, every
+    corpus vector is scored as the SUM of M table entries against its
+    reconstruction ``c̃`` (``cos(q, c̃)``), so scoring never touches
+    corpus floats.  Same output contract as :func:`brute_force_topk`
+    (``query_id, neighbor_id, cosine, rank``, ties by neighbour id).
+
+    ``code_col`` names a pre-encoded ``array<int>`` column (the
+    persisted-index path — the corpus scan then reads codes only);
+    None encodes in-flight via :func:`pq_encode`.
+
+    ``rerank=R`` adds the standard exact-refinement tier (FAISS's
+    IVFPQ+refine): ADC selects R candidates per query, then ONLY those
+    R×NQ rows are re-scored with exact float cosine — the broadcast
+    candidate-id semi-join prunes the float fetch, so the expensive
+    exact arithmetic touches R rows per query, never the corpus.
+    Quantization error then only costs recall where the true neighbour
+    fell outside the ADC top-R, which R a few × k makes rare.
+
+    Scale shape: queries are collected to the driver (bounded by
+    ``max_queries`` — they are small by definition; corpus-scale query
+    sets should go through :func:`ivf_topk`) and their LUTs ride the
+    ``mapInPandas`` closure; the corpus NEVER shuffles — each partition
+    emits at most queries × k candidate rows (its exact local top-k
+    under the (cosine desc, id asc) total order, so the global window
+    over candidates returns exactly the all-partition top-k,
+    independent of partitioning).
+    """
+    import pandas as pd
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+    M, K, dsub = C.shape
+    dim = M * dsub
+
+    qrows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(query_id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: more than max_queries={max_queries} query vectors — "
+            "corpus-scale query sets should use ivf_topk/lsh_topk"
+        )
+    if not qrows:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
+    qids = [r[0] for r in qrows]
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)  # (NQ, dim)
+    if Q.shape[1] != dim:
+        raise ValueError(
+            f"pq_topk: query dim {Q.shape[1]} != codebook dim {dim}"
+        )
+    # per-query LUT of sub-dot-products and the code-norm table
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), M, dsub), C)  # (NQ, M, K)
+    cn2 = (C**2).sum(axis=2)  # (M, K): ||c̃||^2 = Σ_m ||C[m][code_m]||^2
+    qn = np.maximum(np.linalg.norm(Q, axis=1), _NORM_EPS)  # (NQ,)
+
+    if code_col is None:
+        coded = pq_encode(corpus, codebooks, vec_col, "__pq").select(
+            F.col(id_col).alias("neighbor_id"), F.col("__pq").alias("__pq")
+        )
+    else:
+        coded = corpus.where(F.col(code_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__pq")
+        )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    # the per-batch exact local cut must keep whatever the next stage
+    # ranks over: k for pure ADC, the full R candidate pool for rerank
+    kk = int(max(k, rerank or 0))
+
+    def score_partition(batches):
+        rng_m = np.arange(M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["__pq"]]
+            )  # (B, M)
+            cn = np.sqrt(np.maximum(cn2[rng_m, codes].sum(axis=1), 0.0))
+            cn = np.maximum(cn, _NORM_EPS)  # (B,)
+            ids = pdf["neighbor_id"].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                cos = lut[qi][rng_m, codes].sum(axis=1) / (qn[qi] * cn)
+                # exact local top-k under (cosine desc, id asc): any
+                # global top-k row is in its partition's local top-k
+                order = np.lexsort((ids, -cos))[:kk]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qids[qi]] * len(order),
+                            "neighbor_id": ids[order],
+                            "cosine": cos[order],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    candidates = coded.mapInPandas(score_partition, out_schema)
+    if rerank is None:
+        return _topk_per_query(candidates, k)
+
+    if rerank < k:
+        raise ValueError(f"pq_topk: rerank={rerank} must be >= k={k}")
+    if vec_col not in corpus.columns:
+        raise ValueError(
+            f"pq_topk: rerank needs the float column {vec_col!r} on the "
+            "corpus frame (codes alone cannot be exactly re-scored)"
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    cand_ids = (
+        candidates.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= int(rerank))
+        .select("query_id", "neighbor_id")
+    )
+    qdf = (
+        corpus.sparkSession.createDataFrame(
+            [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[query_id_col].dataType
+                    ),
+                    T.StructField("qvec", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+        .withColumn("__qn", l2_norm(F.col("qvec")))
+    )
+    c = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("__cn", l2_norm(F.col("cvec")))
+    )
+    pruned = c.join(F.broadcast(cand_ids), on="neighbor_id", how="inner")
+    return _topk_per_query(
+        _score_pairs(pruned.join(F.broadcast(qdf), on="query_id")), k
+    )
 # are partition-order independent (the module's micro-unit discipline),
 # and at rank 1e6 the quantized term still carries ~6 significant digits
 _RRF_SCALE = 1_000_000_000_000  # 1e12

@@ -110,7 +110,13 @@ def test_oracle_order_matches_queries_order():
 
 def test_scored_window_gates_all_have_oracles_except_known():
     # keys with intentionally no SQL oracle (recall-asserted / binary ops)
-    no_oracle_ok = {"sim_ivf_topk", "mm_byte_histogram", "mm_decode_image", "mm_frame_sample"}
+    no_oracle_ok = {
+        "sim_ivf_topk",
+        "sim_pq_topk",
+        "mm_byte_histogram",
+        "mm_decode_image",
+        "mm_frame_sample",
+    }
     prefix = list(entrymod.queries())[:SCORED_WINDOW]
     oracles = entrymod.oracle_sql()
     missing = [k for k in prefix if k not in oracles and k not in no_oracle_ok]

@@ -1,0 +1,151 @@
+"""Product quantization ANN (operators/similarity.py::train_pq /
+pq_encode / pq_topk).
+
+Covers: encode bit-parity vs a pure-numpy reference, determinism,
+partitioning independence of the top-k result, the pre-encoded
+``code_col`` path, the exact re-rank tier (reranked cosines equal the
+float cosines), recall vs brute force, dimension/parameter validation,
+and plan shape (encode adds no shuffle or corpus exchange).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.similarity import (
+    brute_force_topk,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
+
+
+@pytest.fixture
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture
+def books(emb):
+    return train_pq(emb, n_subspaces=16, n_centroids=16)
+
+
+@pytest.fixture
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_codebook_shape(books):
+    assert len(books) == 16
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # 64 / 16
+
+
+def test_train_is_deterministic(emb):
+    again = train_pq(emb, n_subspaces=16, n_centroids=16)
+    assert again == train_pq(emb, n_subspaces=16, n_centroids=16)
+
+
+def test_encode_matches_numpy_reference(emb, books):
+    C = np.asarray(books, dtype=np.float64)
+    M, _, dsub = C.shape
+    cn2 = (C**2).sum(axis=2)
+    rows = (
+        pq_encode(emb, books)
+        .select("vec_id", "embedding", "pq_code")
+        .orderBy("vec_id")
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        S = np.asarray(r["embedding"], dtype=np.float64).reshape(M, dsub)
+        dots = np.einsum("md,mkd->mk", S, C)
+        expect = (cn2 - 2.0 * dots).argmin(axis=1).tolist()
+        assert r["pq_code"] == expect, r["vec_id"]
+
+
+def test_codes_in_range_and_fixed_length(emb, books):
+    out = pq_encode(emb, books).select("pq_code")
+    bad = out.where(
+        (F.size("pq_code") != 16)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+
+
+def test_topk_partitioning_independent(emb, queries, books):
+    a = sorted(map(tuple, pq_topk(emb, queries, books, k=10).collect()))
+    b = sorted(
+        map(tuple, pq_topk(emb.repartition(13), queries, books, k=10).collect())
+    )
+    assert a == b
+
+
+def test_code_col_path_matches_inline(emb, queries, books):
+    coded = pq_encode(emb, books).select("vec_id", "pq_code")
+    a = sorted(map(tuple, pq_topk(emb, queries, books, k=10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_topk(coded, queries, books, k=10, code_col="pq_code").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_rerank_scores_are_exact_and_recall_high(emb, queries, books):
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    rer = pq_topk(emb, queries, books, k=10, rerank=100).collect()
+    hits = [r for r in rer if (r["query_id"], r["neighbor_id"]) in exact]
+    # reranked cosine IS the float cosine (same rounding as brute force)
+    for r in hits:
+        assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
+    assert len(hits) / len(exact) >= 0.7
+
+
+def test_pure_adc_recall_reasonable(emb, queries, books):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, books, k=10).collect()
+    }
+    assert len(exact & adc) / len(exact) >= 0.3
+
+
+def test_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq(emb, n_subspaces=7)
+
+
+def test_rerank_lt_k_raises(emb, queries, books):
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk(emb, queries, books, k=10, rerank=5)
+
+
+def test_rerank_without_floats_raises(emb, queries, books):
+    coded = pq_encode(emb, books).select("vec_id", "pq_code")
+    with pytest.raises(ValueError, match="float column"):
+        pq_topk(coded, queries, books, k=10, code_col="pq_code", rerank=50)
+
+
+def test_null_vectors_dropped(spark, books):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    assert pq_encode(df, books).count() == 1
+
+
+def test_encode_no_shuffle(emb, books):
+    from aqueducts_spark.plans import inspect_plan
+
+    info = inspect_plan(pq_encode(emb, books))
+    assert info.exchanges == 0, f"{info.exchanges} exchanges\n{info.text[:1500]}"
