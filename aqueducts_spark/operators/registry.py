@@ -279,6 +279,31 @@ def _op_pq_topk(spark, inp, options):
     )
 
 
+def _op_ivfpq_topk(spark, inp, options):
+    from .similarity import ivfpq_topk
+
+    queries_table = options.get("queries")
+    if not queries_table:
+        raise OperatorError(
+            "ivfpq_topk operator requires options.queries (a table name)"
+        )
+    rerank = options.get("rerank")
+    return ivfpq_topk(
+        inp,
+        spark.table(queries_table),
+        k=int(options.get("k", 10)),
+        n_centroids=int(options.get("n_centroids", 16)),
+        nprobe=int(options.get("nprobe", 4)),
+        n_subspaces=int(options.get("n_subspaces", 8)),
+        n_pq_centroids=int(options.get("n_pq_centroids", 16)),
+        rerank=None if rerank is None else int(rerank),
+        seed=int(options.get("seed", 42)),
+        id_col=options.get("id_col", "vec_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        query_id_col=options.get("query_id_col", "query_id"),
+    )
+
+
 def _op_pq_encode(spark, inp, options):
     from .similarity import pq_encode, train_pq
 
@@ -1512,6 +1537,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "quantized_topk": _op_quantized_topk,
     "pq_encode": _op_pq_encode,
     "pq_topk": _op_pq_topk,
+    "ivfpq_topk": _op_ivfpq_topk,
     "lsh_topk": _op_lsh_topk,
     "ivf_topk": _op_ivf_topk,
     "hash_sample": _op_hash_sample,

@@ -50,6 +50,7 @@ __all__ = [
     "train_pq",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "rrf_fuse",
 ]
 
@@ -613,36 +614,6 @@ def pq_topk(
     over candidates returns exactly the all-partition top-k,
     independent of partitioning).
     """
-    import pandas as pd
-
-    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
-    M, K, dsub = C.shape
-    dim = M * dsub
-
-    qrows = (
-        queries.where(F.col(vec_col).isNotNull())
-        .select(F.col(query_id_col), F.col(vec_col))
-        .limit(max_queries + 1)
-        .collect()
-    )
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"pq_topk: more than max_queries={max_queries} query vectors — "
-            "corpus-scale query sets should use ivf_topk/lsh_topk"
-        )
-    if not qrows:
-        return _empty_topk(corpus, queries, id_col, query_id_col)
-    qids = [r[0] for r in qrows]
-    Q = np.array([r[1] for r in qrows], dtype=np.float64)  # (NQ, dim)
-    if Q.shape[1] != dim:
-        raise ValueError(
-            f"pq_topk: query dim {Q.shape[1]} != codebook dim {dim}"
-        )
-    # per-query LUT of sub-dot-products and the code-norm table
-    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), M, dsub), C)  # (NQ, M, K)
-    cn2 = (C**2).sum(axis=2)  # (M, K): ||c̃||^2 = Σ_m ||C[m][code_m]||^2
-    qn = np.maximum(np.linalg.norm(Q, axis=1), _NORM_EPS)  # (NQ,)
-
     if code_col is None:
         coded = pq_encode(corpus, codebooks, vec_col, "__pq").select(
             F.col(id_col).alias("neighbor_id"), F.col("__pq").alias("__pq")
@@ -651,8 +622,94 @@ def pq_topk(
         coded = corpus.where(F.col(code_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__pq")
         )
+    q = _collect_query_matrix(
+        queries, query_id_col, vec_col, max_queries, "pq_topk"
+    )
+    if q is None:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
+    qids, Q = q
+    return _adc_search(
+        corpus,
+        queries,
+        coded,
+        np.asarray(codebooks, dtype=np.float64),
+        qids,
+        Q,
+        k,
+        rerank,
+        id_col,
+        vec_col,
+        query_id_col,
+        fn_name="pq_topk",
+    )
 
+
+def _collect_query_matrix(queries, query_id_col, vec_col, max_queries, fn_name):
+    """Bounded driver-side collect of the query vectors; None if empty."""
+    qrows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(query_id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{fn_name}: more than max_queries={max_queries} query vectors — "
+            "corpus-scale query sets should use ivf_topk/lsh_topk"
+        )
+    if not qrows:
+        return None
+    qids = [r[0] for r in qrows]
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)  # (NQ, dim)
+    return qids, Q
+
+
+def _adc_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coded: DataFrame,
+    C: "np.ndarray",
+    qids: list,
+    Q: "np.ndarray",
+    k: int,
+    rerank: Optional[int],
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    probes: Optional["np.ndarray"] = None,
+    fn_name: str = "pq_topk",
+) -> DataFrame:
+    """Shared ADC scan + optional exact re-rank behind :func:`pq_topk`
+    and :func:`ivfpq_topk`.  ``coded`` carries ``neighbor_id, __pq``
+    (plus ``__cid`` when ``probes`` — the (NQ, nprobe) per-query
+    cluster-probe matrix — is given: each query then scores only rows
+    in its own probed clusters, the IVF pruning)."""
+    import pandas as pd
     from pyspark.sql import types as T
+
+    M, K, dsub = C.shape
+    dim = M * dsub
+    if Q.shape[1] != dim:
+        raise ValueError(
+            f"{fn_name}: query dim {Q.shape[1]} != codebook dim {dim}"
+        )
+    if rerank is not None:
+        if rerank < k:
+            raise ValueError(f"{fn_name}: rerank={rerank} must be >= k={k}")
+        if vec_col not in corpus.columns:
+            raise ValueError(
+                f"{fn_name}: rerank needs the float column {vec_col!r} on "
+                "the corpus frame (codes alone cannot be exactly re-scored)"
+            )
+    # per-query LUT of sub-dot-products and the code-norm table
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), M, dsub), C)  # (NQ, M, K)
+    cn2 = (C**2).sum(axis=2)  # (M, K): ||c̃||^2 = Σ_m ||C[m][code_m]||^2
+    qn = np.maximum(np.linalg.norm(Q, axis=1), _NORM_EPS)  # (NQ,)
+    probe_sets = (
+        None
+        if probes is None
+        else [np.unique(np.asarray(p, dtype=np.int64)) for p in probes]
+    )
 
     out_schema = T.StructType(
         [
@@ -676,34 +733,38 @@ def pq_topk(
             cn = np.sqrt(np.maximum(cn2[rng_m, codes].sum(axis=1), 0.0))
             cn = np.maximum(cn, _NORM_EPS)  # (B,)
             ids = pdf["neighbor_id"].to_numpy()
+            cids = (
+                pdf["__cid"].to_numpy() if probe_sets is not None else None
+            )
             outs = []
             for qi in range(len(qids)):
-                cos = lut[qi][rng_m, codes].sum(axis=1) / (qn[qi] * cn)
+                if probe_sets is not None:
+                    mask = np.isin(cids, probe_sets[qi])
+                    if not mask.any():
+                        continue
+                    q_codes, q_ids, q_cn = codes[mask], ids[mask], cn[mask]
+                else:
+                    q_codes, q_ids, q_cn = codes, ids, cn
+                cos = lut[qi][rng_m, q_codes].sum(axis=1) / (qn[qi] * q_cn)
                 # exact local top-k under (cosine desc, id asc): any
                 # global top-k row is in its partition's local top-k
-                order = np.lexsort((ids, -cos))[:kk]
+                order = np.lexsort((q_ids, -cos))[:kk]
                 outs.append(
                     pd.DataFrame(
                         {
                             "query_id": [qids[qi]] * len(order),
-                            "neighbor_id": ids[order],
+                            "neighbor_id": q_ids[order],
                             "cosine": cos[order],
                         }
                     )
                 )
-            yield pd.concat(outs, ignore_index=True)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     candidates = coded.mapInPandas(score_partition, out_schema)
     if rerank is None:
         return _topk_per_query(candidates, k)
 
-    if rerank < k:
-        raise ValueError(f"pq_topk: rerank={rerank} must be >= k={k}")
-    if vec_col not in corpus.columns:
-        raise ValueError(
-            f"pq_topk: rerank needs the float column {vec_col!r} on the "
-            "corpus frame (codes alone cannot be exactly re-scored)"
-        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -735,6 +796,102 @@ def pq_topk(
     return _topk_per_query(
         _score_pairs(pruned.join(F.broadcast(qdf), on="query_id")), k
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_pq_centroids: int = 16,
+    rerank: Optional[int] = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: Optional[list[list[float]]] = None,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """The composed FAISS-style IVFPQ layout: the IVF coarse quantizer
+    prunes WHICH corpus rows each query scores (``nprobe`` of
+    ``n_centroids`` clusters), PQ codes decide HOW each surviving row
+    is scored (O(M) ADC table adds, no corpus floats), and ``rerank``
+    optionally refines the top-R with exact float cosine.  This is the
+    100 TB serving shape: IO bounded by nprobe/n_centroids of the
+    corpus × M bytes per row, exact arithmetic bounded by R per query.
+
+    PQ here encodes RAW vectors, not per-cluster residuals (FAISS's
+    ``by_residual=false`` mode): one global codebook keeps encode a
+    single shuffle-free pass and the ADC LUT per-query-global rather
+    than per-(query, centroid); the recall cost at small nprobe is
+    covered by the rerank tier.  Both quantizers train on bounded
+    hash-rank samples (see :func:`train_ivf_centroids`); pass
+    ``centroids``/``codebooks`` to reuse a persisted index.
+
+    Same output contract as :func:`brute_force_topk`; a query whose
+    probed clusters are all empty simply returns fewer (or zero) rows,
+    exactly like :func:`ivf_topk`.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus,
+            vec_col,
+            n_subspaces=n_subspaces,
+            n_centroids=n_pq_centroids,
+            seed=seed,
+        )
+    q = _collect_query_matrix(
+        queries, query_id_col, vec_col, max_queries, "ivfpq_topk"
+    )
+    if q is None:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
+    qids, Q = q
+    # query-side coarse probing is pure numpy on the already-collected
+    # matrix (the corpus-side _centroid_scorer exists for corpus-scale
+    # assignment; NQ query rows don't need an Arrow round trip).
+    # Centroids come back unit-normalized from training, so the dot IS
+    # the cosine ordering; argsort(stable) ties toward the lowest id,
+    # matching _centroid_scorer exactly.
+    Cn = np.asarray(centroids, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), _NORM_EPS)
+    dots = Qn @ Cn.T
+    probes = np.argsort(-dots, kind="stable", axis=1)[:, : min(nprobe, len(Cn))]
+    # ONE corpus pass: coarse-assign + PQ-encode, then prune the scan
+    # to the union of probed clusters (partition pruning when the coded
+    # corpus is persisted partitioned by __cid, ivf_persist-style)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cid"
+    )
+    coded = pq_encode(assigned, codebooks, vec_col, "__pq").select(
+        F.col(id_col).alias("neighbor_id"), "__pq", "__cid"
+    )
+    all_probed = sorted({int(c) for p in probes for c in p})
+    coded = coded.where(F.col("__cid").isin(all_probed))
+    return _adc_search(
+        corpus,
+        queries,
+        coded,
+        np.asarray(codebooks, dtype=np.float64),
+        qids,
+        Q,
+        k,
+        rerank,
+        id_col,
+        vec_col,
+        query_id_col,
+        probes=probes,
+        fn_name="ivfpq_topk",
+    )
+
+
+# resolution of the integer RRF contribution 1/(k + rank): bigint sums
 # are partition-order independent (the module's micro-unit discipline),
 # and at rank 1e6 the quantized term still carries ~6 significant digits
 _RRF_SCALE = 1_000_000_000_000  # 1e12

@@ -40,12 +40,14 @@ BENCH_QUERIES = [
     "op_range_join",
     "op_time_rollup",
     "op_kmv_distinct",
+    "op_hll_distinct",
     "op_cms_freq",
     "op_quantile_sketch",
     "op_bloom_prefilter",
     "op_dedup_against",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "op_hash_sample",
     "op_tfidf_terms",
     "op_repetition",

@@ -149,3 +149,74 @@ def test_encode_no_shuffle(emb, books):
 
     info = inspect_plan(pq_encode(emb, books))
     assert info.exchanges == 0, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+
+
+def test_ivfpq_nprobe_all_equals_pure_pq(emb, queries, books):
+    from aqueducts_spark.operators.similarity import ivfpq_topk
+
+    # with nprobe == n_centroids the coarse quantizer prunes nothing,
+    # so IVFPQ must equal the pure-PQ ADC scan exactly
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, k=10, n_centroids=8, nprobe=8, n_subspaces=16
+            ).collect(),
+        )
+    )
+    b = sorted(map(tuple, pq_topk(emb, queries, books, k=10).collect()))
+    assert a == b
+
+
+def test_ivfpq_partitioning_independent_and_recall(emb, queries):
+    from aqueducts_spark.operators.similarity import ivfpq_topk
+
+    res = ivfpq_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=4, n_subspaces=16, rerank=100
+    )
+    rows = res.collect()
+    res2 = ivfpq_topk(
+        emb.repartition(7),
+        queries,
+        k=10,
+        n_centroids=8,
+        nprobe=4,
+        n_subspaces=16,
+        rerank=100,
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, res2.collect()))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # nprobe=4 of 8 clusters: same floor the sim_ivf_topk gate pins
+    assert len(exact & got) / len(exact) >= 0.5
+
+
+def test_ivfpq_prunes_scan(emb, queries):
+    from aqueducts_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    # nprobe=1 with identical queries: only the probed clusters' rows
+    # can appear as neighbours
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    one = ivfpq_topk(
+        emb, queries, k=10, nprobe=1, n_subspaces=16, centroids=cents
+    )
+    from aqueducts_spark.operators.similarity import ivf_assign
+
+    assigned = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(emb, cents, out_col="cid")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    qprobe = {
+        r["vec_id"]: assigned[r["vec_id"]]
+        for r in queries.select(F.col("query_id").alias("vec_id")).collect()
+    }
+    for r in one.collect():
+        assert assigned[r["neighbor_id"]] == qprobe[r["query_id"]]
