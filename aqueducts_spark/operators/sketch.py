@@ -282,6 +282,51 @@ def _check_hll_m(m: int) -> None:
         )
 
 
+def _hll_reg_rho(df: DataFrame, value_col: str, m: int, hash_fn: str):
+    """Project ``reg``/``__rho`` for every non-NULL value row — the
+    construction shared by batch :func:`hll_sketch` and the streaming
+    twin (``streaming/ops.py::distinct_sketch_stream``); all other
+    input columns pass through."""
+    v = F.col(value_col)
+    if hash_fn == "xxhash64":
+        s = v.cast("string")
+        hashed = df.where(v.isNotNull()).withColumns(
+            {
+                "reg": F.pmod(F.xxhash64(s), F.lit(m)).cast("int"),
+                "__w": F.pmod(F.xxhash64(s, F.lit("#2")), F.lit(1 << 60)),
+            }
+        )
+    else:
+        hashed = (
+            df.where(v.isNotNull())
+            .withColumn("__dg", F.md5(v.cast("string")))
+            .withColumns(
+                {
+                    "reg": F.pmod(
+                        F.conv(F.substring(F.col("__dg"), 1, 4), 16, 10).cast(
+                            "long"
+                        ),
+                        F.lit(m),
+                    ).cast("int"),
+                    "__w": F.conv(
+                        F.substring(F.col("__dg"), 5, 15), 16, 10
+                    ).cast("long"),
+                }
+            )
+            .drop("__dg")
+        )
+    # rho = leading zeros of the 60-bit w, + 1; conv(w, 10, 2) is the
+    # no-leading-zeros binary string (DuckDB twin: bin(w))
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(61))
+        .otherwise(
+            F.lit(61) - F.length(F.conv(F.col("__w").cast("string"), 10, 2))
+        )
+        .cast("int")
+    )
+    return hashed.withColumn("__rho", rho).drop("__w")
+
+
 def hll_sketch(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -303,41 +348,9 @@ def hll_sketch(
     _check_hll_m(m)
     _check_hash_fn(hash_fn)
     grp = list(group_cols)
-    v = F.col(value_col)
-    if hash_fn == "xxhash64":
-        s = v.cast("string")
-        hashed = df.where(v.isNotNull()).select(
-            *grp,
-            F.pmod(F.xxhash64(s), F.lit(m)).cast("int").alias("reg"),
-            F.pmod(F.xxhash64(s, F.lit("#2")), F.lit(1 << 60)).alias("__w"),
-        )
-    else:
-        staged = df.where(v.isNotNull()).withColumn(
-            "__dg", F.md5(v.cast("string"))
-        )
-        hashed = staged.select(
-            *grp,
-            F.pmod(
-                F.conv(F.substring(F.col("__dg"), 1, 4), 16, 10).cast("long"),
-                F.lit(m),
-            )
-            .cast("int")
-            .alias("reg"),
-            F.conv(F.substring(F.col("__dg"), 5, 15), 16, 10)
-            .cast("long")
-            .alias("__w"),
-        )
-    # rho = leading zeros of the 60-bit w, + 1; conv(w, 10, 2) is the
-    # no-leading-zeros binary string (DuckDB twin: bin(w))
-    rho = (
-        F.when(F.col("__w") == 0, F.lit(61))
-        .otherwise(
-            F.lit(61) - F.length(F.conv(F.col("__w").cast("string"), 10, 2))
-        )
-        .cast("int")
-    )
+    hashed = _hll_reg_rho(df, value_col, m, hash_fn)
     return (
-        hashed.select(*grp, "reg", rho.alias("__rho"))
+        hashed.select(*grp, "reg", "__rho")
         .groupBy(*grp, "reg")
         .agg(F.max("__rho").alias("mx"))
         .withColumn("m", F.lit(int(m)))
@@ -425,6 +438,19 @@ def hll_estimate(
     # small-range threshold, and an empty register's decimal term
     numer = _hll_alpha(m) * float(m) * float(m) * float(_HLL_EMPTY_TERM)
     thr = 2.5 * m
+    # a valid sketch has at most one row per register: duplicate
+    # registers (e.g. multi-window rows estimated without
+    # merge_hll_sketches first) would push n_registers past m and turn
+    # the empty-register count negative — a silently negative estimate.
+    # Fail loudly instead (kmv_estimate's guard discipline).
+    reg_guard = F.assert_true(
+        F.col("n_registers") <= F.lit(int(m)),
+        F.lit(
+            "hll_estimate: more register rows than m — the relation holds "
+            "duplicate registers per group (multiple windows/shards?); "
+            "merge_hll_sketches them first"
+        ),
+    )
     v_cnt = (F.lit(int(m)) - F.col("n_registers")).cast("bigint")
     total = F.col("_s") + v_cnt.cast("decimal(38,0)") * F.lit(
         _HLL_EMPTY_TERM
@@ -434,7 +460,7 @@ def hll_estimate(
         (raw <= F.lit(thr)) & (v_cnt > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_cnt.cast("double")),
     ).otherwise(raw)
-    return agg.select(
+    return agg.where(reg_guard.isNull()).select(
         *grp, "n_registers", F.round(est, 4).alias("distinct_est")
     )
 

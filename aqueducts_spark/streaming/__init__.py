@@ -1,5 +1,6 @@
 from .ops import (
     dedup_stream,
+    distinct_sketch_stream,
     merge_stream_into_table,
     interval_join_stream,
     quota_stream,
@@ -17,6 +18,7 @@ __all__ = [
     "sessionize_stream",
     "run_available_now",
     "quantile_sketch_stream",
+    "distinct_sketch_stream",
     "dedup_stream",
     "running_counts_stream",
     "quota_stream",

@@ -139,6 +139,60 @@ def quantile_sketch_stream(
     )
 
 
+def distinct_sketch_stream(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str,
+    m: int = 64,
+    watermark: str = "10 minutes",
+    group_by: Optional[list[str]] = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-window HyperLogLog register rows over a stream — the
+    streaming twin of ``operators.sketch.hll_sketch`` (the
+    quantile_sketch_stream pattern, for cardinality).
+
+    The output IS an hll_sketch relation per ``(window, group)``: run
+    ``operators.sketch.hll_estimate`` on any window slice for
+    per-window distinct counts, or ``merge_hll_sketches`` across
+    windows for coarser grains — registers merge by MAX, so hourly
+    sketches roll up to daily without reprocessing events (the
+    ``time_rollup`` contract, for distinct counts).
+
+    State per window/group is bounded by ``m`` registers (the whole
+    point of HLL — counting a billion distinct users per window costs
+    the same 64..65536 rows of state), and the watermark bounds how
+    many windows stay open — fixed-size state on an unbounded stream.
+    MAX is the one aggregate here, so Spark runs it as a plain
+    streaming aggregation with partial (map-side) maxes before the
+    stateful exchange.
+    """
+    from ..operators.sketch import _check_hash_fn, _check_hll_m, _hll_reg_rho
+
+    _check_hll_m(m)
+    _check_hash_fn(hash_fn)
+    base = _hll_reg_rho(df, value_col, m, hash_fn)
+    keys = (
+        [F.window(F.col(ts_col), window_duration)]
+        + [F.col(c) for c in (group_by or [])]
+        + [F.col("reg")]
+    )
+    out = (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.max("__rho").alias("mx"))
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in (group_by or [])],
+        "reg",
+        "mx",
+        F.lit(int(m)).alias("m"),
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     ts_col: str,

@@ -116,6 +116,17 @@ def test_m_mismatch_guard(spark, toy):
     assert "contradicts" in str(exc.value)
 
 
+def test_duplicate_register_rows_raise(spark, toy):
+    # two windows' register rows estimated WITHOUT merging first: the
+    # duplicate registers must fail loudly, not return a negative est
+    a = hll_sketch(toy.where("v % 2 = 0"), ["grp"], "v", m=64)
+    b = hll_sketch(toy.where("v % 2 = 1"), ["grp"], "v", m=64)
+    stacked = a.unionByName(b)
+    with pytest.raises(Exception) as exc:
+        hll_estimate(stacked, ["grp"]).collect()
+    assert "merge_hll_sketches" in str(exc.value)
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame(
         [("g", 1), ("g", 2), ("g", None)], "grp string, v long"

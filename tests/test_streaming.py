@@ -345,6 +345,62 @@ def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
     assert est_stream == est_batch
 
 
+def test_distinct_sketch_stream_matches_batch(spark, tmp_path):
+    """Per-window streaming HLL registers == batch hll_sketch of the
+    same window slice, and the extracted estimates agree."""
+    from aqueducts_spark.streaming import (
+        distinct_sketch_stream,
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.operators.sketch import hll_estimate, hll_sketch
+
+    src = tmp_path / "h_src"
+    # hour 0: 40 distinct users; hour 1: 200 distinct users (overlap 20)
+    rows = [
+        (i % 40, "2024-01-01 00:%02d:00" % (i % 60), 1.0) for i in range(120)
+    ] + [
+        (i % 200, "2024-01-01 01:%02d:00" % (i % 60), 1.0) for i in range(400)
+    ]
+    base = spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+        "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    base.write.mode("overwrite").parquet(str(src))
+
+    stream = file_stream_source(spark, str(src), "parquet", parse_fields(SCHEMA))
+    sk = distinct_sketch_stream(stream, "ts", "user_id", "1 hour", m=64)
+    out = run_available_now(sk, str(tmp_path / "h_ckpt"), output_mode="complete")
+
+    for hour, pred in (("00", "user_id < 40"), ("01", "user_id >= 0")):
+        cond = "ts < '2024-01-01 01:00:00'" if hour == "00" else "ts >= '2024-01-01 01:00:00'"
+        got = sorted(
+            (r.reg, r.mx, r.m)
+            for r in out
+            if r.window_start.strftime("%H") == hour
+        )
+        want = sorted(
+            (r.reg, r.mx, r.m)
+            for r in hll_sketch(base.where(cond), [], "user_id", m=64).collect()
+        )
+        assert got == want, hour
+
+    # estimates extracted from the streamed registers are batch-equal
+    stream_sk = spark.createDataFrame(
+        [
+            (r.reg, r.mx, r.m)
+            for r in out
+            if r.window_start.strftime("%H") == "01"
+        ],
+        "reg int, mx int, m int",
+    )
+    est_stream = stream_sk.transform(lambda d: hll_estimate(d, [])).collect()
+    est_batch = hll_estimate(
+        hll_sketch(base.where("ts >= '2024-01-01 01:00:00'"), [], "user_id", m=64),
+        [],
+    ).collect()
+    assert [tuple(r) for r in est_stream] == [tuple(r) for r in est_batch]
+
+
 def test_url_dedup_stream_across_batches(spark, tmp_path):
     """Streaming twin of url_dedup: case/port/tracking variants of one
     page dedup across micro-batches; NULL urls all pass through."""
