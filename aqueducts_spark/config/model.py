@@ -522,12 +522,33 @@ class IvfIndexDestination(_Base):
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
 
 
+class PqIndexDestination(_Base):
+    """Beyond-reference: persist the pipeline result as an IVFPQ ANN
+    index — PQ codes written partitioned by centroid_id, centroids +
+    codebooks parquets, optional flat floats refine store
+    (operators/similarity.py::pq_persist), queryable with
+    partition-pruned ADC probes (ivfpq_topk_persisted)."""
+
+    type: Literal["pq_index"] = "pq_index"
+    name: str
+    location: str
+    n_centroids: int = 16
+    n_subspaces: int = 8
+    n_pq_centroids: int = 16
+    seed: int = 42
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    store_floats: bool = True
+    storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+
+
 Destination = Union[
     InMemoryDestination,
     FileDestination,
     OdbcDestination,
     DeltaDestination,
     IvfIndexDestination,
+    PqIndexDestination,
 ]
 
 _DEST_TYPES = {
@@ -538,6 +559,7 @@ _DEST_TYPES = {
     "database": OdbcDestination,
     "delta": DeltaDestination,
     "ivf_index": IvfIndexDestination,
+    "pq_index": PqIndexDestination,
 }
 
 

@@ -29,6 +29,7 @@ from ..config.model import (
     InMemoryDestination,
     IvfIndexDestination,
     OdbcDestination,
+    PqIndexDestination,
 )
 from ..delta import delta_layer
 from ..delta.table import cast_to_schema
@@ -97,7 +98,7 @@ def prepare_destination(spark: SparkSession, dest: Destination) -> None:
         # target-table existence is verified at write time over JDBC
         # (reference odbc/src/lib.rs:87-104); nothing to prepare here
         pass
-    elif isinstance(dest, IvfIndexDestination):
+    elif isinstance(dest, (IvfIndexDestination, PqIndexDestination)):
         location = normalize_location(dest.location, dest.storage_config)
         apply_storage_config(spark, location, dest.storage_config)
     else:
@@ -127,6 +128,21 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
             seed=dest.seed,
             id_col=dest.id_col,
             vec_col=dest.vec_col,
+        )
+    elif isinstance(dest, PqIndexDestination):
+        from ..operators.similarity import pq_persist
+
+        loc = normalize_location(dest.location, dest.storage_config)
+        pq_persist(
+            df,
+            str(to_local_path(loc)) if is_local(loc) else loc,
+            n_centroids=dest.n_centroids,
+            n_subspaces=dest.n_subspaces,
+            n_pq_centroids=dest.n_pq_centroids,
+            seed=dest.seed,
+            id_col=dest.id_col,
+            vec_col=dest.vec_col,
+            store_floats=dest.store_floats,
         )
     else:
         raise DestinationError(f"unknown destination type: {type(dest).__name__}")

@@ -51,6 +51,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "pq_persist",
+    "ivfpq_topk_persisted",
     "rrf_fuse",
 ]
 
@@ -888,6 +890,153 @@ def ivfpq_topk(
         query_id_col,
         probes=probes,
         fn_name="ivfpq_topk",
+    )
+
+
+def pq_persist(
+    corpus: DataFrame,
+    path: str,
+    centroids: Optional[list[list[float]]] = None,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_pq_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store_floats: bool = True,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVFPQ index "at rest": the coded corpus
+    ``(id, pq_code)`` written **partitioned by centroid_id** (probes
+    read only their clusters via partition pruning, and each pruned
+    file holds M small codes per row instead of 4·D float bytes — the
+    32× shrink where it matters, on disk), with the centroid matrix
+    and PQ codebooks alongside as tiny parquets.
+
+    ``store_floats=True`` additionally writes a flat ``floats`` table
+    (``id, vec``) — the refine store: :func:`ivfpq_topk_persisted`'s
+    ``rerank`` tier fetches ONLY its top-R candidate rows from it via a
+    broadcast semi-join, the FAISS ``IndexRefineFlat`` layout.  Skip it
+    when re-ranking isn't needed and the index should be codes-only.
+
+    Returns ``(centroids, codebooks)`` (trained here if not supplied).
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus,
+            vec_col,
+            n_subspaces=n_subspaces,
+            n_centroids=n_pq_centroids,
+            seed=seed,
+        )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "centroid_id"
+    )
+    coded = pq_encode(assigned, codebooks, vec_col, "pq_code").select(
+        F.col(id_col), "pq_code", "centroid_id"
+    )
+    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    bdf = spark.createDataFrame(
+        [
+            (mi, ki, c)
+            for mi, book in enumerate(codebooks)
+            for ki, c in enumerate(book)
+        ],
+        "m int, k int, centroid array<double>",
+    )
+    bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    if store_floats:
+        corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/floats")
+    return centroids, codebooks
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Query a persisted IVFPQ index (:func:`pq_persist`): probe ids
+    are pushed into the codes scan as a partition filter, ADC scores
+    the pruned code files (M bytes per row off disk), and ``rerank``
+    refines the top-R against the flat ``floats`` store — only the
+    broadcast-semi-joined candidate rows are ever read as floats."""
+    crows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    )
+    centroids = [r["centroid"] for r in crows]
+    brows = spark.read.parquet(f"{path}/codebooks").orderBy("m", "k").collect()
+    n_sub = 1 + max(r["m"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in brows:
+        books[r["m"]].append(r["centroid"])
+
+    q = _collect_query_matrix(
+        queries, query_id_col, vec_col, max_queries, "ivfpq_topk_persisted"
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    if q is None:
+        return _empty_topk(codes, queries, id_col, query_id_col)
+    qids, Q = q
+    Cn = np.asarray(centroids, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), _NORM_EPS)
+    probes = np.argsort(-(Qn @ Cn.T), kind="stable", axis=1)[
+        :, : min(nprobe, len(Cn))
+    ]
+    all_probed = sorted({int(c) for p in probes for c in p})
+    coded = (
+        codes.where(F.col("centroid_id").isin(all_probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_code").alias("__pq"),
+            F.col("centroid_id").alias("__cid"),
+        )
+    )
+    if rerank is not None:
+        try:
+            floats = spark.read.parquet(f"{path}/floats")
+        except Exception as exc:
+            raise ValueError(
+                "ivfpq_topk_persisted: rerank needs the index's floats "
+                "store — re-persist with pq_persist(store_floats=True)"
+            ) from exc
+    else:
+        # codes-only path: _adc_search only reads the id type from it
+        floats = coded.select(F.col("neighbor_id").alias(id_col))
+    return _adc_search(
+        floats,
+        queries,
+        coded,
+        np.asarray(books, dtype=np.float64),
+        qids,
+        Q,
+        k,
+        rerank,
+        id_col,
+        vec_col,
+        query_id_col,
+        probes=probes,
+        fn_name="ivfpq_topk_persisted",
     )
 
 

@@ -194,6 +194,62 @@ def test_ivfpq_partitioning_independent_and_recall(emb, queries):
     assert len(exact & got) / len(exact) >= 0.5
 
 
+def test_pq_persist_roundtrip_equals_in_memory(emb, queries, tmp_path):
+    from aqueducts_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+        pq_persist,
+        train_ivf_centroids,
+        train_pq,
+    )
+
+    spark = emb.sparkSession
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq(emb, n_subspaces=16, n_centroids=16)
+    pq_persist(emb, str(tmp_path / "idx"), centroids=cents, codebooks=books)
+    for rer in (None, 50):
+        per = ivfpq_topk_persisted(
+            spark, str(tmp_path / "idx"), queries, k=10, nprobe=4, rerank=rer
+        )
+        inm = ivfpq_topk(
+            emb,
+            queries,
+            k=10,
+            n_centroids=8,
+            nprobe=4,
+            n_subspaces=16,
+            rerank=rer,
+            centroids=cents,
+            codebooks=books,
+        )
+        assert sorted(map(tuple, per.collect())) == sorted(
+            map(tuple, inm.collect())
+        ), rer
+    # the probe filter reaches the codes scan as a partition filter
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
+
+
+def test_pq_persist_codes_only_rerank_raises(emb, queries, tmp_path):
+    from aqueducts_spark.operators.similarity import (
+        ivfpq_topk_persisted,
+        pq_persist,
+    )
+
+    spark = emb.sparkSession
+    pq_persist(
+        emb,
+        str(tmp_path / "idx2"),
+        n_centroids=8,
+        n_subspaces=16,
+        store_floats=False,
+    )
+    with pytest.raises(ValueError, match="floats"):
+        ivfpq_topk_persisted(
+            spark, str(tmp_path / "idx2"), queries, k=10, rerank=50
+        ).collect()
+
+
 def test_ivfpq_prunes_scan(emb, queries):
     from aqueducts_spark.operators.similarity import (
         ivfpq_topk,
