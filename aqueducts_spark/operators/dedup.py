@@ -962,23 +962,34 @@ def semantic_dedup(
         )
         # quantize_embeddings' scheme inline (staged scale column so the
         # max-aggregate is not re-evaluated per component): round-half-up
-        # clamp to [-127, 127]; all-zero vectors (scale 0) -> zeros
+        # clamp to [-127, 127]; all-zero vectors (scale 0) -> zeros.
+        # NULL components stay NULL (least/greatest SKIP null args, so a
+        # bare clamp would turn a missing component into +127 — the
+        # exact bug embedding.py's quantize_embeddings documents); the
+        # NULL then propagates through dot/l2_norm below exactly like
+        # the float path, so the row is kept, never spuriously dropped.
         payload = F.when(
             F.col(qs) > 0,
             F.transform(
                 F.col(vec_col),
-                lambda v: F.greatest(
-                    F.lit(-127),
-                    F.least(
-                        F.lit(127),
-                        F.floor(
-                            v.cast("double") / F.col(qs) + F.lit(0.5)
-                        ).cast("int"),
+                lambda v: F.when(
+                    v.isNotNull(),
+                    F.greatest(
+                        F.lit(-127),
+                        F.least(
+                            F.lit(127),
+                            F.floor(
+                                v.cast("double") / F.col(qs) + F.lit(0.5)
+                            ).cast("int"),
+                        ),
                     ),
                 ).cast("tinyint"),
             ),
         ).otherwise(
-            F.transform(F.col(vec_col), lambda v: F.lit(0).cast("tinyint"))
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.when(v.isNotNull(), F.lit(0)).cast("tinyint"),
+            )
         )
     else:
         src = assigned

@@ -192,30 +192,27 @@ def hyperplane_lsh(
     )
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    sample_size: int = 4096,
-    iters: int = 8,
-    seed: int = 42,
-) -> list[list[float]]:
-    """Spherical k-means centroids from a bounded corpus sample.
+def _hash_rank_sample(
+    corpus: DataFrame, vec_col: str, sample_size: int, fn_name: str
+) -> "np.ndarray":
+    """Bounded hash-rank sample of non-NULL vectors as a float64 matrix
+    — the ONE corpus pass shared by IVF and PQ training (collect it
+    once and hand it to both trainers via their ``sample`` argument;
+    :func:`ivfpq_topk` / :func:`pq_persist` do exactly that, halving
+    index-training IO).
 
-    IVF index training: only ``sample_size`` vectors ever reach the
-    driver (standard practice — centroid quality needs a sample, not the
-    corpus), the rest of the pipeline stays distributed. Deterministic
-    for a fixed seed and input.
-
-    Sampling is hash-rank based, NOT ``limit()``: an unordered LIMIT is
+    Ranking by md5 of the vector bytes draws uniformly across the whole
+    corpus and is a pure function of the data (stable across
+    partitionings and runs); an unordered LIMIT would instead be
     satisfied from whichever partitions respond first — a partition
-    *prefix*, so on a multi-file corpus every training vector would come
-    from one file/domain slice and the centroids would model only that
-    slice.  Ranking by md5 of the vector bytes draws uniformly across
-    the whole corpus and is a pure function of the data (stable across
-    partitionings and runs).  Spark 4 plans the rank as
-    TakeOrderedAndProject — a per-partition top-k plus a driver merge of
-    ``sample_size`` rows, not a global sort.
+    *prefix*, so every training vector would come from one file/domain
+    slice.  Spark 4 plans the rank as TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge of ``sample_size`` rows,
+    not a global sort.
+
+    NULL *components* (as opposed to NULL vectors, which the filter
+    drops) are rejected loudly: np.array maps None -> NaN, and one NaN
+    row would silently poison every k-means mean it touches.
     """
     h = F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
     rows = (
@@ -227,9 +224,42 @@ def train_ivf_centroids(
     )
     if not rows:
         raise ValueError(
-            "train_ivf_centroids: corpus has no non-NULL embeddings to train on"
+            f"{fn_name}: corpus has no non-NULL embeddings to train on"
         )
     X = np.array([r[0] for r in rows], dtype=np.float64)
+    if np.isnan(X).any():
+        raise ValueError(
+            f"{fn_name}: sampled vectors contain NULL/NaN components — "
+            "clean or impute them before index training"
+        )
+    return X
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    sample: Optional["np.ndarray"] = None,
+) -> list[list[float]]:
+    """Spherical k-means centroids from a bounded corpus sample.
+
+    IVF index training: only ``sample_size`` vectors ever reach the
+    driver (standard practice — centroid quality needs a sample, not the
+    corpus), the rest of the pipeline stays distributed. Deterministic
+    for a fixed seed and input.
+
+    Sampling is hash-rank based, NOT ``limit()`` — see
+    :func:`_hash_rank_sample` (pass its matrix as ``sample`` to share
+    one corpus draw with :func:`train_pq`).
+    """
+    if sample is None:
+        sample = _hash_rank_sample(
+            corpus, vec_col, sample_size, "train_ivf_centroids"
+        )
+    X = np.asarray(sample, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
@@ -267,6 +297,12 @@ def _centroid_scorer(centroids: list[list[float]], nprobe: int):
 
     def topn(vs):
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if np.isnan(X).any():
+            # NULL components arrive as NaN and every centroid dot
+            # would go NaN — assignment would be arbitrary, silently
+            raise ValueError(
+                "ivf centroid scoring: vector contains NULL/NaN components"
+            )
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         dots = X @ C.T
         if nprobe == 1:
@@ -478,13 +514,14 @@ def train_pq(
     sample_size: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    sample: Optional["np.ndarray"] = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks ``[M][K][D/M]`` from a bounded
-    corpus sample (hash-rank drawn, exactly like
-    :func:`train_ivf_centroids` — see there for why LIMIT would bias
-    the sample).  Plain L2 k-means per subspace (PQ quantizes raw
-    subvectors, not directions); deterministic for a fixed seed and
-    input; empty clusters keep their previous centroid.
+    corpus sample (hash-rank drawn via :func:`_hash_rank_sample` —
+    pass its matrix as ``sample`` to share one corpus draw with
+    :func:`train_ivf_centroids`).  Plain L2 k-means per subspace (PQ
+    quantizes raw subvectors, not directions); deterministic for a
+    fixed seed and input; empty clusters keep their previous centroid.
 
     The vector dimension must divide evenly by ``n_subspaces`` —
     validated against the sampled data, loudly.
@@ -493,17 +530,9 @@ def train_pq(
         raise ValueError("train_pq: n_subspaces must be >= 1")
     if n_centroids < 2:
         raise ValueError("train_pq: n_centroids must be >= 2")
-    h = F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
-    rows = (
-        corpus.select(vec_col)
-        .where(F.col(vec_col).isNotNull())
-        .orderBy(h.asc())
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("train_pq: corpus has no non-NULL embeddings to train on")
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if sample is None:
+        sample = _hash_rank_sample(corpus, vec_col, sample_size, "train_pq")
+    X = np.asarray(sample, dtype=np.float64)
     dim = X.shape[1]
     if dim % n_subspaces != 0:
         raise ValueError(
@@ -562,6 +591,12 @@ def pq_encode(
         if X.shape[1] != dim:
             raise ValueError(
                 f"pq_encode: vector dim {X.shape[1]} != codebook dim {dim}"
+            )
+        if np.isnan(X).any():
+            # NULL components arrive as NaN; argmin over a NaN row
+            # returns position 0 silently — a garbage code
+            raise ValueError(
+                "pq_encode: vector contains NULL/NaN components"
             )
         S = X.reshape(len(X), M, dsub)  # (B, M, dsub)
         # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 is constant
@@ -663,6 +698,12 @@ def _collect_query_matrix(queries, query_id_col, vec_col, max_queries, fn_name):
         return None
     qids = [r[0] for r in qrows]
     Q = np.array([r[1] for r in qrows], dtype=np.float64)  # (NQ, dim)
+    if np.isnan(Q).any():
+        # None -> NaN under np.array; a NaN query row would rank its
+        # neighbors arbitrarily (every cosine NaN) with no error
+        raise ValueError(
+            f"{fn_name}: query vectors contain NULL/NaN components"
+        )
     return qids, Q
 
 
@@ -837,18 +878,25 @@ def ivfpq_topk(
     probed clusters are all empty simply returns fewer (or zero) rows,
     exactly like :func:`ivf_topk`.
     """
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            corpus, vec_col, n_centroids=n_centroids, seed=seed
-        )
-    if codebooks is None:
-        codebooks = train_pq(
-            corpus,
-            vec_col,
-            n_subspaces=n_subspaces,
-            n_centroids=n_pq_centroids,
-            seed=seed,
-        )
+    if centroids is None or codebooks is None:
+        # ONE hash-rank sampling pass serves both quantizers (each
+        # trainer's own draw would scan + top-k the corpus twice for
+        # the identical 4096 rows)
+        sample = _hash_rank_sample(corpus, vec_col, 4096, "ivfpq_topk")
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                corpus, vec_col, n_centroids=n_centroids, seed=seed,
+                sample=sample,
+            )
+        if codebooks is None:
+            codebooks = train_pq(
+                corpus,
+                vec_col,
+                n_subspaces=n_subspaces,
+                n_centroids=n_pq_centroids,
+                seed=seed,
+                sample=sample,
+            )
     q = _collect_query_matrix(
         queries, query_id_col, vec_col, max_queries, "ivfpq_topk"
     )
@@ -922,18 +970,23 @@ def pq_persist(
     Returns ``(centroids, codebooks)`` (trained here if not supplied).
     """
     spark = corpus.sparkSession
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            corpus, vec_col, n_centroids=n_centroids, seed=seed
-        )
-    if codebooks is None:
-        codebooks = train_pq(
-            corpus,
-            vec_col,
-            n_subspaces=n_subspaces,
-            n_centroids=n_pq_centroids,
-            seed=seed,
-        )
+    if centroids is None or codebooks is None:
+        # one shared sampling pass for both quantizers (see ivfpq_topk)
+        sample = _hash_rank_sample(corpus, vec_col, 4096, "pq_persist")
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                corpus, vec_col, n_centroids=n_centroids, seed=seed,
+                sample=sample,
+            )
+        if codebooks is None:
+            codebooks = train_pq(
+                corpus,
+                vec_col,
+                n_subspaces=n_subspaces,
+                n_centroids=n_pq_centroids,
+                seed=seed,
+                sample=sample,
+            )
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "centroid_id"
     )

@@ -286,7 +286,21 @@ def _hll_reg_rho(df: DataFrame, value_col: str, m: int, hash_fn: str):
     """Project ``reg``/``__rho`` for every non-NULL value row — the
     construction shared by batch :func:`hll_sketch` and the streaming
     twin (``streaming/ops.py::distinct_sketch_stream``); all other
-    input columns pass through."""
+    input columns pass through.
+
+    The sketch relation's column names are its CONTRACT (``reg``/
+    ``mx``/``m`` are what merge/estimate key on), so unlike operators
+    with free output names there is no ``_fresh_name`` escape — an
+    input frame already carrying one of the overwritten names is
+    rejected loudly instead of silently clobbered (a ``group_by=
+    ['reg']`` on a frame whose ``reg`` is a region code would
+    otherwise group by hash registers)."""
+    clash = {"reg", "__w", "__rho", "__dg"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"hll: input columns {sorted(clash)} collide with the "
+            "sketch's reserved register columns; rename them first"
+        )
     v = F.col(value_col)
     if hash_fn == "xxhash64":
         s = v.cast("string")
@@ -348,6 +362,12 @@ def hll_sketch(
     _check_hll_m(m)
     _check_hash_fn(hash_fn)
     grp = list(group_cols)
+    bad = {"mx", "m"} & set(grp)
+    if bad:
+        raise ValueError(
+            f"hll_sketch: group columns {sorted(bad)} collide with the "
+            "sketch's reserved output columns; rename them first"
+        )
     hashed = _hll_reg_rho(df, value_col, m, hash_fn)
     return (
         hashed.select(*grp, "reg", "__rho")
@@ -397,6 +417,7 @@ def hll_estimate(
     )
     aggs = [
         F.count("reg").cast("bigint").alias("n_registers"),
+        F.count_distinct(F.col("reg")).cast("bigint").alias("_n_distinct"),
         F.sum(term).alias("_s"),
     ]
     if "m" in sketch.columns:
@@ -421,6 +442,15 @@ def hll_estimate(
             # m must be a plan-time constant (alpha/numerator literals
             # depend on it), so a carried m still needs one tiny read
             vals = [r["m"] for r in sketch.select("m").distinct().collect()]
+            if not vals:
+                # an empty sketch (no rows, or all-NULL values) is a
+                # valid input — estimate it as empty, matching the
+                # explicit-m path, instead of a misleading "mixed m"
+                return agg.where(F.lit(False)).select(
+                    *grp,
+                    "n_registers",
+                    F.lit(None).cast("double").alias("distinct_est"),
+                )
             if len(vals) != 1:
                 raise ValueError(
                     f"hll_estimate: sketch carries mixed m values {sorted(vals)}"
@@ -440,15 +470,21 @@ def hll_estimate(
     thr = 2.5 * m
     # a valid sketch has at most one row per register: duplicate
     # registers (e.g. multi-window rows estimated without
-    # merge_hll_sketches first) would push n_registers past m and turn
-    # the empty-register count negative — a silently negative estimate.
-    # Fail loudly instead (kmv_estimate's guard discipline).
+    # merge_hll_sketches first) double-count in _s and undersize the
+    # empty-register count — a silently wrong estimate.  count vs
+    # count_distinct detects EVERY duplicate, including groups whose
+    # total row count still fits under m (the <= m check alone missed
+    # those).  Fail loudly (kmv_estimate's guard discipline).
     reg_guard = F.assert_true(
-        F.col("n_registers") <= F.lit(int(m)),
+        (F.col("n_registers") == F.col("_n_distinct"))
+        # belt-and-braces for hand-built relations whose reg values
+        # fall outside 0..m-1: more distinct regs than m would still
+        # turn the empty-register count negative
+        & (F.col("n_registers") <= F.lit(int(m))),
         F.lit(
-            "hll_estimate: more register rows than m — the relation holds "
-            "duplicate registers per group (multiple windows/shards?); "
-            "merge_hll_sketches them first"
+            "hll_estimate: duplicate register rows per group (multiple "
+            "windows/shards estimated together?), or more registers "
+            "than m; merge_hll_sketches them first"
         ),
     )
     v_cnt = (F.lit(int(m)) - F.col("n_registers")).cast("bigint")

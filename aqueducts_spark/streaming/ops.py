@@ -172,6 +172,12 @@ def distinct_sketch_stream(
 
     _check_hll_m(m)
     _check_hash_fn(hash_fn)
+    bad = {"mx", "m", "window_start", "window_end"} & set(group_by or [])
+    if bad:
+        raise ValueError(
+            f"distinct_sketch_stream: group columns {sorted(bad)} collide "
+            "with the sketch's reserved output columns; rename them first"
+        )
     base = _hll_reg_rho(df, value_col, m, hash_fn)
     keys = (
         [F.window(F.col(ts_col), window_duration)]

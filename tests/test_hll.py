@@ -176,3 +176,40 @@ def test_registry_stage(spark, sf_dir):
     assert all(r["n_registers"] <= 64 for r in rows)
     assert len(rows) == 5
     spark.catalog.dropTempView("hll_orders")
+
+
+def test_duplicate_registers_under_m_raise(spark, toy):
+    # the "small" group (20 distinct values) never saturates m=64, so
+    # two stacked window slices total ~19 register rows — the silent
+    # path a bare n_registers <= m check misses (verified: the halves
+    # share 2 registers); count-vs-count_distinct catches it
+    small = toy.where("grp = 'small'")
+    a = hll_sketch(small.where("v % 2 = 0"), ["grp"], "v", m=64)
+    b = hll_sketch(small.where("v % 2 = 1"), ["grp"], "v", m=64)
+    with pytest.raises(Exception) as exc:
+        hll_estimate(a.unionByName(b), ["grp"]).collect()
+    assert "merge_hll_sketches" in str(exc.value)
+
+
+def test_empty_sketch_estimates_empty(spark, toy):
+    # no rows (or all-NULL values) is a valid sketch: estimate is
+    # empty with the contract schema, not a "mixed m values []" error
+    empty = hll_sketch(toy.where("v < 0"), ["grp"], "v", m=64)
+    out = hll_estimate(empty, ["grp"])
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "grp",
+        "n_registers",
+        "distinct_est",
+    ]
+
+
+def test_reserved_column_clash_rejected(spark):
+    # a frame whose own 'reg' column is e.g. a region code must be
+    # rejected loudly, not silently grouped by hash registers
+    df = spark.createDataFrame([("east", 1)], "reg string, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        hll_sketch(df, ["reg"], "v", m=64)
+    df2 = spark.createDataFrame([("x", 1)], "mx string, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        hll_sketch(df2, ["mx"], "v", m=64)

@@ -276,3 +276,44 @@ def test_ivfpq_prunes_scan(emb, queries):
     }
     for r in one.collect():
         assert assigned[r["neighbor_id"]] == qprobe[r["query_id"]]
+
+
+def test_null_component_raises(spark):
+    # None -> NaN under np.array: train_pq would poison every centroid
+    # mean, pq_encode's argmin would return code 0 silently — all now
+    # fail loudly instead
+    from aqueducts_spark.operators.similarity import pq_encode, train_pq
+
+    clean = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i, 0.5 * i, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    small_books = train_pq(clean, n_subspaces=2, n_centroids=2)
+    bad = spark.createDataFrame(
+        [(1, [0.1, None, 0.2, 0.3]), (2, [0.4, 0.5, 0.6, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        train_pq(bad, n_subspaces=2, n_centroids=2)
+    with pytest.raises(Exception) as exc:
+        pq_encode(bad, small_books).collect()
+    assert "NULL/NaN" in str(exc.value)
+
+
+def test_shared_sample_matches_own_draw(emb):
+    # ivfpq_topk/pq_persist collect ONE hash-rank sample for both
+    # quantizers; handing the trainers that shared matrix must give
+    # bit-identical indexes to each trainer drawing for itself
+    from aqueducts_spark.operators.similarity import (
+        _hash_rank_sample,
+        train_ivf_centroids,
+        train_pq,
+    )
+
+    X = _hash_rank_sample(emb, "embedding", 4096, "test")
+    assert train_ivf_centroids(emb, n_centroids=4) == train_ivf_centroids(
+        emb, n_centroids=4, sample=X
+    )
+    assert train_pq(emb, n_subspaces=2, n_centroids=4) == train_pq(
+        emb, n_subspaces=2, n_centroids=4, sample=X
+    )

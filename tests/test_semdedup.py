@@ -216,3 +216,16 @@ def test_semantic_dedup_registry_cluster_options(spark):
     )
     assert 0 < out2.count() <= len(VECS)
     spark.catalog.dropTempView("sem_vecs2")
+
+
+def test_semantic_dedup_null_component_raises(spark):
+    # a NULL *component* (vs a NULL vector, which passes through) is
+    # data corruption for embedding geometry: before the guard it got
+    # an arbitrary centroid (NaN dots -> argmax 0) and, under
+    # quantize=True, became +127 (least/greatest skip NULLs) — now the
+    # centroid scorer fails loudly in BOTH modes
+    rows = VECS + [(42, [0.5, None, 0.0, 0.0])]
+    for kw in ({}, {"quantize": True}):
+        with pytest.raises(Exception) as exc:
+            _dedup(spark, rows=rows, **kw).collect()
+        assert "NULL/NaN components" in str(exc.value)
