@@ -3089,6 +3089,116 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(docs, "payload", "doc_id", every_ms=1000)
 
 
+# simhash near-dup lookup (operators/dedup.py::hamming_pairs — the
+# Manku et al. 2007 banded-table layout).  The oracle is the BRUTE-FORCE
+# all-pairs join over the replayed fingerprints: matching it exactly
+# proves the pigeonhole banding (bands = max_hamming + 1) generates
+# every true pair — the LSH loses nothing, cross-engine-verified.
+OP_SIMHASH_NEARDUP_DUCK = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM ({fp}) a JOIN ({fp}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+def _op_simhash_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import hamming_pairs, simhash
+
+    _views(spark, sf_dir)
+    return hamming_pairs(
+        simhash(spark.table("documents")),
+        max_hamming=8,
+        # the strict pigeonhole guarantee (no bucket cap) — required for
+        # the brute-force oracle to match exactly
+        max_bucket_size=None,
+    )
+
+
+# perceptual-hash image near-dup: the FULL multimodal chain — bytes ->
+# deterministic fake decode (w/h from payload bytes, pixels by tiling;
+# CODEC SWAP POINT documented in multimodal.py) -> nearest-resize to the
+# 7x8 aHash grid -> INTEGER mean threshold (level*56 >= sum: no float
+# tie hazard) -> 56-bit fingerprint -> banded Hamming pairing.  The
+# oracle replays every step in SQL, byte indexing via hex(encode(text)),
+# and pairs by brute force — end-to-end engine-exact, including the
+# planted near-duplicate payloads (each doc also appears with character
+# 11 replaced, id + 1,000,000 — the _neardup_input pattern).
+MM_PHASH_NEARDUP_DUCK = """
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 12
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, 10) || '~' || substr(text, 12) AS text
+  FROM documents WHERE length(text) >= 12
+),
+p AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM src
+),
+d AS (
+  SELECT doc_id, hx, n,
+         4 + (('0x' || substr(hx, 1, 2))::INT % 5) AS w,
+         4 + (('0x' || substr(hx, 2 * (n // 2) + 1, 2))::INT % 5) AS h
+  FROM p
+),
+lv AS (
+  SELECT doc_id,
+         list_transform(range(0, 56), k ->
+           ('0x' || substr(hx,
+             2 * ((((k // 8) * h // 7) * w + ((k % 8) * w // 8)) % n) + 1,
+             2))::BIGINT) AS L
+  FROM d
+),
+ph AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 56), k ->
+           CASE WHEN L[k + 1] * 56 >= list_sum(L)
+                THEN (1::BIGINT << k) ELSE 0 END)) AS phash
+  FROM lv
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+
+def _mm_phash_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.dedup import hamming_pairs
+    from aqueducts_spark.operators.multimodal import perceptual_hash
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where(F.length("text") >= 12)
+    base = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    pert = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.expr("substring(text, 1, 10)"),
+                F.lit("~"),
+                F.expr("substring(text, 12)"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    sigs = perceptual_hash(
+        base.unionByName(pert), "payload", "doc_id", codec="fake"
+    )
+    return hamming_pairs(
+        sigs,
+        sig_col="phash",
+        max_hamming=6,
+        sig_bits=56,
+        max_bucket_size=None,  # strict guarantee: oracle is brute force
+    )
+
+
 def _mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -4992,6 +5102,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_fuzzy_dedup": _op_fuzzy_dedup,
         "op_stratified_sample": _op_stratified_sample,
         "op_simhash": _op_simhash,
+        "op_simhash_neardup": _op_simhash_neardup_gate,
+        "mm_phash_neardup": _mm_phash_neardup_gate,
         "op_embed_neardup": _op_embed_neardup,
         "op_embed_neardup_lsh": _op_embed_neardup_lsh,
         "sim_topk_bruteforce": _sim_topk,
@@ -5190,6 +5302,8 @@ _GATE_PRIORITY = [
     "op_normalize_text",
     "op_quantized_topk",
     "op_oov_rate",
+    "op_simhash_neardup",
+    "mm_phash_neardup",
 ]
 
 
@@ -5324,6 +5438,10 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,
         "op_stratified_sample": OP_STRATIFIED_SAMPLE_DUCK,
         "op_simhash": _simhash_duck_sql(),
+        "op_simhash_neardup": OP_SIMHASH_NEARDUP_DUCK.format(
+            fp=_simhash_duck_sql()
+        ),
+        "mm_phash_neardup": MM_PHASH_NEARDUP_DUCK,
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,
         "op_embed_neardup_lsh": OP_EMBED_NEARDUP_DUCK,
         "sim_topk_bruteforce": SIM_TOPK_DUCK,

@@ -48,6 +48,7 @@ __all__ = [
     "fuzzy_dedup",
     "jaccard_pairs",
     "simhash",
+    "hamming_pairs",
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
     "semantic_dedup",
@@ -786,6 +787,142 @@ def simhash(
             F.col(id_col),
             F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
         )
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: Optional[int] = None,
+    sig_bits: int = 60,
+    max_bucket_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over an integer
+    signature column — the lookup half of :func:`simhash` (Charikar
+    2002; Manku et al. 2007 §3 describe exactly this banded-table
+    layout for web-scale simhash dedup), and equally the pairing stage
+    for any other <= 60-bit fingerprint (e.g.
+    :func:`~.multimodal.perceptual_hash` image signatures).
+
+    **Completeness by pigeonhole**: the signature's ``sig_bits`` bits
+    are split into ``bands`` contiguous blocks (balanced widths); two
+    signatures within Hamming distance ``max_hamming`` differ in at
+    most ``max_hamming`` blocks, so with ``bands >= max_hamming + 1``
+    (the default) they MUST agree exactly on at least one block — the
+    band equi-join generates every true pair, and the exact
+    ``bit_count(a ^ b)`` verification makes precision 1.  Unlike
+    MinHash/hyperplane LSH there is NO recall approximation at the
+    default banding; fewer bands are rejected rather than silently
+    lossy.  The exception is ``max_bucket_size``: degenerate buckets
+    (e.g. an all-zero-signature pileup) are dropped before pairing,
+    bounding the worst bucket — set it to None for the strict
+    guarantee.
+
+    Scale shape (the Manku layout): the exploded (band, value, id)
+    relation is slim — signatures are one BIGINT, no text/vectors
+    travel; ONE shuffle on (band, value) that the count-window cap and
+    the merge-hinted self-join both reuse (ReuseExchange, the
+    :func:`embedding_near_duplicates_lsh` discipline); candidate pairs
+    dedupe with one distinct and verify with a single integer XOR —
+    never corpus x corpus.
+
+    NULL ids are rejected loudly (a pair needs two addressable rows;
+    assign ids first), NULL signatures are dropped (no fingerprint, no
+    neighbors).  Signatures must lie in ``[0, 2^sig_bits)`` — validated
+    at execution, since an out-of-range bit would sit outside every
+    band and silently break the completeness guarantee.
+
+    Output: ``id_a, id_b, hamming int`` with ``id_a < id_b``,
+    ``hamming <= max_hamming``.
+    """
+    if not 1 <= sig_bits <= 60:
+        raise ValueError(
+            f"hamming_pairs: sig_bits must be in 1..60, got {sig_bits}"
+        )
+    if not 0 <= max_hamming < sig_bits:
+        raise ValueError(
+            f"hamming_pairs: max_hamming must be in 0..{sig_bits - 1}, "
+            f"got {max_hamming}"
+        )
+    if bands is None:
+        bands = max_hamming + 1
+    if not max_hamming < bands <= sig_bits:
+        raise ValueError(
+            f"hamming_pairs: bands must be in {max_hamming + 1}..{sig_bits} "
+            f"(>= max_hamming + 1 for the pigeonhole completeness "
+            f"guarantee), got {bands}"
+        )
+    sig = F.col(sig_col)
+    guard = F.assert_true(
+        (sig >= 0) & (sig < F.lit(1 << sig_bits)),
+        F.lit(
+            f"hamming_pairs: signature outside [0, 2^{sig_bits}) — wrong "
+            "sig_bits silently breaks banding completeness"
+        ),
+    )
+    src = (
+        df.where(sig.isNotNull())
+        .where(
+            F.assert_true(
+                F.col(id_col).isNotNull(),
+                F.lit(
+                    "hamming_pairs: NULL id — a pair needs two addressable "
+                    "rows; assign unique ids first"
+                ),
+            ).isNull()
+        )
+        .where(guard.isNull())
+    )
+    # balanced band widths: first (sig_bits % bands) bands get one extra
+    # bit; value b = (sig >> offset_b) & (2^width_b - 1)
+    base_w, extra = divmod(sig_bits, bands)
+    vals, off = [], 0
+    for b in range(bands):
+        w = base_w + (1 if b < extra else 0)
+        vals.append(
+            F.shiftright(sig, off).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        off += w
+    slim = src.select(
+        F.col(id_col).alias("__id"),
+        sig.alias("__sig"),
+        F.posexplode(F.array(*vals)).alias("__band", "__bval"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        slim = (
+            slim.withColumn(
+                "__bn",
+                F.count("*").over(Window.partitionBy("__band", "__bval")),
+            )
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = slim.select(
+        "__band", "__bval", F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")
+    )
+    b = slim.select(
+        "__band", "__bval", F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")
+    )
+    # merge hints: both inputs canonicalize to the window's exchange
+    # (ReuseExchange), and auto-broadcast could not size the post-
+    # explode side anyway (see embedding_near_duplicates_lsh)
+    return (
+        a.hint("merge")
+        .join(b.hint("merge"), ["__band", "__bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

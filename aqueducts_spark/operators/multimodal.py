@@ -42,6 +42,7 @@ __all__ = [
     "byte_stats",
     "byte_histogram_features",
     "decode_image",
+    "perceptual_hash",
     "sample_video_frames",
 ]
 
@@ -283,6 +284,85 @@ def decode_image(
     out = df.select(
         F.col(id_col), payload_col
     ).mapInPandas(run, schema=_decode_schema(df.schema[id_col].dataType))
+    return out.withColumnRenamed("__id", id_col)
+
+
+def _phash_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("__id", id_type),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    codec=None,
+    grid: tuple[int, int] = (7, 8),
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image payload:
+    decode -> nearest-resize to ``grid`` (h, w) -> threshold each cell
+    against the grid mean -> pack the bits into ONE bigint.  Feed the
+    output straight to :func:`~.dedup.hamming_pairs` for image
+    near-duplicate detection — visually identical images (recompressed,
+    slightly edited) land within a few bits, the classic
+    pHash-dedup layout for multimodal corpora.
+
+    The default 7x8 grid gives a 56-bit hash — inside the <= 60-bit
+    positive-BIGINT signature contract :func:`~.dedup.simhash` and
+    ``hamming_pairs`` share (bit k of the hash is cell ``k`` row-major,
+    set iff its level is >= the grid mean).
+
+    The threshold runs on INTEGER levels (``round(pixel * 255)``) with
+    the mean comparison as ``level * n_cells >= sum(levels)`` — pure
+    integer arithmetic, so the hash is bit-identical across engines
+    and codecs that agree on pixel values (no float-mean tie hazard);
+    for byte-derived codecs the level IS the source byte.
+
+    Codec resolution is :func:`decode_image`'s (``"auto"``/``"pil"``/
+    ``"fake"``/callable, resolved worker-side — CODEC SWAP POINT).
+    NULL payloads are skipped like :func:`decode_image`'s.  Output:
+    ``(id, phash bigint)``.
+    """
+    gh, gw = grid
+    if gh < 1 or gw < 1 or gh * gw > 60:
+        raise ValueError(
+            f"perceptual_hash: grid cells must be in 1..60 (signature "
+            f"fits a positive BIGINT), got {gh}x{gw}={gh * gw}"
+        )
+    _resolve_image_codec(codec)  # validate names eagerly on the driver
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        decode = _resolve_image_codec(codec)
+        n_cells = gh * gw
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                _w, _h, img = decode(bytes(payload))
+                cells = _resize_nearest(img, gw, gh)
+                # integer levels: exact for byte-derived pixels
+                # (round(float32(b/255)*255) == b for all 0..255)
+                lv = np.floor(
+                    cells.astype(np.float64).ravel() * 255.0 + 0.5
+                ).astype(np.int64)
+                total = int(lv.sum())
+                bits = lv * n_cells >= total
+                ph = int(
+                    (bits.astype(np.int64) << np.arange(n_cells)).sum()
+                )
+                rows.append((_id, ph))
+            yield pd.DataFrame(rows, columns=["__id", "phash"])
+
+    out = df.select(F.col(id_col), payload_col).mapInPandas(
+        run, schema=_phash_schema(df.schema[id_col].dataType)
+    )
     return out.withColumnRenamed("__id", id_col)
 
 

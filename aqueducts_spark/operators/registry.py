@@ -140,6 +140,35 @@ def _op_simhash(spark, inp, options):
     )
 
 
+def _op_hamming_pairs(spark, inp, options):
+    from .dedup import hamming_pairs
+
+    mbs = options.get("max_bucket_size", 10_000)
+    bands = options.get("bands")
+    return hamming_pairs(
+        inp,
+        sig_col=options.get("sig_col", "simhash"),
+        id_col=options.get("id_col", "doc_id"),
+        max_hamming=int(options.get("max_hamming", 3)),
+        bands=None if bands is None else int(bands),
+        sig_bits=int(options.get("sig_bits", 60)),
+        max_bucket_size=None if mbs is None else int(mbs),
+    )
+
+
+def _op_perceptual_hash(spark, inp, options):
+    from .multimodal import perceptual_hash
+
+    grid = options.get("grid")
+    return perceptual_hash(
+        inp,
+        payload_col=options.get("payload_col", "payload"),
+        id_col=options.get("id_col", "doc_id"),
+        codec=options.get("codec"),
+        grid=tuple(int(x) for x in grid) if grid else (7, 8),
+    )
+
+
 def _op_embed_neardup(spark, inp, options):
     from .dedup import embedding_near_duplicates
 
@@ -1526,6 +1555,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "fuzzy_dedup": _op_fuzzy_dedup,
     "jaccard_pairs": _op_jaccard_pairs,
     "simhash": _op_simhash,
+    "hamming_pairs": _op_hamming_pairs,
+    "perceptual_hash": _op_perceptual_hash,
     "embed_neardup": _op_embed_neardup,
     "embed_neardup_lsh": _op_embed_neardup_lsh,
     "quality_score": _op_quality_score,

@@ -1,0 +1,210 @@
+"""hamming_pairs (operators/dedup.py): banded Hamming-distance LSH over
+integer signatures (Manku et al. 2007's simhash-table layout), and
+perceptual_hash (operators/multimodal.py): integer aHash fingerprints.
+
+The load-bearing property is pigeonhole COMPLETENESS: with
+bands >= max_hamming + 1 the band join must generate every pair within
+the radius — pinned against a brute-force Python reference on adversarial
+signatures (clustered low-bit diffs, not just random)."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.dedup import hamming_pairs, simhash
+from aqueducts_spark.operators.multimodal import perceptual_hash
+
+SCHEMA = "doc_id long, simhash long"
+
+
+def _brute(sigs, max_hamming):
+    out = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sigs), 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= max_hamming:
+            out.add((ia, ib, h))
+    return out
+
+
+def _pairs(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(df, **kw).collect()
+    }
+
+
+def test_completeness_vs_brute_force_adversarial(spark):
+    # adversarial: base signatures plus variants with 1..6 flipped bits
+    # CLUSTERED in one region (the worst case for banding — all diffs
+    # can land in few bands) and spread across regions
+    rng = random.Random(7)
+    rows, nid = [], 0
+    for _ in range(12):
+        base = rng.getrandbits(60)
+        rows.append((nid, base)); nid += 1
+        for flips in (1, 2, 3, 4, 6):
+            start = rng.randrange(0, 55)
+            sig = base
+            for b in range(flips):
+                sig ^= 1 << ((start + b) % 60)
+            rows.append((nid, sig)); nid += 1
+        for flips in (2, 4):
+            sig = base
+            for b in rng.sample(range(60), flips):
+                sig ^= 1 << b
+            rows.append((nid, sig)); nid += 1
+    for mh in (1, 3, 4):
+        got = _pairs(spark, rows, max_hamming=mh)
+        assert got == _brute([(i, s) for i, s in rows], mh), mh
+
+
+def test_zero_radius_is_exact_duplicate_join(spark):
+    rows = [(1, 5), (2, 5), (3, 6), (4, 5)]
+    got = _pairs(spark, rows, max_hamming=0)
+    assert got == {(1, 2, 0), (1, 4, 0), (2, 4, 0)}
+
+
+def test_more_bands_than_default_still_complete(spark):
+    rows = [(1, 0), (2, 1), (3, 3), (4, 1 << 59)]
+    got = _pairs(spark, rows, max_hamming=2, bands=10)
+    assert got == _brute(rows, 2)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 5)], SCHEMA)
+    with pytest.raises(ValueError, match="bands"):
+        hamming_pairs(df, max_hamming=3, bands=3)  # pigeonhole broken
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_pairs(df, max_hamming=-1)
+    with pytest.raises(ValueError, match="sig_bits"):
+        hamming_pairs(df, sig_bits=64)
+
+
+def test_out_of_range_signature_raises(spark):
+    df = spark.createDataFrame([(1, 5), (2, 1 << 40)], SCHEMA)
+    with pytest.raises(Exception) as exc:
+        hamming_pairs(df, max_hamming=1, sig_bits=16).collect()
+    assert "completeness" in str(exc.value)
+
+
+def test_null_id_raises_null_sig_dropped(spark):
+    df = spark.createDataFrame([(None, 5), (2, 5)], SCHEMA)
+    with pytest.raises(Exception) as exc:
+        hamming_pairs(df, max_hamming=1).collect()
+    assert "NULL id" in str(exc.value)
+    df2 = spark.createDataFrame([(1, None), (2, 5), (3, 5)], SCHEMA)
+    assert _pairs(spark, [(1, None), (2, 5), (3, 5)], max_hamming=1) == {
+        (2, 3, 0)
+    }
+
+
+def test_bucket_cap_drops_degenerate_bucket(spark):
+    # 50 identical signatures pile into their band buckets; a cap below
+    # 50 drops those buckets.  The near pair differs in a HIGH bit, so
+    # its shared LOW band (value 1, population 2) survives the cap —
+    # while the pile's pairs are all dropped.  (A true pair whose ONLY
+    # shared band is the degenerate bucket would be lost — that is the
+    # documented trade of max_bucket_size.)
+    rows = [(i, 7) for i in range(50)] + [(100, 1), (101, 1 | (1 << 59))]
+    got = _pairs(spark, rows, max_hamming=1, max_bucket_size=10)
+    assert got == {(100, 101, 1)}
+    # and None restores the strict guarantee
+    got_all = _pairs(spark, rows, max_hamming=1, max_bucket_size=None)
+    assert len(got_all) == 50 * 49 // 2 + 1
+
+
+def test_composes_with_simhash_on_real_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = hamming_pairs(simhash(docs), max_hamming=8)
+    rows = pairs.collect()
+    # the testdata plants fuzzy duplicates: some must land within 8 bits
+    assert len(rows) > 0
+    assert all(r.hamming <= 8 for r in rows)
+    # spot-verify one pair's hamming against the fingerprints
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    r0 = rows[0]
+    assert bin(fp[r0.id_a] ^ fp[r0.id_b]).count("1") == r0.hamming
+
+
+def test_single_exchange_reused_by_self_join(spark):
+    # the (band, value) exchange is built once and reused by both
+    # self-join sides (AQE resolves the reuse at runtime, so assert on
+    # the EXECUTED plan), and there is exactly ONE explode of the
+    # band array
+    # data must yield pairs — an empty result lets AQE collapse the
+    # whole plan to EmptyRelation and nothing is observable
+    df = spark.createDataFrame([(i, i) for i in range(64)], SCHEMA)
+    out = hamming_pairs(df, max_hamming=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan
+    assert plan.count("Generate posexplode") == 1
+
+
+# --- perceptual_hash ------------------------------------------------------
+
+
+def _py_ahash(data: bytes, gh=7, gw=8):
+    """Pure-Python reference: fake codec + nearest resize + integer
+    aHash, independent of the numpy implementation."""
+    w = 4 + data[0] % 5
+    h = 4 + data[len(data) // 2] % 5
+    tiled = [data[k % len(data)] for k in range(w * h)]
+    lv = [
+        tiled[(r * h // gh) * w + (c * w // gw)]
+        for r in range(gh)
+        for c in range(gw)
+    ]
+    total = sum(lv)
+    n = gh * gw
+    return sum(1 << k for k in range(n) if lv[k] * n >= total)
+
+
+def test_phash_matches_python_reference(spark):
+    payloads = [
+        (1, b"hello world, this is payload one"),
+        (2, b"x" * 100),
+        (3, bytes(range(256)) * 3),
+        (4, b"\x00\xff" * 40),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, data binary")
+    got = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(df, "data", "doc_id", codec="fake").collect()
+    }
+    for i, d in payloads:
+        assert got[i] == _py_ahash(d), i
+
+
+def test_phash_identical_payloads_hamming_zero(spark):
+    base = bytes(range(100, 200))
+    near = bytes([100, 99]) + bytes(range(102, 200))  # two bytes changed
+    far = bytes(reversed(range(100)))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, data binary",
+    )
+    sigs = perceptual_hash(df, "data", "doc_id", codec="fake")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(
+            sigs, sig_col="phash", max_hamming=10, sig_bits=56
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical bytes -> identical hash
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10  # small edit stays near
+    assert (1, 4) not in pairs  # unrelated content
+
+
+def test_phash_null_skipped_and_grid_validated(spark):
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, None)], "doc_id long, data binary"
+    )
+    rows = perceptual_hash(df, "data", "doc_id", codec="fake").collect()
+    assert [r.doc_id for r in rows] == [1]
+    with pytest.raises(ValueError, match="grid"):
+        perceptual_hash(df, "data", "doc_id", grid=(8, 8))

@@ -190,3 +190,34 @@ class TestStageErrorAttribution:
         with pytest.raises(StageError) as ei:
             process_stage(spark, stage, ProgressTracker())
         assert ei.value.stage_name == "anboom"
+
+
+def test_hamming_pairs_and_phash_registry_stages(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.registry import run_operator
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "length(text) >= 12"
+    )
+    docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")).createOrReplaceTempView(
+        "ph_docs"
+    )
+    sigs = run_operator(
+        spark,
+        {"type": "perceptual_hash", "input": "ph_docs", "options": {"codec": "fake"}},
+    )
+    assert sigs.columns == ["doc_id", "phash"]
+    sigs.createOrReplaceTempView("ph_sigs")
+    pairs = run_operator(
+        spark,
+        {
+            "type": "hamming_pairs",
+            "input": "ph_sigs",
+            "options": {"sig_col": "phash", "sig_bits": 56, "max_hamming": 6},
+        },
+    )
+    assert pairs.columns == ["id_a", "id_b", "hamming"]
+    assert pairs.where("hamming > 6").count() == 0
+    for v in ("ph_docs", "ph_sigs"):
+        spark.catalog.dropTempView(v)
