@@ -1652,6 +1652,37 @@ def _op_dup_weights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# weighted Bernoulli sampling (operators/sampling.py::weighted_sample):
+# the APPLICATION of soft-dedup weights — dup_weights' n^-alpha becomes
+# a per-row keep probability, materializing the downweighted corpus.
+# keep iff md5-bucket(id) < weight * 10000, a pure function of the
+# data, so the oracle reproduces the exact surviving row set.
+OP_WEIGHTED_SAMPLE_DUCK = """
+WITH w AS (
+  SELECT doc_id, text,
+         POW(COUNT(*) OVER (PARTITION BY lang, source), -0.5) AS dup_weight
+  FROM documents
+)
+SELECT doc_id, ROUND(dup_weight, 6) AS dup_weight
+FROM w
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < dup_weight * 10000
+"""
+
+
+def _op_weighted_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import dup_weights
+    from aqueducts_spark.operators.sampling import weighted_sample
+
+    _views(spark, sf_dir)
+    weighted = dup_weights(
+        spark.table("documents"), ["lang", "source"], alpha=0.5
+    )
+    return weighted_sample(weighted, "doc_id", "dup_weight").select(
+        "doc_id", F.round("dup_weight", 6).alias("dup_weight")
+    )
+
+
 # z-order clustering key (operators/zorder.py): Morton interleave of
 # quantized (o_custkey, o_orderkey). Pure integer arithmetic, so the
 # oracle reproduces every key bit-for-bit; the write-time layout it
@@ -5089,6 +5120,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_corpus_offsets": _op_corpus_offsets_gate,
         "op_sequence_spans": _op_sequence_spans_gate,
         "op_dup_weights": _op_dup_weights_gate,
+        "op_weighted_sample": _op_weighted_sample_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
@@ -5304,6 +5336,7 @@ _GATE_PRIORITY = [
     "op_oov_rate",
     "op_simhash_neardup",
     "mm_phash_neardup",
+    "op_weighted_sample",
 ]
 
 
@@ -5425,6 +5458,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_corpus_offsets": OP_CORPUS_OFFSETS_DUCK,
         "op_sequence_spans": OP_SEQUENCE_SPANS_DUCK,
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
+    "op_weighted_sample": OP_WEIGHTED_SAMPLE_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),

@@ -432,6 +432,18 @@ def _op_hash_sample(spark, inp, options):
     )
 
 
+def _op_weighted_sample(spark, inp, options):
+    from .sampling import weighted_sample
+
+    return weighted_sample(
+        inp,
+        options.get("id_col", "doc_id"),
+        options.get("weight_col", "dup_weight"),
+        salt=options.get("salt", ""),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_stratified_sample(spark, inp, options):
     from .sampling import stratified_sample
 
@@ -1572,6 +1584,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "lsh_topk": _op_lsh_topk,
     "ivf_topk": _op_ivf_topk,
     "hash_sample": _op_hash_sample,
+    "weighted_sample": _op_weighted_sample,
     "stratified_sample": _op_stratified_sample,
     "split": _op_split,
     "connected_components": _op_connected_components,

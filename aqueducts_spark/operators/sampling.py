@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_bucket",
     "hash_sample",
+    "weighted_sample",
     "stratified_sample",
     "stratified_fixed_n",
     "deterministic_split",
@@ -94,6 +95,54 @@ def hash_sample(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     threshold = int(round(rate * _BUCKETS))
     return df.filter(hash_bucket(F.col(id_col), _BUCKETS, salt, hash_fn) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    salt: str = "",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-row Bernoulli sampling with a PER-ROW keep probability — the
+    application step for soft-dedup / importance weights: feed
+    :func:`~.dedup.dup_weights`' ``n**(-alpha)`` column (or a DSIR
+    importance weight mapped into [0, 1]) and the expected surviving
+    mass per duplicate group is ``n**(1-alpha)`` — the materialized
+    form of the reweighting that loss-side weighting would apply at
+    training time.
+
+    Deterministic like every sampler here: keep iff
+    ``hash_bucket(id, salt) < weight * 10000`` — a pure per-row filter
+    (0 shuffles, whole-stage codegen), reproducible across runs,
+    partitionings and engines, with independent re-draws via ``salt``.
+    P(keep) quantizes to 1/10000 granularity (hash_bucket's resolution).
+
+    Weights must lie in [0, 1] — validated at execution: a weight > 1
+    cannot be a Bernoulli probability (importance weights above 1 need
+    replication, a different operator), and a silent clamp would skew
+    the sample.  NULL weights are rejected too (ambiguous intent —
+    coalesce upstream to 0 or 1 explicitly).
+    """
+    w = F.col(weight_col)
+    # the guard lives INSIDE the keep predicate (one CASE expression):
+    # a separate assert_true filter can be reordered/conjoined by the
+    # optimizer so that `bucket < NULL * B` silently drops the invalid
+    # row before the assert ever evaluates
+    keep = F.when(
+        w.isNull() | (w < 0.0) | (w > 1.0),
+        F.raise_error(
+            F.lit(
+                "weighted_sample: weight must be non-NULL and in [0, 1] "
+                "— coalesce NULLs explicitly; weights > 1 need "
+                "replication, not Bernoulli sampling"
+            )
+        ).cast("boolean"),
+    ).otherwise(
+        hash_bucket(F.col(id_col), _BUCKETS, salt, hash_fn)
+        < w.cast("double") * F.lit(float(_BUCKETS))
+    )
+    return df.filter(keep)
 
 
 def stratified_sample(

@@ -183,3 +183,80 @@ def test_hash_sample_keeps_null_ids(spark):
     assert hash_sample(df, "doc_id", 1.0).count() == 3
     split = deterministic_split(df, "doc_id", {"train": 0.5, "test": 0.5})
     assert split.count() == 3 and split.where("split IS NULL").count() == 0
+
+
+class TestWeightedSample:
+    """weighted_sample: per-row Bernoulli keep probability — the
+    application step for dup_weights / importance weights."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_extremes_and_determinism(self, spark):
+        from aqueducts_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 1.0) for i in range(50)] + [
+            (i, 0.0) for i in range(50, 100)
+        ]
+        out = weighted_sample(self._df(spark, rows), "doc_id", "w")
+        kept = sorted(r.doc_id for r in out.collect())
+        assert kept == list(range(50))  # weight 1 always kept, 0 never
+        assert kept == sorted(r.doc_id for r in out.collect())  # stable
+
+    def test_rate_tracks_weight(self, spark):
+        from aqueducts_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 0.3) for i in range(4000)]
+        n = weighted_sample(self._df(spark, rows), "doc_id", "w").count()
+        assert abs(n / 4000 - 0.3) < 0.03
+
+    def test_salt_draws_independent_samples(self, spark):
+        from aqueducts_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 0.5) for i in range(2000)]
+        a = {r.doc_id for r in weighted_sample(self._df(spark, rows), "doc_id", "w").collect()}
+        b = {r.doc_id for r in weighted_sample(self._df(spark, rows), "doc_id", "w", salt="2").collect()}
+        assert a != b
+        overlap = len(a & b) / 2000
+        assert abs(overlap - 0.25) < 0.05  # independent 0.5 x 0.5
+
+    def test_invalid_weights_raise(self, spark):
+        import pytest
+
+        from aqueducts_spark.operators.sampling import weighted_sample
+
+        for bad in (None, -0.1, 1.5):
+            df = self._df(spark, [(1, bad), (2, 0.5)])
+            with pytest.raises(Exception) as exc:
+                weighted_sample(df, "doc_id", "w").collect()
+            assert "weighted_sample" in str(exc.value)
+
+    def test_matches_soft_dedup_expectation(self, spark):
+        # alpha=1 weights: a group of n duplicates keeps ~1 row in
+        # expectation — the exact_dedup-equivalent mass
+        from aqueducts_spark.operators.dedup import dup_weights
+        from aqueducts_spark.operators.sampling import weighted_sample
+
+        rows = [(i, f"dup-{i % 20}") for i in range(2000)]  # 20 groups of 100
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w = dup_weights(df, ["text"], alpha=1.0)
+        n = weighted_sample(w, "doc_id", "dup_weight").count()
+        assert 5 <= n <= 45  # E=20, binomial spread
+
+    def test_no_shuffle_plan(self, spark):
+        from aqueducts_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark, [(1, 0.5)])
+        plan = weighted_sample(df, "doc_id", "w")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_registry_stage(self, spark):
+        from aqueducts_spark.operators.registry import run_operator
+
+        self._df(spark, [(1, 1.0), (2, 0.0)]).createOrReplaceTempView("ws_in")
+        out = run_operator(
+            spark,
+            {"type": "weighted_sample", "input": "ws_in", "options": {"weight_col": "w"}},
+        )
+        assert [r.doc_id for r in out.collect()] == [1]
+        spark.catalog.dropTempView("ws_in")
