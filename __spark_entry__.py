@@ -3146,6 +3146,33 @@ def _op_simhash_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ingestion near-dup filter (operators/dedup.py::hamming_filter): one
+# stream-static-shaped broadcast anti-join, condition = the exact
+# bit_count verification.  Oracle: NOT EXISTS over the replayed
+# fingerprints — the exact same predicate, relationally.
+OP_HAMMING_FILTER_DUCK = """
+WITH fp AS ({fp}),
+idx AS (SELECT simhash FROM fp WHERE doc_id % 10 = 0)
+SELECT f.doc_id, f.simhash
+FROM fp f
+WHERE f.doc_id % 10 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM idx i
+    WHERE bit_count(xor(f.simhash, i.simhash)) <= 8
+  )
+"""
+
+
+def _op_hamming_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import hamming_filter, simhash
+
+    _views(spark, sf_dir)
+    fp = simhash(spark.table("documents"))
+    idx = fp.where(F.col("doc_id") % 10 == 0).select("simhash")
+    incoming = fp.where(F.col("doc_id") % 10 != 0)
+    return hamming_filter(incoming, idx, max_hamming=8)
+
+
 # perceptual-hash image near-dup: the FULL multimodal chain — bytes ->
 # deterministic fake decode (w/h from payload bytes, pixels by tiling;
 # CODEC SWAP POINT documented in multimodal.py) -> nearest-resize to the
@@ -5135,6 +5162,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_stratified_sample": _op_stratified_sample,
         "op_simhash": _op_simhash,
         "op_simhash_neardup": _op_simhash_neardup_gate,
+        "op_hamming_filter": _op_hamming_filter_gate,
         "mm_phash_neardup": _mm_phash_neardup_gate,
         "op_embed_neardup": _op_embed_neardup,
         "op_embed_neardup_lsh": _op_embed_neardup_lsh,
@@ -5335,6 +5363,7 @@ _GATE_PRIORITY = [
     "op_quantized_topk",
     "op_oov_rate",
     "op_simhash_neardup",
+    "op_hamming_filter",
     "mm_phash_neardup",
     "op_weighted_sample",
 ]
@@ -5473,6 +5502,9 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_stratified_sample": OP_STRATIFIED_SAMPLE_DUCK,
         "op_simhash": _simhash_duck_sql(),
         "op_simhash_neardup": OP_SIMHASH_NEARDUP_DUCK.format(
+            fp=_simhash_duck_sql()
+        ),
+        "op_hamming_filter": OP_HAMMING_FILTER_DUCK.format(
             fp=_simhash_duck_sql()
         ),
         "mm_phash_neardup": MM_PHASH_NEARDUP_DUCK,

@@ -49,6 +49,7 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "hamming_pairs",
+    "hamming_filter",
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
     "semantic_dedup",
@@ -924,6 +925,79 @@ def hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def hamming_filter(
+    df: DataFrame,
+    index: DataFrame,
+    sig_col: str = "simhash",
+    index_sig_col: Optional[str] = None,
+    max_hamming: int = 3,
+    sig_bits: int = 60,
+) -> DataFrame:
+    """Drop rows whose signature lies within ``max_hamming`` of ANY
+    signature in ``index`` — the ingestion-filter twin of
+    :func:`hamming_pairs` (the live-crawl shape: fingerprint incoming
+    documents/images with :func:`simhash` /
+    :func:`~.multimodal.perceptual_hash`, then reject near-duplicates
+    of the existing corpus before they land).
+
+    STATELESS, so it runs unchanged on a streaming frame: the drop is
+    ONE stream-static broadcast ANTI-join whose condition is the exact
+    verification itself — ``bit_count(sig ^ index_sig) <= max_hamming``
+    is ONE integer instruction per (row, index entry), CHEAPER than any
+    LSH candidacy pre-check would be, so unlike
+    :func:`~.decontam.fuzzy_decontaminate_rowwise` the nested-loop
+    condition join needs no banding at all.  Cost model: each row pays
+    ``n_index`` XOR+popcounts (~ns each) — fine for rate-limited
+    streams and indexes into the millions; corpus x corpus BATCH dedup
+    should pair with :func:`hamming_pairs` (equi-join banding) instead.
+
+    NULL signatures on the input are KEPT (no fingerprint, no
+    neighbors — the :func:`hamming_pairs` contract); NULL index rows
+    are ignored.  Out-of-range signatures raise on either side (the
+    guard is folded into the join/filter predicates — see
+    weighted_sample for why a separate assert filter is reorderable).
+    """
+    if not 1 <= sig_bits <= 60:
+        raise ValueError(
+            f"hamming_filter: sig_bits must be in 1..60, got {sig_bits}"
+        )
+    if not 0 <= max_hamming < sig_bits:
+        raise ValueError(
+            f"hamming_filter: max_hamming must be in 0..{sig_bits - 1}, "
+            f"got {max_hamming}"
+        )
+    index_sig_col = index_sig_col if index_sig_col is not None else sig_col
+    lim = F.lit(1 << sig_bits)
+
+    def _checked(col: Column, side: str) -> Column:
+        return F.when(
+            col.isNull() | ((col >= 0) & (col < lim)),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hamming_filter: {side} signature outside "
+                    f"[0, 2^{sig_bits})"
+                )
+            ).cast("boolean")
+        )
+
+    isig = "__hf_sig"
+    while isig in df.columns:
+        isig = "_" + isig
+    idx = F.broadcast(
+        index.filter(_checked(F.col(index_sig_col), "index"))
+        .where(F.col(index_sig_col).isNotNull())
+        .select(F.col(index_sig_col).alias(isig))
+    )
+    src = df.filter(_checked(F.col(sig_col), "input"))
+    cond = (
+        F.bit_count(F.col(sig_col).bitwiseXOR(F.col(isig)))
+        <= F.lit(max_hamming)
+    )
+    return src.join(idx, on=cond, how="left_anti")
 
 
 def embedding_near_duplicates(

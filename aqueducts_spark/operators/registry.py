@@ -156,6 +156,25 @@ def _op_hamming_pairs(spark, inp, options):
     )
 
 
+def _op_hamming_filter(spark, inp, options):
+    from .dedup import hamming_filter
+
+    index_table = options.get("index")
+    if not index_table:
+        raise OperatorError(
+            "hamming_filter operator requires options.index (a table of "
+            "signatures to reject near-duplicates of)"
+        )
+    return hamming_filter(
+        inp,
+        spark.table(index_table),
+        sig_col=options.get("sig_col", "simhash"),
+        index_sig_col=options.get("index_sig_col"),
+        max_hamming=int(options.get("max_hamming", 3)),
+        sig_bits=int(options.get("sig_bits", 60)),
+    )
+
+
 def _op_perceptual_hash(spark, inp, options):
     from .multimodal import perceptual_hash
 
@@ -1568,6 +1587,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "jaccard_pairs": _op_jaccard_pairs,
     "simhash": _op_simhash,
     "hamming_pairs": _op_hamming_pairs,
+    "hamming_filter": _op_hamming_filter,
     "perceptual_hash": _op_perceptual_hash,
     "embed_neardup": _op_embed_neardup,
     "embed_neardup_lsh": _op_embed_neardup_lsh,

@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "op_datacard",
     "op_fuzzy_decontam",
     "mm_byte_stats",
+    "op_simhash_neardup",
+    "mm_phash_neardup",
+    "op_weighted_sample",
     "pl_pipeline_yaml",
 ]
 

@@ -208,3 +208,67 @@ def test_phash_null_skipped_and_grid_validated(spark):
     assert [r.doc_id for r in rows] == [1]
     with pytest.raises(ValueError, match="grid"):
         perceptual_hash(df, "data", "doc_id", grid=(8, 8))
+
+
+# --- hamming_filter (ingestion near-dup filter, stateless) ----------------
+
+
+def test_hamming_filter_drops_near_and_keeps_far(spark):
+    from aqueducts_spark.operators.dedup import hamming_filter
+
+    index = spark.createDataFrame([(100,), (1 << 40,)], "simhash long")
+    rows = [
+        (1, 100),          # exact match of index entry -> dropped
+        (2, 101),          # hamming 1 -> dropped
+        (3, (1 << 40) | 3),  # hamming 2 of second entry -> dropped
+        (4, 455),          # 0b111000111: hamming 5 / 7 from the two -> kept
+        (5, None),         # no fingerprint -> kept
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kept = sorted(
+        r.doc_id
+        for r in hamming_filter(df, index, max_hamming=2).collect()
+    )
+    assert kept == [4, 5]
+
+
+def test_hamming_filter_out_of_range_raises(spark):
+    import pytest
+
+    from aqueducts_spark.operators.dedup import hamming_filter
+
+    index = spark.createDataFrame([(100,), (5,)], "simhash long")
+    df = spark.createDataFrame([(1, 1 << 20)], SCHEMA)
+    with pytest.raises(Exception) as exc:
+        hamming_filter(df, index, max_hamming=1, sig_bits=16).collect()
+    assert "input signature outside" in str(exc.value)
+    bad_idx = spark.createDataFrame([(1 << 20,)], "simhash long")
+    ok = spark.createDataFrame([(1, 5)], SCHEMA)
+    with pytest.raises(Exception) as exc:
+        hamming_filter(ok, bad_idx, max_hamming=1, sig_bits=16).collect()
+    assert "index signature outside" in str(exc.value)
+
+
+def test_hamming_filter_agrees_with_pairs(spark):
+    # filter(df, index) keeps exactly the rows hamming_pairs finds no
+    # partner for in the index (cross-operator consistency)
+    import random
+
+    from aqueducts_spark.operators.dedup import hamming_filter
+
+    rng = random.Random(11)
+    corpus = [(i, rng.getrandbits(60)) for i in range(80)]
+    index_sigs = [s for _, s in corpus[:20]] + [
+        s ^ (1 << rng.randrange(60)) for _, s in corpus[20:40]
+    ]
+    df = spark.createDataFrame(corpus, SCHEMA)
+    idx = spark.createDataFrame([(s,) for s in index_sigs], "simhash long")
+    kept = {
+        r.doc_id for r in hamming_filter(df, idx, max_hamming=2).collect()
+    }
+    expect = {
+        i
+        for i, s in corpus
+        if all(bin(s ^ t).count("1") > 2 for t in index_sigs)
+    }
+    assert kept == expect

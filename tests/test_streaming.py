@@ -672,3 +672,66 @@ def test_round5_stateless_operators_stream_unchanged(spark, tmp_path):
         assert sorted(map(tuple, streamed), key=lambda t: t[0]) == sorted(
             map(tuple, batch), key=lambda t: t[0]
         ), name
+
+
+def test_hamming_filter_streams_unchanged(spark, tmp_path):
+    """perceptual_hash (stateless mapInPandas) + hamming_filter (one
+    stream-static broadcast anti-join) run UNCHANGED on a stream — the
+    live-ingest image near-dup filter, bit-identical to the batch run."""
+    import base64
+    import json
+
+    from aqueducts_spark.operators.dedup import hamming_filter
+    from aqueducts_spark.operators.multimodal import perceptual_hash
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+    from pyspark.sql import functions as F
+
+    payloads = [
+        (1, bytes(range(100, 200))),           # dup of index entry
+        (2, bytes([100, 99]) + bytes(range(102, 200))),  # near-dup
+        (3, bytes(reversed(range(100)))),      # novel -> kept
+        (4, b"another novel payload entirely"),
+    ]
+    src = tmp_path / "hf_in"
+    src.mkdir()
+    for i, (pid, data) in enumerate(payloads):
+        (src / f"b{i}.json").write_text(
+            json.dumps({"doc_id": pid, "b64": base64.b64encode(data).decode()})
+        )
+    schema = [
+        Field(name="doc_id", data_type="int64", nullable=False),
+        Field(name="b64", data_type="string", nullable=True),
+    ]
+    index_df = spark.createDataFrame(
+        [(0, bytes(range(100, 200)))], "doc_id long, data binary"
+    )
+    index = perceptual_hash(index_df, "data", "doc_id", codec="fake").select(
+        "phash"
+    )
+
+    def pipeline(df):
+        decoded = df.withColumn("data", F.unbase64("b64"))
+        sigs = perceptual_hash(decoded, "data", "doc_id", codec="fake")
+        return hamming_filter(
+            sigs, index, sig_col="phash", max_hamming=10, sig_bits=56
+        )
+
+    stream = file_stream_source(
+        spark, str(src), "json", schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    streamed = run_available_now(pipeline(stream), str(tmp_path / "ckpt_hf"))
+    batch = pipeline(
+        spark.createDataFrame(
+            [(pid, base64.b64encode(d).decode()) for pid, d in payloads],
+            "doc_id long, b64 string",
+        )
+    ).collect()
+    assert sorted((r.doc_id, r.phash) for r in streamed) == sorted(
+        (r.doc_id, r.phash) for r in batch
+    )
+    assert sorted(r.doc_id for r in batch) == [3, 4]
