@@ -4112,6 +4112,90 @@ def _bpe_encode_duck_ctes(merges, end_marker="</w>", carry="") -> str:
     return "WITH " + ",\n".join(ctes)
 
 
+def _bpe_ids_duck_sql(merges, end_marker="</w>") -> str:
+    """Exact oracle for the FULL tokenizer id chain: bpe_encode's token
+    arrays (the shared CTE fold) -> bpe_vocab's id assignment (alphabet
+    by code point, then merge products in merge order, first occurrence
+    wins) -> tokens_to_ids' sequence mapping, replayed relationally
+    (unnest-with-position + join + ordered re-collect — the operator's
+    method='join' form; the default udf path is bit-parity-pinned
+    against it in tests/test_bpe_encode.py)."""
+    q = _duck_q
+    prods = ", ".join(
+        f"({i}, '{q(a + b)}')" for i, (a, b) in enumerate(merges)
+    )
+    em_row = (
+        f"UNION ALL SELECT '{q(end_marker)}', 0, '{q(end_marker)}'\n  "
+        if end_marker is not None
+        else ""
+    )
+    return (
+        _bpe_encode_duck_ctes(merges, end_marker)
+        + f""",
+alpha AS (
+  SELECT DISTINCT unnest(list_transform(range(1, length(w)+1), i -> substr(w, i, 1))) AS ch
+  FROM (SELECT DISTINCT unnest(ws) AS w FROM docs)
+),
+cand AS (
+  SELECT ch AS token, 0 AS grp, ch AS ord1 FROM alpha
+  {em_row}UNION ALL SELECT t, 1, lpad(CAST(i AS VARCHAR), 8, '0')
+  FROM (VALUES {prods}) AS m(i, t)
+),
+firsts AS (
+  SELECT token, grp, ord1 FROM (
+    SELECT token, grp, ord1,
+           ROW_NUMBER() OVER (PARTITION BY token ORDER BY grp, ord1) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY grp, ord1) - 1 AS INT) AS token_id
+  FROM firsts
+),
+ex AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS pos
+  FROM fin
+),
+j AS (
+  SELECT e.doc_id, e.pos, v.token_id
+  FROM ex e JOIN vocab v ON v.token = e.tok
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(token_id ORDER BY pos), ' ') AS ids_str,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.ids_str, '') AS ids_str,
+       coalesce(a.n_tokens, 0) AS n_tokens
+FROM (SELECT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
+"""
+    )
+
+
+def _op_bpe_ids_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_vocab + tokens_to_ids over bpe_encode output — the id
+    sequences a trainer's loader reads (operators/text.py)."""
+    from aqueducts_spark.operators.text import (
+        bpe_encode,
+        bpe_vocab,
+        tokens_to_ids,
+    )
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = bpe_vocab(docs, _BPE_ENC_MERGES)
+    enc = bpe_encode(docs, _BPE_ENC_MERGES, method="python")
+    ids = tokens_to_ids(enc, vocab)
+    return ids.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), " "
+        ).alias("ids_str"),
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+    )
+
+
 def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
     return (
         _bpe_encode_duck_ctes(merges, end_marker) + "\n"
@@ -5151,6 +5235,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
+        "op_bpe_ids": _op_bpe_ids_gate,
         "op_tok_fertility": _op_tok_fertility_gate,
         "op_contam_report": _op_contam_report_gate,
         "op_shard_manifest": _op_shard_manifest_gate,
@@ -5326,6 +5411,7 @@ _GATE_PRIORITY = [
     "op_luhn_cards",
     "op_simhash",               # rotated out of the scored window in r6
     "op_bpe_encode",
+    "op_bpe_ids",
     "op_tok_fertility",
     "op_contam_report",
     "op_shard_manifest",
@@ -5491,6 +5577,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),
+        "op_bpe_ids": _bpe_ids_duck_sql(_BPE_ENC_MERGES),
         "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
         "op_contam_report": OP_CONTAM_REPORT_DUCK,
         "op_shard_manifest": OP_SHARD_MANIFEST_DUCK,

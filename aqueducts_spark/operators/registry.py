@@ -921,6 +921,44 @@ def _op_bpe_encode(spark, inp, options):
     )
 
 
+def _op_bpe_vocab(spark, inp, options):
+    from .text import bpe_vocab
+
+    end_marker = options.get("end_marker", "</w>")
+    if end_marker in ("", None, "none", "null"):
+        end_marker = None
+    return bpe_vocab(
+        inp,
+        merges=[tuple(m) for m in (options.get("merges") or [])],
+        text_col=options.get("text_col", "text"),
+        end_marker=end_marker,
+        min_count=int(options.get("min_count", 1)),
+    )
+
+
+def _op_tokens_to_ids(spark, inp, options):
+    from .text import tokens_to_ids
+
+    vocab_table = options.get("vocab")
+    if not vocab_table:
+        raise OperatorError(
+            "tokens_to_ids operator requires options.vocab (a (token, "
+            "token_id) table, e.g. a bpe_vocab stage)"
+        )
+    keep = options.get("keep_cols")
+    unk = options.get("unk_id")
+    return tokens_to_ids(
+        inp,
+        spark.table(vocab_table),
+        tokens_col=options.get("tokens_col", "tokens"),
+        id_col=options.get("id_col", "doc_id"),
+        keep_cols=list(keep) if keep else None,
+        out_col=options.get("out_col", "token_ids"),
+        unk_id=None if unk is None else int(unk),
+        method=options.get("method", "auto"),
+    )
+
+
 def _op_sequence_spans(spark, inp, options):
     from .mixing import sequence_spans
 
@@ -1638,6 +1676,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "luhn_cards": _op_luhn_cards,
     "bpe_pairs": _op_bpe_pairs,
     "bpe_encode": _op_bpe_encode,
+    "bpe_vocab": _op_bpe_vocab,
+    "tokens_to_ids": _op_tokens_to_ids,
     "tokenizer_fertility": _op_tokenizer_fertility,
     "redact_pii": _op_redact_pii,
     "strip_markup": _op_strip_markup,

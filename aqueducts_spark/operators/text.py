@@ -25,6 +25,8 @@ __all__ = [
     "bpe_pair_counts",
     "train_bpe",
     "bpe_encode",
+    "bpe_vocab",
+    "tokens_to_ids",
     "tokenizer_fertility",
     "gopher_rules",
     "GOPHER_STOPWORDS",
@@ -964,6 +966,210 @@ def _bpe_encode_python(
         df.select(*dict.fromkeys([id_col, *keep, text_col]))
     )
     return sel.mapInPandas(encode_batches, schema)
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    end_marker: str | None = "</w>",
+    min_count: int = 1,
+    max_alphabet: int = 1_000_000,
+) -> DataFrame:
+    """The vocabulary a merge table induces over a corpus: ``(token,
+    token_id)`` with the ALPHABET first (the distinct characters of the
+    corpus word table, plus ``end_marker``, sorted by code point — the
+    binary collation Spark and DuckDB share) and then each merge's
+    product in merge order, first occurrence winning on duplicates —
+    the classic BPE id assignment (Sennrich et al. 2016 §3: vocabulary
+    = characters + one symbol per merge).
+
+    The distributed part is the ONE pass that reduces the corpus to
+    distinct characters (via the bounded word table); the id
+    assignment itself is a pure driver fold over ``merges`` (already a
+    driver list).  ``max_alphabet`` fails fast on byte-garbage corpora
+    whose "alphabet" is unbounded — Unicode itself caps at ~1.1M code
+    points, real corpora sit in the thousands.
+
+    Feed the result to :func:`tokens_to_ids` to turn
+    :func:`bpe_encode`'s token arrays into id sequences.
+    """
+    merges = _bpe_validate(merges, end_marker, min_count)
+    wc = _bpe_word_counts(df, text_col, min_count)
+    chars = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("ch")
+    ).distinct()
+    rows = chars.limit(max_alphabet + 1).collect()
+    if len(rows) > max_alphabet:
+        raise ValueError(
+            f"bpe_vocab: more than {max_alphabet} distinct characters — "
+            "this is not text; raise max_alphabet only if it truly is"
+        )
+    alpha = {r["ch"] for r in rows}
+    if end_marker is not None:
+        alpha.add(end_marker)
+    vocab = sorted(alpha)
+    seen = set(vocab)
+    for a, b in merges:
+        t = a + b
+        if t not in seen:
+            seen.add(t)
+            vocab.append(t)
+    return df.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "token string, token_id int"
+    )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+    out_col: str = "token_ids",
+    unk_id: int | None = None,
+    method: str = "auto",
+    max_vocab: int = 5_000_000,
+) -> DataFrame:
+    """Map per-document token arrays to id sequences through a
+    ``(token, token_id)`` vocabulary — the final step of the tokenizer
+    chain (:func:`train_bpe` learns merges, :func:`bpe_encode` emits
+    token arrays, :func:`bpe_vocab` assigns ids, this materializes the
+    id sequences a trainer's data loader actually reads).
+
+    Out-of-vocabulary tokens RAISE by default (a vocab derived from
+    the same corpus+merges covers every token by construction, so an
+    OOV means mismatched artifacts — fail loudly); pass ``unk_id`` to
+    map them instead (the <unk> convention for fresh data whose
+    characters the training corpus never saw).
+
+    Two paths, bit-identical (pinned by test):
+
+    - ``method="udf"`` (the ``auto`` choice) — the vocabulary is
+      driver-bounded BY CONSTRUCTION (alphabet + one entry per merge),
+      so it rides the task closure as a dict and the whole operator is
+      ONE zero-shuffle Arrow pass, O(1) lookups per token.  The
+      explode/join alternative shuffles the corpus's entire token
+      stream to reassemble sequences — strictly worse at any scale
+      while the vocab fits memory (every real vocab does;
+      ``max_vocab`` guards the pathological case).
+    - ``method="join"`` — pure-JVM engine-portable form: posexplode ->
+      broadcast join -> ordered re-collect (ONE shuffle on the doc
+      id).  This is also the relational form the DuckDB oracle
+      replays, which is how the udf path's correctness is
+      cross-engine-checked despite being Python.
+
+    Output: ``id[, keep_cols], <out_col> array<int>`` — empty/NULL
+    token arrays yield empty id arrays (the row is never lost).
+    """
+    if method not in ("auto", "udf", "join"):
+        raise ValueError(
+            f"tokens_to_ids: method must be auto|udf|join, got {method!r}"
+        )
+    for c in ("token", "token_id"):
+        if c not in vocab.columns:
+            raise ValueError(
+                f"tokens_to_ids: vocab is missing column {c!r} — expected "
+                "the (token, token_id) relation bpe_vocab produces"
+            )
+    if out_col in df.columns:
+        raise ValueError(
+            f"tokens_to_ids: output column {out_col!r} already exists on "
+            "the input"
+        )
+    keep = list(keep_cols or [])
+    if method == "auto":
+        method = "udf"
+    if method == "udf":
+        vrows = vocab.select("token", "token_id").limit(max_vocab + 1).collect()
+        if len(vrows) > max_vocab:
+            raise ValueError(
+                f"tokens_to_ids: vocab exceeds max_vocab={max_vocab} — "
+                "use method='join' or raise the cap"
+            )
+        vmap = {r["token"]: r["token_id"] for r in vrows}
+        unk = unk_id
+
+        from pyspark.sql.functions import pandas_udf
+
+        import pandas as pd
+
+        def _to_ids(toks):
+            out = []
+            for ts in toks:
+                if ts is None:
+                    out.append([])
+                    continue
+                row = []
+                for t in ts:
+                    i = vmap.get(t)
+                    if i is None:
+                        if unk is None:
+                            raise ValueError(
+                                f"tokens_to_ids: token {t!r} not in vocab "
+                                "and no unk_id given"
+                            )
+                        i = unk
+                    row.append(i)
+                out.append(row)
+            return pd.Series(out)
+
+        to_ids = pandas_udf(_to_ids, "array<int>")
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            to_ids(F.col(tokens_col)).alias(out_col),
+        )
+    # join path: posexplode -> broadcast vocab join -> ordered re-collect
+    from .sampling import _fresh_name
+
+    pos_c = _fresh_name("__tid_pos", df.columns)
+    tok_c = _fresh_name("__tid_tok", df.columns)
+    base = df.select(F.col(id_col), *[F.col(c) for c in keep])
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.coalesce(F.col(tokens_col), F.array())).alias(
+            pos_c, tok_c
+        ),
+    )
+    v = F.broadcast(
+        vocab.select(
+            F.col("token").alias(tok_c), F.col("token_id").alias("__tid_id")
+        )
+    )
+    joined = ex.join(v, tok_c, "left")
+    mapped = F.coalesce(
+        F.col("__tid_id"),
+        F.lit(unk_id).cast("int")
+        if unk_id is not None
+        else F.raise_error(
+            F.concat(
+                F.lit("tokens_to_ids: token '"),
+                F.col(tok_c),
+                F.lit("' not in vocab and no unk_id given"),
+            )
+        ).cast("int"),
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(pos_c).alias("p"), mapped.alias("i")))
+            ),
+            lambda s: s["i"],
+        ).alias(out_col)
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.coalesce(
+            F.col(out_col), F.expr("CAST(array() AS array<int>)")
+        ).alias(out_col),
+    )
 
 
 def tokenizer_fertility(

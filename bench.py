@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "op_shuffle_corpus",
     "op_bpe_pairs",
     "op_bpe_encode",
+    "op_bpe_ids",
     "op_tok_fertility",
     "op_sequence_spans",
     "op_shard_manifest",

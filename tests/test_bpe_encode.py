@@ -255,3 +255,96 @@ def test_registry_stage(spark):
     assert list(out.tokens) == ["the", "</w>", "the", "s", "i", "s", "</w>"]
     assert out.n_tokens == 7
     spark.catalog.dropTempView("bpe_docs")
+
+
+# --- bpe_vocab / tokens_to_ids (the id-assignment half) --------------------
+
+
+def test_bpe_vocab_layout(spark):
+    """Alphabet sorted by code point first (incl. end_marker), then
+    merge products in merge order, first occurrence winning."""
+    from aqueducts_spark.operators.text import bpe_vocab
+
+    df = spark.createDataFrame([(1, "ba ab")], "doc_id long, text string")
+    merges = [("a", "b"), ("b", "a"), ("a", "b")]  # dup product 'ab' once
+    rows = sorted(
+        bpe_vocab(df, merges).collect(), key=lambda r: r.token_id
+    )
+    toks = [r.token for r in rows]
+    assert toks == ["</w>", "a", "b", "ab", "ba"]
+    assert [r.token_id for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_bpe_vocab_merge_product_matching_alphabet_not_duplicated(spark):
+    from aqueducts_spark.operators.text import bpe_vocab
+
+    df = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    # end_marker 'y' collides with an alphabet char; product 'xy' is new
+    rows = sorted(
+        bpe_vocab(df, [("x", "y")], end_marker="y").collect(),
+        key=lambda r: r.token_id,
+    )
+    assert [r.token for r in rows] == ["x", "y", "xy"]
+
+
+def test_tokens_to_ids_paths_agree_and_roundtrip(spark):
+    from aqueducts_spark.operators.text import (
+        bpe_encode,
+        bpe_vocab,
+        tokens_to_ids,
+    )
+
+    docs = [
+        (1, "the theme of the thesis"),
+        (2, ""),
+        (3, None),
+        (4, "thesis theme"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+    vocab = bpe_vocab(df, merges)
+    enc = bpe_encode(df, merges)
+    by_id = {}
+    for m in ("udf", "join"):
+        got = {
+            r.doc_id: r.token_ids
+            for r in tokens_to_ids(enc, vocab, method=m).collect()
+        }
+        by_id[m] = got
+    assert by_id["udf"] == by_id["join"]
+    assert by_id["udf"][2] == [] == by_id["udf"][3] and by_id["udf"][4] != []
+    # round-trip: ids -> tokens reproduces bpe_encode's output exactly
+    vmap = {r.token_id: r.token for r in vocab.collect()}
+    enc_toks = {r.doc_id: list(r.tokens) for r in enc.collect()}
+    for did, ids in by_id["udf"].items():
+        assert [vmap[i] for i in ids] == enc_toks[did], did
+
+
+def test_tokens_to_ids_oov(spark):
+    import pytest
+
+    from aqueducts_spark.operators.text import tokens_to_ids
+
+    df = spark.createDataFrame(
+        [(1, ["a", "zz"])], "doc_id long, tokens array<string>"
+    )
+    vocab = spark.createDataFrame([("a", 0)], "token string, token_id int")
+    for m in ("udf", "join"):
+        with pytest.raises(Exception) as exc:
+            tokens_to_ids(df, vocab, method=m).collect()
+        assert "not in vocab" in str(exc.value)
+        got = tokens_to_ids(df, vocab, method=m, unk_id=-1).collect()
+        assert got[0].token_ids == [0, -1]
+
+
+def test_tokens_to_ids_zero_shuffle_udf_path(spark):
+    from aqueducts_spark.operators.text import tokens_to_ids
+
+    df = spark.createDataFrame(
+        [(1, ["a"])], "doc_id long, tokens array<string>"
+    )
+    vocab = spark.createDataFrame([("a", 0)], "token string, token_id int")
+    plan = (
+        tokens_to_ids(df, vocab)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
