@@ -272,3 +272,31 @@ def test_hamming_filter_agrees_with_pairs(spark):
         if all(bin(s ^ t).count("1") > 2 for t in index_sigs)
     }
     assert kept == expect
+
+
+def test_phash_property_matches_reference_on_random_bytes(spark):
+    """Property sweep: the operator's numpy aHash equals the pure-Python
+    reference for arbitrary payload bytes (one Spark round-trip for the
+    whole batch — hypothesis would re-launch a job per example)."""
+    import random as _random
+
+    rng = _random.Random(99)
+    payloads = [
+        (i, bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400))))
+        for i in range(40)
+    ]
+    # adversarial constants: all-equal bytes (every level == mean) and
+    # two-level splits (threshold boundary)
+    payloads += [
+        (100, bytes([7] * 50)),
+        (101, bytes([0, 255] * 30)),
+        (102, bytes([127, 128] * 25)),
+        (103, bytes([1])),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, data binary")
+    got = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(df, "data", "doc_id", codec="fake").collect()
+    }
+    for i, d in payloads:
+        assert got[i] == _py_ahash(d), (i, d[:20])
