@@ -1660,10 +1660,11 @@ def _op_dup_weights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 OP_WEIGHTED_SAMPLE_DUCK = """
 WITH w AS (
   SELECT doc_id, text,
-         POW(COUNT(*) OVER (PARTITION BY lang, source), -0.5) AS dup_weight
+         ROUND(POW(COUNT(*) OVER (PARTITION BY lang, source), -0.5), 6)
+           AS dup_weight
   FROM documents
 )
-SELECT doc_id, ROUND(dup_weight, 6) AS dup_weight
+SELECT doc_id, dup_weight
 FROM w
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
       < dup_weight * 10000
@@ -1671,15 +1672,20 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
 
 
 def _op_weighted_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weight is rounded to 6dp BEFORE sampling on both engines:
+    java Math.pow and DuckDB std::pow agree only within 1 ulp, and an
+    unrounded w*10000 threshold sitting exactly on a bucket boundary
+    would flip that row's keep decision across engines (the same
+    rounding discipline every float-bearing oracle here follows)."""
     from aqueducts_spark.operators.dedup import dup_weights
     from aqueducts_spark.operators.sampling import weighted_sample
 
     _views(spark, sf_dir)
     weighted = dup_weights(
         spark.table("documents"), ["lang", "source"], alpha=0.5
-    )
+    ).withColumn("dup_weight", F.round("dup_weight", 6))
     return weighted_sample(weighted, "doc_id", "dup_weight").select(
-        "doc_id", F.round("dup_weight", 6).alias("dup_weight")
+        "doc_id", "dup_weight"
     )
 
 

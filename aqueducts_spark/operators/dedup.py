@@ -984,9 +984,9 @@ def hamming_filter(
             ).cast("boolean")
         )
 
-    isig = "__hf_sig"
-    while isig in df.columns:
-        isig = "_" + isig
+    from .sampling import _fresh_name
+
+    isig = _fresh_name("__hf_sig", df.columns)
     idx = F.broadcast(
         index.filter(_checked(F.col(index_sig_col), "index"))
         .where(F.col(index_sig_col).isNotNull())

@@ -302,6 +302,7 @@ def perceptual_hash(
     id_col: str,
     codec=None,
     grid: tuple[int, int] = (7, 8),
+    on_undecodable: str = "fail",
 ) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint per image payload:
     decode -> nearest-resize to ``grid`` (h, w) -> threshold each cell
@@ -324,14 +325,26 @@ def perceptual_hash(
 
     Codec resolution is :func:`decode_image`'s (``"auto"``/``"pil"``/
     ``"fake"``/callable, resolved worker-side — CODEC SWAP POINT).
-    NULL payloads are skipped like :func:`decode_image`'s.  Output:
-    ``(id, phash bigint)``.
+    NULL payloads are skipped like :func:`decode_image`'s.
+
+    ``on_undecodable`` decides what a codec FAILURE (empty blob,
+    truncated JPEG, wrong container) does: ``"fail"`` (default) kills
+    the job with the payload's id in the message — the right default
+    for curated corpora where corruption means a broken upstream;
+    ``"skip"`` drops the row and continues — the right setting for the
+    live-crawl ingest filter, where corrupt blobs are routine and one
+    must not kill the stream.  Output: ``(id, phash bigint)``.
     """
     gh, gw = grid
     if gh < 1 or gw < 1 or gh * gw > 60:
         raise ValueError(
             f"perceptual_hash: grid cells must be in 1..60 (signature "
             f"fits a positive BIGINT), got {gh}x{gw}={gh * gw}"
+        )
+    if on_undecodable not in ("fail", "skip"):
+        raise ValueError(
+            "perceptual_hash: on_undecodable must be 'fail' or 'skip', "
+            f"got {on_undecodable!r}"
         )
     _resolve_image_codec(codec)  # validate names eagerly on the driver
 
@@ -345,7 +358,16 @@ def perceptual_hash(
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                _w, _h, img = decode(bytes(payload))
+                try:
+                    _w, _h, img = decode(bytes(payload))
+                except Exception as exc:
+                    if on_undecodable == "skip":
+                        continue
+                    raise ValueError(
+                        f"perceptual_hash: payload for id {_id!r} failed "
+                        f"to decode ({exc}); pass on_undecodable='skip' "
+                        "to drop undecodable rows instead"
+                    ) from exc
                 cells = _resize_nearest(img, gw, gh)
                 # integer levels: exact for byte-derived pixels
                 # (round(float32(b/255)*255) == b for all 0..255)

@@ -185,6 +185,7 @@ def _op_perceptual_hash(spark, inp, options):
         id_col=options.get("id_col", "doc_id"),
         codec=options.get("codec"),
         grid=tuple(int(x) for x in grid) if grid else (7, 8),
+        on_undecodable=options.get("on_undecodable", "fail"),
     )
 
 
@@ -932,7 +933,6 @@ def _op_bpe_vocab(spark, inp, options):
         merges=[tuple(m) for m in (options.get("merges") or [])],
         text_col=options.get("text_col", "text"),
         end_marker=end_marker,
-        min_count=int(options.get("min_count", 1)),
     )
 
 

@@ -423,10 +423,16 @@ def hll_estimate(
     if "m" in sketch.columns:
         aggs.append(F.min("m").alias("_m_min"))
         aggs.append(F.max("m").alias("_m_max"))
+        # min/max SKIP NULLs, so a NULL-m row alongside valid ones
+        # would pass the consistency check silently — count them
+        aggs.append(
+            F.sum(F.col("m").isNull().cast("int")).alias("_m_nulls")
+        )
     agg = sketch.groupBy(*grp).agg(*aggs)
     if "m" in sketch.columns:
         guard = F.assert_true(
-            (F.col("_m_min") == F.col("_m_max"))
+            (F.col("_m_nulls") == 0)
+            & (F.col("_m_min") == F.col("_m_max"))
             & (
                 F.lit(True)
                 if m is None
@@ -442,6 +448,13 @@ def hll_estimate(
             # m must be a plan-time constant (alpha/numerator literals
             # depend on it), so a carried m still needs one tiny read
             vals = [r["m"] for r in sketch.select("m").distinct().collect()]
+            if any(v is None for v in vals):
+                # sorted() below would TypeError on None, masking the
+                # real problem; and a NULL build-m can never be trusted
+                raise ValueError(
+                    "hll_estimate: sketch carries NULL m values — rebuild "
+                    "the sketch or pass m explicitly"
+                )
             if not vals:
                 # an empty sketch (no rows, or all-NULL values) is a
                 # valid input — estimate it as empty, matching the

@@ -973,7 +973,6 @@ def bpe_vocab(
     merges: list,
     text_col: str = "text",
     end_marker: str | None = "</w>",
-    min_count: int = 1,
     max_alphabet: int = 1_000_000,
 ) -> DataFrame:
     """The vocabulary a merge table induces over a corpus: ``(token,
@@ -991,11 +990,18 @@ def bpe_vocab(
     whose "alphabet" is unbounded — Unicode itself caps at ~1.1M code
     points, real corpora sit in the thousands.
 
+    The alphabet deliberately takes NO ``min_count``-style frequency
+    cut (the trainer's ``min_count`` trims which WORDS drive merge
+    learning, never which characters exist): a rare character's word
+    still tokenizes through :func:`bpe_encode`, so dropping its
+    character from the vocab would make :func:`tokens_to_ids` raise
+    OOV on the very corpus the vocab was built from.
+
     Feed the result to :func:`tokens_to_ids` to turn
     :func:`bpe_encode`'s token arrays into id sequences.
     """
-    merges = _bpe_validate(merges, end_marker, min_count)
-    wc = _bpe_word_counts(df, text_col, min_count)
+    merges = _bpe_validate(merges, end_marker, 1)
+    wc = _bpe_word_counts(df, text_col, 1)
     chars = wc.select(
         F.explode(
             F.transform(
@@ -1062,7 +1068,12 @@ def tokens_to_ids(
       broadcast join -> ordered re-collect (ONE shuffle on the doc
       id).  This is also the relational form the DuckDB oracle
       replays, which is how the udf path's correctness is
-      cross-engine-checked despite being Python.
+      cross-engine-checked despite being Python.  Because it KEYS
+      sequences on ``id_col``, this path requires unique non-NULL ids
+      and raises otherwise (a NULL key would silently drop the doc's
+      tokens, duplicate keys would merge two docs' sequences); the udf
+      path is row-local and has no id contract — the paths are
+      bit-identical exactly on the join path's domain.
 
     Output: ``id[, keep_cols], <out_col> array<int>`` — empty/NULL
     token arrays yield empty id arrays (the row is never lost).
@@ -1126,10 +1137,36 @@ def tokens_to_ids(
             to_ids(F.col(tokens_col)).alias(out_col),
         )
     # join path: posexplode -> broadcast vocab join -> ordered re-collect
+    from pyspark.sql.window import Window
+
     from .sampling import _fresh_name
 
     pos_c = _fresh_name("__tid_pos", df.columns)
     tok_c = _fresh_name("__tid_tok", df.columns)
+    # this path keys sequences on id_col — validate unique non-NULL ids
+    # loudly (guard folded into one CASE filter: separate assert filters
+    # are reorderable — the weighted_sample lesson).  The id-count
+    # window shuffles on the same key as the re-collect groupBy below,
+    # so the exchange is shared, not doubled.
+    cnt_c = _fresh_name("__tid_n", df.columns)
+    df = (
+        df.withColumn(cnt_c, F.count("*").over(Window.partitionBy(id_col)))
+        .filter(
+            F.when(
+                F.col(id_col).isNull() | (F.col(cnt_c) > 1),
+                F.raise_error(
+                    F.lit(
+                        "tokens_to_ids(method='join'): ids must be unique "
+                        "and non-NULL — the relational form keys sequences "
+                        "on the id (a NULL key silently drops the doc's "
+                        "tokens, duplicates merge sequences); re-key the "
+                        "input or use method='udf'"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop(cnt_c)
+    )
     base = df.select(F.col(id_col), *[F.col(c) for c in keep])
     ex = df.select(
         F.col(id_col),

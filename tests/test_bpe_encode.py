@@ -348,3 +348,54 @@ def test_tokens_to_ids_zero_shuffle_udf_path(spark):
         tokens_to_ids(df, vocab)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_tokens_to_ids_join_path_rejects_null_and_dup_ids(spark):
+    """The join path keys sequences on the id — NULL keys would drop a
+    doc's tokens, duplicates would merge two docs' sequences; both now
+    raise (the udf path is row-local and keeps working)."""
+    import pytest
+
+    from aqueducts_spark.operators.text import tokens_to_ids
+
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "token string, token_id int"
+    )
+    nul = spark.createDataFrame(
+        [(None, ["a", "b"]), (2, ["a"])], "doc_id long, tokens array<string>"
+    )
+    dup = spark.createDataFrame(
+        [(1, ["a"]), (1, ["b"])], "doc_id long, tokens array<string>"
+    )
+    for bad in (nul, dup):
+        with pytest.raises(Exception) as exc:
+            tokens_to_ids(bad, vocab, method="join").collect()
+        assert "unique and non-NULL" in str(exc.value)
+        # udf path: row-local, no id contract
+        out = tokens_to_ids(bad, vocab, method="udf").collect()
+        assert sorted(tuple(r.token_ids) for r in out) in (
+            [(0,), (0, 1)],
+            [(0,), (1,)],
+        )
+
+
+def test_bpe_vocab_alphabet_ignores_rare_words(spark):
+    """A character appearing only in below-min_count words must still be
+    in the vocab — bpe_encode has no frequency cut, so the induced
+    vocab must cover every token it can emit (the trainer's min_count
+    trims merge LEARNING, not the alphabet)."""
+    from aqueducts_spark.operators.text import (
+        bpe_encode,
+        bpe_vocab,
+        tokens_to_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa aa b")], "doc_id long, text string"
+    )
+    vocab = bpe_vocab(df, [("a", "a")])
+    toks = {r.token for r in vocab.collect()}
+    assert "b" in toks
+    # end-to-end: the chain must not raise OOV on its own corpus
+    ids = tokens_to_ids(bpe_encode(df, [("a", "a")]), vocab).collect()
+    assert len(ids[0].token_ids) > 0

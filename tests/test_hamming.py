@@ -300,3 +300,21 @@ def test_phash_property_matches_reference_on_random_bytes(spark):
     }
     for i, d in payloads:
         assert got[i] == _py_ahash(d), (i, d[:20])
+
+
+def test_phash_undecodable_policy(spark):
+    # empty payloads are undecodable (vs NULL, which is skipped):
+    # default fails loudly naming the id; 'skip' drops and continues
+    df = spark.createDataFrame(
+        [(1, b"good payload"), (2, b""), (3, None)],
+        "doc_id long, data binary",
+    )
+    with pytest.raises(Exception) as exc:
+        perceptual_hash(df, "data", "doc_id", codec="fake").collect()
+    assert "failed to decode" in str(exc.value)
+    rows = perceptual_hash(
+        df, "data", "doc_id", codec="fake", on_undecodable="skip"
+    ).collect()
+    assert [r.doc_id for r in rows] == [1]
+    with pytest.raises(ValueError, match="on_undecodable"):
+        perceptual_hash(df, "data", "doc_id", on_undecodable="quarantine")

@@ -213,3 +213,16 @@ def test_reserved_column_clash_rejected(spark):
     df2 = spark.createDataFrame([("x", 1)], "mx string, v long")
     with pytest.raises(ValueError, match="reserved"):
         hll_sketch(df2, ["mx"], "v", m=64)
+
+
+def test_null_m_rows_rejected(spark, toy):
+    sk = hll_sketch(toy, ["grp"], "v", m=64)
+    broken = sk.withColumn(
+        "m", F.when(F.col("reg") % 2 == 0, F.col("m"))
+    )
+    # carried-m path: loud ValueError, not a TypeError from sorted(None)
+    with pytest.raises(ValueError, match="NULL m"):
+        hll_estimate(broken, ["grp"])
+    # explicit-m path: execution guard catches the NULL-m rows too
+    with pytest.raises(Exception):
+        hll_estimate(broken, ["grp"], m=64).collect()
