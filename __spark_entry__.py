@@ -1652,6 +1652,79 @@ def _op_dup_weights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cross-corpus overlap (operators/sketch.py::corpus_overlap, Beyer
+# SIGMOD'07 KMV set operations): customers-with-orders vs all
+# customers — a REAL containment structure (the order side is a strict
+# subset, containment_a_in_b must read 1.0) with both sides saturated
+# at k=256, so the estimator branch, the union kth-hash arithmetic and
+# the resemblance ratio all carry signal.  Deterministic md5 hashing
+# makes every number engine-exact.
+OP_CORPUS_OVERLAP_DUCK = """
+WITH ka AS (
+  SELECT h, row_number() OVER (ORDER BY h ASC) AS r FROM (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM orders WHERE o_custkey IS NOT NULL)
+),
+kb AS (
+  SELECT h, row_number() OVER (ORDER BY h ASC) AS r FROM (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM customer WHERE c_custkey IS NOT NULL)
+),
+m AS (
+  SELECT coalesce(a.h, b.h) AS h, a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b
+  FROM (SELECT h FROM ka WHERE r <= 256) a
+  FULL JOIN (SELECT h FROM kb WHERE r <= 256) b ON a.h = b.h
+),
+u AS (SELECT *, row_number() OVER (ORDER BY h ASC) AS r FROM m),
+s AS (
+  SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS nb,
+         MAX(CASE WHEN in_a THEN h END) AS ha,
+         MAX(CASE WHEN in_b THEN h END) AS hb,
+         SUM(CASE WHEN r <= 256 THEN 1 ELSE 0 END) AS nu,
+         MAX(CASE WHEN r <= 256 THEN h END) AS hu,
+         SUM(CASE WHEN r <= 256 AND in_a AND in_b THEN 1 ELSE 0 END) AS nboth,
+         SUM(CASE WHEN r <= 256 AND in_a THEN 1 ELSE 0 END) AS nau,
+         SUM(CASE WHEN r <= 256 AND in_b THEN 1 ELSE 0 END) AS nbu
+  FROM u
+),
+e AS (
+  SELECT
+    CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+         ELSE 255.0 / (CAST(ha AS DOUBLE) / 1152921504606846976.0) END AS est_a,
+    CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+         ELSE 255.0 / (CAST(hb AS DOUBLE) / 1152921504606846976.0) END AS est_b,
+    CASE WHEN na < 256 AND nb < 256 THEN CAST(nu AS DOUBLE)
+         ELSE 255.0 / (CAST(hu AS DOUBLE) / 1152921504606846976.0) END AS est_u,
+    CASE WHEN nu > 0 THEN CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE) END AS jac,
+    CASE WHEN nau > 0 THEN CAST(nboth AS DOUBLE) / CAST(nau AS DOUBLE) END AS ca,
+    CASE WHEN nbu > 0 THEN CAST(nboth AS DOUBLE) / CAST(nbu AS DOUBLE) END AS cb
+  FROM s
+)
+SELECT ROUND(est_a, 4) AS distinct_a_est,
+       ROUND(est_b, 4) AS distinct_b_est,
+       ROUND(est_u, 4) AS union_est,
+       ROUND(coalesce(jac, 0.0) * est_u, 4) AS intersection_est,
+       ROUND(coalesce(jac, 0.0), 4) AS jaccard_est,
+       ROUND(ca, 4) AS containment_a_in_b,
+       ROUND(cb, 4) AS containment_b_in_a
+FROM e
+"""
+
+
+def _op_corpus_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.sketch import corpus_overlap
+
+    _views(spark, sf_dir)
+    return corpus_overlap(
+        spark.table("orders"),
+        spark.table("customer"),
+        value_col="o_custkey",
+        value_col_b="c_custkey",
+        k=256,
+    )
+
+
 # weighted Bernoulli sampling (operators/sampling.py::weighted_sample):
 # the APPLICATION of soft-dedup weights — dup_weights' n^-alpha becomes
 # a per-row keep probability, materializing the downweighted corpus.
@@ -5238,6 +5311,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_sequence_spans": _op_sequence_spans_gate,
         "op_dup_weights": _op_dup_weights_gate,
         "op_weighted_sample": _op_weighted_sample_gate,
+        "op_corpus_overlap": _op_corpus_overlap_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
@@ -5458,6 +5532,7 @@ _GATE_PRIORITY = [
     "op_hamming_filter",
     "mm_phash_neardup",
     "op_weighted_sample",
+    "op_corpus_overlap",
 ]
 
 
@@ -5580,6 +5655,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_sequence_spans": OP_SEQUENCE_SPANS_DUCK,
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
     "op_weighted_sample": OP_WEIGHTED_SAMPLE_DUCK,
+    "op_corpus_overlap": OP_CORPUS_OVERLAP_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),

@@ -156,6 +156,26 @@ def _op_hamming_pairs(spark, inp, options):
     )
 
 
+def _op_corpus_overlap(spark, inp, options):
+    from .sketch import corpus_overlap
+
+    other = options.get("other")
+    if not other:
+        raise OperatorError(
+            "corpus_overlap operator requires options.other (the second "
+            "corpus table to estimate overlap against)"
+        )
+    return corpus_overlap(
+        inp,
+        spark.table(other),
+        value_col=options.get("value_col", "doc_id"),
+        value_col_b=options.get("value_col_b"),
+        k=int(options.get("k", 256)),
+        buckets=int(options.get("buckets", 64)),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_hamming_filter(spark, inp, options):
     from .dedup import hamming_filter
 
@@ -1652,6 +1672,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "range_join": _op_range_join,
     "time_rollup": _op_time_rollup,
     "kmv_distinct": _op_kmv_distinct,
+    "corpus_overlap": _op_corpus_overlap,
     "hll_distinct": _op_hll_distinct,
     "dd_sketch": _op_dd_sketch,
     "dd_quantiles": _op_dd_quantiles,

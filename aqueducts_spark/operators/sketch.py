@@ -47,6 +47,7 @@ __all__ = [
     "kmv_sketch",
     "merge_kmv_sketches",
     "kmv_estimate",
+    "corpus_overlap",
     "hll_sketch",
     "hll_estimate",
     "merge_hll_sketches",
@@ -206,6 +207,128 @@ def merge_kmv_sketches(
         merged.select(*grp, "h", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
         .withColumn("k", F.lit(int(k)))
+    )
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "doc_id",
+    value_col_b: Optional[str] = None,
+    k: int = 256,
+    buckets: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-corpus set-overlap estimate from two bounded KMV sketches
+    (Beyer et al. SIGMOD'07 §4, "On synopses for distinct-value
+    estimation under multiset operations") — the dataset-curation
+    question "how much of corpus B is already in A?" answered WITHOUT
+    a corpus×corpus join: each side reduces to its k smallest distinct
+    hashes (one map-side-combined pass per corpus), and every estimate
+    below is arithmetic over those ≤ 2k rows.
+
+    The intersection estimator is Beyer's resemblance form, not
+    inclusion–exclusion: over the k smallest hashes of the UNION,
+    ``jaccard = |hashes present in both sketches| / |union sketch|``
+    (never negative, exact whenever both corpora have < k distinct
+    values) and ``intersection = jaccard × union_est``.  Containments
+    are estimated INSIDE the same union window — ``a_in_b = |window
+    hashes in both| / |window hashes in A|`` — because the window's
+    A-hashes are a uniform sample of A's distinct values; dividing the
+    intersection ESTIMATE by A's separately-derived estimate instead
+    would mix two draws with independent errors and can exceed 1 (a
+    true subset read 1.32 that way), while this ratio is exactly 1 for
+    a subset by construction.
+
+    Output (ONE row, floats rounded to 4dp):
+    ``distinct_a_est, distinct_b_est, union_est, intersection_est,
+    jaccard_est, containment_a_in_b, containment_b_in_a`` — the
+    containment columns read "this fraction of A's distinct values is
+    also in B" and vice versa; empty-input estimates are 0 and the
+    ratios NULL.
+
+    Deterministic md5 hashing keeps every number engine-exact (the
+    DuckDB oracle replays sketch construction and arithmetic);
+    relative error of the saturated estimates is ~1/sqrt(k).
+    """
+    vb = value_col_b if value_col_b is not None else value_col
+    ka = kmv_sketch(df_a, [], value_col, k, buckets, hash_fn).select(
+        "h", F.lit(True).alias("_in_a")
+    )
+    kb = kmv_sketch(df_b, [], vb, k, buckets, hash_fn).select(
+        "h", F.lit(True).alias("_in_b")
+    )
+    merged = ka.join(kb, "h", "full").select(
+        "h",
+        F.coalesce("_in_a", F.lit(False)).alias("_in_a"),
+        F.coalesce("_in_b", F.lit(False)).alias("_in_b"),
+    )
+    # <= 2k rows: the single-partition window is trivially bounded
+    w = Window.orderBy(F.col("h").asc())
+    u = merged.withColumn("_r", F.row_number().over(w))
+    kd = F.lit(float(k))
+    in_u = F.col("_r") <= F.lit(int(k))
+    stats = u.agg(
+        F.sum(F.col("_in_a").cast("long")).alias("_na"),
+        F.sum(F.col("_in_b").cast("long")).alias("_nb"),
+        F.max(F.when(F.col("_in_a"), F.col("h"))).alias("_ha"),
+        F.max(F.when(F.col("_in_b"), F.col("h"))).alias("_hb"),
+        F.sum(F.when(in_u, 1).otherwise(0)).alias("_nu"),
+        F.max(F.when(in_u, F.col("h"))).alias("_hu"),
+        F.sum(
+            F.when(in_u & F.col("_in_a") & F.col("_in_b"), 1).otherwise(0)
+        ).alias("_nboth"),
+        F.sum(F.when(in_u & F.col("_in_a"), 1).otherwise(0)).alias("_nau"),
+        F.sum(F.when(in_u & F.col("_in_b"), 1).otherwise(0)).alias("_nbu"),
+    )
+
+    def _est(n, kth):
+        # exact below saturation, (k-1)/normalized-kth-hash at it —
+        # kmv_estimate's exact arithmetic, inlined on the merged stats
+        return F.when(F.col(n) < kd, F.col(n).cast("double")).otherwise(
+            (kd - F.lit(1.0))
+            / (F.col(kth).cast("double") / F.lit(_HASH_SPACE))
+        )
+
+    est_a = F.coalesce(_est("_na", "_ha"), F.lit(0.0))
+    est_b = F.coalesce(_est("_nb", "_hb"), F.lit(0.0))
+    # the union is exact only when BOTH inputs are (a saturated side
+    # hides hashes the merged relation never sees)
+    est_u = F.coalesce(
+        F.when(
+            (F.col("_na") < kd) & (F.col("_nb") < kd),
+            F.col("_nu").cast("double"),
+        ).otherwise(
+            (kd - F.lit(1.0))
+            / (F.col("_hu").cast("double") / F.lit(_HASH_SPACE))
+        ),
+        F.lit(0.0),
+    )
+    jac = F.when(
+        F.col("_nu") > 0,
+        F.col("_nboth").cast("double") / F.col("_nu").cast("double"),
+    )
+    inter = F.coalesce(jac, F.lit(0.0)) * est_u
+    return stats.select(
+        F.round(est_a, 4).alias("distinct_a_est"),
+        F.round(est_b, 4).alias("distinct_b_est"),
+        F.round(est_u, 4).alias("union_est"),
+        F.round(inter, 4).alias("intersection_est"),
+        F.round(F.coalesce(jac, F.lit(0.0)), 4).alias("jaccard_est"),
+        F.round(
+            F.when(
+                F.col("_nau") > 0,
+                F.col("_nboth").cast("double") / F.col("_nau").cast("double"),
+            ),
+            4,
+        ).alias("containment_a_in_b"),
+        F.round(
+            F.when(
+                F.col("_nbu") > 0,
+                F.col("_nboth").cast("double") / F.col("_nbu").cast("double"),
+            ),
+            4,
+        ).alias("containment_b_in_a"),
     )
 
 

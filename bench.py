@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "op_simhash_neardup",
     "mm_phash_neardup",
     "op_weighted_sample",
+    "op_corpus_overlap",
     "pl_pipeline_yaml",
 ]
 

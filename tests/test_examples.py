@@ -46,6 +46,7 @@ def test_examples_exist():
         "quality_funnel.yml",
         "tokenizer_fit.yml",
         "corpus_layout.yml",
+        "multimodal_neardup.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):

