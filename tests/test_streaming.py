@@ -735,3 +735,56 @@ def test_hamming_filter_streams_unchanged(spark, tmp_path):
         (r.doc_id, r.phash) for r in batch
     )
     assert sorted(r.doc_id for r in batch) == [3, 4]
+
+
+def test_weighted_sample_streams_unchanged(spark, tmp_path):
+    """weighted_sample is a pure per-row filter — the SAME operator runs
+    unchanged on a streaming frame, keeping exactly the rows the batch
+    run keeps (the live-ingest soft-dedup application)."""
+    import json
+
+    from aqueducts_spark.operators.sampling import weighted_sample
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    rows = [{"doc_id": i, "w": [1.0, 0.0, 0.5][i % 3]} for i in range(60)]
+    src = tmp_path / "ws_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:30]))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[30:]))
+    schema = [
+        Field(name="doc_id", data_type="int64", nullable=False),
+        Field(name="w", data_type="float64", nullable=True),
+    ]
+    stream = file_stream_source(
+        spark, str(src), "json", schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    streamed = run_available_now(
+        weighted_sample(stream, "doc_id", "w"), str(tmp_path / "ckpt_ws")
+    )
+    batch = weighted_sample(
+        spark.createDataFrame([(r["doc_id"], r["w"]) for r in rows], "doc_id long, w double"),
+        "doc_id",
+        "w",
+    ).collect()
+    assert sorted(r.doc_id for r in streamed) == sorted(r.doc_id for r in batch)
+    kept = {r.doc_id for r in batch}
+    assert all(i in kept for i in range(0, 60, 3))      # w=1 always kept
+    assert all(i not in kept for i in range(1, 60, 3))  # w=0 never
+
+
+def test_distinct_sketch_stream_reserved_group_rejected(spark):
+    from aqueducts_spark.streaming.ops import distinct_sketch_stream
+
+    df = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("timestamp AS ts", "value AS v", "'x' AS mx")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        distinct_sketch_stream(df, "ts", "v", "1 minute", group_by=["mx"])
