@@ -318,3 +318,16 @@ def test_phash_undecodable_policy(spark):
     assert [r.doc_id for r in rows] == [1]
     with pytest.raises(ValueError, match="on_undecodable"):
         perceptual_hash(df, "data", "doc_id", on_undecodable="quarantine")
+
+
+def test_completeness_at_small_sig_bits_and_max_bands(spark):
+    # width-1 bands (bands == sig_bits) and uneven widths both keep the
+    # pigeonhole guarantee at reduced signature width
+    rng = random.Random(3)
+    rows = [(i, rng.getrandbits(16)) for i in range(40)]
+    rows += [(100 + i, rows[i][1] ^ (1 << (i % 16))) for i in range(10)]
+    for bands in (3, 7, 16):
+        got = _pairs(
+            spark, rows, max_hamming=2, bands=bands, sig_bits=16
+        )
+        assert got == _brute(rows, 2), bands
