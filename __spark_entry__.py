@@ -840,20 +840,25 @@ shingled AS (
 )
 """
 
-# Carter-Wegman family mirroring operators/dedup.py::_minhash_signature:
-# one md5 per shingle (top 32 bits), k mixes (2s+1)*h + s^2+1 mod 2^61-1
-_MIX_P = (1 << 61) - 1
-
+# Independent per-seed hash family mirroring
+# operators/dedup.py::_minhash_signature: seed s reads 32-bit slice
+# (s % 4) of md5("{s//4}#" || shingle) — four seeds share one digest.
+# (The previous shared-base-hash Carter-Wegman mixes never wrapped the
+# modulus, so every seed's argmin was the same shingle and the k
+# minhashes were perfectly correlated — see the family note in
+# dedup.py.)
 _DUCK_BANDS = f"""
 WITH {_DUCK_SHINGLES},
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
-hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM exploded
+seeded AS (
+  SELECT doc_id, s.seed,
+         ('0x' || substr(md5(CAST(s.seed // 4 AS VARCHAR) || '#' || shingle),
+                         (s.seed % 4) * 8 + 1, 8))::BIGINT AS h
+  FROM exploded,
+       (SELECT unnest(generate_series(0, {_MINHASH_HASHES - 1})) AS seed) s
 ),
-seeded AS (SELECT doc_id, h, unnest(generate_series(0, {_MINHASH_HASHES - 1})) AS seed FROM hashed),
 sigs AS (
-  SELECT doc_id, seed,
-         MIN(((2 * seed + 1) * h + seed * seed + 1) % {_MIX_P}) AS minhash
+  SELECT doc_id, seed, MIN(h) AS minhash
   FROM seeded GROUP BY doc_id, seed
 ),
 bands AS (
@@ -865,6 +870,48 @@ bands AS (
 """
 
 OP_MINHASH_BANDS_DUCK = _DUCK_BANDS + "SELECT doc_id, band, band_hash FROM bands"
+
+# incremental fuzzy dedup against a signature index at rest
+# (operators/dedup.py::fuzzy_filter_against): index = signatures of the
+# doc_id % 10 = 0 slice, incoming = the rest; candidates by band
+# collision, verified by SIGNATURE AGREEMENT (>= 8 of 16 components —
+# an integer compare, so the oracle is exact including every
+# estimation artifact).
+OP_FUZZY_FILTER_DUCK = _DUCK_BANDS + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+),
+agreed AS (
+  SELECT c.new_id,
+         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS eq
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.new_id
+  JOIN sigs sb ON sb.doc_id = c.idx_id AND sb.seed = sa.seed
+  GROUP BY c.new_id, c.idx_id
+),
+dropped AS (SELECT DISTINCT new_id FROM agreed WHERE eq >= 8)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 10 <> 0
+  AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.new_id = d.doc_id)
+"""
+
+
+def _op_fuzzy_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.dedup import (
+        fuzzy_filter_against,
+        minhash_signatures,
+    )
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    index = minhash_signatures(docs.where(F.col("doc_id") % 10 == 0))
+    incoming = docs.where(F.col("doc_id") % 10 != 0)
+    return fuzzy_filter_against(incoming, index, threshold=0.5).select(
+        "doc_id"
+    )
 
 OP_MINHASH_PAIRS_DUCK = _DUCK_BANDS + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -5328,6 +5375,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_simhash": _op_simhash,
         "op_simhash_neardup": _op_simhash_neardup_gate,
         "op_hamming_filter": _op_hamming_filter_gate,
+        "op_fuzzy_filter": _op_fuzzy_filter_gate,
         "mm_phash_neardup": _mm_phash_neardup_gate,
         "op_embed_neardup": _op_embed_neardup,
         "op_embed_neardup_lsh": _op_embed_neardup_lsh,
@@ -5530,6 +5578,7 @@ _GATE_PRIORITY = [
     "op_oov_rate",
     "op_simhash_neardup",
     "op_hamming_filter",
+    "op_fuzzy_filter",
     "mm_phash_neardup",
     "op_weighted_sample",
     "op_corpus_overlap",
@@ -5676,6 +5725,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_hamming_filter": OP_HAMMING_FILTER_DUCK.format(
             fp=_simhash_duck_sql()
         ),
+        "op_fuzzy_filter": OP_FUZZY_FILTER_DUCK,
         "mm_phash_neardup": MM_PHASH_NEARDUP_DUCK,
         "op_embed_neardup": OP_EMBED_NEARDUP_DUCK,
         "op_embed_neardup_lsh": OP_EMBED_NEARDUP_DUCK,

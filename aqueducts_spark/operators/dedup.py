@@ -43,6 +43,8 @@ __all__ = [
     "drop_common_lines",
     "remove_duplicated_spans",
     "minhash_bands",
+    "minhash_signatures",
+    "fuzzy_filter_against",
     "with_minhash_band_keys",
     "minhash_candidate_pairs",
     "fuzzy_dedup",
@@ -386,10 +388,28 @@ def dedup_against(
     )
 
 
-# Mersenne-prime modulus for the Carter-Wegman hash family; the
-# per-seed multipliers/offsets are (2*seed+1, seed^2+1) so any engine
-# can reproduce the family from the seed alone
-_MIX_P = (1 << 61) - 1
+# Per-seed hash for the MinHash family.  Each seed must be an
+# INDEPENDENT hash of the shingle: an earlier construction derived one
+# base hash and applied Carter-Wegman mixes (2s+1)*h + s^2+1 mod 2^61-1
+# — but with h < 2^32 and multipliers <= 31 the product NEVER reaches
+# the modulus, so the map is strictly monotone and every seed's argmin
+# is the SAME shingle: all k "independent" minhashes agreed or differed
+# TOGETHER (verified: 16/16 or 0/16 agreement, never in between),
+# collapsing the LSH sensitivity curve 1-(1-j^r)^b to a single-hash
+# probe with recall ~= j.  Now each seed hashes the shingle itself:
+# md5 path — digest d = seed // 4 over the prefixed shingle
+# ("{d}#" + shingle), seed's value is one of the digest's four
+# disjoint 32-bit slices (4 seeds per md5, so k=16 costs 4 digests
+# per shingle); xxhash64 path — one native seeded hash per seed.
+_SEEDS_PER_DIGEST = 4
+
+
+def _md5_digest_col(shingle, d: int):
+    return F.md5(F.concat(F.lit(f"{d}#"), shingle))
+
+
+def _slice32(digest, j: int):
+    return F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10).cast("long")
 
 
 def _minhash_signature(
@@ -402,14 +422,18 @@ def _minhash_signature(
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) — one MinHash per seed, single aggregation.
 
-    md5 with a seed prefix is a family of independent uniform hash
-    functions; the min over a document's shingle set is the classic
-    MinHash estimator for Jaccard similarity.
+    Each seed is an independent uniform 32-bit hash of the shingle
+    (see the family note above — a shared-base-hash mix family made
+    every seed's argmin the same shingle); the min over a document's
+    shingle set is the classic MinHash estimator for Jaccard
+    similarity, so ``E[fraction of agreeing components] = jaccard``.
 
     Deliberately NOT seed-exploded: all k mins are computed in one
     ``groupBy(id)`` with k ``min`` expressions, so the map side combines
     partially and the shuffle carries k values per document instead of
     k exploded rows per shingle (a 16x traffic difference at k=16).
+    The k/4 md5 digests are staged into named columns so each is
+    computed once per shingle, not once per slice.
     """
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
@@ -420,28 +444,210 @@ def _minhash_signature(
     # and they all pile into one quadratic candidate bucket in every
     # band.  Empty docs share no content — they simply produce no
     # signature/pairs here; dedup them with exact_dedup if desired.
-    # universal hashing: ONE md5 per shingle, then k cheap
-    # multiply-add-mod mixes (Carter-Wegman) instead of k md5s — 16x
-    # less hashing CPU and far smaller generated code. h is the md5's
-    # top 32 bits so a*h+b stays well inside int64 (ANSI-safe, and
-    # identical arithmetic in the DuckDB oracle).
     if hash_fn == "xxhash64":
-        # fast path: one native codegen hash per shingle (top 32 bits so
-        # the Carter-Wegman mixes stay inside int64, same as md5 path)
-        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+        hashed = exploded
+        h_exprs = [
+            F.pmod(
+                F.xxhash64(F.lit(seed), F.col("shingle")), F.lit(1 << 32)
+            )
+            for seed in range(num_hashes)
+        ]
     elif hash_fn == "md5":
-        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        n_digests = -(-num_hashes // _SEEDS_PER_DIGEST)
+        hashed = exploded.withColumns(
+            {
+                f"__dg{d}": _md5_digest_col(F.col("shingle"), d)
+                for d in range(n_digests)
+            }
+        )
+        h_exprs = [
+            _slice32(
+                F.col(f"__dg{seed // _SEEDS_PER_DIGEST}"),
+                seed % _SEEDS_PER_DIGEST,
+            )
+            for seed in range(num_hashes)
+        ]
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    hashed = exploded.withColumn("h", base)
     aggs = [
-        F.min(
-            (F.lit(2 * seed + 1) * F.col("h") + F.lit(seed * seed + 1))
-            % F.lit(_MIX_P)
-        ).alias(f"mh{seed}")
+        F.min(h_exprs[seed]).alias(f"mh{seed}")
         for seed in range(num_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """``(id, minhash array<long>)`` — the document's MinHash signature
+    as ONE persistable array column: the fuzzy-dedup index "at rest".
+    Write this table once for the existing corpus, then screen every
+    new crawl against it with :func:`fuzzy_filter_against` — no text,
+    no shingle sets, just ``num_hashes`` longs per document.
+
+    Same construction as :func:`minhash_bands` (k/4 md5 digests per
+    shingle, four independent 32-bit slices each, one
+    map-side-combined aggregation);
+    empty/NULL-text documents have no shingles and produce NO signature
+    row (they carry no content to match on — dedup them with
+    :func:`exact_dedup` if desired).
+    """
+    sig = _minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn
+    )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{s}") for s in range(num_hashes)]).alias(
+            sig_col
+        ),
+    )
+
+
+def _band_keys_from_sig(sig, num_hashes: int, bands: int, hash_fn: str):
+    """Band keys derived from a signature ARRAY — byte-identical to
+    :func:`minhash_bands`'s keys (md5/xxhash64 of the band's minhashes
+    in seed order), so stored signatures and freshly-computed ones
+    land in the same buckets."""
+    r = num_hashes // bands
+    keys = []
+    for b in range(bands):
+        cols = [F.element_at(sig, b * r + i + 1) for i in range(r)]
+        if hash_fn == "xxhash64":
+            keys.append(F.xxhash64(*cols).cast("string"))
+        else:
+            keys.append(F.md5(F.concat_ws(",", *cols)))
+    return keys
+
+
+def fuzzy_filter_against(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+    index_sig_col: str = "minhash",
+) -> DataFrame:
+    """Incremental fuzzy dedup against a signature index at rest: drop
+    incoming documents whose MinHash signature agrees with ANY index
+    signature on >= ``threshold`` of its components — the
+    new-crawl-vs-existing-corpus step (the :func:`dedup_against` exact
+    filter's fuzzy sibling, and the MinHash analogue of
+    :func:`hamming_filter`'s signature-index shape).
+
+    Verification is SIGNATURE AGREEMENT (``E[agreement] = jaccard``,
+    sigma ``sqrt(j(1-j)/k)`` — ~12% at k=16), not the exact
+    shingle-set Jaccard :func:`fuzzy_dedup` / ``fuzzy_decontaminate``
+    verify with: an index at rest stores k longs per document, not its
+    shingle sets, and that trade IS what makes screening 100 TB of
+    history against each day's crawl affordable.  Raise ``num_hashes``
+    to tighten the estimate (the index grows linearly).
+
+    Shape: both sides explode to slim ``(band, band_hash, id, sig)``
+    relations (the signature is k longs, no text travels) and candidate
+    generation is one equi-join on the band key — never new x index.
+    The verification is one ``zip_with`` equality count per COLLIDING
+    pair.  At real scale, persist the index pre-exploded and bucketed
+    on ``(band, band_hash)`` (the ``bucket_by`` destination) so daily
+    screens pay no index-side shuffle at all.
+
+    Contract: new-side ids must be non-NULL (the kept rows are
+    addressed by id — raises loudly); empty/NULL-text documents have
+    no signature, match nothing, and are KEPT; index signatures must
+    carry exactly ``num_hashes`` components (validated at execution —
+    an index built with different parameters would silently miss).
+    Returns ``new_docs`` rows whose document is NOT a near-duplicate
+    of the index.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"fuzzy_filter_against: threshold must be in (0, 1], got "
+            f"{threshold}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"fuzzy_filter_against: bands ({bands}) must divide "
+            f"num_hashes ({num_hashes})"
+        )
+    from .sampling import _fresh_name
+
+    taken = set(new_docs.columns) | set(index.columns)
+    nid, nsig = _fresh_name("__ff_id", taken), _fresh_name("__ff_sig", taken)
+    isig = _fresh_name("__ff_isig", taken)
+    bcol, hcol = _fresh_name("__ff_b", taken), _fresh_name("__ff_h", taken)
+
+    guarded = new_docs.filter(
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "fuzzy_filter_against: NULL id on the incoming side — "
+                    "kept rows are addressed by id; assign ids first"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    new_sigs = minhash_signatures(
+        guarded, id_col, text_col, num_hashes, shingle_n, hash_fn, nsig
+    ).withColumnRenamed(id_col, nid)
+    sig_ok = F.when(
+        F.size(F.col(index_sig_col)) == num_hashes, F.col(index_sig_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "fuzzy_filter_against: index signature has "
+                ),
+                F.size(F.col(index_sig_col)).cast("string"),
+                F.lit(f" components, expected num_hashes={num_hashes}"),
+            )
+        ).cast("array<long>")
+    )
+    idx = index.where(F.col(index_sig_col).isNotNull()).select(
+        sig_ok.alias(isig)
+    )
+
+    def _explode_bands(df_, sig_name):
+        return df_.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *_band_keys_from_sig(
+                        F.col(sig_name), num_hashes, bands, hash_fn
+                    )
+                )
+            ).alias(bcol, hcol),
+        )
+
+    nb = _explode_bands(new_sigs, nsig)
+    ib = _explode_bands(idx, isig)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col(nsig), F.col(isig), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(num_hashes))
+    dropped = (
+        nb.join(ib, [bcol, hcol])
+        .where(agree >= F.lit(float(threshold)))
+        .select(F.col(nid))
+        .distinct()
+    )
+    # join from the GUARDED frame: the NULL-id raise must fire on every
+    # output row, and a NULL id would otherwise slip through the anti-
+    # join silently (NULL equals nothing)
+    return guarded.join(
+        dropped, guarded[id_col] == dropped[nid], "left_anti"
+    )
 
 
 def minhash_bands(
@@ -505,9 +711,9 @@ def with_minhash_band_keys(
     a STREAMING frame (the live-crawl decontamination path,
     :func:`~.decontam.fuzzy_decontaminate_rowwise`).
 
-    Cost per row: one md5 (or xxhash64) per shingle — same hashing
-    volume as the batch aggregation — plus k interpreted Carter-Wegman
-    min-folds over the staged hash array.  The batch ``groupBy`` form
+    Cost per row: k/4 md5 digests (or k native xxhash64 calls) per
+    shingle — same hashing volume as the batch aggregation — plus k
+    interpreted slice-and-min folds over the staged digest arrays.  The batch ``groupBy`` form
     stays preferable for corpus-scale batch jobs (whole-stage codegen,
     map-side combine); this form exists for streams and for pipelines
     that must avoid a shuffle.  Empty/NULL docs get an EMPTY key array
@@ -533,33 +739,54 @@ def with_minhash_band_keys(
     sh = F.filter(
         word_shingles(F.col(text_col), shingle_n), lambda s: s != F.lit("")
     )
-    if hash_fn == "xxhash64":
-        base = lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))  # noqa: E731
-    elif hash_fn == "md5":
-        base = lambda s: F.conv(  # noqa: E731
-            F.substring(F.md5(s), 1, 8), 16, 10
-        ).cast("long")
-    else:
+    if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    # stage shingles and their base hashes: the k min-folds below each
-    # reference the hash array once, so without staging the per-shingle
-    # md5 tree would be duplicated k times (the bpe_pair_counts lesson)
-    staged = df.withColumn(sh_name, sh).withColumn(
-        hs_name, F.transform(F.col(sh_name), base)
-    )
-    # NOTE: the mix lambda must take exactly ONE parameter — F.transform
-    # dispatches on arity, and a two-arg lambda (e.g. the `seed=seed`
-    # default-arg idiom) would silently receive the ARRAY INDEX as its
-    # second argument instead of the captured seed
-    def _mix(seed: int):
-        return lambda h: (
-            F.lit(2 * seed + 1) * h + F.lit(seed * seed + 1)
-        ) % F.lit(_MIX_P)
+    # stage the shingle array and ONE hash/digest array per seed family
+    # (see _minhash_signature's family note: each seed must hash the
+    # shingle independently — a shared base hash made every seed's
+    # argmin identical); staging keeps each per-shingle digest computed
+    # once, not once per slice (the bpe_pair_counts lesson).
+    # NOTE: transform lambdas must take exactly ONE parameter —
+    # F.transform dispatches on arity, and a two-arg lambda (e.g. the
+    # `seed=seed` default-arg idiom) would silently receive the ARRAY
+    # INDEX as its second argument instead of the captured seed
+    staged = df.withColumn(sh_name, sh)
+    dg_names: list[str] = []
+    if hash_fn == "xxhash64":
+        def _seeded(seed: int):
+            return lambda s: F.pmod(
+                F.xxhash64(F.lit(seed), s), F.lit(1 << 32)
+            )
 
-    mins = [
-        F.array_min(F.transform(F.col(hs_name), _mix(seed)))
-        for seed in range(num_hashes)
-    ]
+        mins = [
+            F.array_min(F.transform(F.col(sh_name), _seeded(seed)))
+            for seed in range(num_hashes)
+        ]
+    else:
+        n_digests = -(-num_hashes // _SEEDS_PER_DIGEST)
+        for d in range(n_digests):
+            name = _fresh_name(f"{hs_name}_{d}", staged.columns)
+            dg_names.append(name)
+
+            def _dg(d_: int):
+                return lambda s: _md5_digest_col(s, d_)
+
+            staged = staged.withColumn(
+                name, F.transform(F.col(sh_name), _dg(d))
+            )
+
+        def _sl(j: int):
+            return lambda dg: _slice32(dg, j)
+
+        mins = [
+            F.array_min(
+                F.transform(
+                    F.col(dg_names[seed // _SEEDS_PER_DIGEST]),
+                    _sl(seed % _SEEDS_PER_DIGEST),
+                )
+            )
+            for seed in range(num_hashes)
+        ]
 
     def _band_key(b: int):
         cols = mins[b * rows_per_band : (b + 1) * rows_per_band]
@@ -573,7 +800,7 @@ def with_minhash_band_keys(
         F.size(F.col(sh_name)) > 0,
         F.array(*[_band_key(b) for b in range(bands)]),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    out = staged.withColumn(keys_col, keys).drop(hs_name)
+    out = staged.withColumn(keys_col, keys).drop(*dg_names)
     if shingles_col is None:
         out = out.drop(sh_name)
     return out

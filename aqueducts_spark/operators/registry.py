@@ -156,6 +156,43 @@ def _op_hamming_pairs(spark, inp, options):
     )
 
 
+def _op_minhash_signatures(spark, inp, options):
+    from .dedup import minhash_signatures
+
+    return minhash_signatures(
+        inp,
+        id_col=options.get("id_col", "doc_id"),
+        text_col=options.get("text_col", "text"),
+        num_hashes=int(options.get("num_hashes", 16)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
+def _op_fuzzy_filter_against(spark, inp, options):
+    from .dedup import fuzzy_filter_against
+
+    index_table = options.get("index")
+    if not index_table:
+        raise OperatorError(
+            "fuzzy_filter_against operator requires options.index (a "
+            "(id, minhash) signature table, e.g. a minhash_signatures "
+            "stage or one read back from disk)"
+        )
+    return fuzzy_filter_against(
+        inp,
+        spark.table(index_table),
+        threshold=float(options.get("threshold", 0.5)),
+        id_col=options.get("id_col", "doc_id"),
+        text_col=options.get("text_col", "text"),
+        num_hashes=int(options.get("num_hashes", 16)),
+        bands=int(options.get("bands", 4)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        hash_fn=options.get("hash_fn", "md5"),
+        index_sig_col=options.get("index_sig_col", "minhash"),
+    )
+
+
 def _op_corpus_overlap(spark, inp, options):
     from .sketch import corpus_overlap
 
@@ -1640,6 +1677,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "exact_dedup": _op_exact_dedup,
     "dup_weights": _op_dup_weights,
     "minhash_bands": _op_minhash_bands,
+    "minhash_signatures": _op_minhash_signatures,
+    "fuzzy_filter_against": _op_fuzzy_filter_against,
     "minhash_pairs": _op_minhash_pairs,
     "fuzzy_dedup": _op_fuzzy_dedup,
     "jaccard_pairs": _op_jaccard_pairs,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "mm_phash_neardup",
     "op_weighted_sample",
     "op_corpus_overlap",
+    "op_fuzzy_filter",
     "pl_pipeline_yaml",
 ]
 
