@@ -849,7 +849,14 @@ shingled AS (
 # dedup.py.)
 _DUCK_BANDS = f"""
 WITH {_DUCK_SHINGLES},
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+-- the '' sentinel shingle (empty/NULL-text docs) is dropped exactly
+-- like the operator does: otherwise the oracle would give every
+-- contentless document the IDENTICAL signature while Spark emits none
+exploded AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(sh) AS shingle FROM shingled
+  ) WHERE shingle != ''
+),
 seeded AS (
   SELECT doc_id, s.seed,
          ('0x' || substr(md5(CAST(s.seed // 4 AS VARCHAR) || '#' || shingle),
@@ -874,10 +881,11 @@ OP_MINHASH_BANDS_DUCK = _DUCK_BANDS + "SELECT doc_id, band, band_hash FROM bands
 # incremental fuzzy dedup against a signature index at rest
 # (operators/dedup.py::fuzzy_filter_against): index = signatures of the
 # doc_id % 10 = 0 slice, incoming = the rest; candidates by band
-# collision, verified by SIGNATURE AGREEMENT (>= 8 of 16 components —
-# an integer compare, so the oracle is exact including every
-# estimation artifact).
-OP_FUZZY_FILTER_DUCK = _DUCK_BANDS + """,
+# collision, verified by SIGNATURE AGREEMENT (>= half the components —
+# threshold 0.5 as an integer compare derived from _MINHASH_HASHES, so
+# the oracle is exact including every estimation artifact and tracks
+# the module constants like the sibling minhash gates).
+OP_FUZZY_FILTER_DUCK = _DUCK_BANDS + f""",
 cand AS (
   SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
   FROM bands a JOIN bands b
@@ -892,7 +900,7 @@ agreed AS (
   JOIN sigs sb ON sb.doc_id = c.idx_id AND sb.seed = sa.seed
   GROUP BY c.new_id, c.idx_id
 ),
-dropped AS (SELECT DISTINCT new_id FROM agreed WHERE eq >= 8)
+dropped AS (SELECT DISTINCT new_id FROM agreed WHERE eq >= {_MINHASH_HASHES // 2})
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id % 10 <> 0
   AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.new_id = d.doc_id)
@@ -907,11 +915,20 @@ def _op_fuzzy_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     docs = spark.table("documents")
-    index = minhash_signatures(docs.where(F.col("doc_id") % 10 == 0))
-    incoming = docs.where(F.col("doc_id") % 10 != 0)
-    return fuzzy_filter_against(incoming, index, threshold=0.5).select(
-        "doc_id"
+    index = minhash_signatures(
+        docs.where(F.col("doc_id") % 10 == 0),
+        num_hashes=_MINHASH_HASHES,
+        shingle_n=_SHINGLE_N,
     )
+    incoming = docs.where(F.col("doc_id") % 10 != 0)
+    return fuzzy_filter_against(
+        incoming,
+        index,
+        threshold=0.5,
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    ).select("doc_id")
 
 OP_MINHASH_PAIRS_DUCK = _DUCK_BANDS + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1741,7 +1758,7 @@ e AS (
          ELSE 255.0 / (CAST(ha AS DOUBLE) / 1152921504606846976.0) END AS est_a,
     CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
          ELSE 255.0 / (CAST(hb AS DOUBLE) / 1152921504606846976.0) END AS est_b,
-    CASE WHEN na < 256 AND nb < 256 THEN CAST(nu AS DOUBLE)
+    CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
          ELSE 255.0 / (CAST(hu AS DOUBLE) / 1152921504606846976.0) END AS est_u,
     CASE WHEN nu > 0 THEN CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE) END AS jac,
     CASE WHEN nau > 0 THEN CAST(nboth AS DOUBLE) / CAST(nau AS DOUBLE) END AS ca,

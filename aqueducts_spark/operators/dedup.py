@@ -509,20 +509,29 @@ def minhash_signatures(
     )
 
 
+def _band_hash_cols(cols, hash_fn: str):
+    """THE band-key hash — the single definition every banding site
+    uses (:func:`minhash_bands`, :func:`with_minhash_band_keys`,
+    :func:`_band_keys_from_sig`): a drifting copy would silently
+    bucket stored signatures differently from fresh computations and
+    LSH would find zero candidates."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*cols).cast("string")
+    return F.md5(F.concat_ws(",", *cols))
+
+
 def _band_keys_from_sig(sig, num_hashes: int, bands: int, hash_fn: str):
     """Band keys derived from a signature ARRAY — byte-identical to
-    :func:`minhash_bands`'s keys (md5/xxhash64 of the band's minhashes
-    in seed order), so stored signatures and freshly-computed ones
-    land in the same buckets."""
+    :func:`minhash_bands`'s keys (same :func:`_band_hash_cols` over
+    the band's minhashes in seed order), so stored signatures and
+    freshly-computed ones land in the same buckets."""
     r = num_hashes // bands
-    keys = []
-    for b in range(bands):
-        cols = [F.element_at(sig, b * r + i + 1) for i in range(r)]
-        if hash_fn == "xxhash64":
-            keys.append(F.xxhash64(*cols).cast("string"))
-        else:
-            keys.append(F.md5(F.concat_ws(",", *cols)))
-    return keys
+    return [
+        _band_hash_cols(
+            [F.element_at(sig, b * r + i + 1) for i in range(r)], hash_fn
+        )
+        for b in range(bands)
+    ]
 
 
 def fuzzy_filter_against(
@@ -675,16 +684,16 @@ def minhash_bands(
     sig = _minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     # band hash = md5 of the band's minhashes in seed order; derived from
     # the wide signature row with no extra shuffle (posexplode is a map)
-    def _band_hash(b: int):
-        cols = [
-            F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        if hash_fn == "xxhash64":
-            # bigint band key: one native hash per band per doc
-            return F.xxhash64(*cols).cast("string")
-        return F.md5(F.concat_ws(",", *cols))
-
-    band_hashes = [_band_hash(b) for b in range(bands)]
+    band_hashes = [
+        _band_hash_cols(
+            [
+                F.col(f"mh{s}")
+                for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+            hash_fn,
+        )
+        for b in range(bands)
+    ]
     return sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
@@ -790,11 +799,9 @@ def with_minhash_band_keys(
 
     def _band_key(b: int):
         cols = mins[b * rows_per_band : (b + 1) * rows_per_band]
-        if hash_fn == "xxhash64":
-            bh = F.xxhash64(*cols).cast("string")
-        else:
-            bh = F.md5(F.concat_ws(",", *cols))
-        return F.concat(F.lit(f"{b}:"), bh)
+        return F.concat(
+            F.lit(f"{b}:"), _band_hash_cols(cols, hash_fn)
+        )
 
     keys = F.when(
         F.size(F.col(sh_name)) > 0,

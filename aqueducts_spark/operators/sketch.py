@@ -230,8 +230,8 @@ def corpus_overlap(
     The intersection estimator is Beyer's resemblance form, not
     inclusion–exclusion: over the k smallest hashes of the UNION,
     ``jaccard = |hashes present in both sketches| / |union sketch|``
-    (never negative, exact whenever both corpora have < k distinct
-    values) and ``intersection = jaccard × union_est``.  Containments
+    (never negative, exact whenever the UNION has < k distinct values)
+    and ``intersection = jaccard × union_est``.  Containments
     are estimated INSIDE the same union window — ``a_in_b = |window
     hashes in both| / |window hashes in A|`` — because the window's
     A-hashes are a uniform sample of A's distinct values; dividing the
@@ -292,11 +292,15 @@ def corpus_overlap(
 
     est_a = F.coalesce(_est("_na", "_ha"), F.lit(0.0))
     est_b = F.coalesce(_est("_nb", "_hb"), F.lit(0.0))
-    # the union is exact only when BOTH inputs are (a saturated side
-    # hides hashes the merged relation never sees)
+    # the union is exact iff the UNION window itself is unsaturated
+    # (_nu < k) — which implies both inputs were too, so the merged
+    # relation is complete.  "Both sides unsaturated" alone is NOT
+    # enough: two 50-distinct corpora under k=64 merge to 100 hashes,
+    # and taking the truncated window count as exact would hard-cap
+    # every such union (and the intersection scaled from it) at k.
     est_u = F.coalesce(
         F.when(
-            (F.col("_na") < kd) & (F.col("_nb") < kd),
+            F.col("_nu") < kd,
             F.col("_nu").cast("double"),
         ).otherwise(
             (kd - F.lit(1.0))

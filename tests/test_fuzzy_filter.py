@@ -214,3 +214,31 @@ def test_minhash_components_are_independent(spark):
     # true 3-shingle jaccard of this pair is 8 shared / 14 union = 0.571
     assert 0 < agree < 64
     assert abs(agree / 64 - 8 / 14) < 0.25  # ~4 sigma at k=64
+
+
+def test_band_keys_interop_on_xxhash64_path(spark):
+    """The fast-path band keys must also agree between stored
+    signatures and fresh minhash_bands output — one drifting copy of
+    the key hash would make LSH find zero candidates silently."""
+    from aqueducts_spark.operators.dedup import _band_keys_from_sig
+
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    from_text = {
+        (r.doc_id, r.band): r.band_hash
+        for r in minhash_bands(
+            df, num_hashes=16, bands=4, hash_fn="xxhash64"
+        ).collect()
+    }
+    sigs = minhash_signatures(df, num_hashes=16, hash_fn="xxhash64")
+    from_sig = {
+        (r.doc_id, r.band): r.band_hash
+        for r in sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *_band_keys_from_sig(F.col("minhash"), 16, 4, "xxhash64")
+                )
+            ).alias("band", "band_hash"),
+        ).collect()
+    }
+    assert from_text == from_sig and len(from_text) == 12

@@ -366,6 +366,10 @@ class TestCorpusOverlap:
         b = self._df(spark, range(1000, 1050))
         r = corpus_overlap(a, b, k=64).first()
         assert r.intersection_est == 0.0 and r.jaccard_est == 0.0
+        # REGRESSION: union (100) exceeds k (64) while both SIDES are
+        # unsaturated — the exact branch must not fire (it would
+        # hard-cap the union at k=64); the kth-hash estimator applies
+        assert 70 < r.union_est < 160 and r.union_est != 64.0
         empty = self._df(spark, [])
         r2 = corpus_overlap(a, empty, k=64).first()
         assert r2.distinct_b_est == 0.0 and r2.containment_b_in_a is None
