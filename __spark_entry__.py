@@ -1716,6 +1716,100 @@ def _op_dup_weights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# on-cluster naive-Bayes seed classifier (operators/selection.py::
+# nb_fit + nb_classify): fit on the doc_id % 3 = 0 slice with lang as
+# the label, classify the rest — the GPT-3-WebText-classifier-style
+# workflow.  Micro-nat quantization before the per-doc sum makes every
+# score and every argmax decision engine-exact.
+_NB_BUCKETS = 512
+
+NB_CLASSIFY_DUCK = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(
+      toks,
+      CASE WHEN len(toks) = 0 THEN ['']
+           WHEN len(toks) = 1 THEN [toks[1]]
+           ELSE list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])
+      END)
+  ) AS g
+  FROM base
+),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_NB_BUCKETS} AS bucket
+  FROM grams
+),
+seedc AS (
+  SELECT lang AS label, bucket, COUNT(*) AS c
+  FROM feats WHERE doc_id % 3 = 0 GROUP BY 1, 2
+),
+priors AS (
+  SELECT lang AS label, COUNT(*) AS docs
+  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+),
+tot AS (SELECT label, SUM(c) AS tot FROM seedc GROUP BY 1),
+nd AS (SELECT SUM(docs) AS nd FROM priors),
+grid AS (
+  SELECT p.label, gs.b AS bucket,
+         CAST(floor(ln((coalesce(s.c, 0) + 1.0) / (t.tot + 1.0 * {_NB_BUCKETS}))
+                    * 1e6 + 0.5) AS BIGINT) AS lam
+  FROM priors p
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NB_BUCKETS} - 1)) AS b) gs
+  LEFT JOIN seedc s ON s.label = p.label AND s.bucket = gs.b
+  JOIN tot t ON t.label = p.label
+),
+pmicro AS (
+  SELECT p.label,
+         CAST(floor(ln(CAST(p.docs AS DOUBLE) / nd.nd) * 1e6 + 0.5) AS BIGINT)
+           AS prior
+  FROM priors p CROSS JOIN nd
+),
+tf AS (
+  SELECT doc_id, bucket, COUNT(*) AS c
+  FROM feats WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+),
+sc AS (
+  SELECT tf.doc_id, g.label, SUM(tf.c * g.lam) AS s
+  FROM tf JOIN grid g USING (bucket) GROUP BY 1, 2
+),
+scored AS (
+  SELECT sc.doc_id, sc.label,
+         CAST(sc.s + pm.prior AS BIGINT) AS score_micro
+  FROM sc JOIN pmicro pm USING (label)
+)
+SELECT doc_id, label, score_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, label ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def _op_nb_classify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark.operators.selection import nb_classify, nb_fit
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    model = nb_fit(
+        docs.where(F.col("doc_id") % 3 == 0),
+        label_col="lang",
+        buckets=_NB_BUCKETS,
+    )
+    return nb_classify(
+        docs.where(F.col("doc_id") % 3 != 0),
+        model,
+        buckets=_NB_BUCKETS,
+    )
+
+
 # cross-corpus overlap (operators/sketch.py::corpus_overlap, Beyer
 # SIGMOD'07 KMV set operations): customers-with-orders vs all
 # customers — a REAL containment structure (the order side is a strict
@@ -5376,6 +5470,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_dup_weights": _op_dup_weights_gate,
         "op_weighted_sample": _op_weighted_sample_gate,
         "op_corpus_overlap": _op_corpus_overlap_gate,
+        "op_nb_classify": _op_nb_classify_gate,
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
@@ -5599,6 +5694,7 @@ _GATE_PRIORITY = [
     "mm_phash_neardup",
     "op_weighted_sample",
     "op_corpus_overlap",
+    "op_nb_classify",
 ]
 
 
@@ -5722,6 +5818,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_dup_weights": OP_DUP_WEIGHTS_DUCK,
     "op_weighted_sample": OP_WEIGHTED_SAMPLE_DUCK,
     "op_corpus_overlap": OP_CORPUS_OVERLAP_DUCK,
+    "op_nb_classify": NB_CLASSIFY_DUCK,
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),

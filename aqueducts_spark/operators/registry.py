@@ -193,6 +193,37 @@ def _op_fuzzy_filter_against(spark, inp, options):
     )
 
 
+def _op_nb_fit(spark, inp, options):
+    from .selection import nb_fit
+
+    return nb_fit(
+        inp,
+        label_col=options.get("label_col", "label"),
+        text_col=options.get("text_col", "text"),
+        buckets=int(options.get("buckets", 10_000)),
+    )
+
+
+def _op_nb_classify(spark, inp, options):
+    from .selection import nb_classify
+
+    model_table = options.get("model")
+    if not model_table:
+        raise OperatorError(
+            "nb_classify operator requires options.model (a (label, "
+            "bucket, c) table, e.g. an nb_fit stage)"
+        )
+    return nb_classify(
+        inp,
+        spark.table(model_table),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        smoothing=float(options.get("smoothing", 1.0)),
+        buckets=int(options.get("buckets", 10_000)),
+        all_scores=bool(options.get("all_scores", False)),
+    )
+
+
 def _op_corpus_overlap(spark, inp, options):
     from .sketch import corpus_overlap
 
@@ -1768,6 +1799,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "script_profile": _op_script_profile,
     "random_projection": _op_random_projection,
     "dsir_weights": _op_dsir_weights,
+    "nb_fit": _op_nb_fit,
+    "nb_classify": _op_nb_classify,
     "dsir_log_ratios": _op_dsir_log_ratios,
     "dsir_select": _op_dsir_select,
     "semantic_dedup": _op_semantic_dedup,

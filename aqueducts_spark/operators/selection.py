@@ -53,6 +53,8 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "perplexity_buckets",
+    "nb_fit",
+    "nb_classify",
 ]
 
 # ratio-table sentinel: the smoothed-zero log-ratio for buckets seen in
@@ -580,4 +582,209 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         )
         .drop(n_col)
+    )
+
+
+def nb_fit(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Multinomial naive-Bayes class model over hashed n-gram features
+    — train the quality/domain/language classifier ON the cluster from
+    a labeled seed set (the GPT-3 WebText-classifier / CCNet-style
+    step that :func:`dsir_weights` covers only for the two-class
+    target-vs-raw case).  The "training" is ONE aggregation: per-class
+    feature counts need no iteration, which is exactly why naive Bayes
+    is the scalable seed-classifier choice.
+
+    Output is a single persistable relation: ``(label, bucket, c)``
+    per-class hashed-gram counts (same unigram+bigram ``buckets``
+    feature space as DSIR — :func:`_gram_buckets`), plus one PRIOR row
+    per class carrying its DOCUMENT count at ``bucket =
+    DEFAULT_BUCKET`` (real buckets are >= 0, so the relation is
+    self-contained at rest like the DSIR ratio table).  Feed it to
+    :func:`nb_classify`.
+
+    NULL labels are rejected loudly (an unlabeled seed row is a data
+    bug, and a NULL class would silently become its own category).
+    """
+    if buckets < 1:
+        raise ValueError(f"nb_fit: buckets must be >= 1, got {buckets}")
+    guarded = labeled.filter(
+        F.when(
+            F.col(label_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "nb_fit: NULL label in the seed set — drop or "
+                    "re-label unlabeled rows first"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    feats = (
+        ensure_parallelism(guarded)
+        .select(
+            F.col(label_col).alias("label"),
+            F.explode(_gram_buckets(F.col(text_col), buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("label", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    priors = guarded.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("c")
+    ).select("label", F.lit(DEFAULT_BUCKET).cast("bigint").alias("bucket"), "c")
+    return feats.select(
+        "label", F.col("bucket").cast("bigint").alias("bucket"), "c"
+    ).unionByName(priors)
+
+
+def nb_classify(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    buckets: int = 10_000,
+    all_scores: bool = False,
+    max_grid: int = 10_000_000,
+) -> DataFrame:
+    """Score/classify documents with an :func:`nb_fit` model:
+    ``log P(class | doc) ∝ log prior + Σ_grams log P(gram | class)``
+    with Laplace ``smoothing`` — the corpus-scale inference pass of
+    the seed-trained classifier.
+
+    Exactness discipline (the :func:`~.text.unigram_logprob` recipe):
+    each per-(class, bucket) log-likelihood quantizes to integer
+    micro-nats BEFORE the per-document sum, so scores are bit-stable
+    under any partitioning and an external SQL engine reproduces the
+    argmax decisions exactly.  Ties break toward the lexicographically
+    smallest label, deterministically.
+
+    Plan shape: the λ grid is the COMPLETE ``labels × buckets``
+    relation (every bucket is in [0, buckets) by construction, so
+    unseen (class, bucket) cells get the smoothed default with no
+    driver round-trip) — bounded at ``K·buckets`` rows (guarded by
+    ``max_grid``) and broadcast; the corpus pays ONE explode ->
+    per-doc bucket-count shuffle, the broadcast λ join fans each
+    (doc, bucket) row to K classes with map-side partial aggregation
+    collapsing them immediately, and one final groupBy(id, label).
+    Empty/NULL-text documents carry the '' sentinel gram (the DSIR
+    feature convention), so every row is scored — priors decide.
+
+    Output: ``(id, label, score_micro)`` — the argmax class per
+    document, or every class's score with ``all_scores=True`` (for
+    calibration/thresholding).
+    """
+    if smoothing <= 0:
+        raise ValueError(
+            f"nb_classify: smoothing must be > 0, got {smoothing}"
+        )
+    if buckets < 1:
+        raise ValueError(f"nb_classify: buckets must be >= 1, got {buckets}")
+    for c in ("label", "bucket", "c"):
+        if c not in model.columns:
+            raise ValueError(
+                f"nb_classify: model is missing column {c!r} — expected "
+                "the (label, bucket, c) relation nb_fit produces"
+            )
+    prior_rows = model.where(F.col("bucket") == DEFAULT_BUCKET)
+    tok = model.where(F.col("bucket") >= 0)
+    tot = tok.groupBy("label").agg(F.sum("c").alias("__tot"))
+    n_labels = prior_rows.select("label").distinct().count()
+    if n_labels == 0:
+        raise ValueError(
+            "nb_classify: model has no prior rows (bucket = -1) — was it "
+            "built by nb_fit?"
+        )
+    if n_labels * buckets > max_grid:
+        raise ValueError(
+            f"nb_classify: {n_labels} classes x {buckets} buckets exceeds "
+            f"max_grid={max_grid} — shrink buckets or raise the cap"
+        )
+    alpha = float(smoothing)
+    # complete lambda grid: one row per (class, bucket), smoothed
+    # default where the class never saw the bucket
+    grid = (
+        prior_rows.select("label")
+        .select(
+            "label",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(buckets) - 1))
+            ).alias("bucket"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("bigint"))
+        .join(tok, ["label", "bucket"], "left")
+        .join(tot, "label")
+        .select(
+            "label",
+            "bucket",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (F.col("__tot").cast("double") + F.lit(alpha * buckets))
+                )
+                * F.lit(_MICRO)
+                + F.lit(0.5)
+            ).cast("bigint").alias("__lam"),
+        )
+    )
+    total_docs = prior_rows.agg(F.sum("c").alias("__nd"))
+    priors = prior_rows.crossJoin(F.broadcast(total_docs)).select(
+        "label",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("__nd").cast("double"))
+            * F.lit(_MICRO)
+            + F.lit(0.5)
+        ).cast("bigint").alias("__prior"),
+    )
+    guarded = df.filter(
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "nb_classify: NULL id — scored rows are addressed by "
+                    "id; assign ids first"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    tf = (
+        ensure_parallelism(guarded)
+        .select(
+            F.col(id_col),
+            F.explode(_gram_buckets(F.col(text_col), buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("__c"))
+    )
+    scores = (
+        tf.join(F.broadcast(grid), "bucket")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("__c") * F.col("__lam")).alias("__s"))
+        .join(F.broadcast(priors), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            (F.col("__s") + F.col("__prior")).cast("bigint").alias(
+                "score_micro"
+            ),
+        )
+    )
+    if all_scores:
+        return scores
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("label").asc()
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "op_weighted_sample",
     "op_corpus_overlap",
     "op_fuzzy_filter",
+    "op_nb_classify",
     "pl_pipeline_yaml",
 ]
 

@@ -1,0 +1,180 @@
+"""nb_fit / nb_classify (operators/selection.py): on-cluster naive-Bayes
+seed classifier — one-aggregation training, micro-nat-exact scoring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueducts_spark.operators.selection import nb_classify, nb_fit
+
+SEED = [
+    (1, "en", "the cat sat on the mat and the dog barked"),
+    (2, "en", "a quick brown fox jumps over the lazy dog"),
+    (3, "en", "english text with the usual english words here"),
+    (4, "fr", "le chat est sur le tapis et le chien aboie"),
+    (5, "fr", "un renard brun saute par dessus le chien"),
+]
+NEW = [
+    (10, "the dog and the cat are on the mat"),
+    (11, "le chien et le chat sont sur le tapis"),
+    (12, ""),
+]
+SEED_SCHEMA = "doc_id long, label string, text string"
+NEW_SCHEMA = "doc_id long, text string"
+B = 512
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return nb_fit(
+        spark.createDataFrame(SEED, SEED_SCHEMA), buckets=B
+    )
+
+
+def test_model_shape(spark, model):
+    rows = model.collect()
+    priors = {r.label: r.c for r in rows if r.bucket == -1}
+    assert priors == {"en": 3, "fr": 2}
+    assert all(r.bucket >= -1 for r in rows)
+    # token totals = gram counts of each class's docs
+    en_total = sum(r.c for r in rows if r.label == "en" and r.bucket >= 0)
+    assert en_total > 0
+
+
+def test_classify_separates_languages(spark, model):
+    got = {
+        r.doc_id: r.label
+        for r in nb_classify(
+            spark.createDataFrame(NEW, NEW_SCHEMA), model, buckets=B
+        ).collect()
+    }
+    assert got[10] == "en" and got[11] == "fr"
+    assert got[12] in ("en", "fr")  # empty doc: priors + '' gram decide
+
+
+def test_matches_python_reference(spark, model):
+    """Exact micro-nat replay: grams (unigrams + bigrams, '' sentinel
+    for empty docs), hashed buckets, Laplace lambdas quantized BEFORE
+    the sum — bit-identical scores."""
+    import hashlib
+
+    def grams(text):
+        toks = [t for t in (text or "").lower().strip().split() if t]
+        gs = list(toks)
+        if len(toks) == 0:
+            gs.append("")
+        elif len(toks) == 1:
+            gs.append(toks[0])
+        else:
+            gs += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B for g in gs
+        ]
+
+    counts: dict = {}
+    priors: dict = {}
+    for _, lab, text in SEED:
+        priors[lab] = priors.get(lab, 0) + 1
+        for b in grams(text):
+            counts[(lab, b)] = counts.get((lab, b), 0) + 1
+    tot = {
+        lab: sum(c for (l, _), c in counts.items() if l == lab)
+        for lab in priors
+    }
+    nd = sum(priors.values())
+
+    def lam(lab, b):
+        return math.floor(
+            math.log((counts.get((lab, b), 0) + 1.0) / (tot[lab] + 1.0 * B))
+            * 1e6
+            + 0.5
+        )
+
+    def score(text, lab):
+        p = math.floor(math.log(priors[lab] / nd) * 1e6 + 0.5)
+        return p + sum(lam(lab, b) for b in grams(text))
+
+    expect = {}
+    for i, text in NEW:
+        best = sorted(
+            priors, key=lambda lab: (-score(text, lab), lab)
+        )[0]
+        expect[i] = (best, score(text, best))
+    got = {
+        r.doc_id: (r.label, r.score_micro)
+        for r in nb_classify(
+            spark.createDataFrame(NEW, NEW_SCHEMA), model, buckets=B
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_all_scores_long_form(spark, model):
+    rows = nb_classify(
+        spark.createDataFrame(NEW, NEW_SCHEMA),
+        model,
+        buckets=B,
+        all_scores=True,
+    ).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.label)
+    assert all(v == {"en", "fr"} for v in per_doc.values())
+
+
+def test_validation_and_guards(spark, model):
+    new = spark.createDataFrame(NEW, NEW_SCHEMA)
+    with pytest.raises(ValueError, match="smoothing"):
+        nb_classify(new, model, smoothing=0.0)
+    with pytest.raises(ValueError, match="max_grid"):
+        nb_classify(new, model, buckets=B, max_grid=10)
+    with pytest.raises(ValueError, match="missing column"):
+        nb_classify(new, model.drop("c"))
+    with pytest.raises(ValueError, match="no prior rows"):
+        nb_classify(new, model.where("bucket >= 0"), buckets=B)
+    bad_seed = spark.createDataFrame(
+        [(1, None, "text")], SEED_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        nb_fit(bad_seed).collect()
+    assert "NULL label" in str(exc.value)
+    bad_new = spark.createDataFrame([(None, "x")], NEW_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        nb_classify(bad_new, model, buckets=B).collect()
+    assert "NULL id" in str(exc.value)
+
+
+def test_partitioning_independent(spark, model):
+    new = spark.createDataFrame(NEW, NEW_SCHEMA)
+    a = sorted(
+        map(tuple, nb_classify(new, model, buckets=B).collect())
+    )
+    b = sorted(
+        map(tuple, nb_classify(new.repartition(7), model, buckets=B).collect())
+    )
+    assert a == b
+
+
+def test_registry_stages(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    spark.createDataFrame(SEED, SEED_SCHEMA).createOrReplaceTempView("nb_seed")
+    spark.createDataFrame(NEW, NEW_SCHEMA).createOrReplaceTempView("nb_new")
+    model = run_operator(
+        spark,
+        {"type": "nb_fit", "input": "nb_seed", "options": {"buckets": B}},
+    )
+    model.createOrReplaceTempView("nb_model")
+    out = run_operator(
+        spark,
+        {
+            "type": "nb_classify",
+            "input": "nb_new",
+            "options": {"model": "nb_model", "buckets": B},
+        },
+    )
+    got = {r.doc_id: r.label for r in out.collect()}
+    assert got[10] == "en" and got[11] == "fr"
+    for v in ("nb_seed", "nb_new", "nb_model"):
+        spark.catalog.dropTempView(v)
