@@ -1798,11 +1798,15 @@ def _op_nb_classify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     docs = spark.table("documents")
+    # the model is a bounded relation — checkpoint it once so the
+    # metadata read and the scoring job don't each re-run the fit
+    # lineage (production persists/writes the model; nb_classify's
+    # docstring says exactly this)
     model = nb_fit(
         docs.where(F.col("doc_id") % 3 == 0),
         label_col="lang",
         buckets=_NB_BUCKETS,
-    )
+    ).localCheckpoint()
     return nb_classify(
         docs.where(F.col("doc_id") % 3 != 0),
         model,

@@ -213,13 +213,15 @@ def _op_nb_classify(spark, inp, options):
             "nb_classify operator requires options.model (a (label, "
             "bucket, c) table, e.g. an nb_fit stage)"
         )
+    bkts = options.get("buckets")
     return nb_classify(
         inp,
         spark.table(model_table),
         text_col=options.get("text_col", "text"),
         id_col=options.get("id_col", "doc_id"),
         smoothing=float(options.get("smoothing", 1.0)),
-        buckets=int(options.get("buckets", 10_000)),
+        # None (the default) reads the model's own metadata row
+        buckets=None if bkts is None else int(bkts),
         all_scores=bool(options.get("all_scores", False)),
     )
 

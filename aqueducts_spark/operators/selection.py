@@ -62,6 +62,12 @@ __all__ = [
 # a PERSISTED ratio table stays self-contained
 DEFAULT_BUCKET = -1
 
+# nb_fit metadata sentinel: the model's build `buckets` rides as one
+# (label NULL, bucket -2) row — classifying with a mismatched bucket
+# count silently misaligns every hash cell, so the model carries it
+# (the kmv/hll "sketch carries its k/m" discipline)
+_NB_META_BUCKET = -2
+
 _MICRO = 1e6
 _HASH_SPACE = float(1 << 60)
 
@@ -599,13 +605,15 @@ def nb_fit(
     feature counts need no iteration, which is exactly why naive Bayes
     is the scalable seed-classifier choice.
 
-    Output is a single persistable relation: ``(label, bucket, c)``
-    per-class hashed-gram counts (same unigram+bigram ``buckets``
-    feature space as DSIR — :func:`_gram_buckets`), plus one PRIOR row
-    per class carrying its DOCUMENT count at ``bucket =
-    DEFAULT_BUCKET`` (real buckets are >= 0, so the relation is
-    self-contained at rest like the DSIR ratio table).  Feed it to
-    :func:`nb_classify`.
+    Output is a single SELF-CONTAINED persistable relation: ``(label,
+    bucket, c)`` per-class hashed-gram counts (same unigram+bigram
+    ``buckets`` feature space as DSIR — shared via
+    :func:`dsir_bucket_counts`), one PRIOR row per class carrying its
+    DOCUMENT count at ``bucket = DEFAULT_BUCKET``, and one METADATA
+    row (``label NULL, bucket = -2``) carrying the build ``buckets``
+    — the kmv/hll "sketch carries its k/m" discipline: classifying
+    with a mismatched bucket count would silently misalign every
+    hash cell, so :func:`nb_classify` reads (and validates) it.
 
     NULL labels are rejected loudly (an unlabeled seed row is a data
     bug, and a NULL class would silently become its own category).
@@ -623,23 +631,32 @@ def nb_fit(
             ).cast("boolean"),
         ).otherwise(F.lit(True))
     )
-    feats = (
-        ensure_parallelism(guarded)
-        .select(
-            F.col(label_col).alias("label"),
-            F.explode(_gram_buckets(F.col(text_col), buckets)).alias(
-                "bucket"
-            ),
-        )
-        .groupBy("label", "bucket")
-        .agg(F.count("*").alias("c"))
+    # the SAME per-key hashed-gram counting path DSIR uses (one shared
+    # implementation — the feature spaces must never diverge), with the
+    # label playing the grouping-key role; projected through safe names
+    # so a label/text column named "bucket"/"c" cannot collide
+    proj = guarded.select(
+        F.col(label_col).alias("__nb_l"), F.col(text_col).alias("__nb_t")
     )
+    feats = dsir_bucket_counts(
+        proj, text_col="__nb_t", id_col="__nb_l", buckets=buckets
+    ).select(F.col("__nb_l").alias("label"), "bucket", "c")
     priors = guarded.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("c")
     ).select("label", F.lit(DEFAULT_BUCKET).cast("bigint").alias("bucket"), "c")
-    return feats.select(
-        "label", F.col("bucket").cast("bigint").alias("bucket"), "c"
-    ).unionByName(priors)
+    label_type = dict(feats.dtypes)["label"]
+    meta = guarded.sparkSession.range(1).select(
+        F.lit(None).cast(label_type).alias("label"),
+        F.lit(_NB_META_BUCKET).cast("bigint").alias("bucket"),
+        F.lit(int(buckets)).cast("bigint").alias("c"),
+    )
+    return (
+        feats.select(
+            "label", F.col("bucket").cast("bigint").alias("bucket"), "c"
+        )
+        .unionByName(priors)
+        .unionByName(meta)
+    )
 
 
 def nb_classify(
@@ -648,7 +665,7 @@ def nb_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     smoothing: float = 1.0,
-    buckets: int = 10_000,
+    buckets: Optional[int] = None,
     all_scores: bool = False,
     max_grid: int = 10_000_000,
 ) -> DataFrame:
@@ -656,6 +673,17 @@ def nb_classify(
     ``log P(class | doc) ∝ log prior + Σ_grams log P(gram | class)``
     with Laplace ``smoothing`` — the corpus-scale inference pass of
     the seed-trained classifier.
+
+    ``buckets`` defaults to None — read from the model's own metadata
+    row (models built here carry it; the kmv/hll discipline): a
+    mismatched bucket count would silently misalign every hash cell
+    and classify with confident garbage, so an EXPLICIT ``buckets``
+    that contradicts the model raises.  Reading it costs one tiny
+    driver action over the model (together with the class count for
+    the ``max_grid`` guard) — when the model comes straight from an
+    unpersisted :func:`nb_fit` over a large seed set, that action
+    executes the fit lineage once before the scoring job does again;
+    persist or write the model first for production use.
 
     Exactness discipline (the :func:`~.text.unigram_logprob` recipe):
     each per-(class, bucket) log-likelihood quantizes to integer
@@ -683,8 +711,6 @@ def nb_classify(
         raise ValueError(
             f"nb_classify: smoothing must be > 0, got {smoothing}"
         )
-    if buckets < 1:
-        raise ValueError(f"nb_classify: buckets must be >= 1, got {buckets}")
     for c in ("label", "bucket", "c"):
         if c not in model.columns:
             raise ValueError(
@@ -694,12 +720,47 @@ def nb_classify(
     prior_rows = model.where(F.col("bucket") == DEFAULT_BUCKET)
     tok = model.where(F.col("bucket") >= 0)
     tot = tok.groupBy("label").agg(F.sum("c").alias("__tot"))
-    n_labels = prior_rows.select("label").distinct().count()
+    # ONE small driver action reads the model metadata: the build
+    # bucket count (bucket -2 sentinel) and the class count together
+    info = model.where(F.col("bucket") < 0).agg(
+        F.count_distinct(
+            F.when(F.col("bucket") == DEFAULT_BUCKET, F.col("label"))
+        ).alias("__k"),
+        F.min(
+            F.when(F.col("bucket") == _NB_META_BUCKET, F.col("c"))
+        ).alias("__b_min"),
+        F.max(
+            F.when(F.col("bucket") == _NB_META_BUCKET, F.col("c"))
+        ).alias("__b_max"),
+    ).first()
+    n_labels = int(info["__k"] or 0)
     if n_labels == 0:
         raise ValueError(
             "nb_classify: model has no prior rows (bucket = -1) — was it "
             "built by nb_fit?"
         )
+    if info["__b_min"] is not None and info["__b_min"] != info["__b_max"]:
+        raise ValueError(
+            "nb_classify: model carries conflicting bucket-count metadata "
+            f"({info['__b_min']} vs {info['__b_max']}) — models with "
+            "different bucket counts were mixed"
+        )
+    model_buckets = None if info["__b_max"] is None else int(info["__b_max"])
+    if buckets is None:
+        if model_buckets is None:
+            raise ValueError(
+                "nb_classify: model has no bucket-count metadata row; "
+                "pass buckets explicitly"
+            )
+        buckets = model_buckets
+    elif model_buckets is not None and buckets != model_buckets:
+        raise ValueError(
+            f"nb_classify: the buckets argument ({buckets}) contradicts "
+            f"the model's build bucket count ({model_buckets}) — hash "
+            "cells would silently misalign"
+        )
+    if buckets < 1:
+        raise ValueError(f"nb_classify: buckets must be >= 1, got {buckets}")
     if n_labels * buckets > max_grid:
         raise ValueError(
             f"nb_classify: {n_labels} classes x {buckets} buckets exceeds "
@@ -752,17 +813,11 @@ def nb_classify(
             ).cast("boolean"),
         ).otherwise(F.lit(True))
     )
-    tf = (
-        ensure_parallelism(guarded)
-        .select(
-            F.col(id_col),
-            F.explode(_gram_buckets(F.col(text_col), buckets)).alias(
-                "bucket"
-            ),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("__c"))
-    )
+    # the SAME per-doc hashed-gram counting path DSIR uses — one shared
+    # implementation so the NB and DSIR feature spaces cannot diverge
+    tf = dsir_bucket_counts(
+        guarded, text_col=text_col, id_col=id_col, buckets=buckets
+    ).withColumnRenamed("c", "__c")
     scores = (
         tf.join(F.broadcast(grid), "bucket")
         .groupBy(id_col, "label")

@@ -36,10 +36,30 @@ def test_model_shape(spark, model):
     rows = model.collect()
     priors = {r.label: r.c for r in rows if r.bucket == -1}
     assert priors == {"en": 3, "fr": 2}
-    assert all(r.bucket >= -1 for r in rows)
+    assert all(r.bucket >= -2 for r in rows)
+    # self-contained: the metadata row carries the build bucket count
+    meta = [r for r in rows if r.bucket == -2]
+    assert len(meta) == 1 and meta[0].c == B and meta[0].label is None
     # token totals = gram counts of each class's docs
     en_total = sum(r.c for r in rows if r.label == "en" and r.bucket >= 0)
     assert en_total > 0
+
+
+def test_buckets_read_from_model_and_mismatch_rejected(spark, model):
+    new = spark.createDataFrame(NEW, NEW_SCHEMA)
+    # default: read from the metadata row — same result as explicit B
+    a = sorted(map(tuple, nb_classify(new, model).collect()))
+    b = sorted(map(tuple, nb_classify(new, model, buckets=B).collect()))
+    assert a == b
+    # a contradicting explicit value would misalign every hash cell
+    with pytest.raises(ValueError, match="contradicts"):
+        nb_classify(new, model, buckets=B * 2)
+    # a metadata-less (externally built) model needs explicit buckets
+    bare = model.where("bucket >= -1")
+    with pytest.raises(ValueError, match="no bucket-count metadata"):
+        nb_classify(new, bare)
+    got = nb_classify(new, bare, buckets=B).collect()
+    assert sorted(map(tuple, got)) == a
 
 
 def test_classify_separates_languages(spark, model):
