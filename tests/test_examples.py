@@ -14,6 +14,7 @@ PARAMS = {
     "data_dir": "/root/testdata/sf0.001",
     "out_dir": "/tmp/aq_examples",
     "min_quality": "0.5",
+    "min_margin_micro": "0",
 }
 
 
@@ -47,6 +48,7 @@ def test_examples_exist():
         "tokenizer_fit.yml",
         "corpus_layout.yml",
         "multimodal_neardup.yml",
+        "seed_classifier.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
