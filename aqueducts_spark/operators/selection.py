@@ -718,8 +718,6 @@ def nb_classify(
                 "the (label, bucket, c) relation nb_fit produces"
             )
     prior_rows = model.where(F.col("bucket") == DEFAULT_BUCKET)
-    tok = model.where(F.col("bucket") >= 0)
-    tot = tok.groupBy("label").agg(F.sum("c").alias("__tot"))
     # ONE small driver action reads the model metadata: the build
     # bucket count (bucket -2 sentinel) and the class count together
     info = model.where(F.col("bucket") < 0).agg(
@@ -766,6 +764,23 @@ def nb_classify(
             f"nb_classify: {n_labels} classes x {buckets} buckets exceeds "
             f"max_grid={max_grid} — shrink buckets or raise the cap"
         )
+    # a metadata-less (externally built) model whose counts use MORE
+    # buckets than the explicit argument would otherwise silently drop
+    # every out-of-range cell from the grid join AND its totals — the
+    # same misalignment the metadata check catches, caught lazily here
+    tok = model.where(F.col("bucket") >= 0).filter(
+        F.when(
+            F.col("bucket") >= F.lit(int(buckets)),
+            F.raise_error(
+                F.lit(
+                    "nb_classify: model carries bucket values >= the "
+                    f"bucket count ({buckets}) — it was fit with more "
+                    "buckets; pass the fit-time value"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    tot = tok.groupBy("label").agg(F.sum("c").alias("__tot"))
     alpha = float(smoothing)
     # complete lambda grid: one row per (class, bucket), smoothed
     # default where the class never saw the bucket

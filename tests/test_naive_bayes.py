@@ -198,3 +198,14 @@ def test_registry_stages(spark):
     assert got[10] == "en" and got[11] == "fr"
     for v in ("nb_seed", "nb_new", "nb_model"):
         spark.catalog.dropTempView(v)
+
+
+def test_oversized_model_buckets_raise_lazily(spark, model):
+    # strip metadata (a foreign model) and classify with a SMALLER
+    # explicit bucket count: out-of-range cells must raise, not be
+    # silently dropped from the grid join and totals
+    bare = model.where("bucket >= -1")
+    new = spark.createDataFrame(NEW, NEW_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        nb_classify(new, bare, buckets=B // 4).collect()
+    assert "fit with more buckets" in str(exc.value)
