@@ -766,8 +766,12 @@ def nb_classify(
         )
     # a metadata-less (externally built) model whose counts use MORE
     # buckets than the explicit argument would otherwise silently drop
-    # every out-of-range cell from the grid join AND its totals — the
-    # same misalignment the metadata check catches, caught lazily here
+    # every out-of-range cell from the grid join AND its totals —
+    # caught lazily here.  The opposite direction (fit with FEWER
+    # buckets than claimed) is UNDETECTABLE from the counts alone:
+    # every value is in range, the cells are just misaligned — which is
+    # exactly why nb_fit embeds the metadata row and self-contained
+    # models validate both directions eagerly above
     tok = model.where(F.col("bucket") >= 0).filter(
         F.when(
             F.col("bucket") >= F.lit(int(buckets)),
