@@ -40,7 +40,7 @@ Scale shape (the 100 TB contract):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +55,7 @@ __all__ = [
     "perplexity_buckets",
     "nb_fit",
     "nb_classify",
+    "merge_nb_models",
 ]
 
 # ratio-table sentinel: the smoothed-zero log-ratio for buckets seen in
@@ -862,3 +863,24 @@ def nb_classify(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_nb_models(models: Sequence[DataFrame]) -> DataFrame:
+    """Merge :func:`nb_fit` models — per-class counts and priors ADD
+    (``nb_fit(A ⊎ B) == merge(nb_fit(A), nb_fit(B))`` exactly, the
+    KMV/HLL merge-law discipline), so per-shard / per-day fits roll up
+    without re-reading raw text.  Metadata rows pass through
+    deduplicated: models built with different bucket counts produce
+    conflicting metadata that :func:`nb_classify` rejects loudly (a
+    summed metadata row would silently claim a wrong bucket count).
+    """
+    u = models[0].select("label", "bucket", "c")
+    for m in models[1:]:
+        u = u.unionByName(m.select("label", "bucket", "c"))
+    counts = (
+        u.where(F.col("bucket") >= DEFAULT_BUCKET)
+        .groupBy("label", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    meta = u.where(F.col("bucket") == _NB_META_BUCKET).distinct()
+    return counts.unionByName(meta)

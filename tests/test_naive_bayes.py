@@ -209,3 +209,40 @@ def test_oversized_model_buckets_raise_lazily(spark, model):
     with pytest.raises(Exception) as exc:
         nb_classify(new, bare, buckets=B // 4).collect()
     assert "fit with more buckets" in str(exc.value)
+
+
+def test_merge_law(spark):
+    """nb_fit(A ⊎ B) == merge(nb_fit(A), nb_fit(B)) EXACTLY (relation
+    equality), so per-shard fits roll up without re-reading text."""
+    from aqueducts_spark.operators.selection import merge_nb_models
+
+    df = spark.createDataFrame(SEED, SEED_SCHEMA)
+    whole = nb_fit(df, buckets=B)
+    merged = merge_nb_models(
+        [
+            nb_fit(df.where("doc_id <= 2"), buckets=B),
+            nb_fit(df.where("doc_id > 2"), buckets=B),
+        ]
+    )
+    # the metadata row's NULL label needs a None-safe sort key
+    key = lambda t: (t[0] is None, t[0], t[1], t[2])  # noqa: E731
+    assert sorted(map(tuple, whole.collect()), key=key) == sorted(
+        map(tuple, merged.collect()), key=key
+    )
+    # and classification through the merged model is identical
+    new = spark.createDataFrame(NEW, NEW_SCHEMA)
+    a = sorted(map(tuple, nb_classify(new, whole).collect()))
+    b = sorted(map(tuple, nb_classify(new, merged).collect()))
+    assert a == b
+
+
+def test_merge_mixed_buckets_rejected_downstream(spark):
+    from aqueducts_spark.operators.selection import merge_nb_models
+
+    df = spark.createDataFrame(SEED, SEED_SCHEMA)
+    merged = merge_nb_models(
+        [nb_fit(df, buckets=B), nb_fit(df, buckets=B * 2)]
+    )
+    new = spark.createDataFrame(NEW, NEW_SCHEMA)
+    with pytest.raises(ValueError, match="conflicting bucket-count"):
+        nb_classify(new, merged)
