@@ -124,6 +124,7 @@ def minhash_overlap(
     shingle_n: int = 3,
     threshold: float = 0.8,
     hash_fn: str = "md5",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """FUZZY train-vs-benchmark overlap (the GPT-3-style companion to
     exact :func:`ngram_overlap`): near-duplicate flags survive
@@ -148,8 +149,12 @@ def minhash_overlap(
     pool into ONE union minhash signature while the exact-Jaccard
     verification SUMS shingle counts across the id's rows, skewing
     jaccard in both directions; an eager distinct-count check would
-    cost a full corpus pass, so this is a documented contract, not a
-    runtime check.  Benchmark ids must be UNIQUE and
+    cost a full corpus pass, so by default this is a documented
+    contract — pass ``validate_ids=True`` to fold a duplicate-id
+    check into the EXISTING corpus signature aggregation (a per-row
+    tag + ``count_distinct`` riding the groupBy that is already there,
+    no extra pass) and raise loudly on any id with multiple non-empty
+    rows.  Benchmark ids must be UNIQUE and
     NON-NULL: NULL/duplicate ids would silently pool distinct bench
     docs into one union signature (deflating every Jaccard) — the
     benchmark is small, so this is validated eagerly and rejected.
@@ -198,8 +203,18 @@ def minhash_overlap(
     bench = benchmark.select(
         F.col(bench_id_col).alias(bid), F.col(bench_text_col).alias("__btext")
     )
+    dup_tag = None
+    corpus_in = corpus
+    if validate_ids:
+        # per-ROW tag (unique within this computation); the signature
+        # groupBy counts distinct tags per id — >1 means pooled rows
+        dup_tag = _fresh("__mo_rowtag")
+        corpus_in = corpus.withColumn(
+            dup_tag, F.monotonically_increasing_id()
+        )
     cb = minhash_bands(
-        corpus, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+        corpus_in, id_col, text_col, num_hashes, bands, shingle_n, hash_fn,
+        dup_check_col=dup_tag,
     )
     bb = minhash_bands(
         bench, bid, "__btext", num_hashes, bands, shingle_n, hash_fn

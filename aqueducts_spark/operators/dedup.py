@@ -419,6 +419,7 @@ def _minhash_signature(
     num_hashes: int,
     shingle_n: int,
     hash_fn: str = "md5",
+    dup_check_col: str | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) — one MinHash per seed, single aggregation.
 
@@ -434,9 +435,18 @@ def _minhash_signature(
     k exploded rows per shingle (a 16x traffic difference at k=16).
     The k/4 md5 digests are staged into named columns so each is
     computed once per shingle, not once per slice.
+
+    ``dup_check_col`` (a pre-assigned per-ROW tag column, e.g.
+    ``monotonically_increasing_id``) opts into duplicate-id detection
+    folded into this SAME aggregation — ``count_distinct(tag)`` rides
+    the existing groupBy, no extra corpus pass — raising loudly when
+    any id pools more than one non-empty input row (pooled rows would
+    union their shingle sets into one signature silently).
     """
+    extra = [F.col(dup_check_col)] if dup_check_col else []
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
+        *extra,
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).where(F.col("shingle") != "")
     # the '' sentinel word_ngrams emits for empty/NULL docs is dropped:
@@ -473,7 +483,29 @@ def _minhash_signature(
         F.min(h_exprs[seed]).alias(f"mh{seed}")
         for seed in range(num_hashes)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    if dup_check_col:
+        aggs.append(
+            F.count_distinct(F.col(dup_check_col)).alias("__nrows")
+        )
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    if dup_check_col:
+        dup_guard = F.assert_true(
+            F.col("__nrows") <= 1,
+            F.concat(
+                F.lit(
+                    "duplicate ids: id "
+                ),
+                # concat of a NULL id would NULL the whole message
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(
+                    " appears on multiple non-empty rows — duplicate-id "
+                    "rows pool into ONE union minhash signature and skew "
+                    "every downstream jaccard; re-key the input"
+                ),
+            ),
+        )
+        sig = sig.where(dup_guard.isNull()).drop("__nrows")
+    return sig
 
 
 def minhash_signatures(
@@ -572,8 +604,10 @@ def fuzzy_filter_against(
     Contract: new-side ids must be non-NULL (the kept rows are
     addressed by id — raises loudly); empty/NULL-text documents have
     no signature, match nothing, and are KEPT; index signatures must
-    carry exactly ``num_hashes`` components (validated at execution —
-    an index built with different parameters would silently miss).
+    be non-NULL and carry exactly ``num_hashes`` components (both
+    validated at execution — an index built with different parameters
+    would silently miss, and a mis-populated NULL-signature index
+    would silently filter nothing).
     Returns ``new_docs`` rows whose document is NOT a near-duplicate
     of the index.
     """
@@ -608,22 +642,35 @@ def fuzzy_filter_against(
     new_sigs = minhash_signatures(
         guarded, id_col, text_col, num_hashes, shingle_n, hash_fn, nsig
     ).withColumnRenamed(id_col, nid)
-    sig_ok = F.when(
-        F.size(F.col(index_sig_col)) == num_hashes, F.col(index_sig_col)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
+    sig_ok = (
+        F.when(
+            F.col(index_sig_col).isNull(),
+            F.raise_error(
                 F.lit(
-                    "fuzzy_filter_against: index signature has "
-                ),
-                F.size(F.col(index_sig_col)).cast("string"),
-                F.lit(f" components, expected num_hashes={num_hashes}"),
-            )
-        ).cast("array<long>")
+                    "fuzzy_filter_against: NULL signature in the index — "
+                    "a mis-populated index would silently filter "
+                    "nothing; rebuild it with minhash_signatures (which "
+                    "emits no row for empty docs, never a NULL)"
+                )
+            ).cast("array<long>"),
+        )
+        .when(
+            F.size(F.col(index_sig_col)) == num_hashes,
+            F.col(index_sig_col),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fuzzy_filter_against: index signature has "
+                    ),
+                    F.size(F.col(index_sig_col)).cast("string"),
+                    F.lit(f" components, expected num_hashes={num_hashes}"),
+                )
+            ).cast("array<long>")
+        )
     )
-    idx = index.where(F.col(index_sig_col).isNotNull()).select(
-        sig_ok.alias(isig)
-    )
+    idx = index.select(sig_ok.alias(isig))
 
     def _explode_bands(df_, sig_name):
         return df_.select(
@@ -667,6 +714,7 @@ def minhash_bands(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    dup_check_col: str | None = None,
 ) -> DataFrame:
     """(id, band, band_hash) — LSH banding of the MinHash signature.
 
@@ -681,7 +729,10 @@ def minhash_bands(
             f"{num_hashes % bands} hashes and change the sensitivity curve"
         )
     rows_per_band = num_hashes // bands
-    sig = _minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    sig = _minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn,
+        dup_check_col=dup_check_col,
+    )
     # band hash = md5 of the band's minhashes in seed order; derived from
     # the wide signature row with no extra shuffle (posexplode is a map)
     band_hashes = [

@@ -1058,6 +1058,11 @@ def _op_sequence_spans(spark, inp, options):
     kwargs = {}
     if "max_shards" in options:
         kwargs["max_shards"] = int(options["max_shards"])
+    if "seq_len" not in options:
+        raise OperatorError(
+            "sequence_spans operator requires options.seq_len "
+            "(the packed sequence length in tokens)"
+        )
     return sequence_spans(
         inp,
         int(options["seq_len"]),
@@ -1088,6 +1093,11 @@ def _op_tokenizer_fertility(spark, inp, options):
 def _op_contamination_report(spark, inp, options):
     from .decontam import contamination_report
 
+    if "benchmark" not in options:
+        raise OperatorError(
+            "contamination_report operator requires options.benchmark "
+            "(the registered benchmark table name)"
+        )
     bench = spark.table(options["benchmark"])
     return contamination_report(
         inp,

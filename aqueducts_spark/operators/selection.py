@@ -718,6 +718,14 @@ def nb_classify(
                 f"nb_classify: model is missing column {c!r} — expected "
                 "the (label, bucket, c) relation nb_fit produces"
             )
+    # cache the model relation BEFORE the metadata action below: when
+    # the model comes straight from an unpersisted nb_fit over a large
+    # seed set, the action would otherwise execute the full fit lineage
+    # once for the metadata and AGAIN for the scoring job.  The model
+    # is bounded (<= max_grid cells + priors + one metadata row), so
+    # the cache is small; an already-cached / parquet-backed model is
+    # unaffected (cache() on a cached frame is a no-op).
+    model = model.cache()
     prior_rows = model.where(F.col("bucket") == DEFAULT_BUCKET)
     # ONE small driver action reads the model metadata: the build
     # bucket count (bucket -2 sentinel) and the class count together
@@ -799,14 +807,21 @@ def nb_classify(
         )
         .withColumn("bucket", F.col("bucket").cast("bigint"))
         .join(tok, ["label", "bucket"], "left")
-        .join(tot, "label")
+        # LEFT join + coalesce(0): a label with a prior row but no
+        # bucket>=0 feature rows (hand-built or mis-merged models)
+        # scores on smoothing alone instead of silently vanishing
+        # from the grid (an inner join here dropped such labels)
+        .join(tot, "label", "left")
         .select(
             "label",
             "bucket",
             F.floor(
                 F.log(
                     (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha))
-                    / (F.col("__tot").cast("double") + F.lit(alpha * buckets))
+                    / (
+                        F.coalesce(F.col("__tot"), F.lit(0)).cast("double")
+                        + F.lit(alpha * buckets)
+                    )
                 )
                 * F.lit(_MICRO)
                 + F.lit(0.5)

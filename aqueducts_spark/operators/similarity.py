@@ -580,6 +580,14 @@ def pq_encode(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if out_col in df.columns:
+        # withColumn would silently OVERWRITE an existing column of
+        # this name (bpe_encode/sequence_spans reject clashes loudly —
+        # same discipline here; also covers pq_topk's internal '__pq')
+        raise ValueError(
+            f"pq_encode: output column {out_col!r} already exists on "
+            "the input — rename it or pass a different out_col"
+        )
     C = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
     M, _, dsub = C.shape
     dim = M * dsub

@@ -509,14 +509,38 @@ def merge_hll_sketches(
 ) -> DataFrame:
     """Register-wise MAX: HLL(A ⊎ B) == merge(HLL(A), HLL(B)) exactly
     (registers are maxima), so per-shard sketches roll up losslessly.
-    All inputs must share the same build ``m`` — enforced downstream by
-    :func:`hll_estimate`'s m-consistency guard, which a mixed merge
-    would trip."""
+
+    All inputs must share the same build ``m`` — validated HERE, at
+    merge time, not only downstream: the per-register ``min(m)`` below
+    erases the mixed-m evidence whenever a register survives from only
+    one input, so :func:`hll_estimate`'s m-consistency guard cannot be
+    relied on to trip after a mixed merge.  The check is one global
+    min/max over the (tiny, ≤ m rows per group per input) union,
+    broadcast back — sketches never touch raw data volume."""
     grp = list(group_cols)
     merged = sketches[0].select(*grp, "reg", "mx", "m")
     for s in sketches[1:]:
         merged = merged.unionByName(s.select(*grp, "reg", "mx", "m"))
-    return merged.groupBy(*grp, "reg").agg(
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.min("m").alias("__mmin"),
+        F.max("m").alias("__mmax"),
+        F.sum(F.col("m").isNull().cast("int")).alias("__mnulls"),
+    )
+    guard = F.assert_true(
+        (F.col("__rows") == 0)
+        | (
+            (F.col("__mnulls") == 0)
+            & (F.col("__mmin") == F.col("__mmax"))
+        ),
+        F.lit(
+            "merge_hll_sketches: inputs were built with different (or "
+            "NULL) m — a mixed-m merge collapses to one m per register "
+            "and the estimate is silently wrong; rebuild with one m"
+        ),
+    )
+    checked = merged.crossJoin(F.broadcast(stats.where(guard.isNull())))
+    return checked.groupBy(*grp, "reg").agg(
         F.max("mx").alias("mx"), F.min("m").alias("m")
     )
 
@@ -804,15 +828,52 @@ def cms_estimate(
 
 
 def merge_cms_sketches(
-    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+    sketches: Sequence[DataFrame],
+    group_cols: Sequence[str] = (),
+    width: Optional[int] = None,
+    depth: Optional[int] = None,
 ) -> DataFrame:
     """Cell-wise sum: CMS(A ⊎ B) == merge(CMS(A), CMS(B)) exactly
-    (counters are linear), so per-shard sketches roll up losslessly."""
+    (counters are linear), so per-shard sketches roll up losslessly.
+
+    Unlike HLL's ``m``, a CMS relation does not carry its build
+    ``width``/``depth`` (cells are just ``(d, c, cnt)``), so a
+    mixed-parameter merge is only PARTIALLY detectable.  Pass
+    ``width``/``depth`` to assert every merged cell is in range —
+    catches an input built with a LARGER width/depth; a smaller-built
+    input stays in range and is undetectable from the cells alone
+    (the merge_hll_sketches m-guard discipline, applied as far as the
+    representation allows).  Estimation with mismatched parameters
+    overestimates silently — keep one (width, depth) per fleet."""
     grp = list(group_cols)
     merged = sketches[0].select(*grp, "d", "c", "cnt")
     for s in sketches[1:]:
         merged = merged.unionByName(s.select(*grp, "d", "c", "cnt"))
-    return merged.groupBy(*grp, "d", "c").agg(F.sum("cnt").alias("cnt"))
+    out = merged.groupBy(*grp, "d", "c").agg(F.sum("cnt").alias("cnt"))
+    checks = []
+    if width is not None:
+        checks.append(
+            (F.col("c") >= 0) & (F.col("c") < F.lit(int(width)))
+        )
+    if depth is not None:
+        checks.append(
+            (F.col("d") >= 1) & (F.col("d") <= F.lit(int(depth)))
+        )
+    if checks:
+        cond = checks[0]
+        for extra in checks[1:]:
+            cond = cond & extra
+        guard = F.assert_true(
+            cond,
+            F.lit(
+                "merge_cms_sketches: merged cells fall outside the "
+                f"declared width={width}/depth={depth} — an input was "
+                "built with different parameters; rebuild with one "
+                "(width, depth)"
+            ),
+        )
+        out = out.where(guard.isNull())
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1015,7 +1076,14 @@ def dd_sketch(
 def merge_dd_sketches(
     sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
 ) -> DataFrame:
-    """Bucket-wise sum: DD(A ⊎ B) == merge(DD(A), DD(B)) exactly."""
+    """Bucket-wise sum: DD(A ⊎ B) == merge(DD(A), DD(B)) exactly.
+
+    A DDSketch relation does not carry its build ``gamma`` (buckets
+    are just ``(sgn, bucket, cnt)``) and ANY bucket index is valid
+    under any gamma, so a mixed-gamma merge is UNDETECTABLE from the
+    rows — unlike HLL (m carried, asserted at merge) and CMS (range
+    check available).  Keep one gamma per fleet; :func:`dd_quantile`
+    interprets buckets under the single gamma it is given."""
     grp = list(group_cols)
     merged = sketches[0].select(*grp, "sgn", "bucket", "cnt")
     for s in sketches[1:]:

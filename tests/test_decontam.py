@@ -812,3 +812,19 @@ def test_contamination_report_corpus_side_is_broadcast_join(spark, corpus, bench
     # the bench gram table broadcasts into the corpus explode; no
     # sort-merge join anywhere on the corpus path
     assert info.broadcast_joins >= 2 and info.sort_merge_joins == 0
+
+
+def test_contamination_report_registry_missing_benchmark_option(spark, corpus):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    corpus.createOrReplaceTempView("cr_corpus3")
+    with pytest.raises(OperatorError, match="benchmark"):
+        run_operator(
+            spark,
+            {
+                "type": "contamination_report",
+                "input": "cr_corpus3",
+                "options": {},
+            },
+        )
+    spark.catalog.dropTempView("cr_corpus3")

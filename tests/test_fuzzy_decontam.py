@@ -359,3 +359,41 @@ def test_minhash_overlap_registry_stage(spark):
     assert got == {(1, 100), (2, 100)}
     spark.catalog.dropTempView("fo_corpus")
     spark.catalog.dropTempView("fo_bench")
+
+
+def test_validate_ids_rejects_duplicate_corpus_ids(spark):
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(1, BASE), (1, BASE.replace("lazy", "sleepy")),
+         (2, "other text entirely")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception) as exc:
+        minhash_overlap(
+            dup, _bench(spark),
+            bench_id_col="bench_key", bench_text_col="body",
+            threshold=0.1, validate_ids=True,
+        ).collect()
+    assert "duplicate ids" in str(exc.value)
+    # documented-contract mode stays silent (backcompat)
+    minhash_overlap(
+        dup, _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body",
+        threshold=0.1,
+    ).collect()
+
+
+def test_validate_ids_passes_unique_ids_and_matches_default(spark):
+    base = minhash_overlap(
+        _corpus(spark), _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body", threshold=0.1,
+    )
+    checked = minhash_overlap(
+        _corpus(spark), _bench(spark),
+        bench_id_col="bench_key", bench_text_col="body", threshold=0.1,
+        validate_ids=True,
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, checked.collect())
+    )

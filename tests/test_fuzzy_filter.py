@@ -242,3 +242,16 @@ def test_band_keys_interop_on_xxhash64_path(spark):
         ).collect()
     }
     assert from_text == from_sig and len(from_text) == 12
+
+
+def test_null_index_signature_raises(spark, index):
+    # a mis-populated (NULL-signature) index used to be silently
+    # dropped row-by-row — an all-NULL index filtered NOTHING with no
+    # signal.  It must raise loudly now.
+    nulled = index.select(
+        F.lit(None).cast("array<long>").alias("minhash")
+    )
+    new = spark.createDataFrame(NEAR[:1], SCHEMA)
+    with pytest.raises(Exception) as exc:
+        fuzzy_filter_against(new, nulled).collect()
+    assert "NULL signature" in str(exc.value)

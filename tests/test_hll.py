@@ -226,3 +226,44 @@ def test_null_m_rows_rejected(spark, toy):
     # explicit-m path: execution guard catches the NULL-m rows too
     with pytest.raises(Exception):
         hll_estimate(broken, ["grp"], m=64).collect()
+
+
+def test_merge_mixed_m_raises_at_merge_time(spark, toy):
+    a = hll_sketch(toy, ["grp"], "v", m=64)
+    b = hll_sketch(toy, ["grp"], "v", m=128)
+    with pytest.raises(Exception) as exc:
+        merge_hll_sketches([a, b], ["grp"]).collect()
+    assert "merge_hll_sketches" in str(exc.value)
+    assert "different" in str(exc.value)
+
+
+def test_merge_mixed_m_raises_even_under_full_register_collision(spark):
+    # the case the downstream estimator guard CANNOT catch: every
+    # register of the larger-m sketch collides with one of the
+    # smaller-m sketch, so per-register min(m) erases the conflict
+    # and every merged row would carry m=64 uniformly.  The merge-time
+    # guard must trip anyway.
+    a = spark.createDataFrame(
+        [("g", r, 5, 64) for r in range(4)],
+        "grp string, reg int, mx int, m int",
+    )
+    b = spark.createDataFrame(
+        [("g", r, 7, 128) for r in range(4)],
+        "grp string, reg int, mx int, m int",
+    )
+    with pytest.raises(Exception) as exc:
+        merge_hll_sketches([a, b], ["grp"]).collect()
+    assert "merge_hll_sketches" in str(exc.value)
+
+
+def test_merge_null_m_raises(spark, toy):
+    a = hll_sketch(toy, ["grp"], "v", m=64)
+    b = a.withColumn("m", F.lit(None).cast("int"))
+    with pytest.raises(Exception) as exc:
+        merge_hll_sketches([a, b], ["grp"]).collect()
+    assert "merge_hll_sketches" in str(exc.value)
+
+
+def test_merge_of_empty_sketches_is_empty_not_an_error(spark, toy):
+    empty = hll_sketch(toy.where("v < 0"), ["grp"], "v", m=64)
+    assert merge_hll_sketches([empty, empty], ["grp"]).count() == 0

@@ -246,3 +246,56 @@ def test_merge_mixed_buckets_rejected_downstream(spark):
     new = spark.createDataFrame(NEW, NEW_SCHEMA)
     with pytest.raises(ValueError, match="conflicting bucket-count"):
         nb_classify(new, merged)
+
+
+def test_prior_only_label_scores_on_smoothing_alone(spark):
+    # hand-built model: label "emptyish" has a prior row but NO
+    # bucket>=0 feature rows (possible via hand assembly or a bad
+    # merge).  It must stay in the grid scored on smoothing alone,
+    # not silently vanish from every argmax.
+    from aqueducts_spark.operators.selection import (
+        DEFAULT_BUCKET,
+        _NB_META_BUCKET,
+    )
+
+    rows = (
+        # features for "en" only
+        [("en", b, 3) for b in range(4)]
+        # priors: both classes, "emptyish" heavily favored
+        + [("en", DEFAULT_BUCKET, 1), ("emptyish", DEFAULT_BUCKET, 99)]
+        # metadata row carrying buckets
+        + [(None, _NB_META_BUCKET, B)]
+    )
+    model = spark.createDataFrame(rows, "label string, bucket long, c long")
+    out = nb_classify(
+        spark.createDataFrame(NEW, NEW_SCHEMA),
+        model,
+        all_scores=True,
+    )
+    labels = {r.label for r in out.collect()}
+    assert "emptyish" in labels  # did not vanish from scoring
+
+
+def test_unpersisted_fit_lineage_executes_once(spark):
+    # verdict r6 "what's wrong #2": nb_classify on an unpersisted
+    # nb_fit model used to execute the fit lineage twice (metadata
+    # action + scoring job).  A row-counting accumulator in the seed
+    # lineage proves the model is now cached before the first action.
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(s):
+        acc.add(1)
+        return s
+
+    tap_udf = F.udf(tap, "string")
+    seed = spark.createDataFrame(SEED, SEED_SCHEMA).withColumn(
+        "text", tap_udf("text")
+    )
+    model = nb_fit(seed, buckets=B)
+    out = nb_classify(
+        spark.createDataFrame(NEW, NEW_SCHEMA), model
+    ).collect()
+    assert len(out) == len(NEW)
+    # the seed rows passed through the fit exactly once, not twice
+    assert acc.value == len(SEED)
+    model.unpersist()

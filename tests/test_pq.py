@@ -317,3 +317,15 @@ def test_shared_sample_matches_own_draw(emb):
     assert train_pq(emb, n_subspaces=2, n_centroids=4) == train_pq(
         emb, n_subspaces=2, n_centroids=4, sample=X
     )
+
+
+def test_encode_out_col_clash_rejected(emb, books):
+    coded = pq_encode(emb, books, out_col="pq_code")
+    with pytest.raises(ValueError, match="already exists"):
+        pq_encode(coded, books, out_col="pq_code")
+    # the internal '__pq' name used by pq_topk is covered by the same
+    # guard: an input already carrying it raises instead of being
+    # silently overwritten
+    with pytest.raises(ValueError, match="already exists"):
+        pq_encode(coded.withColumnRenamed("pq_code", "__pq"), books,
+                  out_col="__pq")

@@ -112,3 +112,15 @@ def test_registry_stage(spark):
     )
     assert _collect(out) == _ref_spans(sorted(DOCS), 10)
     spark.catalog.dropTempView("sq_docs")
+
+
+def test_registry_stage_missing_seq_len_raises_operator_error(spark):
+    from aqueducts_spark.operators.registry import OperatorError, run_operator
+
+    spark.createDataFrame(DOCS, SCHEMA).createOrReplaceTempView("sq_docs2")
+    with pytest.raises(OperatorError, match="seq_len"):
+        run_operator(
+            spark,
+            {"type": "sequence_spans", "input": "sq_docs2", "options": {}},
+        )
+    spark.catalog.dropTempView("sq_docs2")

@@ -395,3 +395,26 @@ class TestCorpusOverlap:
         assert out.first().intersection_est == 5.0
         for v in ("co_a", "co_b"):
             spark.catalog.dropTempView(v)
+
+
+def test_cms_merge_range_validation(spark):
+    from aqueducts_spark.operators.sketch import cms_sketch, merge_cms_sketches
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3]], ["v"])
+    small = cms_sketch(a, [], "v", width=64, depth=3)
+    big = cms_sketch(a, [], "v", width=1024, depth=3)
+    # declared parameters match the small build: the 1024-wide input's
+    # out-of-range cells must fail loudly, not overestimate silently
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        merge_cms_sketches([small, big], width=64, depth=3).collect()
+    assert "merge_cms_sketches" in str(exc.value)
+    # matching parameters pass the guard unchanged
+    ok = merge_cms_sketches([small, small], width=64, depth=3)
+    assert ok.count() > 0
+    # depth violation: a depth-5 build merged under a declared depth of 3
+    deep = cms_sketch(a, [], "v", width=64, depth=5)
+    with _pytest.raises(Exception) as exc:
+        merge_cms_sketches([small, deep], width=64, depth=3).collect()
+    assert "merge_cms_sketches" in str(exc.value)
