@@ -4297,23 +4297,71 @@ _BPE_ENC_MERGES = [
     ("i", "n"),
 ]
 
+# Byte-level (GPT-2-style) merge table: the first 8 merges
+# train_bpe(documents, byte_level=True) learns at sf0.01 — hardcoded
+# like _BPE_ENC_MERGES so the gate is a pure inference pass (the
+# trainer itself is pinned by tests/test_bpe_bytelevel.py's
+# argmax-consistency law).  Symbols are lowercase-hex UTF-8 bytes:
+# ' s', 'er', 'in', 'ow', 'or', 'mer', 'at', 'lu'.
+_BPE_BYTE_MERGES = [
+    ("20", "73"),
+    ("65", "72"),
+    ("69", "6e"),
+    ("6f", "77"),
+    ("6f", "72"),
+    ("6d", "6572"),
+    ("61", "74"),
+    ("6c", "75"),
+]
+
 
 def _duck_q(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _bpe_encode_duck_ctes(merges, end_marker="</w>", carry="") -> str:
+def _bpe_encode_duck_ctes(
+    merges, end_marker="</w>", carry="", byte_level=False
+) -> str:
     """Shared CTE chain for the BPE-inference oracles: documents ->
     clean word lists -> per-word symbol strings -> one list_reduce
     fold CTE per merge -> ``fin(doc_id[, carry], toks)``.  ``carry``
     is extra SELECT columns (e.g. ``", lang"``) threaded through every
-    CTE."""
+    CTE.
+
+    ``byte_level=True`` replays the GPT-2-style mode instead: "words"
+    are the pretokenizer's regex matches (case preserved — RE2 executes
+    the SAME pattern Spark's Java regex and the python path's `regex`
+    module run), and each word's symbols are its UTF-8 bytes as
+    lowercase-hex pairs via ``lower(hex(encode(w)))`` — the merge-fold
+    CTEs are IDENTICAL from there on (symbols are just hex strings)."""
     q = _duck_q
-    chars = "list_transform(range(1, length(w)+1), i -> substr(w, i, 1))"
-    if end_marker is not None:
-        chars = f"list_append({chars}, '{q(end_marker)}')"
-    ctes = [
-        f"""docs AS (
+    if byte_level:
+        from aqueducts_spark.operators.text import _BPE_BYTE_PAT
+
+        ctes = [
+            f"""docs AS (
+  SELECT doc_id{carry},
+    list_filter(
+      regexp_extract_all(coalesce(text, ''), '{q(_BPE_BYTE_PAT)}'),
+      w -> length(w) > 0) AS ws
+  FROM documents
+)""",
+            f"""init AS (
+  SELECT doc_id{carry},
+    list_transform(
+      list_transform(ws, w -> lower(hex(encode(w)))),
+      h -> array_to_string(
+        list_transform(range(1, length(h)//2 + 1), i -> substr(h, 2*i-1, 2)),
+        chr(31))) AS ws
+  FROM docs
+)""",
+        ]
+    else:
+        chars = "list_transform(range(1, length(w)+1), i -> substr(w, i, 1))"
+        if end_marker is not None:
+            chars = f"list_append({chars}, '{q(end_marker)}')"
+        ctes = [
+            f"""docs AS (
   SELECT doc_id{carry},
     list_filter(
       list_transform(
@@ -4322,11 +4370,11 @@ def _bpe_encode_duck_ctes(merges, end_marker="</w>", carry="") -> str:
       w -> length(w) > 0) AS ws
   FROM documents
 )""",
-        f"""init AS (
+            f"""init AS (
   SELECT doc_id{carry}, list_transform(ws, w -> array_to_string({chars}, chr(31))) AS ws
   FROM docs
 )""",
-    ]
+        ]
     prev = "init"
     for k, (a, b) in enumerate(merges, 1):
         a_, b_, ab_ = q(a), q(b), q(a + b)
@@ -4485,6 +4533,47 @@ def _op_tok_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BPE_ENC_MERGES,
         group_col="lang",
         method="python",  # the memoized scale path, like op_bpe_encode
+    )
+
+
+def _bpe_bytelevel_duck_sql() -> str:
+    return (
+        _bpe_encode_duck_ctes(_BPE_BYTE_MERGES, None, byte_level=True)
+        + "\n"
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,\n"
+        "       array_to_string(toks, ' ') AS tokens_str\n"
+        "FROM fin"
+    )
+
+
+def _op_bpe_bytelevel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level (GPT-2-style) BPE inference over every document
+    (operators/text.py::bpe_encode byte_level=True) — pretokens are
+    the GPT-2 regex matches (case preserved, whitespace runs
+    included), symbols are lowercase-hex UTF-8 byte pairs, no end
+    marker and no OOV by construction.  The oracle replays
+    pretokenize -> hex byte split -> the same greedy merge folds in
+    DuckDB SQL, so every byte of every token is cross-engine checked.
+    Runs the memoized method='python' scale path; the expression twin
+    is bit-parity-pinned in tests/test_bpe_bytelevel.py.
+
+    Reference scope: the reference engine has no tokenizer operators —
+    this is part of the beyond-reference LLM-pipeline surface (GPT-2
+    encoder.py / tiktoken lineage, public)."""
+    from aqueducts_spark.operators.text import bpe_encode
+
+    _views(spark, sf_dir)
+    enc = bpe_encode(
+        spark.table("documents"),
+        _BPE_BYTE_MERGES,
+        end_marker=None,
+        byte_level=True,
+        method="python",
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_str"),
     )
 
 
@@ -5478,6 +5567,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_luhn_cards": _op_luhn_cards_gate,
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
+        "op_bpe_bytelevel": _op_bpe_bytelevel_gate,
         "op_bpe_ids": _op_bpe_ids_gate,
         "op_tok_fertility": _op_tok_fertility_gate,
         "op_contam_report": _op_contam_report_gate,
@@ -5699,6 +5789,7 @@ _GATE_PRIORITY = [
     "op_weighted_sample",
     "op_corpus_overlap",
     "op_nb_classify",
+    "op_bpe_bytelevel",         # GPT-2-style byte-level BPE (r7)
 ]
 
 
@@ -5826,6 +5917,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_luhn_cards": OP_LUHN_CARDS_DUCK,
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),
+        "op_bpe_bytelevel": _bpe_bytelevel_duck_sql(),
         "op_bpe_ids": _bpe_ids_duck_sql(_BPE_ENC_MERGES),
         "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
         "op_contam_report": OP_CONTAM_REPORT_DUCK,

@@ -978,19 +978,31 @@ def _op_luhn_cards(spark, inp, options):
     )
 
 
+def _bpe_stage_args(options):
+    """Shared byte_level/end_marker option handling for the BPE stages:
+    ``byte_level: true`` defaults the marker to none (byte-level BPE
+    has no word-end marker) — an EXPLICIT non-null end_marker alongside
+    byte_level still reaches the operator and raises its loud error."""
+    byte_level = bool(options.get("byte_level", False))
+    default_marker = None if byte_level else "</w>"
+    end_marker = options.get("end_marker", default_marker)
+    if end_marker in ("", None, "none", "null"):
+        end_marker = None
+    return byte_level, end_marker
+
+
 def _op_bpe_pairs(spark, inp, options):
     from .text import bpe_pair_counts
 
     merges = options.get("merges") or []
-    end_marker = options.get("end_marker", "</w>")
-    if end_marker in ("", None, "none", "null"):
-        end_marker = None
+    byte_level, end_marker = _bpe_stage_args(options)
     return bpe_pair_counts(
         inp,
         text_col=options.get("text_col", "text"),
         merges=[tuple(m) for m in merges],
         end_marker=end_marker,
         min_count=int(options.get("min_count", 1)),
+        byte_level=byte_level,
     )
 
 
@@ -998,9 +1010,7 @@ def _op_bpe_encode(spark, inp, options):
     from .text import bpe_encode
 
     keep = options.get("keep_cols")
-    end_marker = options.get("end_marker", "</w>")
-    if end_marker in ("", None, "none", "null"):
-        end_marker = None
+    byte_level, end_marker = _bpe_stage_args(options)
     return bpe_encode(
         inp,
         merges=[tuple(m) for m in (options.get("merges") or [])],
@@ -1009,20 +1019,20 @@ def _op_bpe_encode(spark, inp, options):
         keep_cols=list(keep) if keep else None,
         end_marker=end_marker,
         method=options.get("method", "auto"),
+        byte_level=byte_level,
     )
 
 
 def _op_bpe_vocab(spark, inp, options):
     from .text import bpe_vocab
 
-    end_marker = options.get("end_marker", "</w>")
-    if end_marker in ("", None, "none", "null"):
-        end_marker = None
+    byte_level, end_marker = _bpe_stage_args(options)
     return bpe_vocab(
         inp,
         merges=[tuple(m) for m in (options.get("merges") or [])],
         text_col=options.get("text_col", "text"),
         end_marker=end_marker,
+        byte_level=byte_level,
     )
 
 
@@ -1076,9 +1086,7 @@ def _op_sequence_spans(spark, inp, options):
 def _op_tokenizer_fertility(spark, inp, options):
     from .text import tokenizer_fertility
 
-    end_marker = options.get("end_marker", "</w>")
-    if end_marker in ("", None, "none", "null"):
-        end_marker = None
+    byte_level, end_marker = _bpe_stage_args(options)
     return tokenizer_fertility(
         inp,
         merges=[tuple(m) for m in (options.get("merges") or [])],
@@ -1087,6 +1095,7 @@ def _op_tokenizer_fertility(spark, inp, options):
         group_col=options.get("group_col"),
         end_marker=end_marker,
         method=options.get("method", "auto"),
+        byte_level=byte_level,
     )
 
 

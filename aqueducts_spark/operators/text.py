@@ -465,6 +465,104 @@ def luhn_cards(
 
 _BPE_SEP = "\x1f"
 
+# GPT-2-style byte-level pretokenizer (the public gpt-2/src/encoder.py
+# pattern; tiktoken lineage), minus the trailing-space negative
+# lookahead: RE2 — the DuckDB oracle's regex engine — has no
+# lookahead, so the cross-engine-exact variant lets a whitespace run
+# group as ONE pretoken instead of donating its last space to the next
+# word.  Deliberately identical in all three engines that execute it:
+# whitespace is the EXPLICIT ASCII class [ \t\n\x0B\f\r] (Java's and
+# RE2's default \s; spelled out because Python's regex.ASCII flag —
+# the other way to pin \s — also ASCII-restricts \p{L}, silently
+# splitting accented words), while \p{L}/\p{N} are Unicode general
+# categories in all three (category tables can drift across engine
+# Unicode versions for exotic recent code points — ASCII and
+# established scripts are stable).
+_BPE_WS_CLS = r" \t\n\x0B\f\r"
+_BPE_BYTE_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^" + _BPE_WS_CLS + r"\p{L}\p{N}]+"
+    r"|[" + _BPE_WS_CLS + r"]+"
+)
+
+
+def _bpe_pretoken_counts(df: DataFrame, text_col: str, min_count: int):
+    """Byte-level twin of :func:`_bpe_word_counts`: distributed corpus
+    -> bounded PRETOKEN-count table, pretokens being the GPT-2-style
+    regex matches (case preserved — byte-level BPE never normalizes;
+    whitespace runs are pretokens too, exactly as GPT-2 learns its
+    space-prefixed tokens).  No ``\\x1f`` strip is needed: symbols are
+    hex byte pairs, so the reserved separator can never appear INSIDE
+    a symbol regardless of the text."""
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(_BPE_BYTE_PAT),
+                    F.lit(0),
+                )
+            ).alias("word")
+        )
+        .where(F.length("word") > 0)
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("__n"))
+    if min_count > 1:
+        wc = wc.where(F.col("__n") >= min_count)
+    return wc
+
+
+def _byte_syms_arr(w):
+    """``array<string>`` of lowercase-hex byte symbols (two hex chars
+    per UTF-8 byte) of string column ``w`` — the engine-portable
+    analogue of GPT-2's bytes_to_unicode printable remap: every
+    engine rebuilds the identical symbol stream from
+    ``lower(hex(encode(w, 'utf-8')))``, and merged symbols are simply
+    longer hex strings (decode back with ``decode(unhex(t), 'utf-8')``
+    once tokens re-align to code-point boundaries)."""
+    h = F.lower(F.hex(F.encode(w, "UTF-8")))
+    n = (F.length(h) / F.lit(2)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: h.substr(i * F.lit(2) - F.lit(1), F.lit(2)),
+    )
+
+
+_HEX_CHARS = frozenset("0123456789abcdef")
+
+
+def _bpe_validate_byte(merges, end_marker, min_count, fn: str):
+    """byte_level argument validation: merges must be byte-aligned
+    lowercase-hex symbol pairs, and there is no word-end marker (the
+    pretokenizer carries the boundaries) — callers must pass
+    ``end_marker=None`` explicitly so a word-level call site that
+    flips ``byte_level=True`` cannot silently keep its marker."""
+    if end_marker is not None:
+        raise ValueError(
+            f"{fn}: byte-level BPE has no word-end marker (pretokens "
+            "carry their own boundaries) — pass end_marker=None"
+        )
+    if min_count < 1:
+        raise ValueError(f"{fn}: min_count must be >= 1, got {min_count}")
+    merges = [tuple(m) for m in (merges or [])]
+    for m in merges:
+        if (
+            len(m) != 2
+            or not m[0]
+            or not m[1]
+            or len(m[0]) % 2
+            or len(m[1]) % 2
+            or not set(m[0] + m[1]) <= _HEX_CHARS
+        ):
+            raise ValueError(
+                f"{fn}: byte-level merges must be (left, right) pairs "
+                f"of non-empty even-length lowercase-hex byte strings, "
+                f"got {m!r} — was this table trained with "
+                "byte_level=False?"
+            )
+    return merges
+
 
 def _bpe_word_counts(df: DataFrame, text_col: str, min_count: int):
     """Distributed corpus -> bounded word-count table: the ONE pass
@@ -535,6 +633,7 @@ def bpe_pair_counts(
     merges: list | None = None,
     end_marker: str | None = "</w>",
     min_count: int = 1,
+    byte_level: bool = False,
 ) -> DataFrame:
     """One iteration of BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909): adjacent-symbol pair frequencies over the corpus
@@ -570,16 +669,31 @@ def bpe_pair_counts(
     layer per rule) — fine for auditing tens of merges; a full trainer
     should use :func:`train_bpe`'s driver loop, which collects the
     word table once and never builds these expressions.
+
+    ``byte_level=True`` switches the whole chain to GPT-2-style
+    byte-level BPE: "words" are the :data:`_BPE_BYTE_PAT` pretokens
+    (case preserved, whitespace runs included), initial symbols are
+    the pretoken's UTF-8 bytes as lowercase-hex pairs, and there is no
+    end marker (pass ``end_marker=None`` explicitly).  Every downstream
+    mechanism — merge fold, pair explode, count — is IDENTICAL; only
+    the word table and the symbol init change.
     """
-    merges = _bpe_validate(merges, end_marker, min_count)
-    wc = _bpe_word_counts(df, text_col, min_count)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
-    init = chars
-    if end_marker is not None:
-        init = F.concat(init, F.array(F.lit(end_marker)))
+    if byte_level:
+        merges = _bpe_validate_byte(
+            merges, end_marker, min_count, "bpe_pair_counts"
+        )
+        wc = _bpe_pretoken_counts(df, text_col, min_count)
+        init = _byte_syms_arr(F.col("word"))
+    else:
+        merges = _bpe_validate(merges, end_marker, min_count)
+        wc = _bpe_word_counts(df, text_col, min_count)
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        )
+        init = chars
+        if end_marker is not None:
+            init = F.concat(init, F.array(F.lit(end_marker)))
     # STAGE each merge layer into a named column: the fold references
     # its input array ~3x (slice/element_at/size), so inlining would
     # duplicate the previous layer's tree 3x per rule — exponential in
@@ -628,6 +742,7 @@ def train_bpe(
     end_marker: str | None = "</w>",
     min_count: int = 1,
     max_words: int = 5_000_000,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Full BPE merge-table training: the distributed part is the ONE
     corpus pass that reduces 100 TB of text to the bounded distinct
@@ -647,24 +762,49 @@ def train_bpe(
 
     Returns the ordered merge list — feed it back to
     :func:`bpe_pair_counts` (or an external tokenizer) as ``merges``.
+
+    ``byte_level=True`` trains GPT-2-style byte-level merges: the one
+    corpus pass reduces to the PRETOKEN-count table (GPT-2 regex,
+    case preserved), each pretoken starts as its UTF-8 bytes as
+    lowercase-hex symbols, and the learned merges are hex strings —
+    feed them to ``bpe_encode(..., byte_level=True)``.  Requires
+    ``end_marker=None`` explicitly.
     """
-    merges = _bpe_validate(None, end_marker, min_count)
+    if byte_level:
+        _bpe_validate_byte(None, end_marker, min_count, "train_bpe")
+    else:
+        _bpe_validate(None, end_marker, min_count)
     if n_merges < 0:
         raise ValueError(f"train_bpe: n_merges must be >= 0, got {n_merges}")
-    rows = (
-        _bpe_word_counts(df, text_col, min_count)
-        .limit(max_words + 1)
-        .collect()
+    wc = (
+        _bpe_pretoken_counts(df, text_col, min_count)
+        if byte_level
+        else _bpe_word_counts(df, text_col, min_count)
     )
+    rows = wc.limit(max_words + 1).collect()
     if len(rows) > max_words:
         raise ValueError(
             f"train_bpe: more than {max_words} distinct words — raise "
             "max_words or min_count"
         )
-    words: list[tuple[list[str], int]] = [
-        (list(r["word"]) + ([end_marker] if end_marker is not None else []), r["__n"])
-        for r in rows
-    ]
+    if byte_level:
+
+        def _symize(word: str) -> list[str]:
+            h = word.encode("utf-8").hex()
+            return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+        words: list[tuple[list[str], int]] = [
+            (_symize(r["word"]), r["__n"]) for r in rows
+        ]
+    else:
+        words = [
+            (
+                list(r["word"])
+                + ([end_marker] if end_marker is not None else []),
+                r["__n"],
+            )
+            for r in rows
+        ]
     # incremental trainer (the textbook structure): global pair counts
     # plus a pair -> word-index inverted index, built once; each merge
     # touches ONLY the words that contain the merged pair, subtracting
@@ -725,6 +865,7 @@ def bpe_encode(
     method: str = "auto",
     max_expr_merges: int = 64,
     with_counts: bool = False,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Apply a TRAINED merge table to the corpus — the inference half
     of the BPE tokenizer (:func:`train_bpe` learns the merges; this
@@ -788,8 +929,23 @@ def bpe_encode(
     parallel.  The memo makes the python path's cost roughly
     O(distinct words x merges) per task, not O(corpus tokens x
     merges).
+
+    ``byte_level=True`` (GPT-2-style): "words" are the
+    :data:`_BPE_BYTE_PAT` pretokens (case preserved, whitespace runs
+    included — every match, so the tokens concatenate back to the
+    exact original text), initial symbols are lowercase-hex UTF-8 byte
+    pairs (merged tokens are longer hex strings — ``unhex`` + UTF-8
+    decode recovers the text), no end marker (``end_marker=None``
+    required), no OOV by construction.  With ``with_counts=True``,
+    ``n_words`` counts PRETOKENS and ``n_chars`` counts BYTES (the
+    units byte-level fertility is measured in).  The python path needs
+    the ``regex`` module for ``\\p{L}``-class parity with Spark/DuckDB
+    — absent that, use ``method='expr'``.
     """
-    merges = _bpe_validate(merges, end_marker, 1)
+    if byte_level:
+        merges = _bpe_validate_byte(merges, end_marker, 1, "bpe_encode")
+    else:
+        merges = _bpe_validate(merges, end_marker, 1)
     if method not in ("auto", "expr", "python"):
         raise ValueError(
             f"bpe_encode: method must be auto|expr|python, got {method!r}"
@@ -815,15 +971,18 @@ def bpe_encode(
         )
     if method == "expr":
         return _bpe_encode_expr(
-            df, merges, text_col, id_col, keep, end_marker, with_counts
+            df, merges, text_col, id_col, keep, end_marker, with_counts,
+            byte_level,
         )
     return _bpe_encode_python(
-        df, merges, text_col, id_col, keep, end_marker, with_counts
+        df, merges, text_col, id_col, keep, end_marker, with_counts,
+        byte_level,
     )
 
 
 def _bpe_encode_expr(
-    df, merges, text_col, id_col, keep, end_marker, with_counts
+    df, merges, text_col, id_col, keep, end_marker, with_counts,
+    byte_level=False,
 ):
     from .dedup import ensure_parallelism, normalized_tokens
     from .sampling import _fresh_name
@@ -831,20 +990,32 @@ def _bpe_encode_expr(
     df = ensure_parallelism(df)
 
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(
-        F.transform(
-            normalized_tokens(text), lambda w: F.translate(w, _BPE_SEP, "")
-        ),
-        lambda w: F.length(w) > 0,
-    )
-
-    def to_syms(w):
-        chars = F.transform(
-            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    if byte_level:
+        words = F.filter(
+            F.regexp_extract_all(text, F.lit(_BPE_BYTE_PAT), F.lit(0)),
+            lambda w: F.length(w) > 0,
         )
-        if end_marker is not None:
-            chars = F.concat(chars, F.array(F.lit(end_marker)))
-        return F.array_join(chars, _BPE_SEP)
+
+        def to_syms(w):
+            return F.array_join(_byte_syms_arr(w), _BPE_SEP)
+
+    else:
+        words = F.filter(
+            F.transform(
+                normalized_tokens(text),
+                lambda w: F.translate(w, _BPE_SEP, ""),
+            ),
+            lambda w: F.length(w) > 0,
+        )
+
+        def to_syms(w):
+            chars = F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: w.substr(i, F.lit(1)),
+            )
+            if end_marker is not None:
+                chars = F.concat(chars, F.array(F.lit(end_marker)))
+            return F.array_join(chars, _BPE_SEP)
 
     def merge_layer(a, b):
         # closure factory, not lambda default-args: pyspark's transform
@@ -865,13 +1036,15 @@ def _bpe_encode_expr(
     tokens = F.flatten(
         F.transform(F.col(wcol), lambda w: F.split(w, _BPE_SEP))
     )
+    # byte-level counts BYTES (octet_length); word-level counts chars
+    _len = F.octet_length if byte_level else F.length
     counts = (
         [
             F.size(F.col(warr)).cast("bigint").alias("n_words"),
             F.aggregate(
                 F.col(warr),
                 F.lit(0).cast("bigint"),
-                lambda acc, w: acc + F.length(w).cast("bigint"),
+                lambda acc, w: acc + _len(w).cast("bigint"),
             ).alias("n_chars"),
         ]
         if with_counts
@@ -887,13 +1060,28 @@ def _bpe_encode_expr(
 
 
 def _bpe_encode_python(
-    df, merges, text_col, id_col, keep, end_marker, with_counts
+    df, merges, text_col, id_col, keep, end_marker, with_counts,
+    byte_level=False,
 ):
     import re
 
     from pyspark.sql import types as T
 
-    ws = re.compile(r"\S+", re.ASCII)  # Java \s is ASCII-only
+    if byte_level:
+        try:
+            import regex as _rx
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "bpe_encode(byte_level=True, method='python') needs the "
+                "'regex' module for \\p{L}-class parity with the Spark/"
+                "DuckDB pretokenizer — install it or use method='expr'"
+            ) from e
+        # NO flags: the pattern spells whitespace as an explicit ASCII
+        # class (regex.ASCII would also ASCII-restrict \p{L}), so the
+        # default-Unicode properties match Java/RE2 exactly
+        pre = _rx.compile(_BPE_BYTE_PAT)
+    else:
+        pre = re.compile(r"\S+", re.ASCII)  # Java \s is ASCII-only
     mseq = list(merges)
     em = end_marker
     _CACHE_MAX = 1_000_000  # bounded: a task over a fat partition lives long
@@ -906,7 +1094,11 @@ def _bpe_encode_python(
             if t is None:
                 if len(memo) >= _CACHE_MAX:
                     memo.clear()
-                syms = list(word) + ([em] if em is not None else [])
+                if byte_level:
+                    h = word.encode("utf-8").hex()
+                    syms = [h[i : i + 2] for i in range(0, len(h), 2)]
+                else:
+                    syms = list(word) + ([em] if em is not None else [])
                 for a, b in mseq:
                     if a not in syms:  # cheap prune before the scan
                         continue
@@ -920,18 +1112,28 @@ def _bpe_encode_python(
             return t
 
         for pdf in batches:
-            # vectorized tokenization: one pandas pass for lower+findall
-            wordlists = pdf[text_col].fillna("").str.lower().str.findall(ws)
+            if byte_level:
+                # case preserved; the regex module pattern is not an
+                # re.Pattern, so findall runs per row (still memoized
+                # downstream — the merge loop dominates, not this)
+                wordlists = [
+                    pre.findall(s) for s in pdf[text_col].fillna("")
+                ]
+            else:
+                # vectorized tokenization: one pandas pass, lower+findall
+                wordlists = pdf[text_col].fillna("").str.lower().str.findall(pre)
             toks_out, counts, wcounts, ccounts = [], [], [], []
             for wl in wordlists:
                 out: list = []
                 nw = nc = 0
                 for w in wl:
-                    w = w.replace(_BPE_SEP, "")
+                    if not byte_level:
+                        w = w.replace(_BPE_SEP, "")
                     if w:
                         out.extend(enc(w))
                         nw += 1
-                        nc += len(w)
+                        # byte-level counts BYTES, word-level chars
+                        nc += len(w.encode("utf-8")) if byte_level else len(w)
                 toks_out.append(out)
                 counts.append(len(out))
                 wcounts.append(nw)
@@ -974,6 +1176,7 @@ def bpe_vocab(
     text_col: str = "text",
     end_marker: str | None = "</w>",
     max_alphabet: int = 1_000_000,
+    byte_level: bool = False,
 ) -> DataFrame:
     """The vocabulary a merge table induces over a corpus: ``(token,
     token_id)`` with the ALPHABET first (the distinct characters of the
@@ -999,7 +1202,28 @@ def bpe_vocab(
 
     Feed the result to :func:`tokens_to_ids` to turn
     :func:`bpe_encode`'s token arrays into id sequences.
+
+    ``byte_level=True``: the alphabet is the FIXED full byte range —
+    256 hex symbols ``00..ff`` in byte order — with NO corpus pass at
+    all (that is the whole point of byte-level BPE: every string
+    decomposes into known symbols, so there is no OOV and the vocab
+    does not depend on which corpus it is "built" from); ids follow
+    GPT-2's layout (bytes first, then one id per merge in merge
+    order).  Requires ``end_marker=None``.
     """
+    if byte_level:
+        merges = _bpe_validate_byte(merges, end_marker, 1, "bpe_vocab")
+        vocab = [f"{i:02x}" for i in range(256)]
+        seen = set(vocab)
+        for a, b in merges:
+            t = a + b
+            if t not in seen:
+                seen.add(t)
+                vocab.append(t)
+        return df.sparkSession.createDataFrame(
+            [(t, i) for i, t in enumerate(vocab)],
+            "token string, token_id int",
+        )
     merges = _bpe_validate(merges, end_marker, 1)
     wc = _bpe_word_counts(df, text_col, 1)
     chars = wc.select(
@@ -1217,6 +1441,7 @@ def tokenizer_fertility(
     group_col: str | None = None,
     end_marker: str | None = "</w>",
     method: str = "auto",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Tokenizer fertility report: how many BPE tokens the merge table
     spends per word and how many characters each token carries —
@@ -1235,6 +1460,12 @@ def tokenizer_fertility(
 
     Scale shape: :func:`bpe_encode`'s zero-shuffle map stage plus ONE
     map-side-combined aggregate on the (bounded) group key.
+
+    ``byte_level=True`` reports the byte-level tokenizer's fertility in
+    ITS units — ``ws_tokens`` counts GPT-2-regex pretokens and
+    ``n_chars`` counts BYTES (see :func:`bpe_encode`); comparing a
+    word-level and a byte-level table side by side is exactly the
+    tokenizer-selection readout (the tokenizer_fit example does).
     """
     # project to exactly what the report needs BEFORE encoding: column
     # pruning for the scan, and the corpus's own n_words/n_chars-style
@@ -1248,6 +1479,7 @@ def tokenizer_fertility(
         end_marker=end_marker,
         method=method,
         with_counts=True,
+        byte_level=byte_level,
     )
     keys = [group_col] if group_col else []
     agg = enc.groupBy(*[F.col(k) for k in keys]).agg(
