@@ -72,6 +72,16 @@ def _cmd_run(args) -> int:
                 line += f": {m['message']}"
             print(line, file=sys.stderr)
 
+        api_key = _resolve_api_key(args)
+        if not api_key:
+            # reference CLI: "API key is required for remote execution"
+            # (aqueducts-cli/src/main.rs:129-130)
+            print(
+                "error: --api-key (or AQUEDUCTS_API_KEY) is required for "
+                "remote execution",
+                file=sys.stderr,
+            )
+            return 1
         final = submit_pipeline(
             host,
             port,
@@ -79,6 +89,7 @@ def _cmd_run(args) -> int:
             params=params,
             fmt=fmt,
             on_message=_progress,
+            api_key=api_key,
         )
         for stage, text in final.get("outputs", {}).items():
             print(f"--- {stage} ---\n{text}")
@@ -111,11 +122,26 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _resolve_api_key(args) -> str:
+    """--api-key flag, falling back to AQUEDUCTS_API_KEY (the reference
+    executor/CLI env convention, aqueducts-executor/src/main.rs:23)."""
+    import os
+
+    return args.api_key or os.environ.get("AQUEDUCTS_API_KEY", "")
+
+
 def _cmd_cancel(args) -> int:
     from .executor.client import cancel_execution
 
     host, port = _parse_hostport(args.executor)
-    reply = cancel_execution(host, port, args.id)
+    api_key = _resolve_api_key(args)
+    if not api_key:
+        print(
+            "error: --api-key (or AQUEDUCTS_API_KEY) is required to cancel",
+            file=sys.stderr,
+        )
+        return 1
+    reply = cancel_execution(host, port, args.id, api_key=api_key)
     if reply.get("type") == "error":
         # e.g. a typo'd id — claiming success here left a running
         # pipeline alive while the user believed it was cancelled
@@ -129,12 +155,38 @@ def _cmd_serve(args) -> int:
     from .executor.server import run_server
     from .session import get_spark
 
+    api_key = _resolve_api_key(args)
+    if not api_key.strip():
+        # refuse to start (reference config.rs:29-31 EmptyApiKey): a
+        # keyless executor is an open remote-code-execution endpoint
+        print(
+            "error: --api-key (or AQUEDUCTS_API_KEY) is required; the "
+            "executor refuses to start without one",
+            file=sys.stderr,
+        )
+        return 1
     spark = get_spark("aqueducts-spark-executor", master=args.master)
     try:
-        run_server(spark, host=args.host, port=args.port)
+        run_server(spark, host=args.host, port=args.port, api_key=api_key)
     finally:
         spark.stop()
     return 0
+
+
+def _cmd_health(args) -> int:
+    from .executor.client import check_health
+
+    host, port = _parse_hostport(args.executor)
+    try:
+        reply = check_health(host, port)
+    except OSError as exc:
+        print(f"unhealthy: {exc}", file=sys.stderr)
+        return 1
+    if reply.get("status") == "OK":
+        print("OK")
+        return 0
+    print(f"unhealthy: {reply}", file=sys.stderr)
+    return 1
 
 
 def _cmd_explain(args) -> int:
@@ -315,15 +367,36 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="host:port of a running executor — submit remotely instead of running locally",
     )
+    run_p.add_argument(
+        "--api-key",
+        default=None,
+        help="API key for the remote executor (or set AQUEDUCTS_API_KEY)",
+    )
 
     cancel_p = sub.add_parser("cancel", help="cancel a remote execution")
     cancel_p.add_argument("--executor", required=True, help="host:port of the executor")
     cancel_p.add_argument("--id", required=True, help="execution id to cancel")
+    cancel_p.add_argument(
+        "--api-key",
+        default=None,
+        help="API key for the remote executor (or set AQUEDUCTS_API_KEY)",
+    )
 
     serve_p = sub.add_parser("serve", help="start the remote executor")
     serve_p.add_argument("--host", default="127.0.0.1")
     serve_p.add_argument("--port", type=int, default=8765)
     serve_p.add_argument("--master", default=None, help="Spark master (default local[*])")
+    serve_p.add_argument(
+        "--api-key",
+        default=None,
+        help="REQUIRED (or set AQUEDUCTS_API_KEY): clients must present "
+        "this key; the executor refuses to start without one",
+    )
+
+    health_p = sub.add_parser(
+        "health", help="probe a running executor's public health endpoint (no key)"
+    )
+    health_p.add_argument("--executor", required=True, help="host:port of the executor")
 
     exp_p = sub.add_parser(
         "explain",
@@ -394,6 +467,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_cancel(args)
     if args.command == "serve":
         return _cmd_serve(args)
+    if args.command == "health":
+        return _cmd_health(args)
     if args.command == "explain":
         return _cmd_explain(args)
     if args.command == "profile":

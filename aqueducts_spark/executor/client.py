@@ -50,6 +50,7 @@ async def _submit(
     fmt: str,
     on_message: Optional[Callable[[dict[str, Any]], None]],
     timeout: float,
+    api_key: str,
 ) -> dict[str, Any]:
     reader, writer = await asyncio.open_connection(host, port, limit=STREAM_LIMIT)
     writer.write(
@@ -59,6 +60,10 @@ async def _submit(
                 "pipeline": pipeline_text,
                 "format": fmt,
                 "pre_substituted": True,
+                # the X-API-Key header of the reference protocol
+                # (aqueducts-executor/src/api/auth.rs:11), carried as a
+                # request field on this JSON-lines transport
+                "api_key": api_key,
             }
         )
     )
@@ -192,6 +197,7 @@ def submit_pipeline(
     fmt: str = "yaml",
     on_message: Optional[Callable[[dict[str, Any]], None]] = None,
     timeout: float = 300.0,
+    api_key: str = "",
 ) -> dict[str, Any]:
     """Template client-side, submit, stream messages until terminal.
 
@@ -200,24 +206,61 @@ def submit_pipeline(
     horizon on a RUNNING execution; while the execution is still queued
     behind others the client keeps waiting (the server is silent by
     design there, and a dead server surfaces as connection-closed).
+    ``api_key`` must match the executor's key (the reference CLI's
+    ``--api-key``, aqueducts-cli/src/main.rs:38-56) — a missing/wrong
+    key comes back as ``{type: error, message: authentication failed}``.
     """
     substituted = substitute_params(pipeline_text, params)
-    return asyncio.run(_submit(host, port, substituted, fmt, on_message, timeout))
+    return asyncio.run(
+        _submit(host, port, substituted, fmt, on_message, timeout, api_key)
+    )
+
+
+def check_health(host: str, port: int, timeout: float = 5.0) -> dict[str, Any]:
+    """The PUBLIC health probe (reference ``GET /api/health``,
+    aqueducts-executor/src/api/mod.rs:27,44-49): no API key needed;
+    returns ``{type: health, status: OK}`` from a live executor."""
+
+    async def go() -> dict[str, Any]:
+        reader, writer = await asyncio.open_connection(host, port)
+        try:
+            writer.write(encode({"type": "health_request"}))
+            await writer.drain()
+            line = await asyncio.wait_for(reader.readline(), timeout)
+            if not line:
+                return {"type": "error", "message": "connection closed"}
+            return decode(line)
+        finally:
+            writer.close()
+
+    return asyncio.run(go())
 
 
 def cancel_execution(
-    host: str, port: int, execution_id: str, timeout: float = 2.0
+    host: str,
+    port: int,
+    execution_id: str,
+    timeout: float = 2.0,
+    api_key: str = "",
 ) -> dict[str, Any]:
     """Cancel by id over a fresh connection.  Returns the server's
     reply — an unknown id comes back as ``{type: error, ...}``, which
     the old fire-and-forget version silently swallowed (the CLI then
-    claimed a cancel happened when nothing did)."""
+    claimed a cancel happened when nothing did).  ``api_key`` is
+    required by the server (reference cancel carries it too,
+    aqueducts-cli/src/main.rs:148-157)."""
 
     async def go() -> dict[str, Any]:
         reader, writer = await asyncio.open_connection(host, port)
         try:
             writer.write(
-                encode({"type": "cancel_request", "execution_id": execution_id})
+                encode(
+                    {
+                        "type": "cancel_request",
+                        "execution_id": execution_id,
+                        "api_key": api_key,
+                    }
+                )
             )
             await writer.drain()
             try:

@@ -12,11 +12,26 @@ Cancellation maps to ``sparkContext.cancelJobGroup``: each execution
 runs its Spark actions under a job group named by its execution id, so
 an in-flight pipeline stops at the next job boundary
 (SURVEY §2.A A33).
+
+Authentication mirrors the reference executor's API-key middleware
+(aqueducts-executor/src/api/auth.rs:14-33 — constant-time compare of
+the X-API-Key header, reject on missing/wrong; config.rs:29-31 — the
+executor REFUSES to start with an empty key; api/mod.rs:27 — a public
+unauthenticated ``/api/health`` route).  On this JSON-lines transport
+the header becomes an ``api_key`` field on every protected request
+(``execution_request`` / ``cancel_request``), checked with
+``hmac.compare_digest``; a failed check replies
+``{type: error, message: authentication failed}`` and CLOSES the
+connection (the reference's websocket upgrade is likewise never
+established without a valid key).  ``{type: health_request}`` is the
+public health route: it answers ``{type: health, status: OK}`` with
+no key, so load balancers and probes work unauthenticated.
 """
 
 from __future__ import annotations
 
 import asyncio
+import hmac
 import threading
 import uuid
 from typing import Any, Optional
@@ -67,7 +82,22 @@ class _Execution:
 
 
 class ExecutorServer:
-    def __init__(self, spark: SparkSession, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        api_key: str = "",
+    ):
+        if not api_key or not api_key.strip():
+            # reference config.rs:29-31 (ConfigError::EmptyApiKey): an
+            # executor with no key is an open RCE endpoint — refuse to
+            # construct, not just to authenticate
+            raise ValueError(
+                "ExecutorServer: api_key cannot be empty — every remote "
+                "client must present it on execution/cancel requests"
+            )
+        self.api_key = api_key
         self.spark = spark
         self.host = host
         self.port = port
@@ -144,7 +174,11 @@ class ExecutorServer:
                         {"type": "error", "message": "malformed message"}
                     )
                     continue
-                await self._dispatch(msg, out_queue)
+                if await self._dispatch(msg, out_queue):
+                    # auth failure: flush the error reply, then close —
+                    # the reference never establishes the connection
+                    # without a valid key (api/auth.rs:14-33)
+                    break
         finally:
             # the connection owns its executions (reference ties
             # cancellation to the connection): a disconnect cancels its
@@ -170,8 +204,26 @@ class ExecutorServer:
             self._writers.discard(writer)
             writer.close()
 
-    async def _dispatch(self, msg: dict[str, Any], out_queue: asyncio.Queue) -> None:
+    def _authenticated(self, msg: dict[str, Any]) -> bool:
+        provided = msg.get("api_key")
+        return isinstance(provided, str) and hmac.compare_digest(
+            provided.encode("utf-8"), self.api_key.encode("utf-8")
+        )
+
+    async def _dispatch(self, msg: dict[str, Any], out_queue: asyncio.Queue) -> bool:
+        """Handle one message; returns True when the connection must
+        close (failed authentication)."""
         mtype = msg.get("type")
+        if mtype == "health_request":
+            # the PUBLIC route (reference api/mod.rs:27,44-49): probes
+            # and load balancers health-check without credentials
+            out_queue.put_nowait({"type": "health", "status": "OK"})
+            return False
+        if mtype in ("execution_request", "cancel_request") and not self._authenticated(msg):
+            out_queue.put_nowait(
+                {"type": "error", "message": "authentication failed"}
+            )
+            return True
         if mtype == "execution_request":
             ex = _Execution(msg, out_queue)
             self._executions[ex.id] = ex
@@ -215,6 +267,7 @@ class ExecutorServer:
             out_queue.put_nowait(
                 {"type": "error", "message": f"unknown message type: {mtype}"}
             )
+        return False
 
     def _broadcast_positions(self) -> None:
         for pos, ex in enumerate(self._pending, start=1):
@@ -294,11 +347,17 @@ class ExecutorServer:
             sc.setJobGroup("", "")
 
 
-def run_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 8765) -> None:
-    """Blocking entry point: serve until interrupted."""
+def run_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 8765,
+    api_key: str = "",
+) -> None:
+    """Blocking entry point: serve until interrupted.  ``api_key`` is
+    REQUIRED non-empty (reference config.rs:29-31)."""
 
     async def main() -> None:
-        server = ExecutorServer(spark, host, port)
+        server = ExecutorServer(spark, host, port, api_key=api_key)
         await server.start()
         await asyncio.Event().wait()  # serve forever
 

@@ -9,6 +9,8 @@ import pytest
 from aqueducts_spark.cli import _parse_hostport, _parse_params, main
 from aqueducts_spark.executor.server import ExecutorServer
 
+KEY = "cli-test-key"
+
 
 def test_parse_params():
     assert _parse_params(["a=1", "b=x=y"]) == {"a": "1", "b": "x=y"}
@@ -30,7 +32,7 @@ def server(spark):
     def run():
         loop = asyncio.new_event_loop()
         asyncio.set_event_loop(loop)
-        srv = ExecutorServer(spark)
+        srv = ExecutorServer(spark, api_key=KEY)
         holder["loop"] = loop
         holder["srv"] = srv
         loop.run_until_complete(srv.start())
@@ -74,6 +76,8 @@ stages:
             "n=2",
             "--executor",
             f"127.0.0.1:{server['port']}",
+            "--api-key",
+            KEY,
         ]
     )
     assert rc == 0
@@ -86,7 +90,8 @@ def test_cli_cancel_unknown_id_fails_loudly(server, capsys):
     failed to cancel would keep running while the user believes it is
     dead (cli.py::_cmd_cancel reads the server's error reply)."""
     rc = main(
-        ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", "nope"]
+        ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", "nope",
+         "--api-key", KEY]
     )
     assert rc == 1
     captured = capsys.readouterr()
@@ -134,9 +139,9 @@ stages:
             # two quick submissions: the second sits queued behind the
             # first, long enough for a cross-connection CLI cancel
             writer.write(
-                encode({"type": "execution_request", "pipeline": slow_pipeline})
+                encode({"type": "execution_request", "pipeline": slow_pipeline, "api_key": KEY})
             )
-            writer.write(encode({"type": "execution_request", "pipeline": pipeline}))
+            writer.write(encode({"type": "execution_request", "pipeline": pipeline, "api_key": KEY}))
             await writer.drain()
             ids, cancelled, finished = [], [], []
             try:
@@ -161,7 +166,8 @@ stages:
     t.start()
     target = queued_id.get(timeout=60)
     rc = main(
-        ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", target]
+        ["cancel", "--executor", f"127.0.0.1:{server['port']}", "--id", target,
+         "--api-key", KEY]
     )
     t.join(timeout=120)
     assert not t.is_alive()
@@ -295,3 +301,56 @@ def test_cli_history_missing_table(spark, tmp_path, capsys, monkeypatch):
     rc = cli.main(["history", str(tmp_path / "nope")])
     assert rc == 1
     assert "no commits" in capsys.readouterr().out
+
+
+def test_cli_remote_run_requires_api_key(server, tmp_path, capsys, monkeypatch):
+    monkeypatch.delenv("AQUEDUCTS_API_KEY", raising=False)
+    yml = tmp_path / "k.yml"
+    yml.write_text("sources: []\nstages: []\n")
+    rc = main(
+        ["run", "-f", str(yml), "--executor", f"127.0.0.1:{server['port']}"]
+    )
+    assert rc == 1
+    assert "api-key" in capsys.readouterr().err.lower()
+
+
+def test_cli_serve_refuses_empty_key(capsys, monkeypatch):
+    monkeypatch.delenv("AQUEDUCTS_API_KEY", raising=False)
+    rc = main(["serve", "--port", "0"])
+    assert rc == 1
+    assert "refuses to start" in capsys.readouterr().err
+
+
+def test_cli_api_key_env_fallback(server, tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("AQUEDUCTS_API_KEY", KEY)
+    yml = tmp_path / "e.yml"
+    yml.write_text(
+        """
+sources:
+  - type: file
+    name: env_nation
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/nation.parquet
+stages:
+  - name: env_counts
+    query: SELECT count(*) AS n FROM env_nation
+    show: 1
+"""
+    )
+    rc = main(
+        ["run", "-f", str(yml), "--executor", f"127.0.0.1:{server['port']}"]
+    )
+    assert rc == 0
+    assert "env_counts" in capsys.readouterr().out
+
+
+def test_cli_health(server, capsys):
+    rc = main(["health", "--executor", f"127.0.0.1:{server['port']}"])
+    assert rc == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_cli_health_unreachable(capsys):
+    rc = main(["health", "--executor", "127.0.0.1:1"])
+    assert rc == 1
+    assert "unhealthy" in capsys.readouterr().err

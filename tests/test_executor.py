@@ -8,7 +8,9 @@ import pytest
 
 from aqueducts_spark.executor.protocol import chunk_output, decode, encode
 from aqueducts_spark.executor.server import ExecutorServer
-from aqueducts_spark.executor.client import submit_pipeline
+from aqueducts_spark.executor.client import check_health, submit_pipeline
+
+KEY = "test-key"
 
 PIPELINE = """
 sources:
@@ -32,7 +34,7 @@ def server(spark):
     def run():
         loop = asyncio.new_event_loop()
         asyncio.set_event_loop(loop)
-        srv = ExecutorServer(spark)
+        srv = ExecutorServer(spark, api_key=KEY)
         holder["loop"] = loop
         holder["srv"] = srv
         loop.run_until_complete(srv.start())
@@ -59,6 +61,7 @@ def test_submit_and_stream(server):
         PIPELINE,
         params={"n": "2"},
         on_message=events.append,
+        api_key=KEY,
     )
     assert final["type"] == "succeeded"
     kinds = [e["type"] for e in events]
@@ -76,14 +79,15 @@ def test_client_side_templating_missing_param(server):
     from aqueducts_spark.config.templating import MissingParamsError
 
     with pytest.raises(MissingParamsError):
-        submit_pipeline("127.0.0.1", server["port"], PIPELINE, params={})
+        submit_pipeline("127.0.0.1", server["port"], PIPELINE, params={}, api_key=KEY)
 
 
 def test_error_reported_for_bad_pipeline(server):
     final = submit_pipeline(
         "127.0.0.1",
         server["port"],
-        "sources: []\nstages:\n  - name: bad\n    query: SELECT * FROM nope_missing\n",
+        api_key=KEY,
+        pipeline_text="sources: []\nstages:\n  - name: bad\n    query: SELECT * FROM nope_missing\n",
     )
     assert final["type"] == "error"
     assert "bad" in final["message"] or "nope_missing" in final["message"]
@@ -96,8 +100,8 @@ def test_queue_positions_and_cancel_of_queued(server, spark):
         reader, writer = await asyncio.open_connection("127.0.0.1", server["port"])
         # submit two quickly; the second starts queued
         slow = PIPELINE.replace("${n}", "1")
-        writer.write(encode({"type": "execution_request", "pipeline": slow}))
-        writer.write(encode({"type": "execution_request", "pipeline": slow}))
+        writer.write(encode({"type": "execution_request", "pipeline": slow, "api_key": KEY}))
+        writer.write(encode({"type": "execution_request", "pipeline": slow, "api_key": KEY}))
         await writer.drain()
         ids, cancelled, succeeded = [], [], []
         try:
@@ -109,7 +113,7 @@ def test_queue_positions_and_cancel_of_queued(server, spark):
                     if len(ids) == 2:
                         writer.write(
                             encode(
-                                {"type": "cancel_request", "execution_id": ids[1]}
+                                {"type": "cancel_request", "execution_id": ids[1], "api_key": KEY}
                             )
                         )
                         await writer.drain()
@@ -157,7 +161,7 @@ stages:
 
     spark = _sql.SparkSession.getActiveSession()
     spark.createDataFrame([(1,), (2,)], ["v"]).createOrReplaceTempView("big_src")
-    final = submit_pipeline(host, port, yml, fmt="yaml", timeout=120)
+    final = submit_pipeline(host, port, yml, fmt="yaml", timeout=120, api_key=KEY)
     assert final["type"] == "succeeded", final
     assert "big_out" in final["outputs"]
 
@@ -182,7 +186,8 @@ stages:
     spark = _sql.SparkSession.getActiveSession()
     spark.createDataFrame([(1,)], ["v"]).createOrReplaceTempView("tpl_src")
     final = submit_pipeline(
-        host, port, yml, params={"pattern": "${not_a_param}"}, fmt="yaml", timeout=120
+        host, port, yml, params={"pattern": "${not_a_param}"}, fmt="yaml",
+        timeout=120, api_key=KEY,
     )
     # the regression: the server used to re-run template substitution on
     # the already-client-substituted text and fail the execution with
@@ -267,3 +272,69 @@ class TestInactivityCancelDrain:
         assert result["type"] == "error"
         assert "may still have committed" in result["message"]
         holder["loop"].call_soon_threadsafe(holder["loop"].stop)
+
+
+class TestApiKeyAuth:
+    """Executor auth parity (reference aqueducts-executor/src/api/
+    auth.rs:14-33 middleware, config.rs:29-31 empty-key refusal,
+    api/mod.rs:27 public health route)."""
+
+    def test_empty_api_key_refused_at_construction(self, spark):
+        with pytest.raises(ValueError, match="api_key cannot be empty"):
+            ExecutorServer(spark, api_key="")
+        with pytest.raises(ValueError, match="api_key cannot be empty"):
+            ExecutorServer(spark, api_key="   ")
+
+    def test_missing_key_rejected_and_connection_closed(self, server):
+        async def go():
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", server["port"]
+            )
+            writer.write(
+                encode({"type": "execution_request", "pipeline": "x"})
+            )
+            await writer.drain()
+            line = await asyncio.wait_for(reader.readline(), 10)
+            msg = decode(line)
+            # and the server closes the connection after the rejection
+            eof = await asyncio.wait_for(reader.readline(), 10)
+            writer.close()
+            return msg, eof
+
+        msg, eof = asyncio.run(go())
+        assert msg == {"type": "error", "message": "authentication failed"}
+        assert eof == b""
+
+    def test_wrong_key_rejected(self, server):
+        final = submit_pipeline(
+            "127.0.0.1",
+            server["port"],
+            PIPELINE,
+            params={"n": "1"},
+            api_key="wrong-key",
+        )
+        assert final["type"] == "error"
+        assert "authentication failed" in final["message"]
+
+    def test_wrong_key_cancel_rejected(self, server):
+        from aqueducts_spark.executor.client import cancel_execution
+
+        reply = cancel_execution(
+            "127.0.0.1", server["port"], "deadbeef", api_key="nope"
+        )
+        assert reply["type"] == "error"
+        assert "authentication failed" in reply["message"]
+
+    def test_health_is_public(self, server):
+        reply = check_health("127.0.0.1", server["port"])
+        assert reply == {"type": "health", "status": "OK"}
+
+    def test_right_key_still_works(self, server):
+        final = submit_pipeline(
+            "127.0.0.1",
+            server["port"],
+            PIPELINE,
+            params={"n": "1"},
+            api_key=KEY,
+        )
+        assert final["type"] == "succeeded"
