@@ -21,6 +21,7 @@ Differences from the reference (documented, Spark-motivated):
 
 from __future__ import annotations
 
+import re
 from typing import Any, Literal, Optional, Union
 
 from pydantic import BaseModel, ConfigDict, Field as PField, field_validator, model_validator
@@ -167,6 +168,14 @@ class FileSource(_Base):
     format: SourceFileType = PField(alias="file_type")
     location: str
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+    # streaming: true registers the location as a Structured Streaming
+    # file source (readStream) instead of a batch scan — new files
+    # landing under the location flow through the pipeline
+    # incrementally.  Requires an explicit schema in the format options
+    # (streaming scans cannot infer), and the pipeline must use a
+    # stream-capable destination (Spark extension; the reference has
+    # no streaming surface).
+    streaming: bool = False
 
 
 class DirSource(_Base):
@@ -176,6 +185,9 @@ class DirSource(_Base):
     partition_columns: list[Any] = PField(default_factory=list, alias="partition_cols")
     location: str
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
+    # see FileSource.streaming — hive-partition discovery (basePath)
+    # and typed partition casts apply to the stream identically
+    streaming: bool = False
 
     @field_validator("partition_columns")
     @classmethod
@@ -576,6 +588,89 @@ def parse_destination(raw: dict[str, Any]) -> Destination:
 # ---------------------------------------------------------------------------
 
 
+# Operators a STREAMING stage may declare: stateless row-local maps
+# and stream-static joins only — each runs identically on a streaming
+# frame because it neither aggregates, sorts, windows, nor collects
+# the streaming side.  NOT here (despite being screens): simhash /
+# fuzzy_filter_against / decontaminate — each AGGREGATES per document
+# (bit-count sums, the signature groupBy, the overlap count), which on
+# a stream means a state store; their stream twins are the rowwise
+# forms (hamming_filter over a stored signature column,
+# fuzzy_decontam_rowwise's per-row band keys + condition anti-join).
+# Stateful streaming (sessionize, sketches, CDC merge, stream-stream
+# joins) stays in the Python API (streaming/ops.py) where watermarks
+# and state are explicit.
+STREAM_SAFE_OPERATORS = frozenset(
+    {
+        "hamming_filter",
+        "fuzzy_decontam_rowwise",
+        "dedup_against",
+        "quality_score",
+        "text_features",
+        "langid",
+        "fingerprint",
+        "token_count",
+        "bpe_encode",
+        "tokens_to_ids",
+        "redact_pii",
+        "strip_markup",
+        "normalize_text",
+        "luhn_cards",
+        "url_parts",
+        "url_blocklist",
+        "registered_domain_psl",
+        "random_projection",
+        "quantize_embeddings",
+        "pq_encode",
+        "chunk_documents",
+        "repetition_features",
+    }
+)
+
+
+class StreamingSpec(_Base):
+    """Pipeline-level streaming execution parameters (only meaningful
+    when at least one source declares ``streaming: true``).
+
+    ``trigger: available_now`` (default) drains everything currently
+    under the source locations and stops — the incremental-batch shape
+    (run the pipeline on a schedule, each run picks up exactly the new
+    files, checkpoint-tracked).  ``once`` is the legacy
+    single-microbatch form; ``processing_time`` runs continuously with
+    ``interval`` (e.g. "10 seconds") between microbatches —
+    ``run_pipeline`` then RETURNS with the live query handle on the
+    result instead of blocking.
+    """
+
+    trigger: Literal["available_now", "once", "processing_time"] = (
+        "available_now"
+    )
+    interval: Optional[str] = None
+    # checkpoint directory (exactly-once bookkeeping).  Defaults to
+    # <destination location>/_streaming_checkpoint for file/delta
+    # sinks; the memory sink needs none.
+    checkpoint_dir: Optional[str] = None
+    # bound for awaiting an available_now/once drain before failing
+    timeout_sec: float = 600.0
+    output_mode: Literal["append", "update", "complete"] = "append"
+
+    @model_validator(mode="after")
+    def _check(self) -> "StreamingSpec":
+        if self.trigger == "processing_time" and not self.interval:
+            raise ValueError(
+                "streaming.trigger=processing_time requires "
+                "streaming.interval (e.g. '10 seconds')"
+            )
+        if self.trigger != "processing_time" and self.interval:
+            raise ValueError(
+                "streaming.interval is only valid with "
+                "trigger=processing_time"
+            )
+        if self.timeout_sec <= 0:
+            raise ValueError("streaming.timeout_sec must be positive")
+        return self
+
+
 class Pipeline(_Base):
     """A full pipeline document: sources -> stage groups -> destination."""
 
@@ -583,6 +678,9 @@ class Pipeline(_Base):
     sources: list[Any]
     stages: list[Any]
     destination: Optional[Any] = None
+    # streaming execution parameters; see StreamingSpec
+    streaming: Optional[Any] = None
+    parsed_streaming: Optional[Any] = PField(default=None, exclude=True)
     # "datafusion" translates every stage query through the dialect
     # compat layer (functions/compat.py) so reference pipelines run
     # unmodified; default is plain Spark SQL.
@@ -653,7 +751,136 @@ class Pipeline(_Base):
         dupes = {n for n in names if names.count(n) > 1}
         if dupes:
             raise ValueError(f"duplicate table names in pipeline: {sorted(dupes)}")
+        self._validate_streaming()
         return self
+
+    @property
+    def streaming_sources(self) -> list[Any]:
+        return [
+            s for s in self.parsed_sources if getattr(s, "streaming", False)
+        ]
+
+    def _validate_streaming(self) -> None:
+        """Load-time validation of the streaming surface — every rule
+        here fails FAST instead of as an opaque AnalysisException when
+        the query starts."""
+        if self.streaming is not None:
+            spec = (
+                self.streaming
+                if isinstance(self.streaming, StreamingSpec)
+                else StreamingSpec.model_validate(self.streaming)
+            )
+            object.__setattr__(self, "parsed_streaming", spec)
+        stream_srcs = self.streaming_sources
+        if not stream_srcs:
+            if self.parsed_streaming is not None:
+                raise ValueError(
+                    "pipeline declares a streaming: block but no source "
+                    "has streaming: true — mark the incremental source"
+                )
+            return
+        # schema is mandatory on streaming scans (no inference)
+        for s in stream_srcs:
+            fmt = getattr(s, "format", None)
+            if fmt is not None and fmt.type in ("csv", "json", "parquet", "orc"):
+                opts = fmt.parsed
+                if not getattr(opts, "schema_", None):
+                    raise ValueError(
+                        f"streaming source '{s.name}': an explicit schema "
+                        "is required (streaming file scans cannot infer "
+                        "one) — add format.options.schema"
+                    )
+            if fmt is not None and fmt.type == "binary":
+                raise ValueError(
+                    f"streaming source '{s.name}': binary streaming is "
+                    "not supported declaratively — use the batch source "
+                    "on a schedule"
+                )
+        # which stages are STREAMING?  Transitive textual scan from the
+        # streaming source names (the TTL calculation's word-boundary
+        # rule): a stage referencing a streaming name produces a
+        # streaming frame; stages touching only batch sources (e.g. the
+        # minhash_signatures index build a streaming screen joins
+        # against) stay batch and keep the full batch feature set
+        stream_names = {s.name for s in stream_srcs}
+        for group in self.stage_groups:
+            for st in group:
+                text = st.search_text()
+                if any(
+                    re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)
+                    for n in stream_names
+                ):
+                    stream_names.add(st.name)
+        for group in self.stage_groups:
+            for st in group:
+                if st.name not in stream_names:
+                    continue
+                # stream-incompatible flags: show/eager force an action
+                # on an unstarted streaming frame, explain_analyze
+                # re-executes one
+                bad = [
+                    f
+                    for f, on in (
+                        ("show", st.show is not None),
+                        ("eager", bool(getattr(st, "eager", False))),
+                        (
+                            "explain_analyze",
+                            bool(getattr(st, "explain_analyze", False)),
+                        ),
+                    )
+                    if on
+                ]
+                if bad:
+                    raise ValueError(
+                        f"stage '{st.name}': {'/'.join(bad)} cannot run on "
+                        "a streaming stage in a streaming pipeline (no "
+                        "action exists before the query starts) — use a "
+                        "memory destination and query it, or drop the flag"
+                    )
+                # streaming operator stages must be stream-safe
+                # (stateless row-local maps or stream-static joins);
+                # everything else needs the Python streaming API
+                # (streaming/ops.py) where watermarks/state are explicit
+                if st.operator is not None:
+                    op = str(st.operator.get("type", "")).strip().lower()
+                    if op not in STREAM_SAFE_OPERATORS:
+                        raise ValueError(
+                            f"stage '{st.name}': operator '{op}' is not "
+                            "stream-safe (it aggregates, sorts, or "
+                            "collects) — stream-safe operators: "
+                            f"{sorted(STREAM_SAFE_OPERATORS)}; for stateful "
+                            "streaming use aqueducts_spark.streaming.ops"
+                        )
+        dest = self.parsed_destination
+        if dest is None:
+            return
+        dtype = getattr(dest, "type", None)
+        if dtype == "file":
+            if dest.single_file:
+                raise ValueError(
+                    "streaming file destination requires single_file: "
+                    "false (a stream appends files per microbatch)"
+                )
+            if dest.bucket_by or dest.cluster_by or dest.zorder_by:
+                raise ValueError(
+                    "streaming file destination cannot bucket/cluster/"
+                    "zorder (those are whole-relation sorts); compact "
+                    "offline instead"
+                )
+        elif dtype == "delta":
+            mode = getattr(dest, "write_mode", None)
+            op = getattr(mode, "operation", None) if mode else None
+            if op not in (None, "append", "upsert"):
+                raise ValueError(
+                    "streaming delta destination supports append/upsert "
+                    f"write modes (got {op!r}); replace rewrites history "
+                    "per microbatch"
+                )
+        elif dtype != "in_memory":
+            raise ValueError(
+                f"destination type '{dtype}' cannot terminate a streaming "
+                "pipeline — use in_memory, file, or delta"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +908,7 @@ class PipelineDocument(_Base):
     stages: list[Union[Stage, list[Stage]]]
     destination: Optional[Destination] = None
     sql_dialect: Optional[Literal["spark", "datafusion"]] = None
+    streaming: Optional[StreamingSpec] = None
 
 
 def pipeline_json_schema() -> dict:

@@ -1321,6 +1321,28 @@ def _op_fuzzy_decontaminate(spark, inp, options):
     )
 
 
+def _op_fuzzy_decontam_rowwise(spark, inp, options):
+    from .decontam import fuzzy_decontaminate_rowwise
+
+    bench_table = options.get("benchmark")
+    if not bench_table:
+        raise OperatorError(
+            "fuzzy_decontam_rowwise operator requires options.benchmark "
+            "(a table name)"
+        )
+    return fuzzy_decontaminate_rowwise(
+        inp,
+        spark.table(bench_table),
+        text_col=options.get("text_col", "text"),
+        bench_text_col=options.get("bench_text_col"),
+        num_hashes=int(options.get("num_hashes", 16)),
+        bands=int(options.get("bands", 4)),
+        shingle_n=int(options.get("shingle_n", 3)),
+        threshold=float(options.get("threshold", 0.8)),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
 def _op_minhash_overlap(spark, inp, options):
     from .decontam import minhash_overlap
 
@@ -1809,6 +1831,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "linear_probe": _op_linear_probe,
     "decontaminate": _op_decontaminate,
     "fuzzy_decontaminate": _op_fuzzy_decontaminate,
+    "fuzzy_decontam_rowwise": _op_fuzzy_decontam_rowwise,
     "minhash_overlap": _op_minhash_overlap,
     "byte_stats": _op_byte_stats,
     "byte_histogram": _op_byte_histogram,

@@ -54,9 +54,18 @@ from .stages import process_stage
 
 
 class PipelineResult:
-    def __init__(self, spark: SparkSession, result: Optional[DataFrame]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        result: Optional[DataFrame],
+        streaming_query=None,
+    ):
         self.spark = spark
         self.result = result
+        # live StreamingQuery handle when the pipeline runs with a
+        # processing_time trigger (available_now/once drain and stop
+        # before run_pipeline returns, leaving this None)
+        self.streaming_query = streaming_query
 
 
 def _name_used_in(name: str, query: str) -> bool:
@@ -126,6 +135,9 @@ def run_pipeline(
                 duration_ms=t_src.elapsed_ms,
             )
         )
+
+    if pipeline.streaming_sources:
+        return _run_streaming_pipeline(spark, pipeline, tracker, dest)
 
     groups = pipeline.stage_groups
     ttls = compute_ttls(groups)
@@ -222,6 +234,159 @@ def run_pipeline(
                 stage_dfs[name].unpersist()
                 cached.discard(name)
 
+    tracker.on_progress(ProgressEvent("completed"))
+    return PipelineResult(spark, result)
+
+
+def _run_streaming_pipeline(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    tracker: ProgressTracker,
+    dest,
+) -> PipelineResult:
+    """Streaming execution path (any source with ``streaming: true``):
+    stages resolve lazily to streaming frames and register as temp
+    views exactly like batch (Spark SQL composes over streaming views),
+    then the DESTINATION becomes the one ``writeStream`` sink — memory
+    (named queryable view), file (append per microbatch,
+    checkpoint-tracked), or delta via ``foreachBatch`` reusing the
+    batch append/upsert writer (the standard exactly-once-merge shape).
+
+    ``available_now``/``once`` triggers drain everything currently
+    under the sources and RETURN (the incremental-batch recipe: run on
+    a schedule, the checkpoint makes each run pick up exactly the new
+    files); ``processing_time`` returns immediately with the live
+    query on ``PipelineResult.streaming_query``.
+
+    No caching/TTL machinery here: streaming frames cannot cache, and
+    views stay registered for the query's lifetime.
+    """
+    from .config.model import (
+        DeltaDestination,
+        FileDestination,
+        InMemoryDestination,
+        StreamingSpec,
+    )
+    from .destinations.write import _apply_csv_options
+    from .location import normalize_location
+    from .stages import build_stage_df
+
+    spec = pipeline.parsed_streaming or StreamingSpec()
+    result: Optional[DataFrame] = None
+    for group in pipeline.stage_groups:
+        for stage in group:
+            tracker.on_progress(ProgressEvent("stage_started", name=stage.name))
+            with timer() as t:
+                df = build_stage_df(spark, stage, pipeline.sql_dialect)
+                df.createOrReplaceTempView(stage.name)
+            tracker.on_progress(
+                ProgressEvent(
+                    "stage_completed", name=stage.name, duration_ms=t.elapsed_ms
+                )
+            )
+            result = df
+
+    if dest is None:
+        tracker.on_progress(ProgressEvent("completed"))
+        return PipelineResult(spark, result)
+    if result is None:
+        raise ValueError("pipeline has a destination but no stages")
+    if not result.isStreaming:
+        raise ValueError(
+            "pipeline declares streaming sources but the final stage "
+            "is a static frame — the destination would write once and "
+            "never see new files; route the streaming source into the "
+            "final stage (or drop streaming: true)"
+        )
+
+    writer = result.writeStream.outputMode(spec.output_mode)
+    if spec.trigger == "available_now":
+        writer = writer.trigger(availableNow=True)
+    elif spec.trigger == "once":
+        writer = writer.trigger(once=True)
+    else:
+        writer = writer.trigger(processingTime=spec.interval)
+
+    if isinstance(dest, InMemoryDestination):
+        # no checkpoint needed: the memory sink is ephemeral by design
+        writer = writer.format("memory").queryName(dest.name)
+    elif isinstance(dest, FileDestination):
+        location = normalize_location(dest.location, dest.storage_config)
+        ckpt = spec.checkpoint_dir or (
+            location.rstrip("/") + "/_streaming_checkpoint"
+        )
+        fmt = dest.format
+        writer = (
+            writer.format(fmt.type)
+            .option("path", location)
+            .option("checkpointLocation", ckpt)
+        )
+        if fmt.type == "csv":
+            writer = _apply_csv_options(writer, fmt.parsed)
+        elif fmt.parsed:
+            writer = writer.options(**fmt.parsed)
+        if dest.partition_columns:
+            writer = writer.partitionBy(*dest.partition_columns)
+    elif isinstance(dest, DeltaDestination):
+        location = normalize_location(dest.location, dest.storage_config)
+        ckpt = spec.checkpoint_dir or (
+            location.rstrip("/") + "/_streaming_checkpoint"
+        )
+        from .destinations import write_to_destination
+
+        def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # each microbatch goes through the BATCH delta writer —
+            # append or null-safe-keyed upsert — so the streaming and
+            # batch write paths can never diverge
+            write_to_destination(spark, dest, batch_df)
+
+        writer = writer.foreachBatch(_merge_batch).option(
+            "checkpointLocation", ckpt
+        )
+    else:  # unreachable: load-time validation rejects other types
+        raise ValueError(
+            f"destination type {type(dest).__name__} cannot terminate a "
+            "streaming pipeline"
+        )
+
+    query = writer.start()
+    if spec.trigger == "processing_time":
+        tracker.on_progress(ProgressEvent("completed"))
+        return PipelineResult(spark, result, streaming_query=query)
+    with timer() as t_dst:
+        finished = query.awaitTermination(spec.timeout_sec)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"streaming pipeline did not drain within streaming."
+            f"timeout_sec={spec.timeout_sec} — raise it for large "
+            "backlogs"
+        )
+    tracker.on_progress(
+        ProgressEvent(
+            "destination_completed", name=dest.name, duration_ms=t_dst.elapsed_ms
+        )
+    )
+    # after a drained trigger the streaming frame is useless to the
+    # caller (no action works on it) — hand back a BATCH view of what
+    # the sink now holds instead (in_memory destination parity)
+    if isinstance(dest, InMemoryDestination):
+        result = spark.table(dest.name)
+    elif isinstance(dest, FileDestination):
+        location = normalize_location(dest.location, dest.storage_config)
+        reader = spark.read.format(dest.format.type)
+        if dest.format.type == "csv":
+            o = dest.format.parsed
+            reader = reader.option(
+                "header", str(o.has_header).lower()
+            ).option("sep", o.delimiter)
+        result = reader.load(location)
+    elif isinstance(dest, DeltaDestination):
+        from .delta import delta_layer
+
+        result = delta_layer(spark).read(
+            normalize_location(dest.location, dest.storage_config)
+        )
     tracker.on_progress(ProgressEvent("completed"))
     return PipelineResult(spark, result)
 

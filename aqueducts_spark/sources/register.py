@@ -111,9 +111,42 @@ def _binary_postfilter(df: DataFrame, opts) -> DataFrame:
     return df
 
 
+def _read_file_format_stream(
+    spark: SparkSession, fmt, location: str, base_path: str | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`_read_file_format` (Structured
+    Streaming file source: new files under ``location`` arrive as
+    microbatches; checkpoint bookkeeping lives with the SINK).  An
+    explicit schema is mandatory — already validated at load time
+    (config/model.py::_validate_streaming) but re-checked here for
+    direct callers."""
+    opts = fmt.parsed
+    reader = spark.readStream
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    if fmt.type in ("csv", "json", "parquet", "orc"):
+        if not opts.schema_:
+            raise SourceError(
+                f"streaming {fmt.type} source requires an explicit schema"
+            )
+        reader = reader.schema(fields_to_struct(opts.schema_))
+        if fmt.type == "csv":
+            reader = reader.option(
+                "header", str(opts.has_header).lower()
+            ).option("sep", opts.delimiter)
+        return reader.format(fmt.type).load(location)
+    if fmt.type == "text":
+        return _apply_raw_file_options(reader.format("text"), opts).load(
+            location
+        )
+    raise SourceError(f"unsupported streaming file format: {fmt.type}")
+
+
 def _register_file(spark: SparkSession, source: FileSource) -> DataFrame:
     location = normalize_location(source.location, source.storage_config)
     apply_storage_config(spark, location, source.storage_config)
+    if source.streaming:
+        return _read_file_format_stream(spark, source.format, location)
     return _read_file_format(spark, source.format, location)
 
 
@@ -122,6 +155,23 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
     apply_storage_config(spark, location, source.storage_config)
     fmt = source.format
     opts = fmt.parsed
+    if source.streaming:
+        # streaming directory scan: hive partitions discover via
+        # basePath exactly as in batch; the typed partition casts
+        # below apply to the streaming frame identically
+        df = _read_file_format_stream(spark, fmt, location, base_path=location)
+        from ..types import parse_data_type
+
+        for col_name, dtype_str in source.partition_columns:
+            if col_name not in df.columns:
+                raise SourceError(
+                    f"declared partition column '{col_name}' not found in "
+                    f"directory source '{source.name}' (found: {df.columns})"
+                )
+            df = df.withColumn(
+                col_name, F.col(col_name).cast(parse_data_type(dtype_str))
+            )
+        return df
     reader = spark.read.option("basePath", location)
     if fmt.type == "csv":
         reader = (

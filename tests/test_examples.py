@@ -15,6 +15,7 @@ PARAMS = {
     "out_dir": "/tmp/aq_examples",
     "min_quality": "0.5",
     "min_margin_micro": "0",
+    "in_dir": "/tmp/aq_examples",
 }
 
 
@@ -132,5 +133,42 @@ def test_raw_text_ingest_example_runs(spark, tmp_path):
     for src in pipeline.parsed_sources:
         try:
             spark.catalog.dropTempView(src.name)
+        except Exception:
+            pass
+
+
+def test_streaming_ingest_example_runs_incrementally(spark, tmp_path):
+    """streaming_ingest.yml with availableNow: the first run drains the
+    initial backlog; a second run (same checkpoint) picks up EXACTLY
+    the new file — the scheduled-incremental contract."""
+    import shutil
+
+    path = Path(__file__).parent.parent / "examples" / "streaming_ingest.yml"
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", incoming / "b1.parquet"
+    )
+    params = {
+        "in_dir": str(tmp_path),
+        "out_dir": str(tmp_path),
+        "min_quality": "0.5",
+    }
+    r1 = run_pipeline(spark, load_pipeline(path, params))
+    n1 = r1.result.count()
+    assert n1 > 0
+    assert set(r1.result.columns) == {"doc_id", "n_tokens", "quality_score"}
+    # no new files: a re-run drains nothing and the sink is unchanged
+    r2 = run_pipeline(spark, load_pipeline(path, params))
+    assert r2.result.count() == n1
+    # a new file lands: ONLY it drains; the sink doubles
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", incoming / "b2.parquet"
+    )
+    r3 = run_pipeline(spark, load_pipeline(path, params))
+    assert r3.result.count() == 2 * n1
+    for v in ("doc_stream", "english", "scored", "kept"):
+        try:
+            spark.catalog.dropTempView(v)
         except Exception:
             pass

@@ -1,0 +1,387 @@
+"""Declarative streaming pipelines (config/model.py StreamingSpec +
+pipeline.py::_run_streaming_pipeline): YAML `streaming: true` sources,
+stream-safe stage whitelist, memory/file/foreachBatch-delta sinks,
+load-time validation. Spark extension (the reference has no streaming
+surface); stateful operators stay in aqueducts_spark.streaming.ops.
+"""
+
+import shutil
+
+import pytest
+
+from aqueducts_spark import load_pipeline_str, run_pipeline
+
+SCHEMA_YML = """
+        schema:
+          - {name: doc_id, data_type: int64}
+          - {name: text, data_type: string}
+          - {name: lang, data_type: string}
+          - {name: source, data_type: string}
+          - {name: n_chars, data_type: int64}
+"""
+
+
+def _src(in_dir, name="sdocs"):
+    return f"""
+sources:
+  - type: file
+    name: {name}
+    streaming: true
+    format:
+      type: parquet
+      options:
+{SCHEMA_YML}
+    location: {in_dir}
+"""
+
+
+@pytest.fixture()
+def incoming(tmp_path):
+    d = tmp_path / "incoming"
+    d.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "b1.parquet"
+    )
+    return d
+
+
+def _drop(spark, *names):
+    for n in names:
+        try:
+            spark.catalog.dropTempView(n)
+        except Exception:
+            pass
+
+
+def test_memory_sink_drains_to_named_view(spark, incoming):
+    yml = _src(incoming) + """
+stages:
+  - - name: mem_kept
+      query: SELECT doc_id, lang FROM sdocs WHERE lang = 'en'
+streaming: {trigger: available_now, timeout_sec: 300}
+destination:
+  type: in_memory
+  name: mem_stream_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    got = res.result.count()
+    assert got > 0
+    assert spark.table("mem_stream_out").count() == got
+    assert {r.lang for r in res.result.collect()} == {"en"}
+    _drop(spark, "sdocs", "mem_kept", "mem_stream_out")
+
+
+def test_delta_upsert_sink_via_foreachbatch(spark, incoming, tmp_path):
+    """Each microbatch goes through the BATCH delta upsert writer: a
+    re-run with overlapping keys updates in place instead of
+    duplicating — the exactly-once merge shape."""
+    loc = tmp_path / "delta_out"
+    yml = _src(incoming) + f"""
+stages:
+  - - name: du_kept
+      query: SELECT doc_id, lang, n_chars FROM sdocs
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: delta
+  name: du_out
+  location: {loc}
+  write_mode:
+    operation: upsert
+    params: [doc_id]
+"""
+    r1 = run_pipeline(spark, load_pipeline_str(yml))
+    n1 = r1.result.count()
+    assert n1 > 0
+    # same keys land again (fresh file, fresh checkpoint): upsert keeps
+    # the table at n1 rows instead of doubling it
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", incoming / "b2.parquet"
+    )
+    r2 = run_pipeline(spark, load_pipeline_str(yml))
+    assert r2.result.count() == n1
+    _drop(spark, "sdocs", "du_kept")
+
+
+def test_stream_safe_operator_stage_runs(spark, incoming, tmp_path):
+    yml = _src(incoming) + f"""
+stages:
+  - - name: op_counts
+      operator:
+        type: token_count
+        input: sdocs
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: file
+  name: op_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/op_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    assert res.result.count() > 0
+    _drop(spark, "sdocs", "op_counts")
+
+
+def test_unsafe_operator_rejected_at_load(spark, incoming):
+    yml = _src(incoming) + """
+stages:
+  - - name: bad_op
+      operator:
+        type: exact_dedup
+        input: sdocs
+destination:
+  type: in_memory
+  name: bad_out
+"""
+    with pytest.raises(Exception, match="not stream-safe"):
+        load_pipeline_str(yml)
+
+
+def test_show_rejected_on_streaming_pipeline(spark, incoming):
+    yml = _src(incoming) + """
+stages:
+  - - name: shown
+      query: SELECT * FROM sdocs
+      show: 5
+"""
+    with pytest.raises(Exception, match="streaming pipeline"):
+        load_pipeline_str(yml)
+
+
+def test_schema_required_for_streaming_source(tmp_path):
+    yml = f"""
+sources:
+  - type: file
+    name: noschema
+    streaming: true
+    format: {{type: parquet}}
+    location: {tmp_path}
+stages:
+  - - name: s1
+      query: SELECT * FROM noschema
+"""
+    with pytest.raises(Exception, match="explicit schema"):
+        load_pipeline_str(yml)
+
+
+def test_single_file_and_odbc_dest_rejected(tmp_path, incoming):
+    base = _src(incoming) + """
+stages:
+  - - name: s1
+      query: SELECT * FROM sdocs
+"""
+    with pytest.raises(Exception, match="single_file"):
+        load_pipeline_str(
+            base
+            + f"""
+destination:
+  type: file
+  name: f_out
+  format: {{type: parquet}}
+  location: {tmp_path}/x
+"""
+        )
+    with pytest.raises(Exception, match="cannot terminate"):
+        load_pipeline_str(
+            base
+            + """
+destination:
+  type: odbc
+  name: o_out
+  connection_string: jdbc:derby:memory:x
+  write_mode: {operation: append}
+"""
+        )
+
+
+def test_streaming_block_without_streaming_source_rejected():
+    yml = """
+sources:
+  - type: file
+    name: batch_docs
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: s1
+      query: SELECT * FROM batch_docs
+streaming: {trigger: available_now}
+"""
+    with pytest.raises(Exception, match="no source has streaming"):
+        load_pipeline_str(yml)
+
+
+def test_interval_validation():
+    from aqueducts_spark.config.model import StreamingSpec
+
+    with pytest.raises(Exception, match="interval"):
+        StreamingSpec(trigger="processing_time")
+    with pytest.raises(Exception, match="interval"):
+        StreamingSpec(trigger="available_now", interval="5 seconds")
+
+
+def test_processing_time_returns_live_query(spark, incoming, tmp_path):
+    yml = _src(incoming) + f"""
+stages:
+  - - name: pt_kept
+      query: SELECT doc_id FROM sdocs
+streaming:
+  trigger: processing_time
+  interval: 1 seconds
+destination:
+  type: file
+  name: pt_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/pt_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    q = res.streaming_query
+    assert q is not None and q.isActive
+    try:
+        # the live query drains the backlog shortly
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(f"{tmp_path}/pt_out").count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert spark.read.parquet(f"{tmp_path}/pt_out").count() > 0
+    finally:
+        q.stop()
+    _drop(spark, "sdocs", "pt_kept")
+
+
+def test_stream_static_join_stage(spark, incoming, tmp_path):
+    """A streaming view joined to a BATCH source in plain SQL — the
+    stream-static enrichment shape."""
+    yml = f"""
+sources:
+  - type: file
+    name: js_stream
+    streaming: true
+    format:
+      type: parquet
+      options:
+{SCHEMA_YML}
+    location: {incoming}
+  - type: file
+    name: js_langs
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: js_dim
+      query: SELECT lang, COUNT(*) AS lang_docs FROM js_langs GROUP BY lang
+  - - name: js_joined
+      query: >
+        SELECT s.doc_id, s.lang, d.lang_docs
+        FROM js_stream s JOIN js_dim d ON s.lang = d.lang
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: in_memory
+  name: js_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    rows = res.result.collect()
+    assert rows and all(r.lang_docs > 0 for r in rows)
+    _drop(spark, "js_stream", "js_langs", "js_dim", "js_joined", "js_out")
+
+
+def test_fuzzy_decontam_rowwise_streams_declaratively(spark, incoming):
+    """The live-crawl decontamination screen fully in YAML: the
+    STREAMING crawl drops rows near-duplicating a static benchmark via
+    fuzzy_decontam_rowwise (per-row band keys + one stream-static
+    broadcast condition anti-join — no stream-side aggregation).  The
+    benchmark IS the incoming corpus, so everything with text screens
+    out; empty/NULL-text rows have no shingles and are kept."""
+    yml = f"""
+sources:
+  - type: file
+    name: fd_stream
+    streaming: true
+    format:
+      type: parquet
+      options:
+{SCHEMA_YML}
+    location: {incoming}
+  - type: file
+    name: fd_bench
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: fd_survivors
+      operator:
+        type: fuzzy_decontam_rowwise
+        input: fd_stream
+        options: {{benchmark: fd_bench, threshold: 0.8}}
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: in_memory
+  name: fd_out
+"""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        res = run_pipeline(spark, load_pipeline_str(yml))
+    import duckdb
+
+    empties = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/"
+        "documents.parquet') WHERE text IS NULL OR trim(text) = ''"
+    ).fetchone()[0]
+    assert res.result.count() == empties
+    _drop(spark, "fd_stream", "fd_bench", "fd_survivors", "fd_out")
+
+
+def test_hamming_filter_streams_declaratively(spark, incoming, tmp_path):
+    """The signature-index screen fully in YAML: incoming rows carry a
+    stored simhash column (computed upstream / at rest); the screen is
+    hamming_filter's stream-static broadcast condition anti-join.  At
+    max_distance=0 every exact copy of an indexed signature drops."""
+    from aqueducts_spark.operators.dedup import simhash
+
+    # the "crawl at rest" carries signatures: build them in batch and
+    # land the signed parquet as the stream's incoming file
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    signed = simhash(docs)
+    sig_dir = tmp_path / "signed_incoming"
+    signed.write.parquet(str(sig_dir / "b1.parquet"))
+    yml = f"""
+sources:
+  - type: file
+    name: hf_stream
+    streaming: true
+    format:
+      type: parquet
+      options:
+        schema:
+          - {{name: doc_id, data_type: int64}}
+          - {{name: simhash, data_type: int64}}
+    location: {sig_dir}
+  - type: file
+    name: hf_corpus
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: hf_index
+      operator:
+        type: simhash
+        input: hf_corpus
+  - - name: hf_survivors
+      operator:
+        type: hamming_filter
+        input: hf_stream
+        options: {{index: hf_index, max_hamming: 0}}
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: in_memory
+  name: hf_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    # every incoming signature exists in the index -> all screened out
+    assert res.result.count() == 0
+    _drop(spark, "hf_stream", "hf_corpus", "hf_index", "hf_survivors", "hf_out")
