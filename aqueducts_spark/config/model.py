@@ -551,6 +551,10 @@ class PqIndexDestination(_Base):
     id_col: str = "vec_id"
     vec_col: str = "embedding"
     store_floats: bool = True
+    # FAISS by_residual: PQ codes quantize x - coarse_centroid (better
+    # recall at the same M under a clustered corpus); the flag persists
+    # in the index meta and the reader routes on it
+    by_residual: bool = False
     storage_config: dict[str, str] = PField(default_factory=dict, alias="storage_options")
 
 

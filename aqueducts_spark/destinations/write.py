@@ -143,6 +143,7 @@ def write_to_destination(spark: SparkSession, dest: Destination, df: DataFrame) 
             id_col=dest.id_col,
             vec_col=dest.vec_col,
             store_floats=dest.store_floats,
+            by_residual=dest.by_residual,
         )
     else:
         raise DestinationError(f"unknown destination type: {type(dest).__name__}")

@@ -440,6 +440,7 @@ def _op_ivfpq_topk(spark, inp, options):
         id_col=options.get("id_col", "vec_id"),
         vec_col=options.get("vec_col", "embedding"),
         query_id_col=options.get("query_id_col", "query_id"),
+        by_residual=bool(options.get("by_residual", False)),
     )
 
 

@@ -561,11 +561,65 @@ def _pq_dim(codebooks: list[list[list[float]]]) -> int:
     return len(codebooks) * len(codebooks[0][0])
 
 
+def _coarse_residuals(
+    X: "np.ndarray", centroids: list[list[float]]
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """(assignments, residuals) of raw vectors against the coarse
+    centroids — assignment by max cosine on the NORMALIZED vector
+    (byte-identical to :func:`ivf_assign`/:func:`_centroid_scorer`,
+    ties to the lowest id), residual on the RAW vector:
+    ``r = x - C[assign]``.  One convention, used by training, encoding
+    and ADC reconstruction alike — a drifting copy would silently
+    score against the wrong reconstruction."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), _NORM_EPS)
+    assign = (Xn @ C.T).argmax(axis=1)
+    return assign, X - C[assign]
+
+
+def train_pq_residual(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    sample: Optional["np.ndarray"] = None,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on COARSE RESIDUALS (FAISS
+    ``by_residual=true``, the IndexIVFPQ default): each sample vector
+    is assigned to its nearest coarse centroid and the per-subspace
+    k-means runs on ``x - centroid`` — residuals are far more
+    isotropic than raw vectors under a clustered corpus, so the same
+    M×K code budget buys materially better recall.  Same bounded
+    hash-rank sample discipline as :func:`train_pq` (pass ``sample``
+    to share one corpus draw with :func:`train_ivf_centroids`)."""
+    if sample is None:
+        sample = _hash_rank_sample(
+            corpus, vec_col, sample_size, "train_pq_residual"
+        )
+    X = np.asarray(sample, dtype=np.float64)
+    _, R = _coarse_residuals(X, centroids)
+    return train_pq(
+        corpus,
+        vec_col,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        iters=iters,
+        seed=seed,
+        sample=R,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    coarse_centroids: Optional[list[list[float]]] = None,
+    cid_col: Optional[str] = None,
 ) -> DataFrame:
     """Append the PQ code (``array<int>`` of length M, code m = id of
     the nearest sub-centroid by L2) — one Arrow-batched argmin per
@@ -576,10 +630,28 @@ def pq_encode(
     NULL vectors are dropped (no geometry, and np.stack would kill the
     task).  Persist the coded corpus instead of the float vectors for
     search at rest — that is where the 4D/M IO shrink comes from.
+
+    RESIDUAL mode (``coarse_centroids`` + ``cid_col`` together, FAISS
+    ``by_residual=true``): the row's coarse centroid (by ``cid_col``)
+    is subtracted from the raw vector BEFORE the argmin, so codes
+    quantize ``x - c`` against residual-trained codebooks
+    (:func:`train_pq_residual`).  Same zero-shuffle Arrow pass — the
+    subtraction is one vectorized index+subtract per batch.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if (coarse_centroids is None) != (cid_col is None):
+        raise ValueError(
+            "pq_encode: coarse_centroids and cid_col must be passed "
+            "together (residual mode needs both the centroid matrix "
+            "and each row's assignment)"
+        )
+    if cid_col is not None and cid_col not in df.columns:
+        raise ValueError(
+            f"pq_encode: cid_col {cid_col!r} not on the input — run "
+            "ivf_assign first"
+        )
     if out_col in df.columns:
         # withColumn would silently OVERWRITE an existing column of
         # this name (bpe_encode/sequence_spans reject clashes loudly —
@@ -593,9 +665,13 @@ def pq_encode(
     dim = M * dsub
     # per-centroid squared norms precomputed once per executor
     cn2 = (C**2).sum(axis=2)  # (M, K)
+    Coarse = (
+        None
+        if coarse_centroids is None
+        else np.asarray(coarse_centroids, dtype=np.float64)
+    )
 
-    def encode(vs):
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+    def _codes(X):
         if X.shape[1] != dim:
             raise ValueError(
                 f"pq_encode: vector dim {X.shape[1]} != codebook dim {dim}"
@@ -613,9 +689,32 @@ def pq_encode(
         codes = (cn2[None, :, :] - 2.0 * dots).argmin(axis=2)  # (B, M)
         return pd.Series([row.tolist() for row in codes.astype("int32")])
 
-    udf = pandas_udf(encode, "array<int>")
+    if Coarse is None:
+
+        def encode(vs):
+            return _codes(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            )
+
+        udf = pandas_udf(encode, "array<int>")
+        return df.where(F.col(vec_col).isNotNull()).withColumn(
+            out_col, udf(F.col(vec_col))
+        )
+
+    def encode_residual(vs, cids):
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        c = cids.to_numpy(dtype=np.int64)
+        if (c < 0).any() or (c >= len(Coarse)).any():
+            raise ValueError(
+                f"pq_encode: {cid_col!r} value outside "
+                f"[0, {len(Coarse)}) — assignments from a different "
+                "centroid set?"
+            )
+        return _codes(X - Coarse[c])
+
+    udf = pandas_udf(encode_residual, "array<int>")
     return df.where(F.col(vec_col).isNotNull()).withColumn(
-        out_col, udf(F.col(vec_col))
+        out_col, udf(F.col(vec_col), F.col(cid_col))
     )
 
 
@@ -729,17 +828,41 @@ def _adc_search(
     query_id_col: str,
     probes: Optional["np.ndarray"] = None,
     fn_name: str = "pq_topk",
+    coarse: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """Shared ADC scan + optional exact re-rank behind :func:`pq_topk`
     and :func:`ivfpq_topk`.  ``coded`` carries ``neighbor_id, __pq``
     (plus ``__cid`` when ``probes`` — the (NQ, nprobe) per-query
     cluster-probe matrix — is given: each query then scores only rows
-    in its own probed clusters, the IVF pruning)."""
+    in its own probed clusters, the IVF pruning).
+
+    ``coarse`` (the coarse centroid matrix) switches ADC to RESIDUAL
+    reconstruction (``by_residual=true``): the row decodes as
+    ``x̃ = c_cid + r̃``, so the cosine numerator is ``q·c_cid + Σ_m
+    lut[m][code_m]`` and the norm is ``sqrt(|c|² + 2·Σ_m c·r̃_m +
+    |r̃|²)`` — three small precomputed tables (per-query·centroid
+    dots, centroid norms, and the (NC, M, K) centroid-sub-dot table),
+    still zero extra corpus IO.  The third table is the price of
+    residual mode: its size is validated loudly below."""
     import pandas as pd
     from pyspark.sql import types as T
 
     M, K, dsub = C.shape
     dim = M * dsub
+    if coarse is not None:
+        if probes is None:
+            raise ValueError(
+                f"{fn_name}: residual ADC needs per-row coarse "
+                "assignments (probes/__cid) — it is an IVFPQ mode"
+            )
+        table_bytes = len(coarse) * M * K * 8
+        if table_bytes > 256 * 1024 * 1024:
+            raise ValueError(
+                f"{fn_name}: residual ADC's (n_centroids x M x K) "
+                f"centroid-sub-dot table would be {table_bytes >> 20} MiB "
+                "per task — reduce n_centroids/M/K or use "
+                "by_residual=False"
+            )
     if Q.shape[1] != dim:
         raise ValueError(
             f"{fn_name}: query dim {Q.shape[1]} != codebook dim {dim}"
@@ -756,6 +879,13 @@ def _adc_search(
     lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), M, dsub), C)  # (NQ, M, K)
     cn2 = (C**2).sum(axis=2)  # (M, K): ||c̃||^2 = Σ_m ||C[m][code_m]||^2
     qn = np.maximum(np.linalg.norm(Q, axis=1), _NORM_EPS)  # (NQ,)
+    if coarse is not None:
+        qc = Q @ coarse.T  # (NQ, NC): q·c per (query, centroid)
+        ccn2 = (coarse**2).sum(axis=1)  # (NC,)
+        # c·r̃ decomposes per subspace like the LUT: (NC, M, K)
+        cdot = np.einsum(
+            "cmd,mkd->cmk", coarse.reshape(len(coarse), M, dsub), C
+        )
     probe_sets = (
         None
         if probes is None
@@ -781,12 +911,24 @@ def _adc_search(
             codes = np.stack(
                 [np.asarray(c, dtype=np.int64) for c in pdf["__pq"]]
             )  # (B, M)
-            cn = np.sqrt(np.maximum(cn2[rng_m, codes].sum(axis=1), 0.0))
-            cn = np.maximum(cn, _NORM_EPS)  # (B,)
+            rn2 = cn2[rng_m, codes].sum(axis=1)  # (B,) Σ_m ||code_m||^2
             ids = pdf["neighbor_id"].to_numpy()
             cids = (
                 pdf["__cid"].to_numpy() if probe_sets is not None else None
             )
+            if coarse is None:
+                cn = np.maximum(np.sqrt(np.maximum(rn2, 0.0)), _NORM_EPS)
+            else:
+                # ||c + r̃||² = |c|² + 2·Σ_m c_m·C_m[code_m] + |r̃|²
+                cdsum = cdot[
+                    cids[:, None], rng_m[None, :], codes
+                ].sum(axis=1)  # (B,)
+                cn = np.maximum(
+                    np.sqrt(
+                        np.maximum(ccn2[cids] + 2.0 * cdsum + rn2, 0.0)
+                    ),
+                    _NORM_EPS,
+                )
             outs = []
             for qi in range(len(qids)):
                 if probe_sets is not None:
@@ -794,9 +936,14 @@ def _adc_search(
                     if not mask.any():
                         continue
                     q_codes, q_ids, q_cn = codes[mask], ids[mask], cn[mask]
+                    q_cids = cids[mask]
                 else:
                     q_codes, q_ids, q_cn = codes, ids, cn
-                cos = lut[qi][rng_m, q_codes].sum(axis=1) / (qn[qi] * q_cn)
+                    q_cids = None
+                num = lut[qi][rng_m, q_codes].sum(axis=1)
+                if coarse is not None:
+                    num = num + qc[qi, q_cids]
+                cos = num / (qn[qi] * q_cn)
                 # exact local top-k under (cosine desc, id asc): any
                 # global top-k row is in its partition's local top-k
                 order = np.lexsort((q_ids, -cos))[:kk]
@@ -865,6 +1012,7 @@ def ivfpq_topk(
     centroids: Optional[list[list[float]]] = None,
     codebooks: Optional[list[list[list[float]]]] = None,
     max_queries: int = 4096,
+    by_residual: bool = False,
 ) -> DataFrame:
     """The composed FAISS-style IVFPQ layout: the IVF coarse quantizer
     prunes WHICH corpus rows each query scores (``nprobe`` of
@@ -874,11 +1022,18 @@ def ivfpq_topk(
     100 TB serving shape: IO bounded by nprobe/n_centroids of the
     corpus × M bytes per row, exact arithmetic bounded by R per query.
 
-    PQ here encodes RAW vectors, not per-cluster residuals (FAISS's
-    ``by_residual=false`` mode): one global codebook keeps encode a
-    single shuffle-free pass and the ADC LUT per-query-global rather
-    than per-(query, centroid); the recall cost at small nprobe is
-    covered by the rerank tier.  Both quantizers train on bounded
+    ``by_residual=False`` (default) encodes RAW vectors: one global
+    codebook keeps encode a single shuffle-free pass and the ADC LUT
+    per-query-global.  ``by_residual=True`` is the FAISS IndexIVFPQ
+    default: codes quantize ``x - coarse_centroid``
+    (:func:`train_pq_residual` / :func:`pq_encode` residual mode), and
+    ADC reconstructs ``c + r̃`` with three small precomputed tables —
+    materially better recall at the same M under a clustered corpus,
+    at the cost of an (n_centroids, M, K) table per task (bounded with
+    a loud error).  Explicit ``codebooks`` must match the mode they
+    were trained in — a raw codebook scored residually is silent
+    garbage, which is why the persisted index stores the flag
+    (:func:`pq_persist` meta).  Both quantizers train on bounded
     hash-rank samples (see :func:`train_ivf_centroids`); pass
     ``centroids``/``codebooks`` to reuse a persisted index.
 
@@ -897,14 +1052,25 @@ def ivfpq_topk(
                 sample=sample,
             )
         if codebooks is None:
-            codebooks = train_pq(
-                corpus,
-                vec_col,
-                n_subspaces=n_subspaces,
-                n_centroids=n_pq_centroids,
-                seed=seed,
-                sample=sample,
-            )
+            if by_residual:
+                codebooks = train_pq_residual(
+                    corpus,
+                    centroids,
+                    vec_col,
+                    n_subspaces=n_subspaces,
+                    n_centroids=n_pq_centroids,
+                    seed=seed,
+                    sample=sample,
+                )
+            else:
+                codebooks = train_pq(
+                    corpus,
+                    vec_col,
+                    n_subspaces=n_subspaces,
+                    n_centroids=n_pq_centroids,
+                    seed=seed,
+                    sample=sample,
+                )
     q = _collect_query_matrix(
         queries, query_id_col, vec_col, max_queries, "ivfpq_topk"
     )
@@ -927,9 +1093,14 @@ def ivfpq_topk(
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cid"
     )
-    coded = pq_encode(assigned, codebooks, vec_col, "__pq").select(
-        F.col(id_col).alias("neighbor_id"), "__pq", "__cid"
-    )
+    coded = pq_encode(
+        assigned,
+        codebooks,
+        vec_col,
+        "__pq",
+        coarse_centroids=centroids if by_residual else None,
+        cid_col="__cid" if by_residual else None,
+    ).select(F.col(id_col).alias("neighbor_id"), "__pq", "__cid")
     all_probed = sorted({int(c) for p in probes for c in p})
     coded = coded.where(F.col("__cid").isin(all_probed))
     return _adc_search(
@@ -946,6 +1117,7 @@ def ivfpq_topk(
         query_id_col,
         probes=probes,
         fn_name="ivfpq_topk",
+        coarse=Cn if by_residual else None,
     )
 
 
@@ -961,6 +1133,7 @@ def pq_persist(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     store_floats: bool = True,
+    by_residual: bool = False,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Materialize the IVFPQ index "at rest": the coded corpus
     ``(id, pq_code)`` written **partitioned by centroid_id** (probes
@@ -987,23 +1160,45 @@ def pq_persist(
                 sample=sample,
             )
         if codebooks is None:
-            codebooks = train_pq(
-                corpus,
-                vec_col,
-                n_subspaces=n_subspaces,
-                n_centroids=n_pq_centroids,
-                seed=seed,
-                sample=sample,
-            )
+            if by_residual:
+                codebooks = train_pq_residual(
+                    corpus,
+                    centroids,
+                    vec_col,
+                    n_subspaces=n_subspaces,
+                    n_centroids=n_pq_centroids,
+                    seed=seed,
+                    sample=sample,
+                )
+            else:
+                codebooks = train_pq(
+                    corpus,
+                    vec_col,
+                    n_subspaces=n_subspaces,
+                    n_centroids=n_pq_centroids,
+                    seed=seed,
+                    sample=sample,
+                )
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "centroid_id"
     )
-    coded = pq_encode(assigned, codebooks, vec_col, "pq_code").select(
-        F.col(id_col), "pq_code", "centroid_id"
-    )
+    coded = pq_encode(
+        assigned,
+        codebooks,
+        vec_col,
+        "pq_code",
+        coarse_centroids=centroids if by_residual else None,
+        cid_col="centroid_id" if by_residual else None,
+    ).select(F.col(id_col), "pq_code", "centroid_id")
     coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/codes"
     )
+    # the encode mode is part of the index's IDENTITY: a raw codebook
+    # scored residually (or vice versa) is silently wrong, so the flag
+    # persists with the index and the reader routes on it
+    spark.createDataFrame(
+        [(bool(by_residual),)], "by_residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
@@ -1046,6 +1241,14 @@ def ivfpq_topk_persisted(
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
     )
     centroids = [r["centroid"] for r in crows]
+    try:
+        by_residual = bool(
+            spark.read.parquet(f"{path}/meta").first()["by_residual"]
+        )
+    except Exception:
+        # pre-meta indexes (older pq_persist) are raw-vector by
+        # construction — absence means False, never a guess
+        by_residual = False
     brows = spark.read.parquet(f"{path}/codebooks").orderBy("m", "k").collect()
     n_sub = 1 + max(r["m"] for r in brows)
     books: list[list[list[float]]] = [[] for _ in range(n_sub)]
@@ -1098,6 +1301,7 @@ def ivfpq_topk_persisted(
         query_id_col,
         probes=probes,
         fn_name="ivfpq_topk_persisted",
+        coarse=Cn if by_residual else None,
     )
 
 

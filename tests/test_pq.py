@@ -329,3 +329,117 @@ def test_encode_out_col_clash_rejected(emb, books):
     with pytest.raises(ValueError, match="already exists"):
         pq_encode(coded.withColumnRenamed("pq_code", "__pq"), books,
                   out_col="__pq")
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ (by_residual=True, the FAISS IndexIVFPQ default)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Planted clustered corpus: strong coarse structure makes the
+    residual-vs-raw recall gap visible (residuals are near-isotropic,
+    raw vectors waste the code budget re-describing the centroid)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.15 * rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, qs
+
+
+def _recall(spark, got, truth):
+    t = {(r["query_id"], r["neighbor_id"]) for r in truth}
+    g = {(r["query_id"], r["neighbor_id"]) for r in got}
+    return len(t & g) / len(t)
+
+
+def test_residual_encode_matches_numpy_reference(clustered):
+    from aqueducts_spark.operators.similarity import (
+        _coarse_residuals,
+        ivf_assign,
+        train_ivf_centroids,
+        train_pq_residual,
+    )
+
+    emb, _ = clustered
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=3)
+    books = train_pq_residual(emb, cents, n_subspaces=8, n_centroids=16, seed=3)
+    assigned = ivf_assign(emb, cents, out_col="cid")
+    coded = {
+        r.vec_id: (r.cid, r.pq_code)
+        for r in pq_encode(
+            assigned, books, coarse_centroids=cents, cid_col="cid"
+        ).collect()
+    }
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    assign_ref, R = _coarse_residuals(X, cents)
+    C = np.asarray(books, dtype=np.float64)
+    M, K, dsub = C.shape
+    for i, vid in enumerate(sorted(coded)):
+        cid, code = coded[vid]
+        assert cid == assign_ref[i]
+        S = R[i].reshape(M, dsub)
+        want = [
+            int(((C[m] - S[m]) ** 2).sum(axis=1).argmin()) for m in range(M)
+        ]
+        assert list(code) == want, vid
+
+
+def test_residual_recall_geq_raw(clustered):
+    from aqueducts_spark.operators.similarity import ivfpq_topk
+
+    emb, qs = clustered
+    truth = brute_force_topk(emb, qs, k=10).collect()
+    kw = dict(
+        k=10, n_centroids=8, nprobe=8, n_subspaces=8, n_pq_centroids=16, seed=3
+    )
+    raw = ivfpq_topk(emb, qs, by_residual=False, **kw).collect()
+    res = ivfpq_topk(emb, qs, by_residual=True, **kw).collect()
+    spark = emb.sparkSession
+    r_raw = _recall(spark, raw, truth)
+    r_res = _recall(spark, res, truth)
+    assert r_res >= r_raw, (r_res, r_raw)
+    assert r_res >= 0.6, r_res
+
+
+def test_residual_persisted_roundtrip(clustered, tmp_path):
+    from aqueducts_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+        pq_persist,
+    )
+
+    emb, qs = clustered
+    path = str(tmp_path / "res_idx")
+    cents, books = pq_persist(
+        emb, path, n_centroids=8, n_subspaces=8, n_pq_centroids=16,
+        seed=3, by_residual=True,
+    )
+    spark = emb.sparkSession
+    per = ivfpq_topk_persisted(spark, path, qs, k=5, nprobe=3).collect()
+    inm = ivfpq_topk(
+        emb, qs, k=5, n_centroids=8, nprobe=3, centroids=cents,
+        codebooks=books, by_residual=True,
+    ).collect()
+    assert sorted(map(tuple, per)) == sorted(map(tuple, inm))
+
+
+def test_residual_mode_validation(emb, books, clustered):
+    from aqueducts_spark.operators.similarity import train_ivf_centroids
+
+    c_emb, _ = clustered
+    cents = train_ivf_centroids(c_emb, n_centroids=8, seed=3)
+    with pytest.raises(ValueError, match="together"):
+        pq_encode(c_emb, books, coarse_centroids=cents)
+    with pytest.raises(ValueError, match="cid_col"):
+        pq_encode(c_emb, books, coarse_centroids=cents, cid_col="nope")
