@@ -3274,6 +3274,63 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx
 
 
+def _sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVFPQ ANN in RESIDUAL mode (r7: FAISS by_residual —
+    codebooks trained on x − coarse_centroid, ADC reconstructs c + r̃)
+    with the exact re-rank tier.  Iterative k-means index: rows-only
+    check by design, but the gate asserts recall vs brute force — the
+    quality bar lives here, and it exercises the full coarse-prune →
+    residual-ADC → exact-rerank serving path at gate SF."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_topk(
+        emb,
+        queries,
+        k=10,
+        n_centroids=8,
+        nprobe=4,
+        n_subspaces=16,
+        n_pq_centroids=16,
+        rerank=50,
+        by_residual=True,
+    ).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    # once-per-call materialization (the sim_ivf_topk localCheckpoint
+    # rationale: per-call, never silently reused across bench repeats)
+    approx = approx.localCheckpoint(eager=True)
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("exact_id")
+    )
+    hits, total = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["neighbor_id"]),
+            "left",
+        )
+        .agg(F.count("neighbor_id"), F.count("*"))
+        .first()
+    )
+    recall = hits / total if total else 0.0
+    if recall < 0.5:
+        raise AssertionError(
+            f"sim_ivfpq_topk: recall@10 {recall:.2f} < 0.5 vs brute force"
+        )
+    return approx
+
+
 def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-ranking (iterative
     per-subspace k-means: rows-only check by design, but like
@@ -3836,6 +3893,65 @@ def _pl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark import load_pipeline_str, run_pipeline
 
     pipeline = load_pipeline_str(_PIPELINE_YML, params={"sf_dir": sf_dir})
+    return run_pipeline(spark, pipeline).result
+
+
+# Declarative STREAMING pipeline end-to-end (pipeline.py::
+# _run_streaming_pipeline, r7): documents stream in via readStream
+# (explicit schema — streaming scans cannot infer), a row-local SQL
+# stage filters, trigger available_now drains the whole backlog into a
+# memory sink, and the gate returns the drained relation.  The drain is
+# DETERMINISTIC (all files, one trigger), so the oracle is the plain
+# batch SQL — an exact-hash gate over the streaming execution path.
+_STREAMING_PIPELINE_YML = """
+version: "v2"
+sources:
+  - type: file
+    name: sg_docs
+    streaming: true
+    format:
+      type: parquet
+      options:
+        schema:
+          - {name: doc_id, data_type: int64}
+          - {name: text, data_type: string}
+          - {name: lang, data_type: string}
+          - {name: source, data_type: string}
+          - {name: n_chars, data_type: int64}
+    location: ${glob}
+stages:
+  - - name: sg_kept
+      query: >
+        SELECT doc_id, lang, n_chars FROM sg_docs
+        WHERE lang = 'en' AND n_chars >= 100
+streaming: {trigger: available_now, timeout_sec: 540}
+destination:
+  type: in_memory
+  name: sg_out
+"""
+
+PL_STREAMING_DUCK = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE lang = 'en' AND n_chars >= 100
+"""
+
+
+def _pl_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    # repeat-safe: the memory sink registers a view named sg_out and
+    # the in_memory prepare step refuses an existing name by design
+    for v in ("sg_out", "sg_docs", "sg_kept"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
+    pipeline = load_pipeline_str(
+        _STREAMING_PIPELINE_YML,
+        # a GLOB (not the bare file path): streaming file sources need
+        # a directory or glob; the glob's parent becomes the basePath
+        params={"glob": f"{sf_dir}/documents.parque*"},
+    )
     return run_pipeline(spark, pipeline).result
 
 
@@ -5588,6 +5704,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "sim_lsh_buckets": _sim_lsh_buckets,
         "sim_ivf_topk": _sim_ivf_topk,
+        "sim_ivfpq_topk": _sim_ivfpq_topk,
         "sim_pq_topk": _sim_pq_topk,
         "mm_byte_stats": _mm_byte_stats,
         "mm_byte_histogram": _mm_byte_histogram,
@@ -5607,6 +5724,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_oov_rate": _op_oov_rate,
         "op_semdedup": _op_semdedup,
         "pl_pipeline_yaml": _pl_pipeline,
+        "pl_streaming_yaml": _pl_streaming,
     }
 
 
@@ -5790,6 +5908,8 @@ _GATE_PRIORITY = [
     "op_corpus_overlap",
     "op_nb_classify",
     "op_bpe_bytelevel",         # GPT-2-style byte-level BPE (r7)
+    "pl_streaming_yaml",        # declarative streaming pipeline e2e (r7)
+    "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
 ]
 
 
@@ -5956,4 +6076,5 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_quantized_topk": OP_QUANTIZED_TOPK_DUCK,
         "op_oov_rate": OP_OOV_RATE_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
+        "pl_streaming_yaml": PL_STREAMING_DUCK,
     }

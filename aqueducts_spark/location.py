@@ -67,6 +67,12 @@ def normalize_location(
         raise LocationError("empty location")
     if not _SCHEME_RE.match(location):
         # bare path -> absolute file:// URL (reference location.rs:34-58)
+        if any(ch in location for ch in "*?[]"):
+            # glob pattern (streaming sources take globs): as_uri()
+            # percent-encodes the glob characters and Spark would then
+            # look for a literal '%2A' file — build the URI unquoted
+            # (the glob is resolved by Hadoop's globber, not the OS)
+            return "file://" + str(Path(location).absolute())
         uri = Path(location).absolute().as_uri()
         if uri == "file:///":
             return uri  # rstrip would eat the filesystem root to 'file:/'

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "op_shuffle_corpus",
     "op_bpe_pairs",
     "op_bpe_encode",
+    "op_bpe_bytelevel",
     "op_bpe_ids",
     "op_tok_fertility",
     "op_sequence_spans",
@@ -97,7 +98,9 @@ BENCH_QUERIES = [
     "op_corpus_overlap",
     "op_fuzzy_filter",
     "op_nb_classify",
+    "sim_ivfpq_topk",
     "pl_pipeline_yaml",
+    "pl_streaming_yaml",
 ]
 
 

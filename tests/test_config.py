@@ -529,3 +529,15 @@ class TestConfigReviewRegressions:
 
         with _pytest.raises(TypeParseError, match="missing 'name'"):
             parse_fields([{"data_type": "string"}])
+
+
+def test_normalize_location_preserves_glob_characters():
+    from aqueducts_spark.location import normalize_location
+
+    # as_uri() would percent-encode the glob and Spark would look for a
+    # literal '%2A' file (streaming sources take globs)
+    assert (
+        normalize_location("/data/docs.parque*")
+        == "file:///data/docs.parque*"
+    )
+    assert normalize_location("/data/part-?.json").endswith("part-?.json")
