@@ -230,3 +230,64 @@ def test_word_level_paths_unchanged(docs):
     m = train_bpe(docs, n_merges=3)
     enc = bpe_encode(docs, m)
     assert enc.count() == len(DOCS)
+
+
+# ---------------------------------------------------------------------------
+# property: both engine paths agree with a pure-Python reference on
+# random unicode corpora and random byte-aligned merge tables
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_byte_encode(text, merges):
+    import regex as rx
+
+    pre = rx.compile(_BPE_BYTE_PAT)
+    out = []
+    for w in pre.findall(text or ""):
+        h = w.encode("utf-8").hex()
+        syms = [h[i : i + 2] for i in range(0, len(h), 2)]
+        for a, b in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        out.extend(syms)
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_property_byte_paths_agree(spark, data):
+    # unicode-heavy alphabet: multi-byte chars, digits, punctuation,
+    # whitespace runs, an astral char — every byte path must agree
+    alpha = "ab1 .é¢☃\U0001f600\t"
+    texts = data.draw(
+        st.lists(
+            st.text(alphabet=alpha, max_size=16), min_size=1, max_size=4
+        )
+    )
+    hexsym = st.sampled_from(
+        ["61", "62", "20", "c3", "a9", "31", "2e", "6162", "2061"]
+    )
+    merges = data.draw(st.lists(st.tuples(hexsym, hexsym), max_size=4))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    exp = {i: _ref_byte_encode(t, merges) for i, t in enumerate(texts)}
+    for method in ("expr", "python"):
+        got = {
+            r.doc_id: list(r.tokens)
+            for r in bpe_encode(
+                df, merges, end_marker=None, byte_level=True, method=method
+            ).collect()
+        }
+        assert got == exp, method
