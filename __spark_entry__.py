@@ -4662,6 +4662,72 @@ def _bpe_bytelevel_duck_sql() -> str:
     )
 
 
+def _bpe_byteids_duck_sql(merges) -> str:
+    """Exact oracle for the FULL byte-level id chain: byte-mode encode
+    CTEs -> the FIXED vocab (256 hex byte symbols in byte order, then
+    merge products in merge order, first occurrence wins — fully
+    determined by the merge table, so it inlines as a VALUES relation)
+    -> unnest-with-position + join + ordered re-collect."""
+    vocab = [f"{i:02x}" for i in range(256)]
+    seen = set(vocab)
+    for a, b in merges:
+        t = a + b
+        if t not in seen:
+            seen.add(t)
+            vocab.append(t)
+    vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(vocab))
+    return (
+        _bpe_encode_duck_ctes(merges, None, byte_level=True)
+        + f""",
+vocab AS (SELECT * FROM (VALUES {vals}) AS v(token, token_id)),
+ex AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS pos
+  FROM fin
+),
+j AS (
+  SELECT e.doc_id, e.pos, v.token_id
+  FROM ex e JOIN vocab v ON v.token = e.tok
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(token_id ORDER BY pos), ' ') AS ids_str,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.ids_str, '') AS ids_str,
+       coalesce(a.n_tokens, 0) AS n_tokens
+FROM (SELECT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
+"""
+    )
+
+
+def _op_bpe_byteids_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full byte-level tokenizer id chain (train artifacts fixed:
+    _BPE_BYTE_MERGES): byte-level encode -> fixed 256+merges vocab ->
+    id sequences.  Zero OOV by construction — the byte alphabet covers
+    every string, the property word-level vocabularies cannot offer."""
+    from aqueducts_spark.operators.text import (
+        bpe_encode,
+        bpe_vocab,
+        tokens_to_ids,
+    )
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = bpe_vocab(docs, _BPE_BYTE_MERGES, end_marker=None, byte_level=True)
+    enc = bpe_encode(
+        docs, _BPE_BYTE_MERGES, end_marker=None, byte_level=True,
+        method="python",
+    )
+    ids = tokens_to_ids(enc, vocab)
+    return ids.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), " "
+        ).alias("ids_str"),
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+    )
+
+
 def _op_bpe_bytelevel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level (GPT-2-style) BPE inference over every document
     (operators/text.py::bpe_encode byte_level=True) — pretokens are
@@ -5684,6 +5750,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_bpe_pairs": _op_bpe_pairs_gate,
         "op_bpe_encode": _op_bpe_encode_gate,
         "op_bpe_bytelevel": _op_bpe_bytelevel_gate,
+        "op_bpe_byteids": _op_bpe_byteids_gate,
         "op_bpe_ids": _op_bpe_ids_gate,
         "op_tok_fertility": _op_tok_fertility_gate,
         "op_contam_report": _op_contam_report_gate,
@@ -5910,6 +5977,7 @@ _GATE_PRIORITY = [
     "op_bpe_bytelevel",         # GPT-2-style byte-level BPE (r7)
     "pl_streaming_yaml",        # declarative streaming pipeline e2e (r7)
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
+    "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
 ]
 
 
@@ -6038,6 +6106,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_bpe_pairs": OP_BPE_PAIRS_DUCK,
         "op_bpe_encode": _bpe_encode_duck_sql(_BPE_ENC_MERGES),
         "op_bpe_bytelevel": _bpe_bytelevel_duck_sql(),
+        "op_bpe_byteids": _bpe_byteids_duck_sql(_BPE_BYTE_MERGES),
         "op_bpe_ids": _bpe_ids_duck_sql(_BPE_ENC_MERGES),
         "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
         "op_contam_report": OP_CONTAM_REPORT_DUCK,

@@ -338,3 +338,56 @@ class TestApiKeyAuth:
             api_key=KEY,
         )
         assert final["type"] == "succeeded"
+
+
+def test_streaming_pipeline_over_executor(server, tmp_path):
+    """A declarative STREAMING pipeline submitted remotely: the
+    executor's run_pipeline drains the available_now trigger and
+    reports success — the scheduled-incremental recipe works over the
+    remote protocol unchanged."""
+    import shutil
+
+    incoming = tmp_path / "exec_incoming"
+    incoming.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", incoming / "b1.parquet"
+    )
+    yml = f"""
+sources:
+  - type: file
+    name: exs_docs
+    streaming: true
+    format:
+      type: parquet
+      options:
+        schema:
+          - {{name: doc_id, data_type: int64}}
+          - {{name: lang, data_type: string}}
+          - {{name: text, data_type: string}}
+          - {{name: source, data_type: string}}
+          - {{name: n_chars, data_type: int64}}
+    location: {incoming}
+stages:
+  - - name: exs_kept
+      query: SELECT doc_id, lang FROM exs_docs WHERE lang = 'en'
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: file
+  name: exs_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/exs_out
+"""
+    final = submit_pipeline(
+        "127.0.0.1", server["port"], yml, timeout=300, api_key=KEY
+    )
+    assert final["type"] == "succeeded", final
+    import pyspark.sql as _sql
+
+    spark = _sql.SparkSession.getActiveSession()
+    assert spark.read.parquet(f"{tmp_path}/exs_out").count() > 0
+    for v in ("exs_docs", "exs_kept"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
