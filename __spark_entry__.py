@@ -4610,18 +4610,23 @@ def _bpe_encode_duck_sql(merges, end_marker="</w>") -> str:
     )
 
 
-def _tok_fertility_duck_sql(merges, end_marker="</w>") -> str:
+def _tok_fertility_duck_sql(merges, end_marker="</w>", byte_level=False) -> str:
     """Tokenizer-fertility oracle: the encode CTE chain aggregated per
     language — exact integer sums, ratios as single 6dp-rounded
-    divisions (the dup-weight/tf-idf float discipline)."""
+    divisions (the dup-weight/tf-idf float discipline).  Byte mode
+    counts pretokens and BYTES (DuckDB ``strlen`` = UTF-8 bytes,
+    matching Spark ``octet_length``)."""
+    nc = "strlen(w)" if byte_level else "length(w)"
     return (
-        _bpe_encode_duck_ctes(merges, end_marker, carry=", lang")
-        + """,
+        _bpe_encode_duck_ctes(
+            merges, end_marker, carry=", lang", byte_level=byte_level
+        )
+        + f""",
 perdoc AS (
   SELECT f.lang,
          len(f.toks) AS nt,
          len(d.ws) AS nw,
-         COALESCE(list_sum(list_transform(d.ws, w -> length(w))), 0) AS nc
+         COALESCE(list_sum(list_transform(d.ws, w -> {nc})), 0) AS nc
   FROM fin f JOIN docs d USING (doc_id)
 )
 SELECT lang,
@@ -4649,6 +4654,24 @@ def _op_tok_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BPE_ENC_MERGES,
         group_col="lang",
         method="python",  # the memoized scale path, like op_bpe_encode
+    )
+
+
+def _op_byte_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BYTE-LEVEL tokenizer fertility (tokens per GPT-2
+    pretoken, bytes per token) under the fixed byte merge table — the
+    report the tokenizer_fit example compares against the word-level
+    table when choosing a tokenizer."""
+    from aqueducts_spark.operators.text import tokenizer_fertility
+
+    _views(spark, sf_dir)
+    return tokenizer_fertility(
+        spark.table("documents"),
+        _BPE_BYTE_MERGES,
+        group_col="lang",
+        end_marker=None,
+        byte_level=True,
+        method="python",
     )
 
 
@@ -5753,6 +5776,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_bpe_byteids": _op_bpe_byteids_gate,
         "op_bpe_ids": _op_bpe_ids_gate,
         "op_tok_fertility": _op_tok_fertility_gate,
+        "op_byte_fertility": _op_byte_fertility_gate,
         "op_contam_report": _op_contam_report_gate,
         "op_shard_manifest": _op_shard_manifest_gate,
         "op_datacard": _op_datacard_gate,
@@ -5978,6 +6002,7 @@ _GATE_PRIORITY = [
     "pl_streaming_yaml",        # declarative streaming pipeline e2e (r7)
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
+    "op_byte_fertility",        # byte-level fertility report (r7)
 ]
 
 
@@ -6109,6 +6134,9 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_bpe_byteids": _bpe_byteids_duck_sql(_BPE_BYTE_MERGES),
         "op_bpe_ids": _bpe_ids_duck_sql(_BPE_ENC_MERGES),
         "op_tok_fertility": _tok_fertility_duck_sql(_BPE_ENC_MERGES),
+        "op_byte_fertility": _tok_fertility_duck_sql(
+            _BPE_BYTE_MERGES, None, byte_level=True
+        ),
         "op_contam_report": OP_CONTAM_REPORT_DUCK,
         "op_shard_manifest": OP_SHARD_MANIFEST_DUCK,
         "op_datacard": OP_DATACARD_DUCK,

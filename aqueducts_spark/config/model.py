@@ -176,6 +176,10 @@ class FileSource(_Base):
     # stream-capable destination (Spark extension; the reference has
     # no streaming surface).
     streaming: bool = False
+    # bound how many NEW files one microbatch ingests (Spark's
+    # maxFilesPerTrigger) — the backpressure knob for catching up on a
+    # large backlog without one giant microbatch; streaming only
+    max_files_per_trigger: Optional[int] = None
 
 
 class DirSource(_Base):
@@ -188,6 +192,8 @@ class DirSource(_Base):
     # see FileSource.streaming — hive-partition discovery (basePath)
     # and typed partition casts apply to the stream identically
     streaming: bool = False
+    # see FileSource.max_files_per_trigger
+    max_files_per_trigger: Optional[int] = None
 
     @field_validator("partition_columns")
     @classmethod
@@ -775,6 +781,15 @@ class Pipeline(_Base):
                 else StreamingSpec.model_validate(self.streaming)
             )
             object.__setattr__(self, "parsed_streaming", spec)
+        for s in self.parsed_sources:
+            if (
+                getattr(s, "max_files_per_trigger", None) is not None
+                and not getattr(s, "streaming", False)
+            ):
+                raise ValueError(
+                    f"source '{s.name}': max_files_per_trigger is a "
+                    "streaming option — set streaming: true"
+                )
         stream_srcs = self.streaming_sources
         if not stream_srcs:
             if self.parsed_streaming is not None:
@@ -799,6 +814,12 @@ class Pipeline(_Base):
                     f"streaming source '{s.name}': binary streaming is "
                     "not supported declaratively — use the batch source "
                     "on a schedule"
+                )
+            mft = getattr(s, "max_files_per_trigger", None)
+            if mft is not None and mft < 1:
+                raise ValueError(
+                    f"streaming source '{s.name}': max_files_per_trigger "
+                    f"must be >= 1, got {mft}"
                 )
         # which stages are STREAMING?  Transitive textual scan from the
         # streaming source names (the TTL calculation's word-boundary

@@ -112,7 +112,11 @@ def _binary_postfilter(df: DataFrame, opts) -> DataFrame:
 
 
 def _read_file_format_stream(
-    spark: SparkSession, fmt, location: str, base_path: str | None = None
+    spark: SparkSession,
+    fmt,
+    location: str,
+    base_path: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`_read_file_format` (Structured
     Streaming file source: new files under ``location`` arrive as
@@ -124,6 +128,11 @@ def _read_file_format_stream(
     reader = spark.readStream
     if base_path is not None:
         reader = reader.option("basePath", base_path)
+    if max_files_per_trigger is not None:
+        # backpressure: bound each microbatch's NEW-file intake so a
+        # large backlog catches up in bounded steps (under available_now
+        # the drain still completes — just in several microbatches)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if fmt.type in ("csv", "json", "parquet", "orc"):
         if not opts.schema_:
             raise SourceError(
@@ -146,7 +155,10 @@ def _register_file(spark: SparkSession, source: FileSource) -> DataFrame:
     location = normalize_location(source.location, source.storage_config)
     apply_storage_config(spark, location, source.storage_config)
     if source.streaming:
-        return _read_file_format_stream(spark, source.format, location)
+        return _read_file_format_stream(
+            spark, source.format, location,
+            max_files_per_trigger=source.max_files_per_trigger,
+        )
     return _read_file_format(spark, source.format, location)
 
 
@@ -159,7 +171,10 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
         # streaming directory scan: hive partitions discover via
         # basePath exactly as in batch; the typed partition casts
         # below apply to the streaming frame identically
-        df = _read_file_format_stream(spark, fmt, location, base_path=location)
+        df = _read_file_format_stream(
+            spark, fmt, location, base_path=location,
+            max_files_per_trigger=source.max_files_per_trigger,
+        )
         from ..types import parse_data_type
 
         for col_name, dtype_str in source.partition_columns:

@@ -385,3 +385,62 @@ destination:
     # every incoming signature exists in the index -> all screened out
     assert res.result.count() == 0
     _drop(spark, "hf_stream", "hf_corpus", "hf_index", "hf_survivors", "hf_out")
+
+
+def test_max_files_per_trigger_bounds_microbatches(spark, incoming, tmp_path):
+    """Backpressure: with 3 incoming files and max_files_per_trigger=1,
+    the available_now drain still ingests EVERYTHING — in bounded
+    microbatches (>= 3 of them) instead of one giant batch."""
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", incoming / "b2.parquet"
+    )
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", incoming / "b3.parquet"
+    )
+    yml = f"""
+sources:
+  - type: file
+    name: mf_docs
+    streaming: true
+    max_files_per_trigger: 1
+    format:
+      type: parquet
+      options:
+{SCHEMA_YML}
+    location: {incoming}
+stages:
+  - - name: mf_kept
+      query: SELECT doc_id FROM mf_docs
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: file
+  name: mf_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/mf_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    one = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert res.result.count() == 3 * one
+    # each microbatch committed separately: >= 3 sink log entries
+    import os
+
+    commits = os.listdir(f"{tmp_path}/mf_out/_spark_metadata")
+    assert len([c for c in commits if not c.startswith(".")]) >= 3
+    _drop(spark, "mf_docs", "mf_kept")
+
+
+def test_max_files_per_trigger_requires_streaming():
+    yml = """
+sources:
+  - type: file
+    name: mfb_docs
+    max_files_per_trigger: 2
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: s1
+      query: SELECT * FROM mfb_docs
+"""
+    with pytest.raises(Exception, match="streaming option"):
+        load_pipeline_str(yml)
