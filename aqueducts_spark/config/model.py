@@ -879,8 +879,25 @@ class Pipeline(_Base):
         dest = self.parsed_destination
         if dest is None:
             return
+        spec = self.parsed_streaming
+        mode = spec.output_mode if spec is not None else "append"
         dtype = getattr(dest, "type", None)
+        if spec is not None and spec.checkpoint_dir and dtype == "in_memory":
+            raise ValueError(
+                "streaming.checkpoint_dir has no effect with an "
+                "in_memory destination — the memory sink keeps no "
+                "checkpoint, every run re-drains everything; use a "
+                "file/delta destination for exactly-once bookkeeping"
+            )
         if dtype == "file":
+            if mode != "append":
+                # Spark's file sink is append-only; a complete/update
+                # query would die at start() with an opaque error
+                raise ValueError(
+                    f"streaming output_mode '{mode}' cannot write to a "
+                    "file destination (the file sink is append-only) — "
+                    "use in_memory (append/complete) or delta"
+                )
             if dest.single_file:
                 raise ValueError(
                     "streaming file destination requires single_file: "
@@ -892,6 +909,12 @@ class Pipeline(_Base):
                     "zorder (those are whole-relation sorts); compact "
                     "offline instead"
                 )
+        elif dtype == "in_memory" and mode == "update":
+            raise ValueError(
+                "streaming output_mode 'update' is not supported by the "
+                "memory sink — use complete (the dashboard shape) or a "
+                "delta destination (foreachBatch handles update)"
+            )
         elif dtype == "delta":
             mode = getattr(dest, "write_mode", None)
             op = getattr(mode, "operation", None) if mode else None

@@ -229,7 +229,18 @@ def check_health(host: str, port: int, timeout: float = 5.0) -> dict[str, Any]:
             line = await asyncio.wait_for(reader.readline(), timeout)
             if not line:
                 return {"type": "error", "message": "connection closed"}
-            return decode(line)
+            try:
+                return decode(line)
+            except ValueError:
+                # something answered, but not this protocol (an HTTP
+                # server on the port?) — that's unhealthy, not a crash
+                return {
+                    "type": "error",
+                    "message": "non-protocol reply (wrong service on "
+                    "this port?)",
+                }
+        except TimeoutError:
+            return {"type": "error", "message": f"no reply in {timeout}s"}
         finally:
             writer.close()
 

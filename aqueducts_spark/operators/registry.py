@@ -223,6 +223,7 @@ def _op_nb_classify(spark, inp, options):
         # None (the default) reads the model's own metadata row
         buckets=None if bkts is None else int(bkts),
         all_scores=bool(options.get("all_scores", False)),
+        cache_model=bool(options.get("cache_model", True)),
     )
 
 

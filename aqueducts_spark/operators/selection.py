@@ -669,6 +669,7 @@ def nb_classify(
     buckets: Optional[int] = None,
     all_scores: bool = False,
     max_grid: int = 10_000_000,
+    cache_model: bool = True,
 ) -> DataFrame:
     """Score/classify documents with an :func:`nb_fit` model:
     ``log P(class | doc) ∝ log prior + Σ_grams log P(gram | class)``
@@ -723,9 +724,13 @@ def nb_classify(
     # seed set, the action would otherwise execute the full fit lineage
     # once for the metadata and AGAIN for the scoring job.  The model
     # is bounded (<= max_grid cells + priors + one metadata row), so
-    # the cache is small; an already-cached / parquet-backed model is
-    # unaffected (cache() on a cached frame is a no-op).
-    model = model.cache()
+    # the cache is small.  LIFECYCLE: the returned scoring frame reads
+    # the cache lazily, so it cannot be auto-released here — call
+    # ``model.unpersist()`` after materializing scores, or pass
+    # ``cache_model=False`` in long-lived loops that manage persistence
+    # themselves (a disk-persisted model never needs this cache).
+    if cache_model:
+        model = model.cache()
     prior_rows = model.where(F.col("bucket") == DEFAULT_BUCKET)
     # ONE small driver action reads the model metadata: the build
     # bucket count (bucket -2 sentinel) and the class count together

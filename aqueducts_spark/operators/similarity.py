@@ -1241,14 +1241,28 @@ def ivfpq_topk_persisted(
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
     )
     centroids = [r["centroid"] for r in crows]
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
-        by_residual = bool(
-            spark.read.parquet(f"{path}/meta").first()["by_residual"]
-        )
-    except Exception:
-        # pre-meta indexes (older pq_persist) are raw-vector by
-        # construction — absence means False, never a guess
+        meta_row = spark.read.parquet(f"{path}/meta").first()
+    except AnalysisException as exc:
+        # ONLY the absent-meta legacy case defaults to raw: pre-meta
+        # indexes (older pq_persist) are raw-vector BY CONSTRUCTION.
+        # Any other failure (permissions, corrupt files, transient
+        # store errors) must raise — guessing raw against
+        # residual-trained codebooks is silent garbage
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        meta_row = None
+    if meta_row is None:
         by_residual = False
+    elif meta_row["by_residual"] is None:
+        raise ValueError(
+            f"ivfpq_topk_persisted: corrupt index meta at {path}/meta "
+            "(NULL by_residual) — re-persist the index"
+        )
+    else:
+        by_residual = bool(meta_row["by_residual"])
     brows = spark.read.parquet(f"{path}/codebooks").orderBy("m", "k").collect()
     n_sub = 1 + max(r["m"] for r in brows)
     books: list[list[list[float]]] = [[] for _ in range(n_sub)]

@@ -510,38 +510,37 @@ def merge_hll_sketches(
     """Register-wise MAX: HLL(A ⊎ B) == merge(HLL(A), HLL(B)) exactly
     (registers are maxima), so per-shard sketches roll up losslessly.
 
-    All inputs must share the same build ``m`` — validated HERE, at
-    merge time, not only downstream: the per-register ``min(m)`` below
-    erases the mixed-m evidence whenever a register survives from only
-    one input, so :func:`hll_estimate`'s m-consistency guard cannot be
-    relied on to trip after a mixed merge.  The check is one global
-    min/max over the (tiny, ≤ m rows per group per input) union,
-    broadcast back — sketches never touch raw data volume."""
+    All inputs must share the same build ``m`` — validated at merge
+    time IN the merge's own aggregation (one pass, fully lazy, no
+    second scan of the input lineage): the groupBy carries per-register
+    ``min(m)``/``max(m)``/null-count, so any register populated by
+    inputs with DIFFERENT m raises here — including the case the
+    downstream estimator cannot see, where every register collides and
+    a per-register ``min(m)`` would erase the mixed-m evidence
+    entirely.  Registers populated by only ONE input pass this check
+    with their single m, but a mixed merge then emits rows with
+    different m values and :func:`hll_estimate`'s min/max m-guard
+    trips — between the two guards no silent mixed-m path remains."""
     grp = list(group_cols)
     merged = sketches[0].select(*grp, "reg", "mx", "m")
     for s in sketches[1:]:
         merged = merged.unionByName(s.select(*grp, "reg", "mx", "m"))
-    stats = merged.agg(
-        F.count(F.lit(1)).alias("__rows"),
+    grouped = merged.groupBy(*grp, "reg").agg(
+        F.max("mx").alias("mx"),
         F.min("m").alias("__mmin"),
         F.max("m").alias("__mmax"),
         F.sum(F.col("m").isNull().cast("int")).alias("__mnulls"),
     )
     guard = F.assert_true(
-        (F.col("__rows") == 0)
-        | (
-            (F.col("__mnulls") == 0)
-            & (F.col("__mmin") == F.col("__mmax"))
-        ),
+        (F.col("__mnulls") == 0) & (F.col("__mmin") == F.col("__mmax")),
         F.lit(
             "merge_hll_sketches: inputs were built with different (or "
             "NULL) m — a mixed-m merge collapses to one m per register "
             "and the estimate is silently wrong; rebuild with one m"
         ),
     )
-    checked = merged.crossJoin(F.broadcast(stats.where(guard.isNull())))
-    return checked.groupBy(*grp, "reg").agg(
-        F.max("mx").alias("mx"), F.min("m").alias("m")
+    return grouped.where(guard.isNull()).select(
+        *grp, "reg", "mx", F.col("__mmin").alias("m")
     )
 
 

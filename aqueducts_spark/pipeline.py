@@ -271,6 +271,8 @@ def _run_streaming_pipeline(
     from .location import normalize_location
     from .stages import build_stage_df
 
+    from .stages import process_stage
+
     spec = pipeline.parsed_streaming or StreamingSpec()
     result: Optional[DataFrame] = None
     for group in pipeline.stage_groups:
@@ -278,7 +280,22 @@ def _run_streaming_pipeline(
             tracker.on_progress(ProgressEvent("stage_started", name=stage.name))
             with timer() as t:
                 df = build_stage_df(spark, stage, pipeline.sql_dialect)
-                df.createOrReplaceTempView(stage.name)
+                if df.isStreaming:
+                    # streaming stage: lazy view only (show/eager/
+                    # explain_analyze were rejected at load)
+                    df.createOrReplaceTempView(stage.name)
+                else:
+                    # BATCH stage (e.g. the static index build a
+                    # streaming screen joins against): the full batch
+                    # feature set — show/explain/eager — still applies,
+                    # exactly as load-time validation promises
+                    df = process_stage(
+                        spark,
+                        stage,
+                        tracker,
+                        cache=False,
+                        sql_dialect=pipeline.sql_dialect,
+                    )
             tracker.on_progress(
                 ProgressEvent(
                     "stage_completed", name=stage.name, duration_ms=t.elapsed_ms
@@ -377,9 +394,13 @@ def _run_streaming_pipeline(
         reader = spark.read.format(dest.format.type)
         if dest.format.type == "csv":
             o = dest.format.parsed
-            reader = reader.option(
-                "header", str(o.has_header).lower()
-            ).option("sep", o.delimiter)
+            reader = (
+                reader.option("header", str(o.has_header).lower())
+                .option("sep", o.delimiter)
+                # the batch csv source always sets a schema or infers
+                # one — without this every read-back column is string
+                .option("inferSchema", "true")
+            )
         result = reader.load(location)
     elif isinstance(dest, DeltaDestination):
         from .delta import delta_layer

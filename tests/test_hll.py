@@ -267,3 +267,22 @@ def test_merge_null_m_raises(spark, toy):
 def test_merge_of_empty_sketches_is_empty_not_an_error(spark, toy):
     empty = hll_sketch(toy.where("v < 0"), ["grp"], "v", m=64)
     assert merge_hll_sketches([empty, empty], ["grp"]).count() == 0
+
+
+def test_merge_is_single_pass_and_lazy(spark, toy):
+    # review r7: the m-guard must ride the merge's OWN aggregation —
+    # no second scan of the input lineage, no crossJoin, and the merge
+    # stays fully lazy (no jobs run at call time)
+    a = hll_sketch(toy, ["grp"], "v", m=64)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    merged = merge_hll_sketches([a, a], ["grp"])
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)  # lazy: nothing executed
+    plan = merged._sc._jvm.PythonSQLUtils.explainString(
+        merged._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the union subtree appears ONCE in the plan TREE (formatted plans
+    # repeat every node in the details section below the tree)
+    tree = plan.split("\n\n(")[0]
+    assert tree.count("Union") == 1

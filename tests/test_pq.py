@@ -443,3 +443,32 @@ def test_residual_mode_validation(emb, books, clustered):
         pq_encode(c_emb, books, coarse_centroids=cents)
     with pytest.raises(ValueError, match="cid_col"):
         pq_encode(c_emb, books, coarse_centroids=cents, cid_col="nope")
+
+
+def test_persisted_meta_corruption_raises_instead_of_guessing(clustered, tmp_path):
+    from aqueducts_spark.operators.similarity import (
+        ivfpq_topk_persisted,
+        pq_persist,
+    )
+
+    emb, qs = clustered
+    spark = emb.sparkSession
+    path = str(tmp_path / "res_idx2")
+    pq_persist(
+        emb, path, n_centroids=8, n_subspaces=8, n_pq_centroids=16,
+        seed=3, by_residual=True,
+    )
+    # corrupt the meta: NULL flag must raise loudly, never guess raw
+    spark.createDataFrame(
+        [(None,)], "by_residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="corrupt index meta"):
+        ivfpq_topk_persisted(spark, path, qs, k=5, nprobe=3).collect()
+    # absent meta (legacy layout) still defaults to raw and runs
+    import shutil
+
+    shutil.rmtree(f"{path}/meta")
+    got = ivfpq_topk_persisted(spark, path, qs, k=5, nprobe=3)
+    assert got.count() > 0  # raw-mode scoring of a residual index is
+    # wrong but LEGACY-COMPATIBLE by contract; the flag exists so new
+    # indexes never hit this — absence is the one documented default

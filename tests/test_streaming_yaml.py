@@ -444,3 +444,108 @@ stages:
 """
     with pytest.raises(Exception, match="streaming option"):
         load_pipeline_str(yml)
+
+
+def test_batch_stage_show_still_works_in_streaming_pipeline(spark, incoming):
+    """A BATCH stage (no streaming reference) inside a streaming
+    pipeline keeps the full batch feature set — its show: output is
+    produced, exactly as load-time validation promises."""
+    from aqueducts_spark import CollectingTracker
+
+    yml = f"""
+sources:
+  - type: file
+    name: bs_stream
+    streaming: true
+    format:
+      type: parquet
+      options:
+{SCHEMA_YML}
+    location: {incoming}
+  - type: file
+    name: bs_static
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: bs_dim
+      query: SELECT lang, COUNT(*) AS n FROM bs_static GROUP BY lang
+      show: 5
+  - - name: bs_joined
+      query: >
+        SELECT s.doc_id, d.n FROM bs_stream s JOIN bs_dim d USING (lang)
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: in_memory
+  name: bs_out
+"""
+    tracker = CollectingTracker()
+    res = run_pipeline(spark, load_pipeline_str(yml), tracker)
+    assert res.result.count() > 0
+    shows = [o for o in tracker.outputs if o[0] == "bs_dim" and o[1] == "show"]
+    assert shows and "lang" in shows[0][2]
+    _drop(spark, "bs_stream", "bs_static", "bs_dim", "bs_joined", "bs_out")
+
+
+def test_complete_mode_streaming_aggregation_to_memory(spark, incoming):
+    """SQL stages may aggregate the stream (only OPERATOR stages are
+    whitelist-limited); complete mode + memory sink is the dashboard
+    shape and must work end-to-end."""
+    yml = _src(incoming, name="cm_docs") + """
+stages:
+  - - name: cm_counts
+      query: SELECT lang, COUNT(*) AS n FROM cm_docs GROUP BY lang
+streaming: {trigger: available_now, timeout_sec: 300, output_mode: complete}
+destination:
+  type: in_memory
+  name: cm_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    rows = {r.lang: r.n for r in res.result.collect()}
+    assert rows and sum(rows.values()) == spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    _drop(spark, "cm_docs", "cm_counts", "cm_out")
+
+
+def test_sink_output_mode_matrix_validated(tmp_path, incoming):
+    base = _src(incoming) + """
+stages:
+  - - name: s1
+      query: SELECT lang, COUNT(*) AS n FROM sdocs GROUP BY lang
+"""
+    # complete -> file sink: rejected at load (file sink is append-only)
+    with pytest.raises(Exception, match="append-only"):
+        load_pipeline_str(
+            base
+            + f"""
+streaming: {{output_mode: complete}}
+destination:
+  type: file
+  name: x_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/x
+"""
+        )
+    # update -> memory sink: rejected at load
+    with pytest.raises(Exception, match="memory sink"):
+        load_pipeline_str(
+            base
+            + """
+streaming: {output_mode: update}
+destination:
+  type: in_memory
+  name: y_out
+"""
+        )
+    # checkpoint_dir + memory sink: silently-ignored config rejected
+    with pytest.raises(Exception, match="checkpoint"):
+        load_pipeline_str(
+            base
+            + f"""
+streaming: {{checkpoint_dir: {tmp_path}/ck}}
+destination:
+  type: in_memory
+  name: z_out
+"""
+        )
