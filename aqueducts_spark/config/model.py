@@ -180,6 +180,11 @@ class FileSource(_Base):
     # maxFilesPerTrigger) — the backpressure knob for catching up on a
     # large backlog without one giant microbatch; streaming only
     max_files_per_trigger: Optional[int] = None
+    # event-time watermark (Spark withWatermark): how late data may
+    # arrive before its state is dropped — REQUIRED for update/append
+    # windowed aggregations over the stream, recommended whenever SQL
+    # stages aggregate by event time; streaming only
+    watermark: Optional[Any] = None
 
 
 class DirSource(_Base):
@@ -194,6 +199,8 @@ class DirSource(_Base):
     streaming: bool = False
     # see FileSource.max_files_per_trigger
     max_files_per_trigger: Optional[int] = None
+    # see FileSource.watermark
+    watermark: Optional[Any] = None
 
     @field_validator("partition_columns")
     @classmethod
@@ -782,13 +789,25 @@ class Pipeline(_Base):
             )
             object.__setattr__(self, "parsed_streaming", spec)
         for s in self.parsed_sources:
-            if (
-                getattr(s, "max_files_per_trigger", None) is not None
-                and not getattr(s, "streaming", False)
+            for opt in ("max_files_per_trigger", "watermark"):
+                if (
+                    getattr(s, opt, None) is not None
+                    and not getattr(s, "streaming", False)
+                ):
+                    raise ValueError(
+                        f"source '{s.name}': {opt} is a streaming "
+                        "option — set streaming: true"
+                    )
+            wm = getattr(s, "watermark", None)
+            if wm is not None and (
+                not isinstance(wm, dict)
+                or not wm.get("column")
+                or not wm.get("delay")
             ):
                 raise ValueError(
-                    f"source '{s.name}': max_files_per_trigger is a "
-                    "streaming option — set streaming: true"
+                    f"source '{s.name}': watermark must be "
+                    "{column: <event-time column>, delay: '<interval>'}"
+                    " (e.g. delay: '10 minutes')"
                 )
         stream_srcs = self.streaming_sources
         if not stream_srcs:

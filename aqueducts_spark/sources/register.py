@@ -151,14 +151,32 @@ def _read_file_format_stream(
     raise SourceError(f"unsupported streaming file format: {fmt.type}")
 
 
+def _apply_watermark(df: DataFrame, source) -> DataFrame:
+    """Attach the declared event-time watermark (validated at load:
+    ``{column, delay}``) — the state-retention bound for windowed
+    aggregations/joins over the stream.  The column must exist and be
+    a timestamp; Spark raises its own clear error otherwise."""
+    wm = getattr(source, "watermark", None)
+    if wm is None:
+        return df
+    if wm["column"] not in df.columns:
+        raise SourceError(
+            f"streaming source '{source.name}': watermark column "
+            f"{wm['column']!r} not in the declared schema "
+            f"(found: {df.columns})"
+        )
+    return df.withWatermark(wm["column"], str(wm["delay"]))
+
+
 def _register_file(spark: SparkSession, source: FileSource) -> DataFrame:
     location = normalize_location(source.location, source.storage_config)
     apply_storage_config(spark, location, source.storage_config)
     if source.streaming:
-        return _read_file_format_stream(
+        df = _read_file_format_stream(
             spark, source.format, location,
             max_files_per_trigger=source.max_files_per_trigger,
         )
+        return _apply_watermark(df, source)
     return _read_file_format(spark, source.format, location)
 
 
@@ -186,7 +204,7 @@ def _register_directory(spark: SparkSession, source: DirSource) -> DataFrame:
             df = df.withColumn(
                 col_name, F.col(col_name).cast(parse_data_type(dtype_str))
             )
-        return df
+        return _apply_watermark(df, source)
     reader = spark.read.option("basePath", location)
     if fmt.type == "csv":
         reader = (

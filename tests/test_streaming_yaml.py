@@ -549,3 +549,83 @@ destination:
   name: z_out
 """
         )
+
+
+def test_watermarked_windowed_aggregation(spark, tmp_path):
+    """Event-time watermark on a streaming source + a windowed SQL
+    aggregation in update mode to a delta sink — the state-bounded
+    streaming-rollup shape, fully declarative."""
+    import shutil
+
+    inc = tmp_path / "ev_incoming"
+    inc.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", inc / "e1.parquet")
+    yml = f"""
+sources:
+  - type: file
+    name: wm_events
+    streaming: true
+    watermark: {{column: ts, delay: 1 hour}}
+    format:
+      type: parquet
+      options:
+        schema:
+          - {{name: event_id, data_type: int64}}
+          - {{name: ts, data_type: "timestamp<microsecond,UTC>"}}
+          - {{name: user_id, data_type: int64}}
+          - {{name: event_type, data_type: string}}
+          - {{name: value, data_type: float64}}
+          - {{name: props, data_type: string}}
+    location: {inc}
+stages:
+  - - name: wm_counts
+      query: >
+        SELECT window(ts, '1 day').start AS day, event_type,
+               COUNT(*) AS n
+        FROM wm_events GROUP BY window(ts, '1 day'), event_type
+streaming: {{trigger: available_now, timeout_sec: 300, output_mode: update}}
+destination:
+  type: delta
+  name: wm_out
+  location: {tmp_path}/wm_delta
+  write_mode:
+    operation: upsert
+    params: [day, event_type]
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    got = {(r.day, r.event_type): r.n for r in res.result.collect()}
+    # update mode with a single available_now drain: watermark starts
+    # at 0, so EVERY window is still open and emits its current count —
+    # the totals must equal the SAME window expression run in batch
+    # (session-timezone-identical by construction)
+    want = {
+        (r.day, r.event_type): r.n
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        .selectExpr(
+            "window(ts, '1 day').start AS day", "event_type"
+        )
+        .groupBy("day", "event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
+    _drop(spark, "wm_events", "wm_counts")
+
+
+def test_watermark_validation():
+    base = """
+sources:
+  - type: file
+    name: wv_docs
+    {extra}
+    format: {{type: parquet}}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - - name: s1
+      query: SELECT * FROM wv_docs
+"""
+    with pytest.raises(Exception, match="streaming option"):
+        load_pipeline_str(base.format(extra="watermark: {column: ts, delay: 1 hour}"))
