@@ -172,3 +172,34 @@ def test_streaming_ingest_example_runs_incrementally(spark, tmp_path):
             spark.catalog.dropTempView(v)
         except Exception:
             pass
+
+
+def test_stream_rollup_example_upserts_incrementally(spark, tmp_path):
+    """stream_rollup.yml: watermarked windowed counts upsert into a
+    Delta rollup matching the batch aggregation exactly; a checkpointed
+    re-run drains nothing and leaves the rollup unchanged."""
+    import shutil
+
+    path = Path(__file__).parent.parent / "examples" / "stream_rollup.yml"
+    inc = tmp_path / "events_incoming"
+    inc.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", inc / "e1.parquet")
+    params = {"in_dir": str(tmp_path), "out_dir": str(tmp_path)}
+    r1 = run_pipeline(spark, load_pipeline(path, params))
+    keys1 = {(r.day, r.event_type): r.n for r in r1.result.collect()}
+    assert keys1 and sum(keys1.values()) == spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
+    # a re-run with NO new files drains nothing and leaves the rollup
+    # unchanged (checkpointed source + state).  Note the deliberate
+    # semantics if old events were re-sent: they would be LATE beyond
+    # the 1-hour watermark and correctly dropped from evicted windows
+    # — the rollup never double-counts history.
+    r2 = run_pipeline(spark, load_pipeline(path, params))
+    keys2 = {(r.day, r.event_type): r.n for r in r2.result.collect()}
+    assert keys2 == keys1
+    for v in ("event_stream", "daily_counts"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
