@@ -472,3 +472,48 @@ def test_persisted_meta_corruption_raises_instead_of_guessing(clustered, tmp_pat
     assert got.count() > 0  # raw-mode scoring of a residual index is
     # wrong but LEGACY-COMPATIBLE by contract; the flag exists so new
     # indexes never hit this — absence is the one documented default
+
+
+def test_residual_adc_scores_match_numpy_reconstruction(clustered):
+    """The residual ADC cosine must equal cos(q, c + r̃) computed by
+    straight numpy reconstruction — pins the three-table decomposition
+    (q·c + LUT sums over |c|² + 2c·r̃ + |r̃|²), not just recall."""
+    from aqueducts_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_residual,
+    )
+
+    emb, qs = clustered
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=3)
+    books = train_pq_residual(emb, cents, n_subspaces=8, n_centroids=16, seed=3)
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ivfpq_topk(
+            emb, qs, k=10, n_centroids=8, nprobe=8,
+            centroids=cents, codebooks=books, by_residual=True,
+        ).collect()
+    }
+    # numpy reconstruction of every corpus vector from (cid, codes)
+    C = np.asarray(books, dtype=np.float64)
+    M, K, dsub = C.shape
+    Co = np.asarray(cents, dtype=np.float64)
+    assigned = {r.vec_id: r.cid for r in ivf_assign(emb, cents, out_col="cid").collect()}
+    coded = {
+        r.vec_id: r.pq_code
+        for r in pq_encode(
+            ivf_assign(emb, cents, out_col="cid"), books,
+            coarse_centroids=cents, cid_col="cid",
+        ).collect()
+    }
+    Q = {r.query_id: np.asarray(r.embedding) for r in qs.collect()}
+    for (qid, nid), cos in got.items():
+        code = np.asarray(coded[nid], dtype=np.int64)
+        recon = Co[assigned[nid]] + np.concatenate(
+            [C[m][code[m]] for m in range(M)]
+        )
+        q = Q[qid]
+        want = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
+        # the operator rounds returned cosines to 4dp (_topk_per_query)
+        assert abs(cos - want) < 5.1e-5, (qid, nid, cos, want)
