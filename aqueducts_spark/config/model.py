@@ -935,13 +935,23 @@ class Pipeline(_Base):
                 "delta destination (foreachBatch handles update)"
             )
         elif dtype == "delta":
-            mode = getattr(dest, "write_mode", None)
-            op = getattr(mode, "operation", None) if mode else None
+            wmode = getattr(dest, "write_mode", None)
+            op = getattr(wmode, "operation", None) if wmode else None
             if op not in (None, "append", "upsert"):
                 raise ValueError(
                     "streaming delta destination supports append/upsert "
                     f"write modes (got {op!r}); replace rewrites history "
                     "per microbatch"
+                )
+            if mode in ("update", "complete") and op != "upsert":
+                # update re-emits CHANGED rows and complete the WHOLE
+                # result each microbatch — appending either duplicates
+                # keys silently; only a keyed merge is correct
+                raise ValueError(
+                    f"streaming output_mode '{mode}' with a delta "
+                    "destination requires write_mode operation: upsert "
+                    "(append would re-append each microbatch's "
+                    "re-emitted rows, silently duplicating keys)"
                 )
         elif dtype != "in_memory":
             raise ValueError(

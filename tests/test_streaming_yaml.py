@@ -629,3 +629,19 @@ stages:
 """
     with pytest.raises(Exception, match="streaming option"):
         load_pipeline_str(base.format(extra="watermark: {column: ts, delay: 1 hour}"))
+
+
+def test_delta_update_mode_requires_upsert(tmp_path, incoming):
+    yml = _src(incoming) + f"""
+stages:
+  - - name: du2
+      query: SELECT lang, COUNT(*) AS n FROM sdocs GROUP BY lang
+streaming: {{output_mode: update}}
+destination:
+  type: delta
+  name: du2_out
+  location: {tmp_path}/du2
+  write_mode: {{operation: append}}
+"""
+    with pytest.raises(Exception, match="requires write_mode operation: upsert"):
+        load_pipeline_str(yml)
