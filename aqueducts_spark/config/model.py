@@ -895,10 +895,28 @@ class Pipeline(_Base):
                             f"{sorted(STREAM_SAFE_OPERATORS)}; for stateful "
                             "streaming use aqueducts_spark.streaming.ops"
                         )
+        spec = self.parsed_streaming
+        if spec is not None and spec.trigger == "once":
+            for s in stream_srcs:
+                if getattr(s, "max_files_per_trigger", None) is not None:
+                    raise ValueError(
+                        f"streaming source '{s.name}': "
+                        "max_files_per_trigger has no effect under "
+                        "trigger: once (Spark's Once trigger ingests the "
+                        "whole backlog as ONE batch) — use available_now, "
+                        "which honors the bound across microbatches"
+                    )
         dest = self.parsed_destination
         if dest is None:
-            return
-        spec = self.parsed_streaming
+            # a destination-less streaming pipeline can do NOTHING
+            # observable: no query ever starts, show/eager are banned
+            # on streaming stages, and the returned frame supports no
+            # action — reject instead of reporting a no-op 'completed'
+            raise ValueError(
+                "a streaming pipeline needs a destination (memory/file/"
+                "delta) — without one no query starts and nothing is "
+                "observable"
+            )
         mode = spec.output_mode if spec is not None else "append"
         dtype = getattr(dest, "type", None)
         if spec is not None and spec.checkpoint_dir and dtype == "in_memory":

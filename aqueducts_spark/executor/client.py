@@ -222,7 +222,18 @@ def check_health(host: str, port: int, timeout: float = 5.0) -> dict[str, Any]:
     returns ``{type: health, status: OK}`` from a live executor."""
 
     async def go() -> dict[str, Any]:
-        reader, writer = await asyncio.open_connection(host, port)
+        # the CONNECT is inside the timeout too: a firewalled host that
+        # silently drops SYNs would otherwise hang the probe for the
+        # OS TCP timeout (minutes) — a health check must answer fast
+        try:
+            reader, writer = await asyncio.wait_for(
+                asyncio.open_connection(host, port), timeout
+            )
+        except TimeoutError:
+            return {
+                "type": "error",
+                "message": f"connect timed out after {timeout}s",
+            }
         try:
             writer.write(encode({"type": "health_request"}))
             await writer.drain()

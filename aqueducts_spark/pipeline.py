@@ -271,7 +271,7 @@ def _run_streaming_pipeline(
     from .location import normalize_location
     from .stages import build_stage_df
 
-    from .stages import process_stage
+    from .stages import emit_explain, process_stage
 
     spec = pipeline.parsed_streaming or StreamingSpec()
     result: Optional[DataFrame] = None
@@ -281,20 +281,31 @@ def _run_streaming_pipeline(
             with timer() as t:
                 df = build_stage_df(spark, stage, pipeline.sql_dialect)
                 if df.isStreaming:
-                    # streaming stage: lazy view only (show/eager/
-                    # explain_analyze were rejected at load)
+                    # streaming stage: lazy view (show/eager/
+                    # explain_analyze were rejected at load); explain
+                    # still works — plans exist before the query starts
+                    if stage.explain:
+                        emit_explain(df, stage.name, tracker)
                     df.createOrReplaceTempView(stage.name)
+                    if stage.print_schema:
+                        tracker.on_output(
+                            stage.name, "schema", df._jdf.schema().treeString()
+                        )
                 else:
                     # BATCH stage (e.g. the static index build a
                     # streaming screen joins against): the full batch
                     # feature set — show/explain/eager — still applies,
-                    # exactly as load-time validation promises
+                    # exactly as load-time validation promises.  The
+                    # probed frame passes through so driver-side build
+                    # work (model metadata reads, vocab collects) runs
+                    # ONCE, not once per probe
                     df = process_stage(
                         spark,
                         stage,
                         tracker,
                         cache=False,
                         sql_dialect=pipeline.sql_dialect,
+                        prebuilt=df,
                     )
             tracker.on_progress(
                 ProgressEvent(
@@ -392,15 +403,16 @@ def _run_streaming_pipeline(
     elif isinstance(dest, FileDestination):
         location = normalize_location(dest.location, dest.storage_config)
         reader = spark.read.format(dest.format.type)
+        if dest.format.type in ("csv", "json"):
+            # pin the DECLARED schema instead of inferring: inference
+            # would retype look-alike strings ('00123' -> 123) and the
+            # read-back must carry exactly what the pipeline drained
+            reader = reader.schema(result.schema)
         if dest.format.type == "csv":
             o = dest.format.parsed
-            reader = (
-                reader.option("header", str(o.has_header).lower())
-                .option("sep", o.delimiter)
-                # the batch csv source always sets a schema or infers
-                # one — without this every read-back column is string
-                .option("inferSchema", "true")
-            )
+            reader = reader.option(
+                "header", str(o.has_header).lower()
+            ).option("sep", o.delimiter)
         result = reader.load(location)
     elif isinstance(dest, DeltaDestination):
         from .delta import delta_layer

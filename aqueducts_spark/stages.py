@@ -69,33 +69,59 @@ def build_stage_df(
         raise StageError(stage.name, exc) from exc
 
 
+def emit_explain(df: DataFrame, stage_name: str, tracker: ProgressTracker) -> None:
+    """Emit a stage's extended plan + scale lint to the tracker — shared
+    by the batch runner (process_stage) and the streaming runner.
+
+    Streaming frames emit their LOGICAL plans only: physical planning
+    of a streaming query happens per microbatch after ``start()``, so
+    the extended mode (which plans physically) raises pre-start — and
+    the physical-plan lint has nothing to inspect yet."""
+    if df.isStreaming:
+        # only the ANALYZED plan is reachable pre-start: optimization
+        # already routes through assertSupported(), which rejects a
+        # streaming frame outside writeStream
+        qe = df._jdf.queryExecution()
+        text = "== Analyzed Logical Plan ==\n" + qe.analyzed().toString()
+        tracker.on_output(stage_name, "explain", text)
+        return
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # same as df.explain text
+        df._jdf.queryExecution(), "extended"
+    )
+    tracker.on_output(stage_name, "explain", plan)
+    from .plans import lint_plan
+
+    warnings = lint_plan(df)
+    if warnings:
+        tracker.on_output(
+            stage_name, "plan_lint", "\n".join(f"WARN: {w}" for w in warnings)
+        )
+
+
 def process_stage(
     spark: SparkSession,
     stage: Stage,
     tracker: ProgressTracker,
     cache: bool = False,
     sql_dialect: str | None = None,
+    prebuilt: DataFrame | None = None,
 ) -> DataFrame:
     """Run a stage (SQL query or declarative operator) and register the
-    result as a temp view."""
-    df = build_stage_df(spark, stage, sql_dialect)
+    result as a temp view.  ``prebuilt`` skips the build when the
+    caller already resolved the stage (the streaming runner probes
+    ``isStreaming`` first — rebuilding would re-run any driver-side
+    work an operator's construction does)."""
+    if prebuilt is not None:
+        df = prebuilt
+    else:
+        df = build_stage_df(spark, stage, sql_dialect)
 
     want_materialize = stage.eager or stage.explain_analyze
     if cache or want_materialize:
         df = df.cache()
 
     if stage.explain:
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # same as df.explain text
-            df._jdf.queryExecution(), "extended"
-        )
-        tracker.on_output(stage.name, "explain", plan)
-        from .plans import lint_plan
-
-        warnings = lint_plan(df)
-        if warnings:
-            tracker.on_output(
-                stage.name, "plan_lint", "\n".join(f"WARN: {w}" for w in warnings)
-            )
+        emit_explain(df, stage.name, tracker)
 
     if stage.explain_analyze:
         # Spark has no in-band EXPLAIN ANALYZE.  df.count() would run a

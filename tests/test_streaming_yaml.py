@@ -645,3 +645,92 @@ destination:
 """
     with pytest.raises(Exception, match="requires write_mode operation: upsert"):
         load_pipeline_str(yml)
+
+
+def test_streaming_without_destination_rejected(incoming):
+    yml = _src(incoming) + """
+stages:
+  - - name: nd_kept
+      query: SELECT doc_id FROM sdocs
+"""
+    with pytest.raises(Exception, match="needs a destination"):
+        load_pipeline_str(yml)
+
+
+def test_once_trigger_rejects_max_files_per_trigger(tmp_path, incoming):
+    yml = f"""
+sources:
+  - type: file
+    name: ot_docs
+    streaming: true
+    max_files_per_trigger: 2
+    format:
+      type: parquet
+      options:
+{SCHEMA_YML}
+    location: {incoming}
+stages:
+  - - name: ot_kept
+      query: SELECT doc_id FROM ot_docs
+streaming: {{trigger: once}}
+destination:
+  type: file
+  name: ot_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/ot
+"""
+    with pytest.raises(Exception, match="trigger: once"):
+        load_pipeline_str(yml)
+
+
+def test_explain_and_print_schema_on_streaming_stage(spark, incoming, tmp_path):
+    from aqueducts_spark import CollectingTracker
+
+    yml = _src(incoming) + f"""
+stages:
+  - - name: ex_kept
+      query: SELECT doc_id, lang FROM sdocs WHERE lang = 'en'
+      explain: true
+      print_schema: true
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: file
+  name: ex_out
+  format: {{type: parquet}}
+  single_file: false
+  location: {tmp_path}/ex
+"""
+    tracker = CollectingTracker()
+    res = run_pipeline(spark, load_pipeline_str(yml), tracker)
+    assert res.result.count() > 0
+    kinds = {(o[0], o[1]) for o in tracker.outputs}
+    assert ("ex_kept", "explain") in kinds
+    assert ("ex_kept", "schema") in kinds
+    _drop(spark, "sdocs", "ex_kept")
+
+
+def test_csv_sink_readback_preserves_declared_types(spark, incoming, tmp_path):
+    """CSV read-back pins the drained schema: a string column whose
+    values LOOK numeric must come back as string ('007' stays '007')."""
+    yml = _src(incoming) + f"""
+stages:
+  - - name: cs_kept
+      query: >
+        SELECT doc_id, lpad(CAST(doc_id AS STRING), 5, '0') AS padded
+        FROM sdocs
+streaming: {{trigger: available_now, timeout_sec: 300}}
+destination:
+  type: file
+  name: cs_out
+  format: {{type: csv}}
+  single_file: false
+  location: {tmp_path}/cs
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    assert dict(res.result.dtypes)["padded"] == "string"
+    assert dict(res.result.dtypes)["doc_id"] == "bigint"
+    one = res.result.where("doc_id = 7").first()
+    if one is not None:
+        assert one.padded == "00007"  # leading zeros intact
+    _drop(spark, "sdocs", "cs_kept")
