@@ -110,11 +110,16 @@ def weighted_mix(
         F.col(id_col), buckets=_BUCKETS, salt="mix:", hash_fn=hash_fn
     )
     n = _copies_expr(weights, default_weight, F.col(group_col), bucket)
+    if copy_col in df.columns:
+        raise ValueError(
+            f"weighted_mix: output column {copy_col!r} already exists "
+            "on the input — rename it or pass a different copy_col"
+        )
     # helper name must not collide with (and silently destroy) a
     # legitimate user column
-    mix_n = "_mix_n"
-    while mix_n in df.columns:
-        mix_n = "_" + mix_n
+    from .sampling import _fresh_name
+
+    mix_n = _fresh_name("_mix_n", df.columns)
     return (
         df.withColumn(mix_n, n)
         .where(F.col(mix_n) >= 1)
@@ -156,7 +161,10 @@ def temperature_weights(
     if alpha < 0:
         raise ValueError(f"temperature_weights: alpha must be >= 0, got {alpha}")
     rows = (
-        df.groupBy(F.col(group_col).alias("g"))
+        # NULL groups are excluded from the fit (two lines below) — so
+        # they must not count against the cardinality guard either
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("n"))
         .limit(max_groups + 1)
         .collect()
@@ -234,6 +242,15 @@ def pack_shards(
         raise ValueError("pack_shards: budget must be >= 1")
     if parts < 1:
         raise ValueError("pack_shards: parts must be >= 1")
+    clashes = [c for c in (part_col, shard_col) if c in df.columns]
+    if clashes:
+        # silently overwriting e.g. shuffle_corpus's shard_id corrupts
+        # the layout with no signal (corpus_offsets/sequence_spans all
+        # raise on this)
+        raise ValueError(
+            f"pack_shards: output column(s) {clashes} already exist on "
+            "the input — rename them or pass different part_col/shard_col"
+        )
     # the packer hash includes the tiebreak columns: hashing the order
     # key alone funnels EVERY row sharing an order value (weighted_mix
     # duplicates, tied quality scores) into one packer — the exact
@@ -256,8 +273,12 @@ def pack_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_part = df.withColumn(part_col, part)
-    cum = F.sum(F.col(token_col)).over(w)
-    start = (cum - F.col(token_col)).cast("double")
+    # NULL token counts pack as 0 (the corpus_offsets/sequence_spans
+    # convention) — raw NULL would make start NULL and silently drop
+    # the row from the shard layout
+    tok = F.coalesce(F.col(token_col), F.lit(0))
+    cum = F.sum(tok).over(w)
+    start = (cum - tok).cast("double")
     return with_part.withColumn(
         shard_col, F.floor(start / F.lit(float(budget))).cast("long")
     )

@@ -63,11 +63,6 @@ def _ts_col(df: DataFrame, name: str) -> Column:
     return F.col(name)
 
 
-def _ts_type(df: DataFrame, name: str) -> str:
-    t = dict(df.dtypes)[name]
-    return "timestamp" if t == "timestamp_ntz" else t
-
-
 def _ntz_epoch_double(colname: str) -> Column:
     """Epoch seconds of a TIMESTAMP_NTZ column with the wall clock read
     as UTC — same DST-free arithmetic as :func:`_ts_col`, usable on a
@@ -136,6 +131,19 @@ def time_rollup(
             f"(valid: {_GRAIN_ORDER})"
         )
     gcols = list(group_cols)
+    reserved = {"grain", "bucket", "n", "sum_value", "min_value",
+                "max_value", "avg_value", "__bucket", "__bucket_ts",
+                "__sum", "__min", "__max"}
+    bad = sorted(reserved & set(gcols))
+    if bad:
+        # a group column named like an output/internal column either
+        # dies with AMBIGUOUS_REFERENCE mid-cascade or silently emits
+        # duplicate output columns (shuffle_corpus/corpus_offsets raise
+        # for this clash class too)
+        raise ValueError(
+            f"time_rollup: group column(s) {bad} collide with the "
+            "rollup's output/internal columns — rename them first"
+        )
     # exact cross-engine sums need a decimal; the default (38,9) keeps
     # micro-scale values (latencies) and large magnitudes exact.  Pass
     # a narrower type only when an external oracle must reproduce the
@@ -245,6 +253,28 @@ def asof_join(
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     lcols = left.columns
+    out_names = ["matched_ts"] + [f"matched_{c}" for c in value_cols]
+    clashes = [c for c in out_names if c in lcols]
+    if clashes:
+        # two chained asof_joins are a natural enrichment shape; a
+        # silent duplicate column dies later with AMBIGUOUS_REFERENCE
+        # (range_join raises for this clash class too)
+        raise ValueError(
+            f"asof_join: output column(s) {clashes} already exist on "
+            "the left input — rename them first"
+        )
+    # LEFT rows with a NULL join key can never match (NULL = NULL never
+    # joins) yet all hash to ONE window partition — at crawl scale the
+    # entire no-key slice (easily 1-10%) would sort on a single task.
+    # Route them AROUND the union/window with their always-NULL matches
+    # and union back at the end (the url_dedup skew discipline).
+    bypass = None
+    if on:
+        null_key = F.lit(False)
+        for k in on:
+            null_key = null_key | F.col(k).isNull()
+        bypass = left.where(null_key)
+        left = left.where(~null_key)
     rfields = {f.name: f for f in right.schema.fields}
     # The matched right row travels as ONE struct (NULL for left rows,
     # non-NULL — possibly with NULL fields — for right rows), and the
@@ -385,14 +415,34 @@ def asof_join(
             .when(use_fwd, fwd("__porig"))
             .alias("matched_ts")
         )
-        return out.select(*left_fields(), matched_ts, *matched)
+        res = out.select(*left_fields(), matched_ts, *matched)
+        return _with_nullkey_bypass(
+            res, bypass, rfields, right_ts, value_cols
+        )
 
     ok = left_has_ts & pick_ts.isNotNull() & within_tol(pick_ts)
     matched = [
         F.when(ok, pick[c]).alias(f"matched_{c}") for c in value_cols
     ]
     matched_ts = F.when(ok, pick_orig).alias("matched_ts")
-    return out.select(*left_fields(), matched_ts, *matched)
+    res = out.select(*left_fields(), matched_ts, *matched)
+    return _with_nullkey_bypass(res, bypass, rfields, right_ts, value_cols)
+
+
+def _with_nullkey_bypass(res, bypass, rfields, right_ts, value_cols):
+    """Union the NULL-join-key left rows back with their (always-NULL)
+    matched columns — see the skew note in :func:`asof_join`."""
+    if bypass is None:
+        return res
+    padded = bypass.select(
+        "*",
+        F.lit(None).cast(rfields[right_ts].dataType).alias("matched_ts"),
+        *[
+            F.lit(None).cast(rfields[c].dataType).alias(f"matched_{c}")
+            for c in value_cols
+        ],
+    )
+    return res.unionByName(padded)
 
 
 def range_join(

@@ -88,8 +88,13 @@ def canonical_url(url: Column) -> Column:
     )
     rest = F.when(has_scheme, _split1(no_frag, "://", 1)).otherwise(no_frag)
 
-    hostport = _hostport(rest)
-    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
+    raw_hostport = _hostport(rest)
+    pathq = F.substring(rest, F.length(raw_hostport) + 1, F.lit(2147483647))
+    # strip RFC-3986 userinfo (up to the LAST '@' in the authority):
+    # 'http://anything@evil.com/' must canonicalize to host evil.com —
+    # without this, blocklists keyed on host/domain are trivially
+    # bypassed and 'u:p@host' URLs split host='u' at the ':'
+    hostport = F.regexp_replace(raw_hostport, r"^.*@", "")
 
     host = F.regexp_replace(F.lower(_split1(hostport, ":", 0)), r"^www\.", "")
     port = _split1(hostport, ":", 1)
@@ -239,21 +244,38 @@ def registered_domain_psl(
 
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``canonical_url, scheme, host, domain, path, query`` —
-    zero-shuffle projection for downstream grouping/filtering."""
+    zero-shuffle projection for downstream grouping/filtering.
+
+    NULL urls yield NULL parts (not empty strings — the
+    :func:`url_blocklist` convention: a fake ``''`` domain would lump
+    every no-URL document into one group downstream).  Output names
+    must not already exist on the input — raises, like url_blocklist.
+    """
+    out_names = ("canonical_url", "scheme", "host", "domain", "path", "query")
+    clashes = [c for c in out_names if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"url_parts: output column(s) {clashes} already exist on "
+            "the input — rename them first"
+        )
     url = F.col(url_col)
     canon = canonical_url(url)
     rest = _split1(canon, "://", 1)
     hostport = _hostport(rest)
     host = _split1(hostport, ":", 0)
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
+
+    def _n(col):  # NULL url -> NULL part, never ''
+        return F.when(canon.isNull(), F.lit(None).cast("string")).otherwise(col)
+
     return df.select(
         "*",
         canon.alias("canonical_url"),
-        _split1(canon, "://", 0).alias("scheme"),
-        host.alias("host"),
-        registered_domain(host).alias("domain"),
-        _split1(pathq, r"\?", 0).alias("path"),
-        _split1(pathq, r"\?", 1).alias("query"),
+        _n(_split1(canon, "://", 0)).alias("scheme"),
+        _n(host).alias("host"),
+        _n(registered_domain(host)).alias("domain"),
+        _n(_split1(pathq, r"\?", 0)).alias("path"),
+        _n(_split1(pathq, r"\?", 1)).alias("query"),
     )
 
 
@@ -339,9 +361,20 @@ def domain_cap(
     url = F.col(url_col)
     rest = _split1(canonical_url(url), "://", 1)
     host = _split1(_hostport(rest), ":", 0)
-    with_domain = df.withColumn(
-        "__domain", registered_domain(host)
-    ).withColumn("__rank", rank)
+    dom = registered_domain(host)
+    # rows WITHOUT a domain (NULL url / unparseable host) are not a
+    # domain and must not be capped: they ride a PER-ROW-UNIQUE
+    # sentinel group (the url_dedup trick) so each is its own window
+    # partition — every no-domain row survives AND the no-URL slice of
+    # a crawl (1-10%) never piles onto one window task.  (Capping them
+    # as one '' pseudo-domain silently discarded all but n of them.)
+    dom_key = F.when(
+        dom.isNull() | (dom == ""),
+        F.concat(F.lit("\x00nodomain\x00"), v),
+    ).otherwise(dom)
+    with_domain = df.withColumn("__domain", dom_key).withColumn(
+        "__rank", rank
+    )
     capped = group_cap(
         with_domain,
         group_cols=["__domain"],

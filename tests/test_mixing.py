@@ -301,3 +301,41 @@ def test_shard_manifest_registry_stage_and_xxhash(spark):
     b = shard_manifest(df, hash_fn="xxhash64").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     spark.catalog.dropTempView("sm_docs")
+
+
+def test_pack_shards_null_tokens_pack_as_zero_and_clash_guard(spark):
+    from aqueducts_spark.operators.mixing import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, 60)], "doc_id long, n_tok long"
+    )
+    out = pack_shards(df, "n_tok", "doc_id", budget=100, parts=1)
+    shards = {r.doc_id: r.shard_id for r in out.collect()}
+    # NULL counts pack as 0 tokens: the row gets a REAL shard (the old
+    # NULL shard_id silently dropped it from a partitioned layout)
+    assert shards[2] is not None
+    assert len(shards) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exist"):
+        pack_shards(out, "n_tok", "doc_id", budget=100)
+
+
+def test_weighted_mix_copy_col_clash_rejected(spark):
+    from aqueducts_spark.operators.mixing import weighted_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 2)], "doc_id long, src string, mix_copy int"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        weighted_mix(df, "src", "doc_id", {"a": 2.0})
+
+
+def test_temperature_weights_null_groups_dont_count_against_cap(spark):
+    from aqueducts_spark.operators.mixing import temperature_weights
+
+    rows = [(i, f"g{i}") for i in range(5)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    # exactly max_groups non-NULL groups + a NULL group: must fit
+    w = temperature_weights(df, "src", max_groups=5)
+    assert len(w) == 5 and None not in w

@@ -462,3 +462,45 @@ def test_asof_matched_row_is_atomic_with_genuine_null_values(spark):
     # along, not v=5 from the out-of-tolerance ts=1 row
     assert out.matched_ts is not None
     assert out.matched_v is None
+
+
+def test_asof_output_clash_rejected(spark):
+    from aqueducts_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)],
+        "k long, ts string, matched_ts double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "matched_ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 2.0)], "k long, ts string, v double"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v")
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, ["k"], "ts", "ts", ["v"])
+
+
+def test_asof_null_key_left_rows_bypass_with_null_matches(spark):
+    from aqueducts_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00"), (None, "2024-01-01 00:02:00")],
+        "k long, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)], "k long, ts string, v double"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    out = {r.k: r for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()}
+    assert out[1].matched_v == 7.0
+    # the NULL-key row survives (left-outer) with NULL matches, routed
+    # around the window so it never piles onto one task
+    assert None in out and out[None].matched_v is None
+    assert out[None].matched_ts is None
+
+
+def test_time_rollup_group_col_clash_rejected(spark):
+    from aqueducts_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0, "x")], "ts string, v double, n string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "v", "n")
+    with pytest.raises(ValueError, match="collide"):
+        time_rollup(df, "ts", "v", group_cols=["n"])
