@@ -73,7 +73,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     id_type = dict(labels.dtypes)["component"]
-    for _ in range(max_iter):
+    # max_iter + 1: a component of diameter exactly max_iter applies
+    # its last label change in round max_iter; only a further round
+    # with changed == 0 can CONFIRM convergence, so grant it before
+    # declaring failure (previously a fully-converged result was
+    # discarded with the error below)
+    for i in range(max_iter + 1):
         neighbor = (
             sym.join(labels.withColumnRenamed("node", "v2"), sym.v == F.col("v2"))
             .select(
@@ -101,12 +106,14 @@ def connected_components(
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
-    else:
-        raise RuntimeError(
-            f"connected_components: labels still changing after max_iter="
-            f"{max_iter} rounds — a component's diameter exceeds max_iter; "
-            "raise max_iter to at least the longest chain length"
-        )
+        if i == max_iter:
+            raise RuntimeError(
+                f"connected_components: labels still changing after "
+                f"max_iter={max_iter} rounds — a component's diameter "
+                "exceeds max_iter; raise max_iter to at least the "
+                "component diameter + 1 (the extra round confirms "
+                "convergence)"
+            )
     return labels
 
 
@@ -143,8 +150,26 @@ def cluster_dedup(
         )
     cc = connected_components(pairs, src=src, dst=dst)
     if keep_by is None:
-        non_canonical = cc.filter(F.col("node") != F.col("component")).select(
-            "node"
+        # representative = minimum id AMONG MEMBERS PRESENT IN df: the
+        # component label (global min id) may have been filtered out
+        # upstream, and anti-joining on "node != component" would then
+        # drop the ENTIRE cluster instead of keeping one survivor (the
+        # keep_by branch already ranks present members only)
+        from pyspark.sql.window import Window
+
+        # distinct BEFORE ranking: duplicate rows of the kept id would
+        # otherwise rank as separate members and put the keeper itself
+        # into the drop set
+        present = (
+            df.select(F.col(id_col).alias("node"))
+            .distinct()
+            .join(cc, "node", "inner")
+        )
+        w = Window.partitionBy("component").orderBy(F.col("node").asc())
+        non_canonical = (
+            present.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select("node")
         )
         return df.join(
             non_canonical, df[id_col] == non_canonical.node, "left_anti"

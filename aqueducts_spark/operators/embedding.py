@@ -156,8 +156,10 @@ def linear_probe_score(
     ``score_micro`` (bigint, micro-units) is bit-identical under any
     partitioning and across engines, the same discipline as
     :func:`label_centroids`. ``score`` is derived from the exact
-    integer. NULL components contribute 0 (a missing dimension is no
-    evidence, not a poison pill). Probability-style consumers can apply
+    integer. NULL COMPONENTS contribute 0 (no evidence, not a poison
+    pill) — but a vector whose LENGTH differs from the probe raises
+    loudly: that is a wrong-model/wrong-table error, and zero-padding
+    it would return a plausible-looking partial dot product. Probability-style consumers can apply
     their own sigmoid; it is deliberately not emitted because
     ``exp()`` is not bit-identical across engines.
 
@@ -176,7 +178,21 @@ def linear_probe_score(
     w_milli = [int(_math.floor(float(w) * 1e3)) for w in weights]
     bias_micro = int(_math.floor(float(bias) * 1e6))
     warr = F.array(*[F.lit(w).cast("bigint") for w in w_milli])
-    x = F.col(vec_col)
+    # dimension guard: zip_with NULL-pads the shorter array and the
+    # coalesce below would map every padded term to 0 — a 384-d vector
+    # scored by a 768-weight probe (wrong model for the table) would
+    # return a plausible-looking PARTIAL dot product instead of failing
+    x = F.when(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) != F.lit(len(weights))),
+        F.raise_error(
+            F.concat(
+                F.lit("linear_probe_score: vector dim "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != probe dim {len(weights)}"),
+            )
+        ).cast(df.schema[vec_col].dataType),
+    ).otherwise(F.col(vec_col))
     terms = F.zip_with(
         x,
         warr,

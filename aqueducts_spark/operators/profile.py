@@ -73,7 +73,13 @@ def profile_table(
         # backtick-quote the reference: bare F.col('x.y')/df['x.y']
         # would resolve a nested field, not the column named 'x.y'
         col = F.col("`" + c.replace("`", "``") + "`")
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{i}"))
+        # coalesce: SUM over zero rows is NULL, so an empty table would
+        # report n_rows=0 but n_nulls=NULL
+        aggs.append(
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0).cast("long")
+            ).alias(f"__nulls_{i}")
+        )
         if _unorderable(by_name[c]):
             aggs.append(F.lit(None).cast("long").alias(f"__dist_{i}"))
             aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
@@ -186,9 +192,25 @@ def corpus_datacard(
         nlang = lc.groupBy("__g").agg(
             F.countDistinct("__lang").cast("bigint").alias("n_langs")
         )
+        # eqNullSafe joins (keyed on a RENAMED right column so the drop
+        # is unambiguous under broadcast): the NULL group is a
+        # legitimate stats row (groupBy keeps it) but a plain column
+        # join never matches NULL keys — its language stats silently
+        # read 0/NULL
+        nlang_r = nlang.withColumnRenamed("__g", "__gr")
+        out = out.join(
+            F.broadcast(nlang_r),
+            F.col("__g").eqNullSafe(F.col("__gr")),
+            "left",
+        ).drop("__gr")
+        top_r = top.withColumnRenamed("__g", "__gr")
         out = (
-            out.join(F.broadcast(nlang), "__g", "left")
-            .join(F.broadcast(top), "__g", "left")
+            out.join(
+                F.broadcast(top_r),
+                F.col("__g").eqNullSafe(F.col("__gr")),
+                "left",
+            )
+            .drop("__gr")
             .withColumn(
                 "top_lang_share",
                 F.round(F.col("__n") / F.col("n_docs"), 6),
@@ -207,8 +229,17 @@ def corpus_datacard(
         .groupBy("__g")
         .agg(F.sum("__n").cast("bigint").alias("n_dup_docs"))
     )
+    dups_r = dups.withColumnRenamed("__g", "__gr")
     out = (
-        out.join(F.broadcast(dups), "__g", "left")
+        # eqNullSafe: the NULL group is a legitimate stats row (groupBy
+        # keeps it) but a plain column join never matches NULL keys —
+        # its dup counts silently read 0
+        out.join(
+            F.broadcast(dups_r),
+            F.col("__g").eqNullSafe(F.col("__gr")),
+            "left",
+        )
+        .drop("__gr")
         .withColumn(
             "n_dup_docs",
             F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("bigint")),

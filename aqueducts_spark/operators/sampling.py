@@ -188,6 +188,12 @@ def deterministic_split(
     Splits are disjoint and cover every row (weights are normalized);
     membership depends only on (id, salt).
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"deterministic_split: output column {out_col!r} already "
+            "exists on the input — a silent overwrite would replace a "
+            "previous split assignment; pass a different out_col"
+        )
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -236,7 +242,12 @@ def stratified_fixed_n(
 
     v = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00"))
     # NULL ids hash via the same sentinel as hash_bucket: a NULL rank
-    # key made selection among NULL-id rows partition-order dependent
+    # key made selection among NULL-id rows partition-order dependent.
+    # CONTRACT: ids must be UNIQUE non-NULL for fully deterministic
+    # selection — several NULL-id (or duplicate-id) rows in a stratum
+    # share one rank key, so WHICH of them crosses the n cutoff is
+    # partition-order dependent (the sentinel only fixes their order
+    # relative to other rows, not among themselves)
     if hash_fn == "xxhash64":
         h = F.xxhash64(F.lit(salt), v)
     elif hash_fn == "md5":
@@ -279,11 +290,16 @@ def group_cap(
     """
     from pyspark.sql.window import Window
 
+    # NULLS LAST in BOTH directions: Spark's bare asc() is NULLS FIRST,
+    # which let NULL-score rows outrank every real row and consume the
+    # whole quota under descending=False (desc() is already NULLS LAST)
     order = [
-        F.col(order_col).desc() if descending else F.col(order_col).asc()
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
     ]
     if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).asc())
+        order.append(F.col(tiebreak_col).asc_nulls_last())
     w = Window.partitionBy(*group_cols).orderBy(*order)
     rk = _fresh_name("_rk", df.columns)
     return (

@@ -175,3 +175,36 @@ def test_temperature_weights_cardinality_guard(spark):
     with _pytest.raises(ValueError, match="distinct"):
         temperature_weights(df, "source", max_groups=10)
     assert len(temperature_weights(df, "source", max_groups=30)) == 30
+
+
+def test_cluster_dedup_keeps_survivor_when_canonical_filtered_out(spark):
+    """pairs built BEFORE an upstream filter removed the cluster's
+    min-id member: one representative must still survive (previously
+    the whole cluster vanished)."""
+    from aqueducts_spark.operators.cluster import cluster_dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(  # doc 1 was quality-filtered upstream
+        [(2, "b"), (3, "c"), (9, "solo")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in cluster_dedup(df, pairs).collect())
+    assert kept == [2, 9]  # min PRESENT member of {2,3} plus the solo
+
+
+def test_connected_components_converges_at_exact_diameter(spark):
+    """A chain whose diameter equals max_iter converges in exactly
+    max_iter changing rounds; the confirmation round must accept it
+    instead of raising."""
+    from aqueducts_spark.operators.cluster import connected_components
+
+    # chain 0-1-2-3: label 0 reaches node 3 in 3 rounds (diameter 3)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    labels = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iter=3).collect()
+    }
+    assert set(labels.values()) == {0}

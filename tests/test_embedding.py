@@ -142,14 +142,17 @@ class TestLinearProbe:
         out = linear_probe_score(df, weights=[1.0, 100.0, 1.0]).collect()[0]
         assert out.score_micro == 1000 * 1000 + 3000 * 1000
 
-    def test_short_vector_pads_zero(self, spark):
+    def test_short_vector_raises_dim_mismatch(self, spark):
+        # r7 hardening: a shorter vector is a WRONG-MODEL error, not
+        # missing evidence — a silent partial dot product would score a
+        # 384-d corpus with a 768-d probe plausibly-but-meaninglessly
         from aqueducts_spark.operators.embedding import linear_probe_score
 
         df = spark.createDataFrame(
             [(1, [2.0])], "vec_id long, embedding array<double>"
         )
-        out = linear_probe_score(df, weights=[1.0, 50.0]).collect()[0]
-        assert out.score_micro == 2_000_000  # missing dim -> 0, not NULL
+        with pytest.raises(Exception, match="vector dim"):
+            linear_probe_score(df, weights=[1.0, 50.0]).collect()
 
     def test_empty_weights_rejected(self, spark):
         from aqueducts_spark.operators.embedding import linear_probe_score
@@ -182,3 +185,16 @@ class TestLinearProbe:
         )
         info = inspect_plan(linear_probe_score(df, weights=[1.0, 2.0]))
         assert info.exchanges == 0 and info.python_evals == 0
+
+
+def test_linear_probe_dim_mismatch_raises(spark):
+    from aqueducts_spark.operators.embedding import linear_probe_score
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector dim"):
+        linear_probe_score(df, weights=[1.0, 2.0, 3.0]).collect()
+    # matching dim still scores
+    ok = linear_probe_score(df, weights=[1.0, 2.0]).collect()
+    assert len(ok) == 1

@@ -148,3 +148,29 @@ def test_corpus_datacard_registry_stage(spark):
     ).collect()[0]
     assert out.n_docs == 1 and out.n_tokens == 2 and out.top_lang == "en"
     spark.catalog.dropTempView("dc_docs")
+
+
+def test_profile_empty_table_reports_zero_nulls(spark):
+    from aqueducts_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([], "a long, b string").where("1=0")
+    rows = {r.column: r for r in profile_table(df).collect()}
+    assert all(r.n_rows == 0 for r in rows.values())
+    assert all(r.n_nulls == 0 for r in rows.values())  # was NULL
+
+
+def test_datacard_null_group_gets_real_stats(spark):
+    from aqueducts_spark.operators.profile import corpus_datacard
+
+    rows = [
+        (1, None, "same text", "en"),
+        (2, None, "same text", "en"),
+        (3, None, "other", "fr"),
+        (4, "web", "x", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, lang string")
+    card = {r[0]: r for r in corpus_datacard(df, group_col="source", lang_col="lang").collect()}
+    nullrow = card[None]
+    # the NULL group's dup/lang stats must be REAL, not silently 0/NULL
+    assert nullrow.n_dup_docs == 2
+    assert nullrow.n_langs == 2 and nullrow.top_lang == "en"

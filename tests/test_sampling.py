@@ -260,3 +260,28 @@ class TestWeightedSample:
         )
         assert [r.doc_id for r in out.collect()] == [1]
         spark.catalog.dropTempView("ws_in")
+
+
+def test_group_cap_ascending_nulls_last(spark):
+    from aqueducts_spark.operators.sampling import group_cap
+
+    rows = [(i, "d", float(i)) for i in range(5)] + [
+        (10 + i, "d", None) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    kept = {
+        r.doc_id
+        for r in group_cap(
+            df, ["grp"], "score", 3, descending=False, tiebreak_col="doc_id"
+        ).collect()
+    }
+    # the 3 LOWEST scores win; NULL-score rows must not eat the quota
+    assert kept == {0, 1, 2}
+
+
+def test_deterministic_split_clash_rejected(spark):
+    from aqueducts_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    with pytest.raises(ValueError, match="already"):
+        deterministic_split(df, "doc_id", {"train": 0.8, "test": 0.2})
