@@ -147,8 +147,17 @@ def byte_histogram_features(
                     counts = [0] * _HIST_BUCKETS
                 if n:
                     hist = [round(c / n, 6) for c in counts]
+                    # entropy from the EXACT counts, not the 6dp-rounded
+                    # ratios: per-bucket rounding error accumulated to
+                    # ~1e-4, enough to flip the 4th decimal on large
+                    # payloads
                     entropy = round(
-                        -sum(p * math.log2(p) for p in hist if p > 0), 4
+                        -sum(
+                            (c / n) * math.log2(c / n)
+                            for c in counts
+                            if c
+                        ),
+                        4,
                     )
                 else:
                     hist = [0.0] * _HIST_BUCKETS
@@ -265,6 +274,11 @@ def decode_image(
     environment mismatch cannot pick the wrong decoder.  Output:
     ``(id, width, height, pixels: array<float>)`` row-major."""
     _resolve_image_codec(codec)  # validate names eagerly on the driver
+    if resize_to is not None and (resize_to[0] < 1 or resize_to[1] < 1):
+        # a zero/negative dimension silently emits empty pixel arrays
+        raise ValueError(
+            f"decode_image: resize_to must be positive, got {resize_to}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _resolve_image_codec(codec)
@@ -425,6 +439,21 @@ def sample_video_frames(
     sampler would keep unchanged.
 
     Output: ``(id, frame_ms, frame: binary)``."""
+    if every_ms < 1:
+        # 0 dies deep in executors (range() arg 3 must not be zero);
+        # negative silently emits zero frames for every video
+        raise ValueError(
+            f"sample_video_frames: every_ms must be >= 1, got {every_ms}"
+        )
+    if codec is not None and not callable(codec):
+        # the sibling decode_image/perceptual_hash contract validates
+        # eagerly on the driver; a name string here would die per-task
+        # with "'str' object is not callable"
+        raise ValueError(
+            "sample_video_frames: codec must be a callable "
+            "(payload) -> (duration_ms, frame_at) or None for the "
+            "deterministic fake"
+        )
     demux = codec or _fake_video_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -33,6 +33,14 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     OOM/stall exactly in the high-cardinality case this profiler is for.
     Both branches share the same groupBy shuffle, so AQE's
     ReusedExchange keeps this at ONE scan of ``df``."""
+    reserved = {"rows", "share", "__total"}
+    if key in reserved:
+        # groupBy(key).agg(alias 'rows') with key='rows' is AMBIGUOUS;
+        # key='share' would be silently overwritten by withColumn
+        raise ValueError(
+            f"key_skew_profile: key {key!r} collides with the profile's "
+            "output/internal columns — rename it first"
+        )
     counts = df.groupBy(key).agg(F.count("*").alias("rows"))
     total = counts.agg(F.sum("rows").alias("__total"))
     return (
@@ -74,11 +82,33 @@ def salted_join(
     # duplicated mid-join, the classic nondeterministic-shuffle-key
     # hazard).  Default: content hash over ALL big-side columns — pure
     # function of the row, so retries reproduce the same bucket.
-    salt_src = (
-        F.xxhash64(F.col(seed_col))
-        if seed_col
-        else F.xxhash64(*[F.col(c) for c in big.columns])
-    )
+    if seed_col:
+        salt_src = F.xxhash64(F.col(seed_col))
+    else:
+        from pyspark.sql import types as _T
+
+        def _hashable(dt) -> bool:
+            # xxhash64 rejects MapType anywhere in the type tree
+            if isinstance(dt, _T.MapType):
+                return False
+            if isinstance(dt, _T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, _T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        hashable = [
+            f.name for f in big.schema.fields if _hashable(f.dataType)
+        ]
+        if not hashable:
+            raise ValueError(
+                "salted_join: every big-side column is map-typed "
+                "(unhashable) — pass seed_col"
+            )
+        # map columns are excluded (xxhash64 raises on MapType); the
+        # remaining columns still make the salt a pure function of the
+        # row, which is all determinism-under-retry needs
+        salt_src = F.xxhash64(*[F.col(c) for c in hashable])
     salt = "__salt"
     while salt in big.columns or salt in small.columns:
         salt = "_" + salt  # never clobber a user column of the same name

@@ -127,6 +127,18 @@ def validate_rules(
                 f"rule {i}: in_set value must be a list of accepted "
                 f"values, got the string {rule['value']!r}"
             )
+        if check == "in_set" and any(
+            v is None for v in (rule.get("value") or [])
+        ):
+            # three-valued logic: isin(..., NULL) returns NULL for every
+            # non-member, ~NULL is NULL, and the violation count reads 0
+            # — the rule would silently ALWAYS pass.  NULL acceptance is
+            # what omitting not_null already means.
+            raise ValidationError(
+                f"rule {i}: in_set value list must not contain null "
+                "(SQL three-valued logic would make the rule always "
+                "pass); NULLs are governed by the not_null check"
+            )
         if check == "unique":
             aggs.append(
                 (

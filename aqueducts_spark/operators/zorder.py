@@ -40,7 +40,10 @@ def column_minmax(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[int, in
     scalars per column parameterize the quantization."""
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        # backtick-quote (the profile.py convention): a bare name with
+        # dots resolves a nested field, not the column named 'a.b'
+        qc = F.col("`" + c.replace("`", "``") + "`")
+        aggs += [F.min(qc).alias(f"__mn_{c}"), F.max(qc).alias(f"__mx_{c}")]
     row = df.agg(*aggs).collect()[0]
     out = {}
     for c in cols:
@@ -87,9 +90,13 @@ def zorder_key(
         # post-multiply clamp can fix.  delta<=rng plus the rng guard
         # above makes the product overflow-free, and the bucket lands
         # in [0, maxb] by construction.
+        # identifier backtick-quoted before SQL interpolation (the
+        # repo-wide convention): a raw 'event-time' parses as a
+        # SUBTRACTION, 'a.b' as struct access, 'order' as a keyword
+        qc = "`" + c.replace("`", "``") + "`"
         bucket = F.expr(
             f"LEAST({rng}L, GREATEST(0L, "
-            f"COALESCE((CAST({c} AS BIGINT) - CAST({mn} AS BIGINT)), 0)"
+            f"COALESCE((CAST({qc} AS BIGINT) - CAST({mn} AS BIGINT)), 0)"
             f")) * {maxb} DIV {rng}"
         )
         for j in range(bits):

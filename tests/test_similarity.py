@@ -96,7 +96,11 @@ def test_byte_histogram_matches_python(spark):
         for b in data:
             counts[b >> 4] += 1
         hist = [round(c / len(data), 6) for c in counts]
-        entropy = round(-sum(p * math.log2(p) for p in hist if p > 0), 4)
+        # exact entropy from counts (r7: no longer via the 6dp ratios)
+        entropy = round(
+            -sum((c / len(data)) * math.log2(c / len(data)) for c in counts if c),
+            4,
+        )
         r = got[row.doc_id]
         assert r.n_bytes == len(data)
         assert r.histogram == pytest.approx(hist)

@@ -114,3 +114,23 @@ def test_salted_join_validates_buckets_and_preserves_user_salt_column(spark):
     assert len(out) == 1 and out[0]["__salt"] == 5  # user column survives
     with pytest.raises(ValueError, match="salt_buckets"):
         salted_join(big, small, "k", salt_buckets=0)
+
+
+def test_key_skew_profile_reserved_key_rejected(spark):
+    from aqueducts_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([(1,)], ["rows"])
+    with pytest.raises(ValueError, match="collide"):
+        key_skew_profile(df, "rows")
+
+
+def test_salted_join_default_salt_skips_map_columns(spark):
+    from aqueducts_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": "b"}), (2, {"c": "d"})],
+        "k long, headers map<string,string>",
+    )
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = salted_join(big, small, on="k", salt_buckets=4, how="left")
+    assert out.count() == 2  # analysis no longer fails on the map column

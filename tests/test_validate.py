@@ -176,3 +176,14 @@ def test_dotted_column_name_validates_the_column_not_a_struct_field(spark):
     # the literal 'a.b' column is NULL -> 1 violation; the struct field
     # a.b (non-null) must NOT be what gets validated
     assert out.violations == 1
+
+
+def test_in_set_null_member_rejected(spark):
+    from aqueducts_spark.operators.validate import ValidationError, validate_rules
+
+    df = spark.createDataFrame([("US",), ("XX",)], ["country"])
+    with pytest.raises(ValidationError, match="three-valued"):
+        validate_rules(
+            df,
+            [{"column": "country", "check": "in_set", "value": ["US", None]}],
+        )

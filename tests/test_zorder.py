@@ -147,3 +147,13 @@ def test_zorder_stale_minmax_out_of_range_values_clamp(spark):
     by_a = {r.a: r.zorder_key for r in keyed}
     assert by_a[10**15] == by_a[1000]  # clamped to the top bucket
     assert by_a[-(10**15)] == by_a[0]  # clamped to the bottom bucket
+
+
+def test_zorder_handles_hyphenated_and_dotted_names(spark):
+    from aqueducts_spark.operators.zorder import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 2), (3, 4)], ["event-time", "a.b"]
+    )
+    out = with_zorder_key(df, ["event-time", "a.b"])
+    assert out.count() == 2 and "zorder_key" in out.columns
