@@ -99,6 +99,14 @@ def decontaminate(
     The flagged-id set is small (contamination is rare), so the anti
     join broadcasts it; the corpus passes through with zero shuffles.
     """
+    if threshold < 1:
+        # the overlap table is SPARSE (clean docs are absent), so
+        # threshold<=0 would silently behave exactly like threshold=1
+        raise ValueError(
+            f"decontaminate: threshold must be >= 1, got {threshold}"
+        )
+    if n < 1:
+        raise ValueError(f"decontaminate: n must be >= 1, got {n}")
     flagged = (
         ngram_overlap(corpus, benchmark, text_col, id_col, n)
         .where(F.col("n_overlap") >= threshold)
@@ -144,7 +152,8 @@ def minhash_overlap(
     contamination, near-zero on a clean corpus).  Corpus docs with
     NULL ids never match a band join and are never flagged — give
     rows unique ids upstream (:func:`fuzzy_decontaminate` enforces
-    this).  Corpus ids must also be UNIQUE — like
+    NON-NULL ids and forwards ``validate_ids`` for the uniqueness
+    check).  Corpus ids must also be UNIQUE — like
     :func:`~.text.bm25_scores`' doc_id contract: duplicate-id rows
     pool into ONE union minhash signature while the exact-Jaccard
     verification SUMS shingle counts across the id's rows, skewing
@@ -280,6 +289,7 @@ def fuzzy_decontaminate(
     shingle_n: int = 3,
     threshold: float = 0.8,
     hash_fn: str = "md5",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Drop every corpus row :func:`minhash_overlap` flags at or above
     ``threshold`` — the fuzzy sibling of :func:`decontaminate`.  The
@@ -322,6 +332,10 @@ def fuzzy_decontaminate(
         shingle_n=shingle_n,
         threshold=threshold,
         hash_fn=hash_fn,
+        # duplicate-id rows pool signatures and skew the verification
+        # jaccard (see minhash_overlap's contract) — forward the opt-in
+        # uniqueness check so decontamination can enforce it too
+        validate_ids=validate_ids,
     ).select(id_col).distinct()
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
 
@@ -499,7 +513,12 @@ def contamination_report(
     hits = corp.join(F.broadcast(bg), "shingle")
     per_item = hits.groupBy("bench_id").agg(
         F.countDistinct("shingle").cast("bigint").alias("n_dirty_grams"),
-        F.countDistinct(F.col(id_col)).cast("bigint").alias("n_corpus_docs"),
+        # count the NULL-id pseudo-document too: countDistinct skips
+        # NULLs, which reported n_corpus_docs=0 on rows that the same
+        # report flags is_dirty=true
+        F.count_distinct(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("\x00"))
+        ).cast("bigint").alias("n_corpus_docs"),
     )
     joined = (
         base.join(F.broadcast(sizes), "bench_id", "left")

@@ -1320,6 +1320,7 @@ def _op_fuzzy_decontaminate(spark, inp, options):
         shingle_n=int(options.get("shingle_n", 3)),
         threshold=float(options.get("threshold", 0.8)),
         hash_fn=options.get("hash_fn", "md5"),
+        validate_ids=bool(options.get("validate_ids", False)),
     )
 
 
@@ -1366,6 +1367,7 @@ def _op_minhash_overlap(spark, inp, options):
         shingle_n=int(options.get("shingle_n", 3)),
         threshold=float(options.get("threshold", 0.8)),
         hash_fn=options.get("hash_fn", "md5"),
+        validate_ids=_bool_opt(options, "validate_ids", False),
     )
 
 

@@ -221,6 +221,15 @@ def dsir_weights(
     (``ReusedExchange`` in the executed plan, plan-asserted in
     tests/test_selection.py).  Only an explicitly distinct ``raw``
     corpus pays a second tokenize pass, because it has to.
+
+    ID CONTRACT: weights group by ``id_col``, so rows sharing an id —
+    including ALL NULL-id rows, which pool into one group — emit one
+    combined weight row; :func:`dsir_select` then keeps or drops that
+    pool as a single document.  Assign unique non-NULL ids upstream.
+    When scoring against a persisted ``ratios`` table, ``buckets``
+    MUST equal the fit-time value — a mismatch silently misaligns
+    every hash cell (the table carries no bucket metadata; carrying it
+    like nb_fit's -2 row is noted future work).
     """
     if buckets < 1:
         raise ValueError("dsir_weights: buckets must be >= 1")
@@ -513,6 +522,17 @@ def perplexity_buckets(
         raise ValueError(
             "perplexity_buckets: head and middle must be fractions in "
             f"[0, 1] with head + middle <= 1, got {head}, {middle}"
+        )
+    out_clashes = [
+        c for c in (bucket_col, f"{bucket_col}_rank") if c in df.columns
+    ]
+    if out_clashes:
+        # withColumn would silently replace a previous bucketing's
+        # output (the module's internal helper names are freshened for
+        # exactly this reason — outputs deserve the same discipline)
+        raise ValueError(
+            f"perplexity_buckets: output column(s) {out_clashes} already "
+            "exist on the input — pass a different bucket_col"
         )
     if method not in ("exact", "approx"):
         raise ValueError(
@@ -894,6 +914,16 @@ def merge_nb_models(models: Sequence[DataFrame]) -> DataFrame:
     conflicting metadata that :func:`nb_classify` rejects loudly (a
     summed metadata row would silently claim a wrong bucket count).
     """
+    if not models:
+        raise ValueError("merge_nb_models: models must be non-empty")
+    for m in models:
+        for c in ("label", "bucket", "c"):
+            if c not in m.columns:
+                raise ValueError(
+                    f"merge_nb_models: model is missing column {c!r} — "
+                    "expected the (label, bucket, c) relation nb_fit "
+                    "produces"
+                )
     u = models[0].select("label", "bucket", "c")
     for m in models[1:]:
         u = u.unionByName(m.select("label", "bucket", "c"))

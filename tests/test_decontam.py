@@ -828,3 +828,12 @@ def test_contamination_report_registry_missing_benchmark_option(spark, corpus):
             },
         )
     spark.catalog.dropTempView("cr_corpus3")
+
+
+def test_decontaminate_threshold_validation(spark, corpus, bench_set):
+    from aqueducts_spark.operators.decontam import decontaminate
+
+    with pytest.raises(ValueError, match="threshold"):
+        decontaminate(corpus, bench_set, threshold=0)
+    with pytest.raises(ValueError, match="n must be"):
+        decontaminate(corpus, bench_set, n=0)

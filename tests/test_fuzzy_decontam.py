@@ -397,3 +397,18 @@ def test_validate_ids_passes_unique_ids_and_matches_default(spark):
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, checked.collect())
     )
+
+
+def test_fuzzy_decontaminate_forwards_validate_ids(spark):
+    dup = spark.createDataFrame(
+        [(1, BASE), (1, "other text one"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="duplicate ids"):
+        fuzzy_decontaminate(
+            dup, _bench(spark),
+            bench_id_col="bench_key", bench_text_col="body",
+            validate_ids=True,
+        ).collect()

@@ -299,3 +299,13 @@ def test_unpersisted_fit_lineage_executes_once(spark):
     # the seed rows passed through the fit exactly once, not twice
     assert acc.value == len(SEED)
     model.unpersist()
+
+
+def test_merge_nb_models_input_validation(spark):
+    from aqueducts_spark.operators.selection import merge_nb_models
+
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_nb_models([])
+    bad = spark.createDataFrame([(1,)], ["label"])
+    with pytest.raises(ValueError, match="missing column"):
+        merge_nb_models([bad])

@@ -204,3 +204,13 @@ def test_registry_stage(spark):
     )
     assert set(out.columns) >= {"ppl_bucket", "ppl_bucket_rank"}
     assert out.count() == 8
+
+
+def test_output_clash_rejected(spark):
+    from aqueducts_spark.operators.selection import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "x")], "doc_id long, s double, ppl_bucket string"
+    )
+    with pytest.raises(ValueError, match="already"):
+        perplexity_buckets(df, "s")
