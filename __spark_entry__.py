@@ -1524,6 +1524,129 @@ def _op_weighted_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget mixture materialization (operators/mixing.py::
+# token_budget_mix): per-group multipliers w_g = budget*share_g/Σs/T_g
+# so the mix carries budget*share_g tokens of g in expectation, then
+# the standard weighted_mix copy machinery.  Shares are powers of two
+# summing to exactly 1.0, so share/Σ is float-exact in both engines;
+# T_g is an integer sum (exact in double far below 2^53) and the one
+# double division w = (budget*share)/T is the same single IEEE op on
+# both sides — the bucket thresholds then round half-up identically.
+OP_TOKEN_BUDGET_MIX_DUCK = """
+WITH mass AS (
+  SELECT lang AS g, CAST(SUM(n_chars) AS DOUBLE) AS t
+  FROM documents
+  WHERE lang IN ('en','zh','de','fr') AND n_chars IS NOT NULL
+    AND n_chars >= 0
+  GROUP BY 1
+),
+w AS (
+  SELECT g,
+         (40000.0 * CASE g WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                           WHEN 'de' THEN 0.125 WHEN 'fr' THEN 0.125
+                    END) / t AS w
+  FROM mass
+),
+thr AS (
+  SELECT g, CAST(floor(w) AS BIGINT) AS base,
+         CAST(floor((w - floor(w)) * 10000 + 0.5) AS BIGINT) AS t
+  FROM w
+),
+d AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+),
+n AS (
+  SELECT d.lang, d.doc_id, d.n_chars,
+         coalesce(thr.base + CASE WHEN d.bucket < thr.t THEN 1 ELSE 0 END, 0)
+           AS copies
+  FROM d LEFT JOIN thr ON d.lang = thr.g
+)
+SELECT lang,
+       CAST(SUM(copies) AS BIGINT) AS rows_out,
+       CAST(COUNT(*) FILTER (WHERE copies >= 1) AS BIGINT) AS docs_kept,
+       CAST(SUM(copies * n_chars) AS BIGINT) AS achieved_tokens
+FROM n
+WHERE copies >= 1
+GROUP BY lang
+"""
+
+
+def _op_token_budget_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (operators/mixing.py::token_budget_mix):
+    40k chars at shares en=0.5/zh=0.25/de=0.125/fr=0.125 (es has no
+    share and is excluded), summarized per lang with the ACHIEVED token
+    mass — the number the mixture spec promises in expectation."""
+    from aqueducts_spark.operators.mixing import token_budget_mix
+
+    _views(spark, sf_dir)
+    mixed = token_budget_mix(
+        spark.table("documents"),
+        group_col="lang",
+        id_col="doc_id",
+        token_col="n_chars",
+        budget=40000.0,
+        shares={"en": 0.5, "zh": 0.25, "de": 0.125, "fr": 0.125},
+    )
+    return mixed.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("rows_out"),
+        F.count_distinct("doc_id").cast("bigint").alias("docs_kept"),
+        F.sum(F.col("n_chars")).cast("bigint").alias("achieved_tokens"),
+    )
+
+
+# Corpus version diff (operators/profile.py::corpus_diff): old = the
+# documents table, new = a deterministic mutation (drop id%7==0, edit
+# text of id%5==0, add id%11==0 under shifted ids).  diff_status
+# depends only on content EQUALITY, so the oracle compares the text
+# directly — any injective fingerprint (the operator uses framed md5)
+# yields the same statuses.
+OP_CORPUS_DIFF_DUCK = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' new' FROM documents
+  WHERE doc_id % 11 = 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.text = new.text THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+def _op_corpus_diff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/profile.py::corpus_diff):
+    added/removed/changed/unchanged per doc id between the documents
+    table and a deterministically mutated "v2" of it."""
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        )
+    )
+    return corpus_diff(
+        docs.select("doc_id", "text"), new, id_col="doc_id",
+        content_cols=["text"],
+    )
+
+
 # token-budget shard packing (operators/mixing.py::pack_shards): rows
 # hash to 8 independent packers; within a packer, docs in doc_id order
 # fill shards of 20k chars (start-offset binning). The oracle mirrors
@@ -5814,6 +5937,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_quantized_topk": _op_quantized_topk,
         "op_oov_rate": _op_oov_rate,
         "op_semdedup": _op_semdedup,
+        "op_token_budget_mix": _op_token_budget_mix_gate,
+        "op_corpus_diff": _op_corpus_diff_gate,
         "pl_pipeline_yaml": _pl_pipeline,
         "pl_streaming_yaml": _pl_streaming,
     }
@@ -6003,6 +6128,8 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
     "op_byte_fertility",        # byte-level fertility report (r7)
+    "op_token_budget_mix",      # token-budget mixture materializer (r7)
+    "op_corpus_diff",           # corpus version diff (r7)
 ]
 
 
@@ -6119,6 +6246,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_quantile_sketch": OP_QUANTILE_SKETCH_DUCK,
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
         "op_temperature_mix": OP_TEMP_MIX_DUCK,
+        "op_token_budget_mix": OP_TOKEN_BUDGET_MIX_DUCK,
+        "op_corpus_diff": OP_CORPUS_DIFF_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
         "op_shuffle_corpus": OP_SHUFFLE_CORPUS_DUCK,
         "op_corpus_offsets": OP_CORPUS_OFFSETS_DUCK,

@@ -57,6 +57,8 @@ __all__ = [
     "pack_shards",
     "temperature_weights",
     "temperature_mix",
+    "token_budget_weights",
+    "token_budget_mix",
     "shuffle_corpus",
     "corpus_offsets",
     "sequence_spans",
@@ -211,6 +213,113 @@ def temperature_mix(
     )
     return weighted_mix(
         df, group_col, id_col, weights, default_weight=1.0,
+        copy_col=copy_col, hash_fn=hash_fn,
+    )
+
+
+def token_budget_weights(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: float,
+    shares: Mapping[str, float],
+    max_groups: int = 1000,
+) -> dict[str, float]:
+    """Per-group :func:`weighted_mix` multipliers that materialize a
+    TOKEN budget at target shares — how a pretraining mixture spec
+    ("500B tokens: 60% web, 25% code, 15% books") becomes a physical
+    dataset.  For each group ``g`` with observed token mass ``T_g``,
+    the multiplier is ``w_g = budget * share_g / Σshares / T_g``, so
+    the mixed corpus carries ``budget * share_g`` tokens of ``g`` in
+    expectation (shares are normalized; they need not sum to 1).
+    ``w_g > 1`` means the source repeats (epochs) — the standard move
+    when a small high-quality source must fill a large share.
+
+    Groups observed in the data but absent from ``shares`` get NO
+    entry — compose with ``weighted_mix(default_weight=0.0)`` (what
+    :func:`token_budget_mix` does) to exclude them, or 1.0 to pass
+    them through unscaled.  A share for a group with zero observed
+    tokens cannot be materialized and raises (silently under-filling
+    the budget would misrepresent the mix).  Rows with NULL
+    ``group_col`` or NULL/negative ``token_col`` are excluded from the
+    mass fit; NULL tokens count zero toward any group's mass.
+
+    One ``groupBy(group).sum(token)`` action runs here — it executes
+    ``df``'s full upstream lineage; persist ``df`` first if that
+    lineage is expensive (the mix executes it again).  ``group_col``
+    must be a bounded category (the weights ride the driver and
+    compile into one CASE per group): more than ``max_groups``
+    distinct SHARED groups is rejected rather than melting Catalyst.
+    Weights are plain Python floats, so the mix thresholds stay
+    engine-exact integers (the module's discipline).
+    """
+    if budget <= 0:
+        raise ValueError(f"token_budget_weights: budget must be > 0, got {budget}")
+    if not shares:
+        raise ValueError("token_budget_weights: shares must be non-empty")
+    if len(shares) > max_groups:
+        raise ValueError(
+            f"token_budget_weights: {len(shares)} shares exceed "
+            f"max_groups={max_groups} — token budgeting is a per-SOURCE "
+            "mix over bounded categories; bucket the column first"
+        )
+    for g, s in shares.items():
+        if s < 0:
+            raise ValueError(
+                f"token_budget_weights: negative share {s} for group {g!r}"
+            )
+    z = float(sum(shares.values()))
+    if z <= 0:
+        raise ValueError("token_budget_weights: shares must sum to > 0")
+    rows = (
+        df.where(
+            F.col(group_col).isin(list(shares))
+            & F.col(token_col).isNotNull()
+            & (F.col(token_col) >= 0)
+        )
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.col(token_col).cast("double")).alias("t"))
+        .collect()
+    )
+    mass = {r["g"]: float(r["t"]) for r in rows}
+    missing = [g for g, s in shares.items() if s > 0 and mass.get(g, 0.0) <= 0]
+    if missing:
+        raise ValueError(
+            "token_budget_weights: no observed tokens for shared "
+            f"group(s) {sorted(missing)!r} — their share cannot be "
+            "materialized and the budget would silently under-fill"
+        )
+    return {
+        g: float(budget) * (s / z) / mass[g]
+        for g, s in shares.items()
+        if s > 0
+    }
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budget: float,
+    shares: Mapping[str, float],
+    copy_col: str = "mix_copy",
+    max_groups: int = 1000,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """:func:`token_budget_weights` composed with :func:`weighted_mix`:
+    materialize a token budget at target shares in one call.  Groups
+    without a share are EXCLUDED (``default_weight=0.0``) — the output
+    is exactly the declared mixture, nothing rides along.
+    Deterministic (md5-derived copy decisions); ZERO shuffles beyond
+    the token-mass aggregate — which executes ``df``'s lineage eagerly
+    before the mix executes it again: persist ``df`` first when its
+    lineage is expensive."""
+    weights = token_budget_weights(
+        df, group_col, token_col, budget, shares, max_groups=max_groups
+    )
+    return weighted_mix(
+        df, group_col, id_col, weights, default_weight=0.0,
         copy_col=copy_col, hash_fn=hash_fn,
     )
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "corpus_datacard"]
+__all__ = ["profile_table", "corpus_datacard", "corpus_diff"]
 
 
 def profile_table(
@@ -249,3 +249,110 @@ def corpus_datacard(
         )
     )
     return out.withColumnRenamed("__g", group_col)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+    summary: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-iteration
+    primitive ("what changed between v3 and v4 of the training set?").
+
+    Each row of the output is one document id with a ``diff_status``:
+    ``added`` (id only in ``new``), ``removed`` (id only in ``old``),
+    ``changed`` (id in both, content fingerprint differs), or
+    ``unchanged``.  Content identity is the md5 of the
+    null-length-prefixed concatenation of ``content_cols`` (default:
+    every shared non-id column) — the prefix framing means ``("ab","c")``
+    and ``("a","bc")`` never collide, and a NULL is distinct from every
+    string (the same framing discipline as dedup's ``_payload_key``).
+
+    ``summary=True`` returns the per-status row counts instead
+    (``diff_status, n_docs``) — the version-report shape.
+
+    Contract: ``id_col`` must be unique within each side (a duplicated
+    id makes "the document with this id changed" ill-posed) — enforced
+    inside the one aggregation the diff already pays, not a second
+    pass.  NULL ids are rejected for the same reason.
+
+    Scale shape: ONE shuffle per side (groupBy id computes the
+    fingerprint AND the uniqueness check together), then a single
+    full-outer shuffle join on the id — co-partitioned with the
+    upstream aggregates, so AQE plans it without a third exchange.
+    No driver collection at any size.
+    """
+    if content_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns) and c != id_col]
+        if not shared:
+            raise ValueError(
+                "corpus_diff: the two sides share no non-id columns — "
+                "pass content_cols explicitly"
+            )
+        content_cols = shared
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in [id_col, *content_cols] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"corpus_diff: column(s) {missing!r} missing on the "
+                f"{side} side"
+            )
+
+    def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("\x00N")).otherwise(
+                    F.concat(F.lit("\x00S"), F.length(s).cast("string"),
+                             F.lit(":"), s)
+                )
+            )
+        guarded_id = F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "corpus_diff: NULL id — the diff is addressed by id; "
+                    "assign ids first"
+                )
+            ).cast(df.schema[id_col].dataType),
+        ).otherwise(F.col(id_col))
+        return (
+            df.select(
+                guarded_id.alias("__id"),
+                F.md5(F.concat(*parts)).alias("__h"),
+            )
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__n"), F.min("__h").alias(out))
+            .select(
+                "__id",
+                F.when(
+                    F.col("__n") > 1,
+                    F.raise_error(
+                        F.lit(
+                            "corpus_diff: duplicated id on one side — "
+                            "'changed' is ill-posed for a non-unique id; "
+                            "dedup (exact_dedup) first"
+                        )
+                    ).cast("string"),
+                ).otherwise(F.col(out)).alias(out),
+            )
+        )
+
+    o = fingerprint(old, "__ho")
+    n = fingerprint(new, "__hn")
+    joined = o.join(n, "__id", "full_outer").select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("diff_status"),
+    )
+    if summary:
+        return joined.groupBy("diff_status").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+    return joined

@@ -914,6 +914,45 @@ def _op_temperature_mix(spark, inp, options):
     )
 
 
+def _op_token_budget_mix(spark, inp, options):
+    from .mixing import token_budget_mix
+
+    for req in ("group_col", "id_col", "token_col", "budget", "shares"):
+        if req not in options:
+            raise OperatorError(
+                f"token_budget_mix operator requires options.{req}"
+            )
+    return token_budget_mix(
+        inp,
+        group_col=options["group_col"],
+        id_col=options["id_col"],
+        token_col=options["token_col"],
+        budget=float(options["budget"]),
+        shares={str(k): float(v) for k, v in dict(options["shares"]).items()},
+        copy_col=options.get("copy_col", "mix_copy"),
+        max_groups=int(options.get("max_groups", 1000)),
+        hash_fn=options.get("hash_fn", "md5"),
+    )
+
+
+def _op_corpus_diff(spark, inp, options):
+    from .profile import corpus_diff
+
+    if "old_table" not in options:
+        raise OperatorError(
+            "corpus_diff operator requires options.old_table (the "
+            "registered name of the previous corpus version; the stage "
+            "input is the NEW version)"
+        )
+    return corpus_diff(
+        spark.table(options["old_table"]),
+        inp,
+        id_col=options.get("id_col", "doc_id"),
+        content_cols=options.get("content_cols"),
+        summary=_bool_opt(options, "summary", False),
+    )
+
+
 def _op_pack_shards(spark, inp, options):
     from .mixing import pack_shards
 
@@ -1795,6 +1834,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "dd_quantiles": _op_dd_quantiles,
     "weighted_mix": _op_weighted_mix,
     "temperature_mix": _op_temperature_mix,
+    "token_budget_mix": _op_token_budget_mix,
+    "corpus_diff": _op_corpus_diff,
     "pack_shards": _op_pack_shards,
     "shuffle_corpus": _op_shuffle_corpus,
     "corpus_offsets": _op_corpus_offsets,

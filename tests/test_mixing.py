@@ -339,3 +339,106 @@ def test_temperature_weights_null_groups_dont_count_against_cap(spark):
     # exactly max_groups non-NULL groups + a NULL group: must fit
     w = temperature_weights(df, "src", max_groups=5)
     assert len(w) == 5 and None not in w
+
+
+# ---------------------------------------------------------------------------
+# token_budget_weights / token_budget_mix
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_weights_expectation(spark, docs):
+    from aqueducts_spark.operators.mixing import token_budget_weights
+
+    w = token_budget_weights(
+        docs, "grp", "toks", budget=100_000,
+        shares={"a": 0.5, "b": 0.5},
+    )
+    masses = {
+        r["grp"]: r["t"]
+        for r in docs.groupBy("grp").agg(F.sum("toks").alias("t")).collect()
+    }
+    assert set(w) == {"a", "b"}  # c has no share -> no entry
+    assert w["a"] == pytest.approx(50_000 / masses["a"])
+    assert w["b"] == pytest.approx(50_000 / masses["b"])
+
+
+def test_token_budget_mix_achieves_budget(spark, docs):
+    from aqueducts_spark.operators.mixing import token_budget_mix
+
+    mixed = token_budget_mix(
+        docs, "grp", "doc_id", "toks", budget=200_000,
+        shares={"a": 0.75, "c": 0.25},
+    )
+    got = {
+        r["grp"]: r["t"]
+        for r in mixed.groupBy("grp").agg(F.sum("toks").alias("t")).collect()
+    }
+    # unshared group excluded entirely
+    assert set(got) == {"a", "c"}
+    # achieved token mass within the hash-gated binomial spread of the
+    # target (rows carry ~100-500 tokens; 10% is generous)
+    assert got["a"] == pytest.approx(150_000, rel=0.1)
+    assert got["c"] == pytest.approx(50_000, rel=0.1)
+
+
+def test_token_budget_mix_epochs_when_share_exceeds_mass(spark, docs):
+    from aqueducts_spark.operators.mixing import token_budget_mix
+
+    # group 'a' holds ~60k tokens; a 600k budget at share 1.0 needs
+    # ~10 epochs — every row must appear multiple times
+    mixed = token_budget_mix(
+        docs, "grp", "doc_id", "toks", budget=600_000, shares={"a": 1.0}
+    )
+    per_doc = mixed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert per_doc.agg(F.min("n")).collect()[0][0] >= 2
+
+
+def test_token_budget_weights_validation(spark, docs):
+    from aqueducts_spark.operators.mixing import token_budget_weights
+
+    with pytest.raises(ValueError, match="budget must be > 0"):
+        token_budget_weights(docs, "grp", "toks", 0, {"a": 1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        token_budget_weights(docs, "grp", "toks", 10, {})
+    with pytest.raises(ValueError, match="negative share"):
+        token_budget_weights(docs, "grp", "toks", 10, {"a": -0.1})
+    with pytest.raises(ValueError, match="sum to > 0"):
+        token_budget_weights(docs, "grp", "toks", 10, {"a": 0.0})
+    # a share for a group with no observed tokens cannot be filled
+    with pytest.raises(ValueError, match="no observed tokens"):
+        token_budget_weights(docs, "grp", "toks", 10, {"nope": 1.0})
+    with pytest.raises(ValueError, match="max_groups"):
+        token_budget_weights(
+            docs, "grp", "toks", 10,
+            {f"g{i}": 1.0 for i in range(5)}, max_groups=3,
+        )
+
+
+def test_token_budget_weights_null_tokens_count_zero(spark):
+    from aqueducts_spark.operators.mixing import token_budget_weights
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", None), (3, "a", 300)],
+        "doc_id long, grp string, toks long",
+    )
+    w = token_budget_weights(df, "grp", "toks", budget=800, shares={"a": 1.0})
+    assert w["a"] == pytest.approx(800 / 400)
+
+
+def test_token_budget_mix_yaml_stage(spark, docs):
+    from aqueducts_spark.operators.registry import run_operator
+
+    docs.createOrReplaceTempView("tbm_docs")
+    out = run_operator(
+        spark,
+        {
+            "type": "token_budget_mix",
+            "input": "tbm_docs",
+            "options": {
+                "group_col": "grp", "id_col": "doc_id",
+                "token_col": "toks", "budget": 100000,
+                "shares": {"a": 1.0},
+            },
+        },
+    )
+    assert out.select("grp").distinct().collect()[0][0] == "a"

@@ -174,3 +174,107 @@ def test_datacard_null_group_gets_real_stats(spark):
     # the NULL group's dup/lang stats must be REAL, not silently 0/NULL
     assert nullrow.n_dup_docs == 2
     assert nullrow.n_langs == 2 and nullrow.top_lang == "en"
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff
+# ---------------------------------------------------------------------------
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_corpus_diff_statuses(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = _vdf(spark, [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")])
+    new = _vdf(spark, [(1, "a", "en"), (2, "B", "en"), (4, "d", "fr")])
+    got = {
+        r["doc_id"]: r["diff_status"]
+        for r in corpus_diff(old, new, id_col="doc_id").collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_summary_counts(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = _vdf(spark, [(i, f"t{i}", "en") for i in range(10)])
+    new = _vdf(
+        spark,
+        [(i, "X" if i < 3 else f"t{i}", "en") for i in range(8)]
+        + [(100, "new", "en")],
+    )
+    got = {
+        r["diff_status"]: r["n_docs"]
+        for r in corpus_diff(old, new, summary=True).collect()
+    }
+    assert got == {"added": 1, "removed": 2, "changed": 3, "unchanged": 5}
+
+
+def test_corpus_diff_null_is_distinct_from_empty_and_framing_safe(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "ab", "c")], "doc_id long, a string, b string"
+    )
+    # NULL -> "" must read as changed; ("ab","c") vs ("a","bc") must
+    # NOT collide (length-prefixed framing)
+    new = spark.createDataFrame(
+        [(1, "", "x"), (2, "a", "bc")], "doc_id long, a string, b string"
+    )
+    got = {
+        r["doc_id"]: r["diff_status"] for r in corpus_diff(old, new).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_corpus_diff_duplicate_id_raises(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = _vdf(spark, [(1, "a", "en"), (1, "b", "en")])
+    new = _vdf(spark, [(1, "a", "en")])
+    with pytest.raises(Exception, match="duplicated id"):
+        corpus_diff(old, new).collect()
+
+
+def test_corpus_diff_null_id_raises(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = _vdf(spark, [(None, "a", "en")])
+    new = _vdf(spark, [(1, "a", "en")])
+    with pytest.raises(Exception, match="NULL id"):
+        corpus_diff(old, new).collect()
+
+
+def test_corpus_diff_validation(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = _vdf(spark, [(1, "a", "en")])
+    new = spark.createDataFrame([(1, 2)], "doc_id long, other long")
+    with pytest.raises(ValueError, match="share no non-id columns"):
+        corpus_diff(old, new)
+    with pytest.raises(ValueError, match="missing on the new side"):
+        corpus_diff(old, new, content_cols=["text"])
+
+
+def test_corpus_diff_yaml_stage(spark):
+    from aqueducts_spark.operators.registry import run_operator
+
+    _vdf(spark, [(1, "a", "en"), (2, "b", "en")]).createOrReplaceTempView(
+        "cd_old"
+    )
+    _vdf(spark, [(1, "a", "en"), (3, "c", "de")]).createOrReplaceTempView(
+        "cd_new"
+    )
+    out = run_operator(
+        spark,
+        {
+            "type": "corpus_diff",
+            "input": "cd_new",
+            "options": {"old_table": "cd_old", "summary": True},
+        },
+    )
+    got = {r["diff_status"]: r["n_docs"] for r in out.collect()}
+    assert got == {"added": 1, "removed": 1, "unchanged": 1}
