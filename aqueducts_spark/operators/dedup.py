@@ -25,6 +25,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -1550,15 +1551,93 @@ def semantic_dedup(
     return df.join(drop_ids, [id_col], "left_anti")
 
 
+def solve_lsh_params(
+    n: int,
+    threshold: float,
+    target_miss: float = 1e-3,
+    candidates_per_row: int = 128,
+    max_tables: int = 512,
+    min_bits: int = 8,
+    max_bits: int = 30,
+) -> tuple[int, int]:
+    """Solve hyperplane-LSH ``(num_tables, bits_per_table)`` for a
+    corpus of ``n`` vectors so that BOTH hold:
+
+    * recall: a true pair at cosine ``threshold`` is missed with
+      probability <= ``target_miss`` — per-table collision
+      ``p1 = (1 - acos(threshold)/pi) ** bits``, miss ``(1-p1)^tables``;
+    * cost: expected RANDOM-pair candidates stay LINEAR in n — in high
+      dimension a random pair's angle concentrates at pi/2, so each
+      table colliding with probability ~``2^-bits`` gives expected
+      candidates ``n^2/2 * tables * 2^-bits``; bounding that by
+      ``candidates_per_row * n`` yields
+      ``bits >= log2(n * tables / (2 * candidates_per_row))``.
+
+    The two couple (more bits -> lower p1 -> more tables), so iterate
+    to the fixpoint (monotone in both directions — converges in a
+    handful of steps).  THIS is why fixed parameters cannot scale: at
+    fixed bits the random collision probability is a constant, so
+    candidate volume is Theta(n^2) no matter how uniform the data —
+    measured on the 10x scale probe as exactly the 100x pair blowup
+    the formula predicts.
+
+    Raises when no parameterization within ``max_tables`` satisfies
+    both bounds — at low thresholds and large n vanilla hyperplane LSH
+    is genuinely the wrong tool (the error says so and points at
+    ``semantic_dedup`` / the IVF path) — surfacing the true cost
+    beats silently exploding the candidate join.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(
+            f"solve_lsh_params: threshold must be in (0, 1), got {threshold}"
+        )
+    if n < 1:
+        return 8, min_bits
+    if not 0 < target_miss < 1:
+        raise ValueError(
+            f"solve_lsh_params: target_miss must be in (0, 1), got {target_miss}"
+        )
+    angle_frac = math.acos(threshold) / math.pi  # in (0, 0.5)
+    bits = min_bits
+    tables = 8
+    for _ in range(32):
+        p1 = (1.0 - angle_frac) ** bits
+        new_tables = max(8, math.ceil(math.log(target_miss) / math.log(1.0 - p1)))
+        new_bits = max(
+            min_bits,
+            math.ceil(
+                math.log2(max(n * new_tables / (2.0 * candidates_per_row), 1.0))
+            ),
+        )
+        if new_bits > max_bits:
+            new_bits = max_bits
+        if (new_tables, new_bits) == (tables, bits):
+            break
+        tables, bits = new_tables, new_bits
+    if tables > max_tables:
+        raise ValueError(
+            f"solve_lsh_params: holding miss<={target_miss} at cosine "
+            f"{threshold} over n={n} needs {tables} tables of {bits} bits "
+            f"(> max_tables={max_tables}) — vanilla hyperplane LSH is the "
+            "wrong tool at this threshold/scale; raise the threshold, "
+            "accept a higher target_miss, or use semantic_dedup / the "
+            "IVF top-k path"
+        )
+    return tables, bits
+
+
 def embedding_near_duplicates_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
-    num_tables: int = 64,
-    bits_per_table: int = 10,
+    num_tables: int | str = 64,
+    bits_per_table: int | str = 10,
     seed: int = 42,
     max_bucket_size: Optional[int] = 10_000,
+    target_miss: float = 1e-3,
+    candidates_per_row: int = 128,
+    max_tables: int = 512,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via banded hyperplane LSH — the
     100 TB scale path for :func:`embedding_near_duplicates` (whose
@@ -1573,11 +1652,21 @@ def embedding_near_duplicates_lsh(
     bits) hold miss below ~0.1% for s=0.8 and were swept empirically to
     zero misses on the gate data at every scale factor. Candidates are
     then verified with the EXACT cosine, so precision is 1 by
-    construction; the only approximation is recall. Note: the candidate
-    prune rate depends on the corpus similarity profile — broadly
-    correlated corpora (e.g. uncentered embeddings sharing a dominant
-    direction) collide more; for true near-dup corpora (pairs at
-    s>0.95 against a s≈0 background) the prune is near-total.
+    construction; the only approximation is recall.
+
+    **Fixed parameters do not scale** (measured, not argued: the 10x
+    scale probe read a 100x candidate blowup at fixed 64x10): a random
+    pair collides per table with constant probability ~``2^-bits``, so
+    candidate volume is Theta(n^2) at ANY fixed bit width, uniform data
+    included.  Pass ``num_tables="auto"``/``bits_per_table="auto"`` to
+    solve both from the corpus count via :func:`solve_lsh_params` —
+    bits grow ~log2(n) to pin expected random candidates at
+    ``candidates_per_row * n`` (linear), tables grow to hold the miss
+    bound ``target_miss`` at ``threshold``; one extra ``count()``
+    action.  Auto raises rather than degrade when the threshold/scale
+    combination genuinely exceeds ``max_tables`` — vanilla hyperplane
+    LSH is the wrong tool there (use semantic_dedup / IVF).  The fixed
+    defaults remain for parameter-stable gates and small corpora.
 
     Scale shape: the exploded (table, bucket, id) table is slim (no
     vectors travel), shuffled once on (table, bucket); candidate pairs
@@ -1605,6 +1694,44 @@ def embedding_near_duplicates_lsh(
             )
         )
     dim = dim_row["d"]
+    if num_tables == "auto" or bits_per_table == "auto":
+        n = df.count()
+        auto_t, auto_b = solve_lsh_params(
+            n,
+            threshold,
+            target_miss=target_miss,
+            candidates_per_row=candidates_per_row,
+            max_tables=max_tables,
+        )
+        # one explicit + one auto: hold the explicit one, re-derive only
+        # the other from the same bounds (tables from the miss bound at
+        # the explicit bits; bits from the candidate bound at the
+        # explicit tables)
+        if num_tables == "auto" and bits_per_table != "auto":
+            p1 = (1.0 - math.acos(threshold) / math.pi) ** int(bits_per_table)
+            num_tables = max(
+                8, math.ceil(math.log(target_miss) / math.log(1.0 - p1))
+            )
+            if num_tables > max_tables:
+                raise ValueError(
+                    f"embedding_near_duplicates_lsh: miss<={target_miss} at "
+                    f"cosine {threshold} with bits_per_table={bits_per_table} "
+                    f"needs {num_tables} tables (> max_tables={max_tables}) — "
+                    "let bits_per_table='auto' solve both, or relax the bound"
+                )
+        elif bits_per_table == "auto" and num_tables != "auto":
+            bits_per_table = max(
+                8,
+                math.ceil(
+                    math.log2(
+                        max(n * int(num_tables) / (2.0 * candidates_per_row), 1.0)
+                    )
+                ),
+            )
+        else:
+            num_tables, bits_per_table = auto_t, auto_b
+    num_tables = int(num_tables)
+    bits_per_table = int(bits_per_table)
     planes = random_hyperplanes(dim, num_tables * bits_per_table, seed)
 
     # All num_tables*bits_per_table sign bits in ONE Arrow-batched

@@ -299,14 +299,27 @@ def _op_embed_neardup_lsh(spark, inp, options):
         id_col=options.get("id_col", "vec_id"),
         vec_col=options.get("vec_col", "embedding"),
         threshold=float(options.get("threshold", 0.8)),
-        num_tables=int(options.get("num_tables", 64)),
-        bits_per_table=int(options.get("bits_per_table", 10)),
+        # "auto" passes through: bits/tables then solve from the corpus
+        # count (solve_lsh_params) instead of fixed widths
+        num_tables=(
+            "auto"
+            if options.get("num_tables") == "auto"
+            else int(options.get("num_tables", 64))
+        ),
+        bits_per_table=(
+            "auto"
+            if options.get("bits_per_table") == "auto"
+            else int(options.get("bits_per_table", 10))
+        ),
         seed=int(options.get("seed", 42)),
         max_bucket_size=(
             int(options["max_bucket_size"])
             if options.get("max_bucket_size") is not None
             else 10_000
         ),
+        target_miss=float(options.get("target_miss", 1e-3)),
+        candidates_per_row=int(options.get("candidates_per_row", 128)),
+        max_tables=int(options.get("max_tables", 512)),
     )
 
 
@@ -415,7 +428,15 @@ def _op_pq_topk(spark, inp, options):
         vec_col=vec_col,
         query_id_col=options.get("query_id_col", "query_id"),
         code_col=options.get("code_col"),
-        rerank=None if rerank is None else int(rerank),
+        # "auto" passes through: rerank then scales with the corpus
+        # count (a fixed depth thins out as density grows)
+        rerank=(
+            None if rerank is None
+            else "auto" if rerank == "auto"
+            else int(rerank)
+        ),
+        rerank_frac=float(options.get("rerank_frac", 0.05)),
+        max_rerank=int(options.get("max_rerank", 10_000)),
     )
 
 

@@ -517,3 +517,25 @@ def test_residual_adc_scores_match_numpy_reconstruction(clustered):
         want = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
         # the operator rounds returned cosines to 4dp (_topk_per_query)
         assert abs(cos - want) < 5.1e-5, (qid, nid, cos, want)
+
+
+def test_pq_topk_auto_rerank_scales_and_caps(spark):
+    """rerank='auto' resolves to max(10k, frac*n) and raises past the
+    cap with the ivfpq pointer instead of silently degrading recall."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.similarity import pq_topk, train_pq
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).round(4).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    books = train_pq(df, n_subspaces=4, n_centroids=8)
+    # auto at n=400, k=5 -> max(50, ceil(0.05*400)=20) = 50
+    out = pq_topk(df, queries, books, k=5, rerank="auto")
+    assert out.groupBy("query_id").count().collect()[0]["count"] == 5
+    with _pytest.raises(ValueError, match="ivfpq_topk"):
+        pq_topk(df, queries, books, k=5, rerank="auto", max_rerank=40)
+    with _pytest.raises(ValueError, match="rerank must be"):
+        pq_topk(df, queries, books, k=5, rerank="lots")

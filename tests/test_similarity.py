@@ -330,3 +330,101 @@ def test_train_ivf_empty_corpus_clear_error(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="no non-NULL embeddings"):
         train_ivf_centroids(empty)
+
+
+# ---------------------------------------------------------------------------
+# solve_lsh_params / auto parameter mode
+# ---------------------------------------------------------------------------
+
+
+def test_solve_lsh_params_bounds_hold():
+    import math
+
+    from aqueducts_spark.operators.dedup import solve_lsh_params
+
+    for n, s in [(2_000, 0.8), (20_000, 0.9), (10_000_000, 0.95)]:
+        t, b = solve_lsh_params(n, s, target_miss=1e-3, candidates_per_row=32)
+        p1 = (1 - math.acos(s) / math.pi) ** b
+        # recall bound: miss probability at the threshold
+        assert (1 - p1) ** t <= 1e-3
+        # cost bound: expected random candidates linear in n
+        assert n * n / 2 * t * 2 ** (-b) <= 32 * n + 1e-9
+
+
+def test_solve_lsh_params_bits_grow_with_n():
+    from aqueducts_spark.operators.dedup import solve_lsh_params
+
+    _, b_small = solve_lsh_params(2_000, 0.9)
+    _, b_big = solve_lsh_params(2_000_000, 0.9)
+    assert b_big > b_small
+
+
+def test_solve_lsh_params_raises_when_infeasible():
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.dedup import solve_lsh_params
+
+    # low threshold at huge n: the table count explodes past max_tables
+    with _pytest.raises(ValueError, match="wrong tool"):
+        solve_lsh_params(10_000_000_000, 0.5, max_tables=128)
+    with _pytest.raises(ValueError, match="threshold"):
+        solve_lsh_params(1000, 1.0)
+    with _pytest.raises(ValueError, match="target_miss"):
+        solve_lsh_params(1000, 0.8, target_miss=0.0)
+
+
+def test_embed_neardup_lsh_auto_matches_bruteforce(spark, emb):
+    """auto-solved parameters honor the operator's actual contract:
+    precision 1 (exact-cosine verify), per-pair miss <= target_miss AT
+    the threshold (so a rare miss among near-threshold pairs is within
+    contract — asserted as >=99% recall overall), and pairs comfortably
+    above the threshold (s >= 0.9) all found — their miss bound is
+    astronomically smaller."""
+    from aqueducts_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.1)).alias("embedding"),
+    )
+    both = base.unionByName(planted)
+    brute = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates(both, threshold=0.8).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates_lsh(
+            both, threshold=0.8, num_tables="auto", bits_per_table="auto"
+        ).collect()
+    }
+    assert len(brute) > 0
+    assert auto <= brute  # precision 1: every emitted pair is exact-true
+    assert len(auto) >= 0.99 * len(brute)  # miss bound at the threshold
+    high = {p for p in brute if p[2] >= 0.9}
+    assert high <= auto  # well-above-threshold pairs never miss
+
+
+def test_embed_neardup_lsh_single_auto_modes(spark):
+    """One explicit + one auto: the explicit knob is held, the other is
+    re-derived; both modes still find an exact planted pair."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [(i, [float(i), 1.0, float(i % 7), 3.0]) for i in range(50)]
+    rows.append((1000, [0.0, 1.0, 0.0, 3.0]))
+    rows.append((1001, [0.0, 1.0001, 0.0, 3.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kw in (
+        {"num_tables": "auto", "bits_per_table": 10},
+        {"num_tables": 64, "bits_per_table": "auto"},
+    ):
+        got = embedding_near_duplicates_lsh(df, threshold=0.999, **kw)
+        assert (1000, 1001) in {
+            (r.id_a, r.id_b) for r in got.collect()
+        }, kw
