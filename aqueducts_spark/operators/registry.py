@@ -453,8 +453,17 @@ def _op_ivfpq_topk(spark, inp, options):
         inp,
         spark.table(queries_table),
         k=int(options.get("k", 10)),
-        n_centroids=int(options.get("n_centroids", 16)),
-        nprobe=int(options.get("nprobe", 4)),
+        # "auto" passes through: sqrt(n) coarse-quantizer sizing
+        n_centroids=(
+            "auto"
+            if options.get("n_centroids") == "auto"
+            else int(options.get("n_centroids", 16))
+        ),
+        nprobe=(
+            "auto"
+            if options.get("nprobe") == "auto"
+            else int(options.get("nprobe", 4))
+        ),
         n_subspaces=int(options.get("n_subspaces", 8)),
         n_pq_centroids=int(options.get("n_pq_centroids", 16)),
         rerank=None if rerank is None else int(rerank),
@@ -544,8 +553,17 @@ def _op_ivf_topk(spark, inp, options):
         inp,
         spark.table(queries_table),
         k=int(options.get("k", 10)),
-        n_centroids=int(options.get("n_centroids", 16)),
-        nprobe=int(options.get("nprobe", 4)),
+        # "auto" passes through: sqrt(n) coarse-quantizer sizing
+        n_centroids=(
+            "auto"
+            if options.get("n_centroids") == "auto"
+            else int(options.get("n_centroids", 16))
+        ),
+        nprobe=(
+            "auto"
+            if options.get("nprobe") == "auto"
+            else int(options.get("nprobe", 4))
+        ),
         seed=int(options.get("seed", 42)),
         id_col=options.get("id_col", "vec_id"),
         vec_col=options.get("vec_col", "embedding"),

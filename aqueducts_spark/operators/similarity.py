@@ -236,11 +236,36 @@ def _hash_rank_sample(
     return X
 
 
+def resolve_ivf_params(
+    n: int,
+    min_centroids: int = 4,
+    max_centroids: int = 65_536,
+    train_points_per_centroid: int = 39,
+) -> tuple[int, int, int]:
+    """FAISS-guideline IVF sizing from the corpus count: ``n_list ~
+    sqrt(n)`` (clamped), ``nprobe ~ sqrt(n_list)`` (the default (16, 4)
+    pairing extended to any size), and a training-sample size of
+    ``train_points_per_centroid * n_list`` (FAISS warns below ~39
+    points/centroid).  Returns ``(n_centroids, nprobe, sample_size)``.
+
+    A FIXED centroid count cannot scale: at n_list=16 each probe list
+    is n/16 — linear in the corpus — so per-query scan volume grows
+    linearly no matter what nprobe is.  sqrt sizing keeps probe-list
+    size AND centroid count both ~sqrt(n), the classic IVF cost
+    balance point.
+    """
+    if n < 1:
+        return min_centroids, 1, max(min_centroids * train_points_per_centroid, 256)
+    n_list = int(min(max(math.ceil(math.sqrt(n)), min_centroids), max_centroids))
+    nprobe = max(1, int(round(math.sqrt(n_list))))
+    return n_list, nprobe, n_list * train_points_per_centroid
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    sample_size: int = 4096,
+    n_centroids: int | str = 16,
+    sample_size: Optional[int] = 4096,
     iters: int = 8,
     seed: int = 42,
     sample: Optional["np.ndarray"] = None,
@@ -252,10 +277,28 @@ def train_ivf_centroids(
     corpus), the rest of the pipeline stays distributed. Deterministic
     for a fixed seed and input.
 
+    ``n_centroids="auto"`` sizes the index from the corpus count via
+    :func:`resolve_ivf_params` (``~sqrt(n)`` lists, FAISS's
+    points-per-centroid training floor — ``sample_size=None`` then
+    takes the resolved size; an explicit int still wins).  One extra
+    ``count()`` action.
+
     Sampling is hash-rank based, NOT ``limit()`` — see
     :func:`_hash_rank_sample` (pass its matrix as ``sample`` to share
     one corpus draw with :func:`train_pq`).
     """
+    if n_centroids == "auto":
+        n = corpus.where(F.col(vec_col).isNotNull()).count()
+        n_centroids, _, auto_sample = resolve_ivf_params(n)
+        if sample_size is None:
+            sample_size = auto_sample
+    elif isinstance(n_centroids, str):
+        raise ValueError(
+            f"train_ivf_centroids: n_centroids must be an int or 'auto', "
+            f"got {n_centroids!r}"
+        )
+    if sample_size is None:
+        sample_size = 4096
     if sample is None:
         sample = _hash_rank_sample(
             corpus, vec_col, sample_size, "train_ivf_centroids"
@@ -338,8 +381,8 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int | str = 16,
+    nprobe: int | str = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -352,11 +395,37 @@ def ivf_topk(
     The corpus is scored against ~nprobe/n_centroids of its rows per
     query — the scale path when LSH bucket sizes are too uneven. Recall
     rises with ``nprobe`` (== n_centroids gives exact brute force).
+
+    ``n_centroids="auto"``/``nprobe="auto"`` size the index from the
+    corpus count (:func:`resolve_ivf_params`: ~sqrt(n) lists, ~sqrt of
+    that probed, FAISS training floor) — a FIXED list count leaves each
+    probe list linear in the corpus, so per-query scan volume grows
+    with n no matter what nprobe is.  With pre-trained ``centroids``,
+    ``nprobe="auto"`` resolves from their count alone (no extra
+    action).
     """
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            corpus, vec_col, n_centroids=n_centroids, seed=seed
+    if isinstance(n_centroids, str) and n_centroids != "auto":
+        raise ValueError(
+            f"ivf_topk: n_centroids must be an int or 'auto', got {n_centroids!r}"
         )
+    if isinstance(nprobe, str) and nprobe != "auto":
+        raise ValueError(
+            f"ivf_topk: nprobe must be an int or 'auto', got {nprobe!r}"
+        )
+    if centroids is None:
+        sample_size = None if n_centroids == "auto" else 4096
+        if n_centroids == "auto" or nprobe == "auto":
+            n = corpus.where(F.col(vec_col).isNotNull()).count()
+            auto_nc, auto_np, auto_sample = resolve_ivf_params(n)
+            if n_centroids == "auto":
+                n_centroids, sample_size = auto_nc, auto_sample
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=int(n_centroids),
+            sample_size=sample_size, seed=seed,
+        )
+    if nprobe == "auto":
+        nprobe = max(1, int(round(math.sqrt(len(centroids)))))
+    nprobe = int(nprobe)
     c = ivf_assign(
         _corpus_side(corpus, id_col, vec_col), centroids, "cvec", "centroid_id"
     )
@@ -1032,8 +1101,8 @@ def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int | str = 16,
+    nprobe: int | str = 4,
     n_subspaces: int = 8,
     n_pq_centroids: int = 16,
     rerank: Optional[int] = None,
@@ -1068,16 +1137,38 @@ def ivfpq_topk(
     (:func:`pq_persist` meta).  Both quantizers train on bounded
     hash-rank samples (see :func:`train_ivf_centroids`); pass
     ``centroids``/``codebooks`` to reuse a persisted index.
+    ``n_centroids="auto"``/``nprobe="auto"`` size the coarse quantizer
+    from the corpus count exactly like :func:`ivf_topk` (sqrt sizing +
+    the FAISS training floor; with pre-trained centroids auto resolves
+    from their count, no extra action).
 
     Same output contract as :func:`brute_force_topk`; a query whose
     probed clusters are all empty simply returns fewer (or zero) rows,
     exactly like :func:`ivf_topk`.
     """
+    if isinstance(n_centroids, str) and n_centroids != "auto":
+        raise ValueError(
+            f"ivfpq_topk: n_centroids must be an int or 'auto', got "
+            f"{n_centroids!r}"
+        )
+    if isinstance(nprobe, str) and nprobe != "auto":
+        raise ValueError(
+            f"ivfpq_topk: nprobe must be an int or 'auto', got {nprobe!r}"
+        )
+    sample_size = 4096
+    if n_centroids == "auto" and centroids is None:
+        # same sqrt(n) sizing as ivf_topk; the training sample grows to
+        # FAISS's points-per-centroid floor
+        n = corpus.where(F.col(vec_col).isNotNull()).count()
+        n_centroids, _, auto_sample = resolve_ivf_params(n)
+        sample_size = max(sample_size, auto_sample)
+    elif n_centroids == "auto":
+        n_centroids = len(centroids)
     if centroids is None or codebooks is None:
         # ONE hash-rank sampling pass serves both quantizers (each
         # trainer's own draw would scan + top-k the corpus twice for
         # the identical 4096 rows)
-        sample = _hash_rank_sample(corpus, vec_col, 4096, "ivfpq_topk")
+        sample = _hash_rank_sample(corpus, vec_col, sample_size, "ivfpq_topk")
         if centroids is None:
             centroids = train_ivf_centroids(
                 corpus, vec_col, n_centroids=n_centroids, seed=seed,
@@ -1116,6 +1207,9 @@ def ivfpq_topk(
     # the cosine ordering; argsort(stable) ties toward the lowest id,
     # matching _centroid_scorer exactly.
     Cn = np.asarray(centroids, dtype=np.float64)
+    if nprobe == "auto":
+        nprobe = max(1, int(round(math.sqrt(len(Cn)))))
+    nprobe = int(nprobe)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), _NORM_EPS)
     dots = Qn @ Cn.T
     probes = np.argsort(-dots, kind="stable", axis=1)[:, : min(nprobe, len(Cn))]

@@ -428,3 +428,74 @@ def test_embed_neardup_lsh_single_auto_modes(spark):
         assert (1000, 1001) in {
             (r.id_a, r.id_b) for r in got.collect()
         }, kw
+
+
+def test_resolve_ivf_params_sqrt_sizing():
+    from aqueducts_spark.operators.similarity import resolve_ivf_params
+
+    nc, npb, samp = resolve_ivf_params(10_000)
+    assert nc == 100 and npb == 10 and samp == 3900
+    nc, npb, samp = resolve_ivf_params(1_000_000_000, max_centroids=65_536)
+    assert nc == 31_623 and npb == 178
+    # tiny corpora clamp to the floor
+    nc, npb, _ = resolve_ivf_params(3)
+    assert nc == 4 and npb == 2
+
+
+def test_ivf_topk_auto_sizing_recall(spark):
+    """auto coarse sizing still finds the planted exact neighbor."""
+    import numpy as np
+
+    from aqueducts_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).round(4).tolist()) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    out = ivf_topk(
+        df, queries, k=5, n_centroids="auto", nprobe="auto"
+    ).collect()
+    # each query's own vector is its exact nearest neighbor and must
+    # appear in the probed clusters (it shares its query's centroid)
+    tops = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    assert tops == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_topk_auto_nprobe_from_pretrained_centroids(spark):
+    import numpy as np
+
+    from aqueducts_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.standard_normal(8).round(4).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(1).selectExpr("vec_id AS query_id", "embedding")
+    cents = train_ivf_centroids(df, n_centroids=9)
+    got = ivf_topk(df, queries, k=3, centroids=cents, nprobe="auto")
+    assert got.count() == 3  # nprobe resolved to 3 = round(sqrt(9))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobe must be"):
+        ivf_topk(df, queries, k=3, centroids=cents, nprobe="many")
+    with _pytest.raises(ValueError, match="n_centroids must be"):
+        ivf_topk(df, queries, k=3, n_centroids="many")
+
+
+def test_ivfpq_topk_auto_sizing_runs(spark):
+    import numpy as np
+
+    from aqueducts_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).round(4).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    out = ivfpq_topk(
+        df, queries, k=5, n_centroids="auto", nprobe="auto", rerank=50
+    ).collect()
+    tops = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    # with exact rerank the query's own vector must surface as rank 1
+    assert tops == {0: 0, 1: 1}
