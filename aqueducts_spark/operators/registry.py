@@ -540,6 +540,7 @@ def _op_lsh_topk(spark, inp, options):
         id_col=options.get("id_col", "vec_id"),
         vec_col=options.get("vec_col", "embedding"),
         query_id_col=options.get("query_id_col", "query_id"),
+        multiprobe=int(options.get("multiprobe", 0)),
     )
 
 

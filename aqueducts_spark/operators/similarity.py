@@ -449,11 +449,28 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored. Recall < 1 by design; raise ``num_planes`` for smaller
     buckets (faster, lower recall) or lower it for higher recall.
+
+    ``multiprobe=1`` (Lv et al. 2007) also probes every bucket at
+    Hamming distance 1 from the query's bucket — the near-miss buckets
+    where a neighbor whose sign flipped on ONE hyperplane landed.
+    Recall rises sharply at the cost of scoring ``num_planes + 1``
+    buckets per query instead of one; the CORPUS side is untouched
+    (still bucketed once, no blowup where the volume lives) — only the
+    broadcast-side query rows multiply, which is the cheap side by
+    definition.  This beats lowering ``num_planes`` for the same
+    recall: halving the planes doubles every bucket, multiprobe only
+    multiplies query rows.
     """
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"lsh_topk: multiprobe must be 0 or 1 (1-bit flips), got "
+            f"{multiprobe!r}"
+        )
     sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if sample is None:
         # empty (or all-NULL) corpus: empty result, not a TypeError —
@@ -467,6 +484,22 @@ def lsh_topk(
     q = hyperplane_lsh(
         _query_side(queries, query_id_col, vec_col), planes, "qvec", "bucket"
     )
+    if multiprobe:
+        # original bucket + every 1-bit flip, exploded on the QUERY
+        # side (broadcast, tiny); distinct is unnecessary — the flips
+        # of one bucket are all distinct strings by construction
+        flip = [F.col("bucket")]
+        for i in range(num_planes):
+            flip.append(
+                F.concat(
+                    F.substring("bucket", 1, i),
+                    F.when(
+                        F.substring("bucket", i + 1, 1) == "1", "0"
+                    ).otherwise("1"),
+                    F.substring("bucket", i + 2, num_planes - i - 1),
+                )
+            )
+        q = q.withColumn("bucket", F.explode(F.array(*flip)))
     return _topk_per_query(_score_pairs(F.broadcast(q).join(c, on="bucket")), k)
 
 

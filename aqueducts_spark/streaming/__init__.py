@@ -1,5 +1,6 @@
 from .ops import (
     dedup_stream,
+    dedup_stream_within_watermark,
     distinct_sketch_stream,
     merge_stream_into_table,
     interval_join_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "quantile_sketch_stream",
     "distinct_sketch_stream",
     "dedup_stream",
+    "dedup_stream_within_watermark",
     "running_counts_stream",
     "quota_stream",
     "interval_join_stream",

@@ -298,6 +298,47 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str,
+    delay: str,
+) -> DataFrame:
+    """Bounded-state streaming dedup: duplicates arriving within the
+    watermark horizon of the first occurrence are dropped; state for a
+    key is EVICTED once the watermark passes its event time, so the
+    state store holds only the horizon's distinct keys — the 100 TB
+    stream contract when key cardinality is unbounded (URLs, content
+    fingerprints) and exact forever-dedup
+    (:func:`dedup_stream`) would grow state without bound.
+
+    Semantics are Spark's ``dropDuplicatesWithinWatermark``: within any
+    ``delay`` window the first arrival wins; a duplicate arriving
+    AFTER its key's state evicted is emitted again — the deliberate
+    trade for bounded state.  For exactly-once over all time, screen
+    the stream against a persisted fingerprint index instead
+    (``dedup_against`` / ``fuzzy_filter_against``, both stream-safe
+    stream-static joins).
+
+    ``event_time_col`` must be a timestamp column; the watermark is set
+    here (idempotent if the source already set a tighter one upstream —
+    Spark keeps the stricter of the two for state eviction).
+    """
+    if not key_cols:
+        raise ValueError(
+            "dedup_stream_within_watermark: key_cols must be non-empty"
+        )
+    missing = [c for c in [*key_cols, event_time_col] if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"dedup_stream_within_watermark: column(s) {missing!r} not "
+            "in the stream"
+        )
+    return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "op_fuzzy_filter",
     "op_nb_classify",
     "sim_ivfpq_topk",
+    "op_token_budget_mix",
+    "op_corpus_diff",
     "pl_pipeline_yaml",
     "pl_streaming_yaml",
 ]
@@ -120,19 +122,23 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # ~40 codegen-heavy queries x3 runs overflow the default 240MB
-        # JIT code cache -> method flushing -> recompilation churn that
-        # shows up as 3-4x noise on late queries; a bigger cache keeps
-        # every compiled stage hot
+        # codegen-heavy queries x3 runs overflow the JIT code cache ->
+        # method flushing -> recompilation churn that shows up as 2-3x
+        # noise on late interpreted-HOF-heavy queries.  At 81 queries
+        # the r7 A/B measured 1g+flushing inflating in-suite numbers to
+        # ~2x their isolated cost (op_span_dedup 2.64s in-suite vs
+        # 1.38s isolated); 2g with flushing DISABLED restores in-suite
+        # == isolated (1.45s) and cut the suite total 71.4 -> 67.2s.
+        # Re-derive if the suite doubles again.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:-UseCodeCacheFlushing",
         )
-        # the generated-class cache holds 100 entries by default; ~40
+        # the generated-class cache holds 100 entries by default; ~80
         # multi-stage queries x3 repeats evict every class before its
         # re-run, so even min-of-3 keeps paying janino compilation.
         # sizing it to the suite makes repeats measure execution.
-        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

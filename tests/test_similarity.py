@@ -499,3 +499,31 @@ def test_ivfpq_topk_auto_sizing_runs(spark):
     tops = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
     # with exact rerank the query's own vector must surface as rank 1
     assert tops == {0: 0, 1: 1}
+
+
+def test_lsh_topk_multiprobe_raises_recall(emb, queries, exact):
+    """1-bit multiprobe recall strictly dominates single-bucket recall
+    on the same planes (it scores a superset of candidates)."""
+    single = _recall(lsh_topk(emb, queries, k=10, num_planes=6).collect(), exact)
+    multi = _recall(
+        lsh_topk(emb, queries, k=10, num_planes=6, multiprobe=1).collect(),
+        exact,
+    )
+    # deterministic: multiprobe candidates are a superset, and any
+    # added candidate ranking above a true top-10 member is itself a
+    # true top-10 member — recall can only rise
+    assert multi >= single
+    # measured floor on this fixture (random synthetic embeddings have
+    # weak neighbor structure: true top-10 cosines are modest, so they
+    # differ from the query in several sign bits; 1-bit probing
+    # recovers the one-flip share: 0.29 vs 0.23 single when written)
+    assert multi >= 0.25
+    # self-match survives multiprobe (original bucket still probed)
+    rows = lsh_topk(emb, queries, k=10, num_planes=6, multiprobe=1).collect()
+    tops = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert all(tops[q] == q for q in tops)
+
+
+def test_lsh_topk_multiprobe_validation(emb, queries):
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_topk(emb, queries, k=5, multiprobe=2)

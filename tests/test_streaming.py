@@ -788,3 +788,44 @@ def test_distinct_sketch_stream_reserved_group_rejected(spark):
 
     with pytest.raises(ValueError, match="reserved"):
         distinct_sketch_stream(df, "ts", "v", "1 minute", group_by=["mx"])
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Bounded-state dedup: duplicates within the horizon are dropped
+    across micro-batches; state evicts with the watermark."""
+    from aqueducts_spark.streaming import (
+        dedup_stream_within_watermark,
+        file_stream_source,
+        run_available_now,
+    )
+
+    src = tmp_path / "wmdedup_src"
+    b1 = [(1, "2024-01-01 00:01:00", 1.0), (2, "2024-01-01 00:02:00", 2.0)]
+    b2 = [(1, "2024-01-01 00:03:00", 9.0), (3, "2024-01-01 00:04:00", 3.0)]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, ["user_id", "ts_str", "value"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = file_stream_source(
+        spark, str(src), "parquet", parse_fields(SCHEMA),
+        options={"maxFilesPerTrigger": "1"},
+    )
+    out = dedup_stream_within_watermark(stream, ["user_id"], "ts", "1 hour")
+    rows = run_available_now(out, str(tmp_path / "ckpt_wmdedup"))
+    by_user = {r.user_id: r.value for r in rows}
+    # user 1's duplicate at 00:03 falls inside the 1h horizon of its
+    # 00:01 first arrival -> dropped; the first arrival's value wins
+    assert by_user == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_dedup_stream_within_watermark_validation(spark, stream_dir):
+    from aqueducts_spark.streaming import (
+        dedup_stream_within_watermark,
+        file_stream_source,
+    )
+
+    stream = file_stream_source(spark, stream_dir, "parquet", parse_fields(SCHEMA))
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup_stream_within_watermark(stream, [], "ts", "1 hour")
+    with pytest.raises(ValueError, match="not in the stream"):
+        dedup_stream_within_watermark(stream, ["nope"], "ts", "1 hour")
