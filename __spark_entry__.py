@@ -2503,6 +2503,84 @@ GROUP BY doc_id
 """
 
 
+# Interpolated Kneser-Ney bigram NLL (operators/text.py::
+# kn_bigram_logprob): the oracle replays the full KN decomposition —
+# distinct-continuation counts from the bigram TYPE table, absolute
+# discount D=0.75, add-one-smoothed continuation distribution — in the
+# same micro-nat integer discipline as OP_BIGRAM_NLL_DUCK.
+OP_KN_NLL_DUCK = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '') AS toks
+  FROM documents
+),
+uni AS (SELECT term, COUNT(*) AS ct
+        FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term),
+bi_tf AS (
+  SELECT doc_id, gram, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks)-1)]) AS gram
+        FROM t WHERE len(toks) >= 2)
+  GROUP BY doc_id, gram
+),
+bi_totals AS (SELECT gram, SUM(tf) AS ct_bi FROM bi_tf GROUP BY gram),
+prefix_stats AS (
+  SELECT string_split(gram, ' ')[1] AS prefix,
+         SUM(ct_bi) AS ct_prefix, COUNT(*) AS n1p_fwd
+  FROM bi_totals GROUP BY 1),
+cont_counts AS (
+  SELECT string_split(gram, ' ')[2] AS cont, COUNT(*) AS n1p_bwd
+  FROM bi_totals GROUP BY 1),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM bi_totals) AS n_types,
+         (SELECT COUNT(*) FROM uni) AS v),
+first_scored AS (
+  SELECT t.doc_id, CAST(1 AS BIGINT) AS events,
+         CAST(floor(-ln((CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                        / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM t LEFT JOIN cont_counts cc ON cc.cont = t.toks[1] CROSS JOIN scalars s
+  WHERE len(t.toks) > 0
+),
+bi_scored AS (
+  SELECT f.doc_id, CAST(f.tf AS BIGINT) AS events,
+         CAST(floor(CAST(f.tf AS DOUBLE)
+                    * -ln(
+                        greatest(CAST(b.ct_bi AS DOUBLE) - 0.75, 0.0)
+                          / CAST(p.ct_prefix AS DOUBLE)
+                        + 0.75 * CAST(p.n1p_fwd AS DOUBLE)
+                          / CAST(p.ct_prefix AS DOUBLE)
+                          * ((CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                             / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE)))
+                      )
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM bi_tf f
+  JOIN bi_totals b USING (gram)
+  JOIN prefix_stats p ON p.prefix = string_split(f.gram, ' ')[1]
+  LEFT JOIN cont_counts cc ON cc.cont = string_split(f.gram, ' ')[2]
+  CROSS JOIN scalars s
+)
+SELECT doc_id,
+       CAST(SUM(events) AS BIGINT) AS n_tokens,
+       CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+       CAST(SUM(nll_micro) AS DOUBLE)
+         / (CAST(SUM(events) AS DOUBLE) * 1e6) AS avg_nll
+FROM (SELECT * FROM first_scored UNION ALL SELECT * FROM bi_scored)
+GROUP BY doc_id
+"""
+
+
+def _op_kn_nll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document
+    (operators/text.py::kn_bigram_logprob, D=0.75 — the smoothing
+    family real perplexity filters use)."""
+    from aqueducts_spark.operators.text import kn_bigram_logprob
+
+    _views(spark, sf_dir)
+    return kn_bigram_logprob(spark.table("documents"))
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint"),
     ("o_custkey", "bigint"),
@@ -5937,6 +6015,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_quantized_topk": _op_quantized_topk,
         "op_oov_rate": _op_oov_rate,
         "op_semdedup": _op_semdedup,
+        "op_kn_nll": _op_kn_nll_gate,
         "op_token_budget_mix": _op_token_budget_mix_gate,
         "op_corpus_diff": _op_corpus_diff_gate,
         "pl_pipeline_yaml": _pl_pipeline,
@@ -6128,6 +6207,7 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
     "op_byte_fertility",        # byte-level fertility report (r7)
+    "op_kn_nll",                # Kneser-Ney bigram NLL (r7)
     "op_token_budget_mix",      # token-budget mixture materializer (r7)
     "op_corpus_diff",           # corpus version diff (r7)
 ]
@@ -6246,6 +6326,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_quantile_sketch": OP_QUANTILE_SKETCH_DUCK,
         "op_weighted_mix": OP_WEIGHTED_MIX_DUCK,
         "op_temperature_mix": OP_TEMP_MIX_DUCK,
+        "op_kn_nll": OP_KN_NLL_DUCK,
         "op_token_budget_mix": OP_TOKEN_BUDGET_MIX_DUCK,
         "op_corpus_diff": OP_CORPUS_DIFF_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,

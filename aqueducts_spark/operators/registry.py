@@ -1538,6 +1538,16 @@ def _op_profile_table(spark, inp, options):
     )
 
 
+def _op_kn_bigram_logprob(spark, inp, options):
+    from .text import kn_bigram_logprob
+
+    return kn_bigram_logprob(
+        inp,
+        discount=float(options.get("discount", 0.75)),
+        **_docs_args(options),
+    )
+
+
 def _op_unigram_logprob(spark, inp, options):
     from .text import unigram_logprob
 
@@ -1908,6 +1918,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "ngram_overlap": _op_ngram_overlap,
     "remove_duplicated_spans": _op_remove_duplicated_spans,
     "unigram_logprob": _op_unigram_logprob,
+    "kn_bigram_logprob": _op_kn_bigram_logprob,
     "profile_table": _op_profile_table,
     "corpus_datacard": _op_corpus_datacard,
     "bigram_logprob": _op_bigram_logprob,

@@ -36,6 +36,7 @@ __all__ = [
     "tfidf_top_terms",
     "unigram_logprob",
     "bigram_logprob",
+    "kn_bigram_logprob",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -2308,6 +2309,160 @@ def bigram_logprob(
     )
     # n_tokens >= 1 for every per_doc row by construction (first_scored
     # only emits docs with at least one token), so plain division
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
+    )
+
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Self-trained **interpolated Kneser-Ney** bigram LM score per
+    document — the smoothing family real perplexity filters use (CCNet
+    scores with a KN-smoothed KenLM; plain MLE bigrams assign -inf to
+    any unseen transition, so :func:`bigram_logprob` can only score
+    self-trained corpora where every transition was observed).
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
+                   + D * N1+(w1,.)/c(w1.) * Pcont(w2)
+        Pcont(w) = (N1+(.,w) + 1) / (N1+(.,.) + V)
+
+    ``N1+`` are DISTINCT-neighbor counts (the KN continuation idea: "how
+    many contexts does w complete" rather than "how often"), ``D`` the
+    absolute discount, and the continuation distribution carries add-one
+    smoothing over the vocabulary ``V`` so it is strictly positive for
+    every in-vocab word (a word seen only document-initially has
+    N1+(.,w)=0, and interpolated KN's lowest order must not emit
+    log(0); this also gives external-fit scoring a deterministic OOV
+    floor of 1/(N1+(.,.)+V)).  The first token of each document is
+    scored by ``Pcont`` (the model's lowest order); tokens 2..n by the
+    conditional.  A document whose every transition was seen once gets
+    the same treatment as one with repeated transitions — no special
+    cases, the formula covers unseen/rare/frequent uniformly.
+
+    Reproducibility contract (micro-nat discipline, exactly
+    :func:`bigram_logprob`'s): each (doc, gram) contribution quantizes
+    ``tf * -ln P`` to integer micro-nats before the per-doc sum, so
+    engine-side float summation order cannot move the hash.  Output:
+    ``id, n_tokens, nll_micro, avg_nll``; empty/NULL-token documents
+    produce no row.
+
+    Plan shape (same as bigram_logprob): the (doc, gram) tf table is
+    the ONE corpus-volume shuffle; every model statistic — bigram
+    totals, prefix totals + distinct-continuation counts (one groupBy
+    computes both), continuation counts, type/vocab scalars — is a
+    re-aggregation of that reduced gram-type table; scoring joins the
+    doc tf table against gram-type-sized relations.  Nothing wider
+    than the bigram tf table re-shuffles.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_bigram_logprob: discount must be in (0, 1), got {discount}"
+        )
+    src = ensure_parallelism(df)
+    toks = normalized_tokens(F.col(text_col))
+
+    uni_totals = (
+        src.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
+    )
+    # (doc, gram) tf: the one corpus-volume shuffle
+    bi_tf = (
+        src.where(F.size(toks) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    bi_totals = bi_tf.groupBy("gram").agg(F.sum("tf").alias("ct_bi"))
+    # one groupBy yields BOTH prefix statistics: total mass c(w1.) and
+    # the distinct-continuation count N1+(w1,.) (rows of bi_totals ARE
+    # distinct (w1,w2) types)
+    prefix_stats = bi_totals.groupBy(
+        F.split(F.col("gram"), " ")[0].alias("prefix")
+    ).agg(
+        F.sum("ct_bi").alias("ct_prefix"),
+        F.count("*").alias("n1p_fwd"),
+    )
+    cont_counts = bi_totals.groupBy(
+        F.split(F.col("gram"), " ")[1].alias("cont")
+    ).agg(F.count("*").alias("n1p_bwd"))
+    scalars = bi_totals.agg(F.count("*").alias("n_types")).crossJoin(
+        uni_totals.agg(F.count("*").alias("v"))
+    )
+
+    d_ = F.lit(float(discount))
+    pcont = (F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("n_types").cast("double") + F.col("v").cast("double")
+    )
+
+    first = src.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("cont"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    first_scored = (
+        first.join(cont_counts, "cont", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    p_bi = (
+        F.greatest(F.col("ct_bi").cast("double") - d_, F.lit(0.0))
+        / F.col("ct_prefix").cast("double")
+        + d_
+        * F.col("n1p_fwd").cast("double")
+        / F.col("ct_prefix").cast("double")
+        * pcont
+    )
+    bi_scored = (
+        bi_tf.join(bi_totals, "gram")
+        .join(prefix_stats, F.split(F.col("gram"), " ")[0] == F.col("prefix"))
+        .join(
+            cont_counts,
+            F.split(F.col("gram"), " ")[1] == F.col("cont"),
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("tf").cast("bigint").alias("events"),
+            F.floor(
+                F.col("tf").cast("double") * -F.log(p_bi) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    per_doc = (
+        first_scored.unionByName(bi_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("events").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        )
+    )
     return per_doc.select(
         F.col(id_col),
         "n_tokens",

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "op_fuzzy_filter",
     "op_nb_classify",
     "sim_ivfpq_topk",
+    "op_kn_nll",
     "op_token_budget_mix",
     "op_corpus_diff",
     "pl_pipeline_yaml",

@@ -837,3 +837,89 @@ def test_decontaminate_threshold_validation(spark, corpus, bench_set):
         decontaminate(corpus, bench_set, threshold=0)
     with pytest.raises(ValueError, match="n must be"):
         decontaminate(corpus, bench_set, n=0)
+
+
+def test_kn_bigram_logprob_matches_python(spark, sf_dir):
+    """Interpolated Kneser-Ney replayed in pure Python: distinct
+    continuation counts, D=0.75 absolute discount, add-one continuation
+    smoothing — bit-identical micro-nat sums."""
+    import math
+    from collections import Counter, defaultdict
+
+    from aqueducts_spark.operators.text import kn_bigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    docs = {r.doc_id: [t for t in r.text.lower().strip().split() if t] for r in df.collect()}
+    uni, bi = Counter(), Counter()
+    for ts in docs.values():
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    prefix_ct, fwd, bwd = Counter(), defaultdict(set), defaultdict(set)
+    for (a, b), c in bi.items():
+        prefix_ct[a] += c
+        fwd[a].add(b)
+        bwd[b].add(a)
+    n_types, v, d = len(bi), len(uni), 0.75
+
+    def pcont(w):
+        return (len(bwd.get(w, ())) + 1.0) / (n_types + v)
+
+    want = {}
+    for i, ts in docs.items():
+        if not ts:
+            continue
+        micro = math.floor(-math.log(pcont(ts[0])) * 1e6 + 0.5)
+        doc_bi = Counter(zip(ts, ts[1:]))
+        for (a, b), tfc in doc_bi.items():
+            p = (
+                max(bi[(a, b)] - d, 0.0) / prefix_ct[a]
+                + d * len(fwd[a]) / prefix_ct[a] * pcont(b)
+            )
+            micro += math.floor(tfc * -math.log(p) * 1e6 + 0.5)
+        want[i] = (len(ts), micro)
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in kn_bigram_logprob(df).collect()
+    }
+    assert got == want
+
+
+def test_kn_bigram_logprob_handles_unseen_continuation(spark):
+    """A word appearing ONLY document-initially has zero continuation
+    count; add-one smoothing keeps its lowest-order score finite."""
+    from aqueducts_spark.operators.text import kn_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "zzz alpha beta"), (2, "alpha beta"), (3, "beta alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in kn_bigram_logprob(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r.nll_micro > 0 and r.avg_nll > 0 for r in rows.values())
+
+
+def test_kn_bigram_logprob_validation_and_stage(spark, sf_dir):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.registry import run_operator
+    from aqueducts_spark.operators.text import kn_bigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    with _pytest.raises(ValueError, match="discount"):
+        kn_bigram_logprob(df, discount=1.0)
+    df.createOrReplaceTempView("kn_docs")
+    out = run_operator(
+        spark,
+        {"type": "kn_bigram_logprob", "input": "kn_docs",
+         "options": {"discount": 0.5}},
+    )
+    assert out.count() == 5
+
+
+def test_kn_bigram_parallelism_invariant(spark, sf_dir):
+    from aqueducts_spark.operators.text import kn_bigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    one = sorted(map(tuple, kn_bigram_logprob(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, kn_bigram_logprob(df.repartition(7)).collect()))
+    assert one == many
