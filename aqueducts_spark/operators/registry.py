@@ -1548,6 +1548,29 @@ def _op_kn_bigram_logprob(spark, inp, options):
     )
 
 
+def _op_kn_bigram_fit(spark, inp, options):
+    from .text import kn_bigram_fit
+
+    return kn_bigram_fit(inp, text_col=options.get("text_col", "text"))
+
+
+def _op_kn_bigram_score(spark, inp, options):
+    from .text import kn_bigram_score
+
+    model_table = options.get("model")
+    if not model_table:
+        raise OperatorError(
+            "kn_bigram_score operator requires options.model (a (w1, w2, "
+            "ct) table, e.g. a kn_bigram_fit stage or one read from disk)"
+        )
+    return kn_bigram_score(
+        inp,
+        spark.table(model_table),
+        discount=float(options.get("discount", 0.75)),
+        **_docs_args(options),
+    )
+
+
 def _op_unigram_logprob(spark, inp, options):
     from .text import unigram_logprob
 
@@ -1919,6 +1942,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "remove_duplicated_spans": _op_remove_duplicated_spans,
     "unigram_logprob": _op_unigram_logprob,
     "kn_bigram_logprob": _op_kn_bigram_logprob,
+    "kn_bigram_fit": _op_kn_bigram_fit,
+    "kn_bigram_score": _op_kn_bigram_score,
     "profile_table": _op_profile_table,
     "corpus_datacard": _op_corpus_datacard,
     "bigram_logprob": _op_bigram_logprob,

@@ -37,6 +37,8 @@ __all__ = [
     "unigram_logprob",
     "bigram_logprob",
     "kn_bigram_logprob",
+    "kn_bigram_fit",
+    "kn_bigram_score",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -2437,6 +2439,189 @@ def kn_bigram_logprob(
     bi_scored = (
         bi_tf.join(bi_totals, "gram")
         .join(prefix_stats, F.split(F.col("gram"), " ")[0] == F.col("prefix"))
+        .join(
+            cont_counts,
+            F.split(F.col("gram"), " ")[1] == F.col("cont"),
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("tf").cast("bigint").alias("events"),
+            F.floor(
+                F.col("tf").cast("double") * -F.log(p_bi) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    per_doc = (
+        first_scored.unionByName(bi_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("events").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
+    )
+
+
+
+def kn_bigram_fit(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the Kneser-Ney bigram model as a RELATION — the production
+    shape (CCNet's): fit once on a reference corpus (Wikipedia), persist
+    to parquet, score every crawl against it with
+    :func:`kn_bigram_score`.
+
+    Model rows: ``(w1, w2, ct)`` — bigram counts where ``w2`` is
+    non-NULL, unigram counts as ``(w, NULL, ct)`` (the vocabulary rows;
+    scoring needs V and they make the relation self-contained).  The
+    model is MERGEABLE by construction: per-shard fits roll up with
+    ``unionByName`` + ``groupBy(w1, w2).sum(ct)`` — counts are counts.
+
+    One tokenize pass, two aggregations off it (unigram + bigram
+    type counts); output size is the gram-type table, not the corpus.
+    """
+    src = ensure_parallelism(df)
+    toks = normalized_tokens(F.col(text_col))
+    uni = (
+        src.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("ct"))
+        .select("w1", F.lit(None).cast("string").alias("w2"), "ct")
+    )
+    bi = (
+        src.where(F.size(toks) >= 2)
+        .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.split(F.col("gram"), " ")[0].alias("w1"),
+            F.split(F.col("gram"), " ")[1].alias("w2"),
+            "ct",
+        )
+    )
+    return uni.unionByName(bi)
+
+
+def kn_bigram_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score documents against an EXTERNAL :func:`kn_bigram_fit` model
+    — the CCNet shape (the self-trained single-pass form is
+    :func:`kn_bigram_logprob`; ``kn_bigram_score(df, kn_bigram_fit(df))``
+    is row-identical to it, pinned by test).
+
+    Out-of-model events stay finite deterministically: an OOV or
+    never-second word scores the add-one continuation floor
+    ``1/(N1+(.,.) + V)``; an unseen PREFIX backs off entirely to the
+    continuation distribution (the discount mass is all of it:
+    ``p = Pcont(w2)``); an unseen bigram under a seen prefix gets pure
+    discount mass ``lambda(w1) * Pcont(w2)``.
+
+    Plan shape: model statistics are gram-type-sized re-aggregations of
+    the model relation; the scored corpus pays ONE (doc, gram) shuffle
+    and joins those statistics.  Persist the model parquet once; every
+    daily crawl score reads it instead of re-fitting.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_bigram_score: discount must be in (0, 1), got {discount}"
+        )
+    for c in ("w1", "w2", "ct"):
+        if c not in model.columns:
+            raise ValueError(
+                "kn_bigram_score: model must be a kn_bigram_fit relation "
+                f"with columns (w1, w2, ct) — missing {c!r}"
+            )
+    src = ensure_parallelism(df)
+    toks = normalized_tokens(F.col(text_col))
+
+    bi_model = model.where(F.col("w2").isNotNull())
+    prefix_stats = bi_model.groupBy(F.col("w1").alias("prefix")).agg(
+        F.sum("ct").alias("ct_prefix"), F.count("*").alias("n1p_fwd")
+    )
+    cont_counts = bi_model.groupBy(F.col("w2").alias("cont")).agg(
+        F.count("*").alias("n1p_bwd")
+    )
+    bi_totals = bi_model.select(
+        F.concat_ws(" ", "w1", "w2").alias("gram"), F.col("ct").alias("ct_bi")
+    )
+    scalars = bi_model.agg(F.count("*").alias("n_types")).crossJoin(
+        model.where(F.col("w2").isNull()).agg(F.count("*").alias("v"))
+    )
+
+    d_ = F.lit(float(discount))
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
+
+    first = src.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("cont"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    first_scored = (
+        first.join(cont_counts, "cont", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    bi_tf = (
+        src.where(F.size(toks) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    # unseen bigram -> ct_bi 0 (pure discount mass); unseen prefix ->
+    # the whole probability backs off to Pcont (main term 0, lambda 1)
+    p_bi = F.when(
+        F.col("ct_prefix").isNull(),
+        pcont,
+    ).otherwise(
+        F.greatest(
+            F.coalesce(F.col("ct_bi"), F.lit(0)).cast("double") - d_,
+            F.lit(0.0),
+        )
+        / F.col("ct_prefix").cast("double")
+        + d_
+        * F.col("n1p_fwd").cast("double")
+        / F.col("ct_prefix").cast("double")
+        * pcont
+    )
+    bi_scored = (
+        bi_tf.join(bi_totals, "gram", "left")
+        .join(
+            prefix_stats,
+            F.split(F.col("gram"), " ")[0] == F.col("prefix"),
+            "left",
+        )
         .join(
             cont_counts,
             F.split(F.col("gram"), " ")[1] == F.col("cont"),

@@ -923,3 +923,82 @@ def test_kn_bigram_parallelism_invariant(spark, sf_dir):
     one = sorted(map(tuple, kn_bigram_logprob(df.coalesce(1)).collect()))
     many = sorted(map(tuple, kn_bigram_logprob(df.repartition(7)).collect()))
     assert one == many
+
+
+def test_kn_fit_score_equals_selftrained(spark, sf_dir):
+    """kn_bigram_score(df, kn_bigram_fit(df)) is row-identical to the
+    single-pass self-trained kn_bigram_logprob."""
+    from aqueducts_spark.operators.text import (
+        kn_bigram_fit,
+        kn_bigram_logprob,
+        kn_bigram_score,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    split = sorted(map(tuple, kn_bigram_score(df, kn_bigram_fit(df)).collect()))
+    joint = sorted(map(tuple, kn_bigram_logprob(df).collect()))
+    assert split == joint
+
+
+def test_kn_score_external_model_oov_finite(spark):
+    """Scoring a corpus with OOV words, unseen prefixes and unseen
+    bigrams against an external fit stays finite and ordered sanely."""
+    from aqueducts_spark.operators.text import kn_bigram_fit, kn_bigram_score
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    model = kn_bigram_fit(ref)
+    crawl = spark.createDataFrame(
+        [
+            (10, "the cat sat"),          # all seen transitions
+            (11, "the zebra sat"),        # unseen bigram under seen prefix; OOV word
+            (12, "qqq zzz"),              # everything OOV incl. prefix
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in kn_bigram_score(crawl, model).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert all(r.nll_micro > 0 for r in rows.values())
+    # fluent-in-model text scores better than OOV salad
+    assert rows[10].avg_nll < rows[11].avg_nll < rows[12].avg_nll
+
+
+def test_kn_fit_is_mergeable(spark, sf_dir):
+    """Per-shard fits roll up exactly: union + groupBy-sum of two half
+    fits equals the whole-corpus fit."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import kn_bigram_fit
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    a = kn_bigram_fit(df.where("doc_id % 2 = 0"))
+    b = kn_bigram_fit(df.where("doc_id % 2 = 1"))
+    merged = (
+        a.unionByName(b)
+        .groupBy("w1", "w2")
+        .agg(F.sum("ct").alias("ct"))
+    )
+    whole = kn_bigram_fit(df)
+
+    def key(rows):
+        return sorted((r.w1, r.w2 or "", r.ct) for r in rows)
+
+    assert key(merged.collect()) == key(whole.collect())
+
+
+def test_kn_score_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.text import kn_bigram_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    bad = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="missing 'w1'"):
+        kn_bigram_score(df, bad)
+    good = spark.createDataFrame(
+        [("a", None, 1), ("a", "b", 1)], "w1 string, w2 string, ct long"
+    )
+    with _pytest.raises(ValueError, match="discount"):
+        kn_bigram_score(df, good, discount=0.0)

@@ -50,6 +50,7 @@ def test_examples_exist():
         "corpus_layout.yml",
         "multimodal_neardup.yml",
         "seed_classifier.yml",
+        "mixture_release.yml",
     ],
 )
 def test_runnable_examples_run(spark, tmp_path, name):
