@@ -2434,6 +2434,83 @@ GROUP BY bucket
 """
 
 
+def _lsh_bucket_expr(col: str) -> str:
+    """The hyperplane sign-bit bucket of ``col`` as a DuckDB expression
+    (the same plane literals the Spark side generates from seed 42)."""
+    bits = []
+    for plane in _lsh_planes():
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({col}, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _lsh_multiprobe_duck_sql(num_planes: int = 8, k: int = 10) -> str:
+    """lsh_topk(multiprobe=1) replayed relationally: corpus buckets,
+    query bucket + its 1-bit flips (statically unrolled), bucket
+    equi-join, exact-cosine ranking — rank ties toward the lower
+    neighbor id exactly like the Spark window."""
+    flips = ["b.bucket"]
+    for i in range(1, num_planes + 1):
+        flips.append(
+            f"substr(b.bucket, 1, {i - 1}) || "
+            f"(CASE WHEN substr(b.bucket, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(b.bucket, {i + 1})"
+        )
+    probe_list = "[" + ", ".join(flips) + "]"
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding,
+         {_lsh_bucket_expr('embedding')} AS bucket
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_lsh_bucket_expr('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+),
+probes AS (
+  SELECT query_id, qvec, unnest({probe_list}) AS bucket FROM b
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         {_DUCK_COS.format(a='p.qvec', b='c.embedding')} AS cosine
+  FROM probes p JOIN c USING (bucket)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+def _sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit multiprobe LSH top-k (operators/similarity.py::lsh_topk,
+    Lv et al. 2007): near-miss buckets probed query-side only; exact
+    oracle replays buckets, flips, join and ranking relationally."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.similarity import lsh_topk
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, num_planes=8, multiprobe=1).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark.operators.dedup import exact_dedup
 
@@ -5995,6 +6072,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_embed_neardup_lsh": _op_embed_neardup_lsh,
         "sim_topk_bruteforce": _sim_topk,
         "sim_lsh_buckets": _sim_lsh_buckets,
+        "sim_lsh_multiprobe": _sim_lsh_multiprobe,
         "sim_ivf_topk": _sim_ivf_topk,
         "sim_ivfpq_topk": _sim_ivfpq_topk,
         "sim_pq_topk": _sim_pq_topk,
@@ -6185,6 +6263,7 @@ _GATE_PRIORITY = [
     "op_jaccard_pairs",
     "op_embed_neardup",
     "sim_lsh_buckets",
+    "sim_lsh_multiprobe",      # 1-bit multiprobe LSH top-k (r7)
     "mm_byte_histogram",
     "mm_decode_image",
     "mm_frame_sample",
@@ -6368,6 +6447,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_embed_neardup_lsh": OP_EMBED_NEARDUP_DUCK,
         "sim_topk_bruteforce": SIM_TOPK_DUCK,
         "sim_lsh_buckets": _lsh_buckets_duck_sql(),
+        "sim_lsh_multiprobe": _lsh_multiprobe_duck_sql(),
         "mm_byte_stats": MM_BYTE_STATS_DUCK,
         "mm_byte_histogram": MM_BYTE_HISTOGRAM_DUCK,
         "op_url_canonicalize": OP_URL_CANONICALIZE_DUCK,
