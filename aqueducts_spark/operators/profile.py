@@ -292,6 +292,13 @@ def corpus_diff(
                 "pass content_cols explicitly"
             )
         content_cols = shared
+    if not content_cols:
+        # an explicitly-empty list would otherwise die later in
+        # F.concat() with an opaque analysis error
+        raise ValueError(
+            "corpus_diff: content_cols is empty — pass None to derive "
+            "the shared non-id columns"
+        )
     for side, df in (("old", old), ("new", new)):
         missing = [c for c in [id_col, *content_cols] if c not in df.columns]
         if missing:

@@ -2567,6 +2567,24 @@ def kn_bigram_score(
     scalars = bi_model.agg(F.count("*").alias("n_types")).crossJoin(
         model.where(F.col("w2").isNull()).agg(F.count("*").alias("v"))
     )
+    # a model with no unigram (vocabulary) rows makes the continuation
+    # denominator n_types+V degenerate (V=0 with n_types=0 divides by
+    # zero under ANSI; V=0 alone silently mis-floors OOV) — fail with
+    # the contract instead, folded into the lazy scalars row (no extra
+    # action)
+    scalars = scalars.select(
+        "n_types",
+        F.when(
+            F.col("v") <= 0,
+            F.raise_error(
+                F.lit(
+                    "kn_bigram_score: model has no unigram rows (w2 IS "
+                    "NULL) — not a kn_bigram_fit relation; refit or "
+                    "include the vocabulary rows"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("v")).alias("v"),
+    )
 
     d_ = F.lit(float(discount))
     pcont = (

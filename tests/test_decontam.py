@@ -1002,3 +1002,16 @@ def test_kn_score_validation(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="discount"):
         kn_bigram_score(df, good, discount=0.0)
+
+
+def test_kn_score_rejects_model_without_vocab_rows(spark, sf_dir):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.text import kn_bigram_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
+    no_vocab = spark.createDataFrame(
+        [("a", "b", 2)], "w1 string, w2 string, ct long"
+    )
+    with _pytest.raises(Exception, match="no unigram rows"):
+        kn_bigram_score(df, no_vocab).collect()

@@ -278,3 +278,11 @@ def test_corpus_diff_yaml_stage(spark):
     )
     got = {r["diff_status"]: r["n_docs"] for r in out.collect()}
     assert got == {"added": 1, "removed": 1, "unchanged": 1}
+
+
+def test_corpus_diff_empty_content_cols_rejected(spark):
+    from aqueducts_spark.operators.profile import corpus_diff
+
+    old = _vdf(spark, [(1, "a", "en")])
+    with pytest.raises(ValueError, match="content_cols is empty"):
+        corpus_diff(old, old, content_cols=[])
