@@ -1123,6 +1123,22 @@ def hamming_pairs(
 
     Output: ``id_a, id_b, hamming int`` with ``id_a < id_b``,
     ``hamming <= max_hamming``.
+
+    **Candidate volume at scale**: a random pair agrees on a given
+    band with probability ~``2^-(sig_bits/bands)``, so — the same
+    arithmetic as :func:`solve_lsh_params` — expected random
+    candidates are ``Theta(n^2 * bands * 2^-(sig_bits/bands))``.
+    Unlike hyperplane LSH the bit budget here is FIXED by the
+    signature (60 bits), and shrinking ``bands`` below
+    ``max_hamming+1`` is forbidden (completeness), so the knob that
+    scales is the SIGNATURE: at bands=4 the band width is 15 bits ⇒
+    random collisions ~n²·4/2¹⁵, which crosses `candidates ≈ n` around
+    n ≈ 8k and grows quadratically beyond.  For corpora past ~10⁶
+    documents use a longer fingerprint (simhash at 60 bits is the
+    64-bit-integer ceiling here; a 128-bit two-column variant is the
+    documented extension) or screen against an at-rest index with
+    :func:`hamming_filter` where only the NEW side pays pair volume.
+    ``max_bucket_size`` bounds the degenerate tail either way.
     """
     if not 1 <= sig_bits <= 60:
         raise ValueError(

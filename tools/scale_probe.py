@@ -76,6 +76,7 @@ DEFAULT_QUERIES = [
     "op_simhash_neardup",
     "op_nb_classify",
     "op_fuzzy_filter",
+    "op_kn_nll",
 ]
 
 
@@ -168,9 +169,9 @@ def run(out: str, copies: list[int], names: list[str], repeats: int) -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:-UseCodeCacheFlushing",
         )
-        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
