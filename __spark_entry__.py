@@ -2434,6 +2434,65 @@ GROUP BY bucket
 """
 
 
+def _simhash_wide_duck_sql(bits: int = 120) -> str:
+    """Wide simhash replayed: both independent 60-bit md5 slices, one
+    bit-majority per global bit, recombined per 60-bit element."""
+    halves = []
+    for e in range((bits + 59) // 60):
+        lo, hi = 60 * e, min(60 * (e + 1), bits)
+        bit_sums = ",\n         ".join(
+            f"SUM(CASE WHEN (h{e} >> {g - lo}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS b{g}"
+            for g in range(lo, hi)
+        )
+        recombine = " + ".join(
+            f"CASE WHEN b{g} > 0 THEN CAST({1 << (g - lo)} AS BIGINT) "
+            "ELSE 0 END"
+            for g in range(lo, hi)
+        )
+        halves.append((bit_sums, recombine))
+    all_sums = ",\n         ".join(h[0] for h in halves)
+    sel = ", ".join(
+        f"CAST({h[1]} AS BIGINT) AS h{e}" for e, h in enumerate(halves)
+    )
+    outs = ", ".join(
+        f"COALESCE(fp.h{e}, 0) AS h{e}" for e in range(len(halves))
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h0,
+         ('0x' || substr(md5(tok), 16, 15))::BIGINT AS h1
+  FROM toks
+),
+bitsums AS (SELECT doc_id, {all_sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {sel} FROM bitsums)
+SELECT d.doc_id, {outs}
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
+def _op_simhash_wide_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit wide SimHash (operators/dedup.py::simhash_wide) — the
+    signature that keeps banded Hamming candidates linear past the
+    60-bit ceiling; emitted as two BIGINT halves for the hash compare."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.dedup import simhash_wide
+
+    _views(spark, sf_dir)
+    out = simhash_wide(spark.table("documents"), bits=120)
+    return out.select(
+        "doc_id",
+        F.element_at("simhash", 1).alias("h0"),
+        F.element_at("simhash", 2).alias("h1"),
+    )
+
+
 def _lsh_bucket_expr(col: str) -> str:
     """The hyperplane sign-bit bucket of ``col`` as a DuckDB expression
     (the same plane literals the Spark side generates from seed 42)."""
@@ -6065,6 +6124,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_stratified_sample": _op_stratified_sample,
         "op_simhash": _op_simhash,
         "op_simhash_neardup": _op_simhash_neardup_gate,
+        "op_simhash_wide": _op_simhash_wide_gate,
         "op_hamming_filter": _op_hamming_filter_gate,
         "op_fuzzy_filter": _op_fuzzy_filter_gate,
         "mm_phash_neardup": _mm_phash_neardup_gate,
@@ -6264,6 +6324,7 @@ _GATE_PRIORITY = [
     "op_embed_neardup",
     "sim_lsh_buckets",
     "sim_lsh_multiprobe",      # 1-bit multiprobe LSH top-k (r7)
+    "op_simhash_wide",         # 120-bit wide simhash (r7)
     "mm_byte_histogram",
     "mm_decode_image",
     "mm_frame_sample",
@@ -6435,6 +6496,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_fuzzy_dedup": OP_FUZZY_DEDUP_DUCK,
         "op_stratified_sample": OP_STRATIFIED_SAMPLE_DUCK,
         "op_simhash": _simhash_duck_sql(),
+        "op_simhash_wide": _simhash_wide_duck_sql(),
         "op_simhash_neardup": OP_SIMHASH_NEARDUP_DUCK.format(
             fp=_simhash_duck_sql()
         ),

@@ -51,6 +51,7 @@ __all__ = [
     "fuzzy_dedup",
     "jaccard_pairs",
     "simhash",
+    "simhash_wide",
     "hamming_pairs",
     "hamming_filter",
     "embedding_near_duplicates",
@@ -1074,6 +1075,225 @@ def simhash(
             F.col(id_col),
             F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
         )
+    )
+
+
+def simhash_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 120,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Wide SimHash (61..120 bits) as ``array<long>`` — 60 bits per
+    element, the scale answer :func:`hamming_pairs` documents: at a
+    fixed 60-bit signature, random band agreement ~2^-(60/bands) makes
+    banded candidates quadratic past ~10^6 documents; doubling the
+    signature squares the per-band miss rate for the SAME band count
+    (bands=4 over 120 bits = 30-bit bands: random agreement 2^-30,
+    candidates stay ~n up to n ≈ 10^9).
+
+    Token hashes take two INDEPENDENT 60-bit slices of the 128-bit md5
+    (hex chars 1-15 and 16-30 — disjoint digest bits, so element bits
+    are independent exactly like the single-long form's), or two
+    differently-seeded xxhash64 digests on the fast path.  Same
+    contracts as :func:`simhash`: NULL-id docs fingerprint per-text
+    under a working key, empty/NULL text keeps its row with an
+    all-zero signature, one explode + one aggregation.
+
+    Pair with :func:`hamming_pairs_wide`.  For <= 60 bits use
+    :func:`simhash` (single BIGINT, cheaper joins).
+    """
+    if not 61 <= bits <= 120:
+        raise ValueError(
+            f"simhash_wide: bits must be in 61..120 (use simhash for "
+            f"<= 60), got {bits}"
+        )
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
+        )
+    src = ensure_parallelism(df)
+    wk = "__sh_key"
+    while wk in src.columns:
+        wk = "_" + wk
+    keyed = src.withColumn(
+        wk,
+        F.when(
+            F.col(id_col).isNull(),
+            F.concat(
+                F.lit("\x00"),
+                F.md5(F.coalesce(F.col(text_col), F.lit("\x00NULL"))),
+            ),
+        ).otherwise(F.col(id_col).cast("string")),
+    )
+    toks = keyed.select(
+        F.col(wk), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
+    )
+    if hash_fn == "md5":
+        h0 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        h1 = F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10).cast("long")
+    else:
+        h0 = F.pmod(F.xxhash64(F.col("tok")), F.lit(1 << 60))
+        h1 = F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(1 << 60))
+    hashed = toks.withColumn("h0", h0).withColumn("h1", h1)
+    bit_sums = [
+        F.expr(f"sum(shiftright(h{b // 60}, {b % 60}) & 1) AS b{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(wk).agg(F.expr("count(*) AS __n"), *bit_sums)
+    n_elem = -(-bits // 60)
+    elems = []
+    for e in range(n_elem):
+        lo, hi = 60 * e, min(60 * (e + 1), bits)
+        recombine = " + ".join(
+            f"IF(b{g} * 2 > __n, CAST({1 << (g - lo)} AS BIGINT), "
+            "CAST(0 AS BIGINT))"
+            for g in range(lo, hi)
+        )
+        elems.append(f"({recombine})")
+    fingerprints = agg.select(
+        F.col(wk), F.expr(f"array({', '.join(elems)}) AS simhash")
+    )
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(n_elem)])
+    base = keyed.select(id_col, wk)
+    return base.join(fingerprints, wk, "left").select(
+        F.col(id_col),
+        F.coalesce("simhash", zeros).alias("simhash"),
+    )
+
+
+def hamming_pairs_wide(
+    df: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: Optional[int] = None,
+    sig_bits: int = 120,
+    max_bucket_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """:func:`hamming_pairs` over wide ``array<long>`` signatures
+    (:func:`simhash_wide`'s 60-bits-per-element layout): the same
+    Manku banded-table layout and pigeonhole completeness, with band
+    values assembled across element boundaries where a balanced band
+    straddles two longs.  Verification is the element-wise XOR popcount
+    sum.  Same contracts: NULL ids raise, NULL signatures drop, out-of-
+    range elements raise (a wrong sig_bits silently breaks banding),
+    ``max_bucket_size`` drops degenerate pileups, output
+    ``id_a < id_b, hamming <= max_hamming``, exactly-once per pair.
+    """
+    if not 61 <= sig_bits <= 120:
+        raise ValueError(
+            f"hamming_pairs_wide: sig_bits must be in 61..120 (use "
+            f"hamming_pairs for <= 60), got {sig_bits}"
+        )
+    if not 0 <= max_hamming < sig_bits:
+        raise ValueError(
+            f"hamming_pairs_wide: max_hamming must be in 0..{sig_bits - 1}, "
+            f"got {max_hamming}"
+        )
+    if bands is None:
+        bands = max_hamming + 1
+    if not max_hamming < bands <= sig_bits:
+        raise ValueError(
+            f"hamming_pairs_wide: bands must be in "
+            f"{max_hamming + 1}..{sig_bits} (>= max_hamming + 1 for the "
+            f"pigeonhole completeness guarantee), got {bands}"
+        )
+    n_elem = -(-sig_bits // 60)
+    sig = F.col(sig_col)
+
+    def elem(e: int) -> Column:
+        return F.element_at(sig, e + 1)
+
+    elem_ok = F.lit(True)
+    for e in range(n_elem):
+        width = min(60, sig_bits - 60 * e)
+        elem_ok = elem_ok & (elem(e) >= 0) & (elem(e) < F.lit(1 << width))
+    guard = F.assert_true(
+        (F.size(sig) == n_elem) & elem_ok,
+        F.lit(
+            f"hamming_pairs_wide: signature is not {n_elem} elements of "
+            f"[0, 2^60) covering {sig_bits} bits — wrong sig_bits "
+            "silently breaks banding completeness"
+        ),
+    )
+    src = (
+        df.where(sig.isNotNull())
+        .where(
+            F.assert_true(
+                F.col(id_col).isNotNull(),
+                F.lit(
+                    "hamming_pairs_wide: NULL id — a pair needs two "
+                    "addressable rows; assign unique ids first"
+                ),
+            ).isNull()
+        )
+        .where(guard.isNull())
+    )
+    # balanced band widths over the CONCATENATED sig_bits; a band
+    # straddling an element boundary assembles its value from both
+    base_w, extra = divmod(sig_bits, bands)
+    vals, off = [], 0
+    for b in range(bands):
+        w = base_w + (1 if b < extra else 0)
+        parts = []
+        lo = off
+        while lo < off + w:
+            e = lo // 60
+            hi = min(off + w, 60 * (e + 1))
+            pw = hi - lo
+            part = F.shiftright(elem(e), lo - 60 * e).bitwiseAND(
+                F.lit((1 << pw) - 1)
+            )
+            parts.append(
+                F.shiftleft(part, lo - off) if lo > off else part
+            )
+            lo = hi
+        v = parts[0]
+        for p in parts[1:]:
+            v = v.bitwiseOR(p)
+        vals.append(v)
+        off += w
+    slim = src.select(
+        F.col(id_col).alias("__id"),
+        sig.alias("__sig"),
+        F.posexplode(F.array(*vals)).alias("__band", "__bval"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        slim = (
+            slim.withColumn(
+                "__bn",
+                F.count("*").over(Window.partitionBy("__band", "__bval")),
+            )
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = slim.select(
+        "__band", "__bval", F.col("__id").alias("id_a"),
+        F.col("__sig").alias("__sa"),
+    )
+    b = slim.select(
+        "__band", "__bval", F.col("__id").alias("id_b"),
+        F.col("__sig").alias("__sb"),
+    )
+    ham = None
+    for e in range(n_elem):
+        term = F.bit_count(
+            F.element_at(F.col("__sa"), e + 1).bitwiseXOR(
+                F.element_at(F.col("__sb"), e + 1)
+            )
+        )
+        ham = term if ham is None else ham + term
+    return (
+        a.hint("merge")
+        .join(b.hint("merge"), ["__band", "__bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -140,6 +140,33 @@ def _op_simhash(spark, inp, options):
     )
 
 
+def _op_simhash_wide(spark, inp, options):
+    from .dedup import simhash_wide
+
+    return simhash_wide(
+        inp,
+        bits=int(options.get("bits", 120)),
+        hash_fn=options.get("hash_fn", "md5"),
+        **_docs_args(options),
+    )
+
+
+def _op_hamming_pairs_wide(spark, inp, options):
+    from .dedup import hamming_pairs_wide
+
+    mbs = options.get("max_bucket_size", 10_000)
+    bands = options.get("bands")
+    return hamming_pairs_wide(
+        inp,
+        sig_col=options.get("sig_col", "simhash"),
+        id_col=options.get("id_col", "doc_id"),
+        max_hamming=int(options.get("max_hamming", 3)),
+        bands=None if bands is None else int(bands),
+        sig_bits=int(options.get("sig_bits", 120)),
+        max_bucket_size=None if mbs is None else int(mbs),
+    )
+
+
 def _op_hamming_pairs(spark, inp, options):
     from .dedup import hamming_pairs
 
@@ -1875,6 +1902,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "simhash": _op_simhash,
     "hamming_pairs": _op_hamming_pairs,
     "hamming_filter": _op_hamming_filter,
+    "simhash_wide": _op_simhash_wide,
+    "hamming_pairs_wide": _op_hamming_pairs_wide,
     "perceptual_hash": _op_perceptual_hash,
     "embed_neardup": _op_embed_neardup,
     "embed_neardup_lsh": _op_embed_neardup_lsh,

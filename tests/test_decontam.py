@@ -1015,3 +1015,45 @@ def test_kn_score_rejects_model_without_vocab_rows(spark, sf_dir):
     )
     with _pytest.raises(Exception, match="no unigram rows"):
         kn_bigram_score(df, no_vocab).collect()
+
+
+def test_kn_probability_mass_is_exactly_one(spark):
+    """Interpolated KN conserves probability mass EXACTLY: for every
+    seen prefix, sum_w2 P(w2|w1) over the model vocabulary = 1 (the
+    discount mass lambda(w1) redistributes through Pcont, whose add-one
+    smoothing itself sums to 1 over V) — the property that makes the
+    scorer a real LM, not a heuristic."""
+    from collections import Counter, defaultdict
+
+    from aqueducts_spark.operators.text import kn_bigram_fit
+
+    ref = spark.createDataFrame(
+        [
+            (1, "a b a c a b d"),
+            (2, "b c d a a"),
+            (3, "c c c b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = kn_bigram_fit(ref).collect()
+    uni = {r.w1 for r in rows if r.w2 is None}
+    bi = Counter({(r.w1, r.w2): r.ct for r in rows if r.w2 is not None})
+    prefix_ct, fwd, bwd = Counter(), defaultdict(set), defaultdict(set)
+    for (a, b), c in bi.items():
+        prefix_ct[a] += c
+        fwd[a].add(b)
+        bwd[b].add(a)
+    n_types, v, d = len(bi), len(uni), 0.75
+
+    def pcont(w):
+        return (len(bwd.get(w, ())) + 1.0) / (n_types + v)
+
+    # the smoothed continuation distribution sums to 1 over the vocab
+    assert sum(pcont(w) for w in uni) == pytest.approx(1.0, abs=1e-12)
+    for w1 in prefix_ct:
+        total = sum(
+            max(bi.get((w1, w2), 0) - d, 0.0) / prefix_ct[w1]
+            + d * len(fwd[w1]) / prefix_ct[w1] * pcont(w2)
+            for w2 in uni
+        )
+        assert total == pytest.approx(1.0, abs=1e-12), w1

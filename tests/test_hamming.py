@@ -331,3 +331,114 @@ def test_completeness_at_small_sig_bits_and_max_bands(spark):
             spark, rows, max_hamming=2, bands=bands, sig_bits=16
         )
         assert got == _brute(rows, 2), bands
+
+
+# ---------------------------------------------------------------------------
+# simhash_wide / hamming_pairs_wide (61..120-bit signatures)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_wide_matches_python(spark, sf_dir):
+    """Both 60-bit halves replayed in pure Python from the md5 hex."""
+    import hashlib
+
+    from aqueducts_spark.operators.dedup import simhash_wide
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    got = {r.doc_id: list(r.simhash) for r in simhash_wide(df, bits=120).collect()}
+    for row in df.select("doc_id", "text").collect():
+        toks = [t for t in row.text.lower().strip().split() if t]
+        want = []
+        for half in range(2):
+            counts = [0] * 60
+            for t in toks:
+                hx = hashlib.md5(t.encode()).hexdigest()
+                h = int(hx[15 * half: 15 * (half + 1)], 16)
+                for b in range(60):
+                    counts[b] += (h >> b) & 1
+            fp = sum(
+                1 << b for b in range(60) if counts[b] * 2 > len(toks)
+            )
+            want.append(fp)
+        assert got[row.doc_id] == want, row.doc_id
+
+
+def test_simhash_wide_partial_last_element(spark):
+    """bits=90: second element carries only 30 bits and stays under
+    2^30; empty text keeps its row as [0, 0]."""
+    from aqueducts_spark.operators.dedup import simhash_wide
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: list(r.simhash) for r in simhash_wide(df, bits=90).collect()}
+    assert got[2] == [0, 0]
+    assert 0 <= got[1][1] < (1 << 30)
+
+
+def test_hamming_pairs_wide_completeness_vs_bruteforce(spark, sf_dir):
+    """Banding (incl. element-straddling bands at bands=7) finds
+    EXACTLY the brute-force close pairs — pigeonhole completeness."""
+    from aqueducts_spark.operators.dedup import hamming_pairs_wide, simhash_wide
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    # plant near-dups: same text lightly suffixed -> small hamming
+    planted = docs.selectExpr("doc_id + 1000000 AS doc_id", "text || ' x' AS text")
+    both = docs.select("doc_id", "text").unionByName(planted)
+    sigs = simhash_wide(both, bits=120).cache()
+    rows = {r.doc_id: list(r.simhash) for r in sigs.collect()}
+    want = set()
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(rows[a][0] ^ rows[b][0]).count("1") + bin(
+                rows[a][1] ^ rows[b][1]
+            ).count("1")
+            if h <= 4:
+                want.add((a, b, h))
+    for bands in (5, 7):  # 7 does not divide 120: bands straddle longs
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_wide(
+                sigs, max_hamming=4, bands=bands, max_bucket_size=None
+            ).collect()
+        }
+        assert got == want, bands
+    assert len(want) > 0  # the planted pairs actually qualify
+    sigs.unpersist()
+
+
+def test_hamming_pairs_wide_contracts(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.dedup import hamming_pairs_wide
+
+    df = spark.createDataFrame(
+        [(1, [3, 5]), (2, [3, 4])], "doc_id long, simhash array<long>"
+    )
+    with _pytest.raises(ValueError, match="61..120"):
+        hamming_pairs_wide(df, sig_bits=60)
+    with _pytest.raises(ValueError, match="bands"):
+        hamming_pairs_wide(df, max_hamming=3, bands=3)
+    bad = spark.createDataFrame(
+        [(1, [3])], "doc_id long, simhash array<long>"
+    )
+    with _pytest.raises(Exception, match="banding completeness"):
+        hamming_pairs_wide(bad, sig_bits=120).collect()
+    nullid = spark.createDataFrame(
+        [(None, [3, 5]), (2, [3, 5])], "doc_id long, simhash array<long>"
+    )
+    with _pytest.raises(Exception, match="NULL id"):
+        hamming_pairs_wide(nullid, sig_bits=120).collect()
+
+
+def test_simhash_wide_xxhash_fast_path_same_shape(spark, sf_dir):
+    from aqueducts_spark.operators.dedup import simhash_wide
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    got = simhash_wide(df, bits=120, hash_fn="xxhash64").collect()
+    assert all(
+        len(r.simhash) == 2 and all(0 <= e < (1 << 60) for e in r.simhash)
+        for r in got
+    )
