@@ -620,6 +620,7 @@ def parse_destination(raw: dict[str, Any]) -> Destination:
 STREAM_SAFE_OPERATORS = frozenset(
     {
         "hamming_filter",
+        "hamming_filter_wide",
         "fuzzy_decontam_rowwise",
         "dedup_against",
         "quality_score",

@@ -54,6 +54,8 @@ __all__ = [
     "simhash_wide",
     "hamming_pairs",
     "hamming_filter",
+    "hamming_pairs_wide",
+    "hamming_filter_wide",
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
     "semantic_dedup",
@@ -1520,6 +1522,70 @@ def hamming_filter(
         <= F.lit(max_hamming)
     )
     return src.join(idx, on=cond, how="left_anti")
+
+
+def hamming_filter_wide(
+    df: DataFrame,
+    index: DataFrame,
+    sig_col: str = "simhash",
+    index_sig_col: Optional[str] = None,
+    max_hamming: int = 3,
+    sig_bits: int = 120,
+) -> DataFrame:
+    """:func:`hamming_filter` for wide ``array<long>`` signatures
+    (:func:`simhash_wide`'s layout): drop rows within ``max_hamming``
+    of ANY index signature.  Same shape and contracts — STATELESS
+    stream-static broadcast anti-join whose condition is the exact
+    element-wise XOR-popcount sum (a handful of integer instructions
+    per (row, index entry)); NULL input signatures are KEPT, NULL index
+    rows ignored, malformed signatures raise on either side.
+    """
+    if not 61 <= sig_bits <= 120:
+        raise ValueError(
+            f"hamming_filter_wide: sig_bits must be in 61..120 (use "
+            f"hamming_filter for <= 60), got {sig_bits}"
+        )
+    if not 0 <= max_hamming < sig_bits:
+        raise ValueError(
+            f"hamming_filter_wide: max_hamming must be in 0..{sig_bits - 1}, "
+            f"got {max_hamming}"
+        )
+    index_sig_col = index_sig_col if index_sig_col is not None else sig_col
+    n_elem = -(-sig_bits // 60)
+
+    def _checked(col: Column, side: str) -> Column:
+        ok = F.size(col) == n_elem
+        for e in range(n_elem):
+            width = min(60, sig_bits - 60 * e)
+            el = F.element_at(col, e + 1)
+            ok = ok & el.isNotNull() & (el >= 0) & (el < F.lit(1 << width))
+        return F.when(col.isNull() | ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hamming_filter_wide: {side} signature is not "
+                    f"{n_elem} elements covering {sig_bits} bits"
+                )
+            ).cast("boolean")
+        )
+
+    from .sampling import _fresh_name
+
+    isig = _fresh_name("__hf_sig", df.columns)
+    idx = F.broadcast(
+        index.filter(_checked(F.col(index_sig_col), "index"))
+        .where(F.col(index_sig_col).isNotNull())
+        .select(F.col(index_sig_col).alias(isig))
+    )
+    src = df.filter(_checked(F.col(sig_col), "input"))
+    ham = None
+    for e in range(n_elem):
+        term = F.bit_count(
+            F.element_at(F.col(sig_col), e + 1).bitwiseXOR(
+                F.element_at(F.col(isig), e + 1)
+            )
+        )
+        ham = term if ham is None else ham + term
+    return src.join(idx, on=ham <= F.lit(max_hamming), how="left_anti")
 
 
 def embedding_near_duplicates(

@@ -167,6 +167,25 @@ def _op_hamming_pairs_wide(spark, inp, options):
     )
 
 
+def _op_hamming_filter_wide(spark, inp, options):
+    from .dedup import hamming_filter_wide
+
+    index_table = options.get("index")
+    if not index_table:
+        raise OperatorError(
+            "hamming_filter_wide operator requires options.index (a table "
+            "of wide signatures, e.g. a simhash_wide stage)"
+        )
+    return hamming_filter_wide(
+        inp,
+        spark.table(index_table),
+        sig_col=options.get("sig_col", "simhash"),
+        index_sig_col=options.get("index_sig_col"),
+        max_hamming=int(options.get("max_hamming", 3)),
+        sig_bits=int(options.get("sig_bits", 120)),
+    )
+
+
 def _op_hamming_pairs(spark, inp, options):
     from .dedup import hamming_pairs
 
@@ -1904,6 +1923,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "hamming_filter": _op_hamming_filter,
     "simhash_wide": _op_simhash_wide,
     "hamming_pairs_wide": _op_hamming_pairs_wide,
+    "hamming_filter_wide": _op_hamming_filter_wide,
     "perceptual_hash": _op_perceptual_hash,
     "embed_neardup": _op_embed_neardup,
     "embed_neardup_lsh": _op_embed_neardup_lsh,

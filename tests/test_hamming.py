@@ -442,3 +442,75 @@ def test_simhash_wide_xxhash_fast_path_same_shape(spark, sf_dir):
         len(r.simhash) == 2 and all(0 <= e < (1 << 60) for e in r.simhash)
         for r in got
     )
+
+
+def test_hamming_filter_wide_drops_near_keeps_far_and_nulls(spark):
+    from aqueducts_spark.operators.dedup import hamming_filter_wide
+
+    index = spark.createDataFrame(
+        [([0b1111, 0b0011],)], "simhash array<long>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [0b1111, 0b0011]),   # distance 0 -> dropped
+            (2, [0b1110, 0b0111]),   # distance 2 -> dropped
+            (3, [0b0000, 0b1100]),   # distance 8 -> kept
+            (4, None),               # NULL signature -> kept
+        ],
+        "doc_id long, simhash array<long>",
+    )
+    kept = {r.doc_id for r in hamming_filter_wide(df, index, max_hamming=2).collect()}
+    assert kept == {3, 4}
+
+
+def test_hamming_filter_wide_agrees_with_pairs(spark, sf_dir):
+    """Screen == pairing: a doc survives the filter iff hamming_pairs_wide
+    finds no partner for it in the index."""
+    from aqueducts_spark.operators.dedup import (
+        hamming_filter_wide,
+        hamming_pairs_wide,
+        simhash_wide,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    index_sigs = simhash_wide(docs.where("doc_id % 2 = 0"), bits=120)
+    new_sigs = simhash_wide(
+        docs.where("doc_id % 2 = 1").select("doc_id", "text")
+        .unionByName(
+            docs.where("doc_id % 2 = 0 AND doc_id < 40").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" y")).alias("text"),
+            )
+        ),
+        bits=120,
+    )
+    kept = {
+        r.doc_id
+        for r in hamming_filter_wide(new_sigs, index_sigs, max_hamming=4).collect()
+    }
+    both = new_sigs.unionByName(index_sigs)
+    pairs = hamming_pairs_wide(both, max_hamming=4, max_bucket_size=None)
+    idx_ids = {r.doc_id for r in index_sigs.select("doc_id").collect()}
+    new_ids = {r.doc_id for r in new_sigs.select("doc_id").collect()}
+    matched = set()
+    for r in pairs.collect():
+        if r.id_a in new_ids and r.id_b in idx_ids:
+            matched.add(r.id_a)
+        if r.id_b in new_ids and r.id_a in idx_ids:
+            matched.add(r.id_b)
+    assert kept == new_ids - matched
+    assert matched  # planted near-dups actually screened
+
+
+def test_hamming_filter_wide_validation(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.dedup import hamming_filter_wide
+
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id long, simhash array<long>")
+    with _pytest.raises(ValueError, match="61..120"):
+        hamming_filter_wide(df, df, sig_bits=60)
+    short = spark.createDataFrame([(1, [1])], "doc_id long, simhash array<long>")
+    with _pytest.raises(Exception, match="covering 120 bits"):
+        hamming_filter_wide(short, df).collect()
