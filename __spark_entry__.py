@@ -6229,7 +6229,12 @@ _GATE_PRIORITY = [
     "op_hash_sample",           # deterministic hash sampling
     "mm_byte_stats",            # multimodal binary-column stats
     "pl_pipeline_yaml",         # declarative YAML pipeline end-to-end
-    "op_url_canonicalize",      # web/URL curation: canonical form
+    # ROTATION r7: op_kn_nll replaces op_url_canonicalize in the scored
+    # window — the LM-scoring family (unigram/bigram/KN NLL, perplexity
+    # buckets) had ZERO driver-scored representatives while the web
+    # family held three; op_url_canonicalize stays oracle-verified in
+    # tests/test_oracle.py and the web family keeps two scored slots.
+    "op_kn_nll",                # interpolated Kneser-Ney bigram NLL
     "op_url_dedup",             # web/URL curation: frontier dedup
     "op_domain_cap",            # web/URL curation: per-domain volume cap
     "op_linear_probe",          # FineWeb-Edu-style quality classifier
@@ -6295,6 +6300,7 @@ _GATE_PRIORITY = [
     "op_dup_weights",
     "op_luhn_cards",
     "op_simhash",               # rotated out of the scored window in r6
+    "op_url_canonicalize",      # rotated out of the scored window in r7
     "op_bpe_encode",
     "op_bpe_ids",
     "op_tok_fertility",
@@ -6347,7 +6353,6 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
     "op_byte_fertility",        # byte-level fertility report (r7)
-    "op_kn_nll",                # Kneser-Ney bigram NLL (r7)
     "op_token_budget_mix",      # token-budget mixture materializer (r7)
     "op_corpus_diff",           # corpus version diff (r7)
 ]

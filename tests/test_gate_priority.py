@@ -74,7 +74,9 @@ FAMILY_GATES = {
     "sampling": "op_hash_sample",
     "multimodal": "mm_byte_stats",
     "pipeline": "pl_pipeline_yaml",
-    "web_canonicalize": "op_url_canonicalize",
+    # ROTATION r7: op_kn_nll replaced op_url_canonicalize (LM-scoring
+    # family had no scored representative; web held three slots).
+    "lm_scoring": "op_kn_nll",
     "web_url_dedup": "op_url_dedup",
     "web_domain_cap": "op_domain_cap",
     "quality_probe": "op_linear_probe",
