@@ -838,6 +838,14 @@ def _op_salted_join(spark, inp, options):
         how=options.get("how", "inner"),
         salt_buckets=int(options.get("salt_buckets", 16)),
         seed_col=options.get("seed_col"),
+        # hot-key-only salting: profile the big side, salt only keys
+        # above this row share (small-side replication bounded)
+        hot_share=(
+            float(options["hot_share"])
+            if options.get("hot_share") is not None
+            else None
+        ),
+        max_hot_keys=int(options.get("max_hot_keys", 1000)),
     )
 
 

@@ -59,6 +59,8 @@ def salted_join(
     how: str = "inner",
     salt_buckets: int = 16,
     seed_col: Optional[str] = None,
+    hot_share: Optional[float] = None,
+    max_hot_keys: int = 1000,
 ) -> DataFrame:
     """Join with the big side's keys salted across ``salt_buckets``.
 
@@ -69,6 +71,18 @@ def salted_join(
     salts (size × R — only acceptable because it is the SMALL side).
     Join key becomes (key, salt): hot keys now spread across R shuffle
     partitions.
+
+    ``hot_share`` switches to HOT-KEY-ONLY salting — the production
+    shape when the small side is not tiny: the big side is profiled
+    once (the :func:`key_skew_profile` aggregate, map-side combined),
+    keys holding more than ``hot_share`` of the rows (bounded by
+    ``max_hot_keys``, loud error past it) are collected to the driver,
+    and ONLY those keys salt — every other key joins with the single
+    salt 0, so small-side replication is ``R x hot_rows`` instead of
+    ``R x |small|``.  Salting never changes the RESULT, only the
+    shuffle layout: output is row-identical to the plain join either
+    way.  Cost: one extra aggregate action over the big side — the
+    same pass a manual key_skew_profile would spend deciding.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
@@ -76,6 +90,34 @@ def salted_join(
         # 0 buckets would make the big side's salt NULL and the small
         # side's explode empty — a silently EMPTY join result
         raise ValueError(f"salted_join: salt_buckets must be >= 1, got {salt_buckets}")
+    hot_keys: Optional[list] = None
+    if hot_share is not None:
+        if not 0 < hot_share < 1:
+            raise ValueError(
+                f"salted_join: hot_share must be in (0, 1), got {hot_share}"
+            )
+        counts = big.groupBy(on).agg(F.count(F.lit(1)).alias("__n"))
+        total = counts.agg(F.sum("__n").alias("__t"))
+        hot_rows = (
+            counts.crossJoin(F.broadcast(total))
+            .where(F.col("__n") >= F.col("__t") * F.lit(float(hot_share)))
+            .where(F.col(on).isNotNull())
+            .limit(max_hot_keys + 1)
+            .select(on)
+            .collect()
+        )
+        if len(hot_rows) > max_hot_keys:
+            raise ValueError(
+                f"salted_join: more than {max_hot_keys} keys exceed "
+                f"hot_share={hot_share} — that is not a hot-key skew "
+                "profile, it is uniform volume; raise hot_share or salt "
+                "everything (hot_share=None)"
+            )
+        hot_keys = [r[0] for r in hot_rows]
+        if not hot_keys:
+            # nothing hot: degenerate to the plain join (salt 0 on both
+            # sides adds a constant join column for zero benefit)
+            return big.join(small, on=on, how=how)
     # the salt must be DETERMINISTIC under task retry: it is a shuffle/
     # join key, and a monotonically_increasing_id-derived salt could
     # re-assign rows to different buckets on recomputation (rows lost or
@@ -112,11 +154,19 @@ def salted_join(
     salt = "__salt"
     while salt in big.columns or salt in small.columns:
         salt = "_" + salt  # never clobber a user column of the same name
-    big_salted = big.withColumn(
-        salt, F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
-    )
-    small_salted = small.withColumn(
-        salt, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    )
+    full_range = F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    if hot_keys is None:
+        big_salt = F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
+        small_salts = full_range
+    else:
+        is_hot = F.col(on).isin(hot_keys)
+        big_salt = F.when(
+            is_hot, F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
+        ).otherwise(F.lit(0))
+        small_salts = F.when(is_hot, full_range).otherwise(
+            F.array(F.lit(0))
+        )
+    big_salted = big.withColumn(salt, big_salt)
+    small_salted = small.withColumn(salt, F.explode(small_salts))
     out = big_salted.join(small_salted, on=[on, salt], how=how)
     return out.drop(salt)
