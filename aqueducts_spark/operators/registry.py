@@ -1602,6 +1602,16 @@ def _op_kn_bigram_logprob(spark, inp, options):
     )
 
 
+def _op_kn_trigram_logprob(spark, inp, options):
+    from .text import kn_trigram_logprob
+
+    return kn_trigram_logprob(
+        inp,
+        discount=float(options.get("discount", 0.75)),
+        **_docs_args(options),
+    )
+
+
 def _op_kn_bigram_fit(spark, inp, options):
     from .text import kn_bigram_fit
 
@@ -2001,6 +2011,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "kn_bigram_logprob": _op_kn_bigram_logprob,
     "kn_bigram_fit": _op_kn_bigram_fit,
     "kn_bigram_score": _op_kn_bigram_score,
+    "kn_trigram_logprob": _op_kn_trigram_logprob,
     "profile_table": _op_profile_table,
     "corpus_datacard": _op_corpus_datacard,
     "bigram_logprob": _op_bigram_logprob,

@@ -39,6 +39,7 @@ __all__ = [
     "kn_bigram_logprob",
     "kn_bigram_fit",
     "kn_bigram_score",
+    "kn_trigram_logprob",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -2660,6 +2661,214 @@ def kn_bigram_score(
 
     per_doc = (
         first_scored.unionByName(bi_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("events").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
+    )
+
+
+
+def kn_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Self-trained **trigram** interpolated Kneser-Ney — the textbook
+    three-level recursion (real perplexity filters score with KN
+    n-gram KenLMs; :func:`kn_bigram_logprob` is the two-level form):
+
+        P3(w3|w1w2) = max(c(w1w2w3)-D, 0)/c(w1w2.)
+                      + D * N1+(w1w2,.)/c(w1w2.) * P2(w3|w2)
+        P2(w3|w2)   = max(N1+(.w2w3)-D, 0)/N1+(.w2.)
+                      + D * N1+mid(w2)/N1+(.w2.) * P1(w3)
+        P1(w3)      = (N1+(.w3) + 1)/(N1+(..) + V)
+
+    The MID level runs on CONTINUATION counts, all derived from the
+    trigram TYPE table (the KN insight applied one level down):
+    ``N1+(.w2w3)`` = distinct predecessors of bigram (w2,w3),
+    ``N1+(.w2.)`` their sum over w3, ``N1+mid(w2)`` = distinct w3 with
+    ``N1+(.w2w3) >= 1`` — defining all three from the SAME table makes
+    probability mass conserve EXACTLY (sum_w3 P2 = 1, pinned by test).
+    ``P1`` is the bigram scorer's add-one-smoothed continuation
+    distribution.  Guards: a w2 never seen mid-trigram has
+    ``N1+(.w2.) = 0`` — P2 backs off fully to P1 (the zero-evidence
+    case); likewise an event-2 bigram prefix.  Event decomposition per
+    document: token 1 by P1, token 2 by P2(t2|t1), tokens 3..n by P3.
+
+    Same micro-nat integer discipline and output schema as the other
+    NLL scorers (``id, n_tokens, nll_micro, avg_nll``; empty docs emit
+    no row); documents shorter than 3 tokens simply have no P3 events.
+
+    Plan shape: the (doc, trigram) tf table is the one corpus-volume
+    shuffle (plus the (doc, bigram) tf for event-2 and the first-token
+    projection — each a strict subset of the bigram scorer's cost
+    shape); every model statistic re-aggregates the trigram/bigram
+    TYPE tables.  Two corpus tokenize passes total (trigram + bigram
+    events), by the module's recompute-beats-caching rule.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_trigram_logprob: discount must be in (0, 1), got {discount}"
+        )
+    src = ensure_parallelism(df)
+    toks = normalized_tokens(F.col(text_col))
+    d_ = F.lit(float(discount))
+
+    # ---- shared low-order statistics (bigram type table) -------------
+    uni_totals = (
+        src.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
+    )
+    bi_types = (
+        src.where(F.size(toks) >= 2)
+        .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ct_bi"))
+    )
+    cont_counts = bi_types.groupBy(
+        F.split(F.col("gram"), " ")[1].alias("cont")
+    ).agg(F.count("*").alias("n1p_bwd"))
+    scalars = bi_types.agg(F.count("*").alias("n_types")).crossJoin(
+        uni_totals.agg(F.count("*").alias("v"))
+    )
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
+
+    # ---- trigram type table and its derived statistics ---------------
+    tri_tf = (
+        src.where(F.size(toks) >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 3)).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("tf"))
+    )
+    tri_types = tri_tf.groupBy("tri").agg(F.sum("tf").alias("ct_tri"))
+    w1 = F.split(F.col("tri"), " ")[0]
+    w2 = F.split(F.col("tri"), " ")[1]
+    w3 = F.split(F.col("tri"), " ")[2]
+    # top level: prefix mass and distinct continuations of (w1,w2)
+    top_prefix = tri_types.groupBy(
+        F.concat_ws(" ", w1, w2).alias("pfx12")
+    ).agg(F.sum("ct_tri").alias("ct_pfx12"), F.count("*").alias("n1p_top"))
+    # mid level (continuation counts): rows of the trigram TYPE table
+    # grouped by the trailing bigram count its distinct predecessors
+    mid_bi = tri_types.groupBy(
+        F.concat_ws(" ", w2, w3).alias("big23")
+    ).agg(F.count("*").alias("n1p_mid_bi"))
+    mid_w2 = mid_bi.groupBy(
+        F.split(F.col("big23"), " ")[0].alias("mid_w2")
+    ).agg(
+        F.sum("n1p_mid_bi").alias("n1p_mid_tot"),
+        F.count("*").alias("n1p_mid_fwd"),
+    )
+
+    # P2(b|a) as a reusable column expression over joined stats columns
+    # (n1p_mid_bi for (a,b), n1p_mid_tot/n1p_mid_fwd for a, pcont for b)
+    def p2_expr():
+        backoff = pcont
+        seen = (
+            F.greatest(
+                F.coalesce(F.col("n1p_mid_bi"), F.lit(0)).cast("double") - d_,
+                F.lit(0.0),
+            )
+            / F.col("n1p_mid_tot").cast("double")
+            + d_
+            * F.col("n1p_mid_fwd").cast("double")
+            / F.col("n1p_mid_tot").cast("double")
+            * pcont
+        )
+        return F.when(
+            F.col("n1p_mid_tot").isNull() | (F.col("n1p_mid_tot") == 0),
+            backoff,
+        ).otherwise(seen)
+
+    # ---- event 1: first token by P1 ----------------------------------
+    first = src.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("cont"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    first_scored = (
+        first.join(cont_counts, "cont", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    # ---- event 2: second token by P2(t2|t1) ---------------------------
+    second = src.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("t1"),
+        F.element_at(toks, 2).alias("t2"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") >= 2)
+    second_scored = (
+        second.withColumn("big23", F.concat_ws(" ", "t1", "t2"))
+        .join(mid_bi, "big23", "left")
+        .join(mid_w2, second["t1"] == F.col("mid_w2"), "left")
+        .join(cont_counts, second["t2"] == F.col("cont"), "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(-F.log(p2_expr()) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    # ---- events 3..n: P3 over the (doc, trigram) tf table -------------
+    p3 = (
+        F.greatest(F.col("ct_tri").cast("double") - d_, F.lit(0.0))
+        / F.col("ct_pfx12").cast("double")
+        + d_
+        * F.col("n1p_top").cast("double")
+        / F.col("ct_pfx12").cast("double")
+        * p2_expr()
+    )
+    tri_scored = (
+        tri_tf.join(tri_types, "tri")
+        .join(top_prefix, F.concat_ws(" ", w1, w2) == F.col("pfx12"))
+        .join(mid_bi, F.concat_ws(" ", w2, w3) == F.col("big23"), "left")
+        .join(mid_w2, w2 == F.col("mid_w2"), "left")
+        .join(cont_counts, w3 == F.col("cont"), "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("tf").cast("bigint").alias("events"),
+            F.floor(
+                F.col("tf").cast("double") * -F.log(p3) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    per_doc = (
+        first_scored.unionByName(second_scored)
+        .unionByName(tri_scored)
         .groupBy(id_col)
         .agg(
             F.sum("events").cast("bigint").alias("n_tokens"),

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "op_nb_classify",
     "sim_ivfpq_topk",
     "op_kn_nll",
+    "op_kn3_nll",
     "op_token_budget_mix",
     "op_corpus_diff",
     "pl_pipeline_yaml",

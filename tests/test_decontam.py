@@ -1057,3 +1057,160 @@ def test_kn_probability_mass_is_exactly_one(spark):
             for w2 in uni
         )
         assert total == pytest.approx(1.0, abs=1e-12), w1
+
+
+def _kn3_python(docs, d=0.75):
+    """Pure-Python trigram interpolated KN replay (micro-nat sums)."""
+    import math
+    from collections import Counter, defaultdict
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for ts in docs.values():
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+        tri.update(zip(ts, ts[1:], ts[2:]))
+    bwd = defaultdict(set)
+    for (a, b) in bi:
+        bwd[b].add(a)
+    n_types, v = len(bi), len(uni)
+
+    def p1(w):
+        return (len(bwd.get(w, ())) + 1.0) / (n_types + v)
+
+    pfx12, top_fwd = Counter(), defaultdict(set)
+    mid_pred = defaultdict(set)   # (w2,w3) -> distinct w1
+    for (a, b, c), n in tri.items():
+        pfx12[(a, b)] += n
+        top_fwd[(a, b)].add(c)
+        mid_pred[(b, c)].add(a)
+    mid_tot, mid_fwd = Counter(), defaultdict(set)
+    for (b, c), preds in mid_pred.items():
+        mid_tot[b] += len(preds)
+        mid_fwd[b].add(c)
+
+    def p2(b, c):
+        if mid_tot[b] == 0:
+            return p1(c)
+        return (
+            max(len(mid_pred.get((b, c), ())) - d, 0.0) / mid_tot[b]
+            + d * len(mid_fwd[b]) / mid_tot[b] * p1(c)
+        )
+
+    def p3(a, b, c):
+        return (
+            max(tri[(a, b, c)] - d, 0.0) / pfx12[(a, b)]
+            + d * len(top_fwd[(a, b)]) / pfx12[(a, b)] * p2(b, c)
+        )
+
+    want = {}
+    for i, ts in docs.items():
+        if not ts:
+            continue
+        micro = math.floor(-math.log(p1(ts[0])) * 1e6 + 0.5)
+        if len(ts) >= 2:
+            micro += math.floor(-math.log(p2(ts[0], ts[1])) * 1e6 + 0.5)
+        from collections import Counter as _C
+        for g, tfc in _C(zip(ts, ts[1:], ts[2:])).items():
+            micro += math.floor(tfc * -math.log(p3(*g)) * 1e6 + 0.5)
+        want[i] = (len(ts), micro)
+    return want
+
+
+def test_kn_trigram_logprob_matches_python(spark, sf_dir):
+    from aqueducts_spark.operators.text import kn_trigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    docs = {
+        r.doc_id: [t for t in r.text.lower().strip().split() if t]
+        for r in df.collect()
+    }
+    want = _kn3_python(docs)
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in kn_trigram_logprob(df).collect()
+    }
+    assert got == want
+
+
+def test_kn_trigram_mass_conservation():
+    """For every seen (w1,w2) prefix, sum_w3 P3(w3|w1w2) over the vocab
+    is EXACTLY 1 — the three-level recursion conserves mass because
+    every mid-level statistic derives from the same trigram type table."""
+    from collections import Counter, defaultdict
+    import math
+
+    docs = {
+        1: "a b a c a b d a".split(),
+        2: "b c d a a c b".split(),
+        3: "c c c b a".split(),
+        4: "d a".split(),
+    }
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for ts in docs.values():
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+        tri.update(zip(ts, ts[1:], ts[2:]))
+    bwd = defaultdict(set)
+    for (a, b) in bi:
+        bwd[b].add(a)
+    n_types, v, d = len(bi), len(uni), 0.75
+
+    def p1(w):
+        return (len(bwd.get(w, ())) + 1.0) / (n_types + v)
+
+    pfx12, top_fwd = Counter(), defaultdict(set)
+    mid_pred = defaultdict(set)
+    for (a, b, c), n in tri.items():
+        pfx12[(a, b)] += n
+        top_fwd[(a, b)].add(c)
+        mid_pred[(b, c)].add(a)
+    mid_tot, mid_fwd = Counter(), defaultdict(set)
+    for (b, c), preds in mid_pred.items():
+        mid_tot[b] += len(preds)
+        mid_fwd[b].add(c)
+
+    def p2(b, c):
+        if mid_tot[b] == 0:
+            return p1(c)
+        return (
+            max(len(mid_pred.get((b, c), ())) - d, 0.0) / mid_tot[b]
+            + d * len(mid_fwd[b]) / mid_tot[b] * p1(c)
+        )
+
+    assert sum(p1(w) for w in uni) == pytest.approx(1.0, abs=1e-12)
+    for b in uni:
+        assert sum(p2(b, c) for c in uni) == pytest.approx(1.0, abs=1e-12), b
+    for (a, b) in pfx12:
+        total = sum(
+            max(tri.get((a, b, c), 0) - d, 0.0) / pfx12[(a, b)]
+            + d * len(top_fwd[(a, b)]) / pfx12[(a, b)] * p2(b, c)
+            for c in uni
+        )
+        assert total == pytest.approx(1.0, abs=1e-12), (a, b)
+
+
+def test_kn_trigram_short_docs_and_validation(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.text import kn_trigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "now three tokens"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in kn_trigram_logprob(df).collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc emits no row
+    assert rows[1].n_tokens == 1 and rows[2].n_tokens == 2
+    assert rows[3].n_tokens == 3
+    assert all(r.nll_micro > 0 for r in rows.values())
+    with _pytest.raises(ValueError, match="discount"):
+        kn_trigram_logprob(df, discount=0.0)
+
+
+def test_kn_trigram_parallelism_invariant(spark, sf_dir):
+    from aqueducts_spark.operators.text import kn_trigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    one = sorted(map(tuple, kn_trigram_logprob(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, kn_trigram_logprob(df.repartition(7)).collect()))
+    assert one == many
