@@ -2364,9 +2364,17 @@ def kn_bigram_logprob(
     the ONE corpus-volume shuffle; every model statistic — bigram
     totals, prefix totals + distinct-continuation counts (one groupBy
     computes both), continuation counts, type/vocab scalars — is a
-    re-aggregation of that reduced gram-type table; scoring joins the
-    doc tf table against gram-type-sized relations.  Nothing wider
-    than the bigram tf table re-shuffles.
+    re-aggregation of that reduced gram-type table.  Scoring is
+    TYPE-FIRST: ``-ln P(w2|w1)`` is assembled per DISTINCT bigram by
+    joining the type-sized statistics among themselves, and the
+    (doc, gram) tf table pays exactly ONE plain-key equi-join against
+    that scored type table — the corpus-volume relation never walks
+    an expression-keyed join chain (at cluster scale each such join
+    is a corpus re-shuffle on a derived key; here the wide side
+    shuffles once, on the same ``gram`` key its groupBy already
+    hashed).  The double ``-ln P`` is computed from the same column
+    inputs either way, so per-doc micro-nat sums are bit-identical
+    to the row-first form.
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -2437,25 +2445,31 @@ def kn_bigram_logprob(
         / F.col("ct_prefix").cast("double")
         * pcont
     )
-    bi_scored = (
-        bi_tf.join(bi_totals, "gram")
-        .join(prefix_stats, F.split(F.col("gram"), " ")[0] == F.col("prefix"))
+    # type-first scoring: -ln P per DISTINCT bigram over type-sized
+    # joins, then ONE plain-key join from the corpus-volume tf table
+    bi_scores = (
+        bi_totals.join(
+            prefix_stats, F.split(F.col("gram"), " ")[0] == F.col("prefix")
+        )
         .join(
             cont_counts,
             F.split(F.col("gram"), " ")[1] == F.col("cont"),
             "left",
         )
         .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.col("tf").cast("bigint").alias("events"),
-            F.floor(
-                F.col("tf").cast("double") * -F.log(p_bi) * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("nll_micro"),
+        .select(F.col("gram"), (-F.log(p_bi)).alias("__nll_per_event"))
+    )
+    bi_scored = bi_tf.join(bi_scores, "gram").select(
+        F.col(id_col),
+        F.col("tf").cast("bigint").alias("events"),
+        F.floor(
+            F.col("tf").cast("double")
+            * F.col("__nll_per_event")
+            * F.lit(1e6)
+            + F.lit(0.5)
         )
+        .cast("bigint")
+        .alias("nll_micro"),
     )
 
     per_doc = (
@@ -2712,11 +2726,16 @@ def kn_trigram_logprob(
     no row); documents shorter than 3 tokens simply have no P3 events.
 
     Plan shape: the (doc, trigram) tf table is the one corpus-volume
-    shuffle (plus the (doc, bigram) tf for event-2 and the first-token
-    projection — each a strict subset of the bigram scorer's cost
-    shape); every model statistic re-aggregates the trigram/bigram
-    TYPE tables.  Two corpus tokenize passes total (trigram + bigram
-    events), by the module's recompute-beats-caching rule.
+    shuffle (plus the event-2 and first-token projections — each a
+    strict subset of the bigram scorer's cost shape); every model
+    statistic re-aggregates the trigram/bigram TYPE tables, and
+    scoring is TYPE-FIRST (the :func:`kn_bigram_logprob` shape):
+    ``-ln P3`` is assembled per DISTINCT trigram over type-sized
+    joins, and the corpus-volume tf table pays exactly one plain-key
+    equi-join against that scored type table instead of walking five
+    expression-keyed stat joins.  Two corpus tokenize passes total
+    (trigram + bigram events), by the module's
+    recompute-beats-caching rule.
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -2847,23 +2866,31 @@ def kn_trigram_logprob(
         / F.col("ct_pfx12").cast("double")
         * p2_expr()
     )
-    tri_scored = (
-        tri_tf.join(tri_types, "tri")
-        .join(top_prefix, F.concat_ws(" ", w1, w2) == F.col("pfx12"))
+    # type-first scoring (the kn_bigram_logprob shape): -ln P3 per
+    # DISTINCT trigram over type-sized joins, then ONE plain-key join
+    # from the corpus-volume (doc, trigram) tf table — the wide side
+    # never walks the five expression-keyed stat joins
+    tri_scores = (
+        tri_types.join(
+            top_prefix, F.concat_ws(" ", w1, w2) == F.col("pfx12")
+        )
         .join(mid_bi, F.concat_ws(" ", w2, w3) == F.col("big23"), "left")
         .join(mid_w2, w2 == F.col("mid_w2"), "left")
         .join(cont_counts, w3 == F.col("cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.col("tf").cast("bigint").alias("events"),
-            F.floor(
-                F.col("tf").cast("double") * -F.log(p3) * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("nll_micro"),
+        .select(F.col("tri"), (-F.log(p3)).alias("__nll_per_event"))
+    )
+    tri_scored = tri_tf.join(tri_scores, "tri").select(
+        F.col(id_col),
+        F.col("tf").cast("bigint").alias("events"),
+        F.floor(
+            F.col("tf").cast("double")
+            * F.col("__nll_per_event")
+            * F.lit(1e6)
+            + F.lit(0.5)
         )
+        .cast("bigint")
+        .alias("nll_micro"),
     )
 
     per_doc = (
