@@ -2234,8 +2234,11 @@ def bigram_logprob(
 
     Plan shape: bigram (doc, gram) counts are the one corpus-volume
     shuffle; bigram totals and prefix totals re-aggregate that reduced
-    table; first-token scoring joins the unigram total table the same
-    way. Nothing wider than the bigram tf table re-shuffles.
+    table, ``-ln p`` is assembled per DISTINCT gram over their
+    type-sized join, and the tf table pays one plain-key equi-join
+    against the scored types; first-token scoring joins the unigram
+    total table the same way. Nothing wider than the bigram tf table
+    re-shuffles.
     """
     src = ensure_parallelism(df)
     toks = normalized_tokens(F.col(text_col))
@@ -2285,21 +2288,28 @@ def bigram_logprob(
         bi_totals.groupBy(F.split(F.col("gram"), " ")[0].alias("prefix"))
         .agg(F.sum("ct_bi").alias("ct_prefix"))
     )
-    bi_scored = (
-        bi_tf.join(bi_totals, "gram")
-        .join(prefix_totals, F.split(F.col("gram"), " ")[0] == F.col("prefix"))
-        .select(
-            F.col(id_col),
-            F.col("tf").cast("bigint").alias("events"),
-            F.floor(
-                F.col("tf").cast("double")
-                * -F.log(
-                    F.col("ct_bi").cast("double") / F.col("ct_prefix").cast("double")
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("bigint").alias("nll_micro"),
-        )
+    # type-first scoring (the kn_* shape): -ln p per DISTINCT gram over
+    # the type-sized join, then ONE plain-key join from the corpus-volume
+    # tf table — it never walks the expression-keyed prefix join
+    bi_scores = bi_totals.join(
+        prefix_totals, F.split(F.col("gram"), " ")[0] == F.col("prefix")
+    ).select(
+        F.col("gram"),
+        (
+            -F.log(
+                F.col("ct_bi").cast("double") / F.col("ct_prefix").cast("double")
+            )
+        ).alias("__nll_per_event"),
+    )
+    bi_scored = bi_tf.join(bi_scores, "gram").select(
+        F.col(id_col),
+        F.col("tf").cast("bigint").alias("events"),
+        F.floor(
+            F.col("tf").cast("double")
+            * F.col("__nll_per_event")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint").alias("nll_micro"),
     )
 
     per_doc = (
