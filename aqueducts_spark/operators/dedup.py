@@ -1133,12 +1133,25 @@ def simhash_wide(
         F.col(wk), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
     )
     if hash_fn == "md5":
-        h0 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-        h1 = F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10).cast("long")
+        # hash-once discipline (the sketch.py lesson): materialize the
+        # digest as its OWN projection — CollapseProject keeps a
+        # multi-referenced non-cheap expression in its own project, so
+        # md5 runs once per token; inlining it into both slices
+        # re-computes it per reference
+        dig = toks.withColumn("__d", F.md5(F.col("tok")))
+        hashed = dig.select(
+            F.col(wk),
+            F.conv(F.substring(F.col("__d"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h0"),
+            F.conv(F.substring(F.col("__d"), 16, 15), 16, 10)
+            .cast("long")
+            .alias("h1"),
+        )
     else:
         h0 = F.pmod(F.xxhash64(F.col("tok")), F.lit(1 << 60))
         h1 = F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(1 << 60))
-    hashed = toks.withColumn("h0", h0).withColumn("h1", h1)
+        hashed = toks.withColumn("h0", h0).withColumn("h1", h1)
     bit_sums = [
         F.expr(f"sum(shiftright(h{b // 60}, {b % 60}) & 1) AS b{b}")
         for b in range(bits)
