@@ -113,9 +113,10 @@ def normalized_tokens(text: Column) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """All word n-grams of ``text`` in order (array<string>, repeats
-    kept; one partial gram when the doc is shorter than ``n``).
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """All word n-grams of an ALREADY-TOKENIZED array column in order
+    (array<string>, repeats kept; one partial gram when the doc is
+    shorter than ``n``).
 
     Built as n-1 ``zip_with`` merges of the token array against its
     own shifted slices — O(n·tokens) per row. The obvious
@@ -123,8 +124,16 @@ def word_ngrams(text: Column, n: int) -> Column:
     O(tokens²): higher-order functions evaluate interpreted (no
     codegen) and every ``slice`` call re-copies, which measured 7×
     slower on the documents corpus.
+
+    Pass a NAMED COLUMN (stage ``normalized_tokens(text).alias(...)``
+    in its own projection first) in hot paths: the gram tree below
+    references ``toks`` ~2n+1 times, zip_with/slice evaluate
+    interpreted where codegen CSE cannot reach, so an inlined regex
+    split re-tokenizes the document per reference (measured −36% on a
+    trigram explode pass at sf0.1 from staging; CollapseProject keeps
+    the staging projection because it refuses to duplicate non-cheap
+    expressions referenced more than once).
     """
-    toks = normalized_tokens(text)
     grams = toks
     for k in range(1, n):
         # shifted tail; zip_with pads the short side with NULL and
@@ -137,6 +146,13 @@ def word_ngrams(text: Column, n: int) -> Column:
         )
     sliced = F.slice(grams, 1, F.greatest(F.size(toks) - n + 1, F.lit(1)))
     return F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(sliced)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """:func:`word_ngrams_col` over ``normalized_tokens(text)`` inline —
+    fine for single-reference contexts; hot paths should stage the
+    token array and call :func:`word_ngrams_col` (see its docstring)."""
+    return word_ngrams_col(normalized_tokens(text), n)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

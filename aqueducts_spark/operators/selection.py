@@ -45,7 +45,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import ensure_parallelism, normalized_tokens, word_ngrams
+from .dedup import ensure_parallelism, normalized_tokens, word_ngrams_col
 
 __all__ = [
     "dsir_bucket_counts",
@@ -73,14 +73,14 @@ _MICRO = 1e6
 _HASH_SPACE = float(1 << 60)
 
 
-def _gram_buckets(text: Column, buckets: int) -> Column:
-    """Array of hashed feature buckets for ``text``: unigrams +
-    bigrams, md5 top-60-bits mod ``buckets`` (the engine-portable
-    bucket formula of :func:`~.sampling.hash_bucket`)."""
-    grams = F.concat(
-        normalized_tokens(F.coalesce(text, F.lit(""))),
-        word_ngrams(F.coalesce(text, F.lit("")), 2),
-    )
+def _gram_buckets(toks: Column, buckets: int) -> Column:
+    """Array of hashed feature buckets for a STAGED token-array column
+    (the ``word_ngrams_col`` contract — the gram tree references the
+    tokens ~6 times, so an inlined regex split would re-tokenize per
+    reference): unigrams + bigrams, md5 top-60-bits mod ``buckets``
+    (the engine-portable bucket formula of
+    :func:`~.sampling.hash_bucket`)."""
+    grams = F.concat(toks, word_ngrams_col(toks, 2))
     return F.transform(
         grams,
         lambda g: (
@@ -99,9 +99,18 @@ def dsir_bucket_counts(
     """Hashed-ngram bucket counts: per document when ``id_col`` is
     given (``id, bucket, c``), else for the whole corpus
     (``bucket, c`` — at most ``buckets`` rows, the fitted model)."""
-    exploded = ensure_parallelism(df).select(
-        *([F.col(id_col)] if id_col else []),
-        F.explode(_gram_buckets(F.col(text_col), buckets)).alias("bucket"),
+    exploded = (
+        ensure_parallelism(df)
+        .select(
+            *([F.col(id_col)] if id_col else []),
+            normalized_tokens(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("__toks"),
+        )
+        .select(
+            *([F.col(id_col)] if id_col else []),
+            F.explode(_gram_buckets(F.col("__toks"), buckets)).alias("bucket"),
+        )
     )
     keys = ([id_col] if id_col else []) + ["bucket"]
     return exploded.groupBy(*keys).agg(F.count("*").alias("c"))

@@ -13,7 +13,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import ensure_parallelism, normalized_tokens, word_ngrams
+from .dedup import (
+    ensure_parallelism,
+    normalized_tokens,
+    word_ngrams,
+    word_ngrams_col,
+)
 
 __all__ = [
     "chunk_documents",
@@ -243,10 +248,17 @@ def repetition_features(
     # report top_frac = 1.0 and a Gopher-style "top_frac > t" filter
     # would drop every short doc as maximally repetitive)
     text = F.coalesce(F.col(text_col), F.lit(""))
-    df = ensure_parallelism(df).select(
-        F.col(id_col),
-        word_ngrams(text, n).alias("__grams"),
-        (F.size(normalized_tokens(text)) >= n).alias("__has_grams"),
+    # two-level staging (word_ngrams_col contract): the token array is
+    # its own projection so the gram build and the >=n check share ONE
+    # regex split, and the gram array is staged for its three consumers
+    df = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), normalized_tokens(text).alias("__rtoks"))
+        .select(
+            F.col(id_col),
+            word_ngrams_col(F.col("__rtoks"), n).alias("__grams"),
+            (F.size(F.col("__rtoks")) >= n).alias("__has_grams"),
+        )
     )
     grams = F.col("__grams")
     sorted_grams = F.array_sort(grams)
@@ -2241,7 +2253,16 @@ def bigram_logprob(
     re-shuffles.
     """
     src = ensure_parallelism(df)
-    toks = normalized_tokens(F.col(text_col))
+    # stage the token array ONCE per consumer branch (word_ngrams_col
+    # contract): the regex split is non-cheap and the projections below
+    # reference it repeatedly — inline it re-tokenizes per reference
+    tk = "__toks"
+    while tk in src.columns:
+        tk = "_" + tk
+    toked = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
+    )
+    toks = F.col(tk)
 
     # unigram side (token totals + corpus size) for the first token.
     # Totals aggregate straight on the exploded tokens — one shuffle
@@ -2249,13 +2270,13 @@ def bigram_logprob(
     # pre-aggregation here would be a second full-width shuffle for a
     # granularity this scorer never uses.
     uni_totals = (
-        src.select(F.explode(toks).alias("term"))
+        toked.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("ct"))
     )
     corpus = uni_totals.agg(F.sum("ct").alias("n_corpus"))
 
-    first = src.select(
+    first = toked.select(
         F.col(id_col),
         F.element_at(toks, 1).alias("term"),
         F.size(toks).alias("n_toks"),
@@ -2278,8 +2299,8 @@ def bigram_logprob(
 
     # bigram side: conditional transitions for tokens 2..n
     bi_tf = (
-        src.where(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        toked.where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(word_ngrams_col(toks, 2)).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
@@ -2391,19 +2412,27 @@ def kn_bigram_logprob(
             f"kn_bigram_logprob: discount must be in (0, 1), got {discount}"
         )
     src = ensure_parallelism(df)
-    toks = normalized_tokens(F.col(text_col))
+    # staged token array (word_ngrams_col contract: one regex split
+    # per consumer branch instead of one per reference)
+    tk = "__toks"
+    while tk in src.columns:
+        tk = "_" + tk
+    toked = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
+    )
+    toks = F.col(tk)
 
     uni_totals = (
-        src.select(F.explode(toks).alias("term"))
+        toked.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("ct"))
     )
     # (doc, gram) tf: the one corpus-volume shuffle
     bi_tf = (
-        src.where(F.size(toks) >= 2)
+        toked.where(F.size(toks) >= 2)
         .select(
             F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+            F.explode(word_ngrams_col(toks, 2)).alias("gram"),
         )
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
@@ -2430,7 +2459,7 @@ def kn_bigram_logprob(
         F.col("n_types").cast("double") + F.col("v").cast("double")
     )
 
-    first = src.select(
+    first = toked.select(
         F.col(id_col),
         F.element_at(toks, 1).alias("cont"),
         F.size(toks).alias("n_toks"),
@@ -2521,16 +2550,18 @@ def kn_bigram_fit(
     type counts); output size is the gram-type table, not the corpus.
     """
     src = ensure_parallelism(df)
-    toks = normalized_tokens(F.col(text_col))
+    # staged token array (word_ngrams_col contract)
+    toked = src.select(normalized_tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     uni = (
-        src.select(F.explode(toks).alias("w1"))
+        toked.select(F.explode(toks).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("ct"))
         .select("w1", F.lit(None).cast("string").alias("w2"), "ct")
     )
     bi = (
-        src.where(F.size(toks) >= 2)
-        .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        toked.where(F.size(toks) >= 2)
+        .select(F.explode(word_ngrams_col(toks, 2)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("ct"))
         .select(
@@ -2577,7 +2608,14 @@ def kn_bigram_score(
                 f"with columns (w1, w2, ct) — missing {c!r}"
             )
     src = ensure_parallelism(df)
-    toks = normalized_tokens(F.col(text_col))
+    # staged token array (word_ngrams_col contract)
+    tk = "__toks"
+    while tk in src.columns:
+        tk = "_" + tk
+    toked = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
+    )
+    toks = F.col(tk)
 
     bi_model = model.where(F.col("w2").isNotNull())
     prefix_stats = bi_model.groupBy(F.col("w1").alias("prefix")).agg(
@@ -2616,7 +2654,7 @@ def kn_bigram_score(
         F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
     ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
 
-    first = src.select(
+    first = toked.select(
         F.col(id_col),
         F.element_at(toks, 1).alias("cont"),
         F.size(toks).alias("n_toks"),
@@ -2634,10 +2672,10 @@ def kn_bigram_score(
     )
 
     bi_tf = (
-        src.where(F.size(toks) >= 2)
+        toked.where(F.size(toks) >= 2)
         .select(
             F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+            F.explode(word_ngrams_col(toks, 2)).alias("gram"),
         )
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
@@ -2752,18 +2790,26 @@ def kn_trigram_logprob(
             f"kn_trigram_logprob: discount must be in (0, 1), got {discount}"
         )
     src = ensure_parallelism(df)
-    toks = normalized_tokens(F.col(text_col))
+    # staged token array (word_ngrams_col contract: one regex split
+    # per consumer branch instead of one per reference)
+    tk = "__toks"
+    while tk in src.columns:
+        tk = "_" + tk
+    toked = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
+    )
+    toks = F.col(tk)
     d_ = F.lit(float(discount))
 
     # ---- shared low-order statistics (bigram type table) -------------
     uni_totals = (
-        src.select(F.explode(toks).alias("term"))
+        toked.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("ct"))
     )
     bi_types = (
-        src.where(F.size(toks) >= 2)
-        .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        toked.where(F.size(toks) >= 2)
+        .select(F.explode(word_ngrams_col(toks, 2)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("ct_bi"))
     )
@@ -2779,10 +2825,10 @@ def kn_trigram_logprob(
 
     # ---- trigram type table and its derived statistics ---------------
     tri_tf = (
-        src.where(F.size(toks) >= 3)
+        toked.where(F.size(toks) >= 3)
         .select(
             F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), 3)).alias("tri"),
+            F.explode(word_ngrams_col(toks, 3)).alias("tri"),
         )
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("tf"))
@@ -2828,7 +2874,7 @@ def kn_trigram_logprob(
         ).otherwise(seen)
 
     # ---- event 1: first token by P1 ----------------------------------
-    first = src.select(
+    first = toked.select(
         F.col(id_col),
         F.element_at(toks, 1).alias("cont"),
         F.size(toks).alias("n_toks"),
@@ -2846,7 +2892,7 @@ def kn_trigram_logprob(
     )
 
     # ---- event 2: second token by P2(t2|t1) ---------------------------
-    second = src.select(
+    second = toked.select(
         F.col(id_col),
         F.element_at(toks, 1).alias("t1"),
         F.element_at(toks, 2).alias("t2"),
