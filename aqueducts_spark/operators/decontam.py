@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ensure_parallelism, word_shingles
+from .dedup import (
+    ensure_parallelism,
+    normalized_tokens,
+    word_shingles_col,
+)
 
 __all__ = [
     "benchmark_ngrams",
@@ -52,7 +56,12 @@ def benchmark_ngrams(
     """
     return (
         benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+            normalized_tokens(F.col(text_col)).alias("__btoks")
+        )
+        .select(
+            F.explode(word_shingles_col(F.col("__btoks"), n)).alias(
+                "shingle"
+            )
         )
         # word_ngrams emits '' for empty/whitespace docs; one blank
         # benchmark row must not flag every blank corpus doc
@@ -76,9 +85,17 @@ def ngram_overlap(
     n-grams.
     """
     bench = benchmark_ngrams(benchmark, text_col, n)
-    corp = ensure_parallelism(corpus).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).where(F.col("shingle") != "")
+    corp = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col), normalized_tokens(F.col(text_col)).alias("__ctoks")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_col(F.col("__ctoks"), n)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+    )
     return (
         corp.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
@@ -241,15 +258,24 @@ def minhash_overlap(
     cs = (
         corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
         .select(
+            F.col(id_col), normalized_tokens(F.col(text_col)).alias("__ctoks")
+        )
+        .select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(sc),
+            F.explode(word_shingles_col(F.col("__ctoks"), shingle_n)).alias(sc),
         )
         .where(F.col(sc) != "")
     )
-    bs = bench.select(
-        F.col(bid),
-        F.explode(word_shingles(F.col("__btext"), shingle_n)).alias(sc),
-    ).where(F.col(sc) != "")
+    bs = (
+        bench.select(
+            F.col(bid), normalized_tokens(F.col("__btext")).alias("__btoks")
+        )
+        .select(
+            F.col(bid),
+            F.explode(word_shingles_col(F.col("__btoks"), shingle_n)).alias(sc),
+        )
+        .where(F.col(sc) != "")
+    )
     size_a = cs.groupBy(id_col).agg(F.count(F.lit(1)).alias(sza))
     size_b = bs.groupBy(bid).agg(F.count(F.lit(1)).alias(szb))
     # the candidate-pair semi filter sits BEFORE the aggregation: a
@@ -495,18 +521,28 @@ def contamination_report(
             "non-NULL — a per-item report is meaningless under pooled ids"
         )
     base = benchmark.select(F.col(bench_id_col).alias("bench_id"))
-    bg = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle"),
-    ).where(F.col("shingle") != "")
+    bg = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            normalized_tokens(F.col(bench_text_col)).alias("__btoks"),
+        )
+        .select(
+            F.col("bench_id"),
+            F.explode(word_shingles_col(F.col("__btoks"), n)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+    )
     sizes = bg.groupBy("bench_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )
     corp = (
         ensure_parallelism(corpus)
         .select(
+            F.col(id_col), normalized_tokens(F.col(text_col)).alias("__ctoks")
+        )
+        .select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+            F.explode(word_shingles_col(F.col("__ctoks"), n)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
     )

@@ -155,10 +155,19 @@ def word_ngrams(text: Column, n: int) -> Column:
     return word_ngrams_col(normalized_tokens(text), n)
 
 
+def word_shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of an ALREADY-STAGED token-array
+    column (array<string>), first-occurrence order — the
+    :func:`word_ngrams_col` contract; hot paths stage the tokens so
+    the gram tree's ~2n+1 references share one regex split."""
+    return F.array_distinct(word_ngrams_col(toks, n))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` (array<string>),
-    first-occurrence order."""
-    return F.array_distinct(word_ngrams(text, n))
+    first-occurrence order.  Inline form — see :func:`word_shingles_col`
+    for multi-reference hot paths."""
+    return word_shingles_col(normalized_tokens(text), n)
 
 
 def _payload_key(cols: list[str], hash_fn: str = "md5") -> Column:
@@ -464,11 +473,27 @@ def _minhash_signature(
     union their shingle sets into one signature silently).
     """
     extra = [F.col(dup_check_col)] if dup_check_col else []
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col),
-        *extra,
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).where(F.col("shingle") != "")
+    # staged token array (word_ngrams_col contract: one regex split per
+    # row instead of one per gram-tree reference)
+    tk = "__wtoks"
+    while tk in df.columns:
+        tk = "_" + tk
+    exploded = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            *extra,
+            normalized_tokens(F.col(text_col)).alias(tk),
+        )
+        .select(
+            F.col(id_col),
+            *extra,
+            F.explode(word_shingles_col(F.col(tk), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .where(F.col("shingle") != "")
+    )
     # the '' sentinel word_ngrams emits for empty/NULL docs is dropped:
     # otherwise EVERY contentless document gets the identical signature
     # and they all pile into one quadratic candidate bucket in every
@@ -816,21 +841,29 @@ def with_minhash_band_keys(
             "with_minhash_band_keys: output column already exists on "
             "the input — pass keys_col/shingles_col to rename"
         )
-    sh = F.filter(
-        word_shingles(F.col(text_col), shingle_n), lambda s: s != F.lit("")
-    )
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    # stage the shingle array and ONE hash/digest array per seed family
-    # (see _minhash_signature's family note: each seed must hash the
-    # shingle independently — a shared base hash made every seed's
-    # argmin identical); staging keeps each per-shingle digest computed
-    # once, not once per slice (the bpe_pair_counts lesson).
+    # stage the token array, the shingle array, and ONE hash/digest
+    # array per seed family (see _minhash_signature's family note: each
+    # seed must hash the shingle independently — a shared base hash
+    # made every seed's argmin identical); staging keeps the regex
+    # split computed once per row (word_ngrams_col contract) and each
+    # per-shingle digest computed once, not once per slice (the
+    # bpe_pair_counts lesson).
     # NOTE: transform lambdas must take exactly ONE parameter —
     # F.transform dispatches on arity, and a two-arg lambda (e.g. the
     # `seed=seed` default-arg idiom) would silently receive the ARRAY
     # INDEX as its second argument instead of the captured seed
-    staged = df.withColumn(sh_name, sh)
+    tk_name = _fresh_name("__mh_tk", taken + [sh_name, hs_name])
+    sh = F.filter(
+        word_shingles_col(F.col(tk_name), shingle_n),
+        lambda s: s != F.lit(""),
+    )
+    staged = (
+        df.withColumn(tk_name, normalized_tokens(F.col(text_col)))
+        .withColumn(sh_name, sh)
+        .drop(tk_name)
+    )
     dg_names: list[str] = []
     if hash_fn == "xxhash64":
         def _seeded(seed: int):
@@ -981,8 +1014,16 @@ def jaccard_pairs(
     :func:`minhash_candidate_pairs` first and use this only to verify
     candidates (join this against the candidate pairs).
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    tk = "__wtoks"
+    while tk in df.columns:
+        tk = "_" + tk
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_col(F.col(tk), shingle_n)).alias("s"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
@@ -2181,10 +2222,14 @@ def remove_duplicated_spans(
     # n-grams are rebuilt per consuming branch (recomputation beats
     # caching a ~n× blowup of the corpus at scale) — but the final
     # reassembly branch only needs tokens, so it never pays the
-    # n-gram construction at all
-    grams = word_ngrams(F.col(text_col), n)
+    # n-gram construction at all.  Each branch stages the token array
+    # first (word_ngrams_col contract: one regex split per row)
+    toked = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("__stoks")
+    )
+    grams = word_ngrams_col(F.col("__stoks"), n)
     common = (
-        src.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        toked.select(F.explode(F.array_distinct(grams)).alias("gram"))
         .where(F.col("gram") != "")
         .groupBy("gram")
         .agg(F.count("*").alias("_df"))
@@ -2192,7 +2237,7 @@ def remove_duplicated_spans(
         .select("gram")
     )
     hits = (
-        src.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        toked.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
         .join(F.broadcast(common), "gram")
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("__starts"))
