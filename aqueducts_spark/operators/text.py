@@ -119,8 +119,18 @@ def text_features(
     # would NULL-poison every ratio AND the score, silently dropping the
     # doc from BOTH sides of any threshold filter — the same hole the
     # empty-doc clamp below closes
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = normalized_tokens(text)
+    text0 = F.coalesce(F.col(text_col), F.lit(""))
+    # stage text + tokens once: the feature expressions below reference
+    # the token array ~8 times across interpreted-HOF boundaries
+    # (word_ngrams_col contract — inlined splits re-tokenize per
+    # reference)
+    df = df.select(
+        F.col(id_col),
+        text0.alias("__ftext"),
+        normalized_tokens(text0).alias("__ftoks"),
+    )
+    text = F.col("__ftext")
+    toks = F.col("__ftoks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     # empty docs: ratio denominators clamp to 1 (ratios 0.0, never NULL
@@ -191,7 +201,15 @@ def detect_language(
     by language code, 'und' when nothing matches)."""
     # NULL text behaves like empty (ratios 0.0, lang 'und'), per the
     # module's NULL policy
-    toks = normalized_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # staged token array (word_ngrams_col contract): one split per row
+    # instead of one per language filter
+    staged = df.select(
+        F.col(id_col),
+        normalized_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "__ltoks"
+        ),
+    )
+    toks = F.col("__ltoks")
     n = F.greatest(F.size(toks), F.lit(1))
     ratio_cols = {}
     for lang, words in STOPWORDS.items():
@@ -199,7 +217,7 @@ def detect_language(
         ratio_cols[lang] = F.round(
             F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n, 4
         )
-    base = df.select(
+    base = staged.select(
         F.col(id_col), *[c.alias(f"ratio_{lang}") for lang, c in ratio_cols.items()]
     )
     langs = sorted(STOPWORDS)
@@ -1709,8 +1727,19 @@ def gopher_rules(
     NULL text behaves like empty text: every count is 0, the word-count
     rule fails, the row survives with ``passes_gopher = false``.
     """
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = normalized_tokens(text)
+    text0 = F.coalesce(F.col(text_col), F.lit(""))
+    # stage text/tokens/lines once (word_ngrams_col contract): the rule
+    # expressions below reference the token and line arrays ~15 times
+    # across interpreted-HOF boundaries where codegen CSE cannot reach,
+    # so inlined splits would re-tokenize per reference
+    df = df.select(
+        F.col(id_col),
+        text0.alias("__gtext"),
+        normalized_tokens(text0).alias("__gtoks"),
+        _nonempty_lines(text0).alias("__glines"),
+    )
+    text = F.col("__gtext")
+    toks = F.col("__gtoks")
     n_words = F.size(toks)
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
     mean_word_len = (
@@ -1727,7 +1756,7 @@ def gopher_rules(
     # not to their sum — a doc with both at 0.06 passes
     hash_ratio = hash_count / safe_words
     ellipsis_sym_ratio = (dots + uni_ellipsis) / safe_words
-    lines = _nonempty_lines(text)
+    lines = F.col("__glines")
     safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]")))
