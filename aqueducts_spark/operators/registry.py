@@ -1635,6 +1635,30 @@ def _op_kn_bigram_score(spark, inp, options):
     )
 
 
+def _op_kn_trigram_fit(spark, inp, options):
+    from .text import kn_trigram_fit
+
+    return kn_trigram_fit(inp, text_col=options.get("text_col", "text"))
+
+
+def _op_kn_trigram_score(spark, inp, options):
+    from .text import kn_trigram_score
+
+    model_table = options.get("model")
+    if not model_table:
+        raise OperatorError(
+            "kn_trigram_score operator requires options.model (a (w1, w2, "
+            "w3, ct) table, e.g. a kn_trigram_fit stage or one read from "
+            "disk)"
+        )
+    return kn_trigram_score(
+        inp,
+        spark.table(model_table),
+        discount=float(options.get("discount", 0.75)),
+        **_docs_args(options),
+    )
+
+
 def _op_unigram_logprob(spark, inp, options):
     from .text import unigram_logprob
 
@@ -2012,6 +2036,8 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "kn_bigram_fit": _op_kn_bigram_fit,
     "kn_bigram_score": _op_kn_bigram_score,
     "kn_trigram_logprob": _op_kn_trigram_logprob,
+    "kn_trigram_fit": _op_kn_trigram_fit,
+    "kn_trigram_score": _op_kn_trigram_score,
     "profile_table": _op_profile_table,
     "corpus_datacard": _op_corpus_datacard,
     "bigram_logprob": _op_bigram_logprob,

@@ -45,6 +45,8 @@ __all__ = [
     "kn_bigram_fit",
     "kn_bigram_score",
     "kn_trigram_logprob",
+    "kn_trigram_fit",
+    "kn_trigram_score",
     "vocabulary",
     "token_count",
     "bpe_ish_token_count",
@@ -2962,6 +2964,305 @@ def kn_trigram_logprob(
         .join(mid_bi, F.concat_ws(" ", w2, w3) == F.col("big23"), "left")
         .join(mid_w2, w2 == F.col("mid_w2"), "left")
         .join(cont_counts, w3 == F.col("cont"), "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(F.col("tri"), (-F.log(p3)).alias("__nll_per_event"))
+    )
+    tri_scored = tri_tf.join(tri_scores, "tri").select(
+        F.col(id_col),
+        F.col("tf").cast("bigint").alias("events"),
+        F.floor(
+            F.col("tf").cast("double")
+            * F.col("__nll_per_event")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+
+    per_doc = (
+        first_scored.unionByName(second_scored)
+        .unionByName(tri_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("events").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
+    )
+
+
+def kn_trigram_fit(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the Kneser-Ney trigram model as a RELATION — the production
+    shape (:func:`kn_bigram_fit` one order up): fit once on a reference
+    corpus, persist to parquet, score every crawl against it with
+    :func:`kn_trigram_score`.
+
+    Model rows: trigram type counts ``(w1, w2, w3, ct)`` (all three
+    non-NULL), bigram type counts as ``(w1, w2, NULL, ct)``, and
+    unigram counts as ``(w1, NULL, NULL, ct)`` — the RAW type tables
+    every KN statistic derives from, NOT the derived N1+ counts: the
+    distinct-neighbor statistics are recomputed at score time, which
+    is exactly what makes the relation MERGEABLE (per-shard fits roll
+    up with ``unionByName`` + ``groupBy(w1, w2, w3).sum(ct)`` — a
+    merged derived count would double-count shared neighbors).
+
+    One tokenize pass (staged token column), three aggregations off
+    it; output size is the trigram-type table, not the corpus.
+    """
+    src = ensure_parallelism(df)
+    # staged token array (word_ngrams_col contract)
+    toked = src.select(normalized_tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    null_s = F.lit(None).cast("string")
+    uni = (
+        toked.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("ct"))
+        .select("w1", null_s.alias("w2"), null_s.alias("w3"), "ct")
+    )
+    bi = (
+        toked.where(F.size(toks) >= 2)
+        .select(F.explode(word_ngrams_col(toks, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.split(F.col("gram"), " ")[0].alias("w1"),
+            F.split(F.col("gram"), " ")[1].alias("w2"),
+            null_s.alias("w3"),
+            "ct",
+        )
+    )
+    tri = (
+        toked.where(F.size(toks) >= 3)
+        .select(F.explode(word_ngrams_col(toks, 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.split(F.col("gram"), " ")[0].alias("w1"),
+            F.split(F.col("gram"), " ")[1].alias("w2"),
+            F.split(F.col("gram"), " ")[2].alias("w3"),
+            "ct",
+        )
+    )
+    return uni.unionByName(bi).unionByName(tri)
+
+
+def kn_trigram_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score documents against an EXTERNAL :func:`kn_trigram_fit` model
+    — the CCNet shape one order up from :func:`kn_bigram_score`
+    (``kn_trigram_score(df, kn_trigram_fit(df))`` is row-identical to
+    the self-trained :func:`kn_trigram_logprob`, pinned by test).
+
+    Out-of-model events stay finite deterministically, one backoff
+    level at a time (each level's guard is the self-trained scorer's
+    zero-evidence rule applied to the external statistics):
+
+    * OOV / never-continuation ``w3``: P1's add-one floor
+      ``1/(N1+(..) + V)``;
+    * ``w2`` never seen mid-trigram: P2 backs off entirely to P1;
+    * unseen ``(w2, w3)`` under a seen mid-context: P2's pure discount
+      mass;
+    * unseen ``(w1, w2)`` prefix: P3 backs off entirely to P2 (the
+      discount mass is all of it);
+    * unseen trigram under a seen prefix: P3's pure discount mass.
+
+    Plan shape: model statistics are type-sized re-aggregations of the
+    model relation; the corpus pays its (doc, trigram) tf shuffle plus
+    one distinct over the tf table's grams, ``-ln P3`` is assembled
+    TYPE-FIRST per distinct CORPUS trigram (left joins — corpus grams
+    may be absent from the model), and the tf table takes one
+    plain-key equi-join against the scored types.  Persist the model
+    parquet once; daily crawls score against it instead of re-fitting.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_trigram_score: discount must be in (0, 1), got {discount}"
+        )
+    for c in ("w1", "w2", "w3", "ct"):
+        if c not in model.columns:
+            raise ValueError(
+                "kn_trigram_score: model must be a kn_trigram_fit relation "
+                f"with columns (w1, w2, w3, ct) — missing {c!r}"
+            )
+    src = ensure_parallelism(df)
+    # staged token array (word_ngrams_col contract)
+    tk = "__toks"
+    while tk in src.columns:
+        tk = "_" + tk
+    toked = src.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
+    )
+    toks = F.col(tk)
+    d_ = F.lit(float(discount))
+
+    tri_model = model.where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+    bi_model = model.where(F.col("w2").isNotNull() & F.col("w3").isNull())
+    # ---- model statistics (all type-sized re-aggregations) -----------
+    top_prefix = tri_model.groupBy(
+        F.concat_ws(" ", "w1", "w2").alias("pfx12")
+    ).agg(F.sum("ct").alias("ct_pfx12"), F.count("*").alias("n1p_top"))
+    mid_bi = tri_model.groupBy(
+        F.concat_ws(" ", "w2", "w3").alias("big23")
+    ).agg(F.count("*").alias("n1p_mid_bi"))
+    mid_w2 = mid_bi.groupBy(
+        F.split(F.col("big23"), " ")[0].alias("mid_w2")
+    ).agg(
+        F.sum("n1p_mid_bi").alias("n1p_mid_tot"),
+        F.count("*").alias("n1p_mid_fwd"),
+    )
+    cont_counts = bi_model.groupBy(F.col("w2").alias("cont")).agg(
+        F.count("*").alias("n1p_bwd")
+    )
+    tri_totals = tri_model.select(
+        F.concat_ws(" ", "w1", "w2", "w3").alias("tri"),
+        F.col("ct").alias("ct_tri"),
+    )
+    scalars = bi_model.agg(F.count("*").alias("n_types")).crossJoin(
+        model.where(F.col("w2").isNull() & F.col("w3").isNull()).agg(
+            F.count("*").alias("v")
+        )
+    ).crossJoin(
+        # malformed rows (w2 NULL, w3 non-NULL) belong to no model level
+        # and would silently vanish from every statistic — reject them
+        # in the same lazy scalars action (no extra pass)
+        model.where(F.col("w2").isNull() & F.col("w3").isNotNull()).agg(
+            F.count("*").alias("__bad")
+        )
+    )
+    # same contract as kn_bigram_score: vocabulary rows are required
+    # (the continuation denominator and the OOV floor need V), and the
+    # check is folded into the lazy scalars row
+    scalars = scalars.select(
+        "n_types",
+        F.when(
+            (F.col("v") <= 0) | (F.col("__bad") > 0),
+            F.raise_error(
+                F.lit(
+                    "kn_trigram_score: model is not a kn_trigram_fit "
+                    "relation (missing unigram vocabulary rows, or rows "
+                    "with w2 NULL but w3 set) — refit or repair the model"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("v")).alias("v"),
+    )
+
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
+
+    def p2_expr():
+        backoff = pcont
+        seen = (
+            F.greatest(
+                F.coalesce(F.col("n1p_mid_bi"), F.lit(0)).cast("double") - d_,
+                F.lit(0.0),
+            )
+            / F.col("n1p_mid_tot").cast("double")
+            + d_
+            * F.col("n1p_mid_fwd").cast("double")
+            / F.col("n1p_mid_tot").cast("double")
+            * pcont
+        )
+        return F.when(
+            F.col("n1p_mid_tot").isNull() | (F.col("n1p_mid_tot") == 0),
+            backoff,
+        ).otherwise(seen)
+
+    # ---- event 1: first token by P1 ----------------------------------
+    first = toked.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("cont"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    first_scored = (
+        first.join(cont_counts, "cont", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    # ---- event 2: second token by P2(t2|t1) ---------------------------
+    second = toked.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("t1"),
+        F.element_at(toks, 2).alias("t2"),
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") >= 2)
+    second_scored = (
+        second.withColumn("big23", F.concat_ws(" ", "t1", "t2"))
+        .join(mid_bi, "big23", "left")
+        .join(mid_w2, second["t1"] == F.col("mid_w2"), "left")
+        .join(cont_counts, second["t2"] == F.col("cont"), "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("events"),
+            F.floor(-F.log(p2_expr()) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+
+    # ---- events 3..n: P3, type-first over distinct CORPUS trigrams ----
+    tri_tf = (
+        toked.where(F.size(toks) >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams_col(toks, 3)).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("tf"))
+    )
+    cw1 = F.split(F.col("tri"), " ")[0]
+    cw2 = F.split(F.col("tri"), " ")[1]
+    cw3 = F.split(F.col("tri"), " ")[2]
+    # unseen trigram -> ct_tri 0 (pure discount mass); unseen prefix ->
+    # the whole probability backs off to P2 (main term 0, lambda 1) —
+    # the kn_bigram_score rule one order up
+    p3 = F.when(F.col("ct_pfx12").isNull(), p2_expr()).otherwise(
+        F.greatest(
+            F.coalesce(F.col("ct_tri"), F.lit(0)).cast("double") - d_,
+            F.lit(0.0),
+        )
+        / F.col("ct_pfx12").cast("double")
+        + d_
+        * F.col("n1p_top").cast("double")
+        / F.col("ct_pfx12").cast("double")
+        * p2_expr()
+    )
+    tri_scores = (
+        tri_tf.select("tri")
+        .distinct()
+        .join(tri_totals, "tri", "left")
+        .join(
+            top_prefix, F.concat_ws(" ", cw1, cw2) == F.col("pfx12"), "left"
+        )
+        .join(mid_bi, F.concat_ws(" ", cw2, cw3) == F.col("big23"), "left")
+        .join(mid_w2, cw2 == F.col("mid_w2"), "left")
+        .join(cont_counts, cw3 == F.col("cont"), "left")
         .crossJoin(F.broadcast(scalars))
         .select(F.col("tri"), (-F.log(p3)).alias("__nll_per_event"))
     )

@@ -1214,3 +1214,144 @@ def test_kn_trigram_parallelism_invariant(spark, sf_dir):
     one = sorted(map(tuple, kn_trigram_logprob(df.coalesce(1)).collect()))
     many = sorted(map(tuple, kn_trigram_logprob(df.repartition(7)).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# kn_trigram_fit / kn_trigram_score (the external-model production shape)
+# ---------------------------------------------------------------------------
+
+
+def test_kn_trigram_fit_score_equals_selftrained(spark, sf_dir):
+    """kn_trigram_score(df, kn_trigram_fit(df)) is row-identical to the
+    single-pass self-trained kn_trigram_logprob."""
+    from aqueducts_spark.operators.text import (
+        kn_trigram_fit,
+        kn_trigram_logprob,
+        kn_trigram_score,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    split = sorted(
+        map(tuple, kn_trigram_score(df, kn_trigram_fit(df)).collect())
+    )
+    joint = sorted(map(tuple, kn_trigram_logprob(df).collect()))
+    assert split == joint
+
+
+def test_kn_trigram_fit_is_mergeable(spark, sf_dir):
+    """Per-shard trigram fits roll up exactly: union + groupBy-sum of
+    two half fits equals the whole-corpus fit."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import kn_trigram_fit
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    a = kn_trigram_fit(df.where("doc_id % 2 = 0"))
+    b = kn_trigram_fit(df.where("doc_id % 2 = 1"))
+    merged = (
+        a.unionByName(b)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("ct").alias("ct"))
+    )
+    whole = kn_trigram_fit(df)
+
+    def key(rows):
+        return sorted((r.w1, r.w2 or "", r.w3 or "", r.ct) for r in rows)
+
+    assert key(merged.collect()) == key(whole.collect())
+
+
+def test_kn_trigram_score_external_model_oov_finite(spark):
+    """OOV words, unseen prefixes/trigrams against an external fit stay
+    finite and order sanely: fluent beats partial beats full salad."""
+    from aqueducts_spark.operators.text import (
+        kn_trigram_fit,
+        kn_trigram_score,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "a cat sat on a rug"),
+        ],
+        "doc_id long, text string",
+    )
+    model = kn_trigram_fit(ref)
+    crawl = spark.createDataFrame(
+        [
+            (10, "the cat sat on the rug"),   # all transitions in-model
+            (11, "the zebra sat on the mat"), # OOV word, unseen grams
+            (12, "qqq zzz www yyy"),          # everything OOV
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in kn_trigram_score(crawl, model).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert all(r.nll_micro > 0 for r in rows.values())
+    assert rows[10].avg_nll < rows[11].avg_nll < rows[12].avg_nll
+
+
+def test_kn_trigram_score_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.text import kn_trigram_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    bad = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="missing 'w1'"):
+        kn_trigram_score(df, bad)
+    good = spark.createDataFrame(
+        [("a", None, None, 1), ("a", "b", None, 1), ("a", "b", "c", 1)],
+        "w1 string, w2 string, w3 string, ct long",
+    )
+    with _pytest.raises(ValueError, match="discount"):
+        kn_trigram_score(df, good, discount=1.0)
+
+
+def test_kn_trigram_score_rejects_malformed_models(spark, sf_dir):
+    """No unigram vocab rows, or rows with w2 NULL but w3 set, raise
+    loudly from the lazy scalars guard."""
+    import pytest as _pytest
+
+    from pyspark.sql.utils import AnalysisException
+
+    from aqueducts_spark.operators.text import kn_trigram_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    no_vocab = spark.createDataFrame(
+        [("a", "b", None, 1), ("a", "b", "c", 1)],
+        "w1 string, w2 string, w3 string, ct long",
+    )
+    with _pytest.raises(Exception, match="kn_trigram_fit relation"):
+        kn_trigram_score(df, no_vocab).collect()
+    malformed = spark.createDataFrame(
+        [("a", None, None, 1), ("a", "b", "c", 1), ("x", None, "z", 1)],
+        "w1 string, w2 string, w3 string, ct long",
+    )
+    with _pytest.raises(Exception, match="kn_trigram_fit relation"):
+        kn_trigram_score(df, malformed).collect()
+
+
+def test_kn_trigram_fit_score_yaml_stages(spark, sf_dir):
+    """fit -> score as registry stages over a registered model table."""
+    from aqueducts_spark.operators.registry import run_operator
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    df.createOrReplaceTempView("kn3_docs")
+    fit = run_operator(
+        spark, {"type": "kn_trigram_fit", "input": "kn3_docs"}
+    )
+    fit.createOrReplaceTempView("kn3_model")
+    scored = run_operator(
+        spark,
+        {
+            "type": "kn_trigram_score",
+            "input": "kn3_docs",
+            "options": {"model": "kn3_model"},
+        },
+    )
+    assert scored.count() == 30
+    assert {"doc_id", "n_tokens", "nll_micro", "avg_nll"} <= set(
+        scored.columns
+    )
