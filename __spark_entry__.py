@@ -2831,6 +2831,154 @@ GROUP BY doc_id
 """
 
 
+OP_KN3_SCORE_DUCK = r"""
+WITH tfit AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '') AS toks
+  FROM documents WHERE doc_id % 2 = 0
+),
+ts AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x != '') AS toks
+  FROM documents WHERE doc_id % 2 = 1
+),
+uni AS (SELECT term, COUNT(*) AS ct
+        FROM (SELECT unnest(toks) AS term FROM tfit) GROUP BY term),
+bi_types AS (
+  SELECT gram, COUNT(*) AS ct_bi
+  FROM (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks)-1)]) AS gram
+        FROM tfit WHERE len(toks) >= 2)
+  GROUP BY gram
+),
+cont_counts AS (
+  SELECT string_split(gram, ' ')[2] AS cont, COUNT(*) AS n1p_bwd
+  FROM bi_types GROUP BY 1),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM bi_types) AS n_types,
+         (SELECT COUNT(*) FROM uni) AS v),
+tri_types AS (
+  SELECT tri, COUNT(*) AS ct_tri
+  FROM (SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks)-2)]) AS tri
+        FROM tfit WHERE len(toks) >= 3)
+  GROUP BY tri
+),
+top_prefix AS (
+  SELECT string_split(tri, ' ')[1] || ' ' || string_split(tri, ' ')[2] AS pfx12,
+         SUM(ct_tri) AS ct_pfx12, COUNT(*) AS n1p_top
+  FROM tri_types GROUP BY 1),
+mid_bi AS (
+  SELECT string_split(tri, ' ')[2] || ' ' || string_split(tri, ' ')[3] AS big23,
+         COUNT(*) AS n1p_mid_bi
+  FROM tri_types GROUP BY 1),
+mid_w2 AS (
+  SELECT string_split(big23, ' ')[1] AS mid_w2,
+         SUM(n1p_mid_bi) AS n1p_mid_tot, COUNT(*) AS n1p_mid_fwd
+  FROM mid_bi GROUP BY 1),
+tri_tf AS (
+  SELECT doc_id, tri, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks)-2)]) AS tri
+        FROM ts WHERE len(toks) >= 3)
+  GROUP BY doc_id, tri
+),
+first_scored AS (
+  SELECT ts.doc_id, CAST(1 AS BIGINT) AS events,
+         CAST(floor(-ln((CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                        / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM ts LEFT JOIN cont_counts cc ON cc.cont = ts.toks[1] CROSS JOIN scalars s
+  WHERE len(ts.toks) > 0
+),
+second_scored AS (
+  SELECT ts.doc_id, CAST(1 AS BIGINT) AS events,
+         CAST(floor(-ln(
+           CASE WHEN mw.n1p_mid_tot IS NULL OR mw.n1p_mid_tot = 0
+                THEN (CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                     / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE))
+                ELSE greatest(CAST(coalesce(mb.n1p_mid_bi, 0) AS DOUBLE) - 0.75, 0.0)
+                       / CAST(mw.n1p_mid_tot AS DOUBLE)
+                     + 0.75 * CAST(mw.n1p_mid_fwd AS DOUBLE)
+                       / CAST(mw.n1p_mid_tot AS DOUBLE)
+                     * ((CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                        / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE)))
+           END) * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM ts
+  LEFT JOIN mid_bi mb ON mb.big23 = ts.toks[1] || ' ' || ts.toks[2]
+  LEFT JOIN mid_w2 mw ON mw.mid_w2 = ts.toks[1]
+  LEFT JOIN cont_counts cc ON cc.cont = ts.toks[2]
+  CROSS JOIN scalars s
+  WHERE len(ts.toks) >= 2
+),
+tri_scored AS (
+  SELECT f.doc_id, CAST(f.tf AS BIGINT) AS events,
+         CAST(floor(CAST(f.tf AS DOUBLE) * -ln(
+           CASE WHEN tp.ct_pfx12 IS NULL
+                THEN (CASE WHEN mw.n1p_mid_tot IS NULL OR mw.n1p_mid_tot = 0
+                   THEN (CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                        / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE))
+                   ELSE greatest(CAST(coalesce(mb.n1p_mid_bi, 0) AS DOUBLE) - 0.75, 0.0)
+                          / CAST(mw.n1p_mid_tot AS DOUBLE)
+                        + 0.75 * CAST(mw.n1p_mid_fwd AS DOUBLE)
+                          / CAST(mw.n1p_mid_tot AS DOUBLE)
+                        * ((CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                           / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE)))
+              END)
+                ELSE
+           greatest(CAST(coalesce(ty.ct_tri, 0) AS DOUBLE) - 0.75, 0.0)
+             / CAST(tp.ct_pfx12 AS DOUBLE)
+           + 0.75 * CAST(tp.n1p_top AS DOUBLE) / CAST(tp.ct_pfx12 AS DOUBLE)
+           * (CASE WHEN mw.n1p_mid_tot IS NULL OR mw.n1p_mid_tot = 0
+                   THEN (CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                        / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE))
+                   ELSE greatest(CAST(coalesce(mb.n1p_mid_bi, 0) AS DOUBLE) - 0.75, 0.0)
+                          / CAST(mw.n1p_mid_tot AS DOUBLE)
+                        + 0.75 * CAST(mw.n1p_mid_fwd AS DOUBLE)
+                          / CAST(mw.n1p_mid_tot AS DOUBLE)
+                        * ((CAST(coalesce(cc.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                           / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE)))
+              END)
+           END) * 1e6 + 0.5) AS BIGINT) AS nll_micro
+  FROM tri_tf f
+  LEFT JOIN tri_types ty USING (tri)
+  LEFT JOIN top_prefix tp
+    ON tp.pfx12 = string_split(f.tri, ' ')[1] || ' ' || string_split(f.tri, ' ')[2]
+  LEFT JOIN mid_bi mb
+    ON mb.big23 = string_split(f.tri, ' ')[2] || ' ' || string_split(f.tri, ' ')[3]
+  LEFT JOIN mid_w2 mw ON mw.mid_w2 = string_split(f.tri, ' ')[2]
+  LEFT JOIN cont_counts cc ON cc.cont = string_split(f.tri, ' ')[3]
+  CROSS JOIN scalars s
+)
+SELECT doc_id,
+       CAST(SUM(events) AS BIGINT) AS n_tokens,
+       CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+       CAST(SUM(nll_micro) AS DOUBLE)
+         / (CAST(SUM(events) AS DOUBLE) * 1e6) AS avg_nll
+FROM (SELECT * FROM first_scored
+      UNION ALL SELECT * FROM second_scored
+      UNION ALL SELECT * FROM tri_scored)
+GROUP BY doc_id
+"""
+
+
+def _op_kn3_score_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-model trigram KN scoring
+    (operators/text.py::kn_trigram_fit + ::kn_trigram_score): fit on
+    the even-id half of documents, score the odd-id half — odd docs
+    contain grams absent from the model, so every out-of-model backoff
+    branch (OOV floor, unseen mid-context, unseen prefix, unseen
+    trigram discount mass) is exercised and hash-pinned, which the
+    fit-equals-selftrained parity test cannot cover."""
+    from aqueducts_spark.operators.text import kn_trigram_fit, kn_trigram_score
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    model = kn_trigram_fit(docs.where("doc_id % 2 = 0"))
+    return kn_trigram_score(docs.where("doc_id % 2 = 1"), model)
+
+
 def _op_kn3_nll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram interpolated Kneser-Ney NLL per document
     (operators/text.py::kn_trigram_logprob, D=0.75 — the three-level
@@ -6279,6 +6427,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_semdedup": _op_semdedup,
         "op_kn_nll": _op_kn_nll_gate,
         "op_kn3_nll": _op_kn3_nll_gate,
+        "op_kn3_score": _op_kn3_score_gate,
         "op_token_budget_mix": _op_token_budget_mix_gate,
         "op_corpus_diff": _op_corpus_diff_gate,
         "pl_pipeline_yaml": _pl_pipeline,
@@ -6481,6 +6630,7 @@ _GATE_PRIORITY = [
     "op_byte_fertility",        # byte-level fertility report (r7)
     "op_token_budget_mix",      # token-budget mixture materializer (r7)
     "op_corpus_diff",           # corpus version diff (r7)
+    "op_kn3_score",             # external-model trigram KN scoring (r7)
 ]
 
 
@@ -6599,6 +6749,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_temperature_mix": OP_TEMP_MIX_DUCK,
         "op_kn_nll": OP_KN_NLL_DUCK,
         "op_kn3_nll": OP_KN3_NLL_DUCK,
+        "op_kn3_score": OP_KN3_SCORE_DUCK,
         "op_token_budget_mix": OP_TOKEN_BUDGET_MIX_DUCK,
         "op_corpus_diff": OP_CORPUS_DIFF_DUCK,
         "op_pack_shards": OP_PACK_SHARDS_DUCK,
