@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "op_kn_nll",
     "op_kn3_nll",
+    "op_kn3_score",
     "op_token_budget_mix",
     "op_corpus_diff",
     "pl_pipeline_yaml",
