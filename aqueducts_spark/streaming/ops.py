@@ -728,3 +728,173 @@ def dsir_score_stream(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
     return df.mapInPandas(score_batches, schema)
+
+
+def kn_score_stream(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    max_model_rows: int = 5_000_000,
+) -> DataFrame:
+    """Streaming twin of ``operators/text.py::kn_bigram_score``: score
+    each streaming document against a PRE-FITTED external
+    :func:`~aqueducts_spark.operators.text.kn_bigram_fit` model — the
+    CCNet production scenario on a live crawl (CCNet ships a KenLM
+    binary to every node; here the bounded model dict rides the
+    ``mapInPandas`` closure the same way).  Per-row, stateless,
+    zero-shuffle, no joins — stream-safe in append mode with no state
+    store.
+
+    Output: the input row plus ``n_tokens, nll_micro, avg_nll``;
+    documents with no tokens (empty or NULL text) emit NO row, exactly
+    like the batch scorer.  All backoff semantics match
+    ``kn_bigram_score``: OOV/never-second words score the add-one
+    continuation floor, an unseen prefix backs off entirely to the
+    continuation distribution, an unseen bigram under a seen prefix
+    gets pure discount mass.
+
+    Scale contract: the model relation must be BOUNDED — it is
+    collected once at plan-build time (guarded by ``max_model_rows``
+    with a loud error; the collect itself reads at most
+    ``max_model_rows + 1`` rows).  Corpus-scale models belong to the
+    batch operator, whose statistics stay relational.
+
+    Parity: tokenization (ASCII ``\\S+`` findall of the lowercased
+    text — the proven equivalent of the batch path's trim/split/
+    empty-filter, see ``dsir_score_stream``), per-doc distinct-gram tf
+    aggregation, probability operation order, and the integer
+    micro-nat quantization all replicate the batch operator, pinned by
+    a batch-vs-stream equality test including OOV documents.  The one
+    honest caveat: ``-ln`` is evaluated by the Python runtime here and
+    the JVM in the batch path; the two libms can differ in the last
+    ulp (measured ~7% of raw doubles), which the
+    ``floor(x*1e6 + 0.5)`` quantization absorbs except when ``x*1e6``
+    lands within an ulp of an integer boundary — the same measure-zero
+    tolerance every cross-engine DuckDB oracle in this repo already
+    carries.
+
+    Throughput: a memoized per-distinct-gram loop (no md5 digest in
+    this scorer — the model lookup is a dict probe, so the
+    ``dsir_score_stream`` factorization machinery has nothing hot to
+    amortize); the ``-ln`` runs once per distinct gram per task.
+    """
+    import math
+    import re
+    from collections import Counter
+
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_score_stream: discount must be in (0, 1), got {discount}"
+        )
+    for c in ("w1", "w2", "ct"):
+        if c not in model.columns:
+            raise ValueError(
+                "kn_score_stream: model must be a kn_bigram_fit relation "
+                f"with columns (w1, w2, ct) — missing {c!r}"
+            )
+    rows = model.limit(max_model_rows + 1).collect()
+    if len(rows) > max_model_rows:
+        raise ValueError(
+            f"kn_score_stream: model exceeds max_model_rows="
+            f"{max_model_rows} — a model this large belongs to the batch "
+            "kn_bigram_score, whose statistics stay relational"
+        )
+    bi_ct: dict = {}
+    v = 0
+    for r in rows:
+        if r["w2"] is None:
+            v += 1
+        else:
+            k = (r["w1"], r["w2"])
+            bi_ct[k] = bi_ct.get(k, 0) + int(r["ct"])
+    if v <= 0:
+        raise ValueError(
+            "kn_score_stream: model has no unigram rows (w2 IS NULL) — "
+            "not a kn_bigram_fit relation; refit or include the "
+            "vocabulary rows"
+        )
+    ct_prefix: dict = {}
+    n1p_fwd: dict = {}
+    n1p_bwd: dict = {}
+    for (w1, w2), ct in bi_ct.items():
+        ct_prefix[w1] = ct_prefix.get(w1, 0) + ct
+        n1p_fwd[w1] = n1p_fwd.get(w1, 0) + 1
+        n1p_bwd[w2] = n1p_bwd.get(w2, 0) + 1
+    denom = float(len(bi_ct)) + float(v)
+    d = float(discount)
+    nonws = re.compile(r"\S+", re.ASCII)  # Java \s is ASCII-only
+
+    def score_batches(batches):
+        pc_memo: dict = {}
+        first_memo: dict = {}
+        bi_memo: dict = {}
+
+        def pcont(w: str) -> float:
+            p = pc_memo.get(w)
+            if p is None:
+                p = (float(n1p_bwd.get(w, 0)) + 1.0) / denom
+                pc_memo[w] = p
+            return p
+
+        def nll_first(w: str) -> int:
+            x = first_memo.get(w)
+            if x is None:
+                x = int(math.floor(-math.log(pcont(w)) * 1e6 + 0.5))
+                first_memo[w] = x
+            return x
+
+        def nll_bi(g: tuple) -> float:
+            x = bi_memo.get(g)
+            if x is None:
+                cp = ct_prefix.get(g[0])
+                pc = pcont(g[1])
+                if cp is None:
+                    p = pc
+                else:
+                    cpf = float(cp)
+                    p = (
+                        max(float(bi_ct.get(g, 0)) - d, 0.0) / cpf
+                        + d * float(n1p_fwd[g[0]]) / cpf * pc
+                    )
+                x = -math.log(p)
+                bi_memo[g] = x
+            return x
+
+        for pdf in batches:
+            n_toks_out = []
+            nll_out = []
+            keep = []
+            for text in pdf[text_col]:
+                toks = nonws.findall(text.lower()) if text else []
+                if not toks:
+                    keep.append(False)
+                    continue
+                keep.append(True)
+                nll = nll_first(toks[0])
+                if len(toks) > 1:
+                    tf = Counter(zip(toks, toks[1:]))
+                    for g, c in tf.items():
+                        nll += int(
+                            math.floor(float(c) * nll_bi(g) * 1e6 + 0.5)
+                        )
+                n_toks_out.append(len(toks))
+                nll_out.append(nll)
+            out = pdf[keep].copy()
+            out["n_tokens"] = [int(x) for x in n_toks_out]
+            out["nll_micro"] = nll_out
+            out["avg_nll"] = [
+                float(m) / (float(t) * 1e6)
+                for m, t in zip(nll_out, n_toks_out)
+            ]
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("nll_micro", T.LongType()),
+            T.StructField("avg_nll", T.DoubleType()),
+        ]
+    )
+    return df.mapInPandas(score_batches, schema)

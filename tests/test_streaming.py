@@ -829,3 +829,94 @@ def test_dedup_stream_within_watermark_validation(spark, stream_dir):
         dedup_stream_within_watermark(stream, [], "ts", "1 hour")
     with pytest.raises(ValueError, match="not in the stream"):
         dedup_stream_within_watermark(stream, ["nope"], "ts", "1 hour")
+
+
+def test_kn_score_stream_matches_batch_score(spark, tmp_path):
+    """Streaming KN scorer parity: per-doc (n_tokens, nll_micro,
+    avg_nll) from the stream (bounded model dict in the mapInPandas
+    closure) equals the batch kn_bigram_score over the same documents
+    and the same external fit — including OOV words, unseen prefixes,
+    token-less docs (no row on either path), and non-ASCII-whitespace
+    inputs the batch tokenizer does not break on."""
+    import json
+
+    from aqueducts_spark.operators.text import kn_bigram_fit, kn_bigram_score
+    from aqueducts_spark.streaming.ops import (
+        file_stream_source,
+        kn_score_stream,
+        run_available_now,
+    )
+    from aqueducts_spark.types import Field
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),
+            (101, "the dog sat on the rug"),
+            (102, "a cat sat on a rug"),
+        ],
+        "doc_id long, text string",
+    )
+    model = kn_bigram_fit(ref).localCheckpoint(eager=True)
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the rug"},   # in-model
+        {"doc_id": 2, "text": "the zebra sat"},            # OOV + unseen bigram
+        {"doc_id": 3, "text": "qqq zzz"},                  # all OOV
+        {"doc_id": 4, "text": "one"},                      # single token
+        {"doc_id": 5, "text": ""},                         # no row
+        {"doc_id": 6, "text": None},                       # no row
+        {"doc_id": 7, "text": "  the cat  sat  "},    # NBSP not a break
+        {"doc_id": 8, "text": "THE CAT Sat"},              # case fold
+    ]
+    raw = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    batch = {
+        r.doc_id: (r.n_tokens, r.nll_micro, r.avg_nll)
+        for r in kn_bigram_score(raw, model).collect()
+    }
+
+    src = tmp_path / "kn_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:3]))
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in docs[3:]))
+    stream = file_stream_source(
+        spark,
+        str(src),
+        "json",
+        [Field(name="doc_id", data_type="int64", nullable=False),
+         Field(name="text", data_type="string", nullable=True)],
+        options={"maxFilesPerTrigger": "1"},
+    )
+    rows = run_available_now(
+        kn_score_stream(stream, model),
+        str(tmp_path / "ckpt_kn"),
+        output_mode="append",
+    )
+    streamed = {r.doc_id: (r.n_tokens, r.nll_micro, r.avg_nll) for r in rows}
+    assert streamed == batch
+    assert 5 not in streamed and 6 not in streamed  # token-less: no row
+    # fluent-in-model text beats OOV salad on the stream too
+    assert streamed[1][2] < streamed[3][2]
+
+
+def test_kn_score_stream_validation(spark):
+    import pytest as _pytest
+
+    from aqueducts_spark.streaming.ops import kn_score_stream
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    bad = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="missing 'w1'"):
+        kn_score_stream(df, bad)
+    no_vocab = spark.createDataFrame(
+        [("a", "b", 1)], "w1 string, w2 string, ct long"
+    )
+    with _pytest.raises(ValueError, match="no unigram rows"):
+        kn_score_stream(df, no_vocab)
+    good = spark.createDataFrame(
+        [("a", None, 1), ("a", "b", 1)], "w1 string, w2 string, ct long"
+    )
+    with _pytest.raises(ValueError, match="max_model_rows"):
+        kn_score_stream(df, good, max_model_rows=1)
+    with _pytest.raises(ValueError, match="discount"):
+        kn_score_stream(df, good, discount=0.0)
