@@ -824,6 +824,10 @@ def kn_score_stream(
     denom = float(len(bi_ct)) + float(v)
     d = float(discount)
     nonws = re.compile(r"\S+", re.ASCII)  # Java \s is ASCII-only
+    # reset guard (the dsir_score_stream lesson): a stream task lives
+    # long and OOV grams are unbounded, so an uncapped memo grows
+    # without bound — clear-and-refill past the cap
+    _CACHE_MAX = 1_000_000
 
     def score_batches(batches):
         pc_memo: dict = {}
@@ -833,6 +837,8 @@ def kn_score_stream(
         def pcont(w: str) -> float:
             p = pc_memo.get(w)
             if p is None:
+                if len(pc_memo) >= _CACHE_MAX:
+                    pc_memo.clear()
                 p = (float(n1p_bwd.get(w, 0)) + 1.0) / denom
                 pc_memo[w] = p
             return p
@@ -840,6 +846,8 @@ def kn_score_stream(
         def nll_first(w: str) -> int:
             x = first_memo.get(w)
             if x is None:
+                if len(first_memo) >= _CACHE_MAX:
+                    first_memo.clear()
                 x = int(math.floor(-math.log(pcont(w)) * 1e6 + 0.5))
                 first_memo[w] = x
             return x
@@ -847,6 +855,8 @@ def kn_score_stream(
         def nll_bi(g: tuple) -> float:
             x = bi_memo.get(g)
             if x is None:
+                if len(bi_memo) >= _CACHE_MAX:
+                    bi_memo.clear()
                 cp = ct_prefix.get(g[0])
                 pc = pcont(g[1])
                 if cp is None:
