@@ -475,9 +475,9 @@ def _minhash_signature(
     extra = [F.col(dup_check_col)] if dup_check_col else []
     # staged token array (word_ngrams_col contract: one regex split per
     # row instead of one per gram-tree reference)
-    tk = "__wtoks"
-    while tk in df.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__wtoks", df.columns)
     exploded = (
         ensure_parallelism(df)
         .select(
@@ -1014,9 +1014,9 @@ def jaccard_pairs(
     :func:`minhash_candidate_pairs` first and use this only to verify
     candidates (join this against the candidate pairs).
     """
-    tk = "__wtoks"
-    while tk in df.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__wtoks", df.columns)
     sh = (
         ensure_parallelism(df)
         .select(F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk))

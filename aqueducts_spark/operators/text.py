@@ -13,12 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import (
-    ensure_parallelism,
-    normalized_tokens,
-    word_ngrams,
-    word_ngrams_col,
-)
+from .dedup import ensure_parallelism, normalized_tokens, word_ngrams_col
 
 __all__ = [
     "chunk_documents",
@@ -2287,9 +2282,9 @@ def bigram_logprob(
     # stage the token array ONCE per consumer branch (word_ngrams_col
     # contract): the regex split is non-cheap and the projections below
     # reference it repeatedly — inline it re-tokenizes per reference
-    tk = "__toks"
-    while tk in src.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
@@ -2445,9 +2440,9 @@ def kn_bigram_logprob(
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract: one regex split
     # per consumer branch instead of one per reference)
-    tk = "__toks"
-    while tk in src.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
@@ -2638,11 +2633,19 @@ def kn_bigram_score(
                 "kn_bigram_score: model must be a kn_bigram_fit relation "
                 f"with columns (w1, w2, ct) — missing {c!r}"
             )
+    # normalize the model first: an UNMERGED union of per-shard fits
+    # carries duplicate gram rows, and joining totals against them
+    # would fan out the corpus tf join (double-counted events) while a
+    # dict-based consumer (kn_score_stream) sums them — aggregating
+    # here makes both readings identical and makes plain unionByName
+    # of shard fits a valid model with no manual merge step.  A merged
+    # model passes through unchanged (sum over one row).
+    model = model.groupBy("w1", "w2").agg(F.sum("ct").alias("ct"))
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract)
-    tk = "__toks"
-    while tk in src.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
@@ -2658,8 +2661,19 @@ def kn_bigram_score(
     bi_totals = bi_model.select(
         F.concat_ws(" ", "w1", "w2").alias("gram"), F.col("ct").alias("ct_bi")
     )
-    scalars = bi_model.agg(F.count("*").alias("n_types")).crossJoin(
-        model.where(F.col("w2").isNull()).agg(F.count("*").alias("v"))
+    scalars = (
+        bi_model.agg(F.count("*").alias("n_types"))
+        .crossJoin(
+            model.where(F.col("w2").isNull()).agg(F.count("*").alias("v"))
+        )
+        .crossJoin(
+            # a NULL w1 belongs to no model level and would silently
+            # pool into the prefix/vocabulary statistics — reject in
+            # the same lazy action
+            model.where(F.col("w1").isNull()).agg(
+                F.count("*").alias("__bad_w1")
+            )
+        )
     )
     # a model with no unigram (vocabulary) rows makes the continuation
     # denominator n_types+V degenerate (V=0 with n_types=0 divides by
@@ -2669,12 +2683,12 @@ def kn_bigram_score(
     scalars = scalars.select(
         "n_types",
         F.when(
-            F.col("v") <= 0,
+            (F.col("v") <= 0) | (F.col("__bad_w1") > 0),
             F.raise_error(
                 F.lit(
-                    "kn_bigram_score: model has no unigram rows (w2 IS "
-                    "NULL) — not a kn_bigram_fit relation; refit or "
-                    "include the vocabulary rows"
+                    "kn_bigram_score: model is not a kn_bigram_fit "
+                    "relation (no unigram vocabulary rows, or rows with "
+                    "NULL w1) — refit or repair the model"
                 )
             ).cast("long"),
         ).otherwise(F.col("v")).alias("v"),
@@ -2823,9 +2837,9 @@ def kn_trigram_logprob(
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract: one regex split
     # per consumer branch instead of one per reference)
-    tk = "__toks"
-    while tk in src.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
@@ -3102,11 +3116,16 @@ def kn_trigram_score(
                 "kn_trigram_score: model must be a kn_trigram_fit relation "
                 f"with columns (w1, w2, w3, ct) — missing {c!r}"
             )
+    # normalize first (the kn_bigram_score rule): an unmerged union of
+    # per-shard fits carries duplicate gram rows that would fan out the
+    # corpus tf join — aggregating makes plain unionByName of shard
+    # fits a valid model; a merged model passes through unchanged
+    model = model.groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract)
-    tk = "__toks"
-    while tk in src.columns:
-        tk = "_" + tk
+    from .sampling import _fresh_name
+
+    tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
@@ -3135,30 +3154,44 @@ def kn_trigram_score(
         F.concat_ws(" ", "w1", "w2", "w3").alias("tri"),
         F.col("ct").alias("ct_tri"),
     )
-    scalars = bi_model.agg(F.count("*").alias("n_types")).crossJoin(
-        model.where(F.col("w2").isNull() & F.col("w3").isNull()).agg(
-            F.count("*").alias("v")
+    scalars = (
+        bi_model.agg(F.count("*").alias("n_types"))
+        .crossJoin(
+            model.where(F.col("w2").isNull() & F.col("w3").isNull()).agg(
+                F.count("*").alias("v")
+            )
         )
-    ).crossJoin(
-        # malformed rows (w2 NULL, w3 non-NULL) belong to no model level
-        # and would silently vanish from every statistic — reject them
-        # in the same lazy scalars action (no extra pass)
-        model.where(F.col("w2").isNull() & F.col("w3").isNotNull()).agg(
-            F.count("*").alias("__bad")
+        .crossJoin(
+            # malformed rows — (w2 NULL, w3 set) belongs to no model
+            # level, NULL w1 pools into every statistic — reject them
+            # in the same lazy scalars action (no extra pass)
+            model.where(
+                (F.col("w2").isNull() & F.col("w3").isNotNull())
+                | F.col("w1").isNull()
+            ).agg(F.count("*").alias("__bad"))
+        )
+        .crossJoin(
+            tri_model.agg(F.count("*").alias("__n_tri"))
         )
     )
     # same contract as kn_bigram_score: vocabulary rows are required
-    # (the continuation denominator and the OOV floor need V), and the
-    # check is folded into the lazy scalars row
+    # (the continuation denominator and the OOV floor need V); a model
+    # with trigram rows but NO bigram level is impossible from a real
+    # fit (any 3-token doc has bigrams) and would silently collapse
+    # P1 to uniform 1/V — all folded into the lazy scalars row
     scalars = scalars.select(
         "n_types",
         F.when(
-            (F.col("v") <= 0) | (F.col("__bad") > 0),
+            (F.col("v") <= 0)
+            | (F.col("__bad") > 0)
+            | ((F.col("__n_tri") > 0) & (F.col("n_types") <= 0)),
             F.raise_error(
                 F.lit(
                     "kn_trigram_score: model is not a kn_trigram_fit "
-                    "relation (missing unigram vocabulary rows, or rows "
-                    "with w2 NULL but w3 set) — refit or repair the model"
+                    "relation (missing unigram vocabulary rows, rows with "
+                    "NULL w1 or with w2 NULL but w3 set, or a trigram "
+                    "level without its bigram level) — refit or repair "
+                    "the model"
                 )
             ).cast("long"),
         ).otherwise(F.col("v")).alias("v"),

@@ -793,6 +793,15 @@ def kn_score_stream(
                 "kn_score_stream: model must be a kn_bigram_fit relation "
                 f"with columns (w1, w2, ct) — missing {c!r}"
             )
+    clash = [
+        c for c in ("n_tokens", "nll_micro", "avg_nll") if c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"kn_score_stream: output column(s) {clash!r} already exist "
+            "on the stream — rename them first (the module's clash-guard "
+            "discipline; a silent overwrite would clobber caller data)"
+        )
     rows = model.limit(max_model_rows + 1).collect()
     if len(rows) > max_model_rows:
         raise ValueError(
@@ -801,13 +810,23 @@ def kn_score_stream(
             "kn_bigram_score, whose statistics stay relational"
         )
     bi_ct: dict = {}
-    v = 0
+    vocab: set = set()
     for r in rows:
+        if r["w1"] is None:
+            raise ValueError(
+                "kn_score_stream: model row with NULL w1 — not a "
+                "kn_bigram_fit relation; refit or repair the model"
+            )
         if r["w2"] is None:
-            v += 1
+            vocab.add(r["w1"])
         else:
+            # duplicate gram rows (an unmerged union of per-shard fits)
+            # merge here — counts sum, vocabulary rows dedup — the same
+            # normalization kn_bigram_score applies relationally, so
+            # both paths read shard unions identically
             k = (r["w1"], r["w2"])
             bi_ct[k] = bi_ct.get(k, 0) + int(r["ct"])
+    v = len(vocab)
     if v <= 0:
         raise ValueError(
             "kn_score_stream: model has no unigram rows (w2 IS NULL) — "
@@ -872,11 +891,17 @@ def kn_score_stream(
             return x
 
         for pdf in batches:
+            # tokenize as one pandas pass (the dsir_score_stream shape);
+            # the scoring itself stays a memoized loop on purpose — there
+            # is no md5 digest here to amortize, the per-gram work is a
+            # dict probe, and -ln runs once per distinct gram per task
+            tok_lists = (
+                pdf[text_col].fillna("").str.lower().str.findall(nonws)
+            )
             n_toks_out = []
             nll_out = []
             keep = []
-            for text in pdf[text_col]:
-                toks = nonws.findall(text.lower()) if text else []
+            for toks in tok_lists:
                 if not toks:
                     keep.append(False)
                     continue

@@ -1013,7 +1013,7 @@ def test_kn_score_rejects_model_without_vocab_rows(spark, sf_dir):
     no_vocab = spark.createDataFrame(
         [("a", "b", 2)], "w1 string, w2 string, ct long"
     )
-    with _pytest.raises(Exception, match="no unigram rows"):
+    with _pytest.raises(Exception, match="no unigram vocabulary rows"):
         kn_bigram_score(df, no_vocab).collect()
 
 
@@ -1355,3 +1355,53 @@ def test_kn_trigram_fit_score_yaml_stages(spark, sf_dir):
     assert {"doc_id", "n_tokens", "nll_micro", "avg_nll"} <= set(
         scored.columns
     )
+
+
+def test_kn_score_accepts_unmerged_shard_unions(spark, sf_dir):
+    """A plain unionByName of per-shard fits (no manual groupBy-sum)
+    scores identically to the merged model at BOTH orders — the score
+    operators normalize duplicate gram rows instead of fanning out the
+    corpus tf join (which silently double-counted events)."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import (
+        kn_bigram_fit,
+        kn_bigram_score,
+        kn_trigram_fit,
+        kn_trigram_score,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    for fit, score, keys in (
+        (kn_bigram_fit, kn_bigram_score, ["w1", "w2"]),
+        (kn_trigram_fit, kn_trigram_score, ["w1", "w2", "w3"]),
+    ):
+        a = fit(df.where("doc_id % 2 = 0"))
+        b = fit(df.where("doc_id % 2 = 1"))
+        raw_union = a.unionByName(b)
+        merged = raw_union.groupBy(*keys).agg(F.sum("ct").alias("ct"))
+        got = sorted(map(tuple, score(df, raw_union).collect()))
+        want = sorted(map(tuple, score(df, merged).collect()))
+        assert got == want, fit.__name__
+
+
+def test_kn_trigram_score_rejects_missing_bigram_level(spark, sf_dir):
+    """Trigram rows without their bigram level cannot come from a real
+    fit and would silently collapse P1 to uniform — loud error."""
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.text import kn_trigram_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    no_bi = spark.createDataFrame(
+        [("a", None, None, 1), ("a", "b", "c", 1)],
+        "w1 string, w2 string, w3 string, ct long",
+    )
+    with _pytest.raises(Exception, match="kn_trigram_fit relation"):
+        kn_trigram_score(df, no_bi).collect()
+    null_w1 = spark.createDataFrame(
+        [("a", None, None, 1), (None, "b", None, 1), ("a", "b", None, 1)],
+        "w1 string, w2 string, w3 string, ct long",
+    )
+    with _pytest.raises(Exception, match="kn_trigram_fit relation"):
+        kn_trigram_score(df, null_w1).collect()

@@ -920,3 +920,35 @@ def test_kn_score_stream_validation(spark):
         kn_score_stream(df, good, max_model_rows=1)
     with _pytest.raises(ValueError, match="discount"):
         kn_score_stream(df, good, discount=0.0)
+
+
+def test_kn_score_stream_clash_and_shard_union(spark, tmp_path):
+    """Output-name clash raises; an unmerged shard-union model scores
+    like the batch operator over the same union."""
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.text import kn_bigram_fit, kn_bigram_score
+    from aqueducts_spark.streaming.ops import kn_score_stream
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug"),
+         (3, "a cat on a rug"), (4, "qqq zzz the cat")],
+        "doc_id long, text string",
+    )
+    clash = docs.withColumn("n_tokens", docs.doc_id)
+    model = kn_bigram_fit(docs.where("doc_id % 2 = 0"))
+    with _pytest.raises(ValueError, match="already exist"):
+        kn_score_stream(clash, model)
+    union = kn_bigram_fit(docs.where("doc_id = 1")).unionByName(
+        kn_bigram_fit(docs.where("doc_id = 2"))
+    ).localCheckpoint(eager=True)
+    batch = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in kn_bigram_score(docs, union).collect()
+    }
+    # mapInPandas works on a static frame too — same scoring path
+    streamed = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in kn_score_stream(docs, union).collect()
+    }
+    assert streamed == batch
