@@ -2605,6 +2605,7 @@ def kn_bigram_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    cache_model: bool = True,
 ) -> DataFrame:
     """Score documents against an EXTERNAL :func:`kn_bigram_fit` model
     — the CCNet shape (the self-trained single-pass form is
@@ -2641,6 +2642,19 @@ def kn_bigram_score(
     # of shard fits a valid model with no manual merge step.  A merged
     # model passes through unchanged (sum over one row).
     model = model.groupBy("w1", "w2").agg(F.sum("ct").alias("ct"))
+    # the model relation feeds FOUR statistics subtrees below (totals,
+    # prefix stats, continuation counts, scalars) — on an unpersisted
+    # kn_bigram_fit each re-executes the whole fit lineage (no exchange
+    # reuse across the differently-re-aggregated consumers).  EAGER
+    # localCheckpoint (the connected_components/ivf precedent), not a
+    # lazy .cache(): concurrent consumers racing to fill a lazy cache
+    # inside one action measured SLOWER than plain recompute at sf0.1
+    # (10.0s vs 8.0s), while the eagerly-materialized model reads 6.0s
+    # total.  The checkpoint is gram-type-sized.  Pass
+    # ``cache_model=False`` when the model is a parquet read that
+    # needs no materialization.
+    if cache_model:
+        model = model.localCheckpoint(eager=True)
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract)
     from .sampling import _fresh_name
@@ -3079,6 +3093,7 @@ def kn_trigram_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    cache_model: bool = True,
 ) -> DataFrame:
     """Score documents against an EXTERNAL :func:`kn_trigram_fit` model
     — the CCNet shape one order up from :func:`kn_bigram_score`
@@ -3121,6 +3136,13 @@ def kn_trigram_score(
     # corpus tf join — aggregating makes plain unionByName of shard
     # fits a valid model; a merged model passes through unchanged
     model = model.groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
+    # the model feeds SIX statistics subtrees below — eagerly
+    # localCheckpoint the normalized, gram-type-sized relation so an
+    # unpersisted kn_trigram_fit lineage executes once (measured at
+    # sf0.1: duplicated model side ~4x the one-shot fit; lazy .cache()
+    # measured slower than recompute — see kn_bigram_score's note)
+    if cache_model:
+        model = model.localCheckpoint(eager=True)
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract)
     from .sampling import _fresh_name
