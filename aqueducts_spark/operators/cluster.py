@@ -41,6 +41,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Resolve components of an undirected edge list.
 
@@ -54,23 +55,31 @@ def connected_components(
     returning split components would make cluster_dedup keep several
     "canonical" copies of one duplicate cluster.  Convergence needs
     ~diameter rounds; raise ``max_iter`` for long chain-shaped graphs.
+
+    ``checkpoint_dir``: the per-round materializations default to
+    ``localCheckpoint`` (executor-local blocks — an executor lost
+    mid-iteration fails the job unrecoverably, acceptable on local[N]
+    or short jobs); pass a durable path to switch them to reliable
+    ``checkpoint()`` for long runs on preemptible fleets.
     """
     # the edge list is materialized ONCE: without the checkpoint every
     # round's join would re-execute the edge list's full upstream
     # lineage (for fuzzy_dedup that is the whole MinHash-LSH candidate
     # pipeline, once per round).  Edges are near-dup volume, not corpus
     # volume, so the materialization is small at any scale.
-    sym = (
+    from .materialize import materialize
+
+    sym = materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
-    labels = (
+    labels = materialize(
         sym.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        checkpoint_dir,
     )
     id_type = dict(labels.dtypes)["component"]
     # max_iter + 1: a component of diameter exactly max_iter applies
@@ -90,7 +99,7 @@ def connected_components(
         # carry each node's previous label through the aggregation so
         # convergence is a filter over the checkpointed output — not a
         # second join+shuffle of new vs old labels per round
-        new_labels = (
+        new_labels = materialize(
             labels.select(
                 "node", "component", F.col("component").alias("__old")
             )
@@ -99,8 +108,8 @@ def connected_components(
             .agg(
                 F.min("component").alias("component"),
                 F.min("__old").alias("__old"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         changed = new_labels.filter(F.col("component") < F.col("__old")).count()
         labels = new_labels.select("node", "component")
@@ -125,6 +134,7 @@ def cluster_dedup(
     dst: str = "id_b",
     keep_by: Optional[str] = None,
     descending: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Drop every near-duplicate except one representative per
     connected cluster of ``pairs``.
@@ -148,7 +158,9 @@ def cluster_dedup(
         raise ValueError(
             f"cluster_dedup: keep_by column {keep_by!r} not in df"
         )
-    cc = connected_components(pairs, src=src, dst=dst)
+    cc = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
     if keep_by is None:
         # representative = minimum id AMONG MEMBERS PRESENT IN df: the
         # component label (global min id) may have been filtered out

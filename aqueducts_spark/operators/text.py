@@ -2381,11 +2381,66 @@ def bigram_logprob(
 
 
 
+def _kn_true_grams(toks: Column, n: int) -> Column:
+    """Real n-grams only: :func:`word_ngrams_col` emits one partial
+    gram for docs shorter than ``n``; the slice drops it (empty array
+    for short docs), so explode sites need no ``size >= n`` filter."""
+    return F.slice(
+        word_ngrams_col(toks, n),
+        1,
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+    )
+
+
+def _kn_first_event(toks: Column) -> Column:
+    """Single-element ``[first_token]`` array, empty for empty docs.
+
+    The KN event/type tables need no explicit level tag: tokens
+    contain no whitespace (``normalized_tokens`` splits on it), so a
+    gram's word count IS its level — unigram, bigram and trigram key
+    spaces are disjoint by content.  Exploding plain string arrays
+    keeps the hot corpus pass in whole-stage codegen (struct-tagged
+    higher-order transforms evaluate interpreted).
+    """
+    return F.slice(toks, 1, F.least(F.size(toks), F.lit(1)))
+
+
+def _kn_second_event(toks: Column) -> Column:
+    """Single-element ``["t1 t2"]`` array (the document's first
+    bigram — the P2-scored event), empty for docs shorter than 2."""
+    return F.slice(
+        F.array(F.concat_ws(" ", F.slice(toks, 1, 2))),
+        1,
+        F.least(F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(1)),
+    )
+
+
+def _kn_per_doc(scored: DataFrame, id_col: str) -> DataFrame:
+    """Shared KN finisher: micro-nat integer sums per document plus the
+    derived ``avg_nll`` — identical column math across all four KN
+    scorers so their outputs stay mutually row-identical."""
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("events").cast("bigint").alias("n_tokens"),
+        F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_nll"),
+    )
+
+
 def kn_bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    cache_stats: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Self-trained **interpolated Kneser-Ney** bigram LM score per
     document — the smoothing family real perplexity filters use (CCNet
@@ -2417,21 +2472,30 @@ def kn_bigram_logprob(
     ``id, n_tokens, nll_micro, avg_nll``; empty/NULL-token documents
     produce no row.
 
-    Plan shape (same as bigram_logprob): the (doc, gram) tf table is
-    the ONE corpus-volume shuffle; every model statistic — bigram
-    totals, prefix totals + distinct-continuation counts (one groupBy
-    computes both), continuation counts, type/vocab scalars — is a
-    re-aggregation of that reduced gram-type table.  Scoring is
-    TYPE-FIRST: ``-ln P(w2|w1)`` is assembled per DISTINCT bigram by
-    joining the type-sized statistics among themselves, and the
-    (doc, gram) tf table pays exactly ONE plain-key equi-join against
-    that scored type table — the corpus-volume relation never walks
-    an expression-keyed join chain (at cluster scale each such join
-    is a corpus re-shuffle on a derived key; here the wide side
-    shuffles once, on the same ``gram`` key its groupBy already
-    hashed).  The double ``-ln P`` is computed from the same column
-    inputs either way, so per-doc micro-nat sums are bit-identical
-    to the row-first form.
+    Plan shape (r8): the per-doc EVENT table — ``[first_token] ++
+    bigrams`` exploded into one ``(doc, gram) -> tf`` shuffle — is the
+    only corpus-volume shuffle; levels need no tag because tokens
+    contain no whitespace, so the unigram/bigram key spaces are
+    disjoint by content.  The gram TYPE table (the same explode
+    reduced by gram alone) is an independent subtree AQE schedules
+    concurrently, eagerly materialized type-sized (its single-word
+    rows are exactly the first-token vocabulary the lvl-1 scores
+    need, and every corpus word is a first token or the 2nd word of
+    some bigram type, so V needs no unigram corpus pass).  Every statistic is a
+    small groupBy of the materialized type table joined back by plain
+    equality — the joins broadcast at gate scale (pipelining into one
+    codegen stage, measured ~5x faster than the window-based form
+    whose tiny shuffles serialize) and degrade to hash joins of
+    type-sized tables at cluster scale.  ``-ln P`` per distinct gram
+    is computed once; the corpus pays exactly one more equi-join on
+    ``gram``.  The double ``-ln P`` is computed from the same integer
+    column inputs as the row-first form, so per-doc micro-nat sums
+    are bit-identical.
+
+    ``cache_stats=False`` skips the type-table materialization (pure
+    lazy plan, e.g. for EXPLAIN); ``checkpoint_dir`` switches it
+    from executor-local ``localCheckpoint`` blocks to a reliable
+    ``checkpoint()`` that survives executor loss at cluster scale.
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -2440,6 +2504,7 @@ def kn_bigram_logprob(
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract: one regex split
     # per consumer branch instead of one per reference)
+    from .materialize import materialize
     from .sampling import _fresh_name
 
     tk = _fresh_name("__toks", src.columns)
@@ -2447,114 +2512,99 @@ def kn_bigram_logprob(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    d_ = F.lit(float(discount))
 
-    uni_totals = (
-        toked.select(F.explode(toks).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("ct"))
-    )
-    # (doc, gram) tf: the one corpus-volume shuffle
-    bi_tf = (
-        toked.where(F.size(toks) >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams_col(toks, 2)).alias("gram"),
-        )
+    # ---- the corpus-volume pass: per-doc events -> tf ----------------
+    # deliberately NOT materialized: the event pass and the type pass
+    # below are independent subtrees AQE schedules concurrently, and
+    # recomputing a scan+explode measured faster at sf0.1 than paying
+    # localCheckpoint store+read (the module's recompute-beats-caching
+    # rule); at cluster scale it is one extra linear pass, not a
+    # shuffle
+    ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
+    events = (
+        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
-    bi_totals = bi_tf.groupBy("gram").agg(F.sum("tf").alias("ct_bi"))
-    # one groupBy yields BOTH prefix statistics: total mass c(w1.) and
-    # the distinct-continuation count N1+(w1,.) (rows of bi_totals ARE
-    # distinct (w1,w2) types)
-    prefix_stats = bi_totals.groupBy(
-        F.split(F.col("gram"), " ")[0].alias("prefix")
-    ).agg(
-        F.sum("ct_bi").alias("ct_prefix"),
-        F.count("*").alias("n1p_fwd"),
+    # gram TYPE table (type-sized, same explode reduced by gram alone);
+    # materialized because four statistics consumers re-aggregate it
+    # and AQE does not reuse a shared exchange across consumers
+    types0 = (
+        toked.select(F.explode(ev_arr).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ct"))
     )
-    cont_counts = bi_totals.groupBy(
-        F.split(F.col("gram"), " ")[1].alias("cont")
-    ).agg(F.count("*").alias("n1p_bwd"))
-    scalars = bi_totals.agg(F.count("*").alias("n_types")).crossJoin(
-        uni_totals.agg(F.count("*").alias("v"))
+    if cache_stats:
+        types0 = materialize(types0, checkpoint_dir)
+
+    is2 = F.col("gram").contains(" ")
+    s0 = F.split(F.col("gram"), " ")[0]
+    s1 = F.split(F.col("gram"), " ")[1]
+    bi = types0.where(is2)
+    prefix_stats = bi.groupBy(s0.alias("prefix")).agg(
+        F.sum("ct").alias("ct_prefix"), F.count("*").alias("n1p_fwd")
+    )
+    cont_counts = bi.groupBy(s1.alias("cont")).agg(
+        F.count("*").alias("n1p_bwd")
+    )
+    # scalars in ONE tiny aggregate over the word-exploded type table:
+    # count_distinct(w) IS the vocabulary size V (first tokens plus
+    # both words of every bigram type cover every corpus token) and
+    # count_distinct(gram | bigram) is N1+(..) = n_types
+    exploded = types0.select(
+        "gram",
+        is2.alias("__b"),
+        F.explode(
+            F.when(is2, F.array(s0, s1)).otherwise(F.array(F.col("gram")))
+        ).alias("w"),
+    )
+    scalars = exploded.agg(
+        F.coalesce(
+            F.count_distinct(F.when(F.col("__b"), F.col("gram"))), F.lit(0)
+        ).alias("n_types"),
+        F.coalesce(F.count_distinct("w"), F.lit(0)).alias("v"),
     )
 
-    d_ = F.lit(float(discount))
-    pcont = (F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)) / (
-        F.col("n_types").cast("double") + F.col("v").cast("double")
-    )
-
-    first = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("cont"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
-    first_scored = (
-        first.join(cont_counts, "cont", "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
-    )
-
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
     p_bi = (
-        F.greatest(F.col("ct_bi").cast("double") - d_, F.lit(0.0))
+        F.greatest(F.col("ct").cast("double") - d_, F.lit(0.0))
         / F.col("ct_prefix").cast("double")
         + d_
         * F.col("n1p_fwd").cast("double")
         / F.col("ct_prefix").cast("double")
         * pcont
     )
-    # type-first scoring: -ln P per DISTINCT bigram over type-sized
-    # joins, then ONE plain-key join from the corpus-volume tf table
-    bi_scores = (
-        bi_totals.join(
-            prefix_stats, F.split(F.col("gram"), " ")[0] == F.col("prefix")
-        )
-        .join(
-            cont_counts,
-            F.split(F.col("gram"), " ")[1] == F.col("cont"),
-            "left",
-        )
+    # type rows ARE the distinct event grams (same explode), so the
+    # scored type table covers every event key; stat joins are plain
+    # left equi-joins on unique keys (no fanout)
+    k_pfx = F.when(is2, s0).otherwise(F.col("gram"))
+    k_last = F.when(is2, s1).otherwise(F.col("gram"))
+    scores = (
+        types0.join(prefix_stats, k_pfx == F.col("prefix"), "left")
+        .join(cont_counts, k_last == F.col("cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(F.col("gram"), (-F.log(p_bi)).alias("__nll_per_event"))
+        .select(
+            "gram",
+            F.when(~is2, -F.log(pcont)).otherwise(-F.log(p_bi)).alias(
+                "__nll"
+            ),
+        )
     )
-    bi_scored = bi_tf.join(bi_scores, "gram").select(
+
+    scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
         F.floor(
-            F.col("tf").cast("double")
-            * F.col("__nll_per_event")
-            * F.lit(1e6)
+            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
             + F.lit(0.5)
         )
         .cast("bigint")
         .alias("nll_micro"),
     )
-
-    per_doc = (
-        first_scored.unionByName(bi_scored)
-        .groupBy(id_col)
-        .agg(
-            F.sum("events").cast("bigint").alias("n_tokens"),
-            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
-        )
-    )
-    return per_doc.select(
-        F.col(id_col),
-        "n_tokens",
-        "nll_micro",
-        (
-            F.col("nll_micro").cast("double")
-            / (F.col("n_tokens").cast("double") * F.lit(1e6))
-        ).alias("avg_nll"),
-    )
-
+    return _kn_per_doc(scored, id_col)
 
 
 def kn_bigram_fit(
@@ -2572,31 +2622,34 @@ def kn_bigram_fit(
     model is MERGEABLE by construction: per-shard fits roll up with
     ``unionByName`` + ``groupBy(w1, w2).sum(ct)`` — counts are counts.
 
-    One tokenize pass, two aggregations off it (unigram + bigram
-    type counts); output size is the gram-type table, not the corpus.
+    ONE tokenize pass and one shuffle: unigram and bigram types explode
+    level-tagged into a single ``groupBy(lvl, gram)`` (the r8 shape —
+    the r7 form ran one corpus aggregation per level); output size is
+    the gram-type table, not the corpus.
     """
     src = ensure_parallelism(df)
-    # staged token array (word_ngrams_col contract)
+    # staged token array (word_ngrams_col contract); a gram's word
+    # count is its level (tokens contain no whitespace), so unigrams
+    # and bigrams share one explode + one groupBy
     toked = src.select(normalized_tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
-    uni = (
-        toked.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("ct"))
-        .select("w1", F.lit(None).cast("string").alias("w2"), "ct")
-    )
-    bi = (
-        toked.where(F.size(toks) >= 2)
-        .select(F.explode(word_ngrams_col(toks, 2)).alias("gram"))
+    is2 = F.col("gram").contains(" ")
+    return (
+        toked.select(
+            F.explode(F.concat(toks, _kn_true_grams(toks, 2))).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.count("*").alias("ct"))
         .select(
-            F.split(F.col("gram"), " ")[0].alias("w1"),
-            F.split(F.col("gram"), " ")[1].alias("w2"),
+            F.when(is2, F.split(F.col("gram"), " ")[0])
+            .otherwise(F.col("gram"))
+            .alias("w1"),
+            F.when(is2, F.split(F.col("gram"), " ")[1])
+            .otherwise(F.lit(None).cast("string"))
+            .alias("w2"),
             "ct",
         )
     )
-    return uni.unionByName(bi)
 
 
 def kn_bigram_score(
@@ -2606,6 +2659,7 @@ def kn_bigram_score(
     id_col: str = "doc_id",
     discount: float = 0.75,
     cache_model: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Score documents against an EXTERNAL :func:`kn_bigram_fit` model
     — the CCNet shape (the self-trained single-pass form is
@@ -2619,10 +2673,15 @@ def kn_bigram_score(
     ``p = Pcont(w2)``); an unseen bigram under a seen prefix gets pure
     discount mass ``lambda(w1) * Pcont(w2)``.
 
-    Plan shape: model statistics are gram-type-sized re-aggregations of
-    the model relation; the scored corpus pays ONE (doc, gram) shuffle
-    and joins those statistics.  Persist the model parquet once; every
-    daily crawl score reads it instead of re-fitting.
+    Plan shape (r8): the normalized model is eagerly materialized
+    (type-sized; ``checkpoint_dir`` selects the reliable form) and its
+    statistics are small groupBys of it; the corpus pays ONE
+    ``(doc, gram) -> tf`` shuffle, whose distinct grams (an
+    independent concurrent subtree) left-join the model statistics by plain
+    equality — NULL statistics are exactly the backoff semantics, and
+    the joins broadcast at gate scale / hash-join type-sized tables at
+    cluster scale.  Persist the model parquet once; every daily crawl
+    score reads it instead of re-fitting.
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -2634,70 +2693,57 @@ def kn_bigram_score(
                 "kn_bigram_score: model must be a kn_bigram_fit relation "
                 f"with columns (w1, w2, ct) — missing {c!r}"
             )
+    from .materialize import materialize
+    from .sampling import _fresh_name
+
     # normalize the model first: an UNMERGED union of per-shard fits
-    # carries duplicate gram rows, and joining totals against them
-    # would fan out the corpus tf join (double-counted events) while a
-    # dict-based consumer (kn_score_stream) sums them — aggregating
-    # here makes both readings identical and makes plain unionByName
-    # of shard fits a valid model with no manual merge step.  A merged
-    # model passes through unchanged (sum over one row).
+    # carries duplicate gram rows, and summing totals over them twice
+    # would double-count statistics while a dict-based consumer
+    # (kn_score_stream) sums them — aggregating here makes both
+    # readings identical and makes plain unionByName of shard fits a
+    # valid model with no manual merge step.  A merged model passes
+    # through unchanged (sum over one row).
     model = model.groupBy("w1", "w2").agg(F.sum("ct").alias("ct"))
-    # the model relation feeds FOUR statistics subtrees below (totals,
-    # prefix stats, continuation counts, scalars) — on an unpersisted
-    # kn_bigram_fit each re-executes the whole fit lineage (no exchange
-    # reuse across the differently-re-aggregated consumers).  EAGER
-    # localCheckpoint (the connected_components/ivf precedent), not a
-    # lazy .cache(): concurrent consumers racing to fill a lazy cache
-    # inside one action measured SLOWER than plain recompute at sf0.1
-    # (10.0s vs 8.0s), while the eagerly-materialized model reads 6.0s
-    # total.  The checkpoint is gram-type-sized.  Pass
+    # eagerly materialize the normalized model (type-sized): it feeds
+    # several statistics subtrees below — on an unpersisted
+    # kn_bigram_fit each would re-execute the whole fit lineage.
+    # EAGER materialization, not a lazy .cache(): concurrent consumers
+    # racing to fill a lazy cache inside one action measured SLOWER
+    # than plain recompute at sf0.1 (10.0s vs 8.0s).  Pass
     # ``cache_model=False`` when the model is a parquet read that
     # needs no materialization.
     if cache_model:
-        model = model.localCheckpoint(eager=True)
+        model = materialize(model, checkpoint_dir)
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract)
-    from .sampling import _fresh_name
-
     tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    d_ = F.lit(float(discount))
 
-    bi_model = model.where(F.col("w2").isNotNull())
-    prefix_stats = bi_model.groupBy(F.col("w1").alias("prefix")).agg(
-        F.sum("ct").alias("ct_prefix"), F.count("*").alias("n1p_fwd")
-    )
-    cont_counts = bi_model.groupBy(F.col("w2").alias("cont")).agg(
-        F.count("*").alias("n1p_bwd")
-    )
-    bi_totals = bi_model.select(
-        F.concat_ws(" ", "w1", "w2").alias("gram"), F.col("ct").alias("ct_bi")
-    )
-    scalars = (
-        bi_model.agg(F.count("*").alias("n_types"))
-        .crossJoin(
-            model.where(F.col("w2").isNull()).agg(F.count("*").alias("v"))
-        )
-        .crossJoin(
-            # a NULL w1 belongs to no model level and would silently
-            # pool into the prefix/vocabulary statistics — reject in
-            # the same lazy action
-            model.where(F.col("w1").isNull()).agg(
-                F.count("*").alias("__bad_w1")
-            )
-        )
-    )
     # a model with no unigram (vocabulary) rows makes the continuation
     # denominator n_types+V degenerate (V=0 with n_types=0 divides by
-    # zero under ANSI; V=0 alone silently mis-floors OOV) — fail with
-    # the contract instead, folded into the lazy scalars row (no extra
-    # action)
-    scalars = scalars.select(
+    # zero under ANSI; V=0 alone silently mis-floors OOV); a NULL w1
+    # belongs to no model level and would silently pool into the
+    # prefix/vocabulary statistics — both rejected in the same lazy
+    # scalars action (no extra pass)
+    has2 = F.col("w2").isNotNull()
+    scalars = model.agg(
+        F.coalesce(F.sum(F.when(has2, F.lit(1))), F.lit(0)).alias(
+            "n_types"
+        ),
+        F.coalesce(F.sum(F.when(~has2, F.lit(1))), F.lit(0)).alias(
+            "__v_raw"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("w1").isNull(), F.lit(1))), F.lit(0)
+        ).alias("__bad_w1"),
+    ).select(
         "n_types",
         F.when(
-            (F.col("v") <= 0) | (F.col("__bad_w1") > 0),
+            (F.col("__v_raw") <= 0) | (F.col("__bad_w1") > 0),
             F.raise_error(
                 F.lit(
                     "kn_bigram_score: model is not a kn_bigram_fit "
@@ -2705,40 +2751,44 @@ def kn_bigram_score(
                     "NULL w1) — refit or repair the model"
                 )
             ).cast("long"),
-        ).otherwise(F.col("v")).alias("v"),
+        ).otherwise(F.col("__v_raw")).alias("v"),
     )
 
-    d_ = F.lit(float(discount))
-    pcont = (
-        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
-
-    first = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("cont"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
-    first_scored = (
-        first.join(cont_counts, "cont", "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
+    bi_model = model.where(has2)
+    bi_totals = bi_model.select(
+        F.concat_ws(" ", "w1", "w2").alias("bgram"),
+        F.col("ct").alias("ct_bi"),
+    )
+    prefix_stats = bi_model.groupBy(F.col("w1").alias("prefix")).agg(
+        F.sum("ct").alias("ct_prefix"), F.count("*").alias("n1p_fwd")
+    )
+    cont_counts = bi_model.groupBy(F.col("w2").alias("cont")).agg(
+        F.count("*").alias("n1p_bwd")
     )
 
-    bi_tf = (
-        toked.where(F.size(toks) >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams_col(toks, 2)).alias("gram"),
-        )
+    # corpus events: [first_token] ++ bigrams, one (doc, gram) shuffle;
+    # the distinct corpus grams are an INDEPENDENT subtree (AQE never
+    # reuses a shared exchange across consumers, so deriving them from
+    # the event table would re-execute the whole event pass serially;
+    # independent subtrees run concurrently and recompute of a
+    # scan+explode beats materialization — measured at sf0.1)
+    ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
+    events = (
+        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
+    ev_types = toked.select(F.explode(ev_arr).alias("gram")).distinct()
+
+    is2 = F.col("gram").contains(" ")
+    s0 = F.split(F.col("gram"), " ")[0]
+    s1 = F.split(F.col("gram"), " ")[1]
+    k_pfx = F.when(is2, s0).otherwise(F.col("gram"))
+    k_last = F.when(is2, s1).otherwise(F.col("gram"))
+
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
     # unseen bigram -> ct_bi 0 (pure discount mass); unseen prefix ->
     # the whole probability backs off to Pcont (main term 0, lambda 1)
     p_bi = F.when(
@@ -2755,49 +2805,29 @@ def kn_bigram_score(
         / F.col("ct_prefix").cast("double")
         * pcont
     )
-    bi_scored = (
-        bi_tf.join(bi_totals, "gram", "left")
-        .join(
-            prefix_stats,
-            F.split(F.col("gram"), " ")[0] == F.col("prefix"),
-            "left",
-        )
-        .join(
-            cont_counts,
-            F.split(F.col("gram"), " ")[1] == F.col("cont"),
-            "left",
-        )
+    scores = (
+        ev_types.join(bi_totals, F.col("gram") == F.col("bgram"), "left")
+        .join(prefix_stats, k_pfx == F.col("prefix"), "left")
+        .join(cont_counts, k_last == F.col("cont"), "left")
         .crossJoin(F.broadcast(scalars))
         .select(
-            F.col(id_col),
-            F.col("tf").cast("bigint").alias("events"),
-            F.floor(
-                F.col("tf").cast("double") * -F.log(p_bi) * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("nll_micro"),
+            "gram",
+            F.when(~is2, -F.log(pcont)).otherwise(-F.log(p_bi)).alias(
+                "__nll"
+            ),
         )
     )
-
-    per_doc = (
-        first_scored.unionByName(bi_scored)
-        .groupBy(id_col)
-        .agg(
-            F.sum("events").cast("bigint").alias("n_tokens"),
-            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
-        )
-    )
-    return per_doc.select(
+    scored = events.join(scores, "gram").select(
         F.col(id_col),
-        "n_tokens",
-        "nll_micro",
-        (
-            F.col("nll_micro").cast("double")
-            / (F.col("n_tokens").cast("double") * F.lit(1e6))
-        ).alias("avg_nll"),
+        F.col("tf").cast("bigint").alias("events"),
+        F.floor(
+            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("nll_micro"),
     )
-
+    return _kn_per_doc(scored, id_col)
 
 
 def kn_trigram_logprob(
@@ -2805,6 +2835,8 @@ def kn_trigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    cache_stats: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Self-trained **trigram** interpolated Kneser-Ney — the textbook
     three-level recursion (real perplexity filters score with KN
@@ -2832,17 +2864,24 @@ def kn_trigram_logprob(
     NLL scorers (``id, n_tokens, nll_micro, avg_nll``; empty docs emit
     no row); documents shorter than 3 tokens simply have no P3 events.
 
-    Plan shape: the (doc, trigram) tf table is the one corpus-volume
-    shuffle (plus the event-2 and first-token projections — each a
-    strict subset of the bigram scorer's cost shape); every model
-    statistic re-aggregates the trigram/bigram TYPE tables, and
-    scoring is TYPE-FIRST (the :func:`kn_bigram_logprob` shape):
-    ``-ln P3`` is assembled per DISTINCT trigram over type-sized
-    joins, and the corpus-volume tf table pays exactly one plain-key
-    equi-join against that scored type table instead of walking five
-    expression-keyed stat joins.  Two corpus tokenize passes total
-    (trigram + bigram events), by the module's
-    recompute-beats-caching rule.
+    Plan shape (r8 — the :func:`kn_bigram_logprob` shape one order
+    up): the per-doc EVENT table (``[t1]`` ++ ``["t1 t2"]`` ++
+    trigrams, one ``(doc, gram) -> tf`` shuffle) is the only
+    corpus-volume shuffle; a gram's word count is its level.  The
+    gram TYPE table (same explode reduced by gram alone) is an
+    independent concurrent subtree, eagerly materialized type-sized;
+    the bigram TYPE SET — needed for N1+(.,w)
+    and N1+(..) — is recovered from the type table without another
+    corpus pass (every corpus bigram is either some document's FIRST
+    bigram, i.e. a 2-word type row, or the leading/trailing pair of
+    some trigram type; likewise V's vocabulary is the first tokens
+    plus both words of every bigram in that set).  Every KN statistic
+    is a small groupBy of the materialized type tables joined back by
+    plain equality — broadcast-pipelined at gate scale (measured ~5x
+    faster than window-based tiny shuffles, which serialize), hash
+    joins of type-sized tables at cluster scale.  Same micro-nat
+    bit-identity argument as the bigram scorer.  ``cache_stats`` /
+    ``checkpoint_dir`` as in :func:`kn_bigram_logprob`.
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -2851,6 +2890,7 @@ def kn_trigram_logprob(
     src = ensure_parallelism(df)
     # staged token array (word_ngrams_col contract: one regex split
     # per consumer branch instead of one per reference)
+    from .materialize import materialize
     from .sampling import _fresh_name
 
     tk = _fresh_name("__toks", src.columns)
@@ -2859,61 +2899,82 @@ def kn_trigram_logprob(
     )
     toks = F.col(tk)
     d_ = F.lit(float(discount))
+    ev_arr = F.concat(
+        _kn_first_event(toks), _kn_second_event(toks), _kn_true_grams(toks, 3)
+    )
 
-    # ---- shared low-order statistics (bigram type table) -------------
-    uni_totals = (
-        toked.select(F.explode(toks).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("ct"))
-    )
-    bi_types = (
-        toked.where(F.size(toks) >= 2)
-        .select(F.explode(word_ngrams_col(toks, 2)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("ct_bi"))
-    )
-    cont_counts = bi_types.groupBy(
-        F.split(F.col("gram"), " ")[1].alias("cont")
-    ).agg(F.count("*").alias("n1p_bwd"))
-    scalars = bi_types.agg(F.count("*").alias("n_types")).crossJoin(
-        uni_totals.agg(F.count("*").alias("v"))
-    )
-    pcont = (
-        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
-
-    # ---- trigram type table and its derived statistics ---------------
-    tri_tf = (
-        toked.where(F.size(toks) >= 3)
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams_col(toks, 3)).alias("tri"),
-        )
-        .groupBy(id_col, "tri")
+    # ---- the corpus-volume pass: per-doc events -> tf ----------------
+    # NOT materialized, and the type table is an independent subtree —
+    # see kn_bigram_logprob on AQE concurrency vs exchange reuse
+    events = (
+        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
+        .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
-    tri_types = tri_tf.groupBy("tri").agg(F.sum("tf").alias("ct_tri"))
-    w1 = F.split(F.col("tri"), " ")[0]
-    w2 = F.split(F.col("tri"), " ")[1]
-    w3 = F.split(F.col("tri"), " ")[2]
-    # top level: prefix mass and distinct continuations of (w1,w2)
-    top_prefix = tri_types.groupBy(
-        F.concat_ws(" ", w1, w2).alias("pfx12")
-    ).agg(F.sum("ct_tri").alias("ct_pfx12"), F.count("*").alias("n1p_top"))
-    # mid level (continuation counts): rows of the trigram TYPE table
-    # grouped by the trailing bigram count its distinct predecessors
-    mid_bi = tri_types.groupBy(
-        F.concat_ws(" ", w2, w3).alias("big23")
-    ).agg(F.count("*").alias("n1p_mid_bi"))
+    types0 = (
+        toked.select(F.explode(ev_arr).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ct"))
+    )
+    if cache_stats:
+        types0 = materialize(types0, checkpoint_dir)
+
+    nw = F.size(F.split(F.col("gram"), " "))
+    s0 = F.split(F.col("gram"), " ")[0]
+    s1 = F.split(F.col("gram"), " ")[1]
+    s2 = F.split(F.col("gram"), " ")[2]
+    tri = types0.where(nw == 3)
+    # top level: prefix mass + distinct continuations of (w1,w2)
+    top_prefix = tri.groupBy(F.concat_ws(" ", s0, s1).alias("pfx12")).agg(
+        F.sum("ct").alias("ct_pfx12"), F.count("*").alias("n1p_top")
+    )
+    # mid level (continuation counts): trigram TYPE rows grouped by the
+    # trailing bigram count its distinct predecessors; their per-w2
+    # sum and count are N1+(.w2.) and N1+mid(w2)
+    mid_bi = tri.groupBy(F.concat_ws(" ", s1, s2).alias("big23")).agg(
+        F.count("*").alias("n1p_mid_bi")
+    )
     mid_w2 = mid_bi.groupBy(
-        F.split(F.col("big23"), " ")[0].alias("mid_w2")
+        F.split(F.col("big23"), " ")[0].alias("mid_w")
     ).agg(
         F.sum("n1p_mid_bi").alias("n1p_mid_tot"),
         F.count("*").alias("n1p_mid_fwd"),
     )
+    # the complete bigram TYPE SET (counts are never needed — only
+    # distinct-neighbor statistics): first bigrams ∪ leading pairs ∪
+    # trailing pairs of trigram types
+    bi_set = (
+        types0.where(nw == 2)
+        .select("gram")
+        .union(tri.select(F.concat_ws(" ", s0, s1)))
+        .union(tri.select(F.concat_ws(" ", s1, s2)))
+        .distinct()
+    )
+    cont_counts = bi_set.groupBy(
+        F.split(F.col("gram"), " ")[1].alias("cont")
+    ).agg(F.count("*").alias("n1p_bwd"))
+    # scalars in ONE tiny aggregate over the word-exploded bigram set
+    # plus first tokens: count_distinct(gram | bigram) = N1+(..), and
+    # count_distinct(w) = V (every corpus word is a first token or the
+    # 2nd word of some bigram; trigram words add nothing new)
+    exploded = bi_set.select(
+        "gram", F.lit(True).alias("__b"), F.explode(F.array(s0, s1)).alias("w")
+    ).unionByName(
+        types0.where(nw == 1).select(
+            "gram", F.lit(False).alias("__b"), F.col("gram").alias("w")
+        )
+    )
+    scalars = exploded.agg(
+        F.coalesce(
+            F.count_distinct(F.when(F.col("__b"), F.col("gram"))), F.lit(0)
+        ).alias("n_types"),
+        F.coalesce(F.count_distinct("w"), F.lit(0)).alias("v"),
+    )
 
-    # P2(b|a) as a reusable column expression over joined stats columns
-    # (n1p_mid_bi for (a,b), n1p_mid_tot/n1p_mid_fwd for a, pcont for b)
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
+
     def p2_expr():
         backoff = pcont
         seen = (
@@ -2932,100 +2993,52 @@ def kn_trigram_logprob(
             backoff,
         ).otherwise(seen)
 
-    # ---- event 1: first token by P1 ----------------------------------
-    first = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("cont"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
-    first_scored = (
-        first.join(cont_counts, "cont", "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
-    )
-
-    # ---- event 2: second token by P2(t2|t1) ---------------------------
-    second = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("t1"),
-        F.element_at(toks, 2).alias("t2"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") >= 2)
-    second_scored = (
-        second.withColumn("big23", F.concat_ws(" ", "t1", "t2"))
-        .join(mid_bi, "big23", "left")
-        .join(mid_w2, second["t1"] == F.col("mid_w2"), "left")
-        .join(cont_counts, second["t2"] == F.col("cont"), "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(-F.log(p2_expr()) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
-    )
-
-    # ---- events 3..n: P3 over the (doc, trigram) tf table -------------
     p3 = (
-        F.greatest(F.col("ct_tri").cast("double") - d_, F.lit(0.0))
+        F.greatest(F.col("ct").cast("double") - d_, F.lit(0.0))
         / F.col("ct_pfx12").cast("double")
         + d_
         * F.col("n1p_top").cast("double")
         / F.col("ct_pfx12").cast("double")
         * p2_expr()
     )
-    # type-first scoring (the kn_bigram_logprob shape): -ln P3 per
-    # DISTINCT trigram over type-sized joins, then ONE plain-key join
-    # from the corpus-volume (doc, trigram) tf table — the wide side
-    # never walks the five expression-keyed stat joins
-    tri_scores = (
-        tri_types.join(
-            top_prefix, F.concat_ws(" ", w1, w2) == F.col("pfx12")
-        )
-        .join(mid_bi, F.concat_ws(" ", w2, w3) == F.col("big23"), "left")
-        .join(mid_w2, w2 == F.col("mid_w2"), "left")
-        .join(cont_counts, w3 == F.col("cont"), "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(F.col("tri"), (-F.log(p3)).alias("__nll_per_event"))
+    # type rows ARE the distinct event grams (same explode); each stat
+    # join is a left equi-join on a unique key (no fanout), keyed by
+    # the level-conditional expression — rows of other levels simply
+    # miss and read NULLs their branch never uses
+    k_last = F.when(nw == 3, s2).when(nw == 2, s1).otherwise(F.col("gram"))
+    k_tail2 = F.when(nw == 3, F.concat_ws(" ", s1, s2)).otherwise(
+        F.col("gram")
     )
-    tri_scored = tri_tf.join(tri_scores, "tri").select(
+    k_mid = F.when(nw == 3, s1).when(nw == 2, s0).otherwise(F.col("gram"))
+    k_pfx = F.when(nw == 3, F.concat_ws(" ", s0, s1)).otherwise(
+        F.col("gram")
+    )
+    scores = (
+        types0.join(top_prefix, k_pfx == F.col("pfx12"), "left")
+        .join(mid_bi, k_tail2 == F.col("big23"), "left")
+        .join(mid_w2, k_mid == F.col("mid_w"), "left")
+        .join(cont_counts, k_last == F.col("cont"), "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "gram",
+            F.when(nw == 1, -F.log(pcont))
+            .when(nw == 2, -F.log(p2_expr()))
+            .otherwise(-F.log(p3))
+            .alias("__nll"),
+        )
+    )
+
+    scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
         F.floor(
-            F.col("tf").cast("double")
-            * F.col("__nll_per_event")
-            * F.lit(1e6)
+            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
             + F.lit(0.5)
         )
         .cast("bigint")
         .alias("nll_micro"),
     )
-
-    per_doc = (
-        first_scored.unionByName(second_scored)
-        .unionByName(tri_scored)
-        .groupBy(id_col)
-        .agg(
-            F.sum("events").cast("bigint").alias("n_tokens"),
-            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
-        )
-    )
-    return per_doc.select(
-        F.col(id_col),
-        "n_tokens",
-        "nll_micro",
-        (
-            F.col("nll_micro").cast("double")
-            / (F.col("n_tokens").cast("double") * F.lit(1e6))
-        ).alias("avg_nll"),
-    )
+    return _kn_per_doc(scored, id_col)
 
 
 def kn_trigram_fit(
@@ -3046,45 +3059,39 @@ def kn_trigram_fit(
     up with ``unionByName`` + ``groupBy(w1, w2, w3).sum(ct)`` — a
     merged derived count would double-count shared neighbors).
 
-    One tokenize pass (staged token column), three aggregations off
-    it; output size is the trigram-type table, not the corpus.
+    ONE tokenize pass and one shuffle: all three levels explode
+    level-tagged into a single ``groupBy(lvl, gram)`` (the r8 shape —
+    the r7 form ran one corpus aggregation per level); output size is
+    the trigram-type table, not the corpus.
     """
     src = ensure_parallelism(df)
-    # staged token array (word_ngrams_col contract)
+    # staged token array (word_ngrams_col contract); a gram's word
+    # count is its level (tokens contain no whitespace), so all three
+    # levels share one explode + one groupBy
     toked = src.select(normalized_tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     null_s = F.lit(None).cast("string")
-    uni = (
-        toked.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("ct"))
-        .select("w1", null_s.alias("w2"), null_s.alias("w3"), "ct")
-    )
-    bi = (
-        toked.where(F.size(toks) >= 2)
-        .select(F.explode(word_ngrams_col(toks, 2)).alias("gram"))
+    nw = F.size(F.split(F.col("gram"), " "))
+    s0 = F.split(F.col("gram"), " ")[0]
+    s1 = F.split(F.col("gram"), " ")[1]
+    s2 = F.split(F.col("gram"), " ")[2]
+    return (
+        toked.select(
+            F.explode(
+                F.concat(
+                    toks, _kn_true_grams(toks, 2), _kn_true_grams(toks, 3)
+                )
+            ).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.count("*").alias("ct"))
         .select(
-            F.split(F.col("gram"), " ")[0].alias("w1"),
-            F.split(F.col("gram"), " ")[1].alias("w2"),
-            null_s.alias("w3"),
+            F.when(nw == 1, F.col("gram")).otherwise(s0).alias("w1"),
+            F.when(nw == 1, null_s).otherwise(s1).alias("w2"),
+            F.when(nw == 3, s2).otherwise(null_s).alias("w3"),
             "ct",
         )
     )
-    tri = (
-        toked.where(F.size(toks) >= 3)
-        .select(F.explode(word_ngrams_col(toks, 3)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("ct"))
-        .select(
-            F.split(F.col("gram"), " ")[0].alias("w1"),
-            F.split(F.col("gram"), " ")[1].alias("w2"),
-            F.split(F.col("gram"), " ")[2].alias("w3"),
-            "ct",
-        )
-    )
-    return uni.unionByName(bi).unionByName(tri)
 
 
 def kn_trigram_score(
@@ -3094,6 +3101,7 @@ def kn_trigram_score(
     id_col: str = "doc_id",
     discount: float = 0.75,
     cache_model: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Score documents against an EXTERNAL :func:`kn_trigram_fit` model
     — the CCNet shape one order up from :func:`kn_bigram_score`
@@ -3113,13 +3121,16 @@ def kn_trigram_score(
       discount mass is all of it);
     * unseen trigram under a seen prefix: P3's pure discount mass.
 
-    Plan shape: model statistics are type-sized re-aggregations of the
-    model relation; the corpus pays its (doc, trigram) tf shuffle plus
-    one distinct over the tf table's grams, ``-ln P3`` is assembled
-    TYPE-FIRST per distinct CORPUS trigram (left joins — corpus grams
-    may be absent from the model), and the tf table takes one
-    plain-key equi-join against the scored types.  Persist the model
-    parquet once; daily crawls score against it instead of re-fitting.
+    Plan shape (r8, the :func:`kn_bigram_score` shape one order up):
+    the normalized model is eagerly materialized (type-sized;
+    ``checkpoint_dir`` selects the reliable form) and every KN
+    statistic is a small groupBy of it; the corpus pays ONE
+    ``(doc, gram) -> tf`` shuffle whose distinct grams (an independent
+    concurrent subtree) left-join the statistics by plain equality —
+    NULL statistics are exactly the backoff semantics.  The joins
+    broadcast at gate scale and hash-join type-sized tables at
+    cluster scale.  Persist the model parquet once; daily crawls score
+    against it instead of re-fitting.
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -3131,22 +3142,21 @@ def kn_trigram_score(
                 "kn_trigram_score: model must be a kn_trigram_fit relation "
                 f"with columns (w1, w2, w3, ct) — missing {c!r}"
             )
-    # normalize first (the kn_bigram_score rule): an unmerged union of
-    # per-shard fits carries duplicate gram rows that would fan out the
-    # corpus tf join — aggregating makes plain unionByName of shard
-    # fits a valid model; a merged model passes through unchanged
-    model = model.groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
-    # the model feeds SIX statistics subtrees below — eagerly
-    # localCheckpoint the normalized, gram-type-sized relation so an
-    # unpersisted kn_trigram_fit lineage executes once (measured at
-    # sf0.1: duplicated model side ~4x the one-shot fit; lazy .cache()
-    # measured slower than recompute — see kn_bigram_score's note)
-    if cache_model:
-        model = model.localCheckpoint(eager=True)
-    src = ensure_parallelism(df)
-    # staged token array (word_ngrams_col contract)
+    from .materialize import materialize
     from .sampling import _fresh_name
 
+    # normalize first (the kn_bigram_score rule): an unmerged union of
+    # per-shard fits carries duplicate gram rows that would double-count
+    # statistics — aggregating makes plain unionByName of shard fits a
+    # valid model; a merged model passes through unchanged
+    model = model.groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
+    # eager materialization of the normalized, gram-type-sized relation
+    # so an unpersisted kn_trigram_fit lineage executes once (lazy
+    # .cache() measured slower than recompute — kn_bigram_score's note)
+    if cache_model:
+        model = materialize(model, checkpoint_dir)
+    src = ensure_parallelism(df)
+    # staged token array (word_ngrams_col contract)
     tk = _fresh_name("__toks", src.columns)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
@@ -3154,57 +3164,34 @@ def kn_trigram_score(
     toks = F.col(tk)
     d_ = F.lit(float(discount))
 
-    tri_model = model.where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
-    bi_model = model.where(F.col("w2").isNotNull() & F.col("w3").isNull())
-    # ---- model statistics (all type-sized re-aggregations) -----------
-    top_prefix = tri_model.groupBy(
-        F.concat_ws(" ", "w1", "w2").alias("pfx12")
-    ).agg(F.sum("ct").alias("ct_pfx12"), F.count("*").alias("n1p_top"))
-    mid_bi = tri_model.groupBy(
-        F.concat_ws(" ", "w2", "w3").alias("big23")
-    ).agg(F.count("*").alias("n1p_mid_bi"))
-    mid_w2 = mid_bi.groupBy(
-        F.split(F.col("big23"), " ")[0].alias("mid_w2")
-    ).agg(
-        F.sum("n1p_mid_bi").alias("n1p_mid_tot"),
-        F.count("*").alias("n1p_mid_fwd"),
-    )
-    cont_counts = bi_model.groupBy(F.col("w2").alias("cont")).agg(
-        F.count("*").alias("n1p_bwd")
-    )
-    tri_totals = tri_model.select(
-        F.concat_ws(" ", "w1", "w2", "w3").alias("tri"),
-        F.col("ct").alias("ct_tri"),
-    )
-    scalars = (
-        bi_model.agg(F.count("*").alias("n_types"))
-        .crossJoin(
-            model.where(F.col("w2").isNull() & F.col("w3").isNull()).agg(
-                F.count("*").alias("v")
-            )
-        )
-        .crossJoin(
-            # malformed rows — (w2 NULL, w3 set) belongs to no model
-            # level, NULL w1 pools into every statistic — reject them
-            # in the same lazy scalars action (no extra pass)
-            model.where(
-                (F.col("w2").isNull() & F.col("w3").isNotNull())
-                | F.col("w1").isNull()
-            ).agg(F.count("*").alias("__bad"))
-        )
-        .crossJoin(
-            tri_model.agg(F.count("*").alias("__n_tri"))
-        )
-    )
+    has3 = F.col("w3").isNotNull()
+    has2 = F.col("w2").isNotNull()
     # same contract as kn_bigram_score: vocabulary rows are required
-    # (the continuation denominator and the OOV floor need V); a model
-    # with trigram rows but NO bigram level is impossible from a real
-    # fit (any 3-token doc has bigrams) and would silently collapse
-    # P1 to uniform 1/V — all folded into the lazy scalars row
-    scalars = scalars.select(
+    # (the continuation denominator and the OOV floor need V); rows
+    # with (w2 NULL, w3 set) or NULL w1 belong to no model level; a
+    # trigram level without its bigram level is impossible from a real
+    # fit and would silently collapse P1 to uniform 1/V — all rejected
+    # in the same lazy scalars action (no extra pass)
+    scalars = model.agg(
+        F.coalesce(
+            F.sum(F.when(has2 & ~has3, F.lit(1))), F.lit(0)
+        ).alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(~has2 & ~has3, F.lit(1))), F.lit(0)
+        ).alias("__v_raw"),
+        F.coalesce(
+            F.sum(
+                F.when((~has2 & has3) | F.col("w1").isNull(), F.lit(1))
+            ),
+            F.lit(0),
+        ).alias("__bad"),
+        F.coalesce(F.sum(F.when(has2 & has3, F.lit(1))), F.lit(0)).alias(
+            "__n_tri"
+        ),
+    ).select(
         "n_types",
         F.when(
-            (F.col("v") <= 0)
+            (F.col("__v_raw") <= 0)
             | (F.col("__bad") > 0)
             | ((F.col("__n_tri") > 0) & (F.col("n_types") <= 0)),
             F.raise_error(
@@ -3216,7 +3203,55 @@ def kn_trigram_score(
                     "the model"
                 )
             ).cast("long"),
-        ).otherwise(F.col("v")).alias("v"),
+        ).otherwise(F.col("__v_raw")).alias("v"),
+    )
+
+    tri_model = model.where(has2 & has3)
+    bi_model = model.where(has2 & ~has3)
+    tri_totals = tri_model.select(
+        F.concat_ws(" ", "w1", "w2", "w3").alias("tgram"),
+        F.col("ct").alias("ct_tri"),
+    )
+    top_prefix = tri_model.groupBy(
+        F.concat_ws(" ", "w1", "w2").alias("pfx12")
+    ).agg(F.sum("ct").alias("ct_pfx12"), F.count("*").alias("n1p_top"))
+    mid_bi = tri_model.groupBy(
+        F.concat_ws(" ", "w2", "w3").alias("big23")
+    ).agg(F.count("*").alias("n1p_mid_bi"))
+    mid_w2 = mid_bi.groupBy(
+        F.split(F.col("big23"), " ")[0].alias("mid_w")
+    ).agg(
+        F.sum("n1p_mid_bi").alias("n1p_mid_tot"),
+        F.count("*").alias("n1p_mid_fwd"),
+    )
+    cont_counts = bi_model.groupBy(F.col("w2").alias("cont")).agg(
+        F.count("*").alias("n1p_bwd")
+    )
+
+    # corpus events: [t1] ++ ["t1 t2"] ++ trigrams, one (doc, gram)
+    # shuffle; the distinct corpus grams are an INDEPENDENT subtree —
+    # see kn_bigram_score on AQE concurrency vs exchange reuse
+    ev_arr = F.concat(
+        _kn_first_event(toks), _kn_second_event(toks), _kn_true_grams(toks, 3)
+    )
+    events = (
+        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    ev_types = toked.select(F.explode(ev_arr).alias("gram")).distinct()
+
+    nw = F.size(F.split(F.col("gram"), " "))
+    s0 = F.split(F.col("gram"), " ")[0]
+    s1 = F.split(F.col("gram"), " ")[1]
+    s2 = F.split(F.col("gram"), " ")[2]
+    k_last = F.when(nw == 3, s2).when(nw == 2, s1).otherwise(F.col("gram"))
+    k_tail2 = F.when(nw == 3, F.concat_ws(" ", s1, s2)).otherwise(
+        F.col("gram")
+    )
+    k_mid = F.when(nw == 3, s1).when(nw == 2, s0).otherwise(F.col("gram"))
+    k_pfx = F.when(nw == 3, F.concat_ws(" ", s0, s1)).otherwise(
+        F.col("gram")
     )
 
     pcont = (
@@ -3241,59 +3276,6 @@ def kn_trigram_score(
             backoff,
         ).otherwise(seen)
 
-    # ---- event 1: first token by P1 ----------------------------------
-    first = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("cont"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
-    first_scored = (
-        first.join(cont_counts, "cont", "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(-F.log(pcont) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
-    )
-
-    # ---- event 2: second token by P2(t2|t1) ---------------------------
-    second = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("t1"),
-        F.element_at(toks, 2).alias("t2"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") >= 2)
-    second_scored = (
-        second.withColumn("big23", F.concat_ws(" ", "t1", "t2"))
-        .join(mid_bi, "big23", "left")
-        .join(mid_w2, second["t1"] == F.col("mid_w2"), "left")
-        .join(cont_counts, second["t2"] == F.col("cont"), "left")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(-F.log(p2_expr()) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
-    )
-
-    # ---- events 3..n: P3, type-first over distinct CORPUS trigrams ----
-    tri_tf = (
-        toked.where(F.size(toks) >= 3)
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams_col(toks, 3)).alias("tri"),
-        )
-        .groupBy(id_col, "tri")
-        .agg(F.count("*").alias("tf"))
-    )
-    cw1 = F.split(F.col("tri"), " ")[0]
-    cw2 = F.split(F.col("tri"), " ")[1]
-    cw3 = F.split(F.col("tri"), " ")[2]
     # unseen trigram -> ct_tri 0 (pure discount mass); unseen prefix ->
     # the whole probability backs off to P2 (main term 0, lambda 1) —
     # the kn_bigram_score rule one order up
@@ -3308,50 +3290,32 @@ def kn_trigram_score(
         / F.col("ct_pfx12").cast("double")
         * p2_expr()
     )
-    tri_scores = (
-        tri_tf.select("tri")
-        .distinct()
-        .join(tri_totals, "tri", "left")
-        .join(
-            top_prefix, F.concat_ws(" ", cw1, cw2) == F.col("pfx12"), "left"
-        )
-        .join(mid_bi, F.concat_ws(" ", cw2, cw3) == F.col("big23"), "left")
-        .join(mid_w2, cw2 == F.col("mid_w2"), "left")
-        .join(cont_counts, cw3 == F.col("cont"), "left")
+    scores = (
+        ev_types.join(tri_totals, F.col("gram") == F.col("tgram"), "left")
+        .join(top_prefix, k_pfx == F.col("pfx12"), "left")
+        .join(mid_bi, k_tail2 == F.col("big23"), "left")
+        .join(mid_w2, k_mid == F.col("mid_w"), "left")
+        .join(cont_counts, k_last == F.col("cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(F.col("tri"), (-F.log(p3)).alias("__nll_per_event"))
+        .select(
+            "gram",
+            F.when(nw == 1, -F.log(pcont))
+            .when(nw == 2, -F.log(p2_expr()))
+            .otherwise(-F.log(p3))
+            .alias("__nll"),
+        )
     )
-    tri_scored = tri_tf.join(tri_scores, "tri").select(
+    scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
         F.floor(
-            F.col("tf").cast("double")
-            * F.col("__nll_per_event")
-            * F.lit(1e6)
+            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
             + F.lit(0.5)
         )
         .cast("bigint")
         .alias("nll_micro"),
     )
-
-    per_doc = (
-        first_scored.unionByName(second_scored)
-        .unionByName(tri_scored)
-        .groupBy(id_col)
-        .agg(
-            F.sum("events").cast("bigint").alias("n_tokens"),
-            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
-        )
-    )
-    return per_doc.select(
-        F.col(id_col),
-        "n_tokens",
-        "nll_micro",
-        (
-            F.col("nll_micro").cast("double")
-            / (F.col("n_tokens").cast("double") * F.lit(1e6))
-        ).alias("avg_nll"),
-    )
+    return _kn_per_doc(scored, id_col)
 
 
 # Unicode script blocks for script_profile, in PRECEDENCE order (the
