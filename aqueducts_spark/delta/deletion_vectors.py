@@ -1,0 +1,345 @@
+"""Delta Lake deletion-vector READ support (pure Python, spec-clean).
+
+Modern engines (delta-spark with ``delta.enableDeletionVectors``,
+Databricks photon, delta-rs — the reference pins a delta-rs rev that
+reads DVs, aqueducts/delta Cargo.toml:40) soft-delete rows by attaching
+a *deletion vector* to an ``add`` action instead of rewriting the file:
+a roaring bitmap of the ROW INDEXES within that parquet file that are
+logically deleted.  A reader must drop those positions.  Until r8 this
+engine refused such tables loudly; this module implements the read
+side.  The WRITE side stays refused: committing to a table whose
+``writerFeatures`` include ``deletionVectors`` requires DV-aware
+conflict handling this engine does not provide, and
+``check_writable`` rejects it.
+
+Format, per the public Delta protocol spec (PROTOCOL.md, "Deletion
+Vectors" + "RoaringBitmapArray format"):
+
+* The ``add.deletionVector`` descriptor:
+  ``{storageType, pathOrInlineDv, offset?, sizeInBytes, cardinality}``.
+  ``storageType``: ``"u"`` — file stored relative to the table root,
+  ``pathOrInlineDv`` is ``<random prefix><z85-encoded uuid>`` (the
+  LAST 20 chars are the Z85 UUID, anything before is a directory
+  prefix) naming ``[<prefix>/]deletion_vector_<uuid>.bin``;
+  ``"p"`` — ``pathOrInlineDv`` is an absolute path;
+  ``"i"`` — the DV bytes are inline, Z85-encoded in ``pathOrInlineDv``.
+* An on-disk DV file starts with a single format-version byte = 1.
+  Each DV within it is ``<int32 BE dataSize> <dataSize bytes>
+  <int32 BE CRC-32 of the data bytes>``, with ``offset`` pointing at
+  the size field and ``sizeInBytes`` equal to ``dataSize``.
+* The data bytes are a 64-bit **RoaringBitmapArray**, "portable"
+  serialization: ``<int32 LE magic = 1681511377> <int64 LE number of
+  32-bit bitmaps>`` then each bitmap in the standard 32-bit roaring
+  "portable" format (RoaringFormatSpec); the i-th bitmap holds the low
+  32 bits of values in ``[i * 2^32, (i+1) * 2^32)``.
+
+The standard 32-bit portable roaring format implemented by
+:func:`_read_roaring32`:
+
+* cookie ``12346`` (no run containers): ``<int32 LE cookie>
+  <int32 LE containerCount>``; or cookie ``12347``: low 16 bits of the
+  first int32 are 12347, high 16 bits are ``containerCount - 1``,
+  followed by ``ceil(containerCount / 8)`` bytes of run-container
+  flag bits.
+* descriptive header: per container ``<uint16 LE key>
+  <uint16 LE cardinality-1>``.
+* offset header (present when cookie is 12346, or containerCount >= 4):
+  per container ``<int32 LE start offset>`` (ignored here — containers
+  are read sequentially).
+* containers: run — ``<uint16 LE numRuns>`` then per run
+  ``<uint16 LE start> <uint16 LE length-1>``; array (cardinality <=
+  4096) — ``cardinality x uint16 LE``; bitmap — 1024 x ``uint64 LE``.
+
+Z85 is the ZeroMQ base-85 alphabet (RFC-32/Z85), 4 bytes -> 5 chars.
+
+Everything here is a pure function of bytes, so the Spark integration
+can run it either driver-side (tiny DVs) or inside an Arrow-batched
+``mapInPandas`` over the DV descriptors (the scale path — total output
+volume is the number of deleted rows, never the corpus).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+from typing import Iterator, Optional
+from uuid import UUID
+
+__all__ = [
+    "z85_decode",
+    "z85_encode",
+    "dv_relative_path",
+    "decode_dv_bytes",
+    "read_dv_descriptor",
+    "encode_dv_bytes",
+]
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+MAGIC_ROARING_ARRAY = 1681511377  # int32 LE, PROTOCOL.md
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+DV_FILE_FORMAT_VERSION = 1
+
+
+class DeletionVectorError(ValueError):
+    pass
+
+
+def z85_decode(text: str) -> bytes:
+    """Z85 decode (length must be a multiple of 5; 5 chars -> 4 bytes)."""
+    if len(text) % 5 != 0:
+        raise DeletionVectorError(
+            f"z85 string length {len(text)} is not a multiple of 5"
+        )
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        acc = 0
+        for ch in text[i : i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[ch]
+            except KeyError:
+                raise DeletionVectorError(
+                    f"invalid z85 character {ch!r}"
+                ) from None
+        if acc > 0xFFFFFFFF:
+            raise DeletionVectorError("z85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4 != 0:
+        raise DeletionVectorError(
+            f"z85 input length {len(data)} is not a multiple of 4"
+        )
+    chunks = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        grp = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            grp.append(_Z85_ALPHABET[rem])
+        chunks.append("".join(reversed(grp)))
+    return "".join(chunks)
+
+
+def dv_relative_path(path_or_inline: str) -> str:
+    """Relative file path for a ``storageType="u"`` descriptor: the last
+    20 chars are the Z85-encoded UUID, anything before is a directory
+    prefix (writers scatter DV files across prefixes for object-store
+    key distribution)."""
+    if len(path_or_inline) < 20:
+        raise DeletionVectorError(
+            f"storageType 'u' pathOrInlineDv too short: {path_or_inline!r}"
+        )
+    prefix, encoded = path_or_inline[:-20], path_or_inline[-20:]
+    uuid = UUID(bytes=z85_decode(encoded))
+    name = f"deletion_vector_{uuid}.bin"
+    return f"{prefix}/{name}" if prefix else name
+
+
+def _read_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit portable roaring bitmap at ``pos``; returns
+    (sorted values, next position)."""
+    (first,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    cookie = first & 0xFFFF
+    if cookie == _SERIAL_COOKIE_NO_RUN:
+        if first != _SERIAL_COOKIE_NO_RUN:
+            raise DeletionVectorError(
+                f"bad roaring cookie word {first:#x}"
+            )
+        (n_containers,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        run_flags = [False] * n_containers
+        has_offsets = True
+    elif cookie == _SERIAL_COOKIE:
+        n_containers = ((first >> 16) & 0xFFFF) + 1
+        nbytes = (n_containers + 7) // 8
+        bits = buf[pos : pos + nbytes]
+        pos += nbytes
+        run_flags = [
+            bool(bits[i >> 3] & (1 << (i & 7))) for i in range(n_containers)
+        ]
+        has_offsets = n_containers >= _NO_OFFSET_THRESHOLD
+    else:
+        raise DeletionVectorError(f"unknown roaring cookie {cookie}")
+    keys: list[int] = []
+    cards: list[int] = []
+    for _ in range(n_containers):
+        key, card_minus_1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys.append(key)
+        cards.append(card_minus_1 + 1)
+    if has_offsets:
+        pos += 4 * n_containers  # sequential read — offsets unused
+    values: list[int] = []
+    for idx in range(n_containers):
+        base = keys[idx] << 16
+        card = cards[idx]
+        if run_flags[idx]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length_minus_1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(
+                    base | v for v in range(start, start + length_minus_1 + 1)
+                )
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base | v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, word in enumerate(words):
+                while word:
+                    low = word & -word
+                    values.append(base | (wi << 6) | low.bit_length() - 1)
+                    word ^= low
+    return values, pos
+
+
+def decode_dv_bytes(data: bytes) -> list[int]:
+    """Row indexes of a serialized RoaringBitmapArray (the DV *data*
+    bytes — after the size prefix, before the checksum)."""
+    if len(data) < 12:
+        raise DeletionVectorError(
+            f"deletion vector too short ({len(data)} bytes)"
+        )
+    magic, n_bitmaps = struct.unpack_from("<iq", data, 0)
+    if magic != MAGIC_ROARING_ARRAY:
+        raise DeletionVectorError(
+            f"bad RoaringBitmapArray magic {magic} "
+            f"(expected {MAGIC_ROARING_ARRAY})"
+        )
+    pos = 12
+    out: list[int] = []
+    for i in range(n_bitmaps):
+        vals, pos = _read_roaring32(data, pos)
+        high = i << 32
+        out.extend(high | v for v in vals)
+    return out
+
+
+def read_dv_descriptor(root: Optional[str], dv: dict) -> list[int]:
+    """Deleted row indexes for one ``add.deletionVector`` descriptor.
+
+    ``root`` is the table root for relative ('u') storage; inline ('i')
+    needs no filesystem at all.  Verifies the file format version, the
+    declared ``sizeInBytes`` and the trailing CRC-32 before decoding —
+    a corrupt DV must fail loudly, not silently resurrect deleted rows.
+    """
+    storage = dv.get("storageType")
+    payload = dv.get("pathOrInlineDv") or ""
+    size = int(dv.get("sizeInBytes", -1))
+    if storage == "i":
+        data = z85_decode(payload)
+        if size >= 0:
+            data = data[:size]  # z85 pads to 4-byte groups
+        return _check_cardinality(decode_dv_bytes(data), dv)
+    if storage == "u":
+        if root is None:
+            raise DeletionVectorError(
+                "relative deletion vector needs a table root"
+            )
+        path = Path(root) / dv_relative_path(payload)
+    elif storage == "p":
+        path = Path(payload)
+    else:
+        raise DeletionVectorError(
+            f"unknown deletionVector storageType {storage!r}"
+        )
+    raw = path.read_bytes()
+    if not raw or raw[0] != DV_FILE_FORMAT_VERSION:
+        raise DeletionVectorError(
+            f"unsupported deletion-vector file version "
+            f"{raw[0] if raw else 'EMPTY'} in {path}"
+        )
+    offset = int(dv.get("offset") or 1)
+    (data_size,) = struct.unpack_from(">i", raw, offset)
+    if size >= 0 and data_size != size:
+        raise DeletionVectorError(
+            f"deletion vector size mismatch in {path}: header {data_size} "
+            f"!= descriptor sizeInBytes {size}"
+        )
+    data = raw[offset + 4 : offset + 4 + data_size]
+    (crc,) = struct.unpack_from(">I", raw, offset + 4 + data_size)
+    actual = zlib.crc32(data) & 0xFFFFFFFF
+    if crc != actual:
+        raise DeletionVectorError(
+            f"deletion vector checksum mismatch in {path}: "
+            f"stored {crc:#x} != computed {actual:#x}"
+        )
+    return _check_cardinality(decode_dv_bytes(data), dv)
+
+
+def _check_cardinality(rows: list[int], dv: dict) -> list[int]:
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(rows):
+        raise DeletionVectorError(
+            f"deletion vector cardinality mismatch: descriptor says "
+            f"{card}, bitmap holds {len(rows)}"
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# encoder (test fixtures + potential future write support)
+# ---------------------------------------------------------------------------
+
+
+def _write_roaring32(values: list[int]) -> bytes:
+    """Standard portable 32-bit roaring serialization, array/bitmap
+    containers (cookie 12346 — no run containers)."""
+    containers: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    out = bytearray()
+    out += struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offset header (mandatory for cookie 12346)
+    running = len(out) + 4 * len(keys)
+    for k in keys:
+        out += struct.pack("<i", running)
+        card = len(containers[k])
+        running += 2 * card if card <= 4096 else 8192
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= 4096:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            out += struct.pack("<1024Q", *words)
+    return bytes(out)
+
+
+def encode_dv_bytes(row_indexes: list[int]) -> bytes:
+    """Serialize row indexes as a portable RoaringBitmapArray (the DV
+    *data* bytes)."""
+    groups: dict[int, list[int]] = {}
+    for r in sorted(set(int(r) for r in row_indexes)):
+        if r < 0:
+            raise DeletionVectorError(f"negative row index {r}")
+        groups.setdefault(r >> 32, []).append(r & 0xFFFFFFFF)
+    if groups and max(groups) + 1 != len(groups):
+        # the portable array format is dense in bitmap index — pad
+        # missing high words with empty bitmaps
+        pass
+    n = (max(groups) + 1) if groups else 0
+    out = bytearray(struct.pack("<iq", MAGIC_ROARING_ARRAY, n))
+    for i in range(n):
+        out += _write_roaring32(groups.get(i, []))
+    return bytes(out)

@@ -58,7 +58,15 @@ CHECKPOINT_INTERVAL = 10
 
 # reader features this implementation understands; anything else in a
 # protocol-v3 readerFeatures list is refused loudly rather than misread
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "v2Checkpoint",
+    # r8: read-side deletion-vector support (delta/deletion_vectors.py)
+    # — rows whose positions appear in an add action's DV bitmap are
+    # filtered via _metadata.row_index; WRITES to DV tables stay
+    # refused (writerFeatures check in check_writable)
+    "deletionVectors",
+}
 # v2Checkpoint is accepted only when classic-named checkpoints exist too
 
 # writer features this implementation can honor when committing to a
@@ -568,12 +576,31 @@ class DeltaProtocolTable:
         data_struct = T.StructType(
             [f for f in struct.fields if f.name not in part_cols]
         )
+        # deletion vectors (r8): files whose add action carries a DV
+        # need position-level filtering — select the parquet reader's
+        # hidden _metadata (file_path, row_index) alongside the data
+        # and anti-join the decoded deleted positions afterwards
+        dv_files = {
+            p: a["deletionVector"]
+            for p, a in snap.files.items()
+            if a.get("deletionVector")
+            and int(a["deletionVector"].get("cardinality") or 0) > 0
+        }
+        meta = (
+            [
+                F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_row"),
+            ]
+            if dv_files
+            else []
+        )
         paths = sorted(snap.files)
         if not part_cols:
             df = self.spark.read.schema(data_struct).parquet(
                 *[str(self.root / p) for p in paths]
             )
-            return df.select(*[F.col(f.name) for f in struct.fields])
+            df = df.select(*[F.col(f.name) for f in struct.fields], *meta)
+            return self._apply_deletion_vectors(df, dv_files)
         if self._hive_consistent(snap, part_cols):
             # every file sits under its own col=value/... directory chain
             # (how this writer and delta-rs lay files out): one scan with
@@ -583,16 +610,75 @@ class DeltaProtocolTable:
                 .option("basePath", str(self.root))
                 .parquet(*[str(self.root / p) for p in paths])
             )
-            return df.select(*[F.col(f.name) for f in struct.fields])
+            df = df.select(*[F.col(f.name) for f in struct.fields], *meta)
+            return self._apply_deletion_vectors(df, dv_files)
         # authoritative fallback: the shared action-file reader groups
         # by partitionValues and reattaches partition columns as typed
         # literals (same code path as change_feed — one implementation
         # of partition reconstruction to keep correct)
         out = self._read_action_files(
-            list(snap.files.values()), struct, part_cols
+            list(snap.files.values()),
+            struct,
+            part_cols,
+            with_meta=bool(dv_files),
         )
         assert out is not None
-        return out
+        return self._apply_deletion_vectors(out, dv_files)
+
+    def _apply_deletion_vectors(
+        self, df: DataFrame, dv_files: dict[str, dict]
+    ) -> DataFrame:
+        """Filter out rows whose (file, row_index) appears in a deletion
+        vector.  ``df`` must carry ``__dv_file`` (the scan's
+        ``_metadata.file_path``) and ``__dv_row`` columns when
+        ``dv_files`` is non-empty; both are dropped on return.
+
+        The decode runs INSIDE Spark (Arrow-batched ``mapInPandas`` over
+        the per-file descriptors), so the only driver-side data is the
+        descriptor list itself (one row per file carrying a DV); the
+        decoded relation's volume is the number of deleted rows, and the
+        anti-join broadcasts it when small / shuffles when huge — never
+        the corpus more than once.
+        """
+        if not dv_files:
+            return df
+        root = str(self.root)
+        desc = self.spark.createDataFrame(
+            [
+                (str((self.root / p).resolve()), json.dumps(dv))
+                for p, dv in sorted(dv_files.items())
+            ],
+            "file_abs string, dv_json string",
+        )
+
+        def decode(batches):
+            import pandas as pd
+
+            from aqueducts_spark.delta.deletion_vectors import (
+                read_dv_descriptor,
+            )
+
+            for pdf in batches:
+                for fa, dj in zip(pdf["file_abs"], pdf["dv_json"]):
+                    idx = read_dv_descriptor(root, json.loads(dj))
+                    yield pd.DataFrame(
+                        {"__del_file": [fa] * len(idx), "__del_row": idx}
+                    )
+
+        deleted = desc.mapInPandas(
+            decode, "__del_file string, __del_row bigint"
+        )
+        # _metadata.file_path is a URI (file:/... locally); the
+        # descriptor side holds plain absolute paths — normalize the
+        # scheme away so the keys compare
+        norm_file = F.regexp_replace(F.col("__dv_file"), r"^file:/+", "/")
+        kept = df.withColumn("__dv_file", norm_file).join(
+            deleted,
+            (F.col("__dv_file") == F.col("__del_file"))
+            & (F.col("__dv_row") == F.col("__del_row")),
+            "left_anti",
+        )
+        return kept.drop("__dv_file", "__dv_row")
 
     def _hive_consistent(self, snap: _Snapshot, part_cols: list[str]) -> bool:
         for path, add in snap.files.items():
@@ -1051,11 +1137,14 @@ class DeltaProtocolTable:
         struct: T.StructType,
         part_cols: list[str],
         extra: Optional[list[tuple[str, T.DataType]]] = None,
+        with_meta: bool = False,
     ) -> Optional[DataFrame]:
         """Read the parquet files named by add/remove/cdc actions,
         reattaching partition columns from ``partitionValues`` as typed
         literals; ``extra`` declares file-resident columns beyond the
-        table schema (``_change_type`` in cdc files)."""
+        table schema (``_change_type`` in cdc files); ``with_meta``
+        appends the scan's ``_metadata`` (file_path, row_index) as
+        ``__dv_file``/``__dv_row`` for deletion-vector filtering."""
         extra = extra or []
         data_struct = T.StructType(
             [f for f in struct.fields if f.name not in part_cols]
@@ -1084,7 +1173,15 @@ class DeltaProtocolTable:
                 typ = by_name[col].dataType
                 lit = F.lit(None) if raw is None else F.lit(raw)
                 part = part.withColumn(col, lit.cast(typ))
-            part = part.select(*out_cols)
+            meta = (
+                [
+                    F.col("_metadata.file_path").alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_row"),
+                ]
+                if with_meta
+                else []
+            )
+            part = part.select(*out_cols, *meta)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -1128,6 +1225,22 @@ class DeltaProtocolTable:
                     a["add"] for a in actions
                     if "add" in a and a["add"].get("dataChange", True)
                 ]
+                # a DV-carrying add/remove changes ROWS WITHIN a file;
+                # deriving per-row changes from it needs DV diffing this
+                # CDF reader does not implement — refuse rather than
+                # emit wrong change rows (plain snapshot reads of DV
+                # tables ARE supported, see _apply_deletion_vectors)
+                if any(
+                    (a.get("add") or a.get("remove") or {}).get(
+                        "deletionVector"
+                    )
+                    for a in actions
+                ):
+                    raise DeltaProtocolError(
+                        f"change_feed: commit {v} carries deletion "
+                        "vectors; CDF derivation over DV commits is "
+                        "not supported (read the snapshot instead)"
+                    )
                 removes = [
                     a["remove"] for a in actions
                     if "remove" in a and a["remove"].get("dataChange", True)

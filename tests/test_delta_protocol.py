@@ -367,6 +367,10 @@ def test_url_encoded_paths_are_decoded(spark, tmp_path):
 
 
 def test_unsupported_reader_features_rejected(spark, tmp_path):
+    # deletionVectors became a SUPPORTED reader feature in r8
+    # (tests/test_deletion_vectors.py) — a DV-feature table with no
+    # actual DVs reads fine, while genuinely unknown features keep
+    # failing loudly
     root = tmp_path / "dv"
     _write_external_table(root)
     log = root / "_delta_log" / f"{0:020d}.json"
@@ -381,7 +385,15 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
             }
         lines.append(json.dumps(a))
     log.write_text("\n".join(lines))
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    assert delta_layer(spark).read(str(root)).count() == 3
+
+    for line_idx, line in enumerate(lines):
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["typeWidening"]
+            lines[line_idx] = json.dumps(a)
+    log.write_text("\n".join(lines))
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         delta_layer(spark).read(str(root))
 
 
