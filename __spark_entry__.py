@@ -4545,6 +4545,75 @@ FROM documents WHERE lang = 'en' AND n_chars >= 100
 """
 
 
+# Declarative streaming WINDOWED AGGREGATION (r8, VERDICT #5): a YAML
+# pipeline with a watermarked streaming source and a window() GROUP BY
+# stage, drained deterministically under availableNow.  output_mode
+# `complete` makes the in-memory sink hold EVERY window (append would
+# emit only watermark-closed windows — end-of-stream cutoff would make
+# the result depend on the max timestamp), so the drain is exactly the
+# batch GROUP BY the oracle replays.  `window(ts, '1 day')` starts are
+# epoch-aligned UTC day boundaries == DuckDB date_trunc('day', ts)
+# under the session's UTC timezone.  Aggregates are integer-only
+# (COUNT/MIN/MAX) — float sums would hash-drift across engines.
+_STREAMING_WINDOW_YML = """
+version: "v2"
+sources:
+  - type: file
+    name: swin_events
+    streaming: true
+    watermark: {column: ts, delay: "1 hour"}
+    format:
+      type: parquet
+      options:
+        schema:
+          - {name: event_id, data_type: int64}
+          - {name: ts, data_type: "timestamp<microsecond,UTC>"}
+          - {name: user_id, data_type: int64}
+          - {name: event_type, data_type: string}
+          - {name: value, data_type: float64}
+          - {name: props, data_type: string}
+    location: ${glob}
+stages:
+  - - name: swin_counts
+      query: >
+        SELECT window(ts, '1 day').start AS day_start, event_type,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        FROM swin_events
+        GROUP BY window(ts, '1 day'), event_type
+streaming: {trigger: available_now, output_mode: complete, timeout_sec: 540}
+destination:
+  type: in_memory
+  name: swin_out
+"""
+
+PL_STREAMING_WINDOW_DUCK = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM events GROUP BY 1, 2
+"""
+
+
+def _pl_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation through the declarative YAML
+    surface (config/model.py streaming validation + pipeline.py
+    foreachBatch drain; stateful window semantics from Structured
+    Streaming's window() + watermark)."""
+    from aqueducts_spark import load_pipeline_str, run_pipeline
+
+    for v in ("swin_out", "swin_events", "swin_counts"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
+    pipeline = load_pipeline_str(
+        _STREAMING_WINDOW_YML,
+        params={"glob": f"{sf_dir}/events.parque*"},
+    )
+    return run_pipeline(spark, pipeline).result
+
+
 def _pl_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqueducts_spark import load_pipeline_str, run_pipeline
 
@@ -6432,6 +6501,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_corpus_diff": _op_corpus_diff_gate,
         "pl_pipeline_yaml": _pl_pipeline,
         "pl_streaming_yaml": _pl_streaming,
+        "pl_streaming_window": _pl_streaming_window,
     }
 
 
@@ -6625,6 +6695,7 @@ _GATE_PRIORITY = [
     "op_nb_classify",
     "op_bpe_bytelevel",         # GPT-2-style byte-level BPE (r7)
     "pl_streaming_yaml",        # declarative streaming pipeline e2e (r7)
+    "pl_streaming_window",      # streaming windowed aggregation YAML (r8)
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
     "op_byte_fertility",        # byte-level fertility report (r7)
@@ -6809,4 +6880,5 @@ def _oracle_sql_all() -> dict[str, str]:
         "op_oov_rate": OP_OOV_RATE_DUCK,
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
         "pl_streaming_yaml": PL_STREAMING_DUCK,
+        "pl_streaming_window": PL_STREAMING_WINDOW_DUCK,
     }

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "op_corpus_diff",
     "pl_pipeline_yaml",
     "pl_streaming_yaml",
+    "pl_streaming_window",
 ]
 
 
