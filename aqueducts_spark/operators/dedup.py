@@ -652,7 +652,12 @@ def fuzzy_filter_against(
     be non-NULL and carry exactly ``num_hashes`` components (both
     validated at execution — an index built with different parameters
     would silently miss, and a mis-populated NULL-signature index
-    would silently filter nothing).
+    would silently filter nothing).  The NULL check is per-ROW, so an
+    index with even one NULL signature — including the all-NULL
+    degenerate of a botched backfill — fails the job at execution
+    rather than passing every incoming document; an EMPTY index (zero
+    rows) is by contrast a valid "nothing seen yet" state that keeps
+    everything.
     Returns ``new_docs`` rows whose document is NOT a near-duplicate
     of the index.
     """

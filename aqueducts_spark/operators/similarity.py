@@ -893,8 +893,15 @@ def pq_topk(
             f"{rerank!r}"
         )
     if code_col is None:
-        coded = pq_encode(corpus, codebooks, vec_col, "__pq").select(
-            F.col(id_col).alias("neighbor_id"), F.col("__pq").alias("__pq")
+        # encode into a CLASH-FREE temp name (an input already carrying
+        # a '__pq' column would trip pq_encode's overwrite guard), then
+        # project to _adc_search's internal '__pq' contract — the
+        # projection drops every input column, so no collision survives
+        from .sampling import _fresh_name
+
+        tmp = _fresh_name("__pq", corpus.columns)
+        coded = pq_encode(corpus, codebooks, vec_col, tmp).select(
+            F.col(id_col).alias("neighbor_id"), F.col(tmp).alias("__pq")
         )
     else:
         coded = corpus.where(F.col(code_col).isNotNull()).select(
@@ -1252,14 +1259,19 @@ def ivfpq_topk(
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cid"
     )
+    from .sampling import _fresh_name
+
+    tmp = _fresh_name("__pq", assigned.columns)
     coded = pq_encode(
         assigned,
         codebooks,
         vec_col,
-        "__pq",
+        tmp,
         coarse_centroids=centroids if by_residual else None,
         cid_col="__cid" if by_residual else None,
-    ).select(F.col(id_col).alias("neighbor_id"), "__pq", "__cid")
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(tmp).alias("__pq"), "__cid"
+    )
     all_probed = sorted({int(c) for p in probes for c in p})
     coded = coded.where(F.col("__cid").isin(all_probed))
     return _adc_search(

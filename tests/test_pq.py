@@ -539,3 +539,40 @@ def test_pq_topk_auto_rerank_scales_and_caps(spark):
         pq_topk(df, queries, books, k=5, rerank="auto", max_rerank=40)
     with _pytest.raises(ValueError, match="rerank must be"):
         pq_topk(df, queries, books, k=5, rerank="lots")
+
+
+def test_pq_topk_tolerates_preexisting_pq_column(emb, queries, books):
+    """r8 (VERDICT #7): pq_topk/ivfpq_topk encode into a FRESH internal
+    column, so an input already carrying '__pq' (e.g. a previously
+    encoded corpus column the caller kept around) must not trip
+    pq_encode's overwrite guard — and must not change results."""
+    from aqueducts_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    tainted = emb.withColumn("__pq", F.lit("decoy")).withColumn(
+        "__cid", F.lit(-1)
+    )
+    base = sorted(
+        map(tuple, pq_topk(emb, queries, k=5, codebooks=books).collect())
+    )
+    got = sorted(
+        map(tuple, pq_topk(tainted, queries, k=5, codebooks=books).collect())
+    )
+    assert got == base
+
+    base2 = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, k=5, n_centroids=8, nprobe=8, codebooks=books
+            ).collect(),
+        )
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                tainted, queries, k=5, n_centroids=8, nprobe=8, codebooks=books
+            ).collect(),
+        )
+    )
+    assert got2 == base2
