@@ -58,11 +58,18 @@ def _cmd_run(args) -> int:
                 file=sys.stderr,
             )
 
+        as_json = getattr(args, "output_format", "text") == "json"
+
         def _progress(m):
             # compact progress line; chunk payloads are assembled and
             # printed once at the end — raw dict spam doubled large
             # show outputs and buried real progress
             if m.get("type") == "output_chunk":
+                return
+            if as_json:
+                import json as _json
+
+                print(_json.dumps(m, default=str, ensure_ascii=False))
                 return
             kind = m.get("type", "?")
             detail = m.get("stage") or m.get("execution_id") or ""
@@ -105,7 +112,7 @@ def _cmd_run(args) -> int:
         return 0
 
     from . import load_pipeline, run_pipeline
-    from .progress import LoggingTracker
+    from .progress import JsonLinesTracker, LoggingTracker
     from .session import get_spark
 
     import logging
@@ -113,8 +120,13 @@ def _cmd_run(args) -> int:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     pipeline = load_pipeline(args.file, params)
     spark = get_spark("aqueducts-spark-cli", master=args.master)
+    tracker = (
+        JsonLinesTracker()
+        if getattr(args, "output_format", "text") == "json"
+        else LoggingTracker()
+    )
     try:
-        result = run_pipeline(spark, pipeline, LoggingTracker())
+        result = run_pipeline(spark, pipeline, tracker)
         if args.show_result and result.result is not None:
             result.result.show(50, truncate=False)
     finally:
@@ -371,6 +383,14 @@ def main(argv: list[str] | None = None) -> int:
         "--api-key",
         default=None,
         help="API key for the remote executor (or set AQUEDUCTS_API_KEY)",
+    )
+    run_p.add_argument(
+        "--output-format",
+        choices=("text", "json"),
+        default="text",
+        help="progress event format: text (human log lines) or json "
+        "(one structured JSON object per line on stdout — the "
+        "reference executor's structured-progress shape, scriptable)",
     )
 
     cancel_p = sub.add_parser("cancel", help="cancel a remote execution")

@@ -73,3 +73,52 @@ class _Timer:
 
 def timer() -> _Timer:
     return _Timer()
+
+
+class JsonLinesTracker(ProgressTracker):
+    """Structured progress: one JSON object per line on ``stream``
+    (stdout by default) — the reference executor streams structured
+    progress events over its protocol (aqueducts-cli/src/main.rs
+    renders them; aqueducts/schemas/src/progress.rs:8-43 shapes them);
+    this is the local-run equivalent so drivers/CI can consume
+    ``aqueducts-spark run --output-format json`` without scraping logs.
+
+    Event lines: ``{"event": <kind>, "name": ..., "duration_ms": ...,
+    ...extra}``; stage output lines: ``{"event": "output", "stage": ...,
+    "output_type": ..., "payload": ...}``.  Only JSON-representable
+    extras are emitted (anything else is stringified) so a line never
+    fails to serialize mid-pipeline.
+    """
+
+    def __init__(self, stream: Any = None) -> None:
+        import sys
+
+        self._stream = stream if stream is not None else sys.stdout
+
+    def _emit(self, obj: dict[str, Any]) -> None:
+        import json
+
+        self._stream.write(
+            json.dumps(obj, default=str, ensure_ascii=False) + "\n"
+        )
+        self._stream.flush()
+
+    def on_progress(self, event: ProgressEvent) -> None:
+        obj: dict[str, Any] = {"event": event.kind}
+        if event.name is not None:
+            obj["name"] = event.name
+        if event.duration_ms is not None:
+            obj["duration_ms"] = event.duration_ms
+        for k, v in event.extra.items():
+            obj.setdefault(k, v)
+        self._emit(obj)
+
+    def on_output(self, stage_name: str, output_type: str, payload: str) -> None:
+        self._emit(
+            {
+                "event": "output",
+                "stage": stage_name,
+                "output_type": output_type,
+                "payload": payload,
+            }
+        )

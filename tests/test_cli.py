@@ -354,3 +354,45 @@ def test_cli_health_unreachable(capsys):
     rc = main(["health", "--executor", "127.0.0.1:1"])
     assert rc == 1
     assert "unhealthy" in capsys.readouterr().err
+
+
+def test_cli_run_output_format_json(spark, tmp_path, capsys, monkeypatch):
+    """--output-format json streams one structured JSON object per line
+    (r8, reference parity: the executor protocol's structured progress,
+    aqueducts-cli/src/main.rs renders the same shapes)."""
+    import json as _json
+
+    yml = tmp_path / "p.yml"
+    yml.write_text(
+        """
+sources:
+  - type: file
+    name: oj_docs
+    format: {type: parquet}
+    location: /root/testdata/sf0.001/documents.parquet
+stages:
+  - name: oj_en
+    query: SELECT doc_id, lang FROM oj_docs WHERE lang = 'en' LIMIT 3
+    show: 2
+destination:
+  type: in_memory
+  name: oj_out
+"""
+    )
+    monkeypatch.setattr("aqueducts_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = main(["run", "--file", str(yml), "--output-format", "json"])
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    kinds = [e["event"] for e in lines]
+    assert kinds[0] == "started" and kinds[-1] == "completed"
+    assert "stage_completed" in kinds and "destination_completed" in kinds
+    shows = [e for e in lines if e["event"] == "output"]
+    assert shows and shows[0]["stage"] == "oj_en"
+    assert "doc_id" in shows[0]["payload"]
+    for v in ("oj_docs", "oj_en", "oj_out"):
+        spark.catalog.dropTempView(v)
