@@ -15,7 +15,12 @@ analysis, multimodal columns) designed for 100 TB inputs.
 from .config.loader import load_pipeline, load_pipeline_str
 from .config.model import Pipeline
 from .pipeline import run_pipeline, run_pipeline_file
-from .progress import CollectingTracker, LoggingTracker, ProgressTracker
+from .progress import (
+    CollectingTracker,
+    JsonLinesTracker,
+    LoggingTracker,
+    ProgressTracker,
+)
 from .session import get_spark, session_builder
 
 __version__ = "0.1.0"
@@ -29,6 +34,7 @@ __all__ = [
     "ProgressTracker",
     "LoggingTracker",
     "CollectingTracker",
+    "JsonLinesTracker",
     "get_spark",
     "session_builder",
 ]
