@@ -3616,6 +3616,92 @@ FROM fused
 """
 
 
+# End-to-end HYBRID retrieval (operators/similarity.py::hybrid_topk):
+# BM25 over documents + exact-cosine top-k over embeddings (the two
+# tables share the 0..N id namespace by construction), fused by RRF —
+# the production hybrid-search shape as ONE operator.  Lexical ranks
+# use the 6dp-rounded score (the op_bm25/op_rrf_fuse precision
+# contract); contributions are integer 1e-12 units, so every output
+# column is engine-exact.
+_HYBRID_TERMS = ["hash", "join", "scan"]
+
+SIM_HYBRID_DUCK = rf"""
+WITH lengths AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                         t -> t != '')) AS dl,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> list_contains([{", ".join(repr(t) for t in sorted(set(_HYBRID_TERMS)))}], t)) AS hits
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM lengths)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(greatest(COUNT(*), 1) AS DOUBLE) AS avgdl
+  FROM lengths
+),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT t.doc_id, SUM(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rank
+  FROM bm25 QUALIFY rank <= 100
+),
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id = 0
+),
+vec_scored AS (
+  SELECT c.vec_id AS doc_id,
+         {_DUCK_COS.format(a='q.qvec', b='list_transform(c.embedding, x -> CAST(x AS DOUBLE))')} AS cosine
+  FROM embeddings c CROSS JOIN qv q
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM vec_scored QUALIFY rank <= 100
+),
+contribs AS (
+  SELECT doc_id, CAST(floor(1000000000000 / (60 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+),
+fused AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_lists, SUM(c)::BIGINT AS rrf_micro
+  FROM contribs GROUP BY doc_id
+)
+SELECT doc_id, n_lists, rrf_micro,
+       CAST(rrf_micro AS DOUBLE) / 1000000000000.0 AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank
+FROM fused QUALIFY fused_rank <= 10
+"""
+
+
+def _sim_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval in one operator
+    (operators/similarity.py::hybrid_topk): BM25 top-100 + exact-cosine
+    top-100 fused by reciprocal-rank fusion, final top-10."""
+    from aqueducts_spark.operators.similarity import hybrid_topk
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 0").select("embedding").first()[0]
+    ]
+    return hybrid_topk(
+        docs, emb, _HYBRID_TERMS, qvec, k=10, lexical_k=100, vector_k=100
+    )
+
+
 def _op_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal rank fusion (operators/similarity.py::rrf_fuse,
     Cormack et al. 2009) of a BM25 top-100 and a doc-length top-100."""
@@ -6472,6 +6558,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_embed_neardup": _op_embed_neardup,
         "op_embed_neardup_lsh": _op_embed_neardup_lsh,
         "sim_topk_bruteforce": _sim_topk,
+        "sim_hybrid_topk": _sim_hybrid_topk,
         "sim_lsh_buckets": _sim_lsh_buckets,
         "sim_lsh_multiprobe": _sim_lsh_multiprobe,
         "sim_ivf_topk": _sim_ivf_topk,
@@ -6696,6 +6783,7 @@ _GATE_PRIORITY = [
     "op_bpe_bytelevel",         # GPT-2-style byte-level BPE (r7)
     "pl_streaming_yaml",        # declarative streaming pipeline e2e (r7)
     "pl_streaming_window",      # streaming windowed aggregation YAML (r8)
+    "sim_hybrid_topk",          # BM25+vector RRF hybrid retrieval (r8)
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
     "op_byte_fertility",        # byte-level fertility report (r7)
@@ -6881,4 +6969,5 @@ def _oracle_sql_all() -> dict[str, str]:
         "pl_pipeline_yaml": PL_PIPELINE_DUCK,
         "pl_streaming_yaml": PL_STREAMING_DUCK,
         "pl_streaming_window": PL_STREAMING_WINDOW_DUCK,
+        "sim_hybrid_topk": SIM_HYBRID_DUCK,
     }

@@ -55,6 +55,7 @@ __all__ = [
     "pq_persist",
     "ivfpq_topk_persisted",
     "rrf_fuse",
+    "hybrid_topk",
 ]
 
 # divisor floor: zero-norm vectors score ~0 instead of raising
@@ -1653,3 +1654,107 @@ def quantized_topk(
         .alias("cosine"),
     )
     return _topk_per_query(scored, k)
+
+
+def hybrid_topk(
+    corpus_text: DataFrame,
+    corpus_vec: DataFrame,
+    query_terms: list,
+    query_vec: list,
+    k: int = 10,
+    lexical_k: int = 100,
+    vector_k: int = 100,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval, end to end: Okapi BM25 over
+    the text corpus and exact-cosine top-k over the embedding corpus,
+    fused by Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the
+    standard production hybrid-search shape (e.g. retrieval for RAG /
+    training-data selection by combined relevance).
+
+    ``corpus_text`` rows are identified by ``id_col`` and
+    ``corpus_vec`` rows by ``vec_id_col``; the two MUST share an id
+    namespace (the same document's text row and embedding row carry
+    the same id) — ids ranked by only one side still fuse, with
+    ``n_lists = 1``.  ``query_vec`` is the query's embedding as a
+    plain float list (collect it from wherever the query text was
+    embedded); ``query_terms`` its bag of words.
+
+    Scale shape: each side reduces to its own bounded TOP LIST first —
+    BM25's scored relation through one ``orderBy().limit(lexical_k)``
+    (TakeOrderedAndProject: per-partition heads, no global sort) and
+    the vector side through :func:`brute_force_topk`'s per-query
+    window top-k (swap in :func:`ivf_topk`/:func:`ivfpq_topk` output
+    for ANN at corpus scale: any frame with the same
+    ``neighbor_id``/``rank`` contract fuses identically).  Fusion then
+    runs on ≤ ``lexical_k + vector_k`` rows — never corpus-sized.
+    Output is :func:`rrf_fuse`'s contract filtered to
+    ``fused_rank <= k``: ``id, n_lists, rrf_micro, rrf, fused_rank``
+    (integer 1e-12-unit contributions keep the fused score
+    engine-exact for the DuckDB oracle gate).
+    """
+    if k < 1 or lexical_k < 1 or vector_k < 1:
+        raise ValueError(
+            f"hybrid_topk: k/lexical_k/vector_k must be >= 1, got "
+            f"{k}/{lexical_k}/{vector_k}"
+        )
+    if not query_vec:
+        raise ValueError("hybrid_topk: query_vec must be non-empty")
+    from pyspark.sql import types as T
+
+    from .text import bm25_scores
+
+    lex_scored = bm25_scores(
+        corpus_text, query_terms, text_col=text_col, id_col=id_col, k1=k1, b=b
+    )
+    # bounded top list FIRST (TakeOrderedAndProject), then a 1-based
+    # rank over the <= lexical_k survivors — the global window is fine
+    # because the limit already bounded the relation
+    # rank by the 6dp-rounded score (the op_bm25 precision contract):
+    # BM25 carries ln(), whose last-ulp rounding differs across engines
+    # — unrounded floats could flip near-tied ranks between this plan
+    # and an external verifier and break the integer-exact fusion
+    lex_key = F.round(F.col("bm25"), 6)
+    lex = (
+        lex_scored.orderBy(F.desc(lex_key), F.asc(id_col))
+        .limit(lexical_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc(lex_key), F.asc(id_col))
+            ),
+        )
+        .select(F.col(id_col).alias("__hid"), "rank")
+    )
+    spark = corpus_vec.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    vec = brute_force_topk(
+        corpus_vec,
+        qdf,
+        k=vector_k,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        query_id_col="query_id",
+    ).select(F.col("neighbor_id").alias("__hid"), "rank")
+    fused = rrf_fuse([lex, vec], id_col="__hid", rank_col="rank", k=rrf_k)
+    return fused.where(F.col("fused_rank") <= k).select(
+        F.col("__hid").alias(id_col),
+        "n_lists",
+        "rrf_micro",
+        "rrf",
+        "fused_rank",
+    )

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "pl_pipeline_yaml",
     "pl_streaming_yaml",
     "pl_streaming_window",
+    "sim_hybrid_topk",
 ]
 
 
