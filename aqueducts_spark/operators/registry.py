@@ -800,6 +800,45 @@ def _op_c4_rules(spark, inp, options):
     )
 
 
+def _op_hybrid_topk(spark, inp, options):
+    from .similarity import hybrid_topk
+
+    vectors = options.get("vectors")
+    if not vectors:
+        raise OperatorError(
+            "hybrid_topk operator requires options.vectors (the embedding "
+            "table name; the stage input is the TEXT corpus)"
+        )
+    terms = options.get("query_terms")
+    if not terms or not isinstance(terms, list):
+        raise OperatorError(
+            "hybrid_topk operator requires options.query_terms "
+            "(a list of terms)"
+        )
+    qvec = options.get("query_vec")
+    if not qvec or not isinstance(qvec, list):
+        raise OperatorError(
+            "hybrid_topk operator requires options.query_vec "
+            "(the query embedding as a list of floats)"
+        )
+    return hybrid_topk(
+        inp,
+        spark.table(vectors),
+        [str(t) for t in terms],
+        [float(x) for x in qvec],
+        k=int(options.get("k", 10)),
+        lexical_k=int(options.get("lexical_k", 100)),
+        vector_k=int(options.get("vector_k", 100)),
+        rrf_k=int(options.get("rrf_k", 60)),
+        text_col=options.get("text_col", "text"),
+        id_col=options.get("id_col", "doc_id"),
+        vec_col=options.get("vec_col", "embedding"),
+        vec_id_col=options.get("vec_id_col", "vec_id"),
+        k1=float(options.get("k1", 1.2)),
+        b=float(options.get("b", 0.75)),
+    )
+
+
 def _op_bm25(spark, inp, options):
     from .text import bm25_scores
 
@@ -2014,6 +2053,7 @@ OPERATORS: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "fineweb_rules": _op_fineweb_rules,
     "bm25": _op_bm25,
     "rrf_fuse": _op_rrf_fuse,
+    "hybrid_topk": _op_hybrid_topk,
     "repetition_features": _op_repetition,
     "chunk_documents": _op_chunk_documents,
     "luhn_cards": _op_luhn_cards,

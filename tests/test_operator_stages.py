@@ -221,3 +221,43 @@ def test_hamming_pairs_and_phash_registry_stages(spark, sf_dir):
     assert pairs.where("hamming > 6").count() == 0
     for v in ("ph_docs", "ph_sigs"):
         spark.catalog.dropTempView(v)
+
+
+def test_hybrid_topk_registry_stage(spark, sf_dir):
+    """r8: the hybrid_topk operator through the YAML stage registry —
+    BM25 + vector RRF fusion matches composing the pieces by hand."""
+    from aqueducts_spark.operators.registry import run_operator
+    from aqueducts_spark.operators.similarity import hybrid_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs.createOrReplaceTempView("hy_docs")
+    emb.createOrReplaceTempView("hy_emb")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    out = run_operator(
+        spark,
+        {
+            "type": "hybrid_topk",
+            "input": "hy_docs",
+            "options": {
+                "vectors": "hy_emb",
+                "query_terms": ["hash", "join"],
+                "query_vec": qvec,
+                "k": 5,
+                "lexical_k": 20,
+                "vector_k": 20,
+            },
+        },
+    )
+    rows = out.orderBy("fused_rank").collect()
+    assert out.columns == ["doc_id", "n_lists", "rrf_micro", "rrf", "fused_rank"]
+    assert len(rows) == 5 and [r.fused_rank for r in rows] == [1, 2, 3, 4, 5]
+    direct = hybrid_topk(
+        docs, emb, ["hash", "join"], qvec, k=5, lexical_k=20, vector_k=20
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, direct))
+    # the exact-cosine self-hit: vec_id 0 is its own top vector result,
+    # so it must appear in the fused top-5 with both lists possible
+    assert any(r.doc_id == 0 for r in rows)
+    for v in ("hy_docs", "hy_emb"):
+        spark.catalog.dropTempView(v)
