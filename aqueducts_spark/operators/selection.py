@@ -25,10 +25,11 @@ Scale shape (the 100 TB contract):
   sum (the :func:`~.text.unigram_logprob` discipline), so scores are
   integer-exact, independent of partitioning, and bit-reproducible in
   an external SQL engine;
-* in the default ``raw=df`` setting the fit's corpus counts are
-  derived by re-aggregating the per-document counts, sharing one
-  tokenize/explode/shuffle with the score path (``ReusedExchange``)
-  instead of scanning the corpus twice;
+* the fit's joined, bounded counts table is eagerly materialized (r8:
+  AQE never reuses a shared exchange across consumers, so the lazy
+  form re-ran the count passes per statistics consumer — 11 corpus
+  scans in the executed plan); the fit job's target and corpus passes
+  are independent subtrees that overlap, and the probe pays one more;
 * :func:`dsir_select`'s Gumbel keys are derived from an md5 hash of
   the id — deterministic across runs/engines, no RNG state.  Small
   ``k`` plans as ``TakeOrderedAndProject`` (no full sort); large
@@ -128,16 +129,28 @@ def _log_ratios_from_counts(
     The corpus totals are derived from the *joined, bounded* counts
     table (≤ ``buckets`` rows) rather than from separate whole-corpus
     aggregations: every gram occurrence lands in exactly one bucket, so
-    ``Σ tc`` / ``Σ rc`` over the join equal the corpus gram totals —
-    and because the totals aggregation sits ABOVE the counts shuffles,
-    Catalyst reuses those exchanges (``ReusedExchange``) instead of
-    re-tokenizing a corpus to count its grams.  Everything here after
-    the count shuffles touches only bounded, model-sized data."""
+    ``Σ tc`` / ``Σ rc`` over the join equal the corpus gram totals.
+    The joined table is eagerly MATERIALIZED (r8): under AQE a shared
+    exchange is never reused across consumers, so the totals / λ /
+    default-row subtrees would each have re-run the count passes.
+    Everything after the one materialization job touches only bounded,
+    model-sized blocks."""
     joined = t_counts.join(r_counts, "bucket", "full_outer").select(
         F.col("bucket").cast("bigint").alias("bucket"),
         F.coalesce("tc", F.lit(0)).cast("bigint").alias("tc"),
         F.coalesce("rc", F.lit(0)).cast("bigint").alias("rc"),
     )
+    # eagerly materialize the joined counts (<= 2*buckets rows, the
+    # bounded fitted model): it feeds the totals row, the per-bucket λ
+    # projection AND the default row, and AQE never reuses a shared
+    # exchange across consumers — unmaterialized, each consumer re-ran
+    # the target pass + the corpus re-aggregation (the r8 measurement
+    # saw 11 corpus scans in dsir_weights' executed plan).  The two
+    # count subtrees underneath are independent, so the one
+    # materialization job still overlaps the target and corpus passes.
+    from .materialize import materialize
+
+    joined = materialize(joined)
     totals = joined.agg(
         F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"),
         F.coalesce(F.sum("rc"), F.lit(0)).alias("r_total"),
@@ -223,13 +236,18 @@ def dsir_weights(
     micro-nats (``logw_micro``) for partition-independent, cross-engine
     exact aggregation; ``logw = logw_micro / 1e6``.
 
-    Scale shape: in the default ``raw=df`` setting the corpus is
-    tokenized ONCE — the per-document bucket counts are computed first
-    and the corpus-level fit counts are derived by re-aggregating them,
-    so the probe side and the fit side share the same shuffle
-    (``ReusedExchange`` in the executed plan, plan-asserted in
-    tests/test_selection.py).  Only an explicitly distinct ``raw``
-    corpus pays a second tokenize pass, because it has to.
+    Scale shape: the fit runs as ONE eager materialization job whose
+    target and corpus count passes are independent subtrees (they
+    overlap; the joined, bounded counts table is what materializes —
+    see ``_log_ratios_from_counts``), and the probe side then pays its
+    own single ``(doc, bucket)`` pass plus broadcast joins against the
+    materialized model.  In the default ``raw=df`` setting the fit's
+    corpus counts re-aggregate the per-document counts; an explicitly
+    distinct ``raw`` corpus pays its own tokenize pass, because it has
+    to.  (The r7 form relied on exchange reuse that AQE does not
+    perform across consumers — its executed plan carried ELEVEN corpus
+    scans; the r8 shape carries two plus the target's.  Plan-asserted
+    in tests/test_selection.py.)
 
     ID CONTRACT: weights group by ``id_col``, so rows sharing an id —
     including ALL NULL-id rows, which pool into one group — emit one
@@ -274,6 +292,13 @@ def dsir_weights(
             r_counts = dsir_bucket_counts(
                 raw, text_col, None, buckets
             ).withColumnRenamed("c", "rc")
+        # the fitted λ table is derived from the MATERIALIZED joined
+        # counts inside _log_ratios_from_counts, so its two consumers
+        # below (in-vocab rows + the DEFAULT_BUCKET fallback) re-read
+        # bounded blocks, never the fit lineage.  A user-passed
+        # pre-fitted ratios table (typically a tiny parquet) takes the
+        # other branch and is left untouched — re-reading it twice is
+        # cheaper than materializing it.
         ratios = _log_ratios_from_counts(
             t_counts, r_counts, buckets, eff_smoothing
         )

@@ -2205,36 +2205,45 @@ def unigram_logprob(
     partitioning — double sums would drift by ulps under parallel
     reduction. Output: ``id, n_tokens, nll_micro, avg_nll``.
 
-    Plan shape (tfidf twin): explode -> (id, term) counts [1 full
-    shuffle, map-side combined]; term totals re-aggregate that table;
-    the corpus total is a 1-row broadcast; scoring joins tf with term
-    totals [shuffle of the tf table, not the corpus] and one final
-    groupBy(id) of already-reduced rows.
+    Plan shape (r8): the ``(id, term) -> tf`` table is the one
+    corpus-volume shuffle; the term-total TYPE table is an INDEPENDENT
+    subtree (AQE never reuses a shared exchange across consumers — the
+    r7 form re-ran the corpus explode per statistics consumer), eagerly
+    materialized type-sized, with the corpus total and the per-term
+    ``-ln p`` derived from it; scoring is one plain-key join from the
+    tf table plus one final groupBy(id) of already-reduced rows.
     """
+    from .materialize import materialize
+
+    src = ensure_parallelism(df)
+    toks = normalized_tokens(F.col(text_col))
     tf = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("term")
-        )
+        src.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    totals = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
-    corpus = totals.agg(F.sum("ct").alias("n_corpus"))
-    contrib = (
-        tf.join(totals, "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "nll_micro",
-            F.floor(
-                F.col("tf").cast("double")
-                * -F.log(
-                    F.col("ct").cast("double") / F.col("n_corpus").cast("double")
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("bigint"),
-        )
+    totals = materialize(
+        src.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
+    )
+    corpus = totals.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("n_corpus")
+    )
+    scores = totals.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        (
+            -F.log(
+                F.col("ct").cast("double") / F.col("n_corpus").cast("double")
+            )
+        ).alias("__nll"),
+    )
+    contrib = tf.join(scores, "term").withColumn(
+        "nll_micro",
+        F.floor(
+            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint"),
     )
     per_doc = contrib.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_tokens"),
@@ -2270,18 +2279,23 @@ def bigram_logprob(
     output row (there is nothing to score) — outer-join by id if the
     downstream filter must keep them.
 
-    Plan shape: bigram (doc, gram) counts are the one corpus-volume
-    shuffle; bigram totals and prefix totals re-aggregate that reduced
-    table, ``-ln p`` is assembled per DISTINCT gram over their
-    type-sized join, and the tf table pays one plain-key equi-join
-    against the scored types; first-token scoring joins the unigram
-    total table the same way. Nothing wider than the bigram tf table
-    re-shuffles.
+    Plan shape (r8, the kn_* shape): the per-doc EVENT table —
+    ``[first_token] ++ bigrams`` in one ``(doc, gram) -> tf`` shuffle
+    (a gram's word count is its level: tokens contain no whitespace)
+    — and the gram TYPE table (full tokens ++ bigrams reduced by gram,
+    an independent subtree AQE schedules concurrently, eagerly
+    materialized type-sized) are the only corpus passes; AQE never
+    reuses a shared exchange across consumers, so the r7 form's
+    statistics subtrees re-ran the corpus tokenize ~5x.  ``-ln p`` is
+    assembled per DISTINCT gram over type-sized joins (single-word
+    rows by ``ct/n_corpus``, bigram rows by ``ct/ct_prefix``), and the
+    event table pays one plain-key equi-join against the scored types.
     """
     src = ensure_parallelism(df)
     # stage the token array ONCE per consumer branch (word_ngrams_col
     # contract): the regex split is non-cheap and the projections below
     # reference it repeatedly — inline it re-tokenizes per reference
+    from .materialize import materialize
     from .sampling import _fresh_name
 
     tk = _fresh_name("__toks", src.columns)
@@ -2290,94 +2304,63 @@ def bigram_logprob(
     )
     toks = F.col(tk)
 
-    # unigram side (token totals + corpus size) for the first token.
-    # Totals aggregate straight on the exploded tokens — one shuffle
-    # keyed by term with map-side partial counts; a (doc, term)
-    # pre-aggregation here would be a second full-width shuffle for a
-    # granularity this scorer never uses.
-    uni_totals = (
-        toked.select(F.explode(toks).alias("term"))
-        .groupBy("term")
+    # gram TYPE table: FULL unigram counts (the first token is scored
+    # by its global unigram probability, so the whole token stream
+    # explodes, not just first tokens) + bigram counts, one shuffle
+    types0 = (
+        toked.select(
+            F.explode(F.concat(toks, _kn_true_grams(toks, 2))).alias("gram")
+        )
+        .groupBy("gram")
         .agg(F.count("*").alias("ct"))
     )
-    corpus = uni_totals.agg(F.sum("ct").alias("n_corpus"))
+    types0 = materialize(types0)
 
-    first = toked.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("term"),
-        F.size(toks).alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
-    first_scored = (
-        first.join(uni_totals, "term")
+    is2 = F.col("gram").contains(" ")
+    s0 = F.split(F.col("gram"), " ")[0]
+    uni = types0.where(~is2)
+    corpus = uni.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("n_corpus")
+    )
+    prefix_totals = types0.where(is2).groupBy(s0.alias("prefix")).agg(
+        F.sum("ct").alias("ct_prefix")
+    )
+    nll = F.when(
+        ~is2,
+        -F.log(F.col("ct").cast("double") / F.col("n_corpus").cast("double")),
+    ).otherwise(
+        -F.log(F.col("ct").cast("double") / F.col("ct_prefix").cast("double"))
+    )
+    k_pfx = F.when(is2, s0).otherwise(F.col("gram"))
+    scores = (
+        types0.join(prefix_totals, k_pfx == F.col("prefix"), "left")
         .crossJoin(F.broadcast(corpus))
-        .select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("events"),
-            F.floor(
-                -F.log(
-                    F.col("ct").cast("double") / F.col("n_corpus").cast("double")
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("bigint").alias("nll_micro"),
-        )
+        .select("gram", nll.alias("__nll"))
     )
 
-    # bigram side: conditional transitions for tokens 2..n
-    bi_tf = (
-        toked.where(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(word_ngrams_col(toks, 2)).alias("gram"))
+    # the corpus-volume pass: per-doc events -> tf -> scored join
+    events = (
+        toked.select(
+            F.col(id_col),
+            F.explode(
+                F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
+            ).alias("gram"),
+        )
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
-    bi_totals = bi_tf.groupBy("gram").agg(F.sum("tf").alias("ct_bi"))
-    prefix_totals = (
-        bi_totals.groupBy(F.split(F.col("gram"), " ")[0].alias("prefix"))
-        .agg(F.sum("ct_bi").alias("ct_prefix"))
-    )
-    # type-first scoring (the kn_* shape): -ln p per DISTINCT gram over
-    # the type-sized join, then ONE plain-key join from the corpus-volume
-    # tf table — it never walks the expression-keyed prefix join
-    bi_scores = bi_totals.join(
-        prefix_totals, F.split(F.col("gram"), " ")[0] == F.col("prefix")
-    ).select(
-        F.col("gram"),
-        (
-            -F.log(
-                F.col("ct_bi").cast("double") / F.col("ct_prefix").cast("double")
-            )
-        ).alias("__nll_per_event"),
-    )
-    bi_scored = bi_tf.join(bi_scores, "gram").select(
+    scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
         F.floor(
-            F.col("tf").cast("double")
-            * F.col("__nll_per_event")
-            * F.lit(1e6)
+            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
             + F.lit(0.5)
         ).cast("bigint").alias("nll_micro"),
     )
 
-    per_doc = (
-        first_scored.unionByName(bi_scored)
-        .groupBy(id_col)
-        .agg(
-            F.sum("events").cast("bigint").alias("n_tokens"),
-            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
-        )
-    )
-    # n_tokens >= 1 for every per_doc row by construction (first_scored
-    # only emits docs with at least one token), so plain division
-    return per_doc.select(
-        F.col(id_col),
-        "n_tokens",
-        "nll_micro",
-        (
-            F.col("nll_micro").cast("double")
-            / (F.col("n_tokens").cast("double") * F.lit(1e6))
-        ).alias("avg_nll"),
-    )
+    # n_tokens >= 1 for every output row by construction (a doc emits
+    # events only when it has at least one token), so plain division
+    return _kn_per_doc(scored, id_col)
 
 
 
