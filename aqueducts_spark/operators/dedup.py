@@ -2169,6 +2169,16 @@ def embedding_near_duplicates_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    # eagerly materialize the candidate pairs (bounded: max_bucket_size
+    # caps the worst bucket, auto-sizing pins expected volume at
+    # candidates_per_row * n): the verification join consumes cand
+    # between TWO vector-side joins, and under AQE (no exchange reuse
+    # across consumers) the unmaterialized plan re-ran the Python
+    # bucketing matmul + self-join once per verification side — the r8
+    # scan audit read 8 corpus scans in the executed plan
+    from .materialize import materialize
+
+    cand = materialize(cand)
     # exact-verify with per-id norms precomputed on the n-row vector
     # sides (not per candidate pair): the interpreted aggregate() HOF is
     # the expensive part of verification, and dot/(na*nb) is
