@@ -300,11 +300,23 @@ def main() -> None:
         out["errors"] = errors
         out["partial"] = True
         out["n_failed"] = len(errors)
-    # stop the suite JVM BEFORE the fresh-JVM probe children so they
-    # don't compete for cores, then re-measure the drift-prone set in
-    # isolation — these are the numbers to compare round-over-round
+    # stop the suite JVM BEFORE the fresh-JVM probe children — and
+    # actually KILL it: spark.stop() leaves the py4j gateway JVM alive
+    # (with the whole suite's bloated heap and GC threads) until this
+    # python process exits, and probe children measured 3-7x their
+    # true cost while it lingered
     try:
         spark.stop()
+    except Exception:
+        pass
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None and getattr(gw, "proc", None) is not None:
+            gw.shutdown()
+            gw.proc.terminate()
+            gw.proc.wait(timeout=30)
     except Exception:
         pass
     if probe_isolate:
