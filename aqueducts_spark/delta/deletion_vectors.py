@@ -264,7 +264,17 @@ def read_dv_descriptor(root: Optional[str], dv: dict) -> list[int]:
             f"unsupported deletion-vector file version "
             f"{raw[0] if raw else 'EMPTY'} in {path}"
         )
-    offset = int(dv.get("offset") or 1)
+    # absent offset defaults to 1 (right after the version byte), but an
+    # EXPLICIT offset must be honored verbatim — `or 1` would silently
+    # rewrite an (invalid) explicit 0 and decode from the wrong position
+    offset = dv.get("offset")
+    offset = 1 if offset is None else int(offset)
+    if offset < 1:
+        raise DeletionVectorError(
+            f"deletion vector offset {offset} in {path} is invalid: the "
+            "first byte of a DV file is its format version, so a DV "
+            "blob can never start before offset 1"
+        )
     (data_size,) = struct.unpack_from(">i", raw, offset)
     if size >= 0 and data_size != size:
         raise DeletionVectorError(

@@ -643,12 +643,71 @@ class DeltaProtocolTable:
         if not dv_files:
             return df
         root = str(self.root)
+        # JOIN-KEY DISCIPLINE: ``_metadata.file_path`` is a URI whose
+        # exact spelling Spark controls (scheme slashes, percent-encoded
+        # specials like spaces in partition values, NO symlink
+        # resolution).  Guessing one normalization and string-mangling
+        # the scan side is how deleted rows get silently resurrected —
+        # instead each descriptor row carries every plausible spelling
+        # of its file (plain absolute path via ``os.path.abspath``,
+        # which — matching Hadoop's qualification — does NOT resolve
+        # symlinks, plus the RFC-3986 ``file:`` URI in its one-, two-
+        # and three-slash forms), the anti-join compares the scan's
+        # ``file_path`` VERBATIM against all of them, and a one-file
+        # one-row probe below fails LOUDLY if the scan's actual
+        # spelling is not covered.
+        # Java's URI path encoding (what Hadoop Path.toString / Spark's
+        # file_path emit): percent-encode characters ILLEGAL in a URI
+        # path, leave unreserved + sub-delims (so '=' in hive partition
+        # dirs stays literal while ' ' becomes %20) and non-ASCII raw
+        _uri_path_safe = "/!$&'()*+,;=:@-._~"
+
+        def _java_uri_quote(path: str) -> str:
+            out: list[str] = []
+            for ch in path:
+                if (
+                    (ch.isascii() and ch.isalnum())
+                    or ch in _uri_path_safe
+                    or ord(ch) > 127
+                ):
+                    out.append(ch)
+                else:
+                    out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+            return "".join(out)
+
+        def candidates(rel: str) -> list[str]:
+            plain = os.path.abspath(str(self.root / rel))
+            quoted = _java_uri_quote(plain)
+            return sorted(
+                {plain}
+                | {
+                    pre + q
+                    for pre in ("file:", "file://")
+                    for q in (plain, quoted)
+                }
+            )
+
+        probe_rel = min(dv_files)
+        probed = (
+            self.spark.read.parquet(str(self.root / probe_rel))
+            .select(F.col("_metadata.file_path"))
+            .head(1)
+        )
+        if probed and probed[0][0] not in candidates(probe_rel):
+            raise DeltaProtocolError(
+                "deletion-vector apply: the scan reports file_path "
+                f"{probed[0][0]!r} but the descriptor side generated "
+                f"{candidates(probe_rel)!r} for the same file — the "
+                "anti-join keys would never match and deleted rows "
+                "would be silently resurrected; this filesystem/URI "
+                "scheme needs a new candidate spelling here"
+            )
         desc = self.spark.createDataFrame(
             [
-                (str((self.root / p).resolve()), json.dumps(dv))
+                (json.dumps(candidates(p)), json.dumps(dv))
                 for p, dv in sorted(dv_files.items())
             ],
-            "file_abs string, dv_json string",
+            "file_cands string, dv_json string",
         )
 
         def decode(batches):
@@ -658,21 +717,21 @@ class DeltaProtocolTable:
                 read_dv_descriptor,
             )
 
+            # decode each DV ONCE, then fan the positions out to the
+            # few candidate spellings (output volume = deleted rows x
+            # number of spellings — still descriptor-bounded)
             for pdf in batches:
-                for fa, dj in zip(pdf["file_abs"], pdf["dv_json"]):
+                for fcs, dj in zip(pdf["file_cands"], pdf["dv_json"]):
                     idx = read_dv_descriptor(root, json.loads(dj))
-                    yield pd.DataFrame(
-                        {"__del_file": [fa] * len(idx), "__del_row": idx}
-                    )
+                    for fa in json.loads(fcs):
+                        yield pd.DataFrame(
+                            {"__del_file": [fa] * len(idx), "__del_row": idx}
+                        )
 
         deleted = desc.mapInPandas(
             decode, "__del_file string, __del_row bigint"
         )
-        # _metadata.file_path is a URI (file:/... locally); the
-        # descriptor side holds plain absolute paths — normalize the
-        # scheme away so the keys compare
-        norm_file = F.regexp_replace(F.col("__dv_file"), r"^file:/+", "/")
-        kept = df.withColumn("__dv_file", norm_file).join(
+        kept = df.join(
             deleted,
             (F.col("__dv_file") == F.col("__del_file"))
             & (F.col("__dv_row") == F.col("__del_row")),

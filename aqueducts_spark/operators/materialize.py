@@ -26,6 +26,7 @@ kn_bigram_score's note).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -45,10 +46,35 @@ def materialize(
     ``checkpoint()`` under that directory (survives executor loss).
     Spark namespaces each app's checkpoints under a UUID subdirectory
     of the dir, so sharing one durable path across operators and apps
-    is safe; the last explicit ``checkpoint_dir`` wins for the session.
+    is safe.
+
+    The checkpoint directory is SESSION-GLOBAL Spark state
+    (``setCheckpointDir``), so this sets it only when no directory is
+    configured yet; a call whose ``checkpoint_dir`` differs from the
+    one already in force warns and leaves the existing one — two
+    concurrent operators passing different dirs would otherwise race,
+    and the loser's checkpoint files would land under (and be
+    retained/cleaned with) the winner's directory.  Use ONE durable
+    checkpoint_dir per session; blocks still land under a per-app UUID
+    subdirectory, so sharing the dir across apps stays safe.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
+    # remember the dir WE set: sc.getCheckpointDir() returns the
+    # UUID-suffixed resolved form, which never string-equals the
+    # user's argument, so equality must compare our own records
+    ours = getattr(sc, "_aq_checkpoint_dir", None)
+    current = sc.getCheckpointDir()
+    if current is None:
+        sc.setCheckpointDir(checkpoint_dir)
+        sc._aq_checkpoint_dir = checkpoint_dir
+    elif ours is not None and ours != checkpoint_dir:
+        warnings.warn(
+            f"materialize: session checkpoint dir is already "
+            f"{ours!r}; ignoring checkpoint_dir={checkpoint_dir!r} "
+            "(setCheckpointDir is session-global — use one durable "
+            "dir per session)",
+            stacklevel=2,
+        )
     return df.checkpoint(eager=eager)

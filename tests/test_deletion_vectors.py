@@ -316,3 +316,165 @@ def test_time_travel_sees_dv_state(spark, tmp_path):
     assert sorted(r.id for r in t.read(version=0).collect()) == [
         0, 2, 4, 100, 101, 102, 103, 104,
     ]
+
+
+def test_explicit_offset_zero_rejected(tmp_path):
+    # `offset or 1` would silently rewrite an explicit (invalid) 0 to 1
+    # and decode from the wrong position; it must fail loudly instead
+    blob, _, size = _dv_file_bytes([1, 3])
+    p = tmp_path / "dv.bin"
+    p.write_bytes(blob)
+    with pytest.raises(DeletionVectorError, match="offset 0"):
+        read_dv_descriptor(
+            None,
+            {
+                "storageType": "p",
+                "pathOrInlineDv": str(p),
+                "offset": 0,
+                "sizeInBytes": size,
+                "cardinality": 2,
+            },
+        )
+
+
+def test_byte_exact_dv_fixture_independent_of_encoder(tmp_path):
+    """Byte-literal DV hand-packed from the spec TEXT (PROTOCOL.md
+    "Deletion Vector Format" + the roaring RoaringFormatSpec), NOT via
+    encode_dv_bytes — and deliberately using forms the encoder never
+    emits (the 12347 run-container cookie, a run container, a 64-bit
+    value in the second bitmap), so a shared encoder/decoder
+    misreading of the spec cannot self-validate here.  No real engine
+    (delta-spark/delta-rs) exists in this container to capture a
+    cross-written fixture from; this is the strongest independent pin
+    available (see tests/data/delta_golden/PROVENANCE.md)."""
+    # --- bitmap 0: cookie 12347, 2 containers, run flags byte 0b10 ---
+    bm0 = struct.pack("<i", 12347 | ((2 - 1) << 16))
+    bm0 += bytes([0b10])  # container 1 is a run container
+    bm0 += struct.pack("<HH", 0, 2 - 1)  # key 0, array card 2
+    bm0 += struct.pack("<HH", 1, 3 - 1)  # key 1, run card 3
+    # containerCount (2) < 4 with the run cookie -> no offset header
+    bm0 += struct.pack("<HH", 3, 7)  # array container: values 3, 7
+    bm0 += struct.pack("<H", 1)  # run container: one run
+    bm0 += struct.pack("<HH", 0, 3 - 1)  # [65536 .. 65538] within key 1
+    # --- bitmap 1: cookie 12346 (offset header ALWAYS present) -------
+    bm1 = struct.pack("<ii", 12346, 1)
+    bm1 += struct.pack("<HH", 0, 1 - 1)  # key 0, card 1
+    bm1 += struct.pack("<i", 16)  # container start offset
+    bm1 += struct.pack("<H", 5)  # value 5
+    payload = struct.pack("<iq", 1681511377, 2) + bm0 + bm1
+    expected = [3, 7, 65536, 65537, 65538, (1 << 32) + 5]
+    assert decode_dv_bytes(payload) == expected
+    # full on-disk framing: version byte, BE size, payload, BE CRC-32
+    blob = (
+        bytes([1])
+        + struct.pack(">i", len(payload))
+        + payload
+        + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    )
+    p = tmp_path / "dv.bin"
+    p.write_bytes(blob)
+    got = read_dv_descriptor(
+        None,
+        {
+            "storageType": "p",
+            "pathOrInlineDv": str(p),
+            "offset": 1,
+            "sizeInBytes": len(payload),
+            "cardinality": len(expected),
+        },
+    )
+    assert got == expected
+
+
+def _write_partitioned_dv_table(root: Path) -> None:
+    """One partition whose VALUE contains a space: the data directory
+    is `p=a b/` (hive escaping keeps spaces literal) while add.path is
+    percent-encoded `p=a%20b/...` per PROTOCOL.md — and the parquet
+    scan's _metadata.file_path re-encodes the space as %20, which is
+    exactly the spelling mismatch that silently resurrected deleted
+    rows before r9."""
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    part_dir = root / "p=a b"
+    part_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(list(range(5)), pa.int64()),
+                "v": pa.array([float(i) for i in range(5)]),
+            }
+        ),
+        part_dir / "part.parquet",
+    )
+    data = encode_dv_bytes([1, 3])
+    pad = (-len(data)) % 4
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dv-space-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": ["p"],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "p=a%20b/part.parquet",
+                "partitionValues": {"p": "a b"},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+                    "sizeInBytes": len(data),
+                    "cardinality": 2,
+                },
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+
+
+def test_dv_with_space_in_partition_value(spark, tmp_path):
+    root = tmp_path / "tbl spaced"
+    _write_partitioned_dv_table(root)
+    t = DeltaProtocolTable(spark, str(root))
+    rows = t.read().collect()
+    assert sorted(r.id for r in rows) == [0, 2, 4]
+    assert all(r.p == "a b" for r in rows)
+
+
+def test_dv_read_through_symlinked_root(spark, tmp_path):
+    # descriptor side used .resolve() while the scan side did not: a
+    # symlinked table root made the join keys differ and every deleted
+    # row came back.  Both sides must use the UNresolved spelling.
+    real = tmp_path / "real_tbl"
+    _write_dv_table(real)
+    link = tmp_path / "link_tbl"
+    link.symlink_to(real, target_is_directory=True)
+    t = DeltaProtocolTable(spark, str(link))
+    assert sorted(r.id for r in t.read().collect()) == [
+        0, 2, 4, 100, 101, 102, 103, 104,
+    ]

@@ -82,3 +82,32 @@ def test_cluster_dedup_forwards_checkpoint_dir(spark, tmp_path):
     assert a == b
     kept = {r[0] for r in a}
     assert kept == {1, 3, 4, 6}
+
+
+def test_checkpoint_dir_is_session_global_not_clobbered(spark, tmp_path):
+    """setCheckpointDir is session-global: a second materialize with a
+    DIFFERENT dir must not silently re-point the session (two
+    concurrent operators would race and one's checkpoints would land
+    under the other's directory) — it warns and keeps the first."""
+    import warnings
+
+    from aqueducts_spark.operators.materialize import materialize
+
+    df = spark.range(5)
+    d1, d2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    # the shared test session may already carry a dir from an earlier
+    # test (exactly the session-global nature under test) — pin the
+    # in-force dir deterministically
+    sc = spark.sparkContext
+    sc.setCheckpointDir(d1)
+    sc._aq_checkpoint_dir = d1
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _rows(materialize(df, checkpoint_dir=d2)) == _rows(df)
+    assert any("checkpoint dir" in str(x.message) for x in w)
+    assert "ck1" in spark.sparkContext.getCheckpointDir()
+    # same dir again: no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        materialize(df, checkpoint_dir=d1).count()
+    assert not [x for x in w if "checkpoint dir" in str(x.message)]
