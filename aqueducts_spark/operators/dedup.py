@@ -226,86 +226,103 @@ def drop_common_lines(
     id_col: str = "doc_id",
     max_docs: int = 2,
     sep: str = "\n",
+    materialize_lines: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    max_boilerplate: int = 10_000_000,
 ) -> DataFrame:
     """Cross-document boilerplate removal (the C4/RefinedWeb line-dedup
     step): split each document on ``sep``, drop every line that occurs
-    in more than ``max_docs`` distinct documents (navigation chrome,
-    cookie banners, license footers), and reassemble the survivors in
-    their original order.
+    in more than ``max_docs`` documents (navigation chrome, cookie
+    banners, license footers), and reassemble the survivors in their
+    original order.
 
-    Output: ``id, cleaned, n_kept, n_dropped``.
+    Output: ``id, cleaned, n_kept, n_dropped`` — one row per INPUT row
+    (rows sharing an id are cleaned independently).
 
-    Scale shape: line document-frequency dedups within each document
-    map-side (``array_distinct`` per doc, so each doc contributes each
-    line once) and pays ONE count shuffle with partial aggregation —
-    not a ``distinct()``-then-``groupBy`` double shuffle. The
-    boilerplate set itself — lines above the threshold — is tiny by
-    construction, so the removal join **broadcasts** it; the corpus
-    pays one reassembly shuffle keyed by ``id``. Reassembly sorts a
-    ``(pos, line)`` struct array per doc, so output text is exactly
-    the original line order regardless of partitioning. Dropped lines
-    never travel: the ``when()`` NULL-skip runs inside the *partial*
-    (map-side) ``collect_list``/``sum``.
+    Scale shape (r9 — ONE corpus scan, ZERO corpus shuffles): the text
+    is split once into a per-document line array, and that parsed
+    relation is materialized (``materialize_lines=True``, the default;
+    ``checkpoint_dir`` selects the fault-tolerant form) so its two
+    consumers never re-execute the scan — Spark/AQE does not share a
+    subtree across consumers, and at 100 TB the second scan+parse IS
+    the dominant cost.  The line document-frequency dedups within each
+    document map-side (``array_distinct`` per doc) and pays one count
+    shuffle whose volume is the DISTINCT-per-doc lines; the boilerplate
+    set — lines above the threshold — is tiny by construction and is
+    collapsed to a single broadcast MAP row, so the removal itself is a
+    per-document higher-order ``filter`` with O(1) map lookups: no
+    reassembly shuffle, no join, original line order preserved by
+    construction.  ``max_boilerplate`` bounds the broadcast set loudly
+    (a threshold low enough to flag half the corpus's distinct lines is
+    a configuration bug, not a broadcast candidate).
+
+    ``materialize_lines=False`` keeps the two-independent-scans shape
+    (no executor storage; the source is scanned and parsed twice) for
+    cheap-to-rescan local sources.
     """
+    from .materialize import materialize
+
     # F.split takes a REGEX: quote the separator (\Q..\E) so split and
     # the literal array_join reassembly agree — sep='|' or '.' otherwise
     # splits on alternation-of-empties / any-char and mangles the text
     sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     src = ensure_parallelism(df)
-    lines = src.select(
+    empty_arr = F.expr("CAST(array() AS ARRAY<STRING>)")
+    parsed = src.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
-    ).where(F.trim(F.col("line")) != "")
-    doc_lines = src.select(
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.col(text_col), sep_re), lambda l: F.trim(l) != ""
-                )
-            )
-        ).alias("line")
+        F.coalesce(
+            F.filter(
+                F.split(F.col(text_col), sep_re), lambda l: F.trim(l) != ""
+            ),
+            empty_arr,
+        ).alias("__parts"),
     )
+    if materialize_lines:
+        # lazy (eager=False): the two consumers are strictly SEQUENTIAL
+        # (the broadcast map must finish building before the filter side
+        # starts), so the first consumer fills the blocks with no race —
+        # and no dedicated materialization job runs up front
+        parsed = materialize(parsed, checkpoint_dir=checkpoint_dir, eager=False)
     common = (
-        doc_lines.groupBy("line")
+        parsed.select(F.explode(F.array_distinct("__parts")).alias("line"))
+        .groupBy("line")
         .agg(F.count("*").alias("_df"))
         .where(F.col("_df") > max_docs)
-        .select("line")
     )
-    flagged = lines.join(
-        F.broadcast(common.withColumn("_drop", F.lit(True))), "line", "left"
-    )
-    # collect_list skips NULLs, so the when() without otherwise()
-    # filters dropped lines inside the aggregation itself
-    agg = flagged.groupBy(id_col).agg(
-        F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(F.col("_drop").isNull(), F.struct(F.col("pos"), F.col("line")))
-                    )
-                ),
-                lambda s: s.line,
+    # collapse the boilerplate set to ONE broadcastable row carrying a
+    # hash MAP (per-line membership is O(1); array_contains would make
+    # each document O(lines x boilerplate)).  collect_list on an empty
+    # relation yields [], so a corpus with no common lines degrades to
+    # an empty map, not a NULL.
+    bl_row = common.agg(
+        F.collect_list("line").alias("__bl"),
+        F.count("*").alias("__nbl"),
+    ).select(
+        F.map_from_arrays(
+            F.col("__bl"),
+            F.transform(F.col("__bl"), lambda _: F.lit(True)),
+        ).alias("__blm"),
+        F.assert_true(
+            F.col("__nbl") <= F.lit(int(max_boilerplate)),
+            F.lit(
+                "drop_common_lines: boilerplate set exceeds "
+                f"max_boilerplate={max_boilerplate} lines — the threshold "
+                "flags too much of the corpus to broadcast; raise "
+                "max_docs or max_boilerplate"
             ),
-            sep,
-        ).alias("cleaned"),
+        ).alias("__guard"),
     )
-    # docs with zero non-empty lines never reach the aggregation — keep
-    # them (cleaned='', counts 0) instead of silently losing them.
-    # Null-safe join: a plain equi-join never matches a NULL id, which
-    # ERASED such documents' text to '' (NULL-id docs are additionally
-    # merged into one aggregate by the NULL group key — give them
-    # unique ids if that matters).
-    base = df.select(id_col)
-    cond = base[id_col].eqNullSafe(agg[id_col])
+    kept = F.filter(
+        F.col("__parts"), lambda l: ~F.map_contains_key(F.col("__blm"), l)
+    )
     return (
-        base.join(agg, cond, "left")
+        parsed.join(F.broadcast(bl_row), how="cross")
+        .where(F.col("__guard").isNull())
         .select(
-            base[id_col].alias(id_col),
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.col(id_col),
+            F.array_join(kept, sep).alias("cleaned"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            (F.size("__parts") - F.size(kept)).cast("bigint").alias("n_dropped"),
         )
     )
 

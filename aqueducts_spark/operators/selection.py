@@ -748,14 +748,17 @@ def nb_classify(
     argmax decisions exactly.  Ties break toward the lexicographically
     smallest label, deterministically.
 
-    Plan shape: the λ grid is the COMPLETE ``labels × buckets``
-    relation (every bucket is in [0, buckets) by construction, so
-    unseen (class, bucket) cells get the smoothed default with no
-    driver round-trip) — bounded at ``K·buckets`` rows (guarded by
-    ``max_grid``) and broadcast; the corpus pays ONE explode ->
-    per-doc bucket-count shuffle, the broadcast λ join fans each
-    (doc, bucket) row to K classes with map-side partial aggregation
-    collapsing them immediately, and one final groupBy(id, label).
+    Plan shape (r9, vectorized): the λ grid is the COMPLETE ``labels ×
+    buckets`` relation (every bucket is in [0, buckets) by
+    construction, so unseen (class, bucket) cells get the smoothed
+    default with no driver round-trip) — bounded at ``K·buckets`` rows
+    (guarded by ``max_grid``), then PIVOTED to ≤ ``buckets`` rows of
+    K-element λ VECTORS (class order = sorted labels) and broadcast.
+    The corpus pays ONE explode -> broadcast vector join -> ONE
+    groupBy(id) with K integer sums (map-side partial aggregation:
+    K counters per doc per partition); the class fan-out rides in
+    columns, never in rows, and the argmax is a projection over the
+    class-sorted score array — no (id, label) intermediate, no window.
     Empty/NULL-text documents carry the '' sentinel gram (the DSIR
     feature convention), so every row is scored — priors decide.
 
@@ -787,7 +790,9 @@ def nb_classify(
         model = model.cache()
     prior_rows = model.where(F.col("bucket") == DEFAULT_BUCKET)
     # ONE small driver action reads the model metadata: the build
-    # bucket count (bucket -2 sentinel) and the class count together
+    # bucket count (bucket -2 sentinel), the class count AND the
+    # sorted class list (needed to lay out the per-bucket λ vectors —
+    # the list is grid-bounded by the max_grid guard below)
     info = model.where(F.col("bucket") < 0).agg(
         F.count_distinct(
             F.when(F.col("bucket") == DEFAULT_BUCKET, F.col("label"))
@@ -798,7 +803,13 @@ def nb_classify(
         F.max(
             F.when(F.col("bucket") == _NB_META_BUCKET, F.col("c"))
         ).alias("__b_max"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("bucket") == DEFAULT_BUCKET, F.col("label"))
+            )
+        ).alias("__labels"),
     ).first()
+    labels = list(info["__labels"] or [])
     n_labels = int(info["__k"] or 0)
     if n_labels == 0:
         raise ValueError(
@@ -907,35 +918,85 @@ def nb_classify(
             ).cast("boolean"),
         ).otherwise(F.lit(True))
     )
-    # the SAME per-doc hashed-gram counting path DSIR uses — one shared
-    # implementation so the NB and DSIR feature spaces cannot diverge
-    tf = dsir_bucket_counts(
-        guarded, text_col=text_col, id_col=id_col, buckets=buckets
-    ).withColumnRenamed("c", "__c")
-    scores = (
-        tf.join(F.broadcast(grid), "bucket")
-        .groupBy(id_col, "label")
-        .agg(F.sum(F.col("__c") * F.col("__lam")).alias("__s"))
-        .join(F.broadcast(priors), "label")
+    # ---- vectorized single-shuffle scoring (r9) -----------------------
+    # The r8 shape fanned every (doc, bucket) row out to K class ROWS
+    # (broadcast grid join), re-shuffled by (id, label), then paid a
+    # THIRD shuffle + sort for the argmax window.  Pivoting the λ grid
+    # into per-bucket VECTORS (one array<bigint> of the K class λs,
+    # class-order = sorted labels) turns all of that into: explode the
+    # grams (same hashed-gram expression DSIR uses — the feature spaces
+    # cannot diverge), broadcast-join the ≤`buckets`-row vector grid,
+    # and ONE groupBy(id) with K integer sums — map-side partial
+    # aggregation collapses each partition to K counters per doc, the
+    # class fan-out rides in columns instead of rows, and the argmax is
+    # a projection (first maximum of the class-sorted score array =
+    # the lexicographically-smallest tied label, as before).  Integer
+    # λ micro-nats make Σ_occurrence λ == Σ_bucket c·λ exactly, so
+    # scores and argmax decisions are bit-identical to the r8 shape.
+    grid_vec = grid.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("label", "__lam"))),
+            lambda s: s["__lam"],
+        ).alias("__lams")
+    )
+    prior_vec = priors.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("label", "__prior"))),
+            lambda s: s["__prior"],
+        ).alias("__priors")
+    )
+    occ = (
+        ensure_parallelism(guarded)
         .select(
             F.col(id_col),
-            "label",
-            (F.col("__s") + F.col("__prior")).cast("bigint").alias(
-                "score_micro"
+            normalized_tokens(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(_gram_buckets(F.col("__toks"), buckets)).alias(
+                "bucket"
             ),
         )
     )
-    if all_scores:
-        return scores
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_micro").desc(), F.col("label").asc()
+    k = len(labels)
+    per_doc = (
+        occ.join(F.broadcast(grid_vec), "bucket")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.col("__lams")[i]).alias(f"__s{i}")
+                for i in range(k)
+            ]
+        )
     )
-    return (
-        scores.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    scored_vec = per_doc.crossJoin(F.broadcast(prior_vec)).select(
+        F.col(id_col),
+        F.array(
+            *[
+                (F.col(f"__s{i}") + F.col("__priors")[i]).cast("bigint")
+                for i in range(k)
+            ]
+        ).alias("__scores"),
+    )
+    lab_arr = F.array(*[F.lit(l) for l in labels])
+    if all_scores:
+        return scored_vec.select(
+            F.col(id_col),
+            F.posexplode("__scores").alias("__i", "score_micro"),
+        ).select(
+            F.col(id_col),
+            F.element_at(lab_arr, F.col("__i") + 1).alias("label"),
+            F.col("score_micro"),
+        )
+    pos = F.array_position(F.col("__scores"), F.array_max("__scores"))
+    return scored_vec.select(
+        F.col(id_col),
+        F.element_at(lab_arr, pos.cast("int")).alias("label"),
+        F.element_at(F.col("__scores"), pos.cast("int")).alias(
+            "score_micro"
+        ),
     )
 
 

@@ -3085,6 +3085,7 @@ def kn_trigram_score(
     discount: float = 0.75,
     cache_model: bool = True,
     checkpoint_dir: str | None = None,
+    normalize_model: bool = True,
 ) -> DataFrame:
     """Score documents against an EXTERNAL :func:`kn_trigram_fit` model
     — the CCNet shape one order up from :func:`kn_bigram_score`
@@ -3104,16 +3105,24 @@ def kn_trigram_score(
       discount mass is all of it);
     * unseen trigram under a seen prefix: P3's pure discount mass.
 
-    Plan shape (r8, the :func:`kn_bigram_score` shape one order up):
-    the normalized model is eagerly materialized (type-sized;
-    ``checkpoint_dir`` selects the reliable form) and every KN
-    statistic is a small groupBy of it; the corpus pays ONE
-    ``(doc, gram) -> tf`` shuffle whose distinct grams (an independent
-    concurrent subtree) left-join the statistics by plain equality —
-    NULL statistics are exactly the backoff semantics.  The joins
-    broadcast at gate scale and hash-join type-sized tables at
-    cluster scale.  Persist the model parquet once; daily crawls score
-    against it instead of re-fitting.
+    Plan shape (r9): the normalized model is eagerly materialized
+    (type-sized; ``checkpoint_dir`` selects the reliable form) and
+    every KN statistic is a small groupBy of it; the corpus pays ONE
+    tokenize/explode pass into the ``(doc, gram) -> tf`` shuffle, the
+    shuffled events relation is materialized (its volume is the
+    per-doc-distinct events — at or below corpus token volume), and
+    the distinct grams that left-join the statistics derive FROM it —
+    Spark/AQE does not share a subtree across consumers, so without
+    the materialization the distinct-grams side re-scanned and
+    re-exploded the whole corpus.  NULL statistics are exactly the
+    backoff semantics; the stat joins broadcast at gate scale and
+    hash-join type-sized tables at cluster scale.  Persist the model
+    parquet once; daily crawls score against it instead of re-fitting
+    — and pass ``normalize_model=False`` for a model that is already
+    one fit's output (the normalization groupBy exists to make a plain
+    ``unionByName`` of per-shard fits a valid model; a single persisted
+    fit is already aggregated, and skipping the model-sized shuffle is
+    measurably cheaper per scoring run).
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -3131,8 +3140,10 @@ def kn_trigram_score(
     # normalize first (the kn_bigram_score rule): an unmerged union of
     # per-shard fits carries duplicate gram rows that would double-count
     # statistics — aggregating makes plain unionByName of shard fits a
-    # valid model; a merged model passes through unchanged
-    model = model.groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
+    # valid model; a merged model passes through unchanged (and a
+    # single persisted fit can skip the shuffle: normalize_model=False)
+    if normalize_model:
+        model = model.groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
     # eager materialization of the normalized, gram-type-sized relation
     # so an unpersisted kn_trigram_fit lineage executes once (lazy
     # .cache() measured slower than recompute — kn_bigram_score's note)
@@ -3211,18 +3222,28 @@ def kn_trigram_score(
         F.count("*").alias("n1p_bwd")
     )
 
-    # corpus events: [t1] ++ ["t1 t2"] ++ trigrams, one (doc, gram)
-    # shuffle; the distinct corpus grams are an INDEPENDENT subtree —
-    # see kn_bigram_score on AQE concurrency vs exchange reuse
+    # corpus events: [t1] ++ ["t1 t2"] ++ trigrams, ONE tokenize/
+    # explode pass into one (doc, gram) shuffle.  The events relation
+    # is consumed twice (scoring join + the distinct-gram stat side),
+    # and AQE does not share exchanges across consumers, so it is
+    # materialized lazily — the distinct-gram side fills the blocks as
+    # the broadcast build, then the scoring join re-reads blocks
+    # instead of re-scanning and re-exploding the corpus
     ev_arr = F.concat(
         _kn_first_event(toks), _kn_second_event(toks), _kn_true_grams(toks, 3)
     )
-    events = (
+    # eager: filling the blocks lazily from inside the broadcast-build
+    # thread measured unstable (2.2-4.9s at sf0.1 across runs) while the
+    # dedicated job is stable — and the blocks must exist before BOTH
+    # consumers anyway
+    events = materialize(
         toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
         .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
+        checkpoint_dir,
+        eager=True,
     )
-    ev_types = toked.select(F.explode(ev_arr).alias("gram")).distinct()
+    ev_types = events.select("gram").distinct()
 
     nw = F.size(F.split(F.col("gram"), " "))
     s0 = F.split(F.col("gram"), " ")[0]

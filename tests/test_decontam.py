@@ -203,12 +203,31 @@ def test_drop_common_lines_within_doc_repeat_counts_once(spark):
     assert out[1].cleaned == "x\nx\ny"
 
 
-def test_drop_common_lines_broadcasts_boilerplate_set(spark):
+def test_drop_common_lines_one_scan_broadcast_map(spark, sf_dir):
     from aqueducts_spark.operators.dedup import drop_common_lines
 
-    df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")], ["doc_id", "text"])
-    plan = drop_common_lines(df)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # default (materialized) shape: the parquet scan ran ONCE, eagerly,
+    # inside materialize(); the remaining plan reads checkpoint blocks
+    # and applies the boilerplate set as a broadcast single-row map —
+    # no corpus shuffle, no reassembly join
+    plan = (
+        drop_common_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row map broadcast
+    assert "SortMergeJoin" not in plan
+    # opt-out shape: no materialization -> the source is scanned twice
+    plan2 = (
+        drop_common_lines(docs, materialize_lines=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("Scan parquet") == 2
 
 
 def test_remove_duplicated_spans_semantics(spark):
