@@ -6702,7 +6702,17 @@ _GATE_PRIORITY = [
     "q52_map_hofs",             # map higher-order functions
     # -- training-data operators: one per family ------------------------
     "op_exact_dedup",           # exact hash dedup
-    "op_minhash_pairs",         # MinHash + LSH banding
+    # ROTATION r9 (VERDICT r8 next-steps #4): pl_streaming_window and
+    # sim_hybrid_topk replace op_minhash_pairs and op_line_dedup in the
+    # scored window — the streaming-windowed-aggregation and
+    # hybrid-retrieval families added in r8 had ZERO driver-scored
+    # representatives while dedup held 7 of 50 slots.  op_minhash_pairs
+    # is exercised end-to-end INSIDE the still-scored op_fuzzy_dedup
+    # (banding -> candidate pairs is its first stage), op_line_dedup
+    # stays oracle-verified in tests/test_oracle.py, and both remain in
+    # bench.py's headline set.
+    "pl_streaming_window",      # declarative streaming windowed agg (r8)
+    "sim_hybrid_topk",          # BM25 + vector RRF hybrid retrieval (r8)
     "op_fuzzy_dedup",           # end-to-end transitive fuzzy dedup
     # ROTATION r6 (requested by VERDICT r5 next-steps #3): op_bpe_pairs
     # replaces op_simhash in the scored window — the tokenizer/BPE family
@@ -6716,7 +6726,6 @@ _GATE_PRIORITY = [
     # has a driver-scored representative; the dedup family keeps 7 scored
     # gates and op_span_dedup stays oracle-verified in tests/test_oracle.py.
     "op_dsir_weights",          # DSIR importance weights (selection family)
-    "op_line_dedup",            # C4-style boilerplate line dedup
     "op_decontam",              # benchmark decontamination
     "sim_topk_bruteforce",      # cosine top-k baseline
     "op_asof_join",             # as-of join
@@ -6853,8 +6862,11 @@ _GATE_PRIORITY = [
     "op_nb_classify",
     "op_bpe_bytelevel",         # GPT-2-style byte-level BPE (r7)
     "pl_streaming_yaml",        # declarative streaming pipeline e2e (r7)
-    "pl_streaming_window",      # streaming windowed aggregation YAML (r8)
-    "sim_hybrid_topk",          # BM25+vector RRF hybrid retrieval (r8)
+    # rotated out of the scored window in r9 (see the r9 ROTATION note
+    # above); both stay oracle-verified in tests/test_oracle.py and in
+    # bench.py's headline set
+    "op_minhash_pairs",         # MinHash + LSH banding
+    "op_line_dedup",            # C4-style boilerplate line dedup
     "sim_ivfpq_topk",           # residual IVFPQ serving path (r7)
     "op_bpe_byteids",           # byte-level tokenizer id chain (r7)
     "op_byte_fertility",        # byte-level fertility report (r7)

@@ -126,7 +126,10 @@ BENCH_QUERIES = [
 
 # queries whose in-suite readings historically diverged from isolated
 # cost (interpreted-HOF/codegen-pressure sensitive) plus the KN family
-# the r7 verdict flagged — re-measured in a fresh JVM each run
+# the r7 verdict flagged — re-measured in a fresh JVM each run.
+# r9 adds the full perf-weak set under repair (VERDICT r8 next-steps
+# #6) so round-over-round comparisons of those gates are fresh-JVM
+# clean.
 ISOLATED_PROBES = [
     "op_kn_nll",
     "op_kn3_nll",
@@ -134,6 +137,10 @@ ISOLATED_PROBES = [
     "op_span_dedup",
     "op_fuzzy_decontam",
     "op_fuzzy_dedup",
+    "op_nb_classify",
+    "op_dsir_weights",
+    "op_line_dedup",
+    "op_hll_distinct",
 ]
 
 

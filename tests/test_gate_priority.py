@@ -45,8 +45,15 @@ CATEGORY_GATES = {
 # One gate per training-data operator family inside the scored window.
 FAMILY_GATES = {
     "exact_dedup": "op_exact_dedup",
-    "minhash_lsh": "op_minhash_pairs",
+    # ROTATION r9 (VERDICT r8 next-steps #4): op_minhash_pairs and
+    # op_line_dedup rotated out — MinHash banding is exercised inside
+    # the still-scored op_fuzzy_dedup (its first stage), line dedup
+    # stays oracle-verified in tests/test_oracle.py; the freed slots
+    # score the r8 streaming-window and hybrid-retrieval families.
+    "minhash_lsh": "op_fuzzy_dedup",
     "fuzzy_dedup": "op_fuzzy_dedup",
+    "streaming_window": "pl_streaming_window",
+    "hybrid_retrieval": "sim_hybrid_topk",
     # ROTATION r6 (VERDICT r5 next-steps #3): op_bpe_pairs replaced
     # op_simhash in the scored window — the tokenizer/BPE family (train +
     # pair-counts + encode) had zero driver-scored representatives while
@@ -59,7 +66,6 @@ FAMILY_GATES = {
     # with no driver-scored representative, while the dedup family held 7
     # slots.  op_span_dedup stays oracle-verified in tests/test_oracle.py.
     "selection": "op_dsir_weights",
-    "line_dedup": "op_line_dedup",
     "decontam": "op_decontam",
     "similarity": "sim_topk_bruteforce",
     "asof_join": "op_asof_join",
