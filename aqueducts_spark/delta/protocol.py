@@ -66,6 +66,10 @@ _SUPPORTED_READER_FEATURES = {
     # filtered via _metadata.row_index; WRITES to DV tables stay
     # refused (writerFeatures check in check_writable)
     "deletionVectors",
+    # r9: read-side column-mapping support (modes name/id — see the
+    # _Snapshot.column_mapping_mode section); WRITES to mapped tables
+    # stay refused (check_writable)
+    "columnMapping",
 }
 # v2Checkpoint is accepted only when classic-named checkpoints exist too
 
@@ -82,6 +86,59 @@ _SUPPORTED_WRITER_FEATURES = {
 
 class DeltaProtocolError(DeltaTableError):
     pass
+
+
+def _physical_struct(struct: T.StructType, mode: str) -> T.StructType:
+    """``struct`` with every field — at every nesting level — renamed to
+    its ``delta.columnMapping.physicalName`` metadata.  Identity when
+    ``mode`` is none; a mapped field missing its physicalName is a
+    protocol violation and is refused loudly (guessing would silently
+    read the wrong column)."""
+    if mode in ("none", "None"):
+        return struct
+
+    def conv_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(conv_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                conv_type(dt.keyType),
+                conv_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def conv_field(f: T.StructField) -> T.StructField:
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaProtocolError(
+                f"columnMapping mode {mode!r}: field {f.name!r} carries no "
+                "delta.columnMapping.physicalName metadata — the table's "
+                "schemaString violates the column-mapping spec"
+            )
+        return T.StructField(str(phys), conv_type(f.dataType), f.nullable)
+
+    return T.StructType([conv_field(f) for f in struct.fields])
+
+
+def _to_logical(
+    df: DataFrame, physical: T.StructType, logical: T.StructType
+) -> DataFrame:
+    """Rename a physically-named frame back to logical names: per
+    top-level field, a cast to the logical field's (same-shaped)
+    dataType renames every NESTED field by position, and the alias
+    renames the column itself.  Extra columns beyond the table schema
+    (``_change_type``/CDF metadata) pass through by name."""
+    extras = [c for c in df.columns if c not in {f.name for f in physical.fields}]
+    return df.select(
+        *[
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(physical.fields, logical.fields)
+        ],
+        *extras,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -131,14 +188,48 @@ class _Snapshot:
     def partition_columns(self) -> list[str]:
         return list((self.metadata or {}).get("partitionColumns") or [])
 
+    # ----- column mapping (r9, read side) --------------------------------
+    #
+    # With delta.columnMapping.mode = name|id (PROTOCOL.md "Column
+    # Mapping"; the reference's pinned delta-rs reads such tables,
+    # aqueducts/delta/src/lib.rs:45-74), parquet files name their
+    # columns by each field's `delta.columnMapping.physicalName`
+    # metadata (a stable `col-<uuid>`), so logical renames never touch
+    # data files — and the transaction log tracks partitionValues,
+    # partition directories and statistics by PHYSICAL name too.  The
+    # reader therefore runs the whole scan in physical terms and
+    # renames to logical names as its last projection.  Mode `id`
+    # additionally stamps parquet field ids; delta-spark writes the
+    # physicalName alongside in both modes and names the parquet
+    # columns with it, so physical-name matching reads both (a field
+    # MISSING its physicalName is refused loudly, never guessed).
+    # The WRITE side stays refused (check_writable): committing to a
+    # mapped table requires physical-name assignment and stats-key
+    # discipline this engine does not implement.
+
+    def column_mapping_mode(self) -> str:
+        conf = (self.metadata or {}).get("configuration") or {}
+        return str(conf.get("delta.columnMapping.mode") or "none")
+
+    def physical_schema(self) -> T.StructType:
+        return _physical_struct(self.schema(), self.column_mapping_mode())
+
+    def physical_partition_columns(self) -> list[str]:
+        phys = {
+            f.name: p.name
+            for f, p in zip(self.schema().fields, self.physical_schema().fields)
+        }
+        return [phys[c] for c in self.partition_columns()]
+
     def check_readable(self) -> None:
         p = self.protocol
         reader = int(p.get("minReaderVersion", 1))
         conf = (self.metadata or {}).get("configuration") or {}
         mapping = conf.get("delta.columnMapping.mode", "none")
-        if mapping not in ("none", None):
+        if mapping not in ("none", None, "name", "id"):
             raise DeltaProtocolError(
-                f"unsupported table feature: columnMapping mode {mapping!r}"
+                f"unsupported columnMapping mode {mapping!r} (this reader "
+                "implements none/name/id)"
             )
         if reader > 3:
             # a future protocol revision this code does not know
@@ -203,6 +294,16 @@ class _Snapshot:
                 "imply enforcement duties this engine does not provide"
             )
         conf = (self.metadata or {}).get("configuration") or {}
+        # belt-and-braces beyond the writer-version gates: committing to
+        # a column-mapped table needs physical-name assignment and
+        # physical-keyed stats/partitionValues this engine does not
+        # implement — reads are supported (r9), writes never silently
+        if self.column_mapping_mode() not in ("none", "None"):
+            raise DeltaProtocolError(
+                f"cannot {operation}: table uses columnMapping mode "
+                f"{self.column_mapping_mode()!r} — this engine reads "
+                "mapped tables but does not write them"
+            )
 
         def _on(key: str) -> bool:
             return str(conf.get(key, "false")).strip().lower() == "true"
@@ -569,10 +670,24 @@ class DeltaProtocolTable:
         return self._read_snapshot(snap)
 
     def _read_snapshot(self, snap: _Snapshot) -> DataFrame:
-        struct = snap.schema()
-        part_cols = snap.partition_columns()
+        logical = snap.schema()
+        mapped = snap.column_mapping_mode() not in ("none", "None")
+        # column mapping (r9): the whole scan runs in PHYSICAL terms —
+        # parquet column names, partitionValues keys and hive directory
+        # names are all physical on mapped tables — and the final
+        # projection renames to logical
+        struct = snap.physical_schema() if mapped else logical
+        part_cols = (
+            snap.physical_partition_columns()
+            if mapped
+            else snap.partition_columns()
+        )
         if not snap.files:
-            return self.spark.createDataFrame([], struct)
+            return self.spark.createDataFrame([], logical)
+
+        def done(df: DataFrame) -> DataFrame:
+            df = self._apply_deletion_vectors(df, dv_files)
+            return _to_logical(df, struct, logical) if mapped else df
         data_struct = T.StructType(
             [f for f in struct.fields if f.name not in part_cols]
         )
@@ -600,7 +715,7 @@ class DeltaProtocolTable:
                 *[str(self.root / p) for p in paths]
             )
             df = df.select(*[F.col(f.name) for f in struct.fields], *meta)
-            return self._apply_deletion_vectors(df, dv_files)
+            return done(df)
         if self._hive_consistent(snap, part_cols):
             # every file sits under its own col=value/... directory chain
             # (how this writer and delta-rs lay files out): one scan with
@@ -611,7 +726,7 @@ class DeltaProtocolTable:
                 .parquet(*[str(self.root / p) for p in paths])
             )
             df = df.select(*[F.col(f.name) for f in struct.fields], *meta)
-            return self._apply_deletion_vectors(df, dv_files)
+            return done(df)
         # authoritative fallback: the shared action-file reader groups
         # by partitionValues and reattaches partition columns as typed
         # literals (same code path as change_feed — one implementation
@@ -623,7 +738,7 @@ class DeltaProtocolTable:
             with_meta=bool(dv_files),
         )
         assert out is not None
-        return self._apply_deletion_vectors(out, dv_files)
+        return done(out)
 
     def _apply_deletion_vectors(
         self, df: DataFrame, dv_files: dict[str, dict]
@@ -1260,8 +1375,17 @@ class DeltaProtocolTable:
         if v_to is None:
             v_to = self.latest_version()
         snap_to = self._snapshot(v_to)
-        struct = snap_to.schema()
-        part_cols = snap_to.partition_columns()
+        logical = snap_to.schema()
+        mapped = snap_to.column_mapping_mode() not in ("none", "None")
+        # mapped tables (r9): cdc/add/remove parquet files are
+        # physically named like data files — replay physically, rename
+        # in the final projection (_change_type & co pass through)
+        struct = snap_to.physical_schema() if mapped else logical
+        part_cols = (
+            snap_to.physical_partition_columns()
+            if mapped
+            else snap_to.partition_columns()
+        )
         out: Optional[DataFrame] = None
         for v in range(v_from + 1, v_to + 1):
             path = self.log_dir / f"{v:020d}.json"
@@ -1335,7 +1459,7 @@ class DeltaProtocolTable:
             out = part if out is None else out.unionByName(part)
         if out is None:
             empty = T.StructType(
-                list(struct.fields)
+                list(logical.fields)
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_commit_version", T.LongType()),
@@ -1343,7 +1467,7 @@ class DeltaProtocolTable:
                 ]
             )
             return self.spark.createDataFrame([], empty)
-        return out
+        return _to_logical(out, struct, logical) if mapped else out
 
 
 

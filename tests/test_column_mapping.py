@@ -1,0 +1,258 @@
+"""Delta column-mapping READ support (delta/protocol.py, r9).
+
+Fixtures are hand-authored per the public Delta PROTOCOL.md ("Column
+Mapping"): parquet files whose columns carry the PHYSICAL
+``col-<uuid>`` names, a schemaString whose fields carry
+``delta.columnMapping.id`` / ``delta.columnMapping.physicalName``
+metadata, physical-keyed ``partitionValues`` and physical-named hive
+directories — the exact layout delta-spark emits with
+``delta.columnMapping.mode = name`` (mode ``id`` additionally stamps
+parquet field ids; both name parquet columns physically).  Writes to
+mapped tables stay refused.  Reference behavior: the pinned delta-rs
+rev reads such tables (aqueducts/delta/src/lib.rs:45-74).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aqueducts_spark.delta.protocol import (
+    DeltaProtocolError,
+    DeltaProtocolTable,
+)
+
+_PHYS_ID = "col-173e4db4-4d1c-4fbe-a7e8-a1cfc8a21e49"
+_PHYS_NAME = "col-c1e42f43-2f6b-4dbe-b77f-57e42c21d2b3"
+_PHYS_NESTED = "col-9a0e1bd1-0000-4d08-9e5a-6e35b15c0dce"
+_PHYS_INNER = "col-55e7f4a1-1111-4f8e-b2bd-1cf0c2a7b001"
+_PHYS_PART = "col-7b12ab34-2222-45aa-97ce-1b2e3f4a5b6c"
+
+
+def _field(name: str, typ, cid: int, phys: str, **kw):
+    return {
+        "name": name,
+        "type": typ,
+        "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": cid,
+            "delta.columnMapping.physicalName": phys,
+        },
+        **kw,
+    }
+
+
+def _schema_string(with_part: bool = False) -> str:
+    nested = {
+        "type": "struct",
+        "fields": [_field("inner", "string", 4, _PHYS_INNER)],
+    }
+    fields = [
+        _field("id", "long", 1, _PHYS_ID),
+        _field("name", "string", 2, _PHYS_NAME),
+        _field("meta", nested, 3, _PHYS_NESTED),
+    ]
+    if with_part:
+        fields.append(_field("p", "string", 5, _PHYS_PART))
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _data_table(ids, names, inners):
+    return pa.table(
+        {
+            _PHYS_ID: pa.array(ids, pa.int64()),
+            _PHYS_NAME: pa.array(names, pa.string()),
+            _PHYS_NESTED: pa.array(
+                [{_PHYS_INNER: x} for x in inners],
+                pa.struct([pa.field(_PHYS_INNER, pa.string())]),
+            ),
+        }
+    )
+
+
+def _protocol_action(mode: str, legacy: bool = False) -> dict:
+    if legacy:
+        # pre-feature form: minReaderVersion 2 IS column mapping
+        return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }
+    }
+
+
+def _meta_action(mode: str, with_part: bool = False) -> dict:
+    return {
+        "metaData": {
+            "id": "cm-test-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(with_part),
+            "partitionColumns": ["p"] if with_part else [],
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": "5",
+            },
+        }
+    }
+
+
+def _write_mapped_table(root: Path, mode: str = "name", legacy: bool = False):
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    pq.write_table(
+        _data_table([1, 2, 3], ["a", "b", "c"], ["x", "y", "z"]),
+        root / "part-0.parquet",
+    )
+    actions = [
+        _protocol_action(mode, legacy),
+        _meta_action(mode),
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+
+
+def _write_mapped_partitioned_table(root: Path, mode: str = "name"):
+    """Hive layout + partitionValues keyed by the PHYSICAL name, the
+    delta-spark on-disk form for mapped partitioned tables."""
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    actions = [_protocol_action(mode), _meta_action(mode, with_part=True)]
+    for pval, ids in (("east", [1, 2]), ("west", [3])):
+        d = root / f"{_PHYS_PART}={pval}"
+        d.mkdir()
+        pq.write_table(
+            _data_table(ids, [f"n{i}" for i in ids], [f"i{i}" for i in ids]),
+            d / "part-0.parquet",
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": f"{_PHYS_PART}={pval}/part-0.parquet",
+                    "partitionValues": {_PHYS_PART: pval},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+@pytest.mark.parametrize("legacy", [False, True])
+def test_read_mapped_table_logical_names(spark, tmp_path, mode, legacy):
+    root = tmp_path / "tbl"
+    _write_mapped_table(root, mode=mode, legacy=legacy)
+    df = DeltaProtocolTable(spark, str(root)).read()
+    assert df.columns == ["id", "name", "meta"]
+    # nested struct fields are renamed too
+    assert df.schema["meta"].dataType.fieldNames() == ["inner"]
+    rows = {r.id: (r.name, r.meta.inner) for r in df.collect()}
+    assert rows == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+
+
+def test_read_mapped_partitioned_table(spark, tmp_path):
+    root = tmp_path / "tbl"
+    _write_mapped_partitioned_table(root)
+    df = DeltaProtocolTable(spark, str(root)).read()
+    assert set(df.columns) == {"id", "name", "meta", "p"}
+    got = sorted((r.id, r.p) for r in df.collect())
+    assert got == [(1, "east"), (2, "east"), (3, "west")]
+
+
+def test_unknown_mapping_mode_refused(spark, tmp_path):
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in log.read_text().splitlines()]
+    actions[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "weird"
+    log.write_text("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(DeltaProtocolError, match="weird"):
+        DeltaProtocolTable(spark, str(root)).read()
+
+
+def test_missing_physical_name_refused(spark, tmp_path):
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in log.read_text().splitlines()]
+    schema = json.loads(actions[1]["metaData"]["schemaString"])
+    del schema["fields"][1]["metadata"]["delta.columnMapping.physicalName"]
+    actions[1]["metaData"]["schemaString"] = json.dumps(schema)
+    log.write_text("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(DeltaProtocolError, match="physicalName"):
+        DeltaProtocolTable(spark, str(root)).read()
+
+
+def test_writes_to_mapped_table_refused(spark, tmp_path):
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    t = DeltaProtocolTable(spark, str(root))
+    df = spark.createDataFrame([(9, "z", ("q",))], "id bigint, name string, meta struct<inner string>")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        t.append(df)
+
+
+def test_change_feed_on_mapped_table(spark, tmp_path):
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    # second commit adds a file (dataChange insert derivation)
+    pq.write_table(_data_table([4], ["d"], ["w"]), root / "part-1.parquet")
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "add": {
+                    "path": "part-1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                }
+            }
+        )
+    )
+    cf = DeltaProtocolTable(spark, str(root)).change_feed(0)
+    rows = cf.collect()
+    assert [r.id for r in rows] == [4]
+    assert rows[0]._change_type == "insert" and rows[0].name == "d"
+
+
+def test_time_travel_on_mapped_table(spark, tmp_path):
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    pq.write_table(_data_table([4], ["d"], ["w"]), root / "part-1.parquet")
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "add": {
+                    "path": "part-1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                }
+            }
+        )
+    )
+    t = DeltaProtocolTable(spark, str(root))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3]

@@ -397,7 +397,12 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
         delta_layer(spark).read(str(root))
 
 
-def test_column_mapping_rejected(spark, tmp_path):
+def test_column_mapping_without_physical_names_rejected(spark, tmp_path):
+    """r9 flips columnMapping reads from refused to SUPPORTED
+    (tests/test_column_mapping.py covers the working paths); what must
+    still fail loudly is a mode=name table whose schemaString carries
+    no physicalName metadata — a spec violation where guessing would
+    silently read the wrong columns."""
     root = tmp_path / "cm"
     _write_external_table(root)
     log = root / "_delta_log" / f"{0:020d}.json"
@@ -408,7 +413,7 @@ def test_column_mapping_rejected(spark, tmp_path):
             a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
         lines.append(json.dumps(a))
     log.write_text("\n".join(lines))
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    with pytest.raises(DeltaProtocolError, match="physicalName"):
         delta_layer(spark).read(str(root))
 
 
