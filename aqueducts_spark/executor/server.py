@@ -180,19 +180,7 @@ class ExecutorServer:
                     # without a valid key (api/auth.rs:14-33)
                     break
         finally:
-            # the connection owns its executions (reference ties
-            # cancellation to the connection): a disconnect cancels its
-            # queued work and interrupts its running jobs instead of
-            # orphaning compute that nobody will ever observe
-            for ex in list(self._executions.values()):
-                if ex.queue is out_queue and not ex.cancelled.is_set():
-                    ex.cancelled.set()
-                    if ex in self._pending:
-                        self._pending.remove(ex)
-                        self._executions.pop(ex.id, None)
-                    else:
-                        self.spark.sparkContext._jsc.sc().cancelJobGroup(ex.id)
-            self._broadcast_positions()
+            self._release_connection(out_queue)
             out_queue.put_nowait(None)
             try:
                 await pump_task
@@ -203,6 +191,23 @@ class ExecutorServer:
                 pass
             self._writers.discard(writer)
             writer.close()
+
+    def _release_connection(self, out_queue: asyncio.Queue) -> None:
+        # the connection owns its executions (reference ties
+        # cancellation to the connection): a disconnect cancels its
+        # queued work and interrupts its running jobs instead of
+        # orphaning compute that nobody will ever observe.  Shared by
+        # the JSON-lines handler above and the websocket transport
+        # (executor/ws.py).
+        for ex in list(self._executions.values()):
+            if ex.queue is out_queue and not ex.cancelled.is_set():
+                ex.cancelled.set()
+                if ex in self._pending:
+                    self._pending.remove(ex)
+                    self._executions.pop(ex.id, None)
+                else:
+                    self.spark.sparkContext._jsc.sc().cancelJobGroup(ex.id)
+        self._broadcast_positions()
 
     def _authenticated(self, msg: dict[str, Any]) -> bool:
         provided = msg.get("api_key")

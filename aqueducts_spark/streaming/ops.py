@@ -443,6 +443,81 @@ def quota_stream(
     )
 
 
+def tws_available() -> tuple[bool, str]:
+    """Whether ``transformWithStateInPandas`` — Spark 4's successor
+    stateful-processing API (typed ValueState, state TTL, timers) —
+    can actually RUN here.  The Python API imports fine without its
+    runtime dependency, so an import-check of the operator alone would
+    claim support and then fail mid-stream: the state-server wire
+    protocol needs the ``protobuf`` package.  Returns (ok, reason)."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except Exception as exc:  # pragma: no cover - pyspark < 4
+        return False, f"transformWithStateInPandas API absent: {exc}"
+    try:
+        import google.protobuf  # noqa: F401
+    except Exception:
+        return False, (
+            "protobuf is not installed — transformWithStateInPandas's "
+            "state-server protocol requires it"
+        )
+    return True, ""
+
+
+def quota_stream_tws(
+    df: DataFrame,
+    key_cols: list[str],
+    limit: int,
+) -> DataFrame:
+    """:func:`quota_stream` on ``transformWithStateInPandas`` — the
+    documented production upgrade path (typed per-key ValueState
+    instead of the tuple-typed GroupState; same operator shape, same
+    O(distinct keys) state contract).  Raises with
+    :func:`tws_available`'s reason when the runtime cannot support it,
+    so callers never discover the protobuf dependency mid-stream."""
+    ok, reason = tws_available()
+    if not ok:
+        raise RuntimeError(f"quota_stream_tws: {reason}")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = df.schema
+    columns = df.columns
+
+    class _QuotaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._taken = handle.getValueState("taken", "taken BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            taken = self._taken.get()[0] if self._taken.exists() else 0
+            out = []
+            for pdf in rows:  # always drain the iterator
+                if taken < limit and len(pdf):
+                    take = pdf.head(limit - taken)
+                    taken += len(take)
+                    out.append(take)
+            self._taken.update((taken,))
+            yield pd.concat(out) if out else pd.DataFrame(columns=columns)
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).transformWithStateInPandas(
+        statefulProcessor=_QuotaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def running_counts_stream(
     df: DataFrame,
     key_cols: list[str],

@@ -952,3 +952,54 @@ def test_kn_score_stream_clash_and_shard_union(spark, tmp_path):
         for r in kn_score_stream(docs, union).collect()
     }
     assert streamed == batch
+
+
+def test_tws_available_reports_reason():
+    """The availability probe must say WHY when the successor stateful
+    API cannot run (this container: pyspark 4 ships the Python API but
+    not protobuf, so an import-probe of the operator alone would claim
+    support and fail mid-stream)."""
+    from aqueducts_spark.streaming.ops import tws_available
+
+    ok, reason = tws_available()
+    assert ok or reason  # never (False, "")
+    if not ok:
+        # unavailable must also be a LOUD construction-time error, not
+        # a mid-stream one
+        import pytest as _pytest
+
+        from aqueducts_spark.streaming.ops import quota_stream_tws
+
+        with _pytest.raises(RuntimeError, match="quota_stream_tws"):
+            quota_stream_tws(None, ["user_id"], 1)
+
+
+def test_quota_stream_tws_parity(spark, tmp_path):
+    """transformWithStateInPandas twin of quota_stream — runs wherever
+    the runtime supports it (needs protobuf; skipped in this container)
+    and must match the applyInPandasWithState operator row-for-row."""
+    import pytest as _pytest
+
+    from aqueducts_spark.streaming.ops import tws_available
+
+    ok, reason = tws_available()
+    if not ok:
+        _pytest.skip(reason)
+    from aqueducts_spark.streaming import (
+        file_stream_source,
+        quota_stream,
+        run_available_now,
+    )
+    from aqueducts_spark.streaming.ops import quota_stream_tws
+
+    path = _two_batch_dir(spark, tmp_path)
+
+    def drain(op, ck):
+        stream = file_stream_source(
+            spark, path, "parquet", parse_fields(SCHEMA),
+            options={"maxFilesPerTrigger": "1"},
+        )
+        rows = run_available_now(op(stream, ["user_id"], 1), str(tmp_path / ck))
+        return sorted((r.user_id, r.value) for r in rows)
+
+    assert drain(quota_stream_tws, "ckpt_tws") == drain(quota_stream, "ckpt_gs")
