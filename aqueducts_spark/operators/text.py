@@ -2643,6 +2643,7 @@ def kn_bigram_score(
     discount: float = 0.75,
     cache_model: bool = True,
     checkpoint_dir: str | None = None,
+    normalize_model: bool = True,
 ) -> DataFrame:
     """Score documents against an EXTERNAL :func:`kn_bigram_fit` model
     — the CCNet shape (the self-trained single-pass form is
@@ -2656,15 +2657,21 @@ def kn_bigram_score(
     ``p = Pcont(w2)``); an unseen bigram under a seen prefix gets pure
     discount mass ``lambda(w1) * Pcont(w2)``.
 
-    Plan shape (r8): the normalized model is eagerly materialized
-    (type-sized; ``checkpoint_dir`` selects the reliable form) and its
-    statistics are small groupBys of it; the corpus pays ONE
-    ``(doc, gram) -> tf`` shuffle, whose distinct grams (an
-    independent concurrent subtree) left-join the model statistics by plain
-    equality — NULL statistics are exactly the backoff semantics, and
-    the joins broadcast at gate scale / hash-join type-sized tables at
-    cluster scale.  Persist the model parquet once; every daily crawl
-    score reads it instead of re-fitting.
+    Plan shape (r9, the trigram scorer's shape one order down): the
+    normalized model is eagerly materialized (type-sized;
+    ``checkpoint_dir`` selects the reliable form) and its statistics
+    are small groupBys of it; the corpus pays ONE tokenize/explode
+    pass into the ``(doc, gram) -> tf`` shuffle, the events relation is
+    materialized (per-doc-distinct volume), and the distinct grams that
+    left-join the model statistics derive FROM it — AQE shares no
+    subtree across consumers, so the r8 form re-scanned and re-exploded
+    the corpus for the distinct-gram side.  NULL statistics are exactly
+    the backoff semantics, and the joins broadcast at gate scale /
+    hash-join type-sized tables at cluster scale.  Persist the model
+    parquet once; every daily crawl score reads it instead of
+    re-fitting — and pass ``normalize_model=False`` for a model that is
+    one fit's already-aggregated output (the normalization groupBy
+    exists to make unionByName of per-shard fits a valid model).
     """
     if not 0 < discount < 1:
         raise ValueError(
@@ -2686,7 +2693,8 @@ def kn_bigram_score(
     # readings identical and makes plain unionByName of shard fits a
     # valid model with no manual merge step.  A merged model passes
     # through unchanged (sum over one row).
-    model = model.groupBy("w1", "w2").agg(F.sum("ct").alias("ct"))
+    if normalize_model:
+        model = model.groupBy("w1", "w2").agg(F.sum("ct").alias("ct"))
     # eagerly materialize the normalized model (type-sized): it feeds
     # several statistics subtrees below — on an unpersisted
     # kn_bigram_fit each would re-execute the whole fit lineage.
@@ -2749,19 +2757,23 @@ def kn_bigram_score(
         F.count("*").alias("n1p_bwd")
     )
 
-    # corpus events: [first_token] ++ bigrams, one (doc, gram) shuffle;
-    # the distinct corpus grams are an INDEPENDENT subtree (AQE never
-    # reuses a shared exchange across consumers, so deriving them from
-    # the event table would re-execute the whole event pass serially;
-    # independent subtrees run concurrently and recompute of a
-    # scan+explode beats materialization — measured at sf0.1)
+    # corpus events: [first_token] ++ bigrams, ONE tokenize/explode
+    # pass into one (doc, gram) shuffle.  The events relation is
+    # consumed twice (scoring join + distinct-gram stat side) and AQE
+    # shares no exchange across consumers, so it is materialized
+    # eagerly — the r8 form recomputed the scan+explode for the
+    # distinct-gram side, which the trigram scorer's r9 A/B measured
+    # slower AND is strictly worse at 100 TB (a second full corpus
+    # scan vs re-reading per-doc-distinct event blocks)
     ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
-    events = (
+    events = materialize(
         toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
         .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
+        checkpoint_dir,
+        eager=True,
     )
-    ev_types = toked.select(F.explode(ev_arr).alias("gram")).distinct()
+    ev_types = events.select("gram").distinct()
 
     is2 = F.col("gram").contains(" ")
     s0 = F.split(F.col("gram"), " ")[0]
