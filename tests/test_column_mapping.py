@@ -256,3 +256,57 @@ def test_time_travel_on_mapped_table(spark, tmp_path):
     t = DeltaProtocolTable(spark, str(root))
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4]
     assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3]
+
+
+def test_mapped_table_with_deletion_vectors(spark, tmp_path):
+    """Both r8+r9 reader features on ONE table — the combination a
+    modern engine actually writes (delta-spark with columnMapping AND
+    enableDeletionVectors): the DV row-index anti-join must run on the
+    physical scan and the logical rename must come after."""
+    from aqueducts_spark.delta.deletion_vectors import (
+        encode_dv_bytes,
+        z85_encode,
+    )
+
+    root = tmp_path / "tbl"
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    pq.write_table(
+        _data_table([1, 2, 3, 4, 5], list("abcde"), list("vwxyz")),
+        root / "part-0.parquet",
+    )
+    data = encode_dv_bytes([1, 3])  # delete ids 2 and 4 by position
+    pad = (-len(data)) % 4
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": ["columnMapping", "deletionVectors"],
+            }
+        },
+        _meta_action("name"),
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+                    "sizeInBytes": len(data),
+                    "cardinality": 2,
+                },
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    df = DeltaProtocolTable(spark, str(root)).read()
+    assert df.columns == ["id", "name", "meta"]
+    rows = {r.id: (r.name, r.meta.inner) for r in df.collect()}
+    assert rows == {1: ("a", "v"), 3: ("c", "x"), 5: ("e", "z")}
