@@ -101,6 +101,7 @@ def _persisted_model(
     key: str,
     fit: Callable[[], DataFrame],
 ) -> DataFrame:
+    import hashlib
     import os
     import tempfile
 
@@ -109,9 +110,12 @@ def _persisted_model(
     cache_key = (os.path.abspath(sf_dir), key)
     path = _MODEL_PATHS.get(cache_key)
     if path is None:
-        path = os.path.join(
-            _MODEL_ROOT[0], key, os.path.basename(os.path.abspath(sf_dir))
-        )
+        # hash the FULL sf_dir path into the model path: two sf dirs
+        # sharing a basename (/a/data vs /b/data) must never share a
+        # model parquet (the cache keys differ but a basename-built
+        # path collided, silently scoring against the wrong corpus)
+        sf_tag = hashlib.sha256(cache_key[0].encode()).hexdigest()[:16]
+        path = os.path.join(_MODEL_ROOT[0], key, sf_tag)
         fit().write.mode("overwrite").parquet(path)
         _MODEL_PATHS[cache_key] = path
     return spark.read.parquet(path)

@@ -88,12 +88,22 @@ class DeltaProtocolError(DeltaTableError):
     pass
 
 
-def _physical_struct(struct: T.StructType, mode: str) -> T.StructType:
+def _physical_struct(
+    struct: T.StructType, mode: str, field_ids: bool = False
+) -> T.StructType:
     """``struct`` with every field — at every nesting level — renamed to
     its ``delta.columnMapping.physicalName`` metadata.  Identity when
     ``mode`` is none; a mapped field missing its physicalName is a
     protocol violation and is refused loudly (guessing would silently
-    read the wrong column)."""
+    read the wrong column).
+
+    ``field_ids=True`` additionally stamps each field's
+    ``delta.columnMapping.id`` as ``parquet.field.id`` metadata — the
+    key Spark's parquet reader uses (with
+    ``spark.sql.parquet.fieldId.read.enabled``) to match columns by
+    field ID instead of by name, which is how a spec-compliant
+    ``mode=id`` table whose parquet columns are NOT physically named
+    must be read."""
     if mode in ("none", "None"):
         return struct
 
@@ -111,14 +121,27 @@ def _physical_struct(struct: T.StructType, mode: str) -> T.StructType:
         return dt
 
     def conv_field(f: T.StructField) -> T.StructField:
-        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName")
         if not phys:
             raise DeltaProtocolError(
                 f"columnMapping mode {mode!r}: field {f.name!r} carries no "
                 "delta.columnMapping.physicalName metadata — the table's "
                 "schemaString violates the column-mapping spec"
             )
-        return T.StructField(str(phys), conv_type(f.dataType), f.nullable)
+        new_md = None
+        if field_ids:
+            fid = md.get("delta.columnMapping.id")
+            if fid is None:
+                raise DeltaProtocolError(
+                    f"columnMapping mode {mode!r}: field {f.name!r} carries "
+                    "no delta.columnMapping.id metadata — field-id matching "
+                    "is impossible and name matching already failed"
+                )
+            new_md = {"parquet.field.id": int(fid)}
+        return T.StructField(
+            str(phys), conv_type(f.dataType), f.nullable, new_md
+        )
 
     return T.StructType([conv_field(f) for f in struct.fields])
 
@@ -669,6 +692,51 @@ class DeltaProtocolTable:
         snap = self._snapshot(version, timestamp)
         return self._read_snapshot(snap)
 
+    def _resolve_mapped_struct(
+        self, snap: _Snapshot, probe_rel: str
+    ) -> T.StructType:
+        """Physical read schema for a mapped table, resolved against the
+        table's ACTUAL parquet layout by probing one file's footer
+        (driver-side, one footer read):
+
+        * parquet columns carry the physical names (how delta-spark
+          lays out BOTH modes) -> plain name matching;
+        * otherwise, if the footer carries parquet field ids (a
+          spec-compliant ``mode=id`` writer that names columns freely)
+          -> field-id matching: the read schema gets ``parquet.field.id``
+          metadata and ``spark.sql.parquet.fieldId.read.enabled`` is
+          turned on (a no-op for schemas without id metadata, so other
+          reads are unaffected; a mixed table whose other files LACK
+          ids then fails the scan loudly rather than null-filling);
+        * neither -> loud refusal.  Before r9.1 an id-named table was
+          name-matched and every data column silently read as NULL.
+        """
+        mode = snap.column_mapping_mode()
+        phys = snap.physical_schema()
+        part_phys = set(snap.physical_partition_columns())
+        data_names = {f.name for f in phys.fields} - part_phys
+        footer = pq.read_schema(str(self.root / probe_rel))
+        file_names = set(footer.names)
+        if data_names <= file_names:
+            return phys
+        has_ids = any(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in footer
+        )
+        if has_ids:
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            return _physical_struct(snap.schema(), mode, field_ids=True)
+        raise DeltaProtocolError(
+            f"columnMapping mode {mode!r}: the parquet file "
+            f"{probe_rel!r} names columns {sorted(file_names)[:6]} — "
+            f"neither the physical names {sorted(data_names)[:6]} nor "
+            "parquet field ids are present, so no column-mapping "
+            "resolution is possible (reading on would silently "
+            "null-fill every data column)"
+        )
+
     def _read_snapshot(self, snap: _Snapshot) -> DataFrame:
         logical = snap.schema()
         mapped = snap.column_mapping_mode() not in ("none", "None")
@@ -676,7 +744,11 @@ class DeltaProtocolTable:
         # parquet column names, partitionValues keys and hive directory
         # names are all physical on mapped tables — and the final
         # projection renames to logical
-        struct = snap.physical_schema() if mapped else logical
+        struct = (
+            self._resolve_mapped_struct(snap, min(snap.files))
+            if mapped and snap.files
+            else (snap.physical_schema() if mapped else logical)
+        )
         part_cols = (
             snap.physical_partition_columns()
             if mapped
@@ -1377,10 +1449,16 @@ class DeltaProtocolTable:
         snap_to = self._snapshot(v_to)
         logical = snap_to.schema()
         mapped = snap_to.column_mapping_mode() not in ("none", "None")
-        # mapped tables (r9): cdc/add/remove parquet files are
-        # physically named like data files — replay physically, rename
-        # in the final projection (_change_type & co pass through)
-        struct = snap_to.physical_schema() if mapped else logical
+        # mapped tables (r9): cdc/add/remove parquet files are laid out
+        # like data files — replay physically (resolving name-vs-
+        # field-id matching against a current data file when one
+        # exists), rename in the final projection (_change_type & co
+        # pass through)
+        struct = (
+            self._resolve_mapped_struct(snap_to, min(snap_to.files))
+            if mapped and snap_to.files
+            else (snap_to.physical_schema() if mapped else logical)
+        )
         part_cols = (
             snap_to.physical_partition_columns()
             if mapped

@@ -122,10 +122,13 @@ async def read_message(
             buf += data
         else:
             raise ValueError(f"unexpected websocket opcode {opcode}")
-        if fin:
-            return bytes(buf)
+        # cap BEFORE returning: checking only between fragments let a
+        # final fin fragment push the reassembled message to ~2x the
+        # limit (each frame is individually under the per-frame cap)
         if len(buf) > STREAM_LIMIT:
             raise ValueError("fragmented websocket message exceeds limit")
+        if fin:
+            return bytes(buf)
 
 
 async def _read_http_head(reader: asyncio.StreamReader) -> tuple[str, dict]:
@@ -240,7 +243,12 @@ class WebSocketExecutorServer(ExecutorServer):
                     )
                     continue
                 if pre_authed:
-                    msg.setdefault("api_key", self.api_key)
+                    # connection-level auth WINS (the reference checks
+                    # X-API-Key once at upgrade, auth.rs:14-33, and never
+                    # re-checks per message): overwrite, don't setdefault
+                    # — a stale/empty api_key field on a message from a
+                    # validly-upgraded client must not kill the socket
+                    msg["api_key"] = self.api_key
                 if await self._dispatch(msg, out_queue):
                     break
         except ValueError:

@@ -60,19 +60,41 @@ def materialize(
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
+    import os
+
     sc = df.sparkSession.sparkContext
     # remember the dir WE set: sc.getCheckpointDir() returns the
     # UUID-suffixed resolved form, which never string-equals the
-    # user's argument, so equality must compare our own records
+    # user's argument, so equality compares our own record first and
+    # falls back to parsing the resolved form (scheme stripped, UUID
+    # leaf dropped) for a dir set OUTSIDE materialize via
+    # sc.setCheckpointDir — a differing dir must never be silently
+    # ignored
     ours = getattr(sc, "_aq_checkpoint_dir", None)
     current = sc.getCheckpointDir()
     if current is None:
         sc.setCheckpointDir(checkpoint_dir)
         sc._aq_checkpoint_dir = checkpoint_dir
-    elif ours is not None and ours != checkpoint_dir:
+        return df.checkpoint(eager=eager)
+    if ours is not None:
+        same = ours == checkpoint_dir
+        shown = ours
+    else:
+        base = os.path.dirname(current)
+        for scheme in ("file:", ""):
+            if base.startswith(scheme + "/"):
+                base = base[len(scheme):] if scheme else base
+                break
+        same = os.path.abspath(base) == os.path.abspath(checkpoint_dir)
+        shown = base
+        if same:
+            # adopt the externally-set dir as ours so later equality
+            # checks are exact
+            sc._aq_checkpoint_dir = checkpoint_dir
+    if not same:
         warnings.warn(
             f"materialize: session checkpoint dir is already "
-            f"{ours!r}; ignoring checkpoint_dir={checkpoint_dir!r} "
+            f"{shown!r}; ignoring checkpoint_dir={checkpoint_dir!r} "
             "(setCheckpointDir is session-global — use one durable "
             "dir per session)",
             stacklevel=2,

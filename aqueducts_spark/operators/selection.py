@@ -70,6 +70,11 @@ DEFAULT_BUCKET = -1
 # (the kmv/hll "sketch carries its k/m" discipline)
 _NB_META_BUCKET = -2
 
+# nb_classify: above this class count the vectorized scoring path's
+# plan width (K per-class sum aggregates + a K-element score array)
+# risks catalyst/codegen limits — the row-fan shape takes over
+_NB_VEC_MAX_CLASSES = 128
+
 _MICRO = 1e6
 _HASH_SPACE = float(1 << 60)
 
@@ -91,16 +96,20 @@ def _gram_buckets(toks: Column, buckets: int) -> Column:
     )
 
 
-def dsir_bucket_counts(
+def _gram_bucket_rows(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: Optional[str] = None,
-    buckets: int = 10_000,
+    text_col: str,
+    id_col: Optional[str],
+    buckets: int,
 ) -> DataFrame:
-    """Hashed-ngram bucket counts: per document when ``id_col`` is
-    given (``id, bucket, c``), else for the whole corpus
-    (``bucket, c`` — at most ``buckets`` rows, the fitted model)."""
-    exploded = (
+    """One row per hashed-gram OCCURRENCE (``[id,] bucket``) — the
+    shared un-aggregated feature pipeline under :func:`dsir_bucket_counts`
+    and :func:`nb_classify`'s scoring pass.  ONE implementation on
+    purpose: the DSIR and naive-Bayes feature spaces (tokenization,
+    the ``''`` empty-document sentinel gram, the md5 bucket hash) must
+    never diverge, or a model fitted by one scores garbage in the
+    other."""
+    return (
         ensure_parallelism(df)
         .select(
             *([F.col(id_col)] if id_col else []),
@@ -113,6 +122,18 @@ def dsir_bucket_counts(
             F.explode(_gram_buckets(F.col("__toks"), buckets)).alias("bucket"),
         )
     )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: Optional[str] = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Hashed-ngram bucket counts: per document when ``id_col`` is
+    given (``id, bucket, c``), else for the whole corpus
+    (``bucket, c`` — at most ``buckets`` rows, the fitted model)."""
+    exploded = _gram_bucket_rows(df, text_col, id_col, buckets)
     keys = ([id_col] if id_col else []) + ["bucket"]
     return exploded.groupBy(*keys).agg(F.count("*").alias("c"))
 
@@ -945,22 +966,47 @@ def nb_classify(
             lambda s: s["__prior"],
         ).alias("__priors")
     )
-    occ = (
-        ensure_parallelism(guarded)
-        .select(
-            F.col(id_col),
-            normalized_tokens(
-                F.coalesce(F.col(text_col), F.lit(""))
-            ).alias("__toks"),
-        )
-        .select(
-            F.col(id_col),
-            F.explode(_gram_buckets(F.col("__toks"), buckets)).alias(
-                "bucket"
-            ),
-        )
-    )
+    # the SAME per-occurrence hashed-gram pipeline DSIR uses — one
+    # shared implementation so the feature spaces cannot diverge
+    occ = _gram_bucket_rows(guarded, text_col, id_col, buckets)
     k = len(labels)
+    if k > _NB_VEC_MAX_CLASSES:
+        # beyond this, K per-class sum expressions + a K-element array
+        # projection blow catalyst/codegen plan width — take the
+        # row-fan shape instead: per-doc bucket counts x broadcast λ
+        # grid -> groupBy(id, label), argmax via a min(struct) agg
+        # (NOT a window: no per-id sort, map-side partial agg).  Same
+        # integer arithmetic, bit-identical scores and tie-breaks.
+        tf = occ.groupBy(id_col, "bucket").agg(F.count("*").alias("__c"))
+        scores = (
+            tf.join(F.broadcast(grid), "bucket")
+            .groupBy(id_col, "label")
+            .agg(F.sum(F.col("__c") * F.col("__lam")).alias("__s"))
+            .join(F.broadcast(priors), "label")
+            .select(
+                F.col(id_col),
+                "label",
+                (F.col("__s") + F.col("__prior")).cast("bigint").alias(
+                    "score_micro"
+                ),
+            )
+        )
+        if all_scores:
+            return scores
+        best = scores.groupBy(id_col).agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("__neg"),
+                    F.col("label").alias("__l"),
+                    F.col("score_micro").alias("__s"),
+                )
+            ).alias("__b")
+        )
+        return best.select(
+            F.col(id_col),
+            F.col("__b.__l").alias("label"),
+            F.col("__b.__s").alias("score_micro"),
+        )
     per_doc = (
         occ.join(F.broadcast(grid_vec), "bucket")
         .groupBy(id_col)

@@ -3238,9 +3238,8 @@ def kn_trigram_score(
     # explode pass into one (doc, gram) shuffle.  The events relation
     # is consumed twice (scoring join + the distinct-gram stat side),
     # and AQE does not share exchanges across consumers, so it is
-    # materialized lazily — the distinct-gram side fills the blocks as
-    # the broadcast build, then the scoring join re-reads blocks
-    # instead of re-scanning and re-exploding the corpus
+    # materialized — both consumers then re-read blocks instead of
+    # re-scanning and re-exploding the corpus
     ev_arr = F.concat(
         _kn_first_event(toks), _kn_second_event(toks), _kn_true_grams(toks, 3)
     )

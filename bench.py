@@ -141,6 +141,10 @@ ISOLATED_PROBES = [
     "op_dsir_weights",
     "op_line_dedup",
     "op_hll_distinct",
+    # in-suite positional-JIT outliers observed r9 (5.3s/4.1s in-suite
+    # vs 1.8s/1.9s isolated, code unchanged) — record the clean number
+    "op_url_blocklist",
+    "op_ppl_buckets",
 ]
 
 

@@ -310,3 +310,101 @@ def test_mapped_table_with_deletion_vectors(spark, tmp_path):
     assert df.columns == ["id", "name", "meta"]
     rows = {r.id: (r.name, r.meta.inner) for r in df.collect()}
     assert rows == {1: ("a", "v"), 3: ("c", "x"), 5: ("e", "z")}
+
+
+def _data_table_id_named(ids, names, inners):
+    """Parquet layout of a spec-compliant mode=id writer that does NOT
+    use physical names: arbitrary column names, identity carried by
+    parquet field ids (matching delta.columnMapping.id)."""
+
+    def f(name, typ, fid):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(fid).encode()})
+
+    schema = pa.schema(
+        [
+            f("some_id", pa.int64(), 1),
+            f("some_name", pa.string(), 2),
+            f("some_meta", pa.struct([f("some_inner", pa.string(), 4)]), 3),
+        ]
+    )
+    return pa.table(
+        {
+            "some_id": pa.array(ids, pa.int64()),
+            "some_name": pa.array(names, pa.string()),
+            "some_meta": pa.array(
+                [{"some_inner": x} for x in inners],
+                pa.struct([pa.field("some_inner", pa.string())]),
+            ),
+        }
+    ).cast(schema)
+
+
+def test_id_mode_field_id_matching(spark, tmp_path):
+    """mode=id with parquet columns NOT physically named: resolution
+    must go through parquet field ids (before r9.1 this silently
+    null-filled every data column — name matching found nothing)."""
+    root = tmp_path / "tbl"
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    pq.write_table(
+        _data_table_id_named([1, 2], ["a", "b"], ["x", "y"]),
+        root / "part-0.parquet",
+    )
+    actions = [
+        _protocol_action("id"),
+        _meta_action("id"),
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    df = DeltaProtocolTable(spark, str(root)).read()
+    assert df.columns == ["id", "name", "meta"]
+    rows = {r.id: (r.name, r.meta.inner) for r in df.collect()}
+    assert rows == {1: ("a", "x"), 2: ("b", "y")}
+
+
+def test_mapped_table_with_foreign_names_and_no_ids_refused(spark, tmp_path):
+    """Parquet columns that are neither physically named nor id-stamped:
+    no resolution is possible — must refuse loudly, never null-fill."""
+    root = tmp_path / "tbl"
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "wrong_a": pa.array([1], pa.int64()),
+                "wrong_b": pa.array(["x"]),
+                "wrong_c": pa.array(
+                    [{"q": "v"}], pa.struct([pa.field("q", pa.string())])
+                ),
+            }
+        ),
+        root / "part-0.parquet",
+    )
+    actions = [
+        _protocol_action("name"),
+        _meta_action("name"),
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    with pytest.raises(DeltaProtocolError, match="null-fill"):
+        DeltaProtocolTable(spark, str(root)).read()

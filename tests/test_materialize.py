@@ -111,3 +111,33 @@ def test_checkpoint_dir_is_session_global_not_clobbered(spark, tmp_path):
         warnings.simplefilter("always")
         materialize(df, checkpoint_dir=d1).count()
     assert not [x for x in w if "checkpoint dir" in str(x.message)]
+
+
+def test_externally_set_checkpoint_dir_detected(spark, tmp_path):
+    """A dir set OUTSIDE materialize (plain sc.setCheckpointDir) must
+    still trip the differing-dir warning — and a matching external dir
+    must be adopted silently (the r9 ADVICE case: without parsing the
+    UUID-suffixed resolved form, a differing checkpoint_dir argument
+    was silently ignored with neither warning nor override)."""
+    import warnings
+
+    from aqueducts_spark.operators.materialize import materialize
+
+    df = spark.range(3)
+    ext = str(tmp_path / "ext_ck")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ext)
+    if hasattr(sc, "_aq_checkpoint_dir"):
+        del sc._aq_checkpoint_dir  # simulate: set outside materialize
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        materialize(df, checkpoint_dir=str(tmp_path / "other_ck")).count()
+    assert any("checkpoint dir" in str(x.message) for x in w)
+    # same dir spelled as the user passed it: adopted, no warning
+    if hasattr(sc, "_aq_checkpoint_dir"):
+        del sc._aq_checkpoint_dir
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        materialize(df, checkpoint_dir=ext).count()
+    assert not [x for x in w if "checkpoint dir" in str(x.message)]
+    assert sc._aq_checkpoint_dir == ext

@@ -309,3 +309,32 @@ def test_merge_nb_models_input_validation(spark):
     bad = spark.createDataFrame([(1,)], ["label"])
     with pytest.raises(ValueError, match="missing column"):
         merge_nb_models([bad])
+
+
+def test_rowfan_path_matches_vectorized(spark, monkeypatch):
+    """Above _NB_VEC_MAX_CLASSES nb_classify switches from the
+    K-column vectorized plan to the row-fan + min(struct) argmax shape
+    — same integer arithmetic, so scores, labels AND tie-breaks must be
+    bit-identical to the vectorized path."""
+    import aqueducts_spark.operators.selection as sel
+    from aqueducts_spark.operators.selection import nb_classify, nb_fit
+
+    rows = [
+        (i, ["en", "fr", "de", "es"][i % 4], f"word{i % 7} text {i % 3} doc")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    model = nb_fit(df, label_col="lang", buckets=64).localCheckpoint()
+    probe = df.select("doc_id", "text")
+
+    vec = sorted(map(tuple, nb_classify(probe, model, buckets=64).collect()))
+    vec_all = sorted(
+        map(tuple, nb_classify(probe, model, buckets=64, all_scores=True).collect())
+    )
+    monkeypatch.setattr(sel, "_NB_VEC_MAX_CLASSES", 2)
+    row = sorted(map(tuple, nb_classify(probe, model, buckets=64).collect()))
+    row_all = sorted(
+        map(tuple, nb_classify(probe, model, buckets=64, all_scores=True).collect())
+    )
+    assert vec == row
+    assert vec_all == row_all
