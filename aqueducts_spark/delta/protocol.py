@@ -710,20 +710,42 @@ class DeltaProtocolTable:
           ids then fails the scan loudly rather than null-filling);
         * neither -> loud refusal.  Before r9.1 an id-named table was
           name-matched and every data column silently read as NULL.
+
+        Name matching is chosen on ANY physical-name overlap, not a
+        full subset: a schema-evolved table's OLD files legitimately
+        lack later-added columns (they null-fill — standard evolution
+        semantics), and physical names are rename-stable by design so
+        any genuine name-mode file shares them.  Honesty note on mixed
+        layouts: the probe reads ONE footer, so a table mixing
+        physically-named and id-only-named files fails loudly only
+        when the probed file is the id-only one (fieldId matching then
+        errors on the id-less files); probed-name-first, the id-only
+        files still null-fill — per-file resolution would cost a
+        driver-side footer read per file, which a 100k-file table
+        cannot pay.
         """
         mode = snap.column_mapping_mode()
         phys = snap.physical_schema()
         part_phys = set(snap.physical_partition_columns())
         data_names = {f.name for f in phys.fields} - part_phys
-        footer = pq.read_schema(str(self.root / probe_rel))
+        try:
+            footer = pq.read_schema(str(self.root / probe_rel))
+        except (FileNotFoundError, OSError) as exc:
+            raise DeltaProtocolError(
+                f"column-mapping probe: action references missing file "
+                f"{probe_rel!r} (vacuumed?): {exc}"
+            ) from None
         file_names = set(footer.names)
-        if data_names <= file_names:
+        if data_names & file_names:
             return phys
         has_ids = any(
             (f.metadata or {}).get(b"PARQUET:field_id") is not None
             for f in footer
         )
         if has_ids:
+            # session-level SQLConf (no per-read parquet option exists
+            # for it): harmless for schemas WITHOUT parquet.field.id
+            # metadata — only id-stamped read schemas change behavior
             self.spark.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
             )
@@ -736,6 +758,28 @@ class DeltaProtocolTable:
             "resolution is possible (reading on would silently "
             "null-fill every data column)"
         )
+
+    def _first_cdf_action_path(
+        self, v_from: int, v_to: int
+    ) -> Optional[str]:
+        """First parquet file path referenced by any cdc/add/remove
+        action in commits ``(v_from, v_to]`` — the column-mapping probe
+        target for :meth:`change_feed` (``None`` when the range carries
+        no file actions at all, in which case the output is empty and
+        the physical struct is never matched against a file)."""
+        for v in range(v_from + 1, v_to + 1):
+            path = self.log_dir / f"{v:020d}.json"
+            if not path.is_file():
+                continue  # change_feed itself raises the loud error
+            for line in path.read_text().splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                for kind in ("cdc", "add", "remove"):
+                    a = action.get(kind)
+                    if a and a.get("path"):
+                        return unquote(a["path"])
+        return None
 
     def _read_snapshot(self, snap: _Snapshot) -> DataFrame:
         logical = snap.schema()
@@ -1450,15 +1494,21 @@ class DeltaProtocolTable:
         logical = snap_to.schema()
         mapped = snap_to.column_mapping_mode() not in ("none", "None")
         # mapped tables (r9): cdc/add/remove parquet files are laid out
-        # like data files — replay physically (resolving name-vs-
-        # field-id matching against a current data file when one
-        # exists), rename in the final projection (_change_type & co
-        # pass through)
-        struct = (
-            self._resolve_mapped_struct(snap_to, min(snap_to.files))
-            if mapped and snap_to.files
-            else (snap_to.physical_schema() if mapped else logical)
-        )
+        # like data files — replay physically, rename in the final
+        # projection (_change_type & co pass through).  The name-vs-
+        # field-id probe runs against a file FROM THE RANGE ITSELF:
+        # probing the v_to snapshot was wrong twice over (an
+        # all-rows-deleted table has an empty snapshot, and the CDF
+        # range may predate the current layout) and the physical-name
+        # fallback silently null-filled id-named tables.
+        struct = logical
+        if mapped:
+            probe = self._first_cdf_action_path(v_from, v_to)
+            struct = (
+                self._resolve_mapped_struct(snap_to, probe)
+                if probe is not None
+                else snap_to.physical_schema()
+            )
         part_cols = (
             snap_to.physical_partition_columns()
             if mapped

@@ -60,37 +60,35 @@ def materialize(
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    import os
-
     sc = df.sparkSession.sparkContext
     # remember the dir WE set: sc.getCheckpointDir() returns the
     # UUID-suffixed resolved form, which never string-equals the
-    # user's argument, so equality compares our own record first and
-    # falls back to parsing the resolved form (scheme stripped, UUID
-    # leaf dropped) for a dir set OUTSIDE materialize via
-    # sc.setCheckpointDir — a differing dir must never be silently
-    # ignored
+    # user's argument — equality compares NORMALIZED dirs (scheme-
+    # aware: 'hdfs://nn/ck', 'file:/tmp/ck', '/tmp/ck/' and 'tmp/ck'
+    # all normalize predictably) so a dir set OUTSIDE materialize via
+    # plain sc.setCheckpointDir is detected too: a differing dir must
+    # never be silently ignored, and an equivalent spelling must not
+    # spuriously warn
     ours = getattr(sc, "_aq_checkpoint_dir", None)
     current = sc.getCheckpointDir()
     if current is None:
         sc.setCheckpointDir(checkpoint_dir)
-        sc._aq_checkpoint_dir = checkpoint_dir
+        sc._aq_checkpoint_dir = _norm_dir(checkpoint_dir)
         return df.checkpoint(eager=eager)
+    want = _norm_dir(checkpoint_dir)
     if ours is not None:
-        same = ours == checkpoint_dir
+        same = ours == want
         shown = ours
     else:
-        base = os.path.dirname(current)
-        for scheme in ("file:", ""):
-            if base.startswith(scheme + "/"):
-                base = base[len(scheme):] if scheme else base
-                break
-        same = os.path.abspath(base) == os.path.abspath(checkpoint_dir)
-        shown = base
+        import posixpath
+
+        # the resolved form's UUID leaf is Spark's, not the user's dir
+        in_force = _norm_dir(posixpath.dirname(current.rstrip("/")))
+        same = in_force == want
+        shown = in_force
         if same:
-            # adopt the externally-set dir as ours so later equality
-            # checks are exact
-            sc._aq_checkpoint_dir = checkpoint_dir
+            # adopt the externally-set dir so later checks are exact
+            sc._aq_checkpoint_dir = want
     if not same:
         warnings.warn(
             f"materialize: session checkpoint dir is already "
@@ -100,3 +98,20 @@ def materialize(
             stacklevel=2,
         )
     return df.checkpoint(eager=eager)
+
+
+def _norm_dir(d: str) -> str:
+    """Normalized comparison form of a checkpoint dir: scheme-aware
+    ((scheme, path) with the local ``file:`` scheme equated to a bare
+    path, authority kept — two namenodes' ``/ck`` differ), trailing
+    slashes dropped, relative local paths absolutized.  os.path.abspath
+    on a URI would prefix the cwd onto ``hdfs://...`` — exactly the
+    corruption this helper exists to avoid."""
+    import os
+    from urllib.parse import urlparse
+
+    p = urlparse(d)
+    if p.scheme in ("", "file"):
+        path = p.path if p.scheme == "file" else d
+        return os.path.abspath(path).rstrip("/") or "/"
+    return f"{p.scheme}://{p.netloc}{p.path.rstrip('/') or '/'}"

@@ -954,18 +954,6 @@ def nb_classify(
     # the lexicographically-smallest tied label, as before).  Integer
     # λ micro-nats make Σ_occurrence λ == Σ_bucket c·λ exactly, so
     # scores and argmax decisions are bit-identical to the r8 shape.
-    grid_vec = grid.groupBy("bucket").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("label", "__lam"))),
-            lambda s: s["__lam"],
-        ).alias("__lams")
-    )
-    prior_vec = priors.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("label", "__prior"))),
-            lambda s: s["__prior"],
-        ).alias("__priors")
-    )
     # the SAME per-occurrence hashed-gram pipeline DSIR uses — one
     # shared implementation so the feature spaces cannot diverge
     occ = _gram_bucket_rows(guarded, text_col, id_col, buckets)
@@ -1007,6 +995,18 @@ def nb_classify(
             F.col("__b.__l").alias("label"),
             F.col("__b.__s").alias("score_micro"),
         )
+    grid_vec = grid.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("label", "__lam"))),
+            lambda s: s["__lam"],
+        ).alias("__lams")
+    )
+    prior_vec = priors.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("label", "__prior"))),
+            lambda s: s["__prior"],
+        ).alias("__priors")
+    )
     per_doc = (
         occ.join(F.broadcast(grid_vec), "bucket")
         .groupBy(id_col)

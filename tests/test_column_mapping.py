@@ -408,3 +408,96 @@ def test_mapped_table_with_foreign_names_and_no_ids_refused(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="null-fill"):
         DeltaProtocolTable(spark, str(root)).read()
+
+
+def test_schema_evolved_mapped_table_old_files_null_fill(spark, tmp_path):
+    """Standard additive evolution on a mapped table: OLD files lack a
+    later-added physical column and must null-fill — the r9.1 probe's
+    first cut required the FULL physical name set in the probed (old)
+    footer and refused a perfectly readable table."""
+    root = tmp_path / "tbl"
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    # old file: only the first two physical columns existed back then
+    pq.write_table(
+        pa.table(
+            {
+                _PHYS_ID: pa.array([1, 2], pa.int64()),
+                _PHYS_NAME: pa.array(["a", "b"]),
+            }
+        ),
+        root / "aaa-old.parquet",  # lexicographically FIRST -> the probe target
+    )
+    pq.write_table(
+        _data_table([3], ["c"], ["z"]),
+        root / "bbb-new.parquet",
+    )
+    actions = [_protocol_action("name"), _meta_action("name")]
+    for p in ("aaa-old.parquet", "bbb-new.parquet"):
+        actions.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    df = DeltaProtocolTable(spark, str(root)).read()
+    rows = {r.id: (r.name, r.meta) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", ("z",))}
+
+
+def test_change_feed_probes_range_files_not_snapshot(spark, tmp_path):
+    """CDF over an id-named mapped table whose FINAL snapshot is empty
+    (all rows deleted): the probe must target a file from the range's
+    own actions — the snapshot fallback silently null-filled every data
+    column."""
+    root = tmp_path / "tbl"
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    pq.write_table(
+        _data_table_id_named([1, 2], ["a", "b"], ["x", "y"]),
+        root / "part-0.parquet",
+    )
+    actions = [
+        _protocol_action("id"),
+        _meta_action("id"),
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    # commit 1 removes the file -> v1 snapshot has ZERO data files
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "remove": {
+                    "path": "part-0.parquet",
+                    "dataChange": True,
+                    "deletionTimestamp": 1700000001000,
+                }
+            }
+        )
+    )
+    cf = DeltaProtocolTable(spark, str(root)).change_feed(-1)
+    rows = sorted((r.id, r.name, r._change_type) for r in cf.collect())
+    assert rows == [
+        (1, "a", "delete"),
+        (1, "a", "insert"),
+        (2, "b", "delete"),
+        (2, "b", "insert"),
+    ]
