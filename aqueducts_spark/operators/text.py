@@ -2498,26 +2498,26 @@ def kn_bigram_logprob(
     d_ = F.lit(float(discount))
 
     # ---- the corpus-volume pass: per-doc events -> tf ----------------
-    # deliberately NOT materialized: the event pass and the type pass
-    # below are independent subtrees AQE schedules concurrently, and
-    # recomputing a scan+explode measured faster at sf0.1 than paying
-    # localCheckpoint store+read (the module's recompute-beats-caching
-    # rule); at cluster scale it is one extra linear pass, not a
-    # shuffle
+    # ONE tokenize/explode over the corpus (r9): the events relation is
+    # materialized and the gram TYPE table derives from its blocks —
+    # the r8 form ran a second independent scan+explode for the types
+    # (AQE schedules independent subtrees concurrently but shares
+    # nothing), which the trigram scorer's r9 A/B measured slower at
+    # gate scale and which costs a full extra corpus pass at 100 TB.
+    # Σ_docs tf(doc, gram) == corpus ct(gram) exactly, so the derived
+    # type table is bit-identical to the independent aggregation.
     ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
     events = (
         toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
-    # gram TYPE table (type-sized, same explode reduced by gram alone);
-    # materialized because four statistics consumers re-aggregate it
-    # and AQE does not reuse a shared exchange across consumers
-    types0 = (
-        toked.select(F.explode(ev_arr).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("ct"))
-    )
+    if cache_stats:
+        events = materialize(events, checkpoint_dir)
+    # gram TYPE table (type-sized), re-aggregated from the events
+    # blocks; materialized itself because four statistics consumers
+    # re-aggregate it and AQE does not reuse exchanges across consumers
+    types0 = events.groupBy("gram").agg(F.sum("tf").alias("ct"))
     if cache_stats:
         types0 = materialize(types0, checkpoint_dir)
 
@@ -2899,18 +2899,17 @@ def kn_trigram_logprob(
     )
 
     # ---- the corpus-volume pass: per-doc events -> tf ----------------
-    # NOT materialized, and the type table is an independent subtree —
-    # see kn_bigram_logprob on AQE concurrency vs exchange reuse
+    # ONE tokenize/explode (r9): events materialized, type table
+    # derived from its blocks (Σ_docs tf == corpus ct exactly) — see
+    # kn_bigram_logprob on why the second independent explode lost
     events = (
         toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
-    types0 = (
-        toked.select(F.explode(ev_arr).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("ct"))
-    )
+    if cache_stats:
+        events = materialize(events, checkpoint_dir)
+    types0 = events.groupBy("gram").agg(F.sum("tf").alias("ct"))
     if cache_stats:
         types0 = materialize(types0, checkpoint_dir)
 
