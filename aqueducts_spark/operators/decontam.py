@@ -537,8 +537,14 @@ def contamination_report(
             "contamination_report: benchmark ids must be unique and "
             "non-NULL — a per-item report is meaningless under pooled ids"
         )
+    from .materialize import materialize
+
     base = benchmark.select(F.col(bench_id_col).alias("bench_id"))
-    bg = (
+    # benchmark-sized and consumed twice (per-item gram counts + the
+    # broadcast into the corpus join) — materialize so neither consumer
+    # re-tokenizes the benchmark source (AQE shares no subtree across
+    # consumers on the write path)
+    bg = materialize(
         benchmark.select(
             F.col(bench_id_col).alias("bench_id"),
             normalized_tokens(F.col(bench_text_col)).alias("__btoks"),

@@ -2230,6 +2230,8 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     n: int = 8,
     max_docs: int = 1,
+    materialize_tokens: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Exact duplicated-substring removal (the Lee et al. 2022
     "Deduplicating Training Data" substring step, shingle-relational
@@ -2242,23 +2244,31 @@ def remove_duplicated_spans(
     whitespace-normalized lowercase, the same normalization the
     shingles use).
 
-    Scale shape (mirrors :func:`drop_common_lines`): span
-    document-frequency dedups within each doc map-side
-    (``array_distinct``) and pays one count shuffle; the duplicated
-    span set broadcasts into the hit join, so only *hit* positions —
-    duplication volume, not corpus volume — shuffle into the per-doc
-    start list; the final doc⋈starts join is the one corpus-keyed
-    shuffle. Mask/removal is per-row higher-order-function codegen.
+    Scale shape (mirrors :func:`drop_common_lines`, r9 one-scan form):
+    the corpus is scanned and TOKENIZED exactly once — the (id, tokens)
+    relation is materialized (``materialize_tokens``; ``checkpoint_dir``
+    selects the executor-loss-safe form) and all three consumers (span
+    document-frequency, hit positions, final reassembly) read its
+    blocks, because Spark/AQE re-executes a shared subtree per consumer
+    and the r8 form paid three scan+tokenize passes.  N-GRAMS are still
+    rebuilt per consuming branch from the materialized tokens
+    (materializing the ~n× gram blowup would cost more than the cheap
+    in-codegen rebuild).  Span document-frequency dedups within each
+    doc map-side (``array_distinct``) and pays one count shuffle; the
+    duplicated span set broadcasts into the hit join, so only *hit*
+    positions — duplication volume, not corpus volume — shuffle into
+    the per-doc start list; the final doc⋈starts join is the one
+    corpus-keyed shuffle. Mask/removal is per-row higher-order-function
+    codegen.
     """
+    from .materialize import materialize
+
     src = ensure_parallelism(df)
-    # n-grams are rebuilt per consuming branch (recomputation beats
-    # caching a ~n× blowup of the corpus at scale) — but the final
-    # reassembly branch only needs tokens, so it never pays the
-    # n-gram construction at all.  Each branch stages the token array
-    # first (word_ngrams_col contract: one regex split per row)
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias("__stoks")
     )
+    if materialize_tokens:
+        toked = materialize(toked, checkpoint_dir)
     grams = word_ngrams_col(F.col("__stoks"), n)
     common = (
         toked.select(F.explode(F.array_distinct(grams)).alias("gram"))
@@ -2274,9 +2284,9 @@ def remove_duplicated_spans(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("__starts"))
     )
-    base = src.select(
-        F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
-    )
+    # the reassembly branch reads the SAME materialized tokens — the
+    # r8 form re-scanned and re-tokenized the corpus a third time
+    base = toked.select(F.col(id_col), F.col("__stoks").alias("__toks"))
     joined = base.join(hits, on=id_col, how="left").withColumn(
         "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
     )

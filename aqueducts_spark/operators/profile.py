@@ -141,34 +141,43 @@ def corpus_datacard(
       the raw bytes) appears on >= 1 OTHER document of the same
       source; NULL texts never count as duplicates.
 
-    Scale shape: three aggregates, all keyed on bounded-cardinality
-    columns and map-side combined — (1) the main stats on
-    ``group_col``, (2) the language ranking on ``(group, lang)``,
-    (3) the duplicate count on ``(group, text-md5)`` reduced to a
-    per-group sum before joining.  The three per-group results are
-    source-cardinality-sized and broadcast-joined; the corpus itself
-    is scanned once per aggregate and never wide-shuffled.
+    Scale shape (r9): the corpus is scanned and tokenized ONCE into a
+    SLIM per-doc projection — group, null/empty flags, token and char
+    counts, the text's md5 fingerprint, lang; NO raw text — which is
+    materialized, because its consumers ((1) the main stats on
+    ``group_col``, (2) the language ranking on ``(group, lang)`` —
+    itself consumed twice, (3) the duplicate count on ``(group, md5)``)
+    each re-executed the full scan+tokenize on the write path, where
+    AQE reuses nothing.  All aggregates are keyed on bounded
+    cardinalities and map-side combined; the per-group results are
+    source-cardinality-sized and broadcast-joined; nothing wide ever
+    shuffles and the raw text never leaves the scan projection.
     """
     from pyspark.sql.window import Window
 
     from .dedup import normalized_tokens
+    from .materialize import materialize
 
     text = F.col(text_col)
     toks = F.when(
         text.isNotNull(), F.size(normalized_tokens(text)).cast("long")
     ).otherwise(F.lit(0).cast("long"))
-    base = df.select(
-        F.col(group_col).alias("__g"),
-        text.alias("__t"),
-        toks.alias("__tok"),
-        F.coalesce(F.length(text).cast("long"), F.lit(0)).alias("__ch"),
-        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+    base = materialize(
+        df.select(
+            F.col(group_col).alias("__g"),
+            text.isNull().alias("__tnull"),
+            (text.isNotNull() & (F.trim(text) == "")).alias("__tempty"),
+            toks.alias("__tok"),
+            F.coalesce(F.length(text).cast("long"), F.lit(0)).alias("__ch"),
+            F.md5(text).alias("__fp"),  # NULL text -> NULL fingerprint
+            *([F.col(lang_col).alias("__lang")] if lang_col else []),
+        )
     )
     stats = base.groupBy("__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.count(F.when(F.col("__t").isNull(), 1)).cast("bigint").alias("n_null_text"),
+        F.count(F.when(F.col("__tnull"), 1)).cast("bigint").alias("n_null_text"),
         F.count(
-            F.when(F.col("__t").isNotNull() & (F.trim("__t") == ""), 1)
+            F.when(F.col("__tempty"), 1)
         ).cast("bigint").alias("n_empty_text"),
         F.sum("__tok").cast("bigint").alias("n_tokens"),
         F.sum("__ch").cast("bigint").alias("n_chars"),
@@ -222,8 +231,8 @@ def corpus_datacard(
             )
         )
     dups = (
-        base.where(F.col("__t").isNotNull())
-        .groupBy("__g", F.md5(F.col("__t")).alias("__fp"))
+        base.where(F.col("__fp").isNotNull())
+        .groupBy("__g", "__fp")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
         .groupBy("__g")

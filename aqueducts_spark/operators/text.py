@@ -2042,24 +2042,23 @@ def bm25_scores(
     at least one query term (retrieval semantics — the score of a
     no-hit document is identically 0).
 
-    Plan shape at 100 TB: the corpus is tokenized ONCE.  The slim
-    ``(id, dl, hits)`` projection — token count and query-term hits, NO
-    text, ~tens of bytes per document — is shuffled once through a
-    grouping-key aggregate, and that single exchange feeds both
-    consumers: the (N, avgdl) stats aggregation and the tf path sit
-    ABOVE it, so Catalyst plans ``ReusedExchange`` instead of
-    re-scanning the corpus (the :func:`~.selection.dsir_weights`
-    discipline, plan-asserted in tests).  All three columns are
-    *grouping keys* deliberately: grouping keys are prune-proof, so
-    column pruning cannot specialise one branch's subplan and break the
-    exchange reuse; likewise the tf path uses ``explode_outer`` +
-    ``isNotNull`` rather than ``explode`` so Catalyst cannot infer a
-    ``size(hits) > 0`` filter into only one branch.  The remaining
-    exchanges carry query-term hits, the bounded per-term document
-    frequencies, and the one-row stats.  Nothing is persisted, so
-    nothing outlives the query.  Assumes ``id_col`` identifies the
-    document (exact duplicate (id, text) rows collapse to one doc).
+    Plan shape at 100 TB (r9): the corpus is scanned and tokenized
+    ONCE, into the slim ``(id, dl, hits)`` projection — token count
+    and query-term hits, NO text, ~tens of bytes per document — which
+    is MATERIALIZED because its consumers (the (N, avgdl) stats
+    aggregation and the tf path) otherwise re-execute the scan on the
+    write path: AQE's stage reuse fires only under collect()-style
+    actions — the r8 form's prune-proof grouping-key shape measured
+    ``ReusedExchange: 2, scans: 1`` after a collect but ``scans: 3,
+    reuse: 0`` executing the SAME plan through a write, and writes are
+    what production sinks (and the bench) run.  The tf relation
+    (query-term hit volume) is materialized too — the per-term
+    document frequencies and the scoring join both consume it.
+    Remaining exchanges carry hit volume, the bounded per-term
+    frequencies, and the one-row stats.  Assumes ``id_col`` identifies
+    the document (exact duplicate (id, text) rows collapse to one doc).
     """
+    from .materialize import materialize
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
     if k1 < 0 or not 0 <= b <= 1:
@@ -2077,24 +2076,23 @@ def bm25_scores(
                 F.col("__toks"), lambda t: F.array_contains(term_arr, t)
             ).alias("__hits"),
         )
-        # grouping-key aggregate = the shared, prune-proof exchange
-        # (id is the doc identity; dl and __hits are functionally
-        # dependent on it, so this per-doc distinct is a no-op on the
-        # data and exists purely to anchor the reused shuffle)
+        # per-doc distinct (id is the doc identity; dl and __hits are
+        # functionally dependent on it) — collapses exact duplicate
+        # rows before the slim relation materializes
         .distinct()
     )
-    tf = (
+    lengths = materialize(lengths)
+    tf = materialize(
         lengths.select(
             F.col(id_col),
             F.col("dl"),
-            F.explode_outer("__hits").alias("term"),
+            F.explode("__hits").alias("term"),
         )
-        .where(F.col("term").isNotNull())
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    # N and avgdl in ONE single-row aggregation over the same exchange
-    # (ReusedExchange — not a second scan of the source)
+    # N and avgdl in ONE single-row aggregation over the materialized
+    # slim relation — not a second scan of the source
     stats = lengths.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
@@ -2146,16 +2144,21 @@ def tfidf_top_terms(
     ``tf * ln(n_docs / df)`` with ties broken by term text, so ranking
     is deterministic.  Output: ``id, term, tf, df, tfidf, rank``.
 
-    Plan shape (scales linearly in corpus size): explode ->
-    (id, term) count [1 full shuffle, map-side combined]; document
-    frequency re-aggregates that table [smaller shuffle]; the corpus
-    size is a 1-row count over a SECOND scan of the source — but
-    column-pruned to ``id_col`` alone, so it reads one narrow column
-    chunk, not the text — joined by broadcast; the final per-doc
-    top-n is a window over the (id, term) table.  Nothing wider than
-    the tf table ever shuffles.
+    Plan shape (r9, scales linearly in corpus size): explode ->
+    (id, term) count [1 full shuffle, map-side combined], MATERIALIZED
+    — its two consumers (document frequency and the scoring join)
+    re-executed the scan+tokenize on the write path, where AQE never
+    reuses a shared exchange; document frequency re-aggregates the
+    blocks [smaller shuffle].  The corpus size is a 1-row count over a
+    SECOND scan of the source — column-pruned to ``id_col`` alone (one
+    narrow column chunk, not the text; it cannot derive from the tf
+    table, which has no rows for empty documents) — joined by
+    broadcast; the final per-doc top-n is a window over the (id, term)
+    table.  Nothing wider than the tf table ever shuffles.
     """
-    tf = (
+    from .materialize import materialize
+
+    tf = materialize(
         ensure_parallelism(df)
         .select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
