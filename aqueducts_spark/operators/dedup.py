@@ -1365,6 +1365,12 @@ def hamming_pairs_wide(
             .where(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
+    # see hamming_pairs: the self-join's sides are two consumers and
+    # write-path AQE reuses nothing — materialize the slim relation so
+    # the wide-signature computation runs once
+    from .materialize import materialize
+
+    slim = materialize(slim)
     a = slim.select(
         "__band", "__bval", F.col("__id").alias("id_a"),
         F.col("__sig").alias("__sa"),
@@ -1518,15 +1524,23 @@ def hamming_pairs(
             .where(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
+    # materialize the slim banded relation (r9): the self-join's two
+    # sides are two CONSUMERS, and on the write path AQE never reuses
+    # the shared exchange the merge hints canonicalize to — without
+    # this, the whole upstream signature computation (simhash/pHash
+    # over the corpus) executed twice.  The relation is bands x corpus
+    # rows of four integers — no text, no vectors.
+    from .materialize import materialize
+
+    slim = materialize(slim)
     a = slim.select(
         "__band", "__bval", F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")
     )
     b = slim.select(
         "__band", "__bval", F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")
     )
-    # merge hints: both inputs canonicalize to the window's exchange
-    # (ReuseExchange), and auto-broadcast could not size the post-
-    # explode side anyway (see embedding_near_duplicates_lsh)
+    # merge hints: auto-broadcast could not size the post-explode side
+    # anyway (see embedding_near_duplicates_lsh)
     return (
         a.hint("merge")
         .join(b.hint("merge"), ["__band", "__bval"])
@@ -2156,11 +2170,7 @@ def embedding_near_duplicates_lsh(
     if max_bucket_size is not None:
         # the cap is a count window, not a groupBy+semi-join: the window
         # shuffles slim on __bucket exactly once and leaves it hash-
-        # partitioned on the join key, so (a) the bucketing UDF is not
-        # re-executed to build a separate bucket-size table, and (b) the
-        # self-join below needs no further exchange — both join inputs
-        # share the window's exchange via ReuseExchange, so the Python
-        # bucketing pass runs ONCE regardless of the DAG fan-out
+        # partitioned on the join key
         from pyspark.sql.window import Window
 
         slim = (
@@ -2170,15 +2180,20 @@ def embedding_near_duplicates_lsh(
             .where(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
+    # materialize the slim (id, bucket) relation (r9): the self-join's
+    # two sides are two CONSUMERS, and on the write path — what sinks
+    # and the bench execute — AQE never reuses the window's exchange,
+    # so the Python bucketing matmul ran TWICE (the r8 form's
+    # ReuseExchange reasoning only ever held under collect()).  The
+    # relation is two integers per (row, table) — no vectors.
+    from .materialize import materialize
+
+    slim = materialize(slim)
     a = slim.select(F.col("__bucket"), F.col("__id").alias("id_a"))
     b = slim.select(F.col("__bucket"), F.col("__id").alias("id_b"))
-    # force sort-merge for the self-join: auto-broadcast would (a) pick
-    # the post-UDF side whose size Catalyst can't estimate — at corpus
-    # scale broadcasting slim is an OOM, and (b) execute the bucketing
-    # subtree twice, since broadcast and shuffle exchanges never reuse
-    # each other.  As SMJ both inputs canonicalize to the SAME shuffle
-    # (the window's), so ReuseExchange runs the Python pass once and the
-    # join adds no exchange at all.
+    # force sort-merge for the self-join: auto-broadcast would pick the
+    # post-UDF side whose size Catalyst can't estimate — at corpus
+    # scale broadcasting slim is an OOM.
     cand = (
         a.hint("merge")
         .join(b.hint("merge"), "__bucket")

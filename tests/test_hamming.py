@@ -129,20 +129,22 @@ def test_composes_with_simhash_on_real_documents(spark, sf_dir):
     assert bin(fp[r0.id_a] ^ fp[r0.id_b]).count("1") == r0.hamming
 
 
-def test_single_exchange_reused_by_self_join(spark):
-    # the (band, value) exchange is built once and reused by both
-    # self-join sides (AQE resolves the reuse at runtime, so assert on
-    # the EXECUTED plan), and there is exactly ONE explode of the
-    # band array
-    # data must yield pairs — an empty result lets AQE collapse the
-    # whole plan to EmptyRelation and nothing is observable
+def test_signature_computation_runs_once_for_self_join(spark):
+    # r9: the slim banded relation is MATERIALIZED before the
+    # self-join — ReusedExchange only ever fired under collect()-style
+    # actions, and on the write path (what sinks and the bench run)
+    # both join sides re-executed the whole signature subtree.  Assert
+    # the write-path executed plan contains no Generate/explode at all
+    # (the one explode ran eagerly inside the materialization) and no
+    # source re-scan.
     df = spark.createDataFrame([(i, i) for i in range(64)], SCHEMA)
     out = hamming_pairs(df, max_hamming=1)
-    out.collect()
+    out.write.mode("overwrite").format("noop").save()
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in plan
-    assert plan.count("Generate posexplode") == 1
+    assert plan.count("Generate posexplode") == 0
+    # both sides read the checkpointed blocks
+    assert plan.count("Scan ExistingRDD") == 2
 
 
 # --- perceptual_hash ------------------------------------------------------
