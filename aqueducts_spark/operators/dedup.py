@@ -1427,13 +1427,13 @@ def hamming_pairs(
     bounding the worst bucket — set it to None for the strict
     guarantee.
 
-    Scale shape (the Manku layout): the exploded (band, value, id)
+    Scale shape (the Manku layout, r9): the exploded (band, value, id)
     relation is slim — signatures are one BIGINT, no text/vectors
-    travel; ONE shuffle on (band, value) that the count-window cap and
-    the merge-hinted self-join both reuse (ReuseExchange, the
-    :func:`embedding_near_duplicates_lsh` discipline); candidate pairs
-    dedupe with one distinct and verify with a single integer XOR —
-    never corpus x corpus.
+    travel — and is MATERIALIZED after the count-window cap, because
+    the self-join's two sides are two consumers and write-path AQE
+    reuses no exchange (the signature computation would run twice);
+    candidate pairs dedupe with one distinct and verify with a single
+    integer XOR — never corpus x corpus.
 
     NULL ids are rejected loudly (a pair needs two addressable rows;
     assign ids first), NULL signatures are dropped (no fingerprint, no
@@ -1916,7 +1916,7 @@ def semantic_dedup(
     )
     if max_cluster_size is not None:
         # count window, not groupBy+semi-join: one slim shuffle on the
-        # cluster id that the pair join below reuses (ReuseExchange)
+        # cluster id, already partitioned for the pair join below
         slim = (
             slim.withColumn(
                 "__cn", F.count("*").over(Window.partitionBy(cid))
@@ -1924,6 +1924,14 @@ def semantic_dedup(
             .where(F.col("__cn") <= max_cluster_size)
             .drop("__cn")
         )
+    # materialize (r9): slim feeds BOTH pair-join sides and the final
+    # keeper ranking — three consumers, and write-path AQE reuses no
+    # exchange, so the centroid-assignment scoring upstream would run
+    # three times.  The blocks carry the (possibly int8-quantized)
+    # vectors; storing them once beats re-scoring the corpus thrice.
+    from .materialize import materialize
+
+    slim = materialize(slim)
     a = slim.select(
         F.col(sid).alias("id_a"), cid,
         F.col(vcol).alias("va"), F.col("__n").alias("na"),

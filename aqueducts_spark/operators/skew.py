@@ -41,7 +41,12 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
             f"key_skew_profile: key {key!r} collides with the profile's "
             "output/internal columns — rename it first"
         )
-    counts = df.groupBy(key).agg(F.count("*").alias("rows"))
+    from .materialize import materialize
+
+    # counts is key-cardinality-sized and consumed twice (the total row
+    # + the share projection) — materialize so the write path does not
+    # re-scan df per consumer (AQE reuses no exchange there)
+    counts = materialize(df.groupBy(key).agg(F.count("*").alias("rows")))
     total = counts.agg(F.sum("rows").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))

@@ -493,12 +493,19 @@ def url_blocklist(
         domm = _fresh_name("__dom_hit", df.columns)
         hkey = _fresh_name("__bl_host_key", df.columns)
         dkey = _fresh_name("__bl_dom_key", df.columns)
-        # ONE blocklist scan + distinct, probed by both joins; the
-        # second join's projection is a pure rename of the first's, so
-        # the broadcast exchange canonicalizes equal and is reused
-        bl = blocked.select(
-            F.lower(F.col(domain_col)).alias(hkey)
-        ).distinct().withColumn(hostm, F.lit(True))
+        # ONE blocklist scan + distinct, probed by both joins —
+        # MATERIALIZED (r9): the second join's build is a pure rename
+        # of the first's and the broadcast exchanges canonicalize
+        # equal, but that reuse only fires under collect()-style
+        # actions; on the write path the UT1-scale distinct would run
+        # twice.  Blocklist-sized blocks, trivially cheap.
+        from .materialize import materialize
+
+        bl = materialize(
+            blocked.select(F.lower(F.col(domain_col)).alias(hkey))
+            .distinct()
+            .withColumn(hostm, F.lit(True))
+        )
         bl_dom = bl.select(
             F.col(hkey).alias(dkey), F.col(hostm).alias(domm)
         )

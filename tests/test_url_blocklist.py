@@ -107,14 +107,19 @@ def test_plan_broadcast_only_no_shuffle(spark):
 
 def test_blocklist_dedup_computed_once(spark):
     # the two probes (host + registered domain) share ONE blocklist
-    # scan + distinct: after execution the second build's aggregation
-    # shuffle is a ReusedExchange, so a UT1-scale blocklist is deduped
-    # once, not twice
+    # scan + distinct — r9: MATERIALIZED, because exchange reuse only
+    # fires under collect()-style actions and the write path (sinks,
+    # bench) deduped a UT1-scale blocklist twice.  The write-path plan
+    # must show no Aggregate feeding either broadcast build (the one
+    # distinct ran eagerly in the materialization).
     df = spark.createDataFrame(URLS, "doc_id long, url string")
     out = url_blocklist(df, blocked=_bl(spark))
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan
+    out.write.mode("overwrite").format("noop").save()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Scan ExistingRDD") >= 2, plan  # both builds read blocks
+    assert "HashAggregate" not in plan, plan
 
 
 def test_output_columns_never_clobber_user_data(spark):
