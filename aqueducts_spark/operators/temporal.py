@@ -176,6 +176,16 @@ def time_rollup(
                 F.max(v).alias("__max"),
             )
         )
+    # each level is consumed TWICE (its rendered output slice + the
+    # next-coarser re-aggregation), and write-path AQE reuses no
+    # exchange — unmaterialized, every grain re-ran the whole lineage
+    # back through the corpus scan (the executed r8 plan carried one
+    # corpus aggregation PER GRAIN).  Levels are bucket-cardinality-
+    # sized (time buckets x groups), so materializing each is what
+    # makes this the hierarchical re-aggregation the design claims.
+    from ..operators.materialize import materialize
+
+    level = materialize(level)
     out = None
     for grain in grains:
         if grain != finest:
@@ -184,11 +194,13 @@ def time_rollup(
                 if is_ntz
                 else F.date_trunc(grain, F.col("__bucket_ts")).alias("__bucket_ts")
             )
-            level = level.groupBy(regroup, *gcols).agg(
-                F.sum("n").alias("n"),
-                F.sum("__sum").alias("__sum"),
-                F.min("__min").alias("__min"),
-                F.max("__max").alias("__max"),
+            level = materialize(
+                level.groupBy(regroup, *gcols).agg(
+                    F.sum("n").alias("n"),
+                    F.sum("__sum").alias("__sum"),
+                    F.min("__min").alias("__min"),
+                    F.max("__max").alias("__max"),
+                )
             )
         bucket_render = (
             F.col("__bucket")
