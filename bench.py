@@ -7,6 +7,19 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the ``noop`` write format (full
 computation of every column, no disk write, no driver collect).
 
+r10: the driver records only the LAST 2000 bytes of stdout, and the
+full per-gate dict outgrew that window in r9 (the recorded artifact
+silently lost ~20 gate timings and failed to parse). Two changes:
+
+* the COMPLETE result — suite timings at 3 decimals, fresh-JVM
+  isolated probes, errors, and best-of-2 DuckDB oracle timings for
+  every benched gate with an ``oracle_sql()`` entry — is written to
+  ``bench_out.json`` next to this file;
+* the stdout JSON line is kept under ~1900 chars: 2-decimal values,
+  compact separators, and (only if still too long) the smallest
+  entries dropped with an ``"omitted"`` count. ``bench_out.json`` is
+  always the authoritative record.
+
 Isolation modes (r8 — the in-suite totals drift with JVM pressure as
 the suite grows; the r7 judge's isolated A/B proved the code was equal
 or faster while the recorded totals said otherwise):
@@ -225,6 +238,91 @@ def _isolated_run(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
     return timings, errors
 
 
+def _oracle_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Best-of-2 DuckDB timing for each benched gate's oracle SQL.
+
+    Recorded in bench_out.json so the round artifact carries the 2x
+    comparison basis alongside the Spark suite times. Failures are
+    per-gate and non-fatal (rows-only gates have no oracle entry).
+    """
+    try:
+        import duckdb
+
+        import __spark_entry__ as entrymod
+    except Exception:  # noqa: BLE001
+        return {}
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    try:
+        for t in entrymod.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        out: dict[str, float] = {}
+        for name in names:
+            sql = oracles.get(name)
+            if not sql:
+                continue
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.monotonic() - t0)
+                out[name] = round(best, 3)
+            except Exception:  # noqa: BLE001
+                continue
+        return out
+    finally:
+        con.close()
+
+
+def _emit(out: dict, sf_dir: str, oracle: bool = True) -> None:
+    """Write the full artifact to bench_out.json; print a line that
+    fits the driver's 2000-byte stdout tail window."""
+    if oracle and os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        try:
+            out["oracle"] = _oracle_timings(
+                sf_dir, list(out.get("queries", {}))
+            )
+        except Exception:  # noqa: BLE001
+            pass
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_out.json")
+    try:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception:  # noqa: BLE001
+        pass
+
+    line_obj = dict(out)
+    line_obj.pop("oracle", None)
+    line_obj.pop("isolated_errors", None)
+    line_obj["detail"] = "bench_out.json"
+    line_obj["queries"] = {
+        k: round(v, 2) for k, v in out.get("queries", {}).items()
+    }
+    line_obj.pop("isolated", None)
+    if "errors" in line_obj:
+        line_obj["errors"] = {
+            k: v[:80] for k, v in line_obj["errors"].items()
+        }
+    s = json.dumps(line_obj, separators=(",", ":"))
+    if len(s) > 1900:
+        # drop the cheapest gates from the stdout map only — they stay
+        # in bench_out.json; the driver artifact must parse
+        q = line_obj["queries"]
+        for k in sorted(q, key=q.get):
+            del q[k]
+            line_obj["omitted"] = len(out.get("queries", {})) - len(q)
+            s = json.dumps(line_obj, separators=(",", ":"))
+            if len(s) <= 1900:
+                break
+    print(s)
+
+
 def main() -> None:
     if "--one" in sys.argv:
         _run_one_child(sys.argv[sys.argv.index("--one") + 1])
@@ -254,7 +352,7 @@ def main() -> None:
             out["errors"] = errors
             out["partial"] = True
             out["n_failed"] = len(errors)
-        print(json.dumps(out))
+        _emit(out, sf_dir)
         return
 
     spark = _make_session(cpus, shuffle_parts)
@@ -337,7 +435,7 @@ def main() -> None:
         out["isolated"] = iso
         if iso_err:
             out["isolated_errors"] = iso_err
-    print(json.dumps(out))
+    _emit(out, sf_dir)
 
 
 if __name__ == "__main__":
