@@ -4742,7 +4742,8 @@ stages:
                MIN(event_id) AS min_event, MAX(event_id) AS max_event
         FROM swin_events
         GROUP BY window(ts, '1 day'), event_type
-streaming: {trigger: available_now, output_mode: complete, timeout_sec: 540}
+streaming: {trigger: available_now, output_mode: complete, timeout_sec: 540,
+            shuffle_partitions: 8}
 destination:
   type: in_memory
   name: swin_out

@@ -377,7 +377,22 @@ def _run_streaming_pipeline(
             "streaming pipeline"
         )
 
-    query = writer.start()
+    # streaming.shuffle_partitions: state-store partition count for
+    # this query.  StreamExecution clones the session conf at start(),
+    # so setting before start and restoring right after is safe even
+    # for a live processing_time query — the running query keeps its
+    # cloned value while the caller's session is untouched.
+    _restore_parts = None
+    if spec.shuffle_partitions is not None:
+        _restore_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spec.shuffle_partitions)
+        )
+    try:
+        query = writer.start()
+    finally:
+        if _restore_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _restore_parts)
     if spec.trigger == "processing_time":
         tracker.on_progress(ProgressEvent("completed"))
         return PipelineResult(spark, result, streaming_query=query)

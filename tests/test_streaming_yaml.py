@@ -507,6 +507,55 @@ destination:
     _drop(spark, "cm_docs", "cm_counts", "cm_out")
 
 
+def test_streaming_shuffle_partitions_scopes_to_query(spark, incoming):
+    """streaming.shuffle_partitions sizes the query's state-store
+    partition count (conf cloned at start()) and MUST NOT leak into
+    the caller's session conf afterwards."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    yml = _src(incoming, name="sp_docs") + """
+stages:
+  - - name: sp_counts
+      query: SELECT lang, COUNT(*) AS n FROM sp_docs GROUP BY lang
+streaming: {trigger: available_now, timeout_sec: 300,
+            output_mode: complete, shuffle_partitions: 4}
+destination:
+  type: in_memory
+  name: sp_out
+"""
+    res = run_pipeline(spark, load_pipeline_str(yml))
+    rows = {r.lang: r.n for r in res.result.collect()}
+    assert rows and sum(rows.values()) == spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    _drop(spark, "sp_docs", "sp_counts", "sp_out")
+
+
+def test_streaming_shuffle_partitions_validated():
+    with pytest.raises(Exception, match="shuffle_partitions"):
+        load_pipeline_str(
+            """
+sources:
+  - type: file
+    name: v_docs
+    streaming: true
+    format:
+      type: parquet
+      options:
+        schema:
+          - {name: doc_id, data_type: int64}
+    location: /tmp/nowhere
+stages:
+  - - name: v_kept
+      query: SELECT doc_id FROM v_docs
+streaming: {trigger: available_now, shuffle_partitions: 0}
+destination:
+  type: in_memory
+  name: v_out
+"""
+        )
+
+
 def test_sink_output_mode_matrix_validated(tmp_path, incoming):
     base = _src(incoming) + """
 stages:
