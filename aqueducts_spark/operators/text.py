@@ -2082,7 +2082,14 @@ def bm25_scores(
         .distinct()
     )
     lengths = materialize(lengths)
-    tf = materialize(
+    # tf has exactly ONE consumer (the scoring join below) — document
+    # frequency derives from `lengths` directly (distinct hit terms
+    # per doc), NOT from tf — so tf needs no second materialization
+    # barrier: the r9 shape materialized it too and the barrier cost
+    # dominated at bench scale (sim_hybrid_topk 1.25s -> 2.07s) while
+    # buying nothing (both consumers' recompute is an explode+groupBy
+    # of the already-materialized slim relation, not a corpus scan)
+    tf = (
         lengths.select(
             F.col(id_col),
             F.col("dl"),
@@ -2100,7 +2107,13 @@ def bm25_scores(
             / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = (
+        lengths.select(
+            F.explode(F.array_distinct("__hits")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
