@@ -6735,7 +6735,13 @@ _GATE_PRIORITY = [
     "sim_topk_bruteforce",      # cosine top-k baseline
     "op_asof_join",             # as-of join
     "op_range_join",            # bucketed range join
-    "op_time_rollup",           # hierarchical time rollup
+    # ROTATION r10 (VERDICT r9 next-steps #6): op_simhash_neardup
+    # replaces op_time_rollup in the scored window — the simhash/
+    # Hamming family (the production image/text near-dup screen) had
+    # zero driver-scored representation since r6 while temporal held
+    # three slots.  op_time_rollup stays oracle-verified in
+    # tests/test_oracle.py and in bench.py's headline set.
+    "op_simhash_neardup",       # SimHash Hamming-banded near-dup
     "op_kmv_distinct",          # KMV distinct sketch
     "op_cms_freq",              # count-min sketch
     "op_weighted_mix",          # weighted dataset mixing
@@ -6858,7 +6864,7 @@ _GATE_PRIORITY = [
     "op_normalize_text",
     "op_quantized_topk",
     "op_oov_rate",
-    "op_simhash_neardup",
+    "op_time_rollup",           # rotated out of the scored window r10
     "op_hamming_filter",
     "op_fuzzy_filter",
     "mm_phash_neardup",

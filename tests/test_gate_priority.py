@@ -70,7 +70,12 @@ FAMILY_GATES = {
     "similarity": "sim_topk_bruteforce",
     "asof_join": "op_asof_join",
     "range_join": "op_range_join",
-    "time_rollup": "op_time_rollup",
+    # ROTATION r10 (VERDICT r9 next-steps #6): op_simhash_neardup
+    # replaced op_time_rollup — the simhash/Hamming family (production
+    # image/text near-dup screen) had zero scored representation since
+    # r6 while temporal held three slots.  op_time_rollup stays
+    # oracle-verified in tests/test_oracle.py.
+    "simhash_neardup": "op_simhash_neardup",
     "kmv": "op_kmv_distinct",
     "cms": "op_cms_freq",
     "mixing": "op_weighted_mix",
