@@ -81,6 +81,13 @@ _SUPPORTED_READER_FEATURES = {
 _SUPPORTED_WRITER_FEATURES = {
     "timestampNtz", "appendOnly", "invariants", "checkConstraints",
     "changeDataFeed",
+    # r10: append-only column-mapping write support (physical-name
+    # staging in append()); non-append commits on mapped tables are
+    # refused per-operation in check_writable
+    "columnMapping",
+    # accepted as a FEATURE LISTING only — a schema actually declaring
+    # a delta.generationExpression is refused (_refuse_generated_columns)
+    "generatedColumns",
 }
 
 
@@ -274,13 +281,18 @@ class _Snapshot:
         ``operation`` is one of append/upsert/replace/compact/vacuum
         (plus ``metadata`` for schema-migration commits).  Enforced:
 
-        * ``minWriterVersion`` 4-6 imply changeDataFeed+generatedColumns
-          / columnMapping / identityColumns enforcement this engine does
-          not provide — refused outright; version 3 (checkConstraints)
-          is accepted because constraints ARE enforced per-row (see
-          :meth:`enforced_predicates`); version 7 is accepted iff
-          ``writerFeatures`` is a subset of
-          :data:`_SUPPORTED_WRITER_FEATURES`.
+        * ``minWriterVersion`` gates by the duties each version implies:
+          3 (checkConstraints) is accepted because constraints ARE
+          enforced per-row (see :meth:`enforced_predicates`); 4
+          (changeDataFeed + generatedColumns) and 5 (+ columnMapping)
+          are accepted when the duties are dischargeable — CDF writes
+          ARE implemented, generated columns are refused only when the
+          schema actually declares a ``delta.generationExpression``
+          (this writer cannot compute them), and column mapping gates
+          per-operation below; 6 (identityColumns) is refused outright;
+          7 is accepted iff ``writerFeatures`` is a subset of
+          :data:`_SUPPORTED_WRITER_FEATURES` (with the same
+          generated-columns schema check).
         * column invariants (``delta.invariants`` in the schema) and
           CHECK constraints (``delta.constraints.*``) — required even at
           writer version 2 — are ENFORCED: every incoming row is
@@ -309,32 +321,79 @@ class _Snapshot:
                 raise DeltaProtocolError(
                     f"unsupported Delta writer features: {sorted(unsupported)}"
                 )
+            if "generatedColumns" in feats:
+                self._refuse_generated_columns(operation)
+        elif writer in (4, 5):
+            # duties implied by 4 (CDF + generated columns) and 5
+            # (+ column mapping) are individually dischargeable: CDF
+            # writes are implemented (cdc staging on upsert/replace;
+            # appends need no cdc actions), generated columns refuse
+            # only when actually declared, mapping gates per-operation
+            # below
+            self._refuse_generated_columns(operation)
         elif writer > 3:
             raise DeltaProtocolError(
                 f"unsupported minWriterVersion {writer}: this writer "
-                "implements writer protocol 3 (and feature tables at 7 "
-                f"with {sorted(_SUPPORTED_WRITER_FEATURES)}); versions 4-6 "
-                "imply enforcement duties this engine does not provide"
+                "implements writer protocol 3-5 (and feature tables at 7 "
+                f"with {sorted(_SUPPORTED_WRITER_FEATURES)}); version 6 "
+                "implies identity-column maintenance this engine does "
+                "not provide"
             )
         conf = (self.metadata or {}).get("configuration") or {}
-        # belt-and-braces beyond the writer-version gates: committing to
-        # a column-mapped table needs physical-name assignment and
-        # physical-keyed stats/partitionValues this engine does not
-        # implement — reads are supported (r9), writes never silently
+        # column-mapped tables: APPEND is supported (r10 — the commit
+        # path renames the batch to physical names, keys stats and
+        # partitionValues physically, and stamps parquet field ids);
+        # every other commit kind stays refused loudly — upsert/replace
+        # rewrite surviving rows and compact/metadata rewrite files or
+        # the schemaString, each needing physical-identity bookkeeping
+        # beyond the append contract
         if self.column_mapping_mode() not in ("none", "None"):
-            raise DeltaProtocolError(
-                f"cannot {operation}: table uses columnMapping mode "
-                f"{self.column_mapping_mode()!r} — this engine reads "
-                "mapped tables but does not write them"
-            )
+            if operation != "append":
+                raise DeltaProtocolError(
+                    f"cannot {operation}: table uses columnMapping mode "
+                    f"{self.column_mapping_mode()!r} — this engine reads "
+                    "mapped tables and appends to them; "
+                    f"{operation} on mapped tables is not implemented"
+                )
 
         def _on(key: str) -> bool:
             return str(conf.get(key, "false")).strip().lower() == "true"
+
 
         if operation in ("upsert", "replace") and _on("delta.appendOnly"):
             raise DeltaProtocolError(
                 f"delta.appendOnly=true forbids {operation}: only "
                 "appends are allowed on this table"
+            )
+
+    def _refuse_generated_columns(self, operation: str) -> None:
+        """Writer versions 4+ (and the ``generatedColumns`` feature)
+        oblige the writer to COMPUTE declared generation expressions;
+        this writer cannot, so a schema that actually declares one is
+        refused — a table merely at that protocol version with no
+        generated columns carries no such duty (delta-rs takes the
+        same position)."""
+        raw = (self.metadata or {}).get("schemaString")
+        if not raw:
+            return
+        gen: list[str] = []
+
+        def walk(fields: list, prefix: str) -> None:
+            for f in fields:
+                md = f.get("metadata") or {}
+                name = prefix + str(f.get("name"))
+                if "delta.generationExpression" in md:
+                    gen.append(name)
+                t = f.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    walk(t.get("fields") or [], name + ".")
+
+        walk(json.loads(raw).get("fields") or [], "")
+        if gen:
+            raise DeltaProtocolError(
+                f"cannot {operation}: table declares generated columns "
+                f"{gen} (delta.generationExpression) — this writer does "
+                "not compute generation expressions"
             )
 
     def cdf_enabled(self) -> bool:
@@ -656,11 +715,6 @@ class DeltaProtocolTable:
 
     def _migrate_schema_if_needed(self, fields: list[Field]) -> None:
         snap = self._snapshot()
-        # a schema migration is a metaData commit: the writer-protocol
-        # gate applies here too — without it an ADD COLUMNS commit
-        # would land on tables (columnMapping, constraints, ...) this
-        # engine must not write, before the data write gets refused
-        snap.check_writable("metadata")
         current = snap.schema()
         by_name = {f.name: f for f in current.fields}
         declared = fields_to_struct(fields)
@@ -675,6 +729,16 @@ class DeltaProtocolTable:
         added = [f for f in declared.fields if f.name not in by_name]
         if not added:
             return
+        # a schema migration is a metaData commit: the writer-protocol
+        # gate applies here too — without it an ADD COLUMNS commit
+        # would land on tables (columnMapping, constraints, ...) this
+        # engine must not write, before the data write gets refused.
+        # Checked only when a migration would actually commit, so a
+        # same-schema declared append to a mapped table (supported
+        # since r10) doesn't bounce on a gate for a commit that was
+        # never going to happen.  On mapped tables new columns need
+        # physical-name + maxColumnId assignment — refused there.
+        snap.check_writable("metadata")
         merged = T.StructType(list(current.fields) + added)
         meta = dict(snap.metadata or {})
         meta["schemaString"] = json.dumps(merged.jsonValue(), separators=(",", ":"))
@@ -1097,12 +1161,61 @@ class DeltaProtocolTable:
             shutil.rmtree(stage, ignore_errors=True)
         return adds
 
+    def _to_physical(self, df: DataFrame, snap: _Snapshot) -> DataFrame:
+        """Rename a logically-named, schema-cast batch to the table's
+        PHYSICAL layout for staging (column mapping, PROTOCOL.md
+        "Writer Requirements for Column Mapping"): parquet columns get
+        the ``delta.columnMapping.physicalName`` at every nesting level
+        (the per-field cast renames nested fields; the alias renames
+        the column), and each field's ``delta.columnMapping.id`` rides
+        as ``parquet.field.id`` column metadata so Spark's parquet
+        writer stamps field ids into the files — id-mode readers match
+        on those.  Downstream, stats keys (read back from the staged
+        footers) and partitionValues (derived from the physically-named
+        hive dirs) come out physical with no further work.  Reference:
+        the pinned delta-rs writes mapped tables the same way
+        (aqueducts/delta/src/lib.rs:177-199 via delta-rs rev 1f0b4d0)."""
+        mode = snap.column_mapping_mode()
+        if mode in ("none", "None"):
+            return df
+        logical = snap.schema()
+        try:
+            phys = _physical_struct(logical, mode, field_ids=True)
+            with_ids = True
+        except DeltaProtocolError:
+            # ids are assigned in both modes per spec, but a name-mode
+            # table missing them is still correctly readable by name —
+            # don't refuse an append the layout supports
+            phys = _physical_struct(logical, mode)
+            with_ids = False
+        cols = []
+        for lf, pf in zip(logical.fields, phys.fields):
+            c = F.col(lf.name).cast(pf.dataType)
+            if with_ids and pf.metadata:
+                cols.append(c.alias(pf.name, metadata=dict(pf.metadata)))
+            else:
+                cols.append(c.alias(pf.name))
+        return df.select(*cols)
+
     def append(self, df: DataFrame) -> int:
         self._ensure_created_from(df)
         snap = self._snapshot()  # ONE log replay per write
         snap.check_writable("append")
-        df = self._prepare(df, snap)
-        adds = self._stage_files(df, snap.partition_columns())
+        df = self._to_physical(self._prepare(df, snap), snap)
+        mapped = snap.column_mapping_mode() not in ("none", "None")
+        if mapped:
+            # spec: mapped-table files should carry field ids — pin the
+            # (default-true) writer flag for the staging write so a
+            # session that disabled it can't stage id-less files
+            conf = self.spark.conf
+            key = "spark.sql.parquet.fieldId.write.enabled"
+            prev = conf.get(key)
+            conf.set(key, "true")
+        try:
+            adds = self._stage_files(df, snap.physical_partition_columns())
+        finally:
+            if mapped:
+                conf.set(key, prev)
         actions = [
             self._commit_info("WRITE", {"mode": "Append"}),
             *({"add": a} for a in adds),

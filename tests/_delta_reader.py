@@ -148,6 +148,36 @@ def _partition_value(raw: str | None, delta_type: str):
     return raw  # string and anything stringly
 
 
+def _physical_name(field: dict) -> str:
+    """Column-mapping physical name of a schemaString field (PROTOCOL.md
+    "Column Mapping") — the parquet/partitionValues key; falls back to
+    the logical name for unmapped tables."""
+    return (field.get("metadata") or {}).get(
+        "delta.columnMapping.physicalName", field["name"]
+    )
+
+
+def _logical_value(v, tjson):
+    """Recursively rename a physically-keyed python value back to
+    logical field names per the schemaString type json."""
+    if v is None or not isinstance(tjson, dict):
+        return v
+    t = tjson.get("type")
+    if t == "struct":
+        return {
+            f["name"]: _logical_value(v.get(_physical_name(f)), f["type"])
+            for f in tjson["fields"]
+        }
+    if t == "array":
+        return [_logical_value(x, tjson["elementType"]) for x in v]
+    if t == "map":
+        items = v.items() if isinstance(v, dict) else v
+        return {
+            k: _logical_value(val, tjson["valueType"]) for k, val in items
+        }
+    return v
+
+
 def read_delta_table(
     root: str | Path, version: int | None = None
 ) -> tuple[list[tuple[str, str]], list[dict]]:
@@ -159,10 +189,18 @@ def read_delta_table(
     """
     root = Path(root)
     state = _replay(root / LOG, version)
-    schema_json = json.loads(state["metaData"]["schemaString"])
-    columns = [(f["name"], f["type"]) for f in schema_json["fields"]]
-    part_cols = list(state["metaData"].get("partitionColumns") or [])
+    meta = state["metaData"]
+    schema_json = json.loads(meta["schemaString"])
+    fields = schema_json["fields"]
+    columns = [(f["name"], f["type"]) for f in fields]
+    part_cols = list(meta.get("partitionColumns") or [])
     types = dict(columns)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", "name", "id"):
+        raise IndependentDeltaError(f"unknown columnMapping mode {mode!r}")
+    phys_of = {f["name"]: _physical_name(f) for f in fields}
 
     rows: list[dict] = []
     for path, add in sorted(state["files"].items()):
@@ -172,12 +210,19 @@ def read_delta_table(
         table = pq.read_table(fpath)
         file_rows = table.to_pylist()
         pv = add.get("partitionValues") or {}
+        # partitionValues of mapped tables are keyed physically
         fills = {
-            c: _partition_value(pv.get(c), str(types.get(c)))
+            c: _partition_value(pv.get(phys_of[c]), str(types.get(c)))
             for c in part_cols
-            if c not in table.column_names
+            if phys_of[c] not in table.column_names
         }
         for r in file_rows:
-            r.update(fills)
-            rows.append({name: r.get(name) for name, _ in columns})
+            out = {}
+            for f in fields:
+                name, phys = f["name"], phys_of[f["name"]]
+                if phys in r:
+                    out[name] = _logical_value(r[phys], f["type"])
+                else:
+                    out[name] = fills.get(name)
+            rows.append(out)
     return columns, rows

@@ -203,12 +203,133 @@ def test_missing_physical_name_refused(spark, tmp_path):
         DeltaProtocolTable(spark, str(root)).read()
 
 
-def test_writes_to_mapped_table_refused(spark, tmp_path):
+def test_non_append_writes_to_mapped_table_refused(spark, tmp_path):
+    """r10: append IS supported; upsert/replace/compact stay refused
+    with a pointed per-operation message."""
     root = tmp_path / "tbl"
     _write_mapped_table(root)
     t = DeltaProtocolTable(spark, str(root))
-    df = spark.createDataFrame([(9, "z", ("q",))], "id bigint, name string, meta struct<inner string>")
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    df = spark.createDataFrame(
+        [(9, "z", ("q",))],
+        "id bigint, name string, meta struct<inner string>",
+    )
+    with pytest.raises(DeltaProtocolError, match="upsert on mapped"):
+        t.upsert(df, ["id"])
+    with pytest.raises(DeltaProtocolError, match="replace on mapped"):
+        t.replace(df, [("id", "9")])
+    with pytest.raises(DeltaProtocolError, match="compact on mapped"):
+        t.compact()
+
+
+_APPEND_SQL = (
+    "id bigint, name string, meta struct<inner string>"
+)
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+@pytest.mark.parametrize("legacy", [False, True])
+def test_append_to_mapped_table_round_trips(spark, tmp_path, mode, legacy):
+    """Append to a column-mapped table (r10): the batch arrives with
+    LOGICAL names and lands physically — parquet columns (and nested
+    fields) carry the physical names plus parquet field ids, stats keys
+    are physical — and both our reader and the clean-room independent
+    reader agree on the logical contents afterwards."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _delta_reader import read_delta_table
+
+    root = tmp_path / "tbl"
+    _write_mapped_table(root, mode=mode, legacy=legacy)
+    t = DeltaProtocolTable(spark, str(root))
+    df = spark.createDataFrame([(9, "z", ("q",))], _APPEND_SQL)
+    v = t.append(df)
+    assert v == 1
+
+    got = {r.id: (r.name, r.meta.inner) for r in t.read().collect()}
+    assert got == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z"), 9: ("z", "q")}
+
+    # independent reader sees the same logical rows
+    cols, rows = read_delta_table(root)
+    assert [c for c, _ in cols] == ["id", "name", "meta"]
+    ind = {r["id"]: (r["name"], r["meta"]["inner"]) for r in rows}
+    assert ind == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z"), 9: ("z", "q")}
+
+    # the staged file itself is PHYSICAL: column names, nested names,
+    # field ids, and the add action's stats keys
+    commit = (root / "_delta_log" / f"{1:020d}.json").read_text()
+    adds = [
+        json.loads(l)["add"]
+        for l in commit.splitlines()
+        if l.strip() and "add" in json.loads(l)
+    ]
+    assert len(adds) >= 1
+    for a in adds:
+        pf = pq.ParquetFile(root / a["path"])
+        names = set(pf.schema_arrow.names)
+        assert _PHYS_ID in names and _PHYS_NAME in names
+        assert "id" not in names and "name" not in names
+        nested = pf.schema_arrow.field(_PHYS_NESTED).type
+        assert nested.field(0).name == _PHYS_INNER
+        fid = pf.schema_arrow.field(_PHYS_ID).metadata or {}
+        assert fid.get(b"PARQUET:field_id") == b"1"
+        stats = json.loads(a["stats"])
+        assert _PHYS_ID in stats["nullCount"]
+        assert "id" not in stats["nullCount"]
+
+
+def test_append_to_mapped_partitioned_table(spark, tmp_path):
+    """Partition dirs and partitionValues keys come out PHYSICAL."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _delta_reader import read_delta_table
+
+    root = tmp_path / "tbl"
+    _write_mapped_partitioned_table(root)
+    t = DeltaProtocolTable(spark, str(root))
+    df = spark.createDataFrame(
+        [(9, "z", ("q",), "north")],
+        "id bigint, name string, meta struct<inner string>, p string",
+    )
+    t.append(df)
+    got = sorted((r.id, r.p) for r in t.read().collect())
+    assert got == [(1, "east"), (2, "east"), (3, "west"), (9, "north")]
+    commit = (root / "_delta_log" / f"{1:020d}.json").read_text()
+    adds = [
+        json.loads(l)["add"]
+        for l in commit.splitlines()
+        if l.strip() and "add" in json.loads(l)
+    ]
+    assert adds and all(
+        a["partitionValues"] == {_PHYS_PART: "north"} for a in adds
+    )
+    assert all(a["path"].startswith(f"{_PHYS_PART}=north/") for a in adds)
+    _, rows = read_delta_table(root)
+    assert sorted((r["id"], r["p"]) for r in rows) == got
+
+
+def test_append_refused_on_generated_columns(spark, tmp_path):
+    """A writer-5 table whose schema declares a generation expression
+    is refused (we cannot compute it); the same protocol version with
+    no generated columns appends fine (covered above).  Uses the LEGACY
+    writer-5 protocol form — version 5 itself implies the duty; a
+    feature table carries it only when ``generatedColumns`` is listed."""
+    root = tmp_path / "tbl"
+    _write_mapped_table(root, legacy=True)
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in log.read_text().splitlines()]
+    for a in actions:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1]["metadata"]["delta.generationExpression"] = (
+                "CAST(id AS STRING)"
+            )
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    log.write_text("\n".join(json.dumps(a) for a in actions))
+    t = DeltaProtocolTable(spark, str(root))
+    df = spark.createDataFrame([(9, "z", ("q",))], _APPEND_SQL)
+    with pytest.raises(DeltaProtocolError, match="generated columns"):
         t.append(df)
 
 
