@@ -753,15 +753,28 @@ class DeltaProtocolTable:
     def read(
         self, version: Optional[int] = None, timestamp: Optional[str] = None
     ) -> DataFrame:
+        """Table snapshot as a DataFrame (optionally time-travelled).
+
+        Session note: reading a column-mapped table whose files match
+        by parquet FIELD ID (not physical name) enables the
+        session-level ``spark.sql.parquet.fieldId.read.enabled``
+        SQLConf for the rest of the session — Spark has no per-read
+        switch, and the returned frame is lazy so the flag cannot be
+        restored before the scan runs.  The flag only changes behavior
+        for read schemas that carry ``parquet.field.id`` metadata;
+        plain reads (including every read this engine plans itself,
+        which never attaches that metadata outside mapped tables) are
+        unaffected."""
         snap = self._snapshot(version, timestamp)
         return self._read_snapshot(snap)
 
     def _resolve_mapped_struct(
-        self, snap: _Snapshot, probe_rel: str
+        self, snap: _Snapshot, probe_rel
     ) -> T.StructType:
         """Physical read schema for a mapped table, resolved against the
-        table's ACTUAL parquet layout by probing one file's footer
-        (driver-side, one footer read):
+        table's ACTUAL parquet layout by probing one or more file
+        footers (``probe_rel``: a path or a small list of paths;
+        driver-side, one footer read each):
 
         * parquet columns carry the physical names (how delta-spark
           lays out BOTH modes) -> plain name matching;
@@ -779,71 +792,113 @@ class DeltaProtocolTable:
         full subset: a schema-evolved table's OLD files legitimately
         lack later-added columns (they null-fill — standard evolution
         semantics), and physical names are rename-stable by design so
-        any genuine name-mode file shares them.  Honesty note on mixed
-        layouts: the probe reads ONE footer, so a table mixing
-        physically-named and id-only-named files fails loudly only
-        when the probed file is the id-only one (fieldId matching then
-        errors on the id-less files); probed-name-first, the id-only
-        files still null-fill — per-file resolution would cost a
-        driver-side footer read per file, which a 100k-file table
-        cannot pay.
+        any genuine name-mode file shares them.  Mixed layouts: callers
+        pass up to a handful of probe files (snapshot reads probe the
+        lexicographic FIRST and LAST data file — per-file resolution
+        would cost a driver-side footer read per file, which a
+        100k-file table cannot pay); files resolving to DIFFERENT
+        matching classes are refused loudly instead of silently
+        null-filling whichever class the probe missed.
+
+        Accepting an id-matching resolution enables the session-level
+        ``spark.sql.parquet.fieldId.read.enabled`` SQLConf (no per-read
+        parquet option exists); the flag persists because the returned
+        frame is LAZY — restoring it before the scan executes would
+        break the read.  It is a no-op for read schemas without
+        ``parquet.field.id`` metadata; see :meth:`read`'s public note.
         """
         mode = snap.column_mapping_mode()
         phys = snap.physical_schema()
         part_phys = set(snap.physical_partition_columns())
         data_names = {f.name for f in phys.fields} - part_phys
-        try:
-            footer = pq.read_schema(str(self.root / probe_rel))
-        except (FileNotFoundError, OSError) as exc:
-            raise DeltaProtocolError(
-                f"column-mapping probe: action references missing file "
-                f"{probe_rel!r} (vacuumed?): {exc}"
-            ) from None
-        file_names = set(footer.names)
-        if data_names & file_names:
-            return phys
-        has_ids = any(
-            (f.metadata or {}).get(b"PARQUET:field_id") is not None
-            for f in footer
+        probes = (
+            [probe_rel] if isinstance(probe_rel, str) else list(probe_rel)
         )
-        if has_ids:
-            # session-level SQLConf (no per-read parquet option exists
-            # for it): harmless for schemas WITHOUT parquet.field.id
-            # metadata — only id-stamped read schemas change behavior
-            self.spark.conf.set(
-                "spark.sql.parquet.fieldId.read.enabled", "true"
+        classes: dict[str, str] = {}
+        for rel in probes:
+            try:
+                footer = pq.read_schema(str(self.root / rel))
+            except (FileNotFoundError, OSError) as exc:
+                raise DeltaProtocolError(
+                    f"column-mapping probe: action references missing "
+                    f"file {rel!r} (vacuumed?): {exc}"
+                ) from None
+            file_names = set(footer.names)
+            if data_names & file_names:
+                classes[rel] = "name"
+                continue
+            has_ids = any(
+                (f.metadata or {}).get(b"PARQUET:field_id") is not None
+                for f in footer
             )
-            return _physical_struct(snap.schema(), mode, field_ids=True)
-        raise DeltaProtocolError(
-            f"columnMapping mode {mode!r}: the parquet file "
-            f"{probe_rel!r} names columns {sorted(file_names)[:6]} — "
-            f"neither the physical names {sorted(data_names)[:6]} nor "
-            "parquet field ids are present, so no column-mapping "
-            "resolution is possible (reading on would silently "
-            "null-fill every data column)"
+            if has_ids:
+                classes[rel] = "id"
+                continue
+            raise DeltaProtocolError(
+                f"columnMapping mode {mode!r}: the parquet file "
+                f"{rel!r} names columns {sorted(file_names)[:6]} — "
+                f"neither the physical names {sorted(data_names)[:6]} "
+                "nor parquet field ids are present, so no "
+                "column-mapping resolution is possible (reading on "
+                "would silently null-fill every data column)"
+            )
+        if len(set(classes.values())) > 1:
+            raise DeltaProtocolError(
+                f"columnMapping mode {mode!r}: the table mixes "
+                f"resolution layouts across files ({classes}) — "
+                "name-matching would null-fill the id-only files and "
+                "id-matching would fail on the id-less ones; this "
+                "reader resolves one class per scan"
+            )
+        if next(iter(classes.values())) == "name":
+            return phys
+        # session-level SQLConf (no per-read parquet option exists for
+        # it): harmless for schemas WITHOUT parquet.field.id metadata —
+        # only id-stamped read schemas change behavior
+        self.spark.conf.set(
+            "spark.sql.parquet.fieldId.read.enabled", "true"
         )
+        return _physical_struct(snap.schema(), mode, field_ids=True)
 
-    def _first_cdf_action_path(
-        self, v_from: int, v_to: int
-    ) -> Optional[str]:
-        """First parquet file path referenced by any cdc/add/remove
-        action in commits ``(v_from, v_to]`` — the column-mapping probe
-        target for :meth:`change_feed` (``None`` when the range carries
-        no file actions at all, in which case the output is empty and
-        the physical struct is never matched against a file)."""
+    def _cdf_probe_paths(self, v_from: int, v_to: int) -> list[str]:
+        """Parquet paths the CDF replay of commits ``(v_from, v_to]``
+        will ACTUALLY read, for the column-mapping probe in
+        :meth:`change_feed` — mirroring the replay's own selection:
+        per commit, cdc files when present, else dataChange=true
+        add/remove files.  Files the replay never touches
+        (dataChange=false OPTIMIZE rewrites; add/remove in commits
+        that also carry cdc) make useless probe targets — and a fatal
+        one if vacuumed, failing a range that is fully servable from
+        the surviving cdc files.  Empty when the range carries no
+        replayed file actions (output is empty; nothing to probe)."""
+        out: list[str] = []
         for v in range(v_from + 1, v_to + 1):
             path = self.log_dir / f"{v:020d}.json"
             if not path.is_file():
                 continue  # change_feed itself raises the loud error
-            for line in path.read_text().splitlines():
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                for kind in ("cdc", "add", "remove"):
-                    a = action.get(kind)
-                    if a and a.get("path"):
-                        return unquote(a["path"])
-        return None
+            actions = [
+                json.loads(l)
+                for l in path.read_text().splitlines()
+                if l.strip()
+            ]
+            cdc = [
+                a["cdc"]["path"]
+                for a in actions
+                if a.get("cdc", {}).get("path")
+            ]
+            if cdc:
+                out.extend(unquote(p) for p in cdc)
+                continue
+            for a in actions:
+                for kind in ("add", "remove"):
+                    f = a.get(kind)
+                    if (
+                        f
+                        and f.get("path")
+                        and f.get("dataChange", True)
+                    ):
+                        out.append(unquote(f["path"]))
+        return out
 
     def _read_snapshot(self, snap: _Snapshot) -> DataFrame:
         logical = snap.schema()
@@ -853,7 +908,13 @@ class DeltaProtocolTable:
         # names are all physical on mapped tables — and the final
         # projection renames to logical
         struct = (
-            self._resolve_mapped_struct(snap, min(snap.files))
+            self._resolve_mapped_struct(
+                # two footers: lexicographic first AND last file — a
+                # table mixing physically-named and id-only layouts is
+                # refused on disagreement instead of silently
+                # null-filling the unprobed class (ADVICE r9)
+                snap, sorted({min(snap.files), max(snap.files)})
+            )
             if mapped and snap.files
             else (snap.physical_schema() if mapped else logical)
         )
@@ -982,21 +1043,36 @@ class DeltaProtocolTable:
                 }
             )
 
-        probe_rel = min(dv_files)
-        probed = (
-            self.spark.read.parquet(str(self.root / probe_rel))
-            .select(F.col("_metadata.file_path"))
-            .head(1)
-        )
-        if probed and probed[0][0] not in candidates(probe_rel):
-            raise DeltaProtocolError(
-                "deletion-vector apply: the scan reports file_path "
-                f"{probed[0][0]!r} but the descriptor side generated "
-                f"{candidates(probe_rel)!r} for the same file — the "
-                "anti-join keys would never match and deleted rows "
-                "would be silently resurrected; this filesystem/URI "
-                "scheme needs a new candidate spelling here"
+        # probe ONE FILE PER SPELLING CLASS (ADVICE r9): a path whose
+        # URI form percent-encodes characters (spaces in partition
+        # values, ...) exercises a different candidate spelling than a
+        # plain-ascii path — validating only min(dv_files) could pass
+        # while the unprobed class's spelling silently resurrects
+        # deleted rows.  Class = whether Java-URI quoting changes the
+        # path; one representative of each present class is probed.
+        def _quotes(rel: str) -> bool:
+            plain = os.path.abspath(str(self.root / rel))
+            return _java_uri_quote(plain) != plain
+
+        probe_rels = {min(dv_files)}
+        other = [p for p in sorted(dv_files) if _quotes(p) != _quotes(min(dv_files))]
+        if other:
+            probe_rels.add(other[0])
+        for probe_rel in sorted(probe_rels):
+            probed = (
+                self.spark.read.parquet(str(self.root / probe_rel))
+                .select(F.col("_metadata.file_path"))
+                .head(1)
             )
+            if probed and probed[0][0] not in candidates(probe_rel):
+                raise DeltaProtocolError(
+                    "deletion-vector apply: the scan reports file_path "
+                    f"{probed[0][0]!r} but the descriptor side generated "
+                    f"{candidates(probe_rel)!r} for the same file — the "
+                    "anti-join keys would never match and deleted rows "
+                    "would be silently resurrected; this filesystem/URI "
+                    "scheme needs a new candidate spelling here"
+                )
         desc = self.spark.createDataFrame(
             [
                 (json.dumps(candidates(p)), json.dumps(dv))
@@ -1616,12 +1692,27 @@ class DeltaProtocolTable:
         # fallback silently null-filled id-named tables.
         struct = logical
         if mapped:
-            probe = self._first_cdf_action_path(v_from, v_to)
-            struct = (
-                self._resolve_mapped_struct(snap_to, probe)
-                if probe is not None
-                else snap_to.physical_schema()
-            )
+            # try the replay's own files in order; a vacuumed probe
+            # target falls through to the next candidate instead of
+            # failing a range servable from the surviving files (only
+            # missing-file errors fall through — a resolution refusal
+            # like id-less foreign naming stays loud)
+            cands = self._cdf_probe_paths(v_from, v_to)
+            struct = snap_to.physical_schema()
+            last_missing: Optional[DeltaProtocolError] = None
+            for probe in cands:
+                try:
+                    struct = self._resolve_mapped_struct(snap_to, probe)
+                    last_missing = None
+                    break
+                except DeltaProtocolError as exc:
+                    if "missing file" not in str(exc) and (
+                        "vacuumed" not in str(exc)
+                    ):
+                        raise
+                    last_missing = exc
+            if last_missing is not None:
+                raise last_missing
         part_cols = (
             snap_to.physical_partition_columns()
             if mapped

@@ -622,3 +622,80 @@ def test_change_feed_probes_range_files_not_snapshot(spark, tmp_path):
         (2, "b", "delete"),
         (2, "b", "insert"),
     ]
+
+
+def test_mixed_layout_table_refused(spark, tmp_path):
+    """A mapped table mixing a physically-NAMED file with an
+    id-only-named file is refused loudly (r10 two-footer probe) —
+    before, whichever class the single probe missed silently
+    null-filled."""
+    root = tmp_path / "tbl"
+    root.mkdir(parents=True)
+    (root / "_delta_log").mkdir()
+    pq.write_table(
+        _data_table([1], ["a"], ["x"]), root / "aaa-named.parquet"
+    )
+    pq.write_table(
+        _data_table_id_named([2], ["b"], ["y"]), root / "zzz-ids.parquet"
+    )
+    actions = [_protocol_action("name"), _meta_action("name")]
+    for p in ("aaa-named.parquet", "zzz-ids.parquet"):
+        actions.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    with pytest.raises(DeltaProtocolError, match="mixes resolution"):
+        DeltaProtocolTable(spark, str(root)).read()
+
+
+def test_change_feed_probe_skips_unreplayed_and_vacuumed(spark, tmp_path):
+    """The CDF column-mapping probe targets only files the replay will
+    READ (ADVICE r9): a commit carrying cdc actions plus an
+    OPTIMIZE-style dataChange=false add whose file was vacuumed must
+    still serve the range from the surviving cdc file."""
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    (root / "_change_data").mkdir()
+    pq.write_table(
+        _data_table([7], ["g"], ["u"]),
+        root / "_change_data" / "cdc-0.parquet",
+    )
+    # the commit ALSO references a compacted file that no longer exists
+    # (vacuumed) — dataChange=false, so the replay never reads it; it
+    # must not be probed either
+    actions = [
+        {
+            "cdc": {
+                "path": "_change_data/cdc-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "dataChange": False,
+            }
+        },
+        {
+            "add": {
+                "path": "vacuumed-compaction.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000001000,
+                "dataChange": False,
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    cf = DeltaProtocolTable(spark, str(root)).change_feed(0)
+    rows = cf.collect()
+    assert [r.id for r in rows] == [7]
+    assert rows[0].meta.inner == "u"
