@@ -278,15 +278,21 @@ def asof_join(
     # LEFT rows with a NULL join key can never match (NULL = NULL never
     # joins) yet all hash to ONE window partition — at crawl scale the
     # entire no-key slice (easily 1-10%) would sort on a single task.
-    # Route them AROUND the union/window with their always-NULL matches
-    # and union back at the end (the url_dedup skew discipline).
-    bypass = None
+    # r10: they stay INSIDE the one scan (the r9 where/where-not split
+    # executed the left input twice on the write path, where AQE never
+    # shares a subtree) and are spread by a SALT partition key instead:
+    # right rows with NULL keys are filtered below, so the salted
+    # NULL-key window partitions contain no right rows and the fill
+    # yields the required always-NULL matches naturally.  The salt is
+    # constant 0 for keyed rows — their grouping is unchanged — and
+    # spark_partition_id() for NULL-key rows (value never reaches the
+    # output, so scan-order nondeterminism is harmless).
+    salt = []
     if on:
         null_key = F.lit(False)
         for k in on:
             null_key = null_key | F.col(k).isNull()
-        bypass = left.where(null_key)
-        left = left.where(~null_key)
+        salt = ["__salt"]
     rfields = {f.name: f for f in right.schema.fields}
     # The matched right row travels as ONE struct (NULL for left rows,
     # non-NULL — possibly with NULL fields — for right rows), and the
@@ -309,6 +315,15 @@ def asof_join(
     )
     tagged_left = left.select(
         *[F.col(c) for c in on],
+        *(
+            [
+                F.when(null_key, F.spark_partition_id())
+                .otherwise(F.lit(0))
+                .alias("__salt")
+            ]
+            if salt
+            else []
+        ),
         _ts_col(left, left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(pack_type).alias("__r_pack"),
@@ -324,6 +339,7 @@ def asof_join(
         right_clean = right_clean.where(F.col(k).isNotNull())
     tagged_right = right_clean.select(
         *[F.col(c) for c in on],
+        *([F.lit(0).alias("__salt")] if salt else []),
         _ts_col(right_clean, right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.struct(
@@ -348,12 +364,12 @@ def asof_join(
     # windows share the partition keys, so Catalyst plans ONE exchange
     # (the second ordering only adds a Sort).
     w_back = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*on, *salt)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*on, *salt)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -427,34 +443,14 @@ def asof_join(
             .when(use_fwd, fwd("__porig"))
             .alias("matched_ts")
         )
-        res = out.select(*left_fields(), matched_ts, *matched)
-        return _with_nullkey_bypass(
-            res, bypass, rfields, right_ts, value_cols
-        )
+        return out.select(*left_fields(), matched_ts, *matched)
 
     ok = left_has_ts & pick_ts.isNotNull() & within_tol(pick_ts)
     matched = [
         F.when(ok, pick[c]).alias(f"matched_{c}") for c in value_cols
     ]
     matched_ts = F.when(ok, pick_orig).alias("matched_ts")
-    res = out.select(*left_fields(), matched_ts, *matched)
-    return _with_nullkey_bypass(res, bypass, rfields, right_ts, value_cols)
-
-
-def _with_nullkey_bypass(res, bypass, rfields, right_ts, value_cols):
-    """Union the NULL-join-key left rows back with their (always-NULL)
-    matched columns — see the skew note in :func:`asof_join`."""
-    if bypass is None:
-        return res
-    padded = bypass.select(
-        "*",
-        F.lit(None).cast(rfields[right_ts].dataType).alias("matched_ts"),
-        *[
-            F.lit(None).cast(rfields[c].dataType).alias(f"matched_{c}")
-            for c in value_cols
-        ],
-    )
-    return res.unionByName(padded)
+    return out.select(*left_fields(), matched_ts, *matched)
 
 
 def range_join(
