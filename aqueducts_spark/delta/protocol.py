@@ -340,20 +340,22 @@ class _Snapshot:
                 "not provide"
             )
         conf = (self.metadata or {}).get("configuration") or {}
-        # column-mapped tables: APPEND is supported (r10 — the commit
-        # path renames the batch to physical names, keys stats and
-        # partitionValues physically, and stamps parquet field ids);
-        # every other commit kind stays refused loudly — upsert/replace
-        # rewrite surviving rows and compact/metadata rewrite files or
-        # the schemaString, each needing physical-identity bookkeeping
-        # beyond the append contract
+        # column-mapped tables (r10): append/upsert/replace/compact all
+        # stage through the same physical-rename path (_stage_physical
+        # — physical parquet names + field ids, physical-keyed stats
+        # and partitionValues) and vacuum never touches schema; only
+        # schema MIGRATION stays refused — adding a column to a mapped
+        # table requires assigning a fresh columnMapping.id/physicalName
+        # and bumping maxColumnId, which this writer does not do
         if self.column_mapping_mode() not in ("none", "None"):
-            if operation != "append":
+            if operation == "metadata":
                 raise DeltaProtocolError(
                     f"cannot {operation}: table uses columnMapping mode "
-                    f"{self.column_mapping_mode()!r} — this engine reads "
-                    "mapped tables and appends to them; "
-                    f"{operation} on mapped tables is not implemented"
+                    f"{self.column_mapping_mode()!r} — schema migration "
+                    "on mapped tables needs physical-name and column-id "
+                    "assignment this engine does not implement (drop the "
+                    "added columns, or migrate with the table's owning "
+                    "engine)"
                 )
 
         def _on(key: str) -> bool:
@@ -1261,7 +1263,7 @@ class DeltaProtocolTable:
         except DeltaProtocolError:
             # ids are assigned in both modes per spec, but a name-mode
             # table missing them is still correctly readable by name —
-            # don't refuse an append the layout supports
+            # don't refuse a write the layout supports
             phys = _physical_struct(logical, mode)
             with_ids = False
         cols = []
@@ -1271,27 +1273,40 @@ class DeltaProtocolTable:
                 cols.append(c.alias(pf.name, metadata=dict(pf.metadata)))
             else:
                 cols.append(c.alias(pf.name))
-        return df.select(*cols)
+        # extra columns beyond the table schema (cdc `_change_type`)
+        # pass through by name — _to_logical's mirror rule
+        logical_names = {f.name for f in logical.fields}
+        extras = [c for c in df.columns if c not in logical_names]
+        return df.select(*cols, *[F.col(c) for c in extras])
+
+    def _stage_physical(self, df: DataFrame, snap: _Snapshot, **kw) -> list[dict]:
+        """Stage a LOGICALLY-named batch in the table's physical layout:
+        rename via :meth:`_to_physical`, partition by the physical
+        partition columns, and (on mapped tables) pin the default-true
+        ``fieldId.write`` flag so a session that disabled it can't
+        stage id-less files.  Identity staging for unmapped tables."""
+        mapped = snap.column_mapping_mode() not in ("none", "None")
+        if not mapped:
+            return self._stage_files(df, snap.partition_columns(), **kw)
+        conf = self.spark.conf
+        key = "spark.sql.parquet.fieldId.write.enabled"
+        prev = conf.get(key)
+        conf.set(key, "true")
+        try:
+            return self._stage_files(
+                self._to_physical(df, snap),
+                snap.physical_partition_columns(),
+                **kw,
+            )
+        finally:
+            conf.set(key, prev)
 
     def append(self, df: DataFrame) -> int:
         self._ensure_created_from(df)
         snap = self._snapshot()  # ONE log replay per write
         snap.check_writable("append")
-        df = self._to_physical(self._prepare(df, snap), snap)
-        mapped = snap.column_mapping_mode() not in ("none", "None")
-        if mapped:
-            # spec: mapped-table files should carry field ids — pin the
-            # (default-true) writer flag for the staging write so a
-            # session that disabled it can't stage id-less files
-            conf = self.spark.conf
-            key = "spark.sql.parquet.fieldId.write.enabled"
-            prev = conf.get(key)
-            conf.set(key, "true")
-        try:
-            adds = self._stage_files(df, snap.physical_partition_columns())
-        finally:
-            if mapped:
-                conf.set(key, prev)
+        df = self._prepare(df, snap)
+        adds = self._stage_physical(df, snap)
         actions = [
             self._commit_info("WRITE", {"mode": "Append"}),
             *({"add": a} for a in adds),
@@ -1330,9 +1345,9 @@ class DeltaProtocolTable:
             # actions (zero-row files are skipped), would make CDF
             # readers derive a spurious delete+insert of EVERY row.
             # Short-circuit to a no-op instead of rewriting.
-            cdc_actions = self._stage_files(
+            cdc_actions = self._stage_physical(
                 change_df,
-                snap.partition_columns(),
+                snap,
                 subdir="_change_data",
                 with_stats=False,
                 data_change=False,
@@ -1341,7 +1356,7 @@ class DeltaProtocolTable:
                 return snap.version
         try:
             merged = self._checkpoint_enforced(merged)
-            adds = self._stage_files(merged, snap.partition_columns())
+            adds = self._stage_physical(merged, snap)
         except Exception:
             # cdc files are already inside _change_data/, which vacuum
             # deliberately never enters — reclaim them on failure here
@@ -1499,9 +1514,7 @@ class DeltaProtocolTable:
         if target_partitions is not None:
             current = current.coalesce(target_partitions)
         current = current.localCheckpoint(eager=True)
-        adds = self._stage_files(
-            current, snap.partition_columns(), data_change=False
-        )
+        adds = self._stage_physical(current, snap, data_change=False)
         now = int(time.time() * 1000)
         removes = [
             {

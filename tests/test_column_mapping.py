@@ -203,22 +203,105 @@ def test_missing_physical_name_refused(spark, tmp_path):
         DeltaProtocolTable(spark, str(root)).read()
 
 
-def test_non_append_writes_to_mapped_table_refused(spark, tmp_path):
-    """r10: append IS supported; upsert/replace/compact stay refused
-    with a pointed per-operation message."""
+def test_upsert_replace_compact_on_mapped_table(spark, tmp_path):
+    """r10: the full write surface works on mapped tables through the
+    shared physical staging path — upsert merges by logical key,
+    replace honors a logical-name predicate, compact rewrites with
+    dataChange=false; the clean-room reader agrees after each."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _delta_reader import read_delta_table
+
     root = tmp_path / "tbl"
     _write_mapped_table(root)
     t = DeltaProtocolTable(spark, str(root))
-    df = spark.createDataFrame(
-        [(9, "z", ("q",))],
+
+    def both_readers():
+        ours = {r.id: (r.name, r.meta.inner) for r in t.read().collect()}
+        _, rows = read_delta_table(root)
+        ind = {r["id"]: (r["name"], r["meta"]["inner"]) for r in rows}
+        assert ours == ind
+        return ours
+
+    up = spark.createDataFrame(
+        [(2, "B", ("Y",)), (9, "z", ("q",))],
         "id bigint, name string, meta struct<inner string>",
     )
-    with pytest.raises(DeltaProtocolError, match="upsert on mapped"):
-        t.upsert(df, ["id"])
-    with pytest.raises(DeltaProtocolError, match="replace on mapped"):
-        t.replace(df, [("id", "9")])
-    with pytest.raises(DeltaProtocolError, match="compact on mapped"):
-        t.compact()
+    t.upsert(up, ["id"])
+    assert both_readers() == {
+        1: ("a", "x"), 2: ("B", "Y"), 3: ("c", "z"), 9: ("z", "q")
+    }
+
+    rep = spark.createDataFrame(
+        [(3, "C", ("Z",))], "id bigint, name string, meta struct<inner string>"
+    )
+    t.replace(rep, [("id", "3")])
+    assert both_readers() == {
+        1: ("a", "x"), 2: ("B", "Y"), 3: ("C", "Z"), 9: ("z", "q")
+    }
+
+    v = t.compact(target_partitions=1)
+    assert both_readers() == {
+        1: ("a", "x"), 2: ("B", "Y"), 3: ("C", "Z"), 9: ("z", "q")
+    }
+    # compact's files are physical too: every live add's parquet names
+    # its columns physically
+    commit = (root / "_delta_log" / f"{v:020d}.json").read_text()
+    adds = [
+        json.loads(l)["add"]
+        for l in commit.splitlines()
+        if l.strip() and "add" in json.loads(l)
+    ]
+    assert adds and not any(a["dataChange"] for a in adds)
+    for a in adds:
+        names = set(pq.read_schema(root / a["path"]).names)
+        assert _PHYS_ID in names and "id" not in names
+
+
+def test_schema_migration_on_mapped_table_refused(spark, tmp_path):
+    """Adding a column to a mapped table needs column-id/physical-name
+    assignment — refused; a same-schema declared create_if_absent (the
+    YAML append path) passes through."""
+    from aqueducts_spark.types import Field
+
+    root = tmp_path / "tbl"
+    _write_mapped_table(root)
+    t = DeltaProtocolTable(spark, str(root))
+    same = [Field("id", "int64"), Field("name", "string")]
+    t.create_if_absent(same, [], {}, {})  # no new columns: no-op
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        t.create_if_absent(
+            same + [Field("extra", "string")], [], {}, {}
+        )
+
+
+def test_cdf_upsert_on_mapped_table(spark, tmp_path):
+    """CDF-enabled mapped table: upsert stages PHYSICAL cdc files and
+    change_feed renders them logically."""
+    root = tmp_path / "tbl"
+    _write_mapped_table(root, legacy=True)  # writer 5 covers CDF duties
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in log.read_text().splitlines()]
+    for a in actions:
+        if "metaData" in a:
+            a["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+    log.write_text("\n".join(json.dumps(a) for a in actions))
+    t = DeltaProtocolTable(spark, str(root))
+    up = spark.createDataFrame(
+        [(2, "B", ("Y",))], "id bigint, name string, meta struct<inner string>"
+    )
+    v = t.upsert(up, ["id"])
+    cf = t.change_feed(v - 1, v)
+    got = sorted((r.id, r.name, r._change_type) for r in cf.collect())
+    assert got == [(2, "B", "insert"), (2, "b", "delete")]
+    # the staged cdc parquet is physically named
+    cdc_files = list((root / "_change_data").rglob("*.parquet"))
+    assert cdc_files
+    names = set(pq.read_schema(cdc_files[0]).names)
+    assert _PHYS_ID in names and "_change_type" in names
 
 
 _APPEND_SQL = (
