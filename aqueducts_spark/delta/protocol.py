@@ -690,6 +690,21 @@ class DeltaProtocolTable:
     ) -> None:
         self.root.mkdir(parents=True, exist_ok=True)
         config = {str(k): str(v) for k, v in (table_properties or {}).items()}
+        # authoring a column-mapped table (r10): a configuration that
+        # requests mapping obliges the CREATE to assign each field a
+        # columnMapping.id and physicalName (PROTOCOL.md "Writer
+        # Requirements for Column Mapping") — writing the config with a
+        # bare schemaString would be a spec violation every compliant
+        # reader (including ours) refuses
+        mode = str(config.get("delta.columnMapping.mode", "none")).strip()
+        if mode not in ("none", ""):
+            if mode not in ("name", "id"):
+                raise DeltaProtocolError(
+                    f"cannot create table: unsupported "
+                    f"delta.columnMapping.mode {mode!r} (name/id)"
+                )
+            struct, max_id = _assign_column_mapping(struct)
+            config.setdefault("delta.columnMapping.maxColumnId", str(max_id))
         meta_action = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -1828,8 +1843,14 @@ def _protocol_for(struct: T.StructType, config: Optional[dict] = None) -> dict:
     writer cannot legally skip cdc actions on MERGE), and declared
     CHECK constraints must be bound to ``checkConstraints`` — all via a
     feature table (writer 7), since the legacy versions that imply them
-    (4 / 3) drag in duties like generatedColumns we do not provide."""
+    (4 / 3) drag in duties like generatedColumns we do not provide.
+    Column mapping alone uses the legacy binding (reader 2 / writer 5,
+    how delta-spark marks mapped tables); combined with any feature it
+    rides the feature table as ``columnMapping`` in BOTH lists."""
     config = config or {}
+    mapped = str(config.get("delta.columnMapping.mode", "none")).strip() not in (
+        "none", "",
+    )
     writer_features: list[str] = []
     if _uses_ntz(struct):
         writer_features.append("timestampNtz")
@@ -1838,14 +1859,55 @@ def _protocol_for(struct: T.StructType, config: Optional[dict] = None) -> dict:
     if any(k.startswith("delta.constraints.") for k in config):
         writer_features.append("checkConstraints")
     if not writer_features:
+        if mapped:
+            return {"minReaderVersion": 2, "minWriterVersion": 5}
         return {"minReaderVersion": 1, "minWriterVersion": 2}
+    if mapped:
+        writer_features.append("columnMapping")
     proto: dict = {"minWriterVersion": 7, "writerFeatures": writer_features}
-    if "timestampNtz" in writer_features:
+    reader_features = [
+        f for f in ("timestampNtz", "columnMapping") if f in writer_features
+    ]
+    if reader_features:
         proto["minReaderVersion"] = 3
-        proto["readerFeatures"] = ["timestampNtz"]
+        proto["readerFeatures"] = reader_features
     else:
         proto["minReaderVersion"] = 1
     return proto
+
+
+def _assign_column_mapping(
+    struct: T.StructType,
+) -> tuple[T.StructType, int]:
+    """Author column-mapping metadata for a NEW table: every field at
+    every nesting level gets a sequential ``delta.columnMapping.id``
+    and a fresh ``col-<uuid>`` physicalName (the delta-spark layout).
+    Returns the stamped struct and the max assigned id (the table's
+    ``delta.columnMapping.maxColumnId``)."""
+    counter = 0
+
+    def conv_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(conv_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                conv_type(dt.keyType),
+                conv_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def conv_field(f: T.StructField) -> T.StructField:
+        nonlocal counter
+        counter += 1
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = counter
+        md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+        return T.StructField(f.name, conv_type(f.dataType), f.nullable, md)
+
+    return T.StructType([conv_field(f) for f in struct.fields]), counter
 
 
 def _uses_ntz(dt: T.DataType) -> bool:

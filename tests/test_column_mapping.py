@@ -782,3 +782,94 @@ def test_change_feed_probe_skips_unreplayed_and_vacuumed(spark, tmp_path):
     rows = cf.collect()
     assert [r.id for r in rows] == [7]
     assert rows[0].meta.inner == "u"
+
+
+def test_create_mapped_table_authoring(spark, tmp_path):
+    """CREATE with delta.columnMapping.mode=name authors per-field
+    ids + col-<uuid> physicalNames and the legacy reader2/writer5
+    protocol binding; the table then round-trips through append and
+    both readers."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _delta_reader import read_delta_table
+
+    from aqueducts_spark.types import Field
+
+    root = tmp_path / "tbl"
+    t = DeltaProtocolTable(spark, str(root))
+    t.create_if_absent(
+        [Field("id", "int64"), Field("name", "string")],
+        [],
+        {"delta.columnMapping.mode": "name"},
+        {},
+    )
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in log.read_text().splitlines()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    sch = json.loads(meta["schemaString"])
+    mds = [f["metadata"] for f in sch["fields"]]
+    assert [m["delta.columnMapping.id"] for m in mds] == [1, 2]
+    assert all(
+        str(m["delta.columnMapping.physicalName"]).startswith("col-")
+        for m in mds
+    )
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "2"
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    t.append(df)
+    assert {r.id: r.name for r in t.read().collect()} == {1: "a", 2: "b"}
+    _, rows = read_delta_table(root)
+    assert {r["id"]: r["name"] for r in rows} == {1: "a", 2: "b"}
+    # the staged parquet is physically named
+    add = next(
+        json.loads(l)["add"]
+        for l in (root / "_delta_log" / f"{1:020d}.json").read_text().splitlines()
+        if l.strip() and "add" in json.loads(l)
+    )
+    names = set(pq.read_schema(root / add["path"]).names)
+    assert not ({"id", "name"} & names)
+
+
+def test_create_mapped_with_cdf_uses_feature_protocol(spark, tmp_path):
+    """Mapping + CDF together must ride the feature table with
+    columnMapping in BOTH feature lists."""
+    from aqueducts_spark.types import Field
+
+    root = tmp_path / "tbl"
+    t = DeltaProtocolTable(spark, str(root))
+    t.create_if_absent(
+        [Field("id", "int64")],
+        [],
+        {
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+        {},
+    )
+    log = root / "_delta_log" / f"{0:020d}.json"
+    proto = next(
+        json.loads(l)["protocol"]
+        for l in log.read_text().splitlines()
+        if "protocol" in json.loads(l)
+    )
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    assert "changeDataFeed" in proto["writerFeatures"]
+
+
+def test_create_unknown_mapping_mode_refused(spark, tmp_path):
+    from aqueducts_spark.types import Field
+
+    t = DeltaProtocolTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(DeltaProtocolError, match="weird"):
+        t.create_if_absent(
+            [Field("id", "int64")],
+            [],
+            {"delta.columnMapping.mode": "weird"},
+            {},
+        )
