@@ -1,4 +1,5 @@
-"""Delta column-mapping READ support (delta/protocol.py, r9).
+"""Delta column-mapping support (delta/protocol.py; reads r9, full
+write surface + CREATE authoring r10).
 
 Fixtures are hand-authored per the public Delta PROTOCOL.md ("Column
 Mapping"): parquet files whose columns carry the PHYSICAL
@@ -7,9 +8,11 @@ Mapping"): parquet files whose columns carry the PHYSICAL
 metadata, physical-keyed ``partitionValues`` and physical-named hive
 directories — the exact layout delta-spark emits with
 ``delta.columnMapping.mode = name`` (mode ``id`` additionally stamps
-parquet field ids; both name parquet columns physically).  Writes to
-mapped tables stay refused.  Reference behavior: the pinned delta-rs
-rev reads such tables (aqueducts/delta/src/lib.rs:45-74).
+parquet field ids; both name parquet columns physically).
+append/upsert/replace/compact stage through the shared physical
+rename path; only schema migration stays refused.  Reference
+behavior: the pinned delta-rs rev reads and writes such tables
+(aqueducts/delta/src/lib.rs:45-74, 177-231).
 """
 
 from __future__ import annotations
