@@ -811,18 +811,54 @@ def _edit_version0(root: Path, mutate) -> None:
     commit.write_text("\n".join(json.dumps(a) for a in actions))
 
 
-def test_external_writer_version_5_refused_for_writes(spark, tmp_path):
+def test_external_writer_version_gate(spark, tmp_path):
+    """r10: versions 4-5 are accepted with their duties discharged
+    (CDF writes implemented, column mapping supported, no generated
+    columns declared on this table); version 6 (identity columns)
+    stays refused."""
     t = _make(spark, tmp_path, name="wv5")
     t.append(_df(spark, [(1, "a", 1.0)]))
 
-    def bump(a):
+    def bump5(a):
         if "protocol" in a:
-            a["protocol"]["minWriterVersion"] = 5  # implies columnMapping duty
+            a["protocol"]["minWriterVersion"] = 5
 
-    _edit_version0(tmp_path / "wv5", bump)
+    _edit_version0(tmp_path / "wv5", bump5)
     t2 = DeltaProtocolTable(spark, str(tmp_path / "wv5"))
-    assert _rows(t2.read()) == [(1, "a", 1.0)]  # reads stay fine
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion 5"):
+    assert _rows(t2.read()) == [(1, "a", 1.0)]
+    t2.append(_df(spark, [(2, "b", 2.0)]))  # allowed since r10
+    assert _rows(t2.read()) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+    def bump6(a):
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 6
+
+    _edit_version0(tmp_path / "wv5", bump6)
+    t3 = DeltaProtocolTable(spark, str(tmp_path / "wv5"))
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion 6"):
+        t3.append(_df(spark, [(3, "c", 3.0)]))
+
+
+def test_writer_version_4_generated_columns_refused(spark, tmp_path):
+    """A writer-4/5 table whose schema actually declares a
+    delta.generationExpression is refused — this writer cannot compute
+    generated columns."""
+    t = _make(spark, tmp_path, name="wgen")
+    t.append(_df(spark, [(1, "a", 1.0)]))
+
+    def mutate(a):
+        if "protocol" in a:
+            a["protocol"]["minWriterVersion"] = 4
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1].setdefault("metadata", {})[
+                "delta.generationExpression"
+            ] = "CAST(id AS STRING)"
+            a["metaData"]["schemaString"] = json.dumps(sch)
+
+    _edit_version0(tmp_path / "wgen", mutate)
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "wgen"))
+    with pytest.raises(DeltaProtocolError, match="generated columns"):
         t2.append(_df(spark, [(2, "b", 2.0)]))
 
 
@@ -944,12 +980,14 @@ def test_schema_migration_respects_writer_protocol(spark, tmp_path):
 
     def bump(a):
         if "protocol" in a:
-            a["protocol"]["minWriterVersion"] = 5
+            # version 6: identity columns — a duty this engine never
+            # discharges (4-5 are writable since r10)
+            a["protocol"]["minWriterVersion"] = 6
 
     _edit_version0(tmp_path / "mig", bump)
     t2 = DeltaProtocolTable(spark, str(tmp_path / "mig"))
     extra = FIELDS + [Field(name="extra", data_type="string", nullable=True)]
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion 5"):
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion 6"):
         t2.create_if_absent(extra, [], {}, {})
     names = sorted(p.name for p in (tmp_path / "mig" / "_delta_log").glob("*.json"))
     assert names == [f"{v:020d}.json" for v in range(2)]  # no new commit
