@@ -340,23 +340,14 @@ class _Snapshot:
                 "not provide"
             )
         conf = (self.metadata or {}).get("configuration") or {}
-        # column-mapped tables (r10): append/upsert/replace/compact all
-        # stage through the same physical-rename path (_stage_physical
-        # — physical parquet names + field ids, physical-keyed stats
-        # and partitionValues) and vacuum never touches schema; only
-        # schema MIGRATION stays refused — adding a column to a mapped
-        # table requires assigning a fresh columnMapping.id/physicalName
-        # and bumping maxColumnId, which this writer does not do
-        if self.column_mapping_mode() not in ("none", "None"):
-            if operation == "metadata":
-                raise DeltaProtocolError(
-                    f"cannot {operation}: table uses columnMapping mode "
-                    f"{self.column_mapping_mode()!r} — schema migration "
-                    "on mapped tables needs physical-name and column-id "
-                    "assignment this engine does not implement (drop the "
-                    "added columns, or migrate with the table's owning "
-                    "engine)"
-                )
+        # column-mapped tables (r10): the whole write surface is
+        # supported — append/upsert/replace/compact stage through the
+        # shared physical-rename path (_stage_physical: physical
+        # parquet names + field ids, physical-keyed stats and
+        # partitionValues), ADD COLUMNS assigns fresh column ids +
+        # physicalNames past maxColumnId (_migrate_schema_if_needed),
+        # CREATE authors the mapping, and vacuum never touches schema
+        # — so no mode-specific refusal remains here
 
         def _on(key: str) -> bool:
             return str(conf.get(key, "false")).strip().lower() == "true"
@@ -748,16 +739,30 @@ class DeltaProtocolTable:
             return
         # a schema migration is a metaData commit: the writer-protocol
         # gate applies here too — without it an ADD COLUMNS commit
-        # would land on tables (columnMapping, constraints, ...) this
-        # engine must not write, before the data write gets refused.
-        # Checked only when a migration would actually commit, so a
-        # same-schema declared append to a mapped table (supported
-        # since r10) doesn't bounce on a gate for a commit that was
-        # never going to happen.  On mapped tables new columns need
-        # physical-name + maxColumnId assignment — refused there.
+        # would land on tables (constraints, identity columns, ...)
+        # this engine must not write, before the data write gets
+        # refused.  Checked only when a migration would actually
+        # commit, so a same-schema declared append (the common YAML
+        # path) doesn't bounce on a gate for a commit that was never
+        # going to happen.
         snap.check_writable("metadata")
-        merged = T.StructType(list(current.fields) + added)
         meta = dict(snap.metadata or {})
+        mode = snap.column_mapping_mode()
+        if mode not in ("none", "None"):
+            # mapped tables: ADDED columns get fresh ids past the
+            # table's maxColumnId and col-<uuid> physicalNames (the
+            # spec's writer requirement for schema evolution); old
+            # files null-fill the new physical columns — standard
+            # evolution semantics the read probe already tolerates
+            conf = dict(meta.get("configuration") or {})
+            max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+            stamped, new_max = _assign_column_mapping(
+                T.StructType(added), start=max_id
+            )
+            added = list(stamped.fields)
+            conf["delta.columnMapping.maxColumnId"] = str(new_max)
+            meta["configuration"] = conf
+        merged = T.StructType(list(current.fields) + added)
         meta["schemaString"] = json.dumps(merged.jsonValue(), separators=(",", ":"))
         actions = [
             self._commit_info("ADD COLUMNS", {"columns": [f.name for f in added]}),
@@ -1877,14 +1882,15 @@ def _protocol_for(struct: T.StructType, config: Optional[dict] = None) -> dict:
 
 
 def _assign_column_mapping(
-    struct: T.StructType,
+    struct: T.StructType, start: int = 0
 ) -> tuple[T.StructType, int]:
-    """Author column-mapping metadata for a NEW table: every field at
-    every nesting level gets a sequential ``delta.columnMapping.id``
-    and a fresh ``col-<uuid>`` physicalName (the delta-spark layout).
-    Returns the stamped struct and the max assigned id (the table's
-    ``delta.columnMapping.maxColumnId``)."""
-    counter = 0
+    """Author column-mapping metadata: every field at every nesting
+    level gets a sequential ``delta.columnMapping.id`` (starting past
+    ``start`` — the table's current maxColumnId when stamping ADDED
+    columns) and a fresh ``col-<uuid>`` physicalName (the delta-spark
+    layout).  Returns the stamped struct and the max assigned id (the
+    table's new ``delta.columnMapping.maxColumnId``)."""
+    counter = start
 
     def conv_type(dt: T.DataType) -> T.DataType:
         if isinstance(dt, T.StructType):

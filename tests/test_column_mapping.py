@@ -262,10 +262,15 @@ def test_upsert_replace_compact_on_mapped_table(spark, tmp_path):
         assert _PHYS_ID in names and "id" not in names
 
 
-def test_schema_migration_on_mapped_table_refused(spark, tmp_path):
-    """Adding a column to a mapped table needs column-id/physical-name
-    assignment — refused; a same-schema declared create_if_absent (the
-    YAML append path) passes through."""
+def test_schema_migration_on_mapped_table_assigns_ids(spark, tmp_path):
+    """ADD COLUMNS on a mapped table assigns a fresh column id past
+    maxColumnId and a col-<uuid> physicalName; old files null-fill the
+    new column and appends carry it physically."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _delta_reader import read_delta_table
+
     from aqueducts_spark.types import Field
 
     root = tmp_path / "tbl"
@@ -273,10 +278,32 @@ def test_schema_migration_on_mapped_table_refused(spark, tmp_path):
     t = DeltaProtocolTable(spark, str(root))
     same = [Field("id", "int64"), Field("name", "string")]
     t.create_if_absent(same, [], {}, {})  # no new columns: no-op
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
-        t.create_if_absent(
-            same + [Field("extra", "string")], [], {}, {}
-        )
+    assert not (root / "_delta_log" / f"{1:020d}.json").exists()
+
+    t.create_if_absent(same + [Field("extra", "string")], [], {}, {})
+    commit = (root / "_delta_log" / f"{1:020d}.json").read_text()
+    meta = next(
+        json.loads(l)["metaData"]
+        for l in commit.splitlines()
+        if l.strip() and "metaData" in json.loads(l)
+    )
+    sch = json.loads(meta["schemaString"])
+    extra_md = sch["fields"][-1]["metadata"]
+    assert sch["fields"][-1]["name"] == "extra"
+    assert extra_md["delta.columnMapping.id"] == 6  # past maxColumnId=5
+    assert str(extra_md["delta.columnMapping.physicalName"]).startswith("col-")
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "6"
+
+    # old files null-fill; an append lands the new column physically
+    df = spark.createDataFrame(
+        [(9, "z", ("q",), "E")],
+        "id bigint, name string, meta struct<inner string>, extra string",
+    )
+    t.append(df)
+    got = {r.id: r.extra for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: None, 9: "E"}
+    _, rows = read_delta_table(root)
+    assert {r["id"]: r["extra"] for r in rows} == got
 
 
 def test_cdf_upsert_on_mapped_table(spark, tmp_path):
