@@ -2141,14 +2141,8 @@ def bm25_scores(
     # dominated at bench scale (sim_hybrid_topk 1.25s -> 2.07s) while
     # buying nothing (both consumers' recompute is an explode+groupBy
     # of the already-materialized slim relation, not a corpus scan)
-    tf = (
-        lengths.select(
-            F.col(id_col),
-            F.col("dl"),
-            F.explode("__hits").alias("term"),
-        )
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count("*").alias("tf"))
+    tf = _doc_term_tf(
+        lengths, id_col, F.col("__hits"), term_name="term", keep=["dl"]
     )
     # N and avgdl in ONE single-row aggregation over the materialized
     # slim relation — not a second scan of the source
@@ -2224,10 +2218,12 @@ def tfidf_top_terms(
     from .materialize import materialize
 
     tf = materialize(
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        _doc_term_tf(
+            ensure_parallelism(df),
+            id_col,
+            normalized_tokens(F.col(text_col)),
+            term_name="term",
+        )
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # n_docs must count the same DOCUMENT GRANULARITY df counts: rows
@@ -2285,11 +2281,7 @@ def unigram_logprob(
 
     src = ensure_parallelism(df)
     toks = normalized_tokens(F.col(text_col))
-    tf = (
-        src.select(F.col(id_col), F.explode(toks).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = _doc_term_tf(src, id_col, toks, term_name="term")
     totals = materialize(
         src.select(F.explode(toks).alias("term"))
         .groupBy("term")
@@ -2407,15 +2399,11 @@ def bigram_logprob(
     )
 
     # the corpus-volume pass: per-doc events -> tf -> scored join
-    events = (
-        toked.select(
-            F.col(id_col),
-            F.explode(
-                F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
-            ).alias("gram"),
-        )
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf"))
+    # (zero-shuffle per-row RLE — see _doc_term_tf)
+    events = _doc_term_tf(
+        toked,
+        id_col,
+        F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2)),
     )
     scored = events.join(scores, "gram").select(
         F.col(id_col),
@@ -2430,6 +2418,83 @@ def bigram_logprob(
     # events only when it has at least one token), so plain division
     return _kn_per_doc(scored, id_col)
 
+
+
+def _doc_term_tf(
+    toked: DataFrame,
+    id_col: str,
+    ev_arr: Column,
+    term_name: str = "gram",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Per-document ``(id, term, tf)`` WITHOUT a corpus shuffle (r10).
+
+    The classic form — ``explode(events).groupBy(id, term).count()`` —
+    shuffles every (doc, term) event row to count duplicates that all
+    live in the SAME input row: tf is functionally keyed by the
+    document row itself.  Sorting the per-row event array and
+    run-length-encoding it computes the identical multiset map-side;
+    the relation leaves the operator already reduced to one row per
+    distinct (doc, term), which is exactly what the old aggregation
+    emitted — and any later ``groupBy(id)`` now partial-aggregates a
+    document to ONE row before its exchange, because a document's
+    events are co-located by construction instead of scattered by
+    hash(id, term).  Measured at sf0.1 (kn3 gates): the corpus-volume
+    exchange disappears from the plan and the events materialization
+    job halves.
+
+    Bit-identity: same (id, term, tf) multiset (any total order groups
+    equal elements; ``array_sort`` is one), tf a BIGINT like the old
+    ``count(*)``.  Empty/NULL event arrays emit no row (explode of an
+    empty array), matching the old explode exactly.  ``F.get`` (not
+    ``element_at``): 0-based and NULL out of bounds under ANSI mode.
+    """
+    # STAGED columns, not inline subtrees: a lambda body has no common-
+    # subexpression elimination, so F.get(<array_sort(...)>, i) inside
+    # filter/transform would re-sort the whole array PER ELEMENT
+    # (measured: the first draft turned a 3s gate into minutes).  Bound
+    # attribute references are O(1); multi-referenced non-trivial
+    # aliases also block CollapseProject from inlining them back.
+    extra = [F.col(c) for c in (keep or [])]
+    st1 = toked.select(
+        F.col(id_col), *extra, F.array_sort(ev_arr).alias("__ev_sorted")
+    )
+    sa = F.col("__ev_sorted")
+    n = F.size(sa)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            F.get(sa, i) != F.get(sa, i - 1)
+        ),
+    )
+    # sequence(0, -1) on an empty array would generate DESCENDING
+    # [0, -1] — guard behind size > 0
+    st2 = st1.select(
+        F.col(id_col),
+        *extra,
+        sa,
+        F.when(n > 0, starts)
+        .otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+        .alias("__ev_starts"),
+    )
+    stc = F.col("__ev_starts")
+    pairs = F.transform(
+        stc,
+        lambda s, j: F.struct(
+            F.get(sa, s).alias(term_name),
+            (F.coalesce(F.get(stc, j + 1), F.size(sa)) - s)
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
+    return st2.select(
+        F.col(id_col), *extra, F.explode(pairs).alias("__rle")
+    ).select(
+        F.col(id_col),
+        *extra,
+        F.col(f"__rle.{term_name}").alias(term_name),
+        F.col("__rle.tf").alias("tf"),
+    )
 
 
 def _kn_true_grams(toks: Column, n: int) -> Column:
@@ -2575,11 +2640,7 @@ def kn_bigram_logprob(
     # Σ_docs tf(doc, gram) == corpus ct(gram) exactly, so the derived
     # type table is bit-identical to the independent aggregation.
     ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
-    events = (
-        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf"))
-    )
+    events = _doc_term_tf(toked, id_col, ev_arr)
     if cache_stats:
         events = materialize(events, checkpoint_dir)
     # gram TYPE table (type-sized), re-aggregated from the events
@@ -2835,9 +2896,7 @@ def kn_bigram_score(
     # scan vs re-reading per-doc-distinct event blocks)
     ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
     events = materialize(
-        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf")),
+        _doc_term_tf(toked, id_col, ev_arr),
         checkpoint_dir,
         eager=True,
     )
@@ -2970,11 +3029,7 @@ def kn_trigram_logprob(
     # ONE tokenize/explode (r9): events materialized, type table
     # derived from its blocks (Σ_docs tf == corpus ct exactly) — see
     # kn_bigram_logprob on why the second independent explode lost
-    events = (
-        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf"))
-    )
+    events = _doc_term_tf(toked, id_col, ev_arr)
     if cache_stats:
         events = materialize(events, checkpoint_dir)
     types0 = events.groupBy("gram").agg(F.sum("tf").alias("ct"))
@@ -3320,9 +3375,7 @@ def kn_trigram_score(
     # dedicated job is stable — and the blocks must exist before BOTH
     # consumers anyway
     events = materialize(
-        toked.select(F.col(id_col), F.explode(ev_arr).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("tf")),
+        _doc_term_tf(toked, id_col, ev_arr),
         checkpoint_dir,
         eager=True,
     )

@@ -295,3 +295,43 @@ def test_gopher_symbol_rule_is_per_symbol_not_summed(spark):
     )
     rows = {r.doc_id: r.symbol_ratio_ok for r in gopher_rules(df).collect()}
     assert rows == {1: True, 2: False, 3: False}, rows
+
+
+def test_doc_term_tf_matches_groupby_form(spark):
+    """r10: _doc_term_tf (per-row sorted run-length encoding, zero
+    shuffle) must emit exactly the multiset the old
+    explode->groupBy(id, term).count() emitted — including empty and
+    NULL token arrays (no row) and heavy in-doc repetition."""
+    from aqueducts_spark.operators.text import _doc_term_tf
+
+    rows = [
+        (1, ["b", "a", "b", "c", "b", "a"]),
+        (2, ["x"]),
+        (3, []),
+        (4, None),
+        (5, ["z", "z", "z", "z"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in _doc_term_tf(
+            df, "doc_id", F.col("toks"), term_name="term"
+        ).collect()
+    )
+    ref = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in df.select(
+            "doc_id", F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    )
+    assert got == ref
+    assert (1, "b", 3) in got and (5, "z", 4) in got
+    assert not any(d in (3, 4) for d, _, _ in got)
+    # tf column type stays BIGINT (the old count(*) type)
+    schema = dict(
+        _doc_term_tf(df, "doc_id", F.col("toks"), term_name="term").dtypes
+    )
+    assert schema["tf"] == "bigint"
