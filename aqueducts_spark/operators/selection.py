@@ -133,9 +133,47 @@ def dsir_bucket_counts(
     """Hashed-ngram bucket counts: per document when ``id_col`` is
     given (``id, bucket, c``), else for the whole corpus
     (``bucket, c`` — at most ``buckets`` rows, the fitted model)."""
+    # grouped-by-KEY counts on purpose: id_col is a grouping key, not
+    # necessarily row-unique (nb_fit passes the class label), so counts
+    # must merge ACROSS rows sharing the key — the per-row RLE shape
+    # lives in _row_bucket_counts for callers whose downstream is
+    # linear in c (dsir_weights).
     exploded = _gram_bucket_rows(df, text_col, id_col, buckets)
     keys = ([id_col] if id_col else []) + ["bucket"]
     return exploded.groupBy(*keys).agg(F.count("*").alias("c"))
+
+
+def _row_bucket_counts(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Per-ROW ``(id, bucket, c)`` with NO corpus shuffle (r10): sorted
+    run-length encoding of each row's hashed-gram bucket array (see
+    text._doc_term_tf) — the c values are per input row, not merged
+    across rows sharing an id.  Exact replacement for
+    :func:`dsir_bucket_counts` wherever every downstream consumer is
+    LINEAR in ``c`` and re-aggregates by id or bucket (Σ over split
+    rows == Σ over merged rows in exact integers); NOT a replacement
+    when the grouped relation itself is the output (nb_fit's model)."""
+    from .text import _doc_term_tf
+
+    staged = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            normalized_tokens(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("__toks"),
+        )
+        # tokens staged first (word_ngrams_col contract: the gram tree
+        # references them ~6 times)
+        .select(
+            F.col(id_col),
+            _gram_buckets(F.col("__toks"), buckets).alias("__bks"),
+        )
+    )
+    return _doc_term_tf(
+        staged, id_col, F.col("__bks"), term_name="bucket"
+    ).withColumnRenamed("tf", "c")
 
 
 def _log_ratios_from_counts(
@@ -294,7 +332,11 @@ def dsir_weights(
             "parameters — they are baked into a pre-fitted ratios table "
             "and have no effect here; refit with dsir_log_ratios instead"
         )
-    doc = dsir_bucket_counts(df, text_col, id_col, buckets)
+    # per-row RLE counts (no corpus shuffle): both consumers — the
+    # r_counts re-aggregation and the scored groupBy(id) — are linear
+    # in c, so split-per-row rows sum to the identical integers the
+    # grouped relation summed to
+    doc = _row_bucket_counts(df, text_col, id_col, buckets)
     if ratios is None:
         eff_smoothing = 1.0 if smoothing is None else smoothing
         if eff_smoothing <= 0:
