@@ -996,9 +996,13 @@ def nb_classify(
     # the lexicographically-smallest tied label, as before).  Integer
     # λ micro-nats make Σ_occurrence λ == Σ_bucket c·λ exactly, so
     # scores and argmax decisions are bit-identical to the r8 shape.
-    # the SAME per-occurrence hashed-gram pipeline DSIR uses — one
-    # shared implementation so the feature spaces cannot diverge
-    occ = _gram_bucket_rows(guarded, text_col, id_col, buckets)
+    # the SAME hashed-gram pipeline DSIR uses (one shared
+    # implementation so the feature spaces cannot diverge), reduced
+    # per row by RLE (r10): every downstream sum is linear in c with
+    # integer λ micro-nats, so Σ_occurrence λ == Σ_row c·λ exactly —
+    # and the broadcast join + groupBy(id) now process per-doc
+    # distinct buckets instead of every gram occurrence
+    occ = _row_bucket_counts(guarded, text_col, id_col, buckets)
     k = len(labels)
     if k > _NB_VEC_MAX_CLASSES:
         # beyond this, K per-class sum expressions + a K-element array
@@ -1007,7 +1011,7 @@ def nb_classify(
         # grid -> groupBy(id, label), argmax via a min(struct) agg
         # (NOT a window: no per-id sort, map-side partial agg).  Same
         # integer arithmetic, bit-identical scores and tie-breaks.
-        tf = occ.groupBy(id_col, "bucket").agg(F.count("*").alias("__c"))
+        tf = occ.withColumnRenamed("c", "__c")
         scores = (
             tf.join(F.broadcast(grid), "bucket")
             .groupBy(id_col, "label")
@@ -1054,7 +1058,7 @@ def nb_classify(
         .groupBy(id_col)
         .agg(
             *[
-                F.sum(F.col("__lams")[i]).alias(f"__s{i}")
+                F.sum(F.col("c") * F.col("__lams")[i]).alias(f"__s{i}")
                 for i in range(k)
             ]
         )
