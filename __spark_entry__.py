@@ -1835,12 +1835,22 @@ def _op_sequence_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing index (operators/mixing.py::
     sequence_spans) over the shuffle_corpus shard layout — exact
     integer span oracle."""
+    from aqueducts_spark.operators.materialize import materialize
     from aqueducts_spark.operators.mixing import sequence_spans, shuffle_corpus
 
     _views(spark, sf_dir)
-    sharded = shuffle_corpus(
-        spark.table("documents"), seed="r5", n_shards=8
-    ).withColumn("n_tok", F.length("text"))
+    # materialize the sharded layout before indexing it (r10): exactly
+    # what corpus_offsets' docstring prescribes for expensive lineage —
+    # its two-pass prefix sum plus the span explode otherwise re-execute
+    # the 8-partition shuffle+sort three times per run (lazy: the
+    # consumers are strictly sequential, pass 1's collect fills the
+    # blocks)
+    sharded = materialize(
+        shuffle_corpus(
+            spark.table("documents"), seed="r5", n_shards=8
+        ).withColumn("n_tok", F.length("text")),
+        eager=False,
+    )
     out = sequence_spans(
         sharded,
         1000,
