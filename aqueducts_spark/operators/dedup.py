@@ -2054,6 +2054,7 @@ def embedding_near_duplicates_lsh(
     target_miss: float = 1e-3,
     candidates_per_row: int = 128,
     max_tables: int = 512,
+    max_broadcast_candidates: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via banded hyperplane LSH — the
     100 TB scale path for :func:`embedding_near_duplicates` (whose
@@ -2175,19 +2176,6 @@ def embedding_near_duplicates_lsh(
         F.col(id_col).alias("__id"),
         F.explode(_buckets(F.col(vec_col))).alias("__bucket"),
     )
-    if max_bucket_size is not None:
-        # the cap is a count window, not a groupBy+semi-join: the window
-        # shuffles slim on __bucket exactly once and leaves it hash-
-        # partitioned on the join key
-        from pyspark.sql.window import Window
-
-        slim = (
-            slim.withColumn(
-                "__bn", F.count("*").over(Window.partitionBy("__bucket"))
-            )
-            .where(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
     # materialize the slim (id, bucket) relation (r9): the self-join's
     # two sides are two CONSUMERS, and on the write path — what sinks
     # and the bench execute — AQE never reuses the window's exchange,
@@ -2197,6 +2185,25 @@ def embedding_near_duplicates_lsh(
     from .materialize import materialize
 
     slim = materialize(slim)
+    if max_bucket_size is not None:
+        # the cap was a count window in r9 ("shuffles slim exactly
+        # once and leaves it partitioned on the join key") — but the
+        # materialization barrier erases that partitioning from the
+        # optimizer's view, so the self-join re-shuffled anyway and
+        # the window's full corpus×tables shuffle bought nothing
+        # (r10).  Bucket sizes now come from a tiny partial-aggregated
+        # groupBy over the materialized blocks, and oversized buckets
+        # drop via a broadcast anti-join: map-side, no slim shuffle,
+        # identical surviving rows.
+        oversized = (
+            slim.groupBy("__bucket")
+            .agg(F.count("*").alias("__bn"))
+            .where(F.col("__bn") > max_bucket_size)
+            .select("__bucket")
+        )
+        slim = slim.join(
+            F.broadcast(oversized), "__bucket", "left_anti"
+        )
     a = slim.select(F.col("__bucket"), F.col("__id").alias("id_a"))
     b = slim.select(F.col("__bucket"), F.col("__id").alias("id_b"))
     # force sort-merge for the self-join: auto-broadcast would pick the
@@ -2234,9 +2241,29 @@ def embedding_near_duplicates_lsh(
         F.col(vec_col).alias("__vb"),
         l2_norm(F.col(vec_col)).alias("__nb"),
     )
+    # verification join direction (r10): left to the planner, a corpus-
+    # sized vector side exceeds the broadcast threshold and BOTH
+    # verification joins degrade to full shuffles of the corpus by id —
+    # to attach a bounded candidate list.  The candidate set is already
+    # materialized, and its exact count is one cheap job over
+    # checkpointed blocks: when it is small, hint THE CANDIDATES
+    # broadcast through both joins so the vector sides stream map-side
+    # untouched; past the bound, keep the planner's shape.  Row set
+    # identical either way.  (At bench scale the vector sides are tiny
+    # and the planner broadcasts them regardless of the hint — both
+    # sides broadcastable, smaller side wins — so this branch is
+    # measurable only at scale, where it replaces two corpus shuffles.)
+    # The bound counts candidate PAIRS; the larger broadcast is step1
+    # (pair + one vector), so 100k pairs x ~1k-dim float64 tops out
+    # ~1 GB — inside the 8 GB broadcast ceiling with headroom for
+    # wider ids.
+    if cand.count() <= max_broadcast_candidates:
+        step1 = F.broadcast(cand).join(va, "id_a")
+        joined = F.broadcast(step1).join(vb, "id_b")
+    else:
+        joined = cand.join(va, "id_a").join(vb, "id_b")
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        joined
         .withColumn(
             "cosine",
             dot(F.col("__va"), F.col("__vb"))

@@ -235,6 +235,26 @@ def test_embed_neardup_lsh_bucket_cap_drops_degenerate(spark):
     assert full.count() == 20 * 19 // 2
 
 
+def test_embed_neardup_lsh_broadcast_candidates_parity(spark):
+    """The candidate-broadcast verification path (small cand set →
+    hint candidates broadcast, stream the vector sides) returns the
+    exact rows of the planner-shaped path."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bc = embedding_near_duplicates_lsh(
+        df, threshold=0.9, max_broadcast_candidates=100_000
+    )
+    nb = embedding_near_duplicates_lsh(
+        df, threshold=0.9, max_broadcast_candidates=0
+    )
+    got_bc = sorted((r.id_a, r.id_b, r.cosine) for r in bc.collect())
+    got_nb = sorted((r.id_a, r.id_b, r.cosine) for r in nb.collect())
+    assert len(got_bc) > 0
+    assert got_bc == got_nb
+
+
 def test_embed_neardup_lsh_tolerates_null_vectors(spark):
     """NULL embeddings are dropped (the brute-force twin's NULL cosine
     never passes the threshold) instead of crashing the bucket matmul."""
