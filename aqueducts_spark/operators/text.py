@@ -1198,7 +1198,26 @@ def _bpe_encode_python(
     sel = ensure_parallelism(
         df.select(*dict.fromkeys([id_col, *keep, text_col]))
     )
-    return sel.mapInPandas(encode_batches, schema)
+    out = sel.mapInPandas(encode_batches, schema)
+    # Fusion hook for tokens_to_ids (the _aq_vocab_rows precedent):
+    # record how this frame was produced so a DIRECTLY-composed
+    # tokens_to_ids can rebuild the pass with the id mapping folded
+    # into the same mapInPandas instead of shipping the whole token
+    # stream JVM -> Python a second time.  Plain Python attribute —
+    # it dies with this DataFrame object (any select/filter returns a
+    # fresh frame without it), so the fusion only ever fires on the
+    # unmodified encode output, where it is provably equivalent.
+    out._aq_bpe_fuse = {
+        "source": df,
+        "merges": mseq,
+        "text_col": text_col,
+        "id_col": id_col,
+        "keep": keep,
+        "end_marker": em,
+        "byte_level": byte_level,
+        "with_counts": with_counts,
+    }
+    return out
 
 
 def bpe_vocab(
@@ -1253,27 +1272,29 @@ def bpe_vocab(
                 vocab.append(t)
         return _vocab_df(df.sparkSession, vocab)
     merges = _bpe_validate(merges, end_marker, 1)
-    # distinct characters straight off the PER-DOCUMENT token arrays —
-    # grouping words first cannot change the character set, so the
-    # word-count groupBy (a corpus-wide distinct-word exchange) buys
-    # nothing here (r10: measured 2.6s -> 0.6s at sf0.1 for a 24-char
-    # alphabet).  array_distinct per document keeps the exploded row
-    # volume at docs x alphabet, and the final .distinct() partial-
-    # aggregates map-side, so the one remaining shuffle carries at
-    # most (partitions x alphabet) rows.
-    def _word_chars(w):
-        stripped = F.translate(w, _BPE_SEP, "")
-        return F.transform(
-            F.sequence(F.lit(1), F.length(stripped)),
-            lambda i: stripped.substr(i, F.lit(1)),
-        )
-
+    # distinct characters straight off the documents — grouping words
+    # first cannot change the character set, so the word-count groupBy
+    # (a corpus-wide distinct-word exchange) buys nothing here (r10:
+    # measured 2.6s -> 0.6s at sf0.1 for a 24-char alphabet).  The
+    # word-table character set equals the non-whitespace, non-\x1f
+    # characters of the lowered text (normalized_tokens lowers, splits
+    # on Java \s+ and drops empties; \x1f is stripped from each word),
+    # so ONE native regexp pass per document replaces the interpreted
+    # per-character transform/substr HOF chain (r10: 2.9s -> 0.4s at
+    # sf0.1 — HOF lambdas evaluate interpreted per character, the
+    # regex engine walks the string once in codegen).  Java regex
+    # matches whole code points, so astral characters survive intact
+    # exactly like the code-point-based substr did.  array_distinct
+    # per document keeps the exploded row volume at docs x alphabet,
+    # and the final .distinct() partial-aggregates map-side, so the
+    # one remaining shuffle carries at most (partitions x alphabet)
+    # rows.
     doc_chars = ensure_parallelism(df).select(
         F.array_distinct(
-            F.flatten(
-                F.transform(
-                    normalized_tokens(F.col(text_col)), _word_chars
-                )
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit("[^\\s\\x1f]"),
+                F.lit(0),
             )
         ).alias("__chs")
     )
@@ -1319,6 +1340,141 @@ def _vocab_df(spark, vocab: list) -> DataFrame:
     ).coalesce(1)
     vdf._aq_vocab_rows = rows
     return vdf
+
+
+def _tokens_to_ids_fused(fuse, vmap, unk, id_col, keep, out_col):
+    """Single-pass encode+ids: the tokenize+merge loop of
+    :func:`_bpe_encode_python` with the vocab lookup folded into the
+    per-distinct-word memo (word -> id list), so the token strings
+    never cross the Python boundary at all — only the source text in
+    and compact int arrays out.
+
+    Returns None when the requested output columns cannot all be
+    served from the source frame plus the encode byproducts (caller
+    falls back to the composed two-pass form).
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    src = fuse["source"]
+    text_col = fuse["text_col"]
+    byte_level = fuse["byte_level"]
+    em = fuse["end_marker"]
+    mseq = fuse["merges"]
+    # columns the composed form could have offered: the encode output
+    # minus 'tokens' itself
+    count_cols = {"n_tokens"} | (
+        {"n_words", "n_chars"} if fuse["with_counts"] else set()
+    )
+    avail = {fuse["id_col"], *fuse["keep"]} | count_cols
+    needed = [id_col, *keep]
+    if any(c not in avail for c in needed):
+        return None
+    passthrough = [c for c in needed if c not in count_cols]
+
+    if byte_level:
+        try:
+            import regex as _rx
+        except ImportError:  # pragma: no cover - env-dependent
+            return None
+        pre = _rx.compile(_BPE_BYTE_PAT)
+    else:
+        pre = re.compile(r"\S+", re.ASCII)
+    _CACHE_MAX = 1_000_000
+
+    def fused_batches(batches):
+        memo: dict = {}
+
+        def enc_ids(word):
+            t = memo.get(word)
+            if t is None:
+                if len(memo) >= _CACHE_MAX:
+                    memo.clear()
+                if byte_level:
+                    h = word.encode("utf-8").hex()
+                    syms = [h[i : i + 2] for i in range(0, len(h), 2)]
+                else:
+                    syms = list(word) + ([em] if em is not None else [])
+                for a, b in mseq:
+                    if a not in syms:
+                        continue
+                    i = 0
+                    while i < len(syms) - 1:
+                        if syms[i] == a and syms[i + 1] == b:
+                            syms[i : i + 2] = [a + b]
+                        else:
+                            i += 1
+                ids = []
+                for s in syms:
+                    i = vmap.get(s)
+                    if i is None:
+                        if unk is None:
+                            raise ValueError(
+                                f"tokens_to_ids: token {s!r} not in vocab "
+                                "and no unk_id given"
+                            )
+                        i = unk
+                    ids.append(i)
+                memo[word] = t = ids
+            return t
+
+        for pdf in batches:
+            if byte_level:
+                wordlists = [
+                    pre.findall(s) for s in pdf[text_col].fillna("")
+                ]
+            else:
+                wordlists = (
+                    pdf[text_col].fillna("").str.lower().str.findall(pre)
+                )
+            ids_out, counts, wcounts, ccounts = [], [], [], []
+            for wl in wordlists:
+                out: list = []
+                nw = nc = 0
+                for w in wl:
+                    if not byte_level:
+                        w = w.replace(_BPE_SEP, "")
+                    if w:
+                        out.extend(enc_ids(w))
+                        nw += 1
+                        nc += len(w.encode("utf-8")) if byte_level else len(w)
+                ids_out.append(out)
+                counts.append(len(out))
+                wcounts.append(nw)
+                ccounts.append(nc)
+            res = pdf[passthrough].copy() if passthrough else pdf[[]].copy()
+            computed = {
+                "n_tokens": counts,
+                "n_words": wcounts,
+                "n_chars": ccounts,
+            }
+            for c in needed:
+                if c in count_cols:
+                    res[c] = computed[c]
+            res[out_col] = ids_out
+            yield res[needed + [out_col]]
+
+    in_fields = {f.name: f for f in src.schema.fields}
+    fields = []
+    for c in needed:
+        if c in count_cols:
+            fields.append(T.StructField(c, T.LongType()))
+        else:
+            fields.append(in_fields[c])
+    fields.append(
+        T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    )
+    from .dedup import ensure_parallelism
+
+    sel = ensure_parallelism(
+        src.select(
+            *dict.fromkeys(
+                [fuse["id_col"], *fuse["keep"], text_col]
+            )
+        )
+    )
+    return sel.mapInPandas(fused_batches, T.StructType(fields))
 
 
 def tokens_to_ids(
@@ -1412,6 +1568,23 @@ def tokens_to_ids(
                 )
             vmap = {r["token"]: r["token_id"] for r in vrows}
         unk = unk_id
+
+        # Operator fusion: when ``df`` is the UNMODIFIED output of
+        # bpe_encode(method='python'), rebuild the pass with the id
+        # mapping folded into the same mapInPandas.  The composed form
+        # ships the entire token stream JVM -> Python -> JVM -> Python
+        # (MapInPandas then ArrowEvalPython, each crossing carrying
+        # every token as a string); the fused pass crosses ONCE and
+        # returns int arrays (r10: 1.4s -> 0.8s at sf0.1).  Bit-equal
+        # by construction: same tokenize+merge loop, same vocab dict,
+        # same OOV semantics — pinned by test_bpe_encode fusion tests.
+        fuse = getattr(df, "_aq_bpe_fuse", None)
+        if fuse is not None and tokens_col == "tokens":
+            fused = _tokens_to_ids_fused(
+                fuse, vmap, unk, id_col, keep, out_col
+            )
+            if fused is not None:
+                return fused
 
         from pyspark.sql.functions import pandas_udf
 

@@ -399,3 +399,90 @@ def test_bpe_vocab_alphabet_ignores_rare_words(spark):
     # end-to-end: the chain must not raise OOV on its own corpus
     ids = tokens_to_ids(bpe_encode(df, [("a", "a")]), vocab).collect()
     assert len(ids[0].token_ids) > 0
+
+
+def test_tokens_to_ids_fused_matches_composed(spark):
+    """bpe_encode -> tokens_to_ids fuses into ONE mapInPandas when the
+    encode output is passed through unmodified; the fused pass must be
+    bit-equal to the composed two-pass form (forced by stripping the
+    fusion attribute with a select), including keep_cols drawn from
+    both the source row and the encode byproducts, unicode text, and
+    unk_id mapping on fresh data."""
+    from pyspark.sql import functions as F
+
+    from aqueducts_spark.operators.text import (
+        bpe_encode,
+        bpe_vocab,
+        tokens_to_ids,
+    )
+
+    docs = [
+        (1, "the theme Été café", "a"),
+        (2, "", "b"),
+        (3, None, "c"),
+        (4, "th\x1fe the\ttheme\nthe", "d"),
+        (5, "\U0001F600 the \U0001F600", "e"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tag string")
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+    vocab = bpe_vocab(df, merges)
+    enc = bpe_encode(df, merges, keep_cols=["tag"], with_counts=True)
+    assert getattr(enc, "_aq_bpe_fuse", None) is not None
+    fused = tokens_to_ids(
+        enc, vocab, keep_cols=["tag", "n_tokens", "n_chars"]
+    )
+    # single Python crossing: one MapInPandas, no ArrowEvalPython
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "ArrowEvalPython" not in head and "EvalPython" not in head
+    # composed form: same frame minus the fusion attribute
+    stripped = enc.select(*enc.columns)
+    assert getattr(stripped, "_aq_bpe_fuse", None) is None
+    composed = tokens_to_ids(
+        stripped, vocab, keep_cols=["tag", "n_tokens", "n_chars"]
+    )
+    k = lambda rows: sorted(map(tuple, rows))
+    assert k(fused.collect()) == k(composed.collect())
+    assert fused.columns == composed.columns
+    assert fused.schema == composed.schema
+
+
+def test_tokens_to_ids_fused_oov_and_unk(spark):
+    import pytest
+
+    from aqueducts_spark.operators.text import bpe_encode, tokens_to_ids
+
+    df = spark.createDataFrame([(1, "ab zz")], "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("</w>", 2)], "token string, token_id int"
+    )
+    enc = bpe_encode(df, [])
+    with pytest.raises(Exception) as exc:
+        tokens_to_ids(enc, vocab).collect()
+    assert "not in vocab" in str(exc.value)
+    got = tokens_to_ids(bpe_encode(df, []), vocab, unk_id=-1).collect()
+    assert got[0].token_ids == [0, 1, 2, -1, -1, 2]
+
+
+def test_bpe_vocab_unicode_and_whitespace_alphabet(spark):
+    """The one-regexp-pass alphabet must equal the per-word character
+    set: Java \\s whitespace excluded, \\x1f excluded, astral code
+    points kept whole, text lowered."""
+    from aqueducts_spark.operators.text import bpe_vocab
+
+    df = spark.createDataFrame(
+        [
+            (1, "Ab\tC\nd \x1f e\x0b\x0c\r"),
+            (2, "\U0001F600x"),
+            (3, None),
+            (4, "éÉ"),  # lowers to one distinct char
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        bpe_vocab(df, [("a", "b")]).collect(), key=lambda r: r.token_id
+    )
+    toks = [r.token for r in rows]
+    assert toks == sorted(
+        ["a", "b", "c", "d", "e", "x", "é", "\U0001F600", "</w>"]
+    ) + ["ab"]
