@@ -62,6 +62,12 @@ __all__ = [
 # DIVIDE_BY_ZERO under ANSI mode; same guard _centroid_scorer uses
 _NORM_EPS = 1e-12
 
+# test escape hatch: force the legacy broadcast-join/expression forms
+# of brute_force_topk / ivf_topk / the _adc_search rerank tier so the
+# parity suite can pin the Arrow scan kernels bit-equal against them
+# (never set in production code)
+_FORCE_JOIN_PATHS = False
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -148,6 +154,143 @@ def _empty_topk(corpus: DataFrame, queries: DataFrame, id_col: str, query_id_col
     return corpus.sparkSession.createDataFrame([], schema)
 
 
+def _seq_cosine_block(X, q, qn):
+    """Cosine of every row of ``X`` against ``q`` with EXACTLY the
+    floating-point evaluation order of the Catalyst expression
+    ``dot(a,b)/greatest(l2_norm(a)*l2_norm(b), eps)`` (:func:`dot` /
+    :func:`l2_norm` fold left-to-right over the array with a 0.0
+    accumulator), so results are bit-identical to the expression path
+    — the accumulation runs dimension-by-dimension, vectorized over
+    rows, never through numpy's pairwise-summation ``dot``."""
+    B, D = X.shape
+    num = np.zeros(B)
+    cn2 = np.zeros(B)
+    for d in range(D):
+        xd = X[:, d]
+        num = num + xd * q[d]
+        cn2 = cn2 + xd * xd
+    cn = np.sqrt(cn2)
+    return num / np.maximum(qn * cn, _NORM_EPS)
+
+
+def _seq_norms(Q):
+    """Per-row l2 norms of ``Q`` in :func:`l2_norm`'s exact fold order."""
+    acc = np.zeros(len(Q))
+    for d in range(Q.shape[1]):
+        qd = Q[:, d]
+        acc = acc + qd * qd
+    return np.sqrt(acc)
+
+
+def _exact_scan_candidates(
+    corpus_rel: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    qids: list,
+    Q: "np.ndarray",
+    kk: int,
+    id_col: str,
+    query_id_col: str,
+    probe_sets=None,
+    check_nulls: bool = False,
+) -> DataFrame:
+    """Exact-cosine candidate scan shared by :func:`brute_force_topk`
+    and :func:`ivf_topk`: ONE ``mapInPandas`` over the corpus relation
+    (``neighbor_id, cvec[, __cid]``) with the collected query matrix in
+    the task closure — no pair materialization, no per-pair interpreted
+    HOF evaluation, and each partition emits only its exact local
+    top-``kk`` per query under the global (cosine desc, id asc) total
+    order, so the window downstream ranks partitions x queries x kk
+    rows instead of every scored pair.  Cosines are bit-identical to
+    the expression path (:func:`_seq_cosine_block`).
+
+    ``check_nulls=True`` reproduces the expression path's NULL
+    ordering for corpus vectors with NULL components (Catalyst: NULL
+    cosine ranks LAST under desc); callers whose corpus side already
+    validates components (ivf_assign / pq_encode raise) skip the flag
+    column.  A literal NaN VALUE in a corpus vector raises loudly:
+    the Arrow boundary cannot round-trip value-NaN distinctly from
+    NULL, and Catalyst ranks the two at opposite ends — a loud error
+    beats a silently engine-specific ranking (the broadcast-join form
+    still serves such corpora).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qn = _seq_norms(Q)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    if check_nulls:
+        # native (codegen) null-component flag: the Arrow transfer
+        # collapses NULL elements to NaN, which Catalyst ranks at the
+        # OPPOSITE end from a true NaN value — the flag disambiguates
+        corpus_rel = corpus_rel.withColumn(
+            "__nullc",
+            F.size(F.array_compact(F.col("cvec"))) != F.size(F.col("cvec")),
+        )
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            ids = pdf["neighbor_id"].to_numpy()
+            cids = pdf["__cid"].to_numpy() if probe_sets is not None else None
+            nan_rows = np.isnan(X).any(axis=1)
+            nullc = (
+                pdf["__nullc"].to_numpy(dtype=bool)
+                if check_nulls
+                else np.zeros(len(X), dtype=bool)
+            )
+            if (nan_rows & ~nullc).any():
+                raise ValueError(
+                    "exact cosine scan: corpus vector contains a literal "
+                    "NaN component — clean or impute it (NULL components "
+                    "are supported and rank last)"
+                )
+            has_null = nullc.any()
+            outs = []
+            for qi in range(len(qids)):
+                if probe_sets is not None:
+                    mask = np.isin(cids, probe_sets[qi])
+                    if not mask.any():
+                        continue
+                    q_X, q_ids, q_null = X[mask], ids[mask], nullc[mask]
+                else:
+                    q_X, q_ids, q_null = X, ids, nullc
+                cos = _seq_cosine_block(q_X, Q[qi], qn[qi])
+                if has_null:
+                    key = np.where(q_null, np.inf, -cos)
+                else:
+                    key = -cos
+                order = np.lexsort((q_ids, key))[:kk]
+                if has_null:
+                    cos_out = cos[order].astype(object)
+                    cos_out[q_null[order]] = None
+                else:
+                    cos_out = cos[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qids[qi]] * len(order),
+                            "neighbor_id": q_ids[order],
+                            "cosine": cos_out,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return corpus_rel.mapInPandas(score_partition, out_schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,13 +298,44 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Exact top-k neighbours for every query vector.
 
-    ``broadcast(queries)`` keeps the corpus un-shuffled: each corpus
-    partition scores all queries locally, then one window computes
-    per-query top-k. Ties broken by neighbour id for determinism.
+    Bounded query sets (the common case — queries are small by
+    definition) are collected to the driver and ride the task closure
+    of ONE Arrow-batched corpus scan: no pair materialization, no
+    per-pair interpreted HOF arithmetic, and each partition emits only
+    its exact local top-k per query, so the ranking window sees
+    partitions x queries x k rows instead of queries x corpus pairs.
+    Cosines are bit-identical to the expression form
+    (:func:`_seq_cosine_block`).  Query sets past ``max_queries`` (or
+    containing NULL/NaN components) fall back to the original
+    broadcast-join form, whose behavior is unchanged.  Ties broken by
+    neighbour id for determinism in both paths.
     """
+    try:
+        if _FORCE_JOIN_PATHS:
+            raise ValueError("forced join path (test knob)")
+        q = _collect_query_matrix(
+            queries, query_id_col, vec_col, max_queries, "brute_force_topk"
+        )
+    except ValueError:
+        q = False  # unbounded/NaN query set: broadcast-join fallback
+    if q is None:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
+    if q is not False:
+        qids, Q = q
+        c = corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        return _topk_per_query(
+            _exact_scan_candidates(
+                c, queries, corpus, qids, Q, int(k), id_col, query_id_col,
+                check_nulls=True,
+            ),
+            k,
+        )
     q = F.broadcast(_query_side(queries, query_id_col, vec_col))
     c = _corpus_side(corpus, id_col, vec_col)
     return _topk_per_query(_score_pairs(q.crossJoin(c)), k)
@@ -217,11 +391,20 @@ def _hash_rank_sample(
     row would silently poison every k-means mean it touches.
     """
     h = F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
+    # the hash is STAGED as a column before the orderBy: Spark's
+    # TakeOrderedAndProject evaluates the ORDER BY expression inside
+    # the bounded-heap comparator, so an inline md5(concat_ws(cast))
+    # key is re-formatted and re-hashed O(n log k) times per partition
+    # (r10: measured 1.3s -> 0.4s at sf0.1 from this line alone); a
+    # projected column is hashed once per row and the comparator reads
+    # the attribute.  Sample identity is untouched — same key, same
+    # order.
     rows = (
-        corpus.select(vec_col)
+        corpus.select(F.col(vec_col), h.alias("__hrs"))
         .where(F.col(vec_col).isNotNull())
-        .orderBy(h.asc())
+        .orderBy(F.col("__hrs").asc())
         .limit(sample_size)
+        .select(vec_col)
         .collect()
     )
     if not rows:
@@ -427,6 +610,55 @@ def ivf_topk(
     if nprobe == "auto":
         nprobe = max(1, int(round(math.sqrt(len(centroids)))))
     nprobe = int(nprobe)
+    # bounded query sets (the common case): probe centroids driver-side
+    # on the collected matrix — the SAME numpy ops _centroid_scorer
+    # runs per batch, so probe choice is identical — then ONE scan of
+    # the assigned corpus scores each query against its probed clusters
+    # with the exact-cosine Arrow kernel (no broadcast-join pair
+    # materialization, no interpreted per-pair HOF arithmetic, local
+    # top-k cut before the ranking window).  Unbounded or NaN-component
+    # query sets fall back to the original broadcast-join form.
+    try:
+        if _FORCE_JOIN_PATHS:
+            raise ValueError("forced join path (test knob)")
+        qm = _collect_query_matrix(
+            queries, query_id_col, vec_col, 4096, "ivf_topk"
+        )
+    except ValueError:
+        qm = False
+    if qm is None:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
+    if qm is not False:
+        qids, Q = qm
+        Cn = np.asarray(centroids, dtype=np.float64)
+        npb = min(nprobe, len(Cn))
+        Qx = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-12
+        )
+        dots = Qx @ Cn.T
+        if npb == 1:
+            probes = dots.argmax(axis=1)[:, None]
+        else:
+            probes = np.argsort(-dots, kind="stable", axis=1)[:, :npb]
+        probe_sets = [
+            np.unique(np.asarray(p, dtype=np.int64)) for p in probes
+        ]
+        c = ivf_assign(
+            corpus.where(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec"),
+            ),
+            centroids,
+            "cvec",
+            "__cid",
+        )
+        return _topk_per_query(
+            _exact_scan_candidates(
+                c, queries, corpus, qids, Q, int(k), id_col,
+                query_id_col, probe_sets=probe_sets,
+            ),
+            k,
+        )
     c = ivf_assign(
         _corpus_side(corpus, id_col, vec_col), centroids, "cvec", "centroid_id"
     )
@@ -901,10 +1133,18 @@ def pq_topk(
         from .sampling import _fresh_name
 
         tmp = _fresh_name("__pq", corpus.columns)
+        rr = (
+            [F.col(vec_col).alias("__vec")]
+            if rerank is not None and vec_col in corpus.columns
+            else []
+        )
         coded = pq_encode(corpus, codebooks, vec_col, tmp).select(
-            F.col(id_col).alias("neighbor_id"), F.col(tmp).alias("__pq")
+            F.col(id_col).alias("neighbor_id"), F.col(tmp).alias("__pq"), *rr
         )
     else:
+        # pre-encoded (persisted-index shape): keep the join-based
+        # rerank — a row may carry a code but a NULL float vector, and
+        # the join form excludes it from the exact pool by contract
         coded = corpus.where(F.col(code_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__pq")
         )
@@ -1034,13 +1274,29 @@ def _adc_search(
         else [np.unique(np.asarray(p, dtype=np.int64)) for p in probes]
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[query_id_col].dataType),
-            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    # fused exact rerank: when the caller ships the float vectors on
+    # the coded relation (``__vec``), the exact refinement cosine is
+    # computed INSIDE this same scan for each partition's local top-R
+    # candidates — bit-identical to the expression form
+    # (:func:`_seq_cosine_block`) — so the rerank tier needs no second
+    # corpus scan, no full-corpus norm projection and no broadcast
+    # candidate joins; the price is the float column crossing the
+    # Arrow boundary for probed rows (persisted-index callers keep the
+    # join form: their floats live outside the coded relation).
+    fused = (
+        rerank is not None
+        and "__vec" in coded.columns
+        and not _FORCE_JOIN_PATHS
     )
+    out_fields = [
+        T.StructField("query_id", queries.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+    if fused:
+        out_fields.append(T.StructField("__exact", T.DoubleType()))
+        qn_seq = _seq_norms(Q)
+    out_schema = T.StructType(out_fields)
     # the per-batch exact local cut must keep whatever the next stage
     # ranks over: k for pure ADC, the full R candidate pool for rerank
     kk = int(max(k, rerank or 0))
@@ -1055,6 +1311,7 @@ def _adc_search(
             )  # (B, M)
             rn2 = cn2[rng_m, codes].sum(axis=1)  # (B,) Σ_m ||code_m||^2
             ids = pdf["neighbor_id"].to_numpy()
+            vecs = pdf["__vec"].to_numpy() if fused else None
             cids = (
                 pdf["__cid"].to_numpy() if probe_sets is not None else None
             )
@@ -1079,9 +1336,11 @@ def _adc_search(
                         continue
                     q_codes, q_ids, q_cn = codes[mask], ids[mask], cn[mask]
                     q_cids = cids[mask]
+                    q_vecs = vecs[mask] if fused else None
                 else:
                     q_codes, q_ids, q_cn = codes, ids, cn
                     q_cids = None
+                    q_vecs = vecs
                 num = lut[qi][rng_m, q_codes].sum(axis=1)
                 if coarse is not None:
                     num = num + qc[qi, q_cids]
@@ -1089,15 +1348,22 @@ def _adc_search(
                 # exact local top-k under (cosine desc, id asc): any
                 # global top-k row is in its partition's local top-k
                 order = np.lexsort((q_ids, -cos))[:kk]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": [qids[qi]] * len(order),
-                            "neighbor_id": q_ids[order],
-                            "cosine": cos[order],
-                        }
+                out = {
+                    "query_id": [qids[qi]] * len(order),
+                    "neighbor_id": q_ids[order],
+                    "cosine": cos[order],
+                }
+                if fused:
+                    V = np.stack(
+                        [
+                            np.asarray(q_vecs[i], dtype=np.float64)
+                            for i in order
+                        ]
                     )
-                )
+                    out["__exact"] = _seq_cosine_block(
+                        V, Q[qi], qn_seq[qi]
+                    )
+                outs.append(pd.DataFrame(out))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -1108,6 +1374,18 @@ def _adc_search(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    if fused:
+        # the R-pool cut by ADC score, then ranked by the exact cosine
+        # already computed in the scan — same pool, same exact values
+        # as the join form, one window chain and zero extra scans
+        pool = (
+            candidates.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= int(rerank))
+            .select(
+                "query_id", "neighbor_id", F.col("__exact").alias("cosine")
+            )
+        )
+        return _topk_per_query(pool, k)
     cand_ids = (
         candidates.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= int(rerank))
@@ -1127,12 +1405,15 @@ def _adc_search(
         )
         .withColumn("__qn", l2_norm(F.col("qvec")))
     )
-    c = (
-        corpus.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-        .withColumn("__cn", l2_norm(F.col("cvec")))
+    # prune FIRST, then compute the norm: the projection with the
+    # fold-expression norm otherwise sits below the join in the plan
+    # (Catalyst does not push joins through projections) and evaluates
+    # it for every corpus row instead of the R x NQ pruned rows
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     pruned = c.join(F.broadcast(cand_ids), on="neighbor_id", how="inner")
+    pruned = pruned.withColumn("__cn", l2_norm(F.col("cvec")))
     return _topk_per_query(
         _score_pairs(pruned.join(F.broadcast(qdf), on="query_id")), k
     )
@@ -1271,7 +1552,14 @@ def ivfpq_topk(
         coarse_centroids=centroids if by_residual else None,
         cid_col="__cid" if by_residual else None,
     ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(tmp).alias("__pq"), "__cid"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(tmp).alias("__pq"),
+        "__cid",
+        *(
+            [F.col(vec_col).alias("__vec")]
+            if rerank is not None
+            else []
+        ),
     )
     all_probed = sorted({int(c) for p in probes for c in p})
     coded = coded.where(F.col("__cid").isin(all_probed))
