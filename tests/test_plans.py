@@ -4,6 +4,7 @@ pushdown, turns a broadcast join into a shuffle, adds Python to a hot
 path) fails here rather than at 100 TB.
 """
 
+import re
 import sys
 
 import pytest
@@ -50,7 +51,9 @@ def test_q20_topk_is_take_ordered(spark):
 
 
 def test_operators_stay_jvm_side(spark):
-    """Dedup/text/similarity hot paths must contain no Python eval."""
+    """Dedup/text hot paths must contain no Python eval at all; the
+    similarity scan kernel is the one sanctioned Arrow boundary — a
+    single MapInPandas, never a row-at-a-time BatchEvalPython."""
     from aqueducts_spark.operators import dedup, similarity, text
 
     docs = spark.table("documents")
@@ -61,12 +64,16 @@ def test_operators_stay_jvm_side(spark):
         dedup.exact_dedup(docs, "doc_id", ["text"]),
         text.quality_score(docs),
         text.detect_language(docs),
-        similarity.brute_force_topk(
-            emb, emb.limit(3).selectExpr("vec_id AS query_id", "embedding"), k=5
-        ),
     ]:
         info = inspect_plan(df)
         assert info.python_evals == 0, info.text[:1500]
+
+    topk = similarity.brute_force_topk(
+        emb, emb.limit(3).selectExpr("vec_id AS query_id", "embedding"), k=5
+    )
+    info = inspect_plan(topk)
+    assert "BatchEvalPython" not in info.text, info.text[:1500]
+    assert len(re.findall(r"\(\d+\) MapInPandas", info.text)) == 1, info.text[:1500]
 
 
 def test_minhash_shuffle_budget(spark):
@@ -79,15 +86,33 @@ def test_minhash_shuffle_budget(spark):
 
 
 def test_brute_force_topk_no_corpus_shuffle(spark):
-    """Scoring must broadcast the query side; the corpus is scanned in
-    place (exchanges only for the final per-query window)."""
+    """Bounded query sets ride the task closure of ONE Arrow corpus
+    scan: no join at all, and the only Exchange is the final per-query
+    ranking window over partitions x queries x k candidate rows."""
+    from aqueducts_spark.operators import similarity
     from aqueducts_spark.operators.similarity import brute_force_topk
 
     emb = spark.table("embeddings")
     q = emb.limit(3).selectExpr("vec_id AS query_id", "embedding")
     info = inspect_plan(brute_force_topk(emb, q, k=5))
-    assert info.broadcast_joins + info.nested_loop_joins >= 1
+    joins = (
+        info.broadcast_joins + info.nested_loop_joins
+        + info.sort_merge_joins + info.shuffle_hash_joins
+    )
+    assert joins == 0, info.text[:1500]
+    assert info.exchanges <= 1, f"{info.exchanges} exchanges\n{info.text[:1500]}"
+
+    # the unbounded/NaN fallback keeps the broadcast-join shape: the
+    # corpus side is never shuffled for the join
+    old = similarity._FORCE_JOIN_PATHS
+    similarity._FORCE_JOIN_PATHS = True
+    try:
+        info = inspect_plan(brute_force_topk(emb, q, k=5))
+    finally:
+        similarity._FORCE_JOIN_PATHS = old
+    assert info.broadcast_joins + info.nested_loop_joins >= 1, info.text[:1500]
     assert info.sort_merge_joins == 0
+    assert info.python_evals == 0, info.text[:1500]
 
 
 def test_weighted_mix_zero_shuffles(spark):
