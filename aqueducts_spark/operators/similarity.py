@@ -2021,8 +2021,9 @@ def hybrid_topk(
         .select(F.col(id_col).alias("__hid"), "rank")
     )
     spark = corpus_vec.sparkSession
+    qlist = [float(x) for x in query_vec]
     qdf = spark.createDataFrame(
-        [(0, [float(x) for x in query_vec])],
+        [(0, qlist)],
         T.StructType(
             [
                 T.StructField("query_id", T.LongType()),
@@ -2030,14 +2031,35 @@ def hybrid_topk(
             ]
         ),
     )
-    vec = brute_force_topk(
-        corpus_vec,
-        qdf,
-        k=vector_k,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-        query_id_col="query_id",
-    ).select(F.col("neighbor_id").alias("__hid"), "rank")
+    # the query vector is already a driver-side list: hand it straight
+    # to the exact-cosine scan instead of paying brute_force_topk's
+    # collect JOB to pull the same row back out of qdf.  The matrix is
+    # exactly what _collect_query_matrix(qdf, ...) would return, so the
+    # result is bit-identical; NaN components take the same
+    # broadcast-join fallback brute_force_topk would take.
+    Q = np.asarray([qlist], dtype=np.float64)
+    if _FORCE_JOIN_PATHS or np.isnan(Q).any():
+        vec = brute_force_topk(
+            corpus_vec,
+            qdf,
+            k=vector_k,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            query_id_col="query_id",
+        )
+    else:
+        c = corpus_vec.where(F.col(vec_col).isNotNull()).select(
+            F.col(vec_id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+        vec = _topk_per_query(
+            _exact_scan_candidates(
+                c, qdf, corpus_vec, [0], Q, int(vector_k), vec_id_col,
+                "query_id", check_nulls=True,
+            ),
+            vector_k,
+        )
+    vec = vec.select(F.col("neighbor_id").alias("__hid"), "rank")
     fused = rrf_fuse([lex, vec], id_col="__hid", rank_col="rank", k=rrf_k)
     return fused.where(F.col("fused_rank") <= k).select(
         F.col("__hid").alias(id_col),

@@ -100,6 +100,35 @@ def test_ivfpq_fused_rerank_matches_join(monkeypatch, emb100, queries5):
         )
 
 
+def test_hybrid_precollected_query_matches_join(monkeypatch, spark, emb100):
+    """hybrid_topk hands its driver-side query_vec straight to the scan
+    kernel (no collect job): output must stay bit-equal to the forced
+    join path, and a NaN query component must take the same
+    broadcast-join fallback brute_force_topk takes."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    qvec = [((i * 37) % 17 - 8) / 8.0 for i in range(16)]
+    _ab(
+        monkeypatch,
+        lambda: S.hybrid_topk(
+            docs, emb100, ["alpha", "beta"], qvec, k=5,
+            lexical_k=10, vector_k=10,
+        ),
+    )
+    nan_vec = qvec[:-1] + [float("nan")]
+    a = S.hybrid_topk(
+        docs, emb100, ["alpha"], nan_vec, k=5, lexical_k=10, vector_k=10
+    ).collect()
+    monkeypatch.setattr(S, "_FORCE_JOIN_PATHS", True)
+    b = S.hybrid_topk(
+        docs, emb100, ["alpha"], nan_vec, k=5, lexical_k=10, vector_k=10
+    ).collect()
+    monkeypatch.setattr(S, "_FORCE_JOIN_PATHS", False)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_brute_force_scan_raises_on_value_nan(spark):
     corpus = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [float("nan"), 1.0])],
