@@ -1844,11 +1844,23 @@ def _op_sequence_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its two-pass prefix sum plus the span explode otherwise re-execute
     # the 8-partition shuffle+sort three times per run (lazy: the
     # consumers are strictly sequential, pass 1's collect fills the
-    # blocks)
+    # blocks).
+    # r11 (guide §2.3 project before the exchange, §5 cache the narrow
+    # thing): every column the index consumes is a pure function of
+    # (doc_id, length(text)) — computing n_tok BELOW the shard
+    # repartition means neither the 8-partition shuffle+sort nor the
+    # checkpointed blocks ever carry the text bodies (the r10 form
+    # checkpointed full text-heavy rows; VERDICT r10 item #3).  Shard
+    # assignment, shuffle_key and the span arithmetic depend only on
+    # doc_id + n_tok, so the output rows are identical.
     sharded = materialize(
         shuffle_corpus(
-            spark.table("documents"), seed="r5", n_shards=8
-        ).withColumn("n_tok", F.length("text")),
+            spark.table("documents").select(
+                "doc_id", F.length("text").alias("n_tok")
+            ),
+            seed="r5",
+            n_shards=8,
+        ),
         eager=False,
     )
     out = sequence_spans(

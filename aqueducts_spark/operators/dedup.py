@@ -2176,56 +2176,87 @@ def embedding_near_duplicates_lsh(
         F.col(id_col).alias("__id"),
         F.explode(_buckets(F.col(vec_col))).alias("__bucket"),
     )
-    # materialize the slim (id, bucket) relation (r9): the self-join's
-    # two sides are two CONSUMERS, and on the write path — what sinks
-    # and the bench execute — AQE never reuses the window's exchange,
-    # so the Python bucketing matmul ran TWICE (the r8 form's
-    # ReuseExchange reasoning only ever held under collect()).  The
-    # relation is two integers per (row, table) — no vectors.
-    from .materialize import materialize
-
-    slim = materialize(slim)
     if max_bucket_size is not None:
-        # the cap was a count window in r9 ("shuffles slim exactly
-        # once and leaves it partitioned on the join key") — but the
-        # materialization barrier erases that partitioning from the
-        # optimizer's view, so the self-join re-shuffled anyway and
-        # the window's full corpus×tables shuffle bought nothing
-        # (r10).  Bucket sizes now come from a tiny partial-aggregated
-        # groupBy over the materialized blocks, and oversized buckets
-        # drop via a broadcast anti-join: map-side, no slim shuffle,
-        # identical surviving rows.
-        oversized = (
-            slim.groupBy("__bucket")
-            .agg(F.count("*").alias("__bn"))
-            .where(F.col("__bn") > max_bucket_size)
-            .select("__bucket")
-        )
-        slim = slim.join(
-            F.broadcast(oversized), "__bucket", "left_anti"
-        )
-    a = slim.select(F.col("__bucket"), F.col("__id").alias("id_a"))
-    b = slim.select(F.col("__bucket"), F.col("__id").alias("id_b"))
-    # force sort-merge for the self-join: auto-broadcast would pick the
-    # post-UDF side whose size Catalyst can't estimate — at corpus
-    # scale broadcasting slim is an OOM.
-    cand = (
-        a.hint("merge")
-        .join(b.hint("merge"), "__bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # eagerly materialize the candidate pairs (bounded: max_bucket_size
-    # caps the worst bucket, auto-sizing pins expected volume at
-    # candidates_per_row * n): the verification join consumes cand
-    # between TWO vector-side joins, and under AQE (no exchange reuse
-    # across consumers) the unmaterialized plan re-ran the Python
-    # bucketing matmul + self-join once per verification side — the r8
-    # scan audit read 8 corpus scans in the executed plan
-    from .materialize import materialize
+        # Single-consumer pair generation (r11, guide §2.4/§5): the r10
+        # shape paid FOUR extra driver actions/barriers — an eager
+        # localCheckpoint of slim (the self-join consumed it twice and
+        # AQE never reuses an exchange across consumers on the write
+        # path), a broadcast anti-join build for the bucket cap, an
+        # eager localCheckpoint of the candidate pairs, and a count()
+        # job gating the verification broadcast.  Grouping each
+        # bucket's ids makes the bucketing matmul SINGLE-consumer: the
+        # whole operator is one continuous plan, no checkpoint, no
+        # anti-join, no count job.  The pieces:
+        #
+        # * bucket cap: a count window keyed like the groupBy (same
+        #   hashpartitioning — ONE exchange serves both, guide §2.4);
+        #   WindowExec's sort buffer spills instead of OOMing on a
+        #   degenerate pileup, so the collect_list state below is
+        #   bounded by max_bucket_size BY CONSTRUCTION (this ordering
+        #   is why the capped path may group at all).
+        # * pairs: sort_array(collect_list) per bucket, each element
+        #   paired with its strict suffix (slice) — exactly the
+        #   id_a < id_b output of the old bucket-local self-join
+        #   (ids are unique within a bucket: one bucket per table per
+        #   row; the `!=` filter reproduces the old strict `<` for
+        #   duplicate-id corpora, and drops NULL-id pairs like the
+        #   old NULL-rejecting `<`).
+        # * verification broadcast: decided by AQE from the distinct's
+        #   RUNTIME size (the exact stats the old count() job paid a
+        #   driver action for); past the broadcast threshold the plan
+        #   keeps the planner's sort-merge shape, same scale guard as
+        #   before.  ``max_broadcast_candidates`` only governs the
+        #   uncapped legacy path below.
+        from pyspark.sql.window import Window
 
-    cand = materialize(cand)
+        wb = Window.partitionBy("__bucket")
+        capped = slim.withColumn(
+            "__bn", F.count(F.lit(1)).over(wb)
+        ).where(F.col("__bn") <= max_bucket_size)
+        grouped = (
+            capped.groupBy("__bucket")
+            .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+            .where(F.size("__ids") >= 2)
+        )
+        cand = (
+            grouped.select(
+                F.col("__ids"),
+                F.posexplode("__ids").alias("__i", "id_a"),
+            )
+            .select(
+                "id_a",
+                F.explode(
+                    F.slice(
+                        F.col("__ids"),
+                        F.col("__i") + F.lit(2),
+                        F.size("__ids"),
+                    )
+                ).alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+    else:
+        # Uncapped path: collect_list state would be unbounded on a
+        # degenerate bucket, so keep the r10 materialized self-join
+        # (streams C(m,2) pairs instead of buffering m ids).  The
+        # matmul has two consumers here, hence the barrier.
+        from .materialize import materialize
+
+        slim = materialize(slim)
+        a = slim.select(F.col("__bucket"), F.col("__id").alias("id_a"))
+        b = slim.select(F.col("__bucket"), F.col("__id").alias("id_b"))
+        # force sort-merge for the self-join: auto-broadcast would pick
+        # the post-UDF side whose size Catalyst can't estimate — at
+        # corpus scale broadcasting slim is an OOM.
+        cand = (
+            a.hint("merge")
+            .join(b.hint("merge"), "__bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = materialize(cand)
     # exact-verify with per-id norms precomputed on the n-row vector
     # sides (not per candidate pair): the interpreted aggregate() HOF is
     # the expensive part of verification, and dot/(na*nb) is
@@ -2241,23 +2272,18 @@ def embedding_near_duplicates_lsh(
         F.col(vec_col).alias("__vb"),
         l2_norm(F.col(vec_col)).alias("__nb"),
     )
-    # verification join direction (r10): left to the planner, a corpus-
-    # sized vector side exceeds the broadcast threshold and BOTH
-    # verification joins degrade to full shuffles of the corpus by id —
-    # to attach a bounded candidate list.  The candidate set is already
-    # materialized, and its exact count is one cheap job over
-    # checkpointed blocks: when it is small, hint THE CANDIDATES
-    # broadcast through both joins so the vector sides stream map-side
-    # untouched; past the bound, keep the planner's shape.  Row set
-    # identical either way.  (At bench scale the vector sides are tiny
-    # and the planner broadcasts them regardless of the hint — both
-    # sides broadcastable, smaller side wins — so this branch is
-    # measurable only at scale, where it replaces two corpus shuffles.)
-    # The bound counts candidate PAIRS; the larger broadcast is step1
-    # (pair + one vector), so 100k pairs x ~1k-dim float64 tops out
-    # ~1 GB — inside the 8 GB broadcast ceiling with headroom for
-    # wider ids.
-    if cand.count() <= max_broadcast_candidates:
+    if max_bucket_size is not None:
+        # AQE rewrites these to broadcast-hash joins of the candidate
+        # side at runtime when the distinct's output is small — the
+        # stats-driven form of the old count()-gated hint, minus its
+        # driver action.  Row set identical either way.
+        joined = cand.join(va, "id_a").join(vb, "id_b")
+    elif cand.count() <= max_broadcast_candidates:
+        # legacy path: the candidate set is already materialized, and
+        # its exact count is one cheap job over checkpointed blocks.
+        # The bound counts candidate PAIRS; the larger broadcast is
+        # step1 (pair + one vector), so 100k pairs x ~1k-dim float64
+        # tops out ~1 GB — inside the 8 GB broadcast ceiling.
         step1 = F.broadcast(cand).join(va, "id_a")
         joined = F.broadcast(step1).join(vb, "id_b")
     else:

@@ -299,6 +299,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 4096,
+    method: str = "auto",
 ) -> DataFrame:
     """Exact top-k neighbours for every query vector.
 
@@ -313,10 +314,23 @@ def brute_force_topk(
     containing NULL/NaN components) fall back to the original
     broadcast-join form, whose behavior is unchanged.  Ties broken by
     neighbour id for determinism in both paths.
+
+    ``method``: ``"auto"`` (default) picks the Arrow scan kernel when
+    the query set is bounded and clean; ``"join"`` forces the
+    broadcast-join expression form — the public opt-out for corpora
+    with literal NaN vector COMPONENTS, which the scan kernel rejects
+    loudly (the Arrow boundary cannot round-trip value-NaN distinctly
+    from NULL; the join form keeps Catalyst's NaN-ranks-first
+    semantics).  (ADVICE r10 #5.)
     """
+    if method not in ("auto", "join"):
+        raise ValueError(
+            f"brute_force_topk: method must be 'auto' or 'join', got "
+            f"{method!r}"
+        )
     try:
-        if _FORCE_JOIN_PATHS:
-            raise ValueError("forced join path (test knob)")
+        if _FORCE_JOIN_PATHS or method == "join":
+            raise ValueError("forced join path")
         q = _collect_query_matrix(
             queries, query_id_col, vec_col, max_queries, "brute_force_topk"
         )
@@ -1959,6 +1973,7 @@ def hybrid_topk(
     vec_id_col: str = "vec_id",
     k1: float = 1.2,
     b: float = 0.75,
+    method: str = "auto",
 ) -> DataFrame:
     """Hybrid lexical + vector retrieval, end to end: Okapi BM25 over
     the text corpus and exact-cosine top-k over the embedding corpus,
@@ -1991,6 +2006,10 @@ def hybrid_topk(
         raise ValueError(
             f"hybrid_topk: k/lexical_k/vector_k must be >= 1, got "
             f"{k}/{lexical_k}/{vector_k}"
+        )
+    if method not in ("auto", "join"):
+        raise ValueError(
+            f"hybrid_topk: method must be 'auto' or 'join', got {method!r}"
         )
     if not query_vec:
         raise ValueError("hybrid_topk: query_vec must be non-empty")
@@ -2038,7 +2057,7 @@ def hybrid_topk(
     # result is bit-identical; NaN components take the same
     # broadcast-join fallback brute_force_topk would take.
     Q = np.asarray([qlist], dtype=np.float64)
-    if _FORCE_JOIN_PATHS or np.isnan(Q).any():
+    if _FORCE_JOIN_PATHS or method == "join" or np.isnan(Q).any():
         vec = brute_force_topk(
             corpus_vec,
             qdf,
@@ -2046,6 +2065,7 @@ def hybrid_topk(
             id_col=vec_id_col,
             vec_col=vec_col,
             query_id_col="query_id",
+            method=method,
         )
     else:
         c = corpus_vec.where(F.col(vec_col).isNotNull()).select(

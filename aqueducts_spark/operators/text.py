@@ -1578,7 +1578,17 @@ def tokens_to_ids(
         # returns int arrays (r10: 1.4s -> 0.8s at sf0.1).  Bit-equal
         # by construction: same tokenize+merge loop, same vocab dict,
         # same OOV semantics — pinned by test_bpe_encode fusion tests.
+        # ...but NEVER on a persisted frame (ADVICE r10 #4):
+        # persist()/cache() returns self, so the fusion hook survives —
+        # and the fused pass would silently RE-EXECUTE the whole encode
+        # from the pre-encode source instead of reading the cached
+        # tokens (wasted work, and under a nondeterministic source the
+        # ids could disagree with the cached tokens the caller
+        # separately consumes).  A cached encode output is exactly the
+        # case where re-reading beats re-computing.
         fuse = getattr(df, "_aq_bpe_fuse", None)
+        if fuse is not None and df.is_cached:
+            fuse = None
         if fuse is not None and tokens_col == "tokens":
             fused = _tokens_to_ids_fused(
                 fuse, vmap, unk, id_col, keep, out_col
@@ -2390,6 +2400,14 @@ def tfidf_top_terms(
     """
     from .materialize import materialize
 
+    # _doc_term_tf is per-ROW RLE: with duplicate (or NULL) doc ids a
+    # (id, term) can span several source rows, which would both inflate
+    # df past n_docs (negative tf-idf for corpus-wide terms — the exact
+    # regression the n_docs comment below guards) and emit split rows
+    # into the per-id top-n.  Re-merge per (id, term) before the
+    # barrier: the RLE rows arrive already reduced to one per distinct
+    # (row, term), so this exchange's partial agg ships type-scale
+    # volume, keeping most of the r10 win (ADVICE r10 #1).
     tf = materialize(
         _doc_term_tf(
             ensure_parallelism(df),
@@ -2397,6 +2415,8 @@ def tfidf_top_terms(
             normalized_tokens(F.col(text_col)),
             term_name="term",
         )
+        .groupBy(F.col(id_col), F.col("term"))
+        .agg(F.sum("tf").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # n_docs must count the same DOCUMENT GRANULARITY df counts: rows
@@ -2441,6 +2461,11 @@ def unigram_logprob(
     per-doc sum, so aggregation is integer-exact and independent of
     partitioning — double sums would drift by ulps under parallel
     reduction. Output: ``id, n_tokens, nll_micro, avg_nll``.
+    Quantization happens per SOURCE ROW (``_doc_term_tf`` granularity):
+    ids must be row-unique for bit-stable ``nll_micro`` — duplicate-id
+    rows pool in the final sum but round per row, drifting ±1 micro-nat
+    per split term versus a pre-pooled tf (documented contract, like
+    ``dsir_weights``).
 
     Plan shape (r8): the ``(id, term) -> tf`` table is the one
     corpus-volume shuffle; the term-total TYPE table is an INDEPENDENT
@@ -2506,7 +2531,9 @@ def bigram_logprob(
     text has plausible unigrams but improbable transitions.
 
     Same reproducibility contract: per-(doc, event) contributions are
-    quantized to integer micro-nats before the per-doc sum.
+    quantized to integer micro-nats before the per-doc sum — and the
+    same row-unique-id requirement for bit-stable ``nll_micro`` as
+    :func:`unigram_logprob` (quantization is per source row).
     Output: ``id, n_tokens, nll_micro, avg_nll`` (avg over the
     n_tokens scored events).  Documents with no tokens produce NO
     output row (there is nothing to score) — outer-join by id if the
@@ -2619,8 +2646,19 @@ def _doc_term_tf(
     Bit-identity: same (id, term, tf) multiset (any total order groups
     equal elements; ``array_sort`` is one), tf a BIGINT like the old
     ``count(*)``.  Empty/NULL event arrays emit no row (explode of an
-    empty array), matching the old explode exactly.  ``F.get`` (not
+    empty array), matching the old explode exactly; NULL *elements*
+    get their own (NULL, tf) run via the null-safe boundary test,
+    matching how groupBy grouped NULL terms.  ``F.get`` (not
     ``element_at``): 0-based and NULL out of bounds under ANSI mode.
+
+    Granularity note: rows are keyed by the INPUT ROW — a document
+    whose id spans several rows emits per-row runs, not a pooled
+    (id, term) row.  Consumers whose math is linear in tf (every LM
+    scorer here) are unaffected; consumers needing document
+    granularity under duplicate ids must re-aggregate (tfidf_top_terms
+    does), and the micro-nat quantizers round per source row, so
+    nll_micro is bit-stable only for row-unique ids (ADVICE r10 #3 —
+    documented contract, same as dsir_weights).
     """
     # STAGED columns, not inline subtrees: a lambda body has no common-
     # subexpression elimination, so F.get(<array_sort(...)>, i) inside
@@ -2634,10 +2672,16 @@ def _doc_term_tf(
     )
     sa = F.col("__ev_sorted")
     n = F.size(sa)
+    # null-SAFE boundary test (ADVICE r10 #2): a plain != evaluates to
+    # NULL at a non-null→NULL boundary and F.filter drops it, silently
+    # absorbing a NULL run into the preceding term; <=> gives NULL
+    # elements their own run exactly like groupBy(id, term) grouped
+    # NULL terms.  For NULL-free arrays the two predicates agree
+    # bit-for-bit.
     starts = F.filter(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.when(i == 0, F.lit(True)).otherwise(
-            F.get(sa, i) != F.get(sa, i - 1)
+            ~F.get(sa, i).eqNullSafe(F.get(sa, i - 1))
         ),
     )
     # sequence(0, -1) on an empty array would generate DESCENDING

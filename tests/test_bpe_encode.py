@@ -486,3 +486,32 @@ def test_bpe_vocab_unicode_and_whitespace_alphabet(spark):
     assert toks == sorted(
         ["a", "b", "c", "d", "e", "x", "é", "\U0001F600", "</w>"]
     ) + ["ab"]
+
+
+def test_tokens_to_ids_fusion_skipped_on_cached_frame(spark):
+    """r11 (ADVICE r10 #4): persist() returns self, so the fusion hook
+    survives caching — but the fused pass would re-execute the whole
+    encode from the pre-encode source instead of reading the cached
+    tokens.  A cached encode output must take the composed pandas_udf
+    path (and still return identical rows)."""
+    from aqueducts_spark.operators.text import bpe_encode, bpe_vocab, tokens_to_ids
+
+    df = spark.createDataFrame(
+        [(1, "the theme"), (2, "th e")], "doc_id long, text string"
+    )
+    merges = [("t", "h"), ("th", "e")]
+    vocab = bpe_vocab(df, merges)
+    enc = bpe_encode(df, merges)
+    expected = sorted(map(tuple, tokens_to_ids(enc, vocab).collect()))
+    cached = enc.persist()
+    try:
+        assert getattr(cached, "_aq_bpe_fuse", None) is not None
+        out = tokens_to_ids(cached, vocab)
+        # composed path: the cached tokens feed an ArrowEvalPython /
+        # pandas UDF, no re-derivation from the raw text
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("== Initial Plan ==")[0]
+        assert "InMemoryTableScan" in head, head
+        assert sorted(map(tuple, out.collect())) == expected
+    finally:
+        cached.unpersist()

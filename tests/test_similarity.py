@@ -547,3 +547,73 @@ def test_lsh_topk_multiprobe_raises_recall(emb, queries, exact):
 def test_lsh_topk_multiprobe_validation(emb, queries):
     with pytest.raises(ValueError, match="multiprobe"):
         lsh_topk(emb, queries, k=5, multiprobe=2)
+
+
+def test_embed_neardup_lsh_duplicate_ids_emit_no_self_pairs(spark):
+    """r11: the grouped single-scan pair generation must reproduce the
+    old bucket self-join's strict id_a < id_b for duplicate-id corpora
+    — two rows sharing one id collide in every bucket but must never
+    emit an (x, x) pair."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [
+        (7, [1.0, 0.0, 0.0]),
+        (7, [1.0, 0.001, 0.0]),
+        (9, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_duplicates_lsh(df, threshold=0.9).collect()
+    assert all(r.id_a != r.id_b for r in got), got
+
+
+def test_embed_neardup_lsh_grouped_path_matches_uncapped_join_path(spark):
+    """r11: the capped (grouped, single-consumer) path and the uncapped
+    legacy self-join path must emit identical rows when no bucket
+    exceeds the cap."""
+    from aqueducts_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    grouped = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates_lsh(df, threshold=0.9).collect()
+    )
+    legacy = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates_lsh(
+            df, threshold=0.9, max_bucket_size=None
+        ).collect()
+    )
+    assert grouped and grouped == legacy
+
+
+def test_brute_force_topk_method_join_public_optout(spark, emb):
+    """r11 (ADVICE r10 #5): method='join' is the public opt-out from
+    the Arrow scan kernel — bit-equal rows on clean corpora, and it
+    serves literal-NaN corpora that the scan path rejects loudly."""
+    import pytest as _pytest
+
+    from aqueducts_spark.operators.similarity import brute_force_topk
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scan = sorted(map(tuple, brute_force_topk(base, q, k=5).collect()))
+    joined = sorted(
+        map(tuple, brute_force_topk(base, q, k=5, method="join").collect())
+    )
+    assert scan and scan == joined
+    with _pytest.raises(ValueError, match="method"):
+        brute_force_topk(base, q, k=5, method="scan")
+    nan_corpus = spark.createDataFrame(
+        [(1, [1.0, float("nan")]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        brute_force_topk(nan_corpus, q.limit(1), k=2).collect()
+    rows = brute_force_topk(nan_corpus, q.limit(1), k=2, method="join").collect()
+    assert len(rows) > 0

@@ -335,3 +335,62 @@ def test_doc_term_tf_matches_groupby_form(spark):
         _doc_term_tf(df, "doc_id", F.col("toks"), term_name="term").dtypes
     )
     assert schema["tf"] == "bigint"
+
+
+def test_doc_term_tf_null_elements_get_own_run(spark):
+    """r11 (ADVICE r10 #2): NULL array ELEMENTS must form their own
+    (NULL, tf) run exactly like the old explode->groupBy grouped NULL
+    terms — a plain != boundary evaluated NULL at a non-null->NULL
+    boundary and silently absorbed the NULL run into the prior term."""
+    from aqueducts_spark.operators.text import _doc_term_tf
+
+    rows = [
+        (1, ["b", "a", None, "a", None]),
+        (2, [None, None]),
+        (3, ["x", None]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = sorted(
+        ((r.doc_id, r.term, r.tf)
+         for r in _doc_term_tf(df, "doc_id", F.col("toks"), term_name="term").collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or "", t[2]),
+    )
+    ref = sorted(
+        ((r.doc_id, r.term, r.tf)
+         for r in df.select("doc_id", F.explode("toks").alias("term"))
+         .groupBy("doc_id", "term")
+         .agg(F.count("*").alias("tf"))
+         .collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or "", t[2]),
+    )
+    assert got == ref
+    assert (1, None, 2) in got and (2, None, 2) in got and (3, None, 1) in got
+
+
+def test_tfidf_top_terms_duplicate_and_null_ids(spark):
+    """r11 (ADVICE r10 #1): duplicate and NULL doc ids must pool to
+    DOCUMENT granularity before df/tf are derived — df can never
+    exceed n_docs (which turned tf-idf negative and ranked stopwords
+    first), and a term appears at most once per id in the output."""
+    from aqueducts_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        ("a", "cat dog"),
+        ("a", "cat fish"),
+        (None, "cat bird"),
+        (None, "cat cow"),
+        ("b", "cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = tfidf_top_terms(df, id_col="doc_id", text_col="text", top_n=10).collect()
+    # 3 documents at document granularity: 'a', NULL, 'b'
+    cat = [r for r in out if r.term == "cat"]
+    assert cat and all(r.df == 3 for r in cat), cat
+    # pooled tf: id 'a' saw 'cat' twice across its rows -> ONE row, tf=2
+    a_cat = [r for r in out if r.doc_id == "a" and r.term == "cat"]
+    assert len(a_cat) == 1 and a_cat[0].tf == 2
+    # corpus-wide term at df == n_docs scores ln(1) = 0, never negative
+    assert all(r.tfidf >= 0 for r in cat)
+    # every (id, term) appears exactly once
+    keys = [(r.doc_id, r.term) for r in out]
+    assert len(keys) == len(set(keys))
