@@ -193,11 +193,17 @@ def _exact_scan_candidates(
     query_id_col: str,
     probe_sets=None,
     check_nulls: bool = False,
+    assign_centroids: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """Exact-cosine candidate scan shared by :func:`brute_force_topk`
     and :func:`ivf_topk`: ONE ``mapInPandas`` over the corpus relation
     (``neighbor_id, cvec[, __cid]``) with the collected query matrix in
-    the task closure — no pair materialization, no per-pair interpreted
+    the task closure.  ``assign_centroids`` computes each row's coarse
+    assignment INSIDE this same scan (:func:`_assign_topn_block` — the
+    byte-identical arithmetic :func:`ivf_assign` runs) instead of a
+    separate pandas_udf crossing upstream: the corpus vectors cross
+    the JVM↔Python boundary ONCE (guide §4), and the plan drops an
+    ArrowEvalPython node — no pair materialization, no per-pair interpreted
     HOF evaluation, and each partition emits only its exact local
     top-``kk`` per query under the global (cosine desc, id asc) total
     order, so the window downstream ranks partitions x queries x kk
@@ -242,7 +248,15 @@ def _exact_scan_candidates(
                 [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
             )
             ids = pdf["neighbor_id"].to_numpy()
-            cids = pdf["__cid"].to_numpy() if probe_sets is not None else None
+            if probe_sets is None:
+                cids = None
+            elif assign_centroids is not None:
+                # fused coarse assignment: same block the ivf_assign
+                # UDF evaluates, so cluster choice is bit-identical
+                # (raises the same NULL/NaN error the UDF raised)
+                cids = _assign_topn_block(X, assign_centroids, 1)[:, 0]
+            else:
+                cids = pdf["__cid"].to_numpy()
             nan_rows = np.isnan(X).any(axis=1)
             nullc = (
                 pdf["__nullc"].to_numpy(dtype=bool)
@@ -531,7 +545,6 @@ def _centroid_scorer(centroids: list[list[float]], nprobe: int):
     Returns top-``nprobe`` centroid ids per vector (``nprobe=1`` ==
     assignment).
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -539,21 +552,32 @@ def _centroid_scorer(centroids: list[list[float]], nprobe: int):
 
     def topn(vs):
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        if np.isnan(X).any():
-            # NULL components arrive as NaN and every centroid dot
-            # would go NaN — assignment would be arbitrary, silently
-            raise ValueError(
-                "ivf centroid scoring: vector contains NULL/NaN components"
-            )
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        dots = X @ C.T
-        if nprobe == 1:
-            idx = dots.argmax(axis=1)[:, None]
-        else:
-            idx = np.argsort(-dots, kind="stable", axis=1)[:, :nprobe]
+        idx = _assign_topn_block(X, C, nprobe)
         return pd.Series([row.tolist() for row in idx])
 
     return pandas_udf(topn, "array<int>")
+
+
+def _assign_topn_block(
+    X: "np.ndarray", C: "np.ndarray", nprobe: int
+) -> "np.ndarray":
+    """THE coarse-assignment arithmetic — the single definition every
+    assignment site uses (:func:`_centroid_scorer`'s batches, the
+    driver-side query probing, and the fused scan kernels).  A
+    drifting copy would silently assign rows to different clusters
+    than the queries probe.  Ties break toward the lowest centroid id
+    (argmax/stable argsort), deterministically."""
+    if np.isnan(X).any():
+        # NULL components arrive as NaN and every centroid dot
+        # would go NaN — assignment would be arbitrary, silently
+        raise ValueError(
+            "ivf centroid scoring: vector contains NULL/NaN components"
+        )
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dots = X @ C.T
+    if nprobe == 1:
+        return dots.argmax(axis=1)[:, None]
+    return np.argsort(-dots, kind="stable", axis=1)[:, :nprobe]
 
 
 def ivf_assign(
@@ -657,19 +681,21 @@ def ivf_topk(
         probe_sets = [
             np.unique(np.asarray(p, dtype=np.int64)) for p in probes
         ]
-        c = ivf_assign(
-            corpus.where(F.col(vec_col).isNotNull()).select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("cvec"),
-            ),
-            centroids,
-            "cvec",
-            "__cid",
+        # coarse assignment happens INSIDE the scan kernel (r11, guide
+        # §4 — one boundary crossing): the raw relation goes straight
+        # to mapInPandas, which evaluates the same _assign_topn_block
+        # the ivf_assign pandas_udf evaluated, so cluster choice (and
+        # the NULL/NaN raise) is bit-identical while the corpus
+        # vectors cross JVM↔Python once instead of twice
+        c = corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
         )
         return _topk_per_query(
             _exact_scan_candidates(
                 c, queries, corpus, qids, Q, int(k), id_col,
                 query_id_col, probe_sets=probe_sets,
+                assign_centroids=Cn,
             ),
             k,
         )
@@ -907,6 +933,32 @@ def train_pq(
     return books
 
 
+def _pq_codes_block(
+    X: "np.ndarray", C: "np.ndarray", cn2: "np.ndarray"
+) -> "np.ndarray":
+    """THE PQ-encode arithmetic — the single definition every encode
+    site uses (:func:`pq_encode`'s batches and the fused scan
+    kernels).  Returns the (B, M) argmin codes; ties break toward the
+    lowest code id (argmin is first-min), deterministically."""
+    M, _, dsub = C.shape
+    dim = M * dsub
+    if X.shape[1] != dim:
+        raise ValueError(
+            f"pq_encode: vector dim {X.shape[1]} != codebook dim {dim}"
+        )
+    if np.isnan(X).any():
+        # NULL components arrive as NaN; argmin over a NaN row
+        # returns position 0 silently — a garbage code
+        raise ValueError(
+            "pq_encode: vector contains NULL/NaN components"
+        )
+    S = X.reshape(len(X), M, dsub)  # (B, M, dsub)
+    # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 is constant
+    # per (row, subspace) so argmin only needs the last two terms
+    dots = np.einsum("bmd,mkd->bmk", S, C)  # (B, M, K)
+    return (cn2[None, :, :] - 2.0 * dots).argmin(axis=2)  # (B, M)
+
+
 def _pq_dim(codebooks: list[list[list[float]]]) -> int:
     return len(codebooks) * len(codebooks[0][0])
 
@@ -1022,21 +1074,7 @@ def pq_encode(
     )
 
     def _codes(X):
-        if X.shape[1] != dim:
-            raise ValueError(
-                f"pq_encode: vector dim {X.shape[1]} != codebook dim {dim}"
-            )
-        if np.isnan(X).any():
-            # NULL components arrive as NaN; argmin over a NaN row
-            # returns position 0 silently — a garbage code
-            raise ValueError(
-                "pq_encode: vector contains NULL/NaN components"
-            )
-        S = X.reshape(len(X), M, dsub)  # (B, M, dsub)
-        # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 is constant
-        # per (row, subspace) so argmin only needs the last two terms
-        dots = np.einsum("bmd,mkd->bmk", S, C)  # (B, M, K)
-        codes = (cn2[None, :, :] - 2.0 * dots).argmin(axis=2)  # (B, M)
+        codes = _pq_codes_block(X, C, cn2)
         return pd.Series([row.tolist() for row in codes.astype("int32")])
 
     if Coarse is None:
@@ -1139,11 +1177,22 @@ def pq_topk(
             f"pq_topk: rerank must be an int, None, or 'auto' — got "
             f"{rerank!r}"
         )
-    if code_col is None:
-        # encode into a CLASH-FREE temp name (an input already carrying
-        # a '__pq' column would trip pq_encode's overwrite guard), then
-        # project to _adc_search's internal '__pq' contract — the
-        # projection drops every input column, so no collision survives
+    if code_col is None and not _FORCE_JOIN_PATHS:
+        # in-flight encode, fused (r11, guide §4): the raw vectors go
+        # straight to the ADC kernel, which runs the same
+        # _pq_codes_block the pq_encode UDF evaluates — bit-identical
+        # codes/errors, one boundary crossing instead of two, one
+        # ArrowEvalPython node gone from the plan
+        coded = corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__raw"),
+        )
+    elif code_col is None:
+        # legacy in-flight chain (parity twin): encode into a
+        # CLASH-FREE temp name (an input already carrying a '__pq'
+        # column would trip pq_encode's overwrite guard), then project
+        # to _adc_search's internal '__pq' contract — the projection
+        # drops every input column, so no collision survives
         from .sampling import _fresh_name
 
         tmp = _fresh_name("__pq", corpus.columns)
@@ -1225,12 +1274,28 @@ def _adc_search(
     probes: Optional["np.ndarray"] = None,
     fn_name: str = "pq_topk",
     coarse: Optional["np.ndarray"] = None,
+    assign_centroids: Optional["np.ndarray"] = None,
+    all_probed: Optional[list] = None,
 ) -> DataFrame:
     """Shared ADC scan + optional exact re-rank behind :func:`pq_topk`
     and :func:`ivfpq_topk`.  ``coded`` carries ``neighbor_id, __pq``
     (plus ``__cid`` when ``probes`` — the (NQ, nprobe) per-query
     cluster-probe matrix — is given: each query then scores only rows
     in its own probed clusters, the IVF pruning).
+
+    RAW mode (r11, guide §4 — cross the boundary once): when ``coded``
+    carries ``__raw`` (the float vectors) instead of ``__pq``, the
+    kernel computes the coarse assignment (``assign_centroids``, via
+    :func:`_assign_topn_block`), drops rows outside ``all_probed``,
+    and PQ-encodes (:func:`_pq_codes_block`; residual mode subtracts
+    the row's coarse centroid exactly like :func:`pq_encode`) INSIDE
+    this same scan — the in-flight encode chain previously shipped the
+    corpus vectors across JVM↔Python THREE times (assign pandas_udf,
+    encode pandas_udf, this scan); raw mode crosses once and the plan
+    drops two ArrowEvalPython nodes.  All arithmetic is the shared
+    block functions the legacy UDFs evaluate, so codes, assignments,
+    error messages and results are bit-identical.  The exact rerank
+    reads the same in-kernel floats (nothing extra ships).
 
     ``coarse`` (the coarse centroid matrix) switches ADC to RESIDUAL
     reconstruction (``by_residual=true``): the row decodes as
@@ -1297,9 +1362,19 @@ def _adc_search(
     # candidate joins; the price is the float column crossing the
     # Arrow boundary for probed rows (persisted-index callers keep the
     # join form: their floats live outside the coded relation).
+    raw_mode = "__raw" in coded.columns
+    if raw_mode and probes is not None and assign_centroids is None:
+        raise ValueError(
+            f"{fn_name}: raw-mode IVF pruning needs assign_centroids"
+        )
+    all_probed_arr = (
+        np.asarray(sorted(all_probed), dtype=np.int64)
+        if all_probed is not None
+        else None
+    )
     fused = (
         rerank is not None
-        and "__vec" in coded.columns
+        and ("__vec" in coded.columns or raw_mode)
         and not _FORCE_JOIN_PATHS
     )
     out_fields = [
@@ -1320,15 +1395,44 @@ def _adc_search(
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["__pq"]]
-            )  # (B, M)
+            if raw_mode:
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__raw"]]
+                )  # (B, dim)
+                ids = pdf["neighbor_id"].to_numpy()
+                if probe_sets is not None:
+                    # same block ivf_assign evaluates (its NULL/NaN
+                    # raise fires first, matching the legacy chain's
+                    # UDF order), then the probed-cluster pre-filter
+                    # that used to run as a JVM isin between the
+                    # encode UDF and the scan
+                    cids = _assign_topn_block(X, assign_centroids, 1)[:, 0]
+                    if all_probed_arr is not None:
+                        keep = np.isin(cids, all_probed_arr)
+                        if not keep.any():
+                            continue
+                        X, ids, cids = X[keep], ids[keep], cids[keep]
+                else:
+                    cids = None
+                # same block pq_encode evaluates (incl. its dim and
+                # NULL/NaN raises); residual mode subtracts the row's
+                # coarse centroid exactly like encode_residual
+                codes = _pq_codes_block(
+                    X - coarse[cids] if coarse is not None else X, C, cn2
+                )  # (B, M)
+                vecs = X if fused else None
+            else:
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["__pq"]]
+                )  # (B, M)
+                ids = pdf["neighbor_id"].to_numpy()
+                vecs = pdf["__vec"].to_numpy() if fused else None
+                cids = (
+                    pdf["__cid"].to_numpy()
+                    if probe_sets is not None
+                    else None
+                )
             rn2 = cn2[rng_m, codes].sum(axis=1)  # (B,) Σ_m ||code_m||^2
-            ids = pdf["neighbor_id"].to_numpy()
-            vecs = pdf["__vec"].to_numpy() if fused else None
-            cids = (
-                pdf["__cid"].to_numpy() if probe_sets is not None else None
-            )
             if coarse is None:
                 cn = np.maximum(np.sqrt(np.maximum(rn2, 0.0)), _NORM_EPS)
             else:
@@ -1549,34 +1653,50 @@ def ivfpq_topk(
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), _NORM_EPS)
     dots = Qn @ Cn.T
     probes = np.argsort(-dots, kind="stable", axis=1)[:, : min(nprobe, len(Cn))]
-    # ONE corpus pass: coarse-assign + PQ-encode, then prune the scan
-    # to the union of probed clusters (partition pruning when the coded
-    # corpus is persisted partitioned by __cid, ivf_persist-style)
-    assigned = ivf_assign(
-        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cid"
-    )
-    from .sampling import _fresh_name
-
-    tmp = _fresh_name("__pq", assigned.columns)
-    coded = pq_encode(
-        assigned,
-        codebooks,
-        vec_col,
-        tmp,
-        coarse_centroids=centroids if by_residual else None,
-        cid_col="__cid" if by_residual else None,
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(tmp).alias("__pq"),
-        "__cid",
-        *(
-            [F.col(vec_col).alias("__vec")]
-            if rerank is not None
-            else []
-        ),
-    )
     all_probed = sorted({int(c) for p in probes for c in p})
-    coded = coded.where(F.col("__cid").isin(all_probed))
+    if _FORCE_JOIN_PATHS:
+        # legacy in-flight chain (parity twin): coarse-assign and
+        # PQ-encode as separate pandas_udf crossings, probed-cluster
+        # filter in the JVM between encode and scan
+        assigned = ivf_assign(
+            corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cid"
+        )
+        from .sampling import _fresh_name
+
+        tmp = _fresh_name("__pq", assigned.columns)
+        coded = pq_encode(
+            assigned,
+            codebooks,
+            vec_col,
+            tmp,
+            coarse_centroids=centroids if by_residual else None,
+            cid_col="__cid" if by_residual else None,
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(tmp).alias("__pq"),
+            "__cid",
+            *(
+                [F.col(vec_col).alias("__vec")]
+                if rerank is not None
+                else []
+            ),
+        )
+        coded = coded.where(F.col("__cid").isin(all_probed))
+        extra = {}
+    else:
+        # ONE corpus pass AND one boundary crossing (r11, guide §4):
+        # the raw vectors go straight to the ADC kernel, which runs
+        # the same assignment/encode blocks the legacy UDFs evaluate
+        # (bit-identical codes, clusters, errors) plus the probed-
+        # cluster pre-filter — two ArrowEvalPython nodes gone from the
+        # plan.  (Persisted-index callers keep the codes-only scan via
+        # ivfpq_topk_persisted: their codes live at rest, partitioned
+        # by cluster.)
+        coded = corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__raw"),
+        )
+        extra = {"assign_centroids": Cn, "all_probed": all_probed}
     return _adc_search(
         corpus,
         queries,
@@ -1592,6 +1712,7 @@ def ivfpq_topk(
         probes=probes,
         fn_name="ivfpq_topk",
         coarse=Cn if by_residual else None,
+        **extra,
     )
 
 

@@ -10,7 +10,7 @@ pq_topk (rerank), ivfpq_topk (residual rerank) — in both forms:
   (``similarity._FORCE_JOIN_PATHS = True``), i.e. the r9 shape;
 * ``_scan`` suffix: the single-scan Arrow kernel path (default).
 
-Usage: python tools/dump_ann_plans.py  (writes plans/r10/ann_*.txt)
+Usage: python tools/dump_ann_plans.py  (writes plans/$SPARK_GRAFT_PLAN_TAG/ann_*.txt, default r10)
 """
 from __future__ import annotations
 
@@ -25,7 +25,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLAN_TAG", "r10"),
     )
     from pyspark.sql import functions as F
 
