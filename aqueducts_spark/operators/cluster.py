@@ -42,6 +42,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     checkpoint_dir: Optional[str] = None,
+    driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Resolve components of an undirected edge list.
 
@@ -50,11 +51,25 @@ def connected_components(
     id). Isolated nodes (absent from ``edges``) are the caller's
     concern: they are their own component and need no resolution.
 
-    Raises if label propagation has not converged after ``max_iter``
-    rounds (a component with graph diameter > max_iter): silently
-    returning split components would make cluster_dedup keep several
-    "canonical" copies of one duplicate cluster.  Convergence needs
-    ~diameter rounds; raise ``max_iter`` for long chain-shaped graphs.
+    Bounded edge lists (``driver_edges``, default 1M symmetric-distinct
+    edges — near-dup graphs are duplication volume, not corpus volume)
+    resolve with a DRIVER-SIDE union-find over one collect of the slim
+    (u, v) relation (r11, guide §1.2 — the distributed algorithm first:
+    the propagation loop pays 2 jobs per round plus a label
+    materialization, all to converge a graph that fits in one task;
+    union-find with min-label roots emits the identical (node, min
+    reachable id) rows in one pass, string ids included — UTF-8 binary
+    order equals code-point order, so Python ``min`` agrees with
+    Spark's).  Past the bound — or when any node id is NULL — the
+    distributed min-label propagation below runs unchanged; set
+    ``driver_edges=0`` to force it.
+
+    Raises (loop path) if label propagation has not converged after
+    ``max_iter`` rounds (a component with graph diameter > max_iter):
+    silently returning split components would make cluster_dedup keep
+    several "canonical" copies of one duplicate cluster.  Convergence
+    needs ~diameter rounds; raise ``max_iter`` for long chain-shaped
+    graphs (diameter never limits the union-find path).
 
     ``checkpoint_dir``: the per-round materializations default to
     ``localCheckpoint`` (executor-local blocks — an executor lost
@@ -75,6 +90,14 @@ def connected_components(
         .distinct(),
         checkpoint_dir,
     )
+    if driver_edges and driver_edges > 0:
+        # the +1 overflow row turns "fits" into one cheap limit over
+        # checkpointed blocks instead of a count job plus a collect
+        rows = sym.limit(driver_edges + 1).collect()
+        if len(rows) <= driver_edges and all(
+            r["u"] is not None and r["v"] is not None for r in rows
+        ):
+            return _driver_union_find(edges.sparkSession, rows, sym)
     labels = materialize(
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -124,6 +147,44 @@ def connected_components(
                 "convergence)"
             )
     return labels
+
+
+def _driver_union_find(spark, rows, sym: DataFrame) -> DataFrame:
+    """Union-find with min-label roots over a collected (u, v) edge
+    list — merging always reparents the LARGER root under the smaller,
+    so each set's root IS its minimum member and ``find(node)`` equals
+    the propagation loop's "minimum reachable id" exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        # path compression
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in rows:
+        u, v = r["u"], r["v"]
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    from pyspark.sql.types import StructField, StructType
+
+    utype = sym.schema["u"].dataType
+    out_schema = StructType(
+        [StructField("node", utype), StructField("component", utype)]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in nodes], out_schema
+    )
 
 
 def cluster_dedup(

@@ -677,6 +677,7 @@ def _op_connected_components(spark, inp, options):
         src=options.get("src", "id_a"),
         dst=options.get("dst", "id_b"),
         max_iter=int(options.get("max_iter", 50)),
+        driver_edges=int(options.get("driver_edges", 1_000_000)),
     )
 
 

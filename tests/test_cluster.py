@@ -82,10 +82,17 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
     )
+    # driver_edges=0 forces the distributed propagation loop — the
+    # max_iter contract is a loop-path property (union-find has no
+    # diameter limit)
     with pytest.raises(RuntimeError, match="max_iter"):
-        connected_components(chain, max_iter=2)
-    ok = connected_components(chain, max_iter=30)
+        connected_components(chain, max_iter=2, driver_edges=0)
+    ok = connected_components(chain, max_iter=30, driver_edges=0)
     assert ok.select("component").distinct().count() == 1
+    # the default bounded path resolves the same chain with no
+    # iteration limit at all
+    uf = connected_components(chain, max_iter=2)
+    assert uf.select("component").distinct().count() == 1
 
 
 def test_cluster_dedup_keep_by_quality(spark):
@@ -205,6 +212,30 @@ def test_connected_components_converges_at_exact_diameter(spark):
     )
     labels = {
         r.node: r.component
-        for r in connected_components(pairs, max_iter=3).collect()
+        for r in connected_components(pairs, max_iter=3, driver_edges=0).collect()
     }
     assert set(labels.values()) == {0}
+
+
+def test_union_find_path_matches_propagation_loop(spark):
+    """r11: the bounded driver-side union-find must emit exactly the
+    propagation loop's (node, min reachable id) rows — cliques, chains,
+    isolated pairs, self-loops, and string ids."""
+    from aqueducts_spark.operators.cluster import connected_components
+
+    cases = [
+        ([(1, 2), (2, 3), (10, 11), (7, 7)], "id_a long, id_b long"),
+        ([("b", "a"), ("c", "b"), ("z", "z"), ("é", "e")],
+         "id_a string, id_b string"),
+    ]
+    for rows, schema in cases:
+        edges = spark.createDataFrame(rows, schema)
+        uf = sorted(
+            (r.node, r.component)
+            for r in connected_components(edges).collect()
+        )
+        loop = sorted(
+            (r.node, r.component)
+            for r in connected_components(edges, driver_edges=0).collect()
+        )
+        assert uf == loop and uf
