@@ -158,6 +158,19 @@ ISOLATED_PROBES = [
     # vs 1.8s/1.9s isolated, code unchanged) — record the clean number
     "op_url_blocklist",
     "op_ppl_buckets",
+    # r11 (VERDICT r10 item #6): every gate named in the optimization
+    # report's tables gets a fresh-JVM record so load windows can't
+    # inflate or mask a round-over-round claim
+    "op_embed_neardup_lsh",
+    "op_sequence_spans",
+    "op_tfidf_terms",
+    "op_unigram_nll",
+    "op_bigram_nll",
+    "op_cluster_components",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_hybrid_topk",
 ]
 
 
