@@ -2100,17 +2100,8 @@ def embedding_near_duplicates_lsh(
 
     # NULL vectors can never exceed a cosine threshold (the brute-force
     # twin propagates NULL cosine, which fails the filter) — drop them
-    # up front so the bucketing matmul sees only real arrays, and probe
-    # the dimensionality from the first non-null row
+    # up front so the bucketing matmul sees only real arrays
     df = df.where(F.col(vec_col).isNotNull())
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        return (
-            df.sparkSession.createDataFrame(
-                [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cosine double"
-            )
-        )
-    dim = dim_row["d"]
     if num_tables == "auto" or bits_per_table == "auto":
         n = df.count()
         auto_t, auto_b = solve_lsh_params(
@@ -2149,7 +2140,6 @@ def embedding_near_duplicates_lsh(
             num_tables, bits_per_table = auto_t, auto_b
     num_tables = int(num_tables)
     bits_per_table = int(bits_per_table)
-    planes = random_hyperplanes(dim, num_tables * bits_per_table, seed)
 
     # All num_tables*bits_per_table sign bits in ONE Arrow-batched
     # matmul per batch.  The built-in alternative — one
@@ -2159,16 +2149,32 @@ def embedding_near_duplicates_lsh(
     # centroid scorer (similarity.py _centroid_scorer).  Bucket ids are
     # BIGINTs (table_index * 2^bits + sign-bit integer): a fixed-width
     # shuffle key, vectorized end-to-end in numpy.
+    # The plane matrix is derived ONCE PER TASK from (seed, dim of the
+    # first vector seen) instead of a driver-side dim-probe job (r11 —
+    # the first() action was the fixed-parameter path's only pre-job):
+    # random_hyperplanes is deterministic in (dim, count, seed), so
+    # every task builds the identical matrix, exactly what the driver
+    # used to broadcast via the closure.  An empty corpus now simply
+    # yields an empty result through the same plan instead of an
+    # early-return frame.
     from pyspark.sql.functions import pandas_udf
 
-    plane_mat = np.asarray(planes, dtype=np.float64).T  # dim x (T*B)
     pow2 = (1 << np.arange(bits_per_table - 1, -1, -1)).astype(np.int64)
     offsets = (np.arange(num_tables, dtype=np.int64) << bits_per_table)
+    n_planes = num_tables * bits_per_table
+    plane_cache: dict = {}
 
     @pandas_udf("array<long>")
     def _buckets(vs: pd.Series) -> pd.Series:
         x = np.vstack(vs.to_numpy()).astype(np.float64)  # n x dim
-        bits = (x @ plane_mat) >= 0.0  # n x (T*B)
+        mat = plane_cache.get(x.shape[1])
+        if mat is None:
+            mat = np.asarray(
+                random_hyperplanes(x.shape[1], n_planes, seed),
+                dtype=np.float64,
+            ).T  # dim x (T*B)
+            plane_cache[x.shape[1]] = mat
+        bits = (x @ mat) >= 0.0  # n x (T*B)
         vals = bits.reshape(len(x), num_tables, bits_per_table) @ pow2
         return pd.Series(list(vals + offsets))
 
