@@ -46,6 +46,32 @@ __all__ = [
 ]
 
 
+def _submit_bench_id_check(benchmark: DataFrame, bench_id_col: str):
+    """Submit the eager benchmark-id validation aggregate on a second
+    driver thread (guide §2.6, overlap independent jobs): the tiny
+    benchmark-side agg is independent of the corpus-side candidate /
+    gram materialization it used to serialize in front of, so its job
+    back-fills cores while the heavy pass runs.  Returns a future whose
+    ``.result()`` is the one-row check; callers MUST consume it (and
+    raise) before returning any frame — the fail-fast contract is
+    unchanged, only the wall clock overlaps.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(
+        lambda: benchmark.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col(bench_id_col)).alias("nn"),
+            F.countDistinct(F.col(bench_id_col)).alias("nd"),
+        ).collect()[0]
+    )
+    # the submitted task still runs to completion; nothing else is ever
+    # submitted, so the pool can start tearing down immediately
+    pool.shutdown(wait=False)
+    return fut
+
+
 def benchmark_ngrams(
     benchmark: DataFrame, text_col: str = "text", n: int = 13
 ) -> DataFrame:
@@ -208,24 +234,26 @@ def minhash_overlap(
     sc = _fresh("__s")
     sza, szb, itc = _fresh("__size_a"), _fresh("__size_b"), _fresh("__inter")
     # eager benchmark-id validation: one tiny aggregate over the small
-    # side (the corpus is never touched)
-    chk = benchmark.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.col(bench_id_col)).alias("nn"),
-        F.countDistinct(F.col(bench_id_col)).alias("nd"),
-    ).collect()[0]
-    if chk["nn"] != chk["n"]:
-        raise ValueError(
-            f"minhash_overlap: benchmark has {chk['n'] - chk['nn']} NULL "
-            f"{bench_id_col!r} ids — NULL ids silently pool documents "
-            "into one signature; assign unique ids first"
-        )
-    if chk["nd"] != chk["nn"]:
-        raise ValueError(
-            f"minhash_overlap: benchmark {bench_id_col!r} ids are not "
-            "unique — duplicate ids pool documents into one signature; "
-            "deduplicate or re-key the benchmark first"
-        )
+    # side (the corpus is never touched).  Submitted on a second driver
+    # thread so its job overlaps the candidate materialization below
+    # (guide §2.6); the outcome is checked before anything is returned.
+    chk_fut = _submit_bench_id_check(benchmark, bench_id_col)
+
+    def _check_bench_ids() -> None:
+        chk = chk_fut.result()
+        if chk["nn"] != chk["n"]:
+            raise ValueError(
+                f"minhash_overlap: benchmark has {chk['n'] - chk['nn']} NULL "
+                f"{bench_id_col!r} ids — NULL ids silently pool documents "
+                "into one signature; assign unique ids first"
+            )
+        if chk["nd"] != chk["nn"]:
+            raise ValueError(
+                f"minhash_overlap: benchmark {bench_id_col!r} ids are not "
+                "unique — duplicate ids pool documents into one signature; "
+                "deduplicate or re-key the benchmark first"
+            )
+
     bench = benchmark.select(
         F.col(bench_id_col).alias(bid), F.col(bench_text_col).alias("__btext")
     )
@@ -259,7 +287,15 @@ def minhash_overlap(
     # fuzzy_decontaminate's executed plan; 3 after)
     from .materialize import materialize
 
-    cand = materialize(cand)
+    try:
+        cand = materialize(cand)
+    except Exception:
+        # if both the heavy pass and the validation fail, surface the
+        # contract error (the old eager ordering) rather than whatever
+        # the invalid benchmark made the banding pass die with
+        _check_bench_ids()
+        raise
+    _check_bench_ids()
     # exact verification of the candidates only: restrict the corpus to
     # candidate docs (broadcast semi join — the candidate id list is
     # bounded by banding collisions), then count shared DISTINCT
@@ -527,16 +563,18 @@ def contamination_report(
             "output column name — rename the corpus id column first"
         )
     bench_text_col = bench_text_col if bench_text_col is not None else text_col
-    chk = benchmark.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.col(bench_id_col)).alias("nn"),
-        F.countDistinct(F.col(bench_id_col)).alias("nd"),
-    ).collect()[0]
-    if chk["nn"] != chk["n"] or chk["nd"] != chk["nn"]:
-        raise ValueError(
-            "contamination_report: benchmark ids must be unique and "
-            "non-NULL — a per-item report is meaningless under pooled ids"
-        )
+    # eager id validation, overlapped with the gram materialization
+    # below (guide §2.6) and checked before anything is returned
+    chk_fut = _submit_bench_id_check(benchmark, bench_id_col)
+
+    def _check_bench_ids() -> None:
+        chk = chk_fut.result()
+        if chk["nn"] != chk["n"] or chk["nd"] != chk["nn"]:
+            raise ValueError(
+                "contamination_report: benchmark ids must be unique and "
+                "non-NULL — a per-item report is meaningless under pooled ids"
+            )
+
     from .materialize import materialize
 
     base = benchmark.select(F.col(bench_id_col).alias("bench_id"))
@@ -544,17 +582,24 @@ def contamination_report(
     # broadcast into the corpus join) — materialize so neither consumer
     # re-tokenizes the benchmark source (AQE shares no subtree across
     # consumers on the write path)
-    bg = materialize(
-        benchmark.select(
-            F.col(bench_id_col).alias("bench_id"),
-            normalized_tokens(F.col(bench_text_col)).alias("__btoks"),
+    try:
+        bg = materialize(
+            benchmark.select(
+                F.col(bench_id_col).alias("bench_id"),
+                normalized_tokens(F.col(bench_text_col)).alias("__btoks"),
+            )
+            .select(
+                F.col("bench_id"),
+                F.explode(
+                    word_shingles_col(F.col("__btoks"), n)
+                ).alias("shingle"),
+            )
+            .where(F.col("shingle") != "")
         )
-        .select(
-            F.col("bench_id"),
-            F.explode(word_shingles_col(F.col("__btoks"), n)).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
-    )
+    except Exception:
+        _check_bench_ids()
+        raise
+    _check_bench_ids()
     sizes = bg.groupBy("bench_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )

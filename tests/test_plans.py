@@ -151,8 +151,12 @@ def test_kmv_two_exchanges_and_group_limit(spark):
 
 
 def test_bloom_probe_side_zero_shuffle(spark):
-    """The probe side tests its bit positions against an embedded
-    bitmap literal — no join, no Exchange, no Python on the fact scan."""
+    """The probe side tests its bit positions against a bitmap held in
+    the task closure — no join, no Exchange.  The md5 path probes in
+    exactly ONE Arrow-batched crossing (r11: the interpreted HOF /
+    re-hashing expression forms were measured ~4x a plain scan); the
+    xxhash64 path stays pure-expression (that hash is Spark-internal,
+    not reproducible Python-side)."""
     from aqueducts_spark.operators.sketch import bloom_filter, bloom_sketch
 
     cust = spark.table("customer").where("c_mktsegment = 'BUILDING'")
@@ -162,7 +166,19 @@ def test_bloom_probe_side_zero_shuffle(spark):
     )
     info = inspect_plan(out)
     assert info.exchanges == 0, f"{info.exchanges} exchanges\n{info.text[:1500]}"
-    assert info.python_evals == 0
+    assert info.python_evals == 1, info.text[:1500]
+    assert "ArrowEvalPython" in info.text, info.text[:1500]
+
+    bits_xx = bloom_sketch(
+        cust, "c_custkey", num_bits=8192, num_hashes=4, hash_fn="xxhash64"
+    )
+    out_xx = bloom_filter(
+        spark.table("orders"), "o_custkey", bits_xx,
+        num_bits=8192, num_hashes=4, hash_fn="xxhash64",
+    )
+    info_xx = inspect_plan(out_xx)
+    assert info_xx.exchanges == 0, info_xx.text[:1500]
+    assert info_xx.python_evals == 0, info_xx.text[:1500]
 
 
 def test_cms_single_shuffle_with_partial_agg(spark):
