@@ -85,7 +85,7 @@ def benchmark_ngrams(
             normalized_tokens(F.col(text_col)).alias("__btoks")
         )
         .select(
-            F.explode(word_shingles_col(F.col("__btoks"), n)).alias(
+            F.explode(word_shingles_col("__btoks", n)).alias(
                 "shingle"
             )
         )
@@ -118,7 +118,7 @@ def ngram_overlap(
         )
         .select(
             F.col(id_col),
-            F.explode(word_shingles_col(F.col("__ctoks"), n)).alias("shingle"),
+            F.explode(word_shingles_col("__ctoks", n)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
     )
@@ -308,7 +308,7 @@ def minhash_overlap(
         )
         .select(
             F.col(id_col),
-            F.explode(word_shingles_col(F.col("__ctoks"), shingle_n)).alias(sc),
+            F.explode(word_shingles_col("__ctoks", shingle_n)).alias(sc),
         )
         .where(F.col(sc) != "")
     )
@@ -325,7 +325,7 @@ def minhash_overlap(
         )
         .select(
             F.col(bid),
-            F.explode(word_shingles_col(F.col("__btoks"), shingle_n)).alias(sc),
+            F.explode(word_shingles_col("__btoks", shingle_n)).alias(sc),
         )
         .where(F.col(sc) != "")
     )
@@ -591,7 +591,7 @@ def contamination_report(
             .select(
                 F.col("bench_id"),
                 F.explode(
-                    word_shingles_col(F.col("__btoks"), n)
+                    word_shingles_col("__btoks", n)
                 ).alias("shingle"),
             )
             .where(F.col("shingle") != "")
@@ -610,7 +610,7 @@ def contamination_report(
         )
         .select(
             F.col(id_col),
-            F.explode(word_shingles_col(F.col("__ctoks"), n)).alias("shingle"),
+            F.explode(word_shingles_col("__ctoks", n)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
     )

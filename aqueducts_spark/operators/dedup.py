@@ -113,7 +113,31 @@ def normalized_tokens(text: Column) -> Column:
     )
 
 
-def word_ngrams_col(toks: Column, n: int) -> Column:
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _word_ngrams_sql(toks_sql: str, n: int) -> str:
+    """The :func:`word_ngrams_col` expression as ONE SQL string — the
+    same tree the Column form builds, rendered for a single
+    ``F.expr`` parse (r11, guide §1.2 driver-side cost: the Column
+    form issues ~110·n py4j round-trips, ~0.4 s of pure driver time
+    per call at n=13, where the parser pays one)."""
+    g = toks_sql
+    for k in range(1, n):
+        g = (
+            f"zip_with({g}, slice({toks_sql}, {k + 1}, "
+            f"greatest(size({toks_sql}) - {k}, 0)), "
+            f"(a, b) -> concat_ws(' ', a, b))"
+        )
+    return (
+        f"CASE WHEN size({toks_sql}) = 0 THEN array('') "
+        f"ELSE slice({g}, 1, greatest(size({toks_sql}) - {n} + 1, 1)) END"
+    )
+
+
+def word_ngrams_col(toks: Column | str, n: int) -> Column:
     """All word n-grams of an ALREADY-TOKENIZED array column in order
     (array<string>, repeats kept; one partial gram when the doc is
     shorter than ``n``).
@@ -133,7 +157,15 @@ def word_ngrams_col(toks: Column, n: int) -> Column:
     trigram explode pass at sf0.1 from staging; CollapseProject keeps
     the staging projection because it refuses to duplicate non-cheap
     expressions referenced more than once).
+
+    Passing the staged column's NAME (a ``str``) builds the identical
+    tree through one ``F.expr`` parse instead of ~110·n py4j
+    round-trips (r11 — plan-construction time only; the analyzed
+    expression, and therefore every result bit, is the same, pinned
+    by test_dedup's construction-parity test).
     """
+    if isinstance(toks, str):
+        return F.expr(_word_ngrams_sql(_sql_ident(toks), n))
     grams = toks
     for k in range(1, n):
         # shifted tail; zip_with pads the short side with NULL and
@@ -155,11 +187,12 @@ def word_ngrams(text: Column, n: int) -> Column:
     return word_ngrams_col(normalized_tokens(text), n)
 
 
-def word_shingles_col(toks: Column, n: int = 3) -> Column:
+def word_shingles_col(toks: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of an ALREADY-STAGED token-array
     column (array<string>), first-occurrence order — the
     :func:`word_ngrams_col` contract; hot paths stage the tokens so
-    the gram tree's ~2n+1 references share one regex split."""
+    the gram tree's ~2n+1 references share one regex split, and pass
+    the staged NAME (str) for the one-parse construction."""
     return F.array_distinct(word_ngrams_col(toks, n))
 
 
@@ -505,7 +538,7 @@ def _minhash_signature(
         .select(
             F.col(id_col),
             *extra,
-            F.explode(word_shingles_col(F.col(tk), shingle_n)).alias(
+            F.explode(word_shingles_col(tk, shingle_n)).alias(
                 "shingle"
             ),
         )
@@ -878,7 +911,7 @@ def with_minhash_band_keys(
     # INDEX as its second argument instead of the captured seed
     tk_name = _fresh_name("__mh_tk", taken + [sh_name, hs_name])
     sh = F.filter(
-        word_shingles_col(F.col(tk_name), shingle_n),
+        word_shingles_col(tk_name, shingle_n),
         lambda s: s != F.lit(""),
     )
     staged = (
@@ -1044,7 +1077,7 @@ def jaccard_pairs(
         .select(F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk))
         .select(
             F.col(id_col),
-            F.explode(word_shingles_col(F.col(tk), shingle_n)).alias("s"),
+            F.explode(word_shingles_col(tk, shingle_n)).alias("s"),
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
@@ -2351,7 +2384,7 @@ def remove_duplicated_spans(
     )
     if materialize_tokens:
         toked = materialize(toked, checkpoint_dir)
-    grams = word_ngrams_col(F.col("__stoks"), n)
+    grams = word_ngrams_col("__stoks", n)
     common = (
         toked.select(F.explode(F.array_distinct(grams)).alias("gram"))
         .where(F.col("gram") != "")

@@ -79,14 +79,16 @@ _MICRO = 1e6
 _HASH_SPACE = float(1 << 60)
 
 
-def _gram_buckets(toks: Column, buckets: int) -> Column:
+def _gram_buckets(toks: "Column | str", buckets: int) -> Column:
     """Array of hashed feature buckets for a STAGED token-array column
     (the ``word_ngrams_col`` contract — the gram tree references the
     tokens ~6 times, so an inlined regex split would re-tokenize per
     reference): unigrams + bigrams, md5 top-60-bits mod ``buckets``
     (the engine-portable bucket formula of
-    :func:`~.sampling.hash_bucket`)."""
-    grams = F.concat(toks, word_ngrams_col(toks, 2))
+    :func:`~.sampling.hash_bucket`).  Pass the staged NAME (str) for
+    the one-parse gram construction (r11)."""
+    tok_col = F.col(toks) if isinstance(toks, str) else toks
+    grams = F.concat(tok_col, word_ngrams_col(toks, 2))
     return F.transform(
         grams,
         lambda g: (
@@ -119,7 +121,7 @@ def _gram_bucket_rows(
         )
         .select(
             *([F.col(id_col)] if id_col else []),
-            F.explode(_gram_buckets(F.col("__toks"), buckets)).alias("bucket"),
+            F.explode(_gram_buckets("__toks", buckets)).alias("bucket"),
         )
     )
 
@@ -168,7 +170,7 @@ def _row_bucket_counts(
         # references them ~6 times)
         .select(
             F.col(id_col),
-            _gram_buckets(F.col("__toks"), buckets).alias("__bks"),
+            _gram_buckets("__toks", buckets).alias("__bks"),
         )
     )
     return _doc_term_tf(

@@ -271,7 +271,7 @@ def repetition_features(
         .select(F.col(id_col), normalized_tokens(text).alias("__rtoks"))
         .select(
             F.col(id_col),
-            word_ngrams_col(F.col("__rtoks"), n).alias("__grams"),
+            word_ngrams_col("__rtoks", n).alias("__grams"),
             (F.size(F.col("__rtoks")) >= n).alias("__has_grams"),
         )
     )
@@ -2563,13 +2563,14 @@ def bigram_logprob(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    tkn = tk
 
     # gram TYPE table: FULL unigram counts (the first token is scored
     # by its global unigram probability, so the whole token stream
     # explodes, not just first tokens) + bigram counts, one shuffle
     types0 = (
         toked.select(
-            F.explode(F.concat(toks, _kn_true_grams(toks, 2))).alias("gram")
+            F.explode(F.concat(toks, _kn_true_grams(tkn, 2))).alias("gram")
         )
         .groupBy("gram")
         .agg(F.count("*").alias("ct"))
@@ -2603,7 +2604,7 @@ def bigram_logprob(
     events = _doc_term_tf(
         toked,
         id_col,
-        F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2)),
+        F.concat(_kn_first_event(tkn), _kn_true_grams(tkn, 2)),
     )
     scored = events.join(scores, "gram").select(
         F.col(id_col),
@@ -2666,43 +2667,47 @@ def _doc_term_tf(
     # (measured: the first draft turned a 3s gate into minutes).  Bound
     # attribute references are O(1); multi-referenced non-trivial
     # aliases also block CollapseProject from inlining them back.
+    from .dedup import _sql_ident
+
     extra = [F.col(c) for c in (keep or [])]
     st1 = toked.select(
         F.col(id_col), *extra, F.array_sort(ev_arr).alias("__ev_sorted")
     )
-    sa = F.col("__ev_sorted")
-    n = F.size(sa)
+    # The boundary/RLE trees below are rendered as single F.expr parses
+    # (r11, the word_ngrams_col one-parse contract): the Column form
+    # issued ~400 py4j round-trips per call, ~0.2 s of pure driver time,
+    # and this helper sits under every LM scorer.  The SQL text is the
+    # same tree node for node — construction-parity pinned by test.
+    #
     # null-SAFE boundary test (ADVICE r10 #2): a plain != evaluates to
-    # NULL at a non-null→NULL boundary and F.filter drops it, silently
+    # NULL at a non-null→NULL boundary and filter() drops it, silently
     # absorbing a NULL run into the preceding term; <=> gives NULL
     # elements their own run exactly like groupBy(id, term) grouped
     # NULL terms.  For NULL-free arrays the two predicates agree
     # bit-for-bit.
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.when(i == 0, F.lit(True)).otherwise(
-            ~F.get(sa, i).eqNullSafe(F.get(sa, i - 1))
-        ),
-    )
+    #
     # sequence(0, -1) on an empty array would generate DESCENDING
-    # [0, -1] — guard behind size > 0
+    # [0, -1] — the starts expression is guarded behind size > 0
+    starts_sql = (
+        "filter(sequence(0, size(__ev_sorted) - 1), "
+        "i -> CASE WHEN i = 0 THEN true "
+        "ELSE NOT (get(__ev_sorted, i) <=> get(__ev_sorted, i - 1)) END)"
+    )
     st2 = st1.select(
         F.col(id_col),
         *extra,
-        sa,
-        F.when(n > 0, starts)
-        .otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-        .alias("__ev_starts"),
+        F.col("__ev_sorted"),
+        F.expr(
+            f"CASE WHEN size(__ev_sorted) > 0 THEN {starts_sql} "
+            "ELSE CAST(array() AS ARRAY<INT>) END"
+        ).alias("__ev_starts"),
     )
-    stc = F.col("__ev_starts")
-    pairs = F.transform(
-        stc,
-        lambda s, j: F.struct(
-            F.get(sa, s).alias(term_name),
-            (F.coalesce(F.get(stc, j + 1), F.size(sa)) - s)
-            .cast("long")
-            .alias("tf"),
-        ),
+    tn = _sql_ident(term_name)
+    pairs = F.expr(
+        "transform(__ev_starts, (s, j) -> struct("
+        f"get(__ev_sorted, s) AS {tn}, "
+        "CAST((coalesce(get(__ev_starts, j + 1), size(__ev_sorted)) - s) "
+        "AS BIGINT) AS tf))"
     )
     return st2.select(
         F.col(id_col), *extra, F.explode(pairs).alias("__rle")
@@ -2714,10 +2719,20 @@ def _doc_term_tf(
     )
 
 
-def _kn_true_grams(toks: Column, n: int) -> Column:
+def _kn_true_grams(toks: "Column | str", n: int) -> Column:
     """Real n-grams only: :func:`word_ngrams_col` emits one partial
     gram for docs shorter than ``n``; the slice drops it (empty array
-    for short docs), so explode sites need no ``size >= n`` filter."""
+    for short docs), so explode sites need no ``size >= n`` filter.
+    Accepts the staged token column's NAME (str) for the one-parse
+    construction (r11, the word_ngrams_col contract)."""
+    if isinstance(toks, str):
+        from .dedup import _sql_ident, _word_ngrams_sql
+
+        t = _sql_ident(toks)
+        return F.expr(
+            f"slice({_word_ngrams_sql(t, n)}, 1, "
+            f"greatest(size({t}) - {n - 1}, 0))"
+        )
     return F.slice(
         word_ngrams_col(toks, n),
         1,
@@ -2725,7 +2740,7 @@ def _kn_true_grams(toks: Column, n: int) -> Column:
     )
 
 
-def _kn_first_event(toks: Column) -> Column:
+def _kn_first_event(toks: "Column | str") -> Column:
     """Single-element ``[first_token]`` array, empty for empty docs.
 
     The KN event/type tables need no explicit level tag: tokens
@@ -2735,12 +2750,25 @@ def _kn_first_event(toks: Column) -> Column:
     keeps the hot corpus pass in whole-stage codegen (struct-tagged
     higher-order transforms evaluate interpreted).
     """
+    if isinstance(toks, str):
+        from .dedup import _sql_ident
+
+        t = _sql_ident(toks)
+        return F.expr(f"slice({t}, 1, least(size({t}), 1))")
     return F.slice(toks, 1, F.least(F.size(toks), F.lit(1)))
 
 
-def _kn_second_event(toks: Column) -> Column:
+def _kn_second_event(toks: "Column | str") -> Column:
     """Single-element ``["t1 t2"]`` array (the document's first
     bigram — the P2-scored event), empty for docs shorter than 2."""
+    if isinstance(toks, str):
+        from .dedup import _sql_ident
+
+        t = _sql_ident(toks)
+        return F.expr(
+            f"slice(array(concat_ws(' ', slice({t}, 1, 2))), 1, "
+            f"least(greatest(size({t}) - 1, 0), 1))"
+        )
     return F.slice(
         F.array(F.concat_ws(" ", F.slice(toks, 1, 2))),
         1,
@@ -2845,6 +2873,7 @@ def kn_bigram_logprob(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    tkn = tk
     d_ = F.lit(float(discount))
 
     # ---- the corpus-volume pass: per-doc events -> tf ----------------
@@ -2856,7 +2885,7 @@ def kn_bigram_logprob(
     # gate scale and which costs a full extra corpus pass at 100 TB.
     # Σ_docs tf(doc, gram) == corpus ct(gram) exactly, so the derived
     # type table is bit-identical to the independent aggregation.
-    ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
+    ev_arr = F.concat(_kn_first_event(tkn), _kn_true_grams(tkn, 2))
     events = _doc_term_tf(toked, id_col, ev_arr)
     if cache_stats:
         events = materialize(events, checkpoint_dir)
@@ -2895,32 +2924,17 @@ def kn_bigram_logprob(
         F.coalesce(F.count_distinct("w"), F.lit(0)).alias("v"),
     )
 
-    pcont = (
-        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
-    p_bi = (
-        F.greatest(F.col("ct").cast("double") - d_, F.lit(0.0))
-        / F.col("ct_prefix").cast("double")
-        + d_
-        * F.col("n1p_fwd").cast("double")
-        / F.col("ct_prefix").cast("double")
-        * pcont
-    )
     # type rows ARE the distinct event grams (same explode), so the
     # scored type table covers every event key; stat joins are plain
-    # left equi-joins on unique keys (no fanout)
-    k_pfx = F.when(is2, s0).otherwise(F.col("gram"))
-    k_last = F.when(is2, s1).otherwise(F.col("gram"))
+    # left equi-joins on unique keys (no fanout).  One-parse SQL trees
+    # (r11, see _kn2_sql_parts).
+    kq = _kn2_sql_parts(discount, ct_sql="CAST(ct AS DOUBLE)",
+                        unseen_prefix_backoff=False)
     scores = (
-        types0.join(prefix_stats, k_pfx == F.col("prefix"), "left")
-        .join(cont_counts, k_last == F.col("cont"), "left")
+        types0.join(prefix_stats, F.expr(f"({kq['pfx']}) = prefix"), "left")
+        .join(cont_counts, F.expr(f"({kq['last']}) = cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(
-            "gram",
-            F.when(~is2, -F.log(pcont)).otherwise(-F.log(p_bi)).alias(
-                "__nll"
-            ),
-        )
+        .select("gram", F.expr(kq["nll"]).alias("__nll"))
     )
 
     scored = events.join(scores, "gram").select(
@@ -2962,10 +2976,11 @@ def kn_bigram_fit(
     # and bigrams share one explode + one groupBy
     toked = src.select(normalized_tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
+    tkn = "__toks"
     is2 = F.col("gram").contains(" ")
     return (
         toked.select(
-            F.explode(F.concat(toks, _kn_true_grams(toks, 2))).alias("gram")
+            F.explode(F.concat(toks, _kn_true_grams(tkn, 2))).alias("gram")
         )
         .groupBy("gram")
         .agg(F.count("*").alias("ct"))
@@ -3058,6 +3073,7 @@ def kn_bigram_score(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    tkn = tk
     d_ = F.lit(float(discount))
 
     # a model with no unigram (vocabulary) rows makes the continuation
@@ -3111,7 +3127,7 @@ def kn_bigram_score(
     # distinct-gram side, which the trigram scorer's r9 A/B measured
     # slower AND is strictly worse at 100 TB (a second full corpus
     # scan vs re-reading per-doc-distinct event blocks)
-    ev_arr = F.concat(_kn_first_event(toks), _kn_true_grams(toks, 2))
+    ev_arr = F.concat(_kn_first_event(tkn), _kn_true_grams(tkn, 2))
     events = materialize(
         _doc_term_tf(toked, id_col, ev_arr),
         checkpoint_dir,
@@ -3119,52 +3135,25 @@ def kn_bigram_score(
     )
     ev_types = events.select("gram").distinct()
 
-    is2 = F.col("gram").contains(" ")
-    s0 = F.split(F.col("gram"), " ")[0]
-    s1 = F.split(F.col("gram"), " ")[1]
-    k_pfx = F.when(is2, s0).otherwise(F.col("gram"))
-    k_last = F.when(is2, s1).otherwise(F.col("gram"))
-
-    pcont = (
-        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
     # unseen bigram -> ct_bi 0 (pure discount mass); unseen prefix ->
-    # the whole probability backs off to Pcont (main term 0, lambda 1)
-    p_bi = F.when(
-        F.col("ct_prefix").isNull(),
-        pcont,
-    ).otherwise(
-        F.greatest(
-            F.coalesce(F.col("ct_bi"), F.lit(0)).cast("double") - d_,
-            F.lit(0.0),
-        )
-        / F.col("ct_prefix").cast("double")
-        + d_
-        * F.col("n1p_fwd").cast("double")
-        / F.col("ct_prefix").cast("double")
-        * pcont
+    # the whole probability backs off to Pcont (main term 0, lambda 1).
+    # One-parse SQL trees (r11, see _kn2_sql_parts).
+    kq = _kn2_sql_parts(
+        discount,
+        ct_sql="CAST(coalesce(ct_bi, 0) AS DOUBLE)",
+        unseen_prefix_backoff=True,
     )
     scores = (
         ev_types.join(bi_totals, F.col("gram") == F.col("bgram"), "left")
-        .join(prefix_stats, k_pfx == F.col("prefix"), "left")
-        .join(cont_counts, k_last == F.col("cont"), "left")
+        .join(prefix_stats, F.expr(f"({kq['pfx']}) = prefix"), "left")
+        .join(cont_counts, F.expr(f"({kq['last']}) = cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(
-            "gram",
-            F.when(~is2, -F.log(pcont)).otherwise(-F.log(p_bi)).alias(
-                "__nll"
-            ),
-        )
+        .select("gram", F.expr(kq["nll"]).alias("__nll"))
     )
     scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
-        F.floor(
-            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("nll_micro"),
+        F.expr(_KN_MICRO_SQL).alias("nll_micro"),
     )
     return _kn_per_doc(scored, id_col)
 
@@ -3237,9 +3226,10 @@ def kn_trigram_logprob(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    tkn = tk
     d_ = F.lit(float(discount))
     ev_arr = F.concat(
-        _kn_first_event(toks), _kn_second_event(toks), _kn_true_grams(toks, 3)
+        _kn_first_event(tkn), _kn_second_event(tkn), _kn_true_grams(tkn, 3)
     )
 
     # ---- the corpus-volume pass: per-doc events -> tf ----------------
@@ -3305,79 +3295,132 @@ def kn_trigram_logprob(
         F.coalesce(F.count_distinct("w"), F.lit(0)).alias("v"),
     )
 
-    pcont = (
-        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
-
-    def p2_expr():
-        backoff = pcont
-        seen = (
-            F.greatest(
-                F.coalesce(F.col("n1p_mid_bi"), F.lit(0)).cast("double") - d_,
-                F.lit(0.0),
-            )
-            / F.col("n1p_mid_tot").cast("double")
-            + d_
-            * F.col("n1p_mid_fwd").cast("double")
-            / F.col("n1p_mid_tot").cast("double")
-            * pcont
-        )
-        return F.when(
-            F.col("n1p_mid_tot").isNull() | (F.col("n1p_mid_tot") == 0),
-            backoff,
-        ).otherwise(seen)
-
-    # Column objects are immutable — build the (large) P2 tree ONCE
-    # and reuse it: three p2_expr() calls rebuilt ~100 py4j-backed
-    # Column nodes each, and driver-side plan construction measured
-    # ~1.5s of the sf0.1 gate (execution itself was ~1.0s)
-    p2 = p2_expr()
-    p3 = (
-        F.greatest(F.col("ct").cast("double") - d_, F.lit(0.0))
-        / F.col("ct_pfx12").cast("double")
-        + d_
-        * F.col("n1p_top").cast("double")
-        / F.col("ct_pfx12").cast("double")
-        * p2
-    )
-    # type rows ARE the distinct event grams (same explode); each stat
-    # join is a left equi-join on a unique key (no fanout), keyed by
-    # the level-conditional expression — rows of other levels simply
-    # miss and read NULLs their branch never uses
-    k_last = F.when(nw == 3, s2).when(nw == 2, s1).otherwise(F.col("gram"))
-    k_tail2 = F.when(nw == 3, F.concat_ws(" ", s1, s2)).otherwise(
-        F.col("gram")
-    )
-    k_mid = F.when(nw == 3, s1).when(nw == 2, s0).otherwise(F.col("gram"))
-    k_pfx = F.when(nw == 3, F.concat_ws(" ", s0, s1)).otherwise(
-        F.col("gram")
-    )
+    # One-parse score/key trees (r11, the word_ngrams_col contract):
+    # the Column forms of pcont/p2/p3 + the four key conditionals cost
+    # ~600 py4j round-trips per call; rendered as SQL they are the
+    # same tree node for node (textual re-inlining of p2/pcont matches
+    # the Column form exactly — Catalyst expressions are trees, so a
+    # reused Column object embeds as a copy anyway).
+    kq = _kn3_sql_parts(discount, ct_sql="CAST(ct AS DOUBLE)",
+                        unseen_prefix_backoff=False)
     scores = (
-        types0.join(top_prefix, k_pfx == F.col("pfx12"), "left")
-        .join(mid_bi, k_tail2 == F.col("big23"), "left")
-        .join(mid_w2, k_mid == F.col("mid_w"), "left")
-        .join(cont_counts, k_last == F.col("cont"), "left")
+        types0.join(top_prefix, F.expr(f"({kq['pfx']}) = pfx12"), "left")
+        .join(mid_bi, F.expr(f"({kq['tail2']}) = big23"), "left")
+        .join(mid_w2, F.expr(f"({kq['mid']}) = mid_w"), "left")
+        .join(cont_counts, F.expr(f"({kq['last']}) = cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(
-            "gram",
-            F.when(nw == 1, -F.log(pcont))
-            .when(nw == 2, -F.log(p2))
-            .otherwise(-F.log(p3))
-            .alias("__nll"),
-        )
+        .select("gram", F.expr(kq["nll"]).alias("__nll"))
     )
 
     scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
-        F.floor(
-            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("nll_micro"),
+        F.expr(_KN_MICRO_SQL).alias("nll_micro"),
     )
     return _kn_per_doc(scored, id_col)
+
+
+# floor(tf * nll * 1e6 + 0.5) micro-nat quantization, rendered once
+# (identical to the Column form: 1000000.0D == F.lit(1e6))
+_KN_MICRO_SQL = (
+    "CAST(floor(CAST(tf AS DOUBLE) * __nll * 1000000.0D + 0.5D) AS BIGINT)"
+)
+
+
+def _kn2_sql_parts(
+    discount: float, ct_sql: str, unseen_prefix_backoff: bool
+) -> dict:
+    """SQL text of the bigram-KN per-gram score tree and its two join
+    keys — the :func:`_kn3_sql_parts` shape one order down, shared by
+    :func:`kn_bigram_logprob` (``CAST(ct AS DOUBLE)``, no guard) and
+    :func:`kn_bigram_score` (``coalesce(ct_bi, 0)`` + full backoff on
+    an unseen prefix)."""
+    D = f"{float(discount)!r}D"
+    pcont = (
+        "(CAST(coalesce(n1p_bwd, 0) AS DOUBLE) + 1.0D) / "
+        "(CAST(n_types AS DOUBLE) + CAST(v AS DOUBLE))"
+    )
+    p_bi_core = (
+        f"greatest({ct_sql} - {D}, 0.0D) / CAST(ct_prefix AS DOUBLE) + "
+        f"{D} * CAST(n1p_fwd AS DOUBLE) / CAST(ct_prefix AS DOUBLE) "
+        f"* ({pcont})"
+    )
+    p_bi = (
+        f"CASE WHEN ct_prefix IS NULL THEN {pcont} ELSE {p_bi_core} END"
+        if unseen_prefix_backoff
+        else p_bi_core
+    )
+    is2 = "contains(gram, ' ')"
+    s0, s1 = (f"split(gram, ' ')[{i}]" for i in range(2))
+    return {
+        "pfx": f"CASE WHEN {is2} THEN {s0} ELSE gram END",
+        "last": f"CASE WHEN {is2} THEN {s1} ELSE gram END",
+        "nll": (
+            f"CASE WHEN NOT ({is2}) THEN - ln({pcont}) "
+            f"ELSE - ln({p_bi}) END"
+        ),
+    }
+
+
+def _kn3_sql_parts(
+    discount: float, ct_sql: str, unseen_prefix_backoff: bool
+) -> dict:
+    """SQL text of the trigram-KN per-gram score tree and its four
+    level-conditional join keys — shared by :func:`kn_trigram_logprob`
+    (``ct_sql='CAST(ct AS DOUBLE)'``, no unseen-prefix guard: the
+    self-trained type table covers every event) and
+    :func:`kn_trigram_score` (``coalesce(ct_tri, 0)`` + full backoff
+    when the external model never saw the prefix).  Node-for-node the
+    trees the r10 Column forms built; construction-parity pinned by
+    the gate oracles (micro-nat integers are bit-sensitive).
+    """
+    D = f"{float(discount)!r}D"
+    pcont = (
+        "(CAST(coalesce(n1p_bwd, 0) AS DOUBLE) + 1.0D) / "
+        "(CAST(n_types AS DOUBLE) + CAST(v AS DOUBLE))"
+    )
+    p2 = (
+        "CASE WHEN (n1p_mid_tot IS NULL) OR (n1p_mid_tot = 0) "
+        f"THEN {pcont} "
+        f"ELSE greatest(CAST(coalesce(n1p_mid_bi, 0) AS DOUBLE) - {D}, "
+        "0.0D) / CAST(n1p_mid_tot AS DOUBLE) + "
+        f"{D} * CAST(n1p_mid_fwd AS DOUBLE) / CAST(n1p_mid_tot AS DOUBLE)"
+        f" * ({pcont}) END"
+    )
+    p3_core = (
+        f"greatest({ct_sql} - {D}, 0.0D) / CAST(ct_pfx12 AS DOUBLE) + "
+        f"{D} * CAST(n1p_top AS DOUBLE) / CAST(ct_pfx12 AS DOUBLE) * ({p2})"
+    )
+    p3 = (
+        f"CASE WHEN ct_pfx12 IS NULL THEN ({p2}) ELSE {p3_core} END"
+        if unseen_prefix_backoff
+        else p3_core
+    )
+    nw = "size(split(gram, ' '))"
+    s0, s1, s2 = (f"split(gram, ' ')[{i}]" for i in range(3))
+    return {
+        "last": (
+            f"CASE WHEN {nw} = 3 THEN {s2} WHEN {nw} = 2 THEN {s1} "
+            "ELSE gram END"
+        ),
+        "tail2": (
+            f"CASE WHEN {nw} = 3 THEN concat_ws(' ', {s1}, {s2}) "
+            "ELSE gram END"
+        ),
+        "mid": (
+            f"CASE WHEN {nw} = 3 THEN {s1} WHEN {nw} = 2 THEN {s0} "
+            "ELSE gram END"
+        ),
+        "pfx": (
+            f"CASE WHEN {nw} = 3 THEN concat_ws(' ', {s0}, {s1}) "
+            "ELSE gram END"
+        ),
+        "nll": (
+            f"CASE WHEN {nw} = 1 THEN - ln({pcont}) "
+            f"WHEN {nw} = 2 THEN - ln({p2}) "
+            f"ELSE - ln({p3}) END"
+        ),
+    }
 
 
 def kn_trigram_fit(
@@ -3409,6 +3452,7 @@ def kn_trigram_fit(
     # levels share one explode + one groupBy
     toked = src.select(normalized_tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
+    tkn = "__toks"
     null_s = F.lit(None).cast("string")
     nw = F.size(F.split(F.col("gram"), " "))
     s0 = F.split(F.col("gram"), " ")[0]
@@ -3418,7 +3462,7 @@ def kn_trigram_fit(
         toked.select(
             F.explode(
                 F.concat(
-                    toks, _kn_true_grams(toks, 2), _kn_true_grams(toks, 3)
+                    toks, _kn_true_grams(tkn, 2), _kn_true_grams(tkn, 3)
                 )
             ).alias("gram")
         )
@@ -3512,6 +3556,7 @@ def kn_trigram_score(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
     toks = F.col(tk)
+    tkn = tk
     d_ = F.lit(float(discount))
 
     has3 = F.col("w3").isNotNull()
@@ -3585,7 +3630,7 @@ def kn_trigram_score(
     # materialized — both consumers then re-read blocks instead of
     # re-scanning and re-exploding the corpus
     ev_arr = F.concat(
-        _kn_first_event(toks), _kn_second_event(toks), _kn_true_grams(toks, 3)
+        _kn_first_event(tkn), _kn_second_event(tkn), _kn_true_grams(tkn, 3)
     )
     # eager: filling the blocks lazily from inside the broadcast-build
     # thread measured unstable (2.2-4.9s at sf0.1 across runs) while the
@@ -3598,81 +3643,28 @@ def kn_trigram_score(
     )
     ev_types = events.select("gram").distinct()
 
-    nw = F.size(F.split(F.col("gram"), " "))
-    s0 = F.split(F.col("gram"), " ")[0]
-    s1 = F.split(F.col("gram"), " ")[1]
-    s2 = F.split(F.col("gram"), " ")[2]
-    k_last = F.when(nw == 3, s2).when(nw == 2, s1).otherwise(F.col("gram"))
-    k_tail2 = F.when(nw == 3, F.concat_ws(" ", s1, s2)).otherwise(
-        F.col("gram")
-    )
-    k_mid = F.when(nw == 3, s1).when(nw == 2, s0).otherwise(F.col("gram"))
-    k_pfx = F.when(nw == 3, F.concat_ws(" ", s0, s1)).otherwise(
-        F.col("gram")
-    )
-
-    pcont = (
-        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / (F.col("n_types").cast("double") + F.col("v").cast("double"))
-
-    def p2_expr():
-        backoff = pcont
-        seen = (
-            F.greatest(
-                F.coalesce(F.col("n1p_mid_bi"), F.lit(0)).cast("double") - d_,
-                F.lit(0.0),
-            )
-            / F.col("n1p_mid_tot").cast("double")
-            + d_
-            * F.col("n1p_mid_fwd").cast("double")
-            / F.col("n1p_mid_tot").cast("double")
-            * pcont
-        )
-        return F.when(
-            F.col("n1p_mid_tot").isNull() | (F.col("n1p_mid_tot") == 0),
-            backoff,
-        ).otherwise(seen)
-
     # unseen trigram -> ct_tri 0 (pure discount mass); unseen prefix ->
     # the whole probability backs off to P2 (main term 0, lambda 1) —
-    # the kn_bigram_score rule one order up
-    # single P2 Column tree, reused (see kn_trigram_logprob note)
-    p2 = p2_expr()
-    p3 = F.when(F.col("ct_pfx12").isNull(), p2).otherwise(
-        F.greatest(
-            F.coalesce(F.col("ct_tri"), F.lit(0)).cast("double") - d_,
-            F.lit(0.0),
-        )
-        / F.col("ct_pfx12").cast("double")
-        + d_
-        * F.col("n1p_top").cast("double")
-        / F.col("ct_pfx12").cast("double")
-        * p2
+    # the kn_bigram_score rule one order up.  One-parse SQL trees (r11,
+    # see _kn3_sql_parts).
+    kq = _kn3_sql_parts(
+        discount,
+        ct_sql="CAST(coalesce(ct_tri, 0) AS DOUBLE)",
+        unseen_prefix_backoff=True,
     )
     scores = (
         ev_types.join(tri_totals, F.col("gram") == F.col("tgram"), "left")
-        .join(top_prefix, k_pfx == F.col("pfx12"), "left")
-        .join(mid_bi, k_tail2 == F.col("big23"), "left")
-        .join(mid_w2, k_mid == F.col("mid_w"), "left")
-        .join(cont_counts, k_last == F.col("cont"), "left")
+        .join(top_prefix, F.expr(f"({kq['pfx']}) = pfx12"), "left")
+        .join(mid_bi, F.expr(f"({kq['tail2']}) = big23"), "left")
+        .join(mid_w2, F.expr(f"({kq['mid']}) = mid_w"), "left")
+        .join(cont_counts, F.expr(f"({kq['last']}) = cont"), "left")
         .crossJoin(F.broadcast(scalars))
-        .select(
-            "gram",
-            F.when(nw == 1, -F.log(pcont))
-            .when(nw == 2, -F.log(p2))
-            .otherwise(-F.log(p3))
-            .alias("__nll"),
-        )
+        .select("gram", F.expr(kq["nll"]).alias("__nll"))
     )
     scored = events.join(scores, "gram").select(
         F.col(id_col),
         F.col("tf").cast("bigint").alias("events"),
-        F.floor(
-            F.col("tf").cast("double") * F.col("__nll") * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("nll_micro"),
+        F.expr(_KN_MICRO_SQL).alias("nll_micro"),
     )
     return _kn_per_doc(scored, id_col)
 
