@@ -2872,9 +2872,7 @@ def kn_bigram_logprob(
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
-    toks = F.col(tk)
     tkn = tk
-    d_ = F.lit(float(discount))
 
     # ---- the corpus-volume pass: per-doc events -> tf ----------------
     # ONE tokenize/explode over the corpus (r9): the events relation is
@@ -3072,9 +3070,7 @@ def kn_bigram_score(
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
-    toks = F.col(tk)
     tkn = tk
-    d_ = F.lit(float(discount))
 
     # a model with no unigram (vocabulary) rows makes the continuation
     # denominator n_types+V degenerate (V=0 with n_types=0 divides by
@@ -3225,9 +3221,7 @@ def kn_trigram_logprob(
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
-    toks = F.col(tk)
     tkn = tk
-    d_ = F.lit(float(discount))
     ev_arr = F.concat(
         _kn_first_event(tkn), _kn_second_event(tkn), _kn_true_grams(tkn, 3)
     )
@@ -3555,9 +3549,7 @@ def kn_trigram_score(
     toked = src.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias(tk)
     )
-    toks = F.col(tk)
     tkn = tk
-    d_ = F.lit(float(discount))
 
     has3 = F.col("w3").isNotNull()
     has2 = F.col("w2").isNotNull()
